@@ -1,0 +1,150 @@
+"""Deduplication family over the `documents` table — the large-scale
+training-data-pipeline operators (driver mandate; the reference's
+analogue is download change-detection / content-diff, SURVEY.md S2).
+
+All variants are pure DataFrame/JVM expressions (no Python UDFs) and
+are designed to hold at 10^12 rows:
+
+* :func:`exact_duplicates` — hash-groupBy; one shuffle on a short hash.
+* :func:`shingles` / :func:`ngram_jaccard_pairs` — word-n-gram
+  shingle explode + self-join on shingle + pair aggregation.  At scale
+  the self-join is bounded by dropping ultra-frequent shingles
+  (stopword shingles create quadratic hot keys — classic skew).
+* :func:`minhash_signatures` / :func:`minhash_band_pairs` — MinHash
+  via k seeded md5 min-hashes, banded LSH bucketing; candidate pairs
+  only, never the full cross product.
+* :func:`simhash` — 16-bit SimHash over a deterministic token hash
+  (SQL-expressible on both engines so the oracle can verify it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def exact_duplicates(documents: DataFrame, prefix_len: int = 40) -> DataFrame:
+    """md5 of a text prefix -> (text_md5, n_docs, canonical_doc_id)."""
+    return (documents
+            .select("doc_id",
+                    F.md5(F.substring("text", 1, prefix_len))
+                    .alias("text_md5"))
+            .groupBy("text_md5")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_doc_id")))
+
+
+def tokens(col):
+    return F.split(F.lower(F.trim(col)), TOKEN_SPLIT)
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-gram shingles."""
+    toks = tokens(F.col("text"))
+    sh = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return (documents
+            .select("doc_id", F.explode(sh).alias("shingle"))
+            .where(F.length("shingle") > 0)
+            .distinct())
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.4,
+                        max_shingle_freq: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard >= threshold.
+
+    Self-join on shingle -> per-pair common count -> Jaccard via the
+    per-doc shingle counts.  ``max_shingle_freq`` drops shingles that
+    occur in more than that many docs (hot-key/skew guard at scale;
+    exactness trade documented — None keeps exact semantics)."""
+    sh = shingles(documents, n)
+    if max_shingle_freq:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_shingle_freq).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("size_b"))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.col("n_common").cast("double")
+                        / (F.col("size_a") + F.col("size_b")
+                           - F.col("n_common")))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3,
+                       num_hashes: int = 8) -> DataFrame:
+    """(doc_id, seed, minhash): minhash_i = min(md5(i || ':' || shingle)).
+    md5-seeded so the oracle reproduces it exactly in SQL."""
+    sh = shingles(documents, n)
+    seeded = sh.crossJoin(
+        F.broadcast(sh.sparkSession.range(num_hashes)
+                    .select(F.col("id").cast("int").alias("seed"))))
+    return (seeded
+            .select("doc_id", "seed",
+                    F.md5(F.concat(F.col("seed"), F.lit(":"),
+                                   F.col("shingle"))).alias("h"))
+            .groupBy("doc_id", "seed")
+            .agg(F.min("h").alias("minhash")))
+
+
+def minhash_band_pairs(documents: DataFrame, n: int = 3,
+                       num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """LSH banding: bucket = md5(concat of the band's minhashes);
+    candidate pairs = docs sharing any (band, bucket).  The shuffle key
+    is (band, bucket) — hot buckets are real duplicates, which is the
+    point."""
+    sig = minhash_signatures(documents, n, num_hashes)
+    banded = (sig
+              .withColumn("band", (F.col("seed") / band_size).cast("int"))
+              .groupBy("doc_id", "band")
+              .agg(F.md5(F.concat_ws("|", F.array_sort(
+                  F.collect_list(F.concat_ws(":", "seed", "minhash")))))
+                  .alias("bucket")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def _token_hash16(col):
+    """Deterministic 16-bit token hash expressible in both Spark and
+    DuckDB SQL: (7*len + 13*ascii(first) + 31*ascii(last)) % 65536."""
+    return ((F.length(col) * 7
+             + F.ascii(F.substring(col, 1, 1)) * 13
+             + F.ascii(F.substring(col, -1, 1)) * 31) % 65536)
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): majority vote per bit over distinct tokens."""
+    tok = (documents
+           .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+           .where(F.length("tok") > 0)
+           .distinct()
+           .withColumn("h", _token_hash16(F.col("tok"))))
+    aggs = [F.sum(F.when(F.shiftright("h", b).bitwiseAND(1) == 1, 1)
+                  .otherwise(-1)).alias("b%d" % b)
+            for b in range(bits)]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0)
+    for b in range(bits):
+        sim = sim + F.when(F.col("b%d" % b) > 0, 1 << b).otherwise(0)
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))

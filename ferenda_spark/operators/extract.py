@@ -1,0 +1,63 @@
+"""Extract stage: pages -> parsed documents (vectorized mapInPandas).
+
+The Spark restatement of the reference's parse pipeline
+(documentrepository.py:1118-1141 / rfc.py:456-474): one Arrow batch in,
+one parsed-docs batch out; FSM/DOM logic is sequential per document but
+vectorized across documents (SURVEY.md §2.10).  Per-row failures are
+captured into an ``error`` column instead of failing the task — the
+reference's per-doc error isolation (documententry.py:292-335,
+decorators.py:232-266; SURVEY.md I4/X10).
+
+Scale notes: the stage is embarrassingly parallel (no shuffle); at
+100 TB the input table's partitioning (url-prefix/warc_ts from the
+Iceberg layout) flows straight through.  ``html`` is dropped from the
+output schema so the downstream DAG never carries page bytes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..parsepage import parse_page
+
+PARSED_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, kind string, "
+    "title string, text string, preamble string, "
+    "sections array<struct<ordinal:string, title:string, text:string>>, "
+    "links array<string>, error string"
+)
+
+_EMPTY = {"title": None, "lang": None, "text": None, "preamble": None,
+          "kind": None, "sections": [], "links": []}
+
+
+def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        rows = []
+        for r in pdf.itertuples():
+            try:
+                d = parse_page(bytes(r.html), default_lang=r.lang or "en")
+                err = None
+            except Exception as e:  # quarantine, never abort the corpus
+                d, err = dict(_EMPTY), "%s: %s" % (type(e).__name__, e)
+            rows.append({
+                "url": r.url, "warc_ts": r.warc_ts,
+                "lang": d["lang"] or r.lang, "kind": d["kind"],
+                "title": d["title"], "text": d["text"],
+                "preamble": d["preamble"],
+                "sections": d["sections"], "links": d["links"],
+                "error": err,
+            })
+        yield pd.DataFrame(rows, columns=[
+            "url", "warc_ts", "lang", "kind", "title", "text",
+            "preamble", "sections", "links", "error"])
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> parsed docs."""
+    return (pages
+            .select("url", "warc_ts", "html", "lang")
+            .mapInPandas(_parse_batches, schema=PARSED_SCHEMA))

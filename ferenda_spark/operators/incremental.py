@@ -1,0 +1,114 @@
+"""Resumable-batch machinery: per-stage checkpoint `entries` table +
+anti-join work selection + per-partition lineage counters.
+
+The reference's incremental contract (SURVEY.md §2.9, X1/I1-I5):
+`DocumentStore.needed` skips documents whose output is newer than the
+input (documentstore.py:324-357); `DocumentEntry` records per-(action,
+basefile) status/duration (documententry.py:27-104).  Spark
+restatement:
+
+* each stage writes its outputs *and* an entries batch
+  ``(url, stage, input_fingerprint, success, ts, duration_s, error)``;
+* on (re)start the stage's work set = inputs **anti-joined** against
+  successful entries on (url, input_fingerprint) — a kill mid-run
+  costs only the partitions whose entries batch never committed;
+* fingerprint = md5(html) (download_is_different semantics,
+  documentrepository.py:1010-1015) so changed pages reprocess and
+  unchanged ones don't (I5);
+* ``lastdownload``-style watermark = max(warc_ts) (I2).
+
+The sandbox store is parquet-append per stage (Iceberg's atomic commit
+is the production analogue, noted in session.py); commits are
+idempotent because outputs are deterministic functions of inputs (S5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ENTRIES_SCHEMA = ("url string, stage string, input_fingerprint string, "
+                  "success string, ts timestamp, duration_s double, "
+                  "error string")
+
+
+def fingerprinted(pages: DataFrame) -> DataFrame:
+    return pages.withColumn("input_fingerprint", F.md5(F.col("html")))
+
+
+def pending_work(pages_fp: DataFrame, entries: DataFrame | None,
+                 stage: str) -> DataFrame:
+    """needed-semantics work selection: anti-join inputs against
+    successful checkpoint entries for this stage."""
+    if entries is None:
+        return pages_fp
+    done = (entries
+            .where((F.col("stage") == stage)
+                   & (F.col("success") == "true"))
+            .select("url", "input_fingerprint"))
+    return pages_fp.join(done, ["url", "input_fingerprint"], "left_anti")
+
+
+def read_entries(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    path = os.path.join(store_dir, "entries")
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def write_entries(results: DataFrame, store_dir: str, stage: str,
+                  duration_s: float) -> None:
+    """Append one entries batch for the rows just processed; `error`
+    column (nullable) marks quarantined rows (success='false')."""
+    path = os.path.join(store_dir, "entries")
+    err = F.col("error") if "error" in results.columns \
+        else F.lit(None).cast("string")
+    (results
+     .select("url", "input_fingerprint",
+             err.alias("error"))
+     .withColumn("stage", F.lit(stage))
+     .withColumn("success",
+                 F.when(F.col("error").isNull(), "true").otherwise("false"))
+     .withColumn("ts", F.current_timestamp())
+     .withColumn("duration_s", F.lit(float(duration_s)))
+     .select("url", "stage", "input_fingerprint", "success", "ts",
+             "duration_s", "error")
+     .write.mode("append").parquet(path))
+
+
+def watermark(pages: DataFrame) -> "object":
+    """I2: lastdownload cursor = max(warc_ts)."""
+    return pages.agg(F.max("warc_ts")).first()[0]
+
+
+def stage_counters(results: DataFrame) -> DataFrame:
+    """A10/north-rule lineage: per-partition row/error counters."""
+    return (results
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"),
+                 F.sum(F.when(F.col("error").isNotNull(), 1)
+                       .otherwise(0)).alias("errors")))
+
+
+def run_stage(pages: DataFrame, store_dir: str, stage: str,
+              transform, output_name: str | None = None) -> DataFrame:
+    """Checkpointed stage execution: select pending work, transform,
+    write outputs + entries atomically-enough (outputs first, entries
+    last — a crash between the two re-does at most one batch, which is
+    idempotent)."""
+    spark = pages.sparkSession
+    fp = fingerprinted(pages)
+    entries = read_entries(spark, store_dir)
+    todo = pending_work(fp, entries, stage)
+    t0 = time.time()
+    out = transform(todo)
+    out_path = os.path.join(store_dir, output_name or stage)
+    out.write.mode("append").parquet(out_path)
+    done = out.select("url", "input_fingerprint", *(
+        ["error"] if "error" in out.columns else []))
+    write_entries(done, store_dir, stage, time.time() - t0)
+    return pages.sparkSession.read.parquet(out_path)

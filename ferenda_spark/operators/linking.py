@@ -1,0 +1,110 @@
+"""Entity linking: label mention -> canonical entity URI.
+
+The reference's lookup_resource (documentrepository.py:467-513,
+SURVEY.md T9/J6): exact label match against the small `commondata`
+resource graph, else fuzzy match (difflib cutoff 0.8).  Spark design
+per the north rule:
+
+* exact path: **broadcast** equi-join against the resources dimension
+  (small dim, no shuffle);
+* fuzzy path: MinHash-LSH candidate generation over character-3-gram
+  sets + exact Jaccard rescoring with a cutoff — candidates only, so
+  the quadratic blowup of difflib never materializes at scale; hot
+  labels are handled by AQE skew-join (the join is broadcast anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .triples import ENTITY_URI_PREFIX, ORG_URI_PREFIX
+from .. import vocab
+
+N_ENTITIES = 50
+N_PUBLISHERS = 7
+
+
+def build_resources(spark: SparkSession) -> DataFrame:
+    """The entity dictionary (commondata analogue, FIXTURES.md §2):
+    closed-form so the DuckDB oracle can rebuild it with
+    generate_series."""
+    ents = (spark.range(N_ENTITIES)
+            .select(F.concat(F.lit(ENTITY_URI_PREFIX), "id").alias("uri"),
+                    F.concat(F.lit("Entity "), "id").alias("label"),
+                    F.lit("foaf:Agent").alias("entity_type")))
+    pubs = (spark.range(N_PUBLISHERS)
+            .select(F.concat(F.lit(ORG_URI_PREFIX), "id").alias("uri"),
+                    F.concat(F.lit("Publisher "), "id").alias("label"),
+                    F.lit("foaf:Organization").alias("entity_type")))
+    return ents.unionByName(pubs)
+
+
+def exact_links(docs: DataFrame, resources: DataFrame) -> DataFrame:
+    """(doc_uri, label, entity_uri, method='exact') via broadcast join."""
+    return (docs
+            .where(F.col("entity_label").isNotNull())
+            .join(F.broadcast(resources),
+                  F.col("entity_label") == F.col("label"), "inner")
+            .select("url", "doc_uri",
+                    F.col("entity_label").alias("label"),
+                    F.col("uri").alias("entity_uri"),
+                    F.lit("exact").alias("method")))
+
+
+def entity_mention_triples(docs: DataFrame, resources: DataFrame) -> DataFrame:
+    """(doc, schema:mentions, entity) triples from exact links."""
+    return (exact_links(docs, resources)
+            .select(F.col("doc_uri").alias("subj"),
+                    F.lit(vocab.SCHEMA_MENTIONS).alias("pred"),
+                    F.col("entity_uri").alias("obj"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.col("url").alias("context")))
+
+
+# ------------------------------------------------------- fuzzy (LSH) path
+
+def _char_ngrams(col, n=3):
+    """lowercased character n-gram set of a label, as an array column
+    (the shingling for MinHash)."""
+    # pad, then slide a window via sequence+transform (JVM-side)
+    lowered = F.lower(col)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))),
+        lambda i: lowered.substr(i, F.lit(n))))
+
+
+def fuzzy_links(mentions: DataFrame, resources: DataFrame,
+                threshold: float = 0.5) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard rescore for
+    labels that failed the exact join.
+
+    mentions: DataFrame with (url, doc_uri, entity_label).
+    Returns (url, doc_uri, label, entity_uri, jaccard, method='fuzzy').
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    m = (mentions
+         .where(F.col("entity_label").isNotNull())
+         .withColumn("grams", _char_ngrams(F.col("entity_label")))
+         .where(F.size("grams") > 0))
+    r = (resources
+         .withColumn("grams", _char_ngrams(F.col("label")))
+         .where(F.size("grams") > 0))
+
+    tf = HashingTF(inputCol="grams", outputCol="features",
+                   numFeatures=1 << 18, binary=True)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=5, seed=42)
+    rf = tf.transform(r)
+    mf = tf.transform(m)
+    model = mh.fit(rf)
+    pairs = model.approxSimilarityJoin(
+        mf, rf, 1.0 - threshold, distCol="jaccard_dist")
+    return (pairs
+            .select(F.col("datasetA.url").alias("url"),
+                    F.col("datasetA.doc_uri").alias("doc_uri"),
+                    F.col("datasetA.entity_label").alias("label"),
+                    F.col("datasetB.uri").alias("entity_uri"),
+                    (1 - F.col("jaccard_dist")).alias("jaccard"),
+                    F.lit("fuzzy").alias("method")))

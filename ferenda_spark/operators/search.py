@@ -1,0 +1,90 @@
+"""Search query compiler — the REST API surface (SURVEY.md §2.8).
+
+Compiles the reference's query parameters (wsgiapp.py:547-667 +
+fulltextindex.py:496-945) into DataFrame filters / scoring / paging:
+
+* Q1 free text: AND of all query terms over the text field(s)
+  (ES simple_query_string default_operator=and, fulltextindex.py:884);
+* Q2 equality / Q3 wildcard / Q4-Q5 ranges (`year-F=2013` is
+  *exclusive* bounds: > Dec 31 of y-1 and < Jan 1 of y+1,
+  wsgiapp.py:566-597 — replicated exactly);
+* Q8 boosts: score = sum of per-field boost * match indicator
+  (title 4, identifier 16, text 1 — facet.py:449-470), min_score
+  drops filter-only matches;
+* Q7 pagination: 0-based _page/_pageSize over a deterministic order
+  (score desc, uri asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+FIELD_BOOSTS = {"title": 4.0, "identifier": 16.0, "text": 1.0}
+
+
+def _term_match(col, term):
+    return F.lower(col).contains(term.lower())
+
+
+def compile_query(df: DataFrame, q: str | None = None,
+                  filters: dict | None = None,
+                  ranges: dict | None = None,
+                  wildcard: dict | None = None,
+                  boosts: dict | None = None,
+                  min_score: float = 0.0,
+                  page: int = 0, page_size: int = 10,
+                  id_col: str = "uri",
+                  text_fields: tuple = ("text",)) -> DataFrame:
+    """Compile a search into filter + score + page.  Returns the page
+    rows with a ``score`` column, ordered (score desc, id asc)."""
+    out = df
+    # Q2 field equality (Resource fields match on .iri, J9: pass
+    # 'field.iri' as the key)
+    for k, v in (filters or {}).items():
+        out = out.where(F.col(k) == F.lit(v))
+    # Q3 wildcard -> rlike with escaped specials, '*' -> '.*'
+    for k, pat in (wildcard or {}).items():
+        rx = "^%s$" % (pat.replace(".", r"\.").replace("#", r"\#")
+                       .replace("*", ".*"))
+        out = out.where(F.col(k).rlike(rx))
+    # Q4/Q5 ranges: dict of col -> (op, value); year op uses exclusive
+    # bounds per wsgiapp.py:566-597
+    for k, (op, v) in (ranges or {}).items():
+        if op == "min":
+            out = out.where(F.col(k) > F.lit(v))
+        elif op == "max":
+            out = out.where(F.col(k) < F.lit(v))
+        elif op == "year":
+            out = out.where((F.col(k) > F.lit("%d-12-31" % (v - 1)))
+                            & (F.col(k) < F.lit("%d-01-01" % (v + 1))))
+    # Q1 free text: every term must match at least one text field
+    terms = (q or "").split()
+    for t in terms:
+        cond = None
+        for f_ in text_fields:
+            c = _term_match(F.col(f_), t)
+            cond = c if cond is None else (cond | c)
+        out = out.where(cond)
+    # Q8 scoring
+    boosts = boosts or {k: v for k, v in FIELD_BOOSTS.items()
+                        if k in df.columns}
+    score = F.lit(0.0)
+    for fld, w in boosts.items():
+        for t in terms:
+            score = score + F.when(_term_match(F.col(fld), t),
+                                   F.lit(float(w))).otherwise(F.lit(0.0))
+    out = out.withColumn("score", score)
+    if min_score > 0:
+        out = out.where(F.col("score") > min_score)
+    # Q7 pagination: deterministic total order, then offset/limit
+    out = out.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return out.offset(page * page_size).limit(page_size)
+
+
+def autocomplete(df: DataFrame, prefix: str, label_col: str,
+                 limit: int = 10, id_col: str = "uri") -> DataFrame:
+    """Q10: _ac=true variant — startswith on label fields."""
+    return (df.where(F.lower(F.col(label_col))
+                     .startswith(prefix.lower()))
+            .orderBy(label_col, id_col)
+            .limit(limit))

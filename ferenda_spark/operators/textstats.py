@@ -1,0 +1,91 @@
+"""Text analysis over the `documents` table — language-ID heuristic,
+quality scoring, token counting, document fingerprinting (driver
+mandate: training-data pipeline ops).  All JVM-side expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens
+
+# marker stopwords per language for the n-gram/stopword heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("und", "der", "die"),
+    "fr": ("les", "des", "est"),
+    "es": ("los", "las", "que"),
+    "zh": (),  # CJK codepoint presence instead
+}
+
+
+def _count_token(text_tokens, word):
+    return F.size(F.filter(text_tokens, lambda t: t == word))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars_measured, avg_token_len, punct_ratio,
+    stopword_ratio) — quality-scoring features."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_stop = sum((_count_token(toks, w) for w in LANG_MARKERS["en"]),
+                 F.lit(0))
+    return documents.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        F.round(n_chars.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"))
+
+
+def quality_score(documents: DataFrame,
+                  min_tokens: int = 10, max_avg_len: float = 12.0) -> DataFrame:
+    """Composite keep/drop quality gate (Gopher-rule-style shape):
+    (doc_id, quality, keep)."""
+    s = token_stats(documents)
+    quality = (F.when(F.col("n_tokens") >= min_tokens, 0.4).otherwise(0.0)
+               + F.when(F.col("avg_token_len") <= max_avg_len, 0.3)
+               .otherwise(0.0)
+               + F.when(F.col("punct_ratio") <= 0.2, 0.3).otherwise(0.0))
+    return s.select("doc_id", F.round(quality, 2).alias("quality"),
+                    (quality >= 0.7).alias("keep"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-stopword language guess: (doc_id, lang, lang_guess,
+    lang_match).  CJK presence wins; otherwise argmax of marker hits
+    with deterministic tie-break on language code order."""
+    toks = tokens(F.col("text"))
+    scores = []
+    for lang_code in ("de", "en", "es", "fr"):
+        hits = sum((_count_token(toks, w) for w in LANG_MARKERS[lang_code]),
+                   F.lit(0))
+        scores.append((lang_code, hits))
+    best = F.lit("en")
+    best_score = F.lit(-1)
+    for lang_code, hits in scores:  # later codes win only strictly
+        better = hits > best_score
+        best = F.when(better, lang_code).otherwise(best)
+        best_score = F.when(better, hits).otherwise(best_score)
+    has_cjk = F.col("text").rlike(r"[一-鿿]")
+    guess = F.when(has_cjk, "zh").otherwise(best)
+    return documents.select(
+        "doc_id", "lang", guess.alias("lang_guess"),
+        (F.col("lang") == guess).alias("lang_match"))
+
+
+def fingerprint(documents: DataFrame, n: int = 4,
+                keep: int = 4) -> DataFrame:
+    """Winnowing-style document fingerprint: the `keep` smallest
+    md5-hashes of word n-gram shingles, concatenated.  (doc_id,
+    fingerprint)."""
+    toks = tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return documents.select(
+        "doc_id",
+        F.concat_ws("", F.slice(F.array_sort(F.array_distinct(sh)),
+                                1, keep)).alias("fingerprint"))

@@ -1,0 +1,171 @@
+"""Triple emission: parsed docs -> (subj, pred, obj, obj_datatype,
+obj_lang, context) rows.
+
+The Spark restatement of the reference's distill step (SURVEY.md T1/T2):
+instead of rendering XHTML+RDFa and re-parsing it (decorators.py:163-184)
+we emit triples directly from the parsed columns — document-level
+metadata (parse_metadata_from_soup semantics,
+documentrepository.py:1202-1242), per-section DocumentPart triples
+(w3c.py decorate_bodyparts :290-303), and citation references
+(rfc.py:430-452 grammar, minted per uriformatter.py:7-52).
+
+Everything here is JVM-side column expressions (regexp_extract /
+concat / explode) — no Python UDFs — so the whole stage stays inside
+whole-stage codegen.  The ``context`` column (= source url) is the
+named-graph / partition key (triplestore context, SURVEY.md S6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .. import vocab
+from ..citations import RFC_FULL_SQL_PATTERN
+
+BASE = "https://example.org/"
+DOC_URI_PREFIX = BASE + "res/doc/"
+RFC_URI_PREFIX = BASE + "res/rfc/"
+ORG_URI_PREFIX = BASE + "res/org/pub"
+ENTITY_URI_PREFIX = BASE + "res/entity/"
+
+TRIPLE_COLS = ("subj", "pred", "obj", "obj_datatype", "obj_lang", "context")
+
+
+def with_doc_metadata(parsed: DataFrame) -> DataFrame:
+    """Derive doc_id / canonical doc_uri (T6: canonical_uri =
+    {base}res/{alias}/{basefile}, documentrepository.py:631-644; the
+    inverse basefile_from_uri is the regexp on url) and the planted
+    metadata fields (P5 header-extraction semantics, via JVM regexps
+    over the extracted text)."""
+    txt = F.col("text")
+    return (parsed
+            .withColumn("doc_id", F.regexp_extract("url", r"/(\d+)$", 1)
+                        .cast("long"))
+            .withColumn("doc_uri", F.concat(F.lit(DOC_URI_PREFIX),
+                                            F.col("doc_id")))
+            .withColumn("publisher_id", F.nullif(F.regexp_extract(
+                txt, r"Publisher (\d+)", 1), F.lit("")).cast("int"))
+            .withColumn("identifier", F.nullif(F.regexp_extract(
+                txt, r"Identifier: (\S+)", 1), F.lit("")))
+            .withColumn("issued", F.nullif(F.regexp_extract(
+                txt, r"Issued: (\d{4}-\d{2}-\d{2})", 1), F.lit("")))
+            .withColumn("subject", F.nullif(F.regexp_extract(
+                txt, r"Subject: (topic\d+)", 1), F.lit("")))
+            .withColumn("entity_label", F.nullif(F.regexp_extract(
+                txt, r"Contact (Entity \d+)\.", 1), F.lit("")))
+            .withColumn("same_as_id", F.nullif(F.regexp_extract(
+                txt, r"Identical to Document (\d+)\.", 1), F.lit(""))
+                .cast("long")))
+
+
+def _t(subj: Column, pred: str, obj: Column, dtype=None, lang=None) -> Column:
+    return F.struct(
+        subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj"),
+        (F.lit(dtype) if dtype else F.lit(None).cast("string")).alias("obj_datatype"),
+        (lang if lang is not None else F.lit(None).cast("string")).alias("obj_lang"))
+
+
+def doc_triples(docs: DataFrame) -> DataFrame:
+    """Document-level metadata triples (one scan: array-of-struct +
+    explode instead of a union of projections)."""
+    d = F.col("doc_uri")
+    trips = F.array(
+        _t(d, vocab.RDF_TYPE, F.lit(vocab.BIBO_DOCUMENT)),
+        _t(d, vocab.DCTERMS_TITLE, F.col("title"), lang=F.col("lang")),
+        _t(d, vocab.DCTERMS_IDENTIFIER, F.col("identifier")),
+        _t(d, vocab.DCTERMS_PUBLISHER,
+           F.when(F.col("publisher_id").isNotNull(),
+                  F.concat(F.lit(ORG_URI_PREFIX), F.col("publisher_id")))),
+        _t(d, vocab.DCTERMS_ISSUED, F.col("issued"), dtype=vocab.XSD_DATE),
+        _t(d, vocab.DCTERMS_SUBJECT, F.col("subject")),
+        _t(d, vocab.PROV_WASGENERATEDBY, F.lit(vocab.GENERATOR_ID)),
+        _t(d, vocab.FOAF_PAGE, F.col("url")),
+        _t(d, vocab.OWL_SAMEAS,
+           F.when(F.col("same_as_id").isNotNull(),
+                  F.concat(F.lit(DOC_URI_PREFIX), F.col("same_as_id")))),
+    )
+    return (docs
+            .select(F.col("url").alias("context"), F.explode(trips).alias("t"))
+            .where(F.col("t.obj").isNotNull())
+            .select("t.subj", "t.pred", "t.obj", "t.obj_datatype",
+                    "t.obj_lang", "context"))
+
+
+def exploded_sections(docs: DataFrame) -> DataFrame:
+    """One row per section with its part URI (P13: uri = doc_uri + '#S'
+    + ordinal, elements.py:619-620) and its parent URI (isPartOf:
+    enclosing section for dotted ordinals else the document)."""
+    s = (docs
+         .select("url", "doc_uri", "lang",
+                 F.explode("sections").alias("sec"))
+         .select("url", "doc_uri", "lang",
+                 F.col("sec.ordinal").alias("ordinal"),
+                 F.col("sec.title").alias("sec_title"),
+                 F.col("sec.text").alias("sec_text")))
+    part = F.concat(F.col("doc_uri"), F.lit("#S"), F.col("ordinal"))
+    parent = F.when(
+        F.col("ordinal").contains("."),
+        F.concat(F.col("doc_uri"), F.lit("#S"),
+                 F.regexp_extract("ordinal", r"^(.*)\.[^.]+$", 1))
+    ).otherwise(F.col("doc_uri"))
+    return s.withColumn("part_uri", part).withColumn("parent_uri", parent)
+
+
+def section_triples(docs: DataFrame) -> DataFrame:
+    secs = exploded_sections(docs)
+    p = F.col("part_uri")
+    trips = F.array(
+        _t(p, vocab.RDF_TYPE, F.lit(vocab.BIBO_DOCUMENTPART)),
+        _t(p, vocab.DCTERMS_TITLE, F.col("sec_title"), lang=F.col("lang")),
+        _t(p, vocab.DCTERMS_ISPARTOF, F.col("parent_uri")),
+        _t(p, vocab.BIBO_CHAPTER, F.col("ordinal")),
+    )
+    return (secs
+            .select(F.col("url").alias("context"), F.explode(trips).alias("t"))
+            .where(F.col("t.obj").isNotNull())
+            .select("t.subj", "t.pred", "t.obj", "t.obj_datatype",
+                    "t.obj_lang", "context"))
+
+
+def mention_rows(docs: DataFrame) -> DataFrame:
+    """Citation mentions per section (T4): JVM regexp_extract_all for
+    the RFC grammar; two-step parse (full match -> groups) keeps it
+    codegen-friendly.  Returns (url, part_uri, doc_uri, match, sec,
+    rfc, target_uri)."""
+    secs = exploded_sections(docs)
+    m = (secs
+         .select("url", "doc_uri", "part_uri",
+                 F.explode(F.regexp_extract_all(
+                     "sec_text", F.lit(RFC_FULL_SQL_PATTERN), F.lit(0)))
+                 .alias("match")))
+    sec = F.regexp_extract("match", r"[Ss]ection\s+([0-9][0-9.]*)\s+of", 1)
+    rfc = F.regexp_extract("match", r"RFC\s*([0-9]+)", 1)
+    target = F.when(
+        rfc != "",
+        F.concat(F.lit(RFC_URI_PREFIX),
+                 F.regexp_replace(rfc, r"^0+(?=\d)", ""),
+                 F.when(sec != "", F.concat(F.lit("#S"),
+                                            F.regexp_replace(sec, r"\.$", "")))
+                 .otherwise(F.lit(""))))
+    return (m.withColumn("sec", sec).withColumn("rfc", rfc)
+            .withColumn("target_uri", target)
+            .where(F.col("target_uri").isNotNull()))
+
+
+def mention_triples(docs: DataFrame) -> DataFrame:
+    """(section, dcterms:references, minted target) triples (T4/T5)."""
+    return (mention_rows(docs)
+            .select(F.col("part_uri").alias("subj"),
+                    F.lit(vocab.DCTERMS_REFERENCES).alias("pred"),
+                    F.col("target_uri").alias("obj"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.col("url").alias("context")))
+
+
+def all_triples(docs: DataFrame) -> DataFrame:
+    """The full distilled graph for the corpus (doc ∪ section ∪
+    mention triples) — the reference's relate_all dump (S6/S7)."""
+    return (doc_triples(docs)
+            .unionByName(section_triples(docs))
+            .unionByName(mention_triples(docs)))
