@@ -202,6 +202,130 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_read(spark, sf_dir, "documents"))
 
 
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    from ferenda_spark.operators.dedup import minhash_band_pairs
+    return minhash_band_pairs(_read(spark, sf_dir, "documents"),
+                              n=3, num_hashes=8, band_size=2)
+
+
+def _q_dedup_jaccard_pairs(spark, sf_dir):
+    from ferenda_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
+                               n=3, threshold=0.1)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from ferenda_spark.operators.dedup import simhash
+    return simhash(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_token_stats(spark, sf_dir):
+    from ferenda_spark.operators.textstats import token_stats
+    return token_stats(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from ferenda_spark.operators.textstats import quality_score
+    return quality_score(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_lang_id(spark, sf_dir):
+    from ferenda_spark.operators.textstats import lang_id
+    return lang_id(_read(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from ferenda_spark.operators.textstats import fingerprint
+    return fingerprint(_read(spark, sf_dir, "documents"))
+
+
+_SIM_QUERY_IDS = [0, 7, 42, 123]
+
+
+def _q_sim_cosine_topk(spark, sf_dir):
+    from ferenda_spark.operators.similarity import cosine_topk
+    return cosine_topk(_read(spark, sf_dir, "embeddings"),
+                       _SIM_QUERY_IDS, k=10)
+
+
+def _q_sim_lsh_topk(spark, sf_dir):
+    from ferenda_spark.operators.similarity import lsh_bucketed_topk
+    return lsh_bucketed_topk(_read(spark, sf_dir, "embeddings"),
+                             _SIM_QUERY_IDS, k=10, n_bits=4)
+
+
+def _q_mm_image_meta(spark, sf_dir):
+    from ferenda_spark.operators.multimodal import image_meta, with_blob
+    return image_meta(with_blob(_read(spark, sf_dir, "documents")))
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    from ferenda_spark.operators.multimodal import sample_frames, with_blob
+    return (sample_frames(with_blob(_read(spark, sf_dir, "documents")))
+            .select("doc_id", "frame_idx", "frame_ts"))
+
+
+def _q_keyword_terms(spark, sf_dir):
+    """T10: term aggregation over dcterms:subject (keyword.py:105-222),
+    sanitize = length bounds, sources = sorted distinct contexts."""
+    from ferenda_spark import vocab
+    t = _triples(spark, sf_dir)
+    return (t.where(F.col("pred") == vocab.DCTERMS_SUBJECT)
+            .where(F.length("obj").between(2, 100))
+            .groupBy(F.col("obj").alias("term"))
+            .agg(F.countDistinct("context").alias("n_docs"),
+                 F.concat_ws(",", F.array_sort(F.collect_set("context")))
+                 .alias("sources")))
+
+
+def _q_triple_stats(spark, sf_dir):
+    """A8: per-context triple & distinct-subject counts
+    (w3c.py:67-82 stats / triple_count)."""
+    return (_triples(spark, sf_dir)
+            .groupBy("context")
+            .agg(F.count("*").alias("n_triples"),
+                 F.countDistinct("subj").alias("n_subjects")))
+
+
+def _q_ispartof_closure(spark, sf_dir):
+    from ferenda_spark.operators.graphs import ispartof_closure
+    return ispartof_closure(_triples(spark, sf_dir))
+
+
+def _q_citation_counts(spark, sf_dir):
+    from ferenda_spark.operators.graphs import citation_counts
+    return citation_counts(_triples(spark, sf_dir))
+
+
+def _q_pagerank(spark, sf_dir):
+    from ferenda_spark.operators.graphs import citation_pagerank
+    return citation_pagerank(_triples(spark, sf_dir), iterations=10)
+
+
+def _q_search_year_range(spark, sf_dir):
+    """Q4/Q5: year-F range filter with the reference's *exclusive*
+    bounds (wsgiapp.py:566-597)."""
+    from ferenda_spark.operators.facets import faceted_data
+    from ferenda_spark.operators.search import compile_query
+    fd = faceted_data(_triples(spark, sf_dir))
+    return (compile_query(fd, ranges={"dcterms_issued": ("year", 2021)},
+                          boosts={}, page=0, page_size=2000,
+                          id_col="uri", text_fields=())
+            .select("uri", "dcterms_issued", "year"))
+
+
+def _q_link_validation(spark, sf_dir):
+    """J8: map every outgoing link to its target page; flag dangling
+    links (get_url_transform_func, documentrepository.py:2474-2564)."""
+    docs = _docs(spark, sf_dir)
+    links = docs.select("url", F.explode("links").alias("href"))
+    targets = docs.select(F.col("url").alias("target_url")).distinct()
+    return (links.join(targets, links["href"] == targets["target_url"],
+                       "left")
+            .select("url", "href",
+                    F.col("target_url").isNotNull().alias("target_exists")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -224,7 +348,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "search_documents": _q_search_documents,
         "autocomplete_titles": _q_autocomplete_titles,
+        "search_year_range": _q_search_year_range,
         "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_lsh_topk": _q_sim_lsh_topk,
+        "mm_image_meta": _q_mm_image_meta,
+        "mm_frame_sample": _q_mm_frame_sample,
+        "kg_keyword_terms": _q_keyword_terms,
+        "kg_triple_stats": _q_triple_stats,
+        "kg_ispartof_closure": _q_ispartof_closure,
+        "kg_citation_counts": _q_citation_counts,
+        "kg_pagerank": _q_pagerank,
+        "kg_link_validation": _q_link_validation,
     }
 
 
@@ -353,6 +495,96 @@ faceted AS (
          CAST(substr(issued, 1, 4) AS INT) AS year
   FROM f
 )"""
+
+
+# --- shared CTEs for the dedup / textstats / similarity oracles ------
+
+_TOKS_CTE = r"""
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t, text
+  FROM documents
+)"""
+
+# word-3-gram shingles (mirrors ferenda_spark.operators.dedup.shingles)
+_SH_CTE = _TOKS_CTE + r""",
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t)-2, 1))) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM idx WHERE length(array_to_string(t[i:i+2], ' ')) > 0
+)"""
+
+_MINHASH_CTE = _SH_CTE + r""",
+sig AS (
+  SELECT doc_id, s.seed,
+         min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, generate_series(0, 7) s(seed) GROUP BY doc_id, s.seed
+),
+banded AS (
+  SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+         md5(array_to_string(list_sort(
+           list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS bucket
+  FROM sig GROUP BY doc_id, band
+)"""
+
+
+def _simhash_sql() -> str:
+    """16-bit SimHash mirrored bit-by-bit from dedup.simhash."""
+    terms = " + ".join(
+        "(CASE WHEN SUM(CASE WHEN (h>>%d)&1=1 THEN 1 ELSE -1 END) > 0 "
+        "THEN %d ELSE 0 END)" % (b, 1 << b) for b in range(16))
+    return ("WITH " + _TOKS_CTE + r""",
+tok AS (
+  SELECT DISTINCT doc_id, u.tk FROM toks, unnest(t) AS u(tk)
+  WHERE length(u.tk) > 0
+),
+h AS (
+  SELECT doc_id,
+         (length(tk)*7 + ascii(substr(tk, 1, 1))*13
+          + ascii(substr(tk, length(tk), 1))*31) % 65536 AS h
+  FROM tok
+)
+SELECT doc_id, CAST(""" + terms + """ AS BIGINT) AS simhash
+FROM h GROUP BY doc_id""")
+
+
+_STOPS = {"de": ("und", "der", "die"), "en": ("the", "and", "of"),
+          "es": ("los", "las", "que"), "fr": ("les", "des", "est")}
+
+
+def _hits(lang_code: str) -> str:
+    return " + ".join("len(list_filter(t, x -> x = '%s'))" % w
+                      for w in _STOPS[lang_code])
+
+
+_TOKEN_STATS_SQL = "WITH " + _TOKS_CTE + r"""
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       round(CAST(length(text) AS DOUBLE) / len(t), 4) AS avg_token_len,
+       round(CAST(length(text)
+             - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio,
+       round(CAST(""" + _hits("en") + r""" AS DOUBLE) / len(t), 4)
+         AS stopword_ratio
+FROM toks"""
+
+_EMB_CTE = """
+e AS (
+  SELECT vec_id, embedding AS raw,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+
+_SIM_IDS_SQL = "(0, 7, 42, 123)"
+
+
+def _sign_bucket_sql(col: str = "raw", n_bits: int = 8) -> str:
+    return ("(" + " + ".join(
+        "(CASE WHEN %s[%d] > 0 THEN %d ELSE 0 END)" % (col, i + 1, 1 << i)
+        for i in range(n_bits)) + ")")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -486,4 +718,155 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(substr(text, 1, 40)) AS text_md5,
                    COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
             FROM documents GROUP BY 1""",
+        "search_year_range": _FACETED_WITH + """
+            SELECT uri, dcterms_issued, year FROM faceted
+            WHERE dcterms_issued > '2020-12-31'
+              AND dcterms_issued < '2022-01-01'""",
+        "dedup_minhash_pairs": "WITH " + _MINHASH_CTE + """
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id""",
+        "dedup_jaccard_pairs": "WITH " + _SH_CTE + """,
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT doc_a, doc_b, n_common,
+                     CAST(n_common AS DOUBLE)
+                       / (sa.n + sb.n - n_common) AS jaccard
+              FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                          JOIN sizes sb ON sb.doc_id = doc_b)
+            SELECT * FROM j WHERE jaccard >= 0.1""",
+        "dedup_simhash": _simhash_sql(),
+        "text_token_stats": _TOKEN_STATS_SQL,
+        "text_quality": "WITH s AS (" + _TOKEN_STATS_SQL + """)
+            SELECT doc_id, round(q, 2) AS quality, q >= 0.7 AS keep FROM (
+              SELECT doc_id,
+                     (CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+                      + CASE WHEN avg_token_len <= 12.0 THEN 0.3
+                        ELSE 0.0 END
+                      + CASE WHEN punct_ratio <= 0.2 THEN 0.3
+                        ELSE 0.0 END) AS q
+              FROM s)""",
+        "text_lang_id": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, text,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            sc AS (
+              SELECT doc_id, lang, text,
+                     """ + _hits("de") + """ AS de,
+                     """ + _hits("en") + """ AS en,
+                     """ + _hits("es") + """ AS es,
+                     """ + _hits("fr") + """ AS fr
+              FROM toks),
+            g AS (
+              SELECT doc_id, lang,
+                     CASE WHEN regexp_matches(text, '[一-鿿]')
+                            THEN 'zh'
+                          WHEN fr > greatest(de, en, es) THEN 'fr'
+                          WHEN es > greatest(de, en) THEN 'es'
+                          WHEN en > de THEN 'en'
+                          ELSE 'de' END AS lang_guess
+              FROM sc)
+            SELECT doc_id, lang, lang_guess,
+                   lang = lang_guess AS lang_match FROM g""",
+        "text_fingerprint": "WITH " + _TOKS_CTE + """,
+            idx4 AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t)-3, 1))) AS i
+              FROM toks),
+            fp AS (
+              SELECT doc_id, md5(array_to_string(t[i:i+3], ' ')) AS h
+              FROM idx4)
+            SELECT doc_id,
+                   array_to_string(list_sort(list(DISTINCT h))[1:4], '')
+                     AS fingerprint
+            FROM fp GROUP BY doc_id""",
+        "sim_cosine_topk": "WITH " + _EMB_CTE + """,
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN """ + _SIM_IDS_SQL + """),
+            scored AS (
+              SELECT query_id, vec_id,
+                     round(list_cosine_similarity(qv, v), 6) AS cosine_r
+              FROM e, q WHERE vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine_r,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_r DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank, cosine_r FROM ranked
+            WHERE rank <= 10""",
+        "sim_lsh_topk": "WITH " + _EMB_CTE + """,
+            b AS (SELECT vec_id, v, """ + _sign_bucket_sql("raw", 4) + """
+                    AS bucket FROM e),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+                  FROM b WHERE vec_id IN """ + _SIM_IDS_SQL + """),
+            scored AS (
+              SELECT query_id, b.vec_id,
+                     round(list_cosine_similarity(qv, v), 6) AS cosine_r
+              FROM b JOIN q ON b.bucket = q.qbucket
+              WHERE b.vec_id <> q.query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine_r,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_r DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank, cosine_r FROM ranked
+            WHERE rank <= 10""",
+        "mm_image_meta": """
+            SELECT doc_id,
+                   CAST(16 + (length(text) % 240) AS INT) AS width,
+                   CAST(16 + ((ascii(substr(text, 1, 1)) * 7) % 240)
+                     AS INT) AS height,
+                   CAST((16 + (length(text) % 240))
+                        * (16 + ((ascii(substr(text, 1, 1)) * 7) % 240))
+                     AS BIGINT) AS n_pixels,
+                   'stub/raw' AS format,
+                   CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents""",
+        "mm_frame_sample": """
+            WITH fr AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, length(text) % 4)) AS i
+              FROM documents)
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i AS DOUBLE) / 2.0 AS frame_ts FROM fr""",
+        "kg_keyword_terms": "WITH " + _F_CTE + """
+            SELECT subject AS term, COUNT(DISTINCT url) AS n_docs,
+                   array_to_string(list_sort(list(DISTINCT url)), ',')
+                     AS sources
+            FROM f GROUP BY subject""",
+        "kg_triple_stats": _ALL_TRIPLES_WITH + """
+            SELECT context, COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subjects
+            FROM all_triples GROUP BY context""",
+        "kg_ispartof_closure": "WITH " + _F_CTE + """
+            SELECT doc_uri || '#S' || s AS uri, doc_uri AS ancestor_uri,
+                   1 AS depth FROM secs
+            UNION ALL
+            SELECT doc_uri || '#S' || s || '.1', doc_uri || '#S' || s, 1
+            FROM subs
+            UNION ALL
+            SELECT doc_uri || '#S' || s || '.1', doc_uri, 2 FROM subs""",
+        "kg_citation_counts": "WITH " + _F_CTE + ", " + _MENTION_TRIPLES
+            + """
+            SELECT obj AS target_uri, COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT context) AS n_citing_docs
+            FROM mention_triples GROUP BY obj""",
+        "kg_link_validation": "WITH " + _F_CTE + """,
+            links AS (
+              SELECT url, (CASE WHEN (doc_id + k) % 10 < 3
+                           THEN 'https://hot.example.org/'
+                           ELSE 'https://example.org/' END)
+                     || 'docs/' || source || '/' || (doc_id + k) AS href
+              FROM f, (VALUES (1), (2)) AS offs(k))
+            SELECT l.url, l.href, t.url IS NOT NULL AS target_exists
+            FROM links l
+            LEFT JOIN (SELECT DISTINCT url FROM f) t ON t.url = l.href""",
     }

@@ -1,0 +1,101 @@
+"""Graph-shaped derived tables over the triples DF.
+
+* :func:`ispartof_closure` — the annotations transitive closure (J3:
+  ``?s dcterms:isPartOf* <uri>``, res/sparql/annotations.rq:1-20 +
+  construct_annotations, documentrepository.py:2594-2611).  The part
+  hierarchy is shallow (Section/Subsection/Subsubsection, SURVEY.md J3)
+  so the driver-side loop runs to fixpoint in <= 3 iterations; each
+  round is one shuffle join, lineage cut with localCheckpoint.
+* :func:`citation_counts` — the reverse-reference join of the same
+  annotation query (incoming ``dcterms:references`` per target).
+* :func:`pagerank` — graphanalyze.py:412-495 re-expressed as iterative
+  DataFrame PageRank (the reference shells out to networkx on a single
+  node; here each round is a join + groupBy so it scales with the edge
+  count, and the rank vector localCheckpoints every round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import vocab
+
+
+def ispartof_closure(triples: DataFrame, max_iter: int = 8) -> DataFrame:
+    """(uri, ancestor_uri, depth): every isPartOf ancestor of every
+    part, depth 1 = direct parent.  Fixpoint of closure ∘ edges."""
+    edges = (triples
+             .where(F.col("pred") == vocab.DCTERMS_ISPARTOF)
+             .select(F.col("subj").alias("uri"),
+                     F.col("obj").alias("ancestor_uri"))
+             .withColumn("depth", F.lit(1))
+             .localCheckpoint())
+    closure = edges
+    prev = closure.count()
+    for _ in range(max_iter):
+        step = (closure.alias("c")
+                .join(edges.alias("e"),
+                      F.col("c.ancestor_uri") == F.col("e.uri"))
+                .select(F.col("c.uri").alias("uri"),
+                        F.col("e.ancestor_uri").alias("ancestor_uri"),
+                        (F.col("c.depth") + 1).alias("depth")))
+        closure = (closure.unionByName(step)
+                   .groupBy("uri", "ancestor_uri")
+                   .agg(F.min("depth").alias("depth"))
+                   .localCheckpoint())
+        cur = closure.count()
+        if cur == prev:
+            break
+        prev = cur
+    return closure
+
+
+def citation_counts(triples: DataFrame) -> DataFrame:
+    """Incoming dcterms:references per target URI: (target_uri,
+    n_mentions, n_citing_docs)."""
+    refs = triples.where(F.col("pred") == vocab.DCTERMS_REFERENCES)
+    return (refs.groupBy(F.col("obj").alias("target_uri"))
+            .agg(F.count("*").alias("n_mentions"),
+                 F.countDistinct("context").alias("n_citing_docs")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85, round_to: int = 6) -> DataFrame:
+    """(vertex, pagerank_r) over directed edges (src, dst).  Classic
+    power iteration; dangling mass handled by renormalizing against the
+    vertex count (uniform redistribution).  Deterministic: fixed
+    iteration count, final round() for cross-run float stability."""
+    verts = (edges.select(F.col("src").alias("vertex"))
+             .union(edges.select(F.col("dst").alias("vertex")))
+             .distinct()
+             .localCheckpoint())
+    n = verts.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree is bounded per page; broadcast when the src side of the
+    # contribution join is dimension-sized is wrong at 10^12 edges, so
+    # keep it a shuffle join and let AQE pick the strategy.
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (edges.join(ranks, edges["src"] == ranks["vertex"])
+                    .join(out_deg, "src")
+                    .select(F.col("dst").alias("vertex"),
+                            (F.col("rank") / F.col("deg")).alias("c")))
+        summed = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
+        ranks = (verts.join(summed, "vertex", "left")
+                 .select("vertex",
+                         (F.lit((1 - damping) / n)
+                          + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks.select("vertex", F.round("rank", round_to)
+                        .alias("pagerank_r"))
+
+
+def citation_pagerank(triples: DataFrame, iterations: int = 10) -> DataFrame:
+    """PageRank over the doc->cited-target citation graph (the
+    graphanalyze analytic, at document granularity: context url ->
+    target uri)."""
+    refs = triples.where(F.col("pred") == vocab.DCTERMS_REFERENCES)
+    edges = (refs.select(F.col("context").alias("src"),
+                         F.col("obj").alias("dst")).distinct())
+    return pagerank(edges, iterations=iterations)

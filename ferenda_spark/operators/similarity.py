@@ -59,13 +59,15 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int],
 
 
 def sign_bucket(vec_col, n_bits: int = 8):
-    """Deterministic coarse LSH bucket: sign bits of the first n dims."""
-    return F.aggregate(
-        F.zip_with(F.slice(vec_col, 1, n_bits),
-                   F.sequence(F.lit(0), F.lit(n_bits - 1)),
-                   lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1), i))
-                   .otherwise(F.lit(0)).cast("long")),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    """Deterministic coarse LSH bucket: sign bits of the first n dims.
+    Unrolled fixed-width sum (stays in whole-stage codegen; shiftleft
+    needs a literal shift so a lambda over indices can't express it)."""
+    expr = F.lit(0).cast("long")
+    for i in range(n_bits):
+        expr = expr + (F.when(F.element_at(vec_col, i + 1) > 0,
+                              F.lit(1 << i)).otherwise(F.lit(0))
+                       .cast("long"))
+    return expr
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, query_ids: list[int],
