@@ -1,0 +1,162 @@
+"""Spark-side operator tests: resumable checkpointing (north rule),
+multimodal mapInPandas plumbing, graph fixpoints.
+
+One module-scoped local[4] session keeps the suite fast; the heavy
+oracle comparison lives in scripts/check_correctness.py (driver gate).
+"""
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ferenda_spark_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _pages(spark, rows):
+    ts = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(u, ts, c.encode(), c, "en") for u, c in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def test_run_stage_resumes_without_reprocessing(spark, tmpdir):
+    """Kill-and-rerun semantics (X1/I1): second run with identical
+    inputs selects zero pending rows; a changed page reprocesses."""
+    from ferenda_spark.operators.incremental import (
+        fingerprinted, pending_work, read_entries, run_stage)
+
+    calls = []
+
+    def transform(df):
+        out = df.withColumn("out", F.upper("text"))
+        return out.select("url", "input_fingerprint", "out")
+
+    p1 = _pages(spark, [("u1", "aa"), ("u2", "bb")])
+    run_stage(p1, tmpdir, "parse", transform)
+    entries = read_entries(spark, tmpdir)
+    assert entries.count() == 2
+    assert entries.where("success = 'true'").count() == 2
+
+    # identical rerun: nothing pending
+    todo = pending_work(fingerprinted(p1), entries, "parse")
+    assert todo.count() == 0
+
+    # changed content for u2 + new u3: exactly those two pending
+    p2 = _pages(spark, [("u1", "aa"), ("u2", "CHANGED"), ("u3", "cc")])
+    todo2 = pending_work(fingerprinted(p2), entries, "parse")
+    assert sorted(r.url for r in todo2.select("url").collect()) \
+        == ["u2", "u3"]
+
+    # full rerun appends only the pending outputs
+    out2 = run_stage(p2, tmpdir, "parse", transform)
+    assert out2.count() == 4  # u1,u2(old),u2(new),u3
+    entries2 = read_entries(spark, tmpdir)
+    assert entries2.count() == 4
+
+
+def test_stage_counters_lineage(spark):
+    from ferenda_spark.operators.incremental import stage_counters
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", "boom")], "url string, error string")
+    agg = stage_counters(df).agg(F.sum("rows"), F.sum("errors")).first()
+    assert (agg[0], agg[1]) == (2, 1)
+
+
+def test_multimodal_image_meta_matches_stub(spark):
+    from ferenda_spark.operators.multimodal import (
+        decode_bytes, image_meta, with_blob)
+    docs = spark.createDataFrame([(1, "hello world"), (2, "x")],
+                                 "doc_id long, text string")
+    rows = {r.doc_id: r for r in image_meta(with_blob(docs)).collect()}
+    for doc_id, txt in ((1, "hello world"), (2, "x")):
+        want = decode_bytes(txt.encode())
+        assert rows[doc_id].width == want["width"]
+        assert rows[doc_id].height == want["height"]
+        assert rows[doc_id].n_bytes == len(txt)
+        assert rows[doc_id].n_pixels == want["width"] * want["height"]
+
+
+def test_multimodal_frame_sample_counts(spark):
+    from ferenda_spark.operators.multimodal import sample_frames, with_blob
+    docs = spark.createDataFrame([(1, "abcd"), (2, "abcde")],
+                                 "doc_id long, text string")
+    rows = sample_frames(with_blob(docs), fps=2.0).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 + 4 % 4   # 1 frame
+    assert len(by_doc[2]) == 1 + 5 % 4   # 2 frames
+    f2 = sorted(by_doc[2], key=lambda r: r.frame_idx)
+    assert [r.frame_ts for r in f2] == [0.0, 0.5]
+    assert all(len(r.frame_md5) == 32 for r in rows)
+
+
+def test_connected_components_chain_and_island(spark):
+    from ferenda_spark.operators.canonicalize import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long")
+    got = {r.vertex: r.component
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_ispartof_closure_two_levels(spark):
+    from ferenda_spark.operators.graphs import ispartof_closure
+    from ferenda_spark import vocab
+    t = spark.createDataFrame(
+        [("d#S1", vocab.DCTERMS_ISPARTOF, "d"),
+         ("d#S1.1", vocab.DCTERMS_ISPARTOF, "d#S1")],
+        "subj string, pred string, obj string")
+    got = {(r.uri, r.ancestor_uri): r.depth
+           for r in ispartof_closure(t).collect()}
+    assert got == {("d#S1", "d"): 1, ("d#S1.1", "d#S1"): 1,
+                   ("d#S1.1", "d"): 2}
+
+
+def test_pagerank_sums_to_one(spark):
+    from ferenda_spark.operators.graphs import pagerank
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string")
+    ranks = pagerank(edges, iterations=20).collect()
+    total = sum(r.pagerank_r for r in ranks)
+    assert abs(total - 1.0) < 1e-3
+    by_v = {r.vertex: r.pagerank_r for r in ranks}
+    assert by_v["c"] > by_v["b"]  # c has two in-links
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    """ANN results are a subset of brute-force candidates with the
+    same scores for shared (query, vec) pairs."""
+    from ferenda_spark.operators.similarity import (
+        cosine_topk, lsh_bucketed_topk)
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.query_id, r.vec_id): r.cosine_r
+             for r in cosine_topk(emb, [0, 1], k=40).collect()}
+    approx = lsh_bucketed_topk(emb, [0, 1], k=40, n_bits=2).collect()
+    assert approx  # buckets non-empty
+    for r in approx:
+        assert exact[(r.query_id, r.vec_id)] == r.cosine_r
