@@ -314,6 +314,142 @@ def _q_search_year_range(spark, sf_dir):
             .select("uri", "dcterms_issued", "year"))
 
 
+def _q_versioned_current(spark, sf_dir):
+    """W2/S3: current-vs-archived resolution over a deterministic
+    two-version subset (docs with doc_id%5==0 get a rev 2)."""
+    from ferenda_spark.operators.store import current_versions
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    v1 = d.withColumn("rev", F.lit(1))
+    v2 = (d.where(F.col("doc_id") % 5 == 0).withColumn("rev", F.lit(2)))
+    versions = v1.unionByName(v2).withColumn(
+        "updated", F.col("doc_id") * 10 + F.col("rev"))
+    return current_versions(versions, "doc_id", "updated").select(
+        "doc_id", "rev", "updated", "version_rank", "is_current")
+
+
+def _q_next_archive_version(spark, sf_dir):
+    """W4: next archive version id = count(existing) + 1."""
+    from ferenda_spark.operators.store import next_archive_version
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    versions = d.unionByName(d.where(F.col("doc_id") % 5 == 0))
+    return next_archive_version(versions, "doc_id")
+
+
+def _q_patched_docs(spark, sf_dir):
+    """P7: broadcast patch dimension applied before parse
+    (patch_if_needed semantics)."""
+    from ferenda_spark.operators.store import apply_patches
+    d = _read(spark, sf_dir, "documents")
+    patches = (d.where(F.col("doc_id") % 10 == 0)
+               .select(F.col("doc_id").alias("pk"),
+                       F.lit("the").alias("find"),
+                       F.lit("THE").alias("replace")))
+    out = apply_patches(d.withColumn("pk", F.col("doc_id")), patches,
+                        key_col="pk", text_col="text")
+    return out.select("doc_id", F.md5("text").alias("text_md5"), "patched")
+
+
+def _q_coin_uris(spark, sf_dir):
+    """T7: prioritized COIN templates — revision template binds only
+    when same_as_id is present, else the canonical doc template."""
+    from ferenda_spark.operators.coin import mint_uris, slug
+    d = _docs(spark, sf_dir)
+    base = "https://example.org/"
+    templates = [
+        ("rev", F.col("same_as_id").isNotNull()
+         & F.col("identifier").isNotNull(),
+         F.concat(F.lit(base + "res/rev/"), slug(F.col("identifier")),
+                  F.lit("/"), F.col("same_as_id"))),
+        ("doc", F.col("doc_id").isNotNull(),
+         F.concat(F.lit(base + "res/doc/"), F.col("doc_id"))),
+    ]
+    return (mint_uris(d, templates)
+            .select("url", "minted_uri", "template"))
+
+
+def _q_toc_pages(spark, sf_dir):
+    """A3: per-selector-value item lists ordered by title sortkey."""
+    from ferenda_spark.operators.facets import faceted_data, toc_pages
+    fd = faceted_data(_triples(spark, sf_dir))
+    return toc_pages(fd, facet="year")
+
+
+def _q_news_frontpage(spark, sf_dir):
+    """W3: latest-5 entries per feed (frontpage_content /
+    news_entries islice semantics)."""
+    from pyspark.sql import Window
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("event_type", "rank", "event_id", "ts"))
+
+
+def _q_search_fielded(spark, sf_dir):
+    """Q2 equality + Q3 wildcard filters through the query compiler."""
+    from ferenda_spark.operators.facets import faceted_data
+    from ferenda_spark.operators.search import compile_query
+    fd = faceted_data(_triples(spark, sf_dir))
+    return (compile_query(fd, filters={"dcterms_subject": "topic3"},
+                          wildcard={"dcterms_identifier": "src1-*"},
+                          boosts={}, page=0, page_size=2000,
+                          id_col="uri", text_fields=())
+            .select("uri", "dcterms_subject", "dcterms_identifier"))
+
+
+def _q_search_snippets(spark, sf_dir):
+    """Q9: substring snippet around the first match."""
+    d = _read(spark, sf_dir, "documents")
+    pos = F.locate("merge", F.lower(F.col("text")))
+    return (d.where(pos > 0)
+            .select("doc_id",
+                    F.substring(F.col("text"),
+                                F.greatest(pos - 20, F.lit(1)), 60)
+                    .alias("snippet")))
+
+
+def _q_sql_select(spark, sf_dir):
+    """Q12: SPARQL-select passthrough = Spark SQL over the triples
+    view (devel.py:618-682 -> triplestore.select)."""
+    _triples(spark, sf_dir).createOrReplaceTempView("kg_triples")
+    return spark.sql("""
+        SELECT subj, obj FROM kg_triples
+        WHERE pred = 'http://purl.org/dc/terms/references'""")
+
+
+def _q_fuzzy_entity_links(spark, sf_dir):
+    """T9/J6 fuzzy path: deterministically typo'd mention labels ->
+    best char-3-gram-Jaccard resource match (oracle-checked; the
+    candidate-then-rescore shape of lookup_resource's difflib fallback,
+    documentrepository.py:499-513)."""
+    from ferenda_spark.operators.linking import (build_resources,
+                                                 gram_jaccard_links)
+    docs = _read(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_id"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("Enttity "), F.col("doc_id") % 50))
+        .otherwise(F.concat(F.lit("Entity "), F.col("doc_id") % 50))
+        .alias("mention_label"))
+    return gram_jaccard_links(mentions, build_resources(spark),
+                              threshold=0.5)
+
+
+def _q_fuzzy_links_lsh(spark, sf_dir):
+    """Stock pyspark.ml MinHashLSH approxSimilarityJoin path (J6).
+    Probabilistic candidate generation -> rows-only driver check."""
+    from pyspark.sql import Window
+    from ferenda_spark.operators.linking import build_resources, fuzzy_links
+    docs = _docs(spark, sf_dir).select("url", "doc_uri", "entity_label")
+    pairs = fuzzy_links(docs, build_resources(spark), threshold=0.5)
+    w = Window.partitionBy("url").orderBy(F.col("jaccard").desc(),
+                                          F.col("entity_uri"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("url", "label", "entity_uri", "method"))
+
+
 def _q_link_validation(spark, sf_dir):
     """J8: map every outgoing link to its target page; flag dangling
     links (get_url_transform_func, documentrepository.py:2474-2564)."""
@@ -367,6 +503,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_citation_counts": _q_citation_counts,
         "kg_pagerank": _q_pagerank,
         "kg_link_validation": _q_link_validation,
+        "kg_fuzzy_entity_links": _q_fuzzy_entity_links,
+        "kg_fuzzy_links_lsh": _q_fuzzy_links_lsh,
+        "versioned_current": _q_versioned_current,
+        "next_archive_version": _q_next_archive_version,
+        "patched_docs": _q_patched_docs,
+        "kg_coin_uris": _q_coin_uris,
+        "kg_toc_pages": _q_toc_pages,
+        "news_frontpage": _q_news_frontpage,
+        "search_fielded": _q_search_fielded,
+        "search_snippets": _q_search_snippets,
+        "kg_sql_select": _q_sql_select,
     }
 
 
@@ -869,4 +1016,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.url, l.href, t.url IS NOT NULL AS target_exists
             FROM links l
             LEFT JOIN (SELECT DISTINCT url FROM f) t ON t.url = l.href""",
+        "kg_fuzzy_entity_links": """
+            WITH res AS (
+              SELECT 'https://example.org/res/entity/' || g AS entity_uri,
+                     'Entity ' || g AS rlabel
+              FROM generate_series(0, 49) t(g)
+              UNION ALL
+              SELECT 'https://example.org/res/org/pub' || g,
+                     'Publisher ' || g
+              FROM generate_series(0, 6) t(g)),
+            men AS (
+              SELECT doc_id AS mention_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'Enttity ' || (doc_id % 50)
+                          ELSE 'Entity ' || (doc_id % 50) END AS label
+              FROM documents),
+            mgr AS (
+              SELECT mention_id, label,
+                     list_distinct(list_transform(
+                       generate_series(1,
+                         greatest(length(lower(label)) - 2, 1)),
+                       i -> substr(lower(label), i, 3))) AS grams
+              FROM men),
+            rg AS (
+              SELECT entity_uri,
+                     list_distinct(list_transform(
+                       generate_series(1,
+                         greatest(length(lower(rlabel)) - 2, 1)),
+                       i -> substr(lower(rlabel), i, 3))) AS grams
+              FROM res),
+            scored AS (
+              SELECT m.mention_id, m.label, r.entity_uri,
+                     CAST(len(list_intersect(m.grams, r.grams)) AS DOUBLE)
+                       / (len(m.grams) + len(r.grams)
+                          - len(list_intersect(m.grams, r.grams)))
+                       AS jaccard
+              FROM mgr m, rg r
+              WHERE len(list_intersect(m.grams, r.grams)) > 0),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+                ORDER BY jaccard DESC, entity_uri) AS rk
+              FROM scored WHERE jaccard >= 0.5)
+            SELECT mention_id, label, entity_uri, jaccard,
+                   'fuzzy' AS method
+            FROM ranked WHERE rk = 1""",
+        "versioned_current": """
+            WITH v AS (
+              SELECT doc_id, 1 AS rev FROM documents
+              UNION ALL
+              SELECT doc_id, 2 FROM documents WHERE doc_id % 5 = 0),
+            u AS (SELECT doc_id, rev, doc_id*10 + rev AS updated FROM v)
+            SELECT doc_id, rev, updated,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY updated DESC) AS version_rank,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY updated DESC) = 1 AS is_current
+            FROM u""",
+        "next_archive_version": """
+            WITH v AS (
+              SELECT doc_id FROM documents
+              UNION ALL
+              SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+            SELECT doc_id, COUNT(*) AS n_versions,
+                   COUNT(*) + 1 AS next_version
+            FROM v GROUP BY doc_id""",
+        "patched_docs": """
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 10 = 0
+                       THEN replace(text, 'the', 'THE')
+                       ELSE text END) AS text_md5,
+                   doc_id % 10 = 0 AS patched
+            FROM documents""",
+        "kg_coin_uris": "WITH " + _F_CTE + """
+            SELECT url,
+                   CASE WHEN sameas_uri IS NOT NULL
+                        THEN 'https://example.org/res/rev/'
+                             || regexp_replace(lower(trim(identifier)),
+                                '[^a-z0-9]+', '-', 'g')
+                             || '/' || (doc_id - 1)
+                        ELSE 'https://example.org/res/doc/' || doc_id
+                   END AS minted_uri,
+                   CASE WHEN sameas_uri IS NOT NULL THEN 'rev'
+                        ELSE 'doc' END AS template
+            FROM f""",
+        "kg_toc_pages": _FACETED_WITH + """
+            SELECT value, uri, dcterms_title, sortkey,
+                   ROW_NUMBER() OVER (PARTITION BY value
+                     ORDER BY sortkey, uri) AS pos
+            FROM (
+              SELECT CAST(year AS VARCHAR) AS value, uri, dcterms_title,
+                     regexp_replace(regexp_replace(
+                       lower(trim(dcterms_title)), '^the ', ''),
+                       '[^a-z0-9]', '', 'g') AS sortkey
+              FROM faceted WHERE year IS NOT NULL)""",
+        "news_frontpage": """
+            SELECT event_type, rank, event_id, ts FROM (
+              SELECT event_type, event_id, ts,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rank
+              FROM events)
+            WHERE rank <= 5""",
+        "search_fielded": _FACETED_WITH + """
+            SELECT uri, dcterms_subject, dcterms_identifier FROM faceted
+            WHERE dcterms_subject = 'topic3'
+              AND regexp_matches(dcterms_identifier, '^src1-.*$')""",
+        "search_snippets": """
+            SELECT doc_id,
+                   substr(text,
+                          greatest(strpos(lower(text), 'merge') - 20, 1),
+                          60) AS snippet
+            FROM documents
+            WHERE strpos(lower(text), 'merge') > 0""",
+        "kg_sql_select": "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """
+            SELECT subj, obj FROM mention_triples""",
     }

@@ -206,4 +206,12 @@ def pages_from_documents(documents_df):
 
 def load_pages(spark, sf_dir: str):
     docs = spark.read.parquet(sf_dir.rstrip("/") + "/documents.parquet")
+    # The sandbox parquet is a single row-group, so the scan yields ~1
+    # split and the (CPU-heavy) parse stage would run on one core no
+    # matter the cluster size.  Spread it across the executors first.
+    # At production scale the Iceberg layout provides real splits and
+    # this branch is a no-op (input partitions >= parallelism).
+    target = docs.sparkSession.sparkContext.defaultParallelism * 2
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return pages_from_documents(docs)

@@ -39,16 +39,21 @@ def tokens(col):
     return F.split(F.lower(F.trim(col)), TOKEN_SPLIT)
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word-n-gram shingles."""
+def shingle_array(n: int = 3):
+    """Distinct word-n-gram shingle array of `text` (map-side column
+    expression; empty shingles filtered)."""
     toks = tokens(F.col("text"))
     sh = F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    return (documents
-            .select("doc_id", F.explode(sh).alias("shingle"))
-            .where(F.length("shingle") > 0)
-            .distinct())
+    return F.filter(sh, lambda s: F.length(s) > 0)
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word-n-gram shingles.  Already
+    distinct per doc via array_distinct — no shuffle needed."""
+    return documents.select(
+        "doc_id", F.explode(shingle_array(n)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
@@ -86,35 +91,67 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+def _minhash_col(sh, seed: int):
+    """min over the shingle array of md5(seed || ':' || shingle) —
+    pure map-side, no explode/shuffle."""
+    return F.array_min(F.transform(
+        sh, lambda s: F.md5(F.concat(F.lit(str(seed)), F.lit(":"), s))))
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3,
                        num_hashes: int = 8) -> DataFrame:
     """(doc_id, seed, minhash): minhash_i = min(md5(i || ':' || shingle)).
-    md5-seeded so the oracle reproduces it exactly in SQL."""
-    sh = shingles(documents, n)
-    seeded = sh.crossJoin(
-        F.broadcast(sh.sparkSession.range(num_hashes)
-                    .select(F.col("id").cast("int").alias("seed"))))
-    return (seeded
-            .select("doc_id", "seed",
-                    F.md5(F.concat(F.col("seed"), F.lit(":"),
-                                   F.col("shingle"))).alias("h"))
-            .groupBy("doc_id", "seed")
-            .agg(F.min("h").alias("minhash")))
+    md5-seeded so the oracle reproduces it exactly in SQL.
+
+    Computed as `num_hashes` array_min expressions over the in-row
+    shingle array, then unpivoted — the whole signature is one narrow
+    map-side pass (the naive shingle-explode x seed-crossJoin plan
+    shuffles num_hashes x total-shingle rows; this shuffles nothing)."""
+    sh = F.col("_sh")
+    wide = (documents
+            .withColumn("_sh", shingle_array(n))
+            .select("doc_id", *[_minhash_col(sh, i).alias("mh%d" % i)
+                                for i in range(num_hashes)]))
+    pairs = F.array(*[
+        F.struct(F.lit(i).alias("seed"), F.col("mh%d" % i).alias("minhash"))
+        for i in range(num_hashes)])
+    return (wide.select("doc_id", F.explode(pairs).alias("sm"))
+            .select("doc_id", "sm.seed", "sm.minhash")
+            .where(F.col("minhash").isNotNull()))
 
 
 def minhash_band_pairs(documents: DataFrame, n: int = 3,
                        num_hashes: int = 8, band_size: int = 2) -> DataFrame:
     """LSH banding: bucket = md5(concat of the band's minhashes);
-    candidate pairs = docs sharing any (band, bucket).  The shuffle key
-    is (band, bucket) — hot buckets are real duplicates, which is the
-    point."""
-    sig = minhash_signatures(documents, n, num_hashes)
-    banded = (sig
-              .withColumn("band", (F.col("seed") / band_size).cast("int"))
-              .groupBy("doc_id", "band")
-              .agg(F.md5(F.concat_ws("|", F.array_sort(
-                  F.collect_list(F.concat_ws(":", "seed", "minhash")))))
-                  .alias("bucket")))
+    candidate pairs = docs sharing any (band, bucket).
+
+    Signature AND band buckets are map-side column expressions; the
+    only shuffle is the candidate self-join on (band, bucket) — whose
+    key cardinality is docs x num_bands, not shingles.  Hot buckets are
+    real duplicate clusters, which is the point."""
+    sh = F.col("_sh")
+    # stage 1: materialize the signature columns once (each minhash is
+    # one md5 pass over the shingle array; reusing named columns keeps
+    # Catalyst from inlining the transform into every band expression)
+    wide = (documents
+            .withColumn("_sh", shingle_array(n))
+            .where(F.size("_sh") > 0)
+            .select("doc_id", *[_minhash_col(sh, i).alias("mh%d" % i)
+                                for i in range(num_hashes)]))
+    banded_cols = []
+    for band_start in range(0, num_hashes, band_size):
+        band = band_start // band_size
+        parts = F.array_sort(F.array(*[
+            F.concat(F.lit("%d:" % i), F.col("mh%d" % i))
+            for i in range(band_start,
+                           min(band_start + band_size, num_hashes))]))
+        banded_cols.append(F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("|", parts)).alias("bucket")))
+    banded = (wide
+              .select("doc_id",
+                      F.explode(F.array(*banded_cols)).alias("bb"))
+              .select("doc_id", "bb.band", "bb.bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

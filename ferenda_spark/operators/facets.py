@@ -66,18 +66,20 @@ def toc_pagesets(faceted: DataFrame, facets=None) -> DataFrame:
         "firstletter": F.substring(_title_sortkey_col(F.col("dcterms_title")), 1, 1),
         "publisher": F.col("dcterms_publisher"),
     }
-    parts = []
-    for f in facets:
-        parts.append(faceted
-                     .select(F.lit(f).alias("facet"),
-                             sels[f].alias("value"))
-                     .where(F.col("value").isNotNull())
-                     .groupBy("facet", "value")
-                     .agg(F.count("*").alias("n_docs")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("facet", "value")
+    # melt all facets in ONE pass (explode of (facet, value) structs)
+    # instead of a union of per-facet scans: the upstream pivot is
+    # expensive, and a union would recompute it once per facet.  One
+    # scan + one shuffle regardless of facet count.
+    pairs = F.array(*[
+        F.struct(F.lit(f).alias("facet"), sels[f].alias("value"))
+        for f in facets])
+    return (faceted
+            .select(F.explode(pairs).alias("fv"))
+            .select("fv.facet", "fv.value")
+            .where(F.col("value").isNotNull())
+            .groupBy("facet", "value")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("facet", "value"))
 
 
 def _title_sortkey_col(c):
@@ -119,19 +121,20 @@ def api_stats(faceted: DataFrame, dimensions=None) -> DataFrame:
     """A5 (wsgiapp.py:310-464): per dimension, count of distinct
     (uri, observation) pairs per observed value."""
     dimensions = dimensions or ["rdf_type", "dcterms_publisher", "year"]
-    parts = []
-    for d in dimensions:
-        parts.append(faceted
-                     .select(F.lit(d).alias("dimension"),
-                             F.col(d).cast("string").alias("value"), "uri")
-                     .where(F.col("value").isNotNull())
-                     .distinct()
-                     .groupBy("dimension", "value")
-                     .agg(F.count("*").alias("values_count")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("dimension", "value")
+    # same single-pass melt as toc_pagesets: one scan of the faceted
+    # table, one distinct+agg shuffle for all dimensions together
+    pairs = F.array(*[
+        F.struct(F.lit(d).alias("dimension"),
+                 F.col(d).cast("string").alias("value"))
+        for d in dimensions])
+    return (faceted
+            .select("uri", F.explode(pairs).alias("dv"))
+            .select("dv.dimension", "dv.value", "uri")
+            .where(F.col("value").isNotNull())
+            .distinct()
+            .groupBy("dimension", "value")
+            .agg(F.count("*").alias("values_count"))
+            .orderBy("dimension", "value"))
 
 
 def year_histogram(df: DataFrame, date_col: str) -> DataFrame:

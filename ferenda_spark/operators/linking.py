@@ -74,6 +74,48 @@ def _char_ngrams(col, n=3):
         lambda i: lowered.substr(i, F.lit(n))))
 
 
+def gram_jaccard_links(mentions: DataFrame, resources: DataFrame,
+                       threshold: float = 0.5,
+                       label_col: str = "mention_label") -> DataFrame:
+    """Deterministic fuzzy linking: char-3-gram Jaccard against the
+    (broadcast-sized) resource dictionary, best match per mention.
+
+    Same candidate-then-rescore shape as the LSH path but fully
+    SQL-reproducible so the DuckDB oracle can verify it exactly: the
+    gram join IS the candidate generation (a mention only meets
+    resources sharing >=1 gram — never the full cross product), and the
+    grouped count is the exact rescore.  The resource side is broadcast
+    (dictionary-sized); skew from hot labels collapses into the
+    per-mention groupBy."""
+    m = (mentions
+         .where(F.col(label_col).isNotNull())
+         .withColumn("m_grams", _char_ngrams(F.col(label_col)))
+         .withColumn("m_size", F.size("m_grams")))
+    r = (resources
+         .withColumn("r_grams", _char_ngrams(F.col("label")))
+         .withColumn("r_size", F.size("r_grams"))
+         .select(F.col("uri").alias("entity_uri"), "r_grams", "r_size",
+                 F.explode("r_grams").alias("gram")))
+    common = (m.select("mention_id", label_col, "m_size",
+                       F.explode("m_grams").alias("gram"))
+              .join(F.broadcast(r), "gram")
+              .groupBy("mention_id", label_col, "m_size",
+                       "entity_uri", "r_size")
+              .agg(F.count("*").alias("n_common")))
+    scored = common.withColumn(
+        "jaccard", F.col("n_common").cast("double")
+        / (F.col("m_size") + F.col("r_size") - F.col("n_common")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("jaccard").desc(), F.col("entity_uri"))
+    return (scored.where(F.col("jaccard") >= threshold)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("mention_id", F.col(label_col).alias("label"),
+                    "entity_uri", "jaccard",
+                    F.lit("fuzzy").alias("method")))
+
+
 def fuzzy_links(mentions: DataFrame, resources: DataFrame,
                 threshold: float = 0.5) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard rescore for

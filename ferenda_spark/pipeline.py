@@ -32,7 +32,12 @@ def canonical_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline analytic: full KG construction then the faceted
-    pivot (documents per publisher/year — ferenda's faceted_data)."""
-    docs = parsed_docs(spark, sf_dir)
+    pivot (documents per publisher/year — ferenda's faceted_data).
+
+    The parse stage is materialized once before the triples fan-out
+    (doc/section/mention/entity branches would otherwise each re-run
+    the Python parse); the cluster analogue is each stage writing to
+    and reading back an Iceberg table."""
+    docs = parsed_docs(spark, sf_dir).localCheckpoint()
     triples = corpus_triples(spark, docs)
     return faceted_data(triples)
