@@ -462,6 +462,96 @@ def _q_link_validation(spark, sf_dir):
                     F.col("target_url").isNotNull().alias("target_exists")))
 
 
+def _q_search_boosted(spark, sf_dir):
+    """Q8 boost scoring: per-field boosts (facet.py:449-470 — title 4,
+    identifier 16) summed into a score over free-text term matches."""
+    from ferenda_spark.operators.facets import faceted_data
+    from ferenda_spark.operators.search import compile_query
+    fd = faceted_data(_triples(spark, sf_dir))
+    return (compile_query(fd, q="7",
+                          boosts={"dcterms_title": 4.0,
+                                  "dcterms_identifier": 16.0},
+                          page=0, page_size=5000, id_col="uri",
+                          text_fields=("dcterms_title",
+                                       "dcterms_identifier"))
+            .select("uri", "dcterms_title", "dcterms_identifier",
+                    "score"))
+
+
+def _q_search_paginated(spark, sf_dir):
+    """Q7 pagination: 0-based _page/_pageSize over the deterministic
+    (score desc, uri asc) order (wsgiapp.py:654-665)."""
+    from ferenda_spark.operators.facets import faceted_data
+    from ferenda_spark.operators.search import compile_query
+    fd = faceted_data(_triples(spark, sf_dir))
+    return (compile_query(fd, page=2, page_size=10, id_col="uri",
+                          text_fields=())
+            .select("uri", "dcterms_identifier", "score"))
+
+
+def _q_resource_validation(spark, sf_dir):
+    """T3 sub-resource validation (render_xhtml_validate,
+    documentrepository.py:1609-1625): per-doc resource count,
+    duplicate-@about count, max_resources flag."""
+    from ferenda_spark.operators.quality import resource_validation
+    return resource_validation(_triples(spark, sf_dir), max_resources=5)
+
+
+def _q_repo_status(spark, sf_dir):
+    """A7 repo status/frontpage counters per document kind."""
+    from ferenda_spark.operators.quality import repo_status
+    return repo_status(_docs(spark, sf_dir))
+
+
+def _q_deps_edges(spark, sf_dir):
+    """J2 dependency resolution: external object URIs matched against
+    the repo URI-pattern dimension (relate_dependencies semantics:
+    skip rdf:type/owl:sameAs, skip intra-doc subjects)."""
+    from ferenda_spark.operators.graphs import deps_edges
+    patterns = spark.createDataFrame(
+        [("https://example.org/res/rfc/", "rfc"),
+         ("https://example.org/res/entity/", "entity"),
+         ("https://example.org/res/org/", "org"),
+         ("https://example.org/res/doc/", "doc")],
+        "prefix string, repo string")
+    return deps_edges(_triples(spark, sf_dir), patterns)
+
+
+def _q_incremental_pending(spark, sf_dir):
+    """O7/I1/S2 resumable-work selection: fingerprint anti-join against
+    a simulated entries checkpoint — docs never processed (id%5==2) or
+    whose recorded fingerprint is stale (id%13==3) come back as
+    pending; everything else is skipped."""
+    from ferenda_spark.corpus import load_pages
+    from ferenda_spark.operators.incremental import (fingerprinted,
+                                                     pending_work)
+    pages = fingerprinted(load_pages(spark, sf_dir))
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    entries = (pages.where(doc_id % 5 != 2)
+               .select("url",
+                       F.when(doc_id % 13 == 3, F.lit("stale"))
+                       .otherwise(F.col("input_fingerprint"))
+                       .alias("input_fingerprint"),
+                       F.lit("parse").alias("stage"),
+                       F.lit("true").alias("success")))
+    return (pending_work(pages, entries, "parse")
+            .select("url", doc_id.alias("doc_id")))
+
+
+def _q_stats_cube(spark, sf_dir):
+    """A5 grouping-sets variant: one cube() pass over (publisher,
+    year) instead of one scan per dimension."""
+    from ferenda_spark.operators.facets import faceted_data, stats_cube
+    return stats_cube(faceted_data(_triples(spark, sf_dir)))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, sign-bucket blocked."""
+    from ferenda_spark.operators.similarity import embedding_near_dupes
+    return embedding_near_dupes(_read(spark, sf_dir, "embeddings"),
+                                threshold=0.35, n_bits=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -514,6 +604,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fielded": _q_search_fielded,
         "search_snippets": _q_search_snippets,
         "kg_sql_select": _q_sql_select,
+        "search_boosted": _q_search_boosted,
+        "search_paginated": _q_search_paginated,
+        "kg_resource_validation": _q_resource_validation,
+        "kg_repo_status": _q_repo_status,
+        "kg_deps_edges": _q_deps_edges,
+        "incremental_pending": _q_incremental_pending,
+        "kg_stats_cube": _q_stats_cube,
+        "dedup_embedding": _q_dedup_embedding,
     }
 
 
@@ -1129,4 +1227,70 @@ def oracle_sql() -> dict[str, str]:
             WHERE strpos(lower(text), 'merge') > 0""",
         "kg_sql_select": "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """
             SELECT subj, obj FROM mention_triples""",
+        "search_boosted": _FACETED_WITH + """
+            SELECT uri, dcterms_title, dcterms_identifier,
+                   (CASE WHEN lower(dcterms_title) LIKE '%7%'
+                         THEN 4.0 ELSE 0.0 END
+                    + CASE WHEN lower(dcterms_identifier) LIKE '%7%'
+                           THEN 16.0 ELSE 0.0 END) AS score
+            FROM faceted
+            WHERE lower(dcterms_title) LIKE '%7%'
+               OR lower(dcterms_identifier) LIKE '%7%'""",
+        "search_paginated": _FACETED_WITH + """
+            SELECT uri, dcterms_identifier, 0.0 AS score
+            FROM faceted ORDER BY uri OFFSET 20 LIMIT 10""",
+        "kg_resource_validation": "WITH " + _F_CTE + """,
+            nsub AS (
+              SELECT f.doc_id, f.url, f.n_sections,
+                     (SELECT COUNT(*) FROM subs
+                      WHERE subs.doc_id = f.doc_id) AS n_subs
+              FROM f)
+            SELECT url AS context,
+                   CAST(1 + n_sections + n_subs AS BIGINT) AS n_resources,
+                   CAST(0 AS BIGINT) AS n_duplicate_abouts,
+                   (1 + n_sections + n_subs) > 5 AS over_limit
+            FROM nsub""",
+        "kg_repo_status": "WITH " + _F_CTE + """,
+            nsub AS (
+              SELECT f.doc_id, f.n_sections,
+                     CASE WHEN doc_id % 5 = 4 THEN 'rfc' ELSE 'html' END
+                       AS kind,
+                     (SELECT COUNT(*) FROM subs
+                      WHERE subs.doc_id = f.doc_id) AS n_subs
+              FROM f)
+            SELECT kind, COUNT(*) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_errors,
+                   CAST(SUM(n_sections + n_subs) AS BIGINT) AS n_parts,
+                   CAST(2 * COUNT(*) AS BIGINT) AS n_links
+            FROM nsub GROUP BY kind""",
+        "kg_deps_edges": "WITH " + _F_CTE + """
+            SELECT url AS context, 'rfc' AS repo,
+                   'https://example.org/res/rfc/'
+                   || (100 + (doc_id * 7 + s) % 900) AS target_uri
+            FROM secs
+            UNION
+            SELECT url, 'rfc',
+                   'https://example.org/res/rfc/'
+                   || (100 + (doc_id * 11 + s) % 900) || '#S' || s
+            FROM subs
+            UNION SELECT url, 'entity', entity_uri FROM f
+            UNION SELECT url, 'org', publisher_uri FROM f""",
+        "incremental_pending": "WITH " + _F_CTE + """
+            SELECT url, CAST(doc_id AS BIGINT) AS doc_id FROM f
+            WHERE doc_id % 5 = 2 OR doc_id % 13 = 3""",
+        "kg_stats_cube": _FACETED_WITH + """,
+            p AS (SELECT dcterms_publisher,
+                         CAST(year AS VARCHAR) AS year, uri
+                  FROM faceted)
+            SELECT dcterms_publisher, year, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT uri) AS n_distinct_docs
+            FROM p GROUP BY CUBE (dcterms_publisher, year)""",
+        "dedup_embedding": "WITH " + _EMB_CTE + """,
+            b AS (SELECT vec_id, v, """ + _sign_bucket_sql("raw", 4) + """
+                    AS bucket FROM e)
+            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b2.v), 6) AS cosine_r
+            FROM b a JOIN b b2
+              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.35""",
     }

@@ -142,3 +142,15 @@ def year_histogram(df: DataFrame, date_col: str) -> DataFrame:
     return (df.select(F.year(date_col).alias("year"))
             .groupBy("year").agg(F.count("*").alias("n"))
             .orderBy("year"))
+
+
+def stats_cube(faceted: DataFrame,
+               dims: tuple = ("dcterms_publisher", "year")) -> DataFrame:
+    """A5 grouping-sets variant (SURVEY.md §2.5 note): the per-dimension
+    stats of wsgiapp.stats expressed as one ``cube()`` — every
+    dimension combination incl. grand total in a single pass/shuffle
+    (map-side partial aggregation), instead of one scan per dimension."""
+    return (faceted
+            .cube(*[F.col(d).cast("string").alias(d) for d in dims])
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("uri").alias("n_distinct_docs")))

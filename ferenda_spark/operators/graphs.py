@@ -50,6 +50,36 @@ def ispartof_closure(triples: DataFrame, max_iter: int = 8) -> DataFrame:
     return closure
 
 
+def deps_edges(triples: DataFrame, uri_patterns: DataFrame) -> DataFrame:
+    """J2 dependency resolution (relate_dependencies,
+    documentrepository.py:1945-1982): for every object URI in a
+    document's graph, find which repo it belongs to.
+
+    Reference semantics replicated exactly: skip ``rdf:type`` and
+    ``owl:sameAs`` predicates, skip objects that are subjects within
+    the same document's graph (intra-doc resources), match the rest
+    against the repo URI-pattern dimension.  Spark shape: anti-join for
+    the intra-doc skip, then a **broadcast** prefix-join against the
+    small patterns dim (the reference's nested loop with MRU
+    reordering, X5, collapses into this).
+
+    uri_patterns: (prefix:string, repo:string).  Returns distinct
+    (context, repo, target_uri) edges.
+    """
+    objs = (triples
+            .where(~F.col("pred").isin(vocab.RDF_TYPE, vocab.OWL_SAMEAS))
+            .select("context", F.col("obj").alias("target_uri")))
+    own_subjects = (triples
+                    .select("context", F.col("subj").alias("target_uri"))
+                    .distinct())
+    external = objs.join(own_subjects, ["context", "target_uri"],
+                         "left_anti")
+    matched = external.join(
+        F.broadcast(uri_patterns),
+        F.col("target_uri").startswith(F.col("prefix")))
+    return matched.select("context", "repo", "target_uri").distinct()
+
+
 def citation_counts(triples: DataFrame) -> DataFrame:
     """Incoming dcterms:references per target URI: (target_uri,
     n_mentions, n_citing_docs)."""

@@ -1,0 +1,47 @@
+"""Data-quality / status operators.
+
+* ``resource_validation`` — the reference's sub-resource checks
+  (render_xhtml_validate, documentrepository.py:1609-1625; SURVEY.md
+  T3): no duplicate ``@about`` per document, at most ``max_resources``
+  URI-addressable sub-resources per document.  Spark restatement: one
+  aggregation over the triples table, grouped by document context —
+  a single shuffle on the context key, no Python.
+
+* ``repo_status`` — get_status / frontpage counts
+  (documentrepository.py:3549-3626, rfc.py:699-719; SURVEY.md A7):
+  per-repo-kind document/error/part counts over the parsed stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import vocab
+
+
+def resource_validation(triples: DataFrame,
+                        max_resources: int = 1000) -> DataFrame:
+    """Per document context: number of distinct sub-resources, number
+    of duplicated ``@about`` subjects (same subject typed more than
+    once — render_xhtml_validate's first check), and whether the doc
+    exceeds ``max_resources`` (decorators.py:299-303)."""
+    typed = triples.where(F.col("pred") == vocab.RDF_TYPE)
+    per_subj = (typed.groupBy("context", "subj")
+                .agg(F.count("*").alias("n_typed")))
+    return (per_subj.groupBy("context")
+            .agg(F.count("*").alias("n_resources"),
+                 F.sum(F.when(F.col("n_typed") > 1, 1).otherwise(0))
+                 .alias("n_duplicate_abouts"))
+            .withColumn("over_limit",
+                        F.col("n_resources") > F.lit(max_resources)))
+
+
+def repo_status(parsed: DataFrame) -> DataFrame:
+    """Per document kind (the repo analogue): doc / error / part /
+    link counts — the frontpage + get_status counters."""
+    return (parsed.groupBy("kind")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+                 .alias("n_errors"),
+                 F.sum(F.size("sections")).alias("n_parts"),
+                 F.sum(F.size("links")).alias("n_links")))

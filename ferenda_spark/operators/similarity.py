@@ -91,3 +91,30 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_ids: list[int],
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "cosine_r"))
+
+
+def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.9,
+                         n_bits: int = 8, round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (training-data dedup,
+    driver mandate): candidates blocked by the deterministic sign
+    bucket, exact cosine rescore, pairs above ``threshold``.
+
+    Scale shape: the self-join shuffles on the bucket key only —
+    each bucket's candidate set is a tiny fraction of the corpus
+    (2^n_bits buckets), so the quadratic blowup of an unblocked
+    self-join never materializes; skewed buckets are split by AQE.
+    Returns (vec_a, vec_b, cosine_r) with vec_a < vec_b.
+    """
+    e = embeddings.select(
+        "vec_id", "embedding",
+        sign_bucket(F.col("embedding"), n_bits).alias("bucket"))
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("vec_a_emb"), "bucket")
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("vec_b_emb"), "bucket")
+    pairs = (a.join(b, "bucket")
+             .where(F.col("vec_a") < F.col("vec_b")))
+    scored = (with_cosine(pairs, "vec_a_emb", "vec_b_emb")
+              .withColumn("cosine_r", F.round("cosine", round_to)))
+    return (scored.where(F.col("cosine_r") >= threshold)
+            .select("vec_a", "vec_b", "cosine_r"))

@@ -160,3 +160,53 @@ def test_lsh_topk_subset_of_exact(spark):
     assert approx  # buckets non-empty
     for r in approx:
         assert exact[(r.query_id, r.vec_id)] == r.cosine_r
+
+
+def test_deps_edges_skips_type_sameas_and_intradoc(spark):
+    """J2 relate_dependencies semantics: rdf:type and owl:sameAs
+    objects never become dependencies; neither do URIs that are
+    subjects within the same document's graph."""
+    from ferenda_spark import vocab
+    from ferenda_spark.operators.graphs import deps_edges
+    t = spark.createDataFrame(
+        [("d1#S1", vocab.DCTERMS_ISPARTOF, "d1", "u1"),      # intra-doc
+         ("d1", vocab.RDF_TYPE, "ext/doc/9", "u1"),          # type: skip
+         ("d1", vocab.OWL_SAMEAS, "ext/doc/8", "u1"),        # sameAs: skip
+         ("d1", vocab.DCTERMS_REFERENCES, "ext/rfc/5", "u1"),
+         ("d1#S1", vocab.RDF_TYPE, "x", "u1"),
+         ("d2", vocab.DCTERMS_REFERENCES, "ext/rfc/5", "u2")],
+        "subj string, pred string, obj string, context string")
+    pats = spark.createDataFrame([("ext/rfc/", "rfc"), ("ext/doc/", "doc")],
+                                 "prefix string, repo string")
+    got = {(r.context, r.repo, r.target_uri)
+           for r in deps_edges(t, pats).collect()}
+    assert got == {("u1", "rfc", "ext/rfc/5"), ("u2", "rfc", "ext/rfc/5")}
+
+
+def test_resource_validation_flags_dupes_and_limit(spark):
+    from ferenda_spark import vocab
+    from ferenda_spark.operators.quality import resource_validation
+    rows = [("d1", vocab.RDF_TYPE, "T", "u1"),
+            ("d1", vocab.RDF_TYPE, "T2", "u1"),          # duplicate @about
+            ("d1#S1", vocab.RDF_TYPE, "T", "u1"),
+            ("d2", vocab.RDF_TYPE, "T", "u2"),
+            ("d2", vocab.DCTERMS_TITLE, "t", "u2")]      # non-type ignored
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, context string")
+    got = {r.context: (r.n_resources, r.n_duplicate_abouts, r.over_limit)
+           for r in resource_validation(t, max_resources=1).collect()}
+    assert got == {"u1": (2, 1, True), "u2": (1, 0, False)}
+
+
+def test_embedding_near_dupes_blocked_pairs(spark):
+    """Near-identical vectors land in the same sign bucket and pair up;
+    orthogonal ones don't cross the threshold."""
+    from ferenda_spark.operators.similarity import embedding_near_dupes
+    e = spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 1.0]),
+         (2, [1.0, 1.0, 1.0, 0.9]),       # near-dup of 1
+         (3, [1.0, -1.0, 1.0, -1.0])],    # different bucket
+        "vec_id long, embedding array<float>")
+    got = embedding_near_dupes(e, threshold=0.9, n_bits=4).collect()
+    assert [(r.vec_a, r.vec_b) for r in got] == [(1, 2)]
+    assert got[0].cosine_r > 0.99
