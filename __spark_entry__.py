@@ -38,7 +38,15 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), table))
+    df = spark.read.parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), table))
+    # The sandbox parquet is one row-group -> one input split, which
+    # would serialize every downstream expression onto a single core.
+    # Production Iceberg layouts provide real splits (this is then a
+    # no-op); here we spread explicitly, as load_pages does.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -299,7 +307,11 @@ def _q_citation_counts(spark, sf_dir):
 
 def _q_pagerank(spark, sf_dir):
     from ferenda_spark.operators.graphs import citation_pagerank
-    return citation_pagerank(_triples(spark, sf_dir), iterations=10)
+    from ferenda_spark.operators.triples import mention_triples
+    # only dcterms:references triples feed the citation graph — feed
+    # that branch alone instead of materializing the full triples union
+    return citation_pagerank(mention_triples(_docs(spark, sf_dir)),
+                             iterations=10)
 
 
 def _q_search_year_range(spark, sf_dir):
@@ -763,8 +775,11 @@ sh AS (
 
 _MINHASH_CTE = _SH_CTE + r""",
 sig AS (
+  -- minhash_i = min over shingles of the i-th 8-hex slice of the
+  -- 64-hex chain md5(s) || md5(md5(s)) (mirrors dedup._minhash_col)
   SELECT doc_id, s.seed,
-         min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS minhash
+         min(substr(md5(shingle) || md5(md5(shingle)),
+                    8 * s.seed + 1, 8)) AS minhash
   FROM sh, generate_series(0, 7) s(seed) GROUP BY doc_id, s.seed
 ),
 banded AS (

@@ -91,11 +91,19 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
-def _minhash_col(sh, seed: int):
-    """min over the shingle array of md5(seed || ':' || shingle) —
-    pure map-side, no explode/shuffle."""
-    return F.array_min(F.transform(
-        sh, lambda s: F.md5(F.concat(F.lit(str(seed)), F.lit(":"), s))))
+def _hash64_col(sh):
+    """64-hex-char hash chain per shingle: md5(s) || md5(md5(s)).
+    One md5 chain per shingle feeds ALL k minhashes (8-char disjoint
+    slices) instead of k independent seeded md5 passes — 2 hashes per
+    shingle instead of k, and a much smaller expression tree (plan
+    analysis of k nested-lambda md5 trees was the dominant cost)."""
+    return F.transform(sh, lambda s: F.concat(F.md5(s), F.md5(F.md5(s))))
+
+
+def _minhash_col(hh, seed: int):
+    """min over the per-shingle hash chain of its seed-th 8-hex slice
+    — pure map-side, no explode/shuffle."""
+    return F.array_min(F.transform(hh, lambda h: h.substr(8 * seed + 1, 8)))
 
 
 def minhash_signatures(documents: DataFrame, n: int = 3,
@@ -104,13 +112,14 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
     md5-seeded so the oracle reproduces it exactly in SQL.
 
     Computed as `num_hashes` array_min expressions over the in-row
-    shingle array, then unpivoted — the whole signature is one narrow
-    map-side pass (the naive shingle-explode x seed-crossJoin plan
-    shuffles num_hashes x total-shingle rows; this shuffles nothing)."""
-    sh = F.col("_sh")
+    shingle-hash array, then unpivoted — the whole signature is one
+    narrow map-side pass (the naive shingle-explode x seed-crossJoin
+    plan shuffles num_hashes x total-shingle rows; this shuffles
+    nothing)."""
+    hh = F.col("_hh")
     wide = (documents
-            .withColumn("_sh", shingle_array(n))
-            .select("doc_id", *[_minhash_col(sh, i).alias("mh%d" % i)
+            .withColumn("_hh", _hash64_col(shingle_array(n)))
+            .select("doc_id", *[_minhash_col(hh, i).alias("mh%d" % i)
                                 for i in range(num_hashes)]))
     pairs = F.array(*[
         F.struct(F.lit(i).alias("seed"), F.col("mh%d" % i).alias("minhash"))
@@ -129,14 +138,12 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
     only shuffle is the candidate self-join on (band, bucket) — whose
     key cardinality is docs x num_bands, not shingles.  Hot buckets are
     real duplicate clusters, which is the point."""
-    sh = F.col("_sh")
-    # stage 1: materialize the signature columns once (each minhash is
-    # one md5 pass over the shingle array; reusing named columns keeps
-    # Catalyst from inlining the transform into every band expression)
+    hh = F.col("_hh")
     wide = (documents
             .withColumn("_sh", shingle_array(n))
             .where(F.size("_sh") > 0)
-            .select("doc_id", *[_minhash_col(sh, i).alias("mh%d" % i)
+            .withColumn("_hh", _hash64_col(F.col("_sh")))
+            .select("doc_id", *[_minhash_col(hh, i).alias("mh%d" % i)
                                 for i in range(num_hashes)]))
     banded_cols = []
     for band_start in range(0, num_hashes, band_size):
@@ -151,7 +158,12 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
     banded = (wide
               .select("doc_id",
                       F.explode(F.array(*banded_cols)).alias("bb"))
-              .select("doc_id", "bb.band", "bb.bucket"))
+              .select("doc_id", "bb.band", "bb.bucket")
+              # materialize once: the self-join would otherwise carry
+              # (and risk re-evaluating) the signature computation on
+              # both sides; this is the stage-table boundary on a
+              # cluster
+              .localCheckpoint())
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -90,24 +90,37 @@ def citation_counts(triples: DataFrame) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iterations: int = 10,
-             damping: float = 0.85, round_to: int = 6) -> DataFrame:
+             damping: float = 0.85, round_to: int = 6,
+             ckpt_every: int = 5) -> DataFrame:
     """(vertex, pagerank_r) over directed edges (src, dst).  Classic
     power iteration; dangling mass handled by renormalizing against the
     vertex count (uniform redistribution).  Deterministic: fixed
-    iteration count, final round() for cross-run float stability."""
+    iteration count, final round() for cross-run float stability.
+
+    Scale shape: the upstream edge DAG is materialized ONCE (not per
+    derived table), the out-degree join is loop-invariant and hoisted,
+    and both loop inputs are hash-partitioned on the join key sized to
+    the edge data (not the global shuffle default), so each iteration
+    shuffles only the rank vector.  Broadcasting would be wrong at
+    10^12 edges; partitioned reuse is GraphX's shape.  Lineage is cut
+    every ``ckpt_every`` rounds — checkpointing every round pays one
+    job-scheduling round-trip per iteration for no asymptotic benefit."""
+    edges = edges.localCheckpoint()
+    nparts = max(edges.rdd.getNumPartitions(), 1)
     verts = (edges.select(F.col("src").alias("vertex"))
              .union(edges.select(F.col("dst").alias("vertex")))
              .distinct()
+             .repartition(nparts, "vertex")
              .localCheckpoint())
     n = verts.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # out-degree is bounded per page; broadcast when the src side of the
-    # contribution join is dimension-sized is wrong at 10^12 edges, so
-    # keep it a shuffle join and let AQE pick the strategy.
+    weighted = (edges.join(out_deg, "src")
+                .select(F.col("src").alias("vertex"), "dst", "deg")
+                .repartition(nparts, "vertex")
+                .localCheckpoint())
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
-        contribs = (edges.join(ranks, edges["src"] == ranks["vertex"])
-                    .join(out_deg, "src")
+    for i in range(iterations):
+        contribs = (weighted.join(ranks, "vertex")
                     .select(F.col("dst").alias("vertex"),
                             (F.col("rank") / F.col("deg")).alias("c")))
         summed = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
@@ -115,8 +128,9 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                  .select("vertex",
                          (F.lit((1 - damping) / n)
                           + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint())
+                         .alias("rank")))
+        if (i + 1) % ckpt_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("vertex", F.round("rank", round_to)
                         .alias("pagerank_r"))
 
