@@ -564,6 +564,13 @@ def _q_dedup_embedding(spark, sf_dir):
                                 threshold=0.35, n_bits=4)
 
 
+def _q_annotations(spark, sf_dir):
+    """J3 complete: per-doc annotation record (parts closure +
+    part-emitted references) that generate() consumes."""
+    from ferenda_spark.operators.graphs import annotations
+    return annotations(_triples(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -624,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_pending": _q_incremental_pending,
         "kg_stats_cube": _q_stats_cube,
         "dedup_embedding": _q_dedup_embedding,
+        "kg_annotations": _q_annotations,
     }
 
 
@@ -1308,4 +1316,14 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b b2
               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
             WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.35""",
+        "kg_annotations": "WITH " + _F_CTE + """,
+            nsub AS (
+              SELECT f.doc_id, f.doc_uri, f.n_sections,
+                     (SELECT COUNT(*) FROM subs
+                      WHERE subs.doc_id = f.doc_id) AS n_subs
+              FROM f)
+            SELECT doc_uri,
+                   CAST(n_sections + n_subs AS BIGINT) AS n_parts,
+                   CAST(n_sections + n_subs AS BIGINT) AS n_part_refs
+            FROM nsub""",
     }

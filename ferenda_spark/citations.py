@@ -78,3 +78,74 @@ def scan_citations(text: str, base: str = "https://example.org/res/rfc/"):
                     "kind": "url", "uri": m.group("url")})
     out.sort(key=lambda d: d["start"])
     return out
+
+
+# --------------------------------------------------------------- eulaw
+# The reference's second stock grammar (citationpatterns.py:40-76):
+# Swedish-language EU-legislation references — match-first of
+# article-within-act, act alone, or article alone.  Re-expressed as
+# regexes with the same observable captures (Year / Ordinal /
+# Association / LegalactType / ArticleID / SubarticleID).
+
+_EULAW_MONTHS = ("januari|februari|mars|april|maj|juni|juli|augusti"
+                 "|september|oktober|november|december")
+_EULAW_INSTITUTION = (r"(?:Europaparlamentets och rådets|rådets"
+                      r"|kommissionens)")
+_EULAW_DIRECTIVE = (r"(?P<Year>\d{4}|\d{2})/(?P<Ordinal>\d+)"
+                    r"/(?P<Association>EG|EEG)")
+_EULAW_REGULATION = (r"\((?P<rAssociation>EG|EEG)\)\s+nr\s+"
+                     r"(?P<rOrdinal>\d+)/(?P<rYear>\d{4}|\d{2})")
+_EULAW_DATE = r"\d{1,2}\s+(?:%s)\s+\d{4}" % _EULAW_MONTHS
+_EULAW_ACT = (r"%s\s+(?P<LegalactType>direktiv|förordning)\s+"
+              r"(?:%s|%s)\s+av\s+den\s+%s"
+              % (_EULAW_INSTITUTION, _EULAW_DIRECTIVE,
+                 _EULAW_REGULATION, _EULAW_DATE))
+_EULAW_ARTICLE = (r"artikel\s+(?P<ArticleID>\d+)"
+                  r"(?:\.(?P<SubarticleID>\d+))?")
+
+EULAW_RE = re.compile(
+    "(?:%s\\s+i\\s+%s)|(?:%s)|(?:%s)"
+    % (_EULAW_ARTICLE, _EULAW_ACT,
+       _EULAW_ACT.replace("?P<", "?P<a_"),
+       _EULAW_ARTICLE.replace("?P<", "?P<b_")))
+
+
+def scan_eulaw(text: str):
+    """Scan for EU-legislation references; yields
+    ``{start, end, kind, parts}`` in document order, parts keyed like
+    the reference grammar's named results."""
+    out = []
+    for m in EULAW_RE.finditer(text):
+        g = {k: v for k, v in m.groupdict().items() if v is not None}
+        # normalize alternative-branch and regulation captures
+        # (a_Year/b_ArticleID/rYear -> Year/ArticleID/Year)
+        parts = {}
+        for k, v in g.items():
+            k = k[2:] if k[:2] in ("a_", "b_") else k
+            k = {"rYear": "Year", "rOrdinal": "Ordinal",
+                 "rAssociation": "Association"}.get(k, k)
+            parts[k] = v
+        kind = ("ArticleLegalact" if "ArticleID" in parts
+                and "LegalactType" in parts
+                else "Legalact" if "LegalactType" in parts
+                else "Article")
+        out.append({"start": m.start(), "end": m.end(), "kind": kind,
+                    "parts": parts})
+    return out
+
+
+def generic_uri(d: dict, base: str = "http://example.org/") -> str:
+    """uriformats.generic semantics (uriformats.py:14-25): any parts
+    dict -> querystring URI, insertion order preserved."""
+    from urllib.parse import quote
+    qs = "&".join(quote(str(k)) + "=" + quote(str(v))
+                  for k, v in d.items())
+    return "%s?%s" % (base, qs)
+
+
+def eulaw_uri(d: dict) -> str:
+    """CELEX minting for eulaw references — the reference leaves this
+    unimplemented (uriformats.py:47-59 raises NotImplementedError);
+    mirrored here for parity."""
+    raise NotImplementedError("eulaw URI minting (parity with "
+                              "uriformats.eulaw)")

@@ -190,10 +190,12 @@ def page_row(doc_id: int, text: str, lang: str, source: str) -> dict:
 
 def _generate_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
-        rows = [page_row(int(r.doc_id), r.text, r.lang, r.source)
-                for r in pdf.itertuples()]
-        yield pd.DataFrame(rows, columns=["url", "warc_ts", "html",
-                                          "text", "lang"])
+        rows = [page_row(int(d), t, l, s)
+                for d, t, l, s in zip(pdf["doc_id"], pdf["text"],
+                                      pdf["lang"], pdf["source"])]
+        yield pd.DataFrame({
+            c: [r[c] for r in rows]
+            for c in ("url", "warc_ts", "html", "text", "lang")})
 
 
 def pages_from_documents(documents_df):

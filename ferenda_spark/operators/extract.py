@@ -35,25 +35,32 @@ _EMPTY = {"title": None, "lang": None, "text": None, "preamble": None,
 
 
 def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ("lang", "kind", "title", "text", "preamble", "sections",
+            "links")
     for pdf in it:
-        rows = []
-        for r in pdf.itertuples():
+        # columnar accumulation: one list per column + dict-of-lists
+        # frame construction skips the per-row dict and row-wise
+        # DataFrame assembly overhead of the naive loop
+        out = {c: [] for c in cols}
+        errs = []
+        langs = pdf["lang"].tolist()
+        for i, html in enumerate(pdf["html"].tolist()):
             try:
-                d = parse_page(bytes(r.html), default_lang=r.lang or "en")
+                d = parse_page(bytes(html), default_lang=langs[i] or "en")
                 err = None
             except Exception as e:  # quarantine, never abort the corpus
-                d, err = dict(_EMPTY), "%s: %s" % (type(e).__name__, e)
-            rows.append({
-                "url": r.url, "warc_ts": r.warc_ts,
-                "lang": d["lang"] or r.lang, "kind": d["kind"],
-                "title": d["title"], "text": d["text"],
-                "preamble": d["preamble"],
-                "sections": d["sections"], "links": d["links"],
-                "error": err,
-            })
-        yield pd.DataFrame(rows, columns=[
-            "url", "warc_ts", "lang", "kind", "title", "text",
-            "preamble", "sections", "links", "error"])
+                d, err = _EMPTY, "%s: %s" % (type(e).__name__, e)
+            for c in cols:
+                out[c].append(d[c])
+            errs.append(err)
+        out["lang"] = [l or langs[i] for i, l in enumerate(out["lang"])]
+        yield pd.DataFrame({
+            "url": pdf["url"].values, "warc_ts": pdf["warc_ts"].values,
+            "lang": out["lang"], "kind": out["kind"],
+            "title": out["title"], "text": out["text"],
+            "preamble": out["preamble"], "sections": out["sections"],
+            "links": out["links"], "error": errs,
+        })
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:

@@ -80,6 +80,27 @@ def deps_edges(triples: DataFrame, uri_patterns: DataFrame) -> DataFrame:
     return matched.select("context", "repo", "target_uri").distinct()
 
 
+def annotations(triples: DataFrame) -> DataFrame:
+    """J3 complete: per root document, the annotation record the
+    reference CONSTRUCTs for generate() (annotations.rq:1-20 +
+    construct_annotations, documentrepository.py:2594-2611): all parts
+    in the ``isPartOf*`` closure plus the references emitted by those
+    parts.  One closure fixpoint + one join + one groupBy."""
+    closure = ispartof_closure(triples)
+    docs = (closure
+            .where(~F.col("ancestor_uri").contains("#"))
+            .select(F.col("ancestor_uri").alias("doc_uri"),
+                    F.col("uri").alias("part_uri")))
+    refs = (triples
+            .where(F.col("pred") == vocab.DCTERMS_REFERENCES)
+            .select(F.col("subj").alias("part_uri"),
+                    F.col("obj").alias("ref_uri")))
+    return (docs.join(refs, "part_uri", "left")
+            .groupBy("doc_uri")
+            .agg(F.countDistinct("part_uri").alias("n_parts"),
+                 F.countDistinct("ref_uri").alias("n_part_refs")))
+
+
 def citation_counts(triples: DataFrame) -> DataFrame:
     """Incoming dcterms:references per target URI: (target_uri,
     n_mentions, n_citing_docs)."""

@@ -155,3 +155,27 @@ def test_scan_citations():
 def test_rfc_uri_strips():
     assert rfc_uri("0822", None) == "https://example.org/res/rfc/822"
     assert rfc_uri("1", "2.") == "https://example.org/res/rfc/1#S2"
+
+
+def test_scan_eulaw_match_first():
+    from ferenda_spark.citations import scan_eulaw
+    t = ("Enligt artikel 42.1 i Europaparlamentets och rådets direktiv "
+         "95/46/EG av den 24 oktober 1995 samt rådets förordning (EG) "
+         "nr 45/2001 av den 18 december 2000 och artikel 7.")
+    got = scan_eulaw(t)
+    assert [c["kind"] for c in got] == ["ArticleLegalact", "Legalact",
+                                       "Article"]
+    assert got[0]["parts"] == {
+        "ArticleID": "42", "SubarticleID": "1", "LegalactType": "direktiv",
+        "Year": "95", "Ordinal": "46", "Association": "EG"}
+    assert got[1]["parts"]["Ordinal"] == "45"
+    assert got[2]["parts"] == {"ArticleID": "7"}
+
+
+def test_generic_uri_querystring():
+    from ferenda_spark.citations import generic_uri, eulaw_uri
+    import pytest
+    assert generic_uri({"foo": "1", "bar": "2"}) \
+        == "http://example.org/?foo=1&bar=2"
+    with pytest.raises(NotImplementedError):
+        eulaw_uri({})
