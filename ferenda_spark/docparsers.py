@@ -25,14 +25,18 @@ from .fsm import StructureParser, newstate
 from .htmlelements import Element, as_plaintext
 from .textutil import normalize_space
 
-_SECTION_RE = re.compile(r"^(\d[\.\d]*)\.?\s+(.*[^\.])$", re.DOTALL)
+# No DOTALL and no pre-strip, exactly like the reference
+# (rfc.py:356 ``^(\d[\.\d]*) +(.*[^\.])$`` on the RAW chunk): a
+# multi-line chunk (wrapped list item, TOC page) or an indented line
+# can never be a section heading.
+_SECTION_RE = re.compile(r"^(\d[\.\d]*) +(.*[^\.])$")
 
 
 def _analyze_sectionstart(chunk: str):
-    """'1.2  Some Title' -> ('1.2', 'Some Title'); None if not a
-    section heading (rfc.py:379-393 semantics: ordinal = leading
-    digits/dots token, title follows)."""
-    m = _SECTION_RE.match(chunk.strip())
+    """'1.2  Some Title' -> ('1.2', 'Some Title'); (None, None) if not
+    a section heading (rfc.py:356-368 semantics: ordinal = leading
+    digits/dots token at column 0, single-line title follows)."""
+    m = _SECTION_RE.match(chunk)
     if not m:
         return None, None
     ordinal = m.group(1).rstrip(".")

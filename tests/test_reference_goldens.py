@@ -1,0 +1,59 @@
+"""Golden parity against the reference's OWN test fixtures.
+
+The reference ships real RFC text files with golden parsed output
+(test/files/repo/rfc/{downloaded/*.txt, parsed/*.xhtml}; the
+parametrize_repotester harness, testutil.py:852-923).  We feed the
+same downloaded text through our FSM parser and require the exact
+(ordinal, title) section sequence the reference's golden XHTML
+records in its bibo:DocumentPart divs — structural parity on real
+documents, not just the synthetic corpus.
+
+Skipped when the reference checkout isn't present.
+"""
+
+import glob
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from ferenda_spark.docparsers import parse_rfc_text
+
+REF_RFC = "/root/reference/test/files/repo/rfc"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_RFC), reason="reference fixtures not present")
+
+
+def golden_sections(xhtml_path):
+    out = []
+    for d in ET.parse(xhtml_path).iter():
+        about = d.get("about") or ""
+        if d.get("typeof") == "bibo:DocumentPart" and "#S" in about:
+            out.append((about.split("#S", 1)[1], d.get("content")))
+    return out
+
+
+def _fixtures():
+    return sorted(
+        os.path.basename(f)[:-4]
+        for f in glob.glob(REF_RFC + "/downloaded/*.txt")
+        if os.path.exists(REF_RFC + "/parsed/%s.xhtml"
+                          % os.path.basename(f)[:-4]))
+
+
+@pytest.mark.parametrize("num", _fixtures())
+def test_rfc_section_structure_matches_reference_golden(num):
+    text = open(REF_RFC + "/downloaded/%s.txt" % num,
+                encoding="utf-8", errors="replace").read()
+    _, _, secs = parse_rfc_text(text)
+    ours = [(s["ordinal"], s["title"]) for s in secs]
+    assert ours == golden_sections(REF_RFC + "/parsed/%s.xhtml" % num)
+
+
+def test_rfc_doctitle_matches_golden_6919():
+    text = open(REF_RFC + "/downloaded/6919.txt",
+                encoding="utf-8", errors="replace").read()
+    title, _, _ = parse_rfc_text(text)
+    assert title == ("Further Key Words for Use in RFCs "
+                     "to Indicate Requirement Levels")
