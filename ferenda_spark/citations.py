@@ -24,10 +24,15 @@ from __future__ import annotations
 
 import re
 
-# section X of RFC N | section X | RFC N (optionally [RFC N])
+# section X of RFC N | section X | RFC N — faithful to the reference's
+# pyparsing grammar (rfc.py:437-446): caseless "section", optional
+# whitespace (incl. newlines) between tokens, and the section token is
+# one-or-more of [0-9.] — so sentence-final "section." yields the
+# degenerate Sec="." the reference also emits (rstripped to "#S")
 RFC_CITATION_RE = re.compile(
-    r"(?:[Ss]ection\s+(?P<sec>[0-9][0-9.]*)\s+of\s+)?\[?RFC\s*(?P<rfc>\d+)\]?"
-    r"|[Ss]ection\s+(?P<sec_only>[0-9][0-9.]*)")
+    r"(?i:section)\s*(?P<sec>[0-9.]+)\s*of\s*\[?\s*RFC\s*(?P<rfc>\d+)\s*\]?"
+    r"|(?i:section)\s*(?P<sec_only>[0-9.]+)"
+    r"|\[?\s*RFC\s*(?P<rfc_only>\d+)\s*\]?")
 
 URL_CITATION_RE = re.compile(
     r"\b(?P<url>(?:https?|ftp)://[^\s<>\"']+?)(?=[,.)\]?!;:]*(?:\s|$))")
@@ -70,7 +75,7 @@ def scan_citations(text: str, base: str = "https://example.org/res/rfc/"):
             kind = "SecRFCRef"
             uri = rfc_uri(m.group("rfc"), m.group("sec"), base)
         else:
-            kind, uri = "RFCRef", rfc_uri(m.group("rfc"), None, base)
+            kind, uri = "RFCRef", rfc_uri(m.group("rfc_only"), None, base)
         out.append({"start": m.start(), "end": m.end(), "kind": kind,
                     "uri": uri})
     for m in URL_CITATION_RE.finditer(text):

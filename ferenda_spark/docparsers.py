@@ -68,15 +68,34 @@ def rfc_parser() -> StructureParser:
     """FSM configured for RFC-like plain text, chunked by blank-line
     paragraphs (textreader.py:159-227 readparagraph semantics)."""
 
-    def is_rfcheader(p, chunk=None):
+    def _splitcolumns(chunk):
+        # rfc.py:165-177: split each line on the first run of >=3
+        # spaces into (left, right); record raw line lengths
+        leftlines, rightlines, linelens = [], [], []
+        for line in chunk.split("\n"):
+            linelens.append(len(line))
+            if "   " in line:
+                left, right = line.split("   ", 1)
+            else:
+                left, right = line, ""
+            leftlines.append(left)
+            rightlines.append(right.strip())
+        return leftlines, rightlines, linelens
+
+    def is_rfcheader(p, chunk=None, lenient=True):
+        # rfc.py:140-162: >=2 lines; left-only lines must be short;
+        # in strict (non-lenient) mode every two-column line must be
+        # right-justified to the first line's length — used to detect
+        # a header continuation chunk after a spurious blank line
         chunk = chunk if chunk is not None else p.reader.peek()
-        lines = chunk.split("\n")
-        if len(lines) < 2:
+        left, right, linelens = _splitcolumns(chunk)
+        if len(linelens) < 2:
             return False
-        # two-column justified header: every line splits on >=3 spaces,
-        # or is a short left-only line (rfc.py:140-177 semantics)
-        for line in lines:
-            if "   " not in line and len(line) > 40:
+        targetlen = linelens[0]
+        for idx, length in enumerate(linelens):
+            if right[idx] == "" and length > 40:
+                return False
+            elif right[idx] != "" and length != targetlen and not lenient:
                 return False
         return True
 
@@ -122,7 +141,16 @@ def rfc_parser() -> StructureParser:
     make_body.newstate = "body"
 
     def make_rfcheader(p):
-        return Node("rfcheader", text=p.reader.next())
+        # a spurious blank line can split the header in two chunks
+        # (e.g. RFC 6912); the continuation is recognized by the
+        # strict right-justification test (rfc.py:338-342)
+        headerchunk = p.reader.next()
+        try:
+            if is_rfcheader(p, lenient=False):
+                headerchunk += "\n" + p.reader.next()
+        except StopIteration:
+            pass
+        return Node("rfcheader", text=headerchunk)
 
     def make_doctitle(p):
         return Node("doctitle", title=normalize_space(p.reader.next()))
@@ -164,7 +192,15 @@ def rfc_parser() -> StructureParser:
         return Node("p", text=normalize_space(p.reader.next()))
 
     def skip_pagebreak(p):
-        p.reader.next()
+        # retain the running short title from the new page's header
+        # line "RFC NNNN   <short title>   <date>" (rfc.py:264-271);
+        # the node is dropped from text flattening but feeds
+        # bibo:shortTitle (cleanup_body, rfc.py:520-535)
+        chunk = p.reader.next()
+        lastline = chunk.split("\n")[-1]
+        parts = re.split("  +", lastline)
+        if len(parts) > 2:
+            return Node("pagebreak", shorttitle=parts[1])
         return None
 
     p = StructureParser()
@@ -205,8 +241,18 @@ def rfc_parser() -> StructureParser:
 
 
 def split_paragraphs(text: str):
-    """Blank-line paragraph chunking (textreader.py readparagraph)."""
-    return [c for c in re.split(r"\n\s*\n", text) if c.strip()]
+    """Blank-line paragraph chunking (textreader.py readparagraph:
+    split on empty lines only — a form-feed line is NOT a separator,
+    so page footer + \\f + next page's header stay one chunk for the
+    pagebreak recognizer)."""
+    out = []
+    for c in re.split(r"\n[ \t]*\n", text):
+        # an odd run of blank lines leaves a leading newline on the
+        # chunk, which would defeat every column-0 recognizer
+        c = re.sub(r"^(?:[ \t]*\n)+", "", c)
+        if c.strip():
+            out.append(c)
+    return out
 
 
 # ----------------------------------------------------------- HTML headings
@@ -326,9 +372,17 @@ def flatten_sections(root: Node):
     return " ".join(preamble_parts), sections
 
 
+def parse_rfc_tree(text: str) -> Node:
+    """Plain RFC text -> parsed body tree, with the reference's
+    faux-bold backspace-overstrike cleanup applied per paragraph
+    (re.sub('.\\b', ''), rfc.py:461-467; SURVEY.md P12)."""
+    chunks = [re.sub(".\x08", "", c) for c in split_paragraphs(text)]
+    return rfc_parser().parse(chunks)
+
+
 def parse_rfc_text(text: str):
     """Plain text -> (doctitle, preamble_text, sections)."""
-    body = rfc_parser().parse(split_paragraphs(text))
+    body = parse_rfc_tree(text)
     title = None
     for c in body:
         if isinstance(c, Node) and c.kind == "doctitle":

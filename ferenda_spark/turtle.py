@@ -1,0 +1,118 @@
+"""Minimal Turtle reader — just enough to load the reference's
+distilled golden graphs (test/files/repo/*/distilled/*.ttl) for
+triple-set comparison without an rdflib dependency.
+
+Supports: @prefix, IRIs, prefixed names, `a`, object lists (`,`),
+predicate lists (`;`), string literals with \\-escapes, @lang tags and
+^^datatype.  Emits triples as (subj, pred, obj) where obj is
+("uri", value) or ("lit", value, lang, datatype) — the same shape
+:mod:`ferenda_spark.rfcdistill` produces, so comparison is plain set
+algebra (the semantics of the reference's assertEqualGraphs,
+testutil.py:58-116, blank-node-free).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(r"""
+    (?P<iri><[^>]*>)
+  | (?P<literal>"(?:[^"\\]|\\.)*")
+  | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<dtype>\^\^)
+  | (?P<punct>[;,.])
+  | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*|a\b)
+  | (?P<ws>\s+|\#[^\n]*)
+""", re.VERBOSE)
+
+_UNESCAPE = {
+    "\\\"": "\"", "\\\\": "\\", "\\n": "\n", "\\t": "\t", "\\r": "\r",
+}
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _tokens(text):
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise ValueError("turtle parse error at %r" % text[pos:pos + 40])
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        yield kind, m.group()
+
+
+def _unescape(s):
+    return re.sub(r"\\.", lambda m: _UNESCAPE.get(m.group(), m.group()[1]),
+                  s)
+
+
+def parse_turtle(text: str):
+    """Return a set of (subj, pred, obj) triples; see module doc for
+    the obj encoding."""
+    prefixes = {}
+    triples = set()
+    toks = list(_tokens(text))
+    i = 0
+
+    def resolve(kind, val):
+        if kind == "iri":
+            return val[1:-1]
+        if val == "a":
+            return RDF_TYPE
+        pfx, local = val.split(":", 1)
+        return prefixes[pfx] + local
+
+    while i < len(toks):
+        kind, val = toks[i]
+        if val.startswith("@"):  # @prefix directive (lexed as langtag)
+            # pattern: @prefix  pfx:  <iri>  .
+            pfx = toks[i + 1][1].rstrip(":").split(":")[0]
+            prefixes[pfx] = toks[i + 2][1][1:-1]
+            i += 4
+            continue
+        # statement: subject  predicate-object-list  .
+        subj = resolve(kind, val)
+        i += 1
+        while True:
+            pred = resolve(*toks[i])
+            i += 1
+            while True:  # object list
+                okind, oval = toks[i]
+                if okind == "iri":
+                    obj = ("uri", oval[1:-1])
+                    i += 1
+                elif okind == "literal":
+                    lit = _unescape(oval[1:-1])
+                    lang = dtype = None
+                    if i + 1 < len(toks) and toks[i + 1][0] == "langtag":
+                        lang = toks[i + 1][1][1:]
+                        i += 2
+                    elif i + 1 < len(toks) and toks[i + 1][0] == "dtype":
+                        dtype = resolve(*toks[i + 2])
+                        i += 3
+                    else:
+                        i += 1
+                    obj = ("lit", lit, lang, dtype)
+                else:
+                    obj = ("uri", resolve(okind, oval))
+                    i += 1
+                triples.add((subj, pred, obj))
+                if toks[i][1] == ",":
+                    i += 1
+                    continue
+                break
+            if toks[i][1] == ";":
+                i += 1
+                if toks[i][1] == ".":  # trailing ; before .
+                    i += 1
+                    break
+                continue
+            if toks[i][1] == ".":
+                i += 1
+                break
+        # next statement
+    return triples

@@ -57,3 +57,33 @@ def test_rfc_doctitle_matches_golden_6919():
     title, _, _ = parse_rfc_text(text)
     assert title == ("Further Key Words for Use in RFCs "
                      "to Indicate Requirement Levels")
+
+
+@pytest.mark.parametrize("num", _fixtures())
+def test_rfc_distill_matches_reference_golden_exactly(num):
+    """Full distill parity: our triple set == the reference's
+    distilled golden graph (BASELINE.json asks P/R >= 0.95; these
+    fixtures achieve 1.0/1.0)."""
+    from ferenda_spark.rfcdistill import distill_rfc
+    from ferenda_spark.turtle import parse_turtle
+    text = open(REF_RFC + "/downloaded/%s.txt" % num,
+                encoding="utf-8", errors="replace").read()
+    gold = parse_turtle(open(REF_RFC + "/distilled/%s.ttl" % num).read())
+    ours = distill_rfc(text, num)
+    assert ours == gold, (sorted(ours - gold)[:5], sorted(gold - ours)[:5])
+
+
+def test_distill_pr_aggregate_above_bar():
+    """The aggregate precision/recall over the whole reference golden
+    corpus, reported as the BASELINE metric."""
+    from ferenda_spark.rfcdistill import distill_rfc
+    from ferenda_spark.turtle import parse_turtle
+    tp = tg = ti = 0
+    for num in _fixtures():
+        text = open(REF_RFC + "/downloaded/%s.txt" % num,
+                    encoding="utf-8", errors="replace").read()
+        gold = parse_turtle(open(REF_RFC + "/distilled/%s.ttl" % num).read())
+        ours = distill_rfc(text, num)
+        tp += len(ours); tg += len(gold); ti += len(ours & gold)
+    assert ti / tp >= 0.95 and ti / tg >= 0.95
+    assert ti / tp == 1.0 and ti / tg == 1.0
