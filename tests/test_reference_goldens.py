@@ -87,3 +87,20 @@ def test_distill_pr_aggregate_above_bar():
         tp += len(ours); tg += len(gold); ti += len(ours & gold)
     assert ti / tp >= 0.95 and ti / tg >= 0.95
     assert ti / tp == 1.0 and ti / tg == 1.0
+
+
+REF_W3C = "/root/reference/test/files/repo/w3c"
+
+
+@pytest.mark.parametrize("num", ["page-visibility", "xslt"])
+def test_w3c_distill_matches_reference_golden_exactly(num):
+    """HTML-branch distill parity (W3Standards repo, w3c.py:84-303):
+    exact triple-set match with the reference's distilled goldens."""
+    if not os.path.isdir(REF_W3C):
+        pytest.skip("w3c fixtures not present")
+    from ferenda_spark.w3cdistill import distill_w3c
+    from ferenda_spark.turtle import parse_turtle
+    raw = open(REF_W3C + "/downloaded/%s.html" % num, "rb").read()
+    gold = parse_turtle(open(REF_W3C + "/distilled/%s.ttl" % num).read())
+    ours = distill_w3c(raw, num)
+    assert ours == gold, (sorted(ours - gold)[:5], sorted(gold - ours)[:5])
