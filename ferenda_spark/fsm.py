@@ -106,19 +106,33 @@ class StructureParser:
             "no recognizer matched in state %r (chunk %.60r)"
             % (state, str(self.reader.peek())))
 
-    def _make_child(self, constructor, childstate):
+    def make_child(self, constructor, childstate):
+        """Run one constructor in a child state frame (public, like the
+        reference's FSMParser.make_child, fsmparser.py:166-180 — used
+        by constructors that build their first child explicitly)."""
         self._stack.append(childstate or self._stack[-1])
         try:
             return constructor(self)
         finally:
             self._stack.pop()
 
+    _make_child = make_child
+
+    def _transition(self, state, symbol):
+        """Resolve a transition outcome; a callable value is a dynamic
+        transition ``t(symbol, state_stack) -> (constructor, newstate)``
+        (fsmparser.py:150-164)."""
+        t = self.transitions[(state, symbol)]
+        if callable(t):
+            return t(symbol, self._stack)
+        return t
+
     def make_children(self, parent):
         while True:
             symbol = self._recognize()
             if symbol is None:
                 return parent
-            constructor, nxt = self.transitions[(self._stack[-1], symbol)]
+            constructor, nxt = self._transition(self._stack[-1], symbol)
             if nxt and not hasattr(constructor, "newstate"):
                 self._stack[-1] = nxt
             if constructor:
