@@ -19,7 +19,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..parsepage import parse_page
 
@@ -68,3 +68,31 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     return (pages
             .select("url", "warc_ts", "html", "lang")
             .mapInPandas(_parse_batches, schema=PARSED_SCHEMA))
+
+
+LEGAL_MENTIONS_SCHEMA = ("url string, start int, end int, "
+                         "anchor string, target_uri string")
+
+
+def _legal_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..legalref import scan_legal_refs
+    for pdf in it:
+        rows = []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            pos = 0
+            for seg in scan_legal_refs(text or ""):
+                if seg[0] == "link":
+                    rows.append((url, pos, pos + len(seg[1]), seg[1],
+                                 seg[2]))
+                pos += len(seg[1])
+        yield pd.DataFrame(rows, columns=["url", "start", "end",
+                                          "anchor", "target_uri"])
+
+
+def legal_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """T8 as a Spark stage: legal-reference mention rows
+    (url, start, end, anchor, target_uri) via the Arrow-batched
+    scanner; the law-name dictionary ships inside the UDF (broadcast
+    analogue).  No shuffle."""
+    return (docs.select("url", F.col(text_col).alias("text"))
+            .mapInPandas(_legal_batches, schema=LEGAL_MENTIONS_SCHEMA))

@@ -238,3 +238,22 @@ def test_distill_rfc_pages_matches_goldens_distributed(spark):
              else ("lit", r.obj, r.obj_lang, r.obj_datatype))
             for r in got}
     assert ours == gold
+
+
+def test_legal_mentions_distributed(spark):
+    """T8 through Spark: fixture sentences -> mention rows with the
+    reference's minted URIs."""
+    from ferenda_spark.operators.extract import legal_mentions
+    docs = spark.createDataFrame(
+        [("u1", "Delgivning enligt 12 § delgivningslagen (1970:428), "
+                "som innebär att"),
+         ("u2", "flyttas till brottsbalken."),
+         ("u3", "ingen referens här")],
+        "url string, text string")
+    got = {(r.url, r.anchor, r.target_uri)
+           for r in legal_mentions(docs).collect()}
+    assert got == {
+        ("u1", "12 § delgivningslagen (1970:428)",
+         "https://lagen.nu/1970:428#P12"),
+        ("u2", "brottsbalken", "https://lagen.nu/1962:700"),
+    }
