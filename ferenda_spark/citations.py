@@ -154,3 +154,75 @@ def eulaw_uri(d: dict) -> str:
     mirrored here for parity."""
     raise NotImplementedError("eulaw URI minting (parity with "
                               "uriformats.eulaw)")
+
+
+# ------------------------------------------------- url component parse
+# The reference's url grammar (citationpatterns.py:16-38) captures
+# scheme/netloc/path/query/fragment, with trailing ",)." punctuation
+# excluded from every component (delimitedList over
+# url_tokens_not_at_end).  Golden-checked against
+# test/files/citation/url/*.
+
+_URL_PARTS_RE = re.compile(
+    r"\b(?P<scheme>https?|ftp)://(?P<netloc>[^\s/]+)"
+    r"(?P<path>/[^\s?#]*)?"
+    r"(?:\?(?P<query>[^\s#]*))?"
+    r"(?:\#(?P<fragment>[^\s]*))?")
+
+
+def _rstrip_punct(s):
+    return s.rstrip(",).") if s else s
+
+
+def scan_url_citations(text: str):
+    """Yield {start, end, parts} for each URL; component values have
+    trailing ,). punctuation excluded (so the punctuation stays in the
+    surrounding text), matching the reference grammar exactly."""
+    out = []
+    for m in _URL_PARTS_RE.finditer(text):
+        parts = {"scheme": m.group("scheme"),
+                 "netloc": _rstrip_punct(m.group("netloc"))}
+        end = m.start("netloc") + len(parts["netloc"])
+        for comp in ("path", "query", "fragment"):
+            v = m.group(comp)
+            if v is not None:
+                v = _rstrip_punct(v)
+                parts[comp] = v
+                end = m.start(comp) + len(v)
+        out.append({"start": m.start(), "end": end, "parts": parts})
+    return out
+
+
+# --------------------------------------------- legaluri COIN construct
+# URI construction from typed property dicts (the reference's
+# legaluri.construct over COIN templates, sources/legal/se/
+# legaluri.py:80-140 + thirdparty/coin.py: prioritized templates
+# selected by type + bound properties; SURVEY.md T7).
+
+LEGALURI_BASE = "http://rinfo.lagrummet.se/"
+
+
+def legaluri_construct(d: dict, base: str = LEGALURI_BASE) -> str:
+    """Mint the canonical rinfo URI for a typed reference dict.
+    Template priority: most-specific binding set first."""
+    t = d.get("type")
+    if t == 1:  # LAGRUM: a statute (optionally with fragment parts)
+        uri = base + "publ/sfs/" + d["law"]
+        frag = ""
+        if "chapter" in d:
+            frag += "K" + d["chapter"]
+        if "section" in d:
+            frag += "P" + d["section"]
+        if "piece" in d:
+            frag += "S" + str(d["piece"])
+        return uri + ("#" + frag if frag else "")
+    if t == 7:  # RATTSFALL: case-law report
+        pub = d["rattsfallspublikation"]
+        year = d["arsutgava"]
+        if "sidnummer" in d:  # page-numbered series (NJA)
+            return base + "publ/rf/%s/%s/s_%s" % (pub, year,
+                                                  d["sidnummer"])
+        return base + "publ/rf/%s/%s:%s" % (pub, year, d["lopnummer"])
+    if t == 8:  # MYNDIGHETSBESLUT: agency decision by docket number
+        return base + "publ/avg/%s/%s" % (d["myndighet"], d["dnr"])
+    raise KeyError("no template for type %r" % t)
