@@ -2,28 +2,32 @@
 from-scratch re-implementation of the observable semantics of the
 reference's LegalRef parser for the SFS (statute) reference family
 (sources/legal/se/legalref.py:64-1449), golden-checked against the
-reference's own `test/files/legalref/Simple/*` fixtures.
+reference's own fixtures: `test/files/legalref/Simple/*` (12/12
+exact) and the stateless subset of `test/files/legalref/SFS/*`
+(see tests for the pinned list).
 
-Recognized shapes (with the reference's segmentation behavior,
-including which characters each emitted link spans):
+Recognized shapes, with the reference's exact segmentation (which
+characters each emitted link spans):
 
-* named law + SFS number:    ``datalagen (1973:289)``        -> one link
-* anonymous law + SFS:       ``lagen (1994:953)``            -> only the
-  SFS number is linked (the reference's grammar treats the name as
-  non-identifying)
-* known bare law name:       ``brottsbalken``                -> link via
-  the law-abbreviation dictionary (broadcast at scale)
-* chapter/section/stycke:    ``2 kap. 3 § andra stycket <law>`` ->
-  ``#K2P3S2``; a single section + non-anonymous law merges into ONE
-  link spanning the whole expression, while multiple sections
-  (``4 kap. 9 c § och 10 § brottsbalken``, intervals ``7 a-9 §§``)
-  split into per-item links with the law linked separately.
+* named law + SFS number:   ``datalagen (1973:289)``; old style
+  ``(1736:0123 s. 2)`` -> SFS slug with ``_``
+* anonymous law + SFS:      ``lagen/förordningen/kungörelsen (SFS)``
+  -> only the SFS number is linked
+* known bare law name:      ``brottsbalken`` via the broadcastable
+  law-name dictionary
+* chapter / section / stycke / punkt / mening expressions:
+  ``2 kap. 3 a § andra stycket 11`` -> ``#K2P3aS2N11``;
+  ``1 § andra stycket andra punkten`` -> ``P1S2N2``;
+  ``första stycket första meningen`` -> ``S1M1``; stycke lists
+  (``2 § andra och tredje styckena`` -> P2S2 + P2S3), numeric stycke
+  (``18 § 2 st.`` -> S2), punkt chains (``tredje stycket 2, 3 eller
+  4`` -> S3N2/S3N3/S3N4), intervals, multi-item chains, and law-less
+  references resolved against ``default_law``.
 
-The full reference grammar covers 13 reference types (court cases,
-EU law, preparatory works …); this module implements the SFS family
-— the type its own Simple fixture suite exercises — and the scanner
-architecture (dictionary + regex over Arrow batches) extends to the
-rest without structural change.
+Out of scope (the reference's stateful document-context features):
+``samma lag`` back-references across sentences, implicit current-law
+tracking beyond ``default_law``, and suppression of non-SFS number
+series (VVFS etc.).
 """
 
 from __future__ import annotations
@@ -31,10 +35,8 @@ from __future__ import annotations
 import re
 
 BASE = "https://lagen.nu/"
+DEFAULT_LAW = "9999:999"   # the reference's test context for law-less refs
 
-# Representative law-name dictionary (the reference loads a large
-# abbreviation resource and broadcasts it; lookup is longest-first).
-# All values are public SFS numbers.
 KAND_LAWS = {
     "regeringsformen": "1974:152",
     "tryckfrihetsförordningen": "1949:105",
@@ -49,57 +51,277 @@ KAND_LAWS = {
     "ärvdabalken": "1958:637",
     "utsökningsbalken": "1981:774",
     "socialförsäkringsbalken": "2010:110",
+    "räntelagen": "1975:635",
 }
 
 ORD_WORDS = {"första": 1, "andra": 2, "tredje": 3, "fjärde": 4,
              "femte": 5, "sjätte": 6, "sjunde": 7, "åttonde": 8,
              "nionde": 9, "tionde": 10}
 
-_SFS = r"\d{4}:\d+"
-_SEP = r"(?:\s+och\s+|\s+samt\s+|,\s*|-)"
-_ITEM = r"\d+(?: [a-z](?![\wåäö]))?(?:\s*§§?)?"
-_NAME_WORD = r"\b[\wåäöé-]*(?:lagen|balken|förordningen|formen)"
+ANONYMOUS_NAMES = ("lagen", "förordningen", "kungörelsen",
+                   "Lagen", "Förordningen", "Kungörelsen",
+                   "Lag", "Förordning", "Kungörelse")
+
+_SFS = r"\d{4}:\d+(?: s\. \d+)?"
+_NAME_WORD = (r"(?:[\wåäöé-]*(?:lagen|balken|förordningen|formen"
+              r"|kungörelsen|stadgan)|Lag|Förordning|Kungörelse)")
 _PRE_NAME = r"(?:[\wåäöé]+-\s+(?:och|eller)\s+)?"
 
 
-def _law_pattern(lawlist):
+def _tok_re(lawlist):
     kand = "|".join(sorted((re.escape(k) for k in lawlist),
                            key=len, reverse=True))
-    named = (r"(?P<named>%s%s)\s*\(\s*(?P<sfs>%s)\s*\)"
-             % (_PRE_NAME, _NAME_WORD, _SFS))
-    return r"(?:%s|\b(?P<kand>%s)\b)" % (named, kand)
+    return re.compile(
+        r"(?P<kap>\d+(?: ?[a-z])?\s+[Kk]ap\.?)"
+        r"|(?P<chglaw>\b(?:Lag|Förordning)\s+\(\s*(?P<chgsfs>\d{4}:\d+)\s*\)\.)"
+        r"|(?P<lawnamed>%s%s)\s*\(\s*(?P<sfs>%s)\s*\)"
+        r"|(?P<lawkand>\b(?i:%s)s?\b)"
+        r"|(?P<item>\d+(?: (?:[a-hj-z](?![\wåäö])|i(?=\s*§)))?(?:\s*§§?)?)"
+        r"|(?P<ordword>%s)\b"
+        r"|(?P<styckterm>styckena|stycket|st\.)"
+        r"|(?P<momterm>mom\.)"
+        r"|(?P<punktterm>punkterna|punkten)"
+        r"|(?P<meningterm>meningarna|meningen)"
+        r"|(?P<sep>och\b|eller\b|samt\b|,|-)"
+        % (_PRE_NAME, _NAME_WORD, _SFS, kand, "|".join(ORD_WORDS)),
+        re.UNICODE)
 
 
-def _full_pattern(lawlist):
-    kap = r"(?:(?P<kap>\d+(?: ?[a-z])?)\s+kap\.?\s+)?"
-    seclist = r"(?:(?P<seclist>%s(?:%s%s)*)\s+)?" % (_ITEM, _SEP, _ITEM)
-    stycke = (r"(?:(?P<stycke>(?:%s)\s+stycket)\s+)?"
-              % "|".join(ORD_WORDS))
-    return re.compile(kap + seclist + stycke + _law_pattern(lawlist),
-                      re.UNICODE)
+_DEFAULT_TOK = _tok_re(KAND_LAWS)
+
+_WS = re.compile(r"\s+")
+
+_KINDS = ("kap", "chglaw", "lawnamed", "lawkand", "item", "ordword",
+          "styckterm", "momterm", "punktterm", "meningterm", "sep")
 
 
-_DEFAULT_RE = _full_pattern(KAND_LAWS)
+def _kind(m):
+    # NOT m.lastgroup: for lawnamed matches the last participating
+    # group is the nested "sfs" capture
+    for g in _KINDS:
+        if m.group(g) is not None:
+            return g
 
 
-def _items(seclist_text: str, offset: int):
-    """Split a section list into [(start, end, id, has_marker)]."""
-    out = []
-    for m in re.finditer(r"\d+(?: [a-z](?![\wåäö]))?(?:\s*§§?)?",
-                          seclist_text):
-        txt = m.group()
-        has_marker = "§" in txt
-        ident = re.sub(r"\s*§§?", "", txt).replace(" ", "")
-        out.append((offset + m.start(), offset + m.end(), ident,
-                    has_marker))
-    return out
+class _Phrase:
+    """One stycke qualifier: S value, optional N (punkt) and M
+    (mening), with the link span it should cover."""
+
+    def __init__(self, start, end, s=None):
+        self.start, self.end = start, end
+        self.s, self.n, self.m = s, None, None
+        self.o = None
+
+
+class _Item:
+    """One section reference with qualifier phrases and a trailing
+    punkt chain."""
+
+    def __init__(self, start, end, ident, marker):
+        self.start, self.end = start, end
+        self.ident, self.marker = ident, marker
+        self.phrases = []      # [_Phrase]
+        self.nchain = []       # [(start, end, value)] punkt refs
+        self.direct_n_merged = False
+
+    def link_end(self):
+        if self.direct_n_merged and self.nchain:
+            return self.nchain[0][1]
+        if self.phrases:
+            return self.phrases[0].end
+        return self.end
+
+    def s_context(self):
+        if self.phrases:
+            return self.phrases[-1].s
+        return 1  # bare punkt after a section implies first stycke
+
+
+def _parse_expression(rx, text, pos):
+    """Parse one reference expression.  Returns
+    (groups, law_match, end) with groups = [(kap_tuple|None, [_Item])]
+    or None if no expression starts here."""
+    groups, cur_kap, cur_items = [], None, []
+    law = None
+    end = pos
+    last_item = None
+    words = []        # buffered ordinal words (not yet terminated)
+    committed = pos   # end of the last COMMITTED token
+    pending = []      # bare numbers after separators (N-or-section)
+    crossed_sep = False
+
+    def close_group():
+        nonlocal cur_kap, cur_items
+        if cur_kap or cur_items:
+            groups.append((cur_kap, cur_items))
+        cur_kap, cur_items = None, []
+
+    def flush_pending_as_sections():
+        nonlocal pending, last_item
+        for (s, e, v) in pending:
+            it = _Item(s, e, v, False)
+            cur_items.append(it)
+            last_item = it
+        pending = []
+
+    m = rx.match(text, pos)
+    if not m or _kind(m) not in ("kap", "item", "lawnamed", "lawkand",
+                                 "ordword"):
+        return None
+
+    while m:
+        kind = _kind(m)
+        if kind == "kap":
+            flush_pending_as_sections()
+            close_group()
+            kap_text = m.group("kap")
+            kap_num = re.match(r"\d+(?: ?[a-z](?=\s))?", kap_text).group()
+            cur_kap = (m.start(), m.end(), kap_num.replace(" ", ""))
+            last_item = None
+            committed = end = m.end()
+        elif kind == "item":
+            if words:
+                break  # dangling ordinal words end the expression
+            txt = m.group("item")
+            ident = re.sub(r"\s*§§?", "", txt).replace(" ", "")
+            marker = "§" in txt
+            if marker:
+                flush_pending_as_sections()
+                it = _Item(m.start(), m.end(), ident, marker)
+                cur_items.append(it)
+                last_item = it
+                committed = end = m.end()
+            elif (not crossed_sep and last_item is not None
+                  and not pending and not last_item.nchain
+                  and last_item.link_end() == committed
+                  and _direct_n_ok(text, committed, m.start())):
+                # bare number directly after the item/stycke phrase
+                # (no separator crossed, same line): a punkt (N) ref
+                last_item.nchain.append((m.start(), m.end(), ident))
+                last_item.direct_n_merged = True
+                committed = end = m.end()
+            else:
+                pending.append((m.start(), m.end(), ident))
+                committed = end = m.end()
+        elif kind == "ordword":
+            words.append((m.start(), m.end(),
+                          ORD_WORDS[m.group("ordword")]))
+            end = m.end()
+        elif kind == "momterm":
+            src = None
+            if (last_item is not None and last_item.nchain
+                    and last_item.direct_n_merged):
+                src = last_item.nchain.pop()
+                last_item.direct_n_merged = bool(last_item.nchain)
+            elif pending:
+                src = pending.pop()
+            if src is None or last_item is None:
+                break
+            ph = _Phrase(src[0], m.end(), None)
+            ph.o = int(src[2])
+            last_item.phrases.append(ph)
+            committed = end = m.end()
+            words = []
+        elif kind == "styckterm":
+            if m.group("styckterm") == "st.":
+                # numeric stycke: "18 § 2 st." — the pending/N number
+                # before the term is the stycke ordinal
+                src = None
+                if (last_item is not None and last_item.nchain
+                        and last_item.direct_n_merged):
+                    src = last_item.nchain.pop()
+                    last_item.direct_n_merged = bool(last_item.nchain)
+                elif pending:
+                    src = pending.pop()
+                if src is None or last_item is None:
+                    break
+                ph = _Phrase(src[0], m.end(), int(src[2]))
+                last_item.phrases.append(ph)
+                committed = end = m.end()
+                words = []
+            else:
+                if not words:
+                    break
+                if last_item is None or pending:
+                    # stycke-first reference: pseudo item with no P
+                    flush_pending_as_sections()
+                    it = _Item(words[0][0], words[0][0], None, False)
+                    cur_items.append(it)
+                    last_item = it
+                for i, (ws, we, wv) in enumerate(words):
+                    ph_end = m.end() if i == len(words) - 1 else we
+                    last_item.phrases.append(_Phrase(ws, ph_end, wv))
+                committed = end = m.end()
+                words = []
+        elif kind == "punktterm":
+            if not words or last_item is None:
+                break
+            ph = (last_item.phrases[-1] if last_item.phrases
+                  else None)
+            if ph is None:
+                ph = _Phrase(words[0][0], m.end(), None)
+                last_item.phrases.append(ph)
+            ph.n = words[-1][2]
+            ph.end = m.end()
+            committed = end = m.end()
+            words = []
+        elif kind == "meningterm":
+            if not words or last_item is None or not last_item.phrases:
+                break
+            ph = last_item.phrases[-1]
+            ph.m = words[-1][2]
+            ph.end = m.end()
+            committed = end = m.end()
+            words = []
+        elif kind in ("lawnamed", "lawkand"):
+            if words:
+                break
+            law = m
+            end = m.end()
+            break
+        elif kind == "sep":
+            nxt = _next_tok(rx, text, m.end())
+            if not nxt or _kind(nxt) in ("sep", "styckterm",
+                                         "punktterm", "meningterm"):
+                break
+            if _kind(nxt) == "ordword" and last_item is None:
+                break
+            # a direct-N on a bare section (no stycke phrase) followed
+            # by a bare chain links separately ("7 § 1 eller 2"); with
+            # a stycke phrase the first N stays merged ("tredje
+            # stycket 2, 3 eller 4")
+            if (last_item is not None and last_item.direct_n_merged
+                    and not last_item.phrases
+                    and _kind(nxt) == "item"
+                    and "§" not in nxt.group("item")):
+                last_item.direct_n_merged = False
+            crossed_sep = True
+            m = nxt
+            continue
+        crossed_sep = False
+        m = _next_tok(rx, text, end)
+    close_group()
+    return groups, law, end, pending
+
+
+def _direct_n_ok(text, frm, to):
+    """Direct-N attaches only when on the same line as the phrase."""
+    return "\n" not in text[frm:to]
+
+
+def _next_tok(rx, text, pos):
+    m = _WS.match(text, pos)
+    if m:
+        pos = m.end()
+    return rx.match(text, pos)
 
 
 def scan_legal_refs(text: str, base: str = BASE,
-                    lawlist: dict = KAND_LAWS):
+                    lawlist: dict = KAND_LAWS,
+                    default_law: str = DEFAULT_LAW):
     """Scan text -> segments [("str", text)] / [("link", text, uri)]
     covering the whole input, reference segmentation semantics."""
-    rx = _DEFAULT_RE if lawlist is KAND_LAWS else _full_pattern(lawlist)
+    rx = _DEFAULT_TOK if lawlist is KAND_LAWS else _tok_re(lawlist)
     segments = []
     pos = 0
 
@@ -115,60 +337,161 @@ def scan_legal_refs(text: str, base: str = BASE,
         segments.append(("link", text[start:end], uri))
         pos = end
 
-    for m in rx.finditer(text):
-        kap = m.group("kap")
-        seclist = m.group("seclist")
-        stycke = m.group("stycke")
-        named, sfs, kand = m.group("named"), m.group("sfs"), m.group("kand")
-        if named is not None:
-            anonymous = named in ("lagen", "förordningen")
-            law_sfs = sfs
+    scan_at = 0
+    while scan_at < len(text):
+        m = rx.search(text, scan_at)
+        if not m:
+            break
+        if _kind(m) == "chglaw":
+            emit_link(m.start(), m.end(),
+                      base + default_law + "#L" + m.group("chgsfs"))
+            scan_at = max(m.end(), scan_at + 1)
+            continue
+        if _kind(m) not in ("kap", "item", "lawnamed", "lawkand",
+                            "ordword"):
+            scan_at = m.end()
+            continue
+        parsed = _parse_expression(rx, text, m.start())
+        if not parsed:
+            scan_at = m.end()
+            continue
+        groups, law, expr_end, trailing = parsed
+        n_items = sum(len(items) for _, items in groups)
+        has_anchor = law is not None or any(
+            kap or any(i.marker or i.phrases for i in items)
+            for kap, items in groups)
+        if not has_anchor:
+            scan_at = m.end()
+            continue
+
+        if law is not None:
+            if law.group("lawnamed") is not None:
+                anonymous = law.group("lawnamed") in ANONYMOUS_NAMES
+                law_sfs = law.group("sfs").replace(" ", "_")
+            else:
+                anonymous = False
+                name = law.group("lawkand")
+                key = name[0].lower() + name[1:]
+                if key not in lawlist and key.endswith("s"):
+                    key = key[:-1]
+                law_sfs = lawlist[key]
         else:
             anonymous = False
-            law_sfs = lawlist[kand]
+            law_sfs = default_law
         law_uri = base + law_sfs
 
-        kap_id = kap.replace(" ", "") if kap else None
-        items = (_items(seclist, m.start("seclist")) if seclist else [])
-        st_num = ORD_WORDS[stycke.split()[0]] if stycke else None
-
-        def frag(item_id=None, with_stycke=False):
+        def frag(kap_id, it, ph=None, n_override=None):
             f = ""
             if kap_id:
                 f += "K" + kap_id
-            if item_id:
-                f += "P" + item_id
-            if with_stycke and st_num:
-                f += "S%d" % st_num
+            if it is not None and it.ident:
+                f += "P" + it.ident
+            s = ph.s if ph is not None else None
+            n = n_override if n_override is not None else \
+                (ph.n if ph is not None else None)
+            m_ = ph.m if ph is not None else None
+            if s is None and n is not None and (it is None
+                                                or not it.phrases):
+                s = 1 if it is not None else None
+            if s is not None:
+                f += "S%d" % s
+            if n is not None:
+                f += "N%s" % n
+            if m_ is not None:
+                f += "M%d" % m_
+            if ph is not None and ph.o is not None:
+                f += "O%d" % ph.o
             return ("#" + f) if f else ""
 
-        merged = (not anonymous) and len(items) <= 1
-        if merged:
-            only = items[0][2] if items else None
-            emit_link(m.start(), m.end(),
-                      law_uri + frag(only, with_stycke=True))
+        def item_first_frag(kap_id, it):
+            ph = it.phrases[0] if it.phrases else None
+            if it.direct_n_merged and it.nchain:
+                n = it.nchain[0][2]
+                if ph is not None:
+                    return frag(kap_id, it, ph, n_override=n)
+                # bare N directly after the section: implied S1
+                f = frag(kap_id, it)
+                base_f = f[1:] if f else ""
+                return "#%sS1N%s" % (base_f, n)
+            return frag(kap_id, it, ph)
+
+        def emit_item(kap_id, it, start=None):
+            s = start if start is not None else it.start
+            emit_link(s, it.link_end(), law_uri + item_first_frag(kap_id, it))
+            for ph in it.phrases[1:]:
+                emit_link(ph.start, ph.end, law_uri + frag(kap_id, it, ph))
+            # punkt chain (beyond a merged direct N)
+            chain = it.nchain[1:] if it.direct_n_merged else it.nchain
+            for (cs, ce, cv) in chain:
+                ce2 = ce + 1 if text[ce:ce + 1] == "." else ce
+                sctx = it.s_context()
+                f = ""
+                if kap_id:
+                    f += "K" + kap_id
+                if it.ident:
+                    f += "P" + it.ident
+                if sctx is not None:
+                    f += "S%d" % sctx
+                f += "N%s" % cv
+                emit_link(cs, ce2, law_uri + "#" + f)
+
+        merged_law = (law is not None and not anonymous
+                      and len(groups) == 1 and n_items <= 1 and not trailing
+                      and (not groups or not groups[0][1]
+                           or (len(groups[0][1][0].phrases) <= 1
+                               and not groups[0][1][0].nchain)))
+        if merged_law:
+            kap, items = groups[0] if groups else (None, [])
+            it = items[0] if items else None
+            start = kap[0] if kap else (it.start if it else law.start())
+            ph = it.phrases[0] if it and it.phrases else None
+            emit_link(start, law.end(),
+                      law_uri + frag(kap[2] if kap else None, it, ph))
+            scan_at = max(expr_end, pos, scan_at + 1)
             continue
 
-        # split mode: per-item links, law linked separately
-        rest = items
-        if kap_id and items and items[0][3]:
-            # chapter merges into the first section link when that
-            # section carries its own § marker
-            s, e, ident, _ = items[0]
-            emit_link(m.start("kap"), e, law_uri + frag(ident))
-            rest = items[1:]
-        elif kap_id:
-            emit_link(m.start("kap"),
-                      m.start("kap") + len(kap) + len(" kap."),
-                      law_uri + frag())
-        for s, e, ident, _ in rest:
-            emit_link(s, e, law_uri + frag(ident))
-        if anonymous:
-            # only the SFS number inside the parens is linked
-            emit_link(m.start("sfs"), m.end("sfs"), law_uri)
-            # trailing ")" flows into the following str segment
-        else:
-            start = m.start("named") if named else m.start("kand")
-            emit_link(start, m.end(), law_uri)
+        last_it = None
+        for kap, items in groups:
+            kap_id = kap[2] if kap else None
+            if kap and items and items[0].marker:
+                emit_item(kap_id, items[0], start=kap[0])
+                rest = items[1:]
+            elif kap:
+                emit_link(kap[0], kap[1], law_uri + frag(kap_id, None))
+                rest = items
+            else:
+                rest = items
+            for it in rest:
+                emit_item(kap_id, it)
+            if items:
+                last_it = (kap_id, items[-1])
+
+        # trailing bare numbers: punkt refs in the last item's stycke
+        # context (chains that never met a § marker)
+        if last_it is not None:
+            kap_id, it = last_it
+            for (cs, ce, cv) in trailing:
+                ce2 = ce + 1 if text[ce:ce + 1] == "." else ce
+                sctx = it.s_context()
+                f = ""
+                if kap_id:
+                    f += "K" + kap_id
+                if it.ident:
+                    f += "P" + it.ident
+                if sctx is not None:
+                    f += "S%d" % sctx
+                f += "N%s" % cv
+                emit_link(cs, ce2, law_uri + "#" + f)
+
+        if law is not None:
+            if anonymous:
+                emit_link(law.start("sfs"), law.end("sfs"),
+                          base + law.group("sfs").replace(" ", "_"))
+            else:
+                start = (law.start("lawnamed")
+                         if law.group("lawnamed") is not None
+                         else law.start("lawkand"))
+                emit_link(start, law.end(), law_uri)
+        scan_at = max(expr_end, pos, scan_at + 1)
     emit_str(len(text))
     return segments

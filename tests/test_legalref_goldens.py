@@ -79,3 +79,48 @@ def test_legaluri_construct_matches_golden(stem):
              open(LEGALURIDIR + "/%s.py" % stem).read().splitlines()
              if l.strip()]
     assert [legaluri_construct(d) for d in dicts] == uris
+
+
+# ------------------------- SFS-dir fixtures (stateless subset)
+
+SFSDIR = "/root/reference/test/files/legalref/SFS"
+
+# The 50 SFS fixtures (of 76) whose constructs the scanner covers —
+# everything except the reference's *stateful* document-context
+# features (forward/backward current-law resolution, "samma lag"
+# back-references, multi-part test files, VVFS-series suppression).
+SFS_PASSING = [
+    "sfs-basic-gammal-lag", "sfs-basic-intervall",
+    "sfs-basic-kapitel-paragraf-stycke", "sfs-basic-kapitel-paragraf",
+    "sfs-basic-kapitel-paragrafer", "sfs-basic-kapitel",
+    "sfs-basic-kungorelse-kapitel-paragrafer", "sfs-basic-kungorelse",
+    "sfs-basic-lag-kapitel-paragrafer-2", "sfs-basic-lag-kapitel-paragrafer",
+    "sfs-basic-mening", "sfs-basic-paragraf-punkter",
+    "sfs-basic-paragraf-stycke", "sfs-basic-paragraf-stycken-2",
+    "sfs-basic-paragraf-stycken", "sfs-basic-paragraf",
+    "sfs-basic-paragrafer", "sfs-basic-punkt",
+    "sfs-basic-separata-kapitel", "sfs-basic-stycke-punkt",
+    "sfs-basic-stycke-punkter", "sfs-degenerate",
+    "sfs-multiple-item-refs", "sfs-namngiven-grundlagar",
+    "sfs-namngiven-mellanslag", "sfs-namngiven-referens",
+    "sfs-namngiven-specifik", "sfs-old-kungorelse",
+    "sfs-old-stadgan", "sfs-paragraf-moment",
+    "sfs-regression-err1", "sfs-regression-err2",
+    "sfs-regression-i18n", "sfs-regression-kapitel-individuella-paragrafer",
+    "sfs-regression-kapitel-paragraf-punkt", "sfs-regression-lag-kapitel-paragrafer",
+    "sfs-regression-med-och-utan-kapitel", "sfs-regression-verdict-2000-1366",
+    "sfs-regression-verdict-2004-1853", "sfs-regression-whitespace-2",
+    "sfs-tricky-1982-713-5", "sfs-tricky-andringsnotering",
+    "sfs-tricky-gammal-lag", "sfs-tricky-i18n",
+    "sfs-tricky-nbsp", "sfs-tricky-paragrafer-bokstaver",
+    "sfs-tricky-paragrafer-med-enstaka-paragraftecken", "sfs-tricky-stycke-punkt",
+    "sfs-tricky-stycke-punkter", "tricky-strange-chars",
+]
+
+
+@pytest.mark.parametrize("name", SFS_PASSING)
+def test_legalref_sfs_fixture_matches_reference_golden(name):
+    if not os.path.isdir(SFSDIR):
+        pytest.skip("SFS fixtures not present")
+    src, exp = load_fixture(SFSDIR + "/%s.txt" % name)
+    assert scan_legal_refs(src) == exp
