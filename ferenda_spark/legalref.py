@@ -59,12 +59,12 @@ ORD_WORDS = {"första": 1, "andra": 2, "tredje": 3, "fjärde": 4,
              "nionde": 9, "tionde": 10}
 
 ANONYMOUS_NAMES = ("lagen", "förordningen", "kungörelsen",
-                   "Lagen", "Förordningen", "Kungörelsen",
-                   "Lag", "Förordning", "Kungörelse")
+                   "lag", "förordning", "kungörelse")
 
 _SFS = r"\d{4}:\d+(?: s\. \d+)?"
 _NAME_WORD = (r"(?:[\wåäöé-]*(?:lagen|balken|förordningen|formen"
-              r"|kungörelsen|stadgan)|Lag|Förordning|Kungörelse)")
+              r"|kungörelsen|stadgan)"
+              r"|(?i:lag|förordning|kungörelse))")
 _PRE_NAME = r"(?:[\wåäöé]+-\s+(?:och|eller)\s+)?"
 
 
@@ -76,9 +76,10 @@ def _tok_re(lawlist):
         r"|(?P<chglaw>\b(?:Lag|Förordning)\s+\(\s*(?P<chgsfs>\d{4}:\d+)\s*\)\.)"
         r"|(?P<lawnamed>%s%s)\s*\(\s*(?P<sfs>%s)\s*\)"
         r"|(?P<lawkand>\b(?i:%s)s?\b)"
-        r"|(?P<item>\d+(?: (?:[a-hj-z](?![\wåäö])|i(?=\s*§)))?(?:\s*§§?)?)"
+        r"|(?P<item>\d+(?:\s(?:[a-hj-z](?![\wåäö])|i(?=\s*§)))?(?:\s*§§?)?)"
+        r"|(?P<litem>\b[a-hj-np-z]\b)"
         r"|(?P<ordword>%s)\b"
-        r"|(?P<styckterm>styckena|stycket|st\.)"
+        r"|(?P<styckterm>styckena|stycket|st\.?(?![\wåäö]))"
         r"|(?P<momterm>mom\.)"
         r"|(?P<punktterm>punkterna|punkten)"
         r"|(?P<meningterm>meningarna|meningen)"
@@ -91,8 +92,9 @@ _DEFAULT_TOK = _tok_re(KAND_LAWS)
 
 _WS = re.compile(r"\s+")
 
-_KINDS = ("kap", "chglaw", "lawnamed", "lawkand", "item", "ordword",
-          "styckterm", "momterm", "punktterm", "meningterm", "sep")
+_KINDS = ("kap", "chglaw", "lawnamed", "lawkand", "item", "litem",
+          "ordword", "styckterm", "momterm", "punktterm",
+          "meningterm", "sep")
 
 
 def _kind(m):
@@ -123,8 +125,12 @@ class _Item:
         self.phrases = []      # [_Phrase]
         self.nchain = []       # [(start, end, value)] punkt refs
         self.direct_n_merged = False
+        self.paren_n = False   # "6)" punkt: span keeps the paren
+        self.samma_end = None  # span extension for "samma lag"
 
     def link_end(self):
+        if self.samma_end is not None:
+            return self.samma_end
         if self.direct_n_merged and self.nchain:
             return self.nchain[0][1]
         if self.phrases:
@@ -183,7 +189,7 @@ def _parse_expression(rx, text, pos):
             if words:
                 break  # dangling ordinal words end the expression
             txt = m.group("item")
-            ident = re.sub(r"\s*§§?", "", txt).replace(" ", "")
+            ident = re.sub(r"\s+", "", re.sub(r"\s*§§?", "", txt))
             marker = "§" in txt
             if marker:
                 flush_pending_as_sections()
@@ -197,12 +203,28 @@ def _parse_expression(rx, text, pos):
                   and _direct_n_ok(text, committed, m.start())):
                 # bare number directly after the item/stycke phrase
                 # (no separator crossed, same line): a punkt (N) ref
-                last_item.nchain.append((m.start(), m.end(), ident))
+                n_end = m.end()
+                if text[n_end:n_end + 1] == ")":
+                    n_end += 1
+                    last_item.paren_n = True
+                last_item.nchain.append((m.start(), n_end, ident))
                 last_item.direct_n_merged = True
-                committed = end = m.end()
+                committed = end = n_end
             else:
                 pending.append((m.start(), m.end(), ident))
                 committed = end = m.end()
+        elif kind == "litem":
+            if (not crossed_sep and last_item is not None
+                    and last_item.marker and not pending
+                    and not last_item.nchain and not last_item.phrases
+                    and last_item.link_end() == committed
+                    and _direct_n_ok(text, committed, m.start())):
+                last_item.nchain.append((m.start(), m.end(),
+                                         m.group("litem")))
+                last_item.direct_n_merged = True
+                committed = end = m.end()
+            else:
+                break
         elif kind == "ordword":
             words.append((m.start(), m.end(),
                           ORD_WORDS[m.group("ordword")]))
@@ -223,7 +245,7 @@ def _parse_expression(rx, text, pos):
             committed = end = m.end()
             words = []
         elif kind == "styckterm":
-            if m.group("styckterm") == "st.":
+            if m.group("styckterm") in ("st.", "st"):
                 # numeric stycke: "18 § 2 st." — the pending/N number
                 # before the term is the stycke ordinal
                 src = None
@@ -281,8 +303,10 @@ def _parse_expression(rx, text, pos):
             break
         elif kind == "sep":
             nxt = _next_tok(rx, text, m.end())
-            if not nxt or _kind(nxt) in ("sep", "styckterm",
-                                         "punktterm", "meningterm"):
+            while nxt is not None and _kind(nxt) == "sep":
+                nxt = _next_tok(rx, text, nxt.end())
+            if not nxt or _kind(nxt) in ("styckterm", "punktterm",
+                                         "meningterm"):
                 break
             if _kind(nxt) == "ordword" and last_item is None:
                 break
@@ -300,8 +324,32 @@ def _parse_expression(rx, text, pos):
             continue
         crossed_sep = False
         m = _next_tok(rx, text, end)
+        if m is None and law is None:
+            # the law may follow behind ".", ")" or the preposition
+            # "i" ("32 §§ i lagen (...)", "3 § 7. körkortslagen ...")
+            p2 = end
+            pm = re.match(r"[.)]", text[p2:])
+            if pm:
+                p2 += pm.end()
+            wsm = _WS.match(text, p2)
+            if wsm:
+                p2 = wsm.end()
+            im = re.match(r"i\b", text[p2:])
+            if im:
+                p2 += im.end()
+            nxt = _next_tok(rx, text, p2)
+            if nxt is not None and _kind(nxt) in ("lawnamed",
+                                                  "lawkand"):
+                m = nxt
+    samma_end = None
+    if law is None:
+        sm = re.match(r"\s+samma\s+(?:lag|förordning|balk)\b",
+                      text[end:])
+        if sm:
+            samma_end = end + sm.end()
+            end = samma_end
     close_group()
-    return groups, law, end, pending
+    return groups, law, end, pending, samma_end
 
 
 def _direct_n_ok(text, frm, to):
@@ -321,9 +369,27 @@ def scan_legal_refs(text: str, base: str = BASE,
                     default_law: str = DEFAULT_LAW):
     """Scan text -> segments [("str", text)] / [("link", text, uri)]
     covering the whole input, reference segmentation semantics."""
-    rx = _DEFAULT_TOK if lawlist is KAND_LAWS else _tok_re(lawlist)
+    # two-pass name learning: a law named WITH its SFS number earlier
+    # in the document ("sekretesslagen (1980:100)") makes later BARE
+    # uses of that name resolvable (the reference's dynamic
+    # abbreviation dictionary, legalref.py grammar extension)
+    learned = {}
+    learned_pos = {}
+    named_rx = re.compile(r"(%s%s)\s*\(\s*(%s)\s*\)"
+                          % (_PRE_NAME, _NAME_WORD, _SFS))
+    for nm in named_rx.finditer(text):
+        name = nm.group(1).lower()
+        if name not in ANONYMOUS_NAMES and name not in lawlist:
+            if name not in learned:
+                learned[name] = nm.group(2).replace(" ", "_")
+                learned_pos[name] = nm.end()
+    if learned:
+        lawlist = dict(lawlist, **learned)
+    rx = _DEFAULT_TOK if lawlist is KAND_LAWS and not learned \
+        else _tok_re(lawlist)
     segments = []
     pos = 0
+    last_law = None   # most recent explicitly-referenced law
 
     def emit_str(upto):
         nonlocal pos
@@ -355,7 +421,7 @@ def scan_legal_refs(text: str, base: str = BASE,
         if not parsed:
             scan_at = m.end()
             continue
-        groups, law, expr_end, trailing = parsed
+        groups, law, expr_end, trailing, samma_end = parsed
         n_items = sum(len(items) for _, items in groups)
         has_anchor = law is not None or any(
             kap or any(i.marker or i.phrases for i in items)
@@ -366,19 +432,40 @@ def scan_legal_refs(text: str, base: str = BASE,
 
         if law is not None:
             if law.group("lawnamed") is not None:
-                anonymous = law.group("lawnamed") in ANONYMOUS_NAMES
+                anonymous = (law.group("lawnamed").lower()
+                             in ANONYMOUS_NAMES)
                 law_sfs = law.group("sfs").replace(" ", "_")
             else:
                 anonymous = False
                 name = law.group("lawkand")
-                key = name[0].lower() + name[1:]
+                key = name.lower()
                 if key not in lawlist and key.endswith("s"):
                     key = key[:-1]
+                if key in learned_pos and law.start() < learned_pos[key]:
+                    # a learned name applies only AFTER its defining
+                    # mention; earlier uses stay plain text
+                    scan_at = max(m.end(), scan_at + 1)
+                    continue
                 law_sfs = lawlist[key]
         else:
             anonymous = False
-            law_sfs = default_law
+            if samma_end is not None and last_law is not None:
+                law_sfs = last_law
+                if n_items <= 1:
+                    for _, items in reversed(groups):
+                        if items:
+                            items[-1].samma_end = samma_end
+                            break
+            elif default_law is not None:
+                law_sfs = default_law
+            elif last_law is not None:
+                law_sfs = last_law
+            else:
+                scan_at = max(expr_end, m.end())
+                continue
         law_uri = base + law_sfs
+        if law is not None:
+            last_law = law_sfs
 
         def frag(kap_id, it, ph=None, n_override=None):
             f = ""
@@ -439,14 +526,19 @@ def scan_legal_refs(text: str, base: str = BASE,
                       and len(groups) == 1 and n_items <= 1 and not trailing
                       and (not groups or not groups[0][1]
                            or (len(groups[0][1][0].phrases) <= 1
-                               and not groups[0][1][0].nchain)))
+                               and (not groups[0][1][0].nchain
+                                    or (groups[0][1][0].direct_n_merged
+                                        and not groups[0][1][0].paren_n
+                                        and len(groups[0][1][0].nchain)
+                                        == 1)))))
         if merged_law:
             kap, items = groups[0] if groups else (None, [])
             it = items[0] if items else None
             start = kap[0] if kap else (it.start if it else law.start())
-            ph = it.phrases[0] if it and it.phrases else None
-            emit_link(start, law.end(),
-                      law_uri + frag(kap[2] if kap else None, it, ph))
+            kid = kap[2] if kap else None
+            f = (item_first_frag(kid, it) if it is not None
+                 else frag(kid, None))
+            emit_link(start, law.end(), law_uri + f)
             scan_at = max(expr_end, pos, scan_at + 1)
             continue
 

@@ -16,14 +16,28 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(FIXDIR), reason="reference fixtures not present")
 
 
-def load_fixture(path):
+def load_fixture_parts(path):
+    """(source, expected-segments) pairs; multi-part fixtures separate
+    sections with '---' lines."""
+    import re as _re
     raw = open(path, encoding="iso-8859-1").read()
     idx = raw.index("<list>")
-    src = raw[:idx].rstrip("\n")
-    root = ET.fromstring(raw[idx:raw.index("</list>") + 7])
-    exp = [("str", el.text or "") if el.tag in ("str", "unicode")
-           else ("link", el.text or "", el.get("uri")) for el in root]
-    return src, exp
+    srcs = [x.strip("\n") for x in _re.split(r"\n---\n", raw[:idx])
+            if x.strip()]
+    lists = _re.findall(r"<list>.*?</list>", raw[idx:], _re.S)
+    assert len(srcs) == len(lists), path
+    out = []
+    for src, lx in zip(srcs, lists):
+        root = ET.fromstring(lx)
+        exp = [("str", el.text or "") if el.tag in ("str", "unicode")
+               else ("link", el.text or "", el.get("uri"))
+               for el in root]
+        out.append((src, exp))
+    return out
+
+
+def load_fixture(path):
+    return load_fixture_parts(path)[0]
 
 
 def _fixtures():
@@ -85,36 +99,80 @@ def test_legaluri_construct_matches_golden(stem):
 
 SFSDIR = "/root/reference/test/files/legalref/SFS"
 
-# The 50 SFS fixtures (of 76) whose constructs the scanner covers —
-# everything except the reference's *stateful* document-context
-# features (forward/backward current-law resolution, "samma lag"
-# back-references, multi-part test files, VVFS-series suppression).
+# The SFS fixtures (67 of 76) whose constructs the scanner covers.
+# Out of scope: the series-existence database (sfs-tricky-lag),
+# anvisningar constructs, two fixtures whose goldens contradict the
+# Simple suite's merge behavior (different LegalRef parser configs),
+# extreme-whitespace direct-N merging, and sfs-tricky-vvfs (which the
+# reference's own suite lists as broken, integrationLegalRef.py:133).
 SFS_PASSING = [
-    "sfs-basic-gammal-lag", "sfs-basic-intervall",
-    "sfs-basic-kapitel-paragraf-stycke", "sfs-basic-kapitel-paragraf",
-    "sfs-basic-kapitel-paragrafer", "sfs-basic-kapitel",
-    "sfs-basic-kungorelse-kapitel-paragrafer", "sfs-basic-kungorelse",
-    "sfs-basic-lag-kapitel-paragrafer-2", "sfs-basic-lag-kapitel-paragrafer",
-    "sfs-basic-mening", "sfs-basic-paragraf-punkter",
-    "sfs-basic-paragraf-stycke", "sfs-basic-paragraf-stycken-2",
-    "sfs-basic-paragraf-stycken", "sfs-basic-paragraf",
-    "sfs-basic-paragrafer", "sfs-basic-punkt",
-    "sfs-basic-separata-kapitel", "sfs-basic-stycke-punkt",
-    "sfs-basic-stycke-punkter", "sfs-degenerate",
-    "sfs-multiple-item-refs", "sfs-namngiven-grundlagar",
-    "sfs-namngiven-mellanslag", "sfs-namngiven-referens",
-    "sfs-namngiven-specifik", "sfs-old-kungorelse",
-    "sfs-old-stadgan", "sfs-paragraf-moment",
-    "sfs-regression-err1", "sfs-regression-err2",
-    "sfs-regression-i18n", "sfs-regression-kapitel-individuella-paragrafer",
-    "sfs-regression-kapitel-paragraf-punkt", "sfs-regression-lag-kapitel-paragrafer",
-    "sfs-regression-med-och-utan-kapitel", "sfs-regression-verdict-2000-1366",
-    "sfs-regression-verdict-2004-1853", "sfs-regression-whitespace-2",
-    "sfs-tricky-1982-713-5", "sfs-tricky-andringsnotering",
-    "sfs-tricky-gammal-lag", "sfs-tricky-i18n",
-    "sfs-tricky-nbsp", "sfs-tricky-paragrafer-bokstaver",
-    "sfs-tricky-paragrafer-med-enstaka-paragraftecken", "sfs-tricky-stycke-punkt",
-    "sfs-tricky-stycke-punkter", "tricky-strange-chars",
+    "sfs-basic-gammal-lag",
+    "sfs-basic-intervall",
+    "sfs-basic-kapitel-paragraf-stycke",
+    "sfs-basic-kapitel-paragraf",
+    "sfs-basic-kapitel-paragrafer",
+    "sfs-basic-kapitel",
+    "sfs-basic-kungorelse-kapitel-paragrafer",
+    "sfs-basic-kungorelse",
+    "sfs-basic-lag-kapitel-paragrafer-2",
+    "sfs-basic-lag-kapitel-paragrafer",
+    "sfs-basic-lagar",
+    "sfs-basic-mening",
+    "sfs-basic-paragraf-punkter",
+    "sfs-basic-paragraf-stycke",
+    "sfs-basic-paragraf-stycken-2",
+    "sfs-basic-paragraf-stycken",
+    "sfs-basic-paragraf",
+    "sfs-basic-paragrafer",
+    "sfs-basic-punkt",
+    "sfs-basic-punktlista",
+    "sfs-basic-samma-lag",
+    "sfs-basic-separata-kapitel",
+    "sfs-basic-stycke-punkt",
+    "sfs-basic-stycke-punkter",
+    "sfs-bemyndigande-elsakfs",
+    "sfs-degenerate",
+    "sfs-multiple-item-refs",
+    "sfs-namngiven-grundlagar",
+    "sfs-namngiven-mellanslag",
+    "sfs-namngiven-referens",
+    "sfs-namngiven-specifik",
+    "sfs-nobase-multiple",
+    "sfs-nobase-simple",
+    "sfs-nobase-undefined-forordning",
+    "sfs-nobase-undefined-lag",
+    "sfs-old-kungorelse",
+    "sfs-old-stadgan",
+    "sfs-paragraf-moment",
+    "sfs-regression-err1",
+    "sfs-regression-err2",
+    "sfs-regression-i18n",
+    "sfs-regression-kapitel-individuella-paragrafer",
+    "sfs-regression-kapitel-paragraf-punkt",
+    "sfs-regression-lag-kapitel-paragrafer",
+    "sfs-regression-med-och-utan-kapitel",
+    "sfs-regression-namngiven-lag",
+    "sfs-regression-obestamd-form",
+    "sfs-regression-verdict-2000-1366",
+    "sfs-regression-verdict-2004-1853",
+    "sfs-regression-whitespace-2",
+    "sfs-samma-forordning",
+    "sfs-tricky-1982-713-5",
+    "sfs-tricky-andringsnotering",
+    "sfs-tricky-gammal-lag",
+    "sfs-tricky-i18n",
+    "sfs-tricky-komma-och",
+    "sfs-tricky-nbsp",
+    "sfs-tricky-paragraf-bokstavslista",
+    "sfs-tricky-paragrafer-bokstaver",
+    "sfs-tricky-paragrafer-med-enstaka-paragraftecken",
+    "sfs-tricky-punkt",
+    "sfs-tricky-radbryning-i-hanvisning",
+    "sfs-tricky-sammalag",
+    "sfs-tricky-stycke-forkortning",
+    "sfs-tricky-stycke-punkt",
+    "sfs-tricky-stycke-punkter",
+    "tricky-strange-chars",
 ]
 
 
@@ -122,5 +180,6 @@ SFS_PASSING = [
 def test_legalref_sfs_fixture_matches_reference_golden(name):
     if not os.path.isdir(SFSDIR):
         pytest.skip("SFS fixtures not present")
-    src, exp = load_fixture(SFSDIR + "/%s.txt" % name)
-    assert scan_legal_refs(src) == exp
+    kw = {"default_law": None} if "nobase" in name else {}
+    for src, exp in load_fixture_parts(SFSDIR + "/%s.txt" % name):
+        assert scan_legal_refs(src, **kw) == exp
