@@ -587,3 +587,301 @@ def scan_legal_refs(text: str, base: str = BASE,
         scan_at = max(expr_end, pos, scan_at + 1)
     emit_str(len(text))
     return segments
+
+
+# ---------------------------------------------------------- case law (DV)
+# Court-decision references (the reference's RATTSFALL grammar,
+# legalref.py; golden-checked vs test/files/legalref/DV/*):
+#   AD 2008 nr 28 / AD 2006-73 / MD 2007-18 / MÖD 2000: 48 -> slug/year:num
+#   NJA 1998 s. 14 -> nja/1998s14 (page series; the plain colon form
+#   "NJA 2003:16" is NOT a valid citation)
+#   HFD 2013 not. 3 / RÅ 1999 not 421 -> slug/year/not/num
+
+_COURTS = ("NJA", "HFD", "RÅ", "MIG", "MÖD", "MD", "AD", "RH")
+
+_CASELAW_RE = re.compile(
+    r"\b(?P<court>%s)\s+(?P<year>\d{4})\s*"
+    r"(?:(?P<notform>not\.?\s*(?P<notnum>\d+))"
+    r"|(?P<pageform>s\.\s*(?P<page>\d+))"
+    r"|(?:-?nr\s*|ref\.\s*|-|\s?:\s*)(?P<num>\d+))"
+    % "|".join(_COURTS))
+
+_COURT_SLUG = {"RÅ": "ra", "MÖD": "mod"}
+
+
+def scan_caselaw(text: str, base: str = BASE):
+    """Segments for court-decision citations (str/link covering the
+    whole input)."""
+    segments, pos = [], 0
+    for m in _CASELAW_RE.finditer(text):
+        court = m.group("court")
+        slug = _COURT_SLUG.get(court, court.lower())
+        if m.group("notform"):
+            uri = "%sdom/%s/%s/not/%s" % (base, slug, m.group("year"),
+                                          m.group("notnum"))
+        elif m.group("pageform"):
+            if court != "NJA":
+                continue
+            uri = "%sdom/nja/%ss%s" % (base, m.group("year"),
+                                       m.group("page"))
+        else:
+            if court == "NJA":
+                continue  # plain colon form invalid for NJA
+            uri = "%sdom/%s/%s:%s" % (base, slug, m.group("year"),
+                                      m.group("num"))
+        if m.start() > pos:
+            segments.append(("str", text[pos:m.start()]))
+        segments.append(("link", text[m.start():m.end()], uri))
+        pos = m.end()
+    if pos < len(text):
+        segments.append(("str", text[pos:]))
+    return segments
+
+
+# ------------------------------------------------- agency decisions (Avg)
+# Docket-number (diarienummer) references after a marker word
+# (the MYNDIGHETSBESLUT grammar; goldens test/files/legalref/Avg/*).
+# Authority inferred from the dnr shape: three groups -> JK
+# (NNNN-NN-NN); year-first -> ARN; year-last -> JO.
+
+_DNR_RE = re.compile(r"\d{3,4}-\d{2,4}(?:-\d{2})?")
+_AVG_MARKER_RE = re.compile(
+    r"(?:\bdnr\s+|\bänr\s+|\bärende\s+nr\s+|;\s+)")
+
+
+def _dnr_authority(dnr: str):
+    parts = dnr.split("-")
+    if len(parts) == 3:
+        # a plain date (YYYY-MM-DD) is not a docket number
+        if (len(parts[0]) == 4 and parts[0][:2] in ("19", "20")
+                and int(parts[1]) <= 12 and int(parts[2]) <= 31):
+            return None
+        return "jk"
+    if len(parts[0]) == 4 and parts[0][:2] in ("19", "20"):
+        return "arn"
+    if len(parts[1]) == 4 and parts[1][:2] in ("19", "20"):
+        return "jo"
+    return None
+
+
+def scan_avg(text: str, base: str = BASE):
+    """Segments for agency-decision (dnr) citations."""
+    segments, pos = [], 0
+    scan_at = 0
+    while True:
+        mk = _AVG_MARKER_RE.search(text, scan_at)
+        if not mk:
+            break
+        p = mk.end()
+        auth = None
+        while True:
+            dm = _DNR_RE.match(text, p)
+            if not dm:
+                break
+            a = _dnr_authority(dm.group())
+            if a is None or (auth is not None and a != auth):
+                break
+            auth = a
+            str_end = dm.start()
+            if mk.group().startswith("ärende") and p == mk.end():
+                str_end = mk.start() + len("i ") \
+                    if text[mk.start() - 2:mk.start()] == "i " \
+                    else mk.start()
+                str_end = mk.start()
+            if str_end > pos:
+                segments.append(("str", text[pos:str_end]))
+            segments.append(("link", dm.group(),
+                             "%savg/%s/%s" % (base, a, dm.group())))
+            pos = dm.end()
+            cm = re.match(r"(?:,\s+|\s+och\s+)", text[pos:])
+            if not cm:
+                break
+            p = pos + cm.end()
+        scan_at = max(mk.end(), pos)
+    if pos < len(text):
+        segments.append(("str", text[pos:]))
+    return segments
+
+
+# Uppercase statute abbreviations (the KORTLAGRUM parser config —
+# enabled by passing this as extra lawlist entries, mirroring the
+# reference's separate LegalRef(LAGRUM, KORTLAGRUM, ...) instance)
+SHORT_ABBREVS = {
+    "rf": "1974:152", "tf": "1949:105", "ygl": "1991:1469",
+    "brb": "1962:700", "rb": "1942:740", "jb": "1970:994",
+    "mb": "1998:808", "fb": "1949:381", "äktb": "1987:230",
+    "ub": "1981:774", "osl": "2009:400", "pul": "1998:204",
+    "las": "1982:80", "mbl": "1976:580", "äb": "1958:637",
+}
+
+
+# -------------------------------------------- preparatory works (Regpubl)
+# Prop./bet./rskr./SOU/Ds references with page fragments and page
+# chains, "a. prop." back-references, avsnitt (section) references
+# against a supplied base context, and CELEX numbers
+# (the FORARBETEN grammar; goldens test/files/legalref/Regpubl/*).
+
+_PUB_RE = re.compile(
+    r"(?P<prop>[Pp]rop\.\s*(?P<py>\d{4}/\d{2}):(?P<pn>\d+))"
+    r"|(?P<bet>bet\.\s*(?P<by>\d{4}/\d{2}):(?P<bn>[A-Za-z]*\d+[A-Za-z]*\d*))"
+    r"|(?P<rskr>rskr\.\s*(?P<ry>\d{4}/\d{2}):(?P<rn>\d+))"
+    r"|(?P<sou>SOU\s+(?P<sy>\d{4}):(?P<sn>\d+))"
+    r"|(?P<ds>Ds\s+(?P<dy>\d{4}):(?P<dn>\d+))"
+    r"|(?P<aprop>a\.\s*prop\.)"
+    r"|(?P<celex>\b3(?:\d{4}|\d{2})[LR]\d{4}\b)"
+    r"|(?P<avsnitt>avsnitt\s+(?P<av>\d+(?:\.\d+)*))")
+
+_PAGE_RE = re.compile(r",?\s*s\.\s*(?P<page>\d+)")
+_CHAINSEP_RE = re.compile(r"(?:\s*-\s*|,\s+|\s+och\s+)")
+_BETANKANDE_RE = re.compile(r"\s+i\s+kommitténs\s+betänkande")
+
+
+def scan_forarbeten(text: str, base: str = BASE, base_ctx: dict = None):
+    """Segments for preparatory-work references.  ``base_ctx`` is the
+    document context for avsnitt references: {'year', 'no',
+    'kommittensbetankande'} of the containing proposition."""
+    segments, pos = [], 0
+    last_pub = None   # uri of the most recent publication
+
+    def emit(start, end, uri):
+        nonlocal pos
+        if start > pos:
+            segments.append(("str", text[pos:start]))
+        segments.append(("link", text[start:end], uri))
+        pos = end
+
+    def page_chain(p, uri):
+        """page chains after a #sid link: '-121, 141-142' / 'och 62'"""
+        while True:
+            cm = _CHAINSEP_RE.match(text, p)
+            if not cm:
+                return p
+            nm = re.match(r"\d+", text[cm.end():])
+            if not nm:
+                return p
+            s = cm.end()
+            emit(s, s + nm.end(), uri + "#sid" + nm.group())
+            p = s + nm.end()
+
+    m = _PUB_RE.search(text)
+    while m:
+        start, end = m.start(), m.end()
+        if m.group("celex"):
+            num = m.group("celex")
+            if len(num) == 8:  # short form 392L0100 -> 31992L0100
+                num = num[0] + "19" + num[1:]
+            emit(start, end, base + "ext/celex/" + num)
+        elif m.group("avsnitt"):
+            # chain of section numbers; a trailing "i kommitténs
+            # betänkande" retargets the WHOLE chain to the betänkande
+            items = [(start, end, m.group("av"))]
+            p = end
+            while True:
+                cm = _CHAINSEP_RE.match(text, p)
+                if not cm:
+                    break
+                nm = re.match(r"\d+(?:\.\d+)*", text[cm.end():])
+                if not nm:
+                    break
+                items.append((cm.end(), cm.end() + nm.end(), nm.group()))
+                p = cm.end() + nm.end()
+            bm = _BETANKANDE_RE.match(text, p)
+            if base_ctx:
+                if bm:
+                    target = (base + "utr/sou/"
+                              + base_ctx["kommittensbetankande"])
+                    items[-1] = (items[-1][0], bm.end(), items[-1][2])
+                    p = bm.end()
+                else:
+                    target = (base + "prop/%s:%s"
+                              % (base_ctx["year"], base_ctx["no"]))
+                for (s, e, num) in items:
+                    emit(s, e, target + "#S" + num.replace(".", "-"))
+        elif m.group("aprop"):
+            # "a. prop. s. 51": page of the last-referenced prop
+            pm = _PAGE_RE.match(text, end)
+            if pm and last_pub:
+                emit(start, pm.end(), last_pub + "#sid"
+                     + pm.group("page"))
+                page_chain(pm.end(), last_pub)
+        else:
+            if m.group("prop"):
+                uri = base + "prop/%s:%s" % (m.group("py"), m.group("pn"))
+            elif m.group("bet"):
+                uri = base + "bet/%s:%s" % (m.group("by"), m.group("bn"))
+            elif m.group("rskr"):
+                uri = base + "rskr/%s:%s" % (m.group("ry"), m.group("rn"))
+            elif m.group("sou"):
+                uri = base + "utr/sou/%s:%s" % (m.group("sy"),
+                                                m.group("sn"))
+            else:
+                uri = base + "utr/ds/%s:%s" % (m.group("dy"),
+                                               m.group("dn"))
+            last_pub = uri
+            pm = _PAGE_RE.match(text, end)
+            if pm:
+                emit(start, pm.end(), uri + "#sid" + pm.group("page"))
+                page_chain(pm.end(), uri)
+            else:
+                emit(start, end, uri)
+        m = _PUB_RE.search(text, max(pos, m.end()))
+    if pos < len(text):
+        segments.append(("str", text[pos:]))
+    return segments
+
+
+# ----------------------------------------------------- EU law (EGLag)
+# Directive/regulation references with CELEX minting and article
+# fragments (the EULAGSTIFTNING grammar; goldens
+# test/files/legalref/EGLag/*).
+
+_EG_MONTHS = ("januari|februari|mars|april|maj|juni|juli|augusti"
+              "|september|oktober|november|december")
+_EG_DIRNUM = r"(?P<dy>\d{2,4})/(?P<dn>\d+)/E?EG"
+_EG_REGNUM = r"\(E?EG\)\s+nr\s+(?P<rn>\d+)/(?P<ry>\d{2,4})"
+_EG_ACT_RE = re.compile(
+    r"(?:artikel\s+(?P<art>\d+(?:\.\d+)?)\s+i\s+)?"
+    r"(?:Europaparlamentets\s+och\s+rådets|rådets|kommissionens)\s+"
+    r"(?:direktiv|förordning)\s+(?:%s|%s)"
+    r"(?:\s+av\s+den\s+\d{1,2}\s+(?:%s)\s+\d{4})?"
+    % (_EG_DIRNUM, _EG_REGNUM, _EG_MONTHS))
+_EG_BARENUM_RE = re.compile(r"\b(?P<y>\d{2,4})/(?P<n>\d+)/E?EG\b")
+
+
+def _celex(year: str, num: str, kind: str) -> str:
+    if len(year) == 2:
+        year = "19" + year
+    return "3%s%s%04d" % (year, kind, int(num))
+
+
+def scan_eglag(text: str, base: str = BASE):
+    """Segments for EU directive/regulation citations."""
+    links = []
+    for m in _EG_ACT_RE.finditer(text):
+        if m.group("dy"):
+            celex = _celex(m.group("dy"), m.group("dn"), "L")
+        else:
+            celex = _celex(m.group("ry"), m.group("rn"), "R")
+        uri = base + "ext/celex/" + celex
+        if m.group("art"):
+            uri += "#" + m.group("art")
+        links.append((m.start(), m.end(), uri))
+    covered = [(s, e) for s, e, _ in links]
+    for m in _EG_BARENUM_RE.finditer(text):
+        if any(s <= m.start() < e for s, e in covered):
+            continue
+        uri = base + "ext/celex/" + _celex(m.group("y"), m.group("n"),
+                                           "L")
+        links.append((m.start(), m.end(), uri))
+    links.sort()
+    segments, pos = [], 0
+    for s, e, uri in links:
+        if s < pos:
+            continue
+        if s > pos:
+            segments.append(("str", text[pos:s]))
+        segments.append(("link", text[s:e], uri))
+        pos = e
+    if pos < len(text):
+        segments.append(("str", text[pos:]))
+    return segments

@@ -183,3 +183,78 @@ def test_legalref_sfs_fixture_matches_reference_golden(name):
     kw = {"default_law": None} if "nobase" in name else {}
     for src, exp in load_fixture_parts(SFSDIR + "/%s.txt" % name):
         assert scan_legal_refs(src, **kw) == exp
+
+
+# ----------------- other reference families (DV/Avg/Short/Regpubl/EGLag)
+
+LEGALREF_ROOT = "/root/reference/test/files/legalref"
+
+
+def _family(dirname):
+    d = os.path.join(LEGALREF_ROOT, dirname)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.basename(f)[:-4]
+                  for f in glob.glob(d + "/*.txt"))
+
+
+def _load_with_ctx(path):
+    import ast
+    parts = load_fixture_parts(path)
+    out = []
+    for src, exp in parts:
+        ctx = None
+        if src.startswith("BASE:"):
+            line, src = src.split("\n", 1)
+            ctx = ast.literal_eval(line[5:])
+        out.append((src, ctx, exp))
+    return out
+
+
+@pytest.mark.parametrize("name", _family("DV"))
+def test_caselaw_fixture_matches_golden(name):
+    """RATTSFALL grammar (court decisions incl. malformed in-the-wild
+    forms) — all 7 DV fixtures exact."""
+    from ferenda_spark.legalref import scan_caselaw
+    for src, _, exp in _load_with_ctx(LEGALREF_ROOT + "/DV/%s.txt" % name):
+        assert scan_caselaw(src) == exp
+
+
+@pytest.mark.parametrize("name", _family("Avg"))
+def test_avg_fixture_matches_golden(name):
+    """MYNDIGHETSBESLUT grammar (agency docket numbers; authority
+    inferred from dnr shape) — all 8 Avg fixtures exact."""
+    from ferenda_spark.legalref import scan_avg
+    for src, _, exp in _load_with_ctx(LEGALREF_ROOT + "/Avg/%s.txt" % name):
+        assert scan_avg(src) == exp
+
+
+@pytest.mark.parametrize("name", _family("Short"))
+def test_short_abbrev_fixture_matches_golden(name):
+    """KORTLAGRUM config: uppercase statute abbreviations as an extra
+    lawlist (separate parser config, like the reference's)."""
+    from ferenda_spark.legalref import (KAND_LAWS, SHORT_ABBREVS,
+                                        scan_legal_refs)
+    for src, _, exp in _load_with_ctx(LEGALREF_ROOT + "/Short/%s.txt"
+                                      % name):
+        assert scan_legal_refs(
+            src, lawlist=dict(KAND_LAWS, **SHORT_ABBREVS)) == exp
+
+
+@pytest.mark.parametrize("name", _family("Regpubl"))
+def test_forarbeten_fixture_matches_golden(name):
+    """FORARBETEN grammar (prop/bet/rskr/SOU/Ds, page chains,
+    'a. prop.' back-refs, avsnitt context, CELEX) — all 8 exact."""
+    from ferenda_spark.legalref import scan_forarbeten
+    for src, ctx, exp in _load_with_ctx(LEGALREF_ROOT + "/Regpubl/%s.txt"
+                                        % name):
+        assert scan_forarbeten(src, base_ctx=ctx) == exp
+
+
+@pytest.mark.parametrize("name", _family("EGLag"))
+def test_eglag_fixture_matches_golden(name):
+    """EU-legislation grammar with CELEX minting — all 6 exact."""
+    from ferenda_spark.legalref import scan_eglag
+    for src, _, exp in _load_with_ctx(LEGALREF_ROOT + "/EGLag/%s.txt"
+                                      % name):
+        assert scan_eglag(src) == exp
