@@ -564,6 +564,30 @@ def _q_dedup_embedding(spark, sf_dir):
                                 threshold=0.35, n_bits=4)
 
 
+def _q_legal_mentions(spark, sf_dir):
+    """T8 through Spark over the reference's own legalref fixture
+    texts (read-only; rows-only driver check — the exact goldens are
+    asserted in tests/test_legalref_goldens.py).  Falls back to a
+    small built-in corpus when the reference checkout is absent."""
+    import glob as _glob
+    import os as _os
+    from ferenda_spark.operators.extract import legal_mentions
+    rows = []
+    root = "/root/reference/test/files/legalref"
+    if _os.path.isdir(root):
+        for d in ("Simple", "SFS", "DV", "Avg", "Regpubl", "EGLag"):
+            for f in sorted(_glob.glob("%s/%s/*.txt" % (root, d))):
+                raw = open(f, encoding="iso-8859-1").read()
+                src = raw.split("<list>")[0].rstrip("\n")
+                rows.append(("fixture://%s/%s" % (d, _os.path.basename(f)),
+                             src))
+    if not rows:
+        rows = [("mem://1", "enligt 12 § delgivningslagen (1970:428)"),
+                ("mem://2", "se NJA 1998 s. 14")]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    return legal_mentions(docs)
+
+
 def _q_annotations(spark, sf_dir):
     """J3 complete: per-doc annotation record (parts closure +
     part-emitted references) that generate() consumes."""
@@ -632,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_stats_cube": _q_stats_cube,
         "dedup_embedding": _q_dedup_embedding,
         "kg_annotations": _q_annotations,
+        "kg_legal_mentions": _q_legal_mentions,
     }
 
 

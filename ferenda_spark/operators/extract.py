@@ -70,29 +70,37 @@ def extract_pages(pages: DataFrame) -> DataFrame:
             .mapInPandas(_parse_batches, schema=PARSED_SCHEMA))
 
 
-LEGAL_MENTIONS_SCHEMA = ("url string, start int, end int, "
-                         "anchor string, target_uri string")
+LEGAL_MENTIONS_SCHEMA = ("url string, kind string, start int, "
+                         "end int, anchor string, target_uri string")
+
+
+LEGAL_SCANNERS = ("sfs", "caselaw", "avg", "forarbeten", "eglag")
 
 
 def _legal_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..legalref import scan_legal_refs
+    from .. import legalref as L
+    scanners = {"sfs": L.scan_legal_refs, "caselaw": L.scan_caselaw,
+                "avg": L.scan_avg, "forarbeten": L.scan_forarbeten,
+                "eglag": L.scan_eglag}
     for pdf in it:
         rows = []
         for url, text in zip(pdf["url"], pdf["text"]):
-            pos = 0
-            for seg in scan_legal_refs(text or ""):
-                if seg[0] == "link":
-                    rows.append((url, pos, pos + len(seg[1]), seg[1],
-                                 seg[2]))
-                pos += len(seg[1])
-        yield pd.DataFrame(rows, columns=["url", "start", "end",
+            for kind, fn in scanners.items():
+                pos = 0
+                for seg in fn(text or ""):
+                    if seg[0] == "link":
+                        rows.append((url, kind, pos, pos + len(seg[1]),
+                                     seg[1], seg[2]))
+                    pos += len(seg[1])
+        yield pd.DataFrame(rows, columns=["url", "kind", "start", "end",
                                           "anchor", "target_uri"])
 
 
 def legal_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """T8 as a Spark stage: legal-reference mention rows
-    (url, start, end, anchor, target_uri) via the Arrow-batched
-    scanner; the law-name dictionary ships inside the UDF (broadcast
-    analogue).  No shuffle."""
+    (url, kind, start, end, anchor, target_uri) from ALL grammar
+    families (statutes, case law, agency decisions, preparatory
+    works, EU law) via the Arrow-batched scanners; dictionaries ship
+    inside the UDF (broadcast analogue).  No shuffle."""
     return (docs.select("url", F.col(text_col).alias("text"))
             .mapInPandas(_legal_batches, schema=LEGAL_MENTIONS_SCHEMA))

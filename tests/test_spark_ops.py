@@ -250,10 +250,17 @@ def test_legal_mentions_distributed(spark):
          ("u2", "flyttas till brottsbalken."),
          ("u3", "ingen referens här")],
         "url string, text string")
-    got = {(r.url, r.anchor, r.target_uri)
-           for r in legal_mentions(docs).collect()}
+    docs2 = docs.union(spark.createDataFrame(
+        [("u4", "se NJA 1998 s. 14 samt prop. 2002/03:12 s. 51")],
+        "url string, text string"))
+    got = {(r.url, r.kind, r.anchor, r.target_uri)
+           for r in legal_mentions(docs2).collect()}
     assert got == {
-        ("u1", "12 § delgivningslagen (1970:428)",
+        ("u1", "sfs", "12 § delgivningslagen (1970:428)",
          "https://lagen.nu/1970:428#P12"),
-        ("u2", "brottsbalken", "https://lagen.nu/1962:700"),
+        ("u2", "sfs", "brottsbalken", "https://lagen.nu/1962:700"),
+        ("u4", "caselaw", "NJA 1998 s. 14",
+         "https://lagen.nu/dom/nja/1998s14"),
+        ("u4", "forarbeten", "prop. 2002/03:12 s. 51",
+         "https://lagen.nu/prop/2002/03:12#sid51"),
     }
