@@ -4,7 +4,7 @@ reference's LegalRef parser for the SFS (statute) reference family
 (sources/legal/se/legalref.py:64-1449), golden-checked against the
 reference's own fixtures: `test/files/legalref/Simple/*` (12/12
 exact) and the stateless subset of `test/files/legalref/SFS/*`
-(see tests for the pinned list).
+(69/76; see tests for the pinned list).
 
 Recognized shapes, with the reference's exact segmentation (which
 characters each emitted link spans):
@@ -52,11 +52,15 @@ KAND_LAWS = {
     "utsökningsbalken": "1981:774",
     "socialförsäkringsbalken": "2010:110",
     "räntelagen": "1975:635",
+    "upphovsrättslagen": "1960:729",
+    "körkortsförordningen": "1998:980",
 }
 
 ORD_WORDS = {"första": 1, "andra": 2, "tredje": 3, "fjärde": 4,
              "femte": 5, "sjätte": 6, "sjunde": 7, "åttonde": 8,
              "nionde": 9, "tionde": 10}
+
+SHORT_ABBREVS_SENTINEL = frozenset()  # placeholder; static dicts below
 
 ANONYMOUS_NAMES = ("lagen", "förordningen", "kungörelsen",
                    "lag", "förordning", "kungörelse")
@@ -76,6 +80,7 @@ def _tok_re(lawlist):
         r"|(?P<chglaw>\b(?:Lag|Förordning)\s+\(\s*(?P<chgsfs>\d{4}:\d+)\s*\)\.)"
         r"|(?P<lawnamed>%s%s)\s*\(\s*(?P<sfs>%s)\s*\)"
         r"|(?P<lawkand>\b(?i:%s)s?\b)"
+        r"|(?P<parensfs>\(\s*(?P<psfs>\d{4}:\d+)\s*\))"
         r"|(?P<item>\d+(?:\s(?:[a-hj-z](?![\wåäö])|i(?=\s*§)))?(?:\s*§§?)?)"
         r"|(?P<litem>\b[a-hj-np-z]\b)"
         r"|(?P<ordword>%s)\b"
@@ -92,8 +97,8 @@ _DEFAULT_TOK = _tok_re(KAND_LAWS)
 
 _WS = re.compile(r"\s+")
 
-_KINDS = ("kap", "chglaw", "lawnamed", "lawkand", "item", "litem",
-          "ordword", "styckterm", "momterm", "punktterm",
+_KINDS = ("kap", "chglaw", "lawnamed", "lawkand", "parensfs", "item",
+          "litem", "ordword", "styckterm", "momterm", "punktterm",
           "meningterm", "sep")
 
 
@@ -295,6 +300,8 @@ def _parse_expression(rx, text, pos):
             ph.end = m.end()
             committed = end = m.end()
             words = []
+        elif kind == "parensfs":
+            break
         elif kind in ("lawnamed", "lawkand"):
             if words:
                 break
@@ -366,25 +373,50 @@ def _next_tok(rx, text, pos):
 
 def scan_legal_refs(text: str, base: str = BASE,
                     lawlist: dict = KAND_LAWS,
-                    default_law: str = DEFAULT_LAW):
+                    default_law: str = DEFAULT_LAW,
+                    state: dict = None):
     """Scan text -> segments [("str", text)] / [("link", text, uri)]
-    covering the whole input, reference segmentation semantics."""
+    covering the whole input, reference segmentation semantics.
+
+    ``state`` (optional, mutated) carries document context across
+    calls — the learned law-name dictionary — so multi-part documents
+    resolve names defined in earlier parts (the reference reuses one
+    parser instance per document)."""
     # two-pass name learning: a law named WITH its SFS number earlier
     # in the document ("sekretesslagen (1980:100)") makes later BARE
     # uses of that name resolvable (the reference's dynamic
     # abbreviation dictionary, legalref.py grammar extension)
-    learned = {}
-    learned_pos = {}
+    carried = dict(state.get("learned", {})) if state else {}
+    # in-text definitions: ordered (end_pos, name, sfs); resolution at
+    # position p uses the latest definition before p, else the carried
+    # dict (latest-wins, forward-only — matching the reference's
+    # single reused parser instance)
+    defs = []
     named_rx = re.compile(r"(%s%s)\s*\(\s*(%s)\s*\)"
                           % (_PRE_NAME, _NAME_WORD, _SFS))
     for nm in named_rx.finditer(text):
         name = nm.group(1).lower()
         if name not in ANONYMOUS_NAMES and name not in lawlist:
-            if name not in learned:
-                learned[name] = nm.group(2).replace(" ", "_")
-                learned_pos[name] = nm.end()
+            defs.append((nm.end(), name, nm.group(2).replace(" ", "_")))
+    learned = {name: sfs for _, name, sfs in defs}
+    learned.update({k: v for k, v in carried.items()
+                    if k not in learned})
     if learned:
         lawlist = dict(lawlist, **learned)
+    if state is not None:
+        st_learned = state.setdefault("learned", {})
+        for _, name, sfs in defs:
+            st_learned[name] = sfs
+
+    def resolve_learned(name, pos):
+        best = None
+        for (e, n, sfs) in defs:
+            if n == name and e <= pos:
+                best = sfs
+        if best is not None:
+            return best
+        return carried.get(name)
+
     rx = _DEFAULT_TOK if lawlist is KAND_LAWS and not learned \
         else _tok_re(lawlist)
     segments = []
@@ -408,6 +440,11 @@ def scan_legal_refs(text: str, base: str = BASE,
         m = rx.search(text, scan_at)
         if not m:
             break
+        if _kind(m) == "parensfs":
+            emit_link(m.start("psfs"), m.end("psfs"),
+                      base + m.group("psfs"))
+            scan_at = max(m.end(), scan_at + 1)
+            continue
         if _kind(m) == "chglaw":
             emit_link(m.start(), m.end(),
                       base + default_law + "#L" + m.group("chgsfs"))
@@ -422,6 +459,15 @@ def scan_legal_refs(text: str, base: str = BASE,
             scan_at = m.end()
             continue
         groups, law, expr_end, trailing, samma_end = parsed
+        if law is None:
+            # a reference directly followed by an UNKNOWN law-shaped
+            # name is no reference at all (the reference's grammar
+            # fails the whole expression): "23 § okändalagen."
+            um = re.match(r"\s+(%s)" % _NAME_WORD, text[expr_end:])
+            if um and um.group(1).lower() not in ANONYMOUS_NAMES \
+                    and um.group(1).lower() not in lawlist:
+                scan_at = max(expr_end + um.end(), m.end())
+                continue
         n_items = sum(len(items) for _, items in groups)
         has_anchor = law is not None or any(
             kap or any(i.marker or i.phrases for i in items)
@@ -441,12 +487,17 @@ def scan_legal_refs(text: str, base: str = BASE,
                 key = name.lower()
                 if key not in lawlist and key.endswith("s"):
                     key = key[:-1]
-                if key in learned_pos and law.start() < learned_pos[key]:
-                    # a learned name applies only AFTER its defining
-                    # mention; earlier uses stay plain text
-                    scan_at = max(m.end(), scan_at + 1)
-                    continue
-                law_sfs = lawlist[key]
+                if key in learned and key not in KAND_LAWS \
+                        and key not in SHORT_ABBREVS_SENTINEL:
+                    got = resolve_learned(key, law.start())
+                    if got is None:
+                        # a learned name applies only AFTER a defining
+                        # mention; earlier uses stay plain text
+                        scan_at = max(m.end(), scan_at + 1)
+                        continue
+                    law_sfs = got
+                else:
+                    law_sfs = lawlist[key]
         else:
             anonymous = False
             if samma_end is not None and last_law is not None:

@@ -99,12 +99,14 @@ def test_legaluri_construct_matches_golden(stem):
 
 SFSDIR = "/root/reference/test/files/legalref/SFS"
 
-# The SFS fixtures (67 of 76) whose constructs the scanner covers.
-# Out of scope: the series-existence database (sfs-tricky-lag),
-# anvisningar constructs, two fixtures whose goldens contradict the
-# Simple suite's merge behavior (different LegalRef parser configs),
-# extreme-whitespace direct-N merging, and sfs-tricky-vvfs (which the
-# reference's own suite lists as broken, integrationLegalRef.py:133).
+# The SFS fixtures (69 of 76) whose constructs the scanner covers,
+# run with a shared document state (learned law names carry across
+# parts; a RESET: part gets fresh state, a NOBASE: fixture runs with
+# default_law=None).  Out of scope: the anvisningar construct, two
+# fixtures whose goldens contradict the Simple suite's merge behavior
+# (different LegalRef parser configs), extreme-whitespace direct-N
+# merging, and sfs-tricky-vvfs (which the reference's own suite lists
+# as broken, integrationLegalRef.py:133).
 SFS_PASSING = [
     "sfs-basic-gammal-lag",
     "sfs-basic-intervall",
@@ -133,6 +135,7 @@ SFS_PASSING = [
     "sfs-bemyndigande-elsakfs",
     "sfs-degenerate",
     "sfs-multiple-item-refs",
+    "sfs-namngiven-avancerad",
     "sfs-namngiven-grundlagar",
     "sfs-namngiven-mellanslag",
     "sfs-namngiven-referens",
@@ -162,6 +165,7 @@ SFS_PASSING = [
     "sfs-tricky-gammal-lag",
     "sfs-tricky-i18n",
     "sfs-tricky-komma-och",
+    "sfs-tricky-lag",
     "sfs-tricky-nbsp",
     "sfs-tricky-paragraf-bokstavslista",
     "sfs-tricky-paragrafer-bokstaver",
@@ -181,8 +185,11 @@ def test_legalref_sfs_fixture_matches_reference_golden(name):
     if not os.path.isdir(SFSDIR):
         pytest.skip("SFS fixtures not present")
     kw = {"default_law": None} if "nobase" in name else {}
+    state = {}
     for src, exp in load_fixture_parts(SFSDIR + "/%s.txt" % name):
-        assert scan_legal_refs(src, **kw) == exp
+        if src.startswith("RESET:"):
+            state = {}
+        assert scan_legal_refs(src, state=state, **kw) == exp
 
 
 # ----------------- other reference families (DV/Avg/Short/Regpubl/EGLag)
