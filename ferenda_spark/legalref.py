@@ -4,7 +4,7 @@ reference's LegalRef parser for the SFS (statute) reference family
 (sources/legal/se/legalref.py:64-1449), golden-checked against the
 reference's own fixtures: `test/files/legalref/Simple/*` (12/12
 exact) and the stateless subset of `test/files/legalref/SFS/*`
-(69/76; see tests for the pinned list).
+(72/76; see tests for the pinned list).
 
 Recognized shapes, with the reference's exact segmentation (which
 characters each emitted link spans):
@@ -87,6 +87,8 @@ def _tok_re(lawlist):
         r"|(?P<styckterm>styckena|stycket|st\.?(?![\wåäö]))"
         r"|(?P<momterm>mom\.)"
         r"|(?P<punktterm>punkterna|punkten)"
+        r"|(?P<anvisn>anvisningarna)"
+        r"|(?P<punktword>punkt\b)"
         r"|(?P<meningterm>meningarna|meningen)"
         r"|(?P<sep>och\b|eller\b|samt\b|,|-)"
         % (_PRE_NAME, _NAME_WORD, _SFS, kand, "|".join(ORD_WORDS)),
@@ -99,7 +101,7 @@ _WS = re.compile(r"\s+")
 
 _KINDS = ("kap", "chglaw", "lawnamed", "lawkand", "parensfs", "item",
           "litem", "ordword", "styckterm", "momterm", "punktterm",
-          "meningterm", "sep")
+          "anvisn", "punktword", "meningterm", "sep")
 
 
 def _kind(m):
@@ -130,6 +132,7 @@ class _Item:
         self.phrases = []      # [_Phrase]
         self.nchain = []       # [(start, end, value)] punkt refs
         self.direct_n_merged = False
+        self.pending_punkt = None  # "anvisningarna punkt N" value
         self.paren_n = False   # "6)" punkt: span keeps the paren
         self.samma_end = None  # span extension for "samma lag"
 
@@ -169,7 +172,8 @@ def _parse_expression(rx, text, pos):
 
     def flush_pending_as_sections():
         nonlocal pending, last_item
-        for (s, e, v) in pending:
+        for entry in pending:
+            s, e, v = entry[0], entry[1], entry[2]
             it = _Item(s, e, v, False)
             cur_items.append(it)
             last_item = it
@@ -216,7 +220,8 @@ def _parse_expression(rx, text, pos):
                 last_item.direct_n_merged = True
                 committed = end = n_end
             else:
-                pending.append((m.start(), m.end(), ident))
+                pending.append((m.start(), m.end(), ident,
+                                crossed_sep))
                 committed = end = m.end()
         elif kind == "litem":
             if (not crossed_sep and last_item is not None
@@ -234,6 +239,19 @@ def _parse_expression(rx, text, pos):
             words.append((m.start(), m.end(),
                           ORD_WORDS[m.group("ordword")]))
             end = m.end()
+        elif kind == "anvisn":
+            if last_item is None or not last_item.marker:
+                break
+            committed = end = m.end()
+        elif kind == "punktword":
+            if last_item is None or not last_item.marker:
+                break
+            nm = _next_tok(rx, text, m.end())
+            if nm is None or _kind(nm) != "item" \
+                    or "§" in nm.group("item"):
+                break
+            last_item.pending_punkt = nm.group("item")
+            committed = end = nm.end()
         elif kind == "momterm":
             src = None
             if (last_item is not None and last_item.nchain
@@ -277,7 +295,11 @@ def _parse_expression(rx, text, pos):
                     last_item = it
                 for i, (ws, we, wv) in enumerate(words):
                     ph_end = m.end() if i == len(words) - 1 else we
-                    last_item.phrases.append(_Phrase(ws, ph_end, wv))
+                    ph = _Phrase(ws, ph_end, wv)
+                    if last_item.pending_punkt is not None:
+                        ph.n = last_item.pending_punkt
+                        last_item.pending_punkt = None
+                    last_item.phrases.append(ph)
                 committed = end = m.end()
                 words = []
         elif kind == "punktterm":
@@ -305,6 +327,16 @@ def _parse_expression(rx, text, pos):
         elif kind in ("lawnamed", "lawkand"):
             if words:
                 break
+            if (len(pending) == 1 and len(pending[0]) > 3
+                    and not pending[0][3] and last_item is not None
+                    and last_item.marker and not last_item.nchain
+                    and not last_item.phrases):
+                # a lone bare number between the section and its law,
+                # separated only by whitespace (line-wrapped punkt)
+                ps, pe, pv = pending[0][0], pending[0][1], pending[0][2]
+                last_item.nchain.append((ps, pe, pv))
+                last_item.direct_n_merged = True
+                pending = []
             law = m
             end = m.end()
             break
@@ -579,7 +611,6 @@ def scan_legal_refs(text: str, base: str = BASE,
                            or (len(groups[0][1][0].phrases) <= 1
                                and (not groups[0][1][0].nchain
                                     or (groups[0][1][0].direct_n_merged
-                                        and not groups[0][1][0].paren_n
                                         and len(groups[0][1][0].nchain)
                                         == 1)))))
         if merged_law:
@@ -613,7 +644,8 @@ def scan_legal_refs(text: str, base: str = BASE,
         # context (chains that never met a § marker)
         if last_it is not None:
             kap_id, it = last_it
-            for (cs, ce, cv) in trailing:
+            for entry in trailing:
+                cs, ce, cv = entry[0], entry[1], entry[2]
                 ce2 = ce + 1 if text[ce:ce + 1] == "." else ce
                 sctx = it.s_context()
                 f = ""

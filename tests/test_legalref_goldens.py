@@ -99,14 +99,15 @@ def test_legaluri_construct_matches_golden(stem):
 
 SFSDIR = "/root/reference/test/files/legalref/SFS"
 
-# The SFS fixtures (69 of 76) whose constructs the scanner covers,
-# run with a shared document state (learned law names carry across
-# parts; a RESET: part gets fresh state, a NOBASE: fixture runs with
-# default_law=None).  Out of scope: the anvisningar construct, two
-# fixtures whose goldens contradict the Simple suite's merge behavior
-# (different LegalRef parser configs), extreme-whitespace direct-N
-# merging, and sfs-tricky-vvfs (which the reference's own suite lists
-# as broken, integrationLegalRef.py:133).
+# The SFS fixtures (72 of 76) whose constructs the scanner covers,
+# run with shared document state (learned law names carry across
+# parts, latest definition wins; RESET: parts start fresh; NOBASE:
+# fixtures run with default_law=None -> most-recent-law fallback).
+# The four remaining: sfs-tricky-vvfs (listed broken in the
+# reference's own suite, integrationLegalRef.py:133), two fixtures
+# whose goldens contradict the Simple suite's chapter+law merge
+# behavior (different LegalRef parser configs), and one
+# extreme-whitespace variant of the same conflict.
 SFS_PASSING = [
     "sfs-basic-gammal-lag",
     "sfs-basic-intervall",
@@ -159,6 +160,7 @@ SFS_PASSING = [
     "sfs-regression-verdict-2000-1366",
     "sfs-regression-verdict-2004-1853",
     "sfs-regression-whitespace-2",
+    "sfs-regression-whitespace",
     "sfs-samma-forordning",
     "sfs-tricky-1982-713-5",
     "sfs-tricky-andringsnotering",
@@ -170,7 +172,9 @@ SFS_PASSING = [
     "sfs-tricky-paragraf-bokstavslista",
     "sfs-tricky-paragrafer-bokstaver",
     "sfs-tricky-paragrafer-med-enstaka-paragraftecken",
+    "sfs-tricky-punkt-parantes",
     "sfs-tricky-punkt",
+    "sfs-tricky-punktanvisningar",
     "sfs-tricky-radbryning-i-hanvisning",
     "sfs-tricky-sammalag",
     "sfs-tricky-stycke-forkortning",
