@@ -564,6 +564,15 @@ def _q_dedup_embedding(spark, sf_dir):
                                 threshold=0.35, n_bits=4)
 
 
+def _q_canonical_triples(spark, sf_dir):
+    """T11 end-to-end: the full KG with every subject/object rewritten
+    through the owl:sameAs connected-components mapping and the
+    now-degenerate sameAs self-loops dropped — the final materialized
+    triples table of the north-rule pipeline."""
+    from ferenda_spark.pipeline import canonical_triples
+    return canonical_triples(spark, _docs(spark, sf_dir))
+
+
 def _q_legal_mentions(spark, sf_dir):
     """T8 through Spark over the reference's own legalref fixture
     texts (read-only; rows-only driver check — the exact goldens are
@@ -657,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "kg_annotations": _q_annotations,
         "kg_legal_mentions": _q_legal_mentions,
+        "kg_canonical_triples": _q_canonical_triples,
     }
 
 
@@ -1341,6 +1351,27 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b b2
               ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
             WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.35""",
+        "kg_canonical_triples": _ALL_TRIPLES_WITH + """,
+            rewritten AS (
+              SELECT
+                CASE WHEN regexp_matches(subj,
+                       '^https://example\\.org/res/doc/\\d+$')
+                     THEN 'https://example.org/res/doc/' ||
+                          (CAST(regexp_extract(subj, '(\\d+)$', 1)
+                           AS BIGINT) // 4 * 4)
+                     ELSE subj END AS subj,
+                pred,
+                CASE WHEN regexp_matches(obj,
+                       '^https://example\\.org/res/doc/\\d+$')
+                     THEN 'https://example.org/res/doc/' ||
+                          (CAST(regexp_extract(obj, '(\\d+)$', 1)
+                           AS BIGINT) // 4 * 4)
+                     ELSE obj END AS obj,
+                obj_datatype, obj_lang, context
+              FROM all_triples)
+            SELECT * FROM rewritten
+            WHERE NOT (pred = 'http://www.w3.org/2002/07/owl#sameAs'
+                       AND subj = obj)""",
         "kg_annotations": "WITH " + _F_CTE + """,
             nsub AS (
               SELECT f.doc_id, f.doc_uri, f.n_sections,

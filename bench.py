@@ -37,7 +37,7 @@ HEADLINE = [
     "kg_entity_mentions", "kg_triples_by_pred", "kg_faceted_data",
     "kg_sameas_canonical", "kg_toc_pagesets", "kg_api_stats",
     "kg_ispartof_closure", "kg_citation_counts", "kg_pagerank",
-    "kg_fuzzy_entity_links",
+    "kg_fuzzy_entity_links", "kg_canonical_triples",
     # relational / windowed analytics
     "tpch_pricing_summary", "top_revenue_orders", "latest_event_per_user",
     "feed_archive_pages", "event_type_user_stats",
