@@ -264,3 +264,49 @@ def test_legal_mentions_distributed(spark):
         ("u4", "forarbeten", "prop. 2002/03:12 s. 51",
          "https://lagen.nu/prop/2002/03:12#sid51"),
     }
+
+
+def test_catalog_triples_roundtrip_and_merge(spark, tmpdir):
+    """S6 partitioned triple sink roundtrips; S2/I5 merge keeps
+    unmatched keys and replaces matched ones."""
+    from ferenda_spark import catalog
+    t = spark.createDataFrame(
+        [("s1", "p", "o1", None, None, "u1"),
+         ("s2", "p", "o2", None, None, "u2")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    catalog.write_triples(t, tmpdir)
+    back = catalog.read_stage(spark, tmpdir, "triples")
+    assert back.count() == 2
+    assert "context_bucket" in back.columns
+
+    base = spark.createDataFrame([("u1", 1), ("u2", 1)],
+                                 "url string, v int")
+    catalog.write_stage(base, tmpdir, "entries")
+    newer = spark.createDataFrame([("u2", 2), ("u3", 2)],
+                                  "url string, v int")
+    merged = catalog.merge_upsert(spark, tmpdir, "entries", newer,
+                                  ("url",))
+    got = {(r.url, r.v) for r in merged.collect()}
+    assert got == {("u1", 1), ("u2", 2), ("u3", 2)}
+
+
+def test_catalog_nt_dump_format(spark, tmpdir):
+    """S7 N-Triples dump: IRI vs literal terms, lang tags, datatypes,
+    escaping; stable sorted single output."""
+    from ferenda_spark import catalog
+    t = spark.createDataFrame(
+        [("http://s", "http://p", "http://o", None, None, "u"),
+         ("http://s", "http://p", 'say "hi"\nok', None, "en", "u"),
+         ("http://s", "http://p", "2020-01", 
+          "http://www.w3.org/2001/XMLSchema#gYearMonth", None, "u")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    n = catalog.dump_nt(t, tmpdir + "/dump.nt")
+    assert n == 3
+    lines = sorted(r.value for r in
+                   spark.read.text(tmpdir + "/dump.nt").collect())
+    assert '<http://s> <http://p> "2020-01"^^' \
+        '<http://www.w3.org/2001/XMLSchema#gYearMonth> .' in lines
+    assert '<http://s> <http://p> "say \\"hi\\"\\nok"@en .' in lines
+    assert "<http://s> <http://p> <http://o> ." in lines
