@@ -310,3 +310,45 @@ def test_catalog_nt_dump_format(spark, tmpdir):
         '<http://www.w3.org/2001/XMLSchema#gYearMonth> .' in lines
     assert '<http://s> <http://p> "say \\"hi\\"\\nok"@en .' in lines
     assert "<http://s> <http://p> <http://o> ." in lines
+
+
+def test_resume_full_parse_stage_on_real_corpus(spark, tmpdir):
+    """North-rule resumability at pipeline granularity: the REAL parse
+    stage (corpus pages -> extract_pages) through run_stage. A rerun
+    with identical inputs selects zero pending pages; a changed page
+    reprocesses exactly once."""
+    from pyspark.sql import functions as F
+    from ferenda_spark.corpus import load_pages
+    from ferenda_spark.operators.extract import extract_pages
+    from ferenda_spark.operators.incremental import (
+        fingerprinted, pending_work, read_entries, run_stage)
+
+    pages = load_pages(spark, "/root/testdata/sf0.001").limit(40) \
+        .localCheckpoint()
+
+    def transform(todo):
+        parsed = extract_pages(todo)
+        return parsed.join(
+            fingerprinted(todo).select("url", "input_fingerprint"),
+            "url")
+
+    out1 = run_stage(pages, tmpdir, "parse", transform)
+    n = pages.count()
+    assert out1.count() == n
+    entries = read_entries(spark, tmpdir)
+    assert entries.where("success = 'true'").count() == n
+
+    # identical rerun: no pending work at all
+    assert pending_work(fingerprinted(pages), entries,
+                        "parse").count() == 0
+
+    # one page's bytes change -> exactly that page is pending
+    victim = pages.select("url").first().url
+    changed = pages.withColumn(
+        "html",
+        F.when(F.col("url") == victim,
+               F.concat(F.col("html"),
+                        F.lit(b"<!-- changed -->"))).otherwise(
+            F.col("html")))
+    todo = pending_work(fingerprinted(changed), entries, "parse")
+    assert [r.url for r in todo.select("url").collect()] == [victim]
