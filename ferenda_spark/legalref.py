@@ -60,8 +60,6 @@ ORD_WORDS = {"första": 1, "andra": 2, "tredje": 3, "fjärde": 4,
              "femte": 5, "sjätte": 6, "sjunde": 7, "åttonde": 8,
              "nionde": 9, "tionde": 10}
 
-SHORT_ABBREVS_SENTINEL = frozenset()  # placeholder; static dicts below
-
 ANONYMOUS_NAMES = ("lagen", "förordningen", "kungörelsen",
                    "lag", "förordning", "kungörelse")
 
@@ -519,8 +517,7 @@ def scan_legal_refs(text: str, base: str = BASE,
                 key = name.lower()
                 if key not in lawlist and key.endswith("s"):
                     key = key[:-1]
-                if key in learned and key not in KAND_LAWS \
-                        and key not in SHORT_ABBREVS_SENTINEL:
+                if key in learned:
                     got = resolve_learned(key, law.start())
                     if got is None:
                         # a learned name applies only AFTER a defining
