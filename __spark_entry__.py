@@ -890,6 +890,44 @@ def _sign_bucket_sql(col: str = "raw", n_bits: int = 8) -> str:
         for i in range(n_bits)) + ")")
 
 
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Closed-form PageRank oracle: the power iteration unrolled into
+    one CTE per round, with the dangling-mass term mirrored exactly
+    (new = (1-d)/n + d*(sum_in + dangling_mass/n)).  Fixed iteration
+    count -> deterministic, so DuckDB and Spark agree to 1e-6."""
+    # every CTE below is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # each round references the previous one twice (contribs + dangling
+    # mass), so un-materialized the scan tree doubles per iteration
+    sql = ("WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
+edges AS MATERIALIZED (
+  SELECT DISTINCT context AS src, obj AS dst FROM mention_triples),
+verts AS MATERIALIZED (
+  SELECT src AS vertex FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT vertex, 1.0 / nn.c AS rank FROM verts, nn)""")
+    for k in range(1, iterations + 1):
+        prev = "r%d" % (k - 1)
+        sql += """,
+r%d AS MATERIALIZED (
+  SELECT v.vertex,
+         %r / nn.c + %r * (COALESCE(s.s, 0) + dm.m / nn.c) AS rank
+  FROM verts v
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM %s r LEFT JOIN deg d2 ON r.vertex = d2.src
+              WHERE d2.src IS NULL) dm
+  LEFT JOIN (SELECT e.dst AS vertex, SUM(r.rank / d3.deg) AS s
+             FROM edges e JOIN %s r ON e.src = r.vertex
+             JOIN deg d3 ON d3.src = e.src
+             GROUP BY e.dst) s ON s.vertex = v.vertex)""" % (
+            k, 1.0 - damping, damping, prev, prev)
+    sql += ("\nSELECT vertex, round(rank, 6) AS pagerank_r FROM r%d"
+            % iterations)
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "kg_doc_triples":
@@ -1162,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT obj AS target_uri, COUNT(*) AS n_mentions,
                    COUNT(DISTINCT context) AS n_citing_docs
             FROM mention_triples GROUP BY obj""",
+        "kg_pagerank": _pagerank_sql(iterations=10, damping=0.85),
         "kg_link_validation": "WITH " + _F_CTE + """,
             links AS (
               SELECT url, (CASE WHEN (doc_id + k) % 10 < 3

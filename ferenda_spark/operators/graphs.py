@@ -114,9 +114,13 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85, round_to: int = 6,
              ckpt_every: int = 5) -> DataFrame:
     """(vertex, pagerank_r) over directed edges (src, dst).  Classic
-    power iteration; dangling mass handled by renormalizing against the
-    vertex count (uniform redistribution).  Deterministic: fixed
-    iteration count, final round() for cross-run float stability.
+    power iteration with the dangling-mass term: rank mass sitting on
+    vertices without out-edges is redistributed uniformly each round
+    (``new = (1-d)/n + d*(sum_in + dangling_mass/n)``), so ranks keep
+    summing to 1.  The dangling mass is a one-row aggregate crossJoined
+    back in (broadcast, no driver-side action per iteration).
+    Deterministic: fixed iteration count, final round() for cross-run
+    float stability.
 
     Scale shape: the upstream edge DAG is materialized ONCE (not per
     derived table), the out-degree join is loop-invariant and hoisted,
@@ -139,16 +143,23 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                 .select(F.col("src").alias("vertex"), "dst", "deg")
                 .repartition(nparts, "vertex")
                 .localCheckpoint())
+    sources = out_deg.select(F.col("src").alias("vertex"))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contribs = (weighted.join(ranks, "vertex")
                     .select(F.col("dst").alias("vertex"),
                             (F.col("rank") / F.col("deg")).alias("c")))
         summed = contribs.groupBy("vertex").agg(F.sum("c").alias("s"))
+        dangling = (ranks.join(sources, "vertex", "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("_dm")))
         ranks = (verts.join(summed, "vertex", "left")
+                 .crossJoin(F.broadcast(dangling))
                  .select("vertex",
                          (F.lit((1 - damping) / n)
-                          + F.lit(damping) * F.coalesce("s", F.lit(0.0)))
+                          + F.lit(damping)
+                          * (F.coalesce("s", F.lit(0.0))
+                             + F.col("_dm") / n))
                          .alias("rank")))
         if (i + 1) % ckpt_every == 0 or i == iterations - 1:
             ranks = ranks.localCheckpoint()

@@ -99,16 +99,23 @@ def run_stage(pages: DataFrame, store_dir: str, stage: str,
     """Checkpointed stage execution: select pending work, transform,
     write outputs + entries atomically-enough (outputs first, entries
     last — a crash between the two re-does at most one batch, which is
-    idempotent)."""
+    idempotent).
+
+    The transform runs ONCE: the batch is materialized with
+    ``localCheckpoint`` before the output write, so the entries batch
+    is derived from the materialized blocks instead of re-executing the
+    transform DAG (which would double every stage's cost at scale).  On
+    a cluster the production analogue is reading back the Iceberg
+    snapshot's added files; the checkpoint is the single-JVM stand-in."""
     spark = pages.sparkSession
     fp = fingerprinted(pages)
     entries = read_entries(spark, store_dir)
     todo = pending_work(fp, entries, stage)
     t0 = time.time()
-    out = transform(todo)
+    out = transform(todo).localCheckpoint()
     out_path = os.path.join(store_dir, output_name or stage)
     out.write.mode("append").parquet(out_path)
     done = out.select("url", "input_fingerprint", *(
         ["error"] if "error" in out.columns else []))
     write_entries(done, store_dir, stage, time.time() - t0)
-    return pages.sparkSession.read.parquet(out_path)
+    return spark.read.parquet(out_path)
