@@ -217,9 +217,13 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def _q_dedup_jaccard_pairs(spark, sf_dir):
+    """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
+    (r1 ran it guard-off — quadratic on hot shingles at scale):
+    shingles occurring in > 100 docs are dropped before the self-join,
+    mirrored in the oracle CTE."""
     from ferenda_spark.operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"),
-                               n=3, threshold=0.1)
+                               n=3, threshold=0.1, max_shingle_freq=100)
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -257,9 +261,13 @@ def _q_sim_cosine_topk(spark, sf_dir):
 
 
 def _q_sim_lsh_topk(spark, sf_dir):
+    """ANN scale path: banded sign-LSH (8 bits x 4 bands,
+    OR-construction) — r1's single 4-bit table is now one band of a
+    multi-table design."""
     from ferenda_spark.operators.similarity import lsh_bucketed_topk
     return lsh_bucketed_topk(_read(spark, sf_dir, "embeddings"),
-                             _SIM_QUERY_IDS, k=10, n_bits=4)
+                             _SIM_QUERY_IDS, k=10,
+                             bits_per_band=8, n_bands=4)
 
 
 def _q_mm_image_meta(spark, sf_dir):
@@ -449,17 +457,22 @@ def _q_fuzzy_entity_links(spark, sf_dir):
 
 
 def _q_fuzzy_links_lsh(spark, sf_dir):
-    """Stock pyspark.ml MinHashLSH approxSimilarityJoin path (J6).
-    Probabilistic candidate generation -> rows-only driver check."""
-    from pyspark.sql import Window
-    from ferenda_spark.operators.linking import build_resources, fuzzy_links
-    docs = _docs(spark, sf_dir).select("url", "doc_uri", "entity_label")
-    pairs = fuzzy_links(docs, build_resources(spark), threshold=0.5)
-    w = Window.partitionBy("url").orderBy(F.col("jaccard").desc(),
-                                          F.col("entity_uri"))
-    return (pairs.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("url", "label", "entity_uri", "method"))
+    """J6 scale path: portable banded MinHash-LSH candidate generation
+    over typo'd mention labels + exact gram-Jaccard rescore.  The
+    md5-chain minhash recipe is mirrored bit-for-bit in the DuckDB
+    oracle, so this is a hash-exact check (closing r1's rows-only gap);
+    the pyspark.ml MinHashLSH variant remains in linking.fuzzy_links."""
+    from ferenda_spark.operators.linking import (build_resources,
+                                                 fuzzy_links_banded)
+    docs = _read(spark, sf_dir, "documents")
+    mentions = docs.select(
+        F.col("doc_id").alias("mention_id"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("Enttity "), F.col("doc_id") % 50))
+        .otherwise(F.concat(F.lit("Entity "), F.col("doc_id") % 50))
+        .alias("mention_label"))
+    return fuzzy_links_banded(mentions, build_resources(spark),
+                              threshold=0.5)
 
 
 def _q_link_validation(spark, sf_dir):
@@ -558,10 +571,13 @@ def _q_stats_cube(spark, sf_dir):
 
 
 def _q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, sign-bucket blocked."""
+    """Embedding-cosine near-dup pairs, blocked by banded sign-LSH
+    (16 bits x 4 bands: 65k buckets per band — scale-proof occupancy —
+    with the OR over bands recovering recall)."""
     from ferenda_spark.operators.similarity import embedding_near_dupes
     return embedding_near_dupes(_read(spark, sf_dir, "embeddings"),
-                                threshold=0.35, n_bits=4)
+                                threshold=0.35,
+                                bits_per_band=16, n_bands=4)
 
 
 def _q_canonical_triples(spark, sf_dir):
@@ -884,10 +900,22 @@ e AS (
 _SIM_IDS_SQL = "(0, 7, 42, 123)"
 
 
-def _sign_bucket_sql(col: str = "raw", n_bits: int = 8) -> str:
+def _sign_bucket_sql(col: str = "raw", n_bits: int = 8,
+                     offset: int = 0) -> str:
     return ("(" + " + ".join(
-        "(CASE WHEN %s[%d] > 0 THEN %d ELSE 0 END)" % (col, i + 1, 1 << i)
+        "(CASE WHEN %s[%d] > 0 THEN %d ELSE 0 END)"
+        % (col, offset + i + 1, 1 << i)
         for i in range(n_bits)) + ")")
+
+
+def _sign_bands_sql(col: str, bits_per_band: int, n_bands: int,
+                    src: str = "e") -> str:
+    """UNION ALL body mirroring similarity.sign_bucket_bands: one
+    (vec_id, v, band, bucket) row per band."""
+    return " UNION ALL ".join(
+        "SELECT vec_id, v, %d AS band, %s AS bucket FROM %s"
+        % (t, _sign_bucket_sql(col, bits_per_band, t * bits_per_band), src)
+        for t in range(n_bands))
 
 
 def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
@@ -926,6 +954,78 @@ r%d AS MATERIALIZED (
     sql += ("\nSELECT vertex, round(rank, 6) AS pagerank_r FROM r%d"
             % iterations)
     return sql
+
+
+_FUZZY_LSH_SQL = """
+    WITH res AS (
+      SELECT 'https://example.org/res/entity/' || g AS entity_uri,
+             'Entity ' || g AS rlabel
+      FROM generate_series(0, 49) t(g)
+      UNION ALL
+      SELECT 'https://example.org/res/org/pub' || g,
+             'Publisher ' || g
+      FROM generate_series(0, 6) t(g)),
+    men AS (
+      SELECT doc_id AS mention_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'Enttity ' || (doc_id % 50)
+                  ELSE 'Entity ' || (doc_id % 50) END AS label
+      FROM documents),
+    mgr AS (
+      SELECT mention_id, label,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(label)) - 2, 1)),
+               i -> substr(lower(label), i, 3))) AS grams
+      FROM men),
+    rgr AS (
+      SELECT entity_uri,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(rlabel)) - 2, 1)),
+               i -> substr(lower(rlabel), i, 3))) AS grams
+      FROM res),
+    -- banded minhash buckets, same md5-chain recipe as _MINHASH_CTE
+    msig AS (
+      SELECT mention_id, s.seed,
+             min(substr(md5(u.g) || md5(md5(u.g)), 8 * s.seed + 1, 8))
+               AS minhash
+      FROM mgr, unnest(grams) u(g), generate_series(0, 7) s(seed)
+      GROUP BY mention_id, s.seed),
+    rsig AS (
+      SELECT entity_uri, s.seed,
+             min(substr(md5(u.g) || md5(md5(u.g)), 8 * s.seed + 1, 8))
+               AS minhash
+      FROM rgr, unnest(grams) u(g), generate_series(0, 7) s(seed)
+      GROUP BY entity_uri, s.seed),
+    mband AS (
+      SELECT mention_id, CAST(seed // 2 AS INT) AS band,
+             md5(array_to_string(list_sort(
+               list(CAST(seed AS VARCHAR) || ':' || minhash)), '|'))
+               AS bucket
+      FROM msig GROUP BY mention_id, band),
+    rband AS (
+      SELECT entity_uri, CAST(seed // 2 AS INT) AS band,
+             md5(array_to_string(list_sort(
+               list(CAST(seed AS VARCHAR) || ':' || minhash)), '|'))
+               AS bucket
+      FROM rsig GROUP BY entity_uri, band),
+    cand AS (
+      SELECT DISTINCT m.mention_id, r.entity_uri
+      FROM mband m JOIN rband r
+        ON m.band = r.band AND m.bucket = r.bucket),
+    scored AS (
+      SELECT c.mention_id, m.label, c.entity_uri,
+             CAST(len(list_intersect(m.grams, r.grams)) AS DOUBLE)
+               / (len(m.grams) + len(r.grams)
+                  - len(list_intersect(m.grams, r.grams))) AS jaccard
+      FROM cand c
+      JOIN mgr m ON m.mention_id = c.mention_id
+      JOIN rgr r ON r.entity_uri = c.entity_uri),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+        ORDER BY jaccard DESC, entity_uri) AS rk
+      FROM scored WHERE jaccard >= 0.5)
+    SELECT mention_id, label, entity_uri, jaccard, 'lsh' AS method
+    FROM ranked WHERE rk = 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1069,11 +1169,17 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
         "dedup_jaccard_pairs": "WITH " + _SH_CTE + """,
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            -- hot-shingle skew guard (max_shingle_freq=100), mirroring
+            -- ngram_jaccard_pairs' guard-on invocation
+            shg AS (
+              SELECT * FROM sh WHERE shingle NOT IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) > 100)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      COUNT(*) AS n_common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              FROM shg a JOIN shg b ON a.shingle = b.shingle
                AND a.doc_id < b.doc_id
               GROUP BY 1, 2),
             j AS (
@@ -1144,15 +1250,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine_r FROM ranked
             WHERE rank <= 10""",
         "sim_lsh_topk": "WITH " + _EMB_CTE + """,
-            b AS (SELECT vec_id, v, """ + _sign_bucket_sql("raw", 4) + """
-                    AS bucket FROM e),
-            q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+            b AS MATERIALIZED (""" + _sign_bands_sql("raw", 8, 4) + """),
+            q AS (SELECT vec_id AS query_id, band, bucket
                   FROM b WHERE vec_id IN """ + _SIM_IDS_SQL + """),
-            scored AS (
-              SELECT query_id, b.vec_id,
-                     round(list_cosine_similarity(qv, v), 6) AS cosine_r
-              FROM b JOIN q ON b.bucket = q.qbucket
+            cand AS (
+              SELECT DISTINCT q.query_id, b.vec_id
+              FROM b JOIN q ON b.band = q.band AND b.bucket = q.bucket
               WHERE b.vec_id <> q.query_id),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(list_cosine_similarity(eq.v, ev.v), 6)
+                       AS cosine_r
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e ev ON ev.vec_id = c.vec_id),
             ranked AS (
               SELECT query_id, vec_id, cosine_r,
                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1255,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT mention_id, label, entity_uri, jaccard,
                    'fuzzy' AS method
             FROM ranked WHERE rk = 1""",
+        "kg_fuzzy_links_lsh": _FUZZY_LSH_SQL,
         "versioned_current": """
             WITH v AS (
               SELECT doc_id, 1 AS rev FROM documents
@@ -1383,13 +1495,18 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT uri) AS n_distinct_docs
             FROM p GROUP BY CUBE (dcterms_publisher, year)""",
         "dedup_embedding": "WITH " + _EMB_CTE + """,
-            b AS (SELECT vec_id, v, """ + _sign_bucket_sql("raw", 4) + """
-                    AS bucket FROM e)
-            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-                   round(list_cosine_similarity(a.v, b2.v), 6) AS cosine_r
-            FROM b a JOIN b b2
-              ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-            WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.35""",
+            b AS MATERIALIZED (""" + _sign_bands_sql("raw", 16, 4) + """),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+              FROM b a JOIN b b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+               AND a.vec_id < b2.vec_id)
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine_r
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.vec_a
+            JOIN e eb ON eb.vec_id = c.vec_b
+            WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35""",
         "kg_canonical_triples": _ALL_TRIPLES_WITH + """,
             rewritten AS (
               SELECT

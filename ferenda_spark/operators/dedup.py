@@ -91,13 +91,24 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
-def _hash64_col(sh):
-    """64-hex-char hash chain per shingle: md5(s) || md5(md5(s)).
-    One md5 chain per shingle feeds ALL k minhashes (8-char disjoint
-    slices) instead of k independent seeded md5 passes — 2 hashes per
-    shingle instead of k, and a much smaller expression tree (plan
+def _hash64_col(sh, num_hashes: int = 8):
+    """Hash chain per shingle: md5(s) || md5(md5(s)) || md5^3(s) ...,
+    long enough for ``num_hashes`` disjoint 8-hex slices (each md5 round
+    yields 32 hex chars = 4 slices; at least 2 rounds are kept for the
+    oracle-mirrored default recipe).  One chain per shingle feeds ALL k
+    minhashes instead of k independent seeded md5 passes — rounds ≈ k/4
+    hashes per shingle, and a much smaller expression tree (plan
     analysis of k nested-lambda md5 trees was the dominant cost)."""
-    return F.transform(sh, lambda s: F.concat(F.md5(s), F.md5(F.md5(s))))
+    rounds = max(2, (num_hashes + 3) // 4)
+
+    def chain(s):
+        parts, h = [], s
+        for _ in range(rounds):
+            h = F.md5(h)
+            parts.append(h)
+        return F.concat(*parts)
+
+    return F.transform(sh, chain)
 
 
 def _minhash_col(hh, seed: int):
@@ -118,7 +129,7 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
     nothing)."""
     hh = F.col("_hh")
     wide = (documents
-            .withColumn("_hh", _hash64_col(shingle_array(n)))
+            .withColumn("_hh", _hash64_col(shingle_array(n), num_hashes))
             .select("doc_id", *[_minhash_col(hh, i).alias("mh%d" % i)
                                 for i in range(num_hashes)]))
     pairs = F.array(*[
@@ -142,7 +153,7 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
     wide = (documents
             .withColumn("_sh", shingle_array(n))
             .where(F.size("_sh") > 0)
-            .withColumn("_hh", _hash64_col(F.col("_sh")))
+            .withColumn("_hh", _hash64_col(F.col("_sh"), num_hashes))
             .select("doc_id", *[_minhash_col(hh, i).alias("mh%d" % i)
                                 for i in range(num_hashes)]))
     banded_cols = []

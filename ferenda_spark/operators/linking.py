@@ -15,7 +15,7 @@ per the north rule:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .triples import ENTITY_URI_PREFIX, ORG_URI_PREFIX
 from .. import vocab
@@ -114,6 +114,81 @@ def gram_jaccard_links(mentions: DataFrame, resources: DataFrame,
             .select("mention_id", F.col(label_col).alias("label"),
                     "entity_uri", "jaccard",
                     F.lit("fuzzy").alias("method")))
+
+
+def _band_buckets(grams_col, num_hashes: int, band_size: int):
+    """Array of (band, bucket) structs: banded MinHash-LSH buckets over
+    a char-gram array (same md5-chain slice recipe as
+    dedup.minhash_band_pairs, so the DuckDB oracle reproduces it
+    exactly)."""
+    from .dedup import _hash64_col, _minhash_col
+    hh = _hash64_col(grams_col, num_hashes)
+    mh = [_minhash_col(hh, i) for i in range(num_hashes)]
+    structs = []
+    for band_start in range(0, num_hashes, band_size):
+        band = band_start // band_size
+        parts = F.array_sort(F.array(*[
+            F.concat(F.lit("%d:" % i), mh[i])
+            for i in range(band_start,
+                           min(band_start + band_size, num_hashes))]))
+        structs.append(F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("|", parts)).alias("bucket")))
+    return F.array(*structs)
+
+
+def fuzzy_links_banded(mentions: DataFrame, resources: DataFrame,
+                       threshold: float = 0.5,
+                       num_hashes: int = 8, band_size: int = 2,
+                       label_col: str = "mention_label") -> DataFrame:
+    """MinHash-LSH entity linking with the portable md5-banded recipe
+    (J6/T9 scale path, fully oracle-checkable unlike pyspark.ml's
+    seeded MinHashLSH): char-3-gram minhash signatures -> banded
+    buckets on BOTH sides -> candidates = (mention, resource) pairs
+    sharing any (band, bucket) -> exact gram-Jaccard rescore ->
+    best-above-threshold per mention.
+
+    Scale shape: signatures and buckets are map-side column
+    expressions; the only shuffle is the candidate equi-join on
+    (band, bucket) (resource side broadcast — it is the dictionary).
+    Candidate count is bounded by bucket collisions, never the
+    mentions x resources cross product.  Returns (mention_id, label,
+    entity_uri, jaccard, method='lsh')."""
+    m = (mentions
+         .where(F.col(label_col).isNotNull())
+         .withColumn("m_grams", _char_ngrams(F.col(label_col)))
+         .where(F.size("m_grams") > 0)
+         .withColumn("m_size", F.size("m_grams")))
+    r = (resources
+         .withColumn("r_grams", _char_ngrams(F.col("label")))
+         .where(F.size("r_grams") > 0)
+         .withColumn("r_size", F.size("r_grams"))
+         .select(F.col("uri").alias("entity_uri"), "r_grams", "r_size"))
+    mb = (m.select("mention_id", label_col, "m_grams", "m_size",
+                   F.explode(_band_buckets(F.col("m_grams"), num_hashes,
+                                           band_size)).alias("bb"))
+          .select("mention_id", label_col, "m_grams", "m_size",
+                  "bb.band", "bb.bucket"))
+    rb = (r.select("entity_uri", "r_grams", "r_size",
+                   F.explode(_band_buckets(F.col("r_grams"), num_hashes,
+                                           band_size)).alias("bb"))
+          .select("entity_uri", "r_grams", "r_size",
+                  "bb.band", "bb.bucket"))
+    cand = (mb.join(F.broadcast(rb), ["band", "bucket"])
+            .select("mention_id", label_col, "m_grams", "m_size",
+                    "entity_uri", "r_grams", "r_size")
+            .distinct())
+    inter = F.size(F.array_intersect("m_grams", "r_grams"))
+    scored = cand.withColumn(
+        "jaccard", inter.cast("double")
+        / (F.col("m_size") + F.col("r_size") - inter))
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("jaccard").desc(), F.col("entity_uri"))
+    return (scored.where(F.col("jaccard") >= threshold)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("mention_id", F.col(label_col).alias("label"),
+                    "entity_uri", "jaccard", F.lit("lsh").alias("method")))
 
 
 def fuzzy_links(mentions: DataFrame, resources: DataFrame,

@@ -58,32 +58,71 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int],
             .select("query_id", "vec_id", "rank", "cosine_r"))
 
 
-def sign_bucket(vec_col, n_bits: int = 8):
-    """Deterministic coarse LSH bucket: sign bits of the first n dims.
-    Unrolled fixed-width sum (stays in whole-stage codegen; shiftleft
-    needs a literal shift so a lambda over indices can't express it)."""
+def sign_bucket(vec_col, n_bits: int = 8, offset: int = 0):
+    """Deterministic coarse LSH bucket: sign bits of dims
+    [offset+1 .. offset+n_bits].  Unrolled fixed-width sum (stays in
+    whole-stage codegen; shiftleft needs a literal shift so a lambda
+    over indices can't express it)."""
     expr = F.lit(0).cast("long")
     for i in range(n_bits):
-        expr = expr + (F.when(F.element_at(vec_col, i + 1) > 0,
+        expr = expr + (F.when(F.element_at(vec_col, offset + i + 1) > 0,
                               F.lit(1 << i)).otherwise(F.lit(0))
                        .cast("long"))
     return expr
 
 
+def sign_bucket_bands(vec_col, bits_per_band: int = 16, n_bands: int = 4):
+    """Array of (band, bucket) structs: band t = the sign bits of dims
+    [t*b+1 .. (t+1)*b] — the OR-construction over ``n_bands``
+    independent sign-LSH tables (same shape as minhash banding).  A
+    pair is a candidate if it collides in ANY band, so recall no longer
+    collapses when a single bucket table gets fine-grained: with
+    per-bit agree probability p = 1 - theta/pi, candidate recall is
+    1-(1-p^b)^n_bands instead of p^b.  Requires
+    ``bits_per_band * n_bands <= dim(vec)``."""
+    structs = []
+    for t in range(n_bands):
+        structs.append(F.struct(
+            F.lit(t).alias("band"),
+            sign_bucket(vec_col, bits_per_band,
+                        offset=t * bits_per_band).alias("bucket")))
+    return F.array(*structs)
+
+
+def _banded(embeddings: DataFrame, bits_per_band: int, n_bands: int):
+    """(vec_id, band, bucket) rows — n_bands rows per vector, all
+    map-side."""
+    return (embeddings
+            .select("vec_id",
+                    F.explode(sign_bucket_bands(
+                        F.col("embedding"), bits_per_band, n_bands))
+                    .alias("bb"))
+            .select("vec_id", "bb.band", "bb.bucket"))
+
+
 def lsh_bucketed_topk(embeddings: DataFrame, query_ids: list[int],
-                      k: int = 5, n_bits: int = 8,
-                      round_to: int = 6) -> DataFrame:
-    """ANN: candidates restricted to the query's sign bucket, exact
-    cosine rescore within.  Recall < 1 by construction; the benchmark
-    reports both paths."""
-    e = embeddings.withColumn("bucket", sign_bucket(F.col("embedding"),
-                                                    n_bits))
-    q = (e.where(F.col("vec_id").isin(query_ids))
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("query_vec"),
-                 F.col("bucket").alias("qbucket")))
-    pairs = (e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
-             .where(F.col("vec_id") != F.col("query_id")))
+                      k: int = 5, bits_per_band: int = 8,
+                      n_bands: int = 4, round_to: int = 6) -> DataFrame:
+    """ANN: candidates = vectors sharing ANY band bucket with the
+    query (banded OR-construction), exact cosine rescore within.
+    Recall < 1 by construction; the benchmark reports both paths.
+
+    Scale shape: the band table is a map-side expression; the
+    candidate join is against the broadcast query-side band table;
+    candidate ids are deduped BEFORE the embedding re-join so each
+    candidate is rescored once."""
+    b = _banded(embeddings, bits_per_band, n_bands)
+    qb = (b.where(F.col("vec_id").isin(query_ids))
+          .select(F.col("vec_id").alias("query_id"), "band", "bucket"))
+    cand = (b.join(F.broadcast(qb), ["band", "bucket"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+            .distinct())
+    q_vecs = (embeddings.where(F.col("vec_id").isin(query_ids))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("query_vec")))
+    pairs = (cand.join(embeddings, "vec_id")
+             .join(F.broadcast(q_vecs), "query_id"))
     scored = (with_cosine(pairs)
               .withColumn("cosine_r", F.round("cosine", round_to)))
     w = Window.partitionBy("query_id").orderBy(
@@ -94,26 +133,36 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_ids: list[int],
 
 
 def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.9,
-                         n_bits: int = 8, round_to: int = 6) -> DataFrame:
+                         bits_per_band: int = 16, n_bands: int = 4,
+                         round_to: int = 6) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (training-data dedup,
-    driver mandate): candidates blocked by the deterministic sign
-    bucket, exact cosine rescore, pairs above ``threshold``.
+    driver mandate): candidates blocked by banded sign-LSH buckets
+    (OR-construction), exact cosine rescore, pairs above ``threshold``.
 
-    Scale shape: the self-join shuffles on the bucket key only —
-    each bucket's candidate set is a tiny fraction of the corpus
-    (2^n_bits buckets), so the quadratic blowup of an unblocked
-    self-join never materializes; skewed buckets are split by AQE.
+    Scale shape (10^12 rows): each band has 2^bits_per_band buckets —
+    at 16 bits that is 65k buckets/band, mean occupancy ~1.5e7 at
+    10^12 rows, and occupancy is what bounds the per-bucket self-join;
+    r1's single 8-bit table (256 buckets) left ~4e9 rows per bucket,
+    still quadratic.  Recall lost to the finer buckets is recovered by
+    the OR over bands (collide in ANY band -> candidate).  Candidate
+    pairs are deduped across bands BEFORE the embedding re-join, so
+    each surviving pair is rescored exactly once and the wide float
+    arrays never travel through the band shuffle.  Skewed buckets
+    (e.g. the all-positive orthant) are split by AQE skew-join.
     Returns (vec_a, vec_b, cosine_r) with vec_a < vec_b.
     """
-    e = embeddings.select(
-        "vec_id", "embedding",
-        sign_bucket(F.col("embedding"), n_bits).alias("bucket"))
-    a = e.select(F.col("vec_id").alias("vec_a"),
-                 F.col("embedding").alias("vec_a_emb"), "bucket")
-    b = e.select(F.col("vec_id").alias("vec_b"),
-                 F.col("embedding").alias("vec_b_emb"), "bucket")
-    pairs = (a.join(b, "bucket")
-             .where(F.col("vec_a") < F.col("vec_b")))
+    b = _banded(embeddings, bits_per_band, n_bands)
+    a = b.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    bb = b.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (a.join(bb, ["band", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct())
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("vec_a_emb"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("vec_b_emb"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     scored = (with_cosine(pairs, "vec_a_emb", "vec_b_emb")
               .withColumn("cosine_r", F.round("cosine", round_to)))
     return (scored.where(F.col("cosine_r") >= threshold)
