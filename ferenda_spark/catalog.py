@@ -58,17 +58,23 @@ def merge_upsert(spark: SparkSession, store_dir: str, table: str,
                  new_df: DataFrame, key_cols: tuple) -> DataFrame:
     """MERGE semantics (S2/I5): rows of the existing table whose key
     doesn't appear in ``new_df`` survive; new rows replace matching
-    keys.  Returns the merged frame (caller writes it; production is a
-    single atomic Iceberg MERGE INTO)."""
+    keys.  Production is a single atomic Iceberg MERGE INTO.
+
+    Only the table-absent case degrades to the new frame; any OTHER
+    read failure (corrupt footer, permissions, transient FS error)
+    propagates — swallowing it would silently turn MERGE into
+    full-replace and drop every surviving row.  The merged frame is
+    materialized (localCheckpoint) before returning, because the
+    caller's next step is overwriting the very path the lazy plan
+    reads — a Spark self-overwrite that corrupts the table otherwise."""
     path = stage_path(store_dir, table)
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:
+    if not os.path.exists(path):
         return new_df
+    existing = spark.read.parquet(path)
     keys = list(key_cols)
     kept = existing.join(new_df.select(*keys).distinct(), keys,
                          "left_anti")
-    return kept.unionByName(new_df)
+    return kept.unionByName(new_df).localCheckpoint()
 
 
 def _nt_escape(s):
@@ -78,13 +84,20 @@ def _nt_escape(s):
 
 
 def nt_lines(triples: DataFrame) -> DataFrame:
-    """(line: string) N-Triples serialization.  Objects are IRIs when
-    they look like absolute http(s) IRIs and carry no datatype/lang
-    (exact for this engine's triple tables: every literal with IRI
-    shape would carry a datatype); literals get @lang / ^^datatype."""
-    obj_is_iri = (F.col("obj").rlike(r"^https?://\S+$")
-                  & F.col("obj_datatype").isNull()
-                  & F.col("obj_lang").isNull())
+    """(line: string) N-Triples serialization.  When the frame carries
+    an explicit ``obj_kind`` column (the distill schema does,
+    operators/distill.py:22) that decides IRI-vs-literal exactly —
+    covering non-http IRIs like urn: / mailto:.  Otherwise objects are
+    IRIs when they look like absolute http(s) IRIs and carry no
+    datatype/lang (exact for this engine's triple tables: every
+    literal with IRI shape would carry a datatype); literals get
+    @lang / ^^datatype."""
+    if "obj_kind" in triples.columns:
+        obj_is_iri = F.col("obj_kind") == "uri"
+    else:
+        obj_is_iri = (F.col("obj").rlike(r"^https?://\S+$")
+                      & F.col("obj_datatype").isNull()
+                      & F.col("obj_lang").isNull())
     # JVM-side escaping chain (backslash first)
     def esc_col(c):
         c = F.regexp_replace(c, r"\\", r"\\\\")
@@ -108,11 +121,47 @@ def nt_lines(triples: DataFrame) -> DataFrame:
                  F.lit("> "), obj_term, F.lit(" .")).alias("line"))
 
 
-def dump_nt(triples: DataFrame, path: str) -> int:
-    """S7: whole-dataset N-Triples dump, sorted (subj, pred, obj) for
-    byte-stable output; single file like the reference's dump.nt (the
-    coalesce is the explicit single-writer choice — at 100 TB one
-    would drop it and emit per-partition files)."""
-    lines = nt_lines(triples.orderBy("subj", "pred", "obj")).coalesce(1)
+def dump_nt(triples: DataFrame, path: str, single_file: bool = False,
+            num_files: int | None = None) -> int:
+    """S7: whole-dataset N-Triples dump, globally sorted
+    (subj, pred, obj) for byte-stable output (O3).
+
+    Default (scale-safe) shape: ``repartitionByRange`` on the sort key
+    + ``sortWithinPartitions`` — each output file is sorted and the
+    range partitioner orders the files themselves, so the
+    concatenation in part-file order IS the global sort, with no
+    single-writer stage.  A ``_manifest.json`` records per-file line
+    counts and first/last lines.  ``single_file=True`` opts into the
+    reference-shaped one-file dump (orderBy + coalesce(1) — the
+    explicit single-writer choice, only sane at small scale).
+
+    The line count comes from reading back the WRITTEN text (a cheap
+    scan of what is already on disk), never from re-running the
+    serialization job."""
+    spark = triples.sparkSession
+    if single_file:
+        src = triples.orderBy("subj", "pred", "obj")
+        lines = nt_lines(src).coalesce(1)
+    else:
+        n = num_files or max(spark.sparkContext.defaultParallelism, 1)
+        src = (triples
+               .repartitionByRange(n, "subj", "pred", "obj")
+               .sortWithinPartitions("subj", "pred", "obj"))
+        lines = nt_lines(src)
     lines.write.mode("overwrite").text(path)
-    return lines.count()
+    written = (spark.read.text(path)
+               .withColumn("_file", F.input_file_name()))
+    per_file = (written.groupBy("_file")
+                .agg(F.count("*").alias("n_lines"),
+                     F.min("value").alias("min_line"),
+                     F.max("value").alias("max_line"))
+                .orderBy("_file")
+                .collect())
+    import json
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump([{"file": os.path.basename(r._file),
+                    "n_lines": r.n_lines,
+                    "min_line": r.min_line,
+                    "max_line": r.max_line} for r in per_file], fh,
+                  indent=1)
+    return sum(r.n_lines for r in per_file)

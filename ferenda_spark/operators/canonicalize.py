@@ -26,7 +26,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .triples import DOC_URI_PREFIX
 from .. import vocab
 
 
@@ -63,22 +62,55 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
-def sameas_components(triples: DataFrame) -> DataFrame:
-    """owl:sameAs triples (doc URIs) -> (doc_uri, canonical_uri).
+def connected_components_uris(edges: DataFrame,
+                              max_iter: int = 25) -> DataFrame:
+    """edges(src:string, dst:string) -> (uri, canonical_uri) for
+    ARBITRARY string vertices: canonical = the (length, value)-minimal
+    member of each component — numeric order for same-prefix
+    numeric-suffix URIs, plain lexicographic otherwise.
 
-    Vertex ids are the numeric doc ids embedded in the canonical URI
-    scheme (T6), so min-id == min by document number.  (For arbitrary
-    URI vertices one would assign ids via a dictionary join first.)"""
+    Vertex ids are assigned via a dictionary
+    (``monotonically_increasing_id`` over the distinct URI set — no
+    single-partition zipWithIndex stage), the hash-min fixpoint runs on
+    longs, and the representative is chosen AFTER convergence by a
+    per-component min over the members' sort keys — so the arbitrary,
+    partitioning-dependent id assignment never leaks into the result.
+    The dictionary is localCheckpointed to pin the ids for the
+    duration of the job."""
+    verts = (edges.select(F.col("src").alias("uri"))
+             .union(edges.select(F.col("dst").alias("uri")))
+             .distinct()
+             .withColumn("vid", F.monotonically_increasing_id())
+             .localCheckpoint())
+    e_long = (edges
+              .join(verts.select(F.col("uri").alias("src"),
+                                 F.col("vid").alias("src_id")), "src")
+              .join(verts.select(F.col("uri").alias("dst"),
+                                 F.col("vid").alias("dst_id")), "dst")
+              .select(F.col("src_id").alias("src"),
+                      F.col("dst_id").alias("dst")))
+    comp = connected_components(e_long, max_iter)
+    member = (comp.join(verts, comp["vertex"] == verts["vid"])
+              .select("component", "uri"))
+    canon = (member
+             .groupBy("component")
+             .agg(F.min(F.struct(F.length("uri").alias("l"),
+                                 F.col("uri").alias("u"))).alias("m"))
+             .select("component", F.col("m.u").alias("canonical_uri")))
+    return member.join(canon, "component").select("uri", "canonical_uri")
+
+
+def sameas_components(triples: DataFrame) -> DataFrame:
+    """owl:sameAs triples -> (uri, canonical_uri) via the generic
+    string-vertex connected components (no numeric-suffix assumption;
+    for the T6 doc-URI scheme the (length, value) order reduces to
+    numeric document order, so the canonical doc keeps being the
+    lowest-numbered one)."""
     edges = (triples
              .where(F.col("pred") == vocab.OWL_SAMEAS)
-             .select(F.regexp_extract("subj", r"(\d+)$", 1).cast("long")
-                     .alias("src"),
-                     F.regexp_extract("obj", r"(\d+)$", 1).cast("long")
-                     .alias("dst")))
-    comp = connected_components(edges)
-    return comp.select(
-        F.concat(F.lit(DOC_URI_PREFIX), "vertex").alias("uri"),
-        F.concat(F.lit(DOC_URI_PREFIX), "component").alias("canonical_uri"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return connected_components_uris(edges)
 
 
 def rewrite_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:

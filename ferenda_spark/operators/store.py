@@ -41,15 +41,25 @@ def apply_patches(df: DataFrame, patches: DataFrame, key_col: str = "url",
                   text_col: str = "text") -> DataFrame:
     """Broadcast-join the patch dimension and apply (find -> replace)
     to the text column; unpatched rows pass through.  Adds `patched`
-    bool (the reference logs a patchdescription the same way)."""
-    p = F.broadcast(patches.select(
-        F.col(key_col).alias("_pk"), "find", "replace"))
+    bool (the reference logs a patchdescription the same way).
+
+    Patches are aggregated to ONE array per key before the join — the
+    reference applies a single unified diff per document, so multiple
+    patch rows compose (applied in sorted (find, replace) order, a
+    deterministic fold) instead of silently duplicating the document
+    row once per patch."""
+    p = F.broadcast(
+        patches.groupBy(F.col(key_col).alias("_pk"))
+        .agg(F.array_sort(F.collect_list(F.struct("find", "replace")))
+             .alias("_patches")))
     joined = df.join(p, df[key_col] == F.col("_pk"), "left")
     patched_text = F.when(
-        F.col("find").isNotNull(),
-        F.replace(F.col(text_col), F.col("find"), F.col("replace"))
+        F.col("_patches").isNotNull(),
+        F.aggregate("_patches", F.col(text_col),
+                    lambda acc, pt: F.replace(acc, pt["find"],
+                                              pt["replace"]))
     ).otherwise(F.col(text_col))
     return (joined
             .withColumn(text_col, patched_text)
-            .withColumn("patched", F.col("find").isNotNull())
-            .drop("_pk", "find", "replace"))
+            .withColumn("patched", F.col("_patches").isNotNull())
+            .drop("_pk", "_patches"))

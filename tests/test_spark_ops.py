@@ -363,6 +363,81 @@ def test_catalog_triples_roundtrip_and_merge(spark, tmpdir):
     assert got == {("u1", 1), ("u2", 2), ("u3", 2)}
 
 
+def test_connected_components_arbitrary_uris(spark):
+    """Generic string-vertex CC (VERDICT r1 ask #7): no numeric-suffix
+    assumption; canonical = (length, value)-minimal member."""
+    from ferenda_spark.operators.canonicalize import (
+        connected_components_uris)
+    edges = spark.createDataFrame(
+        [("urn:isbn:b", "mailto:zz@example.org"),
+         ("mailto:zz@example.org", "urn:isbn:a"),
+         ("x:2", "x:10")],
+        "src string, dst string")
+    got = {r.uri: r.canonical_uri
+           for r in connected_components_uris(edges).collect()}
+    assert got == {"urn:isbn:a": "urn:isbn:a",
+                   "urn:isbn:b": "urn:isbn:a",
+                   "mailto:zz@example.org": "urn:isbn:a",
+                   "x:2": "x:2",      # shorter beats lexicographic
+                   "x:10": "x:2"}
+
+
+def test_apply_patches_multi_patch_single_row(spark):
+    """Multiple patch rows for one url compose into one rewrite (the
+    reference applies one unified diff per document) instead of
+    duplicating the document row."""
+    from ferenda_spark.operators.store import apply_patches
+    docs = spark.createDataFrame([("u1", "aaa bbb ccc"), ("u2", "xyz")],
+                                 "url string, text string")
+    patches = spark.createDataFrame(
+        [("u1", "aaa", "AAA"), ("u1", "ccc", "CCC")],
+        "url string, find string, replace string")
+    out = apply_patches(docs, patches)
+    assert out.count() == 2
+    rows = {r.url: (r.text, r.patched) for r in out.collect()}
+    assert rows["u1"] == ("AAA bbb CCC", True)
+    assert rows["u2"] == ("xyz", False)
+
+
+def test_dump_nt_multifile_sorted_with_manifest(spark, tmpdir):
+    """Scale-safe dump default: multiple range-partitioned sorted
+    files whose manifest ranges do not interleave; count comes from
+    the written output."""
+    import json
+    import os
+    from ferenda_spark import catalog
+    t = spark.createDataFrame(
+        [("http://s%03d" % i, "http://p", "http://o%03d" % i,
+          None, None, "u") for i in range(100)],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    n = catalog.dump_nt(t, tmpdir + "/dump.nt", num_files=4)
+    assert n == 100
+    manifest = json.load(open(tmpdir + "/dump.nt/_manifest.json"))
+    assert len(manifest) > 1  # no coalesce(1) in the default path
+    assert sum(m["n_lines"] for m in manifest) == 100
+    # each file internally sorted ranges; files ordered by name must
+    # not interleave (range partitioner property)
+    ordered = sorted(manifest, key=lambda m: m["file"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["max_line"] <= b["min_line"]
+
+
+def test_merge_upsert_propagates_read_errors(spark, tmpdir):
+    """A corrupt existing table must raise, not silently degrade MERGE
+    to full-replace (ADVICE r1)."""
+    import os
+    import pytest as _pytest
+    from ferenda_spark import catalog
+    os.makedirs(tmpdir + "/broken")
+    with open(tmpdir + "/broken/part-00000.parquet", "w") as fh:
+        fh.write("this is not parquet")
+    new = spark.createDataFrame([("u1", 1)], "url string, v int")
+    with _pytest.raises(Exception):
+        catalog.merge_upsert(spark, tmpdir, "broken", new,
+                             ("url",)).collect()
+
+
 def test_catalog_nt_dump_format(spark, tmpdir):
     """S7 N-Triples dump: IRI vs literal terms, lang tags, datatypes,
     escaping; stable sorted single output."""
