@@ -430,12 +430,45 @@ def _q_search_snippets(spark, sf_dir):
 
 
 def _q_sql_select(spark, sf_dir):
-    """Q12: SPARQL-select passthrough = Spark SQL over the triples
-    view (devel.py:618-682 -> triplestore.select)."""
-    _triples(spark, sf_dir).createOrReplaceTempView("kg_triples")
-    return spark.sql("""
-        SELECT subj, obj FROM kg_triples
-        WHERE pred = 'http://purl.org/dc/terms/references'""")
+    """Q12: SPARQL select through the pattern compiler
+    (ferenda_spark.sparql; devel.py:618-682 -> triplestore.select)."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?subj ?obj WHERE { ?subj dcterms:references ?obj . }""")
+
+
+def _q_sparql_bgp(spark, sf_dir):
+    """Q12 general BGP: 3-pattern join compiled to filtered scans +
+    equi-joins on the shared ?doc variable."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?doc ?title ?publisher WHERE {
+          ?doc a bibo:Document .
+          ?doc dcterms:title ?title .
+          ?doc dcterms:publisher ?publisher .
+        }""")
+
+
+def _q_sparql_optional(spark, sf_dir):
+    """Q12 OPTIONAL: left-join semantics — docs without owl:sameAs
+    keep a NULL ?same."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?doc ?same WHERE {
+          ?doc a bibo:Document .
+          OPTIONAL { ?doc owl:sameAs ?same }
+        }""")
+
+
+def _q_sparql_filter(spark, sf_dir):
+    """Q12 FILTER: comparison + negated contains over section chapter
+    labels."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?part ?sec WHERE {
+          ?part bibo:chapter ?sec .
+          FILTER(?sec >= "2" && !contains(?sec, "."))
+        }""")
 
 
 def _q_fuzzy_entity_links(spark, sf_dir):
@@ -672,6 +705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fielded": _q_search_fielded,
         "search_snippets": _q_search_snippets,
         "kg_sql_select": _q_sql_select,
+        "kg_sparql_bgp": _q_sparql_bgp,
+        "kg_sparql_optional": _q_sparql_optional,
+        "kg_sparql_filter": _q_sparql_filter,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1436,6 +1472,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE strpos(lower(text), 'merge') > 0""",
         "kg_sql_select": "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """
             SELECT subj, obj FROM mention_triples""",
+        "kg_sparql_bgp": "WITH " + _F_CTE + """
+            SELECT doc_uri AS doc, title, publisher_uri AS publisher
+            FROM f""",
+        "kg_sparql_optional": "WITH " + _F_CTE + """
+            SELECT doc_uri AS doc, sameas_uri AS same FROM f""",
+        "kg_sparql_filter": "WITH " + _F_CTE + """
+            SELECT doc_uri || '#S' || s AS part, CAST(s AS VARCHAR) AS sec
+            FROM secs WHERE CAST(s AS VARCHAR) >= '2'""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,
                    (CASE WHEN lower(dcterms_title) LIKE '%7%'

@@ -1,0 +1,382 @@
+"""Minimal SPARQL -> DataFrame compiler over the triples table (Q12).
+
+The reference issues SPARQL against its triplestore for ad-hoc
+inspection and for the annotation/dependency queries
+(/root/reference/ferenda/triplestore.py:138-173 ``select``,
+/root/reference/ferenda/devel.py:618-682 ad-hoc queries,
+res/sparql/*.rq).  This module compiles the slice of SPARQL those
+call sites actually use — basic graph patterns, OPTIONAL, FILTER,
+DISTINCT, ORDER BY, LIMIT — into a DataFrame plan over the
+``(subj, pred, obj, ...)`` triples table:
+
+* each BGP triple pattern becomes a filtered scan of the triples
+  DataFrame with constant terms pushed into the scan (predicate
+  pushdown reaches parquet);
+* shared variables between patterns become equi-join conditions;
+  join order is as written, then Catalyst + AQE reorder/broadcast —
+  selective patterns (constant pred + constant obj) produce small
+  build sides that AQE turns into broadcast joins;
+* ``OPTIONAL { ... }`` compiles to a left join of the sub-group plan;
+* ``FILTER (...)`` compiles to a Column expression (comparisons,
+  ``&& || !``, ``regex``, ``bound``, ``contains``, ``strstarts``).
+
+Grammar (case-insensitive keywords)::
+
+    query    := prefix* 'SELECT' 'DISTINCT'? ('*' | ?var+)
+                'WHERE' group ('ORDER' 'BY' order+)? ('LIMIT' int)?
+    prefix   := 'PREFIX' name ':' '<iri>'
+    group    := '{' (triple '.' | 'OPTIONAL' group
+                     | 'FILTER' '(' expr ')')* '}'
+    triple   := term term term      (term: ?var | <iri> | pfx:name
+                                     | "literal" | number | 'a')
+    order    := ?var | 'ASC(' ?var ')' | 'DESC(' ?var ')'
+
+Unsupported (documented, raises SparqlError): CONSTRUCT/ASK/DESCRIBE,
+UNION, property paths, GROUP BY/aggregates, subqueries, named graphs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class SparqlError(ValueError):
+    pass
+
+
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "dcterms": "http://purl.org/dc/terms/",
+    "bibo": "http://purl.org/ontology/bibo/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+    "prov": "http://www.w3.org/ns/prov#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*])
+""", re.X)
+
+
+def _tokenize(text: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlError("cannot tokenize at: %r" % text[pos:pos + 20])
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append(m.group())
+    return out
+
+
+class _Var:
+    def __init__(self, name):
+        self.name = name
+
+
+class _Const:
+    def __init__(self, value):
+        self.value = value
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes = dict(DEFAULT_PREFIXES)
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect(self, kw):
+        t = self.next()
+        if t.lower() != kw.lower():
+            raise SparqlError("expected %r, got %r" % (kw, t))
+        return t
+
+    # ---------------------------------------------------------- terms
+
+    def term(self):
+        t = self.next()
+        if t.startswith("?"):
+            return _Var(t[1:])
+        if t.startswith("<") and t.endswith(">"):
+            return _Const(t[1:-1])
+        if t.startswith('"'):
+            body = t[1:-1]
+            return _Const(re.sub(r'\\(.)', r'\1', body))
+        if t == "a":
+            return _Const(DEFAULT_PREFIXES["rdf"] + "type")
+        if ":" in t:
+            pfx, local = t.split(":", 1)
+            if pfx not in self.prefixes:
+                raise SparqlError("unknown prefix %r" % pfx)
+            return _Const(self.prefixes[pfx] + local)
+        if re.fullmatch(r"-?\d+(\.\d+)?", t):
+            return _Const(t)
+        raise SparqlError("bad term %r" % t)
+
+    # ---------------------------------------------------------- query
+
+    def parse(self):
+        while self.peek() and self.peek().lower() == "prefix":
+            self.next()
+            pname = self.next()
+            if not pname.endswith(":"):
+                # tokenizer may yield 'pfx:' as pname already
+                if ":" in pname:
+                    pname = pname.split(":")[0] + ":"
+                else:
+                    self.expect(":")
+                    pname = pname + ":"
+            iri = self.next()
+            self.prefixes[pname[:-1]] = iri[1:-1]
+        self.expect("select")
+        distinct = False
+        if self.peek() and self.peek().lower() == "distinct":
+            self.next()
+            distinct = True
+        sel = []
+        if self.peek() == "*":
+            self.next()
+            sel = None
+        else:
+            while self.peek() and self.peek().startswith("?"):
+                sel.append(self.next()[1:])
+            if not sel:
+                raise SparqlError("empty SELECT list")
+        self.expect("where")
+        group = self.group()
+        order, limit = [], None
+        if self.peek() and self.peek().lower() == "order":
+            self.next()
+            self.expect("by")
+            while True:
+                t = self.peek()
+                if t is None or t.lower() in ("limit",):
+                    break
+                t = self.next()
+                if t.lower() in ("asc", "desc"):
+                    self.expect("(")
+                    v = self.next()[1:]
+                    self.expect(")")
+                    order.append((v, t.lower() == "asc"))
+                elif t.startswith("?"):
+                    order.append((t[1:], True))
+                else:
+                    raise SparqlError("bad ORDER BY term %r" % t)
+        if self.peek() and self.peek().lower() == "limit":
+            self.next()
+            limit = int(self.next())
+        if self.peek() is not None:
+            raise SparqlError("trailing tokens at %r" % self.peek())
+        return {"select": sel, "distinct": distinct, "group": group,
+                "order": order, "limit": limit}
+
+    def group(self):
+        self.expect("{")
+        items = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("unterminated group")
+            if t == "}":
+                self.next()
+                return items
+            if t.lower() == "optional":
+                self.next()
+                items.append(("optional", self.group()))
+            elif t.lower() == "filter":
+                self.next()
+                self.expect("(")
+                items.append(("filter", self.expr()))
+                self.expect(")")
+            else:
+                s, p, o = self.term(), self.term(), self.term()
+                items.append(("triple", (s, p, o)))
+                if self.peek() == ".":
+                    self.next()
+
+    # ------------------------------------------------------- FILTER expr
+
+    def expr(self):
+        node = self.and_expr()
+        while self.peek() == "||":
+            self.next()
+            node = ("or", node, self.and_expr())
+        return node
+
+    def and_expr(self):
+        node = self.unary()
+        while self.peek() == "&&":
+            self.next()
+            node = ("and", node, self.unary())
+        return node
+
+    def unary(self):
+        if self.peek() == "!":
+            self.next()
+            return ("not", self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t == "(":
+            self.next()
+            node = self.expr()
+            self.expect(")")
+            return node
+        if t and t.lower() in ("regex", "contains", "strstarts"):
+            fn = self.next().lower()
+            self.expect("(")
+            a = self.term()
+            self.expect(",")
+            b = self.term()
+            self.expect(")")
+            return (fn, a, b)
+        if t and t.lower() == "bound":
+            self.next()
+            self.expect("(")
+            v = self.term()
+            self.expect(")")
+            return ("bound", v)
+        left = self.term()
+        op = self.peek()
+        if op in ("=", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right = self.term()
+            return ("cmp", op, left, right)
+        return ("truthy", left)
+
+
+# ---------------------------------------------------------------- compile
+
+def _term_col(term):
+    if isinstance(term, _Var):
+        return F.col(term.name)
+    return F.lit(term.value)
+
+
+def _compile_expr(node):
+    kind = node[0]
+    if kind == "or":
+        return _compile_expr(node[1]) | _compile_expr(node[2])
+    if kind == "and":
+        return _compile_expr(node[1]) & _compile_expr(node[2])
+    if kind == "not":
+        return ~_compile_expr(node[1])
+    if kind == "cmp":
+        _, op, a, b = node
+        ca, cb = _term_col(a), _term_col(b)
+        return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
+                "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[op]
+    if kind == "regex":
+        return _term_col(node[1]).rlike(node[2].value)
+    if kind == "contains":
+        return _term_col(node[1]).contains(node[2].value)
+    if kind == "strstarts":
+        return _term_col(node[1]).startswith(node[2].value)
+    if kind == "bound":
+        return _term_col(node[1]).isNotNull()
+    if kind == "truthy":
+        return _term_col(node[1]).isNotNull()
+    raise SparqlError("bad filter node %r" % (node,))
+
+
+def _scan(triples: DataFrame, pattern) -> DataFrame:
+    """One BGP triple -> filtered scan with variable columns aliased;
+    constant terms become pushed-down equality filters."""
+    s, p, o = pattern
+    df = triples
+    seen: dict[str, str] = {}
+    cols = []
+    for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+        if isinstance(term, _Var):
+            if term.name in seen:       # e.g. ?x ?p ?x
+                df = df.where(F.col(col) == F.col(seen[term.name]))
+            else:
+                seen[term.name] = col
+                cols.append(F.col(col).alias(term.name))
+        else:
+            df = df.where(F.col(col) == term.value)
+    if not cols:
+        # all-constant pattern: existence check -> 1-row marker frame
+        return df.limit(1).select(F.lit(1).alias("__exists"))
+    return df.select(*cols)
+
+
+def _compile_group(triples: DataFrame, items) -> DataFrame:
+    plan = None
+    for kind, payload in items:
+        if kind == "triple":
+            scan = _scan(triples, payload)
+            plan = _join(plan, scan, "inner")
+        elif kind == "optional":
+            sub = _compile_group(triples, payload)
+            if plan is None:
+                raise SparqlError("OPTIONAL cannot open a group")
+            shared = [c for c in plan.columns if c in sub.columns]
+            if not shared:
+                raise SparqlError("OPTIONAL shares no variables")
+            plan = plan.join(sub, shared, "left")
+        elif kind == "filter":
+            if plan is None:
+                raise SparqlError("FILTER before any pattern")
+            plan = plan.where(_compile_expr(payload))
+    if plan is None:
+        raise SparqlError("empty group")
+    return plan
+
+
+def _join(plan, scan, how):
+    if plan is None:
+        return scan
+    shared = [c for c in plan.columns if c in scan.columns]
+    if shared:
+        return plan.join(scan, shared, how)
+    return plan.crossJoin(scan)
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run a SPARQL SELECT against the triples DataFrame.
+
+    Returns a DataFrame whose columns are the selected variables (in
+    SELECT order; unbound OPTIONAL variables are NULL, matching SPARQL
+    semantics)."""
+    ast = _Parser(_tokenize(query)).parse()
+    plan = _compile_group(triples, ast["group"])
+    plan = plan.drop("__exists")
+    if ast["select"] is not None:
+        missing = [v for v in ast["select"] if v not in plan.columns]
+        if missing:
+            raise SparqlError("SELECT of unbound vars: %s" % missing)
+        plan = plan.select(*ast["select"])
+    if ast["distinct"]:
+        plan = plan.distinct()
+    if ast["order"]:
+        plan = plan.orderBy(*[
+            F.col(v).asc() if asc else F.col(v).desc()
+            for v, asc in ast["order"]])
+    if ast["limit"] is not None:
+        plan = plan.limit(ast["limit"])
+    return plan

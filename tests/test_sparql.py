@@ -1,0 +1,110 @@
+"""SPARQL-subset compiler tests (Q12): BGP joins, OPTIONAL, FILTER,
+DISTINCT, ORDER BY/LIMIT, and rejection of unsupported syntax."""
+
+import pytest
+
+from ferenda_spark.session import get_spark
+from ferenda_spark.sparql import SparqlError, sparql_select
+
+DCT = "http://purl.org/dc/terms/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+BIBO_DOC = "http://purl.org/ontology/bibo/Document"
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="sparql-tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("d1", RDF_TYPE, BIBO_DOC),
+        ("d2", RDF_TYPE, BIBO_DOC),
+        ("d3", RDF_TYPE, BIBO_DOC),
+        ("d1", DCT + "title", "Alpha"),
+        ("d2", DCT + "title", "Beta"),
+        ("d3", DCT + "title", "Alpha"),
+        ("d1", DCT + "references", "d2"),
+        ("d2", DCT + "references", "d3"),
+        ("d1", OWL_SAMEAS, "d9"),
+    ]
+    return spark.createDataFrame(
+        [(s, p, o, None, None, "ctx") for s, p, o in rows],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+
+
+def test_bgp_join(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc ?title WHERE {
+          ?doc a bibo:Document .
+          ?doc dcterms:title ?title .
+        }""").collect()
+    assert {(r.doc, r.title) for r in got} == {
+        ("d1", "Alpha"), ("d2", "Beta"), ("d3", "Alpha")}
+
+
+def test_join_across_docs(triples):
+    """Shared ?other variable joins two patterns."""
+    got = sparql_select(triples, """
+        SELECT ?doc ?t WHERE {
+          ?doc dcterms:references ?other .
+          ?other dcterms:title ?t .
+        }""").collect()
+    assert {(r.doc, r.t) for r in got} == {("d1", "Beta"), ("d2", "Alpha")}
+
+
+def test_optional_leaves_null(triples):
+    got = {r.doc: r.same for r in sparql_select(triples, """
+        SELECT ?doc ?same WHERE {
+          ?doc a bibo:Document .
+          OPTIONAL { ?doc owl:sameAs ?same }
+        }""").collect()}
+    assert got == {"d1": "d9", "d2": None, "d3": None}
+
+
+def test_filter_and_distinct(triples):
+    got = sparql_select(triples, """
+        SELECT DISTINCT ?title WHERE {
+          ?doc dcterms:title ?title .
+          FILTER(?title != "Beta")
+        }""").collect()
+    assert [r.title for r in got] == ["Alpha"]
+
+
+def test_filter_regex_contains_bound(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc dcterms:title ?t .
+          FILTER(regex(?t, "^Al") && contains(?t, "pha"))
+        }""").collect()
+    assert {r.doc for r in got} == {"d1", "d3"}
+
+
+def test_order_by_limit(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc ?title WHERE { ?doc dcterms:title ?title . }
+        ORDER BY DESC(?title) ?doc LIMIT 2""").collect()
+    assert [(r.doc, r.title) for r in got] == [("d2", "Beta"),
+                                              ("d1", "Alpha")]
+
+
+def test_explicit_prefix_and_iri_terms(triples):
+    got = sparql_select(triples, """
+        PREFIX dc: <http://purl.org/dc/terms/>
+        SELECT ?t WHERE { <d1> dc:title ?t . }""").collect()
+    assert [r.t for r in got] == ["Alpha"]
+
+
+def test_unsupported_syntax_raises(triples):
+    with pytest.raises(SparqlError):
+        sparql_select(triples, "SELECT ?x WHERE { ?x UNION ?y . }")
+    with pytest.raises(SparqlError):
+        sparql_select(triples, "SELECT ?x WHERE { ?x unk:title ?y . }")
+    with pytest.raises(SparqlError):
+        sparql_select(triples,
+                      "SELECT ?zz WHERE { ?x dcterms:title ?y . }")
