@@ -633,9 +633,11 @@ def _q_legal_mentions(spark, sf_dir):
     rows = []
     root = "/root/reference/test/files/legalref"
     if _os.path.isdir(root):
-        for d in ("Simple", "SFS", "DV", "Avg", "Regpubl", "EGLag"):
+        for d in ("Simple", "SFS", "DV", "Avg", "Regpubl", "EGLag",
+                  "ECJ"):
+            enc = "utf-8" if d == "ECJ" else "iso-8859-1"
             for f in sorted(_glob.glob("%s/%s/*.txt" % (root, d))):
-                raw = open(f, encoding="iso-8859-1").read()
+                raw = open(f, encoding=enc).read()
                 src = raw.split("<list>")[0].rstrip("\n")
                 rows.append(("fixture://%s/%s" % (d, _os.path.basename(f)),
                              src))

@@ -666,6 +666,10 @@ def scan_legal_refs(text: str, base: str = BASE,
                 emit_link(start, law.end(), law_uri)
         scan_at = max(expr_end, pos, scan_at + 1)
     emit_str(len(text))
+    if not segments:
+        # the reference always returns at least one node — empty input
+        # yields one empty <str/> (fixture sfs-tricky-tomstrang)
+        segments.append(("str", text))
     return segments
 
 
@@ -764,9 +768,6 @@ def scan_avg(text: str, base: str = BASE):
             auth = a
             str_end = dm.start()
             if mk.group().startswith("ärende") and p == mk.end():
-                str_end = mk.start() + len("i ") \
-                    if text[mk.start() - 2:mk.start()] == "i " \
-                    else mk.start()
                 str_end = mk.start()
             if str_end > pos:
                 segments.append(("str", text[pos:str_end]))
@@ -962,6 +963,46 @@ def scan_eglag(text: str, base: str = BASE):
             segments.append(("str", text[pos:s]))
         segments.append(("link", text[s:e], uri))
         pos = e
+    if pos < len(text):
+        segments.append(("str", text[pos:]))
+    return segments
+
+
+# ------------------------------------------------ EU case law (ECJ)
+# The EURATTSFALL grammar (reference res/ebnf/euratt.ebnf:1-14 —
+# "(Case)? [CTF]-serial/year" — and eurattsfall_format_uri,
+# legalref.py:1367-1390: CELEX 6<year>C<descriptor><serial %04d> with
+# C->J, T->A, F->W and the 2054 two-digit-year pivot).  Both reference
+# fixtures are listed broken in its own suite
+# (integrationLegalRef.py:151-153: no <list> golden at all, and the
+# texts use U+2011 non-breaking hyphens which the ASCII-'-' grammar
+# never matches); we therefore also accept U+2011/U+2013 and assert
+# corrected goldens in tests/test_legalref_goldens.py.
+
+_ECJ_DESCRIPTOR = {"C": "J",   # Judgment of the Court
+                   "T": "A",   # Court of First Instance
+                   "F": "W"}   # Civil Service Tribunal
+_ECJ_RE = re.compile(
+    r"(?:Case\s)?(?P<dec>[CTF])[-‑–]"
+    r"(?P<serial>\d+)/(?P<year>\d{2,4})")
+
+
+def _ecj_celex(dec: str, serial: str, year: str) -> str:
+    if len(year) == 2:
+        year = ("20" if int(year) < 54 else "19") + year
+    return "6%sC%s%04d" % (year, _ECJ_DESCRIPTOR[dec], int(serial))
+
+
+def scan_ecj(text: str, base: str = BASE):
+    """Segments for EU-court case references (Case C-176/09 etc.)."""
+    segments, pos = [], 0
+    for m in _ECJ_RE.finditer(text):
+        if m.start() > pos:
+            segments.append(("str", text[pos:m.start()]))
+        uri = base + "ext/celex/" + _ecj_celex(
+            m.group("dec"), m.group("serial"), m.group("year"))
+        segments.append(("link", m.group(), uri))
+        pos = m.end()
     if pos < len(text):
         segments.append(("str", text[pos:]))
     return segments

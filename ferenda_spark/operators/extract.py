@@ -74,14 +74,14 @@ LEGAL_MENTIONS_SCHEMA = ("url string, kind string, start int, "
                          "end int, anchor string, target_uri string")
 
 
-LEGAL_SCANNERS = ("sfs", "caselaw", "avg", "forarbeten", "eglag")
+LEGAL_SCANNERS = ("sfs", "caselaw", "avg", "forarbeten", "eglag", "ecj")
 
 
 def _legal_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .. import legalref as L
     scanners = {"sfs": L.scan_legal_refs, "caselaw": L.scan_caselaw,
                 "avg": L.scan_avg, "forarbeten": L.scan_forarbeten,
-                "eglag": L.scan_eglag}
+                "eglag": L.scan_eglag, "ecj": L.scan_ecj}
     for pdf in it:
         rows = []
         for url, text in zip(pdf["url"], pdf["text"]):

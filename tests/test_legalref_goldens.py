@@ -21,6 +21,10 @@ def load_fixture_parts(path):
     sections with '---' lines."""
     import re as _re
     raw = open(path, encoding="iso-8859-1").read()
+    if "<list>" not in raw:
+        # bare-<str/> golden (sfs-tricky-tomstrang): empty source ->
+        # one empty str node
+        return [("", [("str", "")])]
     idx = raw.index("<list>")
     srcs = [x.strip("\n") for x in _re.split(r"\n---\n", raw[:idx])
             if x.strip()]
@@ -99,15 +103,46 @@ def test_legaluri_construct_matches_golden(stem):
 
 SFSDIR = "/root/reference/test/files/legalref/SFS"
 
-# The SFS fixtures (72 of 76) whose constructs the scanner covers,
-# run with shared document state (learned law names carry across
-# parts, latest definition wins; RESET: parts start fresh; NOBASE:
-# fixtures run with default_law=None -> most-recent-law fallback).
-# The four remaining: sfs-tricky-vvfs (listed broken in the
-# reference's own suite, integrationLegalRef.py:133), two fixtures
-# whose goldens contradict the Simple suite's chapter+law merge
-# behavior (different LegalRef parser configs), and one
-# extreme-whitespace variant of the same conflict.
+# The SFS fixtures whose constructs the scanner covers, run with
+# shared document state (learned law names carry across parts, latest
+# definition wins; RESET: parts start fresh; NOBASE: fixtures run
+# with default_law=None -> most-recent-law fallback).
+#
+# Every non-passing fixture is pinned below with its reason; the
+# completeness test asserts PASSING + SKIPPED covers the directory
+# exactly, so a new reference fixture can't silently go untested.
+SFS_SKIPPED = {
+    # Listed broken in the reference's OWN suite
+    # (/root/reference/test/integrationLegalRef.py:142-147
+    # make_closure([...]) for the Lagrum parametrization):
+    "sfs-tricky-bokstavslista": "reference-broken (integrationLegalRef.py:142)",
+    "sfs-tricky-eller": "reference-broken (integrationLegalRef.py:143)",
+    "sfs-tricky-eller-paragrafer-stycke":
+        "reference-broken (integrationLegalRef.py:144)",
+    "sfs-tricky-overgangsbestammelse":
+        "reference-broken (integrationLegalRef.py:145)",
+    "sfs-tricky-uppdelat-lagnamn":
+        "reference-broken (integrationLegalRef.py:146)",
+    "sfs-tricky-vvfs": "reference-broken (integrationLegalRef.py:147)",
+    # Goldens that contradict the Simple suite's goldens for the SAME
+    # text under the parser config this scanner implements:
+    # Simple/kap-kand-lag.txt's golden merges '2 kap. <lawname>' into
+    # ONE link (uri ...#K2) — we match it 12/12 — while these SFS
+    # goldens split the identical construct into TWO links
+    # ('2 kap.' -> #K2 plus bare lawname -> law root).  The reference
+    # reconciles this by running different parser classes per
+    # directory (EnklaLagrum vs Lagrum, integrationLegalRef.py:148
+    # vs :140); one scanner cannot satisfy both goldens.
+    "sfs-namngiven-referens-4":
+        "golden conflicts with Simple/kap-kand-lag.txt (kap+lawname "
+        "split vs merge)",
+    "sfs-tricky-1984-387-8":
+        "same kap+lawname conflict, plus law-less bare 'första "
+        "stycket' link",
+    "sfs-regression-whitespace-3":
+        "extreme-whitespace variant of the same conflict (lawname + "
+        "paren-SFS merged across blank lines)",
+}
 SFS_PASSING = [
     "sfs-basic-gammal-lag",
     "sfs-basic-intervall",
@@ -180,8 +215,21 @@ SFS_PASSING = [
     "sfs-tricky-stycke-forkortning",
     "sfs-tricky-stycke-punkt",
     "sfs-tricky-stycke-punkter",
+    "sfs-tricky-tomstrang",
     "tricky-strange-chars",
 ]
+
+
+def test_sfs_fixture_inventory_complete():
+    """PASSING + SKIPPED must cover test/files/legalref/SFS exactly —
+    a new reference fixture cannot silently go untested, and a fixed
+    one cannot stay on the skip list unnoticed."""
+    if not os.path.isdir(SFSDIR):
+        pytest.skip("SFS fixtures not present")
+    have = {os.path.basename(f)[:-4]
+            for f in glob.glob(SFSDIR + "/*.txt")}
+    assert set(SFS_PASSING) | set(SFS_SKIPPED) == have
+    assert not set(SFS_PASSING) & set(SFS_SKIPPED)
 
 
 @pytest.mark.parametrize("name", SFS_PASSING)
@@ -269,3 +317,56 @@ def test_eglag_fixture_matches_golden(name):
     for src, _, exp in _load_with_ctx(LEGALREF_ROOT + "/EGLag/%s.txt"
                                       % name):
         assert scan_eglag(src) == exp
+
+
+# --------------------------------------------- EU case law (ECJ, T8)
+# Both reference fixtures are listed broken in its own suite
+# (integrationLegalRef.py:151-153): they carry NO <list> golden at
+# all, and their case numbers use U+2011 non-breaking hyphens that the
+# reference's ASCII-'-' EBNF (res/ebnf/euratt.ebnf:8) can never match.
+# The CORRECTED goldens below apply the reference's documented
+# semantics (euratt.ebnf productions + eurattsfall_format_uri,
+# legalref.py:1367-1390: CELEX 6<year>C<J|A|W><serial %04d>, two-digit
+# years pivot at 54) to the fixtures' actual text, with the hyphen
+# divergence accepted as in-the-wild input.
+
+ECJ_CORRECTED = {
+    "civilservicetrib": [
+        ("str", "By order in "),
+        ("link", "Case F‑23/07",
+         "https://lagen.nu/ext/celex/62007CW0023"),
+        ("str", " M  v EMEA"),
+    ],
+    "simple": [
+        ("str", "In "),
+        ("link", "Case C‑197/09",
+         "https://lagen.nu/ext/celex/62009CJ0197"),
+        ("str", " RX‑II,"),
+    ],
+}
+
+
+@pytest.mark.parametrize("name", sorted(ECJ_CORRECTED))
+def test_ecj_fixture_matches_corrected_golden(name):
+    """EURATTSFALL grammar over the reference's own (golden-less)
+    fixture texts, against author-corrected goldens."""
+    from ferenda_spark.legalref import scan_ecj
+    path = LEGALREF_ROOT + "/ECJ/%s.txt" % name
+    if not os.path.isfile(path):
+        pytest.skip("ECJ fixtures not present")
+    src = open(path, encoding="utf-8").read().rstrip("\n")
+    assert scan_ecj(src) == ECJ_CORRECTED[name]
+
+
+def test_ecj_ascii_and_year_pivot():
+    """ASCII-hyphen form (the EBNF's own syntax) and the 2054
+    two-digit-year pivot: 55 -> 1955, 53 -> 2053; 4-digit years pass
+    through."""
+    from ferenda_spark.legalref import scan_ecj
+    assert scan_ecj("Case T-13/55") == [
+        ("link", "Case T-13/55",
+         "https://lagen.nu/ext/celex/61955CA0013")]
+    assert scan_ecj("C-7/53 and C-8/2001") == [
+        ("link", "C-7/53", "https://lagen.nu/ext/celex/62053CJ0007"),
+        ("str", " and "),
+        ("link", "C-8/2001", "https://lagen.nu/ext/celex/62001CJ0008")]
