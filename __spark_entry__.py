@@ -460,6 +460,15 @@ def _q_sparql_optional(spark, sf_dir):
         }""")
 
 
+def _q_sparql_construct(spark, sf_dir):
+    """Q12 CONSTRUCT: template-emitted triples from WHERE bindings
+    (triplestore.construct surface)."""
+    from ferenda_spark.sparql import sparql_construct
+    return sparql_construct(_triples(spark, sf_dir), """
+        CONSTRUCT { ?s <https://example.org/vocab/cites> ?o }
+        WHERE { ?s dcterms:references ?o . }""")
+
+
 def _q_sparql_filter(spark, sf_dir):
     """Q12 FILTER: comparison + negated contains over section chapter
     labels."""
@@ -710,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bgp": _q_sparql_bgp,
         "kg_sparql_optional": _q_sparql_optional,
         "kg_sparql_filter": _q_sparql_filter,
+        "kg_sparql_construct": _q_sparql_construct,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1482,6 +1492,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_filter": "WITH " + _F_CTE + """
             SELECT doc_uri || '#S' || s AS part, CAST(s AS VARCHAR) AS sec
             FROM secs WHERE CAST(s AS VARCHAR) >= '2'""",
+        "kg_sparql_construct": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """
+            SELECT DISTINCT subj,
+                   'https://example.org/vocab/cites' AS pred, obj
+            FROM mention_triples""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,
                    (CASE WHEN lower(dcterms_title) LIKE '%7%'

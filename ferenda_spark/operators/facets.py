@@ -84,19 +84,31 @@ def toc_pagesets(faceted: DataFrame, facets=None) -> DataFrame:
 
 def _title_sortkey_col(c):
     """title_sortkey (util.py:691-705) as a pure column expression:
-    lower, strip leading 'the ', drop non-alphanumerics, drop spaces."""
+    lower, strip leading 'the ', drop non-alphanumerics (keeping
+    Swedish letters, like the reference's \\w), drop spaces."""
     lowered = F.lower(F.trim(c))
     nothe = F.regexp_replace(lowered, r"^the ", "")
-    return F.regexp_replace(nothe, r"[^a-z0-9]", "")
+    return F.regexp_replace(nothe, r"[^a-z0-9åäöéü]", "")
+
+
+def _collate_sv_col(c):
+    """O1: primary-strength Swedish collation as a column — the
+    deterministic stand-in for the reference's locale.strxfrm TOC
+    ordering (documentrepository.py:2809-2811); the translate table is
+    shared with textutil.swedish_collation_key so scalar and
+    distributed sorts agree."""
+    from ..textutil import SV_COLLATE_DST, SV_COLLATE_SRC
+    return F.translate(F.lower(c), SV_COLLATE_SRC, SV_COLLATE_DST)
 
 
 def toc_pages(faceted: DataFrame, facet: str = "year") -> DataFrame:
     """A3: group documents under each selector value, ordered within
-    the group by the facet key (titlesortkey)."""
+    the group by the facet key (titlesortkey, Swedish collation)."""
     sel = {"year": F.col("year").cast("string"),
            "publisher": F.col("dcterms_publisher")}[facet]
     key = _title_sortkey_col(F.col("dcterms_title"))
-    w = Window.partitionBy("value").orderBy("sortkey", "uri")
+    w = Window.partitionBy("value").orderBy(
+        _collate_sv_col(F.col("sortkey")), "uri")
     return (faceted
             .select(sel.alias("value"), "uri", "dcterms_title",
                     key.alias("sortkey"))

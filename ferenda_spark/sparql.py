@@ -138,12 +138,28 @@ class _Parser:
 
     # ---------------------------------------------------------- query
 
-    def parse(self):
+    def parse_construct(self):
+        self._prefixes_decl()
+        self.expect("construct")
+        template = []
+        self.expect("{")
+        while self.peek() != "}":
+            s, p, o = self.term(), self.term(), self.term()
+            template.append((s, p, o))
+            if self.peek() == ".":
+                self.next()
+        self.next()
+        self.expect("where")
+        group = self.group()
+        if self.peek() is not None:
+            raise SparqlError("trailing tokens at %r" % self.peek())
+        return {"template": template, "group": group}
+
+    def _prefixes_decl(self):
         while self.peek() and self.peek().lower() == "prefix":
             self.next()
             pname = self.next()
             if not pname.endswith(":"):
-                # tokenizer may yield 'pfx:' as pname already
                 if ":" in pname:
                     pname = pname.split(":")[0] + ":"
                 else:
@@ -151,6 +167,9 @@ class _Parser:
                     pname = pname + ":"
             iri = self.next()
             self.prefixes[pname[:-1]] = iri[1:-1]
+
+    def parse(self):
+        self._prefixes_decl()
         self.expect("select")
         distinct = False
         if self.peek() and self.peek().lower() == "distinct":
@@ -380,3 +399,26 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     if ast["limit"] is not None:
         plan = plan.limit(ast["limit"])
     return plan
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run a SPARQL CONSTRUCT: the WHERE group binds
+    variables, then each template pattern emits one (subj, pred, obj)
+    row per solution (variables substituted, constants as literals),
+    distinct over the union — the triplestore.construct surface
+    (reference triplestore.py:160-173)."""
+    ast = _Parser(_tokenize(query)).parse_construct()
+    plan = _compile_group(triples, ast["group"]).drop("__exists")
+    outs = []
+    for s, p, o in ast["template"]:
+        for term in (s, p, o):
+            if isinstance(term, _Var) and term.name not in plan.columns:
+                raise SparqlError("CONSTRUCT of unbound var ?%s"
+                                  % term.name)
+        outs.append(plan.select(_term_col(s).alias("subj"),
+                                _term_col(p).alias("pred"),
+                                _term_col(o).alias("obj")))
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.distinct()

@@ -125,3 +125,25 @@ def base27decode(s: str) -> int:
     for ch in s:
         n = n * 27 + (0 if ch == " " else ord(ch) - ord("A") + 1)
     return n
+
+
+# ------------------------------------------------ Swedish collation (O1)
+# The reference orders TOC entries with locale.strxfrm under a Swedish
+# locale (documentrepository.py:2809-2811).  This is a deterministic,
+# locale-free primary-strength sv collation key: a..z, then å < ä < ö
+# (mapped to ASCII chars just above 'z' so plain string comparison
+# yields Swedish order), w folded to v (traditional sv primary
+# strength, CLDR sv), accented latin folded to base letters.  The SAME
+# table drives the scalar function and the Spark column
+# (``F.translate``), so driver-side tests and the distributed sort
+# agree byte-for-byte.
+
+SV_COLLATE_SRC = "åäöwéèêëáàâüúùíìóòôçñ"
+SV_COLLATE_DST = "{|}veeeeaaayuuiiooocn"
+
+
+def swedish_collation_key(s: str) -> str:
+    """Primary-strength Swedish collation key; compare keys with plain
+    string comparison."""
+    return s.lower().translate(str.maketrans(SV_COLLATE_SRC,
+                                             SV_COLLATE_DST))

@@ -143,6 +143,25 @@ def test_jaccard_skew_guard_drops_hot_shingles(spark):
         "boilerplate-only pairs must be suppressed by the guard"
 
 
+def test_swedish_collation_toc_order(spark):
+    """O1: å/ä/ö order after z (sv primary strength), w folds to v,
+    accents fold to base — in both the scalar key and the distributed
+    TOC window sort."""
+    from ferenda_spark.operators.facets import toc_pages
+    from ferenda_spark.textutil import swedish_collation_key
+    words = ["Ärlig", "Zebra", "Åre", "Öst", "Wern", "Varg", "Älg"]
+    assert sorted(words, key=swedish_collation_key) == [
+        "Varg", "Wern", "Zebra", "Åre", "Älg", "Ärlig", "Öst"]
+    faceted = spark.createDataFrame(
+        [("u%d" % i, t, "p", 2020) for i, t in enumerate(words)],
+        "uri string, dcterms_title string, dcterms_publisher string, "
+        "year int")
+    got = (toc_pages(faceted, facet="year")
+           .orderBy("pos").select("dcterms_title").collect())
+    assert [r.dcterms_title for r in got] == [
+        "Varg", "Wern", "Zebra", "Åre", "Älg", "Ärlig", "Öst"]
+
+
 def test_stage_counters_lineage(spark):
     from ferenda_spark.operators.incremental import stage_counters
     df = spark.createDataFrame(

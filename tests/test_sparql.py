@@ -100,6 +100,22 @@ def test_explicit_prefix_and_iri_terms(triples):
     assert [r.t for r in got] == ["Alpha"]
 
 
+def test_construct_emits_triples(triples):
+    from ferenda_spark.sparql import sparql_construct
+    got = sparql_construct(triples, """
+        CONSTRUCT {
+          ?doc <http://example.org/cites> ?other .
+          ?doc a <http://example.org/CitingDoc> .
+        } WHERE {
+          ?doc dcterms:references ?other .
+        }""").collect()
+    assert {(r.subj, r.pred, r.obj) for r in got} == {
+        ("d1", "http://example.org/cites", "d2"),
+        ("d2", "http://example.org/cites", "d3"),
+        ("d1", RDF_TYPE, "http://example.org/CitingDoc"),
+        ("d2", RDF_TYPE, "http://example.org/CitingDoc")}
+
+
 def test_unsupported_syntax_raises(triples):
     with pytest.raises(SparqlError):
         sparql_select(triples, "SELECT ?x WHERE { ?x UNION ?y . }")
