@@ -182,6 +182,14 @@ def _q_events_month_histogram(spark, sf_dir):
             .groupBy("month").agg(F.count("*").alias("n")))
 
 
+def _q_events_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation (streaming.py) run in
+    batch mode — the SAME definition serves the stream; the watermark
+    is a no-op on a batch frame."""
+    from ferenda_spark.streaming import windowed_event_counts
+    return windowed_event_counts(_read(spark, sf_dir, "events"))
+
+
 def _q_customers_without_orders(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
@@ -683,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_archive_pages": _q_feed_archive_pages,
         "event_type_user_stats": _q_event_type_user_stats,
         "events_month_histogram": _q_events_month_histogram,
+        "events_windowed_counts": _q_events_windowed_counts,
         "customers_without_orders": _q_customers_without_orders,
         "search_documents": _q_search_documents,
         "autocomplete_titles": _q_autocomplete_titles,
@@ -1188,6 +1197,12 @@ def oracle_sql() -> dict[str, str]:
         "events_month_histogram": """
             SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n
             FROM events GROUP BY 1""",
+        "events_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR
+                     AS window_end,
+                   event_type, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2, 3""",
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",

@@ -37,15 +37,16 @@ HEADLINE = [
     "kg_entity_mentions", "kg_triples_by_pred", "kg_faceted_data",
     "kg_sameas_canonical", "kg_toc_pagesets", "kg_api_stats",
     "kg_ispartof_closure", "kg_citation_counts", "kg_pagerank",
-    "kg_fuzzy_entity_links", "kg_canonical_triples",
+    "kg_fuzzy_entity_links", "kg_fuzzy_links_lsh",
+    "kg_canonical_triples", "kg_sparql_bgp", "kg_sparql_construct",
     # relational / windowed analytics
     "tpch_pricing_summary", "top_revenue_orders", "latest_event_per_user",
     "feed_archive_pages", "event_type_user_stats",
     # training-data-pipeline ops
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
     "dedup_simhash", "text_quality", "text_lang_id", "text_fingerprint",
-    "sim_cosine_topk", "sim_lsh_topk", "mm_image_meta",
-    "search_documents",
+    "sim_cosine_topk", "sim_lsh_topk", "dedup_embedding",
+    "mm_image_meta", "search_documents",
 ]
 
 
@@ -118,18 +119,23 @@ def run_scaling(sf_dir: str) -> dict:
     import shutil
     have_taskset = shutil.which("taskset") is not None
     out = {}
+    # Pin away from cpu0: it hosts IRQ/system load on this VM, adding
+    # run-to-run noise of up to ~50% on the 1-core leg (a real
+    # executor host's cores are dedicated).  Cores PIN_BASE..+n-1.
+    pin_base = 16
     for n in (SCALING_N, SCALING_4N):
         code = ("import sys; sys.path.insert(0, %r); import bench, json; "
                 "print('@@'+json.dumps(bench._throughput_job(%r, 'local[%d]')))"
                 % (os.path.dirname(os.path.abspath(__file__)), sf_dir, n))
         cmd = [sys.executable, "-c", code]
         if have_taskset:
-            cmd = ["taskset", "-c", "0-%d" % (n - 1)] + cmd
-        # best of two: each leg is short enough that JVM JIT + GC
-        # variance otherwise dominates the ratio
+            cmd = ["taskset", "-c",
+                   "%d-%d" % (pin_base, pin_base + n - 1)] + cmd
+        # best of three: each leg is short enough that JVM JIT + GC +
+        # ambient-VM variance otherwise dominates the ratio
         best = None
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             r = subprocess.run(cmd,
                                capture_output=True, text=True,
                                timeout=1800)

@@ -1,0 +1,89 @@
+"""Structured-Streaming ingest surface — the continuous analogue of
+the incremental batch contract (SURVEY.md S2/I1-I5).
+
+The reference polls sources on a schedule (cron-driven ``download``
+runs, documentrepository.py:636-744); at 10^12-document scale the
+natural Spark shape is a continuous pipeline: new/changed page files
+land in the input table's directory, a file-source stream picks up
+each file exactly once (checkpointed source offsets), and every
+micro-batch runs the SAME incremental stage machinery — fingerprint
+anti-join + entries checkpoint (operators/incremental.py) — via
+``foreachBatch``.  The two dedup layers compose: source offsets stop
+the same *file* from being read twice, the fingerprint anti-join stops
+the same *content* from being reprocessed even when re-delivered in a
+new file (conditional-fetch semantics, S2/I5).
+
+* :func:`stream_pages` — file-source ``readStream`` over the pages
+  layout.
+* :func:`run_streaming_ingest` — ``foreachBatch(run_stage)`` with the
+  ``availableNow`` trigger: drains everything currently available then
+  stops — the restartable catch-up run (the cron analogue); a
+  production deployment switches to a processing-time trigger and the
+  same code runs continuously.  ``foreachBatch`` rather than a direct
+  sink because the needed-work anti-join reads a batch-side table (the
+  entries checkpoint), which declarative streaming sinks can't
+  express.
+* :func:`windowed_event_counts` — watermarked tumbling-window
+  aggregation over an event stream: the streaming analogue of the
+  events histogram (A6), with late data beyond the watermark dropped
+  and state bounded by it (no unbounded window state at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def stream_pages(spark: SparkSession, input_dir: str,
+                 schema: str = PAGES_SCHEMA) -> DataFrame:
+    """File-source stream over a directory of pages parquet files.
+    (Streaming file sources require an explicit schema — inference
+    would race the arriving files.)"""
+    return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def run_streaming_ingest(spark: SparkSession, input_dir: str,
+                         store_dir: str, transform,
+                         stage: str = "parse") -> None:
+    """Drain all currently-available page files through the
+    checkpointed incremental stage, then stop (availableNow).
+    Restart-safe twice over: the stream checkpoint skips files already
+    consumed, and run_stage's fingerprint anti-join skips page
+    contents already processed."""
+    from .operators.incremental import run_stage
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        run_stage(df, store_dir, stage, transform)
+
+    q = (stream_pages(spark, input_dir)
+         .writeStream
+         .foreachBatch(_batch)
+         .option("checkpointLocation",
+                 os.path.join(store_dir, "_stream_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """(window_start, window_end, event_type, n_events): tumbling
+    windows with a watermark bounding state — works identically on a
+    batch DataFrame (watermark is a no-op there), so the same
+    definition serves the batch histogram and the stream."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                     "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events"))
