@@ -88,8 +88,9 @@ class _Var:
 
 
 class _Const:
-    def __init__(self, value):
+    def __init__(self, value, kind="uri"):
         self.value = value
+        self.kind = kind      # "uri" | "lit" — CONSTRUCT term fidelity
 
 
 class _Parser:
@@ -124,7 +125,7 @@ class _Parser:
             return _Const(t[1:-1])
         if t.startswith('"'):
             body = t[1:-1]
-            return _Const(re.sub(r'\\(.)', r'\1', body))
+            return _Const(re.sub(r'\\(.)', r'\1', body), kind="lit")
         if t == "a":
             return _Const(DEFAULT_PREFIXES["rdf"] + "type")
         if ":" in t:
@@ -133,7 +134,7 @@ class _Parser:
                 raise SparqlError("unknown prefix %r" % pfx)
             return _Const(self.prefixes[pfx] + local)
         if re.fullmatch(r"-?\d+(\.\d+)?", t):
-            return _Const(t)
+            return _Const(t, kind="lit")
         raise SparqlError("bad term %r" % t)
 
     # ---------------------------------------------------------- query
@@ -225,14 +226,34 @@ class _Parser:
             if t.lower() == "optional":
                 self.next()
                 items.append(("optional", self.group()))
+            elif t.lower() == "graph":
+                self.next()
+                ctx = self.term()
+                if isinstance(ctx, _Var):
+                    raise SparqlError("GRAPH ?var is not supported")
+                items.append(("graph", (ctx, self.group())))
             elif t.lower() == "filter":
                 self.next()
                 self.expect("(")
                 items.append(("filter", self.expr()))
                 self.expect(")")
             else:
-                s, p, o = self.term(), self.term(), self.term()
-                items.append(("triple", (s, p, o)))
+                s = self.term()
+                while True:                      # `;` predicate lists
+                    p = self.term()
+                    while True:                  # `,` object lists
+                        o = self.term()
+                        items.append(("triple", (s, p, o)))
+                        if self.peek() == ",":
+                            self.next()
+                            continue
+                        break
+                    if self.peek() == ";":
+                        self.next()
+                        if self.peek() in (".", "}"):  # trailing ;
+                            break
+                        continue
+                    break
                 if self.peek() == ".":
                     self.next()
 
@@ -279,13 +300,33 @@ class _Parser:
             v = self.term()
             self.expect(")")
             return ("bound", v)
-        left = self.term()
+        if t and t.lower() == "langmatches":
+            self.next()
+            self.expect("(")
+            lang = self._lang_call()
+            self.expect(",")
+            tag = self.term()
+            self.expect(")")
+            return ("langmatches", lang, tag)
+        if t and t.lower() == "lang":
+            left = self._lang_call()
+        else:
+            left = self.term()
         op = self.peek()
         if op in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
             right = self.term()
             return ("cmp", op, left, right)
         return ("truthy", left)
+
+    def _lang_call(self):
+        self.expect("lang")
+        self.expect("(")
+        v = self.term()
+        self.expect(")")
+        if not isinstance(v, _Var):
+            raise SparqlError("lang() takes a variable")
+        return ("lang", v)
 
 
 # ---------------------------------------------------------------- compile
@@ -294,6 +335,18 @@ def _term_col(term):
     if isinstance(term, _Var):
         return F.col(term.name)
     return F.lit(term.value)
+
+
+def _lang_col(var):
+    """lang(?v): the hidden obj_lang binding; '' when absent (the
+    SPARQL lang() of a plain literal)."""
+    return F.coalesce(F.col("__lang_" + var.name), F.lit(""))
+
+
+def _operand_col(op):
+    if isinstance(op, tuple) and op[0] == "lang":
+        return _lang_col(op[1])
+    return _term_col(op)
 
 
 def _compile_expr(node):
@@ -306,7 +359,7 @@ def _compile_expr(node):
         return ~_compile_expr(node[1])
     if kind == "cmp":
         _, op, a, b = node
-        ca, cb = _term_col(a), _term_col(b)
+        ca, cb = _operand_col(a), _operand_col(b)
         return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
                 "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[op]
     if kind == "regex":
@@ -317,16 +370,33 @@ def _compile_expr(node):
         return _term_col(node[1]).startswith(node[2].value)
     if kind == "bound":
         return _term_col(node[1]).isNotNull()
+    if kind == "langmatches":
+        # primary-strength RFC-4647 basic match: exact tag or prefix
+        lang = F.lower(_operand_col(node[1]))
+        tag = node[2].value.lower()
+        return (lang == tag) | lang.startswith(tag + "-")
+    if kind == "lang":
+        return _lang_col(node[1]).isNotNull()
     if kind == "truthy":
-        return _term_col(node[1]).isNotNull()
+        return _operand_col(node[1]).isNotNull()
     raise SparqlError("bad filter node %r" % (node,))
 
 
-def _scan(triples: DataFrame, pattern) -> DataFrame:
+# hidden per-variable term metadata: (source column, alias prefix).
+# Bound only for obj-position variables and only when the source frame
+# carries the column; consumed by lang()/langMatches and CONSTRUCT.
+_META = (("obj_lang", "__lang_"), ("obj_datatype", "__dt_"),
+         ("obj_kind", "__kind_"))
+
+
+def _scan(triples: DataFrame, pattern, ctx=None) -> DataFrame:
     """One BGP triple -> filtered scan with variable columns aliased;
-    constant terms become pushed-down equality filters."""
+    constant terms (and the enclosing GRAPH context) become pushed-down
+    equality filters."""
     s, p, o = pattern
     df = triples
+    if ctx is not None and "context" in triples.columns:
+        df = df.where(F.col("context") == ctx.value)
     seen: dict[str, str] = {}
     cols = []
     for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
@@ -336,6 +406,11 @@ def _scan(triples: DataFrame, pattern) -> DataFrame:
             else:
                 seen[term.name] = col
                 cols.append(F.col(col).alias(term.name))
+                if col == "obj":
+                    for src, pfx in _META:
+                        if src in triples.columns:
+                            cols.append(F.col(src)
+                                        .alias(pfx + term.name))
         else:
             df = df.where(F.col(col) == term.value)
     if not cols:
@@ -344,16 +419,21 @@ def _scan(triples: DataFrame, pattern) -> DataFrame:
     return df.select(*cols)
 
 
-def _compile_group(triples: DataFrame, items) -> DataFrame:
+def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
     plan = None
     for kind, payload in items:
         if kind == "triple":
-            scan = _scan(triples, payload)
+            scan = _scan(triples, payload, ctx)
             plan = _join(plan, scan, "inner")
+        elif kind == "graph":
+            g_ctx, g_items = payload
+            sub = _compile_group(triples, g_items, ctx=g_ctx)
+            plan = _join(plan, sub, "inner")
         elif kind == "optional":
-            sub = _compile_group(triples, payload)
+            sub = _compile_group(triples, payload, ctx)
             if plan is None:
                 raise SparqlError("OPTIONAL cannot open a group")
+            sub = _drop_dup_hidden(plan, sub)
             shared = [c for c in plan.columns if c in sub.columns]
             if not shared:
                 raise SparqlError("OPTIONAL shares no variables")
@@ -367,9 +447,19 @@ def _compile_group(triples: DataFrame, items) -> DataFrame:
     return plan
 
 
+def _drop_dup_hidden(plan, scan):
+    """A variable bound at obj position in two patterns would carry
+    its hidden metadata twice; the first binding wins (joins are on
+    the VALUE, per SPARQL solution compatibility)."""
+    dups = [c for c in scan.columns
+            if c.startswith("__") and c in plan.columns]
+    return scan.drop(*dups) if dups else scan
+
+
 def _join(plan, scan, how):
     if plan is None:
         return scan
+    scan = _drop_dup_hidden(plan, scan)
     shared = [c for c in plan.columns if c in scan.columns]
     if shared:
         return plan.join(scan, shared, how)
@@ -390,6 +480,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if missing:
             raise SparqlError("SELECT of unbound vars: %s" % missing)
         plan = plan.select(*ast["select"])
+    else:
+        plan = plan.drop(*[c for c in plan.columns
+                           if c.startswith("__")])
     if ast["distinct"]:
         plan = plan.distinct()
     if ast["order"]:
@@ -401,23 +494,47 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return plan
 
 
-def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+def sparql_construct(triples: DataFrame, query: str,
+                     with_term_meta: bool = False) -> DataFrame:
     """Compile and run a SPARQL CONSTRUCT: the WHERE group binds
     variables, then each template pattern emits one (subj, pred, obj)
     row per solution (variables substituted, constants as literals),
     distinct over the union — the triplestore.construct surface
-    (reference triplestore.py:160-173)."""
+    (reference triplestore.py:160-173).
+
+    ``with_term_meta=True`` adds (obj_kind, obj_lang, obj_datatype):
+    obj-position variable bindings carry the source row's term
+    metadata through the join (hidden columns), so the constructed
+    graph preserves IRI-vs-literal, language tags and datatypes — the
+    fidelity rdflib graph comparison needs."""
     ast = _Parser(_tokenize(query)).parse_construct()
     plan = _compile_group(triples, ast["group"]).drop("__exists")
+
+    def meta(term, pfx, dflt):
+        if isinstance(term, _Var):
+            col = pfx + term.name
+            if col in plan.columns:
+                return F.col(col)
+            return F.lit("uri") if pfx == "__kind_" \
+                else F.lit(None).cast("string")
+        return F.lit(dflt).cast("string")
+
     outs = []
     for s, p, o in ast["template"]:
         for term in (s, p, o):
             if isinstance(term, _Var) and term.name not in plan.columns:
                 raise SparqlError("CONSTRUCT of unbound var ?%s"
                                   % term.name)
-        outs.append(plan.select(_term_col(s).alias("subj"),
-                                _term_col(p).alias("pred"),
-                                _term_col(o).alias("obj")))
+        cols = [_term_col(s).alias("subj"),
+                _term_col(p).alias("pred"),
+                _term_col(o).alias("obj")]
+        if with_term_meta:
+            cols += [meta(o, "__kind_",
+                          o.kind if isinstance(o, _Const) else None)
+                     .alias("obj_kind"),
+                     meta(o, "__lang_", None).alias("obj_lang"),
+                     meta(o, "__dt_", None).alias("obj_datatype")]
+        outs.append(plan.select(*cols))
     out = outs[0]
     for df in outs[1:]:
         out = out.unionByName(df)

@@ -46,8 +46,12 @@ def _tokens(text):
 
 
 def _unescape(s):
-    return re.sub(r"\\.", lambda m: _UNESCAPE.get(m.group(), m.group()[1]),
-                  s)
+    def sub(m):
+        g = m.group()
+        if g[1] in "uU":
+            return chr(int(g[2:], 16))
+        return _UNESCAPE.get(g, g[1])
+    return re.sub(r"\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8}|\\.", sub, s)
 
 
 def parse_turtle(text: str):

@@ -1,0 +1,113 @@
+"""SPARQL compiler vs the reference's OWN integration-test queries
+and expected results (/root/reference/test/integrationTripleStore.py:
+113-183, datasets in test/files/datasets/*.ttl) — the select and
+construct surfaces the reference runs against Fuseki/Sesame, run here
+against the triples DataFrame, verbatim queries, same expected
+bindings / isomorphic graph."""
+
+import os
+
+import pytest
+
+from ferenda_spark.session import get_spark
+from ferenda_spark.sparql import sparql_construct, sparql_select
+from ferenda_spark.turtle import parse_turtle
+
+DATASETS = "/root/reference/test/files/datasets"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATASETS), reason="reference datasets not present")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="sparql-golden-tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _load(spark, *name_ctx):
+    """Turtle fixture(s) -> triples DataFrame with full term metadata
+    (obj_kind/obj_lang/obj_datatype) and a named-graph context."""
+    rows = []
+    for name, ctx in name_ctx:
+        text = open(os.path.join(DATASETS, name), encoding="utf-8").read()
+        for subj, pred, obj in parse_turtle(text):
+            if obj[0] == "uri":
+                rows.append((subj, pred, obj[1], "uri", None, None, ctx))
+            else:
+                rows.append((subj, pred, obj[1], "lit", obj[2], obj[3],
+                             ctx))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, "
+              "obj_lang string, obj_datatype string, context string")
+
+
+def test_select_graph_scoped_kevin_bacon(spark):
+    """integrationTripleStore.py:121-130 test1: 'the simplest possible
+    select', GRAPH-scoped, expected [{'name': 'Kevin Bacon'}]."""
+    t = _load(spark, ("movies.ttl", "http://example.org/movies"),
+              ("actors.ttl", "http://example.org/actors"))
+    got = sparql_select(t, """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+
+        SELECT ?name
+        WHERE  { GRAPH <http://example.org/actors> { ?uri foaf:name ?name .
+                ?uri owl:sameAs <http://live.dbpedia.org/resource/Kevin_Bacon> } }
+        """).collect()
+    assert [{"name": r.name} for r in got] == [{"name": "Kevin Bacon"}]
+
+
+def test_select_cross_graph_langmatches(spark):
+    """integrationTripleStore.py:132-143 test2: join across graphs,
+    langMatches filter, non-ascii result 'Kardeş Gibiydiler'."""
+    t = _load(spark, ("movies.ttl", "http://example.org/movies"),
+              ("actors.ttl", "http://example.org/actors"))
+    got = sparql_select(t, """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX owl: <http://www.w3.org/2002/07/owl#>
+        PREFIX schema: <http://schema.org/>
+        SELECT ?moviename
+        WHERE { ?actoruri owl:sameAs <http://live.dbpedia.org/resource/Kevin_Bacon> .
+                ?movieuri schema:actor ?actoruri;
+                          schema:name ?moviename .
+                FILTER(langMatches(lang(?moviename), "tr"))
+        }
+        """).collect()
+    assert [{"moviename": r.moviename} for r in got] == [
+        {"moviename": "Kardeş Gibiydiler"}]
+
+
+def test_construct_craig_ellis_graph_isomorphic(spark):
+    """integrationTripleStore.py:157-183 test_construct: the
+    addressbook CONSTRUCT with `;` predicate lists and a variable
+    predicate; compared as a full term-fidelity triple set (IRI vs
+    literal, exactly the reference's expected graph)."""
+    t = _load(spark, ("addressbook.ttl", "http://example.org/ab"))
+    got = sparql_construct(t, """
+        PREFIX ab: <http://learningsparql.com/ns/addressbook#>
+        PREFIX d: <http://learningsparql.com/ns/data#>
+
+        CONSTRUCT { ?person ?p ?o . }
+        WHERE {
+            ?person ab:firstName "Craig" ; ab:lastName "Ellis" ;
+        ?p ?o . }""", with_term_meta=True)
+    got_set = set()
+    for r in got.collect():
+        if r.obj_kind == "uri":
+            got_set.add((r.subj, r.pred, ("uri", r.obj)))
+        else:
+            got_set.add((r.subj, r.pred,
+                         ("lit", r.obj, r.obj_lang, r.obj_datatype)))
+    want = parse_turtle("""
+@prefix d:<http://learningsparql.com/ns/data#> .
+@prefix ab:<http://learningsparql.com/ns/addressbook#> .
+
+d:i8301
+    ab:email "c.ellis@usairwaysgroup.com",
+             "craigellis@yahoo.com" ;
+    ab:firstName "Craig" ;
+    ab:lastName "Ellis" .
+""")
+    assert got_set == want
