@@ -79,6 +79,45 @@ def test_select_cross_graph_langmatches(spark):
         {"moviename": "Kardeş Gibiydiler"}]
 
 
+FACET_QUERY = """
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    PREFIX dcterms: <http://purl.org/dc/terms/>
+    PREFIX bibo: <http://purl.org/ontology/bibo/>
+
+    SELECT DISTINCT ?uri ?rdf_type ?dcterms_title ?dcterms_publisher ?dcterms_identifier ?dcterms_issued
+    FROM <%s>
+    WHERE {
+        ?uri rdf:type bibo:Book .
+        OPTIONAL { ?uri rdf:type ?rdf_type . }
+        OPTIONAL { ?uri dcterms:title ?dcterms_title . }
+        OPTIONAL { ?uri dcterms:publisher ?dcterms_publisher . }
+        OPTIONAL { ?uri dcterms:identifier ?dcterms_identifier . }
+        OPTIONAL { ?uri dcterms:issued ?dcterms_issued . }
+    }"""
+
+
+@pytest.mark.parametrize("ctx,results_file", [
+    ("http://example.org/ctx/base", "results1.json"),
+    ("http://example.org/ctx/other", "results2.json"),
+])
+def test_facet_query_matches_reference_results(spark, ctx, results_file):
+    """integrationTripleStore.py:220-252 test_facet_query: the
+    DocumentRepository.facet_query SELECT (FROM-scoped OPTIONAL chain,
+    documentrepository.py:2218-2243 doctest shape with
+    rdf_type=bibo:Book as the test sets it) over books+articles loaded
+    into different named graphs, vs the reference's recorded result
+    sets (results1/results2.json)."""
+    import json
+    t = _load(spark, ("books.ttl", "http://example.org/ctx/base"),
+              ("articles.ttl", "http://example.org/ctx/other"))
+    got = [{k: v for k, v in r.asDict().items() if v is not None}
+           for r in sparql_select(t, FACET_QUERY % ctx).collect()]
+    want = json.load(open(os.path.join(DATASETS, results_file)))
+    assert len(got) == len(want)
+    for row in want:
+        assert row in got
+
+
 def test_construct_craig_ellis_graph_isomorphic(spark):
     """integrationTripleStore.py:157-183 test_construct: the
     addressbook CONSTRUCT with `;` predicate lists and a variable
