@@ -190,6 +190,14 @@ def _q_events_windowed_counts(spark, sf_dir):
     return windowed_event_counts(_read(spark, sf_dir, "events"))
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Batch twin of the stateful-streaming sessionizer
+    (streaming.sessionize): gap-based user sessions via window
+    lag/cumsum, deterministic (ts, event_id) ordering."""
+    from ferenda_spark.streaming import sessionize
+    return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def _q_customers_without_orders(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
@@ -692,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_user_stats": _q_event_type_user_stats,
         "events_month_histogram": _q_events_month_histogram,
         "events_windowed_counts": _q_events_windowed_counts,
+        "events_sessions": _q_events_sessions,
         "customers_without_orders": _q_customers_without_orders,
         "search_documents": _q_search_documents,
         "autocomplete_titles": _q_autocomplete_titles,
@@ -1203,6 +1212,23 @@ def oracle_sql() -> dict[str, str]:
                      AS window_end,
                    event_type, COUNT(*) AS n_events
             FROM events GROUP BY 1, 2, 3""",
+        "events_sessions": """
+            WITH l AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 1800 SECOND THEN 1 ELSE 0 END
+                       AS new_s
+              FROM events),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS session_seq
+              FROM l)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY 1, 2""",
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",

@@ -72,6 +72,87 @@ def run_streaming_ingest(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: consecutive events of a user separated by
+    less than ``gap_minutes`` form one session.  Pure window
+    expressions (lag -> gap flag -> running sum = session ordinal ->
+    per-session aggregate); one shuffle on user_id.  Ordering ties are
+    broken by event_id so the result is deterministic and the DuckDB
+    oracle mirrors it exactly.
+
+    Returns (user_id, session_seq, session_start, session_end,
+    n_events)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic, not epoch casts: TIMESTAMP_NTZ has no
+    # epoch without a zone, and intervals are zone-free on both
+    # engines so the oracle mirrors exactly
+    is_new = (F.col("ts") - F.lag("ts").over(w)
+              > F.expr("INTERVAL %d SECONDS" % (gap_minutes * 60)))
+    flagged = events.withColumn(
+        "_new", F.when(is_new, 1).otherwise(0))
+    seq = flagged.withColumn("session_seq",
+                             F.sum("_new").over(w).cast("long"))
+    return (seq.groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events")))
+
+
+def sessionize_stream(events_stream: DataFrame,
+                      gap_minutes: int = 30) -> DataFrame:
+    """The streaming twin of :func:`sessionize` as a CUSTOM STATEFUL
+    operator (``applyInPandasWithState``): per-user state carries the
+    open session (start, last_ts, n_events) across micro-batches; a
+    new event more than ``gap_minutes`` after the last CLOSES the open
+    session and emits it.  Deterministic without timers: sessions are
+    emitted on the arrival of the first event past the gap (the next
+    batch), so tests and replays are exact; a production deployment
+    would add a ProcessingTimeTimeout to flush idle sessions.
+
+    Emits (user_id, session_start, session_end, n_events) rows for
+    CLOSED sessions only."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(pd.to_datetime(pdf["ts"]).tolist())
+        closed = []
+        for ts in sorted(ts_all):
+            ts = ts.to_pydatetime()
+            if last is not None and (ts - last).total_seconds() > gap_s:
+                closed.append((key[0], start, last, n))
+                start, n = ts, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_start", "session_end", "n_events"])
+
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=("user_id long, "
+                                  "session_start timestamp, "
+                                  "session_end timestamp, n_events long"),
+                stateStructType=("session_start timestamp, "
+                                 "last_ts timestamp, n_events long"),
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:

@@ -92,6 +92,78 @@ def test_streaming_ingest_restart_resumes_from_checkpoint(spark, tmpdir):
     assert got == ["a", "b", "c"]
 
 
+def test_sessionize_stream_state_across_batches(spark, tmpdir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    session state survives between micro-batches via the stream
+    checkpoint — batch 2's late event closes the session opened in
+    batch 1 and emits it."""
+    from ferenda_spark.streaming import sessionize_stream
+
+    indir = tmpdir + "/in"
+    ckpt = tmpdir + "/ckpt"
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def write_events(rows):
+        (spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts timestamp")
+         .coalesce(1).write.mode("append").parquet(indir))
+
+    outdir = tmpdir + "/sessions"
+
+    def drain(_name):
+        stream = (spark.readStream
+                  .schema("event_id long, user_id long, ts timestamp")
+                  .parquet(indir))
+
+        def sink(df, epoch_id):
+            if not df.isEmpty():
+                df.write.mode("append").parquet(outdir)
+
+        q = (sessionize_stream(stream, gap_minutes=30)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if not os.path.isdir(outdir):
+            return []
+        return spark.read.parquet(outdir).collect()
+
+    # batch 1: two close events for u1, one for u2 — nothing closes
+    write_events([(1, 1, base),
+                  (2, 1, base + datetime.timedelta(minutes=5)),
+                  (3, 2, base)])
+    assert drain("s1") == []
+
+    # batch 2: u1 event 60 min later -> session 1 closes (2 events)
+    write_events([(4, 1, base + datetime.timedelta(minutes=65))])
+    rows = drain("s2")
+    assert [(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in rows] == [
+        (1, base, base + datetime.timedelta(minutes=5), 2)]
+
+
+def test_sessionize_batch_matches_stream_semantics(spark):
+    """The batch sessionizer assigns the same sessions the stateful
+    stream operator would close (plus the still-open tails)."""
+    from ferenda_spark.streaming import sessionize
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [(1, 1, base),
+            (2, 1, base + datetime.timedelta(minutes=5)),
+            (3, 1, base + datetime.timedelta(minutes=65)),
+            (4, 2, base)]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    got = {(r.user_id, r.session_seq): (r.session_start, r.session_end,
+                                        r.n_events)
+           for r in sessionize(events, gap_minutes=30).collect()}
+    assert got == {
+        (1, 0): (base, base + datetime.timedelta(minutes=5), 2),
+        (1, 1): (base + datetime.timedelta(minutes=65),
+                 base + datetime.timedelta(minutes=65), 1),
+        (2, 0): (base, base, 1)}
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     """The watermarked window definition aggregates identically on a
     batch frame (watermark = no-op in batch): hour buckets, per-type
