@@ -1,0 +1,121 @@
+"""Word-document reading (S8's Word branch) — from-scratch restatement
+of the reference WordReader's observable semantics
+(/root/reference/ferenda/wordreader.py:1-218, tests
+test/files/wordreader/*):
+
+* filetype detection by CONTENT, not extension: an OOXML file is a zip
+  containing ``word/document.xml`` (the reference's mislabeled-.doc
+  case resolves to "docx"); a legacy binary .doc is an OLE compound
+  file (D0 CF 11 E0 magic).
+* ``.docx`` -> the ``word/document.xml`` payload (the reference writes
+  exactly this XML out) and a plaintext extraction (``w:t`` runs
+  joined, one line per ``w:p`` paragraph) for the pipeline's text
+  column — stdlib ``zipfile``+``xml`` only, no external binaries.
+* ``.doc`` -> the reference shells out to antiword and SKIPS its own
+  test when absent; this container has no antiword either, so the
+  branch raises :class:`ExternalToolMissing` (the honest analogue of
+  that skip) while detection still works.
+
+Spark surface: :func:`extract_word_blobs` maps (url, blob) rows
+through detection + docx text extraction in one Arrow-batched
+mapInPandas stage — the same stage shape as the HTML parse; .doc rows
+are quarantined with an error instead of failing the stage (I4).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+
+class ExternalToolMissing(RuntimeError):
+    """Raised for .doc input: the antiword conversion the reference
+    uses is an external binary that is not available here."""
+
+
+def detect_wordfile_type(data: bytes) -> str:
+    """'docx' | 'doc' | 'unknown' — by content, like the reference's
+    fallback re-detection for mislabeled files."""
+    if data[:4] == b"PK\x03\x04":
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                if "word/document.xml" in zf.namelist():
+                    return "docx"
+        except zipfile.BadZipFile:
+            pass
+    if data[:8] == OLE_MAGIC:
+        return "doc"
+    return "unknown"
+
+
+def read_word(data: bytes) -> tuple[str, bytes]:
+    """(filetype, document XML bytes) — the WordReader.read contract:
+    docx yields word/document.xml (root ``{%s}document``), doc would
+    yield antiword's docbook XML (root ``book``) but raises here."""
+    kind = detect_wordfile_type(data)
+    if kind == "docx":
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return "docx", zf.read("word/document.xml")
+    if kind == "doc":
+        raise ExternalToolMissing(
+            "legacy .doc conversion needs antiword (not available); "
+            "the reference skips its own test in this situation")
+    raise ValueError("not a Word document")
+
+
+read_word.__doc__ %= W_NS
+
+
+def docx_text(data: bytes) -> str:
+    """Plaintext from a .docx: one line per ``w:p`` paragraph, ``w:t``
+    runs concatenated (tabs/breaks as whitespace)."""
+    _, xml_bytes = read_word(data)
+    root = ET.fromstring(xml_bytes)
+    paras = []
+    for p in root.iter("{%s}p" % W_NS):
+        runs = [t.text or "" for t in p.iter("{%s}t" % W_NS)]
+        for brk in p.iter("{%s}br" % W_NS):
+            runs.append("\n")
+        text = "".join(runs)
+        if text.strip():
+            paras.append(re.sub(r"[ \t]+", " ", text).strip())
+    return "\n".join(paras)
+
+
+WORD_SCHEMA = ("url string, filetype string, text string, error string")
+
+
+def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
+    """Spark stage: (url, blob) -> (url, filetype, text, error); .doc
+    rows carry the tool-missing error instead of failing the batch
+    (per-doc quarantine, I4)."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                data = bytes(blob)
+                try:
+                    kind = detect_wordfile_type(data)
+                    if kind == "docx":
+                        rows.append((url, kind, docx_text(data), None))
+                    elif kind == "doc":
+                        rows.append((url, kind, None,
+                                     "antiword unavailable"))
+                    else:
+                        rows.append((url, kind, None,
+                                     "not a word document"))
+                except Exception as e:          # quarantine, not crash
+                    rows.append((url, "error", None, str(e)))
+            yield pd.DataFrame(rows, columns=["url", "filetype",
+                                              "text", "error"])
+
+    return (docs.select(url_col, blob_col)
+            .mapInPandas(batches, schema=WORD_SCHEMA))
