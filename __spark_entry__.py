@@ -198,6 +198,32 @@ def _q_events_sessions(spark, sf_dir):
     return sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _q_wiki_links(spark, sf_dir):
+    """S8 wiki branch end-to-end through Spark: deterministic
+    per-document MediaWiki export XML -> the real wiki_pages
+    mapInPandas stage (dump parse, template strip, category + link
+    extraction) -> exploded link rows; the oracle recomputes the
+    closed-form expectation in SQL."""
+    from ferenda_spark.wikitext import wiki_pages
+    docs = _read(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<page><title>Doc "), "doc_id",
+        F.lit("</title><id>"), "doc_id",
+        F.lit("</id><revision><timestamp>2020-01-01T00:00:00Z"
+              "</timestamp><text>links [[Entity "),
+        F.col("doc_id") % 50,
+        F.lit("]] and [[Topic "), F.col("doc_id") % 11,
+        F.lit("|topic]].{{Tmpl|x}} [[Kategori:Src "), "source",
+        F.lit("]]</text></revision></page>"))
+    pages = (docs.select(F.col("doc_id").cast("string").alias("url"),
+                         xml.alias("xml")))
+    out = wiki_pages(pages)
+    return (out.select(F.col("url").cast("long").alias("doc_id"),
+                       "title",
+                       F.element_at("categories", 1).alias("category"),
+                       F.explode("links").alias("target")))
+
+
 def _q_customers_without_orders(spark, sf_dir):
     c = _read(spark, sf_dir, "customer")
     o = _read(spark, sf_dir, "orders")
@@ -701,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_month_histogram": _q_events_month_histogram,
         "events_windowed_counts": _q_events_windowed_counts,
         "events_sessions": _q_events_sessions,
+        "wiki_links": _q_wiki_links,
         "customers_without_orders": _q_customers_without_orders,
         "search_documents": _q_search_documents,
         "autocomplete_titles": _q_autocomplete_titles,
@@ -1232,6 +1259,15 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "wiki_links": """
+            SELECT doc_id, 'Doc ' || doc_id AS title,
+                   'Src ' || source AS category,
+                   'Entity ' || (doc_id % 50) AS target
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'Doc ' || doc_id, 'Src ' || source,
+                   'Topic ' || (doc_id % 11)
+            FROM documents""",
         "search_documents": """
             SELECT doc_id,
                    (CASE WHEN lower(text) LIKE '%spark%' THEN 1.0 ELSE 0.0 END
