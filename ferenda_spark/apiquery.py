@@ -47,6 +47,7 @@ PREFIXES = {
     "dc": "http://purl.org/dc/elements/1.1/",
     "schema": "http://schema.org/",
     "ex": "http://example.org/vocab/",
+    "bibo": "http://purl.org/ontology/bibo/",
     "xsd": "http://www.w3.org/2001/XMLSchema#",
 }
 
@@ -156,6 +157,16 @@ REPO_FACETS = {
         FacetCfg("dcterms:title", "dcterms_title"),
         FacetCfg("dcterms:identifier", "dcterms_identifier"),
         FacetCfg("dc:creator", "dc_creator", dim="value"),
+    ],
+    # the default DocumentRepository facet set (documentrepository.py
+    # facets(), used by the basicapi fixtures)
+    "base": [
+        FacetCfg("rdf:type", "rdf_type", dim="term"),
+        FacetCfg("dcterms:title", "dcterms_title"),
+        FacetCfg("dcterms:publisher", "dcterms_publisher", dim="ref",
+                 kind="resource"),
+        FacetCfg("dcterms:identifier", "dcterms_identifier"),
+        FacetCfg("dcterms:issued", "dcterms_issued", dim="year"),
     ],
 }
 
@@ -294,6 +305,8 @@ def _matches(doc: dict, key: str, value: str,
         return any((x == value) for x in v
                    if not isinstance(x, dict))
     if isinstance(v, dict):
+        if "*" in value or "?" in value:
+            return fnmatch.fnmatchcase(v["iri"], value)
         return v["iri"] == value
     if key == "rdf_type":
         if ":" in value and not value.startswith("http"):
@@ -304,19 +317,58 @@ def _matches(doc: dict, key: str, value: str,
     return v == value
 
 
-_ALL_BINDINGS = sorted({cfg.binding for facets in REPO_FACETS.values()
-                        for cfg in facets})
+# ------------------------------------------------- fulltext matching
+
+def _term_re(q: str):
+    return re.compile(r"\b%s\b" % re.escape(q), re.IGNORECASE)
 
 
-def _unlegacy_key(key: str) -> str:
-    """Legacy param name -> real binding by suffix match (wsgiapp
-    parse_parameters' _guess_real_fieldname)."""
+def _fulltext_hit(doc: dict, q: str) -> bool:
+    """A document matches q if the term occurs in its indexed toplevel
+    text, its title, or any indexed sub-resource's text (the nested
+    child documents the reference indexes per repo as <alias>_child)."""
+    rx = _term_re(q)
+    if rx.search(doc.get("_text") or ""):
+        return True
+    title = doc.get("dcterms_title")
+    if title and rx.search(title):
+        return True
+    return any(rx.search(t) for _, t in doc.get("_subs", ()))
+
+
+def _innerhits(doc: dict, q: str) -> list[dict]:
+    """Nested sub-resource hits in the reference's recorded shape:
+    text as [pre, [matched-token + ' '], post] fragment lists, in
+    document order, capped at 3 (Elasticsearch's default inner_hits
+    size — basicapi-complex-query.json lists exactly S2/S4/S6 of the
+    six matching sections)."""
+    rx = _term_re(q)
+    out = []
+    base_prefix = doc.get("_uri_prefix", "")
+    for uri, text in doc.get("_subs", ()):
+        m = rx.search(text)
+        if not m:
+            continue
+        out.append({"basefile": doc["iri"][len(base_prefix):],
+                    "repo": doc["_repo"] + "_child",
+                    "text": [text[:m.start()], [m.group() + " "],
+                             text[m.end():]],
+                    "uri": uri})
+        if len(out) == 3:
+            break
+    return out
+
+
+def _unlegacy_key(key: str, bindings) -> str:
+    """Legacy param name -> real binding by suffix match against the
+    ACTIVE repos' index schema (wsgiapp parse_parameters'
+    _guess_real_fieldname)."""
     for prefix in ("min-", "max-", "year-"):
         if key.startswith(prefix):
-            return prefix + _unlegacy_key(key[len(prefix):])
+            return prefix + _unlegacy_key(key[len(prefix):], bindings)
     if key == "uri":
         return key
-    for binding in _ALL_BINDINGS:
+    for binding in bindings:
         if binding == key or binding.endswith("_" + key):
             return binding
     return key
@@ -328,14 +380,20 @@ def api_query(docs_by_repo: dict[str, list[dict]], query_string: str,
     string."""
     if legacy and path == "/myapi/":
         path = "/-/publ"
-    params = [(k, v) for k, v in parse_qsl(query_string)
-              if not k.startswith("_")]
+    raw = parse_qsl(query_string)
+    q = dict(raw).get("q")
+    params = [(k, v) for k, v in raw
+              if not k.startswith("_") and k != "q"]
     if legacy:
-        params = [(_unlegacy_key(k), v) for k, v in params]
+        bindings = sorted({cfg.binding for repo in docs_by_repo
+                           for cfg in REPO_FACETS[repo]})
+        params = [(_unlegacy_key(k, bindings), v) for k, v in params]
     want_stats = "_stats=on" in query_string
     hits = []
     for repo, docs in docs_by_repo.items():
         for doc in docs:
+            if q is not None and not _fulltext_hit(doc, q):
+                continue
             if all(_matches(doc, k, v, legacy=legacy)
                    for k, v in params):
                 hits.append(doc)
@@ -350,6 +408,18 @@ def api_query(docs_by_repo: dict[str, list[dict]], query_string: str,
             if legacy and "_" in k:
                 k = k.split("_", 1)[1]
             out[k] = v
+        if q is not None:
+            text = d.get("_text") or ""
+            m = _term_re(q).search(text)
+            if m:
+                out["matches"] = {
+                    "text": (text[:m.start()]
+                             + '<em class="match">%s</em>' % m.group()
+                             + text[m.end():])}
+            if not legacy:            # legacy API drops inner hits
+                inner = _innerhits(d, q)
+                if inner:
+                    out["innerhits"] = inner
         return out
 
     items = [render(d) for d in page]
@@ -367,6 +437,100 @@ def api_query(docs_by_repo: dict[str, list[dict]], query_string: str,
 
 
 # -------------------------------------------------------- Spark glue
+
+def _xhtml_texts(xhtml_text: str):
+    """(toplevel_text, [(sub_uri, sub_text)]) from a parsed XHTML
+    body: each about-scope's text = its own paragraphs (nested
+    about-scopes excluded), every paragraph contributing
+    ``' ' + text`` — the join the reference's indexed text shows
+    (leading space included, basicapi-fulltext-query.json)."""
+    root = ET.fromstring(xhtml_text)
+    body = next(el for el in root.iter()
+                if el.tag.rsplit("}", 1)[-1] == "body")
+
+    def scope_text(el):
+        parts = []
+
+        def rec(e):
+            for child in e:
+                if child.get("about"):
+                    continue
+                if child.tag.rsplit("}", 1)[-1] == "p":
+                    parts.append(" " + "".join(child.itertext()))
+                else:
+                    rec(child)
+        rec(el)
+        return "".join(parts)
+
+    subs = []
+    for el in body.iter():
+        if el is not body and el.get("about"):
+            subs.append((el.get("about"), scope_text(el)))
+    return scope_text(body), subs
+
+
+def load_base_docs(spark, root: str,
+                   uri_prefix: str = "http://example.org/base/"
+                   ) -> dict[str, list[dict]]:
+    """The basicapi fixture repo (test/files/base): metadata from the
+    distilled .ttl (our turtle reader), indexed text from the parsed
+    XHTML, sub-resources as nested child documents.  Same Spark-stage
+    shape as load_testrepo_docs."""
+    import glob as g
+    import os as o
+    import pandas as pd
+    from .turtle import parse_turtle
+
+    files = []
+    for ttl in sorted(g.glob(root + "/distilled/**/*.ttl",
+                             recursive=True)):
+        xhtml = ttl.replace("/distilled/", "/parsed/")[:-4] + ".xhtml"
+        files.append((ttl, open(ttl, encoding="utf-8").read(),
+                      open(xhtml, encoding="utf-8").read()))
+    pdf_in = spark.createDataFrame(files,
+                                   "path string, ttl string, xml string")
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for ttl_text, xml_text in zip(pdf["ttl"], pdf["xml"]):
+                for s, p, obj in parse_turtle(ttl_text):
+                    if obj[0] == "uri":
+                        rows.append(("triple", s, p, obj[1], "uri"))
+                    else:
+                        rows.append(("triple", s, p, obj[1], "lit"))
+                top, subs = _xhtml_texts(xml_text)
+                doc_uri = min(s for s, _, _ in parse_turtle(ttl_text)
+                              if "#" not in s)
+                rows.append(("text", doc_uri, doc_uri, top, ""))
+                for sub_uri, sub_text in subs:
+                    rows.append(("text", doc_uri, sub_uri, sub_text,
+                                 ""))
+            yield pd.DataFrame(rows, columns=["rowkind", "a", "b", "c",
+                                              "d"])
+
+    rows = (pdf_in.mapInPandas(
+        batches, "rowkind string, a string, b string, c string, "
+                 "d string").collect())
+    triples = [(r.a, r.b, r.c, r.d) for r in rows
+               if r.rowkind == "triple"]
+    texts: dict[str, str] = {}
+    subs_by_doc: dict[str, list] = {}
+    for r in rows:
+        if r.rowkind != "text":
+            continue
+        if r.a == r.b:
+            texts[r.a] = r.c
+        else:
+            subs_by_doc.setdefault(r.a, []).append((r.b, r.c))
+    docs = build_index_docs(triples, "base")
+    for doc in docs:
+        doc["_text"] = texts.get(doc["iri"], "")
+        # document order, as collected from the XHTML walk
+        doc["_subs"] = subs_by_doc.get(doc["iri"], [])
+        doc["_uri_prefix"] = uri_prefix
+    return {"base": docs}
+
 
 def load_testrepo_docs(spark, root: str) -> dict[str, list[dict]]:
     """Distill the testrepos RDFa fixtures through a Spark stage

@@ -99,3 +99,61 @@ def test_legacy_faceting(docs):
 def test_legacy_queries(docs, name, qs):
     from ferenda_spark.apiquery import api_query
     assert api_query(docs, qs, legacy=True) == _want_legacy(name)
+
+
+# -------------------- basicapi (base/123 fixtures, incl. fulltext q=)
+
+BASEDIR = "/root/reference/test/files/base"
+
+
+@pytest.fixture(scope="module")
+def base_docs(spark):
+    from ferenda_spark.apiquery import load_base_docs
+    return load_base_docs(spark, BASEDIR)
+
+
+def _want_basic(name):
+    return json.load(open(os.path.join(APIDIR,
+                                       "basicapi-%s.json" % name)))
+
+
+def test_basic_stats(base_docs):
+    from ferenda_spark.apiquery import api_stats
+    assert api_stats(base_docs) == _want_basic("stats")
+
+
+def test_basic_stats_legacy(base_docs):
+    from ferenda_spark.apiquery import api_stats
+    assert api_stats(base_docs, legacy=True) == _want_basic(
+        "stats.legacy")
+
+
+def test_basic_fulltext_query(base_docs):
+    """q=tail: toplevel-text hit with the highlighted match snippet."""
+    from ferenda_spark.apiquery import api_query
+    assert api_query(base_docs, "q=tail") == _want_basic(
+        "fulltext-query")
+    assert api_query(base_docs, "q=tail", legacy=True) == _want_basic(
+        "fulltext-query.legacy")
+
+
+def test_basic_faceted_query(base_docs):
+    """Glob on a resource field's IRI."""
+    from ferenda_spark.apiquery import api_query
+    qs = "dcterms_publisher=*%2Fpublisher%2FA"
+    assert api_query(base_docs, qs) == _want_basic("faceted-query")
+    assert api_query(base_docs, qs, legacy=True) == _want_basic(
+        "faceted-query.legacy")
+
+
+def test_basic_complex_query(base_docs):
+    """q hit on a nested sub-resource: innerhits in the modern API
+    (fragment-list text shape), dropped in legacy."""
+    from ferenda_spark.apiquery import api_query
+    got = api_query(base_docs,
+                    "q=haystack&dcterms_publisher=*%2Fpublisher%2FB")
+    assert got == _want_basic("complex-query")
+    got_legacy = api_query(base_docs,
+                           "q=haystack&publisher=*%2Fpublisher%2FB",
+                           legacy=True)
+    assert got_legacy == _want_basic("complex-query.legacy")
