@@ -41,7 +41,8 @@ HEADLINE = [
     "kg_canonical_triples", "kg_sparql_bgp", "kg_sparql_construct",
     # relational / windowed analytics
     "tpch_pricing_summary", "top_revenue_orders", "latest_event_per_user",
-    "feed_archive_pages", "event_type_user_stats",
+    "feed_archive_pages", "event_type_user_stats", "events_sessions",
+    "events_windowed_counts", "wiki_links",
     # training-data-pipeline ops
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
     "dedup_simhash", "text_quality", "text_lang_id", "text_fingerprint",
