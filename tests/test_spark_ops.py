@@ -123,6 +123,26 @@ def test_fuzzy_links_banded_recall_vs_exact(spark):
     assert recall >= 0.95, "LSH recall %.3f below pinned bar" % recall
 
 
+def test_minhash_chain_extends_past_eight_hashes(spark):
+    """num_hashes > 8 used to slice past the end of the 64-hex chain,
+    yielding empty minhashes that collide everything (ADVICE r1); the
+    chain now grows with num_hashes."""
+    from ferenda_spark.operators.dedup import minhash_signatures
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, n=3, num_hashes=12).collect()
+    assert len(sigs) == 24                       # 2 docs x 12 seeds
+    assert all(len(r.minhash) == 8 for r in sigs)
+    # seeds >= 8 must NOT be degenerate/equal across distinct docs
+    high = {}
+    for r in sigs:
+        if r.seed >= 8:
+            high.setdefault(r.seed, set()).add(r.minhash)
+    assert all(len(v) == 2 for v in high.values())
+
+
 def test_jaccard_skew_guard_drops_hot_shingles(spark):
     """Hot-shingle guard (VERDICT r1 ask #5): a boilerplate sentence
     shared by 30 docs creates hot shingle keys; with the guard on those
