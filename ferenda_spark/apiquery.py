@@ -388,7 +388,7 @@ def api_query(docs_by_repo: dict[str, list[dict]], query_string: str,
         bindings = sorted({cfg.binding for repo in docs_by_repo
                            for cfg in REPO_FACETS[repo]})
         params = [(_unlegacy_key(k, bindings), v) for k, v in params]
-    want_stats = "_stats=on" in query_string
+    want_stats = dict(raw).get("_stats") == "on"
     hits = []
     for repo, docs in docs_by_repo.items():
         for doc in docs:
@@ -398,7 +398,9 @@ def api_query(docs_by_repo: dict[str, list[dict]], query_string: str,
                    for k, v in params):
                 hits.append(doc)
     hits.sort(key=lambda d: d["iri"], reverse=True)
-    page = hits[:10]
+    # the reference widens the page to 10000 when _stats=on so the
+    # statistics cover the whole result set (wsgiapp.parse_parameters)
+    page = hits[:10000] if want_stats else hits[:10]
 
     def render(d):
         out = {}

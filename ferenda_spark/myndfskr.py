@@ -336,13 +336,14 @@ def parse_fs_text(text: str, basefile: str) -> list[tuple]:
                        "ikrafttradandedatum")):
         if key not in props:
             continue
-        val = props[key]
-        if val == "denna dag" and key == "rpubl:ikrafttradandedatum":
-            val = props["rpubl:beslutsdatum"]
-        elif (val == "utkom från trycket"
-              and key == "rpubl:ikrafttradandedatum"):
-            val = props["rpubl:utkomFranTryck"]
         try:
+            val = props[key]
+            if (val == "denna dag"
+                    and key == "rpubl:ikrafttradandedatum"):
+                val = props["rpubl:beslutsdatum"]   # may be absent
+            elif (val == "utkom från trycket"
+                  and key == "rpubl:ikrafttradandedatum"):
+                val = props["rpubl:utkomFranTryck"]
             add(RPUBL + pred, parse_swedish_date(val).isoformat(),
                 "date")
         except (ValueError, KeyError, IndexError):
@@ -387,15 +388,21 @@ def fs_metadata(docs, text_col: str = "text",
                 basefile_col: str = "basefile"):
     """Spark stage: (basefile, text) -> metadata triples, one
     Arrow-batched mapInPandas pass (same stage shape as the parse
-    stage; the scanners and tables ship inside the UDF)."""
+    stage; the scanners and tables ship inside the UDF).  A document
+    that fails extraction yields one quarantine row
+    (objtype='error') instead of failing the batch (I4)."""
     import pandas as pd
 
     def batches(it):
         for pdf in it:
             rows = []
             for basefile, text in zip(pdf[basefile_col], pdf[text_col]):
-                for s, p, o, k in parse_fs_text(text or "", basefile):
-                    rows.append((basefile, s, p, o, k))
+                try:
+                    for s, p, o, k in parse_fs_text(text or "",
+                                                    basefile):
+                        rows.append((basefile, s, p, o, k))
+                except Exception as e:
+                    rows.append((basefile, "", "", str(e), "error"))
             yield pd.DataFrame(rows, columns=["basefile", "subj",
                                               "pred", "obj",
                                               "objtype"])

@@ -344,26 +344,33 @@ class PdfAnalyzer:
 
 PDF_SCHEMA = ("url string, page int, box int, left int, top int, "
               "width int, height int, font_family string, "
-              "font_size int, text string")
+              "font_size int, text string, error string")
 
 
 def pdf_textboxes(docs, xml_col: str = "xml", url_col: str = "url"):
-    """Spark stage: (url, pdf2xml) -> one row per textbox."""
+    """Spark stage: (url, pdf2xml) -> one row per textbox; a document
+    whose XML fails to parse yields a single quarantine row (I4)
+    instead of failing the batch."""
     import pandas as pd
 
     def batches(it):
         for pdf in it:
             rows = []
             for url, xml_text in zip(pdf[url_col], pdf[xml_col]):
-                for page in parse_pdf2xml(xml_text):
-                    for i, box in enumerate(page):
-                        rows.append((url, page.number, i, box.left,
-                                     box.top, box.width, box.height,
-                                     box.font.family, box.font.size,
-                                     str(box)))
+                try:
+                    for page in parse_pdf2xml(xml_text):
+                        for i, box in enumerate(page):
+                            rows.append((url, page.number, i, box.left,
+                                         box.top, box.width,
+                                         box.height, box.font.family,
+                                         box.font.size, str(box),
+                                         None))
+                except Exception as e:
+                    rows.append((url, -1, -1, 0, 0, 0, 0, None, 0,
+                                 None, str(e)))
             yield pd.DataFrame(rows, columns=[
                 "url", "page", "box", "left", "top", "width", "height",
-                "font_family", "font_size", "text"])
+                "font_family", "font_size", "text", "error"])
 
     return (docs.select(url_col, xml_col)
             .mapInPandas(batches, schema=PDF_SCHEMA))

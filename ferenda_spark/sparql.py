@@ -377,6 +377,13 @@ def _compile_expr(node):
     if kind == "cmp":
         _, op, a, b = node
         ca, cb = _operand_col(a), _operand_col(b)
+        # a bare number term means a NUMERIC comparison (SPARQL
+        # operator semantics); quoted literals stay lexicographic
+        def is_num(t):
+            return (isinstance(t, _Const)
+                    and re.fullmatch(r"-?\d+(\.\d+)?", t.value))
+        if is_num(a) or is_num(b):
+            ca, cb = ca.cast("double"), cb.cast("double")
         return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
                 "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[op]
     if kind == "regex":
@@ -492,20 +499,38 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     ast = _Parser(_tokenize(query)).parse()
     plan = _compile_group(triples, ast["group"], ctx=ast["from"])
     plan = plan.drop("__exists")
+    order_cols = [F.col(v).asc() if asc else F.col(v).desc()
+                  for v, asc in ast["order"]]
     if ast["select"] is not None:
         missing = [v for v in ast["select"] if v not in plan.columns]
         if missing:
             raise SparqlError("SELECT of unbound vars: %s" % missing)
-        plan = plan.select(*ast["select"])
+        if ast["distinct"]:
+            # SPARQL: with DISTINCT, ORDER BY may only use selected
+            # variables (ordering rows that no longer exist is
+            # undefined)
+            bad = [v for v, _ in ast["order"]
+                   if v not in ast["select"]]
+            if bad:
+                raise SparqlError(
+                    "ORDER BY on non-selected vars with DISTINCT: %s"
+                    % bad)
+            plan = plan.select(*ast["select"]).distinct()
+            if order_cols:
+                plan = plan.orderBy(*order_cols)
+        else:
+            # order on the full binding set, THEN project — ORDER BY
+            # may reference vars that are not selected
+            if order_cols:
+                plan = plan.orderBy(*order_cols)
+            plan = plan.select(*ast["select"])
     else:
         plan = plan.drop(*[c for c in plan.columns
                            if c.startswith("__")])
-    if ast["distinct"]:
-        plan = plan.distinct()
-    if ast["order"]:
-        plan = plan.orderBy(*[
-            F.col(v).asc() if asc else F.col(v).desc()
-            for v, asc in ast["order"]])
+        if ast["distinct"]:
+            plan = plan.distinct()
+        if order_cols:
+            plan = plan.orderBy(*order_cols)
     if ast["limit"] is not None:
         plan = plan.limit(ast["limit"])
     return plan

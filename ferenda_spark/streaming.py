@@ -133,7 +133,12 @@ def sessionize_stream(events_stream: DataFrame,
                 start, n = ts, 0
             if start is None:
                 start = ts
-            last = ts
+            # a LATE event inside the open session (ts <= last, e.g.
+            # delivered by a later micro-batch) extends the session
+            # backwards but must not rewind `last` — that would
+            # spuriously split the session at the next on-time event
+            start = min(start, ts)
+            last = max(last, ts) if last is not None else ts
             n += 1
         state.update((start, last, n))
         if closed:

@@ -134,26 +134,33 @@ def strip_wikitext(text: str) -> str:
 
 WIKI_SCHEMA = ("url string, title string, page_id long, ts string, "
                "text string, categories array<string>, "
-               "links array<string>")
+               "links array<string>, error string")
 
 
 def wiki_pages(docs, xml_col: str = "xml", url_col: str = "url"):
     """Spark stage: (url, export-xml) -> parsed page rows; a dump file
-    with many <page> elements fans out to one row each."""
+    with many <page> elements fans out to one row each.  A document
+    whose XML fails to parse yields one quarantine row instead of
+    failing the batch (I4)."""
     import pandas as pd
 
     def batches(it):
         for pdf in it:
             rows = []
             for url, xml_text in zip(pdf[url_col], pdf[xml_col]):
-                for rec in parse_dump(xml_text):
-                    wt = rec["text"] or ""
-                    rows.append((url, rec["title"], rec["page_id"],
-                                 rec["ts"], strip_wikitext(wt),
-                                 wiki_categories(wt), wiki_links(wt)))
+                try:
+                    for rec in parse_dump(xml_text):
+                        wt = rec["text"] or ""
+                        rows.append((url, rec["title"], rec["page_id"],
+                                     rec["ts"], strip_wikitext(wt),
+                                     wiki_categories(wt),
+                                     wiki_links(wt), None))
+                except Exception as e:
+                    rows.append((url, None, None, None, None, [], [],
+                                 str(e)))
             yield pd.DataFrame(rows, columns=[
                 "url", "title", "page_id", "ts", "text", "categories",
-                "links"])
+                "links", "error"])
 
     return (docs.select(url_col, xml_col)
             .mapInPandas(batches, schema=WIKI_SCHEMA))

@@ -56,7 +56,7 @@ def detect_wordfile_type(data: bytes) -> str:
 
 def read_word(data: bytes) -> tuple[str, bytes]:
     """(filetype, document XML bytes) — the WordReader.read contract:
-    docx yields word/document.xml (root ``{%s}document``), doc would
+    docx yields word/document.xml (root ``w:document``), doc would
     yield antiword's docbook XML (root ``book``) but raises here."""
     kind = detect_wordfile_type(data)
     if kind == "docx":
@@ -69,23 +69,34 @@ def read_word(data: bytes) -> tuple[str, bytes]:
     raise ValueError("not a Word document")
 
 
-read_word.__doc__ %= W_NS
-
-
-def docx_text(data: bytes) -> str:
-    """Plaintext from a .docx: one line per ``w:p`` paragraph, ``w:t``
-    runs concatenated (tabs/breaks as whitespace)."""
-    _, xml_bytes = read_word(data)
+def docx_xml_text(xml_bytes: bytes) -> str:
+    """Plaintext from word/document.xml: one line per ``w:p``
+    paragraph; ``w:t`` runs, ``w:br`` and ``w:tab`` contribute IN
+    DOCUMENT ORDER so breaks separate the text around them."""
     root = ET.fromstring(xml_bytes)
     paras = []
     for p in root.iter("{%s}p" % W_NS):
-        runs = [t.text or "" for t in p.iter("{%s}t" % W_NS)]
-        for brk in p.iter("{%s}br" % W_NS):
-            runs.append("\n")
+        runs = []
+        for el in p.iter():
+            name = el.tag.rsplit("}", 1)[-1]
+            if name == "t":
+                runs.append(el.text or "")
+            elif name == "br":
+                runs.append("\n")
+            elif name == "tab":
+                runs.append("\t")
         text = "".join(runs)
         if text.strip():
-            paras.append(re.sub(r"[ \t]+", " ", text).strip())
+            paras.append("\n".join(
+                re.sub(r"[ \t]+", " ", line).strip()
+                for line in text.split("\n") if line.strip()))
     return "\n".join(paras)
+
+
+def docx_text(data: bytes) -> str:
+    """Plaintext from a .docx blob."""
+    _, xml_bytes = read_word(data)
+    return docx_xml_text(xml_bytes)
 
 
 WORD_SCHEMA = ("url string, filetype string, text string, error string")
@@ -103,15 +114,15 @@ def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 data = bytes(blob)
                 try:
-                    kind = detect_wordfile_type(data)
-                    if kind == "docx":
-                        rows.append((url, kind, docx_text(data), None))
-                    elif kind == "doc":
-                        rows.append((url, kind, None,
-                                     "antiword unavailable"))
-                    else:
-                        rows.append((url, kind, None,
-                                     "not a word document"))
+                    kind, xml_bytes = read_word(data)
+                    rows.append((url, kind,
+                                 docx_xml_text(xml_bytes), None))
+                except ExternalToolMissing:
+                    rows.append((url, "doc", None,
+                                 "antiword unavailable"))
+                except ValueError:
+                    rows.append((url, "unknown", None,
+                                 "not a word document"))
                 except Exception as e:          # quarantine, not crash
                     rows.append((url, "error", None, str(e)))
             yield pd.DataFrame(rows, columns=["url", "filetype",

@@ -117,13 +117,20 @@ def test_real_world_proposition_parses():
 
 
 def test_spark_pdf_stage(tmp_path):
+    """Stage parses good documents and quarantines garbage instead of
+    failing the batch."""
     from ferenda_spark.session import get_spark
     from ferenda_spark.pdfpages import pdf_textboxes
     spark = get_spark(app="pdf-tests", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
     xml = open(PDFA + "/lipsum.xml", encoding="utf-8").read()
-    docs = spark.createDataFrame([("u1", xml)], "url string, xml string")
+    docs = spark.createDataFrame(
+        [("u1", xml), ("u2", "this is not xml at all")],
+        "url string, xml string")
     rows = pdf_textboxes(docs).collect()
-    assert {r.page for r in rows} == {1, 2, 3}
-    assert any("Lorem ipsum" in r.text for r in rows)
-    assert all(r.font_family for r in rows)
+    good = [r for r in rows if r.url == "u1"]
+    assert {r.page for r in good} == {1, 2, 3}
+    assert any("Lorem ipsum" in r.text for r in good)
+    assert all(r.font_family for r in good)
+    bad = [r for r in rows if r.url == "u2"]
+    assert len(bad) == 1 and bad[0].error and bad[0].page == -1

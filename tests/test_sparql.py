@@ -116,6 +116,33 @@ def test_construct_emits_triples(triples):
         ("d2", RDF_TYPE, "http://example.org/CitingDoc")}
 
 
+def test_numeric_filter_comparison(spark):
+    """A bare number term compares numerically, not lexicographically:
+    '10' > 5 must hold."""
+    t = spark.createDataFrame(
+        [("d1", "http://ex/count", "10", None, None, "c"),
+         ("d2", "http://ex/count", "3", None, None, "c")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = sparql_select(t, """
+        SELECT ?doc WHERE { ?doc <http://ex/count> ?n .
+                            FILTER(?n > 5) }""").collect()
+    assert [r.doc for r in got] == ["d1"]
+
+
+def test_order_by_unselected_var(triples):
+    """ORDER BY may use a WHERE-bound variable that is not selected
+    (without DISTINCT)."""
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE { ?doc dcterms:title ?t . }
+        ORDER BY DESC(?t) ?doc""").collect()
+    assert [r.doc for r in got] == ["d2", "d1", "d3"]
+    with pytest.raises(SparqlError):
+        sparql_select(triples, """
+            SELECT DISTINCT ?doc WHERE { ?doc dcterms:title ?t . }
+            ORDER BY ?t""")
+
+
 def test_unsupported_syntax_raises(triples):
     with pytest.raises(SparqlError):
         sparql_select(triples, "SELECT ?x WHERE { ?x UNION ?y . }")

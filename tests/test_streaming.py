@@ -143,6 +143,55 @@ def test_sessionize_stream_state_across_batches(spark, tmpdir):
         (1, base, base + datetime.timedelta(minutes=5), 2)]
 
 
+def test_sessionize_stream_late_event_does_not_split(spark, tmpdir):
+    """A late out-of-order event inside the open session must not
+    rewind the session's last-event pointer — the next on-time event
+    stays in the same session."""
+    from ferenda_spark.streaming import sessionize_stream
+
+    indir = tmpdir + "/in"
+    ckpt = tmpdir + "/ckpt"
+    outdir = tmpdir + "/out"
+    base = datetime.datetime(2024, 3, 1, 10, 0, 0)
+
+    def write(rows):
+        (spark.createDataFrame(rows, "event_id long, user_id long, "
+                                     "ts timestamp")
+         .coalesce(1).write.mode("append").parquet(indir))
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("event_id long, user_id long, ts timestamp")
+                  .parquet(indir))
+
+        def sink(df, eid):
+            if not df.isEmpty():
+                df.write.mode("append").parquet(outdir)
+
+        q = (sessionize_stream(stream, gap_minutes=30)
+             .writeStream.foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write([(1, 1, base)])
+    drain()
+    # batch 2: one LATE event (9:40, within gap of 10:00 backwards)
+    # and one on-time event 10:05 — all one session, nothing closes
+    write([(2, 1, base - datetime.timedelta(minutes=20)),
+           (3, 1, base + datetime.timedelta(minutes=5))])
+    drain()
+    assert not os.path.isdir(outdir)
+    # batch 3: an event past the gap closes ONE session of 3 events
+    write([(4, 1, base + datetime.timedelta(minutes=60))])
+    drain()
+    rows = spark.read.parquet(outdir).collect()
+    assert [(r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in rows] == [
+        (1, base - datetime.timedelta(minutes=20),
+         base + datetime.timedelta(minutes=5), 3)]
+
+
 def test_sessionize_batch_matches_stream_semantics(spark):
     """The batch sessionizer assigns the same sessions the stateful
     stream operator would close (plus the still-open tails)."""

@@ -54,6 +54,18 @@ def test_legacy_doc_detection_and_tool_stub():
         read_word(data)
 
 
+def test_docx_breaks_and_tabs_separate_text():
+    """w:br/w:tab contribute at their document position — text around
+    a break must not run together."""
+    from ferenda_spark.wordreader import W_NS, docx_xml_text
+    xml = ("""<w:document xmlns:w="%s"><w:body><w:p>
+        <w:r><w:t>Line one</w:t></w:r><w:r><w:br/></w:r>
+        <w:r><w:t>Line two</w:t><w:tab/><w:t>after tab</w:t></w:r>
+        </w:p></w:body></w:document>""" % W_NS).encode()
+    text = docx_xml_text(xml)
+    assert "Line one\nLine two after tab" == text
+
+
 def test_spark_word_stage_quarantines_doc(request):
     """extract_word_blobs: docx rows yield text, .doc rows carry the
     quarantine error, garbage is flagged — one mapInPandas stage."""
