@@ -502,6 +502,17 @@ def _q_sparql_optional(spark, sf_dir):
         }""")
 
 
+def _q_sparql_union(spark, sf_dir):
+    """Q12 UNION: solutions of two disjoint branch patterns (bag
+    semantics, unionByName-aligned columns)."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?s ?o WHERE {
+          { ?s dcterms:identifier ?o . }
+          UNION { ?s schema:mentions ?o . }
+        }""")
+
+
 def _q_sparql_construct(spark, sf_dir):
     """Q12 CONSTRUCT: template-emitted triples from WHERE bindings
     (triplestore.construct surface)."""
@@ -765,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_optional": _q_sparql_optional,
         "kg_sparql_filter": _q_sparql_filter,
         "kg_sparql_construct": _q_sparql_construct,
+        "kg_sparql_union": _q_sparql_union,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1574,6 +1586,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT subj,
                    'https://example.org/vocab/cites' AS pred, obj
             FROM mention_triples""",
+        "kg_sparql_union": "WITH " + _F_CTE + """
+            SELECT doc_uri AS s, identifier AS o FROM f
+            UNION ALL
+            SELECT doc_uri, entity_uri FROM f""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,
                    (CASE WHEN lower(dcterms_title) LIKE '%7%'

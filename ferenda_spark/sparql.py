@@ -29,6 +29,7 @@ Grammar (case-insensitive keywords)::
     prefix   := 'PREFIX' name ':' '<iri>'
     group    := '{' (triples '.' | 'OPTIONAL' group
                      | 'GRAPH' <iri> group
+                     | group ('UNION' group)*
                      | 'FILTER' '(' expr ')')* '}'
     triples  := term term term (';' term term)* (',' term)*
                 (term: ?var | <iri> | pfx:name | "literal" | number
@@ -42,7 +43,7 @@ FROM <g> and GRAPH <g> compile to pushed-down equality on the
 reference's own integration-test queries and expected results
 (tests/test_sparql_reference_goldens.py).
 
-Unsupported (documented, raises SparqlError): ASK/DESCRIBE, UNION,
+Unsupported (documented, raises SparqlError): ASK/DESCRIBE,
 property paths, GROUP BY/aggregates, subqueries, GRAPH ?var.
 """
 
@@ -243,6 +244,17 @@ class _Parser:
             if t.lower() == "optional":
                 self.next()
                 items.append(("optional", self.group()))
+            elif t == "{":
+                # nested group — possibly a UNION chain:
+                # { A } UNION { B } UNION { C }
+                branches = [self.group()]
+                while self.peek() and self.peek().lower() == "union":
+                    self.next()
+                    branches.append(self.group())
+                if len(branches) == 1:
+                    items.extend(branches[0])
+                else:
+                    items.append(("union", branches))
             elif t.lower() == "graph":
                 self.next()
                 ctx = self.term()
@@ -453,6 +465,25 @@ def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
             g_ctx, g_items = payload
             sub = _compile_group(triples, g_items, ctx=g_ctx)
             plan = _join(plan, sub, "inner")
+        elif kind == "union":
+            subs = [_compile_group(triples, b, ctx) for b in payload]
+            # SPARQL union: solutions of every branch; variables
+            # absent from a branch are unbound (NULL)
+            allcols = []
+            for sub in subs:
+                for c in sub.columns:
+                    if c not in allcols:
+                        allcols.append(c)
+            aligned = [
+                sub.select(*[
+                    F.col(c) if c in sub.columns
+                    else F.lit(None).cast("string").alias(c)
+                    for c in allcols])
+                for sub in subs]
+            merged = aligned[0]
+            for sub in aligned[1:]:
+                merged = merged.unionByName(sub)
+            plan = _join(plan, merged, "inner")
         elif kind == "optional":
             sub = _compile_group(triples, payload, ctx)
             if plan is None:

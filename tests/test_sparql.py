@@ -116,6 +116,28 @@ def test_construct_emits_triples(triples):
         ("d2", RDF_TYPE, "http://example.org/CitingDoc")}
 
 
+def test_union_branches(triples):
+    """{ A } UNION { B }: solutions of both branches; vars absent from
+    a branch come back NULL."""
+    got = sparql_select(triples, """
+        SELECT ?doc ?val WHERE {
+          { ?doc dcterms:title ?val . }
+          UNION { ?doc dcterms:references ?val . }
+        }""").collect()
+    assert sorted((r.doc, r.val) for r in got) == [
+        ("d1", "Alpha"), ("d1", "d2"), ("d2", "Beta"), ("d2", "d3"),
+        ("d3", "Alpha")]
+    # uneven variable sets: ?same only bound in the second branch
+    got = sparql_select(triples, """
+        SELECT ?doc ?same WHERE {
+          { ?doc dcterms:references ?x . }
+          UNION { ?doc owl:sameAs ?same . }
+        }""").collect()
+    assert sorted([(r.doc, r.same) for r in got],
+                  key=lambda t: (t[0], t[1] or "")) == [
+        ("d1", None), ("d1", "d9"), ("d2", None)]
+
+
 def test_numeric_filter_comparison(spark):
     """A bare number term compares numerically, not lexicographically:
     '10' > 5 must hold."""
