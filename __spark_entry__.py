@@ -533,6 +533,40 @@ def _q_sparql_filter(spark, sf_dir):
         }""")
 
 
+def _q_sparql_path(spark, sf_dir):
+    """Q12 property path: the annotations.rq `dcterms:isPartOf*`
+    closure through the compiler — var-var zero-or-more path
+    (semi-naive transitive closure + identity) joined against the
+    document-typed subjects."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?part ?doc WHERE {
+          ?doc a bibo:Document .
+          ?part dcterms:isPartOf* ?doc .
+        }""")
+
+
+def _q_sparql_agg(spark, sf_dir):
+    """Q12 aggregates: GROUP BY + COUNT(*)/COUNT(DISTINCT) compiled to
+    a single map-side-partial groupBy (triplestore.py:138-173 select
+    passthrough + :653-666 COUNT probes)."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?p (COUNT(*) AS ?n) (COUNT(DISTINCT ?s) AS ?subjects)
+        WHERE { ?s ?p ?o } GROUP BY ?p""")
+
+
+def _q_sparql_annotations(spark, sf_dir):
+    """Q12/J3: the reference's shipped annotation CONSTRUCT
+    (res/sparql/annotations.rq via construct_annotations,
+    documentrepository.py:2594-2611) run end-to-end through the SPARQL
+    compiler for document 0 — `isPartOf*` BFS + UNION + template
+    emission with unbound-var skipping."""
+    from ferenda_spark.sparql import construct_annotations
+    return construct_annotations(_triples(spark, sf_dir),
+                                 "https://example.org/res/doc/0")
+
+
 def _q_fuzzy_entity_links(spark, sf_dir):
     """T9/J6 fuzzy path: deterministically typo'd mention labels ->
     best char-3-gram-Jaccard resource match (oracle-checked; the
@@ -777,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_filter": _q_sparql_filter,
         "kg_sparql_construct": _q_sparql_construct,
         "kg_sparql_union": _q_sparql_union,
+        "kg_sparql_path": _q_sparql_path,
+        "kg_sparql_agg": _q_sparql_agg,
+        "kg_sparql_annotations": _q_sparql_annotations,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1590,6 +1627,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_uri AS s, identifier AS o FROM f
             UNION ALL
             SELECT doc_uri, entity_uri FROM f""",
+        # isPartOf* closure per doc: zero-length (the doc itself) +
+        # sections + subsections — closed form of the synthetic part tree
+        "kg_sparql_path": "WITH " + _F_CTE + """
+            SELECT doc_uri AS part, doc_uri AS doc FROM f
+            UNION ALL
+            SELECT doc_uri || '#S' || s, doc_uri FROM secs
+            UNION ALL
+            SELECT doc_uri || '#S' || s || '.1', doc_uri FROM subs""",
+        "kg_sparql_agg": _ALL_TRIPLES_WITH + """
+            SELECT pred AS p, COUNT(*) AS n,
+                   COUNT(DISTINCT subj) AS subjects
+            FROM all_triples GROUP BY pred""",
+        # annotations.rq for doc 0: its whole part closure is
+        # {doc, #S1, #S1.1} (n_sections(0)=1, (0+1)%2=1 -> subsection
+        # exists); nothing dcterms:references those parts (mention
+        # targets are res/rfc/ URIs), so the isReferencedBy template
+        # emits nothing
+        "kg_sparql_annotations": _ALL_TRIPLES_WITH + """
+            SELECT DISTINCT subj, pred, obj FROM all_triples
+            WHERE subj IN ('https://example.org/res/doc/0',
+                           'https://example.org/res/doc/0#S1',
+                           'https://example.org/res/doc/0#S1.1')""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,
                    (CASE WHEN lower(dcterms_title) LIKE '%7%'

@@ -22,18 +22,23 @@ DISTINCT, ORDER BY, LIMIT — into a DataFrame plan over the
 
 Grammar (case-insensitive keywords)::
 
-    query    := prefix* ('SELECT' 'DISTINCT'? ('*' | ?var+)
+    query    := prefix* ('SELECT' 'DISTINCT'? ('*' | selitem+)
                          ('FROM' <iri>)?
                          | 'CONSTRUCT' '{' triple* '}')
-                'WHERE' group ('ORDER' 'BY' order+)? ('LIMIT' int)?
+                'WHERE' group ('GROUP' 'BY' ?var+)?
+                ('ORDER' 'BY' order+)? ('LIMIT' int)?
+    selitem  := ?var | '(' agg 'AS' ?alias ')' | agg
+    agg      := ('COUNT'|'SUM'|'MIN'|'MAX'|'AVG'|'SAMPLE')
+                '(' 'DISTINCT'? ('*' | ?var) ')'
     prefix   := 'PREFIX' name ':' '<iri>'
     group    := '{' (triples '.' | 'OPTIONAL' group
                      | 'GRAPH' <iri> group
                      | group ('UNION' group)*
                      | 'FILTER' '(' expr ')')* '}'
-    triples  := term term term (';' term term)* (',' term)*
+    triples  := term path? term term (';' term path? term)* (',' term)*
                 (term: ?var | <iri> | pfx:name | "literal" | number
                  | 'a'; `;`/`,` are the abbreviated-list forms)
+    path     := '*' | '+'   (zero/one-or-more of a constant predicate)
     order    := ?var | 'ASC(' ?var ')' | 'DESC(' ?var ')'
     expr     := comparisons (= != < <= > >=), && || !, regex/contains/
                 strstarts/bound, lang(?v), langMatches(lang(?v), "tag")
@@ -41,10 +46,24 @@ Grammar (case-insensitive keywords)::
 FROM <g> and GRAPH <g> compile to pushed-down equality on the
 ``context`` column (named-graph scoping).  Verified against the
 reference's own integration-test queries and expected results
-(tests/test_sparql_reference_goldens.py).
+(tests/test_sparql_reference_goldens.py), including the shipped
+annotation query res/sparql/annotations.rq (``dcterms:isPartOf*`` —
+tests/test_sparql.py golden).
 
-Unsupported (documented, raises SparqlError): ASK/DESCRIBE,
-property paths, GROUP BY/aggregates, subqueries, GRAPH ?var.
+Property paths compile to distributed fixpoints: a constant endpoint
+becomes a broadcast-frontier BFS over the ``pred``-filtered edge scan
+(O(diameter) rounds, each one shuffle join, lineage cut per round);
+var-var paths build the transitive-closure pair set semi-naively —
+correct for the bounded-diameter part/annotation hierarchies the
+reference queries (annotations.rq), quadratic in the worst case and
+documented as such.  Aggregates compile to ``groupBy().agg()`` —
+map-side partial aggregation, one shuffle (COUNT per
+triplestore.py:653-666, GROUP BY per triplestore.py:138-173
+passthrough semantics).
+
+Unsupported (documented, raises SparqlError): ASK/DESCRIBE, path
+sequences/alternatives/inverse (``/ | ^``), HAVING, DISTINCT inside
+non-COUNT aggregates, subqueries, GRAPH ?var.
 """
 
 from __future__ import annotations
@@ -78,7 +97,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+])
 """, re.X)
 
 
@@ -181,6 +200,35 @@ class _Parser:
             iri = self.next()
             self.prefixes[pname[:-1]] = iri[1:-1]
 
+    _AGG_FNS = ("count", "sum", "min", "max", "avg", "sample")
+
+    def _agg(self):
+        """AGG '(' DISTINCT? ('*' | ?var) ')' -> ("agg", fn, distinct,
+        argvar-or-None)."""
+        fn = self.next().lower()
+        self.expect("(")
+        distinct = False
+        if self.peek() and self.peek().lower() == "distinct":
+            self.next()
+            distinct = True
+        if self.peek() == "*":
+            self.next()
+            arg = None
+            if distinct:
+                raise SparqlError("COUNT(DISTINCT *) is not supported")
+        else:
+            v = self.next()
+            if not v.startswith("?"):
+                raise SparqlError("aggregate takes ?var or *, got %r" % v)
+            arg = v[1:]
+        self.expect(")")
+        if fn != "count" and (distinct or arg is None):
+            raise SparqlError(
+                "%s(%s) is not supported" % (fn.upper(),
+                                             "DISTINCT ..." if distinct
+                                             else "*"))
+        return ("agg", fn, distinct, arg)
+
     def parse(self):
         self._prefixes_decl()
         self.expect("select")
@@ -188,13 +236,38 @@ class _Parser:
         if self.peek() and self.peek().lower() == "distinct":
             self.next()
             distinct = True
+        # sel: None for '*', else list of ("var", name) |
+        # ("agg", fn, distinct, argvar, alias)
         sel = []
         if self.peek() == "*":
             self.next()
             sel = None
         else:
-            while self.peek() and self.peek().startswith("?"):
-                sel.append(self.next()[1:])
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                if t.startswith("?"):
+                    sel.append(("var", self.next()[1:]))
+                elif t == "(":
+                    self.next()
+                    item = self._agg()
+                    self.expect("as")
+                    alias = self.next()
+                    if not alias.startswith("?"):
+                        raise SparqlError("AS takes ?alias, got %r" % alias)
+                    self.expect(")")
+                    sel.append(item + (alias[1:],))
+                elif (t.lower() in self._AGG_FNS
+                      and self.i + 1 < len(self.toks)
+                      and self.toks[self.i + 1] == "("):
+                    # the reference's bare-aggregate form
+                    # (triplestore.py:656 `SELECT COUNT(*) WHERE ...`);
+                    # the output column is named after the function
+                    item = self._agg()
+                    sel.append(item + (item[1],))
+                else:
+                    break
             if not sel:
                 raise SparqlError("empty SELECT list")
         from_ctx = None
@@ -205,6 +278,16 @@ class _Parser:
                 raise SparqlError("FROM takes an IRI")
         self.expect("where")
         group = self.group()
+        groupby = []
+        if self.peek() and self.peek().lower() == "group":
+            self.next()
+            self.expect("by")
+            while self.peek() and self.peek().startswith("?"):
+                groupby.append(self.next()[1:])
+            if not groupby:
+                raise SparqlError("empty GROUP BY list")
+        if self.peek() and self.peek().lower() == "having":
+            raise SparqlError("HAVING is not supported")
         order, limit = [], None
         if self.peek() and self.peek().lower() == "order":
             self.next()
@@ -229,7 +312,8 @@ class _Parser:
         if self.peek() is not None:
             raise SparqlError("trailing tokens at %r" % self.peek())
         return {"select": sel, "distinct": distinct, "group": group,
-                "from": from_ctx, "order": order, "limit": limit}
+                "from": from_ctx, "groupby": groupby, "order": order,
+                "limit": limit}
 
     def group(self):
         self.expect("{")
@@ -270,9 +354,19 @@ class _Parser:
                 s = self.term()
                 while True:                      # `;` predicate lists
                     p = self.term()
+                    mod = None
+                    if self.peek() in ("*", "+"):
+                        mod = self.next()
+                        if not isinstance(p, _Const) or p.kind != "uri":
+                            raise SparqlError(
+                                "property path needs a constant IRI "
+                                "predicate")
                     while True:                  # `,` object lists
                         o = self.term()
-                        items.append(("triple", (s, p, o)))
+                        if mod:
+                            items.append(("path", (s, p, mod, o)))
+                        else:
+                            items.append(("triple", (s, p, o)))
                         if self.peek() == ",":
                             self.next()
                             continue
@@ -455,11 +549,131 @@ def _scan(triples: DataFrame, pattern, ctx=None) -> DataFrame:
     return df.select(*cols)
 
 
+# fixpoint bound for property paths: part/annotation hierarchies are
+# shallow (SURVEY.md J3); a graph needing more rounds than this is not
+# the shape the reference queries, so fail loudly instead of looping
+_MAX_PATH_ITER = 32
+
+
+def _path_edges(triples: DataFrame, p, ctx) -> DataFrame:
+    df = triples
+    if ctx is not None and "context" in triples.columns:
+        df = df.where(F.col("context") == ctx.value)
+    return (df.where(F.col("pred") == p.value)
+            .select("subj", "obj").distinct().localCheckpoint())
+
+
+def _path_reach(edges: DataFrame, start: str, forward: bool) -> DataFrame:
+    """Nodes reachable from ``start`` over >= 1 edge (the ``+`` set;
+    ``*`` adds {start} back).  Broadcast-frontier BFS: the frontier is
+    small relative to the edge table, so each round is one broadcast
+    join + anti-join, O(diameter) rounds, lineage cut per round."""
+    here, there = ("subj", "obj") if forward else ("obj", "subj")
+    spark = edges.sparkSession
+    start_df = spark.createDataFrame([(start,)], "n string")
+    reach = (edges.join(F.broadcast(start_df),
+                        edges[here] == start_df["n"])
+             .select(edges[there].alias("n")).distinct()
+             .localCheckpoint())
+    prev = reach.count()
+    for _ in range(_MAX_PATH_ITER):
+        if prev == 0:
+            return reach
+        step = (edges.join(F.broadcast(reach), edges[here] == reach["n"])
+                .select(edges[there].alias("n")))
+        reach = reach.unionByName(step).distinct().localCheckpoint()
+        cur = reach.count()
+        if cur == prev:
+            return reach
+        prev = cur
+    raise SparqlError("property path exceeded %d iterations"
+                      % _MAX_PATH_ITER)
+
+
+def _closure_pairs(edges: DataFrame) -> DataFrame:
+    """Transitive-closure (subj, obj) pairs (>= 1 edge): fixpoint of
+    closure ∘ edges with count-based convergence — the same loop shape
+    as graphs.ispartof_closure (one shuffle join + one distinct per
+    round, lineage cut per round).  Worst case quadratic in reachable
+    pairs — correct and cheap for the bounded-diameter hierarchies the
+    reference's path queries walk.  (An anti-join semi-naive delta
+    would re-shuffle less per round, but Spark 4.1's union constraint
+    rewrite miscompiles the anti-join-into-self-union cycle —
+    NoSuchElementException on attribute ids — so the fixpoint is
+    expressed the proven way.)"""
+    paths = edges
+    prev = paths.count()
+    for _ in range(_MAX_PATH_ITER):
+        step = (paths.alias("c")
+                .join(edges.alias("e"),
+                      F.col("c.obj") == F.col("e.subj"))
+                .select(F.col("c.subj").alias("subj"),
+                        F.col("e.obj").alias("obj")))
+        paths = (paths.unionByName(step).distinct().localCheckpoint())
+        cur = paths.count()
+        if cur == prev:
+            return paths
+        prev = cur
+    raise SparqlError("property path exceeded %d iterations"
+                      % _MAX_PATH_ITER)
+
+
+def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
+    """One `s p*`/`p+` o pattern -> DataFrame of solutions.  Zero-or-
+    more includes the zero-length path per SPARQL 1.1: a constant
+    endpoint always matches itself; var-var adds the identity pair for
+    every term in the (ctx-scoped) graph."""
+    s, p, mod, o = payload
+    edges = _path_edges(triples, p, ctx)
+    if isinstance(s, _Var) and isinstance(o, _Var):
+        pairs = _closure_pairs(edges)
+        if mod == "*":
+            df = triples
+            if ctx is not None and "context" in triples.columns:
+                df = df.where(F.col("context") == ctx.value)
+            terms = (df.select(F.col("subj").alias("n"))
+                     .unionByName(df.select(F.col("obj").alias("n")))
+                     .distinct())
+            ident = terms.select(F.col("n").alias("subj"),
+                                 F.col("n").alias("obj"))
+            pairs = pairs.unionByName(ident).distinct()
+        if s.name == o.name:                      # ?x p* ?x
+            return (pairs.where(F.col("subj") == F.col("obj"))
+                    .select(F.col("subj").alias(s.name)))
+        return pairs.select(F.col("subj").alias(s.name),
+                            F.col("obj").alias(o.name))
+    if isinstance(s, _Var) or isinstance(o, _Var):
+        # constant endpoint: BFS backward from a constant object
+        # (`?s p* <O>`, the annotations.rq shape) or forward from a
+        # constant subject
+        if isinstance(s, _Var):
+            start, forward, var = o.value, False, s.name
+        else:
+            start, forward, var = s.value, True, o.name
+        reach = _path_reach(edges, start, forward)
+        if mod == "*":
+            spark = edges.sparkSession
+            start_df = spark.createDataFrame([(start,)], "n string")
+            reach = reach.unionByName(start_df).distinct()
+        return reach.select(F.col("n").alias(var))
+    # both constant: existence check -> 0/1-row marker frame
+    if mod == "*" and s.value == o.value:
+        hit = True
+    else:
+        reach = _path_reach(edges, s.value, forward=True)
+        hit = reach.where(F.col("n") == o.value).limit(1).count() > 0
+    return (edges.sparkSession.range(1 if hit else 0)
+            .select(F.lit(1).alias("__exists")))
+
+
 def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
     plan = None
     for kind, payload in items:
         if kind == "triple":
             scan = _scan(triples, payload, ctx)
+            plan = _join(plan, scan, "inner")
+        elif kind == "path":
+            scan = _path_scan(triples, payload, ctx)
             plan = _join(plan, scan, "inner")
         elif kind == "graph":
             g_ctx, g_items = payload
@@ -521,6 +735,67 @@ def _join(plan, scan, how):
     return plan.crossJoin(scan)
 
 
+def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
+    """GROUP BY / aggregate tail of a SELECT (triplestore.py:138-173
+    passthrough + the :653-666 COUNT probes): one ``groupBy().agg()``
+    — map-side partial aggregation, a single shuffle on the grouping
+    keys.  SAMPLE() is implementation-defined per SPARQL 1.1; min() is
+    the deterministic choice here."""
+    sel, groupby = ast["select"], ast["groupby"]
+    if sel is None:
+        raise SparqlError("SELECT * cannot be combined with GROUP BY")
+    plain = [it[1] for it in sel if it[0] == "var"]
+    bad = [v for v in plain if v not in groupby]
+    if bad:
+        raise SparqlError("SELECT of non-grouped vars: %s" % bad)
+    missing = [v for v in groupby + [it[3] for it in sel
+                                     if it[0] == "agg" and it[3]]
+               if v not in plan.columns]
+    if missing:
+        raise SparqlError("aggregate/GROUP BY of unbound vars: %s"
+                          % missing)
+    aggex = []
+    for it in sel:
+        if it[0] != "agg":
+            continue
+        _, fn, distinct, arg, alias = it
+        col = F.col(arg) if arg is not None else None
+        if fn == "count":
+            # COUNT(?v) counts bound values; COUNT(*) counts solutions
+            e = (F.countDistinct(col) if distinct
+                 else F.count(col) if col is not None
+                 else F.count(F.lit(1)))
+        elif fn == "sum":
+            e = F.sum(col.cast("double"))
+        elif fn == "avg":
+            e = F.avg(col.cast("double"))
+        elif fn == "max":
+            e = F.max(col)
+        else:                       # min | sample
+            e = F.min(col)
+        aggex.append(e.alias(alias))
+    if aggex:
+        plan = (plan.groupBy(*groupby).agg(*aggex) if groupby
+                else plan.agg(*aggex))
+    else:
+        plan = plan.select(*groupby).distinct()
+    outcols = [it[1] if it[0] == "var" else it[4] for it in sel]
+    bad = [v for v, _ in ast["order"]
+           if v not in groupby and v not in outcols]
+    if bad:
+        raise SparqlError("ORDER BY on non-output vars after "
+                          "grouping: %s" % bad)
+    if ast["order"]:
+        plan = plan.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
+                              for v, asc in ast["order"]])
+    plan = plan.select(*outcols)
+    if ast["distinct"]:
+        plan = plan.distinct()
+    if ast["limit"] is not None:
+        plan = plan.limit(ast["limit"])
+    return plan
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile and run a SPARQL SELECT against the triples DataFrame.
 
@@ -532,7 +807,13 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     plan = plan.drop("__exists")
     order_cols = [F.col(v).asc() if asc else F.col(v).desc()
                   for v, asc in ast["order"]]
-    if ast["select"] is not None:
+    sel, groupby = ast["select"], ast["groupby"]
+    if groupby or (sel is not None
+                   and any(it[0] == "agg" for it in sel)):
+        return _select_aggregated(plan, ast)
+    if sel is not None:
+        names = [it[1] for it in sel]
+        ast = dict(ast, select=names)
         missing = [v for v in ast["select"] if v not in plan.columns]
         if missing:
             raise SparqlError("SELECT of unbound vars: %s" % missing)
@@ -594,10 +875,17 @@ def sparql_construct(triples: DataFrame, query: str,
 
     outs = []
     for s, p, o in ast["template"]:
+        pat = plan
         for term in (s, p, o):
-            if isinstance(term, _Var) and term.name not in plan.columns:
-                raise SparqlError("CONSTRUCT of unbound var ?%s"
-                                  % term.name)
+            if isinstance(term, _Var):
+                if term.name not in plan.columns:
+                    raise SparqlError("CONSTRUCT of unbound var ?%s"
+                                      % term.name)
+                # SPARQL 1.1 §10.2: template instantiations with an
+                # unbound variable (NULL from OPTIONAL / UNION
+                # branches, as in annotations.rq) are skipped for
+                # that template triple only
+                pat = pat.where(F.col(term.name).isNotNull())
         cols = [_term_col(s).alias("subj"),
                 _term_col(p).alias("pred"),
                 _term_col(o).alias("obj")]
@@ -607,8 +895,38 @@ def sparql_construct(triples: DataFrame, query: str,
                      .alias("obj_kind"),
                      meta(o, "__lang_", None).alias("obj_lang"),
                      meta(o, "__dt_", None).alias("obj_datatype")]
-        outs.append(plan.select(*cols))
+        outs.append(pat.select(*cols))
     out = outs[0]
     for df in outs[1:]:
         out = out.unionByName(df)
     return out.distinct()
+
+
+# The reference's shipped annotation query (res/sparql/annotations.rq:1-20,
+# run per document by construct_annotations, documentrepository.py:2594-2611):
+# everything said about any part of the document, plus everything said
+# about resources that reference those parts.
+ANNOTATIONS_RQ = """
+PREFIX dcterms: <http://purl.org/dc/terms/>
+CONSTRUCT {
+   ?part dcterms:isReferencedBy ?s .
+   ?s ?p ?o .
+}
+WHERE {
+  ?s ?p ?o .
+  { ?s dcterms:isPartOf* <%(uri)s> . }
+  UNION
+  { ?part dcterms:isPartOf* <%(uri)s> .
+    ?s dcterms:references ?part . }
+}
+"""
+
+
+def construct_annotations(triples: DataFrame, uri: str,
+                          with_term_meta: bool = False) -> DataFrame:
+    """The per-document annotation graph through the SPARQL compiler —
+    the construct_annotations surface (documentrepository.py:2594-2611
+    + res/sparql/annotations.rq).  The ``isPartOf*`` paths run as
+    broadcast-frontier BFS from ``uri`` (O(part-tree depth) rounds)."""
+    return sparql_construct(triples, ANNOTATIONS_RQ % {"uri": uri},
+                            with_term_meta=with_term_meta)

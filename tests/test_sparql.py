@@ -173,3 +173,146 @@ def test_unsupported_syntax_raises(triples):
     with pytest.raises(SparqlError):
         sparql_select(triples,
                       "SELECT ?zz WHERE { ?x dcterms:title ?y . }")
+
+
+# ---------------------------------------------------- property paths
+
+def test_path_star_constant_object(triples):
+    """`?x p* <const>` walks backward from the constant; zero-length
+    path includes the constant itself (SPARQL 1.1 §9.1)."""
+    got = sparql_select(triples, """
+        SELECT ?x WHERE { ?x dcterms:references* <d3> }""").collect()
+    assert {r.x for r in got} == {"d1", "d2", "d3"}
+    got = sparql_select(triples, """
+        SELECT ?x WHERE { ?x dcterms:references+ <d3> }""").collect()
+    assert {r.x for r in got} == {"d1", "d2"}
+
+
+def test_path_star_constant_subject(triples):
+    got = sparql_select(triples, """
+        SELECT ?x WHERE { <d1> dcterms:references* ?x }""").collect()
+    assert {r.x for r in got} == {"d1", "d2", "d3"}
+
+
+def test_path_plus_var_var(triples):
+    got = sparql_select(triples, """
+        SELECT ?a ?b WHERE { ?a dcterms:references+ ?b }""").collect()
+    assert {(r.a, r.b) for r in got} == {
+        ("d1", "d2"), ("d2", "d3"), ("d1", "d3")}
+
+
+def test_path_both_constant_is_existence(triples):
+    got = sparql_select(triples, """
+        SELECT ?t WHERE { <d1> dcterms:references+ <d3> .
+                          <d1> dcterms:title ?t }""").collect()
+    assert [r.t for r in got] == ["Alpha"]
+    got = sparql_select(triples, """
+        SELECT ?t WHERE { <d3> dcterms:references+ <d1> .
+                          <d1> dcterms:title ?t }""").collect()
+    assert got == []
+
+
+def test_path_on_variable_predicate_raises(triples):
+    with pytest.raises(SparqlError):
+        sparql_select(triples, "SELECT ?x WHERE { ?x ?p* <d3> }")
+
+
+# ------------------------------------------------------- aggregates
+
+def test_group_by_count(triples):
+    got = sparql_select(triples, """
+        SELECT ?t (COUNT(?doc) AS ?n) WHERE { ?doc dcterms:title ?t }
+        GROUP BY ?t ORDER BY ?t""").collect()
+    assert [(r.t, r.n) for r in got] == [("Alpha", 2), ("Beta", 1)]
+
+
+def test_bare_count_star(triples):
+    """triplestore.py:656 issues `SELECT COUNT(*) WHERE {?s ?p ?o}`
+    (no AS clause); the output column is named after the function."""
+    got = sparql_select(triples,
+                        "SELECT COUNT(*) WHERE { ?s ?p ?o }").collect()
+    assert [r["count"] for r in got] == [9]
+
+
+def test_count_bound_only_and_distinct(triples):
+    got = sparql_select(triples, """
+        SELECT (COUNT(?same) AS ?n) WHERE {
+          ?doc a bibo:Document .
+          OPTIONAL { ?doc owl:sameAs ?same }
+        }""").collect()
+    assert [r.n for r in got] == [1]
+    got = sparql_select(triples, """
+        SELECT (COUNT(DISTINCT ?t) AS ?n)
+        WHERE { ?s dcterms:title ?t }""").collect()
+    assert [r.n for r in got] == [2]
+
+
+def test_min_max_sample(triples):
+    got = sparql_select(triples, """
+        SELECT (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) (SAMPLE(?t) AS ?any)
+        WHERE { ?s dcterms:title ?t }""").collect()
+    assert (got[0].lo, got[0].hi, got[0].any) == ("Alpha", "Beta", "Alpha")
+
+
+def test_sum_avg_numeric(spark):
+    t = spark.createDataFrame(
+        [("d1", "http://ex/n", "10", None, None, "c"),
+         ("d1", "http://ex/n", "3", None, None, "c"),
+         ("d2", "http://ex/n", "5", None, None, "c")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = sparql_select(t, """
+        SELECT ?s (SUM(?n) AS ?total) (AVG(?n) AS ?mean)
+        WHERE { ?s <http://ex/n> ?n } GROUP BY ?s
+        ORDER BY ?s""").collect()
+    assert [(r.s, r.total, r.mean) for r in got] == [
+        ("d1", 13.0, 6.5), ("d2", 5.0, 5.0)]
+
+
+def test_agg_validation_raises(triples):
+    with pytest.raises(SparqlError):          # non-grouped plain var
+        sparql_select(triples, """
+            SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }""")
+    with pytest.raises(SparqlError):          # HAVING unsupported
+        sparql_select(triples, """
+            SELECT ?p (COUNT(?o) AS ?n) WHERE { ?s ?p ?o }
+            GROUP BY ?p HAVING (?n > 1)""")
+    with pytest.raises(SparqlError):          # SUM(*) meaningless
+        sparql_select(triples, "SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
+
+
+# ------------------------------------- annotations.rq end-to-end golden
+
+def test_construct_annotations_golden(spark):
+    """The reference's shipped annotation query (res/sparql/
+    annotations.rq:1-20, construct_annotations documentrepository.py:
+    2594-2611) through the compiler: doc + part metadata via
+    `isPartOf*`, incoming references via the UNION branch, and the
+    extra `isReferencedBy` template triple.  Expected set derived by
+    hand from SPARQL 1.1 semantics (zero-length path binds the doc
+    itself; template triples with unbound ?part are skipped)."""
+    from ferenda_spark.sparql import construct_annotations
+    DOC, S1, S2, S11 = ("http://ex/doc", "http://ex/doc#S1",
+                        "http://ex/doc#S2", "http://ex/doc#S1.1")
+    OTHER, UNREL = "http://ex/other", "http://ex/unrelated"
+    IPO, REFS = DCT + "isPartOf", DCT + "references"
+    rows = [
+        (DOC, RDF_TYPE, BIBO_DOC),
+        (DOC, DCT + "title", "Doc"),
+        (S1, IPO, DOC),
+        (S2, IPO, DOC),
+        (S11, IPO, S1),
+        (S1, DCT + "title", "S1"),
+        (OTHER, REFS, S1),
+        (OTHER, DCT + "title", "Other"),
+        (UNREL, DCT + "title", "X"),
+    ]
+    t = spark.createDataFrame(
+        [(s, p, o, None, None, "c") for s, p, o in rows],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = {(r.subj, r.pred, r.obj)
+           for r in construct_annotations(t, DOC).collect()}
+    expected = {(s, p, o) for s, p, o in rows if s != UNREL}
+    expected.add((S1, DCT + "isReferencedBy", OTHER))
+    assert got == expected
