@@ -567,6 +567,64 @@ def _q_sparql_annotations(spark, sf_dir):
                                  "https://example.org/res/doc/0")
 
 
+def _q_pdf_textbox_stats(spark, sf_dir):
+    """S8 PDF branch driver query: a closed-form pdf2xml column (JVM
+    concat, no UDF) through the pdf_textboxes mapInPandas stage
+    (pdfpages.py — pdfreader._parse_xml semantics), then per-document
+    layout stats.  Every 23rd document carries malformed XML and is
+    quarantined by the stage (I4), so it is absent from the output."""
+    from ferenda_spark.pdfpages import pdf_textboxes
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    fsize = (F.lit(12) + did % 3).cast("string")
+
+    def page(p):
+        return F.concat(
+            F.lit('<page number="%d" width="892" height="1263">' % p),
+            F.lit('<fontspec id="0" size="'), fsize,
+            F.lit('" family="Times" color="#000000"/>'
+                  '<fontspec id="1" size="9" family="Helvetica" '
+                  'color="#000000"/>'
+                  '<text top="50" left="85" width="300" height="20" '
+                  'font="0">Heading '),
+            did.cast("string"), F.lit('</text><text top="'),
+            (F.lit(100) + (did % 7) * 10).cast("string"),
+            F.lit('" left="85" width="400" height="15" font="1">'
+                  'Body text <b>doc '),
+            did.cast("string"),
+            F.lit('</b> page %d</text></page>' % p))
+
+    xml = F.when(did % 23 == 0, F.lit("<pdf2xml><unclosed")).otherwise(
+        F.concat(F.lit("<pdf2xml>"), page(1),
+                 F.when(did % 2 == 1, page(2)).otherwise(F.lit("")),
+                 F.lit("</pdf2xml>")))
+    docs = d.select(
+        F.concat(F.lit("https://example.org/pdf/"),
+                 did.cast("string")).alias("url"),
+        xml.alias("xml"))
+    boxes = pdf_textboxes(docs)
+    return (boxes.where(F.col("error").isNull())
+            .groupBy("url")
+            .agg(F.countDistinct("page").alias("n_pages"),
+                 F.count("*").alias("n_boxes"),
+                 F.countDistinct("font_family").alias("n_fonts"),
+                 F.max("font_size").alias("max_font_size"),
+                 F.sum(F.length("text")).alias("text_chars")))
+
+
+def _q_word_docs(spark, sf_dir):
+    """S8 Word branch driver query: deterministic docx blobs (plus
+    OLE .doc blobs every 17th doc) through the extract_word_blobs
+    mapInPandas stage — content-based filetype detection, docx
+    paragraph extraction, and the antiword-missing quarantine
+    (wordreader.py; reference wordreader.py:100-218)."""
+    from ferenda_spark.wordreader import (extract_word_blobs,
+                                          synth_docx_blobs)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    out = extract_word_blobs(synth_docx_blobs(d))
+    return out.select("url", "filetype", "text", "error")
+
+
 def _q_fuzzy_entity_links(spark, sf_dir):
     """T9/J6 fuzzy path: deterministically typo'd mention labels ->
     best char-3-gram-Jaccard resource match (oracle-checked; the
@@ -814,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path": _q_sparql_path,
         "kg_sparql_agg": _q_sparql_agg,
         "kg_sparql_annotations": _q_sparql_annotations,
+        "pdf_textbox_stats": _q_pdf_textbox_stats,
+        "word_docs": _q_word_docs,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1649,6 +1709,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE subj IN ('https://example.org/res/doc/0',
                            'https://example.org/res/doc/0#S1',
                            'https://example.org/res/doc/0#S1.1')""",
+        # closed form of the synthetic pdf2xml layout: 1+d%2 pages x
+        # 2 boxes ("Heading {d}" = 8+len(d) chars, "Body text doc {d}
+        # page {p}" = 21+len(d) chars); every 23rd doc is malformed ->
+        # quarantined -> absent
+        "pdf_textbox_stats": """
+            SELECT 'https://example.org/pdf/' || doc_id AS url,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS n_pages,
+                   CAST(2 * (1 + doc_id % 2) AS BIGINT) AS n_boxes,
+                   CAST(2 AS BIGINT) AS n_fonts,
+                   CAST(12 + doc_id % 3 AS INT) AS max_font_size,
+                   CAST((1 + doc_id % 2)
+                        * (29 + 2 * length(CAST(doc_id AS VARCHAR)))
+                        AS BIGINT) AS text_chars
+            FROM documents WHERE doc_id % 23 <> 0""",
+        "word_docs": """
+            SELECT 'https://example.org/word/' || doc_id AS url,
+                   CASE WHEN doc_id % 17 = 0 THEN 'doc'
+                        ELSE 'docx' END AS filetype,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        ELSE 'Word doc ' || doc_id || chr(10)
+                             || 'Paragraph ' || (doc_id % 7) END AS text,
+                   CASE WHEN doc_id % 17 = 0
+                        THEN 'antiword unavailable' END AS error
+            FROM documents""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,
                    (CASE WHEN lower(dcterms_title) LIKE '%7%'

@@ -130,3 +130,39 @@ def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
 
     return (docs.select(url_col, blob_col)
             .mapInPandas(batches, schema=WORD_SCHEMA))
+
+
+def synth_docx_blobs(docs, id_col: str = "doc_id"):
+    """Deterministic minimal OOXML blobs keyed on ``doc_id`` — the
+    corpus-synthesis twin for the Word stage (closed form, mirrored by
+    the DuckDB oracle): two paragraphs per document, and every
+    17th document a legacy OLE ``.doc`` blob so the quarantine branch
+    of :func:`extract_word_blobs` is exercised end-to-end.  Zip
+    members carry a fixed timestamp so blobs are byte-stable across
+    runs."""
+    import pandas as pd
+
+    def batches(it):
+        for b in it:
+            rows = []
+            for did in b[id_col]:
+                d = int(did)
+                url = "https://example.org/word/%d" % d
+                if d % 17 == 0:
+                    rows.append((url, OLE_MAGIC + b"\x00" * 24))
+                    continue
+                xml = ('<?xml version="1.0"?>'
+                       '<w:document xmlns:w="%s"><w:body>'
+                       '<w:p><w:r><w:t>Word doc %d</w:t></w:r></w:p>'
+                       '<w:p><w:r><w:t>Paragraph %d</w:t></w:r></w:p>'
+                       '</w:body></w:document>' % (W_NS, d, d % 7))
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                    zi = zipfile.ZipInfo("word/document.xml",
+                                         (1980, 1, 1, 0, 0, 0))
+                    zf.writestr(zi, xml)
+                rows.append((url, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["url", "blob"])
+
+    return (docs.select(id_col)
+            .mapInPandas(batches, "url string, blob binary"))
