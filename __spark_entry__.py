@@ -777,28 +777,24 @@ def _q_canonical_triples(spark, sf_dir):
 
 
 def _q_legal_mentions(spark, sf_dir):
-    """T8 through Spark over the reference's own legalref fixture
-    texts (read-only; rows-only driver check — the exact goldens are
-    asserted in tests/test_legalref_goldens.py).  Falls back to a
-    small built-in corpus when the reference checkout is absent."""
-    import glob as _glob
-    import os as _os
+    """T8 through Spark: closed-form planted legal references (one
+    statute + one case-law + one preparatory-works citation per
+    document, all numbers fixed-width functions of doc_id so anchors
+    sit at constant offsets) through the legal_mentions Arrow stage —
+    hash-exact vs the DuckDB oracle.  The reference's own fixture
+    texts stay golden-asserted in tests/test_legalref_goldens.py."""
     from ferenda_spark.operators.extract import legal_mentions
-    rows = []
-    root = "/root/reference/test/files/legalref"
-    if _os.path.isdir(root):
-        for d in ("Simple", "SFS", "DV", "Avg", "Regpubl", "EGLag",
-                  "ECJ"):
-            enc = "utf-8" if d == "ECJ" else "iso-8859-1"
-            for f in sorted(_glob.glob("%s/%s/*.txt" % (root, d))):
-                raw = open(f, encoding=enc).read()
-                src = raw.split("<list>")[0].rstrip("\n")
-                rows.append(("fixture://%s/%s" % (d, _os.path.basename(f)),
-                             src))
-    if not rows:
-        rows = [("mem://1", "enligt 12 § delgivningslagen (1970:428)"),
-                ("mem://2", "se NJA 1998 s. 14")]
-    docs = spark.createDataFrame(rows, "url string, text string")
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    text = F.format_string(
+        "Se %d § delgivningslagen (1970:428) och NJA %d s. %d "
+        "samt prop. 1997/98:%d i ärendet.",
+        F.lit(10) + did % 12, F.lit(1990) + did % 10,
+        F.lit(10) + did % 90, F.lit(100) + did % 100)
+    docs = d.select(
+        F.concat(F.lit("https://example.org/legal/"),
+                 did.cast("string")).alias("url"),
+        text.alias("text"))
     return legal_mentions(docs)
 
 
@@ -1723,6 +1719,28 @@ def oracle_sql() -> dict[str, str]:
                         * (29 + 2 * length(CAST(doc_id AS VARCHAR)))
                         AS BIGINT) AS text_chars
             FROM documents WHERE doc_id % 23 <> 0""",
+        # the planted citations have fixed-width numbers, so every
+        # anchor spans constant offsets: sfs 3-35, caselaw 40-54,
+        # forarbeten 60-77
+        "kg_legal_mentions": """
+            WITH lm AS (
+              SELECT 'https://example.org/legal/' || doc_id AS url,
+                     10 + doc_id % 12 AS p, 1990 + doc_id % 10 AS y,
+                     10 + doc_id % 90 AS n, 100 + doc_id % 100 AS pn
+              FROM documents)
+            SELECT url, 'sfs' AS kind,
+                   CAST(3 AS INT) AS "start", CAST(35 AS INT) AS "end",
+                   p || ' § delgivningslagen (1970:428)' AS anchor,
+                   'https://lagen.nu/1970:428#P' || p AS target_uri
+            FROM lm
+            UNION ALL
+            SELECT url, 'caselaw', 40, 54,
+                   'NJA ' || y || ' s. ' || n,
+                   'https://lagen.nu/dom/nja/' || y || 's' || n FROM lm
+            UNION ALL
+            SELECT url, 'forarbeten', 60, 77,
+                   'prop. 1997/98:' || pn,
+                   'https://lagen.nu/prop/1997/98:' || pn FROM lm""",
         "word_docs": """
             SELECT 'https://example.org/word/' || doc_id AS url,
                    CASE WHEN doc_id % 17 = 0 THEN 'doc'
