@@ -32,20 +32,33 @@ from .. import vocab
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(src:long, dst:long) -> (vertex:long, component:long) where
     component = min vertex id in the component."""
+    # partition the loop inputs for the loop, not for the upstream
+    # DAG: localCheckpoint preserves whatever partition count the
+    # extraction ran at (often sized for a wide scan), and every
+    # fixpoint round would re-read it; hash-partition sym on the join
+    # key at the session's shuffle width instead (matches the join's
+    # required distribution, so rounds shuffle only the label vector —
+    # at real scale this width would be sized to the edge bytes)
+    nparts = edges.sparkSession.sparkContext.defaultParallelism
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
            .where(F.col("src") != F.col("dst"))
            .distinct()
+           .repartition(nparts, "dst")
            # materialize once: the loop re-reads sym every round and
            # must not re-run the upstream extraction DAG each time
            .localCheckpoint())
     labels = (sym.select(F.col("src").alias("vertex"))
               .union(sym.select(F.col("dst").alias("vertex")))
               .distinct()
+              .repartition(nparts, "vertex")
               .withColumn("component", F.col("vertex"))
               .localCheckpoint())
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # decimal(38,0) sum: vertex ids may span the full 64-bit range
+    # (hash-derived), where a long sum overflows under ANSI mode
+    _dsum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_dsum).first()[0]
     for _ in range(max_iter):
         neighbor_min = (sym.join(labels,
                                  sym["dst"] == labels["vertex"], "inner")
@@ -55,7 +68,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
                   .groupBy("vertex")
                   .agg(F.min("component").alias("component"))
                   .localCheckpoint())
-        cur_sum = labels.agg(F.sum("component")).first()[0]
+        cur_sum = labels.agg(_dsum).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -69,26 +82,44 @@ def connected_components_uris(edges: DataFrame,
     member of each component — numeric order for same-prefix
     numeric-suffix URIs, plain lexicographic otherwise.
 
-    Vertex ids are assigned via a dictionary
-    (``monotonically_increasing_id`` over the distinct URI set — no
-    single-partition zipWithIndex stage), the hash-min fixpoint runs on
-    longs, and the representative is chosen AFTER convergence by a
-    per-component min over the members' sort keys — so the arbitrary,
-    partitioning-dependent id assignment never leaks into the result.
-    The dictionary is localCheckpointed to pin the ids for the
-    duration of the job."""
+    Vertex ids are derived MAP-SIDE by ``xxhash64(uri)`` — no
+    dictionary build and no id-assignment joins against the edge
+    table; the only shuffles before the fixpoint are the distinct
+    vertex set (needed anyway for the member mapping) and its one
+    verification aggregate.  A 64-bit collision would silently merge
+    two components, so the distinct-hash count is checked against the
+    vertex count first; on a collision the code falls back to the
+    dictionary path (``monotonically_increasing_id`` + two joins) —
+    deterministic either way.  At 10^12-vertex scale the birthday
+    bound makes 64-bit collisions likely, so the fallback (or a
+    128-bit id split into a struct key) is the expected path there;
+    at any scale the result is identical because the representative
+    is chosen AFTER convergence by a per-component min over the
+    members' (length, value) sort keys, so the id scheme never leaks
+    into the result."""
     verts = (edges.select(F.col("src").alias("uri"))
              .union(edges.select(F.col("dst").alias("uri")))
              .distinct()
-             .withColumn("vid", F.monotonically_increasing_id())
+             .withColumn("vid", F.xxhash64("uri"))
              .localCheckpoint())
-    e_long = (edges
-              .join(verts.select(F.col("uri").alias("src"),
-                                 F.col("vid").alias("src_id")), "src")
-              .join(verts.select(F.col("uri").alias("dst"),
-                                 F.col("vid").alias("dst_id")), "dst")
-              .select(F.col("src_id").alias("src"),
-                      F.col("dst_id").alias("dst")))
+    counts = verts.agg(F.count("*").alias("n"),
+                       F.countDistinct("vid").alias("d")).first()
+    if counts["n"] != counts["d"]:
+        verts = (verts.drop("vid")
+                 .withColumn("vid", F.monotonically_increasing_id())
+                 .localCheckpoint())
+        e_long = (edges
+                  .join(verts.select(F.col("uri").alias("src"),
+                                     F.col("vid").alias("src_id")),
+                        "src")
+                  .join(verts.select(F.col("uri").alias("dst"),
+                                     F.col("vid").alias("dst_id")),
+                        "dst")
+                  .select(F.col("src_id").alias("src"),
+                          F.col("dst_id").alias("dst")))
+    else:
+        e_long = edges.select(F.xxhash64("src").alias("src"),
+                              F.xxhash64("dst").alias("dst"))
     comp = connected_components(e_long, max_iter)
     member = (comp.join(verts, comp["vertex"] == verts["vid"])
               .select("component", "uri"))

@@ -421,6 +421,27 @@ def test_connected_components_arbitrary_uris(spark):
                    "x:10": "x:2"}
 
 
+def test_connected_components_uris_collision_fallback(spark, monkeypatch):
+    """Force the 64-bit-id collision branch (every uri hashes alike)
+    and assert the dictionary fallback yields the identical result —
+    the id scheme must never leak into the output."""
+    from ferenda_spark.operators import canonicalize as cz
+    edges = spark.createDataFrame(
+        [("urn:isbn:b", "mailto:zz@example.org"),
+         ("mailto:zz@example.org", "urn:isbn:a"),
+         ("x:2", "x:10")],
+        "src string, dst string")
+    real = cz.F.xxhash64
+    monkeypatch.setattr(cz.F, "xxhash64", lambda c: real(cz.F.lit("k")))
+    got = {r.uri: r.canonical_uri
+           for r in cz.connected_components_uris(edges).collect()}
+    assert got == {"urn:isbn:a": "urn:isbn:a",
+                   "urn:isbn:b": "urn:isbn:a",
+                   "mailto:zz@example.org": "urn:isbn:a",
+                   "x:2": "x:2",
+                   "x:10": "x:2"}
+
+
 def test_apply_patches_multi_patch_single_row(spark):
     """Multiple patch rows for one url compose into one rewrite (the
     reference applies one unified diff per document) instead of
