@@ -364,6 +364,16 @@ def _q_pagerank(spark, sf_dir):
                              iterations=10)
 
 
+def _q_hits(spark, sf_dir):
+    """Graph analytics, second ranking: HITS hubs/authorities over the
+    citation graph (graphanalyze.py:913 `hits(graph)[1]`) — networkx
+    semantics, fixed 10 rounds, closed-form unrolled-CTE oracle."""
+    from ferenda_spark.operators.graphs import citation_hits
+    from ferenda_spark.operators.triples import mention_triples
+    return citation_hits(mention_triples(_docs(spark, sf_dir)),
+                         iterations=10)
+
+
 def _q_search_year_range(spark, sf_dir):
     """Q4/Q5: year-F range filter with the reference's *exclusive*
     bounds (wsgiapp.py:566-597)."""
@@ -848,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ispartof_closure": _q_ispartof_closure,
         "kg_citation_counts": _q_citation_counts,
         "kg_pagerank": _q_pagerank,
+        "kg_hits": _q_hits,
         "kg_link_validation": _q_link_validation,
         "kg_fuzzy_entity_links": _q_fuzzy_entity_links,
         "kg_fuzzy_links_lsh": _q_fuzzy_links_lsh,
@@ -1151,6 +1162,46 @@ r%d AS MATERIALIZED (
             k, 1.0 - damping, damping, prev, prev)
     sql += ("\nSELECT vertex, round(rank, 6) AS pagerank_r FROM r%d"
             % iterations)
+    return sql
+
+
+def _hits_sql(iterations: int = 10) -> str:
+    """Closed-form HITS oracle: networkx hits_alg unrolled one round
+    per CTE set — a_k = A^T h_{k-1}; h_k = A a_k from the
+    *un-normalized* a_k; then each normalized by its max (multiplying
+    by 1/max, the exact float op networkx and the Spark loop use);
+    final sum normalization.  MATERIALIZED for the same
+    scan-tree-doubling reason as the pagerank oracle."""
+    sql = ("WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
+edges AS MATERIALIZED (
+  SELECT DISTINCT context AS src, obj AS dst FROM mention_triples),
+verts AS MATERIALIZED (
+  SELECT src AS vertex FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),
+hn0 AS MATERIALIZED (SELECT vertex, 1.0 / nn.c AS h FROM verts, nn)""")
+    for k in range(1, iterations + 1):
+        sql += """,
+a%d AS MATERIALIZED (
+  SELECT v.vertex, COALESCE(s.s, 0) AS a FROM verts v
+  LEFT JOIN (SELECT e.dst AS vertex, SUM(h.h) AS s
+             FROM edges e JOIN hn%d h ON e.src = h.vertex
+             GROUP BY e.dst) s ON s.vertex = v.vertex),
+hh%d AS MATERIALIZED (
+  SELECT v.vertex, COALESCE(s.s, 0) AS h FROM verts v
+  LEFT JOIN (SELECT e.src AS vertex, SUM(a.a) AS s
+             FROM edges e JOIN a%d a ON e.dst = a.vertex
+             GROUP BY e.src) s ON s.vertex = v.vertex),
+an%d AS MATERIALIZED (
+  SELECT vertex, a * (1.0 / (SELECT MAX(a) FROM a%d)) AS a FROM a%d),
+hn%d AS MATERIALIZED (
+  SELECT vertex, h * (1.0 / (SELECT MAX(h) FROM hh%d)) AS h
+  FROM hh%d)""" % (k, k - 1, k, k, k, k, k, k, k, k)
+    sql += """
+SELECT h.vertex,
+       round(h.h * (1.0 / (SELECT SUM(h) FROM hn%d)), 6) AS hub_r,
+       round(a.a * (1.0 / (SELECT SUM(a) FROM an%d)), 6) AS authority_r
+FROM hn%d h JOIN an%d a ON h.vertex = a.vertex""" % (
+        iterations, iterations, iterations, iterations)
     return sql
 
 
@@ -1542,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT context) AS n_citing_docs
             FROM mention_triples GROUP BY obj""",
         "kg_pagerank": _pagerank_sql(iterations=10, damping=0.85),
+        "kg_hits": _hits_sql(iterations=10),
         "kg_link_validation": "WITH " + _F_CTE + """,
             links AS (
               SELECT url, (CASE WHEN (doc_id + k) % 10 < 3

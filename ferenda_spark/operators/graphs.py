@@ -167,6 +167,91 @@ def pagerank(edges: DataFrame, iterations: int = 10,
                         .alias("pagerank_r"))
 
 
+def hits(edges: DataFrame, iterations: int = 10,
+         round_to: int = 6) -> DataFrame:
+    """(vertex, hub_r, authority_r) over directed edges (src, dst) —
+    the reference's second citation-ranking algorithm
+    (graphanalyze.py:33 imports networkx hits_alg; :913 runs
+    ``hits(graph, max_iter=10000)[1]`` for authorities).  networkx
+    semantics mirrored with a fixed iteration count: each round
+    computes ``a = A^T h`` (hub mass summed over in-edges), then
+    ``h = A a`` from the *un-normalized* a of the same round, then
+    normalizes each vector by its max; after the loop both are
+    normalized by their sums (networkx ``normalized=True`` default).
+    Deterministic: fixed rounds + final round().
+
+    Scale shape matches :func:`pagerank`: edges materialized once and
+    hash-partitioned on the join keys, per-round shuffles move only
+    the two score vectors, the 1-row max/sum aggregates are broadcast
+    crossJoins.  Unlike pagerank (one self-reference per round), each
+    HITS round references BOTH vectors twice (scores + their max), so
+    an un-materialized plan quadruples per round; the raw vectors are
+    therefore localCheckpointed every round and the cheap normalize
+    step stays lazy on top of the materialized RDD.  The loop width is
+    the smaller of the edge partitioning and the session parallelism —
+    the score vectors are |V|-sized, far smaller than a wide upstream
+    scan, and 20 fixpoint rounds at scan width would be pure
+    task-scheduling overhead (at real scale shuffle.partitions is
+    sized to the data and this floor is the edge width)."""
+    edges = edges.localCheckpoint()
+    nparts = max(1, min(edges.rdd.getNumPartitions(),
+                        edges.sparkSession.sparkContext
+                        .defaultParallelism))
+    verts = (edges.select(F.col("src").alias("vertex"))
+             .union(edges.select(F.col("dst").alias("vertex")))
+             .distinct()
+             .repartition(nparts, "vertex")
+             .localCheckpoint())
+    n = verts.count()
+    e_src = edges.repartition(nparts, "src").localCheckpoint()
+    h = verts.withColumn("h", F.lit(1.0 / n))
+    a = None
+    for i in range(iterations):
+        a_in = (e_src.join(h, e_src["src"] == h["vertex"])
+                .groupBy(e_src["dst"].alias("vertex"))
+                .agg(F.sum("h").alias("s")))
+        a_full = (verts.join(a_in, "vertex", "left")
+                  .select("vertex",
+                          F.coalesce("s", F.lit(0.0)).alias("a"))
+                  .localCheckpoint())
+        h_out = (e_src.join(a_full, e_src["dst"] == a_full["vertex"])
+                 .groupBy(e_src["src"].alias("vertex"))
+                 .agg(F.sum("a").alias("s")))
+        h_full = (verts.join(h_out, "vertex", "left")
+                  .select("vertex",
+                          F.coalesce("s", F.lit(0.0)).alias("h"))
+                  .localCheckpoint())
+        amax = a_full.agg(F.max("a").alias("_amax"))
+        hmax = h_full.agg(F.max("h").alias("_hmax"))
+        a = (a_full.crossJoin(F.broadcast(amax))
+             .select("vertex",
+                     (F.col("a") * (F.lit(1.0) / F.col("_amax")))
+                     .alias("a")))
+        h = (h_full.crossJoin(F.broadcast(hmax))
+             .select("vertex",
+                     (F.col("h") * (F.lit(1.0) / F.col("_hmax")))
+                     .alias("h")))
+    asum = a.agg(F.sum("a").alias("_asum"))
+    hsum = h.agg(F.sum("h").alias("_hsum"))
+    return (h.join(a, "vertex")
+            .crossJoin(F.broadcast(asum))
+            .crossJoin(F.broadcast(hsum))
+            .select("vertex",
+                    F.round(F.col("h") * (F.lit(1.0) / F.col("_hsum")),
+                            round_to).alias("hub_r"),
+                    F.round(F.col("a") * (F.lit(1.0) / F.col("_asum")),
+                            round_to).alias("authority_r")))
+
+
+def citation_hits(triples: DataFrame, iterations: int = 10) -> DataFrame:
+    """HITS over the doc->cited-target citation graph (same edge set
+    as citation_pagerank)."""
+    refs = triples.where(F.col("pred") == vocab.DCTERMS_REFERENCES)
+    edges = (refs.select(F.col("context").alias("src"),
+                         F.col("obj").alias("dst")).distinct())
+    return hits(edges, iterations=iterations)
+
+
 def citation_pagerank(triples: DataFrame, iterations: int = 10) -> DataFrame:
     """PageRank over the doc->cited-target citation graph (the
     graphanalyze analytic, at document granularity: context url ->

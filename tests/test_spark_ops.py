@@ -421,6 +421,35 @@ def test_connected_components_arbitrary_uris(spark):
                    "x:10": "x:2"}
 
 
+def test_hits_matches_pure_python_power_iteration(spark):
+    """HITS (graphanalyze.py:913) vs an independent pure-Python mirror
+    of networkx hits_alg (a from h over in-edges, h from un-normalized
+    a over out-edges, per-round max normalization, final sum
+    normalization)."""
+    from ferenda_spark.operators.graphs import hits
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")]
+    nodes = sorted({x for e in E for x in e})
+    h = {n: 1.0 / len(nodes) for n in nodes}
+    a = None
+    for _ in range(10):
+        a = {n: 0.0 for n in nodes}
+        for s, d in E:
+            a[d] += h[s]
+        hn = {n: 0.0 for n in nodes}
+        for s, d in E:
+            hn[s] += a[d]
+        amax, hmax = max(a.values()), max(hn.values())
+        a = {n: v * (1.0 / amax) for n, v in a.items()}
+        h = {n: v * (1.0 / hmax) for n, v in hn.items()}
+    asum, hsum = sum(a.values()), sum(h.values())
+    want = {n: (round(h[n] * (1.0 / hsum), 6),
+                round(a[n] * (1.0 / asum), 6)) for n in nodes}
+    edges = spark.createDataFrame(E, "src string, dst string")
+    got = {r.vertex: (r.hub_r, r.authority_r)
+           for r in hits(edges, iterations=10).collect()}
+    assert got == want
+
+
 def test_connected_components_uris_collision_fallback(spark, monkeypatch):
     """Force the 64-bit-id collision branch (every uri hashes alike)
     and assert the dictionary fallback yields the identical result —
