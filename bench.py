@@ -51,13 +51,27 @@ HEADLINE = [
 ]
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat
+    cpu line — used to measure co-tenant steal DURING a timed leg."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def _throughput_job(sf_dir: str, master: str, replicate: int = 32) -> dict:
     """Run the full KG triple-extraction DAG once; return timing.
 
     The input is the sf documents table replicated ``replicate``x
     (deterministic, identical at every parallelism level) so the job is
     large enough that fixed overhead doesn't mask scaling — the
-    sandbox stand-in for a real N-vs-4N cluster comparison."""
+    sandbox stand-in for a real N-vs-4N cluster comparison.  The
+    result carries the host-wide steal%% observed during the timed
+    window so the caller can reject co-tenant-contaminated legs."""
     from pyspark.sql import functions as F
     from ferenda_spark.session import get_spark
     from ferenda_spark.corpus import pages_from_documents
@@ -79,6 +93,7 @@ def _throughput_job(sf_dir: str, master: str, replicate: int = 32) -> dict:
     # table; the sandbox synthesizes it, which is not pipeline work
     pages = pages_from_documents(docs).localCheckpoint()
     pages.count()
+    tot0, st0 = _cpu_times()
     t0 = time.time()
     # materialize the parse stage once before the triples fan-out
     # (doc/section/mention/entity branches) — the cluster analogue is
@@ -86,10 +101,14 @@ def _throughput_job(sf_dir: str, master: str, replicate: int = 32) -> dict:
     parsed = with_doc_metadata(extract_pages(pages)).localCheckpoint()
     n_triples = corpus_triples(spark, parsed).count()
     dt = time.time() - t0
+    tot1, st1 = _cpu_times()
     spark.stop()
+    steal = (100.0 * (st1 - st0) / max(tot1 - tot0, 1)
+             if tot1 > tot0 else 0.0)
     return {"master": master, "seconds": round(dt, 3),
             "triples": n_triples, "replicate": replicate,
-            "triples_per_sec": round(n_triples / dt, 1)}
+            "triples_per_sec": round(n_triples / dt, 1),
+            "steal_pct": round(steal, 2)}
 
 
 SCALING_N = 1           # N and 4N parallelism (driver instruction: two
@@ -108,7 +127,13 @@ SCALING_4N = 4          # levels stand in for N- and 4N-executor clusters).
                         # 8:192-240k 16:283k 32:242k triples/s.
 
 
-def run_scaling(sf_dir: str) -> dict:
+STEAL_THRESHOLD = 1.0   # a leg with >1% host-wide steal during its
+                        # timed window ran concurrently with a
+                        # co-tenant burst; its throughput measures the
+                        # neighbor, not the program — reject and rerun
+
+
+def run_scaling(sf_dir: str, reps: int | None = None) -> dict:
     """Same job + same input, two parallelism levels, fresh JVM each
     (subprocess).
 
@@ -116,14 +141,27 @@ def run_scaling(sf_dir: str) -> dict:
     available: without pinning, local[N]'s Python UDF workers spill
     onto the machine's remaining free cores, inflating the small-N
     baseline and understating the true N-vs-4N core scaling (a real
-    N-core executor host has no spare cores to borrow)."""
+    N-core executor host has no spare cores to borrow).
+
+    Steal-aware, >=5 reps per leg (the r2 verdict ask): each rep
+    records the host-wide /proc/stat steal%% over its timed window;
+    reps above :data:`STEAL_THRESHOLD` are rejected as co-tenant
+    contamination (with up to 3 extra attempts to refill).  The
+    headline per-leg number is the MEDIAN of the clean reps — robust
+    against residual one-sided noise, unlike best-of-N — and the
+    efficiency is reported with its clean-rep spread so a reader can
+    see when the metric is noise-dominated."""
     import shutil
+    import statistics
     have_taskset = shutil.which("taskset") is not None
+    if reps is None:
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "5"))
     out = {}
     # Pin away from cpu0: it hosts IRQ/system load on this VM, adding
     # run-to-run noise of up to ~50% on the 1-core leg (a real
     # executor host's cores are dedicated).  Cores PIN_BASE..+n-1.
     pin_base = 16
+    spreads = {}
     for n in (SCALING_N, SCALING_4N):
         code = ("import sys; sys.path.insert(0, %r); import bench, json; "
                 "print('@@'+json.dumps(bench._throughput_job(%r, 'local[%d]')))"
@@ -132,28 +170,46 @@ def run_scaling(sf_dir: str) -> dict:
         if have_taskset:
             cmd = ["taskset", "-c",
                    "%d-%d" % (pin_base, pin_base + n - 1)] + cmd
-        # best of three: each leg is short enough that JVM JIT + GC +
-        # ambient-VM variance otherwise dominates the ratio
-        best = None
-        runs = []
-        for _ in range(3):
-            r = subprocess.run(cmd,
-                               capture_output=True, text=True,
+        clean, rejected, runs = [], [], []
+        for _ in range(reps + 3):
+            if len(clean) >= reps:
+                break
+            r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=1800)
             line = [l for l in r.stdout.splitlines()
                     if l.startswith("@@")]
             if not line:
                 return {"error": (r.stderr or r.stdout)[-500:]}
             res = json.loads(line[0][2:])
-            runs.append(res["triples_per_sec"])
-            if best is None or res["triples_per_sec"] > \
-                    best["triples_per_sec"]:
-                best = res
-        best["runs_triples_per_sec"] = runs
-        out["local%d" % n] = best
+            runs.append({"triples_per_sec": res["triples_per_sec"],
+                         "steal_pct": res["steal_pct"]})
+            if res["steal_pct"] <= STEAL_THRESHOLD:
+                clean.append(res)
+            else:
+                rejected.append(res)
+        use = clean or rejected          # all contaminated: report, flagged
+        tps = sorted(r["triples_per_sec"] for r in use)
+        med_tps = statistics.median(tps)
+        # the rep whose throughput is closest to the median carries the
+        # representative seconds/triples detail
+        rep = min(use, key=lambda r: abs(r["triples_per_sec"] - med_tps))
+        leg = dict(rep)
+        leg["triples_per_sec"] = med_tps
+        leg["runs"] = runs
+        leg["clean_reps"] = len(clean)
+        leg["steal_rejected"] = len(rejected)
+        leg["contaminated"] = not clean
+        leg["spread_triples_per_sec"] = [tps[0], tps[-1]]
+        spreads[n] = tps
+        out["local%d" % n] = leg
     tn = out["local%d" % SCALING_N]["triples_per_sec"]
     t4n = out["local%d" % SCALING_4N]["triples_per_sec"]
     out["efficiency_n_to_4n"] = round((t4n / tn) / 4.0, 3)
+    lo_n, hi_n = spreads[SCALING_N][0], spreads[SCALING_N][-1]
+    lo_4n, hi_4n = spreads[SCALING_4N][0], spreads[SCALING_4N][-1]
+    out["efficiency_spread"] = [round((lo_4n / hi_n) / 4.0, 3),
+                                round((hi_4n / lo_n) / 4.0, 3)]
+    out["steal_threshold_pct"] = STEAL_THRESHOLD
     return out
 
 
