@@ -635,6 +635,31 @@ def _q_word_docs(spark, sf_dir):
     return out.select("url", "filetype", "text", "error")
 
 
+def _q_wiki_rendered(spark, sf_dir):
+    """S8 wiki render branch: closed-form synthetic wikitext (italics,
+    internal link, section heading, bold, category) through the
+    wiki_render mapInPandas stage — markup -> XHTML body + section
+    count + dcterms:subject names (wiki.py parse_document_from_soup +
+    postprocess; fixture-level golden parity in
+    tests/test_wikitext.py)."""
+    from ferenda_spark.wikitext import wiki_render
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    wt = F.format_string(
+        "''Intro'' om [[Entity %d]].\n\n== 1 § ==\n\n"
+        "Se '''regel %d'''.\n\n[[Kategori:Topic%d]]",
+        did % 50, did % 7, did % 11)
+    docs = d.select(
+        F.concat(F.lit("https://example.org/wiki/"),
+                 did.cast("string")).alias("url"),
+        wt.alias("wikitext"))
+    out = wiki_render(docs)
+    return out.select(
+        "url", "n_sections",
+        F.array_join("subjects", ",").alias("subjects_csv"),
+        "body_html")
+
+
 def _q_fuzzy_entity_links(spark, sf_dir):
     """T9/J6 fuzzy path: deterministically typo'd mention labels ->
     best char-3-gram-Jaccard resource match (oracle-checked; the
@@ -881,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_annotations": _q_sparql_annotations,
         "pdf_textbox_stats": _q_pdf_textbox_stats,
         "word_docs": _q_word_docs,
+        "wiki_rendered": _q_wiki_rendered,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1793,6 +1819,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'forarbeten', 60, 77,
                    'prop. 1997/98:' || pn,
                    'https://lagen.nu/prop/1997/98:' || pn FROM lm""",
+        "wiki_rendered": """
+            SELECT 'https://example.org/wiki/' || doc_id AS url,
+                   CAST(1 AS INT) AS n_sections,
+                   'Topic' || (doc_id % 11) AS subjects_csv,
+                   '<div><p><i>Intro</i> om <a href="Entity '
+                     || (doc_id % 50) || '">Entity ' || (doc_id % 50)
+                     || '</a>. </p></div><h2>1 §</h2><div><p>Se '
+                     || '<b>regel ' || (doc_id % 7)
+                     || '</b>. </p></div>' AS body_html
+            FROM documents""",
         "word_docs": """
             SELECT 'https://example.org/word/' || doc_id AS url,
                    CASE WHEN doc_id % 17 = 0 THEN 'doc'

@@ -69,3 +69,85 @@ def test_dump_with_multiple_pages():
     recs = parse_dump(xml)
     assert [(r["title"], r["page_id"]) for r in recs] == [("A", 1),
                                                           ("B", 2)]
+
+
+# ----------------------------------------------- XHTML render goldens
+
+import glob
+import unicodedata
+import xml.etree.ElementTree as ET
+
+XH = "{http://www.w3.org/1999/xhtml}"
+MW_DIR = "/root/reference/test/files/repo/mediawiki"
+
+
+def _fixture(kind, name, ext):
+    pat = "%s/%s/*%s" % (MW_DIR, kind, ext)
+    for p in glob.glob(pat):
+        base = p.rsplit("/", 1)[1][:-len(ext)]
+        if unicodedata.normalize("NFC", base) == name:
+            return p
+    raise FileNotFoundError(name)
+
+
+def _norm(el):
+    """Comparable tree: local tag names, attrs, text/tails with the
+    fixtures' pretty-print indentation discounted (whitespace-only
+    text of an element-only node, and whitespace-only tails other than
+    the single significant trailing space)."""
+    text = el.text
+    if text is not None and not text.strip() and len(el):
+        text = None
+    kids = []
+    for c in el:
+        tail = c.tail
+        if tail is not None and not tail.strip() and tail != " ":
+            tail = None
+        kids.append((_norm(c), tail))
+    return (el.tag.rsplit("}", 1)[-1], dict(el.attrib), text, kids)
+
+
+@pytest.mark.parametrize("name,subject", [
+    ("Anskaffarfrihet", "Tryckfrihetsrätt"),
+    ("Allmän_domstol", "Processrätt"),
+])
+def test_render_keyword_page_matches_reference_parsed(name, subject):
+    """End-to-end render golden: the reference's own downloaded wiki
+    page through render_sections equals the body div of its shipped
+    parsed XHTML (test/files/repo/mediawiki/parsed), including the
+    keyword link scheme, the linktrail merge, the inline statute link
+    and the category -> dcterms:subject extraction."""
+    from ferenda_spark.wikitext import (ln_legal_linkify,
+                                        make_lagen_resolver,
+                                        parse_dump, render_sections)
+    rec = parse_dump(open(_fixture("downloaded", name, ".xml")).read())[0]
+    secs, subjects = render_sections(rec["text"],
+                                     resolve=make_lagen_resolver(),
+                                     linkify=ln_legal_linkify)
+    assert len(secs) == 1 and secs[0][0] is None
+    assert subjects == [subject]
+    want = (ET.parse(_fixture("parsed", name, ".xhtml")).getroot()
+            .find(XH + "body").find(XH + "div"))
+    assert _norm(secs[0][1]) == _norm(want)
+
+
+def test_render_sfs_commentary_structure():
+    """The big SFS/1998:204 commentary page: section split at the
+    == N § == headings, category subject, the 4-item ordered list and
+    the external-link attributes the parsed fixture carries."""
+    from ferenda_spark.wikitext import (make_lagen_resolver, parse_dump,
+                                        render_sections)
+    rec = parse_dump(
+        open(MW_DIR + "/downloaded/SFS/1998/204.xml").read())[0]
+    secs, subjects = render_sections(rec["text"],
+                                     resolve=make_lagen_resolver())
+    assert [h for h, _ in secs if h is not None] == ["1 §", "2 §"]
+    assert subjects == ["Lagar inom IT-rätt"]
+    intro = secs[0][1]
+    assert len(intro.findall("ol/li")) == 4
+    ext = intro.findall(".//a[@class='external text']")
+    assert {a.get("rel") for a in ext} == {"nofollow"}
+    # keyword link scheme + linktrail inside the intro
+    hrefs = {a.get("href") for a in intro.findall(".//a")}
+    assert "https://lagen.nu/begrepp/Personuppgift" in hrefs
+    assert "https://lagen.nu/1998:1191" in hrefs
