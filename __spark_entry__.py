@@ -635,6 +635,19 @@ def _q_word_docs(spark, sf_dir):
     return out.select("url", "filetype", "text", "error")
 
 
+def _q_pdf_extracted_lines(spark, sf_dir):
+    """S8 PDF BINARY branch end-to-end: deterministic minimal PDFs per
+    doc through the stdlib extraction kernel (pdftext — object parse,
+    stream decode, content-stream text interpreter; goldens vs the
+    reference's cached poppler intermediates in tests/test_pdftext.py)
+    to positioned text lines."""
+    from ferenda_spark.pdftext import pdf_blobs_to_lines, synth_pdf_blobs
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    out = pdf_blobs_to_lines(synth_pdf_blobs(d))
+    return out.select("url", "page", "line", "top", "left", "size",
+                      "font", "text")
+
+
 def _q_wiki_rendered(spark, sf_dir):
     """S8 wiki render branch: closed-form synthetic wikitext (italics,
     internal link, section heading, bold, category) through the
@@ -907,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_textbox_stats": _q_pdf_textbox_stats,
         "word_docs": _q_word_docs,
         "wiki_rendered": _q_wiki_rendered,
+        "pdf_extracted_lines": _q_pdf_extracted_lines,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1819,6 +1833,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'forarbeten', 60, 77,
                    'prop. 1997/98:' || pn,
                    'https://lagen.nu/prop/1997/98:' || pn FROM lm""",
+        # planted two-line PDF: y=720/700, size 12, zoom 1.5 ->
+        # top = (792 - y - 12) * 1.5, left = 72 * 1.5
+        "pdf_extracted_lines": """
+            SELECT 'https://example.org/pdfbin/' || doc_id AS url,
+                   CAST(1 AS INT) AS page, CAST(k AS INT) AS line,
+                   CAST(90 + 30 * k AS INT) AS top,
+                   CAST(108 AS INT) AS "left", CAST(18 AS INT) AS size,
+                   'Helvetica' AS font,
+                   CASE WHEN k = 0 THEN 'Line one ' || doc_id
+                        ELSE 'Second ' || (doc_id % 9) END AS text
+            FROM documents, (VALUES (0), (1)) AS lines(k)""",
         "wiki_rendered": """
             SELECT 'https://example.org/wiki/' || doc_id AS url,
                    CAST(1 AS INT) AS n_sections,

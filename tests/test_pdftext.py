@@ -1,0 +1,121 @@
+"""Stdlib PDF text-extraction kernel (pdftext) goldens against the
+reference's cached poppler intermediates (test/files/pdfreader/
+intermediate/*.xml) — the end-to-end PDF->text path the reference gets
+from pdftohtml (pdfreader.py:90-455).
+
+Parity levels, per the bounded-kernel scope (pdftext module
+docstring):
+
+* sample.pdf — per-LINE text equality in reading order (whitespace
+  runs normalized: poppler renders the fixture's 4-char ToUnicode
+  target <0009 000d 0020 00a0> with its own whitespace folding);
+* custom-encoding.pdf (11 pages, LZW streams) — per-PAGE character
+  stream equality with whitespace/control glyphs removed: poppler
+  splits boxes on x-gaps using glyph-width metrics this kernel
+  deliberately does not model, and both extractors emit identical
+  code-garbage for the non-ToUnicode custom-encoded fonts (poppler's
+  own cached output reads "PHOODQ.RQXQJDULNHW..."), so character
+  stream is the strongest meaningful target.
+* remaining pdfreader fixtures are 19-byte git-annex pointer files in
+  this checkout (multiple-encodings.pdf, prop_1997_98_44.pdf,
+  links.pdf, linked-footnote.pdf) — unfetchable here, pinned;
+  scanned*.pdf have no text layer (the reference OCRs them).
+"""
+
+import re
+
+import pytest
+
+from ferenda_spark.pdfpages import parse_pdf2xml
+from ferenda_spark.pdftext import (extract_text_pages, pdf_to_pdf2xml,
+                                   synth_pdf_blobs)
+
+FIX = "/root/reference/test/files/pdfreader"
+
+
+def _read(name):
+    return open("%s/%s.pdf" % (FIX, name), "rb").read()
+
+
+def _fixture_pages(name):
+    return parse_pdf2xml(
+        open("%s/intermediate/%s.xml" % (FIX, name)).read())
+
+
+def _norm_ws(s):
+    return re.sub(r"[\s\xa0]+", " ", s).strip()
+
+
+def _squash(s):
+    return re.sub(r"[\x00-\x20\x7f-\xa0]+", "", s)
+
+
+def test_sample_pdf_line_text_golden():
+    pages = extract_text_pages(_read("sample"))
+    mine = [_norm_ws(ln["text"]) for p in pages for ln in p["lines"]]
+    mine = [t for t in mine if t]
+    want = [_norm_ws(str(b)) for fp in _fixture_pages("sample")
+            for b in fp]
+    want = [t for t in want if t]
+    assert mine == want
+    assert "Document title" in mine[0]
+
+
+def test_custom_encoding_pdf_page_charstream_golden():
+    """11 LZW-compressed pages; every page's character stream equals
+    poppler's cached output (including the custom-encoding mojibake
+    both extractors produce — see module docstring)."""
+    pages = extract_text_pages(_read("custom-encoding"),
+                               sort_lines=False)
+    fixture = _fixture_pages("custom-encoding")
+    assert len(pages) == len(fixture) == 11
+    for p, fp in zip(pages, fixture):
+        mine = _squash("".join(ln["text"] for ln in p["lines"]))
+        want = _squash("".join(str(b) for b in fp))
+        assert mine == want, "page %d" % p["number"]
+
+
+def test_custom_encoding_readable_fonts_decode():
+    """The standard-font (Times-Roman) lines decode to real Swedish
+    text, not codes."""
+    pages = extract_text_pages(_read("custom-encoding"))
+    text = " ".join(ln["text"] for p in pages for ln in p["lines"])
+    assert "Regeringens proposition" in text
+    assert "dubbelbeskattningsavtal mellan de nordiska" in text
+
+
+def test_pdf2xml_roundtrip_through_model():
+    """pdf_to_pdf2xml output feeds the existing pdfpages model: same
+    text content survives the round trip."""
+    data = _read("sample")
+    direct = [_norm_ws(ln["text"])
+              for p in extract_text_pages(data) for p_l in [p]
+              for ln in p["lines"] if _norm_ws(ln["text"])]
+    again = [_norm_ws(str(b))
+             for page in parse_pdf2xml(pdf_to_pdf2xml(data))
+             for b in page if _norm_ws(str(b))]
+    assert direct == again
+
+
+def test_synth_pdf_extracts_closed_form():
+    """The synthetic-blob shape and the kernel agree on the planted
+    two-line document (the driver-query invariant)."""
+    content = "BT /F1 12 Tf 72 720 Td (Line one 7) Tj 0 -20 Td (Second 7) Tj ET"
+    body = ("%%PDF-1.4\n"
+            "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 "
+            "/MediaBox [0 0 612 792] >> endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+            "<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+            "4 0 obj << /Type /Font /Subtype /Type1 "
+            "/BaseFont /Helvetica >> endobj\n"
+            "5 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+            "trailer << /Root 1 0 R >>\n%%%%EOF\n" % (len(content),
+                                                      content))
+    pages = extract_text_pages(body.encode("latin-1"))
+    assert len(pages) == 1
+    lines = pages[0]["lines"]
+    assert [(ln["text"], ln["top"], ln["left"], ln["size"],
+             ln["font"]) for ln in lines] == [
+        ("Line one 7", 90, 108, 18, "Helvetica"),
+        ("Second 7", 120, 108, 18, "Helvetica")]
