@@ -648,6 +648,58 @@ def _q_pdf_extracted_lines(spark, sf_dir):
                       "font", "text")
 
 
+def _q_pdf_section_triples(spark, sf_dir):
+    """S8+P+T chained end-to-end for PDF sources (the reference's
+    fixed-layout path: pdfreader -> pdfanalyze font segmentation ->
+    structure -> triples): binary PDFs through the stdlib kernel,
+    lines classified by rendered font size (36 = title, 27 = section
+    heading at 1.5 zoom), section numbers by reading order, then
+    title/isPartOf triples minted JVM-side."""
+    from pyspark.sql import Window
+    from ferenda_spark import vocab
+    from ferenda_spark.pdftext import (pdf_blobs_to_lines,
+                                       synth_pdf_section_blobs)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lines = pdf_blobs_to_lines(synth_pdf_section_blobs(d))
+    titles = (lines.where(F.col("size") == 36)
+              .select(F.col("url").alias("subj"),
+                      F.lit(vocab.DCTERMS_TITLE).alias("pred"),
+                      F.col("text").alias("obj")))
+    w = Window.partitionBy("url").orderBy("top")
+    secs = (lines.where(F.col("size") == 27)
+            .withColumn("s", F.row_number().over(w))
+            .withColumn("sec_uri",
+                        F.concat("url", F.lit("#S"),
+                                 F.col("s").cast("string"))))
+    sec_titles = secs.select(
+        F.col("sec_uri").alias("subj"),
+        F.lit(vocab.DCTERMS_TITLE).alias("pred"),
+        F.col("text").alias("obj"))
+    sec_partof = secs.select(
+        F.col("sec_uri").alias("subj"),
+        F.lit(vocab.DCTERMS_ISPARTOF).alias("pred"),
+        F.col("url").alias("obj"))
+    return titles.unionByName(sec_titles).unionByName(sec_partof)
+
+
+def _q_hot_domain_links_salted(spark, sf_dir):
+    """X4 explicit skew path: per-domain-tier link counts where the
+    fact->dim join runs SALTED (operators/skew.salted_join) — the
+    corpus plants a hot domain holding ~30% of all links, the exact
+    shape where a non-broadcastable dim join would pile one reducer."""
+    from ferenda_spark.operators.skew import salted_join
+    docs = _docs(spark, sf_dir)
+    links = docs.select(F.explode("links").alias("href"))
+    links = links.withColumn(
+        "domain", F.regexp_extract("href", r"^(https?://[^/]+)", 1))
+    dim = (links.select("domain").distinct()
+           .withColumn("tier",
+                       F.when(F.col("domain").contains("//hot."),
+                              F.lit("hot")).otherwise(F.lit("cold"))))
+    joined = salted_join(links, dim, "domain", n_salts=8)
+    return joined.groupBy("tier").agg(F.count("*").alias("n_links"))
+
+
 def _q_wiki_rendered(spark, sf_dir):
     """S8 wiki render branch: closed-form synthetic wikitext (italics,
     internal link, section heading, bold, category) through the
@@ -921,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_docs": _q_word_docs,
         "wiki_rendered": _q_wiki_rendered,
         "pdf_extracted_lines": _q_pdf_extracted_lines,
+        "pdf_section_triples": _q_pdf_section_triples,
+        "kg_hot_domain_links_salted": _q_hot_domain_links_salted,
         "search_boosted": _q_search_boosted,
         "search_paginated": _q_search_paginated,
         "kg_resource_validation": _q_resource_validation,
@@ -1833,6 +1887,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'forarbeten', 60, 77,
                    'prop. 1997/98:' || pn,
                    'https://lagen.nu/prop/1997/98:' || pn FROM lm""",
+        "kg_hot_domain_links_salted": "WITH " + _F_CTE + """
+            SELECT CASE WHEN (doc_id + k) % 10 < 3
+                        THEN 'hot' ELSE 'cold' END AS tier,
+                   COUNT(*) AS n_links
+            FROM f, (VALUES (1), (2)) AS offs(k)
+            GROUP BY 1""",
+        "pdf_section_triples": """
+            WITH d AS (
+              SELECT 'https://example.org/pdfdoc/' || doc_id AS url,
+                     doc_id, 1 + doc_id % 3 AS n FROM documents),
+            s AS (
+              SELECT url, doc_id,
+                     unnest(generate_series(1, n)) AS s FROM d)
+            SELECT url AS subj, 'http://purl.org/dc/terms/title' AS pred,
+                   'Doc ' || doc_id AS obj FROM d
+            UNION ALL
+            SELECT url || '#S' || s, 'http://purl.org/dc/terms/title',
+                   'Section ' || s FROM s
+            UNION ALL
+            SELECT url || '#S' || s, 'http://purl.org/dc/terms/isPartOf',
+                   url FROM s""",
         # planted two-line PDF: y=720/700, size 12, zoom 1.5 ->
         # top = (792 - y - 12) * 1.5, left = 72 * 1.5
         "pdf_extracted_lines": """

@@ -39,6 +39,10 @@ HEADLINE = [
     "kg_ispartof_closure", "kg_citation_counts", "kg_pagerank",
     "kg_fuzzy_entity_links", "kg_fuzzy_links_lsh",
     "kg_canonical_triples", "kg_sparql_bgp", "kg_sparql_construct",
+    "kg_sparql_path", "kg_sparql_agg", "kg_hits", "kg_legal_mentions",
+    # source/reader stages (r3: oracle-backed driver queries)
+    "pdf_textbox_stats", "pdf_extracted_lines", "word_docs",
+    "wiki_rendered",
     # relational / windowed analytics
     "tpch_pricing_summary", "top_revenue_orders", "latest_event_per_user",
     "feed_archive_pages", "event_type_user_stats", "events_sessions",

@@ -477,7 +477,13 @@ def load_base_docs(spark, root: str,
     """The basicapi fixture repo (test/files/base): metadata from the
     distilled .ttl (our turtle reader), indexed text from the parsed
     XHTML, sub-resources as nested child documents.  Same Spark-stage
-    shape as load_testrepo_docs."""
+    shape as load_testrepo_docs.
+
+    The trailing ``collect()`` is bounded by the FIXTURE REPO size
+    (a handful of documents — the WSGI presentation layer assembles
+    page-sized API envelopes driver-side, like the reference's
+    wsgiapp); corpus-scale search runs through operators/search.py,
+    never through this loader."""
     import glob as g
     import os as o
     import pandas as pd
@@ -538,8 +544,10 @@ def load_testrepo_docs(spark, root: str) -> dict[str, list[dict]]:
     """Distill the testrepos RDFa fixtures through a Spark stage
     (mapInPandas over the XHTML files) and build the per-repo index
     docs.  The Spark stage carries the per-document extraction — the
-    part that scales with corpus size; envelope assembly stays
-    driver-side like the reference's WSGI layer."""
+    part that scales with corpus size; envelope assembly (the
+    ``collect()``) stays driver-side like the reference's WSGI layer
+    and is bounded by the fixture-repo document count (page-sized
+    API responses; corpus-scale search is operators/search.py)."""
     import glob as g
     import pandas as pd
 

@@ -712,3 +712,46 @@ def synth_pdf_blobs(docs, id_col: str = "doc_id"):
 
     return (docs.select(id_col)
             .mapInPandas(batches, "url string, blob binary"))
+
+
+def synth_pdf_section_blobs(docs, id_col: str = "doc_id"):
+    """Sectioned variant of :func:`synth_pdf_blobs`: a title line
+    (24 pt), then ``1 + doc_id %% 3`` sections, each an 18 pt heading
+    plus a 12 pt body line — the closed-form input for the end-to-end
+    PDF -> layout-classified sections -> triples driver query (the
+    reference's fixed-layout source path, fixedlayoutsource.py +
+    pdfanalyze font-size segmentation)."""
+    import pandas as pd
+
+    def batches(it):
+        for b in it:
+            rows = []
+            for did in b[id_col]:
+                d = int(did)
+                parts = ["BT /F1 24 Tf 72 740 Td (Doc %d) Tj" % d]
+                for s in range(1, 2 + d % 3):
+                    parts.append("/F1 18 Tf 0 -40 Td (Section %d) Tj"
+                                 % s)
+                    parts.append("/F1 12 Tf 0 -20 Td (Body %d %d) Tj"
+                                 % (d, s))
+                content = " ".join(parts) + " ET"
+                body = (
+                    "%%PDF-1.4\n"
+                    "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+                    "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 "
+                    "/MediaBox [0 0 612 792] >> endobj\n"
+                    "3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+                    "<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >> "
+                    "endobj\n"
+                    "4 0 obj << /Type /Font /Subtype /Type1 "
+                    "/BaseFont /Helvetica >> endobj\n"
+                    "5 0 obj << /Length %d >> stream\n%s\nendstream "
+                    "endobj\n"
+                    "trailer << /Root 1 0 R >>\n%%%%EOF\n"
+                    % (len(content), content))
+                rows.append(("https://example.org/pdfdoc/%d" % d,
+                             body.encode("latin-1")))
+            yield pd.DataFrame(rows, columns=["url", "blob"])
+
+    return (docs.select(id_col)
+            .mapInPandas(batches, "url string, blob binary"))

@@ -421,6 +421,42 @@ def test_connected_components_arbitrary_uris(spark):
                    "x:10": "x:2"}
 
 
+def test_salted_join_equals_plain_join(spark):
+    """salted_join spreads a hot key over n_salts reducers while
+    producing exactly the plain join's rows (inner and fact-preserving
+    left, incl. a key absent from the dim)."""
+    from ferenda_spark.operators.skew import salted_join
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(400)]
+        + [("cold%d" % (i % 7), i) for i in range(50)]
+        + [("orphan", 999)],
+        "k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [("cold%d" % i, "C%d" % i) for i in range(7)],
+        "k string, label string")
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, fact.join(dim, "k", how)
+                           .select("k", "v", "label").collect()),
+                       key=str)
+        salted = sorted(map(tuple, salted_join(fact, dim, "k",
+                                               n_salts=8, how=how)
+                            .select("k", "v", "label").collect()),
+                        key=str)
+        assert salted == plain
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, "k", how="outer")
+
+
+def test_distinct_count_by_key(spark):
+    from ferenda_spark.operators.skew import distinct_count_by_key
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5)], "k string, v long")
+    got = {r.k: r.n_distinct
+           for r in distinct_count_by_key(df, "k", "v").collect()}
+    assert got == {"a": 2, "b": 1}
+
+
 def test_hits_matches_pure_python_power_iteration(spark):
     """HITS (graphanalyze.py:913) vs an independent pure-Python mirror
     of networkx hits_alg (a from h over in-edges, h from un-normalized
