@@ -35,10 +35,13 @@ Grammar (case-insensitive keywords)::
                      | 'GRAPH' <iri> group
                      | group ('UNION' group)*
                      | 'FILTER' '(' expr ')')* '}'
-    triples  := term path? term term (';' term path? term)* (',' term)*
+    triples  := term path term (';' path term)* (',' term)*
                 (term: ?var | <iri> | pfx:name | "literal" | number
                  | 'a'; `;`/`,` are the abbreviated-list forms)
-    path     := '*' | '+'   (zero/one-or-more of a constant predicate)
+    path     := pseq ('|' pseq)*          (alternative -> UNION)
+    pseq     := patom ('/' patom)*        (sequence -> hidden joins)
+    patom    := '^'? term ('*'|'+'|'?')?  (inverse / zero-or-more /
+                                           one-or-more / zero-or-one)
     order    := ?var | 'ASC(' ?var ')' | 'DESC(' ?var ')'
     expr     := comparisons (= != < <= > >=), && || !, regex/contains/
                 strstarts/bound, lang(?v), langMatches(lang(?v), "tag")
@@ -61,9 +64,11 @@ map-side partial aggregation, one shuffle (COUNT per
 triplestore.py:653-666, GROUP BY per triplestore.py:138-173
 passthrough semantics).
 
-Unsupported (documented, raises SparqlError): ASK/DESCRIBE, path
-sequences/alternatives/inverse (``/ | ^``), HAVING, DISTINCT inside
-non-COUNT aggregates, subqueries, GRAPH ?var.
+Unsupported (documented, raises SparqlError): ASK/DESCRIBE (the
+reference never issues them — verified by grep over its query
+surface), HAVING, DISTINCT inside non-COUNT aggregates, subqueries,
+GRAPH ?var, negated property sets (``!(...)``), paths over variable
+predicates.
 """
 
 from __future__ import annotations
@@ -97,7 +102,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^/|?])
 """, re.X)
 
 
@@ -129,6 +134,13 @@ class _Parser:
         self.toks = tokens
         self.i = 0
         self.prefixes = dict(DEFAULT_PREFIXES)
+        self._fresh = 0
+
+    def _fresh_var(self) -> _Var:
+        """Hidden intermediate variable for desugared path sequences
+        (dropped from SELECT * output by the __ prefix convention)."""
+        self._fresh += 1
+        return _Var("__p%d" % self._fresh)
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -353,20 +365,10 @@ class _Parser:
             else:
                 s = self.term()
                 while True:                      # `;` predicate lists
-                    p = self.term()
-                    mod = None
-                    if self.peek() in ("*", "+"):
-                        mod = self.next()
-                        if not isinstance(p, _Const) or p.kind != "uri":
-                            raise SparqlError(
-                                "property path needs a constant IRI "
-                                "predicate")
+                    path = self._parse_path()
                     while True:                  # `,` object lists
                         o = self.term()
-                        if mod:
-                            items.append(("path", (s, p, mod, o)))
-                        else:
-                            items.append(("triple", (s, p, o)))
+                        self._emit_path(s, path, o, items)
                         if self.peek() == ",":
                             self.next()
                             continue
@@ -379,6 +381,67 @@ class _Parser:
                     break
                 if self.peek() == ".":
                     self.next()
+
+    # ------------------------------------------------ property paths
+    # path := seq ('|' seq)* ; seq := atom ('/' atom)* ;
+    # atom := '^'? iri ('*' | '+' | '?')?
+    # Desugared at parse time into the core pattern algebra: inverse
+    # swaps endpoints, sequences chain through hidden fresh variables,
+    # alternatives become UNION branches — so the compiler's join/
+    # union machinery (and its plans) handle every combination.
+
+    def _parse_path(self):
+        seqs = [self._parse_path_seq()]
+        while self.peek() == "|":
+            self.next()
+            seqs.append(self._parse_path_seq())
+        return ("alt", seqs) if len(seqs) > 1 else seqs[0]
+
+    def _parse_path_seq(self):
+        atoms = [self._parse_path_atom()]
+        while self.peek() == "/":
+            self.next()
+            atoms.append(self._parse_path_atom())
+        return ("seq", atoms) if len(atoms) > 1 else atoms[0]
+
+    def _parse_path_atom(self):
+        inv = False
+        if self.peek() == "^":
+            self.next()
+            inv = True
+        t = self.term()
+        mod = None
+        if self.peek() in ("*", "+", "?"):
+            mod = self.next()
+        if (inv or mod) and (not isinstance(t, _Const)
+                             or t.kind != "uri"):
+            raise SparqlError("property path needs constant IRI "
+                              "predicates")
+        return ("patom", t, inv, mod)
+
+    def _emit_path(self, s, path, o, items):
+        kind = path[0]
+        if kind == "patom":
+            _, t, inv, mod = path
+            subj, obj = (o, s) if inv else (s, o)
+            if mod:
+                items.append(("path", (subj, t, mod, obj)))
+            else:
+                items.append(("triple", (subj, t, obj)))
+        elif kind == "seq":
+            atoms = path[1]
+            cur = s
+            for i, atom in enumerate(atoms):
+                nxt = o if i == len(atoms) - 1 else self._fresh_var()
+                self._emit_path(cur, atom, nxt, items)
+                cur = nxt
+        else:                                    # alt
+            branches = []
+            for sub in path[1]:
+                b: list = []
+                self._emit_path(s, sub, o, b)
+                branches.append(b)
+            items.append(("union", branches))
 
     # ------------------------------------------------------- FILTER expr
 
@@ -625,18 +688,23 @@ def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
     every term in the (ctx-scoped) graph."""
     s, p, mod, o = payload
     edges = _path_edges(triples, p, ctx)
+
+    def ident_pairs():
+        # zero-length path endpoints: every term of the (ctx-scoped)
+        # graph paired with itself
+        df = triples
+        if ctx is not None and "context" in triples.columns:
+            df = df.where(F.col("context") == ctx.value)
+        terms = (df.select(F.col("subj").alias("n"))
+                 .unionByName(df.select(F.col("obj").alias("n")))
+                 .distinct())
+        return terms.select(F.col("n").alias("subj"),
+                            F.col("n").alias("obj"))
+
     if isinstance(s, _Var) and isinstance(o, _Var):
-        pairs = _closure_pairs(edges)
-        if mod == "*":
-            df = triples
-            if ctx is not None and "context" in triples.columns:
-                df = df.where(F.col("context") == ctx.value)
-            terms = (df.select(F.col("subj").alias("n"))
-                     .unionByName(df.select(F.col("obj").alias("n")))
-                     .distinct())
-            ident = terms.select(F.col("n").alias("subj"),
-                                 F.col("n").alias("obj"))
-            pairs = pairs.unionByName(ident).distinct()
+        pairs = edges if mod == "?" else _closure_pairs(edges)
+        if mod in ("*", "?"):
+            pairs = pairs.unionByName(ident_pairs()).distinct()
         if s.name == o.name:                      # ?x p* ?x
             return (pairs.where(F.col("subj") == F.col("obj"))
                     .select(F.col("subj").alias(s.name)))
@@ -650,15 +718,25 @@ def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
             start, forward, var = o.value, False, s.name
         else:
             start, forward, var = s.value, True, o.name
-        reach = _path_reach(edges, start, forward)
-        if mod == "*":
-            spark = edges.sparkSession
-            start_df = spark.createDataFrame([(start,)], "n string")
-            reach = reach.unionByName(start_df).distinct()
+        spark = edges.sparkSession
+        start_df = spark.createDataFrame([(start,)], "n string")
+        if mod == "?":
+            here, there = ("subj", "obj") if forward else ("obj", "subj")
+            reach = (edges.join(F.broadcast(start_df),
+                                edges[here] == start_df["n"])
+                     .select(edges[there].alias("n")).distinct())
+        else:
+            reach = _path_reach(edges, start, forward)
+        if mod in ("*", "?"):
+            reach = reach.unionByName(start_df.select("n")).distinct()
         return reach.select(F.col("n").alias(var))
     # both constant: existence check -> 0/1-row marker frame
-    if mod == "*" and s.value == o.value:
+    if mod in ("*", "?") and s.value == o.value:
         hit = True
+    elif mod == "?":
+        hit = (edges.where((F.col("subj") == s.value)
+                           & (F.col("obj") == o.value))
+               .limit(1).count() > 0)
     else:
         reach = _path_reach(edges, s.value, forward=True)
         hit = reach.where(F.col("n") == o.value).limit(1).count() > 0
@@ -716,12 +794,17 @@ def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
     return plan
 
 
+_META_PREFIXES = ("__lang_", "__dt_", "__kind_")
+
+
 def _drop_dup_hidden(plan, scan):
     """A variable bound at obj position in two patterns would carry
     its hidden metadata twice; the first binding wins (joins are on
-    the VALUE, per SPARQL solution compatibility)."""
+    the VALUE, per SPARQL solution compatibility).  Only the term-
+    metadata columns are dropped — desugared path variables (__pN)
+    are REAL join variables and must survive."""
     dups = [c for c in scan.columns
-            if c.startswith("__") and c in plan.columns]
+            if c.startswith(_META_PREFIXES) and c in plan.columns]
     return scan.drop(*dups) if dups else scan
 
 

@@ -316,3 +316,56 @@ def test_construct_annotations_golden(spark):
     expected = {(s, p, o) for s, p, o in rows if s != UNREL}
     expected.add((S1, DCT + "isReferencedBy", OTHER))
     assert got == expected
+
+
+# ------------------------------------ path expressions (^ / | ?)
+
+def test_path_inverse(triples):
+    """`?x ^p ?y` == `?y p ?x` (and composes with closures)."""
+    got = sparql_select(triples, """
+        SELECT ?x WHERE { <d3> ^dcterms:references ?x }""").collect()
+    assert {r.x for r in got} == {"d2"}
+    got = sparql_select(triples, """
+        SELECT ?x WHERE { <d1> ^dcterms:references* ?x }""").collect()
+    assert {r.x for r in got} == {"d1"}      # nothing references d1
+
+
+def test_path_sequence(triples):
+    """`p1/p2` chains through a hidden variable: documents whose
+    reference target has a title."""
+    got = sparql_select(triples, """
+        SELECT ?doc ?t WHERE {
+          ?doc dcterms:references/dcterms:title ?t }""").collect()
+    assert {(r.doc, r.t) for r in got} == {("d1", "Beta"), ("d2", "Alpha")}
+    # two closures in sequence
+    got = sparql_select(triples, """
+        SELECT ?t WHERE {
+          <d1> dcterms:references+/dcterms:title ?t }""").collect()
+    assert {r.t for r in got} == {"Beta", "Alpha"}
+
+
+def test_path_alternative(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc ?v WHERE {
+          ?doc dcterms:title|owl:sameAs ?v }""").collect()
+    assert {(r.doc, r.v) for r in got} == {
+        ("d1", "Alpha"), ("d2", "Beta"), ("d3", "Alpha"), ("d1", "d9")}
+
+
+def test_path_zero_or_one(triples):
+    got = sparql_select(triples, """
+        SELECT ?x WHERE { <d1> dcterms:references? ?x }""").collect()
+    assert {r.x for r in got} == {"d1", "d2"}
+    got = sparql_select(triples, """
+        SELECT ?t WHERE { <d1> dcterms:references?/dcterms:title ?t
+        }""").collect()
+    assert {r.t for r in got} == {"Alpha", "Beta"}
+
+
+def test_path_hidden_vars_not_selected(triples):
+    """SELECT * must not leak the desugared sequence's intermediate
+    variables."""
+    got = sparql_select(triples, """
+        SELECT * WHERE {
+          ?doc dcterms:references/dcterms:title ?t }""")
+    assert set(got.columns) == {"doc", "t"}
