@@ -31,9 +31,13 @@ reference's own cached ``intermediate/custom-encoding.xml`` contains
 code-garbage for those fonts ("PHOODQ.RQXQJDULNHW..."), i.e. poppler
 cannot decode it either; matching that byte-for-byte would mean
 replicating poppler's internal fallback tables, which carries no
-information value.  Not supported (documented): xref/object streams
-(PDF 1.5+ compressed objects), encryption, CID fonts with 2-byte
-codespaces beyond identity, inline images (skipped via BI..EI scan).
+information value.  PDF 1.5+ compressed objects (/Type /ObjStm) are
+indexed lazily on the first direct-scan miss; xref tables/streams
+themselves are never needed (objects are located by scanning).  Not
+supported (documented): encryption, CID fonts with 2-byte codespaces
+beyond identity, stream predictors (PNG /DecodeParms — used by xref
+streams, which this reader does not read), inline images (skipped via
+BI..EI scan).
 """
 
 from __future__ import annotations
@@ -247,10 +251,51 @@ class PdfDocument:
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b", data):
             self.offsets.setdefault(int(m.group(1)), m.end())
         self._cache: dict[int, tuple] = {}
+        self._objstm: dict[int, tuple] | None = None
+
+    def _ensure_objstm_index(self):
+        """PDF 1.5+ compressed objects: objects living inside
+        /Type /ObjStm streams (pairs of ``objnum offset`` in the
+        stream head, bodies after /First).  Indexed lazily — only when
+        an object number is missing from the direct scan, so classic
+        PDFs never pay for it."""
+        if self._objstm is not None:
+            return
+        self._objstm = {}
+        for num in list(self.offsets):
+            try:
+                d, raw = self.obj(num)
+            except Exception:
+                continue
+            if not (isinstance(d, dict)
+                    and str(d.get("Type")) == "ObjStm"
+                    and raw is not None):
+                continue
+            try:
+                payload = self.stream_data(Ref(num))
+                first = int(self.resolve(d.get("First")))
+                n = int(self.resolve(d.get("N")))
+                lex = _Lexer(payload)
+                pairs = []
+                for _ in range(n):
+                    lex.skip_ws()
+                    onum = int(lex.number())
+                    lex.skip_ws()
+                    off = int(lex.number())
+                    pairs.append((onum, off))
+                for onum, off in pairs:
+                    self._objstm.setdefault(onum, (payload, first + off))
+            except Exception:
+                continue
 
     def obj(self, num: int):
         """-> (value, raw_stream_bytes_or_None)."""
         if num in self._cache:
+            return self._cache[num]
+        if num not in self.offsets:
+            self._ensure_objstm_index()
+            payload, off = self._objstm[num]
+            self._cache[num] = (_Lexer(payload, off).value(), None)
             return self._cache[num]
         lex = _Lexer(self.data, self.offsets[num])
         val = lex.value()

@@ -119,3 +119,41 @@ def test_synth_pdf_extracts_closed_form():
              ln["font"]) for ln in lines] == [
         ("Line one 7", 90, 108, 18, "Helvetica"),
         ("Second 7", 120, 108, 18, "Helvetica")]
+
+
+def test_objstm_compressed_objects():
+    """PDF 1.5 layout: catalog/pages/page/font dicts live inside a
+    /Type /ObjStm compressed stream; only the content stream is a
+    classic object.  The lazy ObjStm index must resolve them."""
+    import zlib
+    bodies = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        ("<< /Type /Pages /Kids [3 0 R] /Count 1 "
+         "/MediaBox [0 0 612 792] >>"),
+        ("<< /Type /Page /Parent 2 0 R /Resources "
+         "<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    payload_body = " ".join(bodies)
+    head = []
+    off = 0
+    for i, b in enumerate(bodies, 1):
+        head.append("%d %d" % (i, off))
+        off += len(b) + 1
+    header = " ".join(head) + " "
+    payload = (header + payload_body).encode("latin-1")
+    compressed = zlib.compress(payload)
+    content = "BT /F1 12 Tf 72 720 Td (ObjStm works) Tj ET"
+    pdf = (
+        b"%PDF-1.5\n"
+        + ("6 0 obj << /Type /ObjStm /N 4 /First %d /Length %d "
+           "/Filter /FlateDecode >> stream\n"
+           % (len(header), len(compressed))).encode()
+        + compressed
+        + b"\nendstream endobj\n"
+        + ("5 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+           % (len(content), content)).encode()
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n")
+    pages = extract_text_pages(pdf)
+    assert len(pages) == 1
+    assert [ln["text"] for ln in pages[0]["lines"]] == ["ObjStm works"]
