@@ -525,12 +525,16 @@ def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
     size = 1.0
     operands: list = []
 
-    def emit(raw: bytes):
-        if font is None or not raw:
+    def emit(parts):
+        # parts: bytes segments and TJ kerning floats; a displacement
+        # more negative than -100/1000 em is an encoded inter-word gap
+        # (the standard extractor heuristic) and becomes a space
+        if font is None or not any(isinstance(p, bytes) and p
+                                   for p in parts):
             return
         trm = _mul(tm, ctm)
         eff = size * (trm[0] ** 2 + trm[1] ** 2) ** 0.5
-        runs.append((trm[4], trm[5], eff, font, raw))
+        runs.append((trm[4], trm[5], eff, font, tuple(parts)))
 
     runs: list = []
     pos = 0
@@ -585,20 +589,25 @@ def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
                     tm = tlm = _mul((1, 0, 0, 1, 0, -tl), tlm)
                 raws = [v for v in operands if isinstance(v, bytes)]
                 if raws:
-                    emit(raws[-1])
+                    emit([raws[-1]])
             elif op == b"TJ":
-                emit(b"".join(v for v in operands
-                              if isinstance(v, bytes)))
+                emit([v for v in operands
+                      if isinstance(v, (bytes, float))])
             elif op == b"BI":
                 end = content.find(b"EI", pos)   # skip inline images
                 pos = len(content) if end < 0 else end + 2
             operands = []
-    for x, y, eff, fname, raw in runs:
+    for x, y, eff, fname, parts in runs:
         f = fonts.get(fname)
         if f is None:
             continue
-        text = f.decode(raw)
-        yield x, y, eff, f.base, text
+        pieces = []
+        for p in parts:
+            if isinstance(p, bytes):
+                pieces.append(f.decode(p))
+            elif p < -100:                       # TJ word gap -> space
+                pieces.append(" ")
+        yield x, y, eff, f.base, "".join(pieces)
 
 
 # ------------------------------------------------------------- public

@@ -157,3 +157,23 @@ def test_objstm_compressed_objects():
     pages = extract_text_pages(pdf)
     assert len(pages) == 1
     assert [ln["text"] for ln in pages[0]["lines"]] == ["ObjStm works"]
+
+
+def test_tj_kerning_word_gap_becomes_space():
+    """TJ displacements beyond -100/1000 em encode inter-word gaps
+    (no space glyph in the stream); smaller kerning tweaks must not."""
+    content = ("BT /F1 12 Tf 72 720 Td "
+               "[ (Hel) -20 (lo) -350 (world) ] TJ ET")
+    body = ("%%PDF-1.4\n"
+            "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 "
+            "/MediaBox [0 0 612 792] >> endobj\n"
+            "3 0 obj << /Type /Page /Parent 2 0 R /Resources "
+            "<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"
+            "4 0 obj << /Type /Font /Subtype /Type1 "
+            "/BaseFont /Helvetica >> endobj\n"
+            "5 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+            "trailer << /Root 1 0 R >>\n%%%%EOF\n" % (len(content),
+                                                      content))
+    pages = extract_text_pages(body.encode("latin-1"))
+    assert [ln["text"] for ln in pages[0]["lines"]] == ["Hello world"]
