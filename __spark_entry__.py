@@ -258,6 +258,19 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
                               n=3, num_hashes=8, band_size=2)
 
 
+def _q_dedup_minhash_clusters(spark, sf_dir):
+    """Dedup pipeline completion: candidate pairs -> transitive
+    duplicate clusters with a canonical representative per cluster
+    (min doc id) — pairs alone under-deduplicate when A~B and B~C but
+    A,C never share a bucket.  Oracle: recursive-CTE reachability over
+    the same pair graph."""
+    from ferenda_spark.operators.dedup import (dup_clusters,
+                                               minhash_band_pairs)
+    pairs = minhash_band_pairs(_read(spark, sf_dir, "documents"),
+                               n=3, num_hashes=8, band_size=2)
+    return dup_clusters(pairs)
+
+
 def _q_dedup_jaccard_pairs(spark, sf_dir):
     """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
     (r1 ran it guard-off — quadratic on hot shingles at scale):
@@ -933,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_year_range": _q_search_year_range,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_token_stats,
@@ -1543,6 +1557,23 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
+        # transitive closure over the pair graph (recursive CTE;
+        # DuckDB's UNION-dedup in recursive CTEs guarantees
+        # termination), canonical = min reachable doc id
+        "dedup_minhash_clusters": "WITH RECURSIVE " + _MINHASH_CTE + """,
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+            reach AS (
+              SELECT a AS v, a AS u FROM e
+              UNION
+              SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
+            SELECT v AS doc_id, MIN(u) AS canonical_doc_id
+            FROM reach GROUP BY v""",
         "dedup_jaccard_pairs": "WITH " + _SH_CTE + """,
             -- hot-shingle skew guard (max_shingle_freq=100), mirroring
             -- ngram_jaccard_pairs' guard-on invocation

@@ -208,3 +208,26 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     for b in range(bits):
         sim = sim + F.when(F.col("b%d" % b) > 0, 1 << b).otherwise(0)
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
+                 id_b: str = "doc_b") -> DataFrame:
+    """Near-duplicate PAIRS -> duplicate CLUSTERS: connected
+    components over the candidate-pair graph (transitive closure —
+    A~B, B~C puts A,B,C in one cluster even when A,C never shared a
+    bucket), canonical = the minimum doc id per component (the
+    keep-one-representative policy a training-data dedup pipeline
+    applies before dropping).  Returns (doc_id, canonical_doc_id) for
+    every document that appears in at least one pair; untouched
+    documents are implicitly their own canon.
+
+    Scale shape: reuses the hash-min fixpoint of
+    canonicalize.connected_components — O(cluster diameter) rounds of
+    one join + one groupBy over the pair edges, lineage cut per
+    round; no driver-side graph."""
+    from .canonicalize import connected_components
+    edges = pairs.select(F.col(id_a).alias("src"),
+                         F.col(id_b).alias("dst"))
+    comp = connected_components(edges)
+    return comp.select(F.col("vertex").alias("doc_id"),
+                       F.col("component").alias("canonical_doc_id"))

@@ -163,6 +163,18 @@ def test_jaccard_skew_guard_drops_hot_shingles(spark):
         "boilerplate-only pairs must be suppressed by the guard"
 
 
+def test_dup_clusters_transitive(spark):
+    """dup_clusters closes candidate pairs transitively: A~B and B~C
+    put A,B,C in ONE cluster with canonical = min doc id, even though
+    (A,C) never appeared as a pair; disjoint pairs stay separate."""
+    from ferenda_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    got = {(r.doc_id, r.canonical_doc_id)
+           for r in dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
 def test_swedish_collation_toc_order(spark):
     """O1: å/ä/ö order after z (sv primary strength), w folds to v,
     accents fold to base — in both the scalar key and the distributed
