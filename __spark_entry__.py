@@ -636,11 +636,11 @@ def _q_pdf_textbox_stats(spark, sf_dir):
 
 
 def _q_word_docs(spark, sf_dir):
-    """S8 Word branch driver query: deterministic docx blobs (plus
-    OLE .doc blobs every 17th doc) through the extract_word_blobs
-    mapInPandas stage — content-based filetype detection, docx
-    paragraph extraction, and the antiword-missing quarantine
-    (wordreader.py; reference wordreader.py:100-218)."""
+    """S8 Word branch driver query: deterministic docx blobs, real
+    Word97 .doc binaries every 17th doc (native stdlib CFB +
+    piece-table extraction, docbinary.py), and a truncated-OLE
+    quarantine row every 34th, through the extract_word_blobs
+    mapInPandas stage (reference wordreader.py:100-218)."""
     from ferenda_spark.wordreader import (extract_word_blobs,
                                           synth_docx_blobs)
     d = _read(spark, sf_dir, "documents").select("doc_id")
@@ -1964,11 +1964,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://example.org/word/' || doc_id AS url,
                    CASE WHEN doc_id % 17 = 0 THEN 'doc'
                         ELSE 'docx' END AS filetype,
-                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                   CASE WHEN doc_id % 34 = 0 THEN NULL
                         ELSE 'Word doc ' || doc_id || chr(10)
                              || 'Paragraph ' || (doc_id % 7) END AS text,
-                   CASE WHEN doc_id % 17 = 0
-                        THEN 'antiword unavailable' END AS error
+                   CASE WHEN doc_id % 34 = 0
+                        THEN 'unparseable word binary' END AS error
             FROM documents""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,

@@ -11,10 +11,11 @@ test/files/wordreader/*):
   exactly this XML out) and a plaintext extraction (``w:t`` runs
   joined, one line per ``w:p`` paragraph) for the pipeline's text
   column — stdlib ``zipfile``+``xml`` only, no external binaries.
-* ``.doc`` -> the reference shells out to antiword and SKIPS its own
-  test when absent; this container has no antiword either, so the
-  branch raises :class:`ExternalToolMissing` (the honest analogue of
-  that skip) while detection still works.
+* ``.doc`` -> the reference shells out to antiword (absent here); the
+  :mod:`ferenda_spark.docbinary` stdlib reader extracts the text
+  natively (CFB + Word97 piece table) and emits the docbook-shaped
+  XML the reference's test asserts on — unparseable OLE blobs are
+  quarantined per-document instead of failing the stage.
 
 Spark surface: :func:`extract_word_blobs` maps (url, blob) rows
 through detection + docx text extraction in one Arrow-batched
@@ -35,8 +36,9 @@ OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
 
 class ExternalToolMissing(RuntimeError):
-    """Raised for .doc input: the antiword conversion the reference
-    uses is an external binary that is not available here."""
+    """Retained for API compatibility: raised only for .doc blobs the
+    native reader cannot parse (the reference's analogous situation is
+    antiword failing on the file)."""
 
 
 def detect_wordfile_type(data: bytes) -> str:
@@ -55,17 +57,22 @@ def detect_wordfile_type(data: bytes) -> str:
 
 
 def read_word(data: bytes) -> tuple[str, bytes]:
-    """(filetype, document XML bytes) — the WordReader.read contract:
-    docx yields word/document.xml (root ``w:document``), doc would
-    yield antiword's docbook XML (root ``book``) but raises here."""
+    """(filetype, document XML bytes) — the WordReader.read contract
+    (reference wordreader.py:42-71): docx yields word/document.xml
+    (root ``w:document``); doc yields docbook-shaped XML (root
+    ``book``), natively extracted — same root tag and text content
+    the reference's antiword path produces (testWordReader.py:41-44).
+    """
     kind = detect_wordfile_type(data)
     if kind == "docx":
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             return "docx", zf.read("word/document.xml")
     if kind == "doc":
-        raise ExternalToolMissing(
-            "legacy .doc conversion needs antiword (not available); "
-            "the reference skips its own test in this situation")
+        from .docbinary import BadOleFile, doc_to_docbook
+        try:
+            return "doc", doc_to_docbook(data)
+        except BadOleFile as e:
+            raise ExternalToolMissing("unparseable .doc: %s" % e)
     raise ValueError("not a Word document")
 
 
@@ -103,10 +110,12 @@ WORD_SCHEMA = ("url string, filetype string, text string, error string")
 
 
 def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
-    """Spark stage: (url, blob) -> (url, filetype, text, error); .doc
-    rows carry the tool-missing error instead of failing the batch
+    """Spark stage: (url, blob) -> (url, filetype, text, error);
+    unparseable .doc rows carry an error instead of failing the batch
     (per-doc quarantine, I4)."""
     import pandas as pd
+
+    from .docbinary import doc_text
 
     def batches(it):
         for pdf in it:
@@ -115,11 +124,12 @@ def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
                 data = bytes(blob)
                 try:
                     kind, xml_bytes = read_word(data)
-                    rows.append((url, kind,
-                                 docx_xml_text(xml_bytes), None))
+                    text = (doc_text(data) if kind == "doc"
+                            else docx_xml_text(xml_bytes))
+                    rows.append((url, kind, text, None))
                 except ExternalToolMissing:
                     rows.append((url, "doc", None,
-                                 "antiword unavailable"))
+                                 "unparseable word binary"))
                 except ValueError:
                     rows.append((url, "unknown", None,
                                  "not a word document"))
@@ -135,12 +145,15 @@ def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
 def synth_docx_blobs(docs, id_col: str = "doc_id"):
     """Deterministic minimal OOXML blobs keyed on ``doc_id`` — the
     corpus-synthesis twin for the Word stage (closed form, mirrored by
-    the DuckDB oracle): two paragraphs per document, and every
-    17th document a legacy OLE ``.doc`` blob so the quarantine branch
-    of :func:`extract_word_blobs` is exercised end-to-end.  Zip
-    members carry a fixed timestamp so blobs are byte-stable across
-    runs."""
+    the DuckDB oracle): two paragraphs per document; every 17th
+    document a REAL legacy Word97 binary (docbinary.synth_doc_blob)
+    carrying the same paragraphs, so the native .doc extraction runs
+    end-to-end; every 34th a truncated OLE stub exercising the
+    quarantine branch.  Zip members carry a fixed timestamp so blobs
+    are byte-stable across runs."""
     import pandas as pd
+
+    from .docbinary import synth_doc_blob
 
     def batches(it):
         for b in it:
@@ -148,8 +161,12 @@ def synth_docx_blobs(docs, id_col: str = "doc_id"):
             for did in b[id_col]:
                 d = int(did)
                 url = "https://example.org/word/%d" % d
-                if d % 17 == 0:
+                if d % 34 == 0:
                     rows.append((url, OLE_MAGIC + b"\x00" * 24))
+                    continue
+                if d % 17 == 0:
+                    rows.append((url, synth_doc_blob(
+                        ["Word doc %d" % d, "Paragraph %d" % (d % 7)])))
                     continue
                 xml = ('<?xml version="1.0"?>'
                        '<w:document xmlns:w="%s"><w:body>'
