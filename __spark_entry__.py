@@ -579,6 +579,37 @@ def _q_sparql_agg(spark, sf_dir):
         WHERE { ?s ?p ?o } GROUP BY ?p""")
 
 
+def _q_sparql_having(spark, sf_dir):
+    """Q12 HAVING: the group filter's aggregate compiles to a hidden
+    column of the SAME single-shuffle groupBy().agg() (no second
+    aggregation pass), then a plain post-aggregation filter.  Groups
+    parts per container; only 3-section documents survive — a
+    structural (scale-independent) discriminator."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?doc (COUNT(?part) AS ?n_parts) WHERE {
+          ?part dcterms:isPartOf ?doc .
+        } GROUP BY ?doc HAVING (COUNT(?part) > 2)""")
+
+
+def _q_sparql_bind_values(spark, sf_dir):
+    """Q12 BIND + VALUES + NOT IN + STRSTARTS(STR()): the constructs
+    the reference's own shipped queries use (rfc-annotations.rq:24
+    BIND, sfs_changes.rq:14 STRSTARTS/IN).  VALUES compiles to a
+    broadcast inline-data join; BIND is a projection; the disjunctive
+    filter stays JVM-side."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?ref ?subject ?title WHERE {
+          VALUES ?subject { "topic1" "topic4" }
+          ?doc dcterms:subject ?subject .
+          ?doc dcterms:title ?title .
+          BIND(str(?doc) as ?ref)
+          FILTER(?subject NOT IN ("topic4")
+                 || STRSTARTS(STR(?title), "Document 1"))
+        }""")
+
+
 def _q_sparql_annotations(spark, sf_dir):
     """Q12/J3: the reference's shipped annotation CONSTRUCT
     (res/sparql/annotations.rq via construct_annotations,
@@ -982,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union": _q_sparql_union,
         "kg_sparql_path": _q_sparql_path,
         "kg_sparql_agg": _q_sparql_agg,
+        "kg_sparql_having": _q_sparql_having,
+        "kg_sparql_bind_values": _q_sparql_bind_values,
         "kg_sparql_annotations": _q_sparql_annotations,
         "pdf_textbox_stats": _q_pdf_textbox_stats,
         "word_docs": _q_word_docs,
@@ -1868,6 +1901,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_uri || '#S' || s, doc_uri FROM secs
             UNION ALL
             SELECT doc_uri || '#S' || s || '.1', doc_uri FROM subs""",
+        # parts per container: sections under docs (n_sections =
+        # 1 + doc_id % 3), subsections under sections (1 each) —
+        # HAVING > 2 keeps exactly the 3-section documents
+        "kg_sparql_having": "WITH " + _F_CTE + """
+            SELECT doc, COUNT(*) AS n_parts FROM (
+              SELECT doc_uri AS doc FROM secs
+              UNION ALL
+              SELECT doc_uri || '#S' || s AS doc FROM subs
+            ) GROUP BY doc HAVING COUNT(*) > 2""",
+        "kg_sparql_bind_values": "WITH " + _F_CTE + """
+            SELECT doc_uri AS ref, subject, title FROM f
+            WHERE subject IN ('topic1', 'topic4')
+              AND (subject NOT IN ('topic4')
+                   OR title LIKE 'Document 1%')""",
         "kg_sparql_agg": _ALL_TRIPLES_WITH + """
             SELECT pred AS p, COUNT(*) AS n,
                    COUNT(DISTINCT subj) AS subjects

@@ -32,8 +32,10 @@ Grammar (case-insensitive keywords)::
                 '(' 'DISTINCT'? ('*' | ?var) ')'
     prefix   := 'PREFIX' name ':' '<iri>'
     group    := '{' (triples '.' | 'OPTIONAL' group
-                     | 'GRAPH' <iri> group
+                     | 'GRAPH' (<iri> | ?var) group
                      | group ('UNION' group)*
+                     | 'BIND' '(' operand 'AS' ?var ')'
+                     | 'VALUES' (?var | '(' ?var+ ')') '{' data '}'
                      | 'FILTER' '(' expr ')')* '}'
     triples  := term path term (';' path term)* (',' term)*
                 (term: ?var | <iri> | pfx:name | "literal" | number
@@ -43,8 +45,12 @@ Grammar (case-insensitive keywords)::
     patom    := '^'? term ('*'|'+'|'?')?  (inverse / zero-or-more /
                                            one-or-more / zero-or-one)
     order    := ?var | 'ASC(' ?var ')' | 'DESC(' ?var ')'
-    expr     := comparisons (= != < <= > >=), && || !, regex/contains/
-                strstarts/bound, lang(?v), langMatches(lang(?v), "tag")
+    expr     := comparisons (= != < <= > >=), && || !, IN / NOT IN,
+                regex/contains/strstarts/bound, isURI/isIRI/isLiteral/
+                isBlank(?v), lang(?v), langMatches(lang(?v), "tag");
+                operands may be wrapped in str(?v) (lexical form —
+                identity over the string term encoding); HAVING exprs
+                may additionally contain aggregate calls
 
 FROM <g> and GRAPH <g> compile to pushed-down equality on the
 ``context`` column (named-graph scoping).  Verified against the
@@ -64,11 +70,15 @@ map-side partial aggregation, one shuffle (COUNT per
 triplestore.py:653-666, GROUP BY per triplestore.py:138-173
 passthrough semantics).
 
-Unsupported (documented, raises SparqlError): ASK/DESCRIBE (the
-reference never issues them — verified by grep over its query
-surface), HAVING, DISTINCT inside non-COUNT aggregates, subqueries,
-GRAPH ?var, negated property sets (``!(...)``), paths over variable
-predicates.
+The SELECT/CONSTRUCT/ASK surfaces now cover every construct the
+reference's own shipped .rq files use (res/sparql/annotations.rq,
+sources/tech/res/sparql/rfc-annotations.rq — BIND / isUri / str() /
+IN, sources/legal/se/res/sparql/sfs_changes.rq — STRSTARTS(STR(..))
+/ IN over predicate lists).  Unsupported (documented, raises
+SparqlError): DESCRIBE (the reference implements it as CONSTRUCT
+templates, triplestore.py construct path), DISTINCT inside non-COUNT
+aggregates, subqueries, negated property sets (``!(...)``), paths
+over variable predicates, VALUES UNDEF on an already-bound variable.
 """
 
 from __future__ import annotations
@@ -298,8 +308,14 @@ class _Parser:
                 groupby.append(self.next()[1:])
             if not groupby:
                 raise SparqlError("empty GROUP BY list")
+        having = None
         if self.peek() and self.peek().lower() == "having":
-            raise SparqlError("HAVING is not supported")
+            # HAVING (expr) — expr may contain aggregate calls
+            # (compiled as hidden aggregate columns) and output aliases
+            self.next()
+            self.expect("(")
+            having = self.expr()
+            self.expect(")")
         order, limit = [], None
         if self.peek() and self.peek().lower() == "order":
             self.next()
@@ -325,7 +341,7 @@ class _Parser:
             raise SparqlError("trailing tokens at %r" % self.peek())
         return {"select": sel, "distinct": distinct, "group": group,
                 "from": from_ctx, "groupby": groupby, "order": order,
-                "limit": limit}
+                "limit": limit, "having": having}
 
     def group(self):
         self.expect("{")
@@ -354,9 +370,58 @@ class _Parser:
             elif t.lower() == "graph":
                 self.next()
                 ctx = self.term()
-                if isinstance(ctx, _Var):
-                    raise SparqlError("GRAPH ?var is not supported")
                 items.append(("graph", (ctx, self.group())))
+            elif t.lower() == "bind":
+                # BIND(expr AS ?var) — the reference's own shipped
+                # query uses the variable-alias form
+                # (sources/tech/res/sparql/rfc-annotations.rq:24
+                # ``BIND(?s as ?referencer)``); expr here is any
+                # operand the FILTER grammar knows (term, str(),
+                # lang(), concat())
+                self.next()
+                self.expect("(")
+                operand = self._operand()
+                self.expect("as")
+                v = self.next()
+                if not v.startswith("?"):
+                    raise SparqlError("BIND ... AS takes ?var, got %r" % v)
+                self.expect(")")
+                items.append(("bind", (operand, v[1:])))
+            elif t.lower() == "values":
+                # VALUES ?v { t... } | VALUES (?v1 ?v2) { (t1 t2)... }
+                self.next()
+                if self.peek() == "(":
+                    self.next()
+                    names = []
+                    while self.peek() != ")":
+                        v = self.next()
+                        if not v.startswith("?"):
+                            raise SparqlError("VALUES takes ?vars")
+                        names.append(v[1:])
+                    self.next()
+                    self.expect("{")
+                    rows = []
+                    while self.peek() == "(":
+                        self.next()
+                        row = []
+                        while self.peek() != ")":
+                            row.append(self._values_term())
+                        self.next()
+                        if len(row) != len(names):
+                            raise SparqlError("VALUES row arity mismatch")
+                        rows.append(row)
+                    self.expect("}")
+                else:
+                    v = self.next()
+                    if not v.startswith("?"):
+                        raise SparqlError("VALUES takes ?var")
+                    names = [v[1:]]
+                    self.expect("{")
+                    rows = []
+                    while self.peek() != "}":
+                        rows.append([self._values_term()])
+                    self.next()
+                items.append(("values", (names, rows)))
             elif t.lower() == "filter":
                 self.next()
                 self.expect("(")
@@ -475,7 +540,7 @@ class _Parser:
         if t and t.lower() in ("regex", "contains", "strstarts"):
             fn = self.next().lower()
             self.expect("(")
-            a = self.term()
+            a = self._operand()
             self.expect(",")
             b = self.term()
             self.expect(")")
@@ -486,6 +551,17 @@ class _Parser:
             v = self.term()
             self.expect(")")
             return ("bound", v)
+        if t and t.lower() in ("isuri", "isiri", "isliteral", "isblank"):
+            # term-kind tests (rfc-annotations.rq:16 ``!isUri(?o)``);
+            # compiled against the hidden obj_kind binding
+            fn = self.next().lower()
+            self.expect("(")
+            v = self.term()
+            self.expect(")")
+            if not isinstance(v, _Var):
+                raise SparqlError("%s() takes a variable" % fn)
+            return ("iskind", "uri" if fn in ("isuri", "isiri")
+                    else "lit" if fn == "isliteral" else "blank", v)
         if t and t.lower() == "langmatches":
             self.next()
             self.expect("(")
@@ -494,16 +570,58 @@ class _Parser:
             tag = self.term()
             self.expect(")")
             return ("langmatches", lang, tag)
-        if t and t.lower() == "lang":
-            left = self._lang_call()
-        else:
-            left = self.term()
+        left = self._operand()
         op = self.peek()
         if op in ("=", "!=", "<", "<=", ">", ">="):
             self.next()
-            right = self.term()
+            right = self._operand()
             return ("cmp", op, left, right)
+        if op and op.lower() in ("in", "not"):
+            # ?x IN (a, b, c) — membership over a constant list
+            # (sfs_changes.rq:14, rfc-annotations.rq:31)
+            neg = op.lower() == "not"
+            self.next()
+            if neg:
+                self.expect("in")
+            self.expect("(")
+            terms = []
+            while True:
+                terms.append(self.term())
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            self.expect(")")
+            return ("in", left, terms, neg)
         return ("truthy", left)
+
+    def _operand(self):
+        """A scalar operand: plain term, str(?v) (term -> lexical
+        form; identity over the string-encoded term columns), or
+        lang(?v)."""
+        t = self.peek()
+        if t and t.lower() == "lang":
+            return self._lang_call()
+        if t and t.lower() in self._AGG_FNS \
+                and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1] == "(":
+            # aggregate call as a HAVING operand
+            return ("aggop",) + self._agg()[1:]
+        if t and t.lower() == "str" and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1] == "(":
+            self.next()
+            self.expect("(")
+            inner = self._operand()
+            self.expect(")")
+            return ("str", inner)
+        return self.term()
+
+    def _values_term(self):
+        t = self.peek()
+        if t and t.lower() == "undef":
+            self.next()
+            return None
+        return self.term()
 
     def _lang_call(self):
         self.expect("lang")
@@ -532,17 +650,22 @@ def _lang_col(var):
 def _operand_col(op):
     if isinstance(op, tuple) and op[0] == "lang":
         return _lang_col(op[1])
+    if isinstance(op, tuple) and op[0] == "str":
+        # STR(?v): the lexical form — identity over the string-encoded
+        # term columns (URIs store the IRI string, literals the lexical
+        # form), per SPARQL 1.1 §17.4.2.5
+        return _operand_col(op[1])
     return _term_col(op)
 
 
-def _compile_expr(node):
+def _compile_expr(node, cols=()):
     kind = node[0]
     if kind == "or":
-        return _compile_expr(node[1]) | _compile_expr(node[2])
+        return _compile_expr(node[1], cols) | _compile_expr(node[2], cols)
     if kind == "and":
-        return _compile_expr(node[1]) & _compile_expr(node[2])
+        return _compile_expr(node[1], cols) & _compile_expr(node[2], cols)
     if kind == "not":
-        return ~_compile_expr(node[1])
+        return ~_compile_expr(node[1], cols)
     if kind == "cmp":
         _, op, a, b = node
         ca, cb = _operand_col(a), _operand_col(b)
@@ -556,13 +679,27 @@ def _compile_expr(node):
         return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
                 "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[op]
     if kind == "regex":
-        return _term_col(node[1]).rlike(node[2].value)
+        return _operand_col(node[1]).rlike(node[2].value)
     if kind == "contains":
-        return _term_col(node[1]).contains(node[2].value)
+        return _operand_col(node[1]).contains(node[2].value)
     if kind == "strstarts":
-        return _term_col(node[1]).startswith(node[2].value)
+        return _operand_col(node[1]).startswith(node[2].value)
     if kind == "bound":
         return _term_col(node[1]).isNotNull()
+    if kind == "iskind":
+        # isURI/isLiteral/isBlank over the hidden __kind_ binding;
+        # subj/pred-position variables carry no __kind_ column and are
+        # IRIs by RDF construction (the triples model has no blank
+        # nodes — skolemized at distill time)
+        _, which, v = node
+        hidden = "__kind_" + v.name
+        col = (F.coalesce(F.col(hidden), F.lit("uri"))
+               if hidden in cols else F.lit("uri"))
+        return F.lit(False) if which == "blank" else (col == which)
+    if kind == "in":
+        _, left, terms, neg = node
+        col = _operand_col(left).isin([t.value for t in terms])
+        return ~col if neg else col
     if kind == "langmatches":
         # primary-strength RFC-4647 basic match: exact tag or prefix
         lang = F.lower(_operand_col(node[1]))
@@ -582,16 +719,24 @@ _META = (("obj_lang", "__lang_"), ("obj_datatype", "__dt_"),
          ("obj_kind", "__kind_"))
 
 
-def _scan(triples: DataFrame, pattern, ctx=None) -> DataFrame:
+def _scan(triples: DataFrame, pattern, ctx=None,
+          ctx_var=None) -> DataFrame:
     """One BGP triple -> filtered scan with variable columns aliased;
     constant terms (and the enclosing GRAPH context) become pushed-down
-    equality filters."""
+    equality filters.  ``ctx_var`` (GRAPH ?g) binds the context column
+    as a variable instead."""
     s, p, o = pattern
     df = triples
     if ctx is not None and "context" in triples.columns:
         df = df.where(F.col("context") == ctx.value)
     seen: dict[str, str] = {}
     cols = []
+    if ctx_var is not None:
+        if "context" not in triples.columns:
+            raise SparqlError("GRAPH ?var needs a context column")
+        df = df.where(F.col("context").isNotNull())
+        seen[ctx_var] = "context"
+        cols.append(F.col("context").alias(ctx_var))
     for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
         if isinstance(term, _Var):
             if term.name in seen:       # e.g. ?x ?p ?x
@@ -744,21 +889,65 @@ def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
             .select(F.lit(1).alias("__exists")))
 
 
-def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
+def _compile_group(triples: DataFrame, items, ctx=None,
+                   ctx_var=None) -> DataFrame:
     plan = None
     for kind, payload in items:
         if kind == "triple":
-            scan = _scan(triples, payload, ctx)
+            scan = _scan(triples, payload, ctx, ctx_var)
             plan = _join(plan, scan, "inner")
         elif kind == "path":
+            if ctx_var is not None:
+                raise SparqlError("property path inside GRAPH ?var "
+                                  "is not supported")
             scan = _path_scan(triples, payload, ctx)
             plan = _join(plan, scan, "inner")
         elif kind == "graph":
             g_ctx, g_items = payload
-            sub = _compile_group(triples, g_items, ctx=g_ctx)
+            if isinstance(g_ctx, _Var):
+                # GRAPH ?g { ... }: the context column becomes a
+                # REAL variable on every scan in the sub-group; joins
+                # between patterns then also unify on the graph —
+                # SPARQL's per-named-graph scoping
+                sub = _compile_group(triples, g_items,
+                                     ctx_var=g_ctx.name)
+            else:
+                sub = _compile_group(triples, g_items, ctx=g_ctx)
             plan = _join(plan, sub, "inner")
+        elif kind == "bind":
+            operand, name = payload
+            if plan is None:
+                raise SparqlError("BIND cannot open a group")
+            if name in plan.columns:
+                raise SparqlError("BIND to already-bound ?%s" % name)
+            plan = plan.withColumn(name, _operand_col(operand))
+            # a plain variable alias carries its term metadata so
+            # CONSTRUCT keeps fidelity for the new name
+            if isinstance(operand, _Var):
+                for _, pfx in _META:
+                    src = pfx + operand.name
+                    if src in plan.columns:
+                        plan = plan.withColumn(pfx + name, F.col(src))
+        elif kind == "values":
+            names, rows = payload
+            shared_pre = (set(plan.columns) if plan is not None
+                          else set()) & set(names)
+            for row in rows:
+                for name, t in zip(names, row):
+                    if t is None and name in shared_pre:
+                        raise SparqlError(
+                            "VALUES UNDEF on a joined variable is "
+                            "not supported")
+            data = [[None if t is None else t.value for t in row]
+                    for row in rows]
+            vdf = triples.sparkSession.createDataFrame(
+                data, ", ".join("%s string" % n for n in names))
+            # inline data is query-text-sized: always the broadcast
+            # side of the join
+            plan = _join(plan, F.broadcast(vdf), "inner")
         elif kind == "union":
-            subs = [_compile_group(triples, b, ctx) for b in payload]
+            subs = [_compile_group(triples, b, ctx, ctx_var)
+                    for b in payload]
             # SPARQL union: solutions of every branch; variables
             # absent from a branch are unbound (NULL)
             allcols = []
@@ -777,7 +966,7 @@ def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
                 merged = merged.unionByName(sub)
             plan = _join(plan, merged, "inner")
         elif kind == "optional":
-            sub = _compile_group(triples, payload, ctx)
+            sub = _compile_group(triples, payload, ctx, ctx_var)
             if plan is None:
                 raise SparqlError("OPTIONAL cannot open a group")
             sub = _drop_dup_hidden(plan, sub)
@@ -788,7 +977,7 @@ def _compile_group(triples: DataFrame, items, ctx=None) -> DataFrame:
         elif kind == "filter":
             if plan is None:
                 raise SparqlError("FILTER before any pattern")
-            plan = plan.where(_compile_expr(payload))
+            plan = plan.where(_compile_expr(payload, plan.columns))
     if plan is None:
         raise SparqlError("empty group")
     return plan
@@ -818,6 +1007,22 @@ def _join(plan, scan, how):
     return plan.crossJoin(scan)
 
 
+def _agg_expr(fn, distinct, arg):
+    col = F.col(arg) if arg is not None else None
+    if fn == "count":
+        # COUNT(?v) counts bound values; COUNT(*) counts solutions
+        return (F.countDistinct(col) if distinct
+                else F.count(col) if col is not None
+                else F.count(F.lit(1)))
+    if fn == "sum":
+        return F.sum(col.cast("double"))
+    if fn == "avg":
+        return F.avg(col.cast("double"))
+    if fn == "max":
+        return F.max(col)
+    return F.min(col)               # min | sample
+
+
 def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
     """GROUP BY / aggregate tail of a SELECT (triplestore.py:138-173
     passthrough + the :653-666 COUNT probes): one ``groupBy().agg()``
@@ -837,31 +1042,38 @@ def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
     if missing:
         raise SparqlError("aggregate/GROUP BY of unbound vars: %s"
                           % missing)
-    aggex = []
-    for it in sel:
-        if it[0] != "agg":
-            continue
-        _, fn, distinct, arg, alias = it
-        col = F.col(arg) if arg is not None else None
-        if fn == "count":
-            # COUNT(?v) counts bound values; COUNT(*) counts solutions
-            e = (F.countDistinct(col) if distinct
-                 else F.count(col) if col is not None
-                 else F.count(F.lit(1)))
-        elif fn == "sum":
-            e = F.sum(col.cast("double"))
-        elif fn == "avg":
-            e = F.avg(col.cast("double"))
-        elif fn == "max":
-            e = F.max(col)
-        else:                       # min | sample
-            e = F.min(col)
-        aggex.append(e.alias(alias))
-    if aggex:
-        plan = (plan.groupBy(*groupby).agg(*aggex) if groupby
-                else plan.agg(*aggex))
+    aggex = [_agg_expr(it[1], it[2], it[3]).alias(it[4])
+             for it in sel if it[0] == "agg"]
+    # HAVING: aggregate calls in the expression become hidden columns
+    # of the SAME groupBy().agg() (no second shuffle), then a plain
+    # filter over the aggregated frame; output aliases are referenced
+    # directly as ?alias
+    having, hidden = ast.get("having"), []
+
+    def _rewrite_having(node):
+        if isinstance(node, tuple) and node and node[0] == "aggop":
+            _, fn, distinct, arg = node
+            if arg is not None and arg not in plan.columns:
+                raise SparqlError("HAVING aggregate of unbound var "
+                                  "?%s" % arg)
+            alias = "__having_%d" % len(hidden)
+            hidden.append(_agg_expr(fn, distinct, arg).alias(alias))
+            return _Var(alias)
+        if isinstance(node, tuple):
+            return tuple(_rewrite_having(x) for x in node)
+        if isinstance(node, list):
+            return [_rewrite_having(x) for x in node]
+        return node
+
+    if having is not None:
+        having = _rewrite_having(having)
+    if aggex or hidden:
+        plan = (plan.groupBy(*groupby).agg(*aggex, *hidden) if groupby
+                else plan.agg(*aggex, *hidden))
     else:
         plan = plan.select(*groupby).distinct()
+    if having is not None:
+        plan = plan.where(_compile_expr(having, plan.columns))
     outcols = [it[1] if it[0] == "var" else it[4] for it in sel]
     bad = [v for v, _ in ast["order"]
            if v not in groupby and v not in outcols]
@@ -879,6 +1091,22 @@ def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
     return plan
 
 
+def sparql_ask(triples: DataFrame, query: str) -> bool:
+    """Compile and run a SPARQL ASK: True iff the pattern has at least
+    one solution.  The plan is the same as the SELECT plan with a
+    LIMIT 1 early-out — Spark stops the scan after the first matching
+    row reaches the driver."""
+    p = _Parser(_tokenize(query))
+    p._prefixes_decl()
+    p.expect("ask")
+    if p.peek() and p.peek().lower() == "where":
+        p.next()
+    plan = _compile_group(triples, p.group())
+    if p.peek() is not None:
+        raise SparqlError("trailing tokens at %r" % p.peek())
+    return plan.limit(1).count() > 0
+
+
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Compile and run a SPARQL SELECT against the triples DataFrame.
 
@@ -891,8 +1119,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     order_cols = [F.col(v).asc() if asc else F.col(v).desc()
                   for v, asc in ast["order"]]
     sel, groupby = ast["select"], ast["groupby"]
-    if groupby or (sel is not None
-                   and any(it[0] == "agg" for it in sel)):
+    if groupby or ast.get("having") is not None \
+            or (sel is not None
+                and any(it[0] == "agg" for it in sel)):
         return _select_aggregated(plan, ast)
     if sel is not None:
         names = [it[1] for it in sel]
