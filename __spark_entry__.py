@@ -325,6 +325,19 @@ def _q_sim_lsh_topk(spark, sf_dir):
                              bits_per_band=8, n_bands=4)
 
 
+def _q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: k-means coarse quantizer (deterministic
+    Lloyd's, driver-held centroids), map-side list assignment,
+    broadcast query-probe join on the list id, exact rescore within
+    probed lists.  Run at nprobe = n_lists (probe everything) so the
+    result is EXACTLY the brute-force answer and the DuckDB oracle is
+    closed-form; the pruning (nprobe < n_lists) recall is pinned by
+    tests/test_spark_ops.py::test_ivf_partial_probe_recall."""
+    from ferenda_spark.operators.similarity import ivf_topk
+    return ivf_topk(_read(spark, sf_dir, "embeddings"),
+                    [3, 55, 201], k=8, n_lists=8, nprobe=8, iters=2)
+
+
 def _q_mm_image_meta(spark, sf_dir):
     from ferenda_spark.operators.multimodal import image_meta, with_blob
     return image_meta(with_blob(_read(spark, sf_dir, "documents")))
@@ -986,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "mm_image_meta": _q_mm_image_meta,
         "mm_frame_sample": _q_mm_frame_sample,
         "kg_keyword_terms": _q_keyword_terms,
@@ -1688,6 +1702,23 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, rank, cosine_r FROM ranked
             WHERE rank <= 10""",
+        # full-probe IVF == exact brute force (candidate generation
+        # over ALL inverted lists loses nothing); distinct ids/k from
+        # sim_cosine_topk
+        "sim_ivf_topk": "WITH " + _EMB_CTE + """,
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN (3, 55, 201)),
+            scored AS (
+              SELECT query_id, vec_id,
+                     round(list_cosine_similarity(qv, v), 6) AS cosine_r
+              FROM e, q WHERE vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine_r,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_r DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank, cosine_r FROM ranked
+            WHERE rank <= 8""",
         "sim_lsh_topk": "WITH " + _EMB_CTE + """,
             b AS MATERIALIZED (""" + _sign_bands_sql("raw", 8, 4) + """),
             q AS (SELECT vec_id AS query_id, band, bucket

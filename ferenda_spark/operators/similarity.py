@@ -7,7 +7,11 @@ Training-data-pipeline ANN operators (driver mandate):
   Python in the hot path), per-query top-k via window.  At 100 TB the
   query side stays broadcast-sized and the corpus side streams — one
   scan, no shuffle except the final per-query top-k.
-* :func:`lsh_bucketed_topk` — the scale path: random-hyperplane-free
+* :func:`ivf_topk` — the IVF scale path: a deterministic Lloyd's
+  k-means coarse quantizer (:func:`ivf_centroids`, driver-held model
+  parameter), map-side nearest-list assignment, per-query nprobe
+  nearest inverted lists, exact rescore within probed lists.
+* :func:`lsh_bucketed_topk` — the LSH scale path: random-hyperplane-free
   deterministic LSH (sign of dot with seeded pseudo-random vectors is
   not SQL-reproducible, so buckets use coarse quantization of leading
   PCA-free dimensions: sign bits of the first b dims).  Candidates =
@@ -167,3 +171,122 @@ def embedding_near_dupes(embeddings: DataFrame, threshold: float = 0.9,
               .withColumn("cosine_r", F.round("cosine", round_to)))
     return (scored.where(F.col("cosine_r") >= threshold)
             .select("vec_a", "vec_b", "cosine_r"))
+
+
+# ------------------------------------------------------------------ IVF
+
+def _centroid_dist_structs(vec_col, centroids):
+    """Array of (dist, cl) structs — negative cosine against each
+    driver-held centroid, all literals, so assignment stays inside
+    whole-stage codegen (no shuffle, no UDF).  Centroids are a bounded
+    model parameter (n_lists x dim floats), the same role as any
+    broadcast trained model."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    nv = _norm(v)
+    structs = []
+    for cl, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        structs.append(F.struct(
+            (-_dot(v, c) / (nv * _norm(c))).alias("dist"),
+            F.lit(cl).alias("cl")))
+    return F.array(*structs)
+
+
+def assign_lists(embeddings: DataFrame, centroids,
+                 vec_col: str = "embedding") -> DataFrame:
+    """+ ``cl`` column: index of the nearest centroid (cosine),
+    map-side (array_min over the literal centroid set; ties break to
+    the lowest cluster id via the struct's (dist, cl) ordering)."""
+    return embeddings.withColumn(
+        "cl", F.array_min(_centroid_dist_structs(
+            F.col(vec_col), centroids))["cl"])
+
+
+def ivf_centroids(embeddings: DataFrame, n_lists: int = 8,
+                  iters: int = 3, sample_mod: int = 1) -> list:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    * init: the ``n_lists`` vectors with vec_id ranks 0, N//n_lists,
+      2*N//n_lists ... (deterministic, spread across the id range);
+    * assign: map-side argmin against the current centroid literals;
+    * update: posexplode -> groupBy(cl, pos).avg — ONE shuffle of
+      N*dim scalar rows per iteration, map-side partial aggregation;
+      the C x dim result is driver-held (a model parameter, not data).
+
+    At 10^12 rows the training set must be a sample — ``sample_mod``
+    trains on vec_id % sample_mod == 0 (deterministic, no RNG); the
+    full-table pass is only the final assignment.  Empty clusters keep
+    their previous centroid (standard Lloyd fallback)."""
+    train = embeddings
+    if sample_mod > 1:
+        train = train.where(F.col("vec_id") % sample_mod == 0)
+    train = train.select("vec_id", "embedding").localCheckpoint()
+    n = train.count()
+    if n == 0:
+        raise ValueError("no training vectors")
+    n_lists = min(n_lists, n)
+    stride = max(n // n_lists, 1)
+    ranked = train.withColumn(
+        "r", F.row_number().over(Window.orderBy("vec_id")) - 1)
+    init = (ranked.where((F.col("r") % stride == 0)
+                         & (F.col("r") / stride < n_lists))
+            .orderBy("r").select("embedding").collect())
+    centroids = [list(map(float, r.embedding)) for r in init]
+    for _ in range(iters):
+        assigned = assign_lists(train, centroids)
+        means = (assigned
+                 .select("cl", F.posexplode(F.col("embedding")
+                                            .cast("array<double>"))
+                         .alias("pos", "val"))
+                 .groupBy("cl", "pos").agg(F.avg("val").alias("m"))
+                 .collect())
+        by_cl: dict = {}
+        for r in means:
+            by_cl.setdefault(r.cl, {})[r.pos] = r.m
+        centroids = [
+            [by_cl[cl][p] for p in range(len(centroids[cl]))]
+            if cl in by_cl else centroids[cl]
+            for cl in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+             n_lists: int = 8, nprobe: int | None = None,
+             iters: int = 3, sample_mod: int = 1,
+             round_to: int = 6) -> DataFrame:
+    """IVF ANN: corpus vectors are bucketed by nearest centroid
+    (map-side), each query probes its ``nprobe`` nearest inverted
+    lists, candidates are exactly rescored within those lists.
+
+    Scale shape: assignment is a pure projection (no shuffle); the
+    candidate join is corpus ⋈ broadcast(query-probe table) on ``cl``
+    — the corpus side streams, only list-members of probed clusters
+    are rescored, and the final per-query top-k is the single window
+    shuffle.  ``nprobe = n_lists`` probes everything and returns the
+    exact answer (the correctness oracle); smaller nprobe trades
+    recall for a ~nprobe/n_lists candidate fraction (recall pinned by
+    test_similarity recall test)."""
+    if nprobe is None:
+        nprobe = max(1, n_lists // 4)
+    centroids = ivf_centroids(embeddings, n_lists, iters, sample_mod)
+    nprobe = min(nprobe, len(centroids))
+    assigned = assign_lists(embeddings, centroids)
+    q = (embeddings.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    # nprobe nearest lists per query: sort the literal centroid
+    # distances, slice, explode — still map-side
+    probes = (q.withColumn(
+        "cl", F.explode(F.transform(
+            F.slice(F.array_sort(_centroid_dist_structs(
+                F.col("query_vec"), centroids)), 1, nprobe),
+            lambda s: s["cl"]))))
+    pairs = (assigned.join(F.broadcast(probes), "cl")
+             .where(F.col("vec_id") != F.col("query_id")))
+    scored = (with_cosine(pairs)
+              .withColumn("cosine_r", F.round("cosine", round_to)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_r").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "cosine_r"))

@@ -284,6 +284,60 @@ def test_lsh_topk_subset_of_exact(spark):
         assert exact[(r.query_id, r.vec_id)] == r.cosine_r
 
 
+def _clustered_emb(spark, n_clusters=4, per_cluster=30, dim=8, seed=11):
+    """Deterministic Gaussian-ish clusters around orthant corners."""
+    import random
+    rnd = random.Random(seed)
+    rows = []
+    for c in range(n_clusters):
+        center = [(3.0 if (c >> (d % 4)) & 1 else -3.0)
+                  for d in range(dim)]
+        for i in range(per_cluster):
+            rows.append((c * per_cluster + i,
+                         [x + rnd.uniform(-0.5, 0.5) for x in center]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """nprobe = n_lists probes every inverted list: IVF must return
+    EXACTLY the brute-force answer (this is the driver-oracle mode)."""
+    from ferenda_spark.operators.similarity import cosine_topk, ivf_topk
+    emb = _clustered_emb(spark)
+    exact = sorted((r.query_id, r.vec_id, r.rank, r.cosine_r)
+                   for r in cosine_topk(emb, [0, 35, 70], k=5).collect())
+    ivf = sorted((r.query_id, r.vec_id, r.rank, r.cosine_r)
+                 for r in ivf_topk(emb, [0, 35, 70], k=5, n_lists=4,
+                                   nprobe=4, iters=2).collect())
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=1 on well-separated clusters: the probed list holds the
+    true neighbours, recall stays high while rescoring ~1/n_lists of
+    the corpus."""
+    from ferenda_spark.operators.similarity import cosine_topk, ivf_topk
+    emb = _clustered_emb(spark)
+    qids = [0, 35, 70, 100]
+    truth = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in ivf_topk(emb, qids, k=5, n_lists=4, nprobe=1,
+                             iters=3).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, "IVF recall %.3f below pinned bar" % recall
+
+
+def test_ivf_centroids_deterministic_and_sampled(spark):
+    from ferenda_spark.operators.similarity import ivf_centroids
+    emb = _clustered_emb(spark)
+    c1 = ivf_centroids(emb, n_lists=4, iters=2)
+    c2 = ivf_centroids(emb, n_lists=4, iters=2)
+    assert c1 == c2                     # no RNG anywhere
+    c3 = ivf_centroids(emb, n_lists=4, iters=2, sample_mod=2)
+    assert len(c3) == 4 and len(c3[0]) == 8
+
+
 def test_deps_edges_skips_type_sameas_and_intradoc(spark):
     """J2 relate_dependencies semantics: rdf:type and owl:sameAs
     objects never become dependencies; neither do URIs that are
