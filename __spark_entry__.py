@@ -325,6 +325,35 @@ def _q_sim_lsh_topk(spark, sf_dir):
                              bits_per_band=8, n_bands=4)
 
 
+def _q_train_stratified_sample(spark, sf_dir):
+    """Training-pipeline stratified sampling: deterministic portable-
+    hash subsample per source (no RNG, nested across fractions,
+    map-side filter — no shuffle at any scale)."""
+    from ferenda_spark.operators.training import stratified_sample
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.8},
+        default=0.1).select("doc_id", "source")
+
+
+def _q_train_packed_sequences(spark, sf_dir):
+    """GPT-style sequence packing: hash-sharded concat-then-chunk
+    token layout; one bounded per-shard cumulative-sum window."""
+    from ferenda_spark.operators.training import pack_sequences
+    return pack_sequences(_read(spark, sf_dir, "documents"),
+                          max_tokens=512, n_shards=8)
+
+
+def _q_train_mixture_order(spark, sf_dir):
+    """Deterministic weighted source interleave (mixture schedule);
+    per-source ranks via bounded (source, bucket) windows + broadcast
+    bucket offsets — no global row_number."""
+    from ferenda_spark.operators.training import mixture_order
+    return mixture_order(_read(spark, sf_dir, "documents"), "source",
+                         {"src0": 3.0, "src1": 1.0},
+                         default_weight=2.0)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: k-means coarse quantizer (deterministic
     Lloyd's, driver-held centroids), map-side list assignment,
@@ -1000,6 +1029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "train_stratified_sample": _q_train_stratified_sample,
+        "train_packed_sequences": _q_train_packed_sequences,
+        "train_mixture_order": _q_train_mixture_order,
         "mm_image_meta": _q_mm_image_meta,
         "mm_frame_sample": _q_mm_frame_sample,
         "kg_keyword_terms": _q_keyword_terms,
@@ -1702,6 +1734,54 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, rank, cosine_r FROM ranked
             WHERE rank <= 10""",
+        # portable md5-prefix bucket, the cross-engine sampling
+        # contract (ferenda_spark.operators.training.portable_bucket)
+        "train_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 10000
+                  < CASE source WHEN 'src0' THEN 5000
+                                WHEN 'src1' THEN 2500
+                                WHEN 'src2' THEN 8000
+                                ELSE 1000 END""",
+        "train_packed_sequences": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                       % 10000 % 8 AS shard,
+                     CAST(len(string_split_regex(lower(trim(text)),
+                                                 '\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start_off
+              FROM s)
+            SELECT doc_id, shard, n_tokens, start_off,
+                   start_off // 512 AS pack_id,
+                   start_off % 512 AS pack_off,
+                   (start_off + greatest(n_tokens, 1) - 1) // 512
+                     - start_off // 512 + 1 AS n_spans
+            FROM c""",
+        "train_mixture_order": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT)
+                       % 10000 % 256 AS bk
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY bk, doc_id) AS BIGINT) AS source_rank,
+                   round(CAST(ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY bk, doc_id) AS DOUBLE)
+                         / (CASE source WHEN 'src0' THEN 3.0
+                                        WHEN 'src1' THEN 1.0
+                                        ELSE 2.0 END), 6) AS order_key
+            FROM b""",
         # full-probe IVF == exact brute force (candidate generation
         # over ALL inverted lists loses nothing); distinct ids/k from
         # sim_cosine_topk

@@ -1,0 +1,144 @@
+"""Training-data assembly operators (driver mandate: the operations a
+large-scale LLM training pipeline needs beyond cleaning/dedup):
+
+* :func:`stratified_sample` — deterministic per-stratum subsampling by
+  portable hash (no RNG: the sample is a pure function of the key, so
+  re-runs, resumed runs and the DuckDB oracle all agree);
+* :func:`pack_sequences` — GPT-style sequence packing: documents are
+  concatenated in a deterministic order within hash shards and split
+  into fixed token-budget packs; emits each document's pack
+  coordinates (pack id / offset / spans);
+* :func:`mixture_order` — deterministic weighted interleave of corpus
+  sources (sampling-without-replacement mixture schedule): document i
+  of source s sorts at position (i+1)/weight(s), giving each source a
+  share proportional to its weight in any prefix of the schedule.
+
+All three are pure DataFrame programs: the only shuffles are the
+per-shard / per-stratum windows, each bounded by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import tokens
+
+# 32-bit hash universe (md5 prefix), shared with the DuckDB oracles
+HASH_MOD = 10_000
+
+
+def portable_bucket(key_col, mod: int = HASH_MOD):
+    """Deterministic bucket in [0, mod): the first 8 md5 hex digits of
+    the stringified key, as an integer.  Identical in Spark
+    (conv(substr(md5(x),1,8),16,10)) and DuckDB
+    (CAST('0x'||substr(md5(x),1,8) AS BIGINT)) — the cross-engine
+    contract every sampling oracle relies on."""
+    return (F.conv(F.substring(F.md5(key_col.cast("string")), 1, 8),
+                   16, 10).cast("long") % mod)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, key_col: str = "doc_id",
+                      default: float = 0.0) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each
+    stratum: row kept iff bucket(key) < fraction * HASH_MOD.
+
+    Scale shape: a pure map-side filter — no shuffle, no RNG state,
+    no sampling pass; the predicate pushes into the scan's partition
+    batches.  Changing one stratum's fraction only adds/removes that
+    stratum's rows (nested samples: a 10% sample is a subset of the
+    20% sample), which is what incremental re-mixes need."""
+    bucket = portable_bucket(F.col(key_col))
+    thresh = F.lit(int(default * HASH_MOD))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value,
+                        F.lit(int(frac * HASH_MOD))).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def pack_sequences(documents: DataFrame, max_tokens: int = 512,
+                   n_shards: int = 8, key_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style packing: within each shard, documents are concatenated
+    in (key) order and the token stream is split into packs of
+    ``max_tokens``; a document whose span crosses a boundary continues
+    in the next pack (standard concat-then-chunk pretraining layout).
+
+    Returns one row per document: (key, shard, n_tokens, start_off
+    [token offset in the shard stream], pack_id, pack_off [offset
+    inside its first pack], n_spans [how many packs it touches]).
+
+    Scale shape: shard = portable hash of the key, so the single
+    shuffle is the per-shard cumulative-sum window — at 10^12 docs
+    ``n_shards`` is set ~10x the executor count and each window
+    partition stays bounded; there is no global ordering anywhere.
+    Tokens = the whitespace tokenizer shared with dedup/textstats
+    (a real BPE count would slot into the same column)."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    shard = portable_bucket(F.col(key_col)) % n_shards
+    w = (Window.partitionBy("shard").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = (documents
+           .select(F.col(key_col),
+                   shard.alias("shard"),
+                   n_tok.cast("long").alias("n_tokens"))
+           .withColumn("start_off",
+                       F.coalesce(F.sum("n_tokens").over(w),
+                                  F.lit(0)).cast("long")))
+    end_off = F.col("start_off") + F.greatest(F.col("n_tokens"),
+                                              F.lit(1)) - 1
+    return (out
+            .withColumn("pack_id",
+                        (F.col("start_off") / max_tokens)
+                        .cast("long"))
+            .withColumn("pack_off", F.col("start_off") % max_tokens)
+            .withColumn("n_spans",
+                        ((end_off / max_tokens).cast("long")
+                         - F.col("pack_id") + 1).cast("long")))
+
+
+def mixture_order(df: DataFrame, source_col: str, weights: dict,
+                  key_col: str = "doc_id",
+                  default_weight: float = 1.0) -> DataFrame:
+    """Deterministic mixture schedule: the i-th document (1-based, in
+    (hash-bucket, key) order — a deterministic within-source shuffle)
+    of source s gets order_key = i / weight(s); consuming
+    rows by ascending order_key yields sources in proportion to their
+    weights in every prefix (the standard without-replacement
+    interleave used for corpus mixing).
+
+    Returns (key, source, source_rank, order_key) — order_key is the
+    schedule position; consumers sort/range-partition by it rather
+    than materializing a global row number (a global row_number would
+    serialize on one partition; a range sort by order_key scales).
+
+    The per-source rank window partitions by source — at 10^12 rows a
+    handful of giant sources would skew it, so rank is computed as
+    within-(source, bucket) rank + broadcast bucket offsets: the
+    window partitions by (source, 256 hash buckets), each bounded, and
+    the offsets table (sources x 256 rows) is driver-sized."""
+    n_buckets = 256
+    bucket = portable_bucket(F.col(key_col)) % n_buckets
+    base = df.select(F.col(key_col), F.col(source_col).alias("source"),
+                     bucket.alias("__b"))
+    # bounded: |sources| * n_buckets rows
+    counts = (base.groupBy("source", "__b")
+              .agg(F.count(F.lit(1)).alias("c")))
+    woff = (Window.partitionBy("source").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("c").over(woff), F.lit(0)))
+    wrank = Window.partitionBy("source", "__b").orderBy(key_col)
+    wexpr = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        wexpr = F.when(F.col("source") == value,
+                       F.lit(float(wt))).otherwise(wexpr)
+    return (base
+            .withColumn("__r", F.row_number().over(wrank))
+            .join(F.broadcast(offsets.select("source", "__b", "__off")),
+                  ["source", "__b"])
+            .withColumn("source_rank",
+                        (F.col("__off") + F.col("__r")).cast("long"))
+            .withColumn("order_key",
+                        F.round(F.col("source_rank") / wexpr, 6))
+            .select(key_col, "source", "source_rank", "order_key"))

@@ -690,3 +690,71 @@ def test_resume_full_parse_stage_on_real_corpus(spark, tmpdir):
             F.col("html")))
     todo = pending_work(fingerprinted(changed), entries, "parse")
     assert [r.url for r in todo.select("url").collect()] == [victim]
+
+
+# ------------------------------------------------- training-data assembly
+
+
+def _docs_df(spark, n=80):
+    return spark.createDataFrame(
+        [(i, ("tok " * (5 + i % 7)).strip(), "en", "src%d" % (i % 3))
+         for i in range(n)],
+        "doc_id long, text string, lang string, source string")
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    """The k% sample is a subset of the 2k% sample (hash thresholds),
+    and re-running gives the identical set (no RNG)."""
+    from ferenda_spark.operators.training import stratified_sample
+    docs = _docs_df(spark)
+    small = {r.doc_id for r in stratified_sample(
+        docs, "source", {"src0": 0.2}, default=0.1).collect()}
+    big = {r.doc_id for r in stratified_sample(
+        docs, "source", {"src0": 0.4}, default=0.2).collect()}
+    again = {r.doc_id for r in stratified_sample(
+        docs, "source", {"src0": 0.2}, default=0.1).collect()}
+    assert small <= big
+    assert small == again
+    assert 0 < len(small) < 80
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    """Within a shard the token stream is gapless: each doc starts
+    where the previous ended; pack coordinates are consistent."""
+    from ferenda_spark.operators.training import pack_sequences
+    got = pack_sequences(_docs_df(spark), max_tokens=16,
+                         n_shards=4).collect()
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.start_off == off
+            assert r.pack_id == r.start_off // 16
+            assert r.pack_off == r.start_off % 16
+            assert r.n_spans == (r.start_off + max(r.n_tokens, 1) - 1) // 16 \
+                - r.pack_id + 1
+            off += r.n_tokens
+
+
+def test_mixture_order_ranks_and_proportions(spark):
+    """source_rank is dense 1..n per source; an order_key prefix holds
+    sources roughly in weight proportion."""
+    from ferenda_spark.operators.training import mixture_order
+    got = mixture_order(_docs_df(spark, n=90), "source",
+                        {"src0": 3.0, "src1": 1.0},
+                        default_weight=2.0).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.source, []).append(r.source_rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    sched = sorted(got, key=lambda r: (r.order_key, r.source))
+    prefix = [r.source for r in sched[:30]]
+    # weights 3:1:2 over 30 docs -> ~15/5/10
+    assert abs(prefix.count("src0") - 15) <= 2
+    assert abs(prefix.count("src1") - 5) <= 2
+    assert abs(prefix.count("src2") - 10) <= 2
