@@ -50,8 +50,11 @@ HEADLINE = [
     # training-data-pipeline ops
     "dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
     "dedup_simhash", "text_quality", "text_lang_id", "text_fingerprint",
-    "sim_cosine_topk", "sim_lsh_topk", "dedup_embedding",
+    "sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk", "dedup_embedding",
     "mm_image_meta", "search_documents",
+    "train_stratified_sample", "train_packed_sequences",
+    "train_mixture_order",
+    "kg_sparql_having", "kg_sparql_bind_values",
 ]
 
 

@@ -758,3 +758,30 @@ def test_mixture_order_ranks_and_proportions(spark):
     assert abs(prefix.count("src0") - 15) <= 2
     assert abs(prefix.count("src1") - 5) <= 2
     assert abs(prefix.count("src2") - 10) <= 2
+
+
+def test_spark_submit_pyfiles_flagship(tmpdir):
+    """North-rule launch surface: the flagship DAG runs via
+    `spark-submit --py-files ferenda_spark.zip` with the zip as the
+    ONLY source of the package (cwd is the store dir, not the repo)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit not on PATH")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(["sh", os.path.join(repo, "scripts/make_pyfiles.sh")],
+                   check=True, capture_output=True)
+    out = subprocess.run(
+        [submit, "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", os.path.join(repo, "dist/ferenda_spark.zip"),
+         os.path.join(repo, "scripts/submit_flagship.py"),
+         "--sf", "/root/testdata/sf0.001", "--out", tmpdir],
+        check=True, capture_output=True, text=True, cwd=tmpdir,
+        timeout=300)
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["triples"] > 0
+    assert report["master"] == "local[4]"
