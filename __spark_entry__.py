@@ -325,6 +325,52 @@ def _q_sim_lsh_topk(spark, sf_dir):
                              bits_per_band=8, n_bands=4)
 
 
+def _q_clean_strip_boilerplate(spark, sf_dir):
+    """C4-style line-level boilerplate removal.  The corpus is
+    single-line word soup, so lines are synthesized deterministically
+    (splitting on ' the ' — mirrored verbatim in the oracle); lines
+    shared by >= 3 documents are boilerplate and removed from every
+    document, order preserved."""
+    from ferenda_spark.operators.cleaning import strip_hot_lines
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", " the ", "\n")
+                    .alias("text")))
+    return strip_hot_lines(docs, min_docs=3)
+
+
+def _q_clean_redact_pii(spark, sf_dir):
+    """PII redaction: deterministic email/IP suffixes are planted per
+    doc, then redacted by the regexp_replace chain; the oracle is the
+    closed form of the expected redaction (asserts the regexes match
+    exactly what they should, nothing else)."""
+    from ferenda_spark.operators.cleaning import redact_pii
+    docs = (_read(spark, sf_dir, "documents")
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".7"))))
+    return redact_pii(docs).select("doc_id", "text_redacted")
+
+
+def _q_clean_repetition_stats(spark, sf_dir):
+    """Gopher repetition signals: duplicate bigram/trigram fraction
+    per document (map-side list expressions only)."""
+    from ferenda_spark.operators.cleaning import repetition_stats
+    return repetition_stats(_read(spark, sf_dir, "documents"), ns=(2, 3))
+
+
+def _q_clean_contaminated(spark, sf_dir):
+    """Benchmark decontamination: documents sharing any 13-gram with
+    the probe texts (docs 5 and 105 as the stand-in benchmark set) —
+    broadcast probe-gram join, md5-keyed."""
+    from ferenda_spark.operators.cleaning import contaminated
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id").isin([5, 105])).select("text")
+    return contaminated(docs, probes, n=13)
+
+
 def _q_train_stratified_sample(spark, sf_dir):
     """Training-pipeline stratified sampling: deterministic portable-
     hash subsample per source (no RNG, nested across fractions,
@@ -1029,6 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "clean_strip_boilerplate": _q_clean_strip_boilerplate,
+        "clean_redact_pii": _q_clean_redact_pii,
+        "clean_repetition_stats": _q_clean_repetition_stats,
+        "clean_contaminated": _q_clean_contaminated,
         "train_stratified_sample": _q_train_stratified_sample,
         "train_packed_sequences": _q_train_packed_sequences,
         "train_mixture_order": _q_train_mixture_order,
@@ -1734,6 +1784,70 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, rank, cosine_r FROM ranked
             WHERE rank <= 10""",
+        "clean_strip_boilerplate": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' the ', chr(10), 'g') AS text
+              FROM documents),
+            parts AS (
+              SELECT doc_id, string_split(text, chr(10)) AS p FROM d),
+            l AS (
+              SELECT doc_id, i AS line_no, trim(p[i]) AS line
+              FROM parts, unnest(generate_series(1, len(p))) AS t(i)
+              WHERE trim(p[i]) <> ''),
+            hot AS (
+              SELECT line FROM l GROUP BY line
+              HAVING COUNT(DISTINCT doc_id) >= 3),
+            reb AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY line_no) AS text
+              FROM l WHERE line NOT IN (SELECT line FROM hot)
+              GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(reb.text, '') AS text
+            FROM d LEFT JOIN reb USING (doc_id)""",
+        "clean_redact_pii": """
+            SELECT doc_id,
+                   text || ' contact <EMAIL> from <IP>' AS text_redacted
+            FROM documents""",
+        "clean_repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1,
+                         greatest(len(t) - 1, 1)),
+                       i -> array_to_string(t[i:i+1], ' ')) AS g2,
+                     list_transform(generate_series(1,
+                         greatest(len(t) - 2, 1)),
+                       i -> array_to_string(t[i:i+2], ' ')) AS g3
+              FROM toks)
+            SELECT doc_id,
+                   round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                         / len(g2), 4) AS frac_dup_2,
+                   round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                         / len(g3), 4) AS frac_dup_3
+            FROM g""",
+        "clean_contaminated": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1,
+                         greatest(len(t) - 12, 1)),
+                       i -> array_to_string(t[i:i+12], ' '))) AS gs
+              FROM toks),
+            pg AS (
+              SELECT DISTINCT u.gram FROM g, unnest(gs) AS u(gram)
+              WHERE doc_id IN (5, 105)),
+            hits AS (
+              SELECT g.doc_id FROM g, unnest(gs) AS u(gram)
+              WHERE u.gram IN (SELECT gram FROM pg))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM hits GROUP BY doc_id""",
         # portable md5-prefix bucket, the cross-engine sampling
         # contract (ferenda_spark.operators.training.portable_bucket)
         "train_stratified_sample": """

@@ -54,6 +54,8 @@ HEADLINE = [
     "mm_image_meta", "search_documents",
     "train_stratified_sample", "train_packed_sequences",
     "train_mixture_order",
+    "clean_strip_boilerplate", "clean_repetition_stats",
+    "clean_contaminated",
     "kg_sparql_having", "kg_sparql_bind_values",
 ]
 

@@ -1,0 +1,149 @@
+"""Web-corpus cleaning operators (training-pipeline mandate): the
+C4/Gopher-style filters a Common-Crawl-scale text pipeline runs
+between extraction and training-data assembly.
+
+* :func:`hot_lines` / :func:`strip_hot_lines` — C4-style line-level
+  boilerplate removal: a line occurring in many distinct documents
+  (nav bars, cookie banners, license footers) is deleted from every
+  document, order-preserving;
+* :func:`redact_pii` — email / IPv4 / phone-number redaction as pure
+  regexp_replace column expressions (JVM-side, one scan);
+* :func:`repetition_stats` — Gopher repetition signals: the duplicate
+  n-gram fraction per document for several n;
+* :func:`contaminated` — benchmark decontamination: documents sharing
+  any word n-gram (default 13, the standard eval-contamination width)
+  with a probe set of benchmark texts.
+
+Everything is built from the shared whitespace tokenizer
+(operators.dedup.tokens) so counts line up with dedup/textstats and
+with the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens
+
+
+def ngram_array(n: int, text_col: str = "text"):
+    """NON-distinct word n-gram list (repetition analysis needs the
+    multiplicity; dedup.shingle_array is the distinct variant).  A
+    document shorter than n tokens yields its single short prefix —
+    mirrored exactly by the SQL oracles."""
+    toks = tokens(F.col(text_col))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def doc_lines(documents: DataFrame, text_col: str = "text",
+              sep: str = "\n") -> DataFrame:
+    """(doc_id, line_no, line) — non-empty trimmed lines with their
+    position (map-side explode)."""
+    return (documents
+            .select("doc_id",
+                    F.posexplode(F.split(F.col(text_col), sep))
+                    .alias("line_no", "line"))
+            .withColumn("line", F.trim("line"))
+            .where(F.length("line") > 0))
+
+
+def hot_lines(documents: DataFrame, min_docs: int = 2,
+              text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Lines appearing in >= min_docs DISTINCT documents: the
+    boilerplate table.  One hash-groupBy on the md5 of the line (the
+    long line string itself never shuffles); output is corpus-
+    frequency-bounded (every row is a real repeated line)."""
+    lines = doc_lines(documents, text_col, sep)
+    return (lines
+            .groupBy(F.md5("line").alias("line_md5"))
+            .agg(F.min("line").alias("line"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def strip_hot_lines(documents: DataFrame, min_docs: int = 2,
+                    text_col: str = "text",
+                    sep: str = "\n") -> DataFrame:
+    """(doc_id, text) with boilerplate lines removed, original line
+    order preserved (C4's line-dedup pass).
+
+    Scale shape: lines explode map-side; the anti-join runs on the
+    md5 key against the (bounded) hot-line table; reassembly is one
+    groupBy(doc_id) over (line_no, line) structs — the only full
+    shuffle, keyed by the document id, no skew (every doc has few
+    lines).  Documents whose every line was boilerplate survive with
+    empty text (the caller's length filter drops them)."""
+    hot = hot_lines(documents, min_docs, text_col, sep).select("line_md5")
+    kept = (doc_lines(documents, text_col, sep)
+            .withColumn("line_md5", F.md5("line"))
+            .join(hot, "line_md5", "left_anti"))
+    rebuilt = (kept
+               .groupBy("doc_id")
+               .agg(F.concat_ws(sep, F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("line_no", "line"))),
+                   lambda s: s["line"])).alias(text_col)))
+    return (documents.select("doc_id")
+            .join(rebuilt, "doc_id", "left")
+            .withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))))
+
+
+# conservative patterns valid in both Java regex (Spark) and RE2
+# (DuckDB); applied in this order
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # no lookbehind (RE2): the leading + is matched by alternation
+    (r"(\+\d{1,3}|\b\d{1,3})[- ]\d{3}[- ]\d{4,7}\b", "<PHONE>"),
+)
+
+
+def redact_pii(documents: DataFrame,
+               text_col: str = "text") -> DataFrame:
+    """+ ``text_redacted``: emails, IPv4 addresses and phone-shaped
+    numbers replaced by typed placeholders — a chain of JVM-side
+    regexp_replace (one scan, no Python)."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return documents.withColumn("text_redacted", col)
+
+
+def repetition_stats(documents: DataFrame,
+                     ns: tuple = (2, 3),
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, frac_dup_{n} ...) — Gopher's duplicate-n-gram
+    fraction: 1 - distinct/total over the NON-distinct n-gram list
+    (map-side column expressions only)."""
+    cols = [F.col("doc_id")]
+    for n in ns:
+        grams = ngram_array(n, text_col)
+        cols.append(F.round(
+            1.0 - F.size(F.array_distinct(grams))
+            / F.size(grams), 4).alias("frac_dup_%d" % n))
+    return documents.select(*cols)
+
+
+def contaminated(documents: DataFrame, probes: DataFrame,
+                 n: int = 13, text_col: str = "text") -> DataFrame:
+    """Documents sharing ANY word n-gram with the probe (benchmark)
+    set: (doc_id, n_hits).  The probe side is benchmark-sized —
+    always broadcast; corpus n-grams explode map-side and are
+    md5-keyed so only 32-hex strings travel into the join.  13 is the
+    standard contamination window (GPT-3 appendix C / Gopher)."""
+    probe_grams = (probes
+                   .select(F.explode(F.array_distinct(
+                       ngram_array(n, text_col))).alias("gram"))
+                   .select(F.md5("gram").alias("gram_md5"))
+                   .distinct())
+    doc_grams = (documents
+                 .select("doc_id",
+                         F.explode(F.array_distinct(
+                             ngram_array(n, text_col))).alias("gram"))
+                 .select("doc_id", F.md5("gram").alias("gram_md5")))
+    return (doc_grams
+            .join(F.broadcast(probe_grams), "gram_md5")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))

@@ -785,3 +785,64 @@ def test_spark_submit_pyfiles_flagship(tmpdir):
     report = json.loads(out.stdout.strip().splitlines()[-1])
     assert report["triples"] > 0
     assert report["master"] == "local[4]"
+
+
+# --------------------------------------------------- web-corpus cleaning
+
+
+def test_strip_hot_lines_preserves_order(spark):
+    """C4 line dedup: the cookie banner shared by 3 docs disappears;
+    unique lines keep their relative order; an all-boilerplate doc
+    survives with empty text."""
+    from ferenda_spark.operators.cleaning import hot_lines, strip_hot_lines
+    banner = "accept all cookies"
+    docs = spark.createDataFrame(
+        [(1, "alpha first\n" + banner + "\nalpha last"),
+         (2, banner + "\nbeta only line"),
+         (3, "gamma a\ngamma b\n" + banner),
+         (4, banner)],
+        "doc_id long, text string")
+    hot = {r.line for r in hot_lines(docs, min_docs=3).collect()}
+    assert hot == {banner}
+    got = {r.doc_id: r.text
+           for r in strip_hot_lines(docs, min_docs=3).collect()}
+    assert got == {1: "alpha first\nalpha last", 2: "beta only line",
+                   3: "gamma a\ngamma b", 4: ""}
+
+
+def test_redact_pii(spark):
+    from ferenda_spark.operators.cleaning import redact_pii
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 10.1.2.3 "
+             "or +46 123 4567890 end")],
+        "doc_id long, text string")
+    got = redact_pii(docs).collect()[0].text_redacted
+    assert got == "mail <EMAIL> or <IP> or <PHONE> end"
+
+
+def test_repetition_stats_gopher_fraction(spark):
+    from ferenda_spark.operators.cleaning import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),       # 3 bigrams, 1 distinct
+         (2, "all words are different")],  # 3 bigrams, 3 distinct
+        "doc_id long, text string")
+    got = {r.doc_id: r.frac_dup_2
+           for r in repetition_stats(docs, ns=(2,)).collect()}
+    assert got[1] == round(1 - 1 / 3, 4)
+    assert got[2] == 0.0
+
+
+def test_contaminated_13gram_overlap(spark):
+    """A doc embedding a benchmark sentence verbatim is flagged; a
+    doc sharing only short phrases is not."""
+    from ferenda_spark.operators.cleaning import contaminated
+    bench = "the quick brown fox jumps over the lazy dog while " \
+            "seven wizards watch quietly tonight"
+    docs = spark.createDataFrame(
+        [(1, "intro words " + bench + " trailing words"),
+         (2, "the quick brown fox appears here but the rest differs "
+             "completely from any benchmark sentence in the set")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame([(bench,)], "text string")
+    got = {r.doc_id for r in contaminated(docs, probes, n=13).collect()}
+    assert got == {1}
