@@ -34,8 +34,14 @@ ENTRIES_SCHEMA = ("url string, stage string, input_fingerprint string, "
                   "error string")
 
 
-def fingerprinted(pages: DataFrame) -> DataFrame:
-    return pages.withColumn("input_fingerprint", F.md5(F.col("html")))
+def fingerprinted(pages: DataFrame,
+                  source_col: str = "html") -> DataFrame:
+    """+ input_fingerprint = md5 of the stage's input payload —
+    ``html`` for the download->parse stage; downstream stages
+    fingerprint their own input column (e.g. the parsed ``text``), so
+    every stage of a chain gets change detection against ITS input."""
+    return pages.withColumn("input_fingerprint",
+                            F.md5(F.col(source_col).cast("binary")))
 
 
 def pending_work(pages_fp: DataFrame, entries: DataFrame | None,
@@ -69,6 +75,9 @@ def write_entries(results: DataFrame, store_dir: str, stage: str,
     (results
      .select("url", "input_fingerprint",
              err.alias("error"))
+     # stages whose output has several rows per input (e.g. triples)
+     # still get ONE entry per (url, fingerprint) checkpoint row
+     .distinct()
      .withColumn("stage", F.lit(stage))
      .withColumn("success",
                  F.when(F.col("error").isNull(), "true").otherwise("false"))
@@ -95,7 +104,8 @@ def stage_counters(results: DataFrame) -> DataFrame:
 
 
 def run_stage(pages: DataFrame, store_dir: str, stage: str,
-              transform, output_name: str | None = None) -> DataFrame:
+              transform, output_name: str | None = None,
+              source_col: str = "html") -> DataFrame:
     """Checkpointed stage execution: select pending work, transform,
     write outputs + entries atomically-enough (outputs first, entries
     last — a crash between the two re-does at most one batch, which is
@@ -108,7 +118,7 @@ def run_stage(pages: DataFrame, store_dir: str, stage: str,
     a cluster the production analogue is reading back the Iceberg
     snapshot's added files; the checkpoint is the single-JVM stand-in."""
     spark = pages.sparkSession
-    fp = fingerprinted(pages)
+    fp = fingerprinted(pages, source_col)
     entries = read_entries(spark, store_dir)
     todo = pending_work(fp, entries, stage)
     t0 = time.time()

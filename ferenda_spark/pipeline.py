@@ -30,6 +30,45 @@ def canonical_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return rewrite_canonical(t, mapping)
 
 
+def staged_flagship(spark: SparkSession, sf_dir: str,
+                    store_dir: str) -> DataFrame:
+    """The flagship DAG as a CHAIN of resumable checkpointed stages
+    (north rule: every stage checkpoints with lineage so the run
+    resumes mid-DAG): pages -[parse]-> parsed docs -[triples]->
+    doc/section/mention triples.
+
+    * each stage is a :func:`operators.incremental.run_stage` call
+      with its OWN input fingerprint (md5(html) for parse, md5(text)
+      for triples), so a change anywhere reprocesses exactly the
+      affected documents in exactly the affected stages;
+    * a kill between stages costs only the unfinished stage — the
+      finished stage's entries anti-join selects zero rows on rerun
+      (pinned by test_staged_flagship_resumes_between_stages);
+    * triple rows keep (url, input_fingerprint) columns: per-row
+      lineage back to the exact page bytes that produced them (the
+      counters view is operators.incremental.stage_counters)."""
+    from pyspark.sql import functions as F
+
+    from .operators.incremental import run_stage
+    from .operators.triples import all_triples
+
+    pages = load_pages(spark, sf_dir)
+
+    def parse_t(todo):
+        return (extract_pages(todo)
+                .join(todo.select("url", "input_fingerprint"), "url"))
+
+    parsed = run_stage(pages, store_dir, "parse", parse_t)
+
+    def triples_t(todo):
+        t = all_triples(with_doc_metadata(todo))
+        lineage = todo.select(F.col("url"), "input_fingerprint")
+        return t.join(lineage, t["context"] == lineage["url"])
+
+    return run_stage(parsed.drop("input_fingerprint"), store_dir,
+                     "triples", triples_t, source_col="text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline analytic: full KG construction then the faceted
     pivot (documents per publisher/year — ferenda's faceted_data).

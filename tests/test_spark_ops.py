@@ -846,3 +846,50 @@ def test_contaminated_13gram_overlap(spark):
     probes = spark.createDataFrame([(bench,)], "text string")
     got = {r.doc_id for r in contaminated(docs, probes, n=13).collect()}
     assert got == {1}
+
+
+def test_staged_flagship_resumes_between_stages(spark, tmpdir):
+    """Multi-stage resumability (north rule): after a 'kill' that
+    finished only the parse stage, the full pipeline rerun selects 0
+    parse rows (entries anti-join) and still produces the triples; a
+    second full run reprocesses nothing in either stage."""
+    from ferenda_spark.corpus import load_pages
+    from ferenda_spark.operators.incremental import (
+        fingerprinted, pending_work, read_entries, run_stage)
+    from ferenda_spark.operators.extract import extract_pages
+    from ferenda_spark.pipeline import staged_flagship
+
+    sf = "/root/testdata/sf0.001"
+    pages = load_pages(spark, sf)
+    n_pages = pages.count()
+
+    # simulate the kill: run ONLY stage 1, then "crash"
+    run_stage(pages, tmpdir, "parse",
+              lambda todo: extract_pages(todo).join(
+                  todo.select("url", "input_fingerprint"), "url"))
+    entries = read_entries(spark, tmpdir)
+    done_parse = entries.where("stage = 'parse' and success = 'true'")
+    n_parsed_ok = done_parse.count()
+    assert n_parsed_ok > 0
+    # the restart's parse work set is EMPTY for every successful doc
+    assert pending_work(fingerprinted(pages), entries, "parse") \
+        .join(done_parse.select("url"), "url", "semi").count() == 0
+
+    triples = staged_flagship(spark, sf, tmpdir)
+    assert triples.count() > 0
+    assert {"subj", "pred", "obj", "url", "input_fingerprint"} \
+        <= set(triples.columns)
+    entries2 = read_entries(spark, tmpdir)
+    # resumed run added NO new parse entries for already-done docs
+    assert entries2.where("stage = 'parse' and success = 'true'") \
+        .select("url").distinct().count() == done_parse.select("url") \
+        .distinct().count()
+    n_triples_entries = entries2.where("stage = 'triples'").count()
+
+    # full rerun: both stages select zero pending, entries unchanged
+    staged_flagship(spark, sf, tmpdir)
+    entries3 = read_entries(spark, tmpdir)
+    assert entries3.count() == entries2.count()
+    assert entries3.where("stage = 'triples'").count() \
+        == n_triples_entries
+    assert n_parsed_ok <= n_pages
