@@ -74,11 +74,13 @@ The SELECT/CONSTRUCT/ASK surfaces now cover every construct the
 reference's own shipped .rq files use (res/sparql/annotations.rq,
 sources/tech/res/sparql/rfc-annotations.rq — BIND / isUri / str() /
 IN, sources/legal/se/res/sparql/sfs_changes.rq — STRSTARTS(STR(..))
-/ IN over predicate lists).  Unsupported (documented, raises
-SparqlError): DESCRIBE (the reference implements it as CONSTRUCT
-templates, triplestore.py construct path), DISTINCT inside non-COUNT
-aggregates, subqueries, negated property sets (``!(...)``), paths
-over variable predicates, VALUES UNDEF on an already-bound variable.
+/ IN over predicate lists), plus ASK and DESCRIBE (CBD semantics —
+the skolemized model has no blank nodes, so the bounded description
+is the resource's outgoing triples).  Unsupported (documented, raises
+SparqlError): DISTINCT inside non-COUNT aggregates, subqueries,
+negated property sets (``!(...)``), paths over variable predicates,
+VALUES UNDEF on an already-bound variable, DESCRIBE <iri> combined
+with a WHERE group.
 """
 
 from __future__ import annotations
@@ -1105,6 +1107,50 @@ def sparql_ask(triples: DataFrame, query: str) -> bool:
     if p.peek() is not None:
         raise SparqlError("trailing tokens at %r" % p.peek())
     return plan.limit(1).count() > 0
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """Compile and run a SPARQL DESCRIBE: the concise bounded
+    description of each described resource.  The triples model is
+    skolemized (no blank nodes), so the CBD is exactly the resource's
+    outgoing triples — one broadcast semi-join against the (small)
+    described-resource set.  Forms: ``DESCRIBE <iri> ...`` and
+    ``DESCRIBE ?v [?w ...] WHERE { ... }`` (the reference's own
+    describe-*.rq templates are CONSTRUCT queries; this covers the
+    triplestore's ad-hoc DESCRIBE surface)."""
+    p = _Parser(_tokenize(query))
+    p._prefixes_decl()
+    p.expect("describe")
+    terms = []
+    while p.peek() is not None and p.peek().lower() != "where":
+        terms.append(p.term())
+    spark = triples.sparkSession
+    if any(isinstance(t, _Var) for t in terms):
+        if p.peek() is None:
+            raise SparqlError("DESCRIBE ?var needs a WHERE group")
+        p.next()
+        plan = _compile_group(triples, p.group()).drop("__exists")
+        cols = []
+        for t in terms:
+            if not isinstance(t, _Var):
+                raise SparqlError("DESCRIBE mixes IRIs and variables")
+            if t.name not in plan.columns:
+                raise SparqlError("DESCRIBE of unbound var ?%s" % t.name)
+            cols.append(plan.select(F.col(t.name).alias("__desc")))
+        subjects = cols[0]
+        for c in cols[1:]:
+            subjects = subjects.unionByName(c)
+        subjects = subjects.where(F.col("__desc").isNotNull()).distinct()
+    else:
+        if not terms:
+            raise SparqlError("empty DESCRIBE")
+        subjects = spark.createDataFrame(
+            [(t.value,) for t in terms], "__desc string")
+    if p.peek() is not None and p.peek().lower() == "where":
+        raise SparqlError("DESCRIBE <iri> takes no WHERE group")
+    return (triples.join(F.broadcast(subjects),
+                         triples["subj"] == subjects["__desc"], "semi")
+            .select(*triples.columns))
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:

@@ -604,3 +604,17 @@ def test_sfs_changes_rq_golden(spark):
              r.proptitle) for r in got] == [
         (c1, RPUBL + "ersatter", "SFS 2003:1", base + "#P5", prop,
          "Prop. 2002/03:3", "En proposition")]
+
+
+def test_describe_iri_and_var(triples):
+    from ferenda_spark.sparql import sparql_describe
+    got = {(r.subj, r.pred, r.obj) for r in sparql_describe(
+        triples, "DESCRIBE <d2>").collect()}
+    assert got == {("d2", RDF_TYPE, BIBO_DOC),
+                   ("d2", DCT + "title", "Beta"),
+                   ("d2", DCT + "references", "d3")}
+    got = {(r.subj, r.pred, r.obj) for r in sparql_describe(triples, """
+        DESCRIBE ?d WHERE { ?d dcterms:title "Beta" }""").collect()}
+    assert {s for s, _, _ in got} == {"d2"} and len(got) == 3
+    with pytest.raises(SparqlError):
+        sparql_describe(triples, "DESCRIBE ?d")
