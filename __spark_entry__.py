@@ -1037,6 +1037,39 @@ def _q_annotations(spark, sf_dir):
     return annotations(_triples(spark, sf_dir))
 
 
+def _q_snapshot_incremental(spark, sf_dir):
+    """S6/I5 through the snapshot layer (snaptable.py): commit the doc
+    triples of batch-1 documents (doc_id % 3 != 0) as snapshot 1,
+    append batch 2 (doc_id % 3 == 0) as snapshot 2, then
+    incremental-scan the (snap1, snap2] delta and aggregate per
+    predicate — the downstream-consumes-only-the-delta contract of the
+    north rule's checkpointed DAG, exercised end-to-end through real
+    atomic commits.  The aggregate is localCheckpoint-ed so the
+    scratch table can be deleted before the frame is consumed."""
+    import os
+    import shutil
+    import tempfile
+
+    from ferenda_spark.operators.triples import doc_triples
+    from ferenda_spark.snaptable import SnapshotTable
+
+    t = doc_triples(_docs(spark, sf_dir))
+    doc_id = F.regexp_extract("subj", r"/(\d+)$", 1).cast("long")
+    d = tempfile.mkdtemp(prefix="ferenda_snap_query_")
+    try:
+        tab = SnapshotTable(os.path.join(d, "triples"))
+        s1 = tab.create(t.where(doc_id % 3 != 0), stats_cols=("subj",))
+        s2 = tab.append(t.where(doc_id % 3 == 0))
+        inc = tab.incremental(spark, s1["snapshot_id"],
+                              s2["snapshot_id"])
+        return (inc.groupBy("pred")
+                .agg(F.count(F.lit(1)).alias("n_triples"))
+                .orderBy("pred")
+                .localCheckpoint())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1129,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_annotations": _q_annotations,
         "kg_legal_mentions": _q_legal_mentions,
         "kg_canonical_triples": _q_canonical_triples,
+        "kg_snapshot_incremental": _q_snapshot_incremental,
     }
 
 
@@ -2344,4 +2378,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_sections + n_subs AS BIGINT) AS n_parts,
                    CAST(n_sections + n_subs AS BIGINT) AS n_part_refs
             FROM nsub""",
+        "kg_snapshot_incremental":
+            "WITH " + _F_CTE + ", " + _DOC_TRIPLES + """
+            SELECT pred, COUNT(*) AS n_triples FROM doc_triples
+            WHERE CAST(regexp_extract(subj, '(\\d+)$', 1) AS BIGINT)
+                  % 3 = 0
+            GROUP BY pred ORDER BY pred""",
     }

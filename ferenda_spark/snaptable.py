@@ -1,0 +1,425 @@
+"""Snapshot-versioned stage tables: an Iceberg-shaped commit protocol
+over parquet (format spec follows the public Apache Iceberg table-spec
+concepts: metadata-file pointer swap, snapshot log, per-file manifests
+with column bounds; implemented stdlib-only because the sandbox has no
+Iceberg runtime jar — session.py notes where the catalog configs go in
+production).
+
+Why this exists (north rule): "every stage checkpoints to Iceberg with
+per-partition lineage and counters so the DAG is resumable mid-run".
+catalog.write_stage gives plain overwrite tables; this module adds the
+transactional half the production deployment gets from Iceberg:
+
+* **atomic commits** — data files land first under ``data/u-<uuid>``,
+  then a new ``metadata/v<N>.json`` is published with ``open(..., 'x')``
+  (compare-and-swap on the version number: optimistic concurrency, a
+  losing concurrent writer gets :class:`CommitConflict`, never a
+  half-visible table).  A crash between data write and metadata publish
+  leaves an orphan directory that no reader ever sees (reclaimed by
+  :meth:`SnapshotTable.expire`).
+* **snapshot isolation + time travel** — readers resolve the current
+  metadata version once; ``read(snapshot_id=...)`` / ``read(as_of_ms=
+  ...)`` reproduce any retained historical state (the reference's
+  versioned archive semantics, S3/W2, generalized from per-document to
+  per-table: ferenda documentstore.py archive_path keeps every prior
+  version; here every prior *table state* is addressable).
+* **manifests with column bounds** — each committed data unit records
+  row count and min/max for the declared ``stats_cols``;
+  :meth:`scan` prunes whole units whose bounds cannot match (the
+  Iceberg file-pruning story — at 10^12 rows this is what turns a
+  key-range lookup from a full scan into a handful of files).
+* **incremental scan** — ``incremental(from_id, to_id)`` reads exactly
+  the rows appended between two snapshots (the cluster analogue of the
+  entries-table anti-join in operators/incremental.py: downstream
+  stages consume only the delta).  Refuses ranges containing
+  non-append snapshots, as Iceberg's incremental scan does.
+* **copy-on-write MERGE** — :meth:`merge` upserts on a key, rewriting
+  ONLY the data units whose key bounds overlap the incoming batch and
+  carrying every other unit forward by reference (no data movement for
+  untouched files — the property that makes MERGE affordable on a
+  100 TB table).
+
+Layout::
+
+    table/
+      data/u-<uuid>/part-*.parquet      one directory per commit
+      metadata/v<N>.json                full metadata at version N
+      metadata/version-hint.text        best-effort pointer (recovery
+                                        scans for max v<N>.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+FORMAT_VERSION = 1
+
+
+def _jsonable(v):
+    """Manifest bounds keep the column's natural type when JSON can
+    carry it (ints/floats/strings order correctly on read-back);
+    everything else (dates, timestamps) falls back to its ISO string,
+    which orders correctly lexicographically for those types."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+class CommitConflict(Exception):
+    """Another writer committed the next metadata version first."""
+
+
+class SnapshotError(Exception):
+    pass
+
+
+def _meta_path(path: str, version: int) -> str:
+    return os.path.join(path, "metadata", "v%d.json" % version)
+
+
+class SnapshotTable:
+    """Handle on a snapshot-versioned table rooted at ``path``.
+
+    The handle is stateless between operations: every read/commit
+    re-resolves the current metadata version from disk, so concurrent
+    handles on the same path behave like independent Iceberg clients.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ------------------------------------------------------ metadata
+
+    def _current_version(self) -> int:
+        """Recover the current version: the hint file is advisory (its
+        update is not part of the commit), the metadata files are the
+        truth — scan for the max published v<N>.json."""
+        mdir = os.path.join(self.path, "metadata")
+        if not os.path.isdir(mdir):
+            return 0
+        versions = [int(f[1:-5]) for f in os.listdir(mdir)
+                    if f.startswith("v") and f.endswith(".json")
+                    and f[1:-5].isdigit()]
+        return max(versions, default=0)
+
+    def _load(self) -> dict:
+        v = self._current_version()
+        if v == 0:
+            raise SnapshotError("no such table: %s" % self.path)
+        with open(_meta_path(self.path, v)) as fh:
+            meta = json.load(fh)
+        meta["_version"] = v
+        return meta
+
+    def exists(self) -> bool:
+        return self._current_version() > 0
+
+    def _publish(self, meta: dict, expected_version: int) -> None:
+        """Compare-and-swap commit: creating v<expected+1> exclusively
+        IS the atomic commit point; the hint rewrite after it is
+        best-effort (readers recover from the metadata dir)."""
+        meta = {k: v for k, v in meta.items() if not k.startswith("_")}
+        mdir = os.path.join(self.path, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        target = _meta_path(self.path, expected_version + 1)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                "metadata version %d already published under %s"
+                % (expected_version + 1, self.path))
+        with os.fdopen(fd, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        hint_tmp = os.path.join(mdir, ".hint-%s" % uuid.uuid4().hex)
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(expected_version + 1))
+        os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+
+    # ----------------------------------------------------- data units
+
+    def _write_unit(self, df: DataFrame, partition_by: tuple,
+                    stats_cols: tuple) -> dict:
+        """Write one data unit and return its manifest entry: rows are
+        on disk but invisible until a metadata version references the
+        unit.  Stats come from a read-back of the written files (a
+        column-pruned scan of exactly the stat columns), so the bounds
+        describe what is actually on disk."""
+        unit = "u-" + uuid.uuid4().hex
+        full = os.path.join(self.path, "data", unit)
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*list(partition_by))
+        w.parquet(full)
+        back = df.sparkSession.read.parquet(full)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in stats_cols:
+            aggs.append(F.min(F.col(c)).alias("__lo_" + c))
+            aggs.append(F.max(F.col(c)).alias("__hi_" + c))
+        row = back.agg(*aggs).collect()[0]
+        bounds = {c: [_jsonable(row["__lo_" + c]),
+                      _jsonable(row["__hi_" + c])]
+                  for c in stats_cols}
+        return {"unit": unit, "row_count": row["__n"], "bounds": bounds}
+
+    def _snapshot(self, meta: dict, operation: str, units: list,
+                  added: list) -> dict:
+        # max over the log, not current+1: after a rollback the undone
+        # snapshots still hold their ids until expired
+        snap_id = 1 + max((s["snapshot_id"] for s in meta["snapshots"]),
+                          default=0)
+        total = sum(u["row_count"] for u in units)
+        return {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"] if meta else None,
+            "operation": operation,
+            "timestamp_ms": int(time.time() * 1000),
+            "manifest": units,
+            "summary": {
+                "added_units": len(added),
+                "added_rows": sum(u["row_count"] for u in added),
+                "total_units": len(units),
+                "total_rows": total,
+            },
+        }
+
+    def _commit(self, meta: dict | None, operation: str,
+                carried: list, added: list, schema_json: str = None,
+                partition_by: tuple = (), stats_cols: tuple = ()) -> dict:
+        if meta is None:
+            meta = {"format_version": FORMAT_VERSION,
+                    "table_uuid": uuid.uuid4().hex,
+                    "schema_json": schema_json,
+                    "partition_by": list(partition_by),
+                    "stats_cols": list(stats_cols),
+                    "current_snapshot_id": None,
+                    "snapshots": [],
+                    "_version": 0}
+        units = [dict(u) for u in carried] + [
+            dict(u, added_snapshot_id=None) for u in added]
+        snap = self._snapshot(meta, operation, units, added)
+        for u in units:
+            if u.get("added_snapshot_id") is None:
+                u["added_snapshot_id"] = snap["snapshot_id"]
+        snap["manifest"] = units
+        new = dict(meta)
+        new["current_snapshot_id"] = snap["snapshot_id"]
+        new["snapshots"] = meta["snapshots"] + [snap]
+        self._publish(new, meta["_version"])
+        return snap
+
+    # ------------------------------------------------------- writes
+
+    def create(self, df: DataFrame, partition_by: tuple = (),
+               stats_cols: tuple = ()) -> dict:
+        """Create the table with ``df`` as snapshot 1."""
+        if self.exists():
+            raise SnapshotError("table already exists: %s" % self.path)
+        unit = self._write_unit(df, partition_by, stats_cols)
+        return self._commit(None, "create", [], [unit],
+                            schema_json=df.schema.json(),
+                            partition_by=tuple(partition_by),
+                            stats_cols=tuple(stats_cols))
+
+    def append(self, df: DataFrame) -> dict:
+        meta = self._load()
+        unit = self._write_unit(df, tuple(meta["partition_by"]),
+                                tuple(meta["stats_cols"]))
+        snap = self._current_snap(meta)
+        return self._commit(meta, "append", snap["manifest"], [unit])
+
+    def overwrite(self, df: DataFrame) -> dict:
+        """Replace the table contents (prior snapshots stay readable
+        until expired)."""
+        meta = self._load()
+        unit = self._write_unit(df, tuple(meta["partition_by"]),
+                                tuple(meta["stats_cols"]))
+        return self._commit(meta, "overwrite", [], [unit])
+
+    def merge(self, new_df: DataFrame, key_cols: tuple) -> dict:
+        """Copy-on-write upsert on ``key_cols``: rows of the current
+        snapshot whose key matches an incoming row are replaced, all
+        other rows survive.  Only data units whose recorded bounds on
+        ``key_cols[0]`` overlap the incoming key range are rewritten;
+        every other unit is carried forward by reference — the on-disk
+        bytes of untouched files never move (catalog.merge_upsert is
+        the non-versioned flavor; this is the Iceberg MERGE INTO
+        shape the docstring there points at)."""
+        meta = self._load()
+        snap = self._current_snap(meta)
+        keys = list(key_cols)
+        k0 = keys[0]
+        spark = new_df.sparkSession
+        row = new_df.agg(F.min(F.col(k0)).alias("lo"),
+                         F.max(F.col(k0)).alias("hi")).collect()[0]
+        lo, hi = _jsonable(row.lo), _jsonable(row.hi)
+        affected, carried = [], []
+        for u in snap["manifest"]:
+            b = u.get("bounds", {}).get(k0)
+            if lo is None:          # empty incoming batch: no-op merge
+                carried.append(u)
+            elif b is None or b[0] is None:
+                affected.append(u)  # no stats -> conservatively rewrite
+            elif b[1] < lo or b[0] > hi:
+                carried.append(u)
+            else:
+                affected.append(u)
+        added = []
+        if affected or lo is not None:
+            parts = [os.path.join(self.path, "data", u["unit"])
+                     for u in affected]
+            cols = [f["name"] for f in
+                    json.loads(meta["schema_json"])["fields"]]
+            if parts:
+                old = spark.read.parquet(*parts)
+                kept = old.join(new_df.select(*keys).distinct(), keys,
+                                "left_anti")
+                out = kept.select(*cols).unionByName(
+                    new_df.select(*cols))
+            else:
+                out = new_df.select(*cols)
+            added = [self._write_unit(out, tuple(meta["partition_by"]),
+                                      tuple(meta["stats_cols"]))]
+        return self._commit(meta, "merge", carried, added)
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point the table back at a prior snapshot (a new metadata
+        version — the forward history stays on disk until expired)."""
+        meta = self._load()
+        if not any(s["snapshot_id"] == snapshot_id
+                   for s in meta["snapshots"]):
+            raise SnapshotError("unknown snapshot %d" % snapshot_id)
+        new = dict(meta)
+        new["current_snapshot_id"] = snapshot_id
+        self._publish(new, meta["_version"])
+
+    # -------------------------------------------------------- reads
+
+    def _current_snap(self, meta: dict) -> dict:
+        sid = meta["current_snapshot_id"]
+        return next(s for s in meta["snapshots"]
+                    if s["snapshot_id"] == sid)
+
+    def _resolve(self, meta: dict, snapshot_id: int = None,
+                 as_of_ms: int = None) -> dict:
+        if snapshot_id is not None:
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snapshot_id:
+                    return s
+            raise SnapshotError("unknown snapshot %d" % snapshot_id)
+        if as_of_ms is not None:
+            live = [s for s in meta["snapshots"]
+                    if s["timestamp_ms"] <= as_of_ms]
+            if not live:
+                raise SnapshotError("no snapshot at or before %d"
+                                    % as_of_ms)
+            return live[-1]
+        return self._current_snap(meta)
+
+    def _read_units(self, spark: SparkSession, meta: dict,
+                    units: list) -> DataFrame:
+        paths = [os.path.join(self.path, "data", u["unit"])
+                 for u in units]
+        if not paths:
+            schema = StructType.fromJson(json.loads(meta["schema_json"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*paths)
+
+    def read(self, spark: SparkSession, snapshot_id: int = None,
+             as_of_ms: int = None) -> DataFrame:
+        meta = self._load()
+        snap = self._resolve(meta, snapshot_id, as_of_ms)
+        return self._read_units(spark, meta, snap["manifest"])
+
+    def scan(self, spark: SparkSession, col: str, lo, hi):
+        """Bounds-pruned scan: (DataFrame of rows with ``lo <= col <=
+        hi``, number of data units skipped by manifest bounds alone).
+        ``lo``/``hi`` are in the column's natural type.  Units without
+        recorded bounds for ``col`` are read conservatively; the
+        residual filter stays on the frame so the result is exact
+        either way."""
+        meta = self._load()
+        snap = self._current_snap(meta)
+        lo, hi = _jsonable(lo), _jsonable(hi)
+        keep, skipped = [], 0
+        for u in snap["manifest"]:
+            b = u.get("bounds", {}).get(col)
+            if b and b[0] is not None and (b[1] < lo or b[0] > hi):
+                skipped += 1
+            else:
+                keep.append(u)
+        df = self._read_units(spark, meta, keep)
+        cond = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+        return df.where(cond), skipped
+
+    def incremental(self, spark: SparkSession, from_id: int,
+                    to_id: int) -> DataFrame:
+        """Rows appended by snapshots in ``(from_id, to_id]``.  Walks
+        the parent chain; any overwrite/merge in the range makes
+        "appended rows" ill-defined at the file level, so it raises
+        (Iceberg's incremental scan contract)."""
+        meta = self._load()
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        if to_id not in by_id:
+            raise SnapshotError("unknown snapshot %d" % to_id)
+        chain, cur = [], by_id[to_id]
+        while cur is not None and cur["snapshot_id"] != from_id:
+            chain.append(cur)
+            cur = by_id.get(cur["parent_id"])
+        if cur is None and from_id is not None:
+            raise SnapshotError(
+                "snapshot %d is not an ancestor of %d" % (from_id, to_id))
+        bad = [s["snapshot_id"] for s in chain
+               if s["operation"] not in ("append", "create")]
+        if bad:
+            raise SnapshotError(
+                "incremental range contains non-append snapshots: %s"
+                % bad)
+        units = [u for s in chain for u in s["manifest"]
+                 if u["added_snapshot_id"] == s["snapshot_id"]]
+        return self._read_units(spark, meta, units)
+
+    # -------------------------------------------------- maintenance
+
+    def history(self) -> list:
+        meta = self._load()
+        cur = meta["current_snapshot_id"]
+        return [{"snapshot_id": s["snapshot_id"],
+                 "parent_id": s["parent_id"],
+                 "operation": s["operation"],
+                 "timestamp_ms": s["timestamp_ms"],
+                 "is_current": s["snapshot_id"] == cur,
+                 **s["summary"]} for s in meta["snapshots"]]
+
+    def expire(self, keep_last: int = 1) -> dict:
+        """Retain the current snapshot's ancestor chain truncated to
+        ``keep_last`` entries; drop every other snapshot from the log
+        and delete data directories no retained snapshot references —
+        including orphans from crashed writers that never committed.
+        Returns counts for the caller's bookkeeping."""
+        meta = self._load()
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        keep, cur = [], by_id.get(meta["current_snapshot_id"])
+        while cur is not None and len(keep) < max(keep_last, 1):
+            keep.append(cur)
+            cur = by_id.get(cur["parent_id"])
+        keep_ids = {s["snapshot_id"] for s in keep}
+        live_units = {u["unit"] for s in keep for u in s["manifest"]}
+        ddir = os.path.join(self.path, "data")
+        removed = 0
+        for unit in (os.listdir(ddir) if os.path.isdir(ddir) else []):
+            if unit not in live_units:
+                shutil.rmtree(os.path.join(ddir, unit))
+                removed += 1
+        new = dict(meta)
+        new["snapshots"] = [s for s in meta["snapshots"]
+                            if s["snapshot_id"] in keep_ids]
+        self._publish(new, meta["_version"])
+        return {"removed_units": removed,
+                "retained_snapshots": len(keep)}

@@ -1,0 +1,203 @@
+"""Snapshot-table commit protocol: atomicity, time travel, bounds
+pruning, incremental scan, copy-on-write merge, rollback, expiry."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.session import get_spark
+from ferenda_spark.snaptable import (CommitConflict, SnapshotError,
+                                     SnapshotTable)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="snaptable-tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="ferenda_snap_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _batch(spark, lo, hi, tag="a"):
+    return (spark.range(lo, hi)
+            .select(F.col("id").alias("k"),
+                    F.concat(F.lit(tag + "-"), F.col("id"))
+                    .alias("v")))
+
+
+def _t(tmpdir):
+    return SnapshotTable(os.path.join(tmpdir, "t"))
+
+
+def test_create_append_read(spark, tmpdir):
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 100), stats_cols=("k",))
+    assert s1["snapshot_id"] == 1
+    assert s1["summary"] == {"added_units": 1, "added_rows": 100,
+                             "total_units": 1, "total_rows": 100}
+    s2 = t.append(_batch(spark, 100, 150))
+    assert s2["summary"]["total_rows"] == 150
+    assert t.read(spark).count() == 150
+    # time travel by snapshot id
+    assert t.read(spark, snapshot_id=1).count() == 100
+    # time travel by timestamp
+    assert t.read(spark, as_of_ms=s1["timestamp_ms"]).count() == 100
+    with pytest.raises(SnapshotError):
+        t.read(spark, snapshot_id=99)
+    with pytest.raises(SnapshotError):
+        t.create(_batch(spark, 0, 1))
+
+
+def test_crash_orphan_invisible_then_expired(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 50), stats_cols=("k",))
+    # simulate a writer that crashed after the data write, before the
+    # metadata publish: the unit exists on disk but no snapshot
+    # references it
+    orphan = os.path.join(t.path, "data", "u-deadbeef")
+    _batch(spark, 900, 950).write.parquet(orphan)
+    assert t.read(spark).count() == 50          # invisible to readers
+    out = t.expire(keep_last=1)
+    assert out["removed_units"] == 1
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 50
+
+
+def test_commit_conflict(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10))
+    meta = t._load()
+    # a concurrent writer publishes v2 between our read and commit
+    with open(os.path.join(t.path, "metadata", "v2.json"), "w") as fh:
+        json.dump({k: v for k, v in meta.items()
+                   if not k.startswith("_")}, fh)
+    with pytest.raises(CommitConflict):
+        t._publish(meta, meta["_version"])
+    # a fresh handle sees the winner's version and can commit after it
+    assert t.append(_batch(spark, 10, 20))["snapshot_id"] == 2
+
+
+def test_scan_prunes_by_bounds(spark, tmpdir):
+    t = _t(tmpdir)
+    # three disjoint key ranges -> three units with disjoint bounds
+    t.create(_batch(spark, 0, 100), stats_cols=("k",))
+    t.append(_batch(spark, 100, 200))
+    t.append(_batch(spark, 200, 300))
+    # natural-typed bounds: keys 150..159 live only in the middle unit
+    df, skipped = t.scan(spark, "k", 150, 159)
+    assert skipped == 2
+    assert df.count() == 10
+    assert set(r.k for r in df.collect()) == set(range(150, 160))
+
+
+def test_incremental_scan(spark, tmpdir):
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 100), stats_cols=("k",))
+    s2 = t.append(_batch(spark, 100, 180))
+    s3 = t.append(_batch(spark, 180, 200))
+    inc = t.incremental(spark, s1["snapshot_id"], s3["snapshot_id"])
+    assert inc.count() == 100
+    assert inc.agg(F.min("k"), F.max("k")).collect()[0][:] == (100, 199)
+    # full history from table creation
+    assert t.incremental(spark, None, s2["snapshot_id"]).count() == 180
+    # a merge in the range poisons file-level "appended rows"
+    t.merge(_batch(spark, 50, 60, tag="m"), ("k",))
+    with pytest.raises(SnapshotError):
+        t.incremental(spark, s1["snapshot_id"], 4)
+
+
+def test_merge_rewrites_only_overlapping_units(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 100), stats_cols=("k",))
+    t.append(_batch(spark, 100, 200))
+    t.append(_batch(spark, 200, 300))
+    before = {u["unit"]: u for s in [t._current_snap(t._load())]
+              for u in s["manifest"]}
+    # upsert keys 120..129: bounds hit only the middle unit
+    snap = t.merge(_batch(spark, 120, 130, tag="new"), ("k",))
+    after = snap["manifest"]
+    carried = [u for u in after if u["unit"] in before]
+    # the two non-overlapping units are carried by reference (same
+    # unit directories, no data movement)
+    assert len(carried) == 2
+    assert {u["bounds"]["k"][0] for u in carried} == {0, 200}
+    assert snap["summary"]["total_rows"] == 300
+    got = dict((r.k, r.v) for r in
+               t.read(spark).where("k >= 118 and k <= 131").collect())
+    assert got[120] == "new-120" and got[129] == "new-129"
+    assert got[119] == "a-119" and got[130] == "a-130"
+
+
+def test_merge_inserts_new_keys(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 50), stats_cols=("k",))
+    snap = t.merge(_batch(spark, 900, 910, tag="ins"), ("k",))
+    assert snap["summary"]["total_rows"] == 60
+    assert t.read(spark).where("v like 'ins-%'").count() == 10
+    # empty incoming batch is a no-op commit
+    snap = t.merge(_batch(spark, 0, 0), ("k",))
+    assert snap["summary"]["total_rows"] == 60
+    assert snap["summary"]["added_units"] == 0
+
+
+def test_rollback_and_continue(spark, tmpdir):
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    t.append(_batch(spark, 10, 20))
+    t.rollback(s1["snapshot_id"])
+    assert t.read(spark).count() == 10
+    # new commits branch from the rolled-back snapshot with a fresh id
+    s3 = t.append(_batch(spark, 50, 55))
+    assert s3["snapshot_id"] == 3
+    assert s3["parent_id"] == 1
+    assert t.read(spark).count() == 15
+    with pytest.raises(SnapshotError):
+        t.rollback(99)
+
+
+def test_expire_removes_undone_branch(spark, tmpdir):
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    t.append(_batch(spark, 10, 20))
+    t.rollback(s1["snapshot_id"])
+    t.append(_batch(spark, 30, 35))          # snapshot 3, parent 1
+    out = t.expire(keep_last=2)
+    # snapshot 2 (the undone branch) is gone; its unit deleted
+    assert out == {"removed_units": 1, "retained_snapshots": 2}
+    assert [h["snapshot_id"] for h in t.history()] == [1, 3]
+    assert t.read(spark).count() == 15
+    assert t.read(spark, snapshot_id=1).count() == 10
+
+
+def test_overwrite_and_empty_read(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    s2 = t.overwrite(_batch(spark, 100, 103, tag="ow"))
+    assert s2["summary"]["total_rows"] == 3
+    assert sorted(r.k for r in t.read(spark).collect()) == [100, 101,
+                                                            102]
+    # prior state still addressable until expired
+    assert t.read(spark, snapshot_id=1).count() == 10
+
+
+def test_partitioned_writes(spark, tmpdir):
+    t = _t(tmpdir)
+    df = _batch(spark, 0, 40).withColumn("b", F.col("k") % 4)
+    t.create(df, partition_by=("b",), stats_cols=("k",))
+    unit = t._current_snap(t._load())["manifest"][0]["unit"]
+    udir = os.path.join(t.path, "data", unit)
+    assert sorted(d for d in os.listdir(udir)
+                  if d.startswith("b=")) == ["b=0", "b=1", "b=2", "b=3"]
+    got = t.read(spark)
+    assert got.count() == 40 and "b" in got.columns
