@@ -76,9 +76,12 @@ sources/tech/res/sparql/rfc-annotations.rq — BIND / isUri / str() /
 IN, sources/legal/se/res/sparql/sfs_changes.rq — STRSTARTS(STR(..))
 / IN over predicate lists), plus ASK and DESCRIBE (CBD semantics —
 the skolemized model has no blank nodes, so the bounded description
-is the resource's outgoing triples).  Unsupported (documented, raises
-SparqlError): DISTINCT inside non-COUNT aggregates, subqueries,
-negated property sets (``!(...)``), paths over variable predicates,
+is the resource's outgoing triples), DISTINCT inside aggregates
+(COUNT/SUM/AVG; a no-op for MIN/MAX), and negated property sets
+(``!iri`` / ``!(a|b)``, desugared to a variable-predicate scan with a
+NOT-IN filter).  Unsupported (documented, raises SparqlError):
+subqueries, paths over variable predicates, inverse members inside a
+negated property set, path modifiers on a negated property set,
 VALUES UNDEF on an already-bound variable, DESCRIBE <iri> combined
 with a WHERE group.
 """
@@ -246,11 +249,8 @@ class _Parser:
                 raise SparqlError("aggregate takes ?var or *, got %r" % v)
             arg = v[1:]
         self.expect(")")
-        if fn != "count" and (distinct or arg is None):
-            raise SparqlError(
-                "%s(%s) is not supported" % (fn.upper(),
-                                             "DISTINCT ..." if distinct
-                                             else "*"))
+        if fn != "count" and arg is None:
+            raise SparqlError("%s(*) is not supported" % fn.upper())
         return ("agg", fn, distinct, arg)
 
     def parse(self):
@@ -476,6 +476,37 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             inv = True
+        if self.peek() == "!":
+            # negated property set !iri / !(iri|iri|...): desugared at
+            # emit time into a variable-predicate scan + NOT IN filter
+            # (forward IRIs only; ^ inside the set unsupported)
+            self.next()
+            if inv:
+                raise SparqlError("^!(...) is not supported")
+            iris = []
+            if self.peek() == "(":
+                self.next()
+                while True:
+                    if self.peek() == "^":
+                        raise SparqlError("inverse members in a "
+                                          "negated property set are "
+                                          "not supported")
+                    iris.append(self.term())
+                    if self.peek() == "|":
+                        self.next()
+                        continue
+                    break
+                self.expect(")")
+            else:
+                iris.append(self.term())
+            if any(not isinstance(t, _Const) or t.kind != "uri"
+                   for t in iris):
+                raise SparqlError("negated property set needs "
+                                  "constant IRIs")
+            if self.peek() in ("*", "+", "?"):
+                raise SparqlError("path modifier on a negated "
+                                  "property set is not supported")
+            return ("nps", iris)
         t = self.term()
         mod = None
         if self.peek() in ("*", "+", "?"):
@@ -488,7 +519,11 @@ class _Parser:
 
     def _emit_path(self, s, path, o, items):
         kind = path[0]
-        if kind == "patom":
+        if kind == "nps":
+            pv = self._fresh_var()
+            items.append(("triple", (s, pv, o)))
+            items.append(("filter", ("in", pv, path[1], True)))
+        elif kind == "patom":
             _, t, inv, mod = path
             subj, obj = (o, s) if inv else (s, o)
             if mod:
@@ -1017,11 +1052,15 @@ def _agg_expr(fn, distinct, arg):
                 else F.count(col) if col is not None
                 else F.count(F.lit(1)))
     if fn == "sum":
-        return F.sum(col.cast("double"))
+        num = col.cast("double")
+        return F.sum_distinct(num) if distinct else F.sum(num)
     if fn == "avg":
-        return F.avg(col.cast("double"))
+        # no avg_distinct builtin: Spark SQL's avg(DISTINCT ...) —
+        # still one hash aggregate with a distinct pre-step
+        return (F.expr("avg(DISTINCT cast(`%s` as double))" % arg)
+                if distinct else F.avg(col.cast("double")))
     if fn == "max":
-        return F.max(col)
+        return F.max(col)           # DISTINCT is a no-op for min/max
     return F.min(col)               # min | sample
 
 

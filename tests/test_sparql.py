@@ -618,3 +618,56 @@ def test_describe_iri_and_var(triples):
     assert {s for s, _, _ in got} == {"d2"} and len(got) == 3
     with pytest.raises(SparqlError):
         sparql_describe(triples, "DESCRIBE ?d")
+
+
+def test_negated_property_set(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    # everything d1 relates to except by type/title
+    got = sel(triples, """
+        SELECT ?o WHERE {
+          <d1> !(rdf:type|dcterms:title) ?o .
+        }""").collect()
+    assert {r.o for r in got} == {"d2", "d9"}
+    # single-IRI form
+    got = sel(triples, "SELECT ?s ?o WHERE { ?s !rdf:type ?o . }")
+    assert got.count() == 6
+    # hidden predicate variable never leaks into SELECT *
+    got = sel(triples, "SELECT * WHERE { <d1> !rdf:type ?o . }")
+    assert got.columns == ["o"]
+    # NPS composes with sequence paths: hop then negated hop
+    got = sel(triples, """
+        SELECT ?o WHERE {
+          <d1> dcterms:references/!rdf:type ?o . }""").collect()
+    assert {r.o for r in got} == {"Beta", "d3"}
+    with pytest.raises(SparqlError):
+        sel(triples, "SELECT ?o WHERE { <d1> !(^rdf:type) ?o . }")
+    with pytest.raises(SparqlError):
+        sel(triples, "SELECT ?o WHERE { <d1> !rdf:type* ?o . }")
+    with pytest.raises(SparqlError):
+        sel(triples, "SELECT ?o WHERE { <d1> !(?p) ?o . }")
+
+
+def test_distinct_aggregates(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    got = sel(triples, """
+        SELECT (COUNT(DISTINCT ?t) AS ?n) WHERE {
+          ?d dcterms:title ?t . }""").collect()
+    assert got[0].n == 2
+    # numeric distinct aggregates over planted chapter-like literals
+    spark = triples.sparkSession
+    nums = spark.createDataFrame(
+        [("s1", "p", "2"), ("s1", "p", "2"), ("s1", "p", "4"),
+         ("s2", "p", "10")],
+        "subj string, pred string, obj string") \
+        .selectExpr("subj", "pred", "obj",
+                    "cast(null as string) obj_datatype",
+                    "cast(null as string) obj_lang",
+                    "'ctx' context")
+    got = sel(nums, """
+        SELECT ?s (SUM(DISTINCT ?v) AS ?sum) (AVG(DISTINCT ?v) AS ?avg)
+               (MAX(DISTINCT ?v) AS ?mx)
+        WHERE { ?s <p> ?v . } GROUP BY ?s ORDER BY ?s""").collect()
+    assert [(r.s, r.sum, r.avg, r.mx) for r in got] == [
+        ("s1", 6.0, 3.0, "4"), ("s2", 10.0, 10.0, "10")]
+    with pytest.raises(SparqlError):
+        sel(nums, "SELECT (SUM(*) AS ?x) WHERE { ?s <p> ?v . }")
