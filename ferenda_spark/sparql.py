@@ -79,11 +79,14 @@ the skolemized model has no blank nodes, so the bounded description
 is the resource's outgoing triples), DISTINCT inside aggregates
 (COUNT/SUM/AVG; a no-op for MIN/MAX), and negated property sets
 (``!iri`` / ``!(a|b)``, desugared to a variable-predicate scan with a
-NOT-IN filter).  Unsupported (documented, raises SparqlError):
-subqueries, paths over variable predicates, inverse members inside a
-negated property set, path modifiers on a negated property set,
-VALUES UNDEF on an already-bound variable, DESCRIBE <iri> combined
-with a WHERE group.
+NOT-IN filter), and subqueries (``{ SELECT ... }`` evaluated
+independently, projected variables natural-joined with the outer
+bindings; a subquery without FROM inherits the enclosing constant
+graph).  Unsupported (documented, raises SparqlError): paths over
+variable predicates, inverse members inside a negated property set,
+path modifiers on a negated property set, VALUES UNDEF on an
+already-bound variable, DESCRIBE <iri> combined with a WHERE group,
+subqueries inside GRAPH ?var.
 """
 
 from __future__ import annotations
@@ -255,6 +258,12 @@ class _Parser:
 
     def parse(self):
         self._prefixes_decl()
+        return self._select_query(sub=False)
+
+    def _select_query(self, sub=False):
+        """SELECT query body (after any prefix declarations).  With
+        ``sub=True`` this is a subquery: parsing stops at the
+        enclosing ``}`` instead of requiring end-of-input."""
         self.expect("select")
         distinct = False
         if self.peek() and self.peek().lower() == "distinct":
@@ -324,7 +333,7 @@ class _Parser:
             self.expect("by")
             while True:
                 t = self.peek()
-                if t is None or t.lower() in ("limit",):
+                if t is None or t == "}" or t.lower() in ("limit",):
                     break
                 t = self.next()
                 if t.lower() in ("asc", "desc"):
@@ -339,7 +348,7 @@ class _Parser:
         if self.peek() and self.peek().lower() == "limit":
             self.next()
             limit = int(self.next())
-        if self.peek() is not None:
+        if not sub and self.peek() is not None:
             raise SparqlError("trailing tokens at %r" % self.peek())
         return {"select": sel, "distinct": distinct, "group": group,
                 "from": from_ctx, "groupby": groupby, "order": order,
@@ -358,6 +367,14 @@ class _Parser:
             if t.lower() == "optional":
                 self.next()
                 items.append(("optional", self.group()))
+            elif (t == "{" and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1].lower() == "select"):
+                # subquery { SELECT ... }: evaluated independently,
+                # projected variables join the outer bindings
+                self.next()
+                ast = self._select_query(sub=True)
+                self.expect("}")
+                items.append(("subquery", ast))
             elif t == "{":
                 # nested group — possibly a UNION chain:
                 # { A } UNION { B } UNION { C }
@@ -939,6 +956,12 @@ def _compile_group(triples: DataFrame, items, ctx=None,
                                   "is not supported")
             scan = _path_scan(triples, payload, ctx)
             plan = _join(plan, scan, "inner")
+        elif kind == "subquery":
+            if ctx_var is not None:
+                raise SparqlError("subquery inside GRAPH ?var is "
+                                  "not supported")
+            sub = _run_select(triples, payload, outer_ctx=ctx)
+            plan = _join(plan, sub, "inner")
         elif kind == "graph":
             g_ctx, g_items = payload
             if isinstance(g_ctx, _Var):
@@ -1199,7 +1222,15 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     SELECT order; unbound OPTIONAL variables are NULL, matching SPARQL
     semantics)."""
     ast = _Parser(_tokenize(query)).parse()
-    plan = _compile_group(triples, ast["group"], ctx=ast["from"])
+    return _run_select(triples, ast)
+
+
+def _run_select(triples: DataFrame, ast, outer_ctx=None) -> DataFrame:
+    """Execute a parsed SELECT ast; also the subquery evaluator (a
+    subquery without its own FROM inherits the enclosing constant
+    graph context, per SPARQL's dataset scoping)."""
+    ctx = ast["from"] if ast["from"] is not None else outer_ctx
+    plan = _compile_group(triples, ast["group"], ctx=ctx)
     plan = plan.drop("__exists")
     order_cols = [F.col(v).asc() if asc else F.col(v).desc()
                   for v, asc in ast["order"]]

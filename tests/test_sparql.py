@@ -671,3 +671,27 @@ def test_distinct_aggregates(triples):
         ("s1", 6.0, 3.0, "4"), ("s2", 10.0, 10.0, "10")]
     with pytest.raises(SparqlError):
         sel(nums, "SELECT (SUM(*) AS ?x) WHERE { ?s <p> ?v . }")
+
+
+def test_subquery_aggregate_join(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    got = sel(triples, """
+        SELECT ?doc ?title ?n WHERE {
+          ?doc dcterms:title ?title .
+          { SELECT ?doc (COUNT(?o) AS ?n) WHERE {
+              ?doc !rdf:type ?o . } GROUP BY ?doc }
+        } ORDER BY ?doc""").collect()
+    assert [(r.doc, r.title, r.n) for r in got] == [
+        ("d1", "Alpha", 3), ("d2", "Beta", 2), ("d3", "Alpha", 1)]
+
+
+def test_subquery_limit_scopes_inside(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    got = sel(triples, """
+        SELECT ?doc ?title WHERE {
+          { SELECT ?doc WHERE { ?doc a bibo:Document . }
+            ORDER BY ?doc LIMIT 2 }
+          ?doc dcterms:title ?title .
+        } ORDER BY ?doc""").collect()
+    assert [(r.doc, r.title) for r in got] == [("d1", "Alpha"),
+                                               ("d2", "Beta")]
