@@ -129,3 +129,41 @@ def run_stage(pages: DataFrame, store_dir: str, stage: str,
         ["error"] if "error" in out.columns else []))
     write_entries(done, store_dir, stage, time.time() - t0)
     return spark.read.parquet(out_path)
+
+
+def run_stage_atomic(pages: DataFrame, store_dir: str, stage: str,
+                     transform, source_col: str = "html"):
+    """:func:`run_stage` with the checkpoint protocol upgraded to a
+    single atomic snapshot commit (snaptable.py): the output table IS
+    the entries table — pending work anti-joins against the distinct
+    ``(url, input_fingerprint)`` pairs already in the committed
+    outputs (quarantined rows, ``error`` non-null, stay pending and
+    retry).  Because there is only ONE commit, the crash window of the
+    two-write protocol (outputs landed, entries not) disappears: a
+    kill anywhere before the metadata publish leaves the table
+    byte-identical and the whole batch simply re-runs, with no
+    duplicate output rows ever visible.  Downstream stages can consume
+    exactly the delta via ``table.incremental(spark, prev, new)``.
+
+    Returns ``(full_output_df, table, snapshot-or-None)`` —
+    ``snapshot`` is None when there was no pending work (no empty
+    commits)."""
+    from ..snaptable import SnapshotTable
+
+    spark = pages.sparkSession
+    tab = SnapshotTable(os.path.join(store_dir, stage + "_snap"))
+    fp = fingerprinted(pages, source_col)
+    if tab.exists():
+        prior = tab.read(spark)
+        ok = prior if "error" not in prior.columns \
+            else prior.where(F.col("error").isNull())
+        done = ok.select("url", "input_fingerprint").distinct()
+        todo = fp.join(done, ["url", "input_fingerprint"], "left_anti")
+    else:
+        todo = fp
+    out = transform(todo).localCheckpoint()
+    if out.count() == 0:
+        return (tab.read(spark) if tab.exists() else out), tab, None
+    snap = (tab.append(out) if tab.exists()
+            else tab.create(out, stats_cols=("url",)))
+    return tab.read(spark), tab, snap

@@ -201,3 +201,55 @@ def test_partitioned_writes(spark, tmpdir):
                   if d.startswith("b=")) == ["b=0", "b=1", "b=2", "b=3"]
     got = t.read(spark)
     assert got.count() == 40 and "b" in got.columns
+
+
+# --------------------------- snapshot-backed resumable stage (I1/S5)
+
+def _pages_df(spark, rows):
+    import datetime
+    ts = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(u, ts, c.encode(), c, "en") for u, c in rows],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+
+
+def test_run_stage_atomic_resumes_and_deltas(spark, tmpdir):
+    from ferenda_spark.operators.incremental import run_stage_atomic
+
+    calls = spark.sparkContext.accumulator(0)
+
+    def transform(todo):
+        def bump(rows):
+            for r in rows:
+                calls.add(1)
+                yield (r.url, r.input_fingerprint, r.text.upper())
+        return spark.createDataFrame(
+            todo.rdd.mapPartitions(bump),
+            "url string, input_fingerprint string, out string")
+
+    pages = _pages_df(spark, [("u1", "aa"), ("u2", "bb"), ("u3", "cc")])
+    full, tab, s1 = run_stage_atomic(pages, tmpdir, "up", transform)
+    assert full.count() == 3 and s1["summary"]["added_rows"] == 3
+    assert calls.value == 3
+
+    # identical rerun: zero rework, no empty commit
+    full, tab, s2 = run_stage_atomic(pages, tmpdir, "up", transform)
+    assert s2 is None and calls.value == 3 and full.count() == 3
+    assert len(tab.history()) == 1
+
+    # one changed page + one new page -> exactly those two reprocess,
+    # and the commit's incremental delta is exactly their output
+    pages2 = _pages_df(spark, [("u1", "aa"), ("u2", "BB2"),
+                               ("u3", "cc"), ("u4", "dd")])
+    full, tab, s3 = run_stage_atomic(pages2, tmpdir, "up", transform)
+    assert calls.value == 5
+    assert s3["summary"]["added_rows"] == 2
+    delta = tab.incremental(spark, s1["snapshot_id"],
+                            s3["snapshot_id"])
+    assert {(r.url, r.out) for r in delta.collect()} == {
+        ("u2", "BB2"), ("u4", "DD")}
+    # the stale u2 row is still in the table (append-only outputs);
+    # pending selection keys on (url, fingerprint) so it never
+    # causes rework — compaction is overwrite()/merge() territory
+    assert full.where("url = 'u2'").count() == 2
