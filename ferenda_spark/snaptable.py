@@ -288,6 +288,26 @@ class SnapshotTable:
                                       tuple(meta["stats_cols"]))]
         return self._commit(meta, "merge", carried, added)
 
+    def compact(self, spark: SparkSession,
+                min_units: int = 2) -> dict | None:
+        """Small-files maintenance: rewrite the current snapshot's
+        data units into one (logical contents unchanged — the commit
+        is an ``overwrite`` carrying the same rows).  Incremental
+        ingest (run_stage_atomic, streaming batches) accretes one unit
+        per commit; at scale the resulting small-file count degrades
+        scan planning, so periodic compaction is part of the table's
+        lifecycle exactly as in Iceberg's rewrite_data_files.  No-op
+        (returns None) when the table already has fewer than
+        ``min_units`` units."""
+        meta = self._load()
+        snap = self._current_snap(meta)
+        if len(snap["manifest"]) < max(min_units, 2):
+            return None
+        df = self._read_units(spark, meta, snap["manifest"])
+        unit = self._write_unit(df, tuple(meta["partition_by"]),
+                                tuple(meta["stats_cols"]))
+        return self._commit(meta, "compact", [], [unit])
+
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at a prior snapshot (a new metadata
         version — the forward history stays on disk until expired)."""

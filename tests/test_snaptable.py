@@ -253,3 +253,23 @@ def test_run_stage_atomic_resumes_and_deltas(spark, tmpdir):
     # pending selection keys on (url, fingerprint) so it never
     # causes rework — compaction is overwrite()/merge() territory
     assert full.where("url = 'u2'").count() == 2
+
+
+def test_compact_bin_packs_units(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 30), stats_cols=("k",))
+    t.append(_batch(spark, 30, 60))
+    t.append(_batch(spark, 60, 90))
+    snap = t.compact(spark)
+    assert snap["operation"] == "compact"
+    assert snap["summary"] == {"added_units": 1, "added_rows": 90,
+                               "total_units": 1, "total_rows": 90}
+    assert sorted(r.k for r in t.read(spark).collect()) == \
+        list(range(90))
+    # bounds survive compaction for future scan pruning
+    assert snap["manifest"][0]["bounds"]["k"] == [0, 89]
+    # already compact -> no-op, no empty commit
+    assert t.compact(spark) is None
+    # old units reclaimed after expiry
+    out = t.expire(keep_last=1)
+    assert out["removed_units"] == 3
