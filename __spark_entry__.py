@@ -1070,6 +1070,32 @@ def _q_snapshot_incremental(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_url_canonical(spark, sf_dir):
+    """Web-corpus URL canonicalization (cleaning.canonical_url): messy
+    URLs planted in closed form — uppercase www authority, default
+    port, duplicate/trailing slashes, tracking params, fragments — are
+    normalized and aggregated per (canonical_url, host).  The oracle
+    states the expected canonical form directly from doc_id, so every
+    rule of the canonicalizer is pinned end-to-end."""
+    from ferenda_spark.operators.cleaning import canonical_url, host_of
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.lit("https://WWW.Host"), (did % 4).cast("string"),
+        F.lit(".Example.org:443//p"), (did % 7).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&id="), (did % 50).cast("string"),
+        F.lit("&gclid=g"),
+        F.when(did % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    pages = (_read(spark, sf_dir, "documents")
+             .select(messy.alias("url")))
+    return (pages
+            .select(canonical_url(F.col("url")).alias("canonical_url"))
+            .withColumn("host", host_of(F.col("canonical_url")))
+            .groupBy("canonical_url", "host")
+            .agg(F.count(F.lit(1)).alias("n_urls"))
+            .orderBy("canonical_url"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1163,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_legal_mentions": _q_legal_mentions,
         "kg_canonical_triples": _q_canonical_triples,
         "kg_snapshot_incremental": _q_snapshot_incremental,
+        "url_canonical": _q_url_canonical,
     }
 
 
@@ -2384,4 +2411,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(regexp_extract(subj, '(\\d+)$', 1) AS BIGINT)
                   % 3 = 0
             GROUP BY pred ORDER BY pred""",
+        "url_canonical": """
+            WITH c AS (
+              SELECT 'https://host' || (doc_id % 4) || '.example.org/p'
+                     || (doc_id % 7) || '?id=' || (doc_id % 50)
+                       AS canonical_url,
+                     'host' || (doc_id % 4) || '.example.org' AS host
+              FROM documents)
+            SELECT canonical_url, host, COUNT(*) AS n_urls FROM c
+            GROUP BY canonical_url, host ORDER BY canonical_url""",
     }

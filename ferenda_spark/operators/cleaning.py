@@ -147,3 +147,63 @@ def contaminated(documents: DataFrame, probes: DataFrame,
             .join(F.broadcast(probe_grams), "gram_md5")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+def canonical_url(col):
+    """Canonical form of a web URL as a pure column-expression chain
+    (JVM-side, one scan — the normalize-before-dedup step every
+    Common-Crawl-scale pipeline runs ahead of exact URL dedup):
+
+    * scheme and authority lowercased; ``www.`` prefix dropped;
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped;
+    * duplicate path slashes collapsed, trailing slashes dropped
+      (empty path normalizes to ``/``);
+    * tracking query parameters removed (``utm_*``, ``fbclid``,
+      ``gclid``, ``ref``), remaining parameters kept in order, a
+      now-empty query dropped entirely.
+
+    Non-URL strings (no ``scheme://``) pass through trimmed."""
+    u = F.regexp_replace(F.trim(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?#]+)://", 1))
+    auth = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.when(scheme == "http",
+                  F.regexp_replace(auth, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
+        .otherwise(auth)
+    tail = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(tail, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(tail, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
+    qs = F.concat_ws("&", params)
+    rebuilt = F.concat(
+        scheme, F.lit("://"), auth, path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    return F.when(scheme == "", F.trim(col)).otherwise(rebuilt)
+
+
+def host_of(col):
+    """Registered host of a canonicalized URL (authority minus port) —
+    the partitioning/skew key for per-domain policies (crawl budgets,
+    hot-domain salting, robots rollups)."""
+    auth = F.regexp_extract(col, r"^[^:/?#]+://([^:/?#]*)", 1)
+    return F.when(auth == "", F.lit(None).cast("string")) \
+        .otherwise(auth)
+
+
+def url_host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, n_urls, n_canonical) per host after canonicalization —
+    one hash aggregate; the distinct count is the URL-dedup yield per
+    domain and the skew profile for salting decisions."""
+    canon = pages.select(canonical_url(F.col(url_col)).alias("curl"))
+    return (canon
+            .withColumn("host", host_of(F.col("curl")))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("curl").alias("n_canonical")))

@@ -893,3 +893,39 @@ def test_staged_flagship_resumes_between_stages(spark, tmpdir):
     assert entries3.where("stage = 'triples'").count() \
         == n_triples_entries
     assert n_parsed_ok <= n_pages
+
+
+def test_canonical_url_rules(spark):
+    from ferenda_spark.operators.cleaning import (canonical_url,
+                                                  host_of,
+                                                  url_host_stats)
+    cases = [
+        # www + default port + dup/trailing slashes + tracking + frag
+        ("https://WWW.Ex.org:443//a//b/?utm_source=t&x=1&gclid=g#f",
+         "https://ex.org/a/b?x=1"),
+        ("HTTP://Host.org:80/p?ref=r&utm_campaign=c",
+         "http://host.org/p"),
+        # non-default port survives; param order preserved
+        ("https://ex.org:8443/p?b=2&a=1", "https://ex.org:8443/p?b=2&a=1"),
+        # empty path -> /
+        ("https://ex.org", "https://ex.org/"),
+        # :80 on https is NOT a default port
+        ("https://ex.org:80/p", "https://ex.org:80/p"),
+        # no scheme: passthrough trimmed
+        ("  not-a-url  ", "not-a-url"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    hosts = [r.h for r in df.select(
+        host_of(canonical_url(F.col("url"))).alias("h")).collect()]
+    assert hosts == ["ex.org", "host.org", "ex.org", "ex.org",
+                     "ex.org", None]
+    stats = url_host_stats(spark.createDataFrame(
+        [("https://a.org/x?utm_source=1",), ("http://A.org/x",),
+         ("https://www.a.org/x/",), ("https://b.org/y",)],
+        "url string"))
+    rows = {r.host: (r.n_urls, r.n_canonical) for r in stats.collect()}
+    # http vs https differ; the other two a.org spellings collapse
+    assert rows == {"a.org": (3, 2), "b.org": (1, 1)}
