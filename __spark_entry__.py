@@ -1096,6 +1096,45 @@ def _q_url_canonical(spark, sf_dir):
             .orderBy("canonical_url"))
 
 
+def _q_rdfs_entailed(spark, sf_dir):
+    """RDFS forward chaining (graphs.rdfs_entailment) over the full KG
+    with a planted ontology: a subclass chain (bibo:Document ⊑
+    foaf:Document ⊑ owl:Thing), a sub-property chain (schema:mentions
+    ⊑ dcterms:references ⊑ dcterms:relation), a range
+    (schema:mentions → ex:Entity) and a domain that only re-derives
+    asserted types (dcterms:isPartOf → bibo:DocumentPart — exercises
+    the dedup/anti-join path).  Returns the inferred-only delta
+    aggregated per predicate; inference is per named graph, so a
+    class membership derived in many documents counts once per
+    context (provenance preserved)."""
+    from ferenda_spark.operators.graphs import (RDFS_DOMAIN,
+                                                RDFS_RANGE,
+                                                RDFS_SUBCLASSOF,
+                                                RDFS_SUBPROPERTYOF,
+                                                rdfs_entailment)
+    from ferenda_spark import vocab
+    FOAF_DOC = "http://xmlns.com/foaf/0.1/Document"
+    OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
+    ENTITY = "https://example.org/def/Entity"
+    onto = spark.createDataFrame([
+        (vocab.BIBO_DOCUMENT, RDFS_SUBCLASSOF, FOAF_DOC),
+        (FOAF_DOC, RDFS_SUBCLASSOF, OWL_THING),
+        (vocab.BIBO_DOCUMENTPART, RDFS_SUBCLASSOF, OWL_THING),
+        (vocab.SCHEMA_MENTIONS, RDFS_SUBPROPERTYOF,
+         vocab.DCTERMS_REFERENCES),
+        (vocab.DCTERMS_REFERENCES, RDFS_SUBPROPERTYOF,
+         vocab.DCTERMS + "relation"),
+        (vocab.SCHEMA_MENTIONS, RDFS_RANGE, ENTITY),
+        (vocab.DCTERMS_ISPARTOF, RDFS_DOMAIN, vocab.BIBO_DOCUMENTPART),
+    ], "subj string, pred string, obj string")
+    inferred = rdfs_entailment(_triples(spark, sf_dir), onto,
+                               inferred_only=True)
+    return (inferred.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_triples"),
+                 F.countDistinct("subj").alias("n_subjects"))
+            .orderBy("pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1190,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": _q_canonical_triples,
         "kg_snapshot_incremental": _q_snapshot_incremental,
         "url_canonical": _q_url_canonical,
+        "kg_rdfs_entailed": _q_rdfs_entailed,
     }
 
 
@@ -2420,4 +2460,39 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT canonical_url, host, COUNT(*) AS n_urls FROM c
             GROUP BY canonical_url, host ORDER BY canonical_url""",
+        "kg_rdfs_entailed": "WITH " + _F_CTE + """,
+            inf AS (
+              -- rdfs7: mentions ⊑ references (1/doc)
+              SELECT doc_uri AS subj,
+                     'http://purl.org/dc/terms/references' AS pred
+              FROM f
+              -- rdfs7 transitive: mentions ⊑ relation (1/doc)
+              UNION ALL SELECT doc_uri,
+                     'http://purl.org/dc/terms/relation' FROM f
+              -- rdfs7: references ⊑ relation (section + subsection
+              -- mention triples)
+              UNION ALL SELECT doc_uri || '#S' || s,
+                     'http://purl.org/dc/terms/relation' FROM secs
+              UNION ALL SELECT doc_uri || '#S' || s || '.1',
+                     'http://purl.org/dc/terms/relation' FROM subs
+              -- rdfs9: bibo:Document ⊑ foaf:Document and ⊑ owl:Thing
+              UNION ALL SELECT doc_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM f
+              UNION ALL SELECT doc_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' FROM f
+              -- rdfs9: bibo:DocumentPart ⊑ owl:Thing
+              UNION ALL SELECT doc_uri || '#S' || s,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                FROM secs
+              UNION ALL SELECT doc_uri || '#S' || s || '.1',
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                FROM subs
+              -- rdfs3: range(mentions) = ex:Entity, one row per doc
+              -- (inference is per named graph / context)
+              UNION ALL SELECT entity_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                FROM f)
+            SELECT pred, COUNT(*) AS n_triples,
+                   COUNT(DISTINCT subj) AS n_subjects
+            FROM inf GROUP BY pred ORDER BY pred""",
     }

@@ -260,3 +260,145 @@ def citation_pagerank(triples: DataFrame, iterations: int = 10) -> DataFrame:
     edges = (refs.select(F.col("context").alias("src"),
                          F.col("obj").alias("dst")).distinct())
     return pagerank(edges, iterations=iterations)
+
+
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_SUBCLASSOF = RDFS + "subClassOf"
+RDFS_SUBPROPERTYOF = RDFS + "subPropertyOf"
+RDFS_DOMAIN = RDFS + "domain"
+RDFS_RANGE = RDFS + "range"
+
+
+def _transitive(pairs):
+    """Transitive closure of (child, parent) pairs, cycle-safe,
+    self-pairs excluded — driver-side: ontologies are
+    dimension-sized (the reference ships ~10 vocabulary files,
+    documentrepository `ontologies`; thousands of terms at most)."""
+    direct = {}
+    for c, p in pairs:
+        direct.setdefault(c, set()).add(p)
+    closure = []
+    for start in direct:
+        seen, stack = set(), list(direct[start])
+        while stack:
+            n = stack.pop()
+            if n in seen or n == start:
+                continue
+            seen.add(n)
+            stack.extend(direct.get(n, ()))
+        closure.extend((start, a) for a in sorted(seen))
+    return closure
+
+
+def rdfs_entailment(triples: DataFrame, ontology: DataFrame,
+                    inferred_only: bool = False) -> DataFrame:
+    """RDFS forward chaining (the inference step of KG construction;
+    the reference loads its ontologies as rdflib graphs and leaves
+    entailment to the triple store — here it is materialized, the
+    scalable choice: queries stay plain scans instead of per-query
+    reasoning):
+
+    * rdfs9/11 — ``(s type C), C subClassOf* D  ->  (s type D)``
+    * rdfs7/5  — ``(s p o),   p subPropertyOf* q -> (s q o)``
+    * rdfs2    — ``(s p o),   domain(p) = C      -> (s type C)``
+    * rdfs3    — ``(s p o),   range(p)  = C      -> (o type C)``
+
+    Sub-class/property closures are computed driver-side from the
+    (dimension-sized) ontology, then everything is broadcast hash
+    joins against the fact table — no shuffle of the triples.  Domain/
+    range apply AFTER sub-property expansion (a triple inferred via
+    rdfs7 also fires its super-property's domain/range, per the RDFS
+    semantics fixpoint; one pass suffices because the closures are
+    pre-expanded).  Output is distinct; ``inferred_only=True``
+    anti-joins the input away (the delta a triple sink appends)."""
+    spark = triples.sparkSession
+    rows = (ontology.select("subj", "pred", "obj")
+            .where(F.col("pred").isin(
+                RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF,
+                RDFS_DOMAIN, RDFS_RANGE))
+            .collect())
+    sc = _transitive([(r.subj, r.obj) for r in rows
+                      if r.pred == RDFS_SUBCLASSOF])
+    sp = _transitive([(r.subj, r.obj) for r in rows
+                      if r.pred == RDFS_SUBPROPERTYOF])
+    dom = [(r.subj, r.obj) for r in rows if r.pred == RDFS_DOMAIN]
+    rng = [(r.subj, r.obj) for r in rows if r.pred == RDFS_RANGE]
+
+    # every rule branch references the fact table; materialize it once
+    # (localCheckpoint) or the union re-executes the upstream pipeline
+    # per branch — the cluster analogue is entailing over an already
+    # materialized stage table, not a live DAG
+    base = triples.select("subj", "pred", "obj", "obj_datatype",
+                          "obj_lang", "context").localCheckpoint()
+    null_s = F.lit(None).cast("string")
+
+    def _typed(df, subj_col, cls_col):
+        return df.select(
+            F.col(subj_col).alias("subj"),
+            F.lit(vocab.RDF_TYPE).alias("pred"),
+            F.col(cls_col).alias("obj"),
+            null_s.alias("obj_datatype"), null_s.alias("obj_lang"),
+            F.col("context"))
+
+    parts = []
+    # rdfs7: super-property copies (kept for domain/range below too)
+    facts = base
+    if sp:
+        sp_df = spark.createDataFrame(sp, "p string, super string")
+        via_sp = (base.join(F.broadcast(sp_df),
+                            base["pred"] == sp_df["p"])
+                  .select("subj", F.col("super").alias("pred"), "obj",
+                          "obj_datatype", "obj_lang", "context"))
+        parts.append(via_sp)
+        # facts feeds up to three later rules (rdfs9/2/3); cut here so
+        # the broadcast-join branch isn't replayed per rule
+        facts = base.unionByName(via_sp).localCheckpoint()
+    # rdfs9: subclass lift of (both asserted and inferred) types
+    if sc:
+        sc_df = spark.createDataFrame(sc, "cls string, super string")
+        types = facts.where(F.col("pred") == vocab.RDF_TYPE)
+        parts.append(
+            types.join(F.broadcast(sc_df),
+                       types["obj"] == sc_df["cls"])
+            .select("subj", "pred", F.col("super").alias("obj"),
+                    "obj_datatype", "obj_lang", "context"))
+    # rdfs2/3 over the sub-property-expanded facts
+    if dom:
+        dom_df = spark.createDataFrame(dom, "p string, cls string")
+        hit = facts.join(F.broadcast(dom_df),
+                         facts["pred"] == dom_df["p"])
+        parts.append(_typed(hit, "subj", "cls"))
+        if sc:
+            lifted = hit.join(F.broadcast(sc_df),
+                              hit["cls"] == sc_df["cls"])
+            parts.append(_typed(lifted, "subj", "super"))
+    if rng:
+        rng_df = spark.createDataFrame(rng, "p string, cls string")
+        # rdfs3 types the OBJECT: only resource objects qualify (same
+        # IRI-shape convention as catalog.nt_lines — literals carry a
+        # datatype/lang or don't look like absolute IRIs)
+        resources = facts.where(
+            F.col("obj").rlike(r"^https?://\S+$")
+            & F.col("obj_datatype").isNull()
+            & F.col("obj_lang").isNull())
+        hit = resources.join(F.broadcast(rng_df),
+                             resources["pred"] == rng_df["p"])
+        parts.append(_typed(hit, "obj", "cls"))
+        if sc:
+            lifted = hit.join(F.broadcast(sc_df),
+                              hit["cls"] == sc_df["cls"])
+            parts.append(_typed(lifted, "obj", "super"))
+    if not parts:
+        return triples.limit(0) if inferred_only else triples
+    inferred = parts[0]
+    for p in parts[1:]:
+        inferred = inferred.unionByName(p)
+    # the union stacks every branch's partitions; fold them back to
+    # session width before the distinct shuffle (task-count hygiene —
+    # no data movement, coalesce only merges read splits)
+    width = triples.sparkSession.sparkContext.defaultParallelism
+    inferred = inferred.coalesce(width).distinct()
+    if inferred_only:
+        return inferred.join(base, ["subj", "pred", "obj"],
+                             "left_anti")
+    return base.unionByName(inferred).distinct()

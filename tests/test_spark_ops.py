@@ -929,3 +929,42 @@ def test_canonical_url_rules(spark):
     rows = {r.host: (r.n_urls, r.n_canonical) for r in stats.collect()}
     # http vs https differ; the other two a.org spellings collapse
     assert rows == {"a.org": (3, 2), "b.org": (1, 1)}
+
+
+def test_rdfs_entailment_rules(spark):
+    from ferenda_spark.operators.graphs import (RDFS_DOMAIN, RDFS_RANGE,
+                                                RDFS_SUBCLASSOF,
+                                                RDFS_SUBPROPERTYOF,
+                                                rdfs_entailment)
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    onto = spark.createDataFrame([
+        ("C1", RDFS_SUBCLASSOF, "C2"),
+        ("C2", RDFS_SUBCLASSOF, "C3"),
+        ("C3", RDFS_SUBCLASSOF, "C1"),          # cycle — must not hang
+        ("p1", RDFS_SUBPROPERTYOF, "p2"),
+        ("p2", RDFS_SUBPROPERTYOF, "p3"),
+        ("p1", RDFS_DOMAIN, "D"),
+        ("p1", RDFS_RANGE, "R"),
+    ], "subj string, pred string, obj string")
+    base = spark.createDataFrame([
+        ("a", RDF_TYPE, "C1", None, None, "g"),
+        ("x", "p1", "https://ex.org/y", None, None, "g"),
+        ("x", "p1", "just a literal", None, None, "g"),
+    ], "subj string, pred string, obj string, obj_datatype string, "
+       "obj_lang string, context string")
+    inf = {(r.subj, r.pred, r.obj) for r in
+           rdfs_entailment(base, onto, inferred_only=True).collect()}
+    assert inf == {
+        ("a", RDF_TYPE, "C2"), ("a", RDF_TYPE, "C3"),   # rdfs9, cycle-safe
+        ("x", "p2", "https://ex.org/y"), ("x", "p3", "https://ex.org/y"),
+        ("x", "p2", "just a literal"), ("x", "p3", "just a literal"),
+        ("x", RDF_TYPE, "D"),                            # rdfs2
+        ("https://ex.org/y", RDF_TYPE, "R"),             # rdfs3 — IRI only
+    }
+    # full mode = base + inferred, distinct
+    full = rdfs_entailment(base, onto)
+    assert full.count() == 3 + len(inf)
+    # empty ontology: passthrough
+    empty = onto.limit(0)
+    assert rdfs_entailment(base, empty, inferred_only=True).count() == 0
+    assert rdfs_entailment(base, empty).count() == 3
