@@ -82,7 +82,11 @@ is the resource's outgoing triples), DISTINCT inside aggregates
 NOT-IN filter), and subqueries (``{ SELECT ... }`` evaluated
 independently, projected variables natural-joined with the outer
 bindings; a subquery without FROM inherits the enclosing constant
-graph).  Unsupported (documented, raises SparqlError): paths over
+graph), and UPDATE (:func:`sparql_update` — INSERT/DELETE DATA,
+DELETE WHERE, DELETE/INSERT ... WHERE with `;` chaining, the
+triplestore update passthrough; :func:`sparql_update_table` commits
+the result atomically to a snapshot table with time-travel history).
+Unsupported (documented, raises SparqlError): paths over
 variable predicates, inverse members inside a negated property set,
 path modifiers on a negated property set, VALUES UNDEF on an
 already-bound variable, DESCRIBE <iri> combined with a WHERE group,
@@ -1290,7 +1294,16 @@ def sparql_construct(triples: DataFrame, query: str,
     graph preserves IRI-vs-literal, language tags and datatypes — the
     fidelity rdflib graph comparison needs."""
     ast = _Parser(_tokenize(query)).parse_construct()
-    plan = _compile_group(triples, ast["group"]).drop("__exists")
+    return _instantiate_template(triples, ast["template"],
+                                 ast["group"], with_term_meta)
+
+
+def _instantiate_template(triples: DataFrame, template, group,
+                          with_term_meta: bool = False) -> DataFrame:
+    """CONSTRUCT-style template instantiation against a WHERE group —
+    shared by CONSTRUCT and the UPDATE forms (DELETE/INSERT ...
+    WHERE)."""
+    plan = _compile_group(triples, group).drop("__exists")
 
     def meta(term, pfx, dflt):
         if isinstance(term, _Var):
@@ -1302,7 +1315,7 @@ def sparql_construct(triples: DataFrame, query: str,
         return F.lit(dflt).cast("string")
 
     outs = []
-    for s, p, o in ast["template"]:
+    for s, p, o in template:
         pat = plan
         for term in (s, p, o):
             if isinstance(term, _Var):
@@ -1358,3 +1371,186 @@ def construct_annotations(triples: DataFrame, uri: str,
     broadcast-frontier BFS from ``uri`` (O(part-tree depth) rounds)."""
     return sparql_construct(triples, ANNOTATIONS_RQ % {"uri": uri},
                             with_term_meta=with_term_meta)
+
+
+# ------------------------------------------------------------- UPDATE
+
+def _parse_template_block(p: _Parser):
+    p.expect("{")
+    template = []
+    while p.peek() != "}":
+        template.append((p.term(), p.term(), p.term()))
+        if p.peek() == ".":
+            p.next()
+    p.next()
+    return template
+
+
+def _const_rows(template):
+    """Validate an INSERT/DELETE DATA block (ground triples only) and
+    return 6-col rows for the triple schema (default graph, no
+    lang/datatype — typed-literal DATA syntax is not tokenized)."""
+    rows = []
+    for s, p, o in template:
+        if any(isinstance(t, _Var) for t in (s, p, o)):
+            raise SparqlError("DATA blocks take ground triples only")
+        if s.kind != "uri" or p.kind != "uri":
+            raise SparqlError("DATA subject/predicate must be IRIs")
+        rows.append((s.value, p.value, o.value, None, None, None))
+    if not rows:
+        raise SparqlError("empty DATA block")
+    return rows
+
+
+def parse_update(query: str):
+    """Parse a SPARQL UPDATE request into a list of operations:
+    ``("insert_data", rows)`` | ``("delete_data", rows)`` |
+    ``("modify", (delete_template|None, insert_template|None,
+    where_group))``.  Forms: INSERT DATA, DELETE DATA, DELETE WHERE,
+    DELETE {..} [INSERT {..}] WHERE {..}, INSERT {..} WHERE {..};
+    multiple operations chain with ``;``.  Unsupported: GRAPH-scoped
+    blocks, LOAD/CLEAR/DROP (the catalog owns table lifecycle)."""
+    p = _Parser(_tokenize(query))
+    ops = []
+    while True:
+        p._prefixes_decl()
+        t = p.peek()
+        if t is None:
+            break
+        tl = t.lower()
+        if tl == "insert":
+            p.next()
+            if p.peek() and p.peek().lower() == "data":
+                p.next()
+                ops.append(("insert_data",
+                            _const_rows(_parse_template_block(p))))
+            else:
+                ins = _parse_template_block(p)
+                p.expect("where")
+                ops.append(("modify", (None, ins, p.group())))
+        elif tl == "delete":
+            p.next()
+            nxt = p.peek().lower() if p.peek() else ""
+            if nxt == "data":
+                p.next()
+                ops.append(("delete_data",
+                            _const_rows(_parse_template_block(p))))
+            elif nxt == "where":
+                # DELETE WHERE: the group is both pattern and template
+                p.next()
+                group = p.group()
+                tmpl = [pl for k, pl in group if k == "triple"]
+                if not tmpl or any(k != "triple" for k, _ in group):
+                    raise SparqlError(
+                        "DELETE WHERE takes a plain BGP")
+                ops.append(("modify", (tmpl, None, group)))
+            else:
+                dele = _parse_template_block(p)
+                ins = None
+                if p.peek() and p.peek().lower() == "insert":
+                    p.next()
+                    ins = _parse_template_block(p)
+                p.expect("where")
+                ops.append(("modify", (dele, ins, p.group())))
+        else:
+            raise SparqlError("bad update operation %r" % t)
+        if p.peek() == ";":
+            p.next()
+            continue
+        if p.peek() is not None:
+            raise SparqlError("trailing tokens at %r" % p.peek())
+        break
+    if not ops:
+        raise SparqlError("empty update request")
+    return ops
+
+
+_TRIPLE_COLS = ("subj", "pred", "obj", "obj_datatype", "obj_lang",
+                "context")
+
+
+def _delete_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
+    """Remove every graph row matching a delete set on (subj, pred,
+    obj) with null-safe lang/datatype — a deleted triple disappears
+    from EVERY named graph (context is provenance here; the reference
+    scopes deletion by store context at the API level, not per
+    statement)."""
+    r = rows.select(*[F.col(c).alias("__r_" + c)
+                      for c in _TRIPLE_COLS[:5]])
+    cond = [graph["subj"] == r["__r_subj"],
+            graph["pred"] == r["__r_pred"],
+            graph["obj"] == r["__r_obj"],
+            graph["obj_datatype"].eqNullSafe(r["__r_obj_datatype"]),
+            graph["obj_lang"].eqNullSafe(r["__r_obj_lang"])]
+    from functools import reduce
+    return graph.join(r, reduce(lambda a, b: a & b, cond),
+                      "left_anti")
+
+
+def _insert_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
+    """Union rows not already present (set semantics without a
+    whole-graph distinct): null-safe anti-join on all six columns."""
+    from functools import reduce
+    g = graph.select(*[F.col(c).alias("__g_" + c)
+                       for c in _TRIPLE_COLS])
+    cond = [rows[c].eqNullSafe(g["__g_" + c]) for c in _TRIPLE_COLS]
+    new = rows.join(g, reduce(lambda a, b: a & b, cond), "left_anti")
+    return graph.unionByName(new.select(*_TRIPLE_COLS))
+
+
+def sparql_update(triples: DataFrame, query: str) -> DataFrame:
+    """Execute a SPARQL UPDATE against the triples frame and return
+    the updated graph (pure — callers persist via the catalog/
+    snapshot layer; :func:`sparql_update_table` is the committed
+    form).  Each operation's WHERE group is evaluated against the
+    graph state produced by the preceding operations, per SPARQL 1.1
+    Update semantics; within one operation, DELETE happens before
+    INSERT over the same binding set."""
+    spark = triples.sparkSession
+    missing = [c for c in _TRIPLE_COLS if c not in triples.columns]
+    if missing:
+        raise SparqlError("update needs the triple schema; missing %s"
+                          % missing)
+    g = triples.select(*_TRIPLE_COLS)
+    schema = ("subj string, pred string, obj string, "
+              "obj_datatype string, obj_lang string, context string")
+    for kind, payload in parse_update(query):
+        if kind == "insert_data":
+            g = _insert_rows(g, spark.createDataFrame(payload, schema))
+        elif kind == "delete_data":
+            g = _delete_rows(g, spark.createDataFrame(payload, schema))
+        else:
+            dele, ins, group = payload
+            null_s = F.lit(None).cast("string")
+
+            def _rows(template):
+                # the instantiation reads g while the anti-join below
+                # also reads g — materialize the (update-batch-sized)
+                # row set so it's one self-join-free frame
+                return (_instantiate_template(g, template, group,
+                                              with_term_meta=True)
+                        .select("subj", "pred", "obj",
+                                F.col("obj_datatype"),
+                                F.col("obj_lang"),
+                                null_s.alias("context"))
+                        .localCheckpoint())
+
+            g_after = _delete_rows(g, _rows(dele)) if dele else g
+            if ins:
+                g_after = _insert_rows(g_after, _rows(ins))
+            g = g_after
+        # each op reads the previous op's result several times; cut
+        # so chained requests don't replay the whole history per op
+        g = g.localCheckpoint()
+    return g
+
+
+def sparql_update_table(table, spark, query: str) -> dict:
+    """Run :func:`sparql_update` against a snapshot table
+    (snaptable.SnapshotTable) and commit the result as one atomic
+    overwrite — the graph-store update endpoint with history: the
+    prior graph state stays addressable (time travel) and a bad
+    update is a ``rollback()`` away.  Data units are immutable, so
+    the lazy read-modify-write is safe (the new unit is fully written
+    before the commit repoints the table)."""
+    return table.overwrite(sparql_update(table.read(spark), query))

@@ -695,3 +695,63 @@ def test_subquery_limit_scopes_inside(triples):
         } ORDER BY ?doc""").collect()
     assert [(r.doc, r.title) for r in got] == [("d1", "Alpha"),
                                                ("d2", "Beta")]
+
+
+def test_update_insert_delete_data(spark, triples):
+    from ferenda_spark.sparql import sparql_update
+    g = sparql_update(triples, """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        INSERT DATA { <d4> a bibo:Document .
+                      <d4> dcterms:title "Delta" } ;
+        DELETE DATA { <d1> dcterms:title "Alpha" }""")
+    assert g.count() == triples.count() + 2 - 1
+    assert g.where("subj = 'd4'").count() == 2
+    assert g.where("subj = 'd1' and obj = 'Alpha'").count() == 0
+    # inserting an existing triple is a no-op (set semantics);
+    # DELETE DATA matches exact terms only
+    g2 = sparql_update(g, "INSERT DATA { <d4> dcterms:title 'x' }"
+                       .replace("'x'", '"Delta"'))
+    assert g2.count() == g.count()
+    with pytest.raises(SparqlError):
+        sparql_update(triples, "INSERT DATA { ?v a bibo:Document }")
+
+
+def test_update_delete_where_and_modify(spark, triples):
+    from ferenda_spark.sparql import sparql_update
+    # DELETE WHERE: pattern is also the template
+    g = sparql_update(triples, """
+        DELETE WHERE { ?d dcterms:title ?t }""")
+    assert g.where("pred like '%title'").count() == 0
+    assert g.count() == triples.count() - 3
+    # modify: rename predicate across the graph
+    g = sparql_update(triples, """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        DELETE { ?d dcterms:references ?o }
+        INSERT { ?d dcterms:relation ?o }
+        WHERE { ?d dcterms:references ?o }""")
+    assert g.where("pred like '%references'").count() == 0
+    rel = {(r.subj, r.obj) for r in
+           g.where("pred like '%relation'").collect()}
+    assert rel == {("d1", "d2"), ("d2", "d3")}
+    assert g.count() == triples.count()
+    # INSERT ... WHERE only
+    g = sparql_update(triples, """
+        INSERT { ?d a <Thing> } WHERE { ?d a bibo:Document }""")
+    assert g.where("obj = 'Thing'").count() == 3
+
+
+def test_update_table_commits_atomically(spark, triples, tmp_path):
+    from ferenda_spark.snaptable import SnapshotTable
+    from ferenda_spark.sparql import sparql_update_table
+    tab = SnapshotTable(str(tmp_path / "g"))
+    s1 = tab.create(triples, stats_cols=("subj",))
+    s2 = sparql_update_table(tab, spark, """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        DELETE WHERE { ?d dcterms:title ?t }""")
+    assert s2["operation"] == "overwrite"
+    assert tab.read(spark).where("pred like '%title'").count() == 0
+    # history: the pre-update graph is still addressable + revertable
+    assert tab.read(spark,
+                    snapshot_id=s1["snapshot_id"]).count() == 9
+    tab.rollback(s1["snapshot_id"])
+    assert tab.read(spark).where("pred like '%title'").count() == 3
