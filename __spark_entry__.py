@@ -1135,6 +1135,27 @@ def _q_rdfs_entailed(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_sparql_update(spark, sf_dir):
+    """Q12 update passthrough: a chained UPDATE request (DELETE/INSERT
+    predicate rename + INSERT DATA) applied to the doc-triples graph,
+    verified by the per-predicate profile of the updated graph.  The
+    whole rewrite is two anti-joins and a union — no whole-graph
+    distinct."""
+    from ferenda_spark.operators.triples import doc_triples
+    from ferenda_spark.sparql import sparql_update
+    t = doc_triples(_docs(spark, sf_dir))
+    g = sparql_update(t, """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        DELETE { ?d dcterms:subject ?s }
+        INSERT { ?d <https://example.org/def/theme> ?s }
+        WHERE { ?d dcterms:subject ?s } ;
+        INSERT DATA {
+          <https://example.org/res/org/pub0> a <http://xmlns.com/foaf/0.1/Organization>
+        }""")
+    return (g.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1230,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_incremental": _q_snapshot_incremental,
         "url_canonical": _q_url_canonical,
         "kg_rdfs_entailed": _q_rdfs_entailed,
+        "kg_sparql_update": _q_sparql_update,
     }
 
 
@@ -2495,4 +2517,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, COUNT(*) AS n_triples,
                    COUNT(DISTINCT subj) AS n_subjects
             FROM inf GROUP BY pred ORDER BY pred""",
+        "kg_sparql_update":
+            "WITH " + _F_CTE + ", " + _DOC_TRIPLES + """,
+            g AS (
+              SELECT CASE WHEN pred = 'http://purl.org/dc/terms/subject'
+                          THEN 'https://example.org/def/theme'
+                          ELSE pred END AS pred
+              FROM doc_triples
+              UNION ALL
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+            SELECT pred, COUNT(*) AS n FROM g
+            GROUP BY pred ORDER BY pred""",
     }

@@ -57,6 +57,9 @@ HEADLINE = [
     "clean_strip_boilerplate", "clean_repetition_stats",
     "clean_contaminated",
     "kg_sparql_having", "kg_sparql_bind_values",
+    # r3 continuation: snapshot-table commit protocol, web-corpus URL
+    # normalization, RDFS materialization
+    "kg_snapshot_incremental", "url_canonical", "kg_rdfs_entailed",
 ]
 
 
