@@ -1386,17 +1386,40 @@ def _parse_template_block(p: _Parser):
     return template
 
 
-def _const_rows(template):
-    """Validate an INSERT/DELETE DATA block (ground triples only) and
-    return 6-col rows for the triple schema (default graph, no
-    lang/datatype — typed-literal DATA syntax is not tokenized)."""
-    rows = []
-    for s, p, o in template:
-        if any(isinstance(t, _Var) for t in (s, p, o)):
+def _parse_data_quads(p: _Parser):
+    """An INSERT/DELETE DATA block: ground triples, optionally inside
+    ``GRAPH <iri> { ... }`` sub-blocks (quads — our model is
+    context-columned).  Returns 6-col rows; triples outside a GRAPH
+    block get a NULL context (default graph).  Typed-literal DATA
+    syntax is not tokenized (documented)."""
+
+    def _ground(s, pr, o, ctx):
+        if any(isinstance(t, _Var) for t in (s, pr, o)):
             raise SparqlError("DATA blocks take ground triples only")
-        if s.kind != "uri" or p.kind != "uri":
+        if s.kind != "uri" or pr.kind != "uri":
             raise SparqlError("DATA subject/predicate must be IRIs")
-        rows.append((s.value, p.value, o.value, None, None, None))
+        return (s.value, pr.value, o.value, None, None, ctx)
+
+    p.expect("{")
+    rows = []
+    while p.peek() != "}":
+        if p.peek() and p.peek().lower() == "graph":
+            p.next()
+            g = p.term()
+            if isinstance(g, _Var) or g.kind != "uri":
+                raise SparqlError("GRAPH in DATA takes a constant IRI")
+            p.expect("{")
+            while p.peek() != "}":
+                rows.append(_ground(p.term(), p.term(), p.term(),
+                                    g.value))
+                if p.peek() == ".":
+                    p.next()
+            p.next()
+        else:
+            rows.append(_ground(p.term(), p.term(), p.term(), None))
+        if p.peek() == ".":
+            p.next()
+    p.next()
     if not rows:
         raise SparqlError("empty DATA block")
     return rows
@@ -1408,8 +1431,10 @@ def parse_update(query: str):
     ``("modify", (delete_template|None, insert_template|None,
     where_group))``.  Forms: INSERT DATA, DELETE DATA, DELETE WHERE,
     DELETE {..} [INSERT {..}] WHERE {..}, INSERT {..} WHERE {..};
-    multiple operations chain with ``;``.  Unsupported: GRAPH-scoped
-    blocks, LOAD/CLEAR/DROP (the catalog owns table lifecycle)."""
+    multiple operations chain with ``;``.  DATA blocks may scope
+    triples with ``GRAPH <iri> { ... }`` (quads).  Unsupported:
+    GRAPH-scoped templates in the modify form, LOAD/CLEAR/DROP (the
+    catalog owns table lifecycle)."""
     p = _Parser(_tokenize(query))
     ops = []
     while True:
@@ -1422,8 +1447,7 @@ def parse_update(query: str):
             p.next()
             if p.peek() and p.peek().lower() == "data":
                 p.next()
-                ops.append(("insert_data",
-                            _const_rows(_parse_template_block(p))))
+                ops.append(("insert_data", _parse_data_quads(p)))
             else:
                 ins = _parse_template_block(p)
                 p.expect("where")
@@ -1433,8 +1457,7 @@ def parse_update(query: str):
             nxt = p.peek().lower() if p.peek() else ""
             if nxt == "data":
                 p.next()
-                ops.append(("delete_data",
-                            _const_rows(_parse_template_block(p))))
+                ops.append(("delete_data", _parse_data_quads(p)))
             elif nxt == "where":
                 # DELETE WHERE: the group is both pattern and template
                 p.next()
@@ -1471,17 +1494,20 @@ _TRIPLE_COLS = ("subj", "pred", "obj", "obj_datatype", "obj_lang",
 
 def _delete_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
     """Remove every graph row matching a delete set on (subj, pred,
-    obj) with null-safe lang/datatype — a deleted triple disappears
-    from EVERY named graph (context is provenance here; the reference
-    scopes deletion by store context at the API level, not per
-    statement)."""
+    obj) with null-safe lang/datatype.  A delete row with a NULL
+    context removes the triple from EVERY named graph (context is
+    provenance here; the reference scopes deletion by store context at
+    the API level, not per statement); a GRAPH-scoped delete row
+    removes it from that graph only."""
     r = rows.select(*[F.col(c).alias("__r_" + c)
-                      for c in _TRIPLE_COLS[:5]])
+                      for c in _TRIPLE_COLS])
     cond = [graph["subj"] == r["__r_subj"],
             graph["pred"] == r["__r_pred"],
             graph["obj"] == r["__r_obj"],
             graph["obj_datatype"].eqNullSafe(r["__r_obj_datatype"]),
-            graph["obj_lang"].eqNullSafe(r["__r_obj_lang"])]
+            graph["obj_lang"].eqNullSafe(r["__r_obj_lang"]),
+            r["__r_context"].isNull()
+            | (graph["context"] == r["__r_context"])]
     from functools import reduce
     return graph.join(r, reduce(lambda a, b: a & b, cond),
                       "left_anti")

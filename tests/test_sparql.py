@@ -755,3 +755,24 @@ def test_update_table_commits_atomically(spark, triples, tmp_path):
                     snapshot_id=s1["snapshot_id"]).count() == 9
     tab.rollback(s1["snapshot_id"])
     assert tab.read(spark).where("pred like '%title'").count() == 3
+
+
+def test_update_graph_scoped_data(spark, triples):
+    from ferenda_spark.sparql import sparql_update
+    g = sparql_update(triples, """
+        INSERT DATA {
+          GRAPH <g2> { <d7> a bibo:Document . <d7> dcterms:title "G" }
+          <d8> a bibo:Document
+        }""")
+    rows = {(r.subj, r.context) for r in
+            g.where("subj in ('d7','d8')").collect()}
+    assert rows == {("d7", "g2"), ("d8", None)}
+    assert g.where("subj = 'd7'").count() == 2
+    # GRAPH-scoped delete only touches that graph; the same triple
+    # asserted in ctx stays
+    g2 = sparql_update(g, """
+        DELETE DATA { GRAPH <g2> { <d7> dcterms:title "G" } }""")
+    assert g2.where("subj = 'd7'").count() == 1
+    # default-graph delete removes from every graph
+    g3 = sparql_update(g, "DELETE DATA { <d2> dcterms:title \"Beta\" }")
+    assert g3.where("subj = 'd2' and obj = 'Beta'").count() == 0
