@@ -173,3 +173,33 @@ def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n_events"))
+
+
+def run_streaming_ingest_atomic(spark: SparkSession, input_dir: str,
+                                store_dir: str, transform,
+                                stage: str = "parse") -> None:
+    """:func:`run_streaming_ingest` with the per-batch checkpoint
+    upgraded to the single-commit snapshot protocol
+    (operators.incremental.run_stage_atomic): each micro-batch lands
+    as ONE atomic snapshot commit, so the three dedup layers compose —
+    stream-source offsets skip consumed files, the snapshot commit is
+    all-or-nothing (a kill mid-batch leaves no partial outputs to
+    reconcile), and the fingerprint anti-join skips re-delivered page
+    contents.  The output table additionally carries per-batch
+    history: ``table.incremental(prev, new)`` hands downstream exactly
+    one micro-batch's rows."""
+    from .operators.incremental import run_stage_atomic
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        run_stage_atomic(df, store_dir, stage, transform)
+
+    q = (stream_pages(spark, input_dir)
+         .writeStream
+         .foreachBatch(_batch)
+         .option("checkpointLocation",
+                 os.path.join(store_dir, "_stream_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -228,3 +228,39 @@ def test_windowed_event_counts_batch_semantics(spark):
     assert got == {(10, "click"): 2, (10, "view"): 1,
                    (11, "click"): 1, (11, "view"): 1,
                    (12, "view"): 1}
+
+
+def test_streaming_ingest_atomic_snapshot_per_batch(spark, tmpdir):
+    """Each micro-batch = one atomic snapshot commit; re-delivered
+    content is skipped by the fingerprint anti-join against the
+    committed outputs, and the table's history hands downstream
+    exactly the per-batch delta."""
+    from ferenda_spark.snaptable import SnapshotTable
+    from ferenda_spark.streaming import run_streaming_ingest_atomic
+
+    indir = tmpdir + "/in"
+    store = tmpdir + "/store"
+
+    def transform(df):
+        return (df.withColumn("out", F.upper("text"))
+                .select("url", "input_fingerprint", "out"))
+
+    _write_pages_file(spark, indir, [("u1", "aa"), ("u2", "bb")])
+    run_streaming_ingest_atomic(spark, indir, store, transform)
+    tab = SnapshotTable(store + "/parse_snap")
+    assert tab.read(spark).count() == 2
+    h1 = tab.history()
+    assert len(h1) == 1 and h1[0]["added_rows"] == 2
+
+    # u3 new, u2 re-delivered identical -> one-row second snapshot
+    _write_pages_file(spark, indir, [("u3", "cc"), ("u2", "bb")])
+    run_streaming_ingest_atomic(spark, indir, store, transform)
+    h2 = tab.history()
+    assert [h["added_rows"] for h in h2] == [2, 1]
+    delta = tab.incremental(spark, h2[0]["snapshot_id"],
+                            h2[1]["snapshot_id"])
+    assert [(r.url, r.out) for r in delta.collect()] == [("u3", "CC")]
+
+    # nothing new: stream consumes nothing, no empty commit
+    run_streaming_ingest_atomic(spark, indir, store, transform)
+    assert len(tab.history()) == 2
