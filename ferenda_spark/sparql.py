@@ -86,11 +86,13 @@ graph), and UPDATE (:func:`sparql_update` — INSERT/DELETE DATA,
 DELETE WHERE, DELETE/INSERT ... WHERE with `;` chaining, the
 triplestore update passthrough; :func:`sparql_update_table` commits
 the result atomically to a snapshot table with time-travel history).
-Unsupported (documented, raises SparqlError): paths over
-variable predicates, inverse members inside a negated property set,
-path modifiers on a negated property set, VALUES UNDEF on an
-already-bound variable, DESCRIBE <iri> combined with a WHERE group,
-subqueries inside GRAPH ?var.
+VALUES UNDEF follows SPARQL solution
+compatibility (an UNDEF cell joins any binding — generalized join
+with coalesced output).  Unsupported (documented, raises
+SparqlError): paths over variable predicates, inverse members inside
+a negated property set, path modifiers on a negated property set,
+DESCRIBE <iri> combined with a WHERE group, subqueries inside
+GRAPH ?var.
 """
 
 from __future__ import annotations
@@ -996,19 +998,43 @@ def _compile_group(triples: DataFrame, items, ctx=None,
             names, rows = payload
             shared_pre = (set(plan.columns) if plan is not None
                           else set()) & set(names)
-            for row in rows:
-                for name, t in zip(names, row):
-                    if t is None and name in shared_pre:
-                        raise SparqlError(
-                            "VALUES UNDEF on a joined variable is "
-                            "not supported")
+            undef_shared = any(
+                t is None and name in shared_pre
+                for row in rows for name, t in zip(names, row))
             data = [[None if t is None else t.value for t in row]
                     for row in rows]
             vdf = triples.sparkSession.createDataFrame(
                 data, ", ".join("%s string" % n for n in names))
             # inline data is query-text-sized: always the broadcast
             # side of the join
-            plan = _join(plan, F.broadcast(vdf), "inner")
+            if not undef_shared:
+                plan = _join(plan, F.broadcast(vdf), "inner")
+            else:
+                # SPARQL solution compatibility: an UNDEF cell (and an
+                # unbound plan variable) is compatible with anything —
+                # generalized join condition instead of strict
+                # equality, merged binding = coalesce of the two sides
+                v2 = vdf.select(*[F.col(n).alias("__v_" + n)
+                                  for n in names])
+                cond = None
+                for c in sorted(shared_pre):
+                    this = ((plan[c] == v2["__v_" + c])
+                            | v2["__v_" + c].isNull()
+                            | plan[c].isNull())
+                    cond = this if cond is None else (cond & this)
+                joined = plan.join(F.broadcast(v2), cond, "inner")
+                out_cols = []
+                for c in plan.columns:
+                    if c in shared_pre:
+                        out_cols.append(
+                            F.coalesce(plan[c], v2["__v_" + c])
+                            .alias(c))
+                    else:
+                        out_cols.append(plan[c])
+                for n in names:
+                    if n not in shared_pre:
+                        out_cols.append(v2["__v_" + n].alias(n))
+                plan = joined.select(*out_cols)
         elif kind == "union":
             subs = [_compile_group(triples, b, ctx, ctx_var)
                     for b in payload]

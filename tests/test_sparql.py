@@ -776,3 +776,24 @@ def test_update_graph_scoped_data(spark, triples):
     # default-graph delete removes from every graph
     g3 = sparql_update(g, "DELETE DATA { <d2> dcterms:title \"Beta\" }")
     assert g3.where("subj = 'd2' and obj = 'Beta'").count() == 0
+
+
+def test_values_undef_on_joined_variable(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    # the UNDEF row is a wildcard: it admits every ?d; the bound rows
+    # constrain normally — classic SPARQL solution compatibility
+    got = sel(triples, """
+        SELECT ?d ?t ?grp WHERE {
+          ?d dcterms:title ?t .
+          VALUES (?t ?grp) { ("Beta" "b") (UNDEF "any") }
+        } ORDER BY ?d ?grp""").collect()
+    assert [(r.d, r.t, r.grp) for r in got] == [
+        ("d1", "Alpha", "any"), ("d2", "Beta", "any"),
+        ("d2", "Beta", "b"), ("d3", "Alpha", "any")]
+    # non-shared UNDEF still yields NULL binding
+    got = sel(triples, """
+        SELECT ?d ?x WHERE {
+          ?d dcterms:title "Beta" .
+          VALUES ?x { UNDEF <y> }
+        } ORDER BY ?x""").collect()
+    assert [(r.d, r.x) for r in got] == [("d2", None), ("d2", "y")]
