@@ -78,8 +78,9 @@ IN, sources/legal/se/res/sparql/sfs_changes.rq — STRSTARTS(STR(..))
 the skolemized model has no blank nodes, so the bounded description
 is the resource's outgoing triples), DISTINCT inside aggregates
 (COUNT/SUM/AVG; a no-op for MIN/MAX), and negated property sets
-(``!iri`` / ``!(a|b)``, desugared to a variable-predicate scan with a
-NOT-IN filter), and subqueries (``{ SELECT ... }`` evaluated
+(``!iri`` / ``!(a|^b)`` incl. inverse members, ``^!(...)``, and path
+modifiers over the NPS edge set — desugared to variable-predicate
+scans with NOT-IN filters per SPARQL 1.1 §9.1), and subqueries (``{ SELECT ... }`` evaluated
 independently, projected variables natural-joined with the outer
 bindings; a subquery without FROM inherits the enclosing constant
 graph), and UPDATE (:func:`sparql_update` — INSERT/DELETE DATA,
@@ -89,10 +90,9 @@ the result atomically to a snapshot table with time-travel history).
 VALUES UNDEF follows SPARQL solution
 compatibility (an UNDEF cell joins any binding — generalized join
 with coalesced output).  Unsupported (documented, raises
-SparqlError): paths over variable predicates, inverse members inside
-a negated property set, path modifiers on a negated property set,
-DESCRIBE <iri> combined with a WHERE group, subqueries inside
-GRAPH ?var.
+SparqlError): variable predicates under a path modifier (not legal
+SPARQL path syntax either), DESCRIBE <iri> combined with a WHERE
+group, subqueries inside GRAPH ?var.
 """
 
 from __future__ import annotations
@@ -500,36 +500,40 @@ class _Parser:
             self.next()
             inv = True
         if self.peek() == "!":
-            # negated property set !iri / !(iri|iri|...): desugared at
-            # emit time into a variable-predicate scan + NOT IN filter
-            # (forward IRIs only; ^ inside the set unsupported)
+            # negated property set !iri / !(iri|^iri|...): desugared
+            # at emit time into variable-predicate scans + NOT IN
+            # filters (forward and inverse member sets separately, per
+            # SPARQL 1.1 §9.1); a trailing modifier routes through the
+            # path fixpoint machinery over the NPS edge set
             self.next()
-            if inv:
-                raise SparqlError("^!(...) is not supported")
-            iris = []
+            fwd, bwd = [], []
             if self.peek() == "(":
                 self.next()
                 while True:
                     if self.peek() == "^":
-                        raise SparqlError("inverse members in a "
-                                          "negated property set are "
-                                          "not supported")
-                    iris.append(self.term())
+                        self.next()
+                        bwd.append(self.term())
+                    else:
+                        fwd.append(self.term())
                     if self.peek() == "|":
                         self.next()
                         continue
                     break
                 self.expect(")")
             else:
-                iris.append(self.term())
+                fwd.append(self.term())
             if any(not isinstance(t, _Const) or t.kind != "uri"
-                   for t in iris):
+                   for t in fwd + bwd):
                 raise SparqlError("negated property set needs "
                                   "constant IRIs")
+            if inv:
+                # ^!(F|^B) over (s,o) == !(B|^F) over (s,o) with the
+                # member sets swapped
+                fwd, bwd = bwd, fwd
+            mod = None
             if self.peek() in ("*", "+", "?"):
-                raise SparqlError("path modifier on a negated "
-                                  "property set is not supported")
-            return ("nps", iris)
+                mod = self.next()
+            return ("nps", fwd, bwd, mod)
         t = self.term()
         mod = None
         if self.peek() in ("*", "+", "?"):
@@ -543,9 +547,23 @@ class _Parser:
     def _emit_path(self, s, path, o, items):
         kind = path[0]
         if kind == "nps":
-            pv = self._fresh_var()
-            items.append(("triple", (s, pv, o)))
-            items.append(("filter", ("in", pv, path[1], True)))
+            _, fwd, bwd, mod = path
+            if mod:
+                items.append(("path", (s, ("nps", fwd, bwd), mod, o)))
+                return
+            branches = []
+            if fwd:
+                pv = self._fresh_var()
+                branches.append([("triple", (s, pv, o)),
+                                 ("filter", ("in", pv, fwd, True))])
+            if bwd:
+                pv = self._fresh_var()
+                branches.append([("triple", (o, pv, s)),
+                                 ("filter", ("in", pv, bwd, True))])
+            if len(branches) == 1:
+                items.extend(branches[0])
+            else:
+                items.append(("union", branches))
         elif kind == "patom":
             _, t, inv, mod = path
             subj, obj = (o, s) if inv else (s, o)
@@ -827,6 +845,24 @@ def _path_edges(triples: DataFrame, p, ctx) -> DataFrame:
     df = triples
     if ctx is not None and "context" in triples.columns:
         df = df.where(F.col("context") == ctx.value)
+    if isinstance(p, tuple) and p[0] == "nps":
+        # negated-property-set edge relation under a path modifier:
+        # forward edges whose pred is outside the forward member set,
+        # plus reversed edges whose pred is outside the inverse set
+        _, fwd, bwd = p
+        parts = []
+        if fwd:
+            parts.append(df.where(~F.col("pred").isin(
+                [t.value for t in fwd])).select("subj", "obj"))
+        if bwd:
+            parts.append(df.where(~F.col("pred").isin(
+                [t.value for t in bwd]))
+                .select(F.col("obj").alias("subj"),
+                        F.col("subj").alias("obj")))
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out.distinct().localCheckpoint()
     return (df.where(F.col("pred") == p.value)
             .select("subj", "obj").distinct().localCheckpoint())
 

@@ -640,11 +640,34 @@ def test_negated_property_set(triples):
           <d1> dcterms:references/!rdf:type ?o . }""").collect()
     assert {r.o for r in got} == {"Beta", "d3"}
     with pytest.raises(SparqlError):
-        sel(triples, "SELECT ?o WHERE { <d1> !(^rdf:type) ?o . }")
-    with pytest.raises(SparqlError):
-        sel(triples, "SELECT ?o WHERE { <d1> !rdf:type* ?o . }")
-    with pytest.raises(SparqlError):
         sel(triples, "SELECT ?o WHERE { <d1> !(?p) ?o . }")
+
+
+def test_negated_property_set_inverse_and_modifier(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    # inverse member: ^dcterms:title negated -> backward edges into
+    # d9 via any predicate except title (only owl:sameAs qualifies)
+    got = sel(triples, """
+        SELECT ?x WHERE { <d9> !(^dcterms:title) ?x . }""").collect()
+    assert {r.x for r in got} == {"d1"}
+    # mixed set: forward non-title edges from d1, plus backward
+    # non-type edges into d1 (none exist)
+    got = sel(triples, """
+        SELECT ?o WHERE { <d1> !(dcterms:title|^rdf:type) ?o . }
+        """).collect()
+    assert {r.o for r in got} == {BIBO_DOC, "d2", "d9"}
+    # ^!(...) swaps the member sets: same solutions as above with the
+    # endpoints flipped
+    got = sel(triples, """
+        SELECT ?o WHERE { ?o ^!(dcterms:title|^rdf:type) <d1> . }
+        """).collect()
+    assert {r.o for r in got} == {BIBO_DOC, "d2", "d9"}
+    # path modifier over the NPS edge set: everything reachable from
+    # d1 over non-type edges, zero-length included
+    got = sel(triples, """
+        SELECT ?o WHERE { <d1> !rdf:type* ?o . }""").collect()
+    assert {r.o for r in got} == {"d1", "Alpha", "d2", "d9", "Beta",
+                                  "d3"}
 
 
 def test_distinct_aggregates(triples):
