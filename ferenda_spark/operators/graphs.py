@@ -402,3 +402,18 @@ def rdfs_entailment(triples: DataFrame, ontology: DataFrame,
         return inferred.join(base, ["subj", "pred", "obj"],
                              "left_anti")
     return base.unionByName(inferred).distinct()
+
+
+def ontology_from_turtle(spark, text: str) -> DataFrame:
+    """Load an ontology for :func:`rdfs_entailment` from Turtle source
+    (the reference ships its vocabularies as .ttl files,
+    ferenda/res/vocab/ — DocumentRepository.ontologies loads them with
+    rdflib; turtle.parse_turtle is the stdlib-only reader).  Only the
+    schema triples matter downstream; literal objects are carried as
+    their lexical form."""
+    from ..turtle import parse_turtle
+    rows = []
+    for s, p, o in sorted(parse_turtle(text)):
+        rows.append((s, p, o[1]))
+    return spark.createDataFrame(rows,
+                                 "subj string, pred string, obj string")

@@ -968,3 +968,37 @@ def test_rdfs_entailment_rules(spark):
     empty = onto.limit(0)
     assert rdfs_entailment(base, empty, inferred_only=True).count() == 0
     assert rdfs_entailment(base, empty).count() == 3
+
+
+def test_rdfs_entailment_is_batch_local(spark):
+    """The scale property behind incremental entailment: every RDFS
+    rule here is per-row local (closures are pre-expanded, no
+    fact-fact joins), so entailing a delta batch alone equals the
+    delta of entailing the whole corpus — new snapshots can be
+    entailed without touching prior data."""
+    from ferenda_spark.operators.graphs import (RDFS_SUBCLASSOF,
+                                                RDFS_SUBPROPERTYOF,
+                                                ontology_from_turtle,
+                                                rdfs_entailment)
+    onto = ontology_from_turtle(spark, """
+        @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        @prefix ex: <http://ex.org/> .
+        ex:C1 rdfs:subClassOf ex:C2 .
+        ex:p1 rdfs:subPropertyOf ex:p2 .
+    """)
+    assert {(r.subj, r.pred) for r in onto.collect()} == {
+        ("http://ex.org/C1", RDFS_SUBCLASSOF),
+        ("http://ex.org/p1", RDFS_SUBPROPERTYOF)}
+    schema = ("subj string, pred string, obj string, obj_datatype "
+              "string, obj_lang string, context string")
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    b1 = spark.createDataFrame(
+        [("a", RDF_TYPE, "http://ex.org/C1", None, None, "g1")], schema)
+    b2 = spark.createDataFrame(
+        [("x", "http://ex.org/p1", "y", None, None, "g2")], schema)
+    whole = rdfs_entailment(b1.unionByName(b2), onto,
+                            inferred_only=True)
+    per_batch = rdfs_entailment(b1, onto, inferred_only=True) \
+        .unionByName(rdfs_entailment(b2, onto, inferred_only=True))
+    assert {tuple(r) for r in whole.collect()} == \
+        {tuple(r) for r in per_batch.collect()}
