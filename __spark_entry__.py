@@ -1156,6 +1156,41 @@ def _q_sparql_update(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_sparql_describe(spark, sf_dir):
+    """Q12 DESCRIBE: concise bounded descriptions of every publisher
+    resource mentioned with dcterms:publisher — variable form with a
+    WHERE group, one broadcast semi-join (sparql.sparql_describe)."""
+    from ferenda_spark.operators.triples import doc_triples
+    from ferenda_spark.sparql import sparql_describe
+    t = doc_triples(_docs(spark, sf_dir))
+    # describe the DOCUMENTS of publisher pub0 (bounded description =
+    # their outgoing triples), aggregated per predicate
+    d = sparql_describe(t, """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        DESCRIBE ?d WHERE {
+          ?d dcterms:publisher <https://example.org/res/org/pub0>
+        }""")
+    return (d.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("pred"))
+
+
+def _q_sparql_subquery(spark, sf_dir):
+    """Q12 subquery: per-document outgoing-edge counts computed in an
+    inner SELECT, joined to the outer title binding — the SPARQL
+    shape of a correlated rollup, compiled to one groupBy + one
+    natural join."""
+    from ferenda_spark.operators.triples import doc_triples
+    from ferenda_spark.sparql import sparql_select
+    t = doc_triples(_docs(spark, sf_dir))
+    return sparql_select(t, """
+        PREFIX dcterms: <http://purl.org/dc/terms/>
+        SELECT ?title ?n WHERE {
+          ?d dcterms:title ?title .
+          { SELECT ?d (COUNT(?o) AS ?n) WHERE {
+              ?d !(rdf:type) ?o . } GROUP BY ?d }
+        } ORDER BY ?title""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1252,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "kg_rdfs_entailed": _q_rdfs_entailed,
         "kg_sparql_update": _q_sparql_update,
+        "kg_sparql_describe": _q_sparql_describe,
+        "kg_sparql_subquery": _q_sparql_subquery,
     }
 
 
@@ -2528,4 +2565,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
             SELECT pred, COUNT(*) AS n FROM g
             GROUP BY pred ORDER BY pred""",
+        "kg_sparql_describe":
+            "WITH " + _F_CTE + ", " + _DOC_TRIPLES + """
+            SELECT pred, COUNT(*) AS n FROM doc_triples
+            WHERE CAST(regexp_extract(subj, '(\\d+)$', 1) AS BIGINT)
+                  % 7 = 0
+            GROUP BY pred ORDER BY pred""",
+        "kg_sparql_subquery": "WITH " + _F_CTE + """
+            SELECT 'Document ' || doc_id AS title,
+                   CAST(7 + CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0
+                            END AS BIGINT) AS n
+            FROM f ORDER BY title""",
     }
