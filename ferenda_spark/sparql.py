@@ -449,9 +449,21 @@ class _Parser:
                 items.append(("values", (names, rows)))
             elif t.lower() == "filter":
                 self.next()
-                self.expect("(")
-                items.append(("filter", self.expr()))
-                self.expect(")")
+                nxt = self.peek().lower() if self.peek() else ""
+                if nxt in ("exists", "not"):
+                    # FILTER [NOT] EXISTS { group } — no parens form
+                    neg = nxt == "not"
+                    self.next()
+                    if neg:
+                        self.expect("exists")
+                    items.append(("exists", (neg, self.group())))
+                else:
+                    self.expect("(")
+                    items.append(("filter", self.expr()))
+                    self.expect(")")
+            elif t.lower() == "minus":
+                self.next()
+                items.append(("minus", self.group()))
             else:
                 s = self.term()
                 while True:                      # `;` predicate lists
@@ -1004,6 +1016,38 @@ def _compile_group(triples: DataFrame, items, ctx=None,
                                   "not supported")
             sub = _run_select(triples, payload, outer_ctx=ctx)
             plan = _join(plan, sub, "inner")
+        elif kind == "exists":
+            # FILTER [NOT] EXISTS { group }: a semi/anti join of the
+            # current bindings against the sub-group on shared
+            # variables (equi semantics: an unbound/NULL shared var
+            # never matches — documented simplification of SPARQL's
+            # substitution rule, exact for bound bindings)
+            neg, sub_items = payload
+            if plan is None:
+                raise SparqlError("FILTER EXISTS cannot open a group")
+            sub = _compile_group(triples, sub_items, ctx,
+                                 ctx_var).drop("__exists")
+            shared = [c for c in plan.columns
+                      if c in sub.columns and not c.startswith("__")]
+            if shared:
+                plan = plan.join(sub.select(*shared), shared,
+                                 "left_anti" if neg else "left_semi")
+            else:
+                # no shared variables: the sub-group is a global
+                # existence test
+                if (sub.limit(1).count() > 0) == neg:
+                    plan = plan.limit(0)
+        elif kind == "minus":
+            if plan is None:
+                raise SparqlError("MINUS cannot open a group")
+            sub = _compile_group(triples, payload, ctx,
+                                 ctx_var).drop("__exists")
+            shared = [c for c in plan.columns
+                      if c in sub.columns and not c.startswith("__")]
+            # SPARQL §8.3.3: disjoint variable domains remove nothing
+            if shared:
+                plan = plan.join(sub.select(*shared), shared,
+                                 "left_anti")
         elif kind == "graph":
             g_ctx, g_items = payload
             if isinstance(g_ctx, _Var):

@@ -820,3 +820,45 @@ def test_values_undef_on_joined_variable(triples):
           VALUES ?x { UNDEF <y> }
         } ORDER BY ?x""").collect()
     assert [(r.d, r.x) for r in got] == [("d2", None), ("d2", "y")]
+
+
+def test_filter_exists_and_not_exists(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    # docs that reference something
+    got = sel(triples, """
+        SELECT ?d WHERE {
+          ?d a bibo:Document .
+          FILTER EXISTS { ?d dcterms:references ?x }
+        }""").collect()
+    assert {r.d for r in got} == {"d1", "d2"}
+    # docs nothing references (roots)
+    got = sel(triples, """
+        SELECT ?d WHERE {
+          ?d a bibo:Document .
+          FILTER NOT EXISTS { ?x dcterms:references ?d }
+        }""").collect()
+    assert {r.d for r in got} == {"d1"}
+    # no shared vars: global existence gate
+    got = sel(triples, """
+        SELECT ?d WHERE {
+          ?d a bibo:Document .
+          FILTER NOT EXISTS { ?a owl:sameAs ?b }
+        }""")
+    assert got.count() == 0
+
+
+def test_minus(triples):
+    from ferenda_spark.sparql import sparql_select as sel
+    got = sel(triples, """
+        SELECT ?d WHERE {
+          ?d a bibo:Document .
+          MINUS { ?d dcterms:title "Alpha" }
+        }""").collect()
+    assert {r.d for r in got} == {"d2"}
+    # disjoint domains: MINUS removes nothing (SPARQL 1.1 §8.3.3)
+    got = sel(triples, """
+        SELECT ?d WHERE {
+          ?d a bibo:Document .
+          MINUS { ?x dcterms:title "Alpha" }
+        }""")
+    assert got.count() == 3
