@@ -89,7 +89,10 @@ triplestore update passthrough; :func:`sparql_update_table` commits
 the result atomically to a snapshot table with time-travel history).
 VALUES UNDEF follows SPARQL solution
 compatibility (an UNDEF cell joins any binding — generalized join
-with coalesced output).  Unsupported (documented, raises
+with coalesced output).  FILTER [NOT] EXISTS and MINUS compile to
+semi/anti joins on the shared variables (equi semantics; a disjoint
+MINUS removes nothing per SPARQL 1.1 §8.3.3).  Unsupported
+(documented, raises
 SparqlError): variable predicates under a path modifier (not legal
 SPARQL path syntax either), DESCRIBE <iri> combined with a WHERE
 group, subqueries inside GRAPH ?var.
