@@ -399,8 +399,20 @@ def rdfs_entailment(triples: DataFrame, ontology: DataFrame,
     width = triples.sparkSession.sparkContext.defaultParallelism
     inferred = inferred.coalesce(width).distinct()
     if inferred_only:
-        return inferred.join(base, ["subj", "pred", "obj"],
-                             "left_anti")
+        # the delta is per QUAD: a triple asserted in graph g2 does
+        # not cancel its re-derivation in g1 (context is provenance;
+        # dropping it would also break batch-locality — full-corpus
+        # entailment must equal the union of per-batch entailments)
+        b = base.select(
+            F.col("subj").alias("__b_subj"),
+            F.col("pred").alias("__b_pred"),
+            F.col("obj").alias("__b_obj"),
+            F.col("context").alias("__b_context"))
+        cond = ((inferred["subj"] == b["__b_subj"])
+                & (inferred["pred"] == b["__b_pred"])
+                & (inferred["obj"] == b["__b_obj"])
+                & inferred["context"].eqNullSafe(b["__b_context"]))
+        return inferred.join(b, cond, "left_anti")
     return base.unionByName(inferred).distinct()
 
 

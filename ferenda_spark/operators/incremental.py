@@ -132,18 +132,27 @@ def run_stage(pages: DataFrame, store_dir: str, stage: str,
 
 
 def run_stage_atomic(pages: DataFrame, store_dir: str, stage: str,
-                     transform, source_col: str = "html"):
+                     transform, source_col: str = "html",
+                     retry_errors: bool = False):
     """:func:`run_stage` with the checkpoint protocol upgraded to a
     single atomic snapshot commit (snaptable.py): the output table IS
     the entries table — pending work anti-joins against the distinct
     ``(url, input_fingerprint)`` pairs already in the committed
-    outputs (quarantined rows, ``error`` non-null, stay pending and
-    retry).  Because there is only ONE commit, the crash window of the
-    two-write protocol (outputs landed, entries not) disappears: a
+    outputs.  Because there is only ONE commit, the crash window of
+    the two-write protocol (outputs landed, entries not) disappears: a
     kill anywhere before the metadata publish leaves the table
     byte-identical and the whole batch simply re-runs, with no
     duplicate output rows ever visible.  Downstream stages can consume
     exactly the delta via ``table.incremental(spark, prev, new)``.
+
+    Quarantined rows (``error`` non-null) count as processed by
+    default: a permanently-poisoned page must NOT re-run — and
+    re-commit an identical quarantine row — on every resume, or a
+    scheduled rerun loop grows the table and its snapshot history
+    without bound.  ``retry_errors=True`` opts into re-attempting them
+    (transient-failure recovery), accepting one new quarantine row per
+    retry; either way a page whose CONTENT changes reprocesses, since
+    the fingerprint differs.
 
     Returns ``(full_output_df, table, snapshot-or-None)`` —
     ``snapshot`` is None when there was no pending work (no empty
@@ -155,9 +164,9 @@ def run_stage_atomic(pages: DataFrame, store_dir: str, stage: str,
     fp = fingerprinted(pages, source_col)
     if tab.exists():
         prior = tab.read(spark)
-        ok = prior if "error" not in prior.columns \
-            else prior.where(F.col("error").isNull())
-        done = ok.select("url", "input_fingerprint").distinct()
+        if retry_errors and "error" in prior.columns:
+            prior = prior.where(F.col("error").isNull())
+        done = prior.select("url", "input_fingerprint").distinct()
         todo = fp.join(done, ["url", "input_fingerprint"], "left_anti")
     else:
         todo = fp

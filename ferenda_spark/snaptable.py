@@ -122,21 +122,32 @@ class SnapshotTable:
         return self._current_version() > 0
 
     def _publish(self, meta: dict, expected_version: int) -> None:
-        """Compare-and-swap commit: creating v<expected+1> exclusively
-        IS the atomic commit point; the hint rewrite after it is
-        best-effort (readers recover from the metadata dir)."""
+        """Compare-and-swap commit.  The metadata content is written
+        and fsynced to a hidden temp file FIRST, then linked to
+        v<expected+1> — ``os.link`` is atomic and fails with EEXIST
+        when a concurrent writer won the version race, so the new
+        version either appears complete or not at all (a crash
+        mid-write leaves only an invisible temp file, never a
+        truncated max-version metadata file that would brick every
+        subsequent read).  The hint rewrite after it is best-effort
+        (readers recover from the metadata dir)."""
         meta = {k: v for k, v in meta.items() if not k.startswith("_")}
         mdir = os.path.join(self.path, "metadata")
         os.makedirs(mdir, exist_ok=True)
         target = _meta_path(self.path, expected_version + 1)
+        tmp = os.path.join(mdir, ".tmp-%s" % uuid.uuid4().hex)
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
         except FileExistsError:
             raise CommitConflict(
                 "metadata version %d already published under %s"
                 % (expected_version + 1, self.path))
-        with os.fdopen(fd, "w") as fh:
-            json.dump(meta, fh, indent=1)
+        finally:
+            os.unlink(tmp)
         hint_tmp = os.path.join(mdir, ".hint-%s" % uuid.uuid4().hex)
         with open(hint_tmp, "w") as fh:
             fh.write(str(expected_version + 1))
@@ -170,10 +181,14 @@ class SnapshotTable:
 
     def _snapshot(self, meta: dict, operation: str, units: list,
                   added: list) -> dict:
-        # max over the log, not current+1: after a rollback the undone
-        # snapshots still hold their ids until expired
-        snap_id = 1 + max((s["snapshot_id"] for s in meta["snapshots"]),
-                          default=0)
+        # ids must never be reused, even after rollback + expire drops
+        # snapshots from the log (a caller-stored id resolving to
+        # DIFFERENT data would be silent corruption) — take the max of
+        # the persisted high-water counter and the surviving log
+        snap_id = 1 + max(
+            meta.get("last_snapshot_id", 0),
+            max((s["snapshot_id"] for s in meta["snapshots"]),
+                default=0))
         total = sum(u["row_count"] for u in units)
         return {
             "snapshot_id": snap_id,
@@ -210,6 +225,7 @@ class SnapshotTable:
         snap["manifest"] = units
         new = dict(meta)
         new["current_snapshot_id"] = snap["snapshot_id"]
+        new["last_snapshot_id"] = snap["snapshot_id"]
         new["snapshots"] = meta["snapshots"] + [snap]
         self._publish(new, meta["_version"])
         return snap
@@ -417,11 +433,25 @@ class SnapshotTable:
                  "is_current": s["snapshot_id"] == cur,
                  **s["summary"]} for s in meta["snapshots"]]
 
-    def expire(self, keep_last: int = 1) -> dict:
+    def expire(self, keep_last: int = 1,
+               orphan_grace_s: float = 3600.0) -> dict:
         """Retain the current snapshot's ancestor chain truncated to
         ``keep_last`` entries; drop every other snapshot from the log
-        and delete data directories no retained snapshot references —
-        including orphans from crashed writers that never committed.
+        and reclaim data directories.  Ordering matters for crash
+        safety: the trimmed metadata is PUBLISHED FIRST (and a losing
+        CAS race aborts before anything is deleted), so no committed
+        metadata version ever references deleted files.  Two classes
+        of reclaim after the publish:
+
+        * units referenced only by the just-dropped snapshots — they
+          were committed and are now expired, no writer owns them;
+        * true orphans (referenced by NO snapshot — crashed writers)
+          — deleted only when older than ``orphan_grace_s`` seconds,
+          because an identical-looking directory belongs to a LIVE
+          concurrent writer between its data write and its metadata
+          publish (Iceberg's orphan-file removal uses the same age
+          guard).  Tests pass 0 to reclaim immediately.
+
         Returns counts for the caller's bookkeeping."""
         meta = self._load()
         by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
@@ -431,15 +461,28 @@ class SnapshotTable:
             cur = by_id.get(cur["parent_id"])
         keep_ids = {s["snapshot_id"] for s in keep}
         live_units = {u["unit"] for s in keep for u in s["manifest"]}
-        ddir = os.path.join(self.path, "data")
-        removed = 0
-        for unit in (os.listdir(ddir) if os.path.isdir(ddir) else []):
-            if unit not in live_units:
-                shutil.rmtree(os.path.join(ddir, unit))
-                removed += 1
+        expired_units = {u["unit"] for s in meta["snapshots"]
+                         if s["snapshot_id"] not in keep_ids
+                         for u in s["manifest"]} - live_units
         new = dict(meta)
         new["snapshots"] = [s for s in meta["snapshots"]
                             if s["snapshot_id"] in keep_ids]
-        self._publish(new, meta["_version"])
+        self._publish(new, meta["_version"])   # raises on CAS loss
+        ddir = os.path.join(self.path, "data")
+        removed = 0
+        now = time.time()
+        for unit in (os.listdir(ddir) if os.path.isdir(ddir) else []):
+            if unit in live_units:
+                continue
+            full = os.path.join(ddir, unit)
+            if unit not in expired_units:      # true orphan: age-gate
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < orphan_grace_s:
+                    continue
+            shutil.rmtree(full)
+            removed += 1
         return {"removed_units": removed,
                 "retained_snapshots": len(keep)}

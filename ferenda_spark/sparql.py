@@ -1321,8 +1321,12 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
             raise SparqlError("empty DESCRIBE")
         subjects = spark.createDataFrame(
             [(t.value,) for t in terms], "__desc string")
-    if p.peek() is not None and p.peek().lower() == "where":
-        raise SparqlError("DESCRIBE <iri> takes no WHERE group")
+    if p.peek() is not None:
+        # unconsumed tokens would be silently dropped (a LIMIT here
+        # has no defined CBD semantics; a WHERE after constant IRIs is
+        # the documented unsupported form) — fail loudly like
+        # sparql_select does
+        raise SparqlError("trailing tokens at %r" % p.peek())
     return (triples.join(F.broadcast(subjects),
                          triples["subj"] == subjects["__desc"], "semi")
             .select(*triples.columns))
@@ -1608,18 +1612,29 @@ def _delete_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
     provenance here; the reference scopes deletion by store context at
     the API level, not per statement); a GRAPH-scoped delete row
     removes it from that graph only."""
-    r = rows.select(*[F.col(c).alias("__r_" + c)
-                      for c in _TRIPLE_COLS])
-    cond = [graph["subj"] == r["__r_subj"],
-            graph["pred"] == r["__r_pred"],
-            graph["obj"] == r["__r_obj"],
-            graph["obj_datatype"].eqNullSafe(r["__r_obj_datatype"]),
-            graph["obj_lang"].eqNullSafe(r["__r_obj_lang"]),
-            r["__r_context"].isNull()
-            | (graph["context"] == r["__r_context"])]
     from functools import reduce
-    return graph.join(r, reduce(lambda a, b: a & b, cond),
+
+    def _anti(g, subset, with_ctx):
+        # pure equi/null-safe-equi conditions so Spark plans a HASH
+        # anti-join; an OR over context would force a nested-loop
+        # join — O(|graph| x |deletes|) at the 10^12-row scale the
+        # update path is sized for
+        r = subset.select(*[F.col(c).alias("__r_" + c)
+                            for c in _TRIPLE_COLS])
+        cond = [g["subj"] == r["__r_subj"],
+                g["pred"] == r["__r_pred"],
+                g["obj"] == r["__r_obj"],
+                g["obj_datatype"].eqNullSafe(r["__r_obj_datatype"]),
+                g["obj_lang"].eqNullSafe(r["__r_obj_lang"])]
+        if with_ctx:
+            cond.append(g["context"] == r["__r_context"])
+        return g.join(r, reduce(lambda a, b: a & b, cond),
                       "left_anti")
+
+    out = _anti(graph, rows.where(F.col("context").isNull()),
+                with_ctx=False)
+    return _anti(out, rows.where(F.col("context").isNotNull()),
+                 with_ctx=True)
 
 
 def _insert_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
@@ -1651,7 +1666,10 @@ def sparql_update(triples: DataFrame, query: str) -> DataFrame:
               "obj_datatype string, obj_lang string, context string")
     for kind, payload in parse_update(query):
         if kind == "insert_data":
-            g = _insert_rows(g, spark.createDataFrame(payload, schema))
+            # set semantics also WITHIN the block: a ground triple
+            # written twice inserts once
+            g = _insert_rows(g, spark.createDataFrame(payload, schema)
+                             .distinct())
         elif kind == "delete_data":
             g = _delete_rows(g, spark.createDataFrame(payload, schema))
         else:

@@ -68,7 +68,12 @@ def test_crash_orphan_invisible_then_expired(spark, tmpdir):
     orphan = os.path.join(t.path, "data", "u-deadbeef")
     _batch(spark, 900, 950).write.parquet(orphan)
     assert t.read(spark).count() == 50          # invisible to readers
+    # a FRESH unreferenced dir may belong to a live concurrent writer
+    # between data write and metadata publish: the age guard keeps it
     out = t.expire(keep_last=1)
+    assert out["removed_units"] == 0 and os.path.exists(orphan)
+    # past the grace period it is a crashed writer's leftover
+    out = t.expire(keep_last=1, orphan_grace_s=0)
     assert out["removed_units"] == 1
     assert not os.path.exists(orphan)
     assert t.read(spark).count() == 50
@@ -273,3 +278,53 @@ def test_compact_bin_packs_units(spark, tmpdir):
     # old units reclaimed after expiry
     out = t.expire(keep_last=1)
     assert out["removed_units"] == 3
+
+
+def test_snapshot_ids_never_reused_after_expire(spark, tmpdir):
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    s2 = t.append(_batch(spark, 10, 20))
+    assert s2["snapshot_id"] == 2
+    t.rollback(s1["snapshot_id"])
+    t.expire(keep_last=1, orphan_grace_s=0)     # drops snapshot 2
+    s3 = t.append(_batch(spark, 30, 35))
+    # a caller-stored cursor of 2 must never resolve to new data
+    assert s3["snapshot_id"] == 3
+    with pytest.raises(SnapshotError):
+        t.read(spark, snapshot_id=2)
+
+
+def test_torn_publish_leaves_prior_state_readable(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    # a crashed writer's half-written metadata temp file: readers and
+    # future commits ignore it (only linked v<N>.json files count)
+    mdir = os.path.join(t.path, "metadata")
+    with open(os.path.join(mdir, ".tmp-dead"), "w") as fh:
+        fh.write('{"truncat')
+    assert t.read(spark).count() == 10
+    assert t.append(_batch(spark, 10, 12))["snapshot_id"] == 2
+    assert t.read(spark).count() == 12
+
+
+def test_run_stage_atomic_quarantine_no_rework_loop(spark, tmpdir):
+    from ferenda_spark.operators.incremental import run_stage_atomic
+
+    def transform(todo):
+        return todo.select(
+            "url", "input_fingerprint",
+            F.when(F.col("url") == "bad",
+                   F.lit("boom")).alias("error"))
+
+    pages = _pages_df(spark, [("ok", "aa"), ("bad", "bb")])
+    full, tab, s1 = run_stage_atomic(pages, tmpdir, "q", transform)
+    assert s1["summary"]["added_rows"] == 2
+    # poisoned page does NOT re-run/re-commit on every resume
+    full, tab, s2 = run_stage_atomic(pages, tmpdir, "q", transform)
+    assert s2 is None and len(tab.history()) == 1
+    assert full.where("error is not null").count() == 1
+    # opting into retries re-attempts exactly the quarantined row
+    full, tab, s3 = run_stage_atomic(pages, tmpdir, "q", transform,
+                                     retry_errors=True)
+    assert s3["summary"]["added_rows"] == 1
+    assert full.where("url = 'bad'").count() == 2
