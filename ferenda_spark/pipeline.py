@@ -80,3 +80,40 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parsed_docs(spark, sf_dir).localCheckpoint()
     triples = corpus_triples(spark, docs)
     return faceted_data(triples)
+
+
+def staged_flagship_atomic(spark: SparkSession, sf_dir: str,
+                           store_dir: str):
+    """:func:`staged_flagship` with every stage checkpoint upgraded to
+    the single-commit snapshot protocol (north rule: "every stage
+    checkpoints ... so the DAG is resumable mid-run", through real
+    atomic commits): a kill anywhere loses at most the uncommitted
+    stage batch, reruns reprocess exactly the pending inputs of
+    exactly the affected stages, and each stage table carries
+    time-travelable per-batch history (snaptable.history()).
+
+    Returns ``(triples_df, parse_table, triples_table)``."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_pages
+    from .operators.incremental import run_stage_atomic
+    from .operators.triples import all_triples, with_doc_metadata
+
+    pages = load_pages(spark, sf_dir)
+
+    def parse_t(todo):
+        return (extract_pages(todo)
+                .join(todo.select("url", "input_fingerprint"), "url"))
+
+    parsed, ptab, _ = run_stage_atomic(pages, store_dir, "parse",
+                                       parse_t)
+
+    def triples_t(todo):
+        t = all_triples(with_doc_metadata(todo))
+        lineage = todo.select(F.col("url"), "input_fingerprint")
+        return t.join(lineage, t["context"] == lineage["url"])
+
+    out, ttab, _ = run_stage_atomic(parsed.drop("input_fingerprint"),
+                                    store_dir, "triples", triples_t,
+                                    source_col="text")
+    return out, ptab, ttab

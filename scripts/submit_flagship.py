@@ -26,6 +26,11 @@ def main() -> int:
     ap.add_argument("--sf", required=True, help="pages/documents dir")
     ap.add_argument("--out", required=True, help="store dir (writable)")
     ap.add_argument("--triples-table", default="canonical_triples")
+    ap.add_argument("--staged", action="store_true",
+                    help="run the parse->triples chain through atomic "
+                         "snapshot-commit stages (resumable mid-run: "
+                         "re-submitting after a kill reprocesses only "
+                         "the pending inputs of the unfinished stage)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -34,18 +39,28 @@ def main() -> int:
 
     from ferenda_spark import catalog, pipeline
     t0 = time.time()
-    docs = pipeline.parsed_docs(spark, args.sf).localCheckpoint()
-    triples = pipeline.canonical_triples(spark, docs)
-    catalog.write_triples(triples, args.out, args.triples_table)
-    back = catalog.read_stage(spark, args.out, args.triples_table)
-    n = back.count()
+    if args.staged:
+        triples, ptab, ttab = pipeline.staged_flagship_atomic(
+            spark, args.sf, args.out)
+        n = triples.count()
+        extra = {"parse_snapshots": len(ptab.history()),
+                 "triples_snapshots": len(ttab.history())}
+    else:
+        docs = pipeline.parsed_docs(spark, args.sf).localCheckpoint()
+        triples = pipeline.canonical_triples(spark, docs)
+        catalog.write_triples(triples, args.out, args.triples_table)
+        back = catalog.read_stage(spark, args.out, args.triples_table)
+        n = back.count()
+        extra = {}
     wall = time.time() - t0
     print(json.dumps({
-        "job": "flagship", "sf": args.sf, "out": args.out,
+        "job": "flagship-staged" if args.staged else "flagship",
+        "sf": args.sf, "out": args.out,
         "triples": n, "wall_sec": round(wall, 2),
         "triples_per_sec": round(n / wall, 1),
         "master": spark.sparkContext.master,
         "default_parallelism": spark.sparkContext.defaultParallelism,
+        **extra,
     }))
     spark.stop()
     return 0 if n > 0 else 1

@@ -103,3 +103,21 @@ def test_full_dag_end_to_end(spark, tmpdir):
     expect = sorted(r.line for r in
                     nt_lines(tab.read(spark)).collect())
     assert dumped == expect
+
+
+def test_staged_flagship_atomic_resume(spark, tmpdir):
+    """Re-running the snapshot-staged flagship is a no-op: both stage
+    tables keep exactly one snapshot and the triples are unchanged."""
+    from ferenda_spark.pipeline import staged_flagship_atomic
+
+    sf = "/root/testdata/sf0.001"
+    t1, ptab, ttab = staged_flagship_atomic(spark, sf, tmpdir)
+    n = t1.count()
+    assert n > 0
+    assert len(ptab.history()) == 1 and len(ttab.history()) == 1
+    t2, ptab, ttab = staged_flagship_atomic(spark, sf, tmpdir)
+    assert t2.count() == n
+    assert len(ptab.history()) == 1 and len(ttab.history()) == 1
+    # per-row lineage survives: every triple row carries the url +
+    # fingerprint of the page bytes that produced it
+    assert {"url", "input_fingerprint"} <= set(t2.columns)
