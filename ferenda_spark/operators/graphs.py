@@ -138,6 +138,10 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              .repartition(nparts, "vertex")
              .localCheckpoint())
     n = verts.count()
+    if n == 0:
+        # empty edge set: empty ranks, not ZeroDivisionError
+        return verts.select("vertex",
+                            F.lit(0.0).alias("pagerank_r")).limit(0)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     weighted = (edges.join(out_deg, "src")
                 .select(F.col("src").alias("vertex"), "dst", "deg")
@@ -203,7 +207,19 @@ def hits(edges: DataFrame, iterations: int = 10,
              .repartition(nparts, "vertex")
              .localCheckpoint())
     n = verts.count()
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1")
+    if n == 0:
+        # empty citation graph (e.g. a reference-free incremental
+        # batch): an empty result frame, not ZeroDivisionError
+        return verts.select(
+            "vertex", F.lit(0.0).alias("hub_r"),
+            F.lit(0.0).alias("authority_r")).limit(0)
     e_src = edges.repartition(nparts, "src").localCheckpoint()
+    # second copy partitioned on dst: the h-update joins on dst every
+    # round, and reusing e_src there would reshuffle the EDGE table
+    # per iteration — the score vectors are what should move, not |E|
+    e_dst = edges.repartition(nparts, "dst").localCheckpoint()
     h = verts.withColumn("h", F.lit(1.0 / n))
     a = None
     for i in range(iterations):
@@ -214,8 +230,8 @@ def hits(edges: DataFrame, iterations: int = 10,
                   .select("vertex",
                           F.coalesce("s", F.lit(0.0)).alias("a"))
                   .localCheckpoint())
-        h_out = (e_src.join(a_full, e_src["dst"] == a_full["vertex"])
-                 .groupBy(e_src["src"].alias("vertex"))
+        h_out = (e_dst.join(a_full, e_dst["dst"] == a_full["vertex"])
+                 .groupBy(e_dst["src"].alias("vertex"))
                  .agg(F.sum("a").alias("s")))
         h_full = (verts.join(h_out, "vertex", "left")
                   .select("vertex",

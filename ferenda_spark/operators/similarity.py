@@ -206,8 +206,12 @@ def ivf_centroids(embeddings: DataFrame, n_lists: int = 8,
                   iters: int = 3, sample_mod: int = 1) -> list:
     """Deterministic Lloyd's k-means for the IVF coarse quantizer.
 
-    * init: the ``n_lists`` vectors with vec_id ranks 0, N//n_lists,
-      2*N//n_lists ... (deterministic, spread across the id range);
+    * init: the min-vec_id vector of each residue class
+      ``xxhash64(vec_id) % n_lists`` — deterministic, spread across
+      the id space regardless of id patterns, ONE hash aggregate (a
+      rank-stride init would need a global row_number window: a
+      single task sorting the whole training set — the exact
+      antipattern this module avoids elsewhere);
     * assign: map-side argmin against the current centroid literals;
     * update: posexplode -> groupBy(cl, pos).avg — ONE shuffle of
       N*dim scalar rows per iteration, map-side partial aggregation;
@@ -225,12 +229,14 @@ def ivf_centroids(embeddings: DataFrame, n_lists: int = 8,
     if n == 0:
         raise ValueError("no training vectors")
     n_lists = min(n_lists, n)
-    stride = max(n // n_lists, 1)
-    ranked = train.withColumn(
-        "r", F.row_number().over(Window.orderBy("vec_id")) - 1)
-    init = (ranked.where((F.col("r") % stride == 0)
-                         & (F.col("r") / stride < n_lists))
-            .orderBy("r").select("embedding").collect())
+    # hash the id before the residue so id patterns (e.g. the
+    # sample_mod stride itself) can't collapse classes
+    init = (train
+            .withColumn("res", F.pmod(F.xxhash64("vec_id"),
+                                      F.lit(n_lists)))
+            .groupBy("res")
+            .agg(F.min_by("embedding", "vec_id").alias("embedding"))
+            .orderBy("res").select("embedding").collect())
     centroids = [list(map(float, r.embedding)) for r in init]
     for _ in range(iters):
         assigned = assign_lists(train, centroids)

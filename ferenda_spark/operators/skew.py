@@ -12,8 +12,13 @@ of the fact side — AQE can split the fact partition, but every split
 still collides on the same dimension row's reducer when the engine
 falls back to a shuffle join.  Salting rewrites the join key itself:
 
-* fact rows get a deterministic per-row salt in ``[0, n_salts)``
-  (xxhash64 over all columns — reproducible across retries, no RNG);
+* fact rows get a per-row salt in ``[0, n_salts)`` — a row-position
+  disambiguator (monotonically_increasing_id) mixed into xxhash64, so
+  EXACT-DUPLICATE fact rows still spread across salts (a content-only
+  hash would send a hot key's duplicate rows to one reducer — the
+  heavy-duplicate case salting exists for).  Any salt value is
+  correct for any row (the dimension is replicated to every salt), so
+  the join result is deterministic even though the salt isn't;
 * the dimension is replicated ``n_salts`` ways (a broadcast-sized
   range crossJoin, cost = n_salts * |dim|);
 * the equi-join runs on ``(key, salt)``, spreading a hot key over
@@ -38,8 +43,10 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left, got %r" % how)
     spark = fact.sparkSession
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
-                  F.lit(n_salts)).cast("int")
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(),
+                   *[F.col(c) for c in fact.columns]),
+        F.lit(n_salts)).cast("int")
     f = fact.withColumn("__salt", salt)
     salts = spark.range(n_salts).select(
         F.col("id").cast("int").alias("__salt"))

@@ -247,9 +247,14 @@ class PdfDocument:
 
     def __init__(self, data: bytes):
         self.data = data
-        self.offsets: dict[int, int] = {}
+        # ALL candidate offsets per object number: a byte run inside a
+        # compressed stream body can accidentally spell "N G obj", so
+        # resolution tries candidates in order until one parses (the
+        # xref-free equivalent of poppler's reconstruction scan)
+        self.offsets: dict[int, list] = {}
         for m in re.finditer(rb"(?<![0-9])(\d+)\s+(\d+)\s+obj\b", data):
-            self.offsets.setdefault(int(m.group(1)), m.end())
+            self.offsets.setdefault(int(m.group(1)),
+                                    []).append(m.end())
         self._cache: dict[int, tuple] = {}
         self._objstm: dict[int, tuple] | None = None
 
@@ -297,8 +302,16 @@ class PdfDocument:
             payload, off = self._objstm[num]
             self._cache[num] = (_Lexer(payload, off).value(), None)
             return self._cache[num]
-        lex = _Lexer(self.data, self.offsets[num])
-        val = lex.value()
+        candidates = self.offsets[num]
+        val = lex = None
+        for i, cand in enumerate(candidates):
+            lex = _Lexer(self.data, cand)
+            try:
+                val = lex.value()
+                break
+            except Exception:
+                if i == len(candidates) - 1:
+                    raise           # every candidate is garbage
         stream = None
         lex.skip_ws()
         if self.data[lex.pos:lex.pos + 6] == b"stream":
@@ -421,7 +434,10 @@ def _hex_to_str(h: bytes) -> str:
     h = re.sub(rb"\s", b"", h)
     raw = bytes.fromhex(h.decode("ascii"))
     if len(raw) % 2:
-        raw = raw + b"\x00"
+        # terse one-byte destinations (<41> = U+0041): the missing
+        # byte is the HIGH one — appending instead would turn it into
+        # U+4100 mojibake
+        raw = b"\x00" + raw
     return raw.decode("utf-16-be", "replace")
 
 

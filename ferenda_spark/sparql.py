@@ -1000,9 +1000,47 @@ def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
             .select(F.lit(1).alias("__exists")))
 
 
+def _apply_values(triples: DataFrame, plan, names, rows):
+    """Join an inline VALUES block into the plan.  Rows without UNDEF
+    join as a plain broadcast inner join; UNDEF cells follow SPARQL
+    solution compatibility (compatible with ANY binding), compiled as
+    a generalized join with coalesced output."""
+    shared_pre = (set(plan.columns) if plan is not None
+                  else set()) & set(names)
+    undef_shared = any(
+        t is None and name in shared_pre
+        for row in rows for name, t in zip(names, row))
+    data = [[None if t is None else t.value for t in row]
+            for row in rows]
+    vdf = triples.sparkSession.createDataFrame(
+        data, ", ".join("%s string" % n for n in names))
+    if not undef_shared:
+        return _join(plan, F.broadcast(vdf), "inner")
+    v2 = vdf.select(*[F.col(n).alias("__v_" + n) for n in names])
+    cond = None
+    for c in sorted(shared_pre):
+        this = ((plan[c] == v2["__v_" + c])
+                | v2["__v_" + c].isNull()
+                | plan[c].isNull())
+        cond = this if cond is None else (cond & this)
+    joined = plan.join(F.broadcast(v2), cond, "inner")
+    out_cols = []
+    for c in plan.columns:
+        if c in shared_pre:
+            out_cols.append(F.coalesce(plan[c], v2["__v_" + c])
+                            .alias(c))
+        else:
+            out_cols.append(plan[c])
+    for n in names:
+        if n not in shared_pre:
+            out_cols.append(v2["__v_" + n].alias(n))
+    return joined.select(*out_cols)
+
+
 def _compile_group(triples: DataFrame, items, ctx=None,
                    ctx_var=None) -> DataFrame:
     plan = None
+    deferred_values = []
     for kind, payload in items:
         if kind == "triple":
             scan = _scan(triples, payload, ctx, ctx_var)
@@ -1079,45 +1117,18 @@ def _compile_group(triples: DataFrame, items, ctx=None,
                         plan = plan.withColumn(pfx + name, F.col(src))
         elif kind == "values":
             names, rows = payload
-            shared_pre = (set(plan.columns) if plan is not None
-                          else set()) & set(names)
-            undef_shared = any(
-                t is None and name in shared_pre
-                for row in rows for name, t in zip(names, row))
-            data = [[None if t is None else t.value for t in row]
-                    for row in rows]
-            vdf = triples.sparkSession.createDataFrame(
-                data, ", ".join("%s string" % n for n in names))
-            # inline data is query-text-sized: always the broadcast
-            # side of the join
-            if not undef_shared:
-                plan = _join(plan, F.broadcast(vdf), "inner")
+            has_undef = any(t is None for row in rows for t in row)
+            bound = set(plan.columns) if plan is not None else set()
+            if has_undef and not set(names) <= bound:
+                # an UNDEF cell must act as a wildcard against vars
+                # the group binds LATER too (SPARQL joins are
+                # commutative under solution compatibility) — defer
+                # the block to the end of the group, when every
+                # binding exists, instead of letting a NULL cell hit
+                # a later equi join and silently drop solutions
+                deferred_values.append((names, rows))
             else:
-                # SPARQL solution compatibility: an UNDEF cell (and an
-                # unbound plan variable) is compatible with anything —
-                # generalized join condition instead of strict
-                # equality, merged binding = coalesce of the two sides
-                v2 = vdf.select(*[F.col(n).alias("__v_" + n)
-                                  for n in names])
-                cond = None
-                for c in sorted(shared_pre):
-                    this = ((plan[c] == v2["__v_" + c])
-                            | v2["__v_" + c].isNull()
-                            | plan[c].isNull())
-                    cond = this if cond is None else (cond & this)
-                joined = plan.join(F.broadcast(v2), cond, "inner")
-                out_cols = []
-                for c in plan.columns:
-                    if c in shared_pre:
-                        out_cols.append(
-                            F.coalesce(plan[c], v2["__v_" + c])
-                            .alias(c))
-                    else:
-                        out_cols.append(plan[c])
-                for n in names:
-                    if n not in shared_pre:
-                        out_cols.append(v2["__v_" + n].alias(n))
-                plan = joined.select(*out_cols)
+                plan = _apply_values(triples, plan, names, rows)
         elif kind == "union":
             subs = [_compile_group(triples, b, ctx, ctx_var)
                     for b in payload]
@@ -1151,6 +1162,8 @@ def _compile_group(triples: DataFrame, items, ctx=None,
             if plan is None:
                 raise SparqlError("FILTER before any pattern")
             plan = plan.where(_compile_expr(payload, plan.columns))
+    for names, rows in deferred_values:
+        plan = _apply_values(triples, plan, names, rows)
     if plan is None:
         raise SparqlError("empty group")
     return plan
@@ -1257,12 +1270,25 @@ def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
     if bad:
         raise SparqlError("ORDER BY on non-output vars after "
                           "grouping: %s" % bad)
-    if ast["order"]:
-        plan = plan.orderBy(*[F.col(v).asc() if asc else F.col(v).desc()
-                              for v, asc in ast["order"]])
-    plan = plan.select(*outcols)
+    # a distinct() shuffle after orderBy would destroy the requested
+    # order (and with LIMIT, return an arbitrary subset): with
+    # DISTINCT, dedupe first and order only on selected columns;
+    # without it, order may still use grouped-but-unselected vars
+    order_cols = [F.col(v).asc() if asc else F.col(v).desc()
+                  for v, asc in ast["order"]]
     if ast["distinct"]:
-        plan = plan.distinct()
+        bad = [v for v, _ in ast["order"] if v not in outcols]
+        if bad:
+            raise SparqlError(
+                "ORDER BY on non-selected vars with DISTINCT: %s"
+                % bad)
+        plan = plan.select(*outcols).distinct()
+        if order_cols:
+            plan = plan.orderBy(*order_cols)
+    else:
+        if order_cols:
+            plan = plan.orderBy(*order_cols)
+        plan = plan.select(*outcols)
     if ast["limit"] is not None:
         plan = plan.limit(ast["limit"])
     return plan

@@ -32,7 +32,8 @@ import xml.etree.ElementTree as ET
 
 W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 
-OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+# single source of truth for the CFB magic lives in docbinary
+from .docbinary import OLE_MAGIC  # noqa: E402
 
 
 class ExternalToolMissing(RuntimeError):
@@ -123,9 +124,23 @@ def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 data = bytes(blob)
                 try:
-                    kind, xml_bytes = read_word(data)
-                    text = (doc_text(data) if kind == "doc"
-                            else docx_xml_text(xml_bytes))
+                    # detect first, parse ONCE: read_word's docbook
+                    # output is unused for .doc text extraction, and
+                    # running it before doc_text would walk the whole
+                    # CFB/piece-table twice per row
+                    kind = detect_wordfile_type(data)
+                    if kind == "doc":
+                        from .docbinary import BadOleFile
+                        try:
+                            text = doc_text(data)
+                        except BadOleFile as e:
+                            raise ExternalToolMissing(
+                                "unparseable .doc: %s" % e)
+                    elif kind == "docx":
+                        _, xml_bytes = read_word(data)
+                        text = docx_xml_text(xml_bytes)
+                    else:
+                        raise ValueError("not a word document")
                     rows.append((url, kind, text, None))
                 except ExternalToolMissing:
                     rows.append((url, "doc", None,

@@ -862,3 +862,21 @@ def test_minus(triples):
           MINUS { ?x dcterms:title "Alpha" }
         }""")
     assert got.count() == 3
+
+
+def test_values_undef_before_binding(triples):
+    """A VALUES block that precedes the pattern binding its variable:
+    the UNDEF row must still act as a wildcard (the block is deferred
+    to the end of the group), not become a NULL join key that drops
+    every solution."""
+    from ferenda_spark.sparql import sparql_select as sel
+    got = sel(triples, """
+        SELECT ?doc ?t WHERE {
+          VALUES ?doc { UNDEF <d1> }
+          ?doc dcterms:title ?t .
+        }""").collect()
+    # multiset: the UNDEF row admits all three docs; the <d1> row
+    # adds d1's solution once more
+    assert sorted((r.doc, r.t) for r in got) == [
+        ("d1", "Alpha"), ("d1", "Alpha"), ("d2", "Beta"),
+        ("d3", "Alpha")]
