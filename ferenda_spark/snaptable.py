@@ -350,7 +350,16 @@ class SnapshotTable:
                     return s
             raise SnapshotError("unknown snapshot %d" % snapshot_id)
         if as_of_ms is not None:
-            live = [s for s in meta["snapshots"]
+            # time travel follows the CURRENT lineage (as Iceberg's
+            # snapshot log does after a rollback) — a snapshot on an
+            # undone branch is addressable by id until expired, but
+            # never resolved by timestamp
+            by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            chain, cur = [], self._current_snap(meta)
+            while cur is not None:
+                chain.append(cur)
+                cur = by_id.get(cur["parent_id"])
+            live = [s for s in reversed(chain)
                     if s["timestamp_ms"] <= as_of_ms]
             if not live:
                 raise SnapshotError("no snapshot at or before %d"

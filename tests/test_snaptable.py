@@ -328,3 +328,20 @@ def test_run_stage_atomic_quarantine_no_rework_loop(spark, tmpdir):
                                      retry_errors=True)
     assert s3["summary"]["added_rows"] == 1
     assert full.where("url = 'bad'").count() == 2
+
+
+def test_as_of_follows_current_lineage(spark, tmpdir):
+    """Timestamp time travel never resolves to a rolled-back branch:
+    after rollback(s1), an as_of at the undone snapshot's commit time
+    returns s1's state, not the orphaned s2."""
+    import time as _time
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    _time.sleep(0.01)
+    s2 = t.append(_batch(spark, 10, 20))
+    t.rollback(s1["snapshot_id"])
+    got = t.read(spark, as_of_ms=s2["timestamp_ms"])
+    assert got.count() == 10
+    # by id the orphaned snapshot stays addressable until expired
+    assert t.read(spark,
+                  snapshot_id=s2["snapshot_id"]).count() == 20
