@@ -212,6 +212,19 @@ class _Parser:
     def parse_construct(self):
         self._prefixes_decl()
         self.expect("construct")
+        if self.peek() and self.peek().lower() == "where":
+            # SPARQL 1.1 §10.2.2 shorthand: CONSTRUCT WHERE { bgp } —
+            # the pattern is its own template (plain triples only)
+            self.next()
+            group = self.group()
+            template = [pl for k, pl in group if k == "triple"]
+            if not template or any(k != "triple" for k, _ in group):
+                raise SparqlError(
+                    "CONSTRUCT WHERE takes a plain BGP")
+            if self.peek() is not None:
+                raise SparqlError("trailing tokens at %r"
+                                  % self.peek())
+            return {"template": template, "group": group}
         template = []
         self.expect("{")
         while self.peek() != "}":

@@ -880,3 +880,15 @@ def test_values_undef_before_binding(triples):
     assert sorted((r.doc, r.t) for r in got) == [
         ("d1", "Alpha"), ("d1", "Alpha"), ("d2", "Beta"),
         ("d3", "Alpha")]
+
+
+def test_construct_where_shorthand(triples):
+    from ferenda_spark.sparql import sparql_construct
+    got = sparql_construct(triples, """
+        CONSTRUCT WHERE { ?d dcterms:references ?o }""").collect()
+    assert {(r.subj, r.pred, r.obj) for r in got} == {
+        ("d1", DCT + "references", "d2"),
+        ("d2", DCT + "references", "d3")}
+    with pytest.raises(SparqlError):
+        sparql_construct(triples, """
+            CONSTRUCT WHERE { OPTIONAL { ?d dcterms:title ?t } }""")
