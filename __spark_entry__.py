@@ -1191,6 +1191,40 @@ def _q_sparql_subquery(spark, sf_dir):
         } ORDER BY ?title""")
 
 
+def _q_degree_distribution(spark, sf_dir):
+    """Citegraph degree distribution (graphanalyze.py:537-576 minus
+    the matplotlib rendering): how many cited targets have each
+    citing-document count — two hash aggregates over the references
+    edge set."""
+    from ferenda_spark.operators.graphs import degree_distribution
+    return (degree_distribution(_triples(spark, sf_dir))
+            .orderBy("in_degree"))
+
+
+def _q_ranking_ap(spark, sf_dir):
+    """Ranking evaluation with the reference's AP semantics
+    (eval_calc_aps, graphanalyze.py:760-806): per-publisher rankings
+    of that publisher's documents (by doc_id) scored against a planted
+    gold standard (doc_id % 3 == 0) — per-query average precision, the
+    building block of its MAP study."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.operators.graphs import average_precision
+    d = (_read(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.concat(F.lit("pub"), (F.col("doc_id") % 7)
+                          .cast("string")).alias("query"),
+                 F.col("doc_id").cast("string").alias("item")))
+    ranked = d.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("query").orderBy("doc_id")))
+    gold = d.where(F.col("doc_id") % 3 == 0).select("query", "item")
+    return (average_precision(ranked.select("query", "item", "rank"),
+                              gold)
+            .select("query", F.round("ap", 6).alias("ap"))
+            .orderBy("query"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1289,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": _q_sparql_update,
         "kg_sparql_describe": _q_sparql_describe,
         "kg_sparql_subquery": _q_sparql_subquery,
+        "kg_degree_distribution": _q_degree_distribution,
+        "kg_ranking_ap": _q_ranking_ap,
     }
 
 
@@ -2576,4 +2612,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(7 + CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0
                             END AS BIGINT) AS n
             FROM f ORDER BY title""",
+        "kg_degree_distribution":
+            "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
+            deg AS (
+              SELECT obj, COUNT(DISTINCT context) AS d
+              FROM mention_triples GROUP BY obj)
+            SELECT d AS in_degree, COUNT(*) AS n_targets
+            FROM deg GROUP BY d ORDER BY in_degree""",
+        "kg_ranking_ap": """
+            WITH d AS (
+              SELECT doc_id, 'pub' || (doc_id % 7) AS query,
+                     CAST(doc_id AS VARCHAR) AS item
+              FROM documents),
+            r AS (
+              SELECT query, item,
+                     ROW_NUMBER() OVER (PARTITION BY query
+                                        ORDER BY doc_id) AS rank,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+              FROM d),
+            c AS (
+              SELECT query, rank, rel,
+                     SUM(rel) OVER (PARTITION BY query ORDER BY rank)
+                       AS cum
+              FROM r)
+            SELECT query,
+                   round(AVG(CAST(cum AS DOUBLE) / rank), 6) AS ap
+            FROM c WHERE rel = 1 GROUP BY query ORDER BY query""",
     }

@@ -445,3 +445,49 @@ def ontology_from_turtle(spark, text: str) -> DataFrame:
         rows.append((s, p, o[1]))
     return spark.createDataFrame(rows,
                                  "subj string, pred string, obj string")
+
+
+def degree_distribution(triples: DataFrame) -> DataFrame:
+    """(in_degree, n_targets): how many cited targets have each
+    citing-document count — the reference's citegraph degree
+    distribution (graphanalyze.py:537-576, minus the matplotlib
+    rendering; the histogram is the analytic).  Two hash aggregates,
+    no window."""
+    return (citation_counts(triples)
+            .groupBy(F.col("n_citing_docs").alias("in_degree"))
+            .agg(F.count(F.lit(1)).alias("n_targets")))
+
+
+def average_precision(ranked: DataFrame, gold: DataFrame) -> DataFrame:
+    """(query, ap): ranking evaluation with the reference's exact AP
+    semantics (eval_calc_aps, graphanalyze.py:760-806): for each gold
+    item, precision at its 1-based rank position if it appears in the
+    ranking, 0 if absent; AP = mean over the query's gold items.
+
+    ``ranked``: (query, item, rank) with 1-based ranks per query;
+    ``gold``: (query, item).  The only window is per-query (rankings
+    are per-information-need and bounded), everything else is hash
+    joins/aggregates."""
+    from pyspark.sql import Window
+
+    rel = gold.select("query", "item").withColumn("__rel", F.lit(1))
+    w = Window.partitionBy("query").orderBy("rank")
+    marked = (ranked.join(rel, ["query", "item"], "left")
+              .withColumn("__cum",
+                          F.sum(F.coalesce("__rel", F.lit(0))).over(w)))
+    prec = (marked.where(F.col("__rel") == 1)
+            .select("query", "item",
+                    (F.col("__cum") / F.col("rank")).alias("__p")))
+    per_item = (gold.select("query", "item")
+                .join(prec, ["query", "item"], "left")
+                .select("query",
+                        F.coalesce("__p", F.lit(0.0)).alias("__p")))
+    return (per_item.groupBy("query")
+            .agg(F.avg("__p").alias("ap")))
+
+
+def mean_average_precision(ap: DataFrame) -> float:
+    """MAP over the per-query APs (eval_calc_map,
+    graphanalyze.py:805-806) — a 1-row aggregate."""
+    row = ap.agg(F.avg("ap").alias("m")).collect()[0]
+    return float(row.m) if row.m is not None else 0.0

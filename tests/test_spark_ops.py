@@ -1002,3 +1002,31 @@ def test_rdfs_entailment_is_batch_local(spark):
         .unionByName(rdfs_entailment(b2, onto, inferred_only=True))
     assert {tuple(r) for r in whole.collect()} == \
         {tuple(r) for r in per_batch.collect()}
+
+
+def test_average_precision_reference_semantics(spark):
+    from ferenda_spark.operators.graphs import (average_precision,
+                                                mean_average_precision)
+    ranked = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3),
+         ("q2", "x", 1), ("q2", "y", 2)],
+        "query string, item string, rank int")
+    # q1 gold: a (P@1=1), c (P@3=2/3), z (absent -> 0): AP = 5/9
+    # q2 gold: y (P@2=1/2): AP = 0.5
+    gold = spark.createDataFrame(
+        [("q1", "a"), ("q1", "c"), ("q1", "z"), ("q2", "y")],
+        "query string, item string")
+    ap = {r.query: r.ap for r in
+          average_precision(ranked, gold).collect()}
+    assert abs(ap["q1"] - 5.0 / 9) < 1e-12
+    assert abs(ap["q2"] - 0.5) < 1e-12
+    m = mean_average_precision(average_precision(ranked, gold))
+    assert abs(m - (5.0 / 9 + 0.5) / 2) < 1e-12
+
+
+def test_degree_distribution_empty(spark):
+    from ferenda_spark.operators.graphs import degree_distribution
+    empty = spark.createDataFrame(
+        [], "subj string, pred string, obj string, obj_datatype "
+            "string, obj_lang string, context string")
+    assert degree_distribution(empty).count() == 0
