@@ -58,8 +58,9 @@ HEADLINE = [
     "clean_contaminated",
     "kg_sparql_having", "kg_sparql_bind_values",
     # r3 continuation: snapshot-table commit protocol, web-corpus URL
-    # normalization, RDFS materialization
+    # normalization, RDFS materialization, citegraph analytics
     "kg_snapshot_incremental", "url_canonical", "kg_rdfs_entailed",
+    "kg_degree_distribution", "kg_ranking_ap",
 ]
 
 
