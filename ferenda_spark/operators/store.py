@@ -63,3 +63,112 @@ def apply_patches(df: DataFrame, patches: DataFrame, key_col: str = "url",
             .withColumn(text_col, patched_text)
             .withColumn("patched", F.col("_patches").isNotNull())
             .drop("_pk", "_patches"))
+
+
+def make_patches(original: DataFrame, edited: DataFrame,
+                 key_col: str = "url",
+                 text_col: str = "text") -> DataFrame:
+    """The authoring half of the patch workflow (reference devel.py
+    ``mkpatch``: diff a hand-edited intermediate against the stored
+    original and save the patch; :func:`apply_patches` is the replay
+    half): emit the (key, find, replace) patch dimension such that
+    ``apply_patches(original, make_patches(original, edited))``
+    reproduces ``edited`` exactly.
+
+    Per-document diffing is inherently row-local Python (difflib), so
+    it runs in the sanctioned Arrow-batched ``mapInPandas`` lane; the
+    edited set is review-sized (patches are hand-made), not
+    corpus-sized.  Each changed span is expanded with context until
+    its ``find`` string is UNIQUE in the original — string replace
+    applies every occurrence, so uniqueness is what makes the
+    roundtrip exact (the unified-diff analogue of context lines)."""
+    import difflib
+
+    import pandas as pd
+
+    def _spans(orig: str, edit: str):
+        sm = difflib.SequenceMatcher(a=orig, b=edit, autojunk=False)
+        ops = sm.get_opcodes()
+
+        def origin_to_edit(p):
+            # map an orig position lying in an equal block (or at the
+            # text ends) to its edit-side twin
+            if p == 0:
+                return 0
+            if p == len(orig):
+                return len(edit)
+            for tag, i1, i2, j1, j2 in ops:
+                if tag == "equal" and i1 <= p <= i2:
+                    return j1 + (p - i1)
+            return None
+
+        # group consecutive non-equal opcodes into change windows
+        raw = []
+        for tag, i1, i2, j1, j2 in ops:
+            if tag == "equal":
+                continue
+            if raw and i1 <= raw[-1][1]:
+                raw[-1][1] = max(raw[-1][1], i2)
+            else:
+                raw.append([i1, i2])
+        # expand each window with context (always snapping to equal
+        # material, so both ends stay mappable) until the find string
+        # is unique in the original
+        windows = []
+        for lo, hi in raw:
+            ctx = 8
+            while True:
+                xlo = lo - ctx if lo - ctx > 0 else 0
+                xhi = hi + ctx if hi + ctx < len(orig) else len(orig)
+                if (origin_to_edit(xlo) is not None
+                        and origin_to_edit(xhi) is not None
+                        and orig.count(orig[xlo:xhi]) == 1):
+                    windows.append([xlo, xhi])
+                    break
+                if xlo == 0 and xhi == len(orig):
+                    return [(orig, edit)]      # whole-text fallback
+                ctx += 8
+        # merge overlapping expanded windows (ends remain mappable)
+        merged = []
+        for lo, hi in sorted(windows):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        out = []
+        for lo, hi in merged:
+            elo, ehi = origin_to_edit(lo), origin_to_edit(hi)
+            find = orig[lo:hi]
+            if elo is None or ehi is None or orig.count(find) != 1:
+                return [(orig, edit)]          # whole-text fallback
+            out.append((find, edit[elo:ehi]))
+        # apply_patches folds patches in sorted (find, replace) order
+        # with plain string replace — simulate that fold here and fall
+        # back to one whole-text patch if any interaction (e.g. a
+        # replacement reintroducing another find) breaks exactness
+        acc = orig
+        for find, repl in sorted(out):
+            acc = acc.replace(find, repl)
+        if acc != edit:
+            return [(orig, edit)]
+        return out
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for key, orig, edit in zip(pdf["_k"], pdf["_o"],
+                                       pdf["_e"]):
+                if orig == edit:
+                    continue
+                for find, repl in _spans(orig, edit):
+                    rows.append((key, find, repl))
+            yield pd.DataFrame(rows, columns=[key_col, "find",
+                                              "replace"])
+
+    joined = (original
+              .select(F.col(key_col).alias("_k"),
+                      F.col(text_col).alias("_o"))
+              .join(edited.select(F.col(key_col).alias("_k"),
+                                  F.col(text_col).alias("_e")), "_k"))
+    return joined.mapInPandas(
+        batches, "%s string, find string, replace string" % key_col)

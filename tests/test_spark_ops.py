@@ -1030,3 +1030,62 @@ def test_degree_distribution_empty(spark):
         [], "subj string, pred string, obj string, obj_datatype "
             "string, obj_lang string, context string")
     assert degree_distribution(empty).count() == 0
+
+
+def test_make_patches_roundtrip(spark):
+    from ferenda_spark.operators.store import (apply_patches,
+                                               make_patches)
+    orig_rows = [
+        ("u1", "alpha beta gamma delta epsilon"),
+        ("u2", "line one\nline two\nline three\nline two\nend"),
+        ("u3", "unchanged document"),
+        ("u4", "aaaa bbbb aaaa bbbb aaaa"),      # repetitive: context
+    ]
+    edit_rows = [
+        ("u1", "alpha BETA gamma delta epsilon"),
+        ("u2", "line one\nline 2!\nline three\nline two\nend"),
+        ("u3", "unchanged document"),
+        ("u4", "aaaa bbbb aaXa bbbb aaaa"),
+    ]
+    orig = spark.createDataFrame(orig_rows, "url string, text string")
+    edit = spark.createDataFrame(edit_rows, "url string, text string")
+    patches = make_patches(orig, edit)
+    # no patch rows for unchanged docs
+    assert patches.where("url = 'u3'").count() == 0
+    back = apply_patches(orig, patches)
+    got = {r.url: (r.text, r.patched) for r in back.collect()}
+    want = dict(edit_rows)
+    for url, (text, patched) in got.items():
+        assert text == want[url], url
+        assert patched == (dict(orig_rows)[url] != want[url])
+
+
+def test_make_patches_roundtrip_property(spark):
+    """Randomized roundtrip: arbitrary edits over a repetitive corpus
+    always reproduce the edited text exactly (the operator falls back
+    to a whole-text patch when span patches cannot be exact)."""
+    import random
+    rnd = random.Random(42)
+    words = ["aa", "bb", "cc", "aa", "dd"]
+    rows_o, rows_e = [], []
+    for i in range(30):
+        orig = " ".join(rnd.choice(words) for _ in range(20))
+        chars = orig.split(" ")
+        for _ in range(rnd.randint(0, 4)):
+            op = rnd.random()
+            pos = rnd.randrange(len(chars))
+            if op < 0.4:
+                chars[pos] = rnd.choice(words + ["XX"])
+            elif op < 0.7 and len(chars) > 2:
+                del chars[pos]
+            else:
+                chars.insert(pos, rnd.choice(words + ["YY"]))
+        rows_o.append(("u%d" % i, orig))
+        rows_e.append(("u%d" % i, " ".join(chars)))
+    from ferenda_spark.operators.store import (apply_patches,
+                                               make_patches)
+    orig = spark.createDataFrame(rows_o, "url string, text string")
+    edit = spark.createDataFrame(rows_e, "url string, text string")
+    back = apply_patches(orig, make_patches(orig, edit))
+    got = {r.url: r.text for r in back.collect()}
+    assert got == dict(rows_e)
