@@ -24,19 +24,33 @@ Grammar (case-insensitive keywords)::
 
     query    := prefix* ('SELECT' 'DISTINCT'? ('*' | selitem+)
                          ('FROM' <iri>)?
-                         | 'CONSTRUCT' '{' triple* '}')
+                         | 'CONSTRUCT' ('{' triple* '}')?   (absent
+                           template = CONSTRUCT WHERE shorthand)
+                         | 'ASK' | 'DESCRIBE' (term+))
                 'WHERE' group ('GROUP' 'BY' ?var+)?
+                ('HAVING' '(' expr ')')?
                 ('ORDER' 'BY' order+)? ('LIMIT' int)?
+    update   := prefix* uop (';' uop)*
+    uop      := 'INSERT DATA' quads | 'DELETE DATA' quads
+                | 'DELETE WHERE' group
+                | ('DELETE' '{' triple* '}')?
+                  ('INSERT' '{' triple* '}')? 'WHERE' group
+    quads    := '{' (triple | 'GRAPH' <iri> '{' triple* '}')* '}'
     selitem  := ?var | '(' agg 'AS' ?alias ')' | agg
     agg      := ('COUNT'|'SUM'|'MIN'|'MAX'|'AVG'|'SAMPLE')
                 '(' 'DISTINCT'? ('*' | ?var) ')'
     prefix   := 'PREFIX' name ':' '<iri>'
     group    := '{' (triples '.' | 'OPTIONAL' group
+                     | '{' 'SELECT' ... '}'     (subquery)
                      | 'GRAPH' (<iri> | ?var) group
                      | group ('UNION' group)*
+                     | 'MINUS' group
                      | 'BIND' '(' operand 'AS' ?var ')'
                      | 'VALUES' (?var | '(' ?var+ ')') '{' data '}'
-                     | 'FILTER' '(' expr ')')* '}'
+                       (data cells may be UNDEF — full solution
+                        compatibility, deferred to group end)
+                     | 'FILTER' ('(' expr ')'
+                                 | 'NOT'? 'EXISTS' group))* '}'
     triples  := term path term (';' path term)* (',' term)*
                 (term: ?var | <iri> | pfx:name | "literal" | number
                  | 'a'; `;`/`,` are the abbreviated-list forms)
@@ -44,6 +58,8 @@ Grammar (case-insensitive keywords)::
     pseq     := patom ('/' patom)*        (sequence -> hidden joins)
     patom    := '^'? term ('*'|'+'|'?')?  (inverse / zero-or-more /
                                            one-or-more / zero-or-one)
+                | '!' (term | '(' ('^'? term) ('|' '^'? term)* ')')
+                  ('*'|'+'|'?')?          (negated property sets)
     order    := ?var | 'ASC(' ?var ')' | 'DESC(' ?var ')'
     expr     := comparisons (= != < <= > >=), && || !, IN / NOT IN,
                 regex/contains/strstarts/bound, isURI/isIRI/isLiteral/
