@@ -345,3 +345,38 @@ def test_as_of_follows_current_lineage(spark, tmpdir):
     # by id the orphaned snapshot stays addressable until expired
     assert t.read(spark,
                   snapshot_id=s2["snapshot_id"]).count() == 20
+
+
+def test_concurrent_appends_with_retry(spark, tmpdir):
+    """Three writers race on the same table; losers of the CAS publish
+    retry (re-reading the winner's metadata).  Every batch lands
+    exactly once; orphaned data units from lost attempts are invisible
+    and reclaimable."""
+    import threading
+
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 5), stats_cols=("k",))
+    failures = []
+
+    def worker(lo):
+        for _ in range(20):
+            try:
+                SnapshotTable(t.path).append(_batch(spark, lo, lo + 5))
+                return
+            except CommitConflict:
+                continue
+        failures.append(lo)
+
+    threads = [threading.Thread(target=worker, args=(lo,))
+               for lo in (100, 200, 300)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not failures
+    assert t.read(spark).count() == 20
+    assert len(t.history()) == 4
+    ks = sorted(r.k for r in t.read(spark).collect())
+    assert ks == sorted(list(range(0, 5)) + list(range(100, 105))
+                        + list(range(200, 205))
+                        + list(range(300, 305)))
