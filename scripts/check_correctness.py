@@ -63,7 +63,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = [args.query] if args.query else list(qs)
+    # --query takes one name or a comma-separated list (lets long
+    # full-corpus verifications at larger SFs run in bounded chunks)
+    names = (args.query.split(",") if args.query else list(qs))
     failed = []
     for name in names:
         t0 = time.time()
