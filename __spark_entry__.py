@@ -1459,7 +1459,7 @@ faceted AS (
 
 _TOKS_CTE = r"""
 toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t, text
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS t, text
   FROM documents
 )"""
 
@@ -1526,7 +1526,8 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_measured,
        round(CAST(length(text) AS DOUBLE) / len(t), 4) AS avg_token_len,
        round(CAST(length(text)
-             - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+             - length(regexp_replace(text,
+                 '[^a-zA-Z0-9_ \t\n\r\f\x0B]', '', 'g')) AS DOUBLE)
              / length(text), 4) AS punct_ratio,
        round(CAST(""" + _hits("en") + r""" AS DOUBLE) / len(t), 4)
          AS stopword_ratio
@@ -1934,7 +1935,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": r"""
             WITH toks AS (
               SELECT doc_id, lang, text,
-                     string_split_regex(lower(trim(text)), '\s+') AS t
+                     string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS t
               FROM documents),
             sc AS (
               SELECT doc_id, lang, text,
@@ -2008,7 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_repetition_stats": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS t
+                     string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS t
               FROM documents),
             g AS (
               SELECT doc_id,
@@ -2028,7 +2029,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_contaminated": r"""
             WITH toks AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\s+') AS t
+                     string_split_regex(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS t
               FROM documents),
             g AS (
               SELECT doc_id,
@@ -2061,7 +2062,7 @@ def oracle_sql() -> dict[str, str]:
                                           1, 8)) AS BIGINT)
                        % 10000 % 8 AS shard,
                      CAST(len(string_split_regex(lower(trim(text)),
-                                                 '\s+')) AS BIGINT)
+                                                 '[ \t\n\r\f\x0B]+')) AS BIGINT)
                        AS n_tokens
               FROM documents),
             c AS (

@@ -21,7 +21,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-TOKEN_SPLIT = r"\s+"
+# Explicit whitespace class, NOT \s: Java regex \s includes \x0B
+# (vertical tab) while DuckDB/RE2 \s does not, so a corpus row
+# containing \x0B would make Spark and the oracle disagree on token
+# counts.  Every oracle CTE mirrors this exact class.
+TOKEN_SPLIT = "[ \\t\\n\\r\\f\\x0B]+"
 
 
 def exact_duplicates(documents: DataFrame, prefix_len: int = 40) -> DataFrame:

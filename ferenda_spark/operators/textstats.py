@@ -28,7 +28,10 @@ def token_stats(documents: DataFrame) -> DataFrame:
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    # explicit classes, not \w\s: Java \s includes \x0B, RE2 (the
+    # oracle engine) does not — same pin as dedup.TOKEN_SPLIT
+    n_punct = n_chars - F.length(F.regexp_replace(
+        "text", "[^a-zA-Z0-9_ \\t\\n\\r\\f\\x0B]", ""))
     n_stop = sum((_count_token(toks, w) for w in LANG_MARKERS["en"]),
                  F.lit(0))
     return documents.select(

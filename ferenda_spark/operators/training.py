@@ -85,16 +85,17 @@ def pack_sequences(documents: DataFrame, max_tokens: int = 512,
            .withColumn("start_off",
                        F.coalesce(F.sum("n_tokens").over(w),
                                   F.lit(0)).cast("long")))
-    end_off = F.col("start_off") + F.greatest(F.col("n_tokens"),
-                                              F.lit(1)) - 1
+    # Integer arithmetic end-to-end (`div`, never double division +
+    # cast): the oracle uses DuckDB's integer `//`, and a float must
+    # never appear anywhere in the pack coordinates.
+    m = int(max_tokens)
     return (out
-            .withColumn("pack_id",
-                        (F.col("start_off") / max_tokens)
-                        .cast("long"))
-            .withColumn("pack_off", F.col("start_off") % max_tokens)
-            .withColumn("n_spans",
-                        ((end_off / max_tokens).cast("long")
-                         - F.col("pack_id") + 1).cast("long")))
+            .withColumn("pack_id", F.expr(f"start_off div {m}"))
+            .withColumn("pack_off", F.col("start_off") % m)
+            .withColumn(
+                "n_spans",
+                F.expr(f"(start_off + greatest(n_tokens, 1L) - 1L)"
+                       f" div {m}") - F.col("pack_id") + F.lit(1)))
 
 
 def mixture_order(df: DataFrame, source_col: str, weights: dict,

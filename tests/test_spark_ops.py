@@ -760,6 +760,78 @@ def test_mixture_order_ranks_and_proportions(spark):
     assert abs(prefix.count("src2") - 10) <= 2
 
 
+def test_tokenizer_cross_engine_adversarial_whitespace(spark):
+    """The pinned whitespace class must tokenize identically in Spark
+    (Java regex) and DuckDB (RE2) — including \\x0B, which Java's \\s
+    contains and RE2's does not, NBSP (\\xa0, whitespace in neither),
+    trailing newlines and empty text.  Guards the exact divergence
+    class behind the r3 driver's train_packed_sequences red row."""
+    import duckdb
+    texts = [
+        "plain tokens here",
+        "vertical\x0btab\x0bsplit",        # Java \s would split, RE2 not
+        "nbsp\xa0stays\xa0one-token",
+        "trailing newline\n",
+        "  leading  and   runs\t\tof\fwhitespace\r\n",
+        "", " ", "\x0b", "a\x0b", "\x0bz",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src0") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string")
+    from ferenda_spark.operators.training import pack_sequences
+    got = {(r.doc_id, r.shard, r.n_tokens, r.start_off, r.pack_id,
+            r.pack_off, r.n_spans)
+           for r in pack_sequences(docs, max_tokens=4, n_shards=2)
+           .collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    want = {tuple(r) for r in con.execute(r"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT)
+                   % 10000 % 2 AS shard,
+                 CAST(len(string_split_regex(lower(trim(text)),
+                          '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS start_off
+          FROM s)
+        SELECT doc_id, shard, n_tokens, start_off,
+               start_off // 4 AS pack_id, start_off % 4 AS pack_off,
+               (start_off + greatest(n_tokens, 1) - 1) // 4
+                 - start_off // 4 + 1 AS n_spans
+        FROM c""").fetchall()}
+    assert got == want
+
+
+def test_token_stats_punct_class_cross_engine(spark):
+    """punct_ratio's explicit character class agrees with the DuckDB
+    oracle on \\x0B / NBSP / unicode text."""
+    import duckdb
+    texts = ["a,b \x0b c!", "nb\xa0sp", "plain words", "üñïcode, ok"]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string")
+    from ferenda_spark.operators.textstats import token_stats
+    got = {(r.doc_id, r.punct_ratio) for r in token_stats(docs).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    want = {tuple(r) for r in con.execute(r"""
+        SELECT doc_id,
+               round(CAST(length(text) - length(regexp_replace(text,
+                     '[^a-zA-Z0-9_ \t\n\r\f\x0B]', '', 'g')) AS DOUBLE)
+                     / length(text), 4)
+        FROM d""").fetchall()}
+    assert got == want
+
+
 def test_spark_submit_pyfiles_flagship(tmpdir):
     """North-rule launch surface: the flagship DAG runs via
     `spark-submit --py-files ferenda_spark.zip` with the zip as the
