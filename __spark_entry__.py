@@ -418,6 +418,17 @@ def _q_mm_image_meta(spark, sf_dir):
     return image_meta(with_blob(_read(spark, sf_dir, "documents")))
 
 
+def _q_mm_image_meta_real(spark, sf_dir):
+    """Real (not stub) image decode: JVM-synthesized minimal PNG/JPEG
+    byte streams -> dependency-free header parse (PNG IHDR / JPEG
+    SOF0) in the Arrow batch pass.  Dims are closed-form in doc_id so
+    the oracle recomputes them without touching bytes."""
+    from ferenda_spark.operators.multimodal import (image_meta,
+                                                    synth_image_blobs)
+    return image_meta(synth_image_blobs(_read(spark, sf_dir, "documents")),
+                      real=True)
+
+
 def _q_mm_frame_sample(spark, sf_dir):
     from ferenda_spark.operators.multimodal import sample_frames, with_blob
     return (sample_frames(with_blob(_read(spark, sf_dir, "documents")))
@@ -1271,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_packed_sequences": _q_train_packed_sequences,
         "train_mixture_order": _q_train_mixture_order,
         "mm_image_meta": _q_mm_image_meta,
+        "mm_image_meta_real": _q_mm_image_meta_real,
         "mm_frame_sample": _q_mm_frame_sample,
         "kg_keyword_terms": _q_keyword_terms,
         "kg_triple_stats": _q_triple_stats,
@@ -2142,6 +2154,28 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_pixels,
                    'stub/raw' AS format,
                    CAST(length(text) AS BIGINT) AS n_bytes
+            FROM documents""",
+        # mirrors multimodal.synth_image_blobs: even doc_id = 33-byte
+        # PNG, odd = 17-byte JPEG, dims closed-form in doc_id
+        "mm_image_meta_real": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN 16 + doc_id % 240
+                        ELSE 8 + doc_id % 500 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                        THEN 16 + (doc_id * 7) % 240
+                        ELSE 8 + (doc_id * 3) % 300 END AS INT) AS height,
+                   CAST((CASE WHEN doc_id % 2 = 0
+                         THEN 16 + doc_id % 240
+                         ELSE 8 + doc_id % 500 END)
+                        * (CASE WHEN doc_id % 2 = 0
+                           THEN 16 + (doc_id * 7) % 240
+                           ELSE 8 + (doc_id * 3) % 300 END)
+                     AS BIGINT) AS n_pixels,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                        ELSE 'image/jpeg' END AS format,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 17 END
+                     AS BIGINT) AS n_bytes
             FROM documents""",
         "mm_frame_sample": """
             WITH fr AS (

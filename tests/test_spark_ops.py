@@ -216,6 +216,53 @@ def test_multimodal_image_meta_matches_stub(spark):
         assert rows[doc_id].n_pixels == want["width"] * want["height"]
 
 
+def test_real_decode_jpeg_png_headers():
+    """Dependency-free header parse: PNG IHDR, baseline and
+    progressive JPEG SOF (with APP0/DQT segments to walk over),
+    restart-marker and fill-byte handling; non-image bytes raise."""
+    import pytest as _pytest
+    from ferenda_spark.operators.multimodal import PNG_MAGIC, decode_bytes
+    png = (PNG_MAGIC + b"\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00")
+    m = decode_bytes(png, real=True)
+    assert (m["width"], m["height"], m["format"]) == (640, 480,
+                                                      "image/png")
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb\x00\x05" + b"\x00" * 3
+    for sof_marker in (b"\xff\xc0", b"\xff\xc2"):   # baseline, progressive
+        sof = (sof_marker + b"\x00\x0b\x08"
+               + (123).to_bytes(2, "big") + (457).to_bytes(2, "big")
+               + b"\x01\x01\x11\x00")
+        jpg = b"\xff\xd8" + app0 + dqt + b"\xff" + sof + b"\xff\xd9"
+        m = decode_bytes(jpg, real=True)
+        assert (m["width"], m["height"], m["format"]) == (
+            457, 123, "image/jpeg")
+    for bad in (b"GIF89a....", b"\xff\xd8\xff\xd9", b"", png[:20]):
+        with _pytest.raises(NotImplementedError):
+            decode_bytes(bad, real=True)
+
+
+def test_synth_image_blobs_roundtrip(spark):
+    """JVM-built blobs decode to the closed-form dims (the
+    mm_image_meta_real oracle contract)."""
+    from ferenda_spark.operators.multimodal import (image_meta,
+                                                    synth_image_blobs)
+    docs = spark.createDataFrame([(i,) for i in range(20)],
+                                 "doc_id long")
+    rows = {r.doc_id: r
+            for r in image_meta(synth_image_blobs(docs),
+                                real=True).collect()}
+    for i in range(20):
+        r = rows[i]
+        if i % 2 == 0:
+            assert (r.width, r.height, r.format, r.n_bytes) == (
+                16 + i % 240, 16 + (i * 7) % 240, "image/png", 33)
+        else:
+            assert (r.width, r.height, r.format, r.n_bytes) == (
+                8 + i % 500, 8 + (i * 3) % 300, "image/jpeg", 17)
+
+
 def test_multimodal_frame_sample_counts(spark):
     from ferenda_spark.operators.multimodal import sample_frames, with_blob
     docs = spark.createDataFrame([(1, "abcd"), (2, "abcde")],
