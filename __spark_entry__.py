@@ -413,6 +413,23 @@ def _q_sim_ivf_topk(spark, sf_dir):
                     [3, 55, 201], k=8, n_lists=8, nprobe=8, iters=2)
 
 
+def _q_sim_ivf_topk_pruned(spark, sf_dir):
+    """IVF with nprobe < n_lists — the APPROXIMATE branch, oracle-
+    exact by construction: the corpus is closed-form well-separated
+    clusters (cross-cluster cosine exactly 0, disjoint support) and
+    the quantizer is the true one-hot centroids (the offline-trained
+    model a production index loads), so probing only the single
+    nearest list provably returns the global brute-force top-k.  This
+    pins the pruning path itself (probe selection, candidate join,
+    within-list rescore), not just the probe-everything degenerate."""
+    from ferenda_spark.operators.similarity import (
+        clustered_embeddings, ivf_topk, one_hot_centroids)
+    corpus = clustered_embeddings(
+        _read(spark, sf_dir, "embeddings").select("vec_id"))
+    return ivf_topk(corpus, [3, 55, 201], k=8, n_lists=4, nprobe=1,
+                    centroids=one_hot_centroids())
+
+
 def _q_mm_image_meta(spark, sf_dir):
     from ferenda_spark.operators.multimodal import image_meta, with_blob
     return image_meta(with_blob(_read(spark, sf_dir, "documents")))
@@ -1274,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_ivf_topk_pruned": _q_sim_ivf_topk_pruned,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
@@ -2115,6 +2133,33 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id,
                      round(list_cosine_similarity(qv, v), 6) AS cosine_r
               FROM e, q WHERE vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine_r,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_r DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank, cosine_r FROM ranked
+            WHERE rank <= 8""",
+        # pruned IVF over the closed-form clustered corpus
+        # (similarity.clustered_embeddings): cross-cluster cosine is
+        # exactly 0 (disjoint support), so nprobe=1 against the true
+        # one-hot centroids = global exact top-k; cosine has the
+        # closed form (1 + eq*ev) / (sqrt(1+eq^2)*sqrt(1+ev^2))
+        "sim_ivf_topk_pruned": """
+            WITH v AS (
+              SELECT vec_id, vec_id % 4 AS cl,
+                     (vec_id % 7) * 0.01 AS eps
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, cl, eps AS qeps FROM v
+                  WHERE vec_id IN (3, 55, 201)),
+            scored AS (
+              SELECT q.query_id, v.vec_id,
+                     round((1.0 + q.qeps * v.eps)
+                           / (sqrt(1.0 + q.qeps * q.qeps)
+                              * sqrt(1.0 + v.eps * v.eps)), 6)
+                       AS cosine_r
+              FROM q JOIN v ON v.cl = q.cl
+              WHERE v.vec_id <> q.query_id),
             ranked AS (
               SELECT query_id, vec_id, cosine_r,
                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -256,10 +256,38 @@ def ivf_centroids(embeddings: DataFrame, n_lists: int = 8,
     return centroids
 
 
+def clustered_embeddings(ids: DataFrame, n_clusters: int = 4,
+                         dim: int = 8) -> DataFrame:
+    """Closed-form well-separated clustered corpus over an existing
+    id set: vector i = e_c + eps*e_{n_clusters+c} with c = i %
+    n_clusters and eps = (i % 7) * 0.01.  Cross-cluster cosine is
+    EXACTLY 0 (disjoint support) and within-cluster cosine > 0.99, so
+    for these vectors IVF with the true one-hot centroids and ANY
+    nprobe >= 1 provably returns the exact brute-force top-k — the
+    corpus that lets the driver oracle pin the pruned (nprobe <
+    n_lists) branch, not just the probe-everything one.  All JVM-side
+    (transform over a sequence literal)."""
+    d = F.col("vec_id")
+    c, eps = d % n_clusters, (d % 7) * F.lit(0.01)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(j == c, F.lit(1.0))
+                   .when(j == F.lit(n_clusters) + c, eps)
+                   .otherwise(F.lit(0.0)))
+    return ids.select("vec_id", vec.alias("embedding"))
+
+
+def one_hot_centroids(n_clusters: int = 4, dim: int = 8) -> list:
+    """The true centroids of :func:`clustered_embeddings` — the
+    offline-trained quantizer a production IVF index would load."""
+    return [[1.0 if j == c else 0.0 for j in range(dim)]
+            for c in range(n_clusters)]
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_lists: int = 8, nprobe: int | None = None,
              iters: int = 3, sample_mod: int = 1,
-             round_to: int = 6) -> DataFrame:
+             round_to: int = 6, centroids: list | None = None) -> DataFrame:
     """IVF ANN: corpus vectors are bucketed by nearest centroid
     (map-side), each query probes its ``nprobe`` nearest inverted
     lists, candidates are exactly rescored within those lists.
@@ -274,7 +302,8 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     test_similarity recall test)."""
     if nprobe is None:
         nprobe = max(1, n_lists // 4)
-    centroids = ivf_centroids(embeddings, n_lists, iters, sample_mod)
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_lists, iters, sample_mod)
     nprobe = min(nprobe, len(centroids))
     assigned = assign_lists(embeddings, centroids)
     q = (embeddings.where(F.col("vec_id").isin(query_ids))

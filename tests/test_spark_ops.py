@@ -375,6 +375,25 @@ def test_ivf_partial_probe_recall(spark):
     assert recall >= 0.9, "IVF recall %.3f below pinned bar" % recall
 
 
+def test_ivf_pruned_with_true_centroids_is_exact(spark):
+    """On the closed-form clustered corpus with the true one-hot
+    centroids, nprobe=1 (of 4 lists) returns EXACTLY the brute-force
+    answer — ranks and rounded cosines included (the
+    sim_ivf_topk_pruned oracle contract)."""
+    from ferenda_spark.operators.similarity import (
+        clustered_embeddings, cosine_topk, ivf_topk, one_hot_centroids)
+    ids = spark.createDataFrame([(i,) for i in range(60)],
+                                "vec_id long")
+    emb = clustered_embeddings(ids)
+    qids = [0, 3, 14]
+    truth = {(r.query_id, r.vec_id, r.rank, r.cosine_r)
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    got = {(r.query_id, r.vec_id, r.rank, r.cosine_r)
+           for r in ivf_topk(emb, qids, k=5, n_lists=4, nprobe=1,
+                             centroids=one_hot_centroids()).collect()}
+    assert got == truth
+
+
 def test_ivf_centroids_deterministic_and_sampled(spark):
     from ferenda_spark.operators.similarity import ivf_centroids
     emb = _clustered_emb(spark)
