@@ -795,6 +795,20 @@ def _q_word_docs(spark, sf_dir):
     return out.select("url", "filetype", "text", "error")
 
 
+def _q_word_docs_legacy(spark, sf_dir):
+    """S8 legacy .doc branch in isolation: EVERY row is a synthesized
+    Word97 OLE2 binary, so the whole result flows through
+    docbinary.cfb_streams (FAT/directory walk) + doc_text (FIB +
+    piece-table decode) — the dedicated oracle row for the CFB
+    reader (reference wordreader.py:73-100 shells to antiword;
+    ours is a from-scratch [MS-CFB]/[MS-DOC] parser)."""
+    from ferenda_spark.wordreader import (extract_word_blobs,
+                                          synth_doc_blobs)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    out = extract_word_blobs(synth_doc_blobs(d))
+    return out.select("url", "filetype", "text", "error")
+
+
 def _q_pdf_extracted_lines(spark, sf_dir):
     """S8 PDF BINARY branch end-to-end: deterministic minimal PDFs per
     doc through the stdlib extraction kernel (pdftext — object parse,
@@ -1332,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_annotations": _q_sparql_annotations,
         "pdf_textbox_stats": _q_pdf_textbox_stats,
         "word_docs": _q_word_docs,
+        "word_docs_legacy": _q_word_docs_legacy,
         "wiki_rendered": _q_wiki_rendered,
         "pdf_extracted_lines": _q_pdf_extracted_lines,
         "pdf_section_triples": _q_pdf_section_triples,
@@ -2517,6 +2532,13 @@ def oracle_sql() -> dict[str, str]:
                              || 'Paragraph ' || (doc_id % 7) END AS text,
                    CASE WHEN doc_id % 34 = 0
                         THEN 'unparseable word binary' END AS error
+            FROM documents""",
+        "word_docs_legacy": """
+            SELECT 'https://example.org/word/' || doc_id AS url,
+                   'doc' AS filetype,
+                   'Word doc ' || doc_id || chr(10)
+                     || 'Paragraph ' || (doc_id % 7) AS text,
+                   CAST(NULL AS VARCHAR) AS error
             FROM documents""",
         "search_boosted": _FACETED_WITH + """
             SELECT uri, dcterms_title, dcterms_identifier,

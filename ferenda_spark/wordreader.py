@@ -157,6 +157,29 @@ def extract_word_blobs(docs, blob_col: str = "blob", url_col: str = "url"):
             .mapInPandas(batches, schema=WORD_SCHEMA))
 
 
+def synth_doc_blobs(docs, id_col: str = "doc_id"):
+    """Every row a REAL legacy Word97 binary (docbinary.synth_doc_blob
+    — OLE2 header, FAT, directory, FIB, piece table): the corpus twin
+    that exercises docbinary.cfb_streams/doc_text on 100% of rows, so
+    the word_docs_legacy oracle pins the .doc branch alone."""
+    import pandas as pd
+
+    from .docbinary import synth_doc_blob
+
+    def batches(it):
+        for b in it:
+            rows = []
+            for did in b[id_col]:
+                d = int(did)
+                rows.append(("https://example.org/word/%d" % d,
+                             synth_doc_blob(["Word doc %d" % d,
+                                             "Paragraph %d" % (d % 7)])))
+            yield pd.DataFrame(rows, columns=["url", "blob"])
+
+    return (docs.select(id_col)
+            .mapInPandas(batches, "url string, blob binary"))
+
+
 def synth_docx_blobs(docs, id_col: str = "doc_id"):
     """Deterministic minimal OOXML blobs keyed on ``doc_id`` — the
     corpus-synthesis twin for the Word stage (closed form, mirrored by
