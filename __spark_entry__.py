@@ -37,6 +37,30 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_triples(spark, _docs(spark, sf_dir))
 
 
+_MAPPING_CACHE: dict = {}
+
+
+def _canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sameAs canonicalization STAGE TABLE: the connected-
+    components fixpoint runs ONCE per corpus and is committed to a
+    snapshot table; every consumer (kg_sameas_canonical,
+    kg_canonical_triples, downstream rewrites) reads the stored
+    mapping back instead of re-running the fixpoint per query — the
+    production shape, where canonicalization is an ingest stage, not
+    a query-time computation."""
+    key = (id(spark), sf_dir)
+    if key not in _MAPPING_CACHE:
+        import tempfile
+
+        from ferenda_spark.operators.canonicalize import sameas_components
+        from ferenda_spark.snaptable import SnapshotTable
+        tbl = SnapshotTable(tempfile.mkdtemp(
+            prefix="ferenda_spark_sameas_stage_"))
+        tbl.create(sameas_components(_triples(spark, sf_dir)))
+        _MAPPING_CACHE[key] = tbl.read(spark)
+    return _MAPPING_CACHE[key]
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet("%s/%s.parquet" % (sf_dir.rstrip("/"), table))
     # The sandbox parquet is one row-group -> one input split, which
@@ -90,8 +114,9 @@ def _q_faceted(spark, sf_dir):
 
 
 def _q_sameas_canonical(spark, sf_dir):
-    from ferenda_spark.operators.canonicalize import sameas_components
-    return sameas_components(_triples(spark, sf_dir))
+    """T11: the canonicalization stage — builds (and commits) the
+    sameAs mapping snapshot table that downstream queries join."""
+    return _canonical_mapping(spark, sf_dir)
 
 
 def _q_links(spark, sf_dir):
@@ -1047,7 +1072,8 @@ def _q_canonical_triples(spark, sf_dir):
     now-degenerate sameAs self-loops dropped — the final materialized
     triples table of the north-rule pipeline."""
     from ferenda_spark.pipeline import canonical_triples
-    return canonical_triples(spark, _docs(spark, sf_dir))
+    return canonical_triples(spark, _docs(spark, sf_dir),
+                             mapping=_canonical_mapping(spark, sf_dir))
 
 
 def _q_legal_mentions(spark, sf_dir):

@@ -24,9 +24,18 @@ def corpus_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
         entity_mention_triples(docs, resources))
 
 
-def canonical_triples(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def canonical_triples(spark: SparkSession, docs: DataFrame,
+                      mapping: DataFrame | None = None) -> DataFrame:
+    """Full KG rewritten through the sameAs canonical mapping.
+
+    ``mapping`` is the materialized canonicalization stage table when
+    the caller has one (production shape: connected components runs
+    once per ingest and is persisted; every downstream query joins
+    against the stored mapping instead of re-running the fixpoint).
+    Without it the mapping is derived inline from the same triples."""
     t = corpus_triples(spark, docs)
-    mapping = sameas_components(t)
+    if mapping is None:
+        mapping = sameas_components(t)
     return rewrite_canonical(t, mapping)
 
 
