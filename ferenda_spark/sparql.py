@@ -883,6 +883,13 @@ def _scan(triples: DataFrame, pattern, ctx=None,
 # shallow (SURVEY.md J3); a graph needing more rounds than this is not
 # the shape the reference queries, so fail loudly instead of looping
 _MAX_PATH_ITER = 32
+# Budget on materialized (subj, obj) closure pairs for var-var paths:
+# the closure is worst-case quadratic in reachable nodes, so an
+# adversarial deep/dense graph could otherwise grow the fixpoint
+# unboundedly before the iteration cap bites.  Crossing the budget
+# raises SparqlError instead of running away; callers with genuinely
+# huge-but-intended closures can raise it (module attribute).
+PATH_PAIR_BUDGET = 5_000_000
 
 
 def _path_edges(triples: DataFrame, p, ctx) -> DataFrame:
@@ -961,6 +968,11 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
         cur = paths.count()
         if cur == prev:
             return paths
+        if cur > PATH_PAIR_BUDGET:
+            raise SparqlError(
+                "property-path closure exceeded the %d-pair budget "
+                "(%d pairs so far); narrow the path or raise "
+                "sparql.PATH_PAIR_BUDGET" % (PATH_PAIR_BUDGET, cur))
         prev = cur
     raise SparqlError("property path exceeded %d iterations"
                       % _MAX_PATH_ITER)

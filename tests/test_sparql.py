@@ -892,3 +892,25 @@ def test_construct_where_shorthand(triples):
     with pytest.raises(SparqlError):
         sparql_construct(triples, """
             CONSTRUCT WHERE { OPTIONAL { ?d dcterms:title ?t } }""")
+
+
+def test_path_closure_pair_budget(spark, monkeypatch):
+    """An adversarial deep chain trips the closure pair budget with a
+    clear error instead of materializing a quadratic fixpoint."""
+    from ferenda_spark import sparql as sq
+    n = 20                          # chain -> n(n+1)/2 = 210 pairs
+    rows = [("n%02d" % i, DCT + "references", "n%02d" % (i + 1))
+            for i in range(n)]
+    t = spark.createDataFrame(
+        [(s, p, o, None, None, "ctx") for s, p, o in rows],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    monkeypatch.setattr(sq, "PATH_PAIR_BUDGET", 50)
+    with pytest.raises(SparqlError, match="pair budget"):
+        sparql_select(t, """
+            SELECT ?a ?b WHERE { ?a dcterms:references+ ?b }""").collect()
+    # untouched budget: the same query runs fine
+    monkeypatch.setattr(sq, "PATH_PAIR_BUDGET", 5_000_000)
+    got = sparql_select(t, """
+        SELECT ?a ?b WHERE { ?a dcterms:references+ ?b }""").count()
+    assert got == n * (n + 1) // 2
