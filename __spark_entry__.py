@@ -1293,6 +1293,24 @@ def _q_ranking_ap(spark, sf_dir):
             .orderBy("query"))
 
 
+_RANKING_NEEDS = [("need0", "spark"), ("need0", "merge"),
+                  ("need1", "window"), ("need1", "sort"),
+                  ("need2", "hash"), ("need2", "batch"),
+                  ("need3", "scan"), ("need3", "value")]
+
+
+def _q_ranking_baseline(spark, sf_dir):
+    """graphanalyze eval_get_ranked_set_baseline (:926-977): per
+    information need, OR-of-keyterms candidate search over document
+    text ranked by summed term frequency — the search-scored baseline
+    the reference's AP/MAP evaluation compares graph rankings
+    against.  Completes the evaluate() surface next to
+    kg_pagerank/kg_hits/kg_ranking_ap."""
+    from ferenda_spark.operators.search import ranked_set_baseline
+    needs = spark.createDataFrame(_RANKING_NEEDS, "query string, term string")
+    return ranked_set_baseline(_read(spark, sf_dir, "documents"), needs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -1396,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_sparql_subquery,
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
+        "kg_ranking_baseline": _q_ranking_baseline,
     }
 
 
@@ -2766,4 +2785,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query,
                    round(AVG(CAST(cum AS DOUBLE) / rank), 6) AS ap
             FROM c WHERE rel = 1 GROUP BY query ORDER BY query""",
+        # mirrors search.ranked_set_baseline: tf = split-count, OR
+        # candidates (score > 0), rank by (score desc, item)
+        "kg_ranking_baseline": """
+            WITH needs(query, term) AS (VALUES
+              ('need0', 'spark'), ('need0', 'merge'),
+              ('need1', 'window'), ('need1', 'sort'),
+              ('need2', 'hash'), ('need2', 'batch'),
+              ('need3', 'scan'), ('need3', 'value')),
+            tf AS (
+              SELECT n.query, CAST(d.doc_id AS VARCHAR) AS item,
+                     CAST(len(string_split(lower(d.text), n.term)) - 1
+                       AS BIGINT) AS tf
+              FROM documents d, needs n),
+            s AS (
+              SELECT query, item, SUM(tf) AS score
+              FROM tf GROUP BY query, item HAVING SUM(tf) > 0),
+            r AS (
+              SELECT query, item, score,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query
+                       ORDER BY score DESC, item) AS INT) AS rank
+              FROM s)
+            SELECT query, item, rank, score FROM r
+            WHERE rank <= 20""",
     }

@@ -88,3 +88,49 @@ def autocomplete(df: DataFrame, prefix: str, label_col: str,
                      .startswith(prefix.lower()))
             .orderBy(label_col, id_col)
             .limit(limit))
+
+
+def ranked_set_baseline(documents: DataFrame, needs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        limit: int = 20) -> DataFrame:
+    """Keyterm-search ranking baseline — graphanalyze's
+    eval_get_ranked_set_baseline restated (reference
+    sources/general/graphanalyze.py:926-977): each information need
+    carries a keyterm set; candidate documents are those matching ANY
+    keyterm (the reference's whoosh ``query.Or``); candidates are
+    ranked by score descending into a per-need ranked set, the
+    baseline that its AP/MAP study compares graph-derived rankings
+    against (plug the output straight into
+    :func:`operators.graphs.average_precision`).
+
+    Scoring: sum over keyterms of the term's occurrence count in the
+    document (the tf core of the reference's BM25F, expressed as an
+    engine-portable split-count).  The full BM25F normalization is
+    whoosh-internal, the same way ES's scorer is internal to the Q8
+    search surface — the deterministic tf-coordination score keeps
+    the ranked set reproducible and oracle-verifiable.
+
+    ``needs``: (query, term) rows.  Returns (query, item, rank,
+    score), ranks 1-based, top ``limit`` per need.
+
+    Scale shape: the needs table is dimension-sized and broadcast;
+    tf is a map-side expression over the corpus scan; one aggregation
+    shuffles (query, doc) partial scores with map-side combine; the
+    per-need top-``limit`` window is bounded by candidate counts."""
+    from pyspark.sql import Window
+
+    txt = F.lower(F.col(text_col))
+    term = F.lower(F.col("term"))
+    tf = (F.size(F.split(txt, term)) - 1).cast("long")
+    scored = (documents.select(id_col, text_col)
+              .crossJoin(F.broadcast(needs.select("query", "term")))
+              .select("query", F.col(id_col).cast("string").alias("item"),
+                      tf.alias("tf"))
+              .groupBy("query", "item")
+              .agg(F.sum("tf").alias("score"))
+              .where(F.col("score") > 0))
+    w = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("item"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= limit)
+            .select("query", "item", "rank", "score"))

@@ -1227,3 +1227,28 @@ def test_make_patches_roundtrip_property(spark):
     back = apply_patches(orig, make_patches(orig, edit))
     got = {r.url: r.text for r in back.collect()}
     assert got == dict(rows_e)
+
+
+def test_ranked_set_baseline_plugs_into_ap(spark):
+    """graphanalyze baseline: OR-candidates, tf scoring, and the
+    ranked set feeds average_precision (the reference's MAP study
+    loop: baseline vs graph rankings)."""
+    from ferenda_spark.operators.graphs import average_precision
+    from ferenda_spark.operators.search import ranked_set_baseline
+    docs = spark.createDataFrame(
+        [(1, "spark spark merge"), (2, "spark"), (3, "sort only"),
+         (4, "nothing relevant")],
+        "doc_id long, text string")
+    needs = spark.createDataFrame(
+        [("q0", "spark"), ("q0", "merge"), ("q1", "sort")],
+        "query string, term string")
+    ranked = ranked_set_baseline(docs, needs)
+    got = {(r.query, r.item): (r.rank, r.score)
+           for r in ranked.collect()}
+    assert got == {("q0", "1"): (1, 3), ("q0", "2"): (2, 1),
+                   ("q1", "3"): (1, 1)}
+    gold = spark.createDataFrame([("q0", "2"), ("q1", "3")],
+                                 "query string, item string")
+    ap = {r.query: r.ap for r in average_precision(
+        ranked.select("query", "item", "rank"), gold).collect()}
+    assert ap == {"q0": 0.5, "q1": 1.0}
