@@ -169,7 +169,11 @@ class _Var:
 class _Const:
     def __init__(self, value, kind="uri"):
         self.value = value
-        self.kind = kind      # "uri" | "lit" — CONSTRUCT term fidelity
+        # "uri" | "lit" | "num" — CONSTRUCT term fidelity, and the
+        # FILTER numeric-comparison trigger: only terms parsed from
+        # BARE number tokens are "num"; a quoted "007" stays "lit" and
+        # compares by codepoint per SPARQL plain-literal semantics
+        self.kind = kind
 
 
 class _Parser:
@@ -220,7 +224,7 @@ class _Parser:
                 raise SparqlError("unknown prefix %r" % pfx)
             return _Const(self.prefixes[pfx] + local)
         if re.fullmatch(r"-?\d+(\.\d+)?", t):
-            return _Const(t, kind="lit")
+            return _Const(t, kind="num")
         raise SparqlError("bad term %r" % t)
 
     # ---------------------------------------------------------- query
@@ -791,11 +795,12 @@ def _compile_expr(node, cols=()):
     if kind == "cmp":
         _, op, a, b = node
         ca, cb = _operand_col(a), _operand_col(b)
-        # a bare number term means a NUMERIC comparison (SPARQL
-        # operator semantics); quoted literals stay lexicographic
+        # a bare number TOKEN means a numeric comparison (SPARQL
+        # operator semantics); quoted literals stay lexicographic even
+        # when digit-shaped ("007" != "7", ?x < "10" is codepoint) —
+        # the distinction is the parse-time kind, not the value shape
         def is_num(t):
-            return (isinstance(t, _Const)
-                    and re.fullmatch(r"-?\d+(\.\d+)?", t.value))
+            return isinstance(t, _Const) and t.kind == "num"
         if is_num(a) or is_num(b):
             ca, cb = ca.cast("double"), cb.cast("double")
         return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
@@ -828,9 +833,15 @@ def _compile_expr(node, cols=()):
         tag = node[2].value.lower()
         return (lang == tag) | lang.startswith(tag + "-")
     if kind == "lang":
-        return _lang_col(node[1]).isNotNull()
+        # EBV of lang(?v): _lang_col coalesces the plain-literal NULL
+        # tag to '', whose effective boolean value is FALSE — test
+        # non-emptiness, not non-NULL (which is vacuously true)
+        return F.length(_lang_col(node[1])) > 0
     if kind == "truthy":
-        return _operand_col(node[1]).isNotNull()
+        op = node[1]
+        if isinstance(op, tuple) and op[0] == "lang":
+            return F.length(_lang_col(op[1])) > 0
+        return _operand_col(op).isNotNull()
     raise SparqlError("bad filter node %r" % (node,))
 
 
@@ -1512,7 +1523,8 @@ def _instantiate_template(triples: DataFrame, template, group,
                 _term_col(o).alias("obj")]
         if with_term_meta:
             cols += [meta(o, "__kind_",
-                          o.kind if isinstance(o, _Const) else None)
+                          ("lit" if o.kind == "num" else o.kind)
+                          if isinstance(o, _Const) else None)
                      .alias("obj_kind"),
                      meta(o, "__lang_", None).alias("obj_lang"),
                      meta(o, "__dt_", None).alias("obj_datatype")]

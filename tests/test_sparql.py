@@ -152,6 +152,46 @@ def test_numeric_filter_comparison(spark):
     assert [r.doc for r in got] == ["d1"]
 
 
+def test_quoted_digit_literal_compares_by_codepoint(spark):
+    """A QUOTED digit-shaped literal is a plain literal, not a number:
+    FILTER(?o = "007") must not match "7", and ?n < "10" is a
+    codepoint comparison ("3" < "10" is false lexicographically)."""
+    t = spark.createDataFrame(
+        [("d1", "http://ex/code", "007", None, None, "c"),
+         ("d2", "http://ex/code", "7", None, None, "c"),
+         ("d3", "http://ex/count", "3", None, None, "c"),
+         ("d4", "http://ex/count", "10", None, None, "c")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = sparql_select(t, """
+        SELECT ?doc WHERE { ?doc <http://ex/code> ?o .
+                            FILTER(?o = "007") }""").collect()
+    assert [r.doc for r in got] == ["d1"]
+    got = sparql_select(t, """
+        SELECT ?doc WHERE { ?doc <http://ex/count> ?n .
+                            FILTER(?n < "10") }""").collect()
+    assert [r.doc for r in got] == []  # "3" > "10" by codepoint
+    # …while the bare-number form of the same filter is numeric
+    got = sparql_select(t, """
+        SELECT ?doc WHERE { ?doc <http://ex/count> ?n .
+                            FILTER(?n < 10) }""").collect()
+    assert [r.doc for r in got] == ["d3"]
+
+
+def test_bare_lang_truthy_filters_plain_literals(spark):
+    """EBV of lang(?v) on a plain literal is false ('' is falsy), so a
+    bare FILTER(lang(?t)) keeps only language-tagged rows."""
+    t = spark.createDataFrame(
+        [("d1", "http://ex/title", "Hello", None, "en", "c"),
+         ("d2", "http://ex/title", "Plain", None, None, "c")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = sparql_select(t, """
+        SELECT ?doc WHERE { ?doc <http://ex/title> ?t .
+                            FILTER(lang(?t)) }""").collect()
+    assert [r.doc for r in got] == ["d1"]
+
+
 def test_order_by_unselected_var(triples):
     """ORDER BY may use a WHERE-bound variable that is not selected
     (without DISTINCT)."""
