@@ -11,12 +11,19 @@ catalog.write_stage gives plain overwrite tables; this module adds the
 transactional half the production deployment gets from Iceberg:
 
 * **atomic commits** — data files land first under ``data/u-<uuid>``,
-  then a new ``metadata/v<N>.json`` is published with ``open(..., 'x')``
-  (compare-and-swap on the version number: optimistic concurrency, a
-  losing concurrent writer gets :class:`CommitConflict`, never a
-  half-visible table).  A crash between data write and metadata publish
-  leaves an orphan directory that no reader ever sees (reclaimed by
-  :meth:`SnapshotTable.expire`).
+  then a new ``metadata/v<N>.json`` is published by hard-linking a
+  fully-fsynced temp file into place (compare-and-swap on the version
+  number: optimistic concurrency, a losing concurrent writer gets
+  :class:`CommitConflict`, never a half-visible table).  A crash
+  between data write and metadata publish leaves an orphan directory
+  that no reader ever sees (reclaimed by :meth:`SnapshotTable.expire`).
+  The full torn-file-free guarantee requires a POSIX filesystem with
+  hard links; on link-less mounts (object-store FUSE, some NFS) the
+  publish falls back to ``O_CREAT|O_EXCL`` — mutual exclusion holds,
+  but a crash mid-publish can leave a torn head version that readers
+  skip and :meth:`SnapshotTable.repair_torn_head` reclaims.  (In
+  production this whole protocol is the Iceberg catalog's job — see
+  session.py.)
 * **snapshot isolation + time travel** — readers resolve the current
   metadata version once; ``read(snapshot_id=...)`` / ``read(as_of_ms=
   ...)`` reproduce any retained historical state (the reference's
@@ -50,6 +57,7 @@ Layout::
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -110,13 +118,50 @@ class SnapshotTable:
         return max(versions, default=0)
 
     def _load(self) -> dict:
+        """Resolve and parse the current metadata.  Only the NEWEST
+        version can be unparsable (a torn head from a crash inside the
+        link-less ``_publish`` fallback — published versions are never
+        rewritten), so a parse failure at the max version falls back to
+        its predecessor rather than bricking every read.  Writers stay
+        wedged behind the torn file (its version number is claimed);
+        :meth:`repair_torn_head` removes it after the operator confirms
+        no writer is still mid-publish."""
+        versions = self._current_version()
+        if versions == 0:
+            raise SnapshotError("no such table: %s" % self.path)
+        for v in range(versions, 0, -1):
+            try:
+                with open(_meta_path(self.path, v)) as fh:
+                    meta = json.load(fh)
+            except FileNotFoundError:
+                continue
+            except ValueError:
+                if v == versions:
+                    continue        # torn head — fall back one version
+                raise SnapshotError(
+                    "corrupt non-head metadata v%d under %s"
+                    % (v, self.path))
+            meta["_version"] = v
+            return meta
+        raise SnapshotError("no readable metadata under %s" % self.path)
+
+    def repair_torn_head(self) -> bool:
+        """Remove a torn (unparsable) max-version metadata file so the
+        next commit can claim its version number.  Operator-invoked
+        recovery for the link-less ``_publish`` fallback; returns True
+        if a torn head was removed.  Only call once no writer can still
+        be mid-publish — an in-flight writer's target would be deleted
+        from under it (its commit is then lost, never half-applied)."""
         v = self._current_version()
         if v == 0:
-            raise SnapshotError("no such table: %s" % self.path)
-        with open(_meta_path(self.path, v)) as fh:
-            meta = json.load(fh)
-        meta["_version"] = v
-        return meta
+            return False
+        try:
+            with open(_meta_path(self.path, v)) as fh:
+                json.load(fh)
+            return False
+        except ValueError:
+            os.unlink(_meta_path(self.path, v))
+            return True
 
     def exists(self) -> bool:
         return self._current_version() > 0
@@ -130,22 +175,46 @@ class SnapshotTable:
         mid-write leaves only an invisible temp file, never a
         truncated max-version metadata file that would brick every
         subsequent read).  The hint rewrite after it is best-effort
-        (readers recover from the metadata dir)."""
+        (readers recover from the metadata dir).
+
+        On filesystems without hard links (object-store FUSE mounts,
+        some NFS exports) ``os.link`` raises EPERM/ENOTSUP/ENOSYS; the
+        fallback publishes via ``O_CREAT|O_EXCL``, which keeps the
+        version-number mutual exclusion but writes the payload through
+        the exclusive fd — a crash inside that window can leave a TORN
+        max-version file.  Readers skip a torn head (see
+        :meth:`_load`); :meth:`repair_torn_head` unwedges writers."""
         meta = {k: v for k, v in meta.items() if not k.startswith("_")}
+        payload = json.dumps(meta, indent=1)
         mdir = os.path.join(self.path, "metadata")
         os.makedirs(mdir, exist_ok=True)
         target = _meta_path(self.path, expected_version + 1)
         tmp = os.path.join(mdir, ".tmp-%s" % uuid.uuid4().hex)
         with open(tmp, "w") as fh:
-            json.dump(meta, fh, indent=1)
+            fh.write(payload)
             fh.flush()
             os.fsync(fh.fileno())
+        conflict = CommitConflict(
+            "metadata version %d already published under %s"
+            % (expected_version + 1, self.path))
         try:
             os.link(tmp, target)
         except FileExistsError:
-            raise CommitConflict(
-                "metadata version %d already published under %s"
-                % (expected_version + 1, self.path))
+            raise conflict
+        except OSError as exc:
+            if exc.errno not in (errno.EPERM, errno.ENOTSUP,
+                                 errno.EOPNOTSUPP, errno.ENOSYS,
+                                 errno.EMLINK, errno.EXDEV):
+                raise
+            try:
+                fd = os.open(target,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise conflict from None
+            with os.fdopen(fd, "w") as fh:
+                fh.write(payload)
+                fh.flush()
+                os.fsync(fh.fileno())
         finally:
             os.unlink(tmp)
         hint_tmp = os.path.join(mdir, ".hint-%s" % uuid.uuid4().hex)

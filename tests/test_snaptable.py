@@ -307,6 +307,50 @@ def test_torn_publish_leaves_prior_state_readable(spark, tmpdir):
     assert t.read(spark).count() == 12
 
 
+def test_linkless_publish_fallback(spark, tmpdir, monkeypatch):
+    """On filesystems without hard links (os.link -> EPERM) commits go
+    through the O_EXCL fallback: appends work, the version-number CAS
+    still detects a lost race."""
+    import errno
+    import ferenda_spark.snaptable as st
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted", src)
+
+    monkeypatch.setattr(st.os, "link", no_link)
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    t.append(_batch(spark, 10, 15))
+    assert t.read(spark).count() == 15
+    assert len(t.history()) == 2
+    # lost race: the next version number is already claimed
+    meta = t._load()
+    with open(os.path.join(t.path, "metadata", "v3.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(CommitConflict):
+        t._publish(meta, expected_version=meta["_version"])
+
+
+def test_torn_head_skipped_and_repaired(spark, tmpdir):
+    """A torn max-version metadata file (crash residue of the O_EXCL
+    fallback) must not brick reads: readers fall back one version,
+    repair_torn_head removes it so writers can commit again."""
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10), stats_cols=("k",))
+    t.append(_batch(spark, 10, 12))
+    torn = os.path.join(t.path, "metadata", "v3.json")
+    with open(torn, "w") as fh:
+        fh.write('{"truncat')
+    assert t.read(spark).count() == 12          # falls back to v2
+    with pytest.raises(CommitConflict):         # writers are wedged
+        t.append(_batch(spark, 12, 14))
+    assert t.repair_torn_head() is True
+    assert not os.path.exists(torn)
+    assert t.repair_torn_head() is False        # idempotent
+    t.append(_batch(spark, 12, 14))             # unwedged
+    assert t.read(spark).count() == 14
+
+
 def test_run_stage_atomic_quarantine_no_rework_loop(spark, tmpdir):
     from ferenda_spark.operators.incremental import run_stage_atomic
 
