@@ -154,25 +154,54 @@ def run_stage_atomic(pages: DataFrame, store_dir: str, stage: str,
     retry; either way a page whose CONTENT changes reprocesses, since
     the fingerprint differs.
 
+    Safe under CONCURRENT drivers: the commit is conditional on the
+    snapshot version the todo set was anti-joined against
+    (``append(expected_version=...)``), so a second driver that raced
+    the same pending batch gets :class:`CommitConflict` instead of
+    silently committing duplicate ``(url, input_fingerprint)`` rows —
+    it then re-anti-joins its already-computed output against the new
+    head and commits only the genuinely-unclaimed remainder (usually
+    nothing).  One caveat under ``retry_errors=True``: a retry row that
+    loses such a race is dropped for this run (the competing driver's
+    row — success or quarantine — stands) and is re-attempted on the
+    next scheduled rerun.
+
     Returns ``(full_output_df, table, snapshot-or-None)`` —
     ``snapshot`` is None when there was no pending work (no empty
     commits)."""
-    from ..snaptable import SnapshotTable
+    from ..snaptable import CommitConflict, SnapshotError, SnapshotTable
 
     spark = pages.sparkSession
     tab = SnapshotTable(os.path.join(store_dir, stage + "_snap"))
     fp = fingerprinted(pages, source_col)
-    if tab.exists():
+    keys = ["url", "input_fingerprint"]
+    base_version = tab.version()
+    if base_version:
         prior = tab.read(spark)
         if retry_errors and "error" in prior.columns:
             prior = prior.where(F.col("error").isNull())
-        done = prior.select("url", "input_fingerprint").distinct()
-        todo = fp.join(done, ["url", "input_fingerprint"], "left_anti")
+        done = prior.select(*keys).distinct()
+        todo = fp.join(done, keys, "left_anti")
     else:
         todo = fp
     out = transform(todo).localCheckpoint()
     if out.count() == 0:
-        return (tab.read(spark) if tab.exists() else out), tab, None
-    snap = (tab.append(out) if tab.exists()
-            else tab.create(out, stats_cols=("url",)))
-    return tab.read(spark), tab, snap
+        return (tab.read(spark) if base_version else out), tab, None
+    for _ in range(20):
+        try:
+            snap = (tab.append(out, expected_version=base_version)
+                    if base_version
+                    else tab.create(out, stats_cols=("url",)))
+            return tab.read(spark), tab, snap
+        except (CommitConflict, SnapshotError):
+            # a concurrent driver committed first: keep only the rows
+            # whose (url, fingerprint) it did NOT already claim
+            committed = tab.read(spark).select(*keys).distinct()
+            out = (out.join(committed, keys, "left_anti")
+                   .localCheckpoint())
+            base_version = tab.version()
+            if out.count() == 0:
+                return tab.read(spark), tab, None
+    raise CommitConflict(
+        "gave up after 20 conditional-commit retries under %s"
+        % tab.path)

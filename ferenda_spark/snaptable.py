@@ -312,8 +312,28 @@ class SnapshotTable:
                             partition_by=tuple(partition_by),
                             stats_cols=tuple(stats_cols))
 
-    def append(self, df: DataFrame) -> dict:
+    def version(self) -> int:
+        """Current readable metadata version (0 if the table does not
+        exist) — the token for conditional commits."""
+        return self._load()["_version"] if self.exists() else 0
+
+    def append(self, df: DataFrame,
+               expected_version: int | None = None) -> dict:
+        """Append ``df`` as one data unit.  With ``expected_version``
+        the commit is CONDITIONAL on the table still being at that
+        metadata version: if another writer advanced it since the
+        caller read its state, :class:`CommitConflict` is raised
+        BEFORE any data is written, so read-check-append protocols
+        (operators/incremental.run_stage_atomic) can re-derive their
+        batch against the new head instead of committing logical
+        duplicates.  The publish-time CAS still backstops the residual
+        load-to-publish race either way."""
         meta = self._load()
+        if (expected_version is not None
+                and meta["_version"] != expected_version):
+            raise CommitConflict(
+                "table advanced to v%d (expected v%d) under %s"
+                % (meta["_version"], expected_version, self.path))
         unit = self._write_unit(df, tuple(meta["partition_by"]),
                                 tuple(meta["stats_cols"]))
         snap = self._current_snap(meta)

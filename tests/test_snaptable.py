@@ -374,6 +374,59 @@ def test_run_stage_atomic_quarantine_no_rework_loop(spark, tmpdir):
     assert full.where("url = 'bad'").count() == 2
 
 
+def test_concurrent_drivers_no_duplicate_rows(spark, tmpdir):
+    """Two drivers racing the SAME pending batch: the loser's
+    conditional append conflicts, it re-anti-joins against the new
+    head, and commits nothing — never duplicate (url, fp) rows."""
+    from ferenda_spark.operators.incremental import run_stage_atomic
+
+    pages = _pages_df(spark, [("a", "h1"), ("b", "h2")])
+
+    def plain(todo):
+        return todo.select("url", "input_fingerprint")
+
+    state = {"raced": False}
+
+    def racing(todo):
+        out = todo.select("url", "input_fingerprint")
+        if not state["raced"]:       # a second driver claims the whole
+            state["raced"] = True    # batch between anti-join + commit
+            run_stage_atomic(pages, tmpdir, "s", plain)
+        return out
+
+    full, tab, snap = run_stage_atomic(pages, tmpdir, "s", racing)
+    assert snap is None                       # nothing left to commit
+    assert full.count() == 2
+    assert full.select("url", "input_fingerprint").distinct().count() == 2
+    assert len(tab.history()) == 1            # only the racer's commit
+
+
+def test_concurrent_drivers_commit_remainder(spark, tmpdir):
+    """Partial overlap: the racer claims one page; the loser retries
+    and commits exactly the unclaimed remainder."""
+    from ferenda_spark.operators.incremental import run_stage_atomic
+
+    pages = _pages_df(spark, [("a", "h1"), ("b", "h2")])
+    sub = _pages_df(spark, [("a", "h1")])
+
+    def plain(todo):
+        return todo.select("url", "input_fingerprint")
+
+    state = {"raced": False}
+
+    def racing(todo):
+        out = todo.select("url", "input_fingerprint")
+        if not state["raced"]:
+            state["raced"] = True
+            run_stage_atomic(sub, tmpdir, "s", plain)
+        return out
+
+    full, tab, snap = run_stage_atomic(pages, tmpdir, "s", racing)
+    assert snap["summary"]["added_rows"] == 1
+    assert {r.url for r in full.select("url").collect()} == {"a", "b"}
+    assert full.count() == 2                  # no duplicate for "a"
+
+
 def test_as_of_follows_current_lineage(spark, tmpdir):
     """Timestamp time travel never resolves to a rolled-back branch:
     after rollback(s1), an as_of at the undone snapshot's commit time
