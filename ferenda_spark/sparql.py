@@ -1684,16 +1684,19 @@ _TRIPLE_COLS = ("subj", "pred", "obj", "obj_datatype", "obj_lang",
                 "context")
 
 
-def _delete_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
+def _delete_rows(graph: DataFrame, rows: DataFrame,
+                 strict_graph_scope: bool = False) -> DataFrame:
     """Remove every graph row matching a delete set on (subj, pred,
-    obj) with null-safe lang/datatype.  A delete row with a NULL
-    context removes the triple from EVERY named graph (context is
+    obj) with null-safe lang/datatype.  By default a delete row with a
+    NULL context removes the triple from EVERY named graph (context is
     provenance here; the reference scopes deletion by store context at
-    the API level, not per statement); a GRAPH-scoped delete row
-    removes it from that graph only."""
+    the API level, not per statement); with ``strict_graph_scope`` it
+    removes only the default-graph row (``context IS NULL``), the
+    SPARQL 1.1 Update scoping.  A GRAPH-scoped delete row removes it
+    from that graph only in either mode."""
     from functools import reduce
 
-    def _anti(g, subset, with_ctx):
+    def _anti(g, subset, ctx_cond):
         # pure equi/null-safe-equi conditions so Spark plans a HASH
         # anti-join; an OR over context would force a nested-loop
         # join — O(|graph| x |deletes|) at the 10^12-row scale the
@@ -1705,15 +1708,17 @@ def _delete_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
                 g["obj"] == r["__r_obj"],
                 g["obj_datatype"].eqNullSafe(r["__r_obj_datatype"]),
                 g["obj_lang"].eqNullSafe(r["__r_obj_lang"])]
-        if with_ctx:
+        if ctx_cond == "match":
             cond.append(g["context"] == r["__r_context"])
+        elif ctx_cond == "default_graph":
+            cond.append(g["context"].isNull())
         return g.join(r, reduce(lambda a, b: a & b, cond),
                       "left_anti")
 
     out = _anti(graph, rows.where(F.col("context").isNull()),
-                with_ctx=False)
+                "default_graph" if strict_graph_scope else "any")
     return _anti(out, rows.where(F.col("context").isNotNull()),
-                 with_ctx=True)
+                 "match")
 
 
 def _insert_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
@@ -1727,14 +1732,26 @@ def _insert_rows(graph: DataFrame, rows: DataFrame) -> DataFrame:
     return graph.unionByName(new.select(*_TRIPLE_COLS))
 
 
-def sparql_update(triples: DataFrame, query: str) -> DataFrame:
+def sparql_update(triples: DataFrame, query: str,
+                  strict_graph_scope: bool = False) -> DataFrame:
     """Execute a SPARQL UPDATE against the triples frame and return
     the updated graph (pure — callers persist via the catalog/
     snapshot layer; :func:`sparql_update_table` is the committed
     form).  Each operation's WHERE group is evaluated against the
     graph state produced by the preceding operations, per SPARQL 1.1
     Update semantics; within one operation, DELETE happens before
-    INSERT over the same binding set."""
+    INSERT over the same binding set.
+
+    **Graph scoping of unqualified deletes — a deliberate deviation**:
+    by default, a DELETE DATA / modify-form DELETE row with no GRAPH
+    qualifier removes the matching triple from EVERY named graph, not
+    just the default graph — the ``context`` column is provenance
+    here, and the reference scopes deletion by store context at the
+    API level (triplestore.py clear/remove take a context argument),
+    not per statement.  Callers that need standard SPARQL 1.1 Update
+    scoping (unqualified deletes touch only ``context IS NULL`` rows)
+    pass ``strict_graph_scope=True``; GRAPH-qualified deletes behave
+    identically in both modes."""
     spark = triples.sparkSession
     missing = [c for c in _TRIPLE_COLS if c not in triples.columns]
     if missing:
@@ -1750,7 +1767,8 @@ def sparql_update(triples: DataFrame, query: str) -> DataFrame:
             g = _insert_rows(g, spark.createDataFrame(payload, schema)
                              .distinct())
         elif kind == "delete_data":
-            g = _delete_rows(g, spark.createDataFrame(payload, schema))
+            g = _delete_rows(g, spark.createDataFrame(payload, schema),
+                             strict_graph_scope)
         else:
             dele, ins, group = payload
             null_s = F.lit(None).cast("string")
@@ -1767,7 +1785,8 @@ def sparql_update(triples: DataFrame, query: str) -> DataFrame:
                                 null_s.alias("context"))
                         .localCheckpoint())
 
-            g_after = _delete_rows(g, _rows(dele)) if dele else g
+            g_after = (_delete_rows(g, _rows(dele), strict_graph_scope)
+                       if dele else g)
             if ins:
                 g_after = _insert_rows(g_after, _rows(ins))
             g = g_after
@@ -1777,12 +1796,15 @@ def sparql_update(triples: DataFrame, query: str) -> DataFrame:
     return g
 
 
-def sparql_update_table(table, spark, query: str) -> dict:
+def sparql_update_table(table, spark, query: str,
+                        strict_graph_scope: bool = False) -> dict:
     """Run :func:`sparql_update` against a snapshot table
     (snaptable.SnapshotTable) and commit the result as one atomic
     overwrite — the graph-store update endpoint with history: the
     prior graph state stays addressable (time travel) and a bad
     update is a ``rollback()`` away.  Data units are immutable, so
     the lazy read-modify-write is safe (the new unit is fully written
-    before the commit repoints the table)."""
-    return table.overwrite(sparql_update(table.read(spark), query))
+    before the commit repoints the table).  ``strict_graph_scope`` as
+    in :func:`sparql_update`."""
+    return table.overwrite(sparql_update(table.read(spark), query,
+                                         strict_graph_scope))

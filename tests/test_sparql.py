@@ -841,6 +841,28 @@ def test_update_graph_scoped_data(spark, triples):
     assert g3.where("subj = 'd2' and obj = 'Beta'").count() == 0
 
 
+def test_update_strict_graph_scope(spark):
+    """strict_graph_scope=True: an unqualified DELETE touches only the
+    default graph (context IS NULL), per SPARQL 1.1 Update; the same
+    triple asserted in a named graph survives.  Default mode removes
+    both (store-level provenance scoping, documented deviation)."""
+    from ferenda_spark.sparql import sparql_update
+    t = spark.createDataFrame(
+        [("d1", DCT + "title", "X", None, None, None),
+         ("d1", DCT + "title", "X", None, None, "g2")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    q = 'DELETE DATA { <d1> dcterms:title "X" }'
+    strict = sparql_update(t, q, strict_graph_scope=True)
+    assert [r.context for r in strict.collect()] == ["g2"]
+    loose = sparql_update(t, q)
+    assert loose.count() == 0
+    # GRAPH-qualified deletes are identical in both modes
+    q2 = 'DELETE DATA { GRAPH <g2> { <d1> dcterms:title "X" } }'
+    assert sparql_update(t, q2, strict_graph_scope=True).count() == 1
+    assert sparql_update(t, q2).count() == 1
+
+
 def test_values_undef_on_joined_variable(triples):
     from ferenda_spark.sparql import sparql_select as sel
     # the UNDEF row is a wildcard: it admits every ?d; the bound rows
