@@ -843,8 +843,8 @@ def _q_pdf_extracted_lines(spark, sf_dir):
     from ferenda_spark.pdftext import pdf_blobs_to_lines, synth_pdf_blobs
     d = _read(spark, sf_dir, "documents").select("doc_id")
     out = pdf_blobs_to_lines(synth_pdf_blobs(d))
-    return out.select("url", "page", "line", "top", "left", "size",
-                      "font", "text")
+    return out.select("url", "page", "line", "top", "left", "width",
+                      "height", "size", "font", "text")
 
 
 def _q_pdf_section_triples(spark, sf_dir):
@@ -2547,13 +2547,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT url || '#S' || s, 'http://purl.org/dc/terms/isPartOf',
                    url FROM s""",
-        # planted two-line PDF: y=720/700, size 12, zoom 1.5 ->
-        # top = (792 - y - 12) * 1.5, left = 72 * 1.5
+        # planted two-line PDF: y=720/700, size 12, zoom 1.5, with
+        # poppler-parity geometry (golden-proven in test_pdftext):
+        # top = xoutRound((792 - y)*1.5 - 0.718*18)  (Helvetica AFM
+        # ascent 0.718) -> 95 + 30*k; height = xoutRound(0.925*18) =
+        # 17; width = xoutRound(AFM_advance_units * 12/1000 * 1.5),
+        # 'Line one ' = 4114 units + 556/digit, 'Second d' = 4225
         "pdf_extracted_lines": """
             SELECT 'https://example.org/pdfbin/' || doc_id AS url,
                    CAST(1 AS INT) AS page, CAST(k AS INT) AS line,
-                   CAST(90 + 30 * k AS INT) AS top,
-                   CAST(108 AS INT) AS "left", CAST(18 AS INT) AS size,
+                   CAST(95 + 30 * k AS INT) AS top,
+                   CAST(108 AS INT) AS "left",
+                   CAST(CASE WHEN k = 0 THEN floor(
+                            (4114 + 556 * length(CAST(doc_id AS VARCHAR)))
+                            * 0.018 + 0.5)
+                        ELSE 76 END AS INT) AS width,
+                   CAST(17 AS INT) AS height,
+                   CAST(18 AS INT) AS size,
                    'Helvetica' AS font,
                    CASE WHEN k = 0 THEN 'Line one ' || doc_id
                         ELSE 'Second ' || (doc_id % 9) END AS text

@@ -17,14 +17,20 @@ real end-to-end PDF path:
   Td/TD/T*/TL, Tj/TJ/'/") with full q/Q CTM tracking, emitting
   positioned text runs; runs sharing a baseline merge into lines.
 
-Geometry note (bounded scope, pinned): poppler's fontspec size and
-box width/height come from its font-metric pipeline (glyph widths,
-ascent/descent); this kernel derives positions and sizes from the
-transformation matrices only, so the emitted pdf2xml geometry is
-self-consistent (correct reading order, correct relative layout at
-the same 1.5 zoom) but not byte-equal to poppler's.  TEXT is the
-parity target: tests/test_pdftext.py proves per-line text equality
-against the reference's cached ``intermediate/sample.xml``.  Known
+Geometry (poppler-parity, golden-proven): boxes replicate poppler
+pdftohtml's metric pipeline — per-glyph advances from /Widths (or the
+public Adobe core-14 AFM tables for descriptor-less standard fonts)
+with Tc/Tw/Tz and TJ displacements (PDF 9.4.4); yMin/yMax from the
+FontDescriptor Ascent/Descent (poppler's defaulting + clamping
+rules); box segmentation via poppler's coalesce conditions (edge-
+containment vertical overlap > 0.5*height, horizontal gap within
+(-0.5*height, height)); every attribute xoutRound'ed (int(v + 0.5))
+with poppler's double op order.  tests/test_pdftext.py proves
+equality against the reference's cached intermediates: sample.pdf
+9/9 boxes exact on (top, left, width, height, fontspec size);
+custom-encoding.pdf 292/294 exact (2 pinned widths off by 1px —
+sub-pixel straddles of poppler's builtin-metrics rounding).  TEXT
+parity: per-line equality against ``intermediate/sample.xml``.  Known
 infeasible fixture, pinned: ``custom-encoding.pdf`` maps text through
 a custom /Differences-less encoding without ToUnicode — the
 reference's own cached ``intermediate/custom-encoding.xml`` contains
@@ -441,6 +447,73 @@ def _hex_to_str(h: bytes) -> str:
     return raw.decode("utf-16-be", "replace")
 
 
+def _wtab(groups) -> dict[str, int]:
+    d: dict[str, int] = {}
+    for chars, w in groups:
+        for c in chars:
+            d[c] = w
+    return d
+
+
+# Adobe core-14 AFM metrics (public: Adobe's Core14 AFM distribution,
+# same data poppler ships in BuiltinFontTables).  Only the families the
+# fixtures and synthetic corpora use; ascent/descent are the AFM
+# Ascender/Descender over 1000, widths are glyph advances per 1000,
+# keyed by the latin-1 char the code decodes to.
+_BUILTIN_METRICS = {
+    "Times-Roman": (0.683, -0.217), "Times-Bold": (0.683, -0.217),
+    "Times-Italic": (0.683, -0.217), "Times-BoldItalic": (0.683, -0.217),
+    "Helvetica": (0.718, -0.207), "Helvetica-Bold": (0.718, -0.207),
+    "Helvetica-Oblique": (0.718, -0.207),
+    "Helvetica-BoldOblique": (0.718, -0.207),
+    "Courier": (0.629, -0.157), "Courier-Bold": (0.629, -0.157),
+    "Courier-Oblique": (0.629, -0.157),
+    "Courier-BoldOblique": (0.629, -0.157),
+}
+
+_TIMES_ROMAN_W = _wtab([
+    (" ,.", 250), ("!()'-`frI[]", 333), ('"', 408),
+    ("#$*0123456789_bdghknopquvxy\u00f1\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9\u00fa\u00fb\u00fc\u00fd\u00ff\u00f8\u00df", 500),
+    ("%", 833), ("&m", 778), ("+<=>", 564),
+    ("/\\:;ijlt\u00ec\u00ed\u00ee\u00ef", 278),
+    ("?acesz\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5\u00e7\u00e8\u00e9\u00ea\u00eb", 444),
+    ("Js", 389), ("@", 921),
+    ("ADGHKNOQUVXYw\u00c0\u00c1\u00c2\u00c3\u00c4\u00c5\u00d2\u00d3\u00d4\u00d5\u00d6\u00d9\u00da\u00db\u00dc\u00dd\u00d8", 722),
+    ("BCR\u00c7\u00e6", 667), ("ELTZ\u00c9\u00c8\u00ca\u00cb", 611),
+    ("FPS", 556), ("M\u00c6", 889), ("W", 944), ("^", 469),
+    ("{}", 480), ("|", 200), ("~", 541),
+    # typographic punctuation (AFM: quotedblleft/right 444,
+    # quoteleft/right 333, en dash 500, em dash 1000, bullet 350,
+    # dagger/daggerdbl 500, ellipsis 1000, perthousand 1000)
+    ("\u201c\u201d\u201e", 444), ("\u2018\u2019\u201a", 333),
+    ("\u2013", 500), ("\u2014\u2026\u2030", 1000),
+    ("\u2022", 350), ("\u2020\u2021", 500), ("\ufb01\ufb02", 556),
+])
+
+_HELVETICA_W = _wtab([
+    (" !,./:;ftI[\\]\u00ec\u00ed\u00ee\u00ef", 278), ('"', 355),
+    ("#$0123456789?_abdeghnopquL\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5\u00e8\u00e9\u00ea\u00eb\u00f1\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9\u00fa\u00fb\u00fc", 556),
+    ("%\u00e6", 889),
+    ("&ABEKPSVXY\u00c7\u00c9\u00c8\u00ca\u00cb\u00c0\u00c1\u00c2\u00c3\u00c4\u00c5", 667),
+    ("'ijl", 222), ("()-`r", 333), ("*", 389), ("+<=>~", 584),
+    ("@", 1015), ("CDHNRUw\u00d9\u00da\u00db\u00dc", 722),
+    ("FTZ\u00df\u00f8", 611),
+    ("GOQ\u00d2\u00d3\u00d4\u00d5\u00d6\u00d8", 778),
+    ("Jcksvxyz\u00e7", 500), ("Mm", 833), ("W", 944), ("^", 469),
+    ("{}", 334), ("|", 260),
+    ("\u201c\u201d\u201e", 333), ("\u2018\u2019\u201a", 222),
+    ("\u2013", 556), ("\u2014\u2026\u2030", 1000),
+    ("\u2022", 350), ("\u2020\u2021", 556), ("\ufb01\ufb02", 500),
+])
+_BUILTIN_WIDTHS = {
+    "Times-Roman": _TIMES_ROMAN_W, "Times-Bold": _TIMES_ROMAN_W,
+    "Times-Italic": _TIMES_ROMAN_W, "Times-BoldItalic": _TIMES_ROMAN_W,
+    "Helvetica": _HELVETICA_W, "Helvetica-Bold": _HELVETICA_W,
+    "Helvetica-Oblique": _HELVETICA_W,
+    "Helvetica-BoldOblique": _HELVETICA_W,
+}
+
+
 def parse_tounicode(cmap: bytes) -> dict[int, str]:
     out: dict[int, str] = {}
     for m in _BFCHAR_RE.finditer(cmap):
@@ -477,6 +550,39 @@ class PdfFont:
     def __init__(self, doc: PdfDocument, d: dict):
         d = doc.resolve(d)
         self.base = str(doc.resolve(d.get("BaseFont")) or "unknown")
+        # --- metrics (poppler GfxFont::readFontDescriptor semantics:
+        # defaults 0.95/-0.35; a descriptor Ascent/Descent overrides
+        # only when nonzero; positive Descent is negated; descriptor
+        # values are per-1000 glyph units) -------------------------
+        self.ascent, self.descent = 0.95, -0.35
+        plain = self.base.split("+")[-1]          # drop subset prefix
+        if plain in _BUILTIN_METRICS and "FontDescriptor" not in d:
+            self.ascent, self.descent = _BUILTIN_METRICS[plain]
+        desc = doc.resolve(d.get("FontDescriptor") or {})
+        a = doc.resolve(desc.get("Ascent"))
+        if isinstance(a, (int, float)) and a:
+            self.ascent = a / 1000.0
+        dd = doc.resolve(desc.get("Descent"))
+        if isinstance(dd, (int, float)) and dd:
+            self.descent = -abs(dd) / 1000.0
+        # HtmlOutputDev clamps implausible metrics before computing
+        # the box (HtmlString ctor)
+        if self.ascent > 1.05:
+            self.ascent = 1.05
+        if self.descent < -0.4:
+            self.descent = -0.4
+        mw = doc.resolve(desc.get("MissingWidth"))
+        self.missing_width = float(mw) if isinstance(mw, (int, float)) \
+            else 0.0
+        fc = doc.resolve(d.get("FirstChar"))
+        self.first_char = int(fc) if isinstance(fc, (int, float)) else None
+        ws = doc.resolve(d.get("Widths"))
+        self.widths = ([float(doc.resolve(w)) for w in ws]
+                       if isinstance(ws, list) else None)
+        self.builtin_widths = (_BUILTIN_WIDTHS.get(plain)
+                               if self.widths is None else None)
+        self.builtin_default = (600.0 if plain.startswith("Courier")
+                                else 500.0)   # Courier is monospaced
         self.tounicode = {}
         if "ToUnicode" in d:
             try:
@@ -508,6 +614,22 @@ class PdfFont:
                 out.append(chr(b))               # latin-1 fallback
         return "".join(out)
 
+    def char_width(self, code: int) -> float:
+        """Glyph advance in per-1000 text-space units (the /Widths
+        entry, or core-14 AFM metrics for descriptor-less standard
+        fonts — poppler's width source for the same two cases)."""
+        if self.widths is not None and self.first_char is not None:
+            i = code - self.first_char
+            if 0 <= i < len(self.widths):
+                return self.widths[i]
+            return self.missing_width
+        if self.builtin_widths is not None:
+            ch = (self.tounicode.get(code)
+                  or self.differences.get(code) or chr(code))
+            w = self.builtin_widths.get(ch[:1])
+            return float(w) if w is not None else self.builtin_default
+        return self.missing_width or self.builtin_default
+
 
 # -------------------------------------------- content-stream interpret
 
@@ -532,25 +654,70 @@ _CS_TOKEN = re.compile(
 
 
 def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
-    """Yield (x, y, eff_size, font_name, text) runs in device space."""
+    """Yield (x, y, eff_size, font_name, text, x_end, ascent, descent)
+    runs in user space.  ``x_end`` is the text cursor after the last
+    glyph (poppler's per-string xMax source): per-char advances are
+    Widths/AFM glyph widths plus Tc/Tw, scaled by Tz, with TJ
+    displacements applied between glyphs — the PDF 9.4.4 advance
+    formula, same as poppler's Gfx::doShowText."""
     ctm = _ID
     stack: list[tuple] = []
     tm = tlm = _ID
     tl = 0.0
     font = None
     size = 1.0
+    tc = tw = 0.0          # Tc char spacing / Tw word spacing
+    tz = 100.0             # Tz horizontal scaling (percent)
     operands: list = []
 
     def emit(parts):
         # parts: bytes segments and TJ kerning floats; a displacement
         # more negative than -100/1000 em is an encoded inter-word gap
-        # (the standard extractor heuristic) and becomes a space
-        if font is None or not any(isinstance(p, bytes) and p
-                                   for p in parts):
-            return
-        trm = _mul(tm, ctm)
-        eff = size * (trm[0] ** 2 + trm[1] ** 2) ** 0.5
-        runs.append((trm[4], trm[5], eff, font, tuple(parts)))
+        # (the standard extractor heuristic) and becomes a space.
+        # Returns the total cursor displacement (text space) so the
+        # caller can advance the text matrix.
+        #
+        # A TJ displacement that opens a horizontal gap wider than the
+        # line height starts a NEW run (poppler's box segmentation:
+        # HtmlPage::coalesce merges adjacent strings only when
+        # -0.5*lineheight < gap < lineheight — TOC leader columns and
+        # numbered headings stay separate boxes).  Gaps can only open
+        # at part boundaries: glyphs inside one string are contiguous.
+        fobj = fonts.get(font) if font is not None else None
+        hs = tz / 100.0
+        space = ((fobj.ascent - fobj.descent) * size
+                 if fobj is not None else None)
+        cursor = 0.0
+        segs: list[list] = []      # [start, last_end, [parts...]]
+        cur = None
+        for p in parts:
+            if isinstance(p, bytes) and p:
+                if cur is not None:
+                    gap = cursor - cur[1]
+                    if not (space is not None
+                            and -0.5 * space < gap < space):
+                        cur = None
+                if cur is None:
+                    cur = [cursor, cursor, []]
+                    segs.append(cur)
+                cur[2].append(p)
+                for code in p:
+                    w = 0.0 if fobj is None else fobj.char_width(code)
+                    cursor += (w / 1000.0 * size + tc
+                               + (tw if code == 32 else 0.0)) * hs
+                cur[1] = cursor
+            elif not isinstance(p, bytes):
+                cursor -= p / 1000.0 * size * hs
+                if cur is not None and p < -100:
+                    cur[2].append(p)     # word-gap marker for decode
+        if font is not None and fobj is not None:
+            trm = _mul(tm, ctm)
+            sx = (trm[0] ** 2 + trm[1] ** 2) ** 0.5
+            eff = size * sx
+            for s0, s1, ps in segs:
+                runs.append((trm[4] + s0 * sx, trm[5], eff, font,
+                             tuple(ps), trm[4] + s1 * sx))
+        return cursor
 
     runs: list = []
     pos = 0
@@ -578,9 +745,14 @@ def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
         else:
             op = tok
             if op == b"q":
-                stack.append(ctm)
+                # q saves the FULL graphics state incl. text state
+                # (PDF 8.4.2) — Tc leaking across Q shifted poppler-
+                # parity widths by Tc*len(chars)
+                stack.append((ctm, font, size, tc, tw, tz, tl))
             elif op == b"Q":
-                ctm = stack.pop() if stack else _ID
+                (ctm, font, size, tc, tw, tz, tl) = (
+                    stack.pop() if stack
+                    else (_ID, None, 1.0, 0.0, 0.0, 100.0, 0.0))
             elif op == b"cm" and len(operands) >= 6:
                 ctm = _mul(tuple(operands[-6:]), ctm)
             elif op == b"BT":
@@ -600,20 +772,31 @@ def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
                 tm = tlm = _mul((1, 0, 0, 1, tx, ty), tlm)
             elif op == b"T*":
                 tm = tlm = _mul((1, 0, 0, 1, 0, -tl), tlm)
+            elif op == b"Tc" and operands:
+                tc = float(operands[-1])
+            elif op == b"Tw" and operands:
+                tw = float(operands[-1])
+            elif op == b"Tz" and operands:
+                tz = float(operands[-1])
             elif op in (b"Tj", b"'", b'"'):
                 if op != b"Tj":
                     tm = tlm = _mul((1, 0, 0, 1, 0, -tl), tlm)
+                if op == b'"' and len(operands) >= 3:
+                    tw = float(operands[-3])
+                    tc = float(operands[-2])
                 raws = [v for v in operands if isinstance(v, bytes)]
                 if raws:
-                    emit([raws[-1]])
+                    adv = emit([raws[-1]])
+                    tm = _mul((1, 0, 0, 1, adv, 0), tm)
             elif op == b"TJ":
-                emit([v for v in operands
-                      if isinstance(v, (bytes, float))])
+                adv = emit([v for v in operands
+                            if isinstance(v, (bytes, float))])
+                tm = _mul((1, 0, 0, 1, adv, 0), tm)
             elif op == b"BI":
                 end = content.find(b"EI", pos)   # skip inline images
                 pos = len(content) if end < 0 else end + 2
             operands = []
-    for x, y, eff, fname, parts in runs:
+    for x, y, eff, fname, parts, x_end in runs:
         f = fonts.get(fname)
         if f is None:
             continue
@@ -623,7 +806,8 @@ def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
                 pieces.append(f.decode(p))
             elif p < -100:                       # TJ word gap -> space
                 pieces.append(" ")
-        yield x, y, eff, f.base, "".join(pieces)
+        yield (x, y, eff, f.base, "".join(pieces), x_end,
+               f.ascent, f.descent)
 
 
 # ------------------------------------------------------------- public
@@ -662,20 +846,81 @@ def extract_text_pages(data: bytes, zoom: float = ZOOM,
         content = b"\n".join(chunks)
         runs = list(_iter_runs(content, fonts))
         if sort_lines:
-            runs.sort(key=lambda r: (-r[1], r[0]))
+            # poppler keeps strings sorted by (yMin, xMin) in device
+            # space ("yx order") and coalesces ADJACENT entries; the
+            # same order here makes the merge decisions line up (a
+            # raised footnote marker sorts before the body line it
+            # overlaps, so it can't capture the body's left edge)
+            runs.sort(key=lambda r:
+                      (((-zoom) * r[1] + h * zoom) - r[6] * (r[2] * zoom),
+                       r[0]))
+        # Geometry replicates poppler pdftohtml's box math exactly
+        # (HtmlOutputDev HtmlString ctor + xml dump, golden-verified
+        # against the reference's cached intermediates): device y =
+        # ctm[3]*y + ctm[5] with ctm = (zoom,0,0,-zoom,0,h*zoom);
+        # per-run yMin/yMax = y_dev -/+ clamped ascent/descent times
+        # the transformed font size; a line's box is the union over
+        # its merged runs; every attribute is xoutRound'ed, i.e.
+        # int(v + 0.5).  The double op ORDER matters: ties like
+        # yMin = 346.5 resolve differently under reassociation.
+        H = h * zoom
         lines: list[dict] = []
-        for x, y, eff, base, text in runs:
-            if lines and abs(lines[-1]["_y"] - y) <= 2.0:
-                lines[-1]["text"] += text
+        for x, y, eff, base, text, x_end, asc, dsc in runs:
+            y_dev = (-zoom) * y + H
+            fs_dev = eff * zoom
+            y_min = y_dev - asc * fs_dev
+            y_max = y_dev - dsc * fs_dev
+            x_dev = zoom * x
+            xe_dev = zoom * x_end
+            # poppler HtmlPage::coalesce: merge the next string into
+            # the accumulated box when they overlap vertically by more
+            # than half the box height AND the horizontal gap is
+            # within (-0.5*height, height)
+            mergeable = False
+            if lines:
+                ln = lines[-1]
+                sp = ln["_ymax"] - ln["_ymin"]
+                # vertOverlap counts only when one of the new string's
+                # vertical EDGES falls inside the accumulated box — a
+                # taller string whose box strictly contains the line's
+                # (italic lead-ins with default-metric ascent) does
+                # NOT overlap by this definition and starts a new box
+                if ln["_ymin"] <= y_min <= ln["_ymax"]:
+                    overlap = ln["_ymax"] - y_min
+                elif ln["_ymin"] <= y_max <= ln["_ymax"]:
+                    overlap = y_max - ln["_ymin"]
+                else:
+                    overlap = 0.0
+                gap = x_dev - ln["_xend"]
+                mergeable = (overlap > 0.5 * sp
+                             and -0.5 * sp < gap < sp)
+            if mergeable:
+                ln = lines[-1]
+                ln["text"] += text
+                ln["_ymin"] = min(ln["_ymin"], y_min)
+                ln["_ymax"] = max(ln["_ymax"], y_max)
+                ln["_xmin"] = min(ln["_xmin"], x_dev)
+                ln["_xend"] = max(ln["_xend"], xe_dev)
             else:
-                lines.append({"_y": y, "top": round((h - y - eff) * zoom),
-                              "left": round(x * zoom),
+                lines.append({"_y": y, "_ymin": y_min, "_ymax": y_max,
+                              "_xmin": x_dev, "_xend": xe_dev,
                               "size": round(eff * zoom),
+                              "_fsdev": fs_dev,
                               "font": base, "text": text})
         for ln in lines:
-            del ln["_y"]
-        pages.append({"number": i, "width": round(w * zoom),
-                      "height": round(h * zoom),
+            ln["top"] = int(ln["_ymin"] + 0.5)
+            ln["left"] = int(ln["_xmin"] + 0.5)
+            ln["width"] = int((ln["_xend"] - ln["_xmin"]) + 0.5)
+            ln["height"] = int((ln["_ymax"] - ln["_ymin"]) + 0.5)
+            # poppler's fontspec size (HtmlFont): int truncation of
+            # the transformed size minus 2 — fitted and golden-checked
+            # across both cached intermediates (5 fontspecs each way)
+            ln["fontsize"] = int(ln["_fsdev"]) - 2
+            for k in ("_y", "_ymin", "_ymax", "_xmin", "_xend",
+                      "_fsdev"):
+                del ln[k]
+        pages.append({"number": i, "width": int(w * zoom),
+                      "height": int(h * zoom),
                       "lines": [ln for ln in lines if ln["text"].strip()]})
     return pages
 
@@ -687,29 +932,29 @@ def _xml_escape(s: str) -> str:
 
 def pdf_to_pdf2xml(data: bytes, zoom: float = ZOOM) -> str:
     """PDF bytes -> pdf2xml-shaped document consumable by
-    ``pdfpages.parse_pdf2xml`` (geometry self-consistent at the same
-    zoom as poppler; see module docstring for the bounded-parity
-    note)."""
+    ``pdfpages.parse_pdf2xml``, with poppler-parity geometry (top/
+    left/width/height and fontspec sizes golden-equal to the
+    reference's cached pdftohtml intermediates — see
+    tests/test_pdftext.py)."""
     out = ["<pdf2xml producer=\"ferenda_spark.pdftext\">"]
     for page in extract_text_pages(data, zoom):
         out.append('<page number="%d" width="%d" height="%d">'
                    % (page["number"], page["width"], page["height"]))
         fonts: dict[tuple, int] = {}
         for ln in page["lines"]:
-            key = (ln["font"], ln["size"])
+            key = (ln["font"], ln["fontsize"])
             if key not in fonts:
                 fonts[key] = len(fonts)
                 out.append('<fontspec id="%d" size="%d" family="%s" '
                            'color="#000000"/>'
-                           % (fonts[key], ln["size"],
+                           % (fonts[key], ln["fontsize"],
                               _xml_escape(ln["font"])))
         for ln in page["lines"]:
             out.append('<text top="%d" left="%d" width="%d" '
                        'height="%d" font="%d">%s</text>'
-                       % (ln["top"], ln["left"],
-                          max(round(len(ln["text"]) * ln["size"] * 0.5),
-                              1),
-                          ln["size"], fonts[(ln["font"], ln["size"])],
+                       % (ln["top"], ln["left"], max(ln["width"], 1),
+                          ln["height"],
+                          fonts[(ln["font"], ln["fontsize"])],
                           _xml_escape(ln["text"])))
         out.append("</page>")
     out.append("</pdf2xml>")
@@ -717,6 +962,7 @@ def pdf_to_pdf2xml(data: bytes, zoom: float = ZOOM) -> str:
 
 
 PDF_TEXT_SCHEMA = ("url string, page int, line int, top int, left int, "
+                   "width int, height int, "
                    "size int, font string, text string, error string")
 
 
@@ -735,14 +981,15 @@ def pdf_blobs_to_lines(docs, blob_col: str = "blob", url_col: str = "url"):
                         for j, ln in enumerate(page["lines"]):
                             rows.append((url, page["number"], j,
                                          ln["top"], ln["left"],
+                                         ln["width"], ln["height"],
                                          ln["size"], ln["font"],
                                          ln["text"], None))
                 except Exception as e:
-                    rows.append((url, -1, -1, 0, 0, 0, None, None,
-                                 str(e)))
+                    rows.append((url, -1, -1, 0, 0, 0, 0, 0, None,
+                                 None, str(e)))
             yield pd.DataFrame(rows, columns=[
-                "url", "page", "line", "top", "left", "size", "font",
-                "text", "error"])
+                "url", "page", "line", "top", "left", "width",
+                "height", "size", "font", "text", "error"])
 
     return (docs.select(url_col, blob_col)
             .mapInPandas(batches, schema=PDF_TEXT_SCHEMA))

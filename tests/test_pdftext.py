@@ -84,6 +84,68 @@ def test_custom_encoding_readable_fonts_decode():
     assert "dubbelbeskattningsavtal mellan de nordiska" in text
 
 
+def _xml_geometry(name):
+    """(page, top, left, width, height, fontsize, text) rows from a
+    cached poppler intermediate, in file order."""
+    rows = []
+    fontspecs = {}
+    pageno = 0
+    for m in re.finditer(
+            r'<page number="(\d+)"[^>]*>'
+            r'|<text top="(-?\d+)" left="(-?\d+)" width="(-?\d+)"'
+            r' height="(-?\d+)" font="(\d+)">(.*?)</text>'
+            r'|<fontspec id="(\d+)" size="(-?\d+)"',
+            open("%s/intermediate/%s.xml" % (FIX, name)).read(), re.S):
+        if m.group(1):
+            pageno = int(m.group(1))
+        elif m.group(2):
+            txt = re.sub(r"<[^>]+>", "", m.group(7))
+            rows.append((pageno, int(m.group(2)), int(m.group(3)),
+                         int(m.group(4)), int(m.group(5)),
+                         fontspecs[int(m.group(6))], txt))
+        else:
+            fontspecs[int(m.group(8))] = int(m.group(9))
+    return rows
+
+
+def _blankish(t):
+    return not t.strip("\t\r\n \xa0\x00\x01\x02\x03")
+
+
+def _geometry_rows(name):
+    pages = extract_text_pages(_read(name), sort_lines=False)
+    return [(p["number"], ln["top"], ln["left"], ln["width"],
+             ln["height"], ln["fontsize"], ln["text"])
+            for p in pages for ln in p["lines"]]
+
+
+def test_sample_pdf_geometry_golden():
+    """Full box-geometry parity with poppler's cached intermediate:
+    every non-blank <text> element's top/left/width/height and its
+    fontspec size are integer-equal, in the same order."""
+    mine = [r for r in _geometry_rows("sample") if not _blankish(r[6])]
+    want = [r for r in _xml_geometry("sample") if not _blankish(r[6])]
+    assert [r[:6] for r in mine] == [r[:6] for r in want]
+
+
+def test_custom_encoding_pdf_geometry_golden():
+    """292/294 boxes integer-equal across the 11 LZW pages; the two
+    residues are widths off by 1px (sub-pixel straddles of poppler's
+    builtin-font metric rounding), pinned here exactly."""
+    mine = [r for r in _geometry_rows("custom-encoding")
+            if not _blankish(r[6])]
+    want = [r for r in _xml_geometry("custom-encoding")
+            if not _blankish(r[6])]
+    assert len(mine) == len(want) == 294
+    diffs = [(a, b) for a, b in zip(mine, want) if a[:6] != b[:6]]
+    assert len(diffs) == 2
+    for a, b in diffs:
+        # same box, width differs by exactly 1 device pixel
+        assert (a[0], a[1], a[2], a[4], a[5]) == \
+               (b[0], b[1], b[2], b[4], b[5])
+        assert abs(a[3] - b[3]) == 1
+
+
 def test_pdf2xml_roundtrip_through_model():
     """pdf_to_pdf2xml output feeds the existing pdfpages model: same
     text content survives the round trip."""
@@ -115,10 +177,13 @@ def test_synth_pdf_extracts_closed_form():
     pages = extract_text_pages(body.encode("latin-1"))
     assert len(pages) == 1
     lines = pages[0]["lines"]
-    assert [(ln["text"], ln["top"], ln["left"], ln["size"],
-             ln["font"]) for ln in lines] == [
-        ("Line one 7", 90, 108, 18, "Helvetica"),
-        ("Second 7", 120, 108, 18, "Helvetica")]
+    # geometry is poppler-parity math: top = y_dev - ascent*size_dev
+    # (Helvetica AFM ascent 0.718), width = AFM advance sum, height =
+    # (ascent - descent) * size_dev, all xoutRound'ed
+    assert [(ln["text"], ln["top"], ln["left"], ln["width"],
+             ln["height"], ln["size"], ln["font"]) for ln in lines] == [
+        ("Line one 7", 95, 108, 84, 17, 18, "Helvetica"),
+        ("Second 7", 125, 108, 76, 17, 18, "Helvetica")]
 
 
 def test_objstm_compressed_objects():
