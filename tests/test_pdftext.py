@@ -146,6 +146,17 @@ def test_custom_encoding_pdf_geometry_golden():
         assert abs(a[3] - b[3]) == 1
 
 
+def test_scanned_pdfs_yield_no_text_quietly():
+    """Image-only PDFs (the reference OCRs these — out of scope here,
+    input table is html) must parse to pages with zero text lines,
+    not raise: the Spark stage then emits no rows instead of a
+    quarantine row."""
+    for name in ("scanned", "scanned-ecma-99"):
+        pages = extract_text_pages(_read(name))
+        assert len(pages) == 2
+        assert sum(len(p["lines"]) for p in pages) == 0
+
+
 def test_pdf2xml_roundtrip_through_model():
     """pdf_to_pdf2xml output feeds the existing pdfpages model: same
     text content survives the round trip."""
