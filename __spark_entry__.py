@@ -425,6 +425,15 @@ def _q_train_mixture_order(spark, sf_dir):
                          default_weight=2.0)
 
 
+def _q_train_doc_chunks(spark, sf_dir):
+    """Sliding-window token chunking (RAG / pretraining context
+    assembly): overlapping 16-token windows, stride 12, with token
+    coordinates.  Map-side sequence()+explode — no shuffle, no UDF."""
+    from ferenda_spark.operators.training import chunk_documents
+    return chunk_documents(_read(spark, sf_dir, "documents"),
+                           window=16, stride=12)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: k-means coarse quantizer (deterministic
     Lloyd's, driver-held centroids), map-side list assignment,
@@ -1357,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_stratified_sample": _q_train_stratified_sample,
         "train_packed_sequences": _q_train_packed_sequences,
         "train_mixture_order": _q_train_mixture_order,
+        "train_doc_chunks": _q_train_doc_chunks,
         "mm_image_meta": _q_mm_image_meta,
         "mm_image_meta_real": _q_mm_image_meta_real,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -2167,6 +2177,23 @@ def oracle_sql() -> dict[str, str]:
                    (start_off + greatest(n_tokens, 1) - 1) // 512
                      - start_off // 512 + 1 AS n_spans
             FROM c""",
+        "train_doc_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS toks
+              FROM documents
+              WHERE regexp_matches(text, '[^ \t\n\r\f\x0B]')),
+            s AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     unnest(generate_series(0, len(toks) - 1, 12)) AS st
+              FROM t)
+            SELECT doc_id, CAST(st // 12 AS INT) AS chunk_id,
+                   CAST(st AS INT) AS start_tok,
+                   CAST(least(16, n - st) AS INT) AS n_tokens,
+                   array_to_string(list_slice(toks, st + 1, st + 16),
+                                   ' ') AS chunk_text
+            FROM s""",
         "train_mixture_order": """
             WITH b AS (
               SELECT doc_id, source,

@@ -143,3 +143,45 @@ def mixture_order(df: DataFrame, source_col: str, weights: dict,
             .withColumn("order_key",
                         F.round(F.col("source_rank") / wexpr, 6))
             .select(key_col, "source", "source_rank", "order_key"))
+
+
+def chunk_documents(documents: DataFrame, window: int = 16,
+                    stride: int = 12, key_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window token chunking (RAG / pretraining context
+    assembly): each document becomes overlapping windows of
+    ``window`` tokens advanced by ``stride``; the tail window is
+    partial, and every chunk carries its token coordinates so
+    downstream packing/retrieval can map back into the document.
+
+    Returns (key, chunk_id, start_tok, n_tokens, chunk_text) — one
+    row per window, chunk_id = start_tok / stride.
+
+    Scale shape: tokenize + sequence() + posexplode is a pure
+    map-side row generator — no shuffle, no UDF; output partitioning
+    inherits the input, and each output row is bounded by the window
+    size, so a 10^12-document corpus chunks in one embarrassingly
+    parallel pass.  Tokenization uses the engine-pinned whitespace
+    class shared with dedup/packing (`dedup.TOKEN_SPLIT`)."""
+    toks = tokens(F.col(text_col))
+    # keep docs with at least one non-whitespace char (SQL trim()
+    # strips only spaces, so a tab-only doc would survive a
+    # length(trim()) test in BOTH engines — test the pinned class)
+    base = (documents
+            .where(F.col(text_col).rlike("[^ \t\n\r\f\x0B]"))
+            .select(F.col(key_col), toks.alias("__toks"))
+            .withColumn("__n", F.size("__toks")))
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    return (base
+            .select(key_col, "__toks", "__n",
+                    F.explode(starts).alias("start_tok"))
+            .select(F.col(key_col),
+                    (F.col("start_tok") / stride)
+                    .cast("int").alias("chunk_id"),
+                    F.col("start_tok").cast("int"),
+                    F.least(F.lit(window),
+                            F.col("__n") - F.col("start_tok"))
+                    .cast("int").alias("n_tokens"),
+                    F.array_join(
+                        F.slice("__toks", F.col("start_tok") + 1,
+                                window), " ").alias("chunk_text")))

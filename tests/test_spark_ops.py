@@ -826,6 +826,33 @@ def test_mixture_order_ranks_and_proportions(spark):
     assert abs(prefix.count("src2") - 10) <= 2
 
 
+def test_chunk_documents_sliding_windows(spark):
+    """Overlapping windows reconstruct the document: stride-spaced
+    starts, full windows except the tail, blank docs skipped, chunk
+    text slices match the token stream."""
+    from ferenda_spark.operators.training import chunk_documents
+    df = spark.createDataFrame(
+        [(1, " ".join("w%d" % i for i in range(10))),
+         (2, ""), (3, "solo"), (4, "  \t ")],
+        "doc_id long, text string")
+    got = sorted(chunk_documents(df, window=4, stride=3).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 3}          # blank/whitespace docs drop
+    doc1 = by_doc[1]
+    assert [r.start_tok for r in doc1] == [0, 3, 6, 9]
+    assert [r.chunk_id for r in doc1] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in doc1] == [4, 4, 4, 1]
+    assert doc1[0].chunk_text == "w0 w1 w2 w3"
+    assert doc1[-1].chunk_text == "w9"    # partial tail window
+    # consecutive windows overlap by window - stride tokens
+    assert doc1[0].chunk_text.split()[3:] == \
+        doc1[1].chunk_text.split()[:1]
+    assert by_doc[3][0].chunk_text == "solo"
+
+
 def test_tokenizer_cross_engine_adversarial_whitespace(spark):
     """The pinned whitespace class must tokenize identically in Spark
     (Java regex) and DuckDB (RE2) — including \\x0B, which Java's \\s
