@@ -750,9 +750,9 @@ def _iter_runs(content: bytes, fonts: dict[str, PdfFont]):
                 # parity widths by Tc*len(chars)
                 stack.append((ctm, font, size, tc, tw, tz, tl))
             elif op == b"Q":
-                (ctm, font, size, tc, tw, tz, tl) = (
-                    stack.pop() if stack
-                    else (_ID, None, 1.0, 0.0, 0.0, 100.0, 0.0))
+                if stack:       # unbalanced Q is a no-op (grestore
+                    (ctm, font, size, tc, tw, tz,    # on an empty
+                     tl) = stack.pop()               # stack)
             elif op == b"cm" and len(operands) >= 6:
                 ctm = _mul(tuple(operands[-6:]), ctm)
             elif op == b"BT":
