@@ -61,6 +61,10 @@ HEADLINE = [
     # normalization, RDFS materialization, citegraph analytics
     "kg_snapshot_incremental", "url_canonical", "kg_rdfs_entailed",
     "kg_degree_distribution", "kg_ranking_ap",
+    # r4 additions: pruned IVF probing, real image-header decode,
+    # legacy .doc reader, sliding-window chunking, ranked-set baseline
+    "sim_ivf_topk_pruned", "mm_image_meta_real", "mm_audio_meta",
+    "word_docs_legacy", "train_doc_chunks", "kg_ranking_baseline",
 ]
 
 
@@ -163,19 +167,29 @@ def run_scaling(sf_dir: str, reps: int | None = None) -> dict:
     headline per-leg number is the MEDIAN of the clean reps — robust
     against residual one-sided noise, unlike best-of-N — and the
     efficiency is reported with its clean-rep spread so a reader can
-    see when the metric is noise-dominated."""
+    see when the metric is noise-dominated.
+
+    The two legs are INTERLEAVED rep-by-rep (N, 4N, N, 4N, ...)
+    rather than run as contiguous blocks: this shared VM drifts on
+    ~10-minute timescales (ballooning, host cache pressure) that the
+    per-rep steal counter does not see, and a block design lets one
+    slow window land entirely inside a single leg, biasing the ratio.
+    Interleaving makes drift common-mode; ``efficiency_paired_median``
+    additionally reports the median of per-round (4N/N)/4 ratios from
+    back-to-back pairs, which cancels drift pair-wise."""
     import shutil
     import statistics
     have_taskset = shutil.which("taskset") is not None
     if reps is None:
-        reps = int(os.environ.get("BENCH_SCALING_REPS", "5"))
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "7"))
     out = {}
     # Pin away from cpu0: it hosts IRQ/system load on this VM, adding
     # run-to-run noise of up to ~50% on the 1-core leg (a real
     # executor host's cores are dedicated).  Cores PIN_BASE..+n-1.
     pin_base = 16
     spreads = {}
-    for n in (SCALING_N, SCALING_4N):
+
+    def _one_rep(n: int) -> dict | None:
         code = ("import sys; sys.path.insert(0, %r); import bench, json; "
                 "print('@@'+json.dumps(bench._throughput_job(%r, 'local[%d]')))"
                 % (os.path.dirname(os.path.abspath(__file__)), sf_dir, n))
@@ -183,24 +197,40 @@ def run_scaling(sf_dir: str, reps: int | None = None) -> dict:
         if have_taskset:
             cmd = ["taskset", "-c",
                    "%d-%d" % (pin_base, pin_base + n - 1)] + cmd
-        clean, rejected, runs = [], [], []
-        for _ in range(reps + 3):
-            if len(clean) >= reps:
-                break
-            r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=1800)
-            line = [l for l in r.stdout.splitlines()
-                    if l.startswith("@@")]
-            if not line:
-                return {"error": (r.stderr or r.stdout)[-500:]}
-            res = json.loads(line[0][2:])
-            runs.append({"triples_per_sec": res["triples_per_sec"],
-                         "steal_pct": res["steal_pct"]})
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1800)
+        line = [l for l in r.stdout.splitlines() if l.startswith("@@")]
+        if not line:
+            return {"error": (r.stderr or r.stdout)[-500:]}
+        return json.loads(line[0][2:])
+
+    levels = (SCALING_N, SCALING_4N)
+    clean = {n: [] for n in levels}
+    rejected = {n: [] for n in levels}
+    runs = {n: [] for n in levels}
+    pairs = []               # per-round (clean N rep, clean 4N rep)
+    for _ in range(reps + 3):
+        if all(len(clean[n]) >= reps for n in levels):
+            break
+        this_round = {}
+        for n in levels:
+            if len(clean[n]) >= reps:
+                continue
+            res = _one_rep(n)
+            if res is None or "error" in res:
+                return res or {"error": "no output"}
+            runs[n].append({"triples_per_sec": res["triples_per_sec"],
+                            "steal_pct": res["steal_pct"]})
             if res["steal_pct"] <= STEAL_THRESHOLD:
-                clean.append(res)
+                clean[n].append(res)
+                this_round[n] = res
             else:
-                rejected.append(res)
-        use = clean or rejected          # all contaminated: report, flagged
+                rejected[n].append(res)
+        if all(n in this_round for n in levels):
+            pairs.append((this_round[SCALING_N]["triples_per_sec"],
+                          this_round[SCALING_4N]["triples_per_sec"]))
+    for n in levels:
+        use = clean[n] or rejected[n]    # all contaminated: report, flagged
         tps = sorted(r["triples_per_sec"] for r in use)
         med_tps = statistics.median(tps)
         # the rep whose throughput is closest to the median carries the
@@ -208,13 +238,17 @@ def run_scaling(sf_dir: str, reps: int | None = None) -> dict:
         rep = min(use, key=lambda r: abs(r["triples_per_sec"] - med_tps))
         leg = dict(rep)
         leg["triples_per_sec"] = med_tps
-        leg["runs"] = runs
-        leg["clean_reps"] = len(clean)
-        leg["steal_rejected"] = len(rejected)
-        leg["contaminated"] = not clean
+        leg["runs"] = runs[n]
+        leg["clean_reps"] = len(clean[n])
+        leg["steal_rejected"] = len(rejected[n])
+        leg["contaminated"] = not clean[n]
         leg["spread_triples_per_sec"] = [tps[0], tps[-1]]
         spreads[n] = tps
         out["local%d" % n] = leg
+    if pairs:
+        out["efficiency_paired_median"] = round(statistics.median(
+            (t4 / t1) / 4.0 for t1, t4 in pairs), 3)
+        out["paired_rounds"] = len(pairs)
     tn = out["local%d" % SCALING_N]["triples_per_sec"]
     t4n = out["local%d" % SCALING_4N]["triples_per_sec"]
     out["efficiency_n_to_4n"] = round((t4n / tn) / 4.0, 3)
