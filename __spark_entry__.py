@@ -470,14 +470,25 @@ def _q_mm_image_meta(spark, sf_dir):
 
 
 def _q_mm_image_meta_real(spark, sf_dir):
-    """Real (not stub) image decode: JVM-synthesized minimal PNG/JPEG
-    byte streams -> dependency-free header parse (PNG IHDR / JPEG
-    SOF0) in the Arrow batch pass.  Dims are closed-form in doc_id so
-    the oracle recomputes them without touching bytes."""
+    """Real (not stub) image decode: JVM-synthesized minimal
+    PNG/JPEG/GIF/BMP byte streams -> dependency-free header parse
+    (PNG IHDR / JPEG SOF0 / GIF screen descriptor / BMP
+    BITMAPINFOHEADER) in the Arrow batch pass.  Dims are closed-form
+    in doc_id so the oracle recomputes them without touching bytes."""
     from ferenda_spark.operators.multimodal import (image_meta,
                                                     synth_image_blobs)
     return image_meta(synth_image_blobs(_read(spark, sf_dir, "documents")),
                       real=True)
+
+
+def _q_mm_audio_meta(spark, sf_dir):
+    """Real WAV/RIFF audio metadata: JVM-synthesized 44-byte canonical
+    headers -> chunk-walking fmt/data parse in the Arrow batch pass
+    (streaming-friendly: the declared data size is used, payloads are
+    never fetched).  Every field is closed-form in doc_id."""
+    from ferenda_spark.operators.multimodal import (audio_meta,
+                                                    synth_wav_blobs)
+    return audio_meta(synth_wav_blobs(_read(spark, sf_dir, "documents")))
 
 
 def _q_mm_frame_sample(spark, sf_dir):
@@ -1369,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_doc_chunks": _q_train_doc_chunks,
         "mm_image_meta": _q_mm_image_meta,
         "mm_image_meta_real": _q_mm_image_meta_real,
+        "mm_audio_meta": _q_mm_audio_meta,
         "mm_frame_sample": _q_mm_frame_sample,
         "kg_keyword_terms": _q_keyword_terms,
         "kg_triple_stats": _q_triple_stats,
@@ -2287,28 +2299,46 @@ def oracle_sql() -> dict[str, str]:
                    'stub/raw' AS format,
                    CAST(length(text) AS BIGINT) AS n_bytes
             FROM documents""",
-        # mirrors multimodal.synth_image_blobs: even doc_id = 33-byte
-        # PNG, odd = 17-byte JPEG, dims closed-form in doc_id
+        # mirrors multimodal.synth_image_blobs: doc_id % 4 selects the
+        # format (0 PNG / 1 JPEG / 2 GIF / 3 BMP), dims closed-form
         "mm_image_meta_real": """
-            SELECT doc_id,
-                   CAST(CASE WHEN doc_id % 2 = 0
-                        THEN 16 + doc_id % 240
-                        ELSE 8 + doc_id % 500 END AS INT) AS width,
-                   CAST(CASE WHEN doc_id % 2 = 0
-                        THEN 16 + (doc_id * 7) % 240
-                        ELSE 8 + (doc_id * 3) % 300 END AS INT) AS height,
-                   CAST((CASE WHEN doc_id % 2 = 0
-                         THEN 16 + doc_id % 240
-                         ELSE 8 + doc_id % 500 END)
-                        * (CASE WHEN doc_id % 2 = 0
-                           THEN 16 + (doc_id * 7) % 240
-                           ELSE 8 + (doc_id * 3) % 300 END)
-                     AS BIGINT) AS n_pixels,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image/png'
-                        ELSE 'image/jpeg' END AS format,
-                   CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 17 END
-                     AS BIGINT) AS n_bytes
-            FROM documents""",
+            WITH dims AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 16 + doc_id % 240
+                       WHEN 1 THEN 8 + doc_id % 500
+                       WHEN 2 THEN 4 + (doc_id * 5) % 320
+                       ELSE 10 + doc_id % 600 END AS w,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 16 + (doc_id * 7) % 240
+                       WHEN 1 THEN 8 + (doc_id * 3) % 300
+                       WHEN 2 THEN 4 + (doc_id * 11) % 200
+                       ELSE 10 + (doc_id * 13) % 400 END AS h,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                       WHEN 2 THEN 'image/gif' ELSE 'image/bmp' END AS fmt,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 33 WHEN 1 THEN 17
+                       WHEN 2 THEN 14 ELSE 30 END AS nb
+              FROM documents)
+            SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(w * h AS BIGINT) AS n_pixels, fmt AS format,
+                   CAST(nb AS BIGINT) AS n_bytes
+            FROM dims""",
+        # mirrors multimodal.synth_wav_blobs: 44-byte canonical WAV
+        # headers, every decoded field closed-form in doc_id
+        "mm_audio_meta": """
+            WITH wav AS (
+              SELECT doc_id, 1 + doc_id % 2 AS ch,
+                     8000 + (doc_id % 5) * 4000 AS rate,
+                     1 + doc_id % 441 AS ns
+              FROM documents)
+            SELECT doc_id, CAST(ch AS INT) AS channels,
+                   CAST(rate AS INT) AS sample_rate, CAST(16 AS INT) AS bits,
+                   CAST(ns AS BIGINT) AS n_samples,
+                   CAST(ns * 1000 // rate AS BIGINT) AS duration_ms,
+                   CAST(44 AS BIGINT) AS n_bytes
+            FROM wav""",
         "mm_frame_sample": """
             WITH fr AS (
               SELECT doc_id,

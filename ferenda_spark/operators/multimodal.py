@@ -77,28 +77,52 @@ def _jpeg_dims(b: bytes):
     return None
 
 
+def _gif_dims(b: bytes):
+    """Width/height from the GIF logical screen descriptor (bytes 6-9,
+    little-endian u16, GIF87a/89a spec section 18)."""
+    if len(b) < 10:
+        return None
+    return (int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"))
+
+
+def _bmp_dims(b: bytes):
+    """Width/height from BITMAPINFOHEADER (biSize >= 40 at offset 14;
+    signed little-endian i32 at 18/22 — negative height means a
+    top-down DIB, the magnitude is the pixel height)."""
+    if len(b) < 26 or int.from_bytes(b[14:18], "little") < 40:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    return (w, abs(h)) if w > 0 and h != 0 else None
+
+
 def decode_bytes(b: bytes, real: bool = False) -> dict:
     """Decode kernel.  ``real=True`` parses actual image headers with
-    a dependency-free JPEG SOFn / PNG IHDR reader (covers the two
-    dominant web-image formats; no pillow needed).  Other formats and
-    AV streams still raise — that residue is the declared stub (the
-    container has no ffmpeg).  ``real=False`` keeps the deterministic
-    fake used by the plumbing oracle."""
+    a dependency-free reader for the four dominant web-image container
+    formats — JPEG SOFn, PNG IHDR, GIF logical screen descriptor, BMP
+    BITMAPINFOHEADER (no pillow needed).  Other formats and AV streams
+    still raise — that residue is the declared stub (the container has
+    no ffmpeg; WAV/RIFF audio has its own real parser in
+    :func:`wav_meta`).  ``real=False`` keeps the deterministic fake
+    used by the plumbing oracle."""
     n = len(b)
     if real:
+        dims, fmt = None, None
         if b[:8] == PNG_MAGIC:
-            dims = _png_dims(b)
-            if dims:
-                return {"width": dims[0], "height": dims[1],
-                        "format": "image/png", "n_bytes": n}
+            dims, fmt = _png_dims(b), "image/png"
         elif b[:2] == b"\xff\xd8":
-            dims = _jpeg_dims(b)
-            if dims:
-                return {"width": dims[0], "height": dims[1],
-                        "format": "image/jpeg", "n_bytes": n}
+            dims, fmt = _jpeg_dims(b), "image/jpeg"
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            dims, fmt = _gif_dims(b), "image/gif"
+        elif b[:2] == b"BM":
+            dims, fmt = _bmp_dims(b), "image/bmp"
+        if dims:
+            return {"width": dims[0], "height": dims[1],
+                    "format": fmt, "n_bytes": n}
         raise NotImplementedError(
-            "real decode implemented for JPEG/PNG headers only; other "
-            "formats and AV need pillow/ffmpeg (not in container)")
+            "real decode implemented for JPEG/PNG/GIF/BMP headers only; "
+            "other formats and AV need pillow/ffmpeg (not in container)")
     first = b[0] if n else 0
     return {"width": 16 + (n % 240),
             "height": 16 + ((first * 7) % 240),
@@ -113,27 +137,138 @@ def with_blob(documents: DataFrame) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("content"))
 
 
+def _be32(c):
+    return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+
+def _be16(c):
+    return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+
+def _byte(c):
+    return F.unhex(F.lpad(F.hex(c % 256), 2, "0"))
+
+
+def _u16le(c):
+    return F.concat(_byte(c), _byte(F.shiftright(c.cast("long"), 8)))
+
+
+def _u32le(c):
+    c = c.cast("long")
+    return F.concat(_u16le(c % 65536), _u16le(F.shiftright(c, 16)))
+
+
 def synth_image_blobs(documents: DataFrame) -> DataFrame:
-    """Valid minimal PNG/JPEG byte streams built entirely JVM-side
-    (concat of binary literals + unhex'd big-endian dims) — the
-    closed-form corpus for the real decode path.  Even doc_ids get a
-    33-byte PNG (sig + IHDR), odd get a 17-byte JPEG (SOI + SOF0 with
-    one component + EOI); dims are pure functions of doc_id that the
-    DuckDB oracle recomputes."""
-    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))   # noqa: E731
-    be16 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))   # noqa: E731
+    """Valid minimal image byte streams built entirely JVM-side
+    (concat of binary literals + unhex'd dims) — the closed-form
+    corpus for the real decode path, one format per ``doc_id % 4``:
+    0 = 33-byte PNG (sig + IHDR), 1 = 17-byte JPEG (SOI + SOF0, one
+    component, EOI), 2 = 14-byte GIF89a (logical screen descriptor +
+    trailer), 3 = 30-byte BMP (file header + BITMAPINFOHEADER prefix).
+    Dims are pure functions of doc_id that the DuckDB oracle
+    recomputes."""
     d = F.col("doc_id")
     png_w, png_h = 16 + d % 240, 16 + (d * 7) % 240
     jpg_w, jpg_h = 8 + d % 500, 8 + (d * 3) % 300
+    gif_w, gif_h = 4 + (d * 5) % 320, 4 + (d * 11) % 200
+    bmp_w, bmp_h = 10 + d % 600, 10 + (d * 13) % 400
     png = F.concat(F.lit(PNG_MAGIC), F.lit(b"\x00\x00\x00\x0dIHDR"),
-                   be32(png_w), be32(png_h),
+                   _be32(png_w), _be32(png_h),
                    F.lit(b"\x08\x02\x00\x00\x00"),
                    F.lit(b"\x00\x00\x00\x00"))        # CRC unchecked
     jpg = F.concat(F.lit(b"\xff\xd8\xff\xc0\x00\x0b\x08"),
-                   be16(jpg_h), be16(jpg_w),
+                   _be16(jpg_h), _be16(jpg_w),
                    F.lit(b"\x01\x01\x11\x00\xff\xd9"))
-    return documents.select(
-        "doc_id", F.when(d % 2 == 0, png).otherwise(jpg).alias("content"))
+    gif = F.concat(F.lit(b"GIF89a"), _u16le(gif_w), _u16le(gif_h),
+                   F.lit(b"\x00\x00\x00\x3b"))
+    bmp = F.concat(F.lit(b"BM"), _u32le(F.lit(30)),
+                   F.lit(b"\x00\x00\x00\x00"), _u32le(F.lit(30)),
+                   _u32le(F.lit(40)), _u32le(bmp_w), _u32le(bmp_h),
+                   _u16le(F.lit(1)), _u16le(F.lit(24)))
+    blob = (F.when(d % 4 == 0, png).when(d % 4 == 1, jpg)
+            .when(d % 4 == 2, gif).otherwise(bmp))
+    return documents.select("doc_id", blob.alias("content"))
+
+
+AUDIO_META_SCHEMA = ("doc_id long, channels int, sample_rate int, "
+                     "bits int, n_samples long, duration_ms long, "
+                     "n_bytes long")
+
+
+def wav_meta_bytes(b: bytes) -> dict | None:
+    """Real WAV/RIFF metadata: walk the chunk list for ``fmt `` (PCM
+    header: channels/rate/bits) and ``data`` (declared payload size).
+    The declared data size is trusted even when the payload has been
+    truncated away — the streaming-friendly read a 100 TB media scan
+    wants (fetch 44 header bytes, never the payload).  Returns None
+    for non-RIFF/WAVE input."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = 0
+    data_size = -1
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        sz = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data_size = sz
+        i += 8 + sz + (sz & 1)        # chunks are word-aligned
+    if not (channels and rate and bits) or data_size < 0:
+        return None
+    block = channels * (bits // 8)
+    n_samples = data_size // block if block else 0
+    return {"channels": channels, "sample_rate": rate, "bits": bits,
+            "n_samples": n_samples,
+            "duration_ms": n_samples * 1000 // rate,
+            "n_bytes": len(b)}
+
+
+def synth_wav_blobs(documents: DataFrame) -> DataFrame:
+    """Valid 44-byte canonical WAV headers (RIFF + fmt + data chunk
+    declaration, payload elided) built JVM-side; every field is a
+    closed-form function of doc_id so the DuckDB oracle recomputes the
+    decoded metadata without touching bytes: channels = 1 + d%2,
+    rate = 8000 + (d%5)*4000, 16-bit PCM, n_samples = 1 + d%441."""
+    d = F.col("doc_id")
+    channels = (1 + d % 2).cast("long")
+    rate = (8000 + (d % 5) * 4000).cast("long")
+    n_samples = (1 + d % 441).cast("long")
+    block = channels * 2
+    data_size = (n_samples * block).cast("long")
+    byte_rate = (rate * block).cast("long")
+    wav = F.concat(
+        F.lit(b"RIFF"), _u32le(data_size + 36), F.lit(b"WAVE"),
+        F.lit(b"fmt "), _u32le(F.lit(16)), _u16le(F.lit(1)),
+        _u16le(channels), _u32le(rate), _u32le(byte_rate),
+        _u16le(block), _u16le(F.lit(16)),
+        F.lit(b"data"), _u32le(data_size))
+    return documents.select("doc_id", wav.alias("content"))
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, channels, sample_rate, bits, n_samples, duration_ms,
+    n_bytes) via mapInPandas over Arrow batches of the binary column —
+    same plumbing shape as :func:`image_meta`, real RIFF parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "channels", "sample_rate", "bits",
+                "n_samples", "duration_ms", "n_bytes"]
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = wav_meta_bytes(bytes(blob))
+                if m is not None:
+                    rows.append((int(doc_id), m["channels"],
+                                 m["sample_rate"], m["bits"],
+                                 m["n_samples"], m["duration_ms"],
+                                 m["n_bytes"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
 
 
 def image_meta(media: DataFrame, real: bool = False) -> DataFrame:

@@ -238,7 +238,20 @@ def test_real_decode_jpeg_png_headers():
         m = decode_bytes(jpg, real=True)
         assert (m["width"], m["height"], m["format"]) == (
             457, 123, "image/jpeg")
-    for bad in (b"GIF89a....", b"\xff\xd8\xff\xd9", b"", png[:20]):
+    gif = b"GIF87a" + (320).to_bytes(2, "little") + \
+        (200).to_bytes(2, "little") + b"\x00\x00\x00\x3b"
+    m = decode_bytes(gif, real=True)
+    assert (m["width"], m["height"], m["format"]) == (320, 200,
+                                                      "image/gif")
+    bmp = (b"BM" + (30).to_bytes(4, "little") + b"\x00" * 4
+           + (30).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + (800).to_bytes(4, "little")
+           + (-600).to_bytes(4, "little", signed=True))  # top-down DIB
+    m = decode_bytes(bmp, real=True)
+    assert (m["width"], m["height"], m["format"]) == (800, 600,
+                                                      "image/bmp")
+    for bad in (b"GIF89a..", b"\xff\xd8\xff\xd9", b"", png[:20],
+                b"BM" + b"\x00" * 24, b"RIFF1234WAVEdata"):
         with _pytest.raises(NotImplementedError):
             decode_bytes(bad, real=True)
 
@@ -255,12 +268,46 @@ def test_synth_image_blobs_roundtrip(spark):
                                 real=True).collect()}
     for i in range(20):
         r = rows[i]
-        if i % 2 == 0:
-            assert (r.width, r.height, r.format, r.n_bytes) == (
-                16 + i % 240, 16 + (i * 7) % 240, "image/png", 33)
-        else:
-            assert (r.width, r.height, r.format, r.n_bytes) == (
-                8 + i % 500, 8 + (i * 3) % 300, "image/jpeg", 17)
+        want = {
+            0: (16 + i % 240, 16 + (i * 7) % 240, "image/png", 33),
+            1: (8 + i % 500, 8 + (i * 3) % 300, "image/jpeg", 17),
+            2: (4 + (i * 5) % 320, 4 + (i * 11) % 200, "image/gif", 14),
+            3: (10 + i % 600, 10 + (i * 13) % 400, "image/bmp", 30),
+        }[i % 4]
+        assert (r.width, r.height, r.format, r.n_bytes) == want
+
+
+def test_wav_meta_roundtrip(spark):
+    """JVM-built 44-byte WAV headers decode to the closed-form
+    metadata (the mm_audio_meta oracle contract); hand-built RIFF with
+    an extra chunk parses; truncated/foreign bytes return None."""
+    from ferenda_spark.operators.multimodal import (
+        audio_meta, synth_wav_blobs, wav_meta_bytes)
+    docs = spark.createDataFrame([(i,) for i in range(12)],
+                                 "doc_id long")
+    rows = {r.doc_id: r
+            for r in audio_meta(synth_wav_blobs(docs)).collect()}
+    for i in range(12):
+        r = rows[i]
+        ch, rate, ns = 1 + i % 2, 8000 + (i % 5) * 4000, 1 + i % 441
+        assert (r.channels, r.sample_rate, r.bits) == (ch, rate, 16)
+        assert r.n_samples == ns
+        assert r.duration_ms == ns * 1000 // rate
+        assert r.n_bytes == 44
+    # LIST chunk before fmt, odd-sized chunk word-aligned, payload present
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (44100).to_bytes(4, "little")
+           + (176400).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    wav = (b"RIFF" + (93).to_bytes(4, "little") + b"WAVE"
+           + b"LIST" + (5).to_bytes(4, "little") + b"INFOx\x00"
+           + fmt + b"data" + (40).to_bytes(4, "little") + b"\x00" * 40)
+    m = wav_meta_bytes(wav)
+    assert (m["channels"], m["sample_rate"], m["n_samples"]) == (
+        2, 44100, 10)
+    assert wav_meta_bytes(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert wav_meta_bytes(b"\x89PNG") is None
 
 
 def test_multimodal_frame_sample_counts(spark):
