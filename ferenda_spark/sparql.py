@@ -107,11 +107,12 @@ VALUES UNDEF follows SPARQL solution
 compatibility (an UNDEF cell joins any binding — generalized join
 with coalesced output).  FILTER [NOT] EXISTS and MINUS compile to
 semi/anti joins on the shared variables (equi semantics; a disjoint
-MINUS removes nothing per SPARQL 1.1 §8.3.3).  Unsupported
-(documented, raises
+MINUS removes nothing per SPARQL 1.1 §8.3.3).  DESCRIBE follows SPARQL 1.1
+§16.4: constant IRIs are always described; listed variables
+contribute their distinct bindings over the WHERE solutions, and the
+two forms mix.  Unsupported (documented, raises
 SparqlError): variable predicates under a path modifier (not legal
-SPARQL path syntax either), DESCRIBE <iri> combined with a WHERE
-group, subqueries inside GRAPH ?var.
+SPARQL path syntax either), subqueries inside GRAPH ?var.
 """
 
 from __future__ import annotations
@@ -1367,42 +1368,48 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
     description of each described resource.  The triples model is
     skolemized (no blank nodes), so the CBD is exactly the resource's
     outgoing triples — one broadcast semi-join against the (small)
-    described-resource set.  Forms: ``DESCRIBE <iri> ...`` and
-    ``DESCRIBE ?v [?w ...] WHERE { ... }`` (the reference's own
-    describe-*.rq templates are CONSTRUCT queries; this covers the
-    triplestore's ad-hoc DESCRIBE surface)."""
+    described-resource set.  Forms: ``DESCRIBE <iri> ...``,
+    ``DESCRIBE ?v [?w ...] WHERE { ... }``, and the mixed
+    ``DESCRIBE <iri> ?v WHERE { ... }`` (SPARQL 1.1 §16.4: constant
+    IRIs are described unconditionally, variables via their WHERE
+    bindings; the reference's own describe-*.rq templates are
+    CONSTRUCT queries — this covers the triplestore's ad-hoc DESCRIBE
+    surface)."""
     p = _Parser(_tokenize(query))
     p._prefixes_decl()
     p.expect("describe")
     terms = []
     while p.peek() is not None and p.peek().lower() != "where":
         terms.append(p.term())
+    if not terms:
+        raise SparqlError("empty DESCRIBE")
     spark = triples.sparkSession
-    if any(isinstance(t, _Var) for t in terms):
-        if p.peek() is None:
-            raise SparqlError("DESCRIBE ?var needs a WHERE group")
+    var_terms = [t for t in terms if isinstance(t, _Var)]
+    iri_terms = [t for t in terms if not isinstance(t, _Var)]
+    cols = []
+    if p.peek() is not None:
+        # SPARQL 1.1 §16.4: the described resources are the listed
+        # IRIs plus, for each listed variable, its distinct bindings
+        # over the WHERE solutions (constant IRIs are described
+        # unconditionally, even when the group has no solutions)
         p.next()
         plan = _compile_group(triples, p.group()).drop("__exists")
-        cols = []
-        for t in terms:
-            if not isinstance(t, _Var):
-                raise SparqlError("DESCRIBE mixes IRIs and variables")
+        for t in var_terms:
             if t.name not in plan.columns:
                 raise SparqlError("DESCRIBE of unbound var ?%s" % t.name)
             cols.append(plan.select(F.col(t.name).alias("__desc")))
-        subjects = cols[0]
-        for c in cols[1:]:
-            subjects = subjects.unionByName(c)
-        subjects = subjects.where(F.col("__desc").isNotNull()).distinct()
-    else:
-        if not terms:
-            raise SparqlError("empty DESCRIBE")
-        subjects = spark.createDataFrame(
-            [(t.value,) for t in terms], "__desc string")
+    elif var_terms:
+        raise SparqlError("DESCRIBE ?var needs a WHERE group")
+    if iri_terms:
+        cols.append(spark.createDataFrame(
+            [(t.value,) for t in iri_terms], "__desc string"))
+    subjects = cols[0]
+    for c in cols[1:]:
+        subjects = subjects.unionByName(c)
+    subjects = subjects.where(F.col("__desc").isNotNull()).distinct()
     if p.peek() is not None:
         # unconsumed tokens would be silently dropped (a LIMIT here
-        # has no defined CBD semantics; a WHERE after constant IRIs is
-        # the documented unsupported form) — fail loudly like
+        # has no defined CBD semantics) — fail loudly like
         # sparql_select does
         raise SparqlError("trailing tokens at %r" % p.peek())
     return (triples.join(F.broadcast(subjects),

@@ -656,6 +656,14 @@ def test_describe_iri_and_var(triples):
     got = {(r.subj, r.pred, r.obj) for r in sparql_describe(triples, """
         DESCRIBE ?d WHERE { ?d dcterms:title "Beta" }""").collect()}
     assert {s for s, _, _ in got} == {"d2"} and len(got) == 3
+    # mixed form (SPARQL 1.1 s16.4): constant IRI + variable bindings
+    got = {(r.subj, r.pred, r.obj) for r in sparql_describe(triples, """
+        DESCRIBE <d1> ?d WHERE { ?d dcterms:title "Beta" }""").collect()}
+    assert {s for s, _, _ in got} == {"d1", "d2"}
+    # constant IRI is described even when the group has no solutions
+    got = {(r.subj, r.pred, r.obj) for r in sparql_describe(triples, """
+        DESCRIBE <d1> ?d WHERE { ?d dcterms:title "NoSuch" }""").collect()}
+    assert {s for s, _, _ in got} == {"d1"}
     with pytest.raises(SparqlError):
         sparql_describe(triples, "DESCRIBE ?d")
 
