@@ -434,6 +434,24 @@ def _q_train_doc_chunks(spark, sf_dir):
                            window=16, stride=12)
 
 
+def _q_train_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus assembly in one call
+    (operators.training.train_corpus): exact dedup keep-one ->
+    MinHash-LSH near-dup cluster keep-one -> quality gate -> PII
+    redaction -> sliding-window chunking.  PII suffixes are planted
+    per doc (same closed form as clean_redact_pii) so the redaction
+    stage provably does work; the oracle recomputes every stage in
+    SQL over the same planted text."""
+    from ferenda_spark.operators.training import train_corpus
+    docs = (_read(spark, sf_dir, "documents")
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".7"))))
+    return train_corpus(docs)
+
+
 def _q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: k-means coarse quantizer (deterministic
     Lloyd's, driver-held centroids), map-side list assignment,
@@ -1378,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_packed_sequences": _q_train_packed_sequences,
         "train_mixture_order": _q_train_mixture_order,
         "train_doc_chunks": _q_train_doc_chunks,
+        "train_corpus_pipeline": _q_train_corpus_pipeline,
         "mm_image_meta": _q_mm_image_meta,
         "mm_image_meta_real": _q_mm_image_meta_real,
         "mm_audio_meta": _q_mm_audio_meta,
@@ -2206,6 +2225,74 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, st + 1, st + 16),
                                    ' ') AS chunk_text
             FROM s""",
+        # mirrors training.train_corpus stage by stage over the same
+        # planted-PII text: exact keep-one -> LSH cluster keep-one ->
+        # quality gate -> closed-form redaction -> chunking
+        "train_corpus_pipeline": r"""
+            WITH RECURSIVE
+            pl AS (
+              SELECT doc_id, text AS raw,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 200 AS VARCHAR) || '.7' AS text
+              FROM documents),
+            kept1 AS (
+              SELECT doc_id, raw, text FROM pl
+              WHERE doc_id IN (
+                SELECT MIN(doc_id) FROM pl
+                GROUP BY md5(substr(text, 1, 40)))),
+            """ + _MINHASH_CTE.replace("FROM documents", "FROM kept1")
+                             .lstrip() + r""",
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+            reach AS (
+              SELECT a AS v, a AS u FROM e
+              UNION
+              SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a),
+            clus AS (
+              SELECT v AS doc_id, MIN(u) AS canon FROM reach GROUP BY v),
+            kept2 AS (
+              SELECT k.doc_id, k.raw, k.text FROM kept1 k
+              LEFT JOIN clus c ON k.doc_id = c.doc_id
+              WHERE c.canon IS NULL OR c.canon = k.doc_id),
+            q AS (
+              SELECT t2.doc_id,
+                     (CASE WHEN len(t2.t) >= 10 THEN 0.4 ELSE 0.0 END
+                      + CASE WHEN round(CAST(length(t2.text) AS DOUBLE)
+                             / len(t2.t), 4) <= 12.0
+                        THEN 0.3 ELSE 0.0 END
+                      + CASE WHEN round(CAST(length(t2.text)
+                             - length(regexp_replace(t2.text,
+                                 '[^a-zA-Z0-9_ \t\n\r\f\x0B]', '', 'g'))
+                             AS DOUBLE) / length(t2.text), 4) <= 0.2
+                        THEN 0.3 ELSE 0.0 END) AS qv
+              FROM toks t2 JOIN kept2 k2 ON t2.doc_id = k2.doc_id),
+            red AS (
+              SELECT k.doc_id,
+                     k.raw || ' contact <EMAIL> from <IP>' AS text
+              FROM kept2 k JOIN q ON k.doc_id = q.doc_id
+              WHERE q.qv >= 0.7),
+            ct AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM red
+              WHERE regexp_matches(text, '[^ \t\n\r\f\x0B]')),
+            cs AS (
+              SELECT doc_id, tk, len(tk) AS n,
+                     unnest(generate_series(0, len(tk) - 1, 12)) AS st
+              FROM ct)
+            SELECT doc_id, CAST(st // 12 AS INT) AS chunk_id,
+                   CAST(st AS INT) AS start_tok,
+                   CAST(least(16, n - st) AS INT) AS n_tokens,
+                   array_to_string(list_slice(tk, st + 1, st + 16),
+                                   ' ') AS chunk_text
+            FROM cs""",
         "train_mixture_order": """
             WITH b AS (
               SELECT doc_id, source,

@@ -64,7 +64,8 @@ HEADLINE = [
     # r4 additions: pruned IVF probing, real image-header decode,
     # legacy .doc reader, sliding-window chunking, ranked-set baseline
     "sim_ivf_topk_pruned", "mm_image_meta_real", "mm_audio_meta",
-    "word_docs_legacy", "train_doc_chunks", "kg_ranking_baseline",
+    "word_docs_legacy", "train_doc_chunks", "train_corpus_pipeline",
+    "kg_ranking_baseline",
 ]
 
 

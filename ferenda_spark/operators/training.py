@@ -185,3 +185,50 @@ def chunk_documents(documents: DataFrame, window: int = 16,
                     F.array_join(
                         F.slice("__toks", F.col("start_tok") + 1,
                                 window), " ").alias("chunk_text")))
+
+
+def train_corpus(documents: DataFrame, key_col: str = "doc_id",
+                 text_col: str = "text", window: int = 16,
+                 stride: int = 12) -> DataFrame:
+    """End-to-end training-corpus assembly — the one-call path a
+    training-data team runs per ingest: exact dedup (keep the minimum
+    doc id per text-prefix hash) -> MinHash-LSH near-duplicate
+    clustering (keep one representative per connected component) ->
+    Gopher-style quality gate -> PII redaction -> sliding-window
+    chunking.  Each stage is the individually-oracle-verified
+    operator; this composes them in the order a production pipeline
+    applies them (dedup before quality so duplicate families are
+    scored once; redaction after filtering so regex work is spent
+    only on surviving docs; chunking last).
+
+    Returns chunk rows: (key, chunk_id, start_tok, n_tokens,
+    chunk_text) over the redacted text of surviving documents.
+
+    Scale shape: the composition adds no new shuffle beyond its
+    stages' own — exact dedup is one hash groupBy + a semi join on
+    the key, near-dup keeps the banded LSH self-join + the hash-min
+    component fixpoint on candidate pairs only, the quality gate and
+    redaction are map-side, chunking is a map-side row generator.
+    Stage boundaries are where a cluster run would commit snapshot
+    stage tables (see operators.incremental.run_stage_atomic)."""
+    from .cleaning import redact_pii
+    from .dedup import dup_clusters, exact_duplicates, minhash_band_pairs
+    from .textstats import quality_score
+
+    docs = documents.select(F.col(key_col).alias("doc_id"),
+                            F.col(text_col).alias("text"))
+    keep_exact = (exact_duplicates(docs)
+                  .select(F.col("canonical_doc_id").alias("doc_id")))
+    docs = docs.join(keep_exact, "doc_id", "semi")
+    # near-dup representatives: docs in no candidate pair keep
+    # themselves; clustered docs survive iff they are the component min
+    drop_near = (dup_clusters(minhash_band_pairs(docs))
+                 .where(F.col("doc_id") != F.col("canonical_doc_id"))
+                 .select("doc_id"))
+    docs = docs.join(drop_near, "doc_id", "anti")
+    keep_q = quality_score(docs).where("keep").select("doc_id")
+    docs = docs.join(keep_q, "doc_id", "semi")
+    red = (redact_pii(docs)
+           .select("doc_id", F.col("text_redacted").alias("text")))
+    return chunk_documents(red, window=window, stride=stride,
+                           key_col="doc_id", text_col="text")

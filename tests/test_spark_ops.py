@@ -900,6 +900,33 @@ def test_chunk_documents_sliding_windows(spark):
     assert by_doc[3][0].chunk_text == "solo"
 
 
+def test_train_corpus_pipeline_stages(spark):
+    """The composite corpus pipeline applies each stage's semantics:
+    exact duplicates collapse to the min doc id, LSH near-duplicates
+    keep one representative, low-quality docs drop, surviving chunk
+    text is PII-redacted."""
+    from ferenda_spark.operators.training import train_corpus
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green hills again today")
+    near = good.replace("today", "tomorrow")
+    df = spark.createDataFrame(
+        [(1, good), (2, good),                      # exact duplicates
+         (3, near),                                 # near-dup of 1
+         (4, "x " * 3),                             # fails n_tokens>=10
+         (5, "mail me at bob@example.com for a copy of the very "
+             "short survey on distributed joins we wrote last spring")],
+        "doc_id long, text string")
+    got = train_corpus(df, window=8, stride=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 2 (exact dup of 1) and 3 (near-dup of 1) collapse into 1; 4 drops
+    assert set(by_doc) == {1, 5}
+    text5 = " ".join(c.chunk_text for c in
+                     sorted(by_doc[5], key=lambda r: r.chunk_id))
+    assert "<email>" in text5 and "bob@example.com" not in text5
+
+
 def test_tokenizer_cross_engine_adversarial_whitespace(spark):
     """The pinned whitespace class must tokenize identically in Spark
     (Java regex) and DuckDB (RE2) — including \\x0B, which Java's \\s
