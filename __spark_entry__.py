@@ -845,6 +845,53 @@ def _q_pdf_textbox_stats(spark, sf_dir):
                  F.sum(F.length("text")).alias("text_chars")))
 
 
+def _q_warc_pages(spark, sf_dir):
+    """WARC ingestion (ferenda_spark/warc.py): WARC/1.0 response
+    records are synthesized JVM-side (one record per doc, 8 records
+    concatenated per archive file — the Common-Crawl framing), parsed
+    back through the real Arrow-batched record walker + HTTP splitter,
+    and projected to the input-table shape.  Every header field is
+    closed-form in doc_id so the oracle recomputes the parse output
+    without touching bytes."""
+    from ferenda_spark.warc import pages_from_warc, warc_records
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/warc/doc/"),
+                   d.cast("string"))
+    ts = F.date_format(
+        F.expr("timestamp'2024-01-01 00:00:00'"
+               " + make_interval(0, 0, 0, 0, 0, 0, doc_id)"),
+        "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    payload = F.col("text").cast("binary")
+    block = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+        .cast("binary"), payload)
+    rec = F.concat(
+        F.concat(F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+                       "WARC-Target-URI: "), url,
+                 F.lit("\r\nWARC-Date: "), ts,
+                 F.lit("\r\nContent-Length: "),
+                 F.length(block).cast("string"),
+                 F.lit("\r\n\r\n")).cast("binary"),
+        block, F.lit("\r\n\r\n").cast("binary"))
+    files = (_read(spark, sf_dir, "documents")
+             .select((d % 8).alias("file_id"),
+                     F.struct(d.alias("doc_id"), rec.alias("rec"))
+                     .alias("r"))
+             .groupBy("file_id")
+             .agg(F.array_sort(F.collect_list("r")).alias("recs"))
+             .select(F.concat(F.lit("part-"),
+                              F.col("file_id").cast("string"))
+                     .alias("path"),
+                     F.aggregate("recs",
+                                 F.lit(b""),
+                                 lambda acc, x: F.concat(acc, x["rec"]))
+                     .alias("content")))
+    return (pages_from_warc(warc_records(files))
+            .select("url", "warc_ts",
+                    F.col("html").cast("string").alias("page_text"),
+                    F.length("html").cast("long").alias("n_bytes")))
+
+
 def _q_word_docs(spark, sf_dir):
     """S8 Word branch driver query: deterministic docx blobs, real
     Word97 .doc binaries every 17th doc (native stdlib CFB +
@@ -1430,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind_values": _q_sparql_bind_values,
         "kg_sparql_annotations": _q_sparql_annotations,
         "pdf_textbox_stats": _q_pdf_textbox_stats,
+        "warc_pages": _q_warc_pages,
         "word_docs": _q_word_docs,
         "word_docs_legacy": _q_word_docs_legacy,
         "wiki_rendered": _q_wiki_rendered,
@@ -2721,6 +2769,15 @@ def oracle_sql() -> dict[str, str]:
                      || '</a>. </p></div><h2>1 §</h2><div><p>Se '
                      || '<b>regel ' || (doc_id % 7)
                      || '</b>. </p></div>' AS body_html
+            FROM documents""",
+        # mirrors _q_warc_pages: parse output is closed-form in doc_id
+        "warc_pages": """
+            SELECT 'https://example.org/warc/doc/'
+                     || CAST(doc_id AS VARCHAR) AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                   text AS page_text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents""",
         "word_docs": """
             SELECT 'https://example.org/word/' || doc_id AS url,

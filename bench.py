@@ -42,7 +42,7 @@ HEADLINE = [
     "kg_sparql_path", "kg_sparql_agg", "kg_hits", "kg_legal_mentions",
     # source/reader stages (r3: oracle-backed driver queries)
     "pdf_textbox_stats", "pdf_extracted_lines", "pdf_section_triples",
-    "word_docs", "wiki_rendered", "kg_hot_domain_links_salted",
+    "word_docs", "wiki_rendered", "warc_pages", "kg_hot_domain_links_salted",
     # relational / windowed analytics
     "tpch_pricing_summary", "top_revenue_orders", "latest_event_per_user",
     "feed_archive_pages", "event_type_user_stats", "events_sessions",
