@@ -312,10 +312,16 @@ def main() -> int:
     timings["kg_parse_pages"] = round(parse_s, 3)
 
     # absolute throughput on the already-running session (cached parse
-    # excluded: count the end-to-end DAG separately below in scaling)
-    t0 = time.time()
-    n_triples = entry._triples(spark, args.sf).count()
-    triples_s = time.time() - t0
+    # excluded: count the end-to-end DAG separately below in scaling).
+    # Median of 3 runs: a single-shot number swings 2x with ambient
+    # co-tenant load (observed 68k-119k t/s for identical binaries)
+    import statistics
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        n_triples = entry._triples(spark, args.sf).count()
+        reps.append(n_triples / max(time.time() - t0, 1e-9))
+    tput = statistics.median(reps)
     total = round(sum(timings.values()), 3)
     spark.stop()
 
@@ -326,7 +332,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf_num,
         "n_triples": n_triples,
-        "triples_per_sec": round(n_triples / max(triples_s, 1e-9), 1),
+        "triples_per_sec": round(tput, 1),
+        "triples_per_sec_reps": [round(r, 1) for r in reps],
         "cpus": cpus,
     }
     if not args.skip_scaling:
