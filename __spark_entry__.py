@@ -1344,6 +1344,26 @@ def _q_sparql_subquery(spark, sf_dir):
         } ORDER BY ?title""")
 
 
+def _q_sparql_graph_var(spark, sf_dir):
+    """Q12 GRAPH ?var with a property path AND a subquery inside the
+    variable-graph scope (SPARQL 1.1 §13.3): per named graph (context
+    = source url, one graph per document), the isPartOf+ closure to
+    the graph's typed document counts its parts, while an inner
+    SELECT counts the graph's raw isPartOf edges — the path fixpoint
+    is keyed by graph id so closures never cross graph boundaries,
+    and the subquery aggregates with the graph id as an implicit
+    grouping key."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?g (COUNT(?part) AS ?n_parts) (MIN(?m) AS ?n_edges)
+        WHERE {
+          GRAPH ?g { ?doc a bibo:Document .
+                     ?part dcterms:isPartOf+ ?doc }
+          GRAPH ?g { SELECT (COUNT(?o) AS ?m) WHERE {
+                       ?s dcterms:isPartOf ?o } }
+        } GROUP BY ?g ORDER BY ?g""")
+
+
 def _q_degree_distribution(spark, sf_dir):
     """Citegraph degree distribution (graphanalyze.py:537-576 minus
     the matplotlib rendering): how many cited targets have each
@@ -1501,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": _q_sparql_update,
         "kg_sparql_describe": _q_sparql_describe,
         "kg_sparql_subquery": _q_sparql_subquery,
+        "kg_sparql_graph_var": _q_sparql_graph_var,
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
         "kg_ranking_baseline": _q_ranking_baseline,
@@ -2970,6 +2991,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(7 + CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0
                             END AS BIGINT) AS n
             FROM f ORDER BY title""",
+        # per named graph (= source url, one graph per doc): parts
+        # reaching the typed doc over isPartOf+ are its sections
+        # (1 hop) and subsections (2 hops); the graph's raw isPartOf
+        # edge count is the same set's cardinality (one edge per
+        # section and per subsection)
+        "kg_sparql_graph_var": "WITH " + _F_CTE + """,
+            parts AS (
+              SELECT url AS g FROM secs
+              UNION ALL
+              SELECT url AS g FROM subs)
+            SELECT g, COUNT(*) AS n_parts, COUNT(*) AS n_edges
+            FROM parts GROUP BY g ORDER BY g""",
         "kg_degree_distribution":
             "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
             deg AS (

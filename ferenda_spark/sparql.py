@@ -110,9 +110,13 @@ semi/anti joins on the shared variables (equi semantics; a disjoint
 MINUS removes nothing per SPARQL 1.1 §8.3.3).  DESCRIBE follows SPARQL 1.1
 §16.4: constant IRIs are always described; listed variables
 contribute their distinct bindings over the WHERE solutions, and the
-two forms mix.  Unsupported (documented, raises
+two forms mix.  Property paths and subqueries inside GRAPH ?var run
+per named graph (path fixpoints keyed by graph id; subquery
+projection/DISTINCT/aggregation carry the graph id as an implicit
+key, LIMIT applies per graph).  Unsupported (documented, raises
 SparqlError): variable predicates under a path modifier (not legal
-SPARQL path syntax either), subqueries inside GRAPH ?var.
+SPARQL path syntax either), subqueries with their own FROM inside
+GRAPH ?var.
 """
 
 from __future__ import annotations
@@ -399,6 +403,12 @@ class _Parser:
 
     def group(self):
         self.expect("{")
+        if self.peek() and self.peek().lower() == "select":
+            # GroupGraphPattern ::= '{' SubSelect '}' — a group whose
+            # whole body is a subquery (e.g. GRAPH ?g { SELECT ... })
+            ast = self._select_query(sub=True)
+            self.expect("}")
+            return [("subquery", ast)]
         items = []
         while True:
             t = self.peek()
@@ -904,10 +914,20 @@ _MAX_PATH_ITER = 32
 PATH_PAIR_BUDGET = 5_000_000
 
 
-def _path_edges(triples: DataFrame, p, ctx) -> DataFrame:
+def _path_edges(triples: DataFrame, p, ctx, ctx_var=None) -> DataFrame:
+    """Edge relation for one path step.  Under GRAPH ?var the edges
+    keep their named-graph id as a ``__pctx`` key column, so the
+    closure/BFS fixpoints below stay within each graph (a path never
+    crosses graph boundaries, per SPARQL per-named-graph scoping)."""
     df = triples
     if ctx is not None and "context" in triples.columns:
         df = df.where(F.col("context") == ctx.value)
+    extra = []
+    if ctx_var is not None:
+        if "context" not in triples.columns:
+            raise SparqlError("GRAPH ?var needs a context column")
+        df = df.where(F.col("context").isNotNull())
+        extra = [F.col("context").alias("__pctx")]
     if isinstance(p, tuple) and p[0] == "nps":
         # negated-property-set edge relation under a path modifier:
         # forward edges whose pred is outside the forward member set,
@@ -916,18 +936,18 @@ def _path_edges(triples: DataFrame, p, ctx) -> DataFrame:
         parts = []
         if fwd:
             parts.append(df.where(~F.col("pred").isin(
-                [t.value for t in fwd])).select("subj", "obj"))
+                [t.value for t in fwd])).select("subj", "obj", *extra))
         if bwd:
             parts.append(df.where(~F.col("pred").isin(
                 [t.value for t in bwd]))
                 .select(F.col("obj").alias("subj"),
-                        F.col("subj").alias("obj")))
+                        F.col("subj").alias("obj"), *extra))
         out = parts[0]
         for q in parts[1:]:
             out = out.unionByName(q)
         return out.distinct().localCheckpoint()
     return (df.where(F.col("pred") == p.value)
-            .select("subj", "obj").distinct().localCheckpoint())
+            .select("subj", "obj", *extra).distinct().localCheckpoint())
 
 
 def _path_reach(edges: DataFrame, start: str, forward: bool) -> DataFrame:
@@ -936,18 +956,23 @@ def _path_reach(edges: DataFrame, start: str, forward: bool) -> DataFrame:
     small relative to the edge table, so each round is one broadcast
     join + anti-join, O(diameter) rounds, lineage cut per round."""
     here, there = ("subj", "obj") if forward else ("obj", "subj")
+    ctxed = "__pctx" in edges.columns
+    keep = [edges[there].alias("n")] + (
+        [edges["__pctx"]] if ctxed else [])
     spark = edges.sparkSession
     start_df = spark.createDataFrame([(start,)], "n string")
     reach = (edges.join(F.broadcast(start_df),
                         edges[here] == start_df["n"])
-             .select(edges[there].alias("n")).distinct()
+             .select(*keep).distinct()
              .localCheckpoint())
     prev = reach.count()
     for _ in range(_MAX_PATH_ITER):
         if prev == 0:
             return reach
-        step = (edges.join(F.broadcast(reach), edges[here] == reach["n"])
-                .select(edges[there].alias("n")))
+        cond = edges[here] == reach["n"]
+        if ctxed:
+            cond = cond & (edges["__pctx"] == reach["__pctx"])
+        step = edges.join(F.broadcast(reach), cond).select(*keep)
         reach = reach.unionByName(step).distinct().localCheckpoint()
         cur = reach.count()
         if cur == prev:
@@ -968,14 +993,19 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
     rewrite miscompiles the anti-join-into-self-union cycle —
     NoSuchElementException on attribute ids — so the fixpoint is
     expressed the proven way.)"""
+    ctxed = "__pctx" in edges.columns
     paths = edges
     prev = paths.count()
     for _ in range(_MAX_PATH_ITER):
+        cond = F.col("c.obj") == F.col("e.subj")
+        if ctxed:
+            cond = cond & (F.col("c.__pctx") == F.col("e.__pctx"))
+        sel = [F.col("c.subj").alias("subj"),
+               F.col("e.obj").alias("obj")] + (
+            [F.col("c.__pctx").alias("__pctx")] if ctxed else [])
         step = (paths.alias("c")
-                .join(edges.alias("e"),
-                      F.col("c.obj") == F.col("e.subj"))
-                .select(F.col("c.subj").alias("subj"),
-                        F.col("e.obj").alias("obj")))
+                .join(edges.alias("e"), cond)
+                .select(*sel))
         paths = (paths.unionByName(step).distinct().localCheckpoint())
         cur = paths.count()
         if cur == prev:
@@ -990,25 +1020,46 @@ def _closure_pairs(edges: DataFrame) -> DataFrame:
                       % _MAX_PATH_ITER)
 
 
-def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
+def _path_scan(triples: DataFrame, payload, ctx=None,
+               ctx_var=None) -> DataFrame:
     """One `s p*`/`p+` o pattern -> DataFrame of solutions.  Zero-or-
     more includes the zero-length path per SPARQL 1.1: a constant
     endpoint always matches itself; var-var adds the identity pair for
-    every term in the (ctx-scoped) graph."""
+    every term in the (ctx-scoped) graph.  Under GRAPH ?var the
+    fixpoints run per named graph (edges carry a ``__pctx`` key) and
+    every solution also binds ``ctx_var`` to its graph id."""
     s, p, mod, o = payload
-    edges = _path_edges(triples, p, ctx)
+    edges = _path_edges(triples, p, ctx, ctx_var)
+    ctx_cols = ([F.col("__pctx").alias(ctx_var)]
+                if ctx_var is not None else [])
 
     def ident_pairs():
         # zero-length path endpoints: every term of the (ctx-scoped)
-        # graph paired with itself
+        # graph paired with itself — per graph under GRAPH ?var
         df = triples
         if ctx is not None and "context" in triples.columns:
             df = df.where(F.col("context") == ctx.value)
+        if ctx_var is not None:
+            df = df.where(F.col("context").isNotNull())
+            terms = (df.select(F.col("subj").alias("n"),
+                               F.col("context").alias("__pctx"))
+                     .unionByName(
+                         df.select(F.col("obj").alias("n"),
+                                   F.col("context").alias("__pctx")))
+                     .distinct())
+            return terms.select(F.col("n").alias("subj"),
+                                F.col("n").alias("obj"), "__pctx")
         terms = (df.select(F.col("subj").alias("n"))
                  .unionByName(df.select(F.col("obj").alias("n")))
                  .distinct())
         return terms.select(F.col("n").alias("subj"),
                             F.col("n").alias("obj"))
+
+    def all_ctx():
+        # every named graph id (for zero-length matches, which hold
+        # in any graph regardless of term membership)
+        return (triples.where(F.col("context").isNotNull())
+                .select(F.col("context").alias("__pctx")).distinct())
 
     if isinstance(s, _Var) and isinstance(o, _Var):
         pairs = edges if mod == "?" else _closure_pairs(edges)
@@ -1016,9 +1067,9 @@ def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
             pairs = pairs.unionByName(ident_pairs()).distinct()
         if s.name == o.name:                      # ?x p* ?x
             return (pairs.where(F.col("subj") == F.col("obj"))
-                    .select(F.col("subj").alias(s.name)))
+                    .select(F.col("subj").alias(s.name), *ctx_cols))
         return pairs.select(F.col("subj").alias(s.name),
-                            F.col("obj").alias(o.name))
+                            F.col("obj").alias(o.name), *ctx_cols)
     if isinstance(s, _Var) or isinstance(o, _Var):
         # constant endpoint: BFS backward from a constant object
         # (`?s p* <O>`, the annotations.rq shape) or forward from a
@@ -1031,15 +1082,38 @@ def _path_scan(triples: DataFrame, payload, ctx=None) -> DataFrame:
         start_df = spark.createDataFrame([(start,)], "n string")
         if mod == "?":
             here, there = ("subj", "obj") if forward else ("obj", "subj")
+            keep = [edges[there].alias("n")] + (
+                [edges["__pctx"]] if ctx_var is not None else [])
             reach = (edges.join(F.broadcast(start_df),
                                 edges[here] == start_df["n"])
-                     .select(edges[there].alias("n")).distinct())
+                     .select(*keep).distinct())
         else:
             reach = _path_reach(edges, start, forward)
         if mod in ("*", "?"):
-            reach = reach.unionByName(start_df.select("n")).distinct()
-        return reach.select(F.col("n").alias(var))
-    # both constant: existence check -> 0/1-row marker frame
+            if ctx_var is not None:
+                zero = (all_ctx()
+                        .select(F.lit(start).alias("n"), "__pctx"))
+                reach = reach.unionByName(zero).distinct()
+            else:
+                reach = (reach.unionByName(start_df.select("n"))
+                         .distinct())
+        return reach.select(F.col("n").alias(var), *ctx_cols)
+    # both constant
+    if ctx_var is not None:
+        # GRAPH ?g { <s> p+ <o> }: bind ?g to the graphs where the
+        # path holds
+        if mod in ("*", "?") and s.value == o.value:
+            return all_ctx().select(F.col("__pctx").alias(ctx_var))
+        if mod == "?":
+            hits = (edges.where((F.col("subj") == s.value)
+                                & (F.col("obj") == o.value))
+                    .select("__pctx").distinct())
+        else:
+            reach = _path_reach(edges, s.value, forward=True)
+            hits = (reach.where(F.col("n") == o.value)
+                    .select("__pctx").distinct())
+        return hits.select(F.col("__pctx").alias(ctx_var))
+    # existence check -> 0/1-row marker frame
     if mod in ("*", "?") and s.value == o.value:
         hit = True
     elif mod == "?":
@@ -1099,16 +1173,11 @@ def _compile_group(triples: DataFrame, items, ctx=None,
             scan = _scan(triples, payload, ctx, ctx_var)
             plan = _join(plan, scan, "inner")
         elif kind == "path":
-            if ctx_var is not None:
-                raise SparqlError("property path inside GRAPH ?var "
-                                  "is not supported")
-            scan = _path_scan(triples, payload, ctx)
+            scan = _path_scan(triples, payload, ctx, ctx_var)
             plan = _join(plan, scan, "inner")
         elif kind == "subquery":
-            if ctx_var is not None:
-                raise SparqlError("subquery inside GRAPH ?var is "
-                                  "not supported")
-            sub = _run_select(triples, payload, outer_ctx=ctx)
+            sub = _run_select(triples, payload, outer_ctx=ctx,
+                              ctx_var=ctx_var)
             plan = _join(plan, sub, "inner")
         elif kind == "exists":
             # FILTER [NOT] EXISTS { group }: a semi/anti join of the
@@ -1266,13 +1335,36 @@ def _agg_expr(fn, distinct, arg):
     return F.min(col)               # min | sample
 
 
-def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
+def _per_graph_limit(plan: DataFrame, ctx_var, order, n) -> DataFrame:
+    """LIMIT inside a GRAPH ?var subquery applies per named graph
+    (each graph's evaluation is limited independently before the
+    union): row_number window partitioned by the graph id.  Without
+    ORDER BY, SPARQL allows any n-subset; ordering by the output
+    columns makes the choice deterministic."""
+    from pyspark.sql import Window
+    order_cols = [F.col(v).asc() if asc else F.col(v).desc()
+                  for v, asc in order]
+    if not order_cols:
+        order_cols = [F.col(c).asc() for c in plan.columns
+                      if c != ctx_var and not c.startswith("__")]
+    if not order_cols:
+        order_cols = [F.lit(1).asc()]
+    w = Window.partitionBy(ctx_var).orderBy(*order_cols)
+    return (plan.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n).drop("__rn"))
+
+
+def _select_aggregated(plan: DataFrame, ast, ctx_var=None) -> DataFrame:
     """GROUP BY / aggregate tail of a SELECT (triplestore.py:138-173
     passthrough + the :653-666 COUNT probes): one ``groupBy().agg()``
     — map-side partial aggregation, a single shuffle on the grouping
     keys.  SAMPLE() is implementation-defined per SPARQL 1.1; min() is
-    the deterministic choice here."""
+    the deterministic choice here.  Under GRAPH ?var the graph id is
+    an implicit extra grouping key (aggregation is per named graph)
+    and is carried through the projection."""
     sel, groupby = ast["select"], ast["groupby"]
+    if ctx_var is not None and ctx_var not in groupby:
+        groupby = groupby + [ctx_var]
     if sel is None:
         raise SparqlError("SELECT * cannot be combined with GROUP BY")
     plain = [it[1] for it in sel if it[0] == "var"]
@@ -1318,6 +1410,8 @@ def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
     if having is not None:
         plan = plan.where(_compile_expr(having, plan.columns))
     outcols = [it[1] if it[0] == "var" else it[4] for it in sel]
+    if ctx_var is not None and ctx_var not in outcols:
+        outcols = outcols + [ctx_var]
     bad = [v for v, _ in ast["order"]
            if v not in groupby and v not in outcols]
     if bad:
@@ -1343,7 +1437,11 @@ def _select_aggregated(plan: DataFrame, ast) -> DataFrame:
             plan = plan.orderBy(*order_cols)
         plan = plan.select(*outcols)
     if ast["limit"] is not None:
-        plan = plan.limit(ast["limit"])
+        if ctx_var is not None:
+            plan = _per_graph_limit(plan, ctx_var, ast["order"],
+                                    ast["limit"])
+        else:
+            plan = plan.limit(ast["limit"])
     return plan
 
 
@@ -1427,12 +1525,22 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return _run_select(triples, ast)
 
 
-def _run_select(triples: DataFrame, ast, outer_ctx=None) -> DataFrame:
+def _run_select(triples: DataFrame, ast, outer_ctx=None,
+                ctx_var=None) -> DataFrame:
     """Execute a parsed SELECT ast; also the subquery evaluator (a
     subquery without its own FROM inherits the enclosing constant
-    graph context, per SPARQL's dataset scoping)."""
+    graph context, per SPARQL's dataset scoping).  Under GRAPH ?var
+    (``ctx_var``) the subquery is evaluated per named graph — the
+    graph id is carried through projection/DISTINCT/aggregation as an
+    implicit key, and LIMIT applies per graph (SPARQL algebra:
+    Graph(?g, P) = union over g of Join(eval(D(g), P), {?g -> g}))."""
     ctx = ast["from"] if ast["from"] is not None else outer_ctx
-    plan = _compile_group(triples, ast["group"], ctx=ctx)
+    if ctx_var is not None and ast["from"] is not None:
+        # a FROM-scoped subquery has its own constant dataset; mixing
+        # it with per-named-graph evaluation has no SPARQL reading
+        raise SparqlError("subquery with FROM inside GRAPH ?var")
+    plan = _compile_group(triples, ast["group"], ctx=ctx,
+                          ctx_var=ctx_var)
     plan = plan.drop("__exists")
     order_cols = [F.col(v).asc() if asc else F.col(v).desc()
                   for v, asc in ast["order"]]
@@ -1440,9 +1548,11 @@ def _run_select(triples: DataFrame, ast, outer_ctx=None) -> DataFrame:
     if groupby or ast.get("having") is not None \
             or (sel is not None
                 and any(it[0] == "agg" for it in sel)):
-        return _select_aggregated(plan, ast)
+        return _select_aggregated(plan, ast, ctx_var=ctx_var)
     if sel is not None:
         names = [it[1] for it in sel]
+        if ctx_var is not None and ctx_var not in names:
+            names = names + [ctx_var]
         ast = dict(ast, select=names)
         missing = [v for v in ast["select"] if v not in plan.columns]
         if missing:
@@ -1474,7 +1584,11 @@ def _run_select(triples: DataFrame, ast, outer_ctx=None) -> DataFrame:
         if order_cols:
             plan = plan.orderBy(*order_cols)
     if ast["limit"] is not None:
-        plan = plan.limit(ast["limit"])
+        if ctx_var is not None:
+            plan = _per_graph_limit(plan, ctx_var, ast["order"],
+                                    ast["limit"])
+        else:
+            plan = plan.limit(ast["limit"])
     return plan
 
 

@@ -546,6 +546,97 @@ def test_graph_variable(spark):
     assert {(r.g, r.o) for r in got} == {("g1", "carol")}
 
 
+@pytest.fixture(scope="module")
+def quads(spark):
+    REFS = DCT + "references"
+    return spark.createDataFrame(
+        [("a", REFS, "b", "g1"),
+         ("b", REFS, "c", "g1"),
+         ("a", REFS, "b", "g2"),        # g2 lacks the b->c hop
+         ("x", DCT + "title", "T", "g2")],
+        "subj string, pred string, obj string, context string")
+
+
+def test_graph_variable_path(quads):
+    """Property paths under GRAPH ?var run per named graph: the
+    closure never crosses a graph boundary and every solution binds
+    the graph id."""
+    got = sparql_select(quads, """
+        SELECT ?g ?o WHERE { GRAPH ?g { <a> dcterms:references+ ?o } }
+        """).collect()
+    assert {(r.g, r.o) for r in got} == {
+        ("g1", "b"), ("g1", "c"), ("g2", "b")}
+    # zero-or-more: the constant endpoint matches itself in EVERY
+    # named graph (zero-length paths hold regardless of membership)
+    got = sparql_select(quads, """
+        SELECT ?g ?o WHERE { GRAPH ?g { <a> dcterms:references* ?o } }
+        """).collect()
+    assert {(r.g, r.o) for r in got} == {
+        ("g1", "a"), ("g1", "b"), ("g1", "c"),
+        ("g2", "a"), ("g2", "b")}
+    # constant-constant: ?g binds to the graphs where the path holds
+    got = sparql_select(quads, """
+        SELECT ?g WHERE { GRAPH ?g { <a> dcterms:references+ <c> } }
+        """).collect()
+    assert {r.g for r in got} == {"g1"}
+    # var-var closure per graph, unified with a same-graph pattern
+    got = sparql_select(quads, """
+        SELECT ?g ?s ?o WHERE {
+          GRAPH ?g { ?s dcterms:references+ ?o .
+                     ?x dcterms:title "T" }
+        }""").collect()
+    assert {(r.g, r.s, r.o) for r in got} == {("g2", "a", "b")}
+
+
+def test_graph_variable_subquery(quads):
+    """Subqueries under GRAPH ?var evaluate per named graph: the
+    graph id is an implicit aggregation key and LIMIT scopes per
+    graph."""
+    got = sparql_select(quads, """
+        SELECT ?g ?n WHERE {
+          GRAPH ?g { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } }
+        }""").collect()
+    assert {(r.g, r.n) for r in got} == {("g1", 2), ("g2", 2)}
+    # grouped aggregate: per (graph, subject) out-degree
+    got = sparql_select(quads, """
+        SELECT ?g ?s ?n WHERE {
+          GRAPH ?g {
+            SELECT ?s (COUNT(?o) AS ?n) WHERE {
+              ?s dcterms:references ?o } GROUP BY ?s }
+        }""").collect()
+    assert {(r.g, r.s, r.n) for r in got} == {
+        ("g1", "a", 1), ("g1", "b", 1), ("g2", "a", 1)}
+    # DISTINCT projection stays per graph
+    got = sparql_select(quads, """
+        SELECT ?g ?p WHERE {
+          GRAPH ?g { SELECT DISTINCT ?p WHERE { ?s ?p ?o } }
+        }""").collect()
+    assert {(r.g, r.p) for r in got} == {
+        ("g1", DCT + "references"), ("g2", DCT + "references"),
+        ("g2", DCT + "title")}
+    # LIMIT applies per graph, not globally
+    got = sparql_select(quads, """
+        SELECT ?g ?s WHERE {
+          GRAPH ?g { SELECT ?s WHERE { ?s ?p ?o }
+                     ORDER BY ?s LIMIT 1 }
+        }""").collect()
+    assert {(r.g, r.s) for r in got} == {("g1", "a"), ("g2", "a")}
+    # the subquery result joins outer patterns on the graph variable
+    got = sparql_select(quads, """
+        SELECT ?g ?n WHERE {
+          GRAPH ?g { ?x dcterms:title "T" }
+          GRAPH ?g { SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } }
+        }""").collect()
+    assert {(r.g, r.n) for r in got} == {("g2", 2)}
+    # a FROM-scoped subquery inside GRAPH ?var has no SPARQL reading
+    with pytest.raises(SparqlError, match="FROM inside GRAPH"):
+        sparql_select(quads, """
+            SELECT ?g ?n WHERE {
+              GRAPH ?g { SELECT (COUNT(*) AS ?n) FROM <g1>
+                         WHERE { ?s ?p ?o } }
+            }""")
+
+
 def test_ask(triples):
     from ferenda_spark.sparql import sparql_ask
     assert sparql_ask(triples, """
