@@ -1364,6 +1364,34 @@ def _q_sparql_graph_var(spark, sf_dir):
         } GROUP BY ?g ORDER BY ?g""")
 
 
+def _q_sparql_builtins(spark, sf_dir):
+    """Q12 SPARQL 1.1 §17.4 expression builtins (r4): GROUP_CONCAT
+    with SEPARATOR + DISTINCT (values sorted — deterministic where the
+    spec leaves order open), UCASE/STRBEFORE/REPLACE/STRLEN string
+    kernels, arithmetic with xsd:double promotion, IF/BOUND
+    conditionals, and a STRENDS/SUBSTR filter — every one a pure JVM
+    Column expression (no Python), folded into ONE map-side-partial
+    groupBy shuffle."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?subject ?linkcls (COUNT(?d) AS ?n_docs)
+               (GROUP_CONCAT(DISTINCT ?src; SEPARATOR="|") AS ?sources)
+               (MAX(?ymd) AS ?max_ymd) (MIN(?halflen) AS ?min_halflen)
+        WHERE {
+          ?d a bibo:Document .
+          ?d dcterms:identifier ?ident .
+          ?d dcterms:subject ?subject .
+          ?d dcterms:issued ?issued .
+          OPTIONAL { ?d owl:sameAs ?same }
+          BIND(UCASE(STRBEFORE(?ident, "-")) AS ?src)
+          BIND(REPLACE(?issued, "-", "") AS ?ymd)
+          BIND(IF(BOUND(?same), "linked", "orphan") AS ?linkcls)
+          BIND((STRLEN(?ident) + 1) / 2 AS ?halflen)
+          FILTER(STRENDS(?ymd, SUBSTR(?ymd, 5))
+                 && STRLEN(?ident) * 2 - 2 >= 12)
+        } GROUP BY ?subject ?linkcls ORDER BY ?subject ?linkcls""")
+
+
 def _q_degree_distribution(spark, sf_dir):
     """Citegraph degree distribution (graphanalyze.py:537-576 minus
     the matplotlib rendering): how many cited targets have each
@@ -1522,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_describe": _q_sparql_describe,
         "kg_sparql_subquery": _q_sparql_subquery,
         "kg_sparql_graph_var": _q_sparql_graph_var,
+        "kg_sparql_builtins": _q_sparql_builtins,
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
         "kg_ranking_baseline": _q_ranking_baseline,
@@ -3003,6 +3032,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT url AS g FROM subs)
             SELECT g, COUNT(*) AS n_parts, COUNT(*) AS n_edges
             FROM parts GROUP BY g ORDER BY g""",
+        # STRENDS(ymd, SUBSTR(ymd, 5)) is a tautology by construction
+        # (a string always ends with its own tail) but exercises the
+        # column-argument endswith + 2-arg SUBSTR kernels; the length
+        # filter keeps docs with ids >= 10 (identifier 'srcN-id')
+        "kg_sparql_builtins": "WITH " + _F_CTE + """
+            SELECT subject,
+                   CASE WHEN sameas_uri IS NOT NULL
+                        THEN 'linked' ELSE 'orphan' END AS linkcls,
+                   COUNT(*) AS n_docs,
+                   string_agg(DISTINCT upper(split_part(identifier, '-', 1)),
+                              '|' ORDER BY
+                              upper(split_part(identifier, '-', 1)))
+                     AS sources,
+                   max(regexp_replace(issued, '-', '', 'g')) AS max_ymd,
+                   min((length(identifier) + 1) / 2) AS min_halflen
+            FROM f
+            WHERE length(identifier) * 2 - 2 >= 12
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "kg_degree_distribution":
             "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
             deg AS (

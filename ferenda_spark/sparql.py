@@ -62,11 +62,20 @@ Grammar (case-insensitive keywords)::
                   ('*'|'+'|'?')?          (negated property sets)
     order    := ?var | 'ASC(' ?var ')' | 'DESC(' ?var ')'
     expr     := comparisons (= != < <= > >=), && || !, IN / NOT IN,
-                regex/contains/strstarts/bound, isURI/isIRI/isLiteral/
-                isBlank(?v), lang(?v), langMatches(lang(?v), "tag");
-                operands may be wrapped in str(?v) (lexical form —
-                identity over the string term encoding); HAVING exprs
+                regex (w/ flags) / contains / strstarts / strends /
+                sameTerm / bound, isURI/isIRI/isLiteral/isBlank(?v),
+                lang(?v), langMatches(lang(?v), "tag"); HAVING exprs
                 may additionally contain aggregate calls
+    operand  := arithmetic (+ - * /, xsd:double promotion) over
+                terms, str(?v), lang(?v), IF(cond, a, b), and the
+                §17.4 scalar builtins: STRLEN UCASE LCASE SUBSTR
+                CONCAT STRBEFORE STRAFTER REPLACE COALESCE ABS CEIL
+                FLOOR ROUND DATATYPE IRI/URI — all compiled to pure
+                Column expressions (JVM-side, no Python)
+    agg      := COUNT SUM MIN MAX AVG SAMPLE GROUP_CONCAT(?v ;
+                SEPARATOR="s") — GROUP_CONCAT sorts its values for a
+                deterministic (engine-portable) result, SPARQL leaves
+                the order unspecified
 
 FROM <g> and GRAPH <g> compile to pushed-down equality on the
 ``context`` column (named-graph scoping).  Verified against the
@@ -150,7 +159,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^/|?])
+  | (?P<op>&&|\|\||!=|<=|>=|[{}().,;=<>!*+^/|?-])
 """, re.X)
 
 
@@ -277,11 +286,13 @@ class _Parser:
             iri = self.next()
             self.prefixes[pname[:-1]] = iri[1:-1]
 
-    _AGG_FNS = ("count", "sum", "min", "max", "avg", "sample")
+    _AGG_FNS = ("count", "sum", "min", "max", "avg", "sample",
+                "group_concat")
 
     def _agg(self):
-        """AGG '(' DISTINCT? ('*' | ?var) ')' -> ("agg", fn, distinct,
-        argvar-or-None)."""
+        """AGG '(' DISTINCT? ('*' | ?var) (';' 'SEPARATOR' '=' str)?
+        ')' -> ("agg", fn, distinct, argvar-or-None).  GROUP_CONCAT
+        carries its separator by becoming fn=("group_concat", sep)."""
         fn = self.next().lower()
         self.expect("(")
         distinct = False
@@ -298,9 +309,25 @@ class _Parser:
             if not v.startswith("?"):
                 raise SparqlError("aggregate takes ?var or *, got %r" % v)
             arg = v[1:]
+        if fn == "group_concat":
+            sep = " "                       # SPARQL 1.1 §18.5.1.7 default
+            if self.peek() == ";":
+                self.next()
+                if (self.peek() or "").lower() != "separator":
+                    raise SparqlError("expected SEPARATOR after ';' in "
+                                      "GROUP_CONCAT")
+                self.next()
+                self.expect("=")
+                sept = self.term()
+                if not (isinstance(sept, _Const) and sept.kind == "lit"):
+                    raise SparqlError("SEPARATOR takes a string literal")
+                sep = sept.value
+            fn = ("group_concat", sep)
         self.expect(")")
         if fn != "count" and arg is None:
-            raise SparqlError("%s(*) is not supported" % fn.upper())
+            raise SparqlError("%s(*) is not supported"
+                              % (fn if isinstance(fn, str)
+                                 else fn[0]).upper())
         return ("agg", fn, distinct, arg)
 
     def parse(self):
@@ -345,7 +372,9 @@ class _Parser:
                     # (triplestore.py:656 `SELECT COUNT(*) WHERE ...`);
                     # the output column is named after the function
                     item = self._agg()
-                    sel.append(item + (item[1],))
+                    fn_name = (item[1] if isinstance(item[1], str)
+                               else item[1][0])
+                    sel.append(item + (fn_name,))
                 else:
                     break
             if not sel:
@@ -673,15 +702,46 @@ class _Parser:
             self.next()
             node = self.expr()
             self.expect(")")
+            # '(?a + 1) > 2': a parenthesized SCALAR followed by a
+            # comparison — unwrap the truthy node back to its operand
+            op = self.peek()
+            if (node[0] == "truthy"
+                    and op in ("=", "!=", "<", "<=", ">", ">=")):
+                self.next()
+                return ("cmp", op, node[1], self._operand())
             return node
-        if t and t.lower() in ("regex", "contains", "strstarts"):
-            fn = self.next().lower()
+        if t and t.lower() == "regex":
+            self.next()
             self.expect("(")
             a = self._operand()
             self.expect(",")
             b = self.term()
+            if not isinstance(b, _Const):
+                raise SparqlError("REGEX takes a constant pattern")
+            if self.peek() == ",":       # optional flags arg
+                self.next()
+                flags = self.term()
+                if isinstance(flags, _Const) and flags.value:
+                    b = _Const("(?%s)%s" % (flags.value, b.value),
+                               kind="lit")
+            self.expect(")")
+            return ("regex", a, b)
+        if t and t.lower() in ("contains", "strstarts", "strends"):
+            fn = self.next().lower()
+            self.expect("(")
+            a = self._operand()
+            self.expect(",")
+            b = self._operand()
             self.expect(")")
             return (fn, a, b)
+        if t and t.lower() == "sameterm":
+            self.next()
+            self.expect("(")
+            a = self._operand()
+            self.expect(",")
+            b = self._operand()
+            self.expect(")")
+            return ("sameterm", a, b)
         if t and t.lower() == "bound":
             self.next()
             self.expect("(")
@@ -732,11 +792,50 @@ class _Parser:
             return ("in", left, terms, neg)
         return ("truthy", left)
 
+    # SPARQL 1.1 §17.4 scalar builtins: name -> (min_args, max_args)
+    _SCALAR_FNS = {
+        "strlen": (1, 1), "ucase": (1, 1), "lcase": (1, 1),
+        "substr": (2, 3), "concat": (1, 99), "strbefore": (2, 2),
+        "strafter": (2, 2), "replace": (3, 3), "coalesce": (1, 99),
+        "abs": (1, 1), "ceil": (1, 1), "floor": (1, 1),
+        "round": (1, 1), "datatype": (1, 1), "iri": (1, 1),
+        "uri": (1, 1),
+    }
+
     def _operand(self):
-        """A scalar operand: plain term, str(?v) (term -> lexical
-        form; identity over the string-encoded term columns), or
-        lang(?v)."""
+        """A scalar expression: additive chains over multiplicative
+        chains of unary operands (SPARQL 1.1 §17 operator precedence;
+        operands cast to xsd:double under arithmetic)."""
+        node = self._mul_operand()
+        while True:
+            t = self.peek()
+            if t in ("+", "-"):
+                self.next()
+                node = ("arith", t, node, self._mul_operand())
+            elif t and re.fullmatch(r"-\d+(\.\d+)?", t):
+                # '-3' right after an operand lexed as a negative
+                # number: it is a subtraction (SPARQL allows '?x-3')
+                self.next()
+                node = ("arith", "-", node, _Const(t[1:], kind="num"))
+            else:
+                return node
+
+    def _mul_operand(self):
+        node = self._unary_operand()
+        while self.peek() in ("*", "/"):
+            node = ("arith", self.next(), node, self._unary_operand())
+        return node
+
+    def _unary_operand(self):
+        """A primary scalar operand: plain term, '(' expr ')',
+        str(?v)/lang(?v), IF(cond, a, b), a scalar builtin call, or
+        an aggregate call (HAVING operand position)."""
         t = self.peek()
+        if t == "(":
+            self.next()
+            node = self._operand()
+            self.expect(")")
+            return node
         if t and t.lower() == "lang":
             return self._lang_call()
         if t and t.lower() in self._AGG_FNS \
@@ -751,6 +850,32 @@ class _Parser:
             inner = self._operand()
             self.expect(")")
             return ("str", inner)
+        if t and t.lower() == "if" and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1] == "(":
+            self.next()
+            self.expect("(")
+            cond = self.expr()
+            self.expect(",")
+            a = self._operand()
+            self.expect(",")
+            b = self._operand()
+            self.expect(")")
+            return ("if", cond, a, b)
+        if t and t.lower() in self._SCALAR_FNS \
+                and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1] == "(":
+            name = self.next().lower()
+            self.expect("(")
+            args = [self._operand()]
+            while self.peek() == ",":
+                self.next()
+                args.append(self._operand())
+            self.expect(")")
+            lo, hi = self._SCALAR_FNS[name]
+            if not lo <= len(args) <= hi:
+                raise SparqlError("%s() takes %d..%d args, got %d"
+                                  % (name.upper(), lo, hi, len(args)))
+            return ("fn", name, args)
         return self.term()
 
     def _values_term(self):
@@ -784,15 +909,106 @@ def _lang_col(var):
     return F.coalesce(F.col("__lang_" + var.name), F.lit(""))
 
 
-def _operand_col(op):
+def _operand_col(op, cols=()):
     if isinstance(op, tuple) and op[0] == "lang":
         return _lang_col(op[1])
     if isinstance(op, tuple) and op[0] == "str":
         # STR(?v): the lexical form — identity over the string-encoded
         # term columns (URIs store the IRI string, literals the lexical
         # form), per SPARQL 1.1 §17.4.2.5
-        return _operand_col(op[1])
+        return _operand_col(op[1], cols)
+    if isinstance(op, tuple) and op[0] == "arith":
+        # SPARQL numeric operators: operands promoted to xsd:double
+        _, o, a, b = op
+        ca = _operand_col(a, cols).cast("double")
+        cb = _operand_col(b, cols).cast("double")
+        return {"+": ca + cb, "-": ca - cb,
+                "*": ca * cb, "/": ca / cb}[o]
+    if isinstance(op, tuple) and op[0] == "if":
+        _, cond, a, b = op
+        return (F.when(_compile_expr(cond, cols),
+                       _operand_col(a, cols))
+                .otherwise(_operand_col(b, cols)))
+    if isinstance(op, tuple) and op[0] == "fn":
+        return _fn_col(op[1], op[2], cols)
     return _term_col(op)
+
+
+_RDF_LANGSTRING = DEFAULT_PREFIXES["rdf"] + "langString"
+_XSD_STRING = DEFAULT_PREFIXES["xsd"] + "string"
+
+
+def _fn_col(name, args, cols):
+    """SPARQL 1.1 §17.4 scalar builtins as pure Column expressions
+    (JVM-side, whole-stage codegen — never a Python UDF)."""
+    c = [_operand_col(a, cols) for a in args]
+    if name == "strlen":
+        return F.length(c[0]).cast("long")
+    if name == "ucase":
+        return F.upper(c[0])
+    if name == "lcase":
+        return F.lower(c[0])
+    if name == "substr":
+        # SPARQL SUBSTR is 1-based like F.substring; the 2-arg form
+        # runs to the end of the string
+        ln = (c[2].cast("int") if len(c) == 3 else F.length(c[0]))
+        return F.substring(c[0], c[1].cast("int"), ln)
+    if name == "concat":
+        return F.concat(*c)
+    if name in ("strbefore", "strafter"):
+        # instr is 1-based, 0 when absent; SPARQL returns "" for a
+        # missing needle, and STRAFTER(x, "") = x / STRBEFORE(x, "")
+        # = "" both fall out of instr(x, "") = 1
+        pos = F.call_function("instr", c[0], c[1])
+        if name == "strbefore":
+            hit = F.substring(c[0], F.lit(1), pos - F.lit(1))
+        else:
+            hit = F.substring(c[0], pos + F.length(c[1]),
+                              F.length(c[0]))
+        return F.when(pos > 0, hit).otherwise(F.lit(""))
+    if name == "replace":
+        pat, rep = args[1], args[2]
+        if not (isinstance(pat, _Const) and isinstance(rep, _Const)):
+            raise SparqlError("REPLACE takes constant pattern and "
+                              "replacement")
+        # SPARQL REPLACE is regex-based and replaces every occurrence
+        return F.regexp_replace(c[0], pat.value, rep.value)
+    if name == "coalesce":
+        return F.coalesce(*c)
+    if name == "abs":
+        return F.abs(c[0].cast("double"))
+    if name == "ceil":
+        return F.ceil(c[0].cast("double")).cast("double")
+    if name == "floor":
+        return F.floor(c[0].cast("double")).cast("double")
+    if name == "round":
+        return F.round(c[0].cast("double"), 0)
+    if name == "datatype":
+        # datatype(?v): rdf:langString for language-tagged literals,
+        # the stored datatype else xsd:string for plain literals, and
+        # NULL (type error -> unbound) for IRIs.  Needs the hidden
+        # term-metadata columns; a variable without them is an IRI by
+        # construction (subj/pred position) -> NULL.
+        v = args[0]
+        if not isinstance(v, _Var):
+            raise SparqlError("datatype() takes a variable")
+        dt, kd, lg = ("__dt_" + v.name, "__kind_" + v.name,
+                      "__lang_" + v.name)
+        if dt not in cols:
+            return F.lit(None).cast("string")
+        kindc = (F.coalesce(F.col(kd), F.lit("uri")) if kd in cols
+                 else F.lit("lit"))
+        langc = (F.coalesce(F.col(lg), F.lit("")) if lg in cols
+                 else F.lit(""))
+        return F.when(
+            kindc == "lit",
+            F.when(F.length(langc) > 0, F.lit(_RDF_LANGSTRING))
+             .otherwise(F.coalesce(F.col(dt), F.lit(_XSD_STRING))))
+    if name in ("iri", "uri"):
+        # identity over the string term encoding (IRIs are stored as
+        # their IRI string; no base-IRI resolution in this store)
+        return c[0]
+    raise SparqlError("unknown function %s" % name)
 
 
 def _compile_expr(node, cols=()):
@@ -805,23 +1021,40 @@ def _compile_expr(node, cols=()):
         return ~_compile_expr(node[1], cols)
     if kind == "cmp":
         _, op, a, b = node
-        ca, cb = _operand_col(a), _operand_col(b)
+        ca, cb = _operand_col(a, cols), _operand_col(b, cols)
         # a bare number TOKEN means a numeric comparison (SPARQL
         # operator semantics); quoted literals stay lexicographic even
         # when digit-shaped ("007" != "7", ?x < "10" is codepoint) —
-        # the distinction is the parse-time kind, not the value shape
+        # the distinction is the parse-time kind, not the value shape.
+        # Arithmetic and numeric-valued builtins force numeric too.
         def is_num(t):
-            return isinstance(t, _Const) and t.kind == "num"
+            return ((isinstance(t, _Const) and t.kind == "num")
+                    or (isinstance(t, tuple)
+                        and (t[0] == "arith"
+                             or (t[0] == "fn"
+                                 and t[1] in ("strlen", "abs", "ceil",
+                                              "floor", "round")))))
         if is_num(a) or is_num(b):
             ca, cb = ca.cast("double"), cb.cast("double")
         return {"=": ca == cb, "!=": ca != cb, "<": ca < cb,
                 "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[op]
     if kind == "regex":
-        return _operand_col(node[1]).rlike(node[2].value)
+        return _operand_col(node[1], cols).rlike(node[2].value)
     if kind == "contains":
-        return _operand_col(node[1]).contains(node[2].value)
+        return _operand_col(node[1], cols).contains(
+            _operand_col(node[2], cols))
     if kind == "strstarts":
-        return _operand_col(node[1]).startswith(node[2].value)
+        return _operand_col(node[1], cols).startswith(
+            _operand_col(node[2], cols))
+    if kind == "strends":
+        return _operand_col(node[1], cols).endswith(
+            _operand_col(node[2], cols))
+    if kind == "sameterm":
+        # value equality over the string term encoding (the
+        # skolemized store has no bnodes; lang/datatype live in
+        # hidden columns — sameTerm on the lexical form)
+        return _operand_col(node[1], cols).eqNullSafe(
+            _operand_col(node[2], cols))
     if kind == "bound":
         return _term_col(node[1]).isNotNull()
     if kind == "iskind":
@@ -836,11 +1069,11 @@ def _compile_expr(node, cols=()):
         return F.lit(False) if which == "blank" else (col == which)
     if kind == "in":
         _, left, terms, neg = node
-        col = _operand_col(left).isin([t.value for t in terms])
+        col = _operand_col(left, cols).isin([t.value for t in terms])
         return ~col if neg else col
     if kind == "langmatches":
         # primary-strength RFC-4647 basic match: exact tag or prefix
-        lang = F.lower(_operand_col(node[1]))
+        lang = F.lower(_operand_col(node[1], cols))
         tag = node[2].value.lower()
         return (lang == tag) | lang.startswith(tag + "-")
     if kind == "lang":
@@ -852,7 +1085,7 @@ def _compile_expr(node, cols=()):
         op = node[1]
         if isinstance(op, tuple) and op[0] == "lang":
             return F.length(_lang_col(op[1])) > 0
-        return _operand_col(op).isNotNull()
+        return _operand_col(op, cols).isNotNull()
     raise SparqlError("bad filter node %r" % (node,))
 
 
@@ -1229,7 +1462,8 @@ def _compile_group(triples: DataFrame, items, ctx=None,
                 raise SparqlError("BIND cannot open a group")
             if name in plan.columns:
                 raise SparqlError("BIND to already-bound ?%s" % name)
-            plan = plan.withColumn(name, _operand_col(operand))
+            plan = plan.withColumn(
+                name, _operand_col(operand, tuple(plan.columns)))
             # a plain variable alias carries its term metadata so
             # CONSTRUCT keeps fidelity for the new name
             if isinstance(operand, _Var):
@@ -1317,6 +1551,13 @@ def _join(plan, scan, how):
 
 def _agg_expr(fn, distinct, arg):
     col = F.col(arg) if arg is not None else None
+    if isinstance(fn, tuple):            # ("group_concat", separator)
+        _, sep = fn
+        inner = F.collect_set(col) if distinct else F.collect_list(col)
+        # SPARQL 1.1 leaves GROUP_CONCAT order unspecified; sorting
+        # the collected values makes the result deterministic (and
+        # identical across engines/partitionings)
+        return F.array_join(F.array_sort(inner), sep)
     if fn == "count":
         # COUNT(?v) counts bound values; COUNT(*) counts solutions
         return (F.countDistinct(col) if distinct

@@ -1075,3 +1075,157 @@ def test_path_closure_pair_budget(spark, monkeypatch):
     got = sparql_select(t, """
         SELECT ?a ?b WHERE { ?a dcterms:references+ ?b }""").count()
     assert got == n * (n + 1) // 2
+
+
+# ---------------------------------------------------------- r4 builtins
+
+def test_group_concat_separator_and_distinct(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc (GROUP_CONCAT(?t; SEPARATOR="|") AS ?ts) WHERE {
+          ?doc dcterms:title ?t .
+        } GROUP BY ?doc ORDER BY ?doc""").collect()
+    assert [(r.doc, r.ts) for r in got] == [
+        ("d1", "Alpha"), ("d2", "Beta"), ("d3", "Alpha")]
+    # DISTINCT collapses duplicates; values come out sorted (SPARQL
+    # leaves the order unspecified — sorted is the deterministic pick)
+    got = sparql_select(triples, """
+        SELECT (GROUP_CONCAT(DISTINCT ?t; SEPARATOR=",") AS ?ts)
+        WHERE { ?doc dcterms:title ?t . }""").collect()
+    assert got[0].ts == "Alpha,Beta"
+    # default separator is a single space
+    got = sparql_select(triples, """
+        SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts)
+        WHERE { ?doc dcterms:title ?t . }""").collect()
+    assert got[0].ts == "Alpha Beta"
+
+
+def test_string_builtins_in_bind(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc ?up ?low ?sub ?n ?cat WHERE {
+          ?doc dcterms:title ?t .
+          BIND(UCASE(?t) AS ?up)
+          BIND(LCASE(?t) AS ?low)
+          BIND(SUBSTR(?t, 2, 3) AS ?sub)
+          BIND(STRLEN(?t) AS ?n)
+          BIND(CONCAT(?t, "/", STR(?doc)) AS ?cat)
+          FILTER(?doc = "d2")
+        }""").collect()
+    r = got[0]
+    assert (r.up, r.low, r.sub, r.n, r.cat) == (
+        "BETA", "beta", "eta", 4, "Beta/d2")
+
+
+def test_strbefore_strafter_replace(triples):
+    got = sparql_select(triples, """
+        SELECT ?b ?a ?miss ?rep WHERE {
+          ?doc dcterms:title ?t .
+          BIND(STRBEFORE(?t, "e") AS ?b)
+          BIND(STRAFTER(?t, "e") AS ?a)
+          BIND(STRAFTER(?t, "zz") AS ?miss)
+          BIND(REPLACE(?t, "[aeiou]", "_") AS ?rep)
+          FILTER(?doc = "d2")
+        }""").collect()
+    r = got[0]
+    # missing needle -> "" per SPARQL 1.1 §17.4.3.4; REPLACE is
+    # regex-based and replaces every occurrence
+    assert (r.b, r.a, r.miss, r.rep) == ("B", "ta", "", "B_t_")
+
+
+def test_arithmetic_and_numeric_builtins(triples):
+    got = sparql_select(triples, """
+        SELECT ?half ?r ?c ?f ?ab WHERE {
+          ?doc dcterms:title ?t .
+          BIND((STRLEN(?t) + 1) / 2 AS ?half)
+          BIND(ROUND(STRLEN(?t) / 3) AS ?r)
+          BIND(CEIL(STRLEN(?t) / 3) AS ?c)
+          BIND(FLOOR(STRLEN(?t) / 3) AS ?f)
+          BIND(ABS(2 - STRLEN(?t)) AS ?ab)
+          FILTER(?doc = "d1")
+        }""").collect()
+    r = got[0]        # STRLEN("Alpha") = 5
+    assert (r.half, r.r, r.c, r.f, r.ab) == (3.0, 2.0, 2.0, 1.0, 3.0)
+
+
+def test_arithmetic_in_filter_and_paren_cmp(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc dcterms:title ?t .
+          FILTER((STRLEN(?t) - 1) >= 4)
+        }""").collect()
+    assert {r.doc for r in got} == {"d1", "d3"}
+    # '?x-3' lexes as a negative number after an operand: subtraction
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc dcterms:title ?t .
+          FILTER(STRLEN(?t)-1 >= 4)
+        }""").collect()
+    assert {r.doc for r in got} == {"d1", "d3"}
+
+
+def test_if_coalesce_bound(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc ?cls ?alt WHERE {
+          ?doc a bibo:Document .
+          OPTIONAL { ?doc owl:sameAs ?same }
+          BIND(IF(BOUND(?same), "linked", "orphan") AS ?cls)
+          BIND(COALESCE(?same, ?doc) AS ?alt)
+        } ORDER BY ?doc""").collect()
+    assert [(r.doc, r.cls, r.alt) for r in got] == [
+        ("d1", "linked", "d9"), ("d2", "orphan", "d2"),
+        ("d3", "orphan", "d3")]
+
+
+def test_strends_sameterm_regex_flags(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc dcterms:title ?t . FILTER(STRENDS(?t, "eta"))
+        }""").collect()
+    assert {r.doc for r in got} == {"d2"}
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc dcterms:title ?t . FILTER(sameTerm(?t, "Beta"))
+        }""").collect()
+    assert {r.doc for r in got} == {"d2"}
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc dcterms:title ?t . FILTER(REGEX(?t, "^beta$", "i"))
+        }""").collect()
+    assert {r.doc for r in got} == {"d2"}
+
+
+def test_datatype_builtin(spark):
+    rows = [("d1", DCT + "issued", "2020-01-02",
+             "http://www.w3.org/2001/XMLSchema#date", None, "ctx"),
+            ("d1", DCT + "title", "Alpha", None, None, "ctx"),
+            ("d1", DCT + "alt", "Alfa", None, "sv", "ctx")]
+    tri = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "obj_datatype string, obj_lang string, context string")
+    got = sparql_select(tri, """
+        SELECT ?p ?dt WHERE {
+          ?d ?p ?o . BIND(DATATYPE(?o) AS ?dt)
+        } ORDER BY ?p""").collect()
+    assert [(r.p.rsplit("/", 1)[-1], r.dt) for r in got] == [
+        ("alt", "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"),
+        ("issued", "http://www.w3.org/2001/XMLSchema#date"),
+        ("title", "http://www.w3.org/2001/XMLSchema#string")]
+
+
+def test_group_concat_in_having(triples):
+    got = sparql_select(triples, """
+        SELECT ?t (COUNT(?doc) AS ?n) WHERE {
+          ?doc dcterms:title ?t .
+        } GROUP BY ?t
+        HAVING (GROUP_CONCAT(?doc; SEPARATOR=",") = "d1,d3")""").collect()
+    assert [(r.t, r.n) for r in got] == [("Alpha", 2)]
+
+
+def test_builtin_arity_errors(triples):
+    with pytest.raises(SparqlError):
+        sparql_select(triples, """
+            SELECT ?x WHERE { ?d dcterms:title ?t .
+              BIND(SUBSTR(?t) AS ?x) }""")
+    with pytest.raises(SparqlError):
+        sparql_select(triples, """
+            SELECT ?x WHERE { ?d dcterms:title ?t .
+              BIND(STRLEN(?t, ?t) AS ?x) }""")
