@@ -1392,6 +1392,21 @@ def _q_sparql_builtins(spark, sf_dir):
         } GROUP BY ?subject ?linkcls ORDER BY ?subject ?linkcls""")
 
 
+def _q_sparql_hashes(spark, sf_dir):
+    """Q12 SPARQL 1.1 hash builtins (r4): MD5/SHA256 skolem-IRI
+    minting — the standard SPARQL idiom for deterministic node ids in
+    KG construction — grouped by the leading SHA256 nibble.  Hashes
+    are JVM-side codegen (F.md5/F.sha2); one groupBy shuffle."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?nib (COUNT(?d) AS ?n) (MIN(?skolem) AS ?first_skolem)
+        WHERE {
+          ?d dcterms:identifier ?ident .
+          BIND(CONCAT("urn:skolem:", MD5(?ident)) AS ?skolem)
+          BIND(SUBSTR(SHA256(?ident), 1, 1) AS ?nib)
+        } GROUP BY ?nib ORDER BY ?nib""")
+
+
 def _q_degree_distribution(spark, sf_dir):
     """Citegraph degree distribution (graphanalyze.py:537-576 minus
     the matplotlib rendering): how many cited targets have each
@@ -1551,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_sparql_subquery,
         "kg_sparql_graph_var": _q_sparql_graph_var,
         "kg_sparql_builtins": _q_sparql_builtins,
+        "kg_sparql_hashes": _q_sparql_hashes,
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
         "kg_ranking_baseline": _q_ranking_baseline,
@@ -3050,6 +3066,12 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE length(identifier) * 2 - 2 >= 12
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        "kg_sparql_hashes": "WITH " + _F_CTE + """
+            SELECT substring(sha256(identifier), 1, 1) AS nib,
+                   COUNT(*) AS n,
+                   min('urn:skolem:' || md5(identifier))
+                     AS first_skolem
+            FROM f GROUP BY 1 ORDER BY 1""",
         "kg_degree_distribution":
             "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
             deg AS (

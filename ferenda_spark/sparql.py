@@ -70,8 +70,12 @@ Grammar (case-insensitive keywords)::
                 terms, str(?v), lang(?v), IF(cond, a, b), and the
                 §17.4 scalar builtins: STRLEN UCASE LCASE SUBSTR
                 CONCAT STRBEFORE STRAFTER REPLACE COALESCE ABS CEIL
-                FLOOR ROUND DATATYPE IRI/URI — all compiled to pure
-                Column expressions (JVM-side, no Python)
+                FLOOR ROUND DATATYPE IRI/URI ENCODE_FOR_URI
+                MD5/SHA1/SHA256/SHA384/SHA512, and the literal
+                constructors STRLANG/STRDT (value = lexical form;
+                the tag/datatype lands in the hidden term-metadata
+                columns when BINDing) — all compiled to pure Column
+                expressions (JVM-side, no Python)
     agg      := COUNT SUM MIN MAX AVG SAMPLE GROUP_CONCAT(?v ;
                 SEPARATOR="s") — GROUP_CONCAT sorts its values for a
                 deterministic (engine-portable) result, SPARQL leaves
@@ -799,7 +803,9 @@ class _Parser:
         "strafter": (2, 2), "replace": (3, 3), "coalesce": (1, 99),
         "abs": (1, 1), "ceil": (1, 1), "floor": (1, 1),
         "round": (1, 1), "datatype": (1, 1), "iri": (1, 1),
-        "uri": (1, 1),
+        "uri": (1, 1), "md5": (1, 1), "sha1": (1, 1),
+        "sha256": (1, 1), "sha384": (1, 1), "sha512": (1, 1),
+        "encode_for_uri": (1, 1), "strlang": (2, 2), "strdt": (2, 2),
     }
 
     def _operand(self):
@@ -994,19 +1000,42 @@ def _fn_col(name, args, cols):
             raise SparqlError("datatype() takes a variable")
         dt, kd, lg = ("__dt_" + v.name, "__kind_" + v.name,
                       "__lang_" + v.name)
-        if dt not in cols:
+        if not any(c in cols for c in (dt, kd, lg)):
             return F.lit(None).cast("string")
         kindc = (F.coalesce(F.col(kd), F.lit("uri")) if kd in cols
                  else F.lit("lit"))
         langc = (F.coalesce(F.col(lg), F.lit("")) if lg in cols
                  else F.lit(""))
+        dtc = (F.col(dt) if dt in cols
+               else F.lit(None).cast("string"))
         return F.when(
             kindc == "lit",
             F.when(F.length(langc) > 0, F.lit(_RDF_LANGSTRING))
-             .otherwise(F.coalesce(F.col(dt), F.lit(_XSD_STRING))))
+             .otherwise(F.coalesce(dtc, F.lit(_XSD_STRING))))
     if name in ("iri", "uri"):
         # identity over the string term encoding (IRIs are stored as
         # their IRI string; no base-IRI resolution in this store)
+        return c[0]
+    if name == "md5":
+        return F.md5(c[0])
+    if name == "sha1":
+        return F.sha1(c[0])
+    if name in ("sha256", "sha384", "sha512"):
+        return F.sha2(c[0], int(name[3:]))
+    if name == "encode_for_uri":
+        # SPARQL 1.1 §17.4.3.10 percent-encodes everything outside the
+        # RFC 3986 unreserved set with UPPERCASE hex.  Spark's
+        # url_encode is form-encoding — fix its three deviations:
+        # space -> '+' (must be %20), '~' -> %7E (unreserved), and a
+        # raw '*' (must be %2A)
+        enc = F.call_function("url_encode", c[0])
+        enc = F.regexp_replace(enc, r"\+", "%20")
+        enc = F.regexp_replace(enc, "%7E", "~")
+        return F.regexp_replace(enc, r"\*", "%2A")
+    if name in ("strlang", "strdt"):
+        # the VALUE is the lexical form; the language tag / datatype
+        # lives in the hidden term-metadata columns, which the BIND
+        # compile step attaches (so lang()/datatype()/CONSTRUCT see it)
         return c[0]
     raise SparqlError("unknown function %s" % name)
 
@@ -1471,6 +1500,18 @@ def _compile_group(triples: DataFrame, items, ctx=None,
                     src = pfx + operand.name
                     if src in plan.columns:
                         plan = plan.withColumn(pfx + name, F.col(src))
+            # STRLANG/STRDT construct a literal: the tag/datatype
+            # becomes the new variable's hidden term metadata
+            if (isinstance(operand, tuple) and operand[0] == "fn"
+                    and operand[1] in ("strlang", "strdt")):
+                tag = operand[2][1]
+                if not isinstance(tag, _Const):
+                    raise SparqlError("%s takes a constant tag"
+                                      % operand[1].upper())
+                pfx = ("__lang_" if operand[1] == "strlang"
+                       else "__dt_")
+                plan = (plan.withColumn(pfx + name, F.lit(tag.value))
+                        .withColumn("__kind_" + name, F.lit("lit")))
         elif kind == "values":
             names, rows = payload
             has_undef = any(t is None for row in rows for t in row)

@@ -1229,3 +1229,56 @@ def test_builtin_arity_errors(triples):
         sparql_select(triples, """
             SELECT ?x WHERE { ?d dcterms:title ?t .
               BIND(STRLEN(?t, ?t) AS ?x) }""")
+
+
+def test_hash_builtins(triples):
+    import hashlib
+    got = sparql_select(triples, """
+        SELECT ?m ?s1 ?s256 WHERE {
+          ?doc dcterms:title ?t .
+          BIND(MD5(?t) AS ?m) BIND(SHA1(?t) AS ?s1)
+          BIND(SHA256(?t) AS ?s256)
+          FILTER(?doc = "d2")
+        }""").collect()
+    r = got[0]
+    b = b"Beta"
+    assert r.m == hashlib.md5(b).hexdigest()
+    assert r.s1 == hashlib.sha1(b).hexdigest()
+    assert r.s256 == hashlib.sha256(b).hexdigest()
+
+
+def test_encode_for_uri(spark):
+    from urllib.parse import quote
+    raw = "Les Mis~era*bles: 100% / fin+"
+    tri = spark.createDataFrame(
+        [("d1", DCT + "title", raw, None, None, "ctx")],
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = sparql_select(tri, """
+        SELECT ?e WHERE { ?d dcterms:title ?t .
+          BIND(ENCODE_FOR_URI(?t) AS ?e) }""").collect()
+    # RFC 3986 unreserved set, uppercase hex — what urllib quote
+    # produces with safe='~' (SPARQL 1.1 section 17.4.3.10)
+    assert got[0].e == quote(raw, safe="~")
+
+
+def test_strlang_strdt_metadata(triples):
+    got = sparql_select(triples, """
+        SELECT ?doc ?l ?dt WHERE {
+          ?doc dcterms:title ?t .
+          BIND(STRLANG(?t, "en") AS ?l)
+          BIND(DATATYPE(?l) AS ?dt)
+          FILTER(langMatches(lang(?l), "en") && ?doc = "d1")
+        }""").collect()
+    assert [(r.doc, r.l, r.dt) for r in got] == [
+        ("d1", "Alpha",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString")]
+    got = sparql_select(triples, """
+        SELECT ?doc ?dt WHERE {
+          ?doc dcterms:title ?t .
+          BIND(STRDT(?t, xsd:token) AS ?v)
+          BIND(DATATYPE(?v) AS ?dt)
+          FILTER(?doc = "d1")
+        }""").collect()
+    assert [(r.doc, r.dt) for r in got] == [
+        ("d1", "http://www.w3.org/2001/XMLSchema#token")]
