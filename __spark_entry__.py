@@ -296,6 +296,24 @@ def _q_dedup_minhash_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Cross-document exact-substring duplicate spans (Lee et al. 2022
+    suffix-array dedup in its distributable window-hash form): hash
+    every 4-token window map-side, ONE |tokens|-shuffle groupBy finds
+    hashes in >= 2 docs, positions semi-join the (small, AQE-broadcast)
+    duplicated-hash set, and overlapping windows merge into maximal
+    spans per doc via a doc-partitioned gaps-and-islands window."""
+    from ferenda_spark.operators.dedup import repeated_spans
+    sp = repeated_spans(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        window=4, min_docs=2)
+    return (sp.select("doc_id",
+                      F.col("span_start").cast("long").alias("span_start"),
+                      F.col("span_end").cast("long").alias("span_end"),
+                      "n_windows")
+            .orderBy("doc_id", "span_start"))
+
+
 def _q_dedup_jaccard_pairs(spark, sf_dir):
     """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
     (r1 ran it guard-off — quadratic on hot shingles at scale):
@@ -1486,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_titles": _q_autocomplete_titles,
         "search_year_range": _q_search_year_range,
         "dedup_exact": _q_dedup_exact,
+        "dedup_repeated_spans": _q_dedup_spans,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2119,6 +2138,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(substr(text, 1, 40)) AS text_md5,
                    COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
             FROM documents GROUP BY 1""",
+        # window-hash exact-substring dedup: 4-token windows, hashes
+        # in >=2 distinct docs, overlapping windows merged into
+        # maximal spans (gap > window opens a new island)
+        "dedup_repeated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            idx AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk)-3, 0)))
+                       AS i
+              FROM toks),
+            wins AS (
+              SELECT doc_id, i AS start,
+                     md5(array_to_string(tk[i:i+3], ' ')) AS h
+              FROM idx),
+            dup AS (SELECT h FROM wins GROUP BY h
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, start FROM wins
+                     WHERE h IN (SELECT h FROM dup)),
+            brk AS (
+              SELECT doc_id, start,
+                     CASE WHEN lag(start) OVER w IS NULL
+                          OR start - lag(start) OVER w > 4
+                          THEN 1 ELSE 0 END AS b
+              FROM hits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+            isl AS (
+              SELECT doc_id, start,
+                     SUM(b) OVER (PARTITION BY doc_id
+                                  ORDER BY start) AS island
+              FROM brk)
+            SELECT doc_id, min(start) AS span_start,
+                   max(start) + 3 AS span_end, COUNT(*) AS n_windows
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, span_start""",
         "search_year_range": _FACETED_WITH + """
             SELECT uri, dcterms_issued, year FROM faceted
             WHERE dcterms_issued > '2020-12-31'

@@ -66,6 +66,10 @@ HEADLINE = [
     "sim_ivf_topk_pruned", "mm_image_meta_real", "mm_audio_meta",
     "word_docs_legacy", "train_doc_chunks", "train_corpus_pipeline",
     "kg_ranking_baseline",
+    # r4 continuation: per-named-graph SPARQL, expression builtins,
+    # skolem hash minting, exact-substring span dedup
+    "kg_sparql_graph_var", "kg_sparql_builtins", "kg_sparql_hashes",
+    "dedup_repeated_spans",
 ]
 
 

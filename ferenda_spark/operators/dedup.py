@@ -235,3 +235,67 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a",
     comp = connected_components(edges)
     return comp.select(F.col("vertex").alias("doc_id"),
                        F.col("component").alias("canonical_doc_id"))
+
+
+def repeated_spans(documents: DataFrame, window: int = 4,
+                   min_docs: int = 2) -> DataFrame:
+    """Cross-document exact-substring duplicate spans (the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, restated as its distributable
+    window-hash form; reference analogue: content change detection,
+    SURVEY.md S2).
+
+    Pipeline (all JVM expressions, no Python):
+
+    1. tokenize (pinned cross-engine whitespace class) and hash every
+       ``window``-token sliding window map-side — md5 so the DuckDB
+       oracle can mirror it;
+    2. ONE groupBy(hash) with map-side partial aggregation finds
+       hashes seen in >= ``min_docs`` distinct docs — at 10^12 rows
+       this is the only |tokens|-sized shuffle, and it carries
+       (hash, doc_id) pairs only, never text;
+    3. positions semi-join the duplicated-hash set (AQE broadcasts it
+       when small — the common case after the >=min_docs filter);
+    4. overlapping duplicated windows merge into MAXIMAL spans per doc
+       (gaps-and-islands: a window whose start is more than ``window``
+       past its predecessor opens a new island), partitioned by
+       doc_id — no global window.
+
+    Returns (doc_id, span_start, span_end, n_windows): 1-based token
+    offsets, span_end inclusive."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(F.col("text"))
+    wins_expr = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - window + 1),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
+                .alias("h")))
+    ).otherwise(F.array().cast(
+        "array<struct<start:int,h:string>>"))
+    wins = (documents.select("doc_id", F.explode(wins_expr).alias("w"))
+            .select("doc_id", F.col("w.start").alias("start"),
+                    F.col("w.h").alias("h")))
+    dup = (wins.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("n_docs"))
+           .where(F.col("n_docs") >= min_docs)
+           .select("h"))
+    hits = wins.join(dup, "h", "left_semi")
+    order = W.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.lag("start").over(order).isNull()
+        | (F.col("start") - F.lag("start").over(order) > window),
+        F.lit(1)).otherwise(F.lit(0))
+    islands = (hits.withColumn("brk", brk)
+               .withColumn("island",
+                           F.sum("brk").over(
+                               order.rowsBetween(W.unboundedPreceding,
+                                                 W.currentRow))))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("start").alias("span_start"),
+                 (F.max("start") + window - 1).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("island"))

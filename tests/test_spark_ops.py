@@ -1353,3 +1353,37 @@ def test_ranked_set_baseline_plugs_into_ap(spark):
     ap = {r.query: r.ap for r in average_precision(
         ranked.select("query", "item", "rank"), gold).collect()}
     assert ap == {"q0": 0.5, "q1": 1.0}
+
+
+def test_repeated_spans_planted(spark):
+    """Two docs share an 6-token run and a separate 4-token run; a
+    third doc is all-unique.  Expect maximal merged spans at the right
+    1-based offsets, and nothing from the unique doc."""
+    from ferenda_spark.operators.dedup import repeated_spans
+    shared6 = "alpha beta gamma delta epsilon zeta"
+    shared4 = "red green blue cyan"
+    docs = spark.createDataFrame(
+        [(1, f"u1 u2 {shared6} v1 v2 v3 {shared4}"),
+         (2, f"w1 {shared6} w2 w3 w4 w5 {shared4} w6"),
+         (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12")],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in repeated_spans(docs, window=4, min_docs=2).collect()}
+    # doc 1: shared6 at tokens 3-8 (3 windows), shared4 at 12-15 (1)
+    # doc 2: shared6 at tokens 2-7 (3 windows), shared4 at 12-15 (1)
+    assert got == {(1, 3, 8, 3), (1, 12, 15, 1),
+                   (2, 2, 7, 3), (2, 12, 15, 1)}
+
+
+def test_repeated_spans_merges_overlaps(spark):
+    """A 5-token shared run yields two overlapping 4-windows that must
+    merge into ONE maximal span; short docs (< window tokens) are
+    silently windowless, not an error."""
+    from ferenda_spark.operators.dedup import repeated_spans
+    docs = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 s5"), (2, "s1 s2 s3 s4 s5"), (3, "tiny doc")],
+        "doc_id long, text string")
+    got = [(r.doc_id, r.span_start, r.span_end, r.n_windows)
+           for r in repeated_spans(docs, window=4, min_docs=2)
+           .orderBy("doc_id").collect()]
+    assert got == [(1, 1, 5, 2), (2, 1, 5, 2)]
