@@ -314,6 +314,20 @@ def _q_dedup_spans(spark, sf_dir):
             .orderBy("doc_id", "span_start"))
 
 
+def _q_dedup_span_removed(spark, sf_dir):
+    """The dedup TRANSFORM: every token covered by a cross-document
+    duplicated span is cut, text rebuilt token-level in one JVM
+    higher-order-function pass (per-doc span lists are small structs —
+    no extra shuffle beyond repeated_spans' own)."""
+    from ferenda_spark.operators.dedup import remove_repeated_spans
+    out = remove_repeated_spans(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        window=4, min_docs=2)
+    return (out.select("doc_id", "clean_text",
+                       F.col("n_removed").cast("long").alias("n_removed"))
+            .orderBy("doc_id"))
+
+
 def _q_dedup_jaccard_pairs(spark, sf_dir):
     """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
     (r1 ran it guard-off — quadratic on hot shingles at scale):
@@ -1505,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_year_range": _q_search_year_range,
         "dedup_exact": _q_dedup_exact,
         "dedup_repeated_spans": _q_dedup_spans,
+        "dedup_span_removed": _q_dedup_span_removed,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2176,6 +2191,62 @@ def oracle_sql() -> dict[str, str]:
                    max(start) + 3 AS span_end, COUNT(*) AS n_windows
             FROM isl GROUP BY doc_id, island
             ORDER BY doc_id, span_start""",
+        # same spans pipeline, then cut covered tokens and rebuild
+        # the text token-level (whitespace runs collapse — the
+        # token-dedup contract); docs with nothing cut pass through
+        "dedup_span_removed": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            idx AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, greatest(len(tk)-3, 0)))
+                       AS i
+              FROM toks),
+            wins AS (
+              SELECT doc_id, i AS start,
+                     md5(array_to_string(tk[i:i+3], ' ')) AS h
+              FROM idx),
+            dup AS (SELECT h FROM wins GROUP BY h
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (SELECT doc_id, start FROM wins
+                     WHERE h IN (SELECT h FROM dup)),
+            brk AS (
+              SELECT doc_id, start,
+                     CASE WHEN lag(start) OVER w IS NULL
+                          OR start - lag(start) OVER w > 4
+                          THEN 1 ELSE 0 END AS b
+              FROM hits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY start)),
+            isl AS (
+              SELECT doc_id, start,
+                     SUM(b) OVER (PARTITION BY doc_id
+                                  ORDER BY start) AS island
+              FROM brk),
+            spans AS (
+              SELECT doc_id, min(start) AS s, max(start) + 3 AS e
+              FROM isl GROUP BY doc_id, island),
+            pos AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk))) AS i
+              FROM toks),
+            kept AS (
+              SELECT p.doc_id, p.i, p.tk[p.i] AS tok
+              FROM pos p
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id AND p.i BETWEEN s.s AND s.e))
+            SELECT t.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   len(t.tk) - coalesce(k.n, 0) AS n_removed
+            FROM toks t LEFT JOIN (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                     COUNT(*) AS n
+              FROM kept GROUP BY doc_id) k USING (doc_id)
+            ORDER BY t.doc_id""",
         "search_year_range": _FACETED_WITH + """
             SELECT uri, dcterms_issued, year FROM faceted
             WHERE dcterms_issued > '2020-12-31'

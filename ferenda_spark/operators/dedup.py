@@ -299,3 +299,43 @@ def repeated_spans(documents: DataFrame, window: int = 4,
                  (F.max("start") + window - 1).alias("span_end"),
                  F.count("*").alias("n_windows"))
             .drop("island"))
+
+
+def remove_repeated_spans(documents: DataFrame, window: int = 4,
+                          min_docs: int = 2) -> DataFrame:
+    """The dedup TRANSFORM over :func:`repeated_spans`: drop every
+    token covered by a cross-document duplicated span, in every doc
+    (aggressive boilerplate/contamination removal; Lee et al. 2022
+    keep-one is a policy layer above — documented choice).
+
+    Per-doc span lists are small (collect_list of (start, end) pairs),
+    so the rebuild is a single JVM higher-order-function pass: index
+    the token array with a transform lambda, filter positions covered
+    by any span, re-join with single spaces.  Reconstruction is
+    token-level — original whitespace runs collapse (the standard
+    token-dedup contract; byte-exact text keeps flowing through the
+    untouched `text` column upstream).
+
+    Returns (doc_id, clean_text, n_removed) for EVERY input doc
+    (n_removed = 0 when nothing was cut)."""
+    spans = (repeated_spans(documents, window, min_docs)
+             .groupBy("doc_id")
+             .agg(F.collect_list(
+                 F.struct("span_start", "span_end")).alias("spans")))
+    joined = documents.select("doc_id", "text").join(
+        spans, "doc_id", "left")
+    tk = tokens(F.col("text"))
+    indexed = F.transform(
+        tk, lambda t, i: F.struct(t.alias("t"),
+                                  (i + 1).alias("pos")))
+    kept = F.filter(
+        indexed,
+        lambda x: F.col("spans").isNull()
+        | ~F.exists("spans",
+                    lambda s: (x["pos"] >= s["span_start"])
+                    & (x["pos"] <= s["span_end"])))
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ")
+        .alias("clean_text"),
+        (F.size(tk) - F.size(kept)).alias("n_removed"))

@@ -1387,3 +1387,18 @@ def test_repeated_spans_merges_overlaps(spark):
            for r in repeated_spans(docs, window=4, min_docs=2)
            .orderBy("doc_id").collect()]
     assert got == [(1, 1, 5, 2), (2, 1, 5, 2)]
+
+
+def test_remove_repeated_spans(spark):
+    from ferenda_spark.operators.dedup import remove_repeated_spans
+    docs = spark.createDataFrame(
+        [(1, "u1 u2 alpha beta gamma delta v1"),
+         (2, "w1 alpha beta gamma delta w2"),
+         (3, "q1 q2 q3 q4 q5"),
+         (4, "alpha beta gamma delta")],   # fully duplicated -> empty
+    "doc_id long, text string")
+    got = [(r.doc_id, r.clean_text, r.n_removed)
+           for r in remove_repeated_spans(docs, window=4, min_docs=2)
+           .orderBy("doc_id").collect()]
+    assert got == [(1, "u1 u2 v1", 4), (2, "w1 w2", 4),
+                   (3, "q1 q2 q3 q4 q5", 0), (4, "", 4)]
