@@ -1439,6 +1439,22 @@ def _q_sparql_hashes(spark, sf_dir):
         } GROUP BY ?nib ORDER BY ?nib""")
 
 
+def _q_dup_triangles(spark, sf_dir):
+    """Degree-oriented distributed triangle counting over the
+    MinHash-LSH duplicate-pair graph (near-dup cluster density — a
+    triangle-rich node sits in a tight dup cluster, a triangle-free
+    one in a chain of borderline matches).  Orientation bounds wedge
+    fan-out at O(sqrt(|E|)) per node, so hub documents cannot explode
+    the self-join at 10^12-edge scale."""
+    from ferenda_spark.operators.dedup import minhash_band_pairs
+    from ferenda_spark.operators.graphs import triangle_counts
+    pairs = minhash_band_pairs(_read(spark, sf_dir, "documents"),
+                               n=3, num_hashes=8, band_size=2)
+    return (triangle_counts(pairs)
+            .select(F.col("node").alias("doc_id"), "n_triangles")
+            .orderBy("doc_id"))
+
+
 def _q_degree_distribution(spark, sf_dir):
     """Citegraph degree distribution (graphanalyze.py:537-576 minus
     the matplotlib rendering): how many cited targets have each
@@ -1601,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph_var": _q_sparql_graph_var,
         "kg_sparql_builtins": _q_sparql_builtins,
         "kg_sparql_hashes": _q_sparql_hashes,
+        "kg_dup_triangles": _q_dup_triangles,
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
         "kg_ranking_baseline": _q_ranking_baseline,
@@ -3200,6 +3217,26 @@ def oracle_sql() -> dict[str, str]:
                    min('urn:skolem:' || md5(identifier))
                      AS first_skolem
             FROM f GROUP BY 1 ORDER BY 1""",
+        # naive a<b<c 3-way join is the oracle; the Spark side uses
+        # degree orientation — same triangles, different join order
+        "kg_dup_triangles": "WITH " + _MINHASH_CTE + """,
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            tri AS (
+              SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+              FROM pairs e1
+              JOIN pairs e2 ON e2.doc_a = e1.doc_b
+              JOIN pairs e3 ON e3.doc_a = e1.doc_a
+                           AND e3.doc_b = e2.doc_b),
+            corners AS (
+              SELECT x AS doc_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT doc_id, COUNT(*) AS n_triangles
+            FROM corners GROUP BY doc_id ORDER BY doc_id""",
         "kg_degree_distribution":
             "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + """,
             deg AS (

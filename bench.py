@@ -69,7 +69,7 @@ HEADLINE = [
     # r4 continuation: per-named-graph SPARQL, expression builtins,
     # skolem hash minting, exact-substring span dedup
     "kg_sparql_graph_var", "kg_sparql_builtins", "kg_sparql_hashes",
-    "dedup_repeated_spans", "dedup_span_removed",
+    "dedup_repeated_spans", "dedup_span_removed", "kg_dup_triangles",
 ]
 
 

@@ -491,3 +491,54 @@ def mean_average_precision(ap: DataFrame) -> float:
     graphanalyze.py:805-806) — a 1-row aggregate."""
     row = ap.agg(F.avg("ap").alias("m")).collect()[0]
     return float(row.m) if row.m is not None else 0.0
+
+
+def triangle_counts(edges: DataFrame, src: str = "doc_a",
+                    dst: str = "doc_b") -> DataFrame:
+    """Per-node triangle participation over an undirected graph —
+    degree-oriented distributed triangle counting (the standard
+    MapReduce/Spark formulation; graphanalyze.py's networkx analytics
+    family lacks it — a natural extension of the citegraph suite).
+
+    1. normalize to distinct (least, greatest) pairs;
+    2. orient every edge from the (degree, id)-smaller endpoint to the
+       larger — each triangle is then generated by exactly ONE wedge
+       at its lowest-rank corner, and wedge fan-out per node is
+       bounded by O(sqrt(|E|)) (the classic orientation bound), which
+       is what keeps hub nodes from exploding the self-join at
+       10^12-edge scale;
+    3. wedges = oriented edge list self-joined on the apex;
+    4. a wedge closes iff its (p, q) pair is itself an oriented edge;
+    5. explode the three corners, ONE groupBy for per-node counts.
+
+    Returns (node, n_triangles)."""
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("u"),
+                        F.greatest(a, b).alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionByName(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count("*").alias("d")))
+    e = (und
+         .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")),
+               "u")
+         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")),
+               "v"))
+    ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    o = e.select(
+        F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(ru < rv, rv).otherwise(ru).alias("rhi")).distinct()
+    x, y = o.alias("x"), o.alias("y")
+    wedges = (x.join(y, (F.col("x.lo") == F.col("y.lo"))
+                     & (F.col("x.rhi") < F.col("y.rhi")))
+              .select(F.col("x.lo").alias("apex"),
+                      F.col("x.hi").alias("p"),
+                      F.col("y.hi").alias("q")))
+    closing = o.select(F.col("lo").alias("p"), F.col("hi").alias("q"))
+    tri = wedges.join(closing, ["p", "q"])
+    corners = tri.select(
+        F.explode(F.array("apex", "p", "q")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count("*").alias("n_triangles"))

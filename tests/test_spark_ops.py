@@ -1402,3 +1402,15 @@ def test_remove_repeated_spans(spark):
            .orderBy("doc_id").collect()]
     assert got == [(1, "u1 u2 v1", 4), (2, "w1 w2", 4),
                    (3, "q1 q2 q3 q4 q5", 0), (4, "", 4)]
+
+
+def test_triangle_counts(spark):
+    """K4-minus-an-edge has triangles (1,2,3) and (1,2,4); reversed
+    duplicate edges normalize away; the 5-6 chain has none."""
+    from ferenda_spark.operators.graphs import triangle_counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (5, 6), (2, 1)],
+        "doc_a long, doc_b long")
+    got = [(r.node, r.n_triangles)
+           for r in triangle_counts(edges).orderBy("node").collect()]
+    assert got == [(1, 2), (2, 2), (3, 1), (4, 1)]
