@@ -348,6 +348,17 @@ def _q_text_token_stats(spark, sf_dir):
     return token_stats(_read(spark, sf_dir, "documents"))
 
 
+def _q_text_lm_score(spark, sf_dir):
+    """CCNet-style corpus-trained bigram-LM quality scoring: every
+    count is a map-side-partial hash aggregate, |V| is a broadcast
+    1-row aggregate, and the scoring join keys on bigrams — nothing
+    shuffles text."""
+    from ferenda_spark.operators.textstats import bigram_lm_scores
+    return (bigram_lm_scores(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id"))
+
+
 def _q_text_quality(spark, sf_dir):
     from ferenda_spark.operators.textstats import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -1542,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
+        "text_lm_score": _q_text_lm_score,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -2313,6 +2325,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.1""",
         "dedup_simhash": _simhash_sql(),
         "text_token_stats": _TOKEN_STATS_SQL,
+        # add-one smoothed bigram LM trained on the corpus itself;
+        # avg of doubles rounded to 6 digits (sum-order portability)
+        "text_lm_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1,
+                                  greatest(len(tk)-1, 0))) AS i
+                    FROM toks)),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12
+                    FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS v
+                  FROM (SELECT unnest(tk) AS w FROM toks)),
+            lm AS (SELECT w1, w2, ln((c12 + 1.0) / (c1 + v)) AS lp
+                   FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   round(AVG(lp), 6) AS lm_score
+            FROM bg JOIN lm USING (w1, w2)
+            GROUP BY doc_id ORDER BY doc_id""",
         "text_quality": "WITH s AS (" + _TOKEN_STATS_SQL + """)
             SELECT doc_id, round(q, 2) AS quality, q >= 0.7 AS keep FROM (
               SELECT doc_id,

@@ -92,3 +92,47 @@ def fingerprint(documents: DataFrame, n: int = 4,
         "doc_id",
         F.concat_ws("", F.slice(F.array_sort(F.array_distinct(sh)),
                                 1, keep)).alias("fingerprint"))
+
+
+def bigram_lm_scores(documents: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-one
+    smoothed bigram LM on the corpus itself, score every document by
+    its mean bigram log-probability (low = disfluent/outlier text —
+    the quality-bucket signal CCNet cuts on; the reference has no LM,
+    this is the training-pipeline mandate).
+
+    All counting is hash aggregation: C(w1,w2) and C(w1) are one
+    groupBy each (map-side partial), |V| is a 1-row aggregate
+    broadcast into the probability expression, and the per-doc score
+    is a join of the doc-bigram stream against the bigram-count table
+    keyed on the bigram — at 10^12 docs every shuffle is keyed on
+    bigrams/doc ids, never on text.  P(w2|w1) = (C12+1) / (C1+|V|);
+    score = mean ln P over the doc's bigrams, rounded to 6 digits
+    (float-sum order differs across engines/partitionings).
+
+    Returns (doc_id, n_bigrams, lm_score); docs with < 2 tokens have
+    no bigrams and are excluded (nothing to score)."""
+    toks = tokens(F.col("text"))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = (documents.select("doc_id", F.explode(bg).alias("b"))
+              .select("doc_id", "b.w1", "b.w2"))
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = doc_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (documents.select(F.explode(tokens(F.col("text")))
+                              .alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    lm = (c12.join(c1, "w1")
+          .crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.log((F.col("c12") + 1)
+                        / (F.col("c1") + F.col("v"))).alias("lp")))
+    return (doc_bg.join(lm, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("lm_score")))

@@ -1414,3 +1414,23 @@ def test_triangle_counts(spark):
     got = [(r.node, r.n_triangles)
            for r in triangle_counts(edges).orderBy("node").collect()]
     assert got == [(1, 2), (2, 2), (3, 1), (4, 1)]
+
+
+def test_bigram_lm_scores(spark):
+    """Hand-computed add-one bigram LM: corpus 'a b a b' + 'a b c' +
+    'solo'.  Bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; C(a)=3, C(b)=2;
+    V=4 (a, b, c, solo — vocabulary counts ALL tokens, including ones
+    never opening a bigram)."""
+    import math
+    from ferenda_spark.operators.textstats import bigram_lm_scores
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score)
+           for r in bigram_lm_scores(docs).collect()}
+    p_ab = math.log((3 + 1) / (3 + 4))
+    p_ba = math.log((1 + 1) / (2 + 4))
+    p_bc = math.log((1 + 1) / (2 + 4))
+    assert got[1] == (3, round((2 * p_ab + p_ba) / 3, 6))
+    assert got[2] == (2, round((p_ab + p_bc) / 2, 6))
+    assert 3 not in got          # single-token doc: nothing to score
