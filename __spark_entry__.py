@@ -328,6 +328,20 @@ def _q_dedup_span_removed(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: the doc_id%5==0 slice plays the incoming
+    crawl batch, the rest the committed base corpus — batch band
+    buckets equi-join the base signature table on (band, bucket);
+    a new doc with no match is novel."""
+    from ferenda_spark.operators.dedup import minhash_incremental_matches
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    base = d.where(F.col("doc_id") % 5 != 0)
+    return (minhash_incremental_matches(batch, base,
+                                        n=3, num_hashes=8, band_size=2)
+            .orderBy("new_doc", "base_doc"))
+
+
 def _q_dedup_jaccard_pairs(spark, sf_dir):
     """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
     (r1 ran it guard-off — quadratic on hot shingles at scale):
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_repeated_spans": _q_dedup_spans,
         "dedup_span_removed": _q_dedup_span_removed,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2285,6 +2300,14 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
+        # signatures are per-doc, so bucketing all docs then splitting
+        # equals bucketing each side separately
+        "dedup_incremental": "WITH " + _MINHASH_CTE + """
+            SELECT DISTINCT n.doc_id AS new_doc, b.doc_id AS base_doc
+            FROM banded n JOIN banded b
+              ON n.band = b.band AND n.bucket = b.bucket
+            WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            ORDER BY new_doc, base_doc""",
         # transitive closure over the pair graph (recursive CTE;
         # DuckDB's UNION-dedup in recursive CTEs guarantees
         # termination), canonical = min reachable doc id

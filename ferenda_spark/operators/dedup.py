@@ -144,15 +144,12 @@ def minhash_signatures(documents: DataFrame, n: int = 3,
             .where(F.col("minhash").isNotNull()))
 
 
-def minhash_band_pairs(documents: DataFrame, n: int = 3,
-                       num_hashes: int = 8, band_size: int = 2) -> DataFrame:
-    """LSH banding: bucket = md5(concat of the band's minhashes);
-    candidate pairs = docs sharing any (band, bucket).
-
-    Signature AND band buckets are map-side column expressions; the
-    only shuffle is the candidate self-join on (band, bucket) — whose
-    key cardinality is docs x num_bands, not shingles.  Hot buckets are
-    real duplicate clusters, which is the point."""
+def banded_buckets(documents: DataFrame, n: int = 3,
+                   num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets — signature AND buckets
+    are map-side column expressions, materialized once (the stage-table
+    boundary on a cluster: the downstream join must not re-evaluate the
+    signature computation on both sides)."""
     hh = F.col("_hh")
     wide = (documents
             .withColumn("_sh", shingle_array(n))
@@ -170,15 +167,22 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
         banded_cols.append(F.struct(
             F.lit(band).alias("band"),
             F.md5(F.concat_ws("|", parts)).alias("bucket")))
-    banded = (wide
-              .select("doc_id",
-                      F.explode(F.array(*banded_cols)).alias("bb"))
-              .select("doc_id", "bb.band", "bb.bucket")
-              # materialize once: the self-join would otherwise carry
-              # (and risk re-evaluating) the signature computation on
-              # both sides; this is the stage-table boundary on a
-              # cluster
-              .localCheckpoint())
+    return (wide
+            .select("doc_id",
+                    F.explode(F.array(*banded_cols)).alias("bb"))
+            .select("doc_id", "bb.band", "bb.bucket")
+            .localCheckpoint())
+
+
+def minhash_band_pairs(documents: DataFrame, n: int = 3,
+                       num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """LSH banding: bucket = md5(concat of the band's minhashes);
+    candidate pairs = docs sharing any (band, bucket).
+
+    The only shuffle is the candidate self-join on (band, bucket) —
+    whose key cardinality is docs x num_bands, not shingles.  Hot
+    buckets are real duplicate clusters, which is the point."""
+    banded = banded_buckets(documents, n, num_hashes, band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -186,6 +190,30 @@ def minhash_band_pairs(documents: DataFrame, n: int = 3,
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def minhash_incremental_matches(new_docs: DataFrame,
+                                base_docs: DataFrame, n: int = 3,
+                                num_hashes: int = 8,
+                                band_size: int = 2) -> DataFrame:
+    """Incremental dedup — the production shape for a growing crawl:
+    only the NEW batch is shingled/hashed fresh; the base corpus's
+    band buckets are the already-committed signature stage table (the
+    sandbox recomputes them from the base frame; on a cluster this
+    side is an Iceberg read, never a re-shingle).  One equi-join on
+    (band, bucket), batch-side small -> AQE broadcasts it.
+
+    Returns distinct (new_doc, base_doc) candidate near-dup matches;
+    a new doc with no row is novel and enters the corpus."""
+    nb = banded_buckets(new_docs, n, num_hashes, band_size)
+    bb = banded_buckets(base_docs, n, num_hashes, band_size)
+    return (nb.alias("n")
+            .join(bb.alias("b"),
+                  (F.col("n.band") == F.col("b.band"))
+                  & (F.col("n.bucket") == F.col("b.bucket")))
+            .select(F.col("n.doc_id").alias("new_doc"),
+                    F.col("b.doc_id").alias("base_doc"))
             .distinct())
 
 

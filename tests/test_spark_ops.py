@@ -1434,3 +1434,23 @@ def test_bigram_lm_scores(spark):
     assert got[1] == (3, round((2 * p_ab + p_ba) / 3, 6))
     assert got[2] == (2, round((p_ab + p_bc) / 2, 6))
     assert 3 not in got          # single-token doc: nothing to score
+
+
+def test_minhash_incremental_matches(spark):
+    """A batch doc that is a near-dup of a base doc matches it; a
+    novel batch doc matches nothing; base-base duplicates don't leak
+    into the output."""
+    from ferenda_spark.operators.dedup import minhash_incremental_matches
+    same = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day")
+    base = spark.createDataFrame(
+        [(1, same), (2, same), (3, "completely different content here "
+                                   "about spark shuffles and joins")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, same), (11, "utterly novel text nothing shares any "
+                          "shingle with this sentence at all")],
+        "doc_id long, text string")
+    got = {(r.new_doc, r.base_doc)
+           for r in minhash_incremental_matches(batch, base).collect()}
+    assert got == {(10, 1), (10, 2)}
