@@ -373,6 +373,15 @@ def _q_text_lm_score(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_text_gopher(spark, sf_dir):
+    """Gopher rule-set quality filter (Rae et al. 2021 A1.1): per-rule
+    booleans + composite keep, one map-side pass, zero shuffles."""
+    from ferenda_spark.operators.textstats import gopher_rules
+    return (gopher_rules(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id"))
+
+
 def _q_text_quality(spark, sf_dir):
     from ferenda_spark.operators.textstats import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -1569,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lm_score": _q_text_lm_score,
+        "text_gopher_rules": _q_text_gopher,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -2348,6 +2358,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.1""",
         "dedup_simhash": _simhash_sql(),
         "text_token_stats": _TOKEN_STATS_SQL,
+        # Gopher A1.1 rules mirrored expression-by-expression
+        "text_gopher_rules": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            feat AS (
+              SELECT doc_id, len(tk) AS n_words,
+                     CAST(list_sum(list_transform(tk, x -> length(x)))
+                          AS DOUBLE) / len(tk) AS ml,
+                     CAST(len(list_filter(tk,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS DOUBLE) / len(tk) AS ar,
+                     len(list_intersect(list_distinct(tk),
+                         ['the','be','to','of','and','that','have',
+                          'with'])) AS ns
+              FROM toks)
+            SELECT doc_id, n_words, round(ml, 4) AS mean_word_len,
+                   round(ar, 4) AS alpha_ratio, ns AS n_stopwords,
+                   n_words >= 50 AND n_words <= 100000
+                     AS word_count_ok,
+                   ml >= 3.0 AND ml <= 10.0 AS mean_len_ok,
+                   ar >= 0.80 AS alpha_ok,
+                   ns >= 2 AS stopword_ok,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (ml >= 3.0 AND ml <= 10.0)
+                   AND ar >= 0.80 AND ns >= 2 AS keep
+            FROM feat ORDER BY doc_id""",
         # add-one smoothed bigram LM trained on the corpus itself;
         # avg of doubles rounded to 6 digits (sum-order portability)
         "text_lm_score": r"""

@@ -70,7 +70,7 @@ HEADLINE = [
     # skolem hash minting, exact-substring span dedup
     "kg_sparql_graph_var", "kg_sparql_builtins", "kg_sparql_hashes",
     "dedup_repeated_spans", "dedup_span_removed", "kg_dup_triangles",
-    "text_lm_score", "dedup_incremental",
+    "text_lm_score", "dedup_incremental", "text_gopher_rules",
 ]
 
 

@@ -136,3 +136,47 @@ def bigram_lm_scores(documents: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("lp"), 6).alias("lm_score")))
+
+
+# the Gopher paper's stopword rule set (Rae et al. 2021, table A1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+
+
+def gopher_rules(documents: DataFrame,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 min_alpha_ratio: float = 0.80,
+                 min_stopwords: int = 2) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021 §A1.1) as
+    pure column expressions — per-rule booleans plus the composite
+    keep, so a pipeline can both filter and audit WHICH rule fired
+    (the operational requirement the single-score gate lacks).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_len, max_mean_len]; >= min_alpha_ratio of words contain
+    an alphabetic character; >= min_stopwords DISTINCT stopwords from
+    the paper's set appear.  Everything is one map-side pass — no
+    shuffle, no Python."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0),
+                          lambda acc, x: acc + F.length(x))
+    mean_len = sum_len.cast("double") / n
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = alpha.cast("double") / n
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    wc_ok = (n >= min_words) & (n <= max_words)
+    ml_ok = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    al_ok = alpha_ratio >= min_alpha_ratio
+    st_ok = n_stop >= min_stopwords
+    return documents.select(
+        "doc_id", n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        wc_ok.alias("word_count_ok"), ml_ok.alias("mean_len_ok"),
+        al_ok.alias("alpha_ok"), st_ok.alias("stopword_ok"),
+        (wc_ok & ml_ok & al_ok & st_ok).alias("keep"))

@@ -1454,3 +1454,21 @@ def test_minhash_incremental_matches(spark):
     got = {(r.new_doc, r.base_doc)
            for r in minhash_incremental_matches(batch, base).collect()}
     assert got == {(10, 1), (10, 2)}
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Each rule can fail independently: too-short doc, numeric-only
+    doc (alpha + mean-len), stopword-free doc, and a passing doc."""
+    from ferenda_spark.operators.textstats import gopher_rules
+    passing = ("the data and the batch have to be sorted with care "
+               "and that is why we shuffle " * 3)
+    numeric = " ".join(["12345678901"] * 60)
+    nostop = " ".join(["alpha beta gamma delta"] * 15)
+    docs = spark.createDataFrame(
+        [(1, passing), (2, "too short"), (3, numeric), (4, nostop)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].keep
+    assert not got[2].word_count_ok and not got[2].keep
+    assert not got[3].alpha_ok and not got[3].mean_len_ok
+    assert not got[4].stopword_ok and got[4].word_count_ok
