@@ -1489,6 +1489,35 @@ def _q_dup_triangles(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_dup_clustering(spark, sf_dir):
+    """Local clustering coefficient over the MinHash dup-pair graph
+    (2*tri/(d*(d-1))): cluster tightness per document — 1.0 = clique
+    member, ~0 = chain/star of borderline matches."""
+    from ferenda_spark.operators.dedup import minhash_band_pairs
+    from ferenda_spark.operators.graphs import clustering_coefficients
+    pairs = minhash_band_pairs(_read(spark, sf_dir, "documents"),
+                               n=3, num_hashes=8, band_size=2)
+    return (clustering_coefficients(pairs)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("degree"), "n_triangles", "clustering")
+            .orderBy("doc_id"))
+
+
+def _q_dedup_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup pipeline completion: cosine pairs ->
+    transitive clusters with the min-id canonical representative
+    (same hash-min CC fixpoint as the sameAs canonicalization)."""
+    from ferenda_spark.operators.dedup import dup_clusters
+    from ferenda_spark.operators.similarity import embedding_near_dupes
+    pairs = embedding_near_dupes(_read(spark, sf_dir, "embeddings"),
+                                 threshold=0.35,
+                                 bits_per_band=16, n_bands=4)
+    return (dup_clusters(pairs, id_a="vec_a", id_b="vec_b")
+            .select(F.col("doc_id").alias("vec_id"),
+                    F.col("canonical_doc_id").alias("canonical_vec_id"))
+            .orderBy("vec_id"))
+
+
 def _q_degree_distribution(spark, sf_dir):
     """Citegraph degree distribution (graphanalyze.py:537-576 minus
     the matplotlib rendering): how many cited targets have each
@@ -1655,6 +1684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_builtins": _q_sparql_builtins,
         "kg_sparql_hashes": _q_sparql_hashes,
         "kg_dup_triangles": _q_dup_triangles,
+        "kg_dup_clustering": _q_dup_clustering,
+        "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
         "kg_ranking_baseline": _q_ranking_baseline,
@@ -3316,6 +3347,58 @@ def oracle_sql() -> dict[str, str]:
                    min('urn:skolem:' || md5(identifier))
                      AS first_skolem
             FROM f GROUP BY 1 ORDER BY 1""",
+        # degree + corner-counted triangles + the 2t/(d(d-1)) formula
+        "kg_dup_clustering": "WITH " + _MINHASH_CTE + """,
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            deg AS (
+              SELECT doc_id, COUNT(*) AS degree FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+            tri AS (
+              SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+              FROM pairs e1
+              JOIN pairs e2 ON e2.doc_a = e1.doc_b
+              JOIN pairs e3 ON e3.doc_a = e1.doc_a
+                           AND e3.doc_b = e2.doc_b),
+            tc AS (
+              SELECT doc_id, COUNT(*) AS n_triangles FROM (
+                SELECT x AS doc_id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY doc_id)
+            SELECT d.doc_id, d.degree,
+                   coalesce(tc.n_triangles, 0) AS n_triangles,
+                   round(CASE WHEN d.degree >= 2
+                         THEN 2.0 * coalesce(tc.n_triangles, 0)
+                              / (d.degree * (d.degree - 1.0))
+                         ELSE 0.0 END, 6) AS clustering
+            FROM deg d LEFT JOIN tc USING (doc_id)
+            ORDER BY d.doc_id""",
+        "dedup_embedding_clusters":
+            "WITH RECURSIVE " + _EMB_CTE + """,
+            b AS MATERIALIZED (""" + _sign_bands_sql("raw", 16, 4) + """),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+              FROM b a JOIN b b2
+                ON a.band = b2.band AND a.bucket = b2.bucket
+               AND a.vec_id < b2.vec_id),
+            prs AS (
+              SELECT c.vec_a, c.vec_b FROM cand c
+              JOIN e ea ON ea.vec_id = c.vec_a
+              JOIN e eb ON eb.vec_id = c.vec_b
+              WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+                    >= 0.35),
+            g AS (SELECT vec_a AS a, vec_b AS b FROM prs
+                  UNION SELECT vec_b, vec_a FROM prs),
+            reach AS (
+              SELECT a AS v, a AS u FROM g
+              UNION
+              SELECT r.v, g.b FROM reach r JOIN g ON r.u = g.a)
+            SELECT v AS vec_id, MIN(u) AS canonical_vec_id
+            FROM reach GROUP BY v ORDER BY vec_id""",
         # naive a<b<c 3-way join is the oracle; the Spark side uses
         # degree orientation — same triangles, different join order
         "kg_dup_triangles": "WITH " + _MINHASH_CTE + """,

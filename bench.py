@@ -71,6 +71,7 @@ HEADLINE = [
     "kg_sparql_graph_var", "kg_sparql_builtins", "kg_sparql_hashes",
     "dedup_repeated_spans", "dedup_span_removed", "kg_dup_triangles",
     "text_lm_score", "dedup_incremental", "text_gopher_rules",
+    "kg_dup_clustering", "dedup_embedding_clusters",
 ]
 
 

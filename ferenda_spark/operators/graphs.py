@@ -542,3 +542,31 @@ def triangle_counts(edges: DataFrame, src: str = "doc_a",
         F.explode(F.array("apex", "p", "q")).alias("node"))
     return corners.groupBy("node").agg(
         F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficients(edges: DataFrame, src: str = "doc_a",
+                            dst: str = "doc_b") -> DataFrame:
+    """Local clustering coefficient per node: 2*triangles / (d*(d-1))
+    over the undirected simple graph — the density companion to
+    :func:`triangle_counts` (a node at 1.0 sits in a clique; near 0,
+    in a star/chain).  Degrees and triangle counts are each one
+    groupBy; the combine is a left join (nodes in no triangle score
+    0).  Returns (node, degree, n_triangles, clustering)."""
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("u"),
+                        F.greatest(a, b).alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    tri = triangle_counts(edges, src, dst)
+    d = F.col("degree").cast("double")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+    return (deg.join(tri, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles"),
+                    F.round(F.when(F.col("degree") >= 2,
+                                   2.0 * t / (d * (d - 1.0)))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("clustering")))

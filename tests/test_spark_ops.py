@@ -1472,3 +1472,16 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not got[2].word_count_ok and not got[2].keep
     assert not got[3].alpha_ok and not got[3].mean_len_ok
     assert not got[4].stopword_ok and got[4].word_count_ok
+
+
+def test_clustering_coefficients(spark):
+    """Triangle {1,2,3} + pendant 4 on node 1: nodes 2,3 are fully
+    clustered (1.0), node 1 has degree 3 with one closed pair (1/3),
+    pendant 4 has degree 1 -> 0.0 by convention."""
+    from ferenda_spark.operators.graphs import clustering_coefficients
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "doc_a long, doc_b long")
+    got = {r.node: (r.degree, r.n_triangles, r.clustering)
+           for r in clustering_coefficients(edges).collect()}
+    assert got == {1: (3, 1, round(1 / 3, 6)), 2: (2, 1, 1.0),
+                   3: (2, 1, 1.0), 4: (1, 0, 0.0)}
