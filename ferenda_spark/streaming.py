@@ -203,3 +203,72 @@ def run_streaming_ingest_atomic(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def run_streaming_dedup_ingest(spark: SparkSession, input_dir: str,
+                               table_path: str,
+                               n: int = 3, num_hashes: int = 8,
+                               band_size: int = 2) -> list:
+    """Online dedup ingest: each micro-batch is LSH-matched against
+    the ALREADY-COMMITTED corpus, and only novel documents append —
+    the streaming composition of the three pieces built separately
+    (file-source exactly-once offsets, snapshot-table atomic commits,
+    :func:`operators.dedup.minhash_incremental_matches`).
+
+    Per micro-batch (foreachBatch; availableNow catch-up):
+
+    1. exact-within-batch keep-first (min doc_id per text md5 — a
+       batch can repeat itself);
+    2. LSH band-bucket match against the committed table (the base
+       side reads the snapshot table — on a cluster, the committed
+       signature stage table — never re-shingling history);
+    3. novel rows (no match) append as ONE atomic snapshot commit —
+       a kill mid-batch leaves no partial state, and the stream
+       checkpoint replays the batch against the same table version.
+
+    Returns the per-batch counter list [(epoch, arrived, novel)] —
+    the per-partition lineage/counters surface of the north rule."""
+    from .operators.dedup import (exact_duplicates,
+                                  minhash_incremental_matches)
+    from .snaptable import SnapshotTable
+
+    counters = []
+    table = SnapshotTable(table_path)
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        docs = df.select("doc_id", "text")
+        keep = (exact_duplicates(docs, prefix_len=1 << 20)
+                .select(F.col("canonical_doc_id").alias("doc_id")))
+        docs = docs.join(keep, "doc_id", "left_semi").localCheckpoint()
+        if table.exists():
+            base = table.read(spark).select("doc_id", "text")
+            dup_ids = (minhash_incremental_matches(
+                docs, base, n=n, num_hashes=num_hashes,
+                band_size=band_size)
+                .select(F.col("new_doc").alias("doc_id")).distinct())
+            novel = docs.join(dup_ids, "doc_id", "left_anti")
+        else:
+            novel = docs
+        novel = novel.localCheckpoint()
+        n_novel = novel.count()
+        if n_novel:
+            if table.exists():
+                table.append(novel)
+            else:
+                table.create(novel)
+        counters.append((int(epoch_id), docs.count(), n_novel))
+
+    q = (spark.readStream
+         .schema("doc_id long, text string")
+         .option("maxFilesPerTrigger", 1)
+         .json(input_dir)
+         .writeStream
+         .foreachBatch(_batch)
+         .option("checkpointLocation",
+                 os.path.join(table_path, "_dedup_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return counters

@@ -264,3 +264,42 @@ def test_streaming_ingest_atomic_snapshot_per_batch(spark, tmpdir):
     # nothing new: stream consumes nothing, no empty commit
     run_streaming_ingest_atomic(spark, indir, store, transform)
     assert len(tab.history()) == 2
+
+
+def test_streaming_dedup_ingest_online(spark, tmpdir):
+    """Online dedup: batch 2's near-dup of a COMMITTED doc is dropped,
+    its in-batch exact dup keeps one copy, and a third run with no new
+    files changes nothing (exactly-once offsets)."""
+    import json as _json
+
+    from ferenda_spark.snaptable import SnapshotTable
+    from ferenda_spark.streaming import run_streaming_dedup_ingest
+
+    ind = os.path.join(tmpdir, "in")
+    os.makedirs(ind)
+    table = os.path.join(tmpdir, "corpus")
+    same = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day")
+    other = ("completely different content about spark shuffles and "
+             "joins inside the engine core")
+    third = ("utterly novel text nothing shares any shingle with "
+             "this sentence at all believe me")
+    with open(os.path.join(ind, "b1.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in [
+            {"doc_id": 1, "text": same},
+            {"doc_id": 2, "text": other}]))
+    c1 = run_streaming_dedup_ingest(spark, ind, table)
+    assert [(a, n) for _, a, n in c1] == [(2, 2)]
+    with open(os.path.join(ind, "b2.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in [
+            {"doc_id": 3, "text": same},      # near-dup of committed 1
+            {"doc_id": 4, "text": third},     # novel
+            {"doc_id": 5, "text": third}]))   # exact in-batch dup of 4
+    c2 = run_streaming_dedup_ingest(spark, ind, table)
+    assert [(a, n) for _, a, n in c2] == [(2, 1)]
+    got = {r.doc_id for r in SnapshotTable(table).read(spark).collect()}
+    assert got == {1, 2, 4}
+    c3 = run_streaming_dedup_ingest(spark, ind, table)
+    assert c3 == []                 # offsets consumed: no batch fires
+    assert {r.doc_id for r in SnapshotTable(table).read(spark)
+            .collect()} == {1, 2, 4}
