@@ -3323,6 +3323,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT url AS g FROM subs)
             SELECT g, COUNT(*) AS n_parts, COUNT(*) AS n_edges
             FROM parts GROUP BY g ORDER BY g""",
+        # the sources CASE mirrors SPARQL STRBEFORE exactly (missing
+        # needle -> ''), not split_part (missing needle -> whole
+        # string) — oracle must not lean on the corpus always
+        # containing '-'.
         # STRENDS(ymd, SUBSTR(ymd, 5)) is a tautology by construction
         # (a string always ends with its own tail) but exercises the
         # column-argument endswith + 2-arg SUBSTR kernels; the length
@@ -3332,9 +3336,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sameas_uri IS NOT NULL
                         THEN 'linked' ELSE 'orphan' END AS linkcls,
                    COUNT(*) AS n_docs,
-                   string_agg(DISTINCT upper(split_part(identifier, '-', 1)),
+                   string_agg(DISTINCT upper(CASE
+                                WHEN strpos(identifier, '-') > 0
+                                THEN substring(identifier, 1,
+                                     strpos(identifier, '-') - 1)
+                                ELSE '' END),
                               '|' ORDER BY
-                              upper(split_part(identifier, '-', 1)))
+                              upper(CASE
+                                WHEN strpos(identifier, '-') > 0
+                                THEN substring(identifier, 1,
+                                     strpos(identifier, '-') - 1)
+                                ELSE '' END))
                      AS sources,
                    max(regexp_replace(issued, '-', '', 'g')) AS max_ymd,
                    min((length(identifier) + 1) / 2) AS min_halflen

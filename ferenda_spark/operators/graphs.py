@@ -512,13 +512,29 @@ def triangle_counts(edges: DataFrame, src: str = "doc_a",
     5. explode the three corners, ONE groupBy for per-node counts.
 
     Returns (node, n_triangles)."""
+    und = _normalize_undirected(edges, src, dst)
+    deg = _degrees(und)
+    return _triangles_from_und(und, deg)
+
+
+def _normalize_undirected(edges, src, dst):
+    """Distinct (least, greatest) pairs, loops dropped, lineage cut —
+    the downstream self-joins must not re-evaluate the (possibly
+    expensive) upstream edge plan on every side."""
     a, b = F.col(src), F.col(dst)
-    und = (edges.select(F.least(a, b).alias("u"),
-                        F.greatest(a, b).alias("v"))
-           .where(F.col("u") != F.col("v")).distinct())
-    deg = (und.select(F.col("u").alias("n"))
-           .unionByName(und.select(F.col("v").alias("n")))
-           .groupBy("n").agg(F.count("*").alias("d")))
+    return (edges.select(F.least(a, b).alias("u"),
+                         F.greatest(a, b).alias("v"))
+            .where(F.col("u") != F.col("v")).distinct()
+            .localCheckpoint())
+
+
+def _degrees(und):
+    return (und.select(F.col("u").alias("n"))
+            .unionByName(und.select(F.col("v").alias("n")))
+            .groupBy("n").agg(F.count("*").alias("d")))
+
+
+def _triangles_from_und(und, deg):
     e = (und
          .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")),
                "u")
@@ -529,7 +545,9 @@ def triangle_counts(edges: DataFrame, src: str = "doc_a",
     o = e.select(
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        F.when(ru < rv, rv).otherwise(ru).alias("rhi")).distinct()
+        F.when(ru < rv, rv).otherwise(ru).alias("rhi"))
+    # no distinct: und is already a distinct simple-edge set and the
+    # orientation is 1:1
     x, y = o.alias("x"), o.alias("y")
     wedges = (x.join(y, (F.col("x.lo") == F.col("y.lo"))
                      & (F.col("x.rhi") < F.col("y.rhi")))
@@ -551,15 +569,15 @@ def clustering_coefficients(edges: DataFrame, src: str = "doc_a",
     :func:`triangle_counts` (a node at 1.0 sits in a clique; near 0,
     in a star/chain).  Degrees and triangle counts are each one
     groupBy; the combine is a left join (nodes in no triangle score
-    0).  Returns (node, degree, n_triangles, clustering)."""
-    a, b = F.col(src), F.col(dst)
-    und = (edges.select(F.least(a, b).alias("u"),
-                        F.greatest(a, b).alias("v"))
-           .where(F.col("u") != F.col("v")).distinct())
-    deg = (und.select(F.col("u").alias("node"))
-           .unionByName(und.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("degree")))
-    tri = triangle_counts(edges, src, dst)
+    0).  The normalized edge set and the degree table are computed
+    ONCE and shared with the triangle kernel (the upstream edge plan —
+    an LSH self-join in kg_dup_clustering — would otherwise
+    re-evaluate).  Returns (node, degree, n_triangles, clustering)."""
+    und = _normalize_undirected(edges, src, dst)
+    degs = _degrees(und)
+    deg = degs.select(F.col("n").alias("node"),
+                      F.col("d").alias("degree"))
+    tri = _triangles_from_und(und, degs)
     d = F.col("degree").cast("double")
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
     return (deg.join(tri, "node", "left")

@@ -725,7 +725,9 @@ class _Parser:
             if self.peek() == ",":       # optional flags arg
                 self.next()
                 flags = self.term()
-                if isinstance(flags, _Const) and flags.value:
+                if not isinstance(flags, _Const):
+                    raise SparqlError("REGEX takes constant flags")
+                if flags.value:
                     b = _Const("(?%s)%s" % (flags.value, b.value),
                                kind="lit")
             self.expect(")")
@@ -820,9 +822,12 @@ class _Parser:
                 node = ("arith", t, node, self._mul_operand())
             elif t and re.fullmatch(r"-\d+(\.\d+)?", t):
                 # '-3' right after an operand lexed as a negative
-                # number: it is a subtraction (SPARQL allows '?x-3')
-                self.next()
-                node = ("arith", "-", node, _Const(t[1:], kind="num"))
+                # number is a subtraction: rewrite the token to its
+                # positive half IN PLACE and re-parse at the
+                # multiplicative level, so precedence still holds
+                # ('STRLEN(?t)-1*2' is len - (1*2), not (len-1)*2)
+                self.toks[self.i] = t[1:]
+                node = ("arith", "-", node, self._mul_operand())
             else:
                 return node
 
@@ -1081,9 +1086,12 @@ def _compile_expr(node, cols=()):
     if kind == "sameterm":
         # value equality over the string term encoding (the
         # skolemized store has no bnodes; lang/datatype live in
-        # hidden columns — sameTerm on the lexical form)
-        return _operand_col(node[1], cols).eqNullSafe(
-            _operand_col(node[2], cols))
+        # hidden columns — sameTerm on the lexical form).  An unbound
+        # argument is a SPARQL type error -> the FILTER drops the row,
+        # so two NULLs must NOT compare equal.
+        ca = _operand_col(node[1], cols)
+        cb = _operand_col(node[2], cols)
+        return ca.eqNullSafe(cb) & ca.isNotNull()
     if kind == "bound":
         return _term_col(node[1]).isNotNull()
     if kind == "iskind":

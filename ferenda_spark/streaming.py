@@ -217,18 +217,25 @@ def run_streaming_dedup_ingest(spark: SparkSession, input_dir: str,
 
     Per micro-batch (foreachBatch; availableNow catch-up):
 
-    1. exact-within-batch keep-first (min doc_id per text md5 — a
-       batch can repeat itself);
+    1. exact keep-first within the batch (min doc_id per text md5),
+       then LSH keep-first within the batch (a near-dup PAIR arriving
+       in one batch keeps only its min-id member — arrival timing
+       must not change corpus contents);
     2. LSH band-bucket match against the committed table (the base
        side reads the snapshot table — on a cluster, the committed
-       signature stage table — never re-shingling history);
-    3. novel rows (no match) append as ONE atomic snapshot commit —
-       a kill mid-batch leaves no partial state, and the stream
-       checkpoint replays the batch against the same table version.
+       signature stage table — never re-shingling history), plus a
+       doc_id anti-join against committed ids: a batch REPLAYED after
+       a kill between table commit and stream-checkpoint commit drops
+       every already-committed row by id, even rows (empty/whitespace
+       text) that produce no shingles and so could never LSH-match
+       their own committed copy;
+    3. novel rows append as ONE atomic snapshot commit.
 
     Returns the per-batch counter list [(epoch, arrived, novel)] —
-    the per-partition lineage/counters surface of the north rule."""
+    the per-partition lineage/counters surface of the north rule;
+    ``arrived`` counts the batch BEFORE any dedup."""
     from .operators.dedup import (exact_duplicates,
+                                  minhash_band_pairs,
                                   minhash_incremental_matches)
     from .snaptable import SnapshotTable
 
@@ -238,16 +245,25 @@ def run_streaming_dedup_ingest(spark: SparkSession, input_dir: str,
     def _batch(df: DataFrame, epoch_id: int) -> None:
         if df.isEmpty():
             return
-        docs = df.select("doc_id", "text")
+        docs = df.select("doc_id", "text").localCheckpoint()
+        n_arrived = docs.count()
         keep = (exact_duplicates(docs, prefix_len=1 << 20)
                 .select(F.col("canonical_doc_id").alias("doc_id")))
-        docs = docs.join(keep, "doc_id", "left_semi").localCheckpoint()
+        docs = docs.join(keep, "doc_id", "left_semi")
+        in_batch = (minhash_band_pairs(docs, n=n,
+                                       num_hashes=num_hashes,
+                                       band_size=band_size)
+                    .select(F.col("doc_b").alias("doc_id")).distinct())
+        docs = docs.join(in_batch, "doc_id", "left_anti") \
+                   .localCheckpoint()
         if table.exists():
             base = table.read(spark).select("doc_id", "text")
             dup_ids = (minhash_incremental_matches(
                 docs, base, n=n, num_hashes=num_hashes,
                 band_size=band_size)
-                .select(F.col("new_doc").alias("doc_id")).distinct())
+                .select(F.col("new_doc").alias("doc_id"))
+                .unionByName(base.select("doc_id"))
+                .distinct())
             novel = docs.join(dup_ids, "doc_id", "left_anti")
         else:
             novel = docs
@@ -258,7 +274,7 @@ def run_streaming_dedup_ingest(spark: SparkSession, input_dir: str,
                 table.append(novel)
             else:
                 table.create(novel)
-        counters.append((int(epoch_id), docs.count(), n_novel))
+        counters.append((int(epoch_id), n_arrived, n_novel))
 
     q = (spark.readStream
          .schema("doc_id long, text string")

@@ -1282,3 +1282,33 @@ def test_strlang_strdt_metadata(triples):
         }""").collect()
     assert [(r.doc, r.dt) for r in got] == [
         ("d1", "http://www.w3.org/2001/XMLSchema#token")]
+
+
+def test_arithmetic_precedence_with_negative_lexing(triples):
+    """'STRLEN(?t)-1*2' must parse as len - (1*2): the '-1' lexes as a
+    negative number but the multiplicative level still binds first."""
+    got = sparql_select(triples, """
+        SELECT ?doc ?x WHERE {
+          ?doc dcterms:title ?t .
+          BIND(STRLEN(?t)-1*2 AS ?x)
+          FILTER(?doc = "d1")
+        }""").collect()
+    assert got[0].x == 3.0            # 5 - 2, not (5-1)*2
+    with pytest.raises(SparqlError):
+        # non-constant regex flags must be rejected, not ignored
+        sparql_select(triples, """
+            SELECT ?doc WHERE { ?doc dcterms:title ?t .
+              FILTER(REGEX(?t, "^beta$", ?f)) }""")
+
+
+def test_sameterm_unbound_is_type_error(triples):
+    """sameTerm with BOTH arguments unbound is a SPARQL type error —
+    the row is dropped, not kept via NULL-safe equality."""
+    got = sparql_select(triples, """
+        SELECT ?doc WHERE {
+          ?doc a bibo:Document .
+          OPTIONAL { ?doc owl:sameAs ?a }
+          OPTIONAL { ?doc dcterms:replaces ?b }
+          FILTER(sameTerm(?a, ?b))
+        }""").collect()
+    assert got == []                  # d1 binds only ?a; d2/d3 neither

@@ -296,10 +296,44 @@ def test_streaming_dedup_ingest_online(spark, tmpdir):
             {"doc_id": 4, "text": third},     # novel
             {"doc_id": 5, "text": third}]))   # exact in-batch dup of 4
     c2 = run_streaming_dedup_ingest(spark, ind, table)
-    assert [(a, n) for _, a, n in c2] == [(2, 1)]
+    assert [(a, n) for _, a, n in c2] == [(3, 1)]   # arrived pre-dedup
     got = {r.doc_id for r in SnapshotTable(table).read(spark).collect()}
     assert got == {1, 2, 4}
     c3 = run_streaming_dedup_ingest(spark, ind, table)
     assert c3 == []                 # offsets consumed: no batch fires
     assert {r.doc_id for r in SnapshotTable(table).read(spark)
             .collect()} == {1, 2, 4}
+
+
+def test_streaming_dedup_replay_and_in_batch_near_dup(spark, tmpdir):
+    """(a) an in-batch NEAR-dup pair (not byte-identical) keeps only
+    its min-id member; (b) wiping the stream checkpoint replays every
+    batch — the committed-id anti-join keeps the table unchanged, even
+    for a whitespace-only doc that produces no shingles."""
+    import json as _json
+    import shutil as _shutil
+
+    from ferenda_spark.snaptable import SnapshotTable
+    from ferenda_spark.streaming import run_streaming_dedup_ingest
+
+    ind = os.path.join(tmpdir, "in")
+    os.makedirs(ind)
+    table = os.path.join(tmpdir, "corpus")
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again every single day")
+    neardup = base.replace("lazy", "sleepy")     # same shingles mostly
+    with open(os.path.join(ind, "b1.json"), "w") as f:
+        f.write("\n".join(_json.dumps(r) for r in [
+            {"doc_id": 7, "text": base},
+            {"doc_id": 8, "text": neardup},      # in-batch near-dup
+            {"doc_id": 9, "text": "   "}]))      # no shingles at all
+    c1 = run_streaming_dedup_ingest(spark, ind, table)
+    got = {r.doc_id for r in SnapshotTable(table).read(spark).collect()}
+    assert got == {7, 9}                         # 8 dropped in-batch
+    assert [(a, n) for _, a, n in c1] == [(3, 2)]
+    # simulate at-least-once replay: wipe ONLY the stream checkpoint
+    _shutil.rmtree(os.path.join(table, "_dedup_ckpt"))
+    run_streaming_dedup_ingest(spark, ind, table)
+    after = [r.doc_id for r in SnapshotTable(table).read(spark)
+             .collect()]
+    assert sorted(after) == [7, 9]               # no duplicate rows
