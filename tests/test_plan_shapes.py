@@ -1,0 +1,90 @@
+"""Physical-plan pins for the scale-critical claims in PLANS.md: if a
+code change silently turns a broadcast semi-join into a sort-merge
+join or un-pushes a parquet filter, these fail before any benchmark
+notices.  Each assertion matches the formatted explain output of the
+REAL query over the sf0.001 parquet."""
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from ferenda_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="plan-shape-tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(repo, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_repeated_spans_broadcasts_dup_hash_set(spark, queries):
+    plan = _plan(queries["dedup_repeated_spans"](spark, SF))
+    # the duplicated-hash set must broadcast into a LeftSemi join —
+    # a shuffled semi-join here would re-shuffle |tokens| rows
+    assert "BroadcastHashJoin LeftSemi" in plan
+    # span merging needs exactly one doc-partitioned window chain
+    assert plan.count("Window") >= 2
+
+
+def test_relational_scan_pushes_filter(spark, queries):
+    # tpch_pricing_summary filters l_shipdate at the parquet scan;
+    # the facet/SPARQL queries read the parse-stage output, so THIS
+    # is the query that proves scan-level pushdown stays wired
+    plan = _plan(queries["tpch_pricing_summary"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_lm_score_broadcasts_vocab_scalar(spark, queries):
+    plan = _plan(queries["text_lm_score"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+        in plan
+
+
+def test_incremental_dedup_is_single_equijoin(spark, queries):
+    plan = _plan(queries["dedup_incremental"](spark, SF))
+    # band/bucket match compiles to a hash equi-join (broadcast or
+    # shuffled by AQE) — never a nested-loop/cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_sparql_builtins_single_aggregate(spark, queries):
+    plan = _plan(queries["kg_sparql_builtins"](spark, SF))
+    # GROUP_CONCAT + COUNT + MAX + MIN fold into ONE aggregate pair
+    # (partial + final), not one aggregate per function: the final
+    # node carries all four functions together
+    assert "Aggregate Attributes [4]" in plan
+    # exactly one partial+final pair in the tree section
+    tree = plan.split("(1) ")[0]
+    assert tree.count("ObjectHashAggregate") == 2
+
+
+def test_canonical_triples_reads_stage_not_fixpoint(spark, queries):
+    plan = _plan(queries["kg_canonical_triples"](spark, SF))
+    # the materialized sameAs stage table replaced the inline CC
+    # fixpoint: the plan must be loop-free (no checkpointed RDD scan
+    # chains from the iterative CC rounds)
+    assert "Scan ExistingRDD" not in plan.split("AdaptiveSparkPlan")[0]
