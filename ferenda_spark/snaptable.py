@@ -317,6 +317,34 @@ class SnapshotTable:
         exist) — the token for conditional commits."""
         return self._load()["_version"] if self.exists() else 0
 
+    def _align_schema(self, meta: dict, df: DataFrame) -> DataFrame:
+        """Schema evolution on write (Iceberg add-column semantics):
+        NEW incoming columns widen the table schema — recorded in the
+        SAME atomic commit as the data, so readers never see data the
+        schema cannot describe; columns the incoming frame lacks fill
+        with typed NULLs; changing an existing column's type is
+        rejected (Iceberg requires an explicit ALTER for that)."""
+        table = StructType.fromJson(json.loads(meta["schema_json"]))
+        by_name = {f.name: f for f in table.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            cur = by_name.get(f.name)
+            if cur is None:
+                new_fields.append(f)
+            elif cur.dataType != f.dataType:
+                raise SnapshotError(
+                    "schema evolution cannot change %s: %s -> %s"
+                    % (f.name, cur.dataType.simpleString(),
+                       f.dataType.simpleString()))
+        evolved = StructType(list(table.fields) + new_fields)
+        if new_fields:
+            meta["schema_json"] = evolved.json()
+        have = set(df.columns)
+        return df.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in evolved.fields])
+
     def append(self, df: DataFrame,
                expected_version: int | None = None) -> dict:
         """Append ``df`` as one data unit.  With ``expected_version``
@@ -334,6 +362,7 @@ class SnapshotTable:
             raise CommitConflict(
                 "table advanced to v%d (expected v%d) under %s"
                 % (meta["_version"], expected_version, self.path))
+        df = self._align_schema(meta, df)
         unit = self._write_unit(df, tuple(meta["partition_by"]),
                                 tuple(meta["stats_cols"]))
         snap = self._current_snap(meta)
@@ -343,6 +372,7 @@ class SnapshotTable:
         """Replace the table contents (prior snapshots stay readable
         until expired)."""
         meta = self._load()
+        df = self._align_schema(meta, df)
         unit = self._write_unit(df, tuple(meta["partition_by"]),
                                 tuple(meta["stats_cols"]))
         return self._commit(meta, "overwrite", [], [unit])
@@ -393,25 +423,50 @@ class SnapshotTable:
                                       tuple(meta["stats_cols"]))]
         return self._commit(meta, "merge", carried, added)
 
-    def compact(self, spark: SparkSession,
-                min_units: int = 2) -> dict | None:
+    def compact(self, spark: SparkSession, min_units: int = 2,
+                sort_by: str = None,
+                target_units: int = 1) -> dict | None:
         """Small-files maintenance: rewrite the current snapshot's
-        data units into one (logical contents unchanged — the commit
-        is an ``overwrite`` carrying the same rows).  Incremental
-        ingest (run_stage_atomic, streaming batches) accretes one unit
-        per commit; at scale the resulting small-file count degrades
-        scan planning, so periodic compaction is part of the table's
-        lifecycle exactly as in Iceberg's rewrite_data_files.  No-op
-        (returns None) when the table already has fewer than
-        ``min_units`` units."""
+        data units (logical contents unchanged).  Incremental ingest
+        (run_stage_atomic, streaming batches) accretes one unit per
+        commit; at scale the resulting small-file count degrades scan
+        planning, so periodic compaction is part of the table's
+        lifecycle exactly as in Iceberg's rewrite_data_files.
+
+        ``sort_by`` additionally CLUSTERS the rewrite: rows are
+        range-bucketed on that column into ``target_units`` units with
+        DISJOINT bounds, so a later :meth:`scan` on the column prunes
+        whole units instead of reading everything (Iceberg's sort/
+        z-order rewrite; include the column in ``stats_cols`` or the
+        recorded bounds cannot help).  Bucketing uses ntile over a
+        global sort — deterministic; the production-scale shape is
+        repartitionByRange's sampled boundaries, noted here because a
+        maintenance job may prefer sampling over an exact sort at
+        10^12 rows.  No-op (returns None) when the table already has
+        fewer than ``min_units`` units."""
         meta = self._load()
         snap = self._current_snap(meta)
         if len(snap["manifest"]) < max(min_units, 2):
             return None
         df = self._read_units(spark, meta, snap["manifest"])
-        unit = self._write_unit(df, tuple(meta["partition_by"]),
-                                tuple(meta["stats_cols"]))
-        return self._commit(meta, "compact", [], [unit])
+        part = tuple(meta["partition_by"])
+        stats = tuple(meta["stats_cols"])
+        if sort_by is None or target_units <= 1:
+            added = [self._write_unit(
+                df.orderBy(sort_by) if sort_by else df, part, stats)]
+        else:
+            from pyspark.sql import Window
+            w = Window.orderBy(F.col(sort_by))
+            bucketed = (df.withColumn("__b",
+                                      F.ntile(target_units).over(w))
+                        .localCheckpoint())
+            added = []
+            for i in range(1, target_units + 1):
+                chunk = (bucketed.where(F.col("__b") == i)
+                         .drop("__b").orderBy(sort_by))
+                if chunk.limit(1).count():
+                    added.append(self._write_unit(chunk, part, stats))
+        return self._commit(meta, "compact", [], added)
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at a prior snapshot (a new metadata
@@ -460,10 +515,18 @@ class SnapshotTable:
                     units: list) -> DataFrame:
         paths = [os.path.join(self.path, "data", u["unit"])
                  for u in units]
+        schema = StructType.fromJson(json.loads(meta["schema_json"]))
         if not paths:
-            schema = StructType.fromJson(json.loads(meta["schema_json"]))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
+        # mergeSchema unions units written before/after a schema
+        # evolution; the select aligns every read to the DECLARED
+        # schema (typed NULLs for columns older units never carried)
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        have = set(raw.columns)
+        return raw.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields])
 
     def read(self, spark: SparkSession, snapshot_id: int = None,
              as_of_ms: int = None) -> DataFrame:

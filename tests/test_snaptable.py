@@ -477,3 +477,49 @@ def test_concurrent_appends_with_retry(spark, tmpdir):
     assert ks == sorted(list(range(0, 5)) + list(range(100, 105))
                         + list(range(200, 205))
                         + list(range(300, 305)))
+
+
+def test_schema_evolution_add_and_fill(spark, tmpdir):
+    """Appending a frame with a NEW column widens the schema in the
+    same commit; old units read back with typed NULLs; a frame
+    MISSING a column fills it; a type change is rejected.  Time
+    travel reads with the CURRENT schema (Iceberg's default)."""
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 3))
+    t.append(_batch(spark, 3, 5).withColumn("lang", F.lit("en")))
+    got = {r.k: (r.v, r.lang) for r in t.read(spark).collect()}
+    assert got[0] == ("a-0", None) and got[4] == ("a-4", "en")
+    # frame missing 'v' and 'lang': typed NULLs fill
+    t.append(spark.range(5, 6).select(F.col("id").alias("k")))
+    got = {r.k: (r.v, r.lang) for r in t.read(spark).collect()}
+    assert got[5] == (None, None)
+    # changing an existing column's type must raise
+    with pytest.raises(SnapshotError):
+        t.append(spark.range(6, 7)
+                 .select(F.col("id").cast("string").alias("k")))
+    # time travel to the pre-evolution snapshot: current (wide) schema
+    first = min(s["snapshot_id"] for s in t.history())
+    old = t.read(spark, snapshot_id=first)
+    assert set(old.columns) == {"k", "v", "lang"}
+    assert all(r.lang is None for r in old.collect())
+
+
+def test_compact_sort_clusters_units_for_pruning(spark, tmpdir):
+    """Two interleaved appends each span the whole key range, so a
+    narrow scan prunes nothing; a sort-clustered compaction rewrites
+    them into range-disjoint units and the same scan skips one."""
+    t = SnapshotTable(os.path.join(tmpdir, "t"))
+    even = (spark.range(0, 10).select((F.col("id") * 2).alias("k"))
+            .withColumn("v", F.col("k").cast("string")))
+    odd = (spark.range(0, 10).select((F.col("id") * 2 + 1).alias("k"))
+           .withColumn("v", F.col("k").cast("string")))
+    t.create(even, stats_cols=("k",))
+    t.append(odd)
+    _, skipped = t.scan(spark, "k", 0, 4)
+    assert skipped == 0                    # both units span 0..19
+    t.compact(spark, sort_by="k", target_units=2)
+    df, skipped = t.scan(spark, "k", 0, 4)
+    assert skipped == 1                    # upper-half unit pruned
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3, 4]
+    # logical contents unchanged by the clustered rewrite
+    assert t.read(spark).count() == 20
