@@ -382,6 +382,27 @@ def _q_text_gopher(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_text_length_quantiles(spark, sf_dir):
+    """Per-source token-length distribution: exact interpolated
+    percentiles (p10/p50/p90/p99) + mean — the corpus-profiling pass
+    a mixture designer runs before setting sampling weights.  Exact
+    percentile sorts within the aggregate; at 10^12 rows the same
+    query swaps to percentile_approx (t-digest, no sort) — the exact
+    form is kept here because the oracle compares values."""
+    from ferenda_spark.operators.dedup import tokens
+    d = (_read(spark, sf_dir, "documents")
+         .select("source", F.size(tokens(F.col("text")))
+                 .alias("n_tokens")))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+                 F.expr("percentile(n_tokens, 0.1)").alias("p10"),
+                 F.expr("percentile(n_tokens, 0.5)").alias("p50"),
+                 F.expr("percentile(n_tokens, 0.9)").alias("p90"),
+                 F.expr("percentile(n_tokens, 0.99)").alias("p99"))
+            .orderBy("source"))
+
+
 def _q_text_quality(spark, sf_dir):
     from ferenda_spark.operators.textstats import quality_score
     return quality_score(_read(spark, sf_dir, "documents"))
@@ -1608,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lm_score": _q_text_lm_score,
         "text_gopher_rules": _q_text_gopher,
+        "text_length_quantiles": _q_text_length_quantiles,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprint": _q_text_fingerprint,
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -2389,6 +2411,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM j WHERE jaccard >= 0.1""",
         "dedup_simhash": _simhash_sql(),
         "text_token_stats": _TOKEN_STATS_SQL,
+        # Spark percentile() and DuckDB quantile_cont share the exact
+        # linear-interpolation definition — bit-identical, probed
+        "text_length_quantiles": r"""
+            WITH toks AS (
+              SELECT source,
+                     len(string_split_regex(lower(trim(text)),
+                         '[ \t\n\r\f\x0B]+')) AS n_tokens
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   round(AVG(n_tokens), 6) AS mean_tokens,
+                   quantile_cont(n_tokens, 0.1) AS p10,
+                   quantile_cont(n_tokens, 0.5) AS p50,
+                   quantile_cont(n_tokens, 0.9) AS p90,
+                   quantile_cont(n_tokens, 0.99) AS p99
+            FROM toks GROUP BY source ORDER BY source""",
         # Gopher A1.1 rules mirrored expression-by-expression
         "text_gopher_rules": r"""
             WITH toks AS (
