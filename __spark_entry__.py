@@ -1479,6 +1479,25 @@ def _q_sparql_builtins(spark, sf_dir):
         } GROUP BY ?subject ?linkcls ORDER BY ?subject ?linkcls""")
 
 
+def _q_sparql_agg_expr(spark, sf_dir):
+    """Q12 aggregates over EXPRESSIONS (SPARQL 1.1 §18.5.1 allows any
+    expression as the aggregate argument): SUM(?ch * 2 + 1) and
+    AVG(STRLEN(?t)) compile to column expressions inside the same
+    single-shuffle groupBy — no pre-BIND needed.  Sums stay exact
+    (small integers in doubles), so no rounding is required for
+    cross-engine parity."""
+    from ferenda_spark.sparql import sparql_select
+    return sparql_select(_triples(spark, sf_dir), """
+        SELECT ?doc (SUM(?ch * 2 + 1) AS ?w)
+               (AVG(STRLEN(?t)) AS ?alen)
+        WHERE {
+          ?doc a bibo:Document .
+          ?part dcterms:isPartOf ?doc .
+          ?part bibo:chapter ?ch .
+          ?part dcterms:title ?t .
+        } GROUP BY ?doc ORDER BY ?doc""")
+
+
 def _q_sparql_hashes(spark, sf_dir):
     """Q12 SPARQL 1.1 hash builtins (r4): MD5/SHA256 skolem-IRI
     minting — the standard SPARQL idiom for deterministic node ids in
@@ -1704,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_sparql_subquery,
         "kg_sparql_graph_var": _q_sparql_graph_var,
         "kg_sparql_builtins": _q_sparql_builtins,
+        "kg_sparql_agg_expr": _q_sparql_agg_expr,
         "kg_sparql_hashes": _q_sparql_hashes,
         "kg_dup_triangles": _q_dup_triangles,
         "kg_dup_clustering": _q_dup_clustering,
@@ -3390,6 +3410,15 @@ def oracle_sql() -> dict[str, str]:
             FROM f
             WHERE length(identifier) * 2 - 2 >= 12
             GROUP BY 1, 2 ORDER BY 1, 2""",
+        # only sections carry bibo:chapter (subsections have titles
+        # but no chapter), so the BGP restricts to sections; their
+        # titles are 'Section <s>' (length 9 for one-digit s)
+        "kg_sparql_agg_expr": "WITH " + _F_CTE + """
+            SELECT doc_uri AS doc,
+                   SUM(s * 2.0 + 1) AS w,
+                   AVG(CAST(length('Section ' || s) AS DOUBLE))
+                     AS alen
+            FROM secs GROUP BY doc_uri ORDER BY doc""",
         "kg_sparql_hashes": "WITH " + _F_CTE + """
             SELECT substring(sha256(identifier), 1, 1) AS nib,
                    COUNT(*) AS n,

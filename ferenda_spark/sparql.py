@@ -309,10 +309,12 @@ class _Parser:
             if distinct:
                 raise SparqlError("COUNT(DISTINCT *) is not supported")
         else:
-            v = self.next()
-            if not v.startswith("?"):
-                raise SparqlError("aggregate takes ?var or *, got %r" % v)
-            arg = v[1:]
+            # ?var, or any scalar expression (SUM(?a * 2 + 1),
+            # AVG(STRLEN(?t)) — SPARQL 1.1 aggregates take
+            # expressions); a plain variable stays a column name,
+            # anything else compiles at aggregation time
+            op = self._operand()
+            arg = op.name if isinstance(op, _Var) else op
         if fn == "group_concat":
             sep = " "                       # SPARQL 1.1 §18.5.1.7 default
             if self.peek() == ";":
@@ -1598,8 +1600,13 @@ def _join(plan, scan, how):
     return plan.crossJoin(scan)
 
 
-def _agg_expr(fn, distinct, arg):
-    col = F.col(arg) if arg is not None else None
+def _agg_expr(fn, distinct, arg, cols=()):
+    if arg is None:
+        col = None
+    elif isinstance(arg, str):
+        col = F.col(arg)
+    else:                       # expression argument (parse node)
+        col = _operand_col(arg, cols)
     if isinstance(fn, tuple):            # ("group_concat", separator)
         _, sep = fn
         inner = F.collect_set(col) if distinct else F.collect_list(col)
@@ -1661,13 +1668,15 @@ def _select_aggregated(plan: DataFrame, ast, ctx_var=None) -> DataFrame:
     bad = [v for v in plain if v not in groupby]
     if bad:
         raise SparqlError("SELECT of non-grouped vars: %s" % bad)
-    missing = [v for v in groupby + [it[3] for it in sel
-                                     if it[0] == "agg" and it[3]]
+    missing = [v for v in groupby
+               + [it[3] for it in sel
+                  if it[0] == "agg" and isinstance(it[3], str)]
                if v not in plan.columns]
     if missing:
         raise SparqlError("aggregate/GROUP BY of unbound vars: %s"
                           % missing)
-    aggex = [_agg_expr(it[1], it[2], it[3]).alias(it[4])
+    pcols = tuple(plan.columns)
+    aggex = [_agg_expr(it[1], it[2], it[3], pcols).alias(it[4])
              for it in sel if it[0] == "agg"]
     # HAVING: aggregate calls in the expression become hidden columns
     # of the SAME groupBy().agg() (no second shuffle), then a plain
@@ -1678,11 +1687,12 @@ def _select_aggregated(plan: DataFrame, ast, ctx_var=None) -> DataFrame:
     def _rewrite_having(node):
         if isinstance(node, tuple) and node and node[0] == "aggop":
             _, fn, distinct, arg = node
-            if arg is not None and arg not in plan.columns:
+            if isinstance(arg, str) and arg not in plan.columns:
                 raise SparqlError("HAVING aggregate of unbound var "
                                   "?%s" % arg)
             alias = "__having_%d" % len(hidden)
-            hidden.append(_agg_expr(fn, distinct, arg).alias(alias))
+            hidden.append(_agg_expr(fn, distinct, arg,
+                                    tuple(plan.columns)).alias(alias))
             return _Var(alias)
         if isinstance(node, tuple):
             return tuple(_rewrite_having(x) for x in node)

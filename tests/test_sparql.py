@@ -1312,3 +1312,20 @@ def test_sameterm_unbound_is_type_error(triples):
           FILTER(sameTerm(?a, ?b))
         }""").collect()
     assert got == []                  # d1 binds only ?a; d2/d3 neither
+
+
+def test_aggregate_over_expression(triples):
+    """SPARQL 1.1 aggregates take expressions, not just variables."""
+    got = sparql_select(triples, """
+        SELECT ?doc (SUM(STRLEN(?t) * 2 + 1) AS ?w)
+               (AVG(STRLEN(?t)) AS ?alen)
+        WHERE { ?doc dcterms:title ?t . }
+        GROUP BY ?doc ORDER BY ?doc""").collect()
+    # Alpha=5, Beta=4 -> w = 2*len+1, alen = len
+    assert [(r.doc, r.w, r.alen) for r in got] == [
+        ("d1", 11.0, 5.0), ("d2", 9.0, 4.0), ("d3", 11.0, 5.0)]
+    got = sparql_select(triples, """
+        SELECT ?t (COUNT(?doc) AS ?n) WHERE {
+          ?doc dcterms:title ?t .
+        } GROUP BY ?t HAVING (SUM(STRLEN(?t) - 4) > 1)""").collect()
+    assert [(r.t, r.n) for r in got] == [("Alpha", 2)]
