@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_repeated_spans", "dedup_span_removed", "kg_dup_triangles",
     "text_lm_score", "dedup_incremental", "text_gopher_rules",
     "kg_dup_clustering", "dedup_embedding_clusters",
+    "text_length_quantiles", "kg_sparql_agg_expr",
 ]
 
 
