@@ -569,6 +569,46 @@ def _q_sim_ivf_topk_pruned(spark, sf_dir):
                     centroids=one_hot_centroids())
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup with the
+    candidate set bounded by k-means clusters instead of LSH bands —
+    map-side centroid assignment, within-cluster cosine pairs,
+    hash-min components, keep the member farthest from its centroid.
+    Corpus: closed-form graded-tilt clusters (semdedup_embeddings)
+    with exact rational/sqrt pair cosines so the 0.96 threshold
+    provably splits each cluster into a 3-tilt chain plus two
+    singleton-tilt groups, and the quantizer is the true one-hot
+    centroid set (the offline-trained model a production run loads).
+    Reference analogue: owl:sameAs keep-one canonicalization
+    (SURVEY.md T11) applied in embedding space."""
+    from ferenda_spark.operators.similarity import (
+        one_hot_centroids, semantic_dedup, semdedup_embeddings)
+    corpus = semdedup_embeddings(
+        _read(spark, sf_dir, "embeddings").select("vec_id"))
+    return (semantic_dedup(corpus, one_hot_centroids(), threshold=0.96)
+            .orderBy("vec_id"))
+
+
+def _q_train_domain_cap(spark, sf_dir):
+    """RefinedWeb/C4-style per-domain quota: keep at most 5 docs per
+    host by descending quality score (planted closed-form host with a
+    deliberately hot domain — every third doc — so the cap provably
+    prunes, and the two-phase bucketed ranking is exercised on the
+    exact skew shape it exists for)."""
+    from ferenda_spark.operators.training import domain_cap
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hot.example.org"))
+         .otherwise(F.concat(F.lit("h"),
+                             (F.col("doc_id") % 13).cast("string"),
+                             F.lit(".example.org"))).alias("host"),
+        ((F.col("doc_id") * 37) % 101).cast("long").alias("score"))
+    return (domain_cap(d, "host",
+                       [F.col("score").desc(), F.col("doc_id")], k=5)
+            .select("doc_id", "host", "score", "rank")
+            .orderBy("host", "rank"))
+
+
 def _q_mm_image_meta(spark, sf_dir):
     from ferenda_spark.operators.multimodal import image_meta, with_blob
     return image_meta(with_blob(_read(spark, sf_dir, "documents")))
@@ -1655,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivf_topk_pruned": _q_sim_ivf_topk_pruned,
+        "dedup_semantic": _q_dedup_semantic,
+        "train_domain_cap": _q_train_domain_cap,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
@@ -2799,6 +2841,54 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, rank, cosine_r FROM ranked
             WHERE rank <= 8""",
+        "dedup_semantic": """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, CAST(vec_id % 4 AS INT) AS cl,
+                     CAST(list_value(0.0, 0.25, 0.5, 1.0, 2.0)
+                       [CAST((vec_id // 4) % 5 AS INT) + 1]
+                       AS DOUBLE) AS t
+              FROM embeddings),
+            prs AS (
+              SELECT a.vec_id AS x, b.vec_id AS y
+              FROM v a JOIN v b
+                ON a.cl = b.cl AND a.vec_id < b.vec_id
+              WHERE round((1.0 + a.t * b.t)
+                          / (sqrt(1.0 + a.t * a.t)
+                             * sqrt(1.0 + b.t * b.t)), 6) >= 0.96),
+            g AS (SELECT x, y FROM prs UNION SELECT y, x FROM prs),
+            reach AS (
+              SELECT x AS v, x AS u FROM g
+              UNION
+              SELECT r.v, g.y FROM reach r JOIN g ON r.u = g.x),
+            comp AS (SELECT v AS vec_id, MIN(u) AS component_id
+                     FROM reach GROUP BY v),
+            base AS (
+              SELECT v.vec_id, v.cl,
+                     round(1.0 / sqrt(1.0 + v.t * v.t), 6)
+                       AS centroid_cos_r,
+                     COALESCE(c.component_id, v.vec_id) AS component_id
+              FROM v LEFT JOIN comp c USING (vec_id))
+            SELECT vec_id, cl, centroid_cos_r, component_id,
+                   vec_id = FIRST_VALUE(vec_id) OVER (
+                     PARTITION BY component_id
+                     ORDER BY centroid_cos_r, vec_id) AS keep
+            FROM base ORDER BY vec_id""",
+        "train_domain_cap": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'hot.example.org'
+                          ELSE 'h' || (doc_id % 13) || '.example.org'
+                     END AS host,
+                     CAST((doc_id * 37) % 101 AS BIGINT) AS score
+              FROM documents),
+            r AS (
+              SELECT doc_id, host, score,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY host
+                       ORDER BY score DESC, doc_id) AS INT) AS rank
+              FROM d)
+            SELECT doc_id, host, score, rank FROM r
+            WHERE rank <= 5 ORDER BY host, rank""",
         "sim_lsh_topk": "WITH " + _EMB_CTE + """,
             b AS MATERIALIZED (""" + _sign_bands_sql("raw", 8, 4) + """),
             q AS (SELECT vec_id AS query_id, band, bucket

@@ -73,6 +73,9 @@ HEADLINE = [
     "text_lm_score", "dedup_incremental", "text_gopher_rules",
     "kg_dup_clustering", "dedup_embedding_clusters",
     "text_length_quantiles", "kg_sparql_agg_expr",
+    # r4 continuation: cluster-bounded semantic dedup (SemDeDup),
+    # skew-aware per-domain quota
+    "dedup_semantic", "train_domain_cap",
 ]
 
 

@@ -284,6 +284,90 @@ def one_hot_centroids(n_clusters: int = 4, dim: int = 8) -> list:
             for c in range(n_clusters)]
 
 
+SEMDEDUP_TILTS = (0.0, 0.25, 0.5, 1.0, 2.0)
+
+
+def semdedup_embeddings(ids: DataFrame, n_clusters: int = 4,
+                        dim: int = 8) -> DataFrame:
+    """Closed-form corpus with GRADED within-cluster similarity (the
+    all->0.99 corpus of :func:`clustered_embeddings` would make every
+    threshold degenerate): vector i = e_c + t*e_{n_clusters+c} with
+    c = i % n_clusters and tilt t = SEMDEDUP_TILTS[(i div n_clusters)
+    % 5].  Within a cluster, cos(i, j) = (1 + t_i*t_j) /
+    (sqrt(1+t_i^2)*sqrt(1+t_j^2)) — exact rational/sqrt algebra both
+    engines evaluate identically at 6-decimal rounding — taking values
+    {1.0, 0.976187, 0.970143, 0.948683, ...}, so a 0.96 threshold
+    splits each cluster into the {0, 0.25, 0.5} tilt chain plus two
+    singleton-tilt groups; cross-cluster cosine is exactly 0."""
+    c = F.col("vec_id") % n_clusters
+    t = F.element_at(
+        F.array(*[F.lit(x) for x in SEMDEDUP_TILTS]),
+        (F.expr(f"vec_id div {int(n_clusters)}") % len(SEMDEDUP_TILTS)
+         ).cast("int") + 1)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(j == c, F.lit(1.0))
+                   .when(j == F.lit(n_clusters) + c, t)
+                   .otherwise(F.lit(0.0)))
+    return ids.select("vec_id", vec.alias("embedding"))
+
+
+def semantic_dedup(embeddings: DataFrame, centroids,
+                   threshold: float = 0.96,
+                   round_to: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication with candidate generation bounded by a k-means
+    coarse quantizer instead of LSH bands — assign every vector to its
+    nearest centroid (map-side, the IVF assignment), form candidate
+    pairs ONLY within a cluster, keep pairs with cosine >= threshold,
+    take connected components, and within each duplicate component
+    keep the member with the LOWEST cosine to its own centroid (the
+    paper's keep-the-outlier rule: centroid-near members are the
+    redundant ones), ties to the lowest id.
+
+    Returns (vec_id, cl, centroid_cos_r, component_id, keep) for every
+    input vector: component_id = min vec_id of its duplicate component
+    (itself if never paired), keep = survives dedup.
+
+    Scale shape (10^12 rows): assignment is a pure projection against
+    the driver-held centroid literals; the only quadratic work is the
+    per-cluster self-join, bounded by cluster occupancy (SemDeDup runs
+    with k large enough that N/k is join-sized; skewed clusters split
+    by AQE skew-join exactly like hot LSH buckets); the component
+    fixpoint runs on above-threshold pairs only; the keep rule is one
+    bounded per-component window.  Reference analogue: the sameAs
+    keep-one canonicalization (SURVEY.md T11) applied to embedding
+    space."""
+    structs = _centroid_dist_structs(F.col("embedding"), centroids)
+    best = F.array_min(structs)
+    assigned = embeddings.select(
+        "vec_id", "embedding", best["cl"].alias("cl"),
+        F.round(-best["dist"], round_to).alias("centroid_cos_r"))
+    a = assigned.select("cl", F.col("vec_id").alias("vec_a"),
+                        F.col("embedding").alias("vec_a_emb"))
+    b = assigned.select("cl", F.col("vec_id").alias("vec_b"),
+                        F.col("embedding").alias("vec_b_emb"))
+    pairs = (a.join(b, "cl")
+             .where(F.col("vec_a") < F.col("vec_b")))
+    dup = (with_cosine(pairs, "vec_a_emb", "vec_b_emb")
+           .where(F.round("cosine", round_to) >= threshold)
+           .select("vec_a", "vec_b"))
+    from .dedup import dup_clusters
+    comp = dup_clusters(dup, id_a="vec_a", id_b="vec_b").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("canonical_doc_id").alias("component_id"))
+    out = (assigned.drop("embedding")
+           .join(comp, "vec_id", "left")
+           .withColumn("component_id",
+                       F.coalesce("component_id", "vec_id")))
+    w = Window.partitionBy("component_id")
+    keeper = F.min(F.struct("centroid_cos_r", "vec_id")).over(w)
+    return (out
+            .withColumn("keep", keeper["vec_id"] == F.col("vec_id"))
+            .select("vec_id", "cl", "centroid_cos_r",
+                    "component_id", "keep"))
+
+
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_lists: int = 8, nprobe: int | None = None,
              iters: int = 3, sample_mod: int = 1,

@@ -145,6 +145,34 @@ def mixture_order(df: DataFrame, source_col: str, weights: dict,
             .select(key_col, "source", "source_rank", "order_key"))
 
 
+def domain_cap(df: DataFrame, key_col: str, order_cols: list,
+               k: int, id_col: str = "doc_id",
+               n_buckets: int = 32) -> DataFrame:
+    """Per-key top-``k`` cap (RefinedWeb/C4-style per-domain quota:
+    keep at most k documents per host, preferring the given order —
+    e.g. quality descending).  Adds ``rank`` (1..k within the key) and
+    drops everything beyond the cap.
+
+    Scale shape — the naive single window partitioned by domain puts
+    an entire hot domain in one task (exactly the skew the north rule
+    calls out), so the cap runs in two phases: phase 1 ranks within
+    (key, hash-bucket-of-id) — every partition bounded by the bucket
+    fan-out — and locally discards beyond k, so at most k*n_buckets
+    rows per key survive to phase 2's true per-key window.  For a hot
+    domain with 10^9 docs and k=5, phase 2 sees 160 rows instead of
+    10^9.  ``order_cols`` must be a deterministic total order (break
+    ties on the id) or the cap is nondeterministic by definition."""
+    bucket = (portable_bucket(F.col(id_col)) % n_buckets).alias("__b")
+    w1 = Window.partitionBy(key_col, "__b").orderBy(*order_cols)
+    w2 = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (df.withColumn("__b", bucket)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .drop("__b", "__r1"))
+
+
 def chunk_documents(documents: DataFrame, window: int = 16,
                     stride: int = 12, key_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

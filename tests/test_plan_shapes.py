@@ -88,3 +88,21 @@ def test_canonical_triples_reads_stage_not_fixpoint(spark, queries):
     # fixpoint: the plan must be loop-free (no checkpointed RDD scan
     # chains from the iterative CC rounds)
     assert "Scan ExistingRDD" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_semantic_dedup_assignment_is_projection(spark, queries):
+    plan = _plan(queries["dedup_semantic"](spark, SF))
+    # centroid assignment + within-cluster pairing must stay an
+    # equi-join on cl (hash join), never a nested-loop over vectors
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_is_two_bounded_windows(spark, queries):
+    plan = _plan(queries["train_domain_cap"](spark, SF))
+    # the skew-safe cap = bucketed pre-rank window + per-host window;
+    # losing phase 1 would collapse a hot host into one task (count
+    # exact "Window (" nodes: WindowGroupLimit pushdown nodes that
+    # Spark adds for the rank filters must not mask a lost phase)
+    tree = plan.split("(1) ")[0]
+    assert tree.count(" Window (") == 2
+    assert "CartesianProduct" not in plan

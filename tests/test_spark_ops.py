@@ -1485,3 +1485,67 @@ def test_clustering_coefficients(spark):
            for r in clustering_coefficients(edges).collect()}
     assert got == {1: (3, 1, round(1 / 3, 6)), 2: (2, 1, 1.0),
                    3: (2, 1, 1.0), 4: (1, 0, 0.0)}
+
+
+def test_semantic_dedup_components_and_keep_rule(spark):
+    """SemDeDup over the graded-tilt corpus (40 ids, 4 clusters, 5
+    tilts): threshold 0.96 links tilts {0, 0.25, 0.5} into one chain
+    component per cluster (0-0.25 and 0.25-0.5 qualify, 0-0.5 does
+    not -- transitivity does the rest) and leaves tilts 1.0 / 2.0 as
+    same-tilt-only components; the kept member is the one farthest
+    from the centroid (largest tilt), ties to the lowest id."""
+    from ferenda_spark.operators.similarity import (
+        one_hot_centroids, semantic_dedup, semdedup_embeddings)
+    ids = spark.range(40).withColumnRenamed("id", "vec_id")
+    out = semantic_dedup(semdedup_embeddings(ids), one_hot_centroids(),
+                         threshold=0.96)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 40
+    # cluster assignment is the true one
+    assert all(r.cl == vid % 4 for vid, r in rows.items())
+    # cluster 0: ids {0,20, 4,24, 8,28} chain into component 0;
+    # {12,32} (tilt 1.0) and {16,36} (tilt 2.0) stay separate
+    assert [rows[i].component_id for i in (0, 4, 8, 20, 24, 28)] == [0] * 6
+    assert rows[12].component_id == 12 and rows[32].component_id == 12
+    assert rows[16].component_id == 16 and rows[36].component_id == 16
+    # keep = farthest from centroid (tilt 0.5 -> ids 8, 28; min id 8)
+    kept0 = sorted(v for v, r in rows.items() if r.keep and r.cl == 0)
+    assert kept0 == [8, 12, 16]
+    # centroid cosine is the closed form 1/sqrt(1+t^2)
+    assert rows[8].centroid_cos_r == round(1 / (1 + 0.25) ** 0.5, 6)
+    assert rows[16].centroid_cos_r == round(1 / 5 ** 0.5, 6)
+
+
+def test_semantic_dedup_singleton_keeps_itself(spark):
+    """A vector with no above-threshold neighbour is its own
+    component and survives."""
+    from ferenda_spark.operators.similarity import (
+        one_hot_centroids, semantic_dedup, semdedup_embeddings)
+    ids = spark.range(4).withColumnRenamed("id", "vec_id")
+    out = semantic_dedup(semdedup_embeddings(ids), one_hot_centroids(),
+                         threshold=0.96).collect()
+    assert all(r.keep and r.component_id == r.vec_id for r in out)
+
+
+def test_domain_cap_equals_plain_window_and_prunes_hot_key(spark):
+    """The two-phase bucketed cap returns EXACTLY the naive
+    single-window top-k (same rows, same ranks) and bounds every
+    key at k -- including a planted hot key with 200 rows."""
+    from pyspark.sql import Window
+    from ferenda_spark.operators.training import domain_cap
+    df = spark.range(260).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, F.lit("hot"))
+         .otherwise(F.concat(F.lit("h"), (F.col("id") % 7)
+                             .cast("string"))).alias("host"),
+        ((F.col("id") * 31) % 97).alias("score"))
+    order = [F.col("score").desc(), F.col("doc_id")]
+    got = domain_cap(df, "host", order, k=3)
+    w = Window.partitionBy("host").orderBy(*order)
+    want = (df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+    counts = {r.host: r.c for r in
+              got.groupBy("host").agg(F.count("*").alias("c")).collect()}
+    assert counts["hot"] == 3 and max(counts.values()) <= 3
