@@ -373,6 +373,19 @@ def _q_text_lm_score(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity buckets (Wenzek et al.
+    2020): head/middle/tail thirds per language by corpus-LM score.
+    The tertile rule is rank-based integer arithmetic over the
+    groupBy(lang, score) aggregate — never a per-language NTILE
+    window over the doc stream (a hot language would be one task)."""
+    from ferenda_spark.operators.textstats import ccnet_buckets
+    return (ccnet_buckets(
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text"))
+        .orderBy("doc_id"))
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher rule-set quality filter (Rae et al. 2021 A1.1): per-rule
     booleans + composite keep, one map-side pass, zero shuffles."""
@@ -1569,6 +1582,24 @@ def _q_dup_triangles(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Adamic-Adar missing-link prediction over the citation graph
+    (doc url -> cited target, undirected): non-adjacent pairs scored
+    by sum 1/ln(deg) over common neighbours — co-citation pairs the
+    extractor never linked directly, the predictive companion to the
+    descriptive pagerank/HITS suite.  Degree-capped at 64 (the hub
+    cut that bounds wedge fan-out at 10^12-edge scale, mirrored in
+    the oracle); top 200 by (score, pair) — a global TakeOrdered,
+    never a full sort."""
+    from ferenda_spark.operators.graphs import adamic_adar
+    from ferenda_spark.operators.triples import mention_triples
+    edges = mention_triples(_docs(spark, sf_dir)).select(
+        F.col("context").alias("doc_a"), F.col("obj").alias("doc_b"))
+    return (adamic_adar(edges, max_degree=64)
+            .orderBy(F.col("aa_score").desc(), "node_a", "node_b")
+            .limit(200))
+
+
 def _q_dup_clustering(spark, sf_dir):
     """Local clustering coefficient over the MinHash dup-pair graph
     (2*tri/(d*(d-1))): cluster tightness per document — 1.0 = clique
@@ -1687,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_lm_score": _q_text_lm_score,
+        "text_ccnet_buckets": _q_text_ccnet_buckets,
         "text_gopher_rules": _q_text_gopher,
         "text_length_quantiles": _q_text_length_quantiles,
         "text_lang_id": _q_text_lang_id,
@@ -1768,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg_expr": _q_sparql_agg_expr,
         "kg_sparql_hashes": _q_sparql_hashes,
         "kg_dup_triangles": _q_dup_triangles,
+        "kg_link_prediction": _q_link_prediction,
         "kg_dup_clustering": _q_dup_clustering,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "kg_degree_distribution": _q_degree_distribution,
@@ -2542,6 +2575,53 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(lp), 6) AS lm_score
             FROM bg JOIN lm USING (w1, w2)
             GROUP BY doc_id ORDER BY doc_id""",
+        # CCNet head/middle/tail: rank-based integer tertiles over
+        # the (lang, score) aggregate — c_before * 3 // n_lang, the
+        # whole tie group in the bucket of its first member
+        "text_ccnet_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            bg AS (
+              SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1,
+                                  greatest(len(tk)-1, 0))) AS i
+                    FROM toks)),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12
+                    FROM bg GROUP BY 1, 2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT w) AS v
+                  FROM (SELECT unnest(tk) AS w FROM toks)),
+            lm AS (SELECT w1, w2, ln((c12 + 1.0) / (c1 + v)) AS lp
+                   FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+            sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                          round(AVG(lp), 6) AS lm_score
+                   FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id),
+            d AS (SELECT s.doc_id, doc.lang, s.n_bigrams, s.lm_score
+                  FROM sc s JOIN documents doc USING (doc_id)),
+            ps AS (SELECT lang, lm_score, COUNT(*) AS c
+                   FROM d GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, lm_score,
+                     COALESCE(SUM(c) OVER (
+                       PARTITION BY lang ORDER BY lm_score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS c_before,
+                     SUM(c) OVER (PARTITION BY lang) AS n_lang
+              FROM ps),
+            bkt AS (
+              SELECT lang, lm_score,
+                     list_value('head', 'middle', 'tail')
+                       [CAST(c_before * 3 // n_lang AS INT) + 1]
+                       AS ppl_bucket
+              FROM cum)
+            SELECT d.doc_id, d.lang, d.n_bigrams, d.lm_score,
+                   bkt.ppl_bucket
+            FROM d JOIN bkt USING (lang, lm_score)
+            ORDER BY d.doc_id""",
         "text_quality": "WITH s AS (" + _TOKEN_STATS_SQL + """)
             SELECT doc_id, round(q, 2) AS quality, q >= 0.7 AS keep FROM (
               SELECT doc_id,
@@ -3515,6 +3595,39 @@ def oracle_sql() -> dict[str, str]:
                    min('urn:skolem:' || md5(identifier))
                      AS first_skolem
             FROM f GROUP BY 1 ORDER BY 1""",
+        # Adamic-Adar over the undirected citation graph: hub cut
+        # d in [2, 64], wedge self-join on z, NOT EXISTS for
+        # non-adjacency, global top-200 by (score, pair)
+        "kg_link_prediction": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """,
+            und AS (
+              SELECT DISTINCT least(context, obj) AS u,
+                              greatest(context, obj) AS v
+              FROM mention_triples WHERE context <> obj),
+            deg AS (
+              SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM und
+                UNION ALL SELECT v FROM und) GROUP BY n),
+            spokes AS (
+              SELECT u AS z, v AS x FROM und
+              UNION ALL SELECT v, u FROM und),
+            zw AS (SELECT n AS z,
+                          1.0 / ln(CAST(d AS DOUBLE)) AS w
+                   FROM deg WHERE d BETWEEN 2 AND 64),
+            wedge AS (SELECT s.z, s.x, zw.w
+                      FROM spokes s JOIN zw USING (z)),
+            ps AS (
+              SELECT a.x AS x, b.x AS y,
+                     COUNT(*) AS n_common,
+                     round(SUM(a.w), 6) AS aa_score
+              FROM wedge a JOIN wedge b
+                ON a.z = b.z AND a.x < b.x
+              GROUP BY 1, 2)
+            SELECT x AS node_a, y AS node_b, n_common, aa_score
+            FROM ps
+            WHERE NOT EXISTS (SELECT 1 FROM und p
+                              WHERE p.u = ps.x AND p.v = ps.y)
+            ORDER BY aa_score DESC, node_a, node_b LIMIT 200""",
         # degree + corner-counted triangles + the 2t/(d(d-1)) formula
         "kg_dup_clustering": "WITH " + _MINHASH_CTE + """,
             pairs AS (

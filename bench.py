@@ -74,8 +74,10 @@ HEADLINE = [
     "kg_dup_clustering", "dedup_embedding_clusters",
     "text_length_quantiles", "kg_sparql_agg_expr",
     # r4 continuation: cluster-bounded semantic dedup (SemDeDup),
-    # skew-aware per-domain quota
+    # skew-aware per-domain quota, CCNet perplexity buckets,
+    # Adamic-Adar link prediction
     "dedup_semantic", "train_domain_cap",
+    "text_ccnet_buckets", "kg_link_prediction",
 ]
 
 

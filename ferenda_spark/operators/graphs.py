@@ -588,3 +588,51 @@ def clustering_coefficients(edges: DataFrame, src: str = "doc_a",
                                    2.0 * t / (d * (d - 1.0)))
                             .otherwise(F.lit(0.0)), 6)
                     .alias("clustering")))
+
+
+def adamic_adar(edges: DataFrame, src: str = "doc_a",
+                dst: str = "doc_b", max_degree: int = 64) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected simple graph:
+    for every NON-adjacent pair (x, y), AA(x, y) = sum over common
+    neighbours z of 1/ln(deg(z)) — the classic missing-link score
+    (Adamic & Adar 2003; in KG construction: suggest sameAs /
+    relatedness candidates the extractor missed, the predictive
+    companion to graphanalyze.py's descriptive citegraph analytics).
+
+    Scale shape (10^12 edges): wedge generation through a common
+    neighbour z fans out deg(z)^2 — a hub would explode the
+    self-join, so neighbours with deg > ``max_degree`` are excluded
+    up front (the standard production cut: a hub's 1/ln(deg) weight
+    is negligible AND its co-citation signal is meaningless; the cut
+    must be mirrored by any oracle).  After the cut, the wedge join is
+    an equi-join on z with bounded fan-out, the score is one
+    groupBy(x, y), and the non-adjacency test is a left-anti join
+    against the (normalized) edge set — every shuffle is keyed,
+    nothing is quadratic in nodes.
+
+    Returns (node_a, node_b, n_common, aa_score) for non-adjacent
+    pairs with >= 1 (degree-bounded) common neighbour; node_a <
+    node_b; aa_score rounded to 6 (float-sum order portability)."""
+    und = _normalize_undirected(edges, src, dst)
+    deg = _degrees(und)
+    spokes = (und.select(F.col("u").alias("z"), F.col("v").alias("x"))
+              .unionByName(
+                  und.select(F.col("v").alias("z"),
+                             F.col("u").alias("x"))))
+    zw = (deg.where((F.col("d") <= max_degree) & (F.col("d") >= 2))
+          .select(F.col("n").alias("z"),
+                  (1.0 / F.log(F.col("d").cast("double"))).alias("w")))
+    wedge = spokes.join(zw, "z")
+    a = wedge.select("z", "x", "w")
+    b = wedge.select("z", F.col("x").alias("y"))
+    pair_scores = (a.join(b, "z")
+                   .where(F.col("x") < F.col("y"))
+                   .groupBy("x", "y")
+                   .agg(F.count("*").alias("n_common"),
+                        F.round(F.sum("w"), 6).alias("aa_score")))
+    return (pair_scores
+            .join(und, (pair_scores["x"] == und["u"])
+                  & (pair_scores["y"] == und["v"]), "left_anti")
+            .select(F.col("x").alias("node_a"),
+                    F.col("y").alias("node_b"),
+                    "n_common", "aa_score"))

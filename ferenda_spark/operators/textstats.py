@@ -4,7 +4,7 @@ mandate: training-data pipeline ops).  All JVM-side expressions."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import tokens
 
@@ -136,6 +136,59 @@ def bigram_lm_scores(documents: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("lp"), 6).alias("lm_score")))
+
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_buckets(documents: DataFrame, lang_col: str = "lang",
+                  n_buckets: int = 3) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, §4.3): score every document with the corpus-trained bigram
+    LM (:func:`bigram_lm_scores`) and split each language into equal
+    thirds by score — head = most fluent (highest mean bigram
+    log-prob = lowest perplexity), tail = least.  CCNet trains on
+    Wikipedia; here the LM is corpus-trained (the container has no
+    KenLM), but the bucketing rule is the paper's.
+
+    The tertile rule is RANK-based integer arithmetic, not percentile
+    interpolation (doubles interpolate differently in the last ulp
+    across engines): group docs by (lang, score), take the cumulative
+    count of strictly-better-scored docs c_before, and assign bucket
+    floor(c_before * n_buckets / n_lang) — the whole tie group lands
+    in the bucket of its first member.
+
+    Scale shape (10^12 docs): a per-language NTILE window would put
+    an entire hot language (most of the web is English) in ONE task.
+    Instead the window runs on the groupBy(lang, score) AGGREGATE —
+    dimension-sized (distinct rounded scores per language), never on
+    the doc stream — and docs get their bucket back via a join keyed
+    on (lang, score).  Two keyed shuffles, no global sort, no hot
+    single task.
+
+    Returns (doc_id, lang, n_bigrams, lm_score, ppl_bucket); docs
+    with < 2 tokens have no bigrams and are excluded (unscorable,
+    same contract as bigram_lm_scores)."""
+    scored = (documents.select("doc_id", F.col(lang_col).alias("lang"))
+              .join(bigram_lm_scores(documents), "doc_id"))
+    per_score = (scored.groupBy("lang", "lm_score")
+                 .agg(F.count("*").alias("c")))
+    w = (Window.partitionBy("lang")
+         .orderBy(F.col("lm_score").desc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cuts = (per_score
+            .withColumn("c_before",
+                        F.coalesce(F.sum("c").over(w), F.lit(0)))
+            .withColumn("n_lang",
+                        F.sum("c").over(Window.partitionBy("lang")))
+            .select("lang", "lm_score",
+                    F.expr(f"c_before * {int(n_buckets)} div n_lang")
+                    .cast("int").alias("bucket_idx")))
+    names = F.array(*[F.lit(b) for b in CCNET_BUCKETS[:n_buckets]])
+    return (scored.join(cuts, ["lang", "lm_score"])
+            .select("doc_id", "lang", "n_bigrams", "lm_score",
+                    F.element_at(names, F.col("bucket_idx") + 1)
+                    .alias("ppl_bucket")))
 
 
 # the Gopher paper's stopword rule set (Rae et al. 2021, table A1)

@@ -106,3 +106,31 @@ def test_domain_cap_is_two_bounded_windows(spark, queries):
     tree = plan.split("(1) ")[0]
     assert tree.count(" Window (") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_is_keyed_joins_with_global_topk(spark, queries):
+    plan = _plan(queries["kg_link_prediction"](spark, SF))
+    # wedge generation must stay an equi-join on the apex z, the
+    # non-adjacency test an equi-anti-join, and the top-200 a
+    # TakeOrdered -- never a cartesian product or a full global sort
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ccnet_windows_run_on_aggregate_not_doc_stream(spark, queries):
+    plan = _plan(queries["text_ccnet_buckets"](spark, SF))
+    # the tertile windows must consume the groupBy(lang, score)
+    # aggregate (dimension-sized), never partition the raw doc
+    # stream by language (a hot language would be one task): in the
+    # root-first tree print, every Window's subtree must hit a
+    # HashAggregate BEFORE any parquet scan
+    tree = plan.split("(1) ")[0]
+    assert "CartesianProduct" not in plan
+    lines = tree.splitlines()
+    wins = [i for i, l in enumerate(lines) if " Window (" in l]
+    assert len(wins) == 2
+    for i in wins:
+        below = "\n".join(lines[i + 1:])
+        agg = below.find(" HashAggregate (")
+        scan = below.find("Scan parquet")
+        assert agg != -1 and (scan == -1 or agg < scan)

@@ -1549,3 +1549,86 @@ def test_domain_cap_equals_plain_window_and_prunes_hot_key(spark):
     counts = {r.host: r.c for r in
               got.groupBy("host").agg(F.count("*").alias("c")).collect()}
     assert counts["hot"] == 3 and max(counts.values()) <= 3
+
+
+def test_adamic_adar_square_and_path(spark):
+    """Hand-computed AA: on the 4-cycle 1-2-3-4-1 the two diagonals
+    are predicted with two common neighbours of degree 2 each
+    (AA = 2/ln 2); appending the path 4-5 predicts (3,5) and (1,5)
+    through degree-capped neighbours."""
+    from ferenda_spark.operators.graphs import adamic_adar
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5)],
+        ["doc_a", "doc_b"])
+    got = {(r.node_a, r.node_b): (r.n_common, r.aa_score)
+           for r in adamic_adar(edges).collect()}
+    import math
+    w2, w3 = 1 / math.log(2), 1 / math.log(3)
+    assert got[(1, 3)] == (2, round(w2 + w3, 6))     # via 2 (d=2), 4 (d=3)
+    assert got[(2, 4)] == (2, round(2 * w2, 6))      # via 1 and 3 (d=2)
+    assert got[(1, 5)] == (1, round(w3, 6))          # via 4 (deg 3)
+    assert got[(3, 5)] == (1, round(w3, 6))          # via 4
+    assert (2, 5) not in got                         # no common neighbour
+
+
+def test_adamic_adar_hub_cap_excludes_hot_neighbour(spark):
+    """A common neighbour above max_degree contributes nothing: with
+    the hub capped out, pairs connected ONLY through it disappear."""
+    from ferenda_spark.operators.graphs import adamic_adar
+    hub = [(0, i) for i in range(1, 6)]          # hub 0, degree 5
+    edges = spark.createDataFrame(hub + [(1, 2)], ["doc_a", "doc_b"])
+    uncapped = {(r.node_a, r.node_b)
+                for r in adamic_adar(edges, max_degree=64).collect()}
+    capped = {(r.node_a, r.node_b)
+              for r in adamic_adar(edges, max_degree=4).collect()}
+    assert (3, 4) in uncapped and (1, 3) in uncapped
+    # with the hub excluded, only wedges through 1 or 2 remain:
+    # 1's neighbours {0, 2} -> (0, 2) adjacent; 2's -> (0, 1) adjacent
+    assert capped == set()
+
+
+def test_ccnet_buckets_rank_rule_and_ties(spark):
+    """Integer tertile rule: floor(c_before * 3 / n) over DISTINCT
+    scores, whole tie group in its first member's bucket."""
+    from ferenda_spark.operators.textstats import (bigram_lm_scores,
+                                                   ccnet_buckets)
+    texts = ["alpha beta gamma delta", "alpha beta gamma",
+             "tie tie tie", "tie tie tie", "zeta eta theta iota kappa"]
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts)],
+        ["doc_id", "lang", "text"])
+    out = {r.doc_id: r for r in ccnet_buckets(docs).collect()}
+    assert len(out) == 5 and all(r.lang == "en" for r in out.values())
+    # the tie pair shares one score and one bucket
+    assert out[2].lm_score == out[3].lm_score
+    assert out[2].ppl_bucket == out[3].ppl_bucket
+    # reconstruct the expected rule from the scores themselves
+    scores = {r.doc_id: r.lm_score
+              for r in bigram_lm_scores(docs).collect()}
+    distinct = sorted(set(scores.values()), reverse=True)
+    c_before, seen = {}, 0
+    for s in distinct:
+        c_before[s] = seen
+        seen += sum(1 for v in scores.values() if v == s)
+    names = ("head", "middle", "tail")
+    for d, r in out.items():
+        assert r.ppl_bucket == names[c_before[scores[d]] * 3 // 5], d
+
+
+def test_ccnet_buckets_per_language_independent(spark):
+    """Bucketing is per language: a single-doc language is head, and
+    the en tertiles split by descending fluency (repeated bigrams
+    score high, all-unique bigrams low)."""
+    from ferenda_spark.operators.textstats import (bigram_lm_scores,
+                                                   ccnet_buckets)
+    docs = spark.createDataFrame(
+        [(0, "en", "a b a b a b a b"), (1, "en", "a b c d a b"),
+         (2, "en", "p q r s t u"), (3, "de", "ein zwei drei")],
+        ["doc_id", "lang", "text"])
+    out = {r.doc_id: r.ppl_bucket for r in ccnet_buckets(docs).collect()}
+    assert out[3] == "head"
+    scores = {r.doc_id: r.lm_score
+              for r in bigram_lm_scores(docs).collect()}
+    assert len({scores[0], scores[1], scores[2]}) == 3
+    order = sorted((0, 1, 2), key=lambda d: -scores[d])
+    assert [out[d] for d in order] == ["head", "middle", "tail"]
