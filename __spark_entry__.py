@@ -582,6 +582,19 @@ def _q_sim_ivf_topk_pruned(spark, sf_dir):
                     centroids=one_hot_centroids())
 
 
+def _q_sim_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (the FAISS SQ8 index shape): per-dim
+    min/max training — order-independent aggregates, exactly
+    reproducible in any engine, unlike k-means means — int8 codes
+    (4x smaller scan at rescore), asymmetric distance: dequantized
+    bin-midpoint corpus vs exact query.  Same query ids and k as
+    sim_cosine_topk so the two result sets measure the quantization
+    loss directly."""
+    from ferenda_spark.operators.similarity import sq8_topk
+    return sq8_topk(_read(spark, sf_dir, "embeddings"),
+                    [0, 7, 42, 123], dim=64, k=10)
+
+
 def _q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup with the
     candidate set bounded by k-means clusters instead of LSH bands —
@@ -1727,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivf_topk_pruned": _q_sim_ivf_topk_pruned,
+        "sim_sq8_topk": _q_sim_sq8_topk,
         "dedup_semantic": _q_dedup_semantic,
         "train_domain_cap": _q_train_domain_cap,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
@@ -2666,6 +2680,41 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT h))[1:4], '')
                      AS fingerprint
             FROM fp GROUP BY doc_id""",
+        # SQ8: per-dim min/max -> int8 codes -> bin-midpoint
+        # dequantize -> asymmetric cosine; mirrors sq8_topk exactly
+        "sim_sq8_topk": "WITH " + _EMB_CTE + """,
+            st AS (
+              SELECT pos, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+              FROM (SELECT generate_subscripts(v, 1) AS pos,
+                           unnest(v) AS x FROM e)
+              GROUP BY pos),
+            b AS (SELECT list(mn ORDER BY pos) AS mn,
+                         list(span ORDER BY pos) AS span
+                  FROM st),
+            deq AS (
+              SELECT vec_id,
+                     list_transform(range(1, 65), i ->
+                       mn[i] + (CASE WHEN span[i] = 0 THEN 0
+                                ELSE least(255, CAST(floor(
+                                  (v[i] - mn[i]) / span[i] * 256.0)
+                                  AS INT)) END + 0.5)
+                             * span[i] / 256.0) AS xh
+              FROM e CROSS JOIN b),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                  WHERE vec_id IN """ + _SIM_IDS_SQL + """),
+            scored AS (
+              SELECT query_id, d.vec_id,
+                     round(list_cosine_similarity(d.xh, qv), 6)
+                       AS cosine_sq_r
+              FROM deq d, q WHERE d.vec_id <> query_id),
+            ranked AS (
+              SELECT query_id, vec_id, cosine_sq_r,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine_sq_r DESC, vec_id) AS INT)
+                       AS rank
+              FROM scored)
+            SELECT query_id, vec_id, rank, cosine_sq_r FROM ranked
+            WHERE rank <= 10""",
         "sim_cosine_topk": "WITH " + _EMB_CTE + """,
             q AS (SELECT vec_id AS query_id, v AS qv FROM e
                   WHERE vec_id IN """ + _SIM_IDS_SQL + """),

@@ -409,3 +409,77 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "cosine_r"))
+
+
+def sq8_quantize(embeddings: DataFrame, dim: int,
+                 levels: int = 256) -> DataFrame:
+    """FAISS-style SQ8 scalar quantization: per-dimension min/max
+    "training" (one aggregate pass — min/max are order-independent,
+    so unlike k-means means they are EXACTLY reproducible in any
+    engine), then code_d = clamp(floor((x_d - min_d) / span_d *
+    levels), levels-1) — an int8 per dimension, 4x smaller than
+    float32 (at 100 TB of embeddings the rescore scan reads a quarter
+    of the bytes).  Constant dimensions (span 0) code to 0.
+
+    Returns (vec_id, codes: array<int>) plus a broadcast-sized bounds
+    frame accessible via the returned DataFrame's ``mn``/``span``
+    columns (kept inline so downstream dequantization needs no second
+    join)."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mins = [F.min(F.element_at(e, i + 1)).alias(f"_mn{i}")
+            for i in range(dim)]
+    maxs = [F.max(F.element_at(e, i + 1)).alias(f"_mx{i}")
+            for i in range(dim)]
+    bounds = (embeddings.agg(*(mins + maxs))
+              .select(F.array(*[F.col(f"_mn{i}") for i in range(dim)])
+                      .alias("mn"),
+                      F.array(*[F.col(f"_mx{i}") - F.col(f"_mn{i}")
+                                for i in range(dim)]).alias("span")))
+    lv = F.lit(float(levels))
+    with_b = embeddings.crossJoin(F.broadcast(bounds))
+    diff = F.zip_with(e, F.col("mn"), lambda x, m: x - m)
+    code = F.zip_with(
+        diff, F.col("span"),
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.least(F.lit(levels - 1),
+                    F.floor(d / s * lv).cast("int"))).cast("int"))
+    return with_b.select("vec_id", code.alias("codes"), "mn", "span")
+
+
+def sq8_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
+             k: int = 5, levels: int = 256,
+             round_to: int = 6) -> DataFrame:
+    """ANN over SQ8-quantized vectors, asymmetric-distance style: the
+    corpus side is dequantized from its int8 codes (x̂_d = min_d +
+    (code_d + 0.5) * span_d / levels — bin midpoint), the query side
+    stays exact float, cosine(query, x̂) ranks per-query top-k.
+
+    Scale shape: training = ONE map-side-partial aggregate to a
+    single row (no shuffle of vectors); quantization and
+    dequantization are pure projections; the only shuffle is the
+    per-query top-k window over the broadcast-query candidate join —
+    identical to the exact brute-force plan but scanning 4x fewer
+    bytes, the standard memory/IO trade the SQ8 index makes.
+
+    Returns (query_id, vec_id, rank, cosine_sq_r)."""
+    q = (embeddings.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.transform("embedding", lambda x: x.cast("double"))
+                 .alias("query_vec")))
+    codes = sq8_quantize(embeddings, dim, levels)
+    lv = F.lit(float(levels))
+    xhat = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(F.col("mn"), i + 1)
+        + (c.cast("double") + 0.5)
+        * F.element_at(F.col("span"), i + 1) / lv)
+    deq = codes.select("vec_id", xhat.alias("embedding"))
+    pairs = (deq.crossJoin(F.broadcast(q))
+             .where(F.col("vec_id") != F.col("query_id")))
+    scored = with_cosine(pairs, "query_vec", "embedding").withColumn(
+        "cosine_sq_r", F.round("cosine", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sq_r").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "cosine_sq_r"))

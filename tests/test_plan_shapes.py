@@ -134,3 +134,14 @@ def test_ccnet_windows_run_on_aggregate_not_doc_stream(spark, queries):
         agg = below.find(" HashAggregate (")
         scan = below.find("Scan parquet")
         assert agg != -1 and (scan == -1 or agg < scan)
+
+
+def test_sq8_training_is_one_aggregate_no_vector_shuffle(spark, queries):
+    plan = _plan(queries["sim_sq8_topk"](spark, SF))
+    # min/max training must be a map-side-partial aggregate to one
+    # row broadcast back in -- never an explode/Generate of the
+    # vector stream through a shuffle; the candidate join stays a
+    # broadcast nested loop (query side), not a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan
+    assert "BroadcastExchange" in plan

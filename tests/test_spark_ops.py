@@ -1632,3 +1632,44 @@ def test_ccnet_buckets_per_language_independent(spark):
     assert len({scores[0], scores[1], scores[2]}) == 3
     order = sorted((0, 1, 2), key=lambda d: -scores[d])
     assert [out[d] for d in order] == ["head", "middle", "tail"]
+
+
+def test_sq8_codes_bounded_and_reconstruction_error(spark):
+    """SQ8 codes live in [0, 255]; bin-midpoint dequantization is
+    within span/(2*256) of the original in every dimension."""
+    from ferenda_spark.operators.similarity import sq8_quantize
+    emb = _clustered_emb(spark)
+    codes = sq8_quantize(emb, dim=8).collect()
+    assert all(0 <= c <= 255 for r in codes for c in r.codes)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in codes:
+        for d in range(8):
+            xh = r.mn[d] + (r.codes[d] + 0.5) * r.span[d] / 256.0
+            assert abs(xh - orig[r.vec_id][d]) <= r.span[d] / 512 + 1e-9
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """256-level scalar quantization of 8-dim clustered vectors barely
+    moves cosines: top-5 recall vs brute force stays >= 0.9."""
+    from ferenda_spark.operators.similarity import cosine_topk, sq8_topk
+    emb = _clustered_emb(spark)
+    qids = [0, 35, 70, 100]
+    truth = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, qids, k=5).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in sq8_topk(emb, qids, dim=8, k=5).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, "SQ8 recall %.3f below pinned bar" % recall
+
+
+def test_sq8_constant_dimension_codes_zero(spark):
+    """A constant dimension (span 0) codes to 0 and dequantizes to the
+    constant itself -- no division-by-zero NaN leaks into distances."""
+    from ferenda_spark.operators.similarity import sq8_quantize
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.5]), (1, [3.0, 2.5]), (2, [5.0, 2.5])],
+        "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sq8_quantize(emb, dim=2).collect()}
+    assert all(r.codes[1] == 0 for r in out.values())
+    assert out[0].span[1] == 0.0
+    assert out[0].codes[0] == 0 and out[2].codes[0] == 255
