@@ -215,6 +215,53 @@ def _q_events_windowed_counts(spark, sf_dir):
     return windowed_event_counts(_read(spark, sf_dir, "events"))
 
 
+def _q_events_asof_attribution(spark, sf_dir):
+    """Last-touch attribution as an AS-OF JOIN: every purchase picks
+    the same user's most recent click at-or-before it.  Implemented
+    as tag-union + one keyed window (operators/temporal.asof_join) —
+    never an inequality join, which Spark compiles to a nested loop.
+    Oracle: DuckDB LATERAL top-1, the declarative statement of the
+    same semantics."""
+    from ferenda_spark.operators.temporal import asof_join
+    ev = _read(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_event_id"),
+                      "user_id", F.col("ts").alias("click_ts")))
+    return (asof_join(purchases, clicks, on=["user_id"],
+                      point_ts="ts", dim_ts="click_ts",
+                      payload=["click_event_id", "click_ts"],
+                      tiebreak="click_event_id")
+            .select("event_id", "user_id",
+                    "asof_click_event_id", "asof_click_ts")
+            .orderBy("event_id"))
+
+
+def _q_events_range_join(spark, sf_dir):
+    """Point-in-interval RANGE JOIN: purchases inside the 24 h window
+    after any signup by the same user.  Implemented bucketized
+    (operators/temporal.range_join): intervals explode to 6 h
+    buckets, points map to one bucket, equi-join + exact containment
+    filter — bounded fan-out instead of Spark's nested-loop plan for
+    raw inequality predicates."""
+    from ferenda_spark.operators.temporal import range_join
+    ev = _read(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    signups = (ev.where(F.col("event_type") == "signup")
+               .select(F.col("event_id").alias("signup_id"), "user_id",
+                       F.col("ts").alias("win_start"),
+                       (F.col("ts") + F.expr("INTERVAL 24 HOURS"))
+                       .alias("win_end")))
+    return (range_join(purchases, signups, ["user_id"],
+                       "ts", "win_start", "win_end",
+                       granularity_s=21600)
+            .select("purchase_id", "signup_id", "user_id")
+            .orderBy("purchase_id", "signup_id"))
+
+
 def _q_events_sessions(spark, sf_dir):
     """Batch twin of the stateful-streaming sessionizer
     (streaming.sessionize): gap-based user sessions via window
@@ -1715,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_month_histogram": _q_events_month_histogram,
         "events_windowed_counts": _q_events_windowed_counts,
         "events_sessions": _q_events_sessions,
+        "events_asof_attribution": _q_events_asof_attribution,
+        "events_range_join": _q_events_range_join,
         "wiki_links": _q_wiki_links,
         "customers_without_orders": _q_customers_without_orders,
         "search_documents": _q_search_documents,
@@ -2324,6 +2373,31 @@ def oracle_sql() -> dict[str, str]:
                      AS window_end,
                    event_type, COUNT(*) AS n_events
             FROM events GROUP BY 1, 2, 3""",
+        # as-of: LATERAL top-1 is the declarative twin of the
+        # tag-union window implementation
+        "events_asof_attribution": """
+            SELECT p.event_id, p.user_id,
+                   c.click_event_id AS asof_click_event_id,
+                   c.click_ts AS asof_click_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+              SELECT event_id AS click_event_id, ts AS click_ts
+              FROM events e
+              WHERE e.event_type = 'click'
+                AND e.user_id = p.user_id AND e.ts <= p.ts
+              ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) c ON TRUE
+            ORDER BY p.event_id""",
+        "events_range_join": """
+            SELECT p.event_id AS purchase_id,
+                   s.event_id AS signup_id, p.user_id
+            FROM events p JOIN events s
+              ON s.user_id = p.user_id
+            WHERE p.event_type = 'purchase'
+              AND s.event_type = 'signup'
+              AND p.ts >= s.ts
+              AND p.ts < s.ts + INTERVAL 24 HOUR
+            ORDER BY 1, 2""",
         "events_sessions": """
             WITH l AS (
               SELECT user_id, event_id, ts,

@@ -1,0 +1,101 @@
+"""Temporal joins Spark's DataFrame API lacks as built-ins — as-of
+join and range (point-in-interval) join — expressed as compositions
+of existing operators (driver mandate: custom operators via
+composition before UDFs).  Reference analogue: the archive/version
+"latest at time T" lookups in documentstore (versioned_current,
+snapshot time travel) generalized to arbitrary event/dimension
+streams.
+
+* :func:`asof_join` — each point row picks the dimension row with the
+  greatest timestamp at-or-before its own, per key.  NOT implemented
+  as an inequality join (quadratic blow-up, unusable at 10^12 rows):
+  both sides are tagged and unioned, shuffled ONCE on the key, and a
+  single ordered window carries the last dimension payload forward
+  (``last(ignorenulls)`` over a struct, so multi-column payloads stay
+  row-atomic).  Wall-clock = one shuffle + one sort, the same cost as
+  the window aggregations the events pipeline already runs.
+* :func:`range_join` — points matched to intervals [start, end) per
+  key.  Spark compiles a raw ``t BETWEEN start AND end`` predicate to
+  a nested-loop; instead intervals explode to coarse time buckets
+  (bounded fan-out = interval length / granularity), points map to
+  ONE bucket, and the match is an equi-join on (key, bucket) with the
+  exact containment filter applied after — the standard bucketized
+  interval join.  Granularity trades replication for selectivity;
+  both are map-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_PT, _T, _PAY, _SEQ = "__is_pt", "__t", "__pay", "__seq"
+
+
+def asof_join(points: DataFrame, dim: DataFrame, on: list[str],
+              point_ts: str, dim_ts: str, payload: list[str],
+              tiebreak: str, prefix: str = "asof_") -> DataFrame:
+    """Left as-of join: every ``points`` row gains
+    ``<prefix><payload-col>`` columns from the ``dim`` row with the
+    greatest ``dim_ts`` <= ``point_ts`` within the same ``on`` key
+    (NULLs when no dim row precedes the point).  Equal timestamps
+    count as "before" (at-or-before); among equal-timestamp dim rows
+    the greatest ``tiebreak`` wins — pass a unique dim column or the
+    pick is nondeterministic by definition.
+
+    Skew note: a hot key's points and dim rows land in one window
+    task; for genuinely pathological keys pre-split by coarse time
+    range and stitch the boundary (same discipline as domain_cap) —
+    not wired here because the window carries ALL state in one pass
+    and the stitch needs a second.
+    """
+    pay_struct = F.struct(*[F.col(c) for c in payload])
+    dm = dim.select(
+        *on,
+        F.col(dim_ts).alias(_T),
+        F.lit(0).alias(_PT),
+        F.col(tiebreak).alias(_SEQ),
+        pay_struct.alias(_PAY))
+    pts = (points
+           .withColumn(_T, F.col(point_ts))
+           .withColumn(_PT, F.lit(1))
+           .withColumn(_SEQ, F.lit(None).cast(dm.schema[_SEQ].dataType))
+           .withColumn(_PAY, F.lit(None).cast(dm.schema[_PAY].dataType)))
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col(_T), F.col(_PT), F.col(_SEQ))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = (pts.unionByName(dm, allowMissingColumns=True)
+               .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w)))
+    out = carried.where(F.col(_PT) == 1)
+    for c in payload:
+        out = out.withColumn(prefix + c, F.col(_PAY)[c])
+    return out.drop(_PT, _T, _PAY, _SEQ)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: list[str],
+               point_ts: str, start_col: str, end_col: str,
+               granularity_s: int = 21600) -> DataFrame:
+    """Inner point-in-interval join: rows pairing each ``points`` row
+    with every ``intervals`` row of the same ``on`` key whose
+    [``start_col``, ``end_col``) contains ``point_ts``.  Column sets
+    must be disjoint apart from ``on`` (pre-rename collisions).
+
+    Each interval replicates to ceil(length/granularity)+1 bucket
+    rows; each point maps to exactly one bucket, so the pair appears
+    at most once and no distinct is needed.  Bucketing uses
+    whole-second epochs (unix_timestamp truncates sub-second parts —
+    truncation is monotone, so bucket coverage of [start, end) is
+    preserved); the exact containment filter compares the raw
+    timestamps."""
+    g = int(granularity_s)
+    b = "__b"
+
+    def _bucket(c):
+        return F.floor(F.unix_timestamp(F.col(c)) / g).cast("long")
+
+    pb = points.withColumn(b, _bucket(point_ts))
+    ib = intervals.withColumn(
+        b, F.explode(F.sequence(_bucket(start_col), _bucket(end_col))))
+    return (pb.join(ib, on + [b])
+            .where((F.col(point_ts) >= F.col(start_col))
+                   & (F.col(point_ts) < F.col(end_col)))
+            .drop(b))

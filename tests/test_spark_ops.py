@@ -1673,3 +1673,68 @@ def test_sq8_constant_dimension_codes_zero(spark):
     assert all(r.codes[1] == 0 for r in out.values())
     assert out[0].span[1] == 0.0
     assert out[0].codes[0] == 0 and out[2].codes[0] == 255
+
+
+def test_asof_join_semantics(spark):
+    """At-or-before inclusive; greatest-tiebreak on equal dim ts;
+    NULLs when nothing precedes; multi-column payload row-atomic."""
+    import datetime as dt
+    from ferenda_spark.operators.temporal import asof_join
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    pts = spark.createDataFrame(
+        [(1, 10, T(5)), (2, 10, T(10)), (3, 10, T(2)), (4, 20, T(9))],
+        "event_id long, user_id long, ts timestamp")
+    dim = spark.createDataFrame(
+        [(100, 10, T(5), "a"), (101, 10, T(5), "b"), (102, 10, T(8), "c"),
+         (103, 30, T(1), "z")],
+        "click_event_id long, user_id long, click_ts timestamp, tag string")
+    out = {r.event_id: r for r in asof_join(
+        pts, dim, on=["user_id"], point_ts="ts", dim_ts="click_ts",
+        payload=["click_event_id", "tag"],
+        tiebreak="click_event_id").collect()}
+    # equal-ts dim rows: tiebreak picks 101; at-or-before includes t=5
+    assert (out[1].asof_click_event_id, out[1].asof_tag) == (101, "b")
+    assert (out[2].asof_click_event_id, out[2].asof_tag) == (102, "c")
+    assert out[3].asof_click_event_id is None and out[3].asof_tag is None
+    assert out[4].asof_click_event_id is None  # user 20 has no dim rows
+
+
+def test_range_join_equals_naive_inequality_join(spark):
+    """Bucketized range join returns EXACTLY the naive inequality
+    join, across bucket boundaries and multi-bucket intervals."""
+    import datetime as dt
+    from ferenda_spark.operators.temporal import range_join
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(minutes=17 * i))
+         for i in range(60)],
+        "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(j, j % 3, base + dt.timedelta(minutes=40 * j),
+          base + dt.timedelta(minutes=40 * j + 95))
+         for j in range(12)],
+        "iid long, k long, s timestamp, e timestamp")
+    got = sorted((r.pid, r.iid) for r in range_join(
+        pts, iv, ["k"], "ts", "s", "e", granularity_s=1800).collect())
+    want = sorted((p.pid, i.iid)
+                  for p in pts.collect() for i in iv.collect()
+                  if p.k == i.k and i.s <= p.ts < i.e)
+    assert got == want and len(got) > 0
+
+
+def test_range_join_boundaries(spark):
+    """start inclusive, end exclusive — checked exactly on the
+    boundary instants."""
+    import datetime as dt
+    from ferenda_spark.operators.temporal import range_join
+    s0 = dt.datetime(2024, 1, 1, 6, 0, 0)
+    e0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pts = spark.createDataFrame(
+        [(1, 1, s0), (2, 1, e0),
+         (3, 1, e0 - dt.timedelta(microseconds=1))],
+        "pid long, k long, ts timestamp")
+    iv = spark.createDataFrame([(9, 1, s0, e0)],
+                               "iid long, k long, s timestamp, e timestamp")
+    got = {r.pid for r in range_join(pts, iv, ["k"], "ts", "s", "e")
+           .collect()}
+    assert got == {1, 3}
