@@ -682,6 +682,20 @@ def _q_train_domain_cap(spark, sf_dir):
             .orderBy("host", "rank"))
 
 
+def _q_train_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (Xie et al. 2023): hashed
+    unigram bag-of-words models of the target (lang='en' slice) and
+    raw corpus, each doc weighted by its mean token log-likelihood
+    ratio.  O(n_buckets) model table broadcast into a map-side score;
+    the training-data-selection counterpart of the reference's facet
+    selection (SURVEY.md P15)."""
+    from ferenda_spark.operators.training import dsir_weights
+    return (dsir_weights(
+        _read(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        target_lang="en", n_buckets=1024)
+        .orderBy("doc_id"))
+
+
 def _q_mm_image_meta(spark, sf_dir):
     from ferenda_spark.operators.multimodal import image_meta, with_blob
     return image_meta(with_blob(_read(spark, sf_dir, "documents")))
@@ -1792,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_sq8_topk": _q_sim_sq8_topk,
         "dedup_semantic": _q_dedup_semantic,
         "train_domain_cap": _q_train_domain_cap,
+        "train_dsir_weights": _q_train_dsir_weights,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
@@ -3092,6 +3107,51 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT doc_id, host, score, rank FROM r
             WHERE rank <= 5 ORDER BY host, rank""",
+        # DSIR: add-one smoothed hashed-unigram LLR against the
+        # lang='en' target slice; bucket = first-8-md5-hex % 1024
+        # (the portable_bucket contract), weights rounded to 6 digits
+        "train_dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            ft AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                       % 1024 AS b
+              FROM (SELECT doc_id, lang, unnest(tk) AS w FROM toks)),
+            counts AS (
+              SELECT b,
+                     SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+                     SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cn
+              FROM ft GROUP BY b),
+            tot AS (
+              SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+                     SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
+              FROM ft),
+            llr AS (
+              SELECT b, ln(ct + 1.0) - ln(nt + 1024.0)
+                        - ln(cn + 1.0) + ln(nn + 1024.0) AS llr
+              FROM counts CROSS JOIN tot),
+            sc AS (
+              SELECT doc_id, COUNT(*) AS n_tokens,
+                     round(AVG(llr), 6) AS dsir_logw
+              FROM ft JOIN llr USING (b)
+              GROUP BY doc_id),
+            pw AS (SELECT dsir_logw, COUNT(*) AS c FROM sc GROUP BY 1),
+            cuts AS (
+              SELECT dsir_logw,
+                     COALESCE(SUM(c) OVER (
+                       ORDER BY dsir_logw DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS c_before,
+                     SUM(c) OVER () AS n_all
+              FROM pw)
+            SELECT sc.doc_id, sc.n_tokens, sc.dsir_logw,
+                   cuts.c_before * 2 // cuts.n_all = 0 AS target_like
+            FROM sc JOIN cuts USING (dsir_logw)
+            ORDER BY sc.doc_id""",
         "sim_lsh_topk": "WITH " + _EMB_CTE + """,
             b AS MATERIALIZED (""" + _sign_bands_sql("raw", 8, 4) + """),
             q AS (SELECT vec_id AS query_id, band, bucket

@@ -76,7 +76,7 @@ HEADLINE = [
     # r4 continuation: cluster-bounded semantic dedup (SemDeDup),
     # skew-aware per-domain quota, CCNet perplexity buckets,
     # Adamic-Adar link prediction
-    "dedup_semantic", "train_domain_cap",
+    "dedup_semantic", "train_domain_cap", "train_dsir_weights",
     "text_ccnet_buckets", "kg_link_prediction", "sim_sq8_topk",
 ]
 

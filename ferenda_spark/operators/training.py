@@ -260,3 +260,78 @@ def train_corpus(documents: DataFrame, key_col: str = "doc_id",
            .select("doc_id", F.col("text_redacted").alias("text")))
     return chunk_documents(red, window=window, stride=stride,
                            key_col="doc_id", text_col="text")
+
+
+def dsir_weights(documents: DataFrame, target_lang: str = "en",
+                 n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    model the target and raw distributions over HASHED unigram
+    features, and weight each raw document by its average
+    log-likelihood ratio under the two bag-of-words models.  Here the
+    target distribution is the ``lang == target_lang`` slice of the
+    corpus itself (DSIR's target is any trusted subset; the slice
+    keeps the oracle closed-form), add-one smoothed over `n_buckets`
+    hashed-feature buckets.
+
+    weight(doc) = mean over tokens of
+        ln (ct[b]+1)/(Nt+B) - ln (cn[b]+1)/(Nn+B)
+    where b = portable md5 bucket of the token, ct/cn = target /
+    non-target bucket counts, Nt/Nn their totals, B = n_buckets (the
+    contrast is target vs complement — contrasting against the full
+    raw corpus, which CONTAINS the target, biases every smoothed
+    ratio below 1).  ``target_like`` marks the top half of the corpus
+    by weight, decided with the rank-based integer split of
+    :func:`ferenda_spark.operators.textstats.ccnet_buckets` (whole
+    tie group together, no float percentile).
+
+    Scale shape: feature extraction is map-side (hash of each token,
+    no vocabulary table); the two count tables are one groupBy each
+    over at most `n_buckets` keys (map-side partials collapse them);
+    totals are a 1-row broadcast aggregate; the scoring join keys on
+    the bucket id against a `n_buckets`-row broadcast table; the
+    final per-doc mean is one groupBy on doc_id.  The median split
+    windows over the groupBy(weight) AGGREGATE, whose size is capped
+    by the 6-digit rounding (every weight is a mean of per-bucket
+    logs, so the value range is a few units wide — at most a few
+    hundred thousand distinct rounded values no matter how many
+    documents), then joins back keyed on the weight.  No shuffle
+    ever carries text; the model table is O(n_buckets), not O(vocab).
+
+    Returns (doc_id, n_tokens, dsir_logw, target_like); docs whose
+    text splits to zero tokens cannot occur (split('') = ['']), so
+    every document scores.
+    """
+    toks = tokens(F.col("text"))
+    feats = (documents.select("doc_id", "lang",
+                              F.explode(toks).alias("w"))
+             .select("doc_id", "lang",
+                     portable_bucket(F.col("w"), n_buckets).alias("b")))
+    is_t = (F.col("lang") == target_lang).cast("long")
+    counts = feats.groupBy("b").agg(
+        F.sum(is_t).alias("ct"),
+        F.sum(1 - is_t).alias("cn"))
+    totals = feats.agg(F.sum(is_t).alias("nt"),
+                       F.sum(1 - is_t).alias("nn"))
+    llr = (counts.crossJoin(F.broadcast(totals))
+           .select("b",
+                   (F.log(F.col("ct") + 1) - F.log(F.col("nt") + n_buckets)
+                    - F.log(F.col("cn") + 1)
+                    + F.log(F.col("nn") + n_buckets)).alias("llr")))
+    scored = (feats.join(F.broadcast(llr), "b")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.round(F.avg("llr"), 6).alias("dsir_logw")))
+    per_w = scored.groupBy("dsir_logw").agg(F.count("*").alias("c"))
+    win = (Window.orderBy(F.col("dsir_logw").desc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    cuts = (per_w
+            .withColumn("c_before",
+                        F.coalesce(F.sum("c").over(win), F.lit(0)))
+            .withColumn("n_all", F.sum("c").over(
+                Window.partitionBy(F.lit(1))))
+            .select("dsir_logw",
+                    F.expr("c_before * 2 div n_all = 0")
+                    .alias("target_like")))
+    return (scored.join(F.broadcast(cuts), "dsir_logw")
+            .select("doc_id", "n_tokens", "dsir_logw", "target_like"))

@@ -1738,3 +1738,29 @@ def test_range_join_boundaries(spark):
     got = {r.pid for r in range_join(pts, iv, ["k"], "ts", "s", "e")
            .collect()}
     assert got == {1, 3}
+
+
+def test_dsir_weights_separate_target_from_raw(spark):
+    """Docs made of target-only vocabulary must score positive
+    (target-like), docs of raw-only vocabulary negative; a shared-
+    vocabulary doc sits between them.  Exact values are pinned by the
+    oracle gate; this checks the ranking semantics and the guarantee
+    that every doc scores."""
+    from ferenda_spark.operators.training import dsir_weights
+    rows = [
+        (1, "en", "alpha beta alpha beta alpha beta"),
+        (2, "en", "alpha beta gamma alpha beta gamma"),
+        (3, "zh", "omega psi omega psi omega psi"),
+        (4, "zh", "omega psi alpha omega psi alpha"),
+        (5, "zh", "alpha beta alpha beta alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target_lang="en", n_buckets=64).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert all(out[i]["n_tokens"] == 6 for i in out)
+    # pure-target vocab scores higher than mixed, mixed higher than raw
+    assert out[1]["dsir_logw"] > out[4]["dsir_logw"] > out[3]["dsir_logw"]
+    assert out[1]["target_like"] and not out[3]["target_like"]
+    # doc 5 has target vocabulary despite raw lang: weight matches doc 1
+    assert out[5]["dsir_logw"] == out[1]["dsir_logw"]
