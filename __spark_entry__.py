@@ -389,6 +389,19 @@ def _q_dedup_incremental(spark, sf_dir):
             .orderBy("new_doc", "base_doc"))
 
 
+def _q_dedup_edit_verified(spark, sf_dir):
+    """Candidate verification: LSH-banded pairs confirmed by exact
+    normalized Levenshtein (>= 0.8), rejecting banding's collision
+    false positives before clustering merges distinct docs.  Text
+    shuffles only for the candidate set; the O(len^2) kernel runs
+    JVM-side per pair."""
+    from ferenda_spark.operators.dedup import edit_verified_pairs
+    return (edit_verified_pairs(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"),
+        n=3, num_hashes=8, band_size=2, min_sim=0.8)
+        .orderBy("doc_a", "doc_b"))
+
+
 def _q_dedup_jaccard_pairs(spark, sf_dir):
     """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
     (r1 ran it guard-off — quadratic on hot shingles at scale):
@@ -1787,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": _q_dedup_spans,
         "dedup_span_removed": _q_dedup_span_removed,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_edit_verified": _q_dedup_edit_verified,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2561,6 +2575,28 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
+        # LSH candidates verified by exact normalized Levenshtein;
+        # both-empty pairs define sim = 1.0
+        "dedup_edit_verified": "WITH " + _MINHASH_CTE + """,
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            v AS (
+              SELECT p.doc_a, p.doc_b,
+                     levenshtein(da.text, db.text) AS edit_dist,
+                     CASE WHEN greatest(length(da.text),
+                                        length(db.text)) = 0 THEN 1.0
+                          ELSE round(1.0 - levenshtein(da.text, db.text)
+                                     * 1.0 / greatest(length(da.text),
+                                                      length(db.text)), 6)
+                     END AS edit_sim
+              FROM prs p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b)
+            SELECT doc_a, doc_b, edit_dist, edit_sim FROM v
+            WHERE edit_sim >= 0.8 ORDER BY doc_a, doc_b""",
         # signatures are per-doc, so bucketing all docs then splitting
         # equals bucketing each side separately
         "dedup_incremental": "WITH " + _MINHASH_CTE + """

@@ -367,3 +367,39 @@ def remove_repeated_spans(documents: DataFrame, window: int = 4,
         F.array_join(F.transform(kept, lambda x: x["t"]), " ")
         .alias("clean_text"),
         (F.size(tk) - F.size(kept)).alias("n_removed"))
+
+
+def edit_verified_pairs(documents: DataFrame, n: int = 3,
+                        num_hashes: int = 8, band_size: int = 2,
+                        min_sim: float = 0.8) -> DataFrame:
+    """Candidate verification — the second half of a production
+    near-dup pipeline: LSH banding proposes pairs cheaply
+    (:func:`minhash_band_pairs`) and an EXACT normalized edit
+    distance confirms them, rejecting banding's hash-collision false
+    positives before they merge distinct documents.  edit_sim =
+    1 - levenshtein / max(len) (1.0 when both texts are empty),
+    kept iff >= `min_sim`.
+
+    Scale shape: text shuffles only for the candidate pairs (two
+    joins keyed on doc id — candidate count is bounded by the band
+    design, orders of magnitude below the pair square), and the
+    O(len^2) Levenshtein kernel runs JVM-side per surviving pair
+    only.  Never used on the raw corpus square.
+
+    Returns (doc_a, doc_b, edit_dist, edit_sim) verified pairs."""
+    cand = minhash_band_pairs(documents, n, num_hashes, band_size)
+    ta = documents.select(F.col("doc_id").alias("doc_a"),
+                          F.col("text").alias("text_a"))
+    tb = documents.select(F.col("doc_id").alias("doc_b"),
+                          F.col("text").alias("text_b"))
+    sim = F.when(
+        F.greatest(F.length("text_a"), F.length("text_b")) == 0,
+        F.lit(1.0)
+    ).otherwise(F.round(
+        1 - F.levenshtein("text_a", "text_b")
+        / F.greatest(F.length("text_a"), F.length("text_b")), 6))
+    return (cand.join(ta, "doc_a").join(tb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.levenshtein("text_a", "text_b").alias("edit_dist"),
+                    sim.alias("edit_sim"))
+            .where(F.col("edit_sim") >= min_sim))

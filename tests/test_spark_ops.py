@@ -1764,3 +1764,24 @@ def test_dsir_weights_separate_target_from_raw(spark):
     assert out[1]["target_like"] and not out[3]["target_like"]
     # doc 5 has target vocabulary despite raw lang: weight matches doc 1
     assert out[5]["dsir_logw"] == out[1]["dsir_logw"]
+
+
+def test_edit_verified_pairs_rejects_lsh_false_positives(spark):
+    """Cyclic token streams have the SAME distinct 3-gram shingle set
+    at any length >= 5 tokens, so LSH banding deterministically pairs
+    a short and a 10x-longer doc (identical signatures) — a true
+    banding false positive.  Exact edit-distance verification must
+    reject it while keeping the genuine duplicate pair."""
+    from ferenda_spark.operators.dedup import (edit_verified_pairs,
+                                               minhash_band_pairs)
+    cycle = "alpha beta gamma "
+    rows = [(1, cycle * 20), (2, cycle * 20), (3, cycle * 200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in minhash_band_pairs(docs).collect()}
+    assert cand == {(1, 2), (1, 3), (2, 3)}  # all banded together
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in edit_verified_pairs(docs, min_sim=0.8).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)]["edit_dist"] == 0
+    assert out[(1, 2)]["edit_sim"] == 1.0
