@@ -524,6 +524,29 @@ def _q_clean_strip_boilerplate(spark, sf_dir):
     return strip_hot_lines(docs, min_docs=3)
 
 
+def _q_text_c4_rules(spark, sf_dir):
+    """C4 page rule set (Raffel et al. 2020 §2.2).  The corpus is
+    single-line unpunctuated word soup, so sentence structure is
+    synthesized deterministically (terminal-punct lines via the
+    ' the '/' value ' split, mirrored verbatim in the oracle) and the
+    page poisons are planted on closed-form doc-id slices (%17 lorem
+    ipsum, %23 curly brace) so both reject branches provably fire."""
+    from ferenda_spark.operators.cleaning import c4_rules
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", " (the|value) ", ".\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("."))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit("\npage filler with lorem ipsum inside it."))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 0,
+                   F.lit("\njs config { block } trailing text here."))
+             .otherwise(F.lit(""))).alias("text"))
+    return c4_rules(docs).orderBy("doc_id")
+
+
 def _q_clean_redact_pii(spark, sf_dir):
     """PII redaction: deterministic email/IP suffixes are planted per
     doc, then redacted by the regexp_replace chain; the oracle is the
@@ -1822,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_domain_cap": _q_train_domain_cap,
         "train_dsir_weights": _q_train_dsir_weights,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
+        "text_c4_rules": _q_text_c4_rules,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
         "clean_contaminated": _q_clean_contaminated,
@@ -2854,6 +2878,47 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, rank, cosine_r FROM ranked
             WHERE rank <= 10""",
+        # C4 §2.2 page rules over the synthesized sentence structure:
+        # line kept iff terminal punct AND >= 5 words; page kept iff
+        # >= 3 sentences and neither planted poison
+        "text_c4_rules": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' (the|value) ',
+                                    '.' || chr(10), 'g')
+                     || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                        'page filler with lorem ipsum inside it.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 23 = 0 THEN chr(10) ||
+                        'js config { block } trailing text here.'
+                        ELSE '' END AS text
+              FROM documents),
+            k AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS lines,
+                     list_filter(string_split(text, chr(10)),
+                       x -> regexp_matches(x, '[.!?"]$')
+                            AND len(string_split_regex(trim(x),
+                                                       ' +')) >= 5)
+                       AS kept
+              FROM d),
+            s AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines,
+                     len(kept) AS n_kept_lines,
+                     -- array_to_string([]) is NULL in DuckDB
+                     len(string_split_regex(
+                       COALESCE(array_to_string(kept, chr(10)), ''),
+                       '[.!?]')) - 1 AS n_sentences,
+                     contains(text, 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace
+              FROM k)
+            SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+                   has_lorem, has_brace,
+                   n_sentences >= 3 AND NOT has_lorem
+                     AND NOT has_brace AS keep
+            FROM s ORDER BY doc_id""",
         "clean_strip_boilerplate": r"""
             WITH d AS (
               SELECT doc_id,

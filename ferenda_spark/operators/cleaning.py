@@ -207,3 +207,37 @@ def url_host_stats(pages: DataFrame, url_col: str = "url") -> DataFrame:
             .groupBy("host")
             .agg(F.count(F.lit(1)).alias("n_urls"),
                  F.countDistinct("curl").alias("n_canonical")))
+
+
+def c4_rules(documents: DataFrame) -> DataFrame:
+    """The C4 page-level rule set (Raffel et al. 2020, §2.2) as an
+    auditable per-document report: line-retention counts (a line
+    survives iff it ends in terminal punctuation AND has >= 5 words),
+    sentence count over the surviving lines, the "lorem ipsum" and
+    curly-brace page poisons, and the composite keep decision
+    (>= 3 sentences, no poison).  Complements the Gopher rule set
+    (textstats.gopher_rules): C4 is line-oriented, Gopher
+    token-oriented; production pipelines run both.
+
+    Scale shape: one pure column expression per document — the line
+    split, per-line filters, and sentence count are array ops inside
+    whole-stage codegen; no shuffle, no UDF, no vocabulary state.
+
+    Returns (doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, keep)."""
+    lines = F.split(F.col("text"), "\n")
+    is_kept = (lambda ln: ln.rlike('[.!?"]$')
+               & (F.size(F.split(F.trim(ln), " +")) >= 5))
+    kept = F.filter(lines, is_kept)
+    kept_text = F.array_join(kept, "\n")
+    n_sent = F.size(F.split(kept_text, "[.!?]")) - 1
+    return documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        F.col("text").contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+        ((n_sent >= 3)
+         & ~F.col("text").contains("lorem ipsum")
+         & ~F.col("text").contains("{")).alias("keep"))

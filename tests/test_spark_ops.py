@@ -1785,3 +1785,27 @@ def test_edit_verified_pairs_rejects_lsh_false_positives(spark):
     assert set(out) == {(1, 2)}
     assert out[(1, 2)]["edit_dist"] == 0
     assert out[(1, 2)]["edit_sim"] == 1.0
+
+
+def test_c4_rules_line_and_page_semantics(spark):
+    """Line kept iff terminal punct AND >=5 words; page kept iff >=3
+    sentences and no lorem-ipsum / curly-brace poison."""
+    from ferenda_spark.operators.cleaning import c4_rules
+    rows = [
+        (1, "one two three four five.\nsix seven eight nine ten!\n"
+            "eleven twelve thirteen fourteen fifteen?"),     # 3 kept, keep
+        (2, "one two three four five.\nshort line.\n"
+            "no terminal punct here at all"),                # 1 kept, drop
+        (3, "one two three four five.\nsix seven eight nine ten.\n"
+            "a b c d e f. second sentence here too!"),       # multi-sent line
+        (4, "one two three four five. x! y?\nlorem ipsum in this page."),
+        (5, "code page { body } one two.\nthree four five six seven."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+    assert out[1]["n_kept_lines"] == 3 and out[1]["n_sentences"] == 3
+    assert out[1]["keep"]
+    assert out[2]["n_kept_lines"] == 1 and not out[2]["keep"]
+    assert out[3]["n_sentences"] == 4 and out[3]["keep"]
+    assert out[4]["has_lorem"] and not out[4]["keep"]
+    assert out[5]["has_brace"] and not out[5]["keep"]
