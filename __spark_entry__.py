@@ -547,6 +547,29 @@ def _q_text_c4_rules(spark, sf_dir):
     return c4_rules(docs).orderBy("doc_id")
 
 
+def _q_dedup_url_recrawl(spark, sf_dir):
+    """Recrawl dedup: messy URLs planted so ~3.5 docs share each
+    canonical URL (id param mod 10 instead of url_canonical's mod 50),
+    capture timestamps in closed form from doc_id; keep the newest
+    capture per canonical URL via the two-phase bucketed k=1 cap."""
+    from ferenda_spark.operators.cleaning import best_capture
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.lit("https://WWW.Host"), (did % 4).cast("string"),
+        F.lit(".Example.org:443//p"), (did % 7).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&id="), (did % 10).cast("string"),
+        F.lit("&gclid=g"),
+        F.when(did % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    pages = (_read(spark, sf_dir, "documents")
+             .select("doc_id", messy.alias("url"),
+                     F.to_timestamp(F.date_add(
+                         F.lit("2024-01-01").cast("date"),
+                         ((did * 13) % 97).cast("int")))
+                     .alias("warc_ts")))
+    return best_capture(pages).orderBy("canonical_url")
+
+
 def _q_clean_redact_pii(spark, sf_dir):
     """PII redaction: deterministic email/IP suffixes are planted per
     doc, then redacted by the regexp_replace chain; the oracle is the
@@ -1846,6 +1869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_dsir_weights": _q_train_dsir_weights,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
+        "dedup_url_recrawl": _q_dedup_url_recrawl,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
         "clean_contaminated": _q_clean_contaminated,
@@ -3756,6 +3780,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(regexp_extract(subj, '(\\d+)$', 1) AS BIGINT)
                   % 3 = 0
             GROUP BY pred ORDER BY pred""",
+        # newest capture per canonical URL; canonical form stated in
+        # closed form from doc_id (id param mod 10 -> collisions)
+        "dedup_url_recrawl": """
+            WITH c AS (
+              SELECT doc_id,
+                     'https://host' || (doc_id % 4) || '.example.org/p'
+                     || (doc_id % 7) || '?id=' || (doc_id % 10)
+                       AS canonical_url,
+                     CAST(DATE '2024-01-01'
+                          + CAST((doc_id * 13) % 97 AS INT)
+                          AS TIMESTAMP) AS warc_ts
+              FROM documents),
+            best AS (
+              SELECT doc_id, canonical_url, warc_ts,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY warc_ts DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY canonical_url)
+                       AS n_captures
+              FROM c)
+            SELECT canonical_url, n_captures, doc_id, warc_ts
+            FROM best WHERE rn = 1 ORDER BY canonical_url""",
         "url_canonical": """
             WITH c AS (
               SELECT 'https://host' || (doc_id % 4) || '.example.org/p'

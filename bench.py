@@ -77,7 +77,7 @@ HEADLINE = [
     # skew-aware per-domain quota, CCNet perplexity buckets,
     # Adamic-Adar link prediction
     "dedup_semantic", "train_domain_cap", "train_dsir_weights",
-    "dedup_edit_verified", "text_c4_rules",
+    "dedup_edit_verified", "text_c4_rules", "dedup_url_recrawl",
     "text_ccnet_buckets", "kg_link_prediction", "sim_sq8_topk",
 ]
 

@@ -241,3 +241,32 @@ def c4_rules(documents: DataFrame) -> DataFrame:
         ((n_sent >= 3)
          & ~F.col("text").contains("lorem ipsum")
          & ~F.col("text").contains("{")).alias("keep"))
+
+
+def best_capture(pages: DataFrame, url_col: str = "url",
+                 ts_col: str = "warc_ts",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Recrawl deduplication — Common-Crawl keeps many captures of
+    the same page across monthly snapshots; a training corpus wants
+    exactly one.  Canonicalize every URL (:func:`canonical_url`),
+    then keep the NEWEST capture per canonical URL (tie-broken on the
+    id for determinism), reporting how many captures collapsed.
+
+    Scale shape: canonicalization is map-side; the capture count is
+    one hash groupBy on the canonical URL; the keep-one decision is
+    :func:`ferenda_spark.operators.training.domain_cap` with k=1 —
+    the two-phase bucketed ranking, so a hot URL (a page captured in
+    every snapshot) never lands in a single task.
+
+    Returns (canonical_url, n_captures, <id_col>, <ts_col>) with one
+    row per distinct canonical URL."""
+    from .training import domain_cap
+    canon = pages.withColumn("canonical_url",
+                             canonical_url(F.col(url_col)))
+    n = (canon.groupBy("canonical_url")
+         .agg(F.count("*").alias("n_captures")))
+    best = domain_cap(canon, "canonical_url",
+                      [F.col(ts_col).desc(), F.col(id_col)],
+                      k=1, id_col=id_col)
+    return best.join(n, "canonical_url").select(
+        "canonical_url", "n_captures", id_col, ts_col)
