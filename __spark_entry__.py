@@ -547,6 +547,23 @@ def _q_text_c4_rules(spark, sf_dir):
     return c4_rules(docs).orderBy("doc_id")
 
 
+def _q_search_bm25(spark, sf_dir):
+    """Full BM25 over the documents corpus for three fixed
+    information needs: exact-token tf, Lucene-form idf, k1/b length
+    normalization against the corpus mean doc length.  The real
+    scorer behind the reference's whoosh/ES surface (SURVEY.md Q8),
+    oracle-exact."""
+    from ferenda_spark.operators.search import bm25_rank
+    needs = spark.createDataFrame(
+        [("q_spark", "spark"), ("q_spark", "window"),
+         ("q_cust", "customer"), ("q_cust", "join"),
+         ("q_vec", "vector"), ("q_vec", "merge"), ("q_vec", "batch")],
+        "query string, term string")
+    return (bm25_rank(_read(spark, sf_dir, "documents")
+                      .select("doc_id", "text"), needs, limit=15)
+            .orderBy("query", "rank"))
+
+
 def _q_dedup_url_recrawl(spark, sf_dir):
     """Recrawl dedup: messy URLs planted so ~3.5 docs share each
     canonical URL (id param mod 10 instead of url_canonical's mod 50),
@@ -1870,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,
+        "search_bm25": _q_search_bm25,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
         "clean_contaminated": _q_clean_contaminated,
@@ -3780,6 +3798,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(regexp_extract(subj, '(\\d+)$', 1) AS BIGINT)
                   % 3 = 0
             GROUP BY pred ORDER BY pred""",
+        # full BM25: Lucene-form idf, k1=1.2 b=0.75 length norm
+        "search_bm25": r"""
+            WITH needs(query, term) AS (VALUES
+              ('q_spark', 'spark'), ('q_spark', 'window'),
+              ('q_cust', 'customer'), ('q_cust', 'join'),
+              ('q_vec', 'vector'), ('q_vec', 'merge'),
+              ('q_vec', 'batch')),
+            dk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            d AS (SELECT doc_id, tk, len(tk) AS dl FROM dk),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+            tdist AS (SELECT DISTINCT term FROM needs),
+            tf AS (
+              SELECT doc_id, dl, term,
+                     len(list_filter(tk, x -> x = term)) AS tf
+              FROM d CROSS JOIN tdist
+              WHERE len(list_filter(tk, x -> x = term)) > 0),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT doc_id, term,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+              FROM tf JOIN dft USING (term) CROSS JOIN st),
+            pq AS (
+              SELECT n.query, CAST(sc.doc_id AS VARCHAR) AS item,
+                     round(SUM(sc.s), 6) AS score
+              FROM sc JOIN needs n USING (term)
+              GROUP BY n.query, item),
+            rk AS (
+              SELECT query, item, score,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query
+                       ORDER BY score DESC, item) AS INT) AS rank
+              FROM pq)
+            SELECT query, item, rank, score FROM rk
+            WHERE rank <= 15 ORDER BY query, rank""",
         # newest capture per canonical URL; canonical form stated in
         # closed form from doc_id (id param mod 10 -> collisions)
         "dedup_url_recrawl": """
