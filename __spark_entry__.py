@@ -1716,6 +1716,26 @@ def _q_sparql_hashes(spark, sf_dir):
         } GROUP BY ?nib ORDER BY ?nib""")
 
 
+def _q_kg_kcore(spark, sf_dir):
+    """2-core membership by iterative peeling over a planted
+    closed-form graph: per 20-doc block, a triangle (the core), a
+    3-edge pendant chain hanging off it (peels in exactly 3 rounds —
+    exercises the fixpoint, bounded for every sf), and an isolated
+    edge (peels in round 1).  The oracle unrolls 4 peel rounds, which
+    is provably convergent for this structure."""
+    from ferenda_spark.operators.graphs import kcore
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(0, 2))
+             .unionByName(_e(2, 3)).unionByName(_e(3, 4))
+             .unionByName(_e(4, 5)).unionByName(_e(6, 7)))
+    return kcore(edges, k=2).orderBy("node")
+
+
 def _q_dup_triangles(spark, sf_dir):
     """Degree-oriented distributed triangle counting over the
     MinHash-LSH duplicate-pair graph (near-dup cluster density — a
@@ -1958,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg_expr": _q_sparql_agg_expr,
         "kg_sparql_hashes": _q_sparql_hashes,
         "kg_dup_triangles": _q_dup_triangles,
+        "kg_kcore": _q_kg_kcore,
         "kg_link_prediction": _q_link_prediction,
         "kg_dup_clustering": _q_dup_clustering,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
@@ -4070,6 +4091,52 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY v ORDER BY vec_id""",
         # naive a<b<c 3-way join is the oracle; the Spark side uses
         # degree orientation — same triangles, different join order
+        # 2-core by peeling, unrolled 4 rounds (provably convergent
+        # for the planted per-block triangle + 3-chain + lone edge)
+        "kg_kcore": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e0 AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b + 1, b + 2 FROM blk
+              UNION ALL SELECT b, b + 2 FROM blk
+              UNION ALL SELECT b + 2, b + 3 FROM blk
+              UNION ALL SELECT b + 3, b + 4 FROM blk
+              UNION ALL SELECT b + 4, b + 5 FROM blk
+              UNION ALL SELECT b + 6, b + 7 FROM blk),
+            nodes AS (SELECT DISTINCT n FROM
+              (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)),
+            d0 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+              GROUP BY n),
+            e1 AS (SELECT u, v FROM e0
+                   WHERE u NOT IN (SELECT n FROM d0 WHERE d < 2)
+                     AND v NOT IN (SELECT n FROM d0 WHERE d < 2)),
+            d1 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+              GROUP BY n),
+            e2 AS (SELECT u, v FROM e1
+                   WHERE u NOT IN (SELECT n FROM d1 WHERE d < 2)
+                     AND v NOT IN (SELECT n FROM d1 WHERE d < 2)),
+            d2 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+              GROUP BY n),
+            e3 AS (SELECT u, v FROM e2
+                   WHERE u NOT IN (SELECT n FROM d2 WHERE d < 2)
+                     AND v NOT IN (SELECT n FROM d2 WHERE d < 2)),
+            d3 AS (SELECT n, COUNT(*) AS d FROM
+              (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+              GROUP BY n),
+            e4 AS (SELECT u, v FROM e3
+                   WHERE u NOT IN (SELECT n FROM d3 WHERE d < 2)
+                     AND v NOT IN (SELECT n FROM d3 WHERE d < 2)),
+            dfin AS (SELECT n, COUNT(*) AS core_degree FROM
+              (SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4)
+              GROUP BY n)
+            SELECT nodes.n AS node, dfin.n IS NOT NULL AS in_core,
+                   dfin.core_degree
+            FROM nodes LEFT JOIN dfin ON nodes.n = dfin.n
+            ORDER BY node""",
         "kg_dup_triangles": "WITH " + _MINHASH_CTE + """,
             pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -636,3 +636,49 @@ def adamic_adar(edges: DataFrame, src: str = "doc_a",
             .select(F.col("x").alias("node_a"),
                     F.col("y").alias("node_b"),
                     "n_common", "aa_score"))
+
+
+def kcore(edges: DataFrame, k: int = 2, src: str = "doc_a",
+          dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """k-core decomposition membership by iterative peeling (the
+    standard distributed formulation): repeatedly delete vertices
+    whose current degree is below ``k`` until a fixpoint; survivors
+    form the k-core.  Completes the citegraph analytics family next
+    to pagerank/HITS/triangles/clustering — cores are the dense
+    nucleus detector (spam link farms, template families in a
+    dup-pair graph).
+
+    Scale shape: each round is one degree groupBy plus two anti-joins
+    keyed on the vertex — no vertex ever sees more than its own
+    adjacency; rounds are bounded by the longest pendant chain, not
+    |V|; the edge frame is localCheckpointed every round (it is
+    referenced by both sides of the next round's anti-joins, and the
+    lineage would otherwise double per round).  The per-round
+    convergence probe is a count on the (shrinking) sub-k vertex set.
+
+    Returns (node, in_core, core_degree): one row per vertex of the
+    input graph; ``core_degree`` is the degree within the k-core
+    (NULL for peeled vertices)."""
+    und = _normalize_undirected(edges, src, dst)
+    all_nodes = (und.select(F.col("u").alias("n"))
+                 .unionByName(und.select(F.col("v").alias("n")))
+                 .distinct().localCheckpoint())
+    cur = und
+    for _ in range(max_iter):
+        deg = _degrees(cur)
+        bad = deg.where(F.col("d") < k).select("n").localCheckpoint()
+        if bad.isEmpty():
+            break
+        cur = (cur
+               .join(bad.withColumnRenamed("n", "u"), "u", "anti")
+               .join(bad.withColumnRenamed("n", "v"), "v", "anti")
+               .select("u", "v")
+               .localCheckpoint())
+    else:
+        raise RuntimeError("kcore: no fixpoint after %d rounds"
+                           % max_iter)
+    core_deg = _degrees(cur).withColumnRenamed("d", "core_degree")
+    return (all_nodes.join(core_deg, all_nodes.n == core_deg.n, "left")
+            .select(all_nodes.n.alias("node"),
+                    core_deg.n.isNotNull().alias("in_core"),
+                    "core_degree"))

@@ -1809,3 +1809,20 @@ def test_c4_rules_line_and_page_semantics(spark):
     assert out[3]["n_sentences"] == 4 and out[3]["keep"]
     assert out[4]["has_lorem"] and not out[4]["keep"]
     assert out[5]["has_brace"] and not out[5]["keep"]
+
+
+def test_kcore_peels_chains_keeps_cycles(spark):
+    from ferenda_spark.operators.graphs import kcore
+    # square (4-cycle) with a 2-chain tail and an isolated edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1),   # 2-core
+         (4, 5), (5, 6),                   # tail: peels in 2 rounds
+         (8, 9)],                          # isolated: peels round 1
+        "doc_a long, doc_b long")
+    out = {r["node"]: r for r in kcore(edges, k=2).collect()}
+    assert {n for n in out if out[n]["in_core"]} == {1, 2, 3, 4}
+    assert all(out[n]["core_degree"] == 2 for n in (1, 2, 3, 4))
+    assert all(out[n]["core_degree"] is None for n in (5, 6, 8, 9))
+    # k=3: the square has no 3-core at all
+    out3 = kcore(edges, k=3).collect()
+    assert not any(r["in_core"] for r in out3)
