@@ -433,6 +433,27 @@ def _q_text_lm_score(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def _q_text_entropy(spark, sf_dir):
+    """Unigram Shannon entropy per document (nats): the gibberish /
+    degenerate-repetition signal next to the LM score; shuffles key
+    on (doc, token) then doc, never on text."""
+    from ferenda_spark.operators.textstats import token_entropy
+    return (token_entropy(_read(spark, sf_dir, "documents")
+                          .select("doc_id", "text"))
+            .orderBy("doc_id"))
+
+
+def _q_text_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (statistical counterpart
+    of the reference's curated keyword/term aggregation, SURVEY.md
+    T10); ranking on the rounded score so the order is
+    engine-portable."""
+    from ferenda_spark.operators.textstats import tfidf_top_terms
+    return (tfidf_top_terms(_read(spark, sf_dir, "documents")
+                            .select("doc_id", "text"), k=3)
+            .orderBy("doc_id", "rank"))
+
+
 def _q_text_ccnet_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity buckets (Wenzek et al.
     2020): head/middle/tail thirds per language by corpus-LM score.
@@ -1908,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,
         "search_bm25": _q_search_bm25,
+        "text_entropy": _q_text_entropy,
+        "text_tfidf_terms": _q_text_tfidf_terms,
         "clean_redact_pii": _q_clean_redact_pii,
         "clean_repetition_stats": _q_clean_repetition_stats,
         "clean_contaminated": _q_clean_contaminated,
@@ -2776,6 +2799,48 @@ def oracle_sql() -> dict[str, str]:
                    AND (ml >= 3.0 AND ml <= 10.0)
                    AND ar >= 0.80 AND ns >= 2 AS keep
             FROM feat ORDER BY doc_id""",
+        # unigram Shannon entropy: H = ln n - (1/n) sum c ln c
+        "text_entropy": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+              GROUP BY doc_id, w)
+            SELECT doc_id, SUM(c) AS n_tokens,
+                   COUNT(*) AS n_distinct,
+                   round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6)
+                     AS entropy
+            FROM cnt GROUP BY doc_id ORDER BY doc_id""",
+        # top-3 tf*ln(N/df) per doc, ranked on the rounded score
+        "text_tfidf_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, w, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+              GROUP BY doc_id, w),
+            dfw AS (SELECT w, COUNT(*) AS df FROM cnt GROUP BY w),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs
+                   FROM documents),
+            sc AS (
+              SELECT doc_id, w AS term,
+                     round(c * ln(n_docs * 1.0 / df), 6) AS tfidf
+              FROM cnt JOIN dfw USING (w) CROSS JOIN nd),
+            rk AS (
+              SELECT doc_id, term, tfidf,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS INT) AS rank
+              FROM sc)
+            SELECT doc_id, term, rank, tfidf FROM rk
+            WHERE rank <= 3 ORDER BY doc_id, rank""",
         # add-one smoothed bigram LM trained on the corpus itself;
         # avg of doubles rounded to 6 digits (sum-order portability)
         "text_lm_score": r"""

@@ -233,3 +233,66 @@ def gopher_rules(documents: DataFrame,
         wc_ok.alias("word_count_ok"), ml_ok.alias("mean_len_ok"),
         al_ok.alias("alpha_ok"), st_ok.alias("stopword_ok"),
         (wc_ok & ml_ok & al_ok & st_ok).alias("keep"))
+
+
+def token_entropy(documents: DataFrame) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution (nats)
+    — the gibberish/degenerate-text signal quality pipelines cut on
+    alongside the LM score (a keyboard-mash page has near-maximal
+    entropy, a repeated-token page near-zero).
+
+    H = ln n - (1/n) * sum_w c_w ln c_w, computed from per-(doc,
+    token) counts so the only shuffles key on (doc, token) then doc —
+    text never shuffles, and map-side partial aggregation collapses
+    the token stream before it moves.  Rounded to 6 digits
+    (float-sum order).
+
+    Returns (doc_id, n_tokens, n_distinct, entropy)."""
+    tok = documents.select("doc_id",
+                           F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return (cnt.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count("*").alias("n_distinct"),
+                 F.sum(F.col("c") * F.log("c")).alias("_clc"))
+            .select("doc_id", "n_tokens", "n_distinct",
+                    F.round(F.log("n_tokens")
+                            - F.col("_clc") / F.col("n_tokens"), 6)
+                    .alias("entropy")))
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword
+    extractor (the reference's keyword/term aggregation surface,
+    SURVEY.md T10, done statistically instead of by curated
+    termsets).  score = tf * ln(N / df), ranked per document on the
+    ROUNDED score (6 digits) with the term as tie-break so the
+    ranking is engine-portable (raw doubles differ in the last ulp
+    across ln implementations).
+
+    Scale shape: per-(doc, token) counts collapse map-side; df is
+    one vocab-keyed groupBy; the scoring join keys on the token
+    (vocab-sized table, hash join — NOT broadcast: web vocab doesn't
+    fit an executor); the top-k window partitions by doc, bounded by
+    document length.  Text never shuffles.
+
+    Returns (doc_id, term, rank, tfidf)."""
+    from pyspark.sql import Window
+
+    tok = documents.select("doc_id",
+                           F.explode(tokens(F.col("text"))).alias("w"))
+    cnt = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    df_w = cnt.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = documents.select(
+        F.countDistinct("doc_id").alias("n_docs"))
+    scored = (cnt.join(df_w, "w")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", F.col("w").alias("term"),
+                      F.round(F.col("c")
+                              * F.log(F.col("n_docs") / F.col("df")),
+                              6).alias("tfidf")))
+    win = (Window.partitionBy("doc_id")
+           .orderBy(F.col("tfidf").desc(), F.col("term")))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "rank", "tfidf"))
