@@ -779,6 +779,18 @@ def _q_train_domain_cap(spark, sf_dir):
             .orderBy("host", "rank"))
 
 
+def _q_train_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: 12 merge rounds over the
+    corpus word-frequency dictionary.  Iterative with a 1-row driver
+    argmax per round — genuinely non-SQL-expressible, so no oracle
+    entry (rows-only driver check); parity is pinned instead by
+    tests/test_spark_ops.py against a pure-Python Sennrich trainer
+    on randomized corpora."""
+    from ferenda_spark.operators.training import bpe_train
+    return bpe_train(_read(spark, sf_dir, "documents")
+                     .select("doc_id", "text"), n_merges=12)
+
+
 def _q_train_dsir_weights(spark, sf_dir):
     """DSIR importance-resampling weights (Xie et al. 2023): hashed
     unigram bag-of-words models of the target (lang='en' slice) and
@@ -1925,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "train_domain_cap": _q_train_domain_cap,
         "train_dsir_weights": _q_train_dsir_weights,
+        "train_bpe_merges": _q_train_bpe_merges,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,

@@ -1826,3 +1826,61 @@ def test_kcore_peels_chains_keeps_cycles(spark):
     # k=3: the square has no 3-core at all
     out3 = kcore(edges, k=3).collect()
     assert not any(r["in_core"] for r in out3)
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Pure-Python BPE trainer (Sennrich alg.) for parity checks."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, n))
+        new = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        words = new
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    import random
+    rnd = random.Random(42)
+    vocab = ["aa", "ab", "abab", "banana", "bandana", "and", "an",
+             "nan", "anna", "x"]
+    for trial in range(3):
+        text = " ".join(rnd.choice(vocab)
+                        for _ in range(120 + 40 * trial))
+        docs = spark.createDataFrame([(1, text)],
+                                     "doc_id long, text string")
+        from ferenda_spark.operators.training import bpe_train
+        got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+                r["pair_count"])
+               for r in bpe_train(docs, n_merges=8)
+               .orderBy("merge_rank").collect()]
+        freqs = {}
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+        want = _bpe_reference(freqs, 8)
+        assert got == want, (trial, got, want)
+
+
+def test_bpe_train_early_stop_single_chars(spark):
+    from ferenda_spark.operators.training import bpe_train
+    docs = spark.createDataFrame([(1, "a b c a b")],
+                                 "doc_id long, text string")
+    out = bpe_train(docs, n_merges=5).collect()
+    assert out == []  # no adjacent pairs anywhere -> zero merges
