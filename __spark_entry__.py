@@ -791,6 +791,19 @@ def _q_train_bpe_merges(spark, sf_dir):
                      .select("doc_id", "text"), n_merges=12)
 
 
+def _q_train_bpe_tokens(spark, sf_dir):
+    """BPE piece counts per document under the corpus-trained merge
+    table (train + encode end-to-end): type-dictionary encoding, so
+    merges never touch the raw token stream.  Rows-only like
+    train_bpe_merges (iterative); parity pinned by the pure-Python
+    encoder test."""
+    from ferenda_spark.operators.training import (bpe_encode_counts,
+                                                  bpe_train)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (bpe_encode_counts(docs, bpe_train(docs, n_merges=12))
+            .orderBy("doc_id"))
+
+
 def _q_train_dsir_weights(spark, sf_dir):
     """DSIR importance-resampling weights (Xie et al. 2023): hashed
     unigram bag-of-words models of the target (lang='en' slice) and
@@ -1938,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_domain_cap": _q_train_domain_cap,
         "train_dsir_weights": _q_train_dsir_weights,
         "train_bpe_merges": _q_train_bpe_merges,
+        "train_bpe_tokens": _q_train_bpe_tokens,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,

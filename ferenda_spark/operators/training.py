@@ -413,3 +413,40 @@ def bpe_train(documents: DataFrame, n_merges: int = 20) -> DataFrame:
     return spark.createDataFrame(
         out, "merge_rank int, left string, right string, "
              "merged string, pair_count long")
+
+
+def bpe_encode_counts(documents: DataFrame, merges: DataFrame,
+                      checkpoint_every: int = 4) -> DataFrame:
+    """Apply a trained BPE merge table (:func:`bpe_train`) and report
+    per-document piece counts — the number that drives packing
+    budgets and per-source token accounting.
+
+    Scale shape: merges apply to the distinct WORD DICTIONARY (type
+    encoding — Zipf-bounded), never to the raw token stream; each
+    merge is the map-side fold of :func:`_merge_pair` applied in rank
+    order, with a localCheckpoint every ``checkpoint_every`` merges
+    (the folds would otherwise nest k deep in one expression); doc
+    counts come from joining the token stream against the
+    (word -> n_pieces) dictionary and one groupBy.  The merge table
+    itself is a driver-sized artifact (the tokenizer file).
+
+    Returns (doc_id, n_ws_tokens, n_bpe_tokens)."""
+    mg = [(r["left"], r["right"])
+          for r in merges.orderBy("merge_rank").collect()]
+    tok = (documents
+           .select("doc_id", F.explode(tokens(F.col("text")))
+                   .alias("word"))
+           .where(F.col("word") != ""))
+    words = (tok.select("word").distinct()
+             .select("word", F.split("word", "").alias("syms"))
+             .localCheckpoint())
+    for i, (l, r) in enumerate(mg, 1):
+        words = words.select(
+            "word", _merge_pair(F.col("syms"), l, r).alias("syms"))
+        if i % checkpoint_every == 0 or i == len(mg):
+            words = words.localCheckpoint()
+    wlen = words.select("word", F.size("syms").alias("n_pieces"))
+    return (tok.join(wlen, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_ws_tokens"),
+                 F.sum("n_pieces").alias("n_bpe_tokens")))

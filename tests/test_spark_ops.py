@@ -1884,3 +1884,35 @@ def test_bpe_train_early_stop_single_chars(spark):
                                  "doc_id long, text string")
     out = bpe_train(docs, n_merges=5).collect()
     assert out == []  # no adjacent pairs anywhere -> zero merges
+
+
+def test_bpe_encode_counts_matches_reference(spark):
+    import random
+    from ferenda_spark.operators.training import bpe_encode_counts, bpe_train
+    rnd = random.Random(7)
+    vocab = ["banana", "bandana", "anna", "ban", "nab", "dan"]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(30)))
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in bpe_encode_counts(docs, merges).collect()}
+    mg = [(r["left"], r["right"]) for r in
+          merges.orderBy("merge_rank").collect()]
+
+    def encode(word):
+        syms = list(word)
+        for l, r in mg:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i+1] == r:
+                    out.append(l + r); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    for i, text in rows:
+        ws = text.split()
+        want = (len(ws), sum(len(encode(w)) for w in ws))
+        assert got[i] == want, (i, got[i], want)
