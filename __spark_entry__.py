@@ -1879,6 +1879,35 @@ def _q_ranking_ap(spark, sf_dir):
             .orderBy("query"))
 
 
+def _q_ranking_ndcg(spark, sf_dir):
+    """Binary-relevance nDCG over the same planted per-publisher
+    rankings and gold standard as kg_ranking_ap — the position-
+    discounted counterpart of the reference's AP study."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.operators.graphs import ndcg
+    d = (_read(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.concat(F.lit("pub"), (F.col("doc_id") % 7)
+                          .cast("string")).alias("query"),
+                 F.col("doc_id").cast("string").alias("item")))
+    ranked = d.withColumn(
+        "rank", F.row_number().over(
+            Window.partitionBy("query").orderBy("doc_id")))
+    gold = d.where(F.col("doc_id") % 3 == 0).select("query", "item")
+    return (ndcg(ranked.select("query", "item", "rank"), gold)
+            .orderBy("query"))
+
+
+def _q_train_source_temperature(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) source sampling rates over the
+    corpus source column: q_s = sqrt(p_s)/sum sqrt(p_t), boost =
+    q_s/p_s; the multilingual-mixture rule, dimension-sized."""
+    from ferenda_spark.operators.training import source_temperature
+    return (source_temperature(_read(spark, sf_dir, "documents"))
+            .orderBy("source"))
+
+
 _RANKING_NEEDS = [("need0", "spark"), ("need0", "merge"),
                   ("need1", "window"), ("need1", "sort"),
                   ("need2", "hash"), ("need2", "batch"),
@@ -1952,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_dsir_weights": _q_train_dsir_weights,
         "train_bpe_merges": _q_train_bpe_merges,
         "train_bpe_tokens": _q_train_bpe_tokens,
+        "kg_ranking_ndcg": _q_ranking_ndcg,
+        "train_source_temperature": _q_train_source_temperature,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,
@@ -4273,6 +4304,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT query,
                    round(AVG(CAST(cum AS DOUBLE) / rank), 6) AS ap
             FROM c WHERE rel = 1 GROUP BY query ORDER BY query""",
+        # binary nDCG with ln2/ln(rank+1) discount; ideal truncated
+        # to min(n_gold, n_ranked)
+        "kg_ranking_ndcg": """
+            WITH d AS (
+              SELECT doc_id, 'pub' || (doc_id % 7) AS query,
+                     CAST(doc_id AS VARCHAR) AS item
+              FROM documents),
+            r AS (
+              SELECT query, item,
+                     ROW_NUMBER() OVER (PARTITION BY query
+                                        ORDER BY doc_id) AS rank,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+              FROM d),
+            dcg AS (
+              SELECT query, SUM(ln(2.0) / ln(rank + 1.0)) AS dcg
+              FROM r WHERE rel = 1 GROUP BY query),
+            sizes AS (
+              SELECT query, COUNT(*) AS n_ranked,
+                     SUM(rel) AS n_gold
+              FROM r GROUP BY query HAVING SUM(rel) > 0),
+            ideal AS (
+              SELECT query, n_gold,
+                     SUM(ln(2.0) / ln(i + 1.0)) AS idcg
+              FROM (SELECT query, n_gold,
+                           unnest(generate_series(
+                             1, least(CAST(n_gold AS BIGINT),
+                                      CAST(n_ranked AS BIGINT)))) AS i
+                    FROM sizes)
+              GROUP BY query, n_gold)
+            SELECT i.query, i.n_gold,
+                   round(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+            FROM ideal i LEFT JOIN dcg d ON i.query = d.query
+            ORDER BY i.query""",
+        # alpha=0.5 temperature mixture: q = sqrt(n)/sum(sqrt(n))
+        "train_source_temperature": """
+            WITH cnt AS (
+              SELECT source, COUNT(*) AS n_docs
+              FROM documents GROUP BY source),
+            tot AS (SELECT SUM(n_docs) AS n_all,
+                           SUM(sqrt(n_docs)) AS sq_sum FROM cnt)
+            SELECT source, n_docs,
+                   round(n_docs * 1.0 / n_all, 6) AS p,
+                   round(sqrt(n_docs) / sq_sum, 6) AS q,
+                   round((sqrt(n_docs) / sq_sum)
+                         / (n_docs * 1.0 / n_all), 6) AS boost
+            FROM cnt CROSS JOIN tot ORDER BY source""",
         # mirrors search.ranked_set_baseline: tf = split-count, OR
         # candidates (score > 0), rank by (score desc, item)
         "kg_ranking_baseline": """

@@ -682,3 +682,39 @@ def kcore(edges: DataFrame, k: int = 2, src: str = "doc_a",
             .select(all_nodes.n.alias("node"),
                     core_deg.n.isNotNull().alias("in_core"),
                     "core_degree"))
+
+
+def ndcg(ranked: DataFrame, gold: DataFrame) -> DataFrame:
+    """Binary-relevance nDCG per query, completing the ranking-
+    evaluation family next to :func:`average_precision` (the
+    reference's MAP study, graphanalyze.py:760-806, reports AP only;
+    nDCG is the position-discounted counterpart).  DCG = sum over
+    gold hits of ln2/ln(rank+1) (identically the log2 discount);
+    ideal DCG places all gold items at the top, truncated to the
+    ranking's length.
+
+    ``ranked``: (query, item, rank) 1-based; ``gold``: (query, item).
+    Queries with no gold items are dropped (nDCG undefined).  All
+    joins are query/item-keyed; the ideal-DCG sum is a per-row fold
+    over a sequence bounded by the gold size — no window at all.
+
+    Returns (query, n_gold, ndcg) with ndcg rounded to 6."""
+    ln2 = F.log(F.lit(2.0))
+    hits = (ranked.join(gold.select("query", "item"), ["query", "item"])
+            .select("query", (ln2 / F.log(F.col("rank") + 1)).alias("g")))
+    dcg = hits.groupBy("query").agg(F.sum("g").alias("dcg"))
+    nr = ranked.groupBy("query").agg(F.count("*").alias("n_ranked"))
+    ng = gold.groupBy("query").agg(F.count("*").alias("n_gold"))
+    # m >= 1 by construction (inner join on queries that HAVE gold);
+    # sequence(1, 0) would descend, so the guard matters
+    m = F.least("n_gold", "n_ranked")
+    idcg = (ng.join(nr, "query")
+            .select("query", "n_gold",
+                    F.aggregate(
+                        F.sequence(F.lit(1), m), F.lit(0.0),
+                        lambda a, i: a + ln2 / F.log(i + 1))
+                    .alias("idcg")))
+    return (idcg.join(dcg, "query", "left")
+            .select("query", "n_gold",
+                    F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
+                            / F.col("idcg"), 6).alias("ndcg")))

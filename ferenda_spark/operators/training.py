@@ -450,3 +450,35 @@ def bpe_encode_counts(documents: DataFrame, merges: DataFrame,
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_ws_tokens"),
                  F.sum("n_pieces").alias("n_bpe_tokens")))
+
+
+def source_temperature(df: DataFrame, source_col: str = "source",
+                       ) -> DataFrame:
+    """Temperature-scaled source sampling rates (the multilingual /
+    multi-source mixture rule of mBERT/XLM-R, alpha = 0.5): with
+    p_s the source's share of documents, sample source s with
+    q_s = sqrt(p_s) / sum_t sqrt(p_t); ``boost`` = q_s/p_s is the
+    up/down-sampling factor (small sources up, hot sources down).
+    alpha is pinned to 0.5 because sqrt is IEEE-correctly-rounded in
+    every engine, so the oracle is bit-portable where a pow(p, 0.3)
+    would not be.
+
+    Scale shape: one groupBy over the source column; everything after
+    runs on the dimension-sized source table with a 1-row broadcast
+    total.  Returns (source, n_docs, p, q, boost), shares rounded
+    to 6."""
+    cnt = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").alias("n_all"),
+                  F.sum(F.sqrt(F.col("n_docs"))).alias("sq_sum"))
+    # sqrt(p_s) = sqrt(n_s)/sqrt(N): use sqrt(n)/sum(sqrt(n)) so no
+    # intermediate division feeds the pow
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.round(F.col("n_docs") / F.col("n_all"), 6)
+                    .alias("p"),
+                    F.round(F.sqrt(F.col("n_docs")) / F.col("sq_sum"),
+                            6).alias("q"),
+                    F.round((F.sqrt(F.col("n_docs")) / F.col("sq_sum"))
+                            / (F.col("n_docs") / F.col("n_all")), 6)
+                    .alias("boost")))
