@@ -1899,6 +1899,24 @@ def _q_ranking_ndcg(spark, sf_dir):
             .orderBy("query"))
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Strict-sequence conversion funnel view -> click -> purchase:
+    step k counts users whose earliest step-k event is strictly after
+    their earliest step-(k-1) arrival; k user-keyed groupBys +
+    equi-joins, no window over the raw stream."""
+    from ferenda_spark.operators.events import funnel
+    return funnel(_read(spark, sf_dir, "events"),
+                  ["view", "click", "purchase"])
+
+
+def _q_events_retention(spark, sf_dir):
+    """Day-grain cohort retention triangle (cohort = first active
+    day); all hash aggregations keyed on user then (cohort, offset)."""
+    from ferenda_spark.operators.events import retention_cohorts
+    return (retention_cohorts(_read(spark, sf_dir, "events"))
+            .orderBy("cohort_day", "day_offset"))
+
+
 def _q_train_source_temperature(spark, sf_dir):
     """Temperature-scaled (alpha=0.5) source sampling rates over the
     corpus source column: q_s = sqrt(p_s)/sum sqrt(p_t), boost =
@@ -1983,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_bpe_tokens": _q_train_bpe_tokens,
         "kg_ranking_ndcg": _q_ranking_ndcg,
         "train_source_temperature": _q_train_source_temperature,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,
@@ -2595,6 +2615,39 @@ def oracle_sql() -> dict[str, str]:
               AND p.ts >= s.ts
               AND p.ts < s.ts + INTERVAL 24 HOUR
             ORDER BY 1, 2""",
+        # strict-sequence funnel: step k's earliest event must be
+        # strictly after the step-(k-1) arrival
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id AS u, MIN(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.u
+                                   AND e.ts > s1.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.u
+                                   AND e.ts > s2.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT COUNT(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+            ORDER BY step""",
+        "events_retention": """
+            WITH f AS (
+              SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY user_id),
+            a AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+              FROM events)
+            SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+                   date_diff('day', cohort_day, d) AS day_offset,
+                   COUNT(*) AS n_users
+            FROM a JOIN f USING (u)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_sessions": """
             WITH l AS (
               SELECT user_id, event_id, ts,

@@ -1,0 +1,80 @@
+"""Event-stream analytics operators (the batch half of the events
+surface next to streaming.py's windowed counts and sessionization):
+
+* :func:`funnel` — strictly-ordered multi-step conversion funnel
+  (view -> click -> purchase): step k counts users whose earliest
+  step-k event happens AFTER their earliest qualifying step-(k-1)
+  event;
+* :func:`retention_cohorts` — day-grain cohort retention triangle:
+  users cohorted by first-activity day, counted per (cohort day,
+  day offset) of later activity.
+
+Both are pure DataFrame programs whose shuffles key on user_id /
+(cohort, offset) — never on event payloads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def funnel(events: DataFrame, steps: list,
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts") -> DataFrame:
+    """Ordered conversion funnel: a user reaches step k iff they have
+    a ``steps[k]`` event strictly after their earliest arrival at
+    step k-1 (the standard strict-sequence funnel, not mere set
+    membership).
+
+    Scale shape: one user-keyed groupBy per step over only that
+    step's events (the type filter pushes into the scan), each
+    joined user-to-user against the previous frontier — k small
+    equi-joins, no window, no ordering of the raw stream.  Frontier
+    frames are user-dimension-sized (one row per surviving user).
+
+    Returns (step, step_name, n_users) with step 1-based."""
+    spark = events.sparkSession
+    out = []
+    frontier = None
+    for i, name in enumerate(steps, 1):
+        ev = (events.where(F.col(type_col) == name)
+              .select(F.col(user_col).alias("u"),
+                      F.col(ts_col).alias("t")))
+        if frontier is None:
+            frontier = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            prev = frontier.select("u", F.col("t").alias("pt"))
+            frontier = (ev.join(prev, "u")
+                        .where(F.col("t") > F.col("pt"))
+                        .groupBy("u").agg(F.min("t").alias("t")))
+        out.append((i, name, frontier.count()))
+    return spark.createDataFrame(
+        out, "step int, step_name string, n_users long")
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Day-grain retention triangle: cohort = the user's first active
+    day; one output row per (cohort_day, day_offset) counting the
+    cohort's users active that day (offset 0 row = cohort size).
+
+    Scale shape: first-day per user is one groupBy; activity days
+    dedupe map-side into (user, day) rows; the cohort join keys on
+    the user; the final count groups by (cohort, offset) — all hash
+    aggregations, no window.
+
+    Returns (cohort_day, day_offset, n_users)."""
+    day = F.to_date(F.col(ts_col))
+    first = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+             .groupBy("u").agg(F.min("d").alias("cohort_day")))
+    active = (events.select(F.col(user_col).alias("u"), day.alias("d"))
+              .distinct())
+    return (active.join(first, "u")
+            # cohort day as ISO string: pandas widens bare dates to
+            # midnight timestamps inconsistently across engines
+            .select(F.col("cohort_day").cast("string").alias("cohort_day"),
+                    F.datediff(F.col("d"), F.col("cohort_day"))
+                    .alias("day_offset"))
+            .groupBy("cohort_day", "day_offset")
+            # (user, day) rows are distinct, so count(*) = user count
+            .agg(F.count("*").alias("n_users")))
