@@ -1782,6 +1782,31 @@ def _q_kg_kcore(spark, sf_dir):
     return kcore(edges, k=2).orderBy("node")
 
 
+def _q_kg_jaccard_links(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the citation graph —
+    the set-overlap companion to Adamic-Adar; same hub cut (64) and
+    wedge shape, true degrees in the denominator; top 200 by
+    (jaccard, pair)."""
+    from ferenda_spark.operators.graphs import jaccard_neighbors
+    from ferenda_spark.operators.triples import mention_triples
+    edges = mention_triples(_docs(spark, sf_dir)).select(
+        F.col("context").alias("doc_a"), F.col("obj").alias("doc_b"))
+    return (jaccard_neighbors(edges, max_degree=64)
+            .orderBy(F.col("jaccard").desc(), "node_a", "node_b")
+            .limit(200))
+
+
+def _q_kg_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the citation graph: one
+    scalar from exact decimal sums over edge-end degree pairs — two
+    node-keyed degree joins and a 1-row aggregate."""
+    from ferenda_spark.operators.graphs import degree_assortativity
+    from ferenda_spark.operators.triples import mention_triples
+    edges = mention_triples(_docs(spark, sf_dir)).select(
+        F.col("context").alias("doc_a"), F.col("obj").alias("doc_b"))
+    return degree_assortativity(edges)
+
+
 def _q_dup_triangles(spark, sf_dir):
     """Degree-oriented distributed triangle counting over the
     MinHash-LSH duplicate-pair graph (near-dup cluster density — a
@@ -2080,6 +2105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_hashes": _q_sparql_hashes,
         "kg_dup_triangles": _q_dup_triangles,
         "kg_kcore": _q_kg_kcore,
+        "kg_jaccard_links": _q_kg_jaccard_links,
+        "kg_assortativity": _q_kg_assortativity,
         "kg_link_prediction": _q_link_prediction,
         "kg_dup_clustering": _q_dup_clustering,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
@@ -4213,6 +4240,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM und p
                               WHERE p.u = ps.x AND p.v = ps.y)
             ORDER BY aa_score DESC, node_a, node_b LIMIT 200""",
+        # Jaccard over bounded common neighbours, true-degree union
+        "kg_jaccard_links": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """,
+            und AS (
+              SELECT DISTINCT least(context, obj) AS u,
+                              greatest(context, obj) AS v
+              FROM mention_triples WHERE context <> obj),
+            deg AS (
+              SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM und
+                UNION ALL SELECT v FROM und) GROUP BY n),
+            spokes AS (
+              SELECT u AS z, v AS x FROM und
+              UNION ALL SELECT v, u FROM und),
+            zok AS (SELECT n AS z FROM deg WHERE d BETWEEN 2 AND 64),
+            wedge AS (SELECT s.z, s.x
+                      FROM spokes s JOIN zok USING (z)),
+            ps AS (
+              SELECT a.x AS x, b.x AS y, COUNT(*) AS n_common
+              FROM wedge a JOIN wedge b
+                ON a.z = b.z AND a.x < b.x
+              GROUP BY 1, 2),
+            sc AS (
+              SELECT ps.x, ps.y, ps.n_common,
+                     round(ps.n_common * 1.0
+                           / (du.d + dv.d - ps.n_common), 6)
+                       AS jaccard
+              FROM ps JOIN deg du ON du.n = ps.x
+                      JOIN deg dv ON dv.n = ps.y)
+            SELECT x AS node_a, y AS node_b, n_common, jaccard
+            FROM sc
+            WHERE NOT EXISTS (SELECT 1 FROM und p
+                              WHERE p.u = sc.x AND p.v = sc.y)
+            ORDER BY jaccard DESC, node_a, node_b LIMIT 200""",
+        # Newman assortativity from exact integer sums
+        "kg_assortativity": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """,
+            und AS (
+              SELECT DISTINCT least(context, obj) AS u,
+                              greatest(context, obj) AS v
+              FROM mention_triples WHERE context <> obj),
+            deg AS (
+              SELECT n, COUNT(*) AS d FROM (
+                SELECT u AS n FROM und
+                UNION ALL SELECT v FROM und) GROUP BY n),
+            be AS (SELECT u, v FROM und
+                   UNION ALL SELECT v, u FROM und),
+            jj AS (SELECT du.d AS x, dv.d AS y
+                   FROM be JOIN deg du ON du.n = be.u
+                           JOIN deg dv ON dv.n = be.v),
+            s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                         SUM(y * y) AS syy
+                  FROM jj)
+            SELECT CAST(n AS BIGINT) AS n_edge_ends,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS assortativity
+            FROM s""",
         # degree + corner-counted triangles + the 2t/(d(d-1)) formula
         "kg_dup_clustering": "WITH " + _MINHASH_CTE + """,
             pairs AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     # skew-aware per-domain quota, CCNet perplexity buckets,
     # Adamic-Adar link prediction
     "dedup_semantic", "train_domain_cap", "train_dsir_weights",
+    "kg_jaccard_links", "kg_assortativity",
     "dedup_edit_verified", "text_c4_rules", "dedup_url_recrawl",
     "search_bm25", "kg_kcore", "text_entropy", "text_tfidf_terms",
     "events_funnel", "events_retention",

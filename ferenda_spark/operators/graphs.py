@@ -718,3 +718,86 @@ def ndcg(ranked: DataFrame, gold: DataFrame) -> DataFrame:
             .select("query", "n_gold",
                     F.round(F.coalesce(F.col("dcg"), F.lit(0.0))
                             / F.col("idcg"), 6).alias("ndcg")))
+
+
+def jaccard_neighbors(edges: DataFrame, src: str = "doc_a",
+                      dst: str = "doc_b",
+                      max_degree: int = 64) -> DataFrame:
+    """Neighborhood-Jaccard link prediction next to
+    :func:`adamic_adar`: for non-adjacent (x, y),
+    J = n_common / (deg(x) + deg(y) - n_common).  Common neighbours
+    are counted through the same hub cut (z with deg > max_degree is
+    excluded — mirrored by the oracle), while deg(x)/deg(y) are the
+    TRUE degrees; same wedge/anti-join shape and scale bounds as
+    Adamic-Adar.
+
+    Returns (node_a, node_b, n_common, jaccard) rounded to 6."""
+    und = _normalize_undirected(edges, src, dst)
+    deg = _degrees(und)
+    spokes = (und.select(F.col("u").alias("z"), F.col("v").alias("x"))
+              .unionByName(
+                  und.select(F.col("v").alias("z"),
+                             F.col("u").alias("x"))))
+    zok = (deg.where((F.col("d") <= max_degree) & (F.col("d") >= 2))
+           .select(F.col("n").alias("z")))
+    wedge = spokes.join(zok, "z")
+    a = wedge.select("z", "x")
+    b = wedge.select("z", F.col("x").alias("y"))
+    pairs = (a.join(b, "z")
+             .where(F.col("x") < F.col("y"))
+             .groupBy("x", "y")
+             .agg(F.count("*").alias("n_common")))
+    dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
+    scored = (pairs.join(dx, "x").join(dy, "y")
+              .select("x", "y", "n_common",
+                      F.round(F.col("n_common")
+                              / (F.col("dx") + F.col("dy")
+                                 - F.col("n_common")), 6)
+                      .alias("jaccard")))
+    return (scored
+            .join(und, (scored["x"] == und["u"])
+                  & (scored["y"] == und["v"]), "left_anti")
+            .select(F.col("x").alias("node_a"),
+                    F.col("y").alias("node_b"),
+                    "n_common", "jaccard"))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of end-point degrees over all edge ends — one scalar
+    describing whether hubs attach to hubs (r > 0) or to leaves
+    (r < 0).  Computed from exact integer sums (cast to
+    decimal(38,0): sums of d^2 over 10^12 edge ends overflow int64)
+    so both engines derive the same double; rounded to 6.
+
+    Scale shape: two degree joins keyed on the node and ONE 1-row
+    aggregate — no window, no collect beyond the scalar.
+
+    Returns one row (n_edge_ends, assortativity); NULL when the
+    variance is zero (regular graph)."""
+    und = _normalize_undirected(edges, src, dst)
+    deg = _degrees(und)
+    both = (und.select("u", "v")
+            .unionByName(und.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v"))))
+    du = deg.select(F.col("n").alias("u"),
+                    F.col("d").cast("decimal(38,0)").alias("x"))
+    dv = deg.select(F.col("n").alias("v"),
+                    F.col("d").cast("decimal(38,0)").alias("y"))
+    j = both.join(du, "u").join(dv, "v")
+    s = j.agg(F.count("*").cast("decimal(38,0)").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy")
+            - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.round(num / F.sqrt(varx * vary), 6).alias("assortativity"))
