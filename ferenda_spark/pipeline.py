@@ -58,10 +58,14 @@ def staged_flagship(spark: SparkSession, sf_dir: str,
       counters view is operators.incremental.stage_counters)."""
     from pyspark.sql import functions as F
 
+    from .corpus import partition_by_url_prefix
     from .operators.incremental import run_stage
     from .operators.triples import all_triples
 
-    pages = load_pages(spark, sf_dir)
+    # north-rule layout: range-partition the crawl on a url prefix so
+    # hot domains are SPLIT across a bounded partition run (sampled
+    # range boundaries) instead of hashed into one partition
+    pages = partition_by_url_prefix(load_pages(spark, sf_dir))
 
     def parse_t(todo):
         return (extract_pages(todo)

@@ -145,3 +145,14 @@ def test_sq8_training_is_one_aggregate_no_vector_shuffle(spark, queries):
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_url_prefix_layout_is_range_partitioning(spark):
+    """partition_by_url_prefix must produce RangePartitioning on the
+    prefix (sampled boundaries split hot prefixes), never
+    HashPartitioning — the north-rule skew layout."""
+    from ferenda_spark.corpus import load_pages, partition_by_url_prefix
+    df = partition_by_url_prefix(load_pages(spark, SF))
+    txt = _plan(df)
+    assert "rangepartitioning" in txt.lower(), txt
+    assert "__urlp" in txt, txt
