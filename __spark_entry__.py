@@ -124,6 +124,16 @@ def _q_links(spark, sf_dir):
             .select("url", F.explode("links").alias("href")))
 
 
+def _q_kg_host_graph(spark, sf_dir):
+    """Host-level web-graph rollup over the extracted link graph (the
+    Common-Crawl domain-graph product): canonicalize both endpoints,
+    project to hosts, one pair-keyed aggregate."""
+    from ferenda_spark.operators.cleaning import host_graph
+    links = _docs(spark, sf_dir).select(
+        "url", F.explode("links").alias("href"))
+    return host_graph(links).orderBy("src_host", "dst_host")
+
+
 def _q_toc_pagesets(spark, sf_dir):
     from ferenda_spark.operators.facets import faceted_data, toc_pagesets
     return toc_pagesets(faceted_data(_triples(spark, sf_dir)))
@@ -1942,6 +1952,27 @@ def _q_events_retention(spark, sf_dir):
             .orderBy("cohort_day", "day_offset"))
 
 
+def _q_events_anomalies(spark, sf_dir):
+    """Daily event-volume z-scores from exact integer sums (count,
+    sum, sum-of-squares broadcast as one row); |z| > 2 flags."""
+    from ferenda_spark.operators.events import daily_anomalies
+    return (daily_anomalies(_read(spark, sf_dir, "events"))
+            .orderBy("day"))
+
+
+def _q_text_readability(spark, sf_dir):
+    """Flesch reading ease with the vowel-group syllable proxy over
+    the c4-style synthesized sentence structure (the raw corpus is
+    unpunctuated word soup, so sentences are planted via the
+    ' the '/' value ' split mirrored in the oracle)."""
+    from ferenda_spark.operators.textstats import readability
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.regexp_replace("text", " (the|value) ", ".\n"),
+                 F.lit(".")).alias("text"))
+    return readability(docs).orderBy("doc_id")
+
+
 def _q_train_source_temperature(spark, sf_dir):
     """Temperature-scaled (alpha=0.5) source sampling rates over the
     corpus source column: q_s = sqrt(p_s)/sum sqrt(p_t), boost =
@@ -2028,6 +2059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_source_temperature": _q_train_source_temperature,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_anomalies": _q_events_anomalies,
+        "text_readability": _q_text_readability,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,
@@ -2106,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dup_triangles": _q_dup_triangles,
         "kg_kcore": _q_kg_kcore,
         "kg_jaccard_links": _q_kg_jaccard_links,
+        "kg_host_graph": _q_kg_host_graph,
         "kg_assortativity": _q_kg_assortativity,
         "kg_link_prediction": _q_link_prediction,
         "kg_dup_clustering": _q_dup_clustering,
@@ -2534,6 +2568,20 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 'https://example.org/' END)
                    || 'docs/' || source || '/' || (doc_id + k) AS href
             FROM f, (VALUES (1), (2)) AS offs(k)""",
+        # host-pair rollup of the same closed-form link graph
+        "kg_host_graph": "WITH " + _F_CTE + """,
+            l AS (
+              SELECT url, doc_id,
+                     CASE WHEN doc_id % 10 < 3
+                          THEN 'hot.example.org'
+                          ELSE 'example.org' END AS src_host,
+                     CASE WHEN (doc_id + k) % 10 < 3
+                          THEN 'hot.example.org'
+                          ELSE 'example.org' END AS dst_host
+              FROM f, (VALUES (1), (2)) AS offs(k))
+            SELECT src_host, dst_host, COUNT(*) AS n_links,
+                   COUNT(DISTINCT url) AS n_src_pages
+            FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
         "kg_toc_pagesets": _FACETED_WITH + """
             SELECT facet, value, n_docs FROM (
               SELECT 'year' AS facet, CAST(year AS VARCHAR) AS value,
@@ -2642,6 +2690,54 @@ def oracle_sql() -> dict[str, str]:
               AND p.ts >= s.ts
               AND p.ts < s.ts + INTERVAL 24 HOUR
             ORDER BY 1, 2""",
+        # z from exact integer sums: mean = sn/d, var = sn2/d - mean^2
+        "events_anomalies": """
+            WITH daily AS (
+              SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+              FROM events GROUP BY 1),
+            st AS (
+              SELECT COUNT(*) AS d,
+                     SUM(n_events) AS sn,
+                     SUM(n_events * n_events) AS sn2
+              FROM daily)
+            SELECT CAST(day AS VARCHAR) AS day, n_events,
+                   round((n_events - sn * 1.0 / d)
+                         / sqrt(sn2 * 1.0 / d
+                                - (sn * 1.0 / d) * (sn * 1.0 / d)),
+                         6) AS z,
+                   abs(round((n_events - sn * 1.0 / d)
+                         / sqrt(sn2 * 1.0 / d
+                                - (sn * 1.0 / d) * (sn * 1.0 / d)),
+                         6)) > 2.0 AS is_anomaly
+            FROM daily CROSS JOIN st ORDER BY day""",
+        # Flesch reading ease, vowel-group syllable proxy, planted
+        # sentence structure
+        "text_readability": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' (the|value) ',
+                                    '.' || chr(10), 'g') || '.'
+                       AS text
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)),
+                                            '[ \t\n\r\f\x0B]+'))
+                       AS n_words,
+                     len(list_filter(
+                       string_split_regex(text, '[.!?]'),
+                       x -> trim(x) <> '')) AS n_sentences,
+                     len(regexp_extract_all(lower(text),
+                                            '[aeiouy]+'))
+                       AS n_syllables
+              FROM d)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(206.835 - 1.015 * (n_words * 1.0
+                                            / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 6)
+                     AS flesch
+            FROM m WHERE n_words > 0 AND n_sentences > 0
+            ORDER BY doc_id""",
         # strict-sequence funnel: step k's earliest event must be
         # strictly after the step-(k-1) arrival
         "events_funnel": """

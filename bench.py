@@ -80,7 +80,8 @@ HEADLINE = [
     "kg_jaccard_links", "kg_assortativity",
     "dedup_edit_verified", "text_c4_rules", "dedup_url_recrawl",
     "search_bm25", "kg_kcore", "text_entropy", "text_tfidf_terms",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "events_anomalies",
+    "text_readability", "kg_host_graph",
     "train_bpe_merges", "kg_ranking_ndcg", "train_source_temperature",
     "text_ccnet_buckets", "kg_link_prediction", "sim_sq8_topk",
 ]

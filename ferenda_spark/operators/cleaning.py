@@ -270,3 +270,26 @@ def best_capture(pages: DataFrame, url_col: str = "url",
                       k=1, id_col=id_col)
     return best.join(n, "canonical_url").select(
         "canonical_url", "n_captures", id_col, ts_col)
+
+
+def host_graph(links: DataFrame, src_col: str = "url",
+               dst_col: str = "href") -> DataFrame:
+    """Host-level web-graph rollup (the Common-Crawl "domain graph"
+    product): canonicalize both link endpoints, project to their
+    hosts, and aggregate — (src_host, dst_host, n_links,
+    n_src_pages).  The host graph is the authority/spam signal layer
+    a crawl pipeline computes above the page-level link graph.
+
+    Scale shape: canonicalization + host projection are map-side;
+    ONE groupBy keyed on the host pair with map-side partials; the
+    distinct-page count rides the same shuffle (countDistinct under
+    the pair key).  Host-pair cardinality is quadratic only in
+    HOSTS, not pages."""
+    s = host_of(canonical_url(F.col(src_col)))
+    d = host_of(canonical_url(F.col(dst_col)))
+    return (links
+            .select(s.alias("src_host"), d.alias("dst_host"),
+                    F.col(src_col).alias("__u"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("__u").alias("n_src_pages")))

@@ -78,3 +78,30 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .groupBy("cohort_day", "day_offset")
             # (user, day) rows are distinct, so count(*) = user count
             .agg(F.count("*").alias("n_users")))
+
+
+def daily_anomalies(events: DataFrame, ts_col: str = "ts",
+                    z_threshold: float = 2.0) -> DataFrame:
+    """Daily event-volume anomaly detection: z-score each day's count
+    against the corpus mean/population-std of daily counts, flag
+    |z| > threshold (the ops-monitoring staple over an event table).
+
+    Scale shape: one day-keyed groupBy (map-side partials collapse
+    the stream), then a 1-row broadcast stats aggregate computed from
+    EXACT integer sums (count, sum, sum of squares) so both engines
+    derive the identical doubles; z rounded to 6.
+
+    Returns (day, n_events, z, is_anomaly)."""
+    daily = (events.select(F.to_date(F.col(ts_col)).alias("day"))
+             .groupBy("day").agg(F.count("*").alias("n_events")))
+    stats = daily.agg(
+        F.count("*").alias("d"),
+        F.sum("n_events").alias("sn"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("sn2"))
+    mean = F.col("sn") / F.col("d")
+    var = F.col("sn2") / F.col("d") - mean * mean
+    z = F.round((F.col("n_events") - mean) / F.sqrt(var), 6)
+    return (daily.crossJoin(F.broadcast(stats))
+            .select(F.col("day").cast("string").alias("day"),
+                    "n_events", z.alias("z"),
+                    (F.abs(z) > z_threshold).alias("is_anomaly")))

@@ -296,3 +296,33 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "rank", "tfidf"))
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease score per document with the standard
+    dependency-free syllable proxy (count of [aeiouy]+ vowel groups):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words).
+    Sentences = non-empty [.!?]-terminated segments; documents with
+    zero sentences or zero words are excluded (score undefined).
+
+    Scale shape: pure map-side column expressions (two regexp counts
+    + the shared tokenizer) — no shuffle, no UDF.
+
+    Returns (doc_id, n_words, n_sentences, n_syllables, flesch)."""
+    words = F.size(tokens(F.col("text")))
+    sents = F.size(F.filter(
+        F.split(F.col("text"), "[.!?]"),
+        lambda s: F.trim(s) != ""))
+    syll = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+    return (documents
+            .select("doc_id", words.alias("n_words"),
+                    sents.alias("n_sentences"),
+                    syll.alias("n_syllables"))
+            .where((F.col("n_words") > 0) & (F.col("n_sentences") > 0))
+            .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    F.round(206.835
+                            - 1.015 * (F.col("n_words")
+                                       / F.col("n_sentences"))
+                            - 84.6 * (F.col("n_syllables")
+                                      / F.col("n_words")), 6)
+                    .alias("flesch")))
