@@ -412,6 +412,16 @@ def _q_dedup_edit_verified(spark, sf_dir):
         .orderBy("doc_a", "doc_b"))
 
 
+def _q_dedup_minhash_estimate(spark, sf_dir):
+    """Signature-only candidate verification: estimated Jaccard =
+    fraction of agreeing minhash components — the cheap middle tier
+    between banding and exact edit distance; text never shuffles."""
+    from ferenda_spark.operators.dedup import minhash_estimated_jaccard
+    return (minhash_estimated_jaccard(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_a", "doc_b"))
+
+
 def _q_dedup_jaccard_pairs(spark, sf_dir):
     """Shingle-join Jaccard dedup WITH the hot-shingle skew guard on
     (r1 ran it guard-off — quadratic on hot shingles at scale):
@@ -747,6 +757,15 @@ def _q_sim_sq8_topk(spark, sf_dir):
     from ferenda_spark.operators.similarity import sq8_topk
     return sq8_topk(_read(spark, sf_dir, "embeddings"),
                     [0, 7, 42, 123], dim=64, k=10)
+
+
+def _q_sim_centroid_dist(spark, sf_dir):
+    """Per-label centroid distances + L2 norms over the embeddings
+    table: the cluster-hygiene outlier signal; ordered folds keep
+    the floats engine-portable."""
+    from ferenda_spark.operators.similarity import centroid_distances
+    return (centroid_distances(_read(spark, sf_dir, "embeddings"))
+            .orderBy("vec_id"))
 
 
 def _q_dedup_semantic(spark, sf_dir):
@@ -2033,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_removed": _q_dedup_span_removed,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_edit_verified": _q_dedup_edit_verified,
+        "dedup_minhash_estimate": _q_dedup_minhash_estimate,
+        "sim_centroid_dist": _q_sim_centroid_dist,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
@@ -2919,6 +2940,25 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id""",
+        # estimated Jaccard = agreeing minhash components / 8
+        "dedup_minhash_estimate": "WITH " + _MINHASH_CTE + """,
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            agg AS (
+              SELECT p.doc_a, p.doc_b,
+                     SUM(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) AS n_agree
+              FROM prs p
+              JOIN sig sa ON sa.doc_id = p.doc_a
+              JOIN sig sb ON sb.doc_id = p.doc_b
+                         AND sb.seed = sa.seed
+              GROUP BY p.doc_a, p.doc_b)
+            SELECT doc_a, doc_b, n_agree,
+                   round(n_agree / 8.0, 6) AS est_jaccard
+            FROM agg ORDER BY doc_a, doc_b""",
         # LSH candidates verified by exact normalized Levenshtein;
         # both-empty pairs define sim = 1.0
         "dedup_edit_verified": "WITH " + _MINHASH_CTE + """,
@@ -3615,6 +3655,33 @@ def oracle_sql() -> dict[str, str]:
                    cuts.c_before * 2 // cuts.n_all = 0 AS target_like
             FROM sc JOIN cuts USING (dsir_logw)
             ORDER BY sc.doc_id""",
+        # centroid = per-(label, dim) mean; norm/dist = ORDERED
+        # left-to-right folds (list_reduce == F.aggregate sequence)
+        "sim_centroid_dist": "WITH " + _EMB_CTE + """,
+            el AS (
+              SELECT e.vec_id, emb.label, e.v
+              FROM e JOIN embeddings emb USING (vec_id)),
+            pos AS (
+              SELECT label, u.i - 1 AS pos, v[u.i] AS x
+              FROM el, (SELECT unnest(generate_series(1, len(v)))) u(i)),
+            cm AS (
+              SELECT label, pos, AVG(x) AS c
+              FROM pos GROUP BY label, pos),
+            cv AS (
+              SELECT label, list(c ORDER BY pos) AS cvec
+              FROM cm GROUP BY label)
+            SELECT el.vec_id, el.label,
+                   round(sqrt(list_reduce(
+                     list_transform(el.v, a -> a * a),
+                     (acc, x) -> acc + x)), 6) AS l2_norm,
+                   round(sqrt(list_reduce(
+                     list_transform(
+                       generate_series(1, len(el.v)),
+                       i -> (el.v[i] - cv.cvec[i])
+                            * (el.v[i] - cv.cvec[i])),
+                     (acc, x) -> acc + x)), 6) AS centroid_dist
+            FROM el JOIN cv USING (label)
+            ORDER BY el.vec_id""",
         "sim_lsh_topk": "WITH " + _EMB_CTE + """,
             b AS MATERIALIZED (""" + _sign_bands_sql("raw", 8, 4) + """),
             q AS (SELECT vec_id AS query_id, band, bucket

@@ -78,7 +78,8 @@ HEADLINE = [
     # Adamic-Adar link prediction
     "dedup_semantic", "train_domain_cap", "train_dsir_weights",
     "kg_jaccard_links", "kg_assortativity",
-    "dedup_edit_verified", "text_c4_rules", "dedup_url_recrawl",
+    "dedup_edit_verified", "dedup_minhash_estimate", "text_c4_rules",
+    "dedup_url_recrawl", "sim_centroid_dist",
     "search_bm25", "kg_kcore", "text_entropy", "text_tfidf_terms",
     "events_funnel", "events_retention", "events_anomalies",
     "text_readability", "kg_host_graph",

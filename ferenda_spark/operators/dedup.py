@@ -403,3 +403,35 @@ def edit_verified_pairs(documents: DataFrame, n: int = 3,
                     F.levenshtein("text_a", "text_b").alias("edit_dist"),
                     sim.alias("edit_sim"))
             .where(F.col("edit_sim") >= min_sim))
+
+
+def minhash_estimated_jaccard(documents: DataFrame, n: int = 3,
+                              num_hashes: int = 8,
+                              band_size: int = 2) -> DataFrame:
+    """Signature-only verification of LSH candidates: the estimated
+    Jaccard of a pair = the fraction of its minhash components that
+    agree (the unbiased MinHash estimator) — verification WITHOUT
+    ever touching text, the cheap middle tier between raw banding
+    and the exact edit-distance confirmation
+    (:func:`edit_verified_pairs`).
+
+    Scale shape: candidates from the banded self-join; the component
+    comparison joins the (doc, seed, minhash) signature table on the
+    doc id — two signature-sized keyed joins, text never shuffles,
+    signature width is num_hashes rows per doc.
+
+    Returns (doc_a, doc_b, n_agree, est_jaccard) for every candidate
+    pair."""
+    cand = minhash_band_pairs(documents, n, num_hashes, band_size)
+    sig = minhash_signatures(documents, n, num_hashes)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "seed",
+                    F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "seed",
+                    F.col("minhash").alias("mh_b"))
+    return (cand.join(sa, "doc_a").join(sb, ["doc_b", "seed"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("long"))
+                 .alias("n_agree"))
+            .select("doc_a", "doc_b", "n_agree",
+                    F.round(F.col("n_agree") / num_hashes, 6)
+                    .alias("est_jaccard")))

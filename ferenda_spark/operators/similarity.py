@@ -483,3 +483,45 @@ def sq8_topk(embeddings: DataFrame, query_ids: list[int], dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "vec_id", "rank", "cosine_sq_r"))
+
+
+def centroid_distances(embeddings: DataFrame,
+                       label_col: str = "label") -> DataFrame:
+    """Per-cluster embedding hygiene: the element-wise mean centroid
+    of each label group, every vector's L2 norm, and its distance to
+    its group centroid — the outlier signal a pipeline inspects
+    before trusting labels/clusters (mislabeled or corrupt vectors
+    sit far from their centroid).
+
+    Float discipline: both the norm and the distance are ORDERED
+    left-to-right folds over the dimension axis (identical
+    instruction sequence in Spark's F.aggregate and the oracle's
+    list_reduce), so the only shuffle-order-dependent float is the
+    per-(label, dim) mean — rounded to 6 like every cross-engine
+    double.
+
+    Scale shape: the centroid is one groupBy over (label, dim) rows
+    (dimension x labels output — tiny) rebuilt into arrays and
+    broadcast back; norms/distances are map-side folds.  Vectors
+    shuffle once, as (label, dim, value) triples.
+
+    Returns (vec_id, label, l2_norm, centroid_dist) rounded to 6."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = embeddings.select("vec_id", F.col(label_col).alias("label"),
+                             v.alias("v"))
+    pos = base.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+                 .alias("pc"))
+            .select("label",
+                    F.transform("pc", lambda s: s.c).alias("cvec")))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0),
+                                   lambda acc, x: acc + x)
+    norm = F.sqrt(fold(F.transform(F.col("v"), lambda a: a * a)))
+    dist = F.sqrt(fold(F.zip_with(
+        F.col("v"), F.col("cvec"), lambda a, b: (a - b) * (a - b))))
+    return (base.join(F.broadcast(cent), "label")
+            .select("vec_id", "label",
+                    F.round(norm, 6).alias("l2_norm"),
+                    F.round(dist, 6).alias("centroid_dist")))
