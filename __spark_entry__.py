@@ -474,6 +474,27 @@ def _q_text_tfidf_terms(spark, sf_dir):
             .orderBy("doc_id", "rank"))
 
 
+def _q_text_script_mix(spark, sf_dir):
+    """Unicode-script composition with planted Cyrillic/CJK/Arabic
+    runs (the corpus is pure Latin soup): doc_id%4 picks the script,
+    doc_id%5 scales the run so dominance provably flips on the long
+    runs and stays latin on the short ones — both branches of the
+    dominant-script CASE fire."""
+    from ferenda_spark.operators.textstats import script_mix
+    did = F.col("doc_id")
+    reps = ((did % 5 + 1) * 8).cast("int")
+    planted = (F.when(did % 4 == 1,
+                      F.repeat(F.lit("привет мир "), reps))
+               .when(did % 4 == 2, F.repeat(F.lit("中文字符测试 "), reps))
+               .when(did % 4 == 3, F.repeat(F.lit("مرحبا بالعالم "), reps))
+               .otherwise(F.lit("")))
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" "), planted)
+                    .alias("text")))
+    return script_mix(docs).orderBy("doc_id")
+
+
 def _q_text_ccnet_buckets(spark, sf_dir):
     """CCNet-style per-language perplexity buckets (Wenzek et al.
     2020): head/middle/tail thirds per language by corpus-LM score.
@@ -2082,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_anomalies": _q_events_anomalies,
         "text_readability": _q_text_readability,
+        "text_script_mix": _q_text_script_mix,
         "clean_strip_boilerplate": _q_clean_strip_boilerplate,
         "text_c4_rules": _q_text_c4_rules,
         "dedup_url_recrawl": _q_dedup_url_recrawl,
@@ -2731,6 +2753,45 @@ def oracle_sql() -> dict[str, str]:
                                 - (sn * 1.0 / d) * (sn * 1.0 / d)),
                          6)) > 2.0 AS is_anomaly
             FROM daily CROSS JOIN st ORDER BY day""",
+        # script counts over the same planted runs; dominance CASE
+        # in declaration order (latin, cyrillic, cjk, arabic)
+        "text_script_mix": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' ' ||
+                     CASE WHEN doc_id % 4 = 1
+                          THEN repeat('привет мир ',
+                                      CAST((doc_id % 5 + 1) * 8 AS INT))
+                          WHEN doc_id % 4 = 2
+                          THEN repeat('中文字符测试 ',
+                                      CAST((doc_id % 5 + 1) * 8 AS INT))
+                          WHEN doc_id % 4 = 3
+                          THEN repeat('مرحبا بالعالم ',
+                                      CAST((doc_id % 5 + 1) * 8 AS INT))
+                          ELSE '' END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '[A-Za-z]'))
+                       AS n_latin,
+                     len(regexp_extract_all(text, '[Ѐ-ӿ]'))
+                       AS n_cyrillic,
+                     len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk,
+                     len(regexp_extract_all(text, '[؀-ۿ]'))
+                       AS n_arabic
+              FROM d)
+            SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+                   CASE WHEN n_latin = greatest(n_latin, n_cyrillic,
+                                                n_cjk, n_arabic)
+                        THEN 'latin'
+                        WHEN n_cyrillic = greatest(n_latin, n_cyrillic,
+                                                   n_cjk, n_arabic)
+                        THEN 'cyrillic'
+                        WHEN n_cjk = greatest(n_latin, n_cyrillic,
+                                              n_cjk, n_arabic)
+                        THEN 'cjk'
+                        ELSE 'arabic' END AS dominant_script
+            FROM c ORDER BY doc_id""",
         # Flesch reading ease, vowel-group syllable proxy, planted
         # sentence structure
         "text_readability": r"""

@@ -82,7 +82,7 @@ HEADLINE = [
     "dedup_url_recrawl", "sim_centroid_dist",
     "search_bm25", "kg_kcore", "text_entropy", "text_tfidf_terms",
     "events_funnel", "events_retention", "events_anomalies",
-    "text_readability", "kg_host_graph",
+    "text_readability", "kg_host_graph", "text_script_mix",
     "train_bpe_merges", "kg_ranking_ndcg", "train_source_temperature",
     "text_ccnet_buckets", "kg_link_prediction", "sim_sq8_topk",
 ]

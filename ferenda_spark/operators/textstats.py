@@ -326,3 +326,38 @@ def readability(documents: DataFrame) -> DataFrame:
                             - 84.6 * (F.col("n_syllables")
                                       / F.col("n_words")), 6)
                     .alias("flesch")))
+
+
+# explicit codepoint ranges shared verbatim with the oracle patterns
+SCRIPT_RANGES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "一-鿿"),
+    ("arabic", "؀-ۿ"),
+)
+
+
+def script_mix(documents: DataFrame) -> DataFrame:
+    """Unicode-script composition per document — the script-ID signal
+    multilingual pipelines cut on before language ID (a page whose
+    declared lang disagrees with its dominant script is suspect, and
+    mixed-script text drives per-script tokenizer routing).  Counts
+    characters in four explicit codepoint ranges (Latin, Cyrillic,
+    CJK unified, Arabic), plus the dominant script (ties broken in
+    the declaration order above).
+
+    Scale shape: four regexp counts + a CASE — entirely map-side.
+
+    Returns (doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+    dominant_script)."""
+    counts = {name: F.regexp_count(F.col("text"),
+                                   F.lit("[%s]" % rng))
+              for name, rng in SCRIPT_RANGES}
+    m = F.greatest(*counts.values())
+    dom = F.lit(None).cast("string")
+    for name, _ in reversed(SCRIPT_RANGES):
+        dom = F.when(counts[name] == m, F.lit(name)).otherwise(dom)
+    return documents.select(
+        "doc_id",
+        *[counts[name].alias("n_" + name) for name, _ in SCRIPT_RANGES],
+        dom.alias("dominant_script"))
