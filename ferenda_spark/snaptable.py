@@ -249,7 +249,7 @@ class SnapshotTable:
         return {"unit": unit, "row_count": row["__n"], "bounds": bounds}
 
     def _snapshot(self, meta: dict, operation: str, units: list,
-                  added: list) -> dict:
+                  added: list, parent_id: int | None = None) -> dict:
         # ids must never be reused, even after rollback + expire drops
         # snapshots from the log (a caller-stored id resolving to
         # DIFFERENT data would be silent corruption) — take the max of
@@ -261,7 +261,7 @@ class SnapshotTable:
         total = sum(u["row_count"] for u in units)
         return {
             "snapshot_id": snap_id,
-            "parent_id": meta["current_snapshot_id"] if meta else None,
+            "parent_id": parent_id,
             "operation": operation,
             "timestamp_ms": int(time.time() * 1000),
             "manifest": units,
@@ -275,7 +275,8 @@ class SnapshotTable:
 
     def _commit(self, meta: dict | None, operation: str,
                 carried: list, added: list, schema_json: str = None,
-                partition_by: tuple = (), stats_cols: tuple = ()) -> dict:
+                partition_by: tuple = (), stats_cols: tuple = (),
+                ref: str = "main") -> dict:
         if meta is None:
             meta = {"format_version": FORMAT_VERSION,
                     "table_uuid": uuid.uuid4().hex,
@@ -285,19 +286,114 @@ class SnapshotTable:
                     "current_snapshot_id": None,
                     "snapshots": [],
                     "_version": 0}
+        if ref == "main":
+            parent = meta["current_snapshot_id"]
+        else:
+            parent = self._ref_entry(meta, ref,
+                                     want_type="branch")["snapshot_id"]
         units = [dict(u) for u in carried] + [
             dict(u, added_snapshot_id=None) for u in added]
-        snap = self._snapshot(meta, operation, units, added)
+        snap = self._snapshot(meta, operation, units, added,
+                              parent_id=parent)
         for u in units:
             if u.get("added_snapshot_id") is None:
                 u["added_snapshot_id"] = snap["snapshot_id"]
         snap["manifest"] = units
         new = dict(meta)
-        new["current_snapshot_id"] = snap["snapshot_id"]
+        if ref == "main":
+            new["current_snapshot_id"] = snap["snapshot_id"]
+        else:
+            refs = dict(new.get("refs", {}))
+            refs[ref] = {"snapshot_id": snap["snapshot_id"],
+                         "type": "branch"}
+            new["refs"] = refs
         new["last_snapshot_id"] = snap["snapshot_id"]
         new["snapshots"] = meta["snapshots"] + [snap]
         self._publish(new, meta["_version"])
         return snap
+
+    # --------------------------------------------------- named refs
+
+    def _ref_entry(self, meta: dict, name: str,
+                   want_type: str = None) -> dict:
+        entry = meta.get("refs", {}).get(name)
+        if entry is None:
+            raise SnapshotError("unknown ref %r" % name)
+        if want_type is not None and entry["type"] != want_type:
+            raise SnapshotError(
+                "ref %r is a %s, need a %s"
+                % (name, entry["type"], want_type))
+        return entry
+
+    def _create_ref(self, name: str, kind: str,
+                    snapshot_id: int | None) -> dict:
+        """Shared tag/branch creation: a named pointer into the
+        snapshot log (Iceberg refs).  Tags are immutable; branches
+        advance when written with ``append(..., ref=name)``.  The ref
+        map rides the same CAS metadata commit as everything else."""
+        if name == "main":
+            raise SnapshotError("'main' is the implicit current ref")
+        meta = self._load()
+        if name in meta.get("refs", {}):
+            raise SnapshotError("ref %r already exists" % name)
+        sid = (meta["current_snapshot_id"] if snapshot_id is None
+               else snapshot_id)
+        if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+            raise SnapshotError("unknown snapshot %d" % sid)
+        new = dict(meta)
+        refs = dict(new.get("refs", {}))
+        refs[name] = {"snapshot_id": sid, "type": kind}
+        new["refs"] = refs
+        self._publish(new, meta["_version"])
+        return refs[name]
+
+    def create_tag(self, name: str,
+                   snapshot_id: int | None = None) -> dict:
+        """Immutable named pointer (Iceberg tag), default = current."""
+        return self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str,
+                      snapshot_id: int | None = None) -> dict:
+        """Mutable named pointer (Iceberg branch): subsequent
+        ``append(df, ref=name)`` commits advance the branch head
+        without touching main."""
+        return self._create_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        meta = self._load()
+        self._ref_entry(meta, name)
+        new = dict(meta)
+        refs = dict(new["refs"])
+        del refs[name]
+        new["refs"] = refs
+        self._publish(new, meta["_version"])
+
+    def refs(self) -> dict:
+        """Name -> {snapshot_id, type} for every named ref."""
+        return dict(self._load().get("refs", {}))
+
+    def fast_forward(self, name: str) -> int:
+        """Advance main to a branch head, Iceberg fastForward
+        semantics: legal only when main's current snapshot is an
+        ANCESTOR of the branch head (otherwise the branch diverged
+        and a fast-forward would silently drop main commits).
+        Returns the new current snapshot id."""
+        meta = self._load()
+        head = self._ref_entry(meta, name, want_type="branch")
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        cur = by_id.get(head["snapshot_id"])
+        ancestors = set()
+        while cur is not None:
+            ancestors.add(cur["snapshot_id"])
+            cur = by_id.get(cur["parent_id"])
+        if meta["current_snapshot_id"] not in ancestors:
+            raise SnapshotError(
+                "cannot fast-forward: main is not an ancestor of %r"
+                % name)
+        new = dict(meta)
+        new["current_snapshot_id"] = head["snapshot_id"]
+        self._publish(new, meta["_version"])
+        return head["snapshot_id"]
 
     # ------------------------------------------------------- writes
 
@@ -346,7 +442,8 @@ class SnapshotTable:
             for f in evolved.fields])
 
     def append(self, df: DataFrame,
-               expected_version: int | None = None) -> dict:
+               expected_version: int | None = None,
+               ref: str = "main") -> dict:
         """Append ``df`` as one data unit.  With ``expected_version``
         the commit is CONDITIONAL on the table still being at that
         metadata version: if another writer advanced it since the
@@ -365,8 +462,13 @@ class SnapshotTable:
         df = self._align_schema(meta, df)
         unit = self._write_unit(df, tuple(meta["partition_by"]),
                                 tuple(meta["stats_cols"]))
-        snap = self._current_snap(meta)
-        return self._commit(meta, "append", snap["manifest"], [unit])
+        if ref == "main":
+            base = self._current_snap(meta)
+        else:
+            head = self._ref_entry(meta, ref, want_type="branch")
+            base = self._resolve(meta, head["snapshot_id"])
+        return self._commit(meta, "append", base["manifest"], [unit],
+                            ref=ref)
 
     def overwrite(self, df: DataFrame) -> dict:
         """Replace the table contents (prior snapshots stay readable
@@ -487,7 +589,9 @@ class SnapshotTable:
                     if s["snapshot_id"] == sid)
 
     def _resolve(self, meta: dict, snapshot_id: int = None,
-                 as_of_ms: int = None) -> dict:
+                 as_of_ms: int = None, ref: str = None) -> dict:
+        if ref is not None:
+            snapshot_id = self._ref_entry(meta, ref)["snapshot_id"]
         if snapshot_id is not None:
             for s in meta["snapshots"]:
                 if s["snapshot_id"] == snapshot_id:
@@ -529,9 +633,9 @@ class SnapshotTable:
             for f in schema.fields])
 
     def read(self, spark: SparkSession, snapshot_id: int = None,
-             as_of_ms: int = None) -> DataFrame:
+             as_of_ms: int = None, ref: str = None) -> DataFrame:
         meta = self._load()
-        snap = self._resolve(meta, snapshot_id, as_of_ms)
+        snap = self._resolve(meta, snapshot_id, as_of_ms, ref=ref)
         return self._read_units(spark, meta, snap["manifest"])
 
     def scan(self, spark: SparkSession, col: str, lo, hi):
@@ -620,6 +724,14 @@ class SnapshotTable:
         while cur is not None and len(keep) < max(keep_last, 1):
             keep.append(cur)
             cur = by_id.get(cur["parent_id"])
+        # every named ref pins its snapshot (tags: just the target;
+        # branches: the whole head chain would over-retain — Iceberg
+        # retains per-ref history separately; we pin the head, whose
+        # manifest carries all live data for that ref)
+        for entry in meta.get("refs", {}).values():
+            pinned = by_id.get(entry["snapshot_id"])
+            if pinned is not None and pinned not in keep:
+                keep.append(pinned)
         keep_ids = {s["snapshot_id"] for s in keep}
         live_units = {u["unit"] for s in keep for u in s["manifest"]}
         expired_units = {u["unit"] for s in meta["snapshots"]

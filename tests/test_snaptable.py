@@ -523,3 +523,63 @@ def test_compact_sort_clusters_units_for_pruning(spark, tmpdir):
     assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3, 4]
     # logical contents unchanged by the clustered rewrite
     assert t.read(spark).count() == 20
+
+
+def test_tags_pin_snapshots_and_survive_expire(spark, tmpdir):
+    t = _t(tmpdir)
+    s1 = t.create(_batch(spark, 0, 10))
+    t.create_tag("v1.0")                       # tag at snapshot 1
+    t.append(_batch(spark, 10, 20))
+    t.append(_batch(spark, 20, 30))
+    assert t.read(spark, ref="v1.0").count() == 10
+    assert t.read(spark).count() == 30
+    # expire keeps the tagged snapshot even beyond keep_last
+    t.expire(keep_last=1, orphan_grace_s=0)
+    assert t.read(spark, ref="v1.0").count() == 10
+    assert t.read(spark).count() == 30
+    # tags are immutable: writing against one is rejected
+    with pytest.raises(SnapshotError):
+        t.append(_batch(spark, 0, 1), ref="v1.0")
+    # names are unique, 'main' reserved, unknown refs error
+    with pytest.raises(SnapshotError):
+        t.create_branch("v1.0")
+    with pytest.raises(SnapshotError):
+        t.create_tag("main")
+    with pytest.raises(SnapshotError):
+        t.read(spark, ref="nope")
+    assert t.refs()["v1.0"]["snapshot_id"] == s1["snapshot_id"]
+
+
+def test_branch_writes_isolate_then_fast_forward(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10))
+    t.create_branch("audit")
+    t.append(_batch(spark, 100, 120), ref="audit")
+    t.append(_batch(spark, 200, 230), ref="audit")
+    # branch sees its own lineage; main is untouched
+    assert t.read(spark, ref="audit").count() == 60
+    assert t.read(spark).count() == 10
+    # main is an ancestor of the branch head -> fast-forward legal
+    head = t.fast_forward("audit")
+    assert t.read(spark).count() == 60
+    assert t.refs()["audit"]["snapshot_id"] == head
+    # now diverge main and the branch: fast-forward must refuse
+    t.append(_batch(spark, 300, 310))          # main moves past head
+    with pytest.raises(SnapshotError):
+        t.fast_forward("audit")
+    # drop the ref; reading it then errors
+    t.drop_ref("audit")
+    with pytest.raises(SnapshotError):
+        t.read(spark, ref="audit")
+
+
+def test_branch_head_survives_expire(spark, tmpdir):
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10))
+    t.create_branch("exp")
+    t.append(_batch(spark, 50, 70), ref="exp")
+    t.append(_batch(spark, 10, 20))            # advance main twice
+    t.append(_batch(spark, 20, 30))
+    t.expire(keep_last=1, orphan_grace_s=0)
+    assert t.read(spark, ref="exp").count() == 30
+    assert t.read(spark).count() == 30
