@@ -3374,7 +3374,7 @@ def oracle_sql() -> dict[str, str]:
                      len(string_split_regex(
                        COALESCE(array_to_string(kept, chr(10)), ''),
                        '[.!?]')) - 1 AS n_sentences,
-                     contains(text, 'lorem ipsum') AS has_lorem,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
                      contains(text, '{') AS has_brace
               FROM k)
             SELECT doc_id, n_lines, n_kept_lines, n_sentences,
@@ -3726,7 +3726,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT label, u.i - 1 AS pos, v[u.i] AS x
               FROM el, (SELECT unnest(generate_series(1, len(v)))) u(i)),
             cm AS (
-              SELECT label, pos, AVG(x) AS c
+              SELECT label, pos, round(AVG(x), 6) AS c
               FROM pos GROUP BY label, pos),
             cv AS (
               SELECT label, list(c ORDER BY pos) AS cvec

@@ -231,15 +231,17 @@ def c4_rules(documents: DataFrame) -> DataFrame:
     kept = F.filter(lines, is_kept)
     kept_text = F.array_join(kept, "\n")
     n_sent = F.size(F.split(kept_text, "[.!?]")) - 1
+    # case-insensitive like the C4 reference (it lowercases first) —
+    # 'Lorem Ipsum' is the common capitalization in the wild
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
     return documents.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept_lines"),
         n_sent.alias("n_sentences"),
-        F.col("text").contains("lorem ipsum").alias("has_lorem"),
+        has_lorem.alias("has_lorem"),
         F.col("text").contains("{").alias("has_brace"),
-        ((n_sent >= 3)
-         & ~F.col("text").contains("lorem ipsum")
+        ((n_sent >= 3) & ~has_lorem
          & ~F.col("text").contains("{")).alias("keep"))
 
 

@@ -47,6 +47,10 @@ def funnel(events: DataFrame, steps: list,
             frontier = (ev.join(prev, "u")
                         .where(F.col("t") > F.col("pt"))
                         .groupBy("u").agg(F.min("t").alias("t")))
+        # lineage cut per step (iterative-op convention): without it
+        # step k's count() re-executes steps 1..k-1's joins — O(k^2)
+        # scans of the event table
+        frontier = frontier.localCheckpoint()
         out.append((i, name, frontier.count()))
     return spark.createDataFrame(
         out, "step int, step_name string, n_users long")

@@ -590,6 +590,47 @@ def clustering_coefficients(edges: DataFrame, src: str = "doc_a",
                     .alias("clustering")))
 
 
+def _bounded_common_neighbors(und, deg, max_degree,
+                              with_aa_weight=False):
+    """Shared skew-bounded common-neighbor machinery for the link
+    predictors: spokes through every neighbour z with deg(z) in
+    [2, max_degree] (the hub cut that bounds wedge fan-out), wedge
+    self-join on z, and the (x < y) pair aggregate.  Returns
+    (x, y, n_common[, aa_score]) with ADJACENT pairs still included
+    — follow with :func:`_non_adjacent`."""
+    spokes = (und.select(F.col("u").alias("z"), F.col("v").alias("x"))
+              .unionByName(
+                  und.select(F.col("v").alias("z"),
+                             F.col("u").alias("x"))))
+    zf = deg.where((F.col("d") <= max_degree) & (F.col("d") >= 2))
+    if with_aa_weight:
+        zf = zf.select(F.col("n").alias("z"),
+                       (1.0 / F.log(F.col("d").cast("double")))
+                       .alias("w"))
+        wedge = spokes.join(zf, "z")
+        a = wedge.select("z", "x", "w")
+    else:
+        zf = zf.select(F.col("n").alias("z"))
+        wedge = spokes.join(zf, "z")
+        a = wedge.select("z", "x")
+    b = wedge.select("z", F.col("x").alias("y"))
+    g = (a.join(b, "z")
+         .where(F.col("x") < F.col("y"))
+         .groupBy("x", "y"))
+    if with_aa_weight:
+        return g.agg(F.count("*").alias("n_common"),
+                     F.round(F.sum("w"), 6).alias("aa_score"))
+    return g.agg(F.count("*").alias("n_common"))
+
+
+def _non_adjacent(pairs, und):
+    """Drop pairs that are themselves edges of the (normalized)
+    graph — the link predictors score MISSING links only."""
+    return pairs.join(
+        und, (pairs["x"] == und["u"]) & (pairs["y"] == und["v"]),
+        "left_anti")
+
+
 def adamic_adar(edges: DataFrame, src: str = "doc_a",
                 dst: str = "doc_b", max_degree: int = 64) -> DataFrame:
     """Adamic-Adar link prediction over an undirected simple graph:
@@ -615,24 +656,9 @@ def adamic_adar(edges: DataFrame, src: str = "doc_a",
     node_b; aa_score rounded to 6 (float-sum order portability)."""
     und = _normalize_undirected(edges, src, dst)
     deg = _degrees(und)
-    spokes = (und.select(F.col("u").alias("z"), F.col("v").alias("x"))
-              .unionByName(
-                  und.select(F.col("v").alias("z"),
-                             F.col("u").alias("x"))))
-    zw = (deg.where((F.col("d") <= max_degree) & (F.col("d") >= 2))
-          .select(F.col("n").alias("z"),
-                  (1.0 / F.log(F.col("d").cast("double"))).alias("w")))
-    wedge = spokes.join(zw, "z")
-    a = wedge.select("z", "x", "w")
-    b = wedge.select("z", F.col("x").alias("y"))
-    pair_scores = (a.join(b, "z")
-                   .where(F.col("x") < F.col("y"))
-                   .groupBy("x", "y")
-                   .agg(F.count("*").alias("n_common"),
-                        F.round(F.sum("w"), 6).alias("aa_score")))
-    return (pair_scores
-            .join(und, (pair_scores["x"] == und["u"])
-                  & (pair_scores["y"] == und["v"]), "left_anti")
+    pair_scores = _bounded_common_neighbors(und, deg, max_degree,
+                                            with_aa_weight=True)
+    return (_non_adjacent(pair_scores, und)
             .select(F.col("x").alias("node_a"),
                     F.col("y").alias("node_b"),
                     "n_common", "aa_score"))
@@ -734,19 +760,7 @@ def jaccard_neighbors(edges: DataFrame, src: str = "doc_a",
     Returns (node_a, node_b, n_common, jaccard) rounded to 6."""
     und = _normalize_undirected(edges, src, dst)
     deg = _degrees(und)
-    spokes = (und.select(F.col("u").alias("z"), F.col("v").alias("x"))
-              .unionByName(
-                  und.select(F.col("v").alias("z"),
-                             F.col("u").alias("x"))))
-    zok = (deg.where((F.col("d") <= max_degree) & (F.col("d") >= 2))
-           .select(F.col("n").alias("z")))
-    wedge = spokes.join(zok, "z")
-    a = wedge.select("z", "x")
-    b = wedge.select("z", F.col("x").alias("y"))
-    pairs = (a.join(b, "z")
-             .where(F.col("x") < F.col("y"))
-             .groupBy("x", "y")
-             .agg(F.count("*").alias("n_common")))
+    pairs = _bounded_common_neighbors(und, deg, max_degree)
     dx = deg.select(F.col("n").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("n").alias("y"), F.col("d").alias("dy"))
     scored = (pairs.join(dx, "x").join(dy, "y")
@@ -755,9 +769,7 @@ def jaccard_neighbors(edges: DataFrame, src: str = "doc_a",
                               / (F.col("dx") + F.col("dy")
                                  - F.col("n_common")), 6)
                       .alias("jaccard")))
-    return (scored
-            .join(und, (scored["x"] == und["u"])
-                  & (scored["y"] == und["v"]), "left_anti")
+    return (_non_adjacent(scored, und)
             .select(F.col("x").alias("node_a"),
                     F.col("y").alias("node_b"),
                     "n_common", "jaccard"))

@@ -496,8 +496,9 @@ def centroid_distances(embeddings: DataFrame,
     Float discipline: both the norm and the distance are ORDERED
     left-to-right folds over the dimension axis (identical
     instruction sequence in Spark's F.aggregate and the oracle's
-    list_reduce), so the only shuffle-order-dependent float is the
-    per-(label, dim) mean — rounded to 6 like every cross-engine
+    list_reduce); the only shuffle-order-dependent float is the
+    per-(label, dim) mean, which is rounded to 6 AT THE AGGREGATE
+    (before it feeds the distance fold) like every cross-engine
     double.
 
     Scale shape: the centroid is one groupBy over (label, dim) rows
@@ -510,7 +511,10 @@ def centroid_distances(embeddings: DataFrame,
     base = embeddings.select("vec_id", F.col(label_col).alias("label"),
                              v.alias("v"))
     pos = base.select("label", F.posexplode("v").alias("pos", "x"))
-    cent = (pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    # round the mean WHERE the order-dependent float is produced
+    # (shuffle-order partial sums), like every cross-engine double
+    cent = (pos.groupBy("label", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
             .groupBy("label")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
                  .alias("pc"))

@@ -724,14 +724,23 @@ class SnapshotTable:
         while cur is not None and len(keep) < max(keep_last, 1):
             keep.append(cur)
             cur = by_id.get(cur["parent_id"])
-        # every named ref pins its snapshot (tags: just the target;
-        # branches: the whole head chain would over-retain — Iceberg
-        # retains per-ref history separately; we pin the head, whose
-        # manifest carries all live data for that ref)
+        # every named ref pins snapshots: a tag pins its target; a
+        # BRANCH pins its whole surviving ancestor chain — the chain
+        # is what proves main-is-an-ancestor in fast_forward, so
+        # pruning intermediate branch snapshots would make a legal
+        # fast-forward unprovable (Iceberg likewise retains per-ref
+        # history).  Chain length is bounded by the branch's commits
+        # since divergence, and walking stops early at a snapshot
+        # already kept.
+        kept_ids = {s["snapshot_id"] for s in keep}
         for entry in meta.get("refs", {}).values():
-            pinned = by_id.get(entry["snapshot_id"])
-            if pinned is not None and pinned not in keep:
-                keep.append(pinned)
+            cur = by_id.get(entry["snapshot_id"])
+            while cur is not None and cur["snapshot_id"] not in kept_ids:
+                keep.append(cur)
+                kept_ids.add(cur["snapshot_id"])
+                if entry["type"] != "branch":
+                    break
+                cur = by_id.get(cur["parent_id"])
         keep_ids = {s["snapshot_id"] for s in keep}
         live_units = {u["unit"] for s in keep for u in s["manifest"]}
         expired_units = {u["unit"] for s in meta["snapshots"]

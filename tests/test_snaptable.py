@@ -583,3 +583,17 @@ def test_branch_head_survives_expire(spark, tmpdir):
     t.expire(keep_last=1, orphan_grace_s=0)
     assert t.read(spark, ref="exp").count() == 30
     assert t.read(spark).count() == 30
+
+
+def test_fast_forward_still_legal_after_expire(spark, tmpdir):
+    """expire must retain the branch's surviving ancestor chain, or
+    the fast-forward ancestry proof breaks (review finding)."""
+    t = _t(tmpdir)
+    t.create(_batch(spark, 0, 10))
+    t.create_branch("b")
+    t.append(_batch(spark, 10, 20), ref="b")
+    t.append(_batch(spark, 20, 30), ref="b")
+    t.expire(keep_last=1, orphan_grace_s=0)
+    head = t.fast_forward("b")          # main never advanced: legal
+    assert t.read(spark).count() == 30
+    assert t.refs()["b"]["snapshot_id"] == head

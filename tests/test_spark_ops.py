@@ -1798,7 +1798,7 @@ def test_c4_rules_line_and_page_semantics(spark):
             "no terminal punct here at all"),                # 1 kept, drop
         (3, "one two three four five.\nsix seven eight nine ten.\n"
             "a b c d e f. second sentence here too!"),       # multi-sent line
-        (4, "one two three four five. x! y?\nlorem ipsum in this page."),
+        (4, "one two three four five. x! y?\nLorem Ipsum in this page."),
         (5, "code page { body } one two.\nthree four five six seven."),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
