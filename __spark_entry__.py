@@ -2040,6 +2040,187 @@ def _q_ranking_baseline(spark, sf_dir):
     return ranked_set_baseline(_read(spark, sf_dir, "documents"), needs)
 
 
+# --- round-4 continuation: knowledge fusion / crawl graph / ER ------
+
+
+def _claims(spark, sf_dir):
+    """Conflicting entity-label claims planted on the documents table:
+    every doc asserts a label for its entity (doc_id % 50); docs with
+    doc_id % 3 == 0 assert the WRONG label ((e+1) % 7 instead of
+    e % 7), so 20 sources vote with planted disagreement."""
+    d = _read(spark, sf_dir, "documents")
+    e = F.col("doc_id") % 50
+    return d.select(
+        F.concat(F.lit("https://example.org/res/entity/"), e)
+        .alias("subject"),
+        F.lit("rdfs:label").alias("predicate"),
+        F.concat(F.lit("Label "),
+                 F.when(F.col("doc_id") % 3 == 0, (e + 1) % 7)
+                 .otherwise(e % 7)).alias("object"),
+        F.col("source"))
+
+
+def _source_weights(spark):
+    """Trust dimension: weight 1 + (source ordinal % 3)."""
+    return spark.range(20).select(
+        F.concat(F.lit("src"), "id").alias("source"),
+        (1 + F.col("id") % 3).cast("long").alias("weight"))
+
+
+def _q_fact_fusion(spark, sf_dir):
+    """Knowledge fusion (Dong et al. 2014): trust-weighted source
+    voting per (subject, predicate) with deterministic tie-breaks —
+    the conflict-resolution stage of web-scale KG construction.
+    Broadcast trust dim + one groupBy + one window."""
+    from ferenda_spark.operators.fusion import fact_fusion
+    return (fact_fusion(_claims(spark, sf_dir), _source_weights(spark))
+            .orderBy("subject"))
+
+
+def _q_source_accuracy(spark, sf_dir):
+    """TruthFinder/ACCU EM half-step: re-score each source by
+    agreement with the fused values, exact-integer ppm so the score
+    is engine-portable."""
+    from ferenda_spark.operators.fusion import fact_fusion, source_accuracy
+    claims = _claims(spark, sf_dir)
+    fused = fact_fusion(claims, _source_weights(spark))
+    return source_accuracy(claims, fused).orderBy("source")
+
+
+def _q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain collapse by pointer doubling (O(log L) shuffles
+    — the crawl-scale sameAs signal).  Planted chains: docs with
+    doc_id % 10 in {1,2,3} redirect to doc_id + 1, so chains of
+    length 3/2/1 end at the % 10 == 4 terminal."""
+    from ferenda_spark.operators.crawl import resolve_redirects
+
+    def _url(d):
+        return F.concat(
+            F.when(d % 10 < 3, F.lit("https://hot.example.org/"))
+            .otherwise(F.lit("https://example.org/")),
+            F.lit("docs/src"), d % 20, F.lit("/"), d)
+    redirects = (_read(spark, sf_dir, "documents")
+                 .where((F.col("doc_id") % 10 >= 1)
+                        & (F.col("doc_id") % 10 <= 3))
+                 .select(_url(F.col("doc_id")).alias("src_url"),
+                         _url(F.col("doc_id") + 1).alias("dst_url")))
+    return (resolve_redirects(redirects, max_doubling=4)
+            .orderBy("src_url"))
+
+
+_ROBOTS_RULES = [
+    ("example.org", "/docs/src1", False),      # src13..src19 prefix
+    ("example.org", "/docs/src15", True),      # longest match wins
+    ("example.org", "/docs/src4/", False),
+    ("example.org", "/docs/src7/", False),     # exact-length tie:
+    ("example.org", "/docs/src7/", True),      # allow wins (RFC 9309)
+    ("hot.example.org", "/docs/", False),
+    ("hot.example.org", "/docs/src12", True),
+]
+
+
+def _q_robots_rules(spark, sf_dir):
+    """RFC 9309 robots.txt longest-match over the corpus URL table:
+    broadcast rule dim, prefix filter, one per-URL window; no-match
+    URLs allowed by default.  Exercises prefix-length precedence AND
+    the allow-wins-ties rule (two planted src7 rules)."""
+    from ferenda_spark.operators.crawl import robots_allowed
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string, allow boolean")
+    urls = _docs(spark, sf_dir).select("url")
+    return robots_allowed(urls, rules).orderBy("url")
+
+
+def _q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text profile per target document — the web-KG
+    relevance signal (anchor text describes the target).  The Spark
+    side WALKS THE REAL DOM (Arrow-batched, same pruning as the
+    extract stage); the oracle recomputes the planted nav anchors
+    ('next' -> d+1, 'related' -> d+2) closed-form."""
+    from ferenda_spark.corpus import load_pages
+    from ferenda_spark.operators.crawl import anchor_links, \
+        anchor_text_profile
+    links = anchor_links(load_pages(spark, sf_dir)).withColumn(
+        "target",
+        F.regexp_extract("href", r"/(\d+)$", 1).cast("long"))
+    return anchor_text_profile(links, "target").orderBy("target")
+
+
+def _q_valid_intervals(spark, sf_dir):
+    """Temporal-KG validity coalescing: per-entity overlapping
+    validity spans (planted: start = issued-day offset, length
+    30..110 days as integers) merged by the gaps-and-islands window
+    program."""
+    from ferenda_spark.operators.temporal import coalesce_intervals
+    d = _read(spark, sf_dir, "documents")
+    iv = d.select(
+        (F.col("doc_id") % 50).cast("long").alias("entity"),
+        ((F.col("doc_id") * 37) % 1461).cast("long").alias("valid_from"),
+        ((F.col("doc_id") * 37) % 1461 + 30
+         + (F.col("doc_id") % 5) * 20).cast("long").alias("valid_to"))
+    return (coalesce_intervals(iv, "entity")
+            .orderBy("entity", "valid_from"))
+
+
+def _q_bfs_distances(spark, sf_dir):
+    """Multi-source BFS over the citation graph (edges d -> d+1 and
+    d -> d+2, seeds every 100th doc, 3 hops): layer-synchronous
+    frontier joins with per-round lineage cuts; min-distance is
+    implicit in BFS layering.  Oracle: dist(n) = min over seeds s of
+    ceil((n-s)/2) for 0 <= n-s <= 6, closed-form."""
+    from ferenda_spark.operators.graphs import bfs_distances
+    d = _read(spark, sf_dir, "documents")
+    e1 = d.select(F.col("doc_id").alias("doc_a"),
+                  (F.col("doc_id") + 1).alias("doc_b"))
+    e2 = d.select(F.col("doc_id").alias("doc_a"),
+                  (F.col("doc_id") + 2).alias("doc_b"))
+    seeds = (d.where(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("node")))
+    return (bfs_distances(e1.unionByName(e2), seeds, max_hops=3)
+            .orderBy("node"))
+
+
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood ER blocking (Hernandez &
+    Stolfo): pass 1 sorts on a normalized text prefix, pass 2 on
+    (lang, zero-padded length) — block-partitioned rank windows, so
+    no global sort; candidate pairing is an equi-join on
+    (block, rank + j)."""
+    from ferenda_spark.operators.linking import sorted_neighborhood_pairs
+    d = _read(spark, sf_dir, "documents")
+    key_text = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                         "[^a-z0-9]", ""), 1, 16)
+    key_size = F.concat(F.col("lang"), F.lit("|"),
+                        F.lpad(F.col("n_chars").cast("string"), 8, "0"))
+    return (sorted_neighborhood_pairs(
+        d, [("text", key_text), ("size", key_size)],
+        window=4, block_chars=4)
+        .orderBy("id_a", "id_b"))
+
+
+def _q_kg_negatives(spark, sf_dir):
+    """TransE-style filtered negative sampling over the doc->entity
+    mention edges: k=3 corrupted tails per positive by portable LCG
+    (pure int64 — bit-identical across engines and resumes),
+    false negatives removed by pair anti-join."""
+    from ferenda_spark.operators.training import kg_negative_samples
+    pos = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("example_id"),
+        (F.col("doc_id") % 50).alias("pos_entity"))
+    return (kg_negative_samples(pos, n_entities=50, k=3)
+            .orderBy("example_id", "sample_idx"))
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: adjacent-token bigrams ranked by PMI over
+    the bigram event space, scored as an exact-integer ppm ratio
+    (monotone in PMI) so the ranking never touches float log()."""
+    from ferenda_spark.operators.textstats import pmi_bigrams
+    return pmi_bigrams(_read(spark, sf_dir, "documents"),
+                       min_count=3, top_n=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -2190,6 +2371,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_distribution": _q_degree_distribution,
         "kg_ranking_ap": _q_ranking_ap,
         "kg_ranking_baseline": _q_ranking_baseline,
+        "kg_fact_fusion": _q_fact_fusion,
+        "kg_source_accuracy": _q_source_accuracy,
+        "kg_redirect_resolution": _q_redirect_resolution,
+        "crawl_robots_rules": _q_robots_rules,
+        "kg_anchor_text": _q_anchor_text,
+        "kg_valid_intervals": _q_valid_intervals,
+        "kg_bfs_distances": _q_bfs_distances,
+        "dedup_sorted_neighborhood": _q_sorted_neighborhood,
+        "train_kg_negatives": _q_kg_negatives,
+        "text_pmi_bigrams": _q_pmi_bigrams,
     }
 
 
@@ -2220,6 +2411,38 @@ secs AS (
   SELECT *, unnest(generate_series(1, n_sections)) AS s FROM f
 ),
 subs AS (SELECT * FROM secs WHERE (doc_id + s) % 2 = 1)
+"""
+
+# shared CTE for the knowledge-fusion oracles (mirrors _claims /
+# _source_weights / operators.fusion.fact_fusion)
+_FUSION_CTE = """
+            WITH claims AS (
+              SELECT 'https://example.org/res/entity/' || (doc_id % 50)
+                       AS subject,
+                     'rdfs:label' AS predicate,
+                     'Label ' || (CASE WHEN doc_id % 3 = 0
+                                  THEN (doc_id % 50 + 1) % 7
+                                  ELSE (doc_id % 50) % 7 END) AS object,
+                     source
+              FROM documents),
+            weights AS (
+              SELECT 'src' || i AS source,
+                     CAST(1 + i % 3 AS BIGINT) AS weight
+              FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+            dclaims AS (
+              SELECT DISTINCT subject, predicate, object, source
+              FROM claims),
+            scored AS (
+              SELECT subject, predicate, object,
+                     CAST(SUM(weight) AS BIGINT) AS support,
+                     CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+              FROM dclaims JOIN weights USING (source)
+              GROUP BY subject, predicate, object),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY subject, predicate
+                       ORDER BY support DESC, object ASC) AS rk
+              FROM scored)
 """
 
 _DOC_TRIPLES = """
@@ -4737,4 +4960,222 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT query, item, rank, score FROM r
             WHERE rank <= 20""",
+        # knowledge fusion: trust-weighted vote, ties -> object asc
+        "kg_fact_fusion": _FUSION_CTE + """
+            SELECT subject, predicate, object, support, n_sources
+            FROM ranked WHERE rk = 1 ORDER BY subject""",
+        "kg_source_accuracy": _FUSION_CTE + """,
+            truth AS (
+              SELECT subject, predicate, object AS true_object
+              FROM ranked WHERE rk = 1)
+            SELECT c.source,
+                   CAST(SUM(CASE WHEN c.object = t.true_object
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+                   CAST(COUNT(*) AS BIGINT) AS n_claims,
+                   (CAST(SUM(CASE WHEN c.object = t.true_object
+                             THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS accuracy_ppm
+            FROM dclaims c
+            LEFT JOIN truth t
+              ON c.subject = t.subject AND c.predicate = t.predicate
+            GROUP BY c.source ORDER BY c.source""",
+        # pointer-doubled redirect chains: closed-form final hop
+        "kg_redirect_resolution": """
+            WITH r AS (
+              SELECT doc_id, doc_id + 4 - doc_id % 10 AS fin
+              FROM documents WHERE doc_id % 10 BETWEEN 1 AND 3)
+            SELECT (CASE WHEN doc_id % 10 < 3
+                         THEN 'https://hot.example.org/'
+                         ELSE 'https://example.org/' END)
+                     || 'docs/src' || (doc_id % 20) || '/' || doc_id
+                     AS src_url,
+                   'https://example.org/docs/src' || (fin % 20)
+                     || '/' || fin AS final_url,
+                   CAST(4 - doc_id % 10 AS BIGINT) AS hops,
+                   TRUE AS resolved
+            FROM r ORDER BY src_url""",
+        "crawl_robots_rules": "WITH " + _F_CTE + """,
+            rules(host, path_prefix, allow) AS (VALUES
+              ('example.org', '/docs/src1', FALSE),
+              ('example.org', '/docs/src15', TRUE),
+              ('example.org', '/docs/src4/', FALSE),
+              ('example.org', '/docs/src7/', FALSE),
+              ('example.org', '/docs/src7/', TRUE),
+              ('hot.example.org', '/docs/', FALSE),
+              ('hot.example.org', '/docs/src12', TRUE)),
+            u AS (
+              SELECT url,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                     regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1)
+                       AS path
+              FROM f),
+            m AS (
+              SELECT u.url, r.allow, r.path_prefix,
+                     ROW_NUMBER() OVER (PARTITION BY u.url
+                       ORDER BY length(r.path_prefix) DESC,
+                                CAST(r.allow AS INT) DESC) AS rk
+              FROM u JOIN rules r
+                ON u.host = r.host
+               AND starts_with(u.path, r.path_prefix))
+            SELECT u.url,
+                   COALESCE(m.allow, TRUE) AS allowed,
+                   COALESCE(m.path_prefix, '') AS rule_prefix
+            FROM u LEFT JOIN (SELECT * FROM m WHERE rk = 1) m
+              USING (url)
+            ORDER BY u.url""",
+        # planted nav anchors: 'next' -> d+1, 'related' -> d+2
+        "kg_anchor_text": """
+            WITH links AS (
+              SELECT doc_id + 1 AS target, 'next' AS anchor
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 2, 'related' FROM documents),
+            counts AS (
+              SELECT target, anchor, COUNT(*) AS n
+              FROM links GROUP BY target, anchor),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+                       ORDER BY n DESC, anchor ASC) AS rk
+              FROM counts)
+            SELECT CAST(target AS BIGINT) AS target,
+                   CAST(SUM(n) AS BIGINT) AS n_inlinks,
+                   CAST(COUNT(*) AS BIGINT) AS n_anchor_texts,
+                   MAX(CASE WHEN rk = 1 THEN anchor END) AS top_anchor
+            FROM ranked GROUP BY target ORDER BY target""",
+        # gaps-and-islands interval coalescing, closed-closed ints
+        "kg_valid_intervals": """
+            WITH iv AS (
+              SELECT CAST(doc_id % 50 AS BIGINT) AS entity,
+                     CAST((doc_id * 37) % 1461 AS BIGINT) AS valid_from,
+                     CAST((doc_id * 37) % 1461 + 30
+                          + (doc_id % 5) * 20 AS BIGINT) AS valid_to
+              FROM documents),
+            flg AS (
+              SELECT *, CASE WHEN
+                  MAX(valid_to) OVER (PARTITION BY entity
+                    ORDER BY valid_from, valid_to
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL OR valid_from >
+                  MAX(valid_to) OVER (PARTITION BY entity
+                    ORDER BY valid_from, valid_to
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS ni
+              FROM iv),
+            isl AS (
+              SELECT *, SUM(ni) OVER (PARTITION BY entity
+                       ORDER BY valid_from, valid_to
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+              FROM flg)
+            SELECT entity, MIN(valid_from) AS valid_from,
+                   MAX(valid_to) AS valid_to,
+                   CAST(COUNT(*) AS BIGINT) AS n_merged
+            FROM isl GROUP BY entity, island
+            ORDER BY entity, valid_from""",
+        # BFS closed-form: dist(n) = min over seeds of ceil((n-s)/2)
+        "kg_bfs_distances": """
+            WITH seeds AS (
+              SELECT doc_id AS s FROM documents WHERE doc_id % 100 = 0),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT doc_id AS n FROM documents
+                UNION SELECT doc_id + 1 FROM documents
+                UNION SELECT doc_id + 2 FROM documents)),
+            d AS (
+              SELECT n, MIN((n - s + 1) // 2) AS dist
+              FROM nodes JOIN seeds ON n - s BETWEEN 0 AND 6
+              GROUP BY n)
+            SELECT CAST(n AS BIGINT) AS node, CAST(dist AS INT) AS dist
+            FROM d ORDER BY node""",
+        # multi-pass sorted-neighborhood: window 4, 4-char blocks
+        "dedup_sorted_neighborhood": """
+            WITH k1 AS (
+              SELECT doc_id AS rid,
+                     substr(regexp_replace(lower(trim(text)),
+                            '[^a-z0-9]', '', 'g'), 1, 16) AS k
+              FROM documents),
+            k2 AS (
+              SELECT doc_id AS rid,
+                     lang || '|' || lpad(CAST(n_chars AS VARCHAR), 8,
+                                         '0') AS k
+              FROM documents),
+            r1 AS (
+              SELECT rid, substr(k, 1, 4) AS blk,
+                     ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 4)
+                       ORDER BY k, rid) AS rk
+              FROM k1 WHERE k IS NOT NULL),
+            r2 AS (
+              SELECT rid, substr(k, 1, 4) AS blk,
+                     ROW_NUMBER() OVER (PARTITION BY substr(k, 1, 4)
+                       ORDER BY k, rid) AS rk
+              FROM k2 WHERE k IS NOT NULL),
+            p AS (
+              SELECT DISTINCT least(a.rid, b.rid) AS id_a,
+                     greatest(a.rid, b.rid) AS id_b, 'text' AS pass
+              FROM r1 a JOIN r1 b
+                ON a.blk = b.blk AND b.rk BETWEEN a.rk + 1 AND a.rk + 3
+              UNION
+              SELECT DISTINCT least(a.rid, b.rid),
+                     greatest(a.rid, b.rid), 'size'
+              FROM r2 a JOIN r2 b
+                ON a.blk = b.blk AND b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+            SELECT id_a, id_b,
+                   CAST(COUNT(DISTINCT pass) AS BIGINT) AS n_passes
+            FROM p GROUP BY id_a, id_b ORDER BY id_a, id_b""",
+        # portable-LCG filtered negative sampling (glibc constants)
+        "train_kg_negatives": """
+            WITH pos AS (
+              SELECT CAST(doc_id AS BIGINT) AS example_id,
+                     CAST(doc_id % 50 AS BIGINT) AS pos_entity
+              FROM documents),
+            seeded AS (
+              SELECT example_id, pos_entity,
+                     CAST(unnest(generate_series(1, 3)) AS BIGINT)
+                       AS sample_idx
+              FROM pos),
+            cand AS (
+              SELECT example_id, pos_entity, sample_idx,
+                     ((1103515245 * (example_id * 4 + sample_idx)
+                       + 12345) % 2147483648) % 50 AS neg_entity
+              FROM seeded)
+            SELECT c.example_id, c.pos_entity, c.neg_entity,
+                   c.sample_idx
+            FROM cand c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pos p
+              WHERE p.example_id = c.example_id
+                AND p.pos_entity = c.neg_entity)
+            ORDER BY c.example_id, c.sample_idx""",
+        # PMI collocations: integer-exact scaled ratio, N-free
+        "text_pmi_bigrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \\t\\n\\r\\f\\x0B]+') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2),
+            bi AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx
+              WHERE length(t[i]) > 0 AND length(t[i + 1]) > 0),
+            counts AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+              FROM bi GROUP BY w1, w2),
+            lft AS (
+              SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_left
+              FROM counts GROUP BY w1),
+            rgt AS (
+              SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_right
+              FROM counts GROUP BY w2)
+            SELECT w1, w2, n_xy, n_left, n_right,
+                   CAST((CAST(n_xy AS HUGEINT) * 1000000000000)
+                        // (CAST(n_left AS HUGEINT)
+                            * CAST(n_right AS HUGEINT)) AS BIGINT)
+                     AS pmi_scaled
+            FROM counts
+            JOIN lft USING (w1) JOIN rgt USING (w2)
+            WHERE n_xy >= 3
+            ORDER BY pmi_scaled DESC, w1, w2 LIMIT 100""",
     }

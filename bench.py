@@ -85,6 +85,12 @@ HEADLINE = [
     "text_readability", "kg_host_graph", "text_script_mix",
     "train_bpe_merges", "kg_ranking_ndcg", "train_source_temperature",
     "text_ccnet_buckets", "kg_link_prediction", "sim_sq8_topk",
+    # r4 continuation session 6: knowledge fusion, crawl-graph
+    # programs, temporal coalescing, ER blocking, KG training prep
+    "kg_fact_fusion", "kg_source_accuracy", "kg_redirect_resolution",
+    "crawl_robots_rules", "kg_anchor_text", "kg_valid_intervals",
+    "kg_bfs_distances", "dedup_sorted_neighborhood",
+    "train_kg_negatives", "text_pmi_bigrams",
 ]
 
 

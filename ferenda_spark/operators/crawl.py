@@ -1,0 +1,199 @@
+"""Crawl-graph operators: redirects, robots rules, anchor text.
+
+The reference's downloader follows redirects one HTTP hop at a time
+and respects robots.txt via the `requests` stack (documentrepository.py
+download paths, util.py); at crawl scale these become *set-at-a-time*
+graph programs over the link/redirect tables:
+
+* :func:`resolve_redirects` — collapse redirect chains to their final
+  target with **pointer doubling** (Wyllie's list-ranking trick, the
+  standard PRAM technique): each round composes the pointer map with
+  itself, so a chain of length L resolves in O(log L) self-joins
+  instead of L sequential ones.  At 10^10 redirect edges that is ~34
+  shuffles worst-case and 3-4 in practice (real chains are short).
+  Cycles never terminate by definition; they are reported with
+  ``resolved = false`` after the doubling budget instead of looping.
+* :func:`robots_allowed` — the robots.txt *longest-match* rule
+  (RFC 9309 §2.2.2: most specific path prefix wins, Allow wins
+  length ties): a broadcast join of the URL table against the
+  per-host rule dimension, a prefix filter, and one window per URL.
+  No-match URLs are allowed (RFC 9309 default).
+* :func:`anchor_links` / :func:`anchor_text_profile` — inbound
+  anchor-text aggregation, the classic web-KG relevance signal
+  (anchor text describes the *target*): an Arrow-batched DOM walk
+  emits (src, position, href, anchor) and a groupBy + window picks
+  each target's majority anchor.  The DOM walk reuses the same
+  parser as the main extract stage (htmlelements.py) so anchor rows
+  agree with the link rows byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# ------------------------------------------------------------ redirects
+
+def resolve_redirects(redirects: DataFrame, max_doubling: int = 6,
+                      src: str = "src_url",
+                      dst: str = "dst_url") -> DataFrame:
+    """Resolve each redirect source to its final target.
+
+    ``redirects``: one row per redirect edge (src -> dst); a source
+    must have exactly one outgoing edge (HTTP semantics — callers
+    dedup on src first if their log has retries).
+
+    Returns (src_url, final_url, hops, resolved).  ``hops`` is the
+    chain length actually walked; ``resolved`` is false for rows still
+    pointing at another redirect source after ``max_doubling`` rounds
+    (a cycle, or a chain longer than 2**max_doubling).
+
+    Each round is one self-equi-join on the destination key; the
+    pointer table is localCheckpointed per round because it feeds both
+    sides of the next join (same lineage-cut discipline as the
+    pagerank/HITS loops in graphs.py).
+    """
+    ptr = (redirects
+           .select(F.col(src).alias("src_url"),
+                   F.col(dst).alias("final_url"),
+                   F.lit(1).cast("long").alias("hops"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_doubling):
+        hop = ptr.select(F.col("src_url").alias("j_src"),
+                         F.col("final_url").alias("j_dst"),
+                         F.col("hops").alias("j_hops"))
+        ptr = (ptr.join(hop, ptr["final_url"] == hop["j_src"], "left")
+               .select("src_url",
+                       F.coalesce("j_dst", "final_url").alias("final_url"),
+                       (F.col("hops")
+                        + F.coalesce("j_hops", F.lit(0))).alias("hops"))
+               .localCheckpoint(eager=True))
+        # Converged when no final_url is itself a redirect source.
+        still = ptr.join(
+            ptr.select(F.col("src_url").alias("open_src")).distinct(),
+            ptr["final_url"] == F.col("open_src"), "left_semi")
+        if still.isEmpty():
+            break
+    srcs = ptr.select(F.col("src_url").alias("open_src")).distinct()
+    return (ptr.join(srcs, ptr["final_url"] == F.col("open_src"), "left")
+            .select("src_url", "final_url", "hops",
+                    F.col("open_src").isNull().alias("resolved")))
+
+
+# ------------------------------------------------------------ robots
+
+def robots_allowed(urls: DataFrame, rules: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """Per-URL fetch permission under RFC 9309 longest-match.
+
+    ``rules``: (host, path_prefix, allow) — the parsed per-host rule
+    dimension (small: one crawl config, broadcast).  A URL matches a
+    rule when its path starts with ``path_prefix`` and its host
+    equals ``host``; among matches the longest prefix wins and
+    ``allow`` wins exact-length ties; no match means allowed.
+
+    Returns (url, allowed, rule_prefix) with ``rule_prefix`` empty
+    for the no-match default.  Shape: broadcast join + one window
+    keyed on the URL itself — no coarse key, no skew.
+    """
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/.*)$", 1).alias("path"))
+    matched = (u.join(F.broadcast(rules), "host")
+               .where(F.expr("startswith(path, path_prefix)")))
+    w = Window.partitionBy("url").orderBy(
+        F.length("path_prefix").desc(),
+        F.col("allow").cast("int").desc())
+    best = (matched
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("url", F.col("allow").alias("rule_allow"),
+                    F.col("path_prefix").alias("rule_prefix")))
+    return (u.select("url").join(best, "url", "left")
+            .select("url",
+                    F.coalesce("rule_allow", F.lit(True)).alias("allowed"),
+                    F.coalesce("rule_prefix", F.lit("")).alias("rule_prefix")))
+
+
+# ------------------------------------------------------------ anchors
+
+ANCHOR_SCHEMA = "src_url string, position int, href string, anchor string"
+
+
+def _node_text(node) -> str:
+    from ..textutil import normalize_space
+    parts: list[str] = []
+
+    def walk(n):
+        if isinstance(n, str):
+            parts.append(n)
+            return
+        for c in n.children:
+            walk(c)
+
+    walk(node)
+    return normalize_space("".join(parts))
+
+
+def _anchor_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..htmlelements import decode_html, parse_html, prune
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+            body = tree.find("body") or tree
+            pruned = prune(body)
+            if pruned is None:
+                continue
+            seen: set[str] = set()
+            pos = 0
+
+            def walk(n):
+                nonlocal pos
+                if isinstance(n, str):
+                    return
+                if n.tag == "a" and "href" in n.attrs:
+                    href = n.attrs["href"]
+                    if href not in seen:
+                        seen.add(href)
+                        rows.append((url, pos, href, _node_text(n)))
+                        pos += 1
+                for c in n.children:
+                    walk(c)
+
+            walk(pruned)
+        yield pd.DataFrame(rows, columns=["src_url", "position",
+                                          "href", "anchor"])
+
+
+def anchor_links(pages: DataFrame) -> DataFrame:
+    """(url, html) -> (src_url, position, href, anchor): every unique
+    href in document order with its normalized anchor text.  Same
+    pruning as the main extract stage, so href order and dedup agree
+    with extract_document's ``links`` column exactly."""
+    return (pages.select("url", "html")
+            .mapInPandas(_anchor_batches, schema=ANCHOR_SCHEMA))
+
+
+def anchor_text_profile(links: DataFrame,
+                        target_col: str = "target") -> DataFrame:
+    """Inbound anchor-text profile per target: total inlinks, distinct
+    anchor texts, and the majority anchor (count desc, text asc — a
+    pure function of the input).  Two shuffles: one groupBy on
+    (target, anchor), one window on target."""
+    counts = (links
+              .groupBy(F.col(target_col).alias("target"), "anchor")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("target").orderBy(
+        F.col("n").desc(), F.col("anchor").asc())
+    return (counts
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("target")
+            .agg(F.sum("n").cast("long").alias("n_inlinks"),
+                 F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
+                 F.max(F.when(F.col("rk") == 1, F.col("anchor")))
+                 .alias("top_anchor")))

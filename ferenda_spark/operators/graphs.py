@@ -813,3 +813,40 @@ def degree_assortativity(edges: DataFrame, src: str = "doc_a",
     return s.select(
         F.col("n").cast("long").alias("n_edge_ends"),
         F.round(num / F.sqrt(varx * vary), 6).alias("assortativity"))
+
+
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_hops: int = 8, src: str = "doc_a",
+                  dst: str = "doc_b") -> DataFrame:
+    """Multi-source BFS: shortest hop-distance from any seed node,
+    layer-synchronous (the standard Pregel formulation as DataFrame
+    rounds).  ``sources``: one column ``node``.  Returns (node, dist)
+    for every node within ``max_hops`` of a seed; unreachable nodes
+    are absent.
+
+    Each round is one frontier-keyed equi-join plus one anti-join
+    against the visited set — the frontier is the only thing that
+    moves, so per-round cost is O(edges touched by the frontier), the
+    shape that survives billion-node link graphs.  Both accumulating
+    frames are localCheckpointed per round (each feeds two consumers
+    next round; without the cut the plan doubles per hop — same
+    discipline as pagerank/kcore above).  BFS layers make min()
+    automatic: a node is claimed by the first (= shortest) frontier
+    that reaches it and the anti-join blocks every later one."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    visited = (sources.select(F.col("node").cast("long"),
+                              F.lit(0).alias("dist"))
+               .distinct().localCheckpoint(eager=True))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["u"])
+               .select(F.col("v").alias("node"),
+                       F.lit(hop).alias("dist"))
+               .distinct()
+               .join(visited.select("node"), "node", "anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

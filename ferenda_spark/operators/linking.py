@@ -225,3 +225,56 @@ def fuzzy_links(mentions: DataFrame, resources: DataFrame,
                     F.col("datasetB.uri").alias("entity_uri"),
                     (1 - F.col("jaccard_dist")).alias("jaccard"),
                     F.lit("fuzzy").alias("method")))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_cols: list,
+                              window: int = 4,
+                              block_chars: int = 4,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (Hernandez & Stolfo
+    1995), the sort-based classic next to this module's LSH blocking:
+    per pass, records sort by a fuzzy key and every record pairs with
+    its ``window - 1`` successors; unioning several passes with
+    different keys recovers matches that any single sort order splits.
+
+    A naive global sort collapses to one partition at scale, so each
+    pass blocks on the first ``block_chars`` characters of its key
+    and sorts *within* the block (rank window partitioned by block) —
+    the standard distributed SNM compromise: pairs straddling a block
+    boundary are lost in that pass, which is exactly what the extra
+    passes with independent keys are for.  Candidate pairing is an
+    equi-join on (block, rank + j), j in 1..window-1 — never an
+    inequality join.
+
+    ``key_cols``: list of (pass_name, Column) tuples.  Returns
+    (id_a, id_b, n_passes) with id_a < id_b, deduped across passes.
+    """
+    out = None
+    for pass_name, key in key_cols:
+        keyed = df.select(F.col(id_col).alias("rid"),
+                          key.alias("k")).where(F.col("k").isNotNull())
+        keyed = keyed.withColumn(
+            "blk", F.substring("k", 1, block_chars))
+        w = Window.partitionBy("blk").orderBy(
+            F.col("k").asc(), F.col("rid").asc())
+        ranked = keyed.select("rid", "blk",
+                              F.row_number().over(w).alias("rk"))
+        probes = (ranked
+                  .select(F.col("rid").alias("rid_a"), "blk",
+                          F.col("rk").alias("rk0"),
+                          F.explode(F.sequence(
+                              F.lit(1), F.lit(window - 1))).alias("j"))
+                  .select("rid_a", "blk",
+                          (F.col("rk0") + F.col("j")).alias("rk")))
+        pairs = (probes
+                 .join(ranked.select(F.col("rid").alias("rid_b"),
+                                     "blk", "rk"), ["blk", "rk"])
+                 .select(F.least("rid_a", "rid_b").alias("id_a"),
+                         F.greatest("rid_a", "rid_b").alias("id_b"))
+                 .distinct()
+                 .withColumn("pass_name", F.lit(pass_name)))
+        out = pairs if out is None else out.unionByName(pairs)
+    return (out
+            .groupBy("id_a", "id_b")
+            .agg(F.countDistinct("pass_name").cast("long")
+                 .alias("n_passes")))

@@ -99,3 +99,43 @@ def range_join(points: DataFrame, intervals: DataFrame, on: list[str],
             .where((F.col(point_ts) >= F.col(start_col))
                    & (F.col(point_ts) < F.col(end_col)))
             .drop(b))
+
+
+def coalesce_intervals(intervals: DataFrame, key: str = "entity",
+                       start_col: str = "valid_from",
+                       end_col: str = "valid_to") -> DataFrame:
+    """Merge overlapping/touching validity intervals per key — the
+    temporal-KG normalization step (a fact asserted by many crawl
+    snapshots with overlapping validity collapses to its maximal
+    validity spans; gaps survive as separate rows).
+
+    The classic gaps-and-islands program: order each key's intervals
+    by (start, end), flag a new island when an interval starts after
+    the running max end of everything before it, and prefix-sum the
+    flags into an island id.  Two windows plus one groupBy, all keyed
+    on the entity — per-key work is bounded by that key's interval
+    count, so the shape survives arbitrary corpus scale (a pathological
+    single key with 10^8 intervals would need the standard salted
+    two-level coalesce; webtext validity tables are nowhere near that).
+
+    Interval semantics are closed-closed integers: ``[2, 5]`` and
+    ``[5, 9]`` touch and merge; ``[2, 5]`` and ``[6, 9]`` merge only
+    if you pre-extend ends by your tolerance.  Returns
+    (key, valid_from, valid_to, n_merged)."""
+    w_order = (Window.partitionBy(key)
+               .orderBy(F.col(start_col).asc(), F.col(end_col).asc()))
+    prev_max = (F.max(end_col)
+                .over(w_order.rowsBetween(Window.unboundedPreceding, -1)))
+    flagged = intervals.withColumn(
+        "__new_island",
+        F.when(prev_max.isNull()
+               | (F.col(start_col) > prev_max), 1).otherwise(0))
+    island = F.sum("__new_island").over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0))
+    return (flagged
+            .withColumn("__island", island)
+            .groupBy(key, "__island")
+            .agg(F.min(start_col).alias(start_col),
+                 F.max(end_col).alias(end_col),
+                 F.count(F.lit(1)).cast("long").alias("n_merged"))
+            .drop("__island"))

@@ -361,3 +361,58 @@ def script_mix(documents: DataFrame) -> DataFrame:
         "doc_id",
         *[counts[name].alias("n_" + name) for name, _ in SCRIPT_RANGES],
         dom.alias("dominant_script"))
+
+
+def pmi_bigrams(documents: DataFrame, min_count: int = 3,
+                top_n: int = 100) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams ranked by pointwise
+    mutual information (Church & Hanks 1990), the standard first pass
+    for phrase vocabularies (word2vec phrases, tokenizer merges).
+
+    PMI = log(P(xy) / (P(x·)P(·y))) over the *bigram* event space:
+    P(xy) = n_xy/N, P(x·) = bigrams starting with x / N, P(·y) =
+    bigrams ending with y / N — so PMI = log(n_xy·N/(n_left·n_right))
+    and, N being a per-corpus CONSTANT, the ranking is monotone in
+    n_xy/(n_left·n_right) alone.  The score is emitted as
+    ``pmi_scaled = n_xy * 10^12 div (n_left * n_right)`` — *integer*
+    arithmetic end to end (DECIMAL(38,0) intermediates, so a 10^7
+    count cannot overflow int64 mid-product), bit-identical across
+    engines (float log() is not; same engine-portability pin as
+    source_accuracy's ppm and the mixture schedule's integer keys).
+    Recover true PMI as log(pmi_scaled · N / 10^12) if needed.
+
+    Shape: token split + posexplode are map-side; then one groupBy on
+    the bigram, two on its margins (all partial-aggregated), and two
+    joins of the margins back onto the bigram counts.  The margins
+    are vocabulary-sized — often broadcastable, but a 100 TB webtext
+    vocabulary can run to 10^8 terms, so the strategy is left to AQE
+    (broadcast when small, shuffle-hash otherwise) instead of a
+    forced hint; only the 1-row grand total is hinted."""
+    from .dedup import tokens
+    toks = documents.select(tokens(F.col("text")).alias("t"))
+    bi = (toks
+          .where(F.size("t") >= 2)
+          .select(F.posexplode(F.slice("t", 1, F.size("t") - 1))
+                  .alias("i", "w1"),
+                  F.col("t"))
+          .select("w1", F.expr("t[i + 1]").alias("w2"))
+          .where((F.length("w1") > 0) & (F.length("w2") > 0)))
+    counts = (bi.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_xy")))
+    left = counts.groupBy("w1").agg(
+        F.sum("n_xy").cast("long").alias("n_left"))
+    right = counts.groupBy("w2").agg(
+        F.sum("n_xy").cast("long").alias("n_right"))
+    return (counts
+            .where(F.col("n_xy") >= min_count)
+            .join(left, "w1")
+            .join(right, "w2")
+            .withColumn("pmi_scaled",
+                        F.expr("CAST(n_xy AS DECIMAL(38,0)) "
+                               "* 1000000000000 "
+                               "div (CAST(n_left AS DECIMAL(38,0)) "
+                               "* CAST(n_right AS DECIMAL(38,0)))"))
+            .select("w1", "w2", "n_xy", "n_left", "n_right",
+                    "pmi_scaled")
+            .orderBy(F.col("pmi_scaled").desc(), "w1", "w2")
+            .limit(top_n))

@@ -482,3 +482,50 @@ def source_temperature(df: DataFrame, source_col: str = "source",
                     F.round((F.sqrt(F.col("n_docs")) / F.col("sq_sum"))
                             / (F.col("n_docs") / F.col("n_all")), 6)
                     .alias("boost")))
+
+
+NEG_LCG_A = 1103515245
+NEG_LCG_C = 12345
+NEG_LCG_M = 2147483648  # 2**31
+
+
+def kg_negative_samples(positives: DataFrame, n_entities: int,
+                        k: int = 2,
+                        example_col: str = "example_id",
+                        tail_col: str = "pos_entity") -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style tail corruption, Bordes et al. 2013): for each
+    positive (example, tail) emit up to ``k`` corrupted tails drawn
+    by a *portable LCG* — glibc constants over a 2^31 modulus, pure
+    int64 arithmetic, so the "random" draw is a bit-identical
+    function of the example id in Spark, the SQL oracle, and any
+    resumed run (the same no-RNG discipline as stratified_sample).
+
+    False negatives are removed by an anti-join of the generated
+    (example, candidate) pairs against the true positives — the
+    *filtered* sampling regime; removed draws are not re-drawn
+    (standard practice: the loss just sees <=k negatives there).
+
+    Shape: candidate generation is map-side (explode of a k-literal
+    array); the only shuffle is the anti-join against the positives,
+    keyed on the pair itself.  Returns (example_id, pos_entity,
+    neg_entity, sample_idx)."""
+    seeded = (positives
+              .select(F.col(example_col).cast("long").alias("example_id"),
+                      F.col(tail_col).cast("long").alias("pos_entity"),
+                      F.explode(F.sequence(F.lit(1), F.lit(k)))
+                      .alias("idx"))
+              .withColumn("sample_idx", F.col("idx").cast("long"))
+              .drop("idx"))
+    cand = seeded.withColumn(
+        "neg_entity",
+        ((F.lit(NEG_LCG_A) * (F.col("example_id") * (k + 1)
+                              + F.col("sample_idx"))
+          + F.lit(NEG_LCG_C)) % NEG_LCG_M) % n_entities)
+    truth = positives.select(
+        F.col(example_col).cast("long").alias("example_id"),
+        F.col(tail_col).cast("long").alias("neg_entity"))
+    return (cand
+            .join(truth, ["example_id", "neg_entity"], "anti")
+            .select("example_id", "pos_entity", "neg_entity",
+                    "sample_idx"))
