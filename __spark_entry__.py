@@ -1555,6 +1555,13 @@ def _q_legal_mentions(spark, sf_dir):
     hash-exact vs the DuckDB oracle.  The reference's own fixture
     texts stay golden-asserted in tests/test_legalref_goldens.py."""
     from ferenda_spark.operators.extract import legal_mentions
+    return legal_mentions(_legal_docs(spark, sf_dir))
+
+
+def _legal_docs(spark, sf_dir):
+    """The planted legal-citation corpus shared by kg_legal_mentions
+    and kg_mention_contexts (fixed-width numbers -> constant
+    offsets)."""
     d = _read(spark, sf_dir, "documents").select("doc_id")
     did = F.col("doc_id")
     text = F.format_string(
@@ -1562,11 +1569,10 @@ def _q_legal_mentions(spark, sf_dir):
         "samt prop. 1997/98:%d i ärendet.",
         F.lit(10) + did % 12, F.lit(1990) + did % 10,
         F.lit(10) + did % 90, F.lit(100) + did % 100)
-    docs = d.select(
+    return d.select(
         F.concat(F.lit("https://example.org/legal/"),
                  did.cast("string")).alias("url"),
         text.alias("text"))
-    return legal_mentions(docs)
 
 
 def _q_annotations(spark, sf_dir):
@@ -2221,6 +2227,122 @@ def _q_pmi_bigrams(spark, sf_dir):
                        min_count=3, top_n=100)
 
 
+def _q_crawl_sitemap(spark, sf_dir):
+    """Sitemap-protocol ingestion: per-host/per-100-doc sitemap XML
+    files are synthesized JVM-side (collect_list + concat — the
+    deterministic fake, like the WARC/mm blob synthesizers) and then
+    parsed back by the REAL namespace-agnostic ElementTree kernel in
+    crawl.sitemap_entries; the oracle recomputes the entries
+    closed-form, so any parse defect breaks the hash."""
+    from ferenda_spark.operators.crawl import sitemap_entries
+    d = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 10 < 3,
+               F.lit("https://hot.example.org/"))
+        .otherwise(F.lit("https://example.org/")),
+        F.lit("docs/"), F.col("source"), F.lit("/"), F.col("doc_id"))
+    issued = F.date_format(
+        F.expr("date_add(DATE'2020-01-01', "
+               "CAST((doc_id * 37) % 1461 AS INT))"), "yyyy-MM-dd")
+    entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc><lastmod>"),
+                     issued, F.lit("</lastmod><priority>0."),
+                     F.col("doc_id") % 10, F.lit("</priority></url>"))
+    xml = (d.groupBy((F.col("doc_id") % 10 < 3).alias("hot"),
+                     F.expr("doc_id div 100").alias("chunk"))
+           .agg(F.concat(
+               F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+                     'xmlns="http://www.sitemaps.org/schemas/'
+                     'sitemap/0.9">'),
+               F.concat_ws("", F.sort_array(F.collect_list(entry))),
+               F.lit("</urlset>")).alias("xml_str"))
+           .select(F.encode("xml_str", "UTF-8").alias("xml")))
+    return sitemap_entries(xml).orderBy("loc")
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    """Mercator-style politeness frontier: round-robin interleave of
+    hosts via slot = (rank_in_host - 1) * n_hosts + host_idx — no
+    global row_number anywhere."""
+    from ferenda_spark.operators.crawl import frontier_schedule
+    return (frontier_schedule(_docs(spark, sf_dir).select("url"))
+            .orderBy("slot"))
+
+
+def _q_mention_contexts(spark, sf_dir):
+    """KWIC evidence snippets (+-20 chars) around every planted legal
+    mention — edge-level provenance for the extracted KG; the REAL
+    scanner offsets drive the substring, the oracle recomputes the
+    window closed-form from the constant planted offsets."""
+    from ferenda_spark.operators.extract import (legal_mentions,
+                                                 mention_contexts)
+    docs = _legal_docs(spark, sf_dir)
+    return (mention_contexts(legal_mentions(docs), docs,
+                             before=20, after=20)
+            .orderBy("url", "start"))
+
+
+def _q_reified_statements(spark, sf_dir):
+    """RDF reification of the citation edges with md5-skolemized
+    statement ids (idempotent across shards/re-runs) + dcterms:source
+    provenance — entirely map-side."""
+    from ferenda_spark.operators.triples import (mention_triples,
+                                                 reify_statements)
+    return (reify_statements(mention_triples(_docs(spark, sf_dir)))
+            .orderBy("stmt_uri", "pred", "obj"))
+
+
+def _q_pred_cooccurrence(spark, sf_dir):
+    """Schema induction: predicate co-occurrence on shared subjects
+    over the full distilled graph — per-subject bounded self-join."""
+    from ferenda_spark.operators.triples import pred_cooccurrence
+    return (pred_cooccurrence(_triples(spark, sf_dir))
+            .orderBy("pred_a", "pred_b"))
+
+
+def _q_split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment (96/2/2) by the
+    portable md5 bucket — the split is a pure function of doc_id, so
+    it is stable under re-runs, resumes and corpus growth (a doc
+    never migrates between splits)."""
+    from ferenda_spark.operators.training import portable_bucket
+    d = _read(spark, sf_dir, "documents")
+    b = portable_bucket(F.col("doc_id"))
+    return (d.select("doc_id", "source", b.alias("bucket"),
+                     F.when(b < 9600, "train")
+                     .when(b < 9800, "val")
+                     .otherwise("test").alias("split"))
+            .orderBy("doc_id"))
+
+
+def _q_token_budget(spark, sf_dir):
+    """Capped weighted token-budget allocation across sources (two
+    proportional passes, integer div end-to-end) — the corpus-mixing
+    budget step before a training-set write."""
+    from ferenda_spark.operators.dedup import tokens
+    from ferenda_spark.operators.training import token_budget_allocation
+    avail = (_read(spark, sf_dir, "documents")
+             .groupBy("source")
+             .agg(F.sum(F.size(tokens(F.col("text"))))
+                  .cast("long").alias("avail_tokens")))
+    return (token_budget_allocation(avail, _source_weights(spark),
+                                    budget=200_000)
+            .orderBy("source"))
+
+
+def _q_cluster_keep(spark, sf_dir):
+    """Keep-one-per-cluster selection over the MinHash dup clusters
+    (longest member wins, ties -> lowest id) — the final dedup
+    decision a training pipeline applies before writing."""
+    from ferenda_spark.operators.dedup import (cluster_representatives,
+                                               dup_clusters,
+                                               minhash_band_pairs)
+    d = _read(spark, sf_dir, "documents")
+    clusters = dup_clusters(minhash_band_pairs(
+        d, n=3, num_hashes=8, band_size=2))
+    return (cluster_representatives(clusters, d, quality_col="n_chars")
+            .orderBy("cluster_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -2381,6 +2503,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sorted_neighborhood": _q_sorted_neighborhood,
         "train_kg_negatives": _q_kg_negatives,
         "text_pmi_bigrams": _q_pmi_bigrams,
+        "crawl_sitemap": _q_crawl_sitemap,
+        "crawl_frontier": _q_crawl_frontier,
+        "kg_mention_contexts": _q_mention_contexts,
+        "kg_reified_statements": _q_reified_statements,
+        "kg_pred_cooccurrence": _q_pred_cooccurrence,
+        "train_split_assignment": _q_split_assignment,
+        "train_token_budget": _q_token_budget,
+        "dedup_cluster_keep": _q_cluster_keep,
     }
 
 
@@ -5178,4 +5308,167 @@ def oracle_sql() -> dict[str, str]:
             JOIN lft USING (w1) JOIN rgt USING (w2)
             WHERE n_xy >= 3
             ORDER BY pmi_scaled DESC, w1, w2 LIMIT 100""",
+        # the synthesized sitemap round-trips through the real XML
+        # parser on the Spark side; closed-form here
+        "crawl_sitemap": "WITH " + _F_CTE + """
+            SELECT url AS loc, issued AS lastmod,
+                   CAST(doc_id % 10 AS INT) AS priority_tenths
+            FROM f ORDER BY loc""",
+        "crawl_frontier": "WITH " + _F_CTE + """,
+            u AS (
+              SELECT url,
+                     CASE WHEN doc_id % 10 < 3 THEN 'hot.example.org'
+                          ELSE 'example.org' END AS host
+              FROM f),
+            hosts AS (
+              SELECT host, CAST(ROW_NUMBER() OVER (ORDER BY host)
+                                AS BIGINT) - 1 AS host_idx
+              FROM (SELECT DISTINCT host FROM u)),
+            nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts
+                   FROM hosts),
+            r AS (
+              SELECT url, host,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY host
+                          ORDER BY url) AS BIGINT) AS rank_in_host
+              FROM u)
+            SELECT r.url, r.host, r.rank_in_host,
+                   (r.rank_in_host - 1) * nh.n_hosts + h.host_idx
+                     AS slot
+            FROM r JOIN hosts h ON r.host = h.host CROSS JOIN nh
+            ORDER BY slot""",
+        # planted constant offsets (see kg_legal_mentions): sfs 3-35,
+        # caselaw 40-54, forarbeten 60-77; window = +-20 chars
+        "kg_mention_contexts": """
+            WITH lm AS (
+              SELECT 'https://example.org/legal/' || doc_id AS url,
+                     10 + doc_id % 12 AS p, 1990 + doc_id % 10 AS y,
+                     10 + doc_id % 90 AS n, 100 + doc_id % 100 AS pn,
+                     'Se ' || (10 + doc_id % 12)
+                       || ' § delgivningslagen (1970:428) och NJA '
+                       || (1990 + doc_id % 10) || ' s. '
+                       || (10 + doc_id % 90) || ' samt prop. 1997/98:'
+                       || (100 + doc_id % 100) || ' i ärendet.' AS text
+              FROM documents)
+            SELECT url, 'sfs' AS kind,
+                   CAST(3 AS INT) AS "start", CAST(35 AS INT) AS "end",
+                   p || ' § delgivningslagen (1970:428)' AS anchor,
+                   substr(text, 1, 55) AS context
+            FROM lm
+            UNION ALL
+            SELECT url, 'caselaw', 40, 54,
+                   'NJA ' || y || ' s. ' || n,
+                   substr(text, 21, 54) FROM lm
+            UNION ALL
+            SELECT url, 'forarbeten', 60, 77,
+                   'prop. 1997/98:' || pn,
+                   substr(text, 41, 57) FROM lm
+            ORDER BY url, "start" """,
+        "kg_reified_statements": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """,
+            stmts AS (
+              SELECT 'urn:stmt:'
+                       || md5(subj || '|' || pred || '|' || obj)
+                       AS stmt_uri,
+                     subj, pred AS p0, obj, context
+              FROM mention_triples),
+            reified AS (
+              SELECT stmt_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                  AS pred,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement'
+                  AS obj FROM stmts
+              UNION ALL SELECT stmt_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+                subj FROM stmts
+              UNION ALL SELECT stmt_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+                p0 FROM stmts
+              UNION ALL SELECT stmt_uri,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+                obj FROM stmts
+              UNION ALL SELECT stmt_uri,
+                'http://purl.org/dc/terms/source', context FROM stmts)
+            SELECT stmt_uri, pred, obj FROM reified
+            ORDER BY stmt_uri, pred, obj""",
+        "kg_pred_cooccurrence": _ALL_TRIPLES_WITH + """,
+            sp AS (SELECT DISTINCT subj, pred FROM all_triples)
+            SELECT a.pred AS pred_a, b.pred AS pred_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_subjects
+            FROM sp a JOIN sp b
+              ON a.subj = b.subj AND a.pred < b.pred
+            GROUP BY a.pred, b.pred ORDER BY pred_a, pred_b""",
+        # portable md5 bucket (training.portable_bucket contract)
+        "train_split_assignment": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 10000 AS bucket
+              FROM documents)
+            SELECT doc_id, source, bucket,
+                   CASE WHEN bucket < 9600 THEN 'train'
+                        WHEN bucket < 9800 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id""",
+        # two-pass capped weighted allocation, integer div both passes
+        "train_token_budget": r"""
+            WITH av AS (
+              SELECT source,
+                     CAST(SUM(len(string_split_regex(lower(trim(text)),
+                          '[ \t\n\r\f\x0B]+'))) AS BIGINT)
+                       AS avail_tokens
+              FROM documents GROUP BY source),
+            weights AS (
+              SELECT 'src' || i AS source,
+                     CAST(1 + i % 3 AS BIGINT) AS weight
+              FROM (SELECT unnest(generate_series(0, 19)) AS i)),
+            base AS (
+              SELECT av.source, av.avail_tokens, w.weight
+              FROM av JOIN weights w USING (source)),
+            tw AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_all
+                   FROM base),
+            p1 AS (
+              SELECT base.*, least(avail_tokens,
+                     (weight * 200000) // tw.w_all) AS a1
+              FROM base CROSS JOIN tw),
+            t1 AS (
+              SELECT CAST(200000 - SUM(a1) AS BIGINT) AS leftover,
+                     CAST(SUM(CASE WHEN a1 < avail_tokens THEN weight
+                              ELSE 0 END) AS BIGINT) AS w_unc
+              FROM p1)
+            SELECT source, avail_tokens, weight,
+                   a1 + (CASE WHEN t1.w_unc > 0 AND a1 < avail_tokens
+                         THEN least(avail_tokens - a1,
+                              (weight * t1.leftover) // t1.w_unc)
+                         ELSE 0 END) AS alloc_tokens
+            FROM p1 CROSS JOIN t1 ORDER BY source""",
+        # keep-one per MinHash dup cluster: quality = n_chars desc,
+        # ties -> lowest doc_id
+        "dedup_cluster_keep": "WITH RECURSIVE " + _MINHASH_CTE + """,
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+            reach AS (
+              SELECT a AS v, a AS u FROM e
+              UNION
+              SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a),
+            cl AS (
+              SELECT v AS doc_id, MIN(u) AS cluster_id
+              FROM reach GROUP BY v),
+            m AS (
+              SELECT cl.cluster_id, cl.doc_id,
+                     CAST(d.n_chars AS BIGINT) AS quality,
+                     ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                       ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rk
+              FROM cl JOIN documents d USING (doc_id))
+            SELECT cluster_id,
+                   MAX(CASE WHEN rk = 1 THEN doc_id END)
+                     AS kept_doc_id,
+                   MAX(CASE WHEN rk = 1 THEN quality END)
+                     AS kept_quality,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM m GROUP BY cluster_id ORDER BY cluster_id""",
     }

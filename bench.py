@@ -91,6 +91,10 @@ HEADLINE = [
     "crawl_robots_rules", "kg_anchor_text", "kg_valid_intervals",
     "kg_bfs_distances", "dedup_sorted_neighborhood",
     "train_kg_negatives", "text_pmi_bigrams",
+    "crawl_sitemap", "crawl_frontier", "kg_mention_contexts",
+    "kg_reified_statements", "kg_pred_cooccurrence",
+    "train_split_assignment", "train_token_budget",
+    "dedup_cluster_keep",
 ]
 
 

@@ -197,3 +197,83 @@ def anchor_text_profile(links: DataFrame,
                  F.count(F.lit(1)).cast("long").alias("n_anchor_texts"),
                  F.max(F.when(F.col("rk") == 1, F.col("anchor")))
                  .alias("top_anchor")))
+
+
+# ------------------------------------------------------------ sitemaps
+
+SITEMAP_SCHEMA = ("loc string, lastmod string, priority_tenths int")
+
+
+def _sitemap_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import xml.etree.ElementTree as ET
+    for pdf in it:
+        rows = []
+        for raw in pdf["xml"]:
+            root = ET.fromstring(bytes(raw).decode("utf-8"))
+            for url_el in root:
+                if not url_el.tag.endswith("url"):
+                    continue
+                loc = lastmod = None
+                prio = None
+                for child in url_el:
+                    tag = child.tag.rsplit("}", 1)[-1]
+                    if tag == "loc":
+                        loc = (child.text or "").strip()
+                    elif tag == "lastmod":
+                        lastmod = (child.text or "").strip()
+                    elif tag == "priority":
+                        txt = (child.text or "").strip()
+                        # "0.d" -> d; integer so no float compare
+                        prio = int(txt.split(".", 1)[1][:1]) \
+                            if "." in txt else int(txt) * 10
+                if loc:
+                    rows.append((loc, lastmod, prio))
+        yield pd.DataFrame(rows, columns=["loc", "lastmod",
+                                          "priority_tenths"])
+
+
+def sitemap_entries(sitemaps: DataFrame,
+                    xml_col: str = "xml") -> DataFrame:
+    """Parse sitemap-protocol XML documents (sitemaps.org schema,
+    namespace-agnostic) into (loc, lastmod, priority_tenths) rows —
+    the crawl-seeding stage.  Real ElementTree parse, Arrow-batched;
+    priority is kept as integer tenths so no float ever crosses the
+    engine boundary.  One sitemap file = one row in, its URL entries
+    out (UDTF shape, like the WARC reader)."""
+    return (sitemaps.select(F.col(xml_col).alias("xml"))
+            .mapInPandas(_sitemap_batches, schema=SITEMAP_SCHEMA))
+
+
+# ------------------------------------------------------------ frontier
+
+def frontier_schedule(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Politeness-aware crawl-frontier ordering: round-robin across
+    hosts.  Each URL gets ``slot = (rank_in_host - 1) * n_hosts +
+    host_idx`` — sorting by ``slot`` interleaves hosts so two fetches
+    of the same host are always ``n_hosts`` positions apart (the
+    standard Mercator frontier shape, Heydon & Najork 1999), without
+    ever materializing a global row_number over the corpus.
+
+    The per-host rank window is keyed on the host; the host-index
+    window runs over the DISTINCT host dimension only (crawl configs
+    have 10^6-10^7 hosts — dimension-sized, and the single-partition
+    window touches just that dimension, never the URL table).
+    Returns (url, host, rank_in_host, slot)."""
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1).alias("host"))
+    hosts = (u.select("host").distinct()
+             .withColumn("host_idx",
+                         F.row_number().over(
+                             Window.orderBy("host")).cast("long") - 1))
+    n_hosts = hosts.agg(F.count(F.lit(1)).alias("n_hosts"))
+    ranked = u.withColumn(
+        "rank_in_host",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy("url")).cast("long"))
+    return (ranked
+            .join(F.broadcast(hosts), "host")
+            .crossJoin(F.broadcast(n_hosts))
+            .withColumn("slot", (F.col("rank_in_host") - 1)
+                        * F.col("n_hosts") + F.col("host_idx"))
+            .select("url", "host", "rank_in_host", "slot"))

@@ -435,3 +435,32 @@ def minhash_estimated_jaccard(documents: DataFrame, n: int = 3,
             .select("doc_a", "doc_b", "n_agree",
                     F.round(F.col("n_agree") / num_hashes, 6)
                     .alias("est_jaccard")))
+
+
+def cluster_representatives(clusters: DataFrame, documents: DataFrame,
+                            quality_col: str = "n_chars") -> DataFrame:
+    """Keep-one selection per near-dup cluster: among a cluster's
+    members the highest-quality document survives (ties -> lowest
+    doc_id), everything else is dropped — the final decision step of
+    a production dedup pipeline (run AFTER dup_clusters, BEFORE the
+    training-set write).
+
+    ``clusters``: (doc_id, canonical_doc_id) from :func:`dup_clusters`.
+    Quality defaults to document length; callers pass a model score
+    column when they have one.  One doc-keyed join to fetch the
+    quality signal + one window per cluster (bounded by cluster
+    size).  Returns (cluster_id, kept_doc_id, kept_quality,
+    n_members)."""
+    from pyspark.sql import Window
+    q = documents.select("doc_id",
+                         F.col(quality_col).cast("long").alias("quality"))
+    m = clusters.join(q, "doc_id")
+    w = Window.partitionBy("canonical_doc_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc())
+    return (m.withColumn("rk", F.row_number().over(w))
+            .groupBy(F.col("canonical_doc_id").alias("cluster_id"))
+            .agg(F.max(F.when(F.col("rk") == 1, F.col("doc_id")))
+                 .alias("kept_doc_id"),
+                 F.max(F.when(F.col("rk") == 1, F.col("quality")))
+                 .alias("kept_quality"),
+                 F.count(F.lit(1)).cast("long").alias("n_members")))

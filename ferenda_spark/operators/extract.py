@@ -104,3 +104,26 @@ def legal_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     inside the UDF (broadcast analogue).  No shuffle."""
     return (docs.select("url", F.col(text_col).alias("text"))
             .mapInPandas(_legal_batches, schema=LEGAL_MENTIONS_SCHEMA))
+
+
+def mention_contexts(mentions: DataFrame, docs: DataFrame,
+                     before: int = 20, after: int = 20,
+                     text_col: str = "text") -> DataFrame:
+    """Evidence snippets for extracted KG edges: the +-N-character
+    window around each mention (KWIC concordance) — what a human
+    reviewer or a reranker model sees next to the minted triple.
+    The reference keeps the source span implicitly via the RDFa
+    element; at pipeline scale the snippet is materialized alongside
+    the mention row.
+
+    Pure column expressions after one url-keyed equi-join of the
+    mention rows to the doc text (both sides corpus-sized, standard
+    shuffle join).  Offsets are 0-based [start, end); substring() is
+    1-based, hence the +1."""
+    ctx_start = F.greatest(F.lit(0), F.col("start") - before)
+    ctx_len = (F.col("end") - ctx_start) + after
+    return (mentions
+            .join(docs.select("url", text_col), "url")
+            .select("url", "kind", "start", "end", "anchor",
+                    F.substring(F.col(text_col), ctx_start + 1, ctx_len)
+                    .alias("context")))

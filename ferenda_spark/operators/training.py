@@ -529,3 +529,47 @@ def kg_negative_samples(positives: DataFrame, n_entities: int,
             .join(truth, ["example_id", "neg_entity"], "anti")
             .select("example_id", "pos_entity", "neg_entity",
                     "sample_idx"))
+
+
+def token_budget_allocation(avail: DataFrame, weights: DataFrame,
+                            budget: int) -> DataFrame:
+    """Allocate a training-token budget across sources by weight with
+    availability caps — the mixture-budgeting step of corpus assembly
+    (a source can't contribute more tokens than it has; its unused
+    share is redistributed to the uncapped sources).
+
+    Two proportional passes (the closed-form prefix of the waterfall:
+    exact when at most one redistribution round caps out, the common
+    case; the residue after pass 2 stays unallocated and is reported
+    via the ``alloc_tokens`` sum):
+
+    1. ``a1 = min(avail, weight * budget div W)``
+    2. ``a2 = a1 + min(avail - a1, weight * leftover div W_uncapped)``
+
+    All integer div — deterministic across engines.  ``avail``:
+    (source, avail_tokens); ``weights``: (source, weight).  Sources
+    and totals are dimension-sized: every join is a broadcast of a
+    1-row aggregate or the source dim; nothing corpus-scale moves.
+    Returns (source, avail_tokens, weight, alloc_tokens)."""
+    base = (avail.join(F.broadcast(weights), "source")
+            .select("source",
+                    F.col("avail_tokens").cast("long").alias("avail_tokens"),
+                    F.col("weight").cast("long").alias("weight")))
+    tot_w = base.agg(F.sum("weight").cast("long").alias("w_all"))
+    p1 = (base.crossJoin(F.broadcast(tot_w))
+          .withColumn("a1", F.least(
+              F.col("avail_tokens"),
+              F.expr("weight * %d div w_all" % budget))))
+    tot1 = p1.agg(
+        (F.lit(budget) - F.sum("a1")).cast("long").alias("leftover"),
+        F.sum(F.when(F.col("a1") < F.col("avail_tokens"),
+                     F.col("weight")).otherwise(0))
+        .cast("long").alias("w_unc"))
+    return (p1.crossJoin(F.broadcast(tot1))
+            .withColumn("a2", F.when(
+                (F.col("w_unc") > 0) & (F.col("a1") < F.col("avail_tokens")),
+                F.least(F.col("avail_tokens") - F.col("a1"),
+                        F.expr("weight * leftover div w_unc")))
+                .otherwise(0))
+            .select("source", "avail_tokens", "weight",
+                    (F.col("a1") + F.col("a2")).alias("alloc_tokens")))

@@ -169,3 +169,60 @@ def all_triples(docs: DataFrame) -> DataFrame:
     return (doc_triples(docs)
             .unionByName(section_triples(docs))
             .unionByName(mention_triples(docs)))
+
+
+def reify_statements(triples: DataFrame) -> DataFrame:
+    """RDF reification (RDF 1.1 Semantics §5): each (subj, pred, obj)
+    becomes an rdf:Statement resource carrying rdf:subject /
+    rdf:predicate / rdf:object plus a dcterms:source provenance arc
+    from the triple's context — the standard way to attach evidence
+    and confidence to KG edges when RDF-star is unavailable (the
+    reference stores provenance per named graph; reification is the
+    edge-level equivalent).
+
+    Statement ids are skolemized as ``urn:stmt:md5(s|p|o)`` — a pure
+    function of the triple, so re-runs and merges of independently
+    extracted shards mint the SAME id (idempotent by construction).
+    Shape: entirely map-side (an explode of a 5-literal array); no
+    shuffle at all."""
+    stmt = F.concat(F.lit("urn:stmt:"),
+                    F.md5(F.concat_ws("|", "subj", "pred", "obj")))
+    five = F.array(
+        F.struct(F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+                 .alias("p"),
+                 F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                       "Statement").alias("o")),
+        F.struct(F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                       "subject").alias("p"), F.col("subj").alias("o")),
+        F.struct(F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                       "predicate").alias("p"), F.col("pred").alias("o")),
+        F.struct(F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                       "object").alias("p"), F.col("obj").alias("o")),
+        F.struct(F.lit("http://purl.org/dc/terms/source").alias("p"),
+                 F.col("context").alias("o")))
+    return (triples
+            .withColumn("stmt_uri", stmt)
+            .select("stmt_uri", F.explode(five).alias("po"))
+            .select("stmt_uri", F.col("po.p").alias("pred"),
+                    F.col("po.o").alias("obj")))
+
+
+def pred_cooccurrence(triples: DataFrame) -> DataFrame:
+    """Schema induction: how often two predicates describe the SAME
+    subject — the co-occurrence statistic ontology-discovery tools
+    (and the reference's facet selection, which needs to know which
+    predicates are dense enough to pivot on) start from.
+
+    Shape: distinct (subj, pred) then a self-equi-join on the subject
+    with ``pred_a < pred_b``.  The fan-out per subject is bounded by
+    that subject's predicate-set size (tens, not corpus-scale), so
+    the self-join is per-key quadratic only in a dimension-sized
+    quantity — the same bounded-blocking argument as the LSH bucket
+    joins.  Returns (pred_a, pred_b, n_subjects)."""
+    sp = triples.select("subj", "pred").distinct()
+    a = sp.select("subj", F.col("pred").alias("pred_a"))
+    b = sp.select("subj", F.col("pred").alias("pred_b"))
+    return (a.join(b, "subj")
+            .where(F.col("pred_a") < F.col("pred_b"))
+            .groupBy("pred_a", "pred_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_subjects")))

@@ -270,3 +270,130 @@ def test_pmi_bigrams_hand_counts(spark):
     r = got[("a", "b")]
     assert (r.n_xy, r.n_left, r.n_right) == (3, 3, 3)
     assert int(r.pmi_scaled) == 3 * 10**12 // 9
+
+
+# ------------------------------------------------------------ sitemaps
+
+def test_sitemap_parses_namespaced_and_sparse_entries(spark):
+    from ferenda_spark.operators.crawl import sitemap_entries
+    xml = (b'<?xml version="1.0"?>'
+           b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           b'<url><loc>https://a/1</loc><lastmod>2024-01-02</lastmod>'
+           b'<priority>0.7</priority></url>'
+           b'<url><loc> https://a/2 </loc></url>'   # no lastmod/priority
+           b'<url><lastmod>2024-01-03</lastmod></url>'  # no loc: skipped
+           b'</urlset>')
+    df = spark.createDataFrame([(xml,)], "xml binary")
+    got = sorted(sitemap_entries(df).collect(), key=lambda r: r.loc)
+    assert [(r.loc, r.lastmod, r.priority_tenths) for r in got] == [
+        ("https://a/1", "2024-01-02", 7), ("https://a/2", None, None)]
+
+
+# ------------------------------------------------------------ frontier
+
+def test_frontier_interleaves_hosts(spark):
+    from ferenda_spark.operators.crawl import frontier_schedule
+    urls = spark.createDataFrame(
+        [("https://a.org/%d" % i,) for i in range(4)]
+        + [("https://b.org/%d" % i,) for i in range(2)], "url string")
+    got = sorted(frontier_schedule(urls).collect(), key=lambda r: r.slot)
+    # slots are unique and same-host fetches are n_hosts=2 apart
+    slots = [r.slot for r in got]
+    assert len(set(slots)) == len(slots)
+    by_host = {}
+    for r in got:
+        by_host.setdefault(r.host, []).append(r.slot)
+    for host_slots in by_host.values():
+        assert all(b - a == 2 for a, b in
+                   zip(host_slots, host_slots[1:]))
+
+
+# ------------------------------------------------------------ contexts
+
+def test_mention_contexts_clip_at_edges(spark):
+    from ferenda_spark.operators.extract import mention_contexts
+    mentions = spark.createDataFrame(
+        [("u", "k", 2, 5, "bcd"), ("u", "k", 8, 10, "ij")],
+        "url string, kind string, start int, end int, anchor string")
+    docs = spark.createDataFrame([("u", "abcdefghij")],
+                                 "url string, text string")
+    got = {r.start: r.context for r in
+           mention_contexts(mentions, docs, before=3, after=3).collect()}
+    assert got[2] == "abcdefgh"   # window clipped at text start
+    assert got[8] == "fghij"      # window clipped at text end
+
+
+# ---------------------------------------------------------- reification
+
+def test_reify_statements_idempotent_skolem(spark):
+    from ferenda_spark.operators.triples import reify_statements
+    t = spark.createDataFrame(
+        [("s", "p", "o", None, None, "ctx1"),
+         ("s", "p", "o", None, None, "ctx1")],   # same triple twice
+        "subj string, pred string, obj string, obj_datatype string, "
+        "obj_lang string, context string")
+    got = reify_statements(t).collect()
+    assert len(got) == 10                        # 5 rows per input row
+    assert len({r.stmt_uri for r in got}) == 1   # same skolem id
+    preds = sorted({r.pred for r in got})
+    assert "http://purl.org/dc/terms/source" in preds
+    assert any(p.endswith("#Statement") for p in
+               {r.obj for r in got})
+
+
+def test_pred_cooccurrence_counts_shared_subjects(spark):
+    from ferenda_spark.operators.triples import pred_cooccurrence
+    t = spark.createDataFrame(
+        [("s1", "a", "x"), ("s1", "b", "y"), ("s1", "b", "z"),
+         ("s2", "a", "x"), ("s2", "b", "x"), ("s3", "a", "x")],
+        "subj string, pred string, obj string")
+    got = pred_cooccurrence(t).collect()
+    assert [(r.pred_a, r.pred_b, r.n_subjects) for r in got] == [
+        ("a", "b", 2)]
+
+
+# ---------------------------------------------------------- allocation
+
+def _alloc(spark, avail, weights, budget):
+    from ferenda_spark.operators.training import token_budget_allocation
+    a = spark.createDataFrame(avail, "source string, avail_tokens long")
+    w = spark.createDataFrame(weights, "source string, weight long")
+    return {r.source: r.alloc_tokens
+            for r in token_budget_allocation(a, w, budget).collect()}
+
+
+def test_token_budget_redistributes_capped_share(spark):
+    # equal weights, budget 100: proportional = 50/50, but a has only
+    # 10 -> its unused 40 flows to b (capped at b's availability)
+    got = _alloc(spark, [("a", 10), ("b", 1000)],
+                 [("a", 1), ("b", 1)], 100)
+    assert got == {"a": 10, "b": 90}
+
+
+def test_token_budget_all_capped_leaves_residue(spark):
+    got = _alloc(spark, [("a", 10), ("b", 20)],
+                 [("a", 1), ("b", 1)], 100)
+    assert got == {"a": 10, "b": 20}  # nothing to redistribute into
+
+
+def test_token_budget_uncapped_proportional(spark):
+    got = _alloc(spark, [("a", 1000), ("b", 1000)],
+                 [("a", 3), ("b", 1)], 100)
+    assert got == {"a": 75, "b": 25}
+
+
+# ------------------------------------------------------- cluster keep
+
+def test_cluster_representatives_quality_then_id(spark):
+    from ferenda_spark.operators.dedup import cluster_representatives
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)],
+        "doc_id long, canonical_doc_id long")
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (9, 5)],
+        "doc_id long, n_chars long")
+    got = {r.cluster_id: r for r in
+           cluster_representatives(clusters, docs).collect()}
+    assert got[1].kept_doc_id == 2          # quality tie -> lowest id
+    assert got[1].kept_quality == 300 and got[1].n_members == 3
+    assert got[9].kept_doc_id == 9 and got[9].n_members == 1
