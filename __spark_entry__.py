@@ -2329,6 +2329,130 @@ def _q_token_budget(spark, sf_dir):
             .orderBy("source"))
 
 
+def _infobox_pages(spark, sf_dir):
+    """Planted infobox pages: one 4-row key/value <table> per doc,
+    every cell a closed-form function of doc_id (the DBpedia-style
+    structured-data source)."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    year = F.date_format(
+        F.expr("date_add(DATE'2020-01-01', "
+               "CAST((doc_id * 37) % 1461 AS INT))"), "yyyy")
+    html = F.concat(
+        F.lit("<html><body><h1>Infobox</h1><table>"
+              "<tr><th>Publisher</th><td>Publisher "),
+        did % 7,
+        F.lit("</td></tr><tr><th>Subject</th><td>topic"),
+        did % 11,
+        F.lit("</td></tr><tr><th>Year</th><td>"), year,
+        F.lit("</td></tr><tr><th>Entity</th><td>Entity "),
+        did % 50,
+        F.lit("</td></tr></table></body></html>"))
+    return d.select(
+        F.concat(F.lit("https://example.org/infobox/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_html_tables(spark, sf_dir):
+    """HTML <table> extraction through the REAL DOM parser (same
+    parser as the extract stage; th+td, nested-table-safe): one row
+    per cell — the raw material of infobox mining."""
+    from ferenda_spark.operators.extract import html_table_cells
+    return (html_table_cells(_infobox_pages(spark, sf_dir))
+            .orderBy("url", "table_idx", "row_idx", "col_idx"))
+
+
+def _q_infobox_triples(spark, sf_dir):
+    """Infobox mining: key/value table rows -> (doc, urn:prop:key,
+    value) triples — the DBpedia extraction pattern.  Pivot = one
+    groupBy per (url, table, row); key URIs lowercased."""
+    from ferenda_spark.operators.extract import html_table_cells
+    cells = html_table_cells(_infobox_pages(spark, sf_dir))
+    return (cells
+            .groupBy("url", "table_idx", "row_idx")
+            .agg(F.max(F.when(F.col("col_idx") == 0, F.col("cell")))
+                 .alias("key"),
+                 F.max(F.when(F.col("col_idx") == 1, F.col("cell")))
+                 .alias("value"))
+            .where(F.col("key").isNotNull() & F.col("value").isNotNull())
+            .select(F.col("url").alias("subj"),
+                    F.concat(F.lit("urn:prop:"), F.lower("key"))
+                    .alias("pred"),
+                    F.col("value").alias("obj"))
+            .orderBy("subj", "pred"))
+
+
+def _q_entity_disambiguation(spark, sf_dir):
+    """Wikification baseline: each mention has two candidate entities;
+    the one whose planted profile shares more tokens with the
+    mention's context wins (ties -> lowest entity id)."""
+    from ferenda_spark.operators.linking import disambiguate_by_context
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mentions = d.select(
+        did.alias("mention_id"),
+        F.array(F.concat(F.lit("p"), (did % 5).cast("string")),
+                F.concat(F.lit("q"), (did % 7).cast("string")),
+                F.lit("noise")).alias("context_tokens"))
+    candidates = (d.select(did.alias("mention_id"),
+                           (did % 50).alias("entity_id"))
+                  .unionByName(
+                      d.select(did.alias("mention_id"),
+                               ((did + 1) % 50).alias("entity_id"))))
+    profiles = spark.range(50).select(
+        F.col("id").alias("entity_id"),
+        F.array(F.concat(F.lit("p"), (F.col("id") % 5).cast("string")),
+                F.concat(F.lit("q"), (F.col("id") % 3).cast("string")))
+        .alias("profile_tokens"))
+    return (disambiguate_by_context(mentions, candidates, profiles)
+            .orderBy("mention_id"))
+
+
+def _q_cms_tokens(spark, sf_dir):
+    """Count-Min Sketch register table over the corpus token stream
+    (depth 4 x width 256, portable md5 hashes): the mergeable
+    heavy-hitter summary — at most 1024 rows out regardless of corpus
+    size."""
+    from ferenda_spark.operators.dedup import tokens
+    from ferenda_spark.operators.sketches import cms_counts
+    items = (_read(spark, sf_dir, "documents")
+             .select(F.explode(tokens(F.col("text"))).alias("token")))
+    return (cms_counts(items, "token", depth=4, width=256)
+            .orderBy("sketch_row", "col"))
+
+
+def _q_hll_registers(spark, sf_dir):
+    """HyperLogLog register table (m=64) for distinct-token
+    cardinality per source — integers only; the harmonic-mean
+    estimate stays consumer-side (pytest)."""
+    from ferenda_spark.operators.dedup import tokens
+    from ferenda_spark.operators.sketches import hll_registers
+    items = (_read(spark, sf_dir, "documents")
+             .select("source",
+                     F.explode(tokens(F.col("text"))).alias("token")))
+    return (hll_registers(items, "source", "token", m=64)
+            .orderBy("source", "register"))
+
+
+def _q_bloom_probe(spark, sf_dir):
+    """Have-I-crawled-this membership: Bloom bits built from the
+    even-doc URLs (k=3, m=4096), odd-doc URLs probed — never a false
+    negative; false positives at the standard rate, deterministically
+    reproduced by the oracle."""
+    from ferenda_spark.operators.sketches import bloom_bits, bloom_probe
+    d = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 10 < 3,
+               F.lit("https://hot.example.org/"))
+        .otherwise(F.lit("https://example.org/")),
+        F.lit("docs/"), F.col("source"), F.lit("/"), F.col("doc_id"))
+    seen = d.where(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    probe = d.where(F.col("doc_id") % 2 == 1).select(url.alias("url"))
+    bits = bloom_bits(seen, "url", k=3, m=4096)
+    return bloom_probe(bits, probe, "url", k=3, m=4096).orderBy("url")
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2511,6 +2635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_assignment": _q_split_assignment,
         "train_token_budget": _q_token_budget,
         "dedup_cluster_keep": _q_cluster_keep,
+        "kg_html_tables": _q_html_tables,
+        "kg_infobox_triples": _q_infobox_triples,
+        "kg_entity_disambiguation": _q_entity_disambiguation,
+        "stats_cms_tokens": _q_cms_tokens,
+        "stats_hll_registers": _q_hll_registers,
+        "dedup_bloom_probe": _q_bloom_probe,
     }
 
 
@@ -2541,6 +2671,34 @@ secs AS (
   SELECT *, unnest(generate_series(1, n_sections)) AS s FROM f
 ),
 subs AS (SELECT * FROM secs WHERE (doc_id + s) % 2 = 1)
+"""
+
+# planted infobox cells (mirrors _infobox_pages: one 4-row k/v table
+# per doc; the Spark side recovers these by walking the real DOM)
+_INFOBOX_CTE = """
+            WITH cells AS (
+              SELECT 'https://example.org/infobox/' || doc_id AS url,
+                     r.row_idx, c.col_idx,
+                     CASE
+                       WHEN c.col_idx = 0 THEN
+                         CASE r.row_idx WHEN 0 THEN 'Publisher'
+                              WHEN 1 THEN 'Subject'
+                              WHEN 2 THEN 'Year'
+                              ELSE 'Entity' END
+                       ELSE
+                         CASE r.row_idx
+                              WHEN 0 THEN 'Publisher ' || (doc_id % 7)
+                              WHEN 1 THEN 'topic' || (doc_id % 11)
+                              WHEN 2 THEN strftime(DATE '2020-01-01'
+                                + INTERVAL ((doc_id * 37) % 1461) DAY,
+                                '%Y')
+                              ELSE 'Entity ' || (doc_id % 50) END
+                     END AS cell
+              FROM documents,
+                   (SELECT CAST(unnest(generate_series(0, 3)) AS INT)
+                      AS row_idx) r,
+                   (SELECT CAST(unnest(generate_series(0, 1)) AS INT)
+                      AS col_idx) c)
 """
 
 # shared CTE for the knowledge-fusion oracles (mirrors _claims /
@@ -5471,4 +5629,110 @@ def oracle_sql() -> dict[str, str]:
                      AS kept_quality,
                    CAST(COUNT(*) AS BIGINT) AS n_members
             FROM m GROUP BY cluster_id ORDER BY cluster_id""",
+        # planted infobox cells closed-form (Spark walks the real DOM)
+        "kg_html_tables": _INFOBOX_CTE + """
+            SELECT url, CAST(0 AS INT) AS table_idx, row_idx, col_idx,
+                   cell
+            FROM cells ORDER BY url, table_idx, row_idx, col_idx""",
+        "kg_infobox_triples": _INFOBOX_CTE + """
+            SELECT k.url AS subj, 'urn:prop:' || lower(k.cell) AS pred,
+                   v.cell AS obj
+            FROM cells k JOIN cells v
+              ON k.url = v.url AND k.row_idx = v.row_idx
+             AND k.col_idx = 0 AND v.col_idx = 1
+            ORDER BY subj, pred""",
+        # context-overlap argmax; mirrored list_intersect scoring
+        "kg_entity_disambiguation": """
+            WITH m AS (
+              SELECT doc_id AS mention_id,
+                     ['p' || (doc_id % 5), 'q' || (doc_id % 7),
+                      'noise'] AS context_tokens
+              FROM documents),
+            cand AS (
+              SELECT doc_id AS mention_id, doc_id % 50 AS entity_id
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id + 1) % 50 FROM documents),
+            prof AS (
+              SELECT i AS entity_id,
+                     ['p' || (i % 5), 'q' || (i % 3)] AS profile_tokens
+              FROM (SELECT unnest(generate_series(0, 49)) AS i)),
+            scored AS (
+              SELECT c.mention_id, c.entity_id,
+                     CAST(len(list_intersect(
+                          list_distinct(m.context_tokens),
+                          list_distinct(p.profile_tokens)))
+                       AS BIGINT) AS overlap
+              FROM cand c
+              JOIN m USING (mention_id) JOIN prof p USING (entity_id)),
+            rk AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY mention_id
+                       ORDER BY overlap DESC, entity_id ASC) AS r
+              FROM scored)
+            SELECT mention_id,
+                   MAX(CASE WHEN r = 1 THEN entity_id END) AS entity_id,
+                   MAX(CASE WHEN r = 1 THEN overlap END) AS overlap,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates
+            FROM rk GROUP BY mention_id ORDER BY mention_id""",
+        # CMS registers: portable md5 row hashes, depth 4 x width 256
+        "stats_cms_tokens": r"""
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)),
+                     '[ \t\n\r\f\x0B]+') AS t
+              FROM documents),
+            items AS (SELECT unnest(t) AS token FROM toks),
+            rows_ AS (
+              SELECT d AS sketch_row,
+                     CAST(('0x' || substr(md5('cms' || d || ':'
+                          || token), 1, 8)) AS BIGINT) % 256 AS col
+              FROM items,
+                   (SELECT unnest(generate_series(0, 3)) AS d))
+            SELECT CAST(sketch_row AS INT) AS sketch_row, col,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM rows_ GROUP BY sketch_row, col
+            ORDER BY sketch_row, col""",
+        # HLL registers: h%64 register, rank = 1 + tz(h div 64) via
+        # bit_count(xor(x, x-1)); all-zero rest pinned to 25
+        "stats_hll_registers": r"""
+            WITH toks AS (
+              SELECT source, string_split_regex(lower(trim(text)),
+                     '[ \t\n\r\f\x0B]+') AS t
+              FROM documents),
+            items AS (SELECT source, unnest(t) AS token FROM toks),
+            h AS (
+              SELECT source,
+                     CAST(('0x' || substr(md5('hll:' || token), 1, 8))
+                          AS BIGINT) AS hv
+              FROM items),
+            rr AS (
+              SELECT source, hv % 64 AS register,
+                     (hv - hv % 64) // 64 AS rest
+              FROM h)
+            SELECT source, register,
+                   CAST(MAX(CASE WHEN rest = 0 THEN 25
+                            ELSE bit_count(xor(rest, rest - 1)) END)
+                     AS INT) AS max_rank
+            FROM rr GROUP BY source, register
+            ORDER BY source, register""",
+        # Bloom probe: bits from even docs, probes = odd docs;
+        # UNION ALL keeps per-hash multiplicity (mirrors the operator)
+        "dedup_bloom_probe": "WITH " + _F_CTE + """,
+            seen AS (SELECT url FROM f WHERE doc_id % 2 = 0),
+            probe AS (SELECT url FROM f WHERE doc_id % 2 = 1),
+            bits AS (
+              SELECT DISTINCT CAST(('0x' || substr(md5('bloom' || i
+                       || ':' || url), 1, 8)) AS BIGINT) % 4096 AS bit
+              FROM seen, (SELECT unnest(generate_series(0, 2)) AS i)),
+            pr AS (
+              SELECT url, CAST(('0x' || substr(md5('bloom' || i || ':'
+                       || url), 1, 8)) AS BIGINT) % 4096 AS bit
+              FROM probe, (SELECT unnest(generate_series(0, 2)) AS i)),
+            hits AS (
+              SELECT pr.url, COUNT(*) AS n_set
+              FROM pr WHERE EXISTS (SELECT 1 FROM bits
+                                    WHERE bits.bit = pr.bit)
+              GROUP BY pr.url)
+            SELECT p.url, COALESCE(h.n_set, 0) = 3 AS maybe_seen
+            FROM probe p LEFT JOIN hits h ON p.url = h.url
+            ORDER BY p.url""",
     }

@@ -95,6 +95,8 @@ HEADLINE = [
     "kg_reified_statements", "kg_pred_cooccurrence",
     "train_split_assignment", "train_token_budget",
     "dedup_cluster_keep",
+    "kg_html_tables", "kg_infobox_triples", "kg_entity_disambiguation",
+    "stats_cms_tokens", "stats_hll_registers", "dedup_bloom_probe",
 ]
 
 

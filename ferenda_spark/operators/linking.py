@@ -278,3 +278,41 @@ def sorted_neighborhood_pairs(df: DataFrame, key_cols: list,
             .groupBy("id_a", "id_b")
             .agg(F.countDistinct("pass_name").cast("long")
                  .alias("n_passes")))
+
+
+def disambiguate_by_context(mentions: DataFrame, candidates: DataFrame,
+                            profiles: DataFrame) -> DataFrame:
+    """Entity disambiguation by context-token overlap (the classic
+    Bagga & Baldwin / wikification baseline): among a mention's
+    candidate entities, the one whose profile shares the most tokens
+    with the mention's context wins; ties break to the smallest
+    entity id so the result is a pure function of the input.
+
+    ``mentions``: (mention_id, context_tokens array<string>);
+    ``candidates``: (mention_id, entity_id) — the ambiguous ones have
+    several rows; ``profiles``: (entity_id, profile_tokens).
+
+    Score = |context ∩ profile| via array_intersect — set semantics,
+    duplicates don't inflate the overlap.  Shape: one join per side
+    of the candidate table (mention-keyed, then entity-keyed — the
+    profile side is entity-dimension-sized and broadcasts when it
+    fits) + one window per mention, bounded by its candidate count.
+    Returns (mention_id, entity_id, overlap, n_candidates)."""
+    scored = (candidates
+              .join(mentions, "mention_id")
+              .join(profiles, "entity_id")
+              .withColumn("overlap",
+                          F.size(F.array_intersect(
+                              F.array_distinct("context_tokens"),
+                              F.array_distinct("profile_tokens")))
+                          .cast("long")))
+    w = Window.partitionBy("mention_id").orderBy(
+        F.col("overlap").desc(), F.col("entity_id").asc())
+    return (scored
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("mention_id")
+            .agg(F.max(F.when(F.col("rk") == 1, F.col("entity_id")))
+                 .alias("entity_id"),
+                 F.max(F.when(F.col("rk") == 1, F.col("overlap")))
+                 .alias("overlap"),
+                 F.count(F.lit(1)).cast("long").alias("n_candidates")))

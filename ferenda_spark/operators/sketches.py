@@ -1,0 +1,132 @@
+"""Probabilistic sketches as DataFrame programs — Count-Min, Bloom,
+HyperLogLog registers — the streaming-summary family a 100 TB corpus
+pipeline needs when exact per-key state no longer fits (heavy-hitter
+monitoring, have-I-crawled-this membership, distinct-host cardinality).
+
+All three are *mergeable* by construction: register tables combine by
+groupBy-max / union-distinct / groupBy-sum, so shards sketch
+independently and a final tiny reduce combines them — the map-side-
+combine shape that makes sketches the right tool at scale.
+
+Engine portability: every hash is the md5-prefix integer (the
+portable_bucket contract from training.py) and every emitted column is
+an integer; the float *estimates* (HLL harmonic mean, CMS bias
+correction) are deliberately left to the consumer (tested in pytest),
+so the driver-facing tables are bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _h(col, salt: str):
+    """Portable 32-bit hash: first 8 md5 hex digits of salt:key."""
+    return F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))),
+        1, 8), 16, 10).cast("long")
+
+
+def cms_counts(items: DataFrame, key_col: str = "token",
+               weight_col: str | None = None,
+               depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min Sketch (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` counters; a key's estimate is
+    the MIN over rows of its counter (always an over-estimate).
+
+    Returns the dense register table (sketch_row, col, n) — at most
+    depth*width rows regardless of input size.  Shape: one map-side
+    explode of ``depth`` literals + one groupBy on (row, col); partial
+    aggregation does the heavy lifting, the shuffle moves at most
+    depth*width*partitions rows."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    rows = items.select(F.col(key_col).alias("k"), w.alias("w"))
+    out = None
+    for d in range(depth):
+        r = rows.select(F.lit(d).alias("sketch_row"),
+                        (_h(F.col("k"), "cms%d" % d) % width).alias("col"),
+                        "w")
+        out = r if out is None else out.unionByName(r)
+    return (out.groupBy("sketch_row", "col")
+            .agg(F.sum("w").cast("long").alias("n")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame,
+                 key_col: str = "token",
+                 depth: int = 4, width: int = 256) -> DataFrame:
+    """Point queries against a CMS register table: min over the
+    ``depth`` counters each key hashes to.  The sketch is at most
+    depth*width rows — broadcast."""
+    out = None
+    for d in range(depth):
+        r = keys.select(F.col(key_col).alias("k"),
+                        F.lit(d).alias("sketch_row"),
+                        (_h(F.col(key_col), "cms%d" % d) % width)
+                        .alias("col"))
+        out = r if out is None else out.unionByName(r)
+    return (out.join(F.broadcast(sketch), ["sketch_row", "col"], "left")
+            .groupBy(F.col("k").alias(key_col))
+            .agg(F.min(F.coalesce("n", F.lit(0))).alias("estimate")))
+
+
+def bloom_bits(keys: DataFrame, key_col: str = "url",
+               k: int = 3, m: int = 4096) -> DataFrame:
+    """Bloom filter as a bit-position table: ``k`` hash positions per
+    key, distinct — at most ``m`` rows total.  Mergeable by
+    union-distinct."""
+    out = None
+    for i in range(k):
+        r = keys.select((_h(F.col(key_col), "bloom%d" % i) % m)
+                        .alias("bit"))
+        out = r if out is None else out.unionByName(r)
+    return out.distinct()
+
+
+def bloom_probe(bits: DataFrame, keys: DataFrame,
+                key_col: str = "url",
+                k: int = 3, m: int = 4096) -> DataFrame:
+    """Membership probe: ``maybe_seen`` iff ALL ``k`` positions are
+    set (false positives possible at the standard (1-e^{-kn/m})^k
+    rate, never false negatives).  The bit table is <= m rows —
+    broadcast; the probe side never shuffles."""
+    out = None
+    for i in range(k):
+        r = keys.select(F.col(key_col).alias("key"),
+                        (_h(F.col(key_col), "bloom%d" % i) % m)
+                        .alias("bit"))
+        out = r if out is None else out.unionByName(r)
+    hits = (out.join(F.broadcast(bits), "bit", "left_semi")
+            .groupBy("key").agg(F.count(F.lit(1)).alias("n_set")))
+    return (keys.select(F.col(key_col).alias("key")).distinct()
+            .join(hits, "key", "left")
+            .select(F.col("key").alias(key_col),
+                    (F.coalesce("n_set", F.lit(0)) == k)
+                    .alias("maybe_seen")))
+
+
+def hll_registers(items: DataFrame, group_col: str, key_col: str,
+                  m: int = 64) -> DataFrame:
+    """HyperLogLog register table per group (Flajolet et al. 2007):
+    register = hash mod m, rank = 1 + trailing-zero count of the
+    remaining bits, register value = MAX rank.  Emitted as integers
+    (group, register, max_rank) — m rows per group, mergeable by
+    groupBy-max; the harmonic-mean estimate stays consumer-side
+    (see tests) so no float crosses the engine boundary.
+
+    Trailing zeros portably: ``bit_count(x XOR (x - 1)) - 1`` for
+    x != 0 (x XOR x-1 sets exactly tz+1 low bits); x == 0 (all 24
+    remaining bits zero) pins rank to 25."""
+    h = _h(F.col(key_col), "hll")
+    reg = (h % m).alias("register")
+    # integer div, not floor(double division) — the div/`//` pin
+    rest = (h - (h % m)) / F.lit(m)
+    rest = rest.cast("long")
+    rank = (F.when(rest == 0, F.lit(25))
+            .otherwise(F.bit_count(
+                rest.bitwiseXOR(rest - 1)))).alias("rank")
+    return (items.select(F.col(group_col).alias("grp"), reg, rank)
+            .groupBy("grp", "register")
+            .agg(F.max("rank").cast("int").alias("max_rank"))
+            .select(F.col("grp").alias(group_col), "register",
+                    "max_rank"))
