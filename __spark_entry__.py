@@ -2453,6 +2453,48 @@ def _q_bloom_probe(spark, sf_dir):
     return bloom_probe(bits, probe, "url", k=3, m=4096).orderBy("url")
 
 
+def _q_sitemap_diff(spark, sf_dir):
+    """Recrawl planning: diff two planted crawl snapshots — old has
+    doc_id % 4 != 3, new has % 4 != 1, and every % 8 == 0 doc's
+    lastmod shifted a day — so all four statuses occur."""
+    from ferenda_spark.operators.crawl import sitemap_diff
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 10 < 3, F.lit("https://hot.example.org/"))
+        .otherwise(F.lit("https://example.org/")),
+        F.lit("docs/"), F.col("source"), F.lit("/"), did)
+    issued = F.date_format(
+        F.expr("date_add(DATE'2020-01-01', "
+               "CAST((doc_id * 37) % 1461 AS INT))"), "yyyy-MM-dd")
+    shifted = F.date_format(
+        F.expr("date_add(DATE'2020-01-02', "
+               "CAST((doc_id * 37) % 1461 AS INT))"), "yyyy-MM-dd")
+    old = (d.where(did % 4 != 3)
+           .select(url.alias("loc"), issued.alias("lastmod")))
+    new = (d.where(did % 4 != 1)
+           .select(url.alias("loc"),
+                   F.when(did % 8 == 0, shifted).otherwise(issued)
+                   .alias("lastmod")))
+    return sitemap_diff(old, new).orderBy("loc")
+
+
+def _q_neighbor_agg(spark, sf_dir):
+    """GraphSAGE-style 1- and 2-hop feature aggregation (path-count
+    semantics) over the citation graph with n_chars as the node
+    feature — the pre-training feature-engineering step."""
+    from ferenda_spark.operators.graphs import neighbor_feature_agg
+    d = _read(spark, sf_dir, "documents")
+    e1 = d.select(F.col("doc_id").alias("doc_a"),
+                  (F.col("doc_id") + 1).alias("doc_b"))
+    e2 = d.select(F.col("doc_id").alias("doc_a"),
+                  (F.col("doc_id") + 2).alias("doc_b"))
+    feats = d.select(F.col("doc_id").alias("node"),
+                     F.col("n_chars").alias("feature"))
+    return (neighbor_feature_agg(e1.unionByName(e2), feats)
+            .orderBy("node"))
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2641,6 +2683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cms_tokens": _q_cms_tokens,
         "stats_hll_registers": _q_hll_registers,
         "dedup_bloom_probe": _q_bloom_probe,
+        "crawl_sitemap_diff": _q_sitemap_diff,
+        "kg_neighbor_agg": _q_neighbor_agg,
     }
 
 
@@ -5735,4 +5779,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.url, COALESCE(h.n_set, 0) = 3 AS maybe_seen
             FROM probe p LEFT JOIN hits h ON p.url = h.url
             ORDER BY p.url""",
+        # closed-form diff: %4==3 added, %4==1 removed, %8==0 changed
+        "crawl_sitemap_diff": "WITH " + _F_CTE + """,
+            s AS (
+              SELECT url AS loc, doc_id, issued,
+                     strftime(DATE '2020-01-02'
+                       + INTERVAL ((doc_id * 37) % 1461) DAY,
+                       '%Y-%m-%d') AS shifted
+              FROM f)
+            SELECT loc,
+                   CASE WHEN doc_id % 4 = 3 THEN 'added'
+                        WHEN doc_id % 4 = 1 THEN 'removed'
+                        WHEN doc_id % 8 = 0 THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN doc_id % 4 = 3 THEN NULL
+                        ELSE issued END AS old_lastmod,
+                   CASE WHEN doc_id % 4 = 1 THEN NULL
+                        WHEN doc_id % 8 = 0 THEN shifted
+                        ELSE issued END AS new_lastmod
+            FROM s ORDER BY loc""",
+        "kg_neighbor_agg": """
+            WITH e AS (
+              SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+              UNION ALL
+              SELECT doc_id, doc_id + 2 FROM documents),
+            ft AS (
+              SELECT doc_id AS v, CAST(n_chars AS BIGINT) AS x
+              FROM documents),
+            h1 AS (
+              SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS h1_n,
+                     CAST(SUM(x) AS BIGINT) AS h1_sum
+              FROM e JOIN ft USING (v) GROUP BY u),
+            e2 AS (
+              SELECT a.u, b.v FROM e a
+              JOIN (SELECT u AS m, v FROM e) b ON a.v = b.m),
+            h2 AS (
+              SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS h2_n,
+                     CAST(SUM(x) AS BIGINT) AS h2_sum
+              FROM e2 JOIN ft USING (v) GROUP BY u)
+            SELECT h1.node, h1.h1_n, h1.h1_sum,
+                   COALESCE(h2.h2_n, 0) AS h2_n,
+                   COALESCE(h2.h2_sum, 0) AS h2_sum
+            FROM h1 LEFT JOIN h2 ON h1.node = h2.node
+            ORDER BY h1.node""",
     }

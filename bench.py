@@ -97,6 +97,7 @@ HEADLINE = [
     "dedup_cluster_keep",
     "kg_html_tables", "kg_infobox_triples", "kg_entity_disambiguation",
     "stats_cms_tokens", "stats_hll_registers", "dedup_bloom_probe",
+    "crawl_sitemap_diff", "kg_neighbor_agg",
 ]
 
 

@@ -277,3 +277,31 @@ def frontier_schedule(urls: DataFrame, url_col: str = "url") -> DataFrame:
             .withColumn("slot", (F.col("rank_in_host") - 1)
                         * F.col("n_hosts") + F.col("host_idx"))
             .select("url", "host", "rank_in_host", "slot"))
+
+
+# --------------------------------------------------------- crawl diff
+
+def sitemap_diff(old: DataFrame, new: DataFrame,
+                 key_col: str = "loc",
+                 cmp_col: str = "lastmod") -> DataFrame:
+    """Recrawl planning: diff two crawl snapshots' URL inventories.
+    Full outer join on the URL; status is added / removed / changed
+    (present in both, compare column differs, NULL-safe) / unchanged.
+    One equi-join keyed on the URL itself — no coarse key.  Returns
+    (loc, status, old_<cmp>, new_<cmp>)."""
+    o = old.select(F.col(key_col).alias("loc"),
+                   F.col(cmp_col).alias("old_cmp"),
+                   F.lit(1).alias("in_old"))
+    n = new.select(F.col(key_col).alias("loc"),
+                   F.col(cmp_col).alias("new_cmp"),
+                   F.lit(1).alias("in_new"))
+    return (o.join(n, "loc", "full_outer")
+            .select(
+                "loc",
+                F.when(F.col("in_old").isNull(), "added")
+                .when(F.col("in_new").isNull(), "removed")
+                .when(~F.col("old_cmp").eqNullSafe(F.col("new_cmp")),
+                      "changed")
+                .otherwise("unchanged").alias("status"),
+                F.col("old_cmp").alias("old_" + cmp_col),
+                F.col("new_cmp").alias("new_" + cmp_col)))

@@ -850,3 +850,42 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def neighbor_feature_agg(edges: DataFrame, features: DataFrame,
+                         src: str = "doc_a", dst: str = "doc_b",
+                         feature_col: str = "feature") -> DataFrame:
+    """GraphSAGE-style neighborhood aggregation as two rounds of
+    join + groupBy: for every node with out-edges, the count and sum
+    of its 1-hop out-neighbors' feature and of its 2-hop (path-count
+    semantics — a node reachable twice contributes twice, exactly the
+    message-passing convention).  The standard feature-engineering
+    step before KG-embedding / node-classification training.
+
+    Shape: hop 1 is one edge-keyed join + one src groupBy; hop 2
+    composes the edge table with itself first (fan-out bounded by
+    out-degree — the citation graph's is 2) and repeats.  At 10^12
+    edges the self-join is the same dst/src equi-join pagerank rounds
+    do; no window, no collect.  Returns (node, h1_n, h1_sum, h2_n,
+    h2_sum) with zero-filled hop-2 columns for nodes whose neighbors
+    have no out-edges."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    f = features.select(F.col("node").alias("v"),
+                        F.col(feature_col).cast("long").alias("x"))
+    h1 = (e.join(f, "v")
+          .groupBy(F.col("u").alias("node"))
+          .agg(F.count(F.lit(1)).cast("long").alias("h1_n"),
+               F.sum("x").cast("long").alias("h1_sum")))
+    e2 = (e.join(e.select(F.col("u").alias("v"),
+                          F.col("v").alias("w")), "v")
+          .select("u", F.col("w").alias("v")))
+    h2 = (e2.join(f, "v")
+          .groupBy(F.col("u").alias("node"))
+          .agg(F.count(F.lit(1)).cast("long").alias("h2_n"),
+               F.sum("x").cast("long").alias("h2_sum")))
+    return (h1.join(h2, "node", "left")
+            .select("node", "h1_n", "h1_sum",
+                    F.coalesce("h2_n", F.lit(0)).cast("long")
+                    .alias("h2_n"),
+                    F.coalesce("h2_sum", F.lit(0)).cast("long")
+                    .alias("h2_sum")))

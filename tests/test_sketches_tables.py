@@ -131,3 +131,32 @@ def test_disambiguation_overlap_and_tie(spark):
     # zero-overlap tie -> lowest entity id
     assert got[2].entity_id == 10 and got[2].overlap == 0
     assert got[2].n_candidates == 2
+
+
+def test_sitemap_diff_statuses(spark):
+    from ferenda_spark.operators.crawl import sitemap_diff
+    old = spark.createDataFrame(
+        [("a", "d1"), ("b", "d1"), ("c", None)],
+        "loc string, lastmod string")
+    new = spark.createDataFrame(
+        [("a", "d2"), ("c", None), ("d", "d1")],
+        "loc string, lastmod string")
+    got = {r.loc: r.status for r in sitemap_diff(old, new).collect()}
+    assert got == {"a": "changed", "b": "removed",
+                   "c": "unchanged",       # NULL-safe compare
+                   "d": "added"}
+
+
+def test_neighbor_agg_path_counts(spark):
+    from ferenda_spark.operators.graphs import neighbor_feature_agg
+    # 1 -> 2 -> 3, 1 -> 3; feature(v) = 10*v
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                                  "doc_a long, doc_b long")
+    feats = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                  "node long, feature long")
+    got = {r.node: r for r in
+           neighbor_feature_agg(edges, feats).collect()}
+    assert (got[1].h1_n, got[1].h1_sum) == (2, 50)
+    # 2-hop from 1: via 2 -> 3 (one path) only; 3 has no out-edges
+    assert (got[1].h2_n, got[1].h2_sum) == (1, 30)
+    assert (got[2].h1_n, got[2].h2_n) == (1, 0)   # zero-filled hop 2
