@@ -2495,6 +2495,64 @@ def _q_neighbor_agg(spark, sf_dir):
             .orderBy("node"))
 
 
+def _q_label_prop(spark, sf_dir):
+    """Community detection: synchronous label propagation (4 rounds,
+    min-of-argmax tie-break) over a planted two-community graph — per
+    20-doc block a triangle, a bridge edge, and a second triangle.
+    The oracle unrolls the same 4 rounds in SQL, so the comparison is
+    algorithm-exact, not just converged-answer-exact."""
+    from ferenda_spark.operators.graphs import label_propagation
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(0, 2))
+             .unionByName(_e(2, 5)).unionByName(_e(5, 6))
+             .unionByName(_e(6, 7)).unionByName(_e(5, 7)))
+    return label_propagation(edges, rounds=4).orderBy("node")
+
+
+def _q_jsonld_triples(spark, sf_dir):
+    """schema.org JSON-LD extraction: planted ld+json script blocks
+    (closed-form @id/@type/name/wordCount per doc_id) parsed back out
+    of the page bytes by the real regexp+from_json pipeline."""
+    from ferenda_spark.operators.extract import jsonld_triples
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    jtype = F.when(did % 3 == 0, "Article").otherwise("Dataset")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@id": "urn:doc:'), did.cast("string"),
+        F.lit('", "@type": "'), jtype,
+        F.lit('", "name": "Document '), did.cast("string"),
+        F.lit('", "wordCount": "'), (did % 997).cast("string"),
+        F.lit('"}</script></head><body></body></html>'))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/ld/"), did.cast("string"))
+        .alias("url"), html.alias("html"))
+    return jsonld_triples(pages).orderBy("url", "pred")
+
+
+def _q_hearst_pairs(spark, sf_dir):
+    """Hearst-pattern taxonomy mining: planted 'Topics such as a, b
+    and c' sentences; the operator recovers each (hypernym, hyponym)
+    pair by real regex extraction over the text."""
+    from ferenda_spark.operators.extract import hearst_pairs
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    def _t(k):
+        return F.concat(F.lit("topic"), ((did + k) % 5).cast("string"))
+    text = F.concat(F.lit("This page covers Topics such as "),
+                    _t(0), F.lit(", "), _t(1), F.lit(" and "), _t(2),
+                    F.lit(" in depth."))
+    docs = d.select(
+        F.concat(F.lit("https://example.org/hearst/"),
+                 did.cast("string")).alias("url"), text.alias("text"))
+    return hearst_pairs(docs).orderBy("url", "hyponym")
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2685,6 +2743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_probe": _q_bloom_probe,
         "crawl_sitemap_diff": _q_sitemap_diff,
         "kg_neighbor_agg": _q_neighbor_agg,
+        "kg_label_prop": _q_label_prop,
+        "kg_jsonld_triples": _q_jsonld_triples,
+        "kg_hearst_pairs": _q_hearst_pairs,
     }
 
 
@@ -5822,4 +5883,78 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h2.h2_sum, 0) AS h2_sum
             FROM h1 LEFT JOIN h2 ON h1.node = h2.node
             ORDER BY h1.node""",
+        # synchronous LPA unrolled 4 rounds, min-of-argmax tie-break —
+        # mirrors label_propagation() round by round
+        "kg_label_prop": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e0 AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b + 1, b + 2 FROM blk
+              UNION ALL SELECT b, b + 2 FROM blk
+              UNION ALL SELECT b + 2, b + 5 FROM blk
+              UNION ALL SELECT b + 5, b + 6 FROM blk
+              UNION ALL SELECT b + 6, b + 7 FROM blk
+              UNION ALL SELECT b + 5, b + 7 FROM blk),
+            und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+            c1 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l0 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l1 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c1) t WHERE c = mx GROUP BY node),
+            c2 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l1 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l2 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c2) t WHERE c = mx GROUP BY node),
+            c3 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l2 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l3 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c3) t WHERE c = mx GROUP BY node),
+            c4 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l3 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l4 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c4) t WHERE c = mx GROUP BY node)
+            SELECT node, lbl AS label FROM l4 ORDER BY node""",
+        # closed-form mirror of the planted JSON-LD blocks
+        "kg_jsonld_triples": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/ld/' || doc_id AS url,
+                     'urn:doc:' || doc_id AS subj
+              FROM documents)
+            SELECT url, subj,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                     AS pred,
+                   CASE WHEN doc_id % 3 = 0 THEN 'Article'
+                        ELSE 'Dataset' END AS obj
+            FROM d
+            UNION ALL
+            SELECT url, subj, 'urn:schema:name',
+                   'Document ' || doc_id FROM d
+            UNION ALL
+            SELECT url, subj, 'urn:schema:wordCount',
+                   CAST(doc_id % 997 AS VARCHAR) FROM d
+            ORDER BY url, pred""",
+        # closed-form mirror of the planted Hearst sentences
+        "kg_hearst_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/hearst/' || doc_id AS url
+              FROM documents),
+            i AS (SELECT url, doc_id, unnest([0, 1, 2]) AS k FROM d)
+            SELECT url, 'topics' AS hypernym,
+                   'topic' || ((doc_id + k) % 5) AS hyponym
+            FROM i ORDER BY url, hyponym""",
     }

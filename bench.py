@@ -98,6 +98,7 @@ HEADLINE = [
     "kg_html_tables", "kg_infobox_triples", "kg_entity_disambiguation",
     "stats_cms_tokens", "stats_hll_registers", "dedup_bloom_probe",
     "crawl_sitemap_diff", "kg_neighbor_agg",
+    "kg_label_prop", "kg_jsonld_triples", "kg_hearst_pairs",
 ]
 
 

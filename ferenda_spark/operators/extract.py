@@ -190,3 +190,82 @@ def html_table_cells(pages: DataFrame) -> DataFrame:
     stage, <td>/<th> both counted), Arrow-batched, no shuffle."""
     return (pages.select("url", "html")
             .mapInPandas(_table_batches, schema=TABLE_CELLS_SCHEMA))
+
+
+# ---------------------------------------------------- structured data
+
+JSONLD_RE = r'<script type="application/ld\+json">(.*?)</script>'
+
+
+def jsonld_triples(pages: DataFrame, html_col: str = "html",
+                   prop_ns: str = "urn:schema:") -> DataFrame:
+    """schema.org JSON-LD extraction: pull the
+    ``<script type="application/ld+json">`` block out of each page
+    and flatten its top-level scalar properties into (subj, pred,
+    obj) triples — ``@id`` becomes the subject, ``@type`` becomes an
+    rdf:type triple, every other key becomes ``<prop_ns><key>``.
+    This is the other half of the DBpedia/web-KG structured-data
+    story next to :func:`html_table_cells` (infoboxes): most
+    schema.org facts on the open web ship exactly this way.
+
+    The reference mines metadata from RDFa attributes in parsed XHTML
+    (/root/reference/ferenda/documentrepository.py distill paths);
+    JSON-LD is the modern equivalent surface.
+
+    Scale shape: one ``regexp_extract`` + ``from_json`` +
+    ``explode`` — whole-stage-codegen JVM expressions, no Python, no
+    shuffle; page bytes are dropped before the explode so the DAG
+    never carries html past the scan.  Flat string-valued objects
+    only (nested JSON-LD graphs would route through the DOM/Arrow
+    path like tables do)."""
+    blob = F.regexp_extract(F.col(html_col).cast("string"),
+                            JSONLD_RE, 1)
+    kv = F.from_json(blob, "map<string,string>")
+    rows = (pages
+            .select(F.col("url"), kv.alias("kv"))
+            .where(F.col("kv").isNotNull())
+            .select("url", F.col("kv")["@id"].alias("subj"),
+                    F.explode("kv").alias("key", "value"))
+            .where(F.col("subj").isNotNull()))
+    return (rows.where(F.col("key") == "@type")
+            .select("url", "subj",
+                    F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+                    .alias("pred"),
+                    F.col("value").alias("obj"))
+            .unionByName(
+                rows.where(~F.col("key").startswith("@"))
+                .select("url", "subj",
+                        F.concat(F.lit(prop_ns), F.col("key"))
+                        .alias("pred"),
+                        F.col("value").alias("obj"))))
+
+
+HEARST_SUCH_AS = r"(\w+) such as ((?:\w+, )*\w+ and \w+)"
+
+
+def hearst_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hearst-pattern hypernym mining (Hearst 1992): find every
+    ``X such as A, B and C`` span in the text and emit one
+    (hypernym, hyponym) row per listed item — the classic
+    taxonomy-induction signal for KG construction from web text.
+
+    Pure JVM: ``regexp_extract_all`` over the text, one explode per
+    match, ``split`` + explode for the item list; no Python, no
+    shuffle, text dropped immediately.  Only the ``such as`` pattern
+    is wired (the highest-precision one); the other Hearst templates
+    ("including", "especially") are the same expression with a
+    different regex."""
+    spans = (docs
+             .select(F.col("url"),
+                     F.explode(F.regexp_extract_all(
+                         F.col(text_col).cast("string"),
+                         F.lit(HEARST_SUCH_AS), F.lit(0)))
+                     .alias("span")))
+    hyper = F.regexp_extract(F.col("span"), HEARST_SUCH_AS, 1)
+    items = F.regexp_extract(F.col("span"), HEARST_SUCH_AS, 2)
+    return (spans
+            .select("url", F.lower(hyper).alias("hypernym"),
+                    F.explode(F.split(
+                        F.regexp_replace(items, r" and ", ", "),
+                        ", ")).alias("hyponym"))
+            .select("url", "hypernym", F.lower("hyponym").alias("hyponym")))

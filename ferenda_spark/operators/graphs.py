@@ -889,3 +889,47 @@ def neighbor_feature_agg(edges: DataFrame, features: DataFrame,
                     .alias("h2_n"),
                     F.coalesce("h2_sum", F.lit(0)).cast("long")
                     .alias("h2_sum")))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4,
+                      src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al. 2007): every node starts as its own label; each
+    round it adopts the most frequent label among its undirected
+    neighbors, ties broken toward the smallest label.  Fully
+    deterministic (min-of-argmax tie-break, synchronous update), so
+    the same rounds unroll to the same answer in any engine — the
+    driver oracle mirrors the rounds in SQL.
+
+    The reference has no community op; its nearest analogue is the
+    graphanalyze clustering discussion
+    (/root/reference/ferenda/sources/general/graphanalyze.py) which
+    shells out to single-node tools.  Here each round is one
+    edge⋈label equi-join + a (node,label) count groupBy + a per-node
+    max window + a min groupBy — all shuffles keyed on node ids, no
+    collect, no window over the whole graph.  The label frame is
+    localCheckpointed per round (it feeds the next round's join and
+    the final output; without the cut the plan doubles per round).
+    At 10^12 edges this is the same per-round cost as pagerank.
+    Returns (node, label)."""
+    from pyspark.sql import Window
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    und = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+           .distinct())
+    labels = (und.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    w = Window.partitionBy("node")
+    for _ in range(rounds):
+        cnt = (und.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("u").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (cnt.withColumn("mx", F.max("c").over(w))
+                  .where(F.col("c") == F.col("mx"))
+                  .groupBy("node")
+                  .agg(F.min("label").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
