@@ -2553,6 +2553,63 @@ def _q_hearst_pairs(spark, sf_dir):
     return hearst_pairs(docs).orderBy("url", "hyponym")
 
 
+def _q_distant_supervision(spark, sf_dir):
+    """Distant-supervision labeling: each doc contributes one entity-
+    pair context (e_{id%10}, e_{(id+3)%10}); a 6-row seed KB labels
+    pairs 0..4 (pair 0 carries two relations -> multi-instance fan
+    out), everything else is NA."""
+    from ferenda_spark.operators.linking import distant_supervision
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ctx = d.select(
+        F.concat(F.lit("ctx"), did.cast("string")).alias("context_id"),
+        F.concat(F.lit("e"), (did % 10).cast("string")).alias("subj"),
+        F.concat(F.lit("e"), ((did + 3) % 10).cast("string"))
+        .alias("obj"))
+    kb = spark.createDataFrame(
+        [("e%d" % i, "e%d" % ((i + 3) % 10), "rel%d" % i)
+         for i in range(5)] + [("e0", "e3", "rel0b")],
+        "subj string, obj string, relation string")
+    return (distant_supervision(ctx, kb)
+            .orderBy("context_id", "relation"))
+
+
+def _q_nil_clustering(spark, sf_dir):
+    """NIL detection + clustering: link scores doc_id%7 (threshold 3
+    -> %7 in 0..2 are NIL), surfaces planted with messy whitespace
+    ('Entity  <id%13>') so the normalizer does real work; NILs
+    cluster on the normalized form and mint urn:nil entities."""
+    from ferenda_spark.operators.linking import nil_clustering
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    linked = d.select(
+        did.alias("mention_id"),
+        F.concat(F.lit("urn:e:"), (did % 50).cast("string"))
+        .alias("entity_id"),
+        (did % 7).alias("overlap"),
+        F.concat(F.lit("Entity  "), (did % 13).cast("string"))
+        .alias("surface"))
+    return nil_clustering(linked, threshold=3).orderBy("mention_id")
+
+
+def _q_taxonomy_reduction(spark, sf_dir):
+    """Transitive reduction of a planted hypernym DAG: per 20-doc
+    block a 4-node chain plus all three skip edges; the reduction
+    must keep exactly the chain — the Hearst-output cleanup step."""
+    from ferenda_spark.operators.graphs import transitive_reduction
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(2, 3))
+             .unionByName(_e(0, 2)).unionByName(_e(0, 3))
+             .unionByName(_e(1, 3)))
+    return (transitive_reduction(edges, max_depth=4)
+            .orderBy("doc_a", "doc_b"))
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2746,6 +2803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_prop": _q_label_prop,
         "kg_jsonld_triples": _q_jsonld_triples,
         "kg_hearst_pairs": _q_hearst_pairs,
+        "kg_distant_supervision": _q_distant_supervision,
+        "kg_nil_clustering": _q_nil_clustering,
+        "kg_taxonomy_reduction": _q_taxonomy_reduction,
     }
 
 
@@ -5957,4 +6017,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, 'topics' AS hypernym,
                    'topic' || ((doc_id + k) % 5) AS hyponym
             FROM i ORDER BY url, hyponym""",
+        # seed KB labels pairs 0..4 (pair 0 twice); rest NA
+        "kg_distant_supervision": """
+            WITH ctx AS (
+              SELECT 'ctx' || doc_id AS context_id,
+                     'e' || (doc_id % 10) AS subj,
+                     'e' || ((doc_id + 3) % 10) AS obj
+              FROM documents),
+            kb AS (
+              SELECT 'e' || i AS subj, 'e' || ((i + 3) % 10) AS obj,
+                     'rel' || i AS relation
+              FROM (SELECT unnest([0, 1, 2, 3, 4]) AS i)
+              UNION ALL SELECT 'e0', 'e3', 'rel0b')
+            SELECT context_id, ctx.subj, ctx.obj,
+                   COALESCE(kb.relation, 'NA') AS relation
+            FROM ctx LEFT JOIN kb
+              ON ctx.subj = kb.subj AND ctx.obj = kb.obj
+            ORDER BY context_id, relation""",
+        # normalized surface is closed-form: 'entity ' || (doc_id%13)
+        "kg_nil_clustering": """
+            WITH rows AS (
+              SELECT doc_id AS mention_id,
+                     doc_id % 7 < 3 AS is_nil,
+                     CASE WHEN doc_id % 7 < 3
+                          THEN 'urn:nil:entity ' || (doc_id % 13)
+                          ELSE 'urn:e:' || (doc_id % 50) END
+                       AS resolved_entity
+              FROM documents),
+            sizes AS (
+              SELECT resolved_entity,
+                     CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM rows GROUP BY resolved_entity)
+            SELECT mention_id, resolved_entity, is_nil, cluster_size
+            FROM rows JOIN sizes USING (resolved_entity)
+            ORDER BY mention_id""",
+        # reduction of chain+skips is provably the chain
+        "kg_taxonomy_reduction": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0)
+            SELECT b AS doc_a, b + 1 AS doc_b FROM blk
+            UNION ALL SELECT b + 1, b + 2 FROM blk
+            UNION ALL SELECT b + 2, b + 3 FROM blk
+            ORDER BY doc_a, doc_b""",
     }

@@ -99,6 +99,8 @@ HEADLINE = [
     "stats_cms_tokens", "stats_hll_registers", "dedup_bloom_probe",
     "crawl_sitemap_diff", "kg_neighbor_agg",
     "kg_label_prop", "kg_jsonld_triples", "kg_hearst_pairs",
+    "kg_distant_supervision", "kg_nil_clustering",
+    "kg_taxonomy_reduction",
 ]
 
 

@@ -933,3 +933,43 @@ def label_propagation(edges: DataFrame, rounds: int = 4,
                   .agg(F.min("label").alias("label"))
                   .localCheckpoint(eager=True))
     return labels
+
+
+def transitive_reduction(edges: DataFrame, max_depth: int = 8,
+                         src: str = "doc_a",
+                         dst: str = "doc_b") -> DataFrame:
+    """Transitive reduction of a DAG: drop every edge (u, v) that is
+    implied by a longer path u -> ... -> v — the cleanup step after
+    Hearst-pattern taxonomy mining, where "metals such as copper" and
+    "elements such as copper" plus "elements such as metals" make the
+    element->copper edge redundant.
+
+    Semi-naive: reach_k = reach_{k-1} ∘ edges accumulates every pair
+    connected by a path of length 2..max_depth, then one anti-join
+    removes edges whose endpoints appear there.  Each round is the
+    same dst/src equi-join a pagerank round does; the accumulator is
+    localCheckpointed per round (it feeds the next compose and the
+    final anti-join).  Depth is bounded by the taxonomy's height —
+    single digits for real hypernym DAGs — so the loop terminates
+    early via the empty-delta check.  On a cyclic input the pairs are
+    still well-defined (a cycle member reaches itself in >=2 steps,
+    so cycle edges are all "implied" and dropped); DAG-ness is the
+    caller's contract.  Returns the surviving (src, dst) edges."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    step = e
+    implied = None
+    for _ in range(max_depth - 1):
+        step = (step.join(e.select(F.col("u").alias("v"),
+                                   F.col("v").alias("w")), "v")
+                .select("u", F.col("w").alias("v"))
+                .distinct().localCheckpoint(eager=True))
+        if step.isEmpty():
+            break
+        implied = (step if implied is None
+                   else implied.unionByName(step).distinct()
+                   .localCheckpoint(eager=True))
+    if implied is None:
+        return e.select(F.col("u").alias(src), F.col("v").alias(dst))
+    return (e.join(implied, ["u", "v"], "anti")
+            .select(F.col("u").alias(src), F.col("v").alias(dst)))

@@ -316,3 +316,61 @@ def disambiguate_by_context(mentions: DataFrame, candidates: DataFrame,
                  F.max(F.when(F.col("rk") == 1, F.col("overlap")))
                  .alias("overlap"),
                  F.count(F.lit(1)).cast("long").alias("n_candidates")))
+
+
+def distant_supervision(pair_contexts: DataFrame, kb: DataFrame,
+                        na_label: str = "NA") -> DataFrame:
+    """Distant-supervision relation labeling (Mintz et al. 2009): a
+    sentence context mentioning entity pair (subj, obj) is labeled
+    with the KB relation that holds between them, or ``NA`` when the
+    KB has no edge — the standard way web-scale relation-extraction
+    training sets are built from a seed KG.
+
+    ``pair_contexts``: (context_id, subj, obj); ``kb``: (subj, obj,
+    relation).  One (subj, obj)-keyed left equi-join; the KB side is
+    entity-pair-dimension-sized and broadcasts when it fits (at
+    10^9-edge KBs it's a plain shuffle join on the pair key — still
+    one shuffle).  Contexts whose pair carries several KB relations
+    emit one labeled row per relation (multi-instance learning keeps
+    them all).  Returns (context_id, subj, obj, relation)."""
+    return (pair_contexts
+            .join(kb.select("subj", "obj", "relation"),
+                  ["subj", "obj"], "left")
+            .select("context_id", "subj", "obj",
+                    F.coalesce("relation", F.lit(na_label))
+                    .alias("relation")))
+
+
+def nil_clustering(linked: DataFrame, threshold: int,
+                   surface_col: str = "surface",
+                   score_col: str = "overlap",
+                   entity_col: str = "entity_id") -> DataFrame:
+    """NIL detection + clustering (the TAC-KBP step after entity
+    linking): mentions whose best link score is below ``threshold``
+    are NIL — they refer to an entity the KG doesn't know yet — and
+    are clustered by normalized surface form; each cluster mints one
+    deterministic new entity (``urn:nil:<normalized form>``), the
+    input row for the KG's entity-creation stage.
+
+    ``linked``: (mention_id, <entity_col>, <score_col>,
+    <surface_col>).  Normalization = lowercase + squeeze whitespace.
+    Shape: one projection (the NIL/keep decision is a row-local
+    CASE), one groupBy on the resolved entity for cluster sizes, one
+    join back keyed the same way — two shuffles total, no windows, no
+    collect.  Returns (mention_id, resolved_entity, is_nil,
+    cluster_size) where cluster_size counts the mentions resolved to
+    that entity (known entities get their mention count too — the
+    popularity signal comes free)."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(surface_col))), r"\s+", " ")
+    rows = linked.select(
+        "mention_id",
+        (F.col(score_col) < threshold).alias("is_nil"),
+        F.when(F.col(score_col) < threshold,
+               F.concat(F.lit("urn:nil:"), norm))
+        .otherwise(F.col(entity_col).cast("string"))
+        .alias("resolved_entity"))
+    sizes = (rows.groupBy("resolved_entity")
+             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return rows.join(sizes, "resolved_entity").select(
+        "mention_id", "resolved_entity", "is_nil", "cluster_size")

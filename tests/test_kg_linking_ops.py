@@ -1,0 +1,84 @@
+"""Distant supervision, NIL clustering, transitive reduction — the
+edge cases (multi-relation pairs, whitespace normalization, diamond
+DAGs, cycles) the closed-form driver oracles don't exercise."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests-kg-linking", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_distant_supervision_labels_and_na(spark):
+    from ferenda_spark.operators.linking import distant_supervision
+    ctx = spark.createDataFrame(
+        [("c1", "e1", "e2"), ("c2", "e1", "e3"), ("c3", "e2", "e1")],
+        "context_id string, subj string, obj string")
+    kb = spark.createDataFrame(
+        [("e1", "e2", "bornIn"), ("e1", "e2", "livesIn")],
+        "subj string, obj string, relation string")
+    got = sorted((r.context_id, r.relation) for r in
+                 distant_supervision(ctx, kb).collect())
+    # c1 fans out to both KB relations; direction matters (c3 is NA)
+    assert got == [("c1", "bornIn"), ("c1", "livesIn"),
+                   ("c2", "NA"), ("c3", "NA")]
+
+
+def test_nil_clustering_normalizes_and_counts(spark):
+    from ferenda_spark.operators.linking import nil_clustering
+    linked = spark.createDataFrame(
+        [(1, "urn:e:1", 5, "Ada Lovelace"),
+         (2, "urn:e:9", 0, "  New   Thing "),
+         (3, "urn:e:8", 1, "new thing"),
+         (4, "urn:e:1", 3, "Ada Lovelace")],
+        "mention_id long, entity_id string, overlap long, "
+        "surface string")
+    got = {r.mention_id: r for r in
+           nil_clustering(linked, threshold=3).collect()}
+    assert not got[1].is_nil and got[1].resolved_entity == "urn:e:1"
+    assert not got[4].is_nil
+    # both NILs normalize to the same surface -> one minted entity
+    assert got[2].is_nil and got[3].is_nil
+    assert (got[2].resolved_entity == got[3].resolved_entity
+            == "urn:nil:new thing")
+    assert got[2].cluster_size == 2
+    assert got[1].cluster_size == 2   # popularity count for known too
+
+
+def test_transitive_reduction_diamond_and_chain(spark):
+    from ferenda_spark.operators.graphs import transitive_reduction
+    # chain 1->2->3->4 with shortcuts 1->3, 1->4, 2->4
+    # diamond 10->11, 10->12, 11->13, 12->13, 10->13
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (1, 4), (2, 4),
+         (10, 11), (10, 12), (11, 13), (12, 13), (10, 13)],
+        "doc_a long, doc_b long")
+    got = sorted((r.doc_a, r.doc_b) for r in
+                 transitive_reduction(edges).collect())
+    assert got == [(1, 2), (2, 3), (3, 4),
+                   (10, 11), (10, 12), (11, 13), (12, 13)]
+
+
+def test_transitive_reduction_no_implied_paths(spark):
+    from ferenda_spark.operators.graphs import transitive_reduction
+    edges = spark.createDataFrame([(1, 2), (3, 4)],
+                                  "doc_a long, doc_b long")
+    got = sorted((r.doc_a, r.doc_b) for r in
+                 transitive_reduction(edges).collect())
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_transitive_reduction_cycle_drops_cycle_edges(spark):
+    from ferenda_spark.operators.graphs import transitive_reduction
+    edges = spark.createDataFrame([(1, 2), (2, 1), (5, 6)],
+                                  "doc_a long, doc_b long")
+    got = sorted((r.doc_a, r.doc_b) for r in
+                 transitive_reduction(edges, max_depth=4).collect())
+    assert got == [(5, 6)]
