@@ -2610,6 +2610,78 @@ def _q_taxonomy_reduction(spark, sf_dir):
             .orderBy("doc_a", "doc_b"))
 
 
+def _q_coref_chains(spark, sf_dir):
+    """Coreference-lite: planted per-doc mention sequences — leading
+    pronoun (unresolved) on every 6th doc, entity A, pronoun, entity
+    B, pronoun — resolved by the recency window."""
+    from ferenda_spark.operators.linking import coref_chains
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/coref/"),
+                   did.cast("string"))
+    ea = F.concat(F.lit("urn:e:"), (did % 5).cast("string"))
+    eb = F.concat(F.lit("urn:e:"), ((did + 2) % 5).cast("string"))
+    parts = [
+        d.where(did % 6 == 0).select(
+            url.alias("url"), F.lit(0).alias("pos"),
+            F.lit("He").alias("surface"),
+            F.lit(None).cast("string").alias("entity")),
+        d.select(url.alias("url"), F.lit(1).alias("pos"),
+                 F.concat(F.lit("Alice"), (did % 5).cast("string"))
+                 .alias("surface"), ea.alias("entity")),
+        d.select(url.alias("url"), F.lit(2).alias("pos"),
+                 F.lit("she").alias("surface"),
+                 F.lit(None).cast("string").alias("entity")),
+        d.select(url.alias("url"), F.lit(3).alias("pos"),
+                 F.concat(F.lit("Bob"), ((did + 2) % 5).cast("string"))
+                 .alias("surface"), eb.alias("entity")),
+        d.select(url.alias("url"), F.lit(4).alias("pos"),
+                 F.lit("they").alias("surface"),
+                 F.lit(None).cast("string").alias("entity")),
+    ]
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.unionByName(p)
+    return coref_chains(m).orderBy("url", "pos")
+
+
+def _q_quote_attribution(spark, sf_dir):
+    """Quote-speaker attribution: two planted '\"...,\" said First
+    Last' frames per doc, speakers alternating by doc parity."""
+    from ferenda_spark.operators.extract import quote_attribution
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s1 = F.when(did % 2 == 0, "Alice Smith").otherwise("Bob Jones")
+    text = F.concat(
+        F.lit('He said nothing. "Case '), (did % 9).cast("string"),
+        F.lit(' holds," said '), s1,
+        F.lit('. Later, "point '), ((did + 4) % 9).cast("string"),
+        F.lit(' fails," said Carol Diaz. The end.'))
+    docs = d.select(
+        F.concat(F.lit("https://example.org/quote/"),
+                 did.cast("string")).alias("url"), text.alias("text"))
+    return quote_attribution(docs).orderBy("url", "quote")
+
+
+def _q_alias_priors(spark, sf_dir):
+    """Alias-table construction: anchor observations with messy
+    casing ('Alias x' vs ' alias x ') and two candidate entities per
+    surface (the %3==0 docs point at the +100 entity) -> commonness
+    priors and candidate ranks."""
+    from ferenda_spark.operators.linking import alias_priors
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    x = (did % 8).cast("string")
+    surface = F.when(did % 2 == 0, F.concat(F.lit("Alias "), x)) \
+        .otherwise(F.concat(F.lit(" alias "), x, F.lit(" ")))
+    entity = F.concat(
+        F.lit("urn:e:"),
+        ((did % 8) + F.when(did % 3 == 0, 100).otherwise(0))
+        .cast("string"))
+    anchors = d.select(surface.alias("surface"), entity.alias("entity"))
+    return alias_priors(anchors).orderBy("surface", "rank")
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2806,6 +2878,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distant_supervision": _q_distant_supervision,
         "kg_nil_clustering": _q_nil_clustering,
         "kg_taxonomy_reduction": _q_taxonomy_reduction,
+        "kg_coref_chains": _q_coref_chains,
+        "kg_quote_attribution": _q_quote_attribution,
+        "kg_alias_priors": _q_alias_priors,
     }
 
 
@@ -6059,4 +6134,70 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT b + 1, b + 2 FROM blk
             UNION ALL SELECT b + 2, b + 3 FROM blk
             ORDER BY doc_a, doc_b""",
+        # recency window mirror: last non-pronoun entity ignore-nulls
+        "kg_coref_chains": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/coref/' || doc_id AS url,
+                     'urn:e:' || (doc_id % 5) AS ea,
+                     'urn:e:' || ((doc_id + 2) % 5) AS eb
+              FROM documents),
+            m AS (
+              SELECT url, 0 AS pos, 'He' AS surface,
+                     CAST(NULL AS VARCHAR) AS entity, TRUE AS is_pron
+              FROM d WHERE doc_id % 6 = 0
+              UNION ALL
+              SELECT url, 1, 'Alice' || (doc_id % 5), ea, FALSE FROM d
+              UNION ALL
+              SELECT url, 2, 'she', NULL, TRUE FROM d
+              UNION ALL
+              SELECT url, 3, 'Bob' || ((doc_id + 2) % 5), eb, FALSE
+              FROM d
+              UNION ALL
+              SELECT url, 4, 'they', NULL, TRUE FROM d)
+            SELECT url, pos, surface, entity, is_pron AS is_pronoun,
+                   COALESCE(entity,
+                     last_value(CASE WHEN NOT is_pron THEN entity END
+                                IGNORE NULLS)
+                     OVER (PARTITION BY url ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS resolved_entity
+            FROM m ORDER BY url, pos""",
+        # closed-form mirror of the planted quote frames
+        "kg_quote_attribution": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/quote/' || doc_id AS url,
+                     CASE WHEN doc_id % 2 = 0 THEN 'Alice Smith'
+                          ELSE 'Bob Jones' END AS s1
+              FROM documents)
+            SELECT url, s1 AS speaker,
+                   'Case ' || (doc_id % 9) || ' holds' AS quote
+            FROM d
+            UNION ALL
+            SELECT url, 'Carol Diaz',
+                   'point ' || ((doc_id + 4) % 9) || ' fails'
+            FROM d
+            ORDER BY url, quote""",
+        # normalized surface 'alias ' || (doc_id%8); prior = n/total
+        "kg_alias_priors": """
+            WITH obs AS (
+              SELECT 'alias ' || (doc_id % 8) AS surface,
+                     'urn:e:' || ((doc_id % 8)
+                       + CASE WHEN doc_id % 3 = 0 THEN 100
+                              ELSE 0 END) AS entity
+              FROM documents),
+            pairs AS (
+              SELECT surface, entity, CAST(COUNT(*) AS BIGINT) AS n
+              FROM obs GROUP BY surface, entity),
+            tot AS (
+              SELECT surface, CAST(SUM(n) AS BIGINT) AS total
+              FROM pairs GROUP BY surface)
+            SELECT surface, entity, n,
+                   CAST(n AS DOUBLE) / total AS prior,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY surface
+                     ORDER BY n DESC, entity ASC) AS BIGINT) AS rank
+            FROM pairs JOIN tot USING (surface)
+            ORDER BY surface, rank""",
     }

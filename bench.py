@@ -101,6 +101,7 @@ HEADLINE = [
     "kg_label_prop", "kg_jsonld_triples", "kg_hearst_pairs",
     "kg_distant_supervision", "kg_nil_clustering",
     "kg_taxonomy_reduction",
+    "kg_coref_chains", "kg_quote_attribution", "kg_alias_priors",
 ]
 
 

@@ -269,3 +269,31 @@ def hearst_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
                         F.regexp_replace(items, r" and ", ", "),
                         ", ")).alias("hyponym"))
             .select("url", "hypernym", F.lower("hyponym").alias("hyponym")))
+
+
+QUOTE_SAID = r'"([^"]+)," said ([A-Z]\w+ [A-Z]\w+)'
+
+
+def quote_attribution(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Quote-speaker attribution: pull every ``"...," said First
+    Last`` span out of the text and emit (url, speaker, quote) — the
+    news-domain extraction that feeds quotation KGs (who-said-what
+    edges).  Only the postposed ``said`` frame is wired (the highest-
+    precision one); preposed and other verbs are the same expression
+    with a different regex.
+
+    Pure JVM: one ``regexp_extract_all`` + explode + two
+    ``regexp_extract`` projections — whole-stage codegen, no Python,
+    text dropped at the explode."""
+    spans = (docs
+             .select(F.col("url"),
+                     F.explode(F.regexp_extract_all(
+                         F.col(text_col).cast("string"),
+                         F.lit(QUOTE_SAID), F.lit(0))).alias("span")))
+    return (spans
+            .select("url",
+                    F.regexp_extract("span", QUOTE_SAID, 2)
+                    .alias("speaker"),
+                    F.regexp_extract("span", QUOTE_SAID, 1)
+                    .alias("quote")))

@@ -374,3 +374,63 @@ def nil_clustering(linked: DataFrame, threshold: int,
              .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
     return rows.join(sizes, "resolved_entity").select(
         "mention_id", "resolved_entity", "is_nil", "cluster_size")
+
+
+def coref_chains(mentions: DataFrame, pronouns: tuple = (
+        "he", "she", "it", "they", "him", "her", "them")) -> DataFrame:
+    """Coreference-lite: resolve pronoun mentions to the entity of
+    the nearest preceding non-pronoun mention in the same document —
+    the recency heuristic that anchors rule-based coref systems and
+    is the usual precision floor reported for web-scale KG pipelines.
+
+    ``mentions``: (url, pos, surface, entity) where pronoun rows have
+    ``entity`` NULL.  One window per document ordered by position,
+    ``last(entity, ignorenulls=True)`` — Spark evaluates it as a
+    running frame, so cost is a single per-doc sort, the same shape
+    as the sessionizer; documents are independent so the window never
+    crosses partitions at scale.  Pronouns with no antecedent stay
+    NULL (unresolved).  Returns (url, pos, surface, entity,
+    resolved_entity, is_pronoun)."""
+    from pyspark.sql import Window
+    is_pron = F.lower(F.col("surface")).isin(*[p for p in pronouns])
+    w = (Window.partitionBy("url").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (mentions
+            .withColumn("is_pronoun", is_pron)
+            .withColumn(
+                "resolved_entity",
+                F.coalesce(F.col("entity"),
+                           F.last(F.when(~is_pron, F.col("entity")),
+                                  ignorenulls=True).over(w))))
+
+
+def alias_priors(anchors: DataFrame, surface_col: str = "surface",
+                 entity_col: str = "entity") -> DataFrame:
+    """Alias-table construction: from (surface form, linked entity)
+    observations — anchor texts pointing at known pages are the
+    classic source — compute the commonness prior
+    P(entity | surface) and each surface's candidate rank, the lookup
+    table every wikification system starts from (Medelyan 2008,
+    Milne & Witten).
+
+    Shape: one (surface, entity) count groupBy, one surface-total
+    groupBy reusing the same key prefix, one join back, one
+    per-surface rank window over the (small) candidate list — all
+    shuffles keyed on the surface form, no collect.  Ties rank
+    deterministically by entity id.  Returns (surface, entity, n,
+    prior, rank)."""
+    from pyspark.sql import Window
+    pairs = (anchors
+             .select(F.lower(F.trim(F.col(surface_col)))
+                     .alias("surface"),
+                     F.col(entity_col).alias("entity"))
+             .groupBy("surface", "entity")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    totals = (pairs.groupBy("surface")
+              .agg(F.sum("n").cast("long").alias("total")))
+    w = Window.partitionBy("surface").orderBy(
+        F.col("n").desc(), F.col("entity").asc())
+    return (pairs.join(totals, "surface")
+            .select("surface", "entity", "n",
+                    (F.col("n") / F.col("total")).alias("prior"),
+                    F.row_number().over(w).cast("long").alias("rank")))

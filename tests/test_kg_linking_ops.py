@@ -82,3 +82,52 @@ def test_transitive_reduction_cycle_drops_cycle_edges(spark):
     got = sorted((r.doc_a, r.doc_b) for r in
                  transitive_reduction(edges, max_depth=4).collect())
     assert got == [(5, 6)]
+
+
+def test_coref_chains_recency_and_unresolved(spark):
+    from ferenda_spark.operators.linking import coref_chains
+    m = spark.createDataFrame(
+        [("u", 0, "He", None),          # leading pronoun: unresolved
+         ("u", 1, "Alice", "urn:e:a"),
+         ("u", 2, "she", None),
+         ("u", 3, "Bob", "urn:e:b"),
+         ("u", 4, "they", None),
+         ("v", 1, "Carol", "urn:e:c")],
+        "url string, pos long, surface string, entity string")
+    got = {(r.url, r.pos): r for r in coref_chains(m).collect()}
+    assert got[("u", 0)].resolved_entity is None
+    assert got[("u", 0)].is_pronoun
+    assert got[("u", 2)].resolved_entity == "urn:e:a"
+    assert got[("u", 4)].resolved_entity == "urn:e:b"   # recency
+    assert got[("u", 3)].resolved_entity == "urn:e:b"   # self
+    assert got[("v", 1)].resolved_entity == "urn:e:c"   # no bleed
+
+
+def test_quote_attribution_multi_and_nonmatch(spark):
+    from ferenda_spark.operators.extract import quote_attribution
+    docs = spark.createDataFrame(
+        [("u1", 'Intro. "First point," said Alice Smith. '
+                'Then "second one," said Bob Jones.'),
+         ("u2", 'No quotes here, she said quietly.'),
+         ("u3", '"lowercase speaker," said bob jones.')],
+        "url string, text string")
+    got = sorted((r.url, r.speaker, r.quote) for r in
+                 quote_attribution(docs).collect())
+    assert got == [("u1", "Alice Smith", "First point"),
+                   ("u1", "Bob Jones", "second one")]
+
+
+def test_alias_priors_counts_and_rank(spark):
+    from ferenda_spark.operators.linking import alias_priors
+    rows = ([("Paris", "urn:e:city")] * 3
+            + [(" paris ", "urn:e:hero")]
+            + [("Java", "urn:e:lang")])
+    anchors = spark.createDataFrame(rows, "surface string, entity string")
+    got = {(r.surface, r.entity): r for r in
+           alias_priors(anchors).collect()}
+    p_city = got[("paris", "urn:e:city")]
+    p_hero = got[("paris", "urn:e:hero")]
+    assert (p_city.n, p_city.rank) == (3, 1)
+    assert (p_hero.n, p_hero.rank) == (1, 2)
+    assert abs(p_city.prior - 0.75) < 1e-12
+    assert got[("java", "urn:e:lang")].prior == 1.0
