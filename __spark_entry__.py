@@ -2682,6 +2682,74 @@ def _q_alias_priors(spark, sf_dir):
     return alias_priors(anchors).orderBy("surface", "rank")
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank, 3 rounds, alpha=0.5 over a planted
+    per-block cycle+chord graph: out-degrees are 1 or 2, alpha is
+    dyadic, so every score is an exact IEEE double and the oracle
+    (which unrolls the same recursion) compares hash-exact."""
+    from ferenda_spark.operators.graphs import personalized_pagerank
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(2, 0))
+             .unionByName(_e(0, 2)))
+    seeds = b.select(F.col("b").alias("node"))
+    return (personalized_pagerank(edges, seeds, iterations=3,
+                                  alpha=0.5)
+            .orderBy("node"))
+
+
+def _q_kg_walks(spark, sf_dir):
+    """DeepWalk corpus over a planted per-block branching graph
+    (b->b+1, b->b+2, b+1->b+3, b+2->b+3, b+3->b+1): 2 deterministic
+    hash-argmin walks of length 3 per start node; the oracle replays
+    the identical md5 recursion."""
+    from ferenda_spark.operators.training import deterministic_walks
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(0, 2)).unionByName(_e(1, 3))
+             .unionByName(_e(2, 3)).unionByName(_e(3, 1)))
+    return (deterministic_walks(edges, walk_len=3, walks_per_node=2)
+            .orderBy("start", "walk_idx", "step"))
+
+
+def _q_table_column_types(spark, sf_dir):
+    """Column typing through the REAL DOM parser: a planted 3-row
+    data table per doc with date/int/url/text columns and one dirty
+    cell ('n/a' in the int column of every 5th doc) — majority vote
+    must still type it int."""
+    from ferenda_spark.operators.extract import (html_table_cells,
+                                                 table_column_types)
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    def _row(r):
+        dirty = (did % 5 == 0) & F.lit(r == 2)
+        return F.concat(
+            F.lit("<tr><td>2020-01-1"),
+            ((did + r) % 10).cast("string"),
+            F.lit("</td><td>"),
+            F.when(dirty, F.lit("n/a"))
+            .otherwise(((did * 3 + r) % 100).cast("string")),
+            F.lit("</td><td>https://x.org/%d</td><td>note %d</td></tr>"
+                  % (r, r)))
+    html = F.concat(F.lit("<html><body><table>"),
+                    _row(0), _row(1), _row(2),
+                    F.lit("</table></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/dtable/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return (table_column_types(html_table_cells(pages))
+            .orderBy("url", "col_idx"))
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2881,6 +2949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_chains": _q_coref_chains,
         "kg_quote_attribution": _q_quote_attribution,
         "kg_alias_priors": _q_alias_priors,
+        "kg_ppr": _q_ppr,
+        "train_kg_walks": _q_kg_walks,
+        "kg_table_column_types": _q_table_column_types,
     }
 
 
@@ -6200,4 +6271,93 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY n DESC, entity ASC) AS BIGINT) AS rank
             FROM pairs JOIN tot USING (surface)
             ORDER BY surface, rank""",
+        # PPR recursion unrolled 3 rounds; all scores dyadic-exact
+        "kg_ppr": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e0 AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b + 1, b + 2 FROM blk
+              UNION ALL SELECT b + 2, b FROM blk
+              UNION ALL SELECT b, b + 2 FROM blk),
+            deg AS (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+            e AS (SELECT e0.u, e0.v, deg.d FROM e0
+                  JOIN deg ON e0.u = deg.u),
+            seed AS (SELECT b AS node, 0.5 AS sm FROM blk),
+            r0 AS (SELECT node, sm AS score FROM seed),
+            s1 AS (SELECT e.v AS node, SUM(r0.score * 0.5 / e.d) AS sc
+                   FROM r0 JOIN e ON r0.node = e.u GROUP BY e.v),
+            r1 AS (SELECT COALESCE(s1.node, seed.node) AS node,
+                          COALESCE(s1.sc, 0) + COALESCE(seed.sm, 0)
+                            AS score
+                   FROM s1 FULL OUTER JOIN seed
+                     ON s1.node = seed.node),
+            s2 AS (SELECT e.v AS node, SUM(r1.score * 0.5 / e.d) AS sc
+                   FROM r1 JOIN e ON r1.node = e.u GROUP BY e.v),
+            r2 AS (SELECT COALESCE(s2.node, seed.node) AS node,
+                          COALESCE(s2.sc, 0) + COALESCE(seed.sm, 0)
+                            AS score
+                   FROM s2 FULL OUTER JOIN seed
+                     ON s2.node = seed.node),
+            s3 AS (SELECT e.v AS node, SUM(r2.score * 0.5 / e.d) AS sc
+                   FROM r2 JOIN e ON r2.node = e.u GROUP BY e.v),
+            r3 AS (SELECT COALESCE(s3.node, seed.node) AS node,
+                          COALESCE(s3.sc, 0) + COALESCE(seed.sm, 0)
+                            AS score
+                   FROM s3 FULL OUTER JOIN seed
+                     ON s3.node = seed.node)
+            SELECT node, score FROM r3 ORDER BY node""",
+        # md5-argmin walk recursion replayed step by step
+        "train_kg_walks": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b, b + 2 FROM blk
+              UNION ALL SELECT b + 1, b + 3 FROM blk
+              UNION ALL SELECT b + 2, b + 3 FROM blk
+              UNION ALL SELECT b + 3, b + 1 FROM blk),
+            starts AS (SELECT DISTINCT u FROM e),
+            f0 AS (SELECT s.u AS start, w.walk_idx, 0 AS step,
+                          s.u AS node
+                   FROM starts s,
+                        (SELECT unnest([0, 1]) AS walk_idx) w),
+            f1 AS (SELECT start, walk_idx, 1 AS step, v AS node FROM (
+                     SELECT f0.start, f0.walk_idx, e.v,
+                            md5(CAST(f0.node AS VARCHAR) || '-'
+                                || CAST(e.v AS VARCHAR) || '-1-'
+                                || CAST(f0.walk_idx AS VARCHAR)) AS h
+                     FROM f0 JOIN e ON f0.node = e.u) c
+                   QUALIFY h = MIN(h) OVER
+                     (PARTITION BY start, walk_idx)),
+            f2 AS (SELECT start, walk_idx, 2 AS step, v AS node FROM (
+                     SELECT f1.start, f1.walk_idx, e.v,
+                            md5(CAST(f1.node AS VARCHAR) || '-'
+                                || CAST(e.v AS VARCHAR) || '-2-'
+                                || CAST(f1.walk_idx AS VARCHAR)) AS h
+                     FROM f1 JOIN e ON f1.node = e.u) c
+                   QUALIFY h = MIN(h) OVER
+                     (PARTITION BY start, walk_idx)),
+            f3 AS (SELECT start, walk_idx, 3 AS step, v AS node FROM (
+                     SELECT f2.start, f2.walk_idx, e.v,
+                            md5(CAST(f2.node AS VARCHAR) || '-'
+                                || CAST(e.v AS VARCHAR) || '-3-'
+                                || CAST(f2.walk_idx AS VARCHAR)) AS h
+                     FROM f2 JOIN e ON f2.node = e.u) c
+                   QUALIFY h = MIN(h) OVER
+                     (PARTITION BY start, walk_idx))
+            SELECT start, walk_idx, step, node FROM f0
+            UNION ALL SELECT * FROM f1
+            UNION ALL SELECT * FROM f2
+            UNION ALL SELECT * FROM f3
+            ORDER BY start, walk_idx, step""",
+        # majority type per planted column; the n/a cell never wins
+        "kg_table_column_types": """
+            WITH c AS (SELECT unnest([0, 1, 2, 3]) AS col_idx)
+            SELECT 'https://example.org/dtable/' || doc_id AS url,
+                   0 AS table_idx, col_idx,
+                   CASE col_idx WHEN 0 THEN 'date' WHEN 1 THEN 'int'
+                        WHEN 2 THEN 'url' ELSE 'text' END AS col_type,
+                   CAST(3 AS BIGINT) AS n_cells
+            FROM documents, c ORDER BY url, col_idx""",
     }

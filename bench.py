@@ -102,6 +102,7 @@ HEADLINE = [
     "kg_distant_supervision", "kg_nil_clustering",
     "kg_taxonomy_reduction",
     "kg_coref_chains", "kg_quote_attribution", "kg_alias_priors",
+    "kg_ppr", "train_kg_walks", "kg_table_column_types",
 ]
 
 

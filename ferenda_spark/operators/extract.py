@@ -297,3 +297,38 @@ def quote_attribution(docs: DataFrame,
                     .alias("speaker"),
                     F.regexp_extract("span", QUOTE_SAID, 1)
                     .alias("quote")))
+
+
+def table_column_types(cells: DataFrame) -> DataFrame:
+    """Semantic column typing for mined HTML tables — the step that
+    turns :func:`html_table_cells` output into KG-loadable columns
+    (a date column becomes a dcterms:date property, an URL column a
+    resource link).  Per cell: ``int`` (all digits), ``date``
+    (ISO yyyy-mm-dd), ``url`` (http/https), else ``text``; the
+    column's type is the majority vote over its cells, ties broken
+    to the lexicographically smallest type name so the result is a
+    pure function of the input.
+
+    Row-local CASE + one (url, table, col) groupBy + min-of-argmax —
+    the same two-shuffle majority shape as label propagation's round.
+    Returns (url, table_idx, col_idx, col_type, n_cells)."""
+    cell_type = (
+        F.when(F.col("cell").rlike(r"^\d+$"), "int")
+        .when(F.col("cell").rlike(r"^\d{4}-\d{2}-\d{2}$"), "date")
+        .when(F.col("cell").rlike(r"^https?://"), "url")
+        .otherwise("text"))
+    counts = (cells
+              .select("url", "table_idx", "col_idx",
+                      cell_type.alias("t"))
+              .groupBy("url", "table_idx", "col_idx", "t")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    mx = (counts.groupBy("url", "table_idx", "col_idx")
+          .agg(F.max("c").alias("mx"),
+               F.sum("c").cast("long").alias("n_cells")))
+    return (counts
+            .join(mx, ["url", "table_idx", "col_idx"])
+            .where(F.col("c") == F.col("mx"))
+            .groupBy("url", "table_idx", "col_idx", "n_cells")
+            .agg(F.min("t").alias("col_type"))
+            .select("url", "table_idx", "col_idx", "col_type",
+                    "n_cells"))

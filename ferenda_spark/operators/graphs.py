@@ -973,3 +973,49 @@ def transitive_reduction(edges: DataFrame, max_depth: int = 8,
         return e.select(F.col("u").alias(src), F.col("v").alias(dst))
     return (e.join(implied, ["u", "v"], "anti")
             .select(F.col("u").alias(src), F.col("v").alias(dst)))
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iterations: int = 3, alpha: float = 0.5,
+                          src: str = "doc_a",
+                          dst: str = "doc_b") -> DataFrame:
+    """Personalized PageRank from a seed set — the entity-relatedness
+    workhorse (seeded random walk with restart; what wikification
+    systems use to score candidate coherence).  Per-seed restart mass
+    is 1.0 (multi-source variant); dangling mass is dropped, not
+    redistributed — both documented so the fixture oracle can unroll
+    the exact same recursion.
+
+    r_0 = alpha on seeds; r_{k+1} = alpha*seed + (1-alpha) * sum over
+    in-edges of r_k(u)/outdeg(u).  With alpha a dyadic rational and
+    planted out-degrees that are powers of two, every score is an
+    exact IEEE double, so the driver oracle compares hash-exact — no
+    float tolerance needed.
+
+    Shape per round: one src-keyed join of the score vector to the
+    out-degree-annotated edge list + one dst groupBy — identical to a
+    global pagerank round; the vector is localCheckpointed per round
+    (it feeds the join and the next union).  Returns (node, score)
+    for nodes with nonzero mass."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ew = e.join(outdeg, "u")
+    seed_vec = (seeds.select(F.col("node").cast("long"))
+                .distinct()
+                .withColumn("seed_mass", F.lit(float(alpha)))
+                .localCheckpoint(eager=True))
+    r = seed_vec.select("node", F.col("seed_mass").alias("score"))
+    for _ in range(iterations):
+        spread = (r.join(ew, r["node"] == ew["u"])
+                  .select(F.col("v").alias("node"),
+                          (F.col("score") * (1.0 - alpha) / F.col("d"))
+                          .alias("part")))
+        r = (spread.groupBy("node")
+             .agg(F.sum("part").alias("score"))
+             .join(seed_vec, "node", "full_outer")
+             .select("node",
+                     (F.coalesce("score", F.lit(0.0))
+                      + F.coalesce("seed_mass", F.lit(0.0)))
+                     .alias("score"))
+             .localCheckpoint(eager=True))
+    return r

@@ -573,3 +573,57 @@ def token_budget_allocation(avail: DataFrame, weights: DataFrame,
                 .otherwise(0))
             .select("source", "avail_tokens", "weight",
                     (F.col("a1") + F.col("a2")).alias("alloc_tokens")))
+
+
+def deterministic_walks(edges: DataFrame, walk_len: int = 3,
+                        walks_per_node: int = 2,
+                        src: str = "doc_a",
+                        dst: str = "doc_b") -> DataFrame:
+    """DeepWalk-style walk-corpus generation with a *deterministic*
+    pseudo-random next hop: at step k of walk w from node v, the
+    neighbor minimizing md5(v '-' neighbor '-' k '-' w) wins — the
+    same portable-hash discipline every sampling op in this repo uses
+    (md5 is bit-identical across engines), so the walk corpus is a
+    pure function of the graph and the driver oracle can replay it.
+    Real node2vec randomness is this with the hash seeded per epoch.
+
+    Shape per step: one frontier⋈edges equi-join + a per-(walk,step)
+    min-hash groupBy + a join back to recover the argmin neighbor —
+    all keyed on walk ids, no windows over the graph, frontier
+    localCheckpointed per step.  Walks that reach a sink stop early.
+    Returns (start, walk_idx, step, node) — step 0 is the start
+    node itself."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    starts = e.select("u").distinct()
+    frontier = (starts
+                .join(F.broadcast(
+                    starts.sparkSession.range(walks_per_node)
+                    .select(F.col("id").alias("walk_idx"))),
+                    how="cross")
+                .select(F.col("u").alias("start"), "walk_idx",
+                        F.lit(0).alias("step"),
+                        F.col("u").alias("node"))
+                .localCheckpoint(eager=True))
+    out = frontier
+    for k in range(1, walk_len + 1):
+        cand = (frontier.join(e, frontier["node"] == e["u"])
+                .select("start", "walk_idx",
+                        F.col("v").alias("nxt"),
+                        F.md5(F.concat_ws(
+                            "-", F.col("node").cast("string"),
+                            F.col("v").cast("string"),
+                            F.lit(str(k)),
+                            F.col("walk_idx").cast("string")))
+                        .alias("h")))
+        best = (cand.groupBy("start", "walk_idx")
+                .agg(F.min("h").alias("h")))
+        frontier = (cand.join(best, ["start", "walk_idx", "h"])
+                    .select("start", "walk_idx",
+                            F.lit(k).alias("step"),
+                            F.col("nxt").alias("node"))
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    return out

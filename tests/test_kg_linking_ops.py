@@ -131,3 +131,56 @@ def test_alias_priors_counts_and_rank(spark):
     assert (p_hero.n, p_hero.rank) == (1, 2)
     assert abs(p_city.prior - 0.75) < 1e-12
     assert got[("java", "urn:e:lang")].prior == 1.0
+
+
+def test_personalized_pagerank_exact_triangle(spark):
+    from ferenda_spark.operators.graphs import personalized_pagerank
+    # 1->2, 1->3, 2->3, 3->1 ; seed {1}, alpha .5, dyadic-exact
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (3, 1)],
+                                  "doc_a long, doc_b long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.score for r in
+           personalized_pagerank(edges, seeds, iterations=2).collect()}
+    # r0 = {1:.5}; r1 = {1:.5, 2:.125, 3:.125}
+    # r2: 2 <- 1/2*.5/2=.125 ; 3 <- .125 + .5*.125 = .1875... trace:
+    # spread from r1: 1->2 .125, 1->3 .125, 2->3 .0625, 3->1 .0625
+    # r2 = {1:.5625, 2:.125, 3:.1875}
+    assert got == {1: 0.5625, 2: 0.125, 3: 0.1875}
+
+
+def test_deterministic_walks_replayable_and_sinks(spark):
+    from ferenda_spark.operators.training import deterministic_walks
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)],   # 4 is a sink
+        "doc_a long, doc_b long")
+    a = sorted((r.start, r.walk_idx, r.step, r.node) for r in
+               deterministic_walks(edges, walk_len=3).collect())
+    b = sorted((r.start, r.walk_idx, r.step, r.node) for r in
+               deterministic_walks(edges.repartition(5),
+                                   walk_len=3).collect())
+    assert a == b                      # pure function of the graph
+    by_walk = {}
+    for s, w, k, n in a:
+        by_walk.setdefault((s, w), []).append((k, n))
+    for (s, w), steps in by_walk.items():
+        assert steps[0] == (0, s)      # step 0 is the start
+        ks = [k for k, _ in sorted(steps)]
+        assert ks == list(range(len(ks)))   # contiguous, stop at sink
+        assert sorted(steps)[-1][1] == 4 or len(steps) == 4
+
+
+def test_table_column_types_majority_and_tie(spark):
+    from ferenda_spark.operators.extract import table_column_types
+    cells = spark.createDataFrame(
+        [("u", 0, 0, 0, "2020-01-02"), ("u", 0, 1, 0, "2021-03-04"),
+         ("u", 0, 2, 0, "n/a"),
+         ("u", 0, 0, 1, "42"), ("u", 0, 1, 1, "7"),
+         ("u", 0, 2, 1, "https://x.org/"),
+         ("u", 0, 0, 2, "12"), ("u", 0, 1, 2, "words")],
+        "url string, table_idx int, row_idx int, col_idx int, "
+        "cell string")
+    got = {r.col_idx: (r.col_type, r.n_cells) for r in
+           table_column_types(cells).collect()}
+    assert got[0] == ("date", 3)       # 2 dates beat 1 text
+    assert got[1] == ("int", 3)        # 2 ints beat 1 url
+    assert got[2] == ("int", 2)        # 1-1 tie -> lexicographic min
