@@ -2750,6 +2750,84 @@ def _q_table_column_types(spark, sf_dir):
             .orderBy("url", "col_idx"))
 
 
+def _q_schema_matching(spark, sf_dir):
+    """WebTables-style schema matching: left columns (year, topic)
+    vs right (yr, subject, city) with planted value overlaps —
+    year~yr share the 2010-2029 band, topic~subject share the mod-7
+    topics, city matches nothing and must not appear."""
+    from ferenda_spark.operators.extract import schema_match
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    left = (d.select(F.lit("year").alias("col"),
+                     (2000 + did % 30).cast("string").alias("value"))
+            .unionByName(d.select(
+                F.lit("topic").alias("col"),
+                F.concat(F.lit("topic"), (did % 11).cast("string"))
+                .alias("value"))))
+    right = (d.select(F.lit("yr").alias("col"),
+                      (2010 + did % 30).cast("string").alias("value"))
+             .unionByName(d.select(
+                 F.lit("subject").alias("col"),
+                 F.concat(F.lit("topic"), (did % 7).cast("string"))
+                 .alias("value")))
+             .unionByName(d.select(
+                 F.lit("city").alias("col"),
+                 F.concat(F.lit("city"), (did % 5).cast("string"))
+                 .alias("value"))))
+    return schema_match(left, right).orderBy("col_a", "col_b")
+
+
+def _q_fd_discovery(spark, sf_dir):
+    """FD/key discovery over a planted 4-column table: id is a key,
+    %14 determines %7 and %2, nothing determines id, %7 and %2
+    determine nothing — the full 12-pair audit matrix."""
+    from ferenda_spark.operators.extract import fd_discovery
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rows = d.select(did.alias("id"), (did % 14).alias("a"),
+                    (did % 7).alias("b"), (did % 2).alias("c"))
+    return fd_discovery(rows, ["id", "a", "b", "c"]) \
+        .orderBy("lhs", "rhs")
+
+
+def _q_unit_normalize(spark, sf_dir):
+    """Unit normalization over planted infobox-style value strings:
+    km/g/MB rows normalize to integer SI values, 'fast' fails the
+    parse, furlongs parse but miss the unit table."""
+    from ferenda_spark.operators.cleaning import normalize_units
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n9 = (did % 9).cast("string")
+    raw = (F.when(did % 5 == 0, F.concat(n9, F.lit(" km")))
+           .when(did % 5 == 1, F.concat(n9, F.lit(" g")))
+           .when(did % 5 == 2,
+                 F.concat((did % 4).cast("string"), F.lit(" MB")))
+           .when(did % 5 == 3, F.lit("fast"))
+           .otherwise(F.concat(n9, F.lit(" furlongs"))))
+    df = d.select(did.alias("doc_id"), raw.alias("raw"))
+    return normalize_units(df).orderBy("doc_id")
+
+
+def _q_geo_coords(spark, sf_dir):
+    """Geo-coordinate parsing over planted '<lat>° N, <lon>° E'
+    literals with hemisphere signs; every 7th doc is malformed and
+    must yield NULLs."""
+    from ferenda_spark.operators.cleaning import parse_geo_coords
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lat_s = F.concat((did % 90).cast("string"), F.lit("."),
+                     (did % 10).cast("string"))
+    lon_s = F.concat((did % 180).cast("string"), F.lit("."),
+                     ((did + 3) % 10).cast("string"))
+    ns = F.when(did % 2 == 0, "N").otherwise("S")
+    ew = F.when(did % 3 == 0, "W").otherwise("E")
+    raw = F.when(did % 7 == 0, F.lit("unknown")).otherwise(
+        F.concat(lat_s, F.lit("° "), ns, F.lit(", "),
+                 lon_s, F.lit("° "), ew))
+    df = d.select(did.alias("doc_id"), raw.alias("raw"))
+    return parse_geo_coords(df).orderBy("doc_id")
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -2952,6 +3030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_ppr,
         "train_kg_walks": _q_kg_walks,
         "kg_table_column_types": _q_table_column_types,
+        "kg_schema_matching": _q_schema_matching,
+        "kg_fd_discovery": _q_fd_discovery,
+        "kg_unit_normalize": _q_unit_normalize,
+        "kg_geo_coords": _q_geo_coords,
     }
 
 
@@ -6360,4 +6442,98 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 2 THEN 'url' ELSE 'text' END AS col_type,
                    CAST(3 AS BIGINT) AS n_cells
             FROM documents, c ORDER BY url, col_idx""",
+        # value-overlap column matching; disjoint pairs never appear
+        "kg_schema_matching": """
+            WITH l AS (
+              SELECT DISTINCT 'year' AS col_a,
+                     CAST(2000 + doc_id % 30 AS VARCHAR) AS value
+              FROM documents
+              UNION
+              SELECT DISTINCT 'topic', 'topic' || (doc_id % 11)
+              FROM documents),
+            r AS (
+              SELECT DISTINCT 'yr' AS col_b,
+                     CAST(2010 + doc_id % 30 AS VARCHAR) AS value
+              FROM documents
+              UNION
+              SELECT DISTINCT 'subject', 'topic' || (doc_id % 7)
+              FROM documents
+              UNION
+              SELECT DISTINCT 'city', 'city' || (doc_id % 5)
+              FROM documents),
+            shared AS (
+              SELECT col_a, col_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM l JOIN r USING (value) GROUP BY col_a, col_b),
+            na AS (SELECT col_a, CAST(COUNT(*) AS BIGINT) AS n_a
+                   FROM l GROUP BY col_a),
+            nb AS (SELECT col_b, CAST(COUNT(*) AS BIGINT) AS n_b
+                   FROM r GROUP BY col_b)
+            SELECT col_a, col_b, n_shared, n_a, n_b,
+                   n_shared / (n_a + n_b - n_shared) AS jaccard
+            FROM shared JOIN na USING (col_a) JOIN nb USING (col_b)
+            ORDER BY col_a, col_b""",
+        # the 12-pair FD audit matrix, one groupBy per pair
+        "kg_fd_discovery": (
+            "WITH t AS (SELECT doc_id AS id, doc_id % 14 AS a, "
+            "doc_id % 7 AS b, doc_id % 2 AS c FROM documents) "
+            + " UNION ALL ".join(
+                "SELECT '%s' AS lhs, '%s' AS rhs, "
+                "MAX(nd) <= 1 AS holds, "
+                "CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_violations "
+                "FROM (SELECT %s AS k, COUNT(DISTINCT %s) AS nd "
+                "FROM t GROUP BY %s) g_%s_%s"
+                % (x, y, x, y, x, x, y)
+                for x in ("id", "a", "b", "c")
+                for y in ("id", "a", "b", "c") if x != y)
+            + " ORDER BY lhs, rhs"),
+        # closed-form mirror of the planted unit strings
+        "kg_unit_normalize": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN (doc_id % 9) || ' km'
+                     WHEN 1 THEN (doc_id % 9) || ' g'
+                     WHEN 2 THEN (doc_id % 4) || ' MB'
+                     WHEN 3 THEN 'fast'
+                     ELSE (doc_id % 9) || ' furlongs' END AS raw,
+                   CASE WHEN doc_id % 5 = 3 THEN NULL
+                        WHEN doc_id % 5 = 2
+                          THEN CAST(doc_id % 4 AS BIGINT)
+                        ELSE CAST(doc_id % 9 AS BIGINT) END AS amount,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'km' WHEN 1 THEN 'g'
+                     WHEN 2 THEN 'MB' WHEN 3 THEN NULL
+                     ELSE 'furlongs' END AS unit,
+                   CASE doc_id % 5
+                     WHEN 0 THEN CAST((doc_id % 9) * 1000 AS BIGINT)
+                     WHEN 1 THEN CAST(doc_id % 9 AS BIGINT)
+                     WHEN 2 THEN CAST((doc_id % 4) * 1048576 AS BIGINT)
+                     ELSE NULL END AS value_si,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'm' WHEN 1 THEN 'g' WHEN 2 THEN 'B'
+                     ELSE NULL END AS dimension
+            FROM documents ORDER BY doc_id""",
+        # closed-form mirror of the planted coordinate literals
+        "kg_geo_coords": """
+            WITH d AS (
+              SELECT doc_id,
+                     (doc_id % 90) || '.' || (doc_id % 10) AS lat_s,
+                     (doc_id % 180) || '.' || ((doc_id + 3) % 10)
+                       AS lon_s,
+                     CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END
+                       AS ns,
+                     CASE WHEN doc_id % 3 = 0 THEN 'W' ELSE 'E' END
+                       AS ew
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+                        ELSE lat_s || '° ' || ns || ', '
+                             || lon_s || '° ' || ew END AS raw,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE (CASE WHEN ns = 'S' THEN -1 ELSE 1 END)
+                             * CAST(lat_s AS DOUBLE) END AS lat,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE (CASE WHEN ew = 'W' THEN -1 ELSE 1 END)
+                             * CAST(lon_s AS DOUBLE) END AS lon
+            FROM d ORDER BY doc_id""",
     }

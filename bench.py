@@ -103,6 +103,8 @@ HEADLINE = [
     "kg_taxonomy_reduction",
     "kg_coref_chains", "kg_quote_attribution", "kg_alias_priors",
     "kg_ppr", "train_kg_walks", "kg_table_column_types",
+    "kg_schema_matching", "kg_fd_discovery",
+    "kg_unit_normalize", "kg_geo_coords",
 ]
 
 

@@ -295,3 +295,69 @@ def host_graph(links: DataFrame, src_col: str = "url",
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links"),
                  F.countDistinct("__u").alias("n_src_pages")))
+
+
+# ------------------------------------------------- value normalization
+
+UNIT_FACTORS = (
+    # unit, integer factor, SI dimension — integer factors only, so
+    # normalized values are exact longs in every engine
+    ("km", 1000, "m"), ("m", 1, "m"),
+    ("kg", 1000, "g"), ("g", 1, "g"),
+    ("GB", 1073741824, "B"), ("MB", 1048576, "B"),
+    ("KB", 1024, "B"), ("B", 1, "B"),
+)
+
+_UNIT_RE = r"^(\d+) (\w+)$"
+
+
+def normalize_units(df: DataFrame, value_col: str = "raw") -> DataFrame:
+    """Infobox-value unit normalization (the DBpedia extraction-
+    framework datatype step): parse ``"<int> <unit>"`` strings and
+    rewrite them onto a base unit with integer factors, so '5 km'
+    and '5000 m' become the same (5000, 'm') fact and fuse instead
+    of conflicting.
+
+    One regexp parse + a broadcast join against the (tiny) unit
+    table — row-local, no shuffle on the fact side.  Unparseable or
+    unknown-unit rows pass through with NULLs (quarantine column
+    semantics).  Returns the input plus (amount, unit, value_si,
+    dimension)."""
+    spark = df.sparkSession
+    units = spark.createDataFrame(
+        list(UNIT_FACTORS), "unit string, factor long, dimension string")
+    v = F.col(value_col).cast("string")
+    parsed = df.withColumn(
+        "amount",
+        F.when(v.rlike(_UNIT_RE),
+               F.regexp_extract(v, _UNIT_RE, 1).cast("long"))
+    ).withColumn(
+        "unit",
+        F.when(v.rlike(_UNIT_RE), F.regexp_extract(v, _UNIT_RE, 2)))
+    return (parsed
+            .join(F.broadcast(units), "unit", "left")
+            .withColumn("value_si", F.col("amount") * F.col("factor"))
+            .drop("factor"))
+
+
+_GEO_RE = ("^(\\d+\\.\\d+)° ([NS]), (\\d+\\.\\d+)° ([EW])$")
+
+
+def parse_geo_coords(df: DataFrame, value_col: str = "raw") -> DataFrame:
+    """Geo-coordinate literal parsing — '48.8584° N, 2.2945° E' ->
+    signed (lat, lon) doubles, the coordinate half of infobox
+    normalization.  Decimal-string-to-double parsing is IEEE-defined
+    (nearest double), so both engines produce bit-identical values.
+    Row-local expressions only; malformed rows get NULLs.  Returns
+    the input plus (lat, lon)."""
+    v = F.col(value_col).cast("string")
+    lat = F.regexp_extract(v, _GEO_RE, 1).cast("double")
+    ns = F.regexp_extract(v, _GEO_RE, 2)
+    lon = F.regexp_extract(v, _GEO_RE, 3).cast("double")
+    ew = F.regexp_extract(v, _GEO_RE, 4)
+    ok = v.rlike(_GEO_RE)
+    return (df
+            .withColumn("lat", F.when(
+                ok, F.when(ns == "S", -lat).otherwise(lat)))
+            .withColumn("lon", F.when(
+                ok, F.when(ew == "W", -lon).otherwise(lon))))

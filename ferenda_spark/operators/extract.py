@@ -332,3 +332,69 @@ def table_column_types(cells: DataFrame) -> DataFrame:
             .agg(F.min("t").alias("col_type"))
             .select("url", "table_idx", "col_idx", "col_type",
                     "n_cells"))
+
+
+def schema_match(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Schema matching between two mined column sets by instance
+    overlap (the WebTables / Cafarella 2008 recipe): two relations of
+    (col, value) observations; candidate column pairs are scored by
+    the Jaccard of their distinct value sets — the signal used to
+    union-align tables mined from different sites before loading
+    them into one KG property.
+
+    Shape: distinct per side, one value-keyed equi-join for the
+    intersection counts, two per-column distinct counts, two
+    dimension-sized joins back — every shuffle keyed on the value or
+    the column id, no cross join over column pairs (pairs emerge from
+    the value join, so disjoint columns never meet).  Returns
+    (col_a, col_b, n_shared, n_a, n_b, jaccard)."""
+    la = (left.select(F.col("col").alias("col_a"),
+                      F.col("value").cast("string").alias("value"))
+          .distinct())
+    rb = (right.select(F.col("col").alias("col_b"),
+                       F.col("value").cast("string").alias("value"))
+          .distinct())
+    shared = (la.join(rb, "value")
+              .groupBy("col_a", "col_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    na = la.groupBy("col_a").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_a"))
+    nb = rb.groupBy("col_b").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_b"))
+    return (shared.join(na, "col_a").join(nb, "col_b")
+            .select("col_a", "col_b", "n_shared", "n_a", "n_b",
+                    (F.col("n_shared")
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.col("n_shared"))).alias("jaccard")))
+
+
+def fd_discovery(rows: DataFrame, cols: list) -> DataFrame:
+    """Functional-dependency / key discovery over a mined table (the
+    profiling step that picks the subject column before table->KG
+    loading): for every ordered column pair (lhs, rhs), does
+    lhs -> rhs hold, and how many lhs groups violate it?
+
+    ``cols`` is schema-sized, so the pair loop is driver-side plan
+    construction only; each pair costs one (lhs)-groupBy counting
+    distinct rhs values plus a 1-row aggregate, and the per-pair
+    results union into one frame.  At petabyte row counts this is
+    the standard one-pass-per-pair profile (TANE-style pruning would
+    drop strictly-dominated pairs; deliberately not done — the pair
+    set is tiny and the full audit matrix is the product).  Returns
+    (lhs, rhs, holds, n_violations)."""
+    parts = []
+    for x in cols:
+        for y in cols:
+            if x == y:
+                continue
+            g = (rows.groupBy(F.col(x).alias("k"))
+                 .agg(F.countDistinct(F.col(y)).alias("nd")))
+            parts.append(
+                g.agg(F.lit(x).alias("lhs"), F.lit(y).alias("rhs"),
+                      (F.max("nd") <= 1).alias("holds"),
+                      F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                      .cast("long").alias("n_violations")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

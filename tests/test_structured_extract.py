@@ -95,3 +95,65 @@ def test_label_propagation_deterministic(spark):
                label_propagation(edges.repartition(7), rounds=3)
                .collect())
     assert a == b
+
+
+def test_schema_match_jaccard(spark):
+    from ferenda_spark.operators.extract import schema_match
+    left = spark.createDataFrame(
+        [("year", "2020"), ("year", "2021"), ("year", "2022"),
+         ("name", "alice"), ("name", "bob")],
+        "col string, value string")
+    right = spark.createDataFrame(
+        [("yr", "2021"), ("yr", "2022"), ("yr", "1999"),
+         ("person", "bob"), ("city", "oslo")],
+        "col string, value string")
+    got = {(r.col_a, r.col_b): r for r in
+           schema_match(left, right).collect()}
+    yr = got[("year", "yr")]
+    assert (yr.n_shared, yr.n_a, yr.n_b) == (2, 3, 3)
+    assert abs(yr.jaccard - 0.5) < 1e-12
+    assert got[("name", "person")].n_shared == 1
+    # disjoint columns never meet (no cross join)
+    assert ("year", "city") not in got
+
+
+def test_fd_discovery_holds_and_violations(spark):
+    from ferenda_spark.operators.extract import fd_discovery
+    rows = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")],
+        "id long, k string, v string")
+    got = {(r.lhs, r.rhs): r for r in
+           fd_discovery(rows, ["id", "k", "v"]).collect()}
+    assert got[("id", "k")].holds          # id is a key
+    assert got[("id", "v")].holds
+    kv = got[("k", "v")]
+    assert not kv.holds and kv.n_violations == 1   # b -> {y,z}
+    assert not got[("v", "k")].holds or got[("v", "k")].holds is True
+    assert got[("v", "k")].holds           # each v has one k
+
+
+def test_normalize_units_and_unknown(spark):
+    from ferenda_spark.operators.cleaning import normalize_units
+    df = spark.createDataFrame(
+        [("5 km",), ("300 g",), ("2 MB",), ("fast",), ("7 furlongs",)],
+        "raw string")
+    got = {r.raw: r for r in normalize_units(df).collect()}
+    assert (got["5 km"].value_si, got["5 km"].dimension) == (5000, "m")
+    assert got["300 g"].value_si == 300
+    assert got["2 MB"].value_si == 2097152
+    assert got["fast"].value_si is None
+    assert got["7 furlongs"].value_si is None      # unknown unit
+    assert got["7 furlongs"].amount == 7           # parse survived
+
+
+def test_parse_geo_coords_signs_and_malformed(spark):
+    from ferenda_spark.operators.cleaning import parse_geo_coords
+    df = spark.createDataFrame(
+        [("48.8584° N, 2.2945° E",), ("33.8688° S, 151.2093° E",),
+         ("22.9068° S, 43.1729° W",), ("nowhere",)],
+        "raw string")
+    got = {r.raw: (r.lat, r.lon) for r in parse_geo_coords(df).collect()}
+    assert got["48.8584° N, 2.2945° E"] == (48.8584, 2.2945)
+    assert got["33.8688° S, 151.2093° E"] == (-33.8688, 151.2093)
+    assert got["22.9068° S, 43.1729° W"] == (-22.9068, -43.1729)
+    assert got["nowhere"] == (None, None)
