@@ -156,3 +156,39 @@ def test_url_prefix_layout_is_range_partitioning(spark):
     txt = _plan(df)
     assert "rangepartitioning" in txt.lower(), txt
     assert "__urlp" in txt, txt
+
+
+def test_unit_normalize_broadcasts_unit_table(spark, queries):
+    plan = _plan(queries["kg_unit_normalize"](spark, SF))
+    # the 8-row unit dimension must broadcast; a shuffled join here
+    # would shuffle the whole fact side for nothing
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_schema_matching_has_no_cross_join(spark, queries):
+    plan = _plan(queries["kg_schema_matching"](spark, SF))
+    # column pairs must emerge from the value equi-join — a
+    # CartesianProduct over column pairs would explode at real widths
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jsonld_extraction_is_scan_side_no_shuffle(spark, queries):
+    plan = _plan(queries["kg_jsonld_triples"](spark, SF))
+    # regexp + from_json + explode stay inside codegen; the only
+    # exchanges allowed are the corpus spread and the final orderBy
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan          # the map explode
+    assert "BatchEvalPython" not in plan   # no Python in the path
+
+
+def test_coref_window_is_per_document(spark, queries):
+    plan = _plan(queries["kg_coref_chains"](spark, SF))
+    # exactly one window chain, partitioned by url — a global window
+    # would serialize the corpus through one task
+    assert "Window" in plan
+    # windowspecdefinition(url#..., pos#... ASC ...) — keyed on the
+    # document, never an empty (global) partition spec
+    assert "windowspecdefinition(url#" in plan
+    assert "windowspecdefinition(pos#" not in plan
