@@ -2828,6 +2828,42 @@ def _q_geo_coords(spark, sf_dir):
     return parse_geo_coords(df).orderBy("doc_id")
 
 
+def _q_er_eval(spark, sf_dir):
+    """Pairwise ER evaluation: gold clusters = doc_id div 4; the
+    prediction breaks every 16th doc out into a singleton — the
+    oracle mirrors the pair-join computation, so tp/fp/fn and the
+    P/R/F1 doubles must agree bit-exactly."""
+    from ferenda_spark.operators.dedup import er_pairwise_eval
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.expr("doc_id div 4").cast("string")
+    gold = d.select(did.alias("item"), base.alias("cluster"))
+    pred = d.select(
+        did.alias("item"),
+        F.when(did % 16 == 3,
+               F.concat(F.lit("s"), did.cast("string")))
+        .otherwise(base).alias("cluster"))
+    return er_pairwise_eval(pred, gold)
+
+
+def _q_sentences(spark, sf_dir):
+    """Sentence segmentation with abbreviation guards: planted 4-
+    sentence docs where 'Dr.' and the single initial 'A.' must NOT
+    split but '.', '!' and '?' boundaries must."""
+    from ferenda_spark.operators.textstats import split_sentences
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("Dr. Smith met A. Turing in case "),
+        (did % 9).cast("string"),
+        F.lit(". Then case "), ((did + 2) % 9).cast("string"),
+        F.lit(" closed! Was it over? The end."))
+    docs = d.select(
+        F.concat(F.lit("https://example.org/sent/"),
+                 did.cast("string")).alias("url"), text.alias("text"))
+    return split_sentences(docs).orderBy("url", "sent_idx")
+
+
 def _q_cluster_keep(spark, sf_dir):
     """Keep-one-per-cluster selection over the MinHash dup clusters
     (longest member wins, ties -> lowest id) — the final dedup
@@ -3034,6 +3070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fd_discovery": _q_fd_discovery,
         "kg_unit_normalize": _q_unit_normalize,
         "kg_geo_coords": _q_geo_coords,
+        "dedup_er_eval": _q_er_eval,
+        "text_sentences": _q_sentences,
     }
 
 
@@ -6536,4 +6574,58 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (CASE WHEN ew = 'W' THEN -1 ELSE 1 END)
                              * CAST(lon_s AS DOUBLE) END AS lon
             FROM d ORDER BY doc_id""",
+        # mirrors the pairwise-eval computation join for join
+        "dedup_er_eval": """
+            WITH gold AS (
+              SELECT doc_id AS item,
+                     CAST(doc_id // 4 AS VARCHAR) AS cluster
+              FROM documents),
+            pred AS (
+              SELECT doc_id AS item,
+                     CASE WHEN doc_id % 16 = 3 THEN 's' || doc_id
+                          ELSE CAST(doc_id // 4 AS VARCHAR) END
+                       AS cluster
+              FROM documents),
+            pp AS (SELECT a.item AS a, b.item AS b
+                   FROM pred a JOIN pred b
+                     ON a.cluster = b.cluster AND a.item < b.item),
+            gp AS (SELECT a.item AS a, b.item AS b
+                   FROM gold a JOIN gold b
+                     ON a.cluster = b.cluster AND a.item < b.item),
+            c AS (SELECT
+                    CAST((SELECT COUNT(*) FROM pp JOIN gp
+                          USING (a, b)) AS BIGINT) AS tp,
+                    CAST((SELECT COUNT(*) FROM pp) AS BIGINT)
+                      AS n_pred,
+                    CAST((SELECT COUNT(*) FROM gp) AS BIGINT)
+                      AS n_gold),
+            m AS (SELECT tp, n_pred - tp AS fp, n_gold - tp AS fn,
+                         CASE WHEN n_pred > 0 THEN tp / n_pred
+                              ELSE 0.0 END AS precision,
+                         CASE WHEN n_gold > 0 THEN tp / n_gold
+                              ELSE 0.0 END AS recall
+                  FROM c)
+            SELECT tp, fp, fn, precision, recall,
+                   CASE WHEN precision + recall > 0
+                        THEN 2 * precision * recall
+                             / (precision + recall)
+                        ELSE 0.0 END AS f1
+            FROM m""",
+        # closed-form mirror of the planted sentence boundaries
+        "text_sentences": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/sent/' || doc_id AS url
+              FROM documents),
+            i AS (SELECT url, doc_id,
+                         unnest([0, 1, 2, 3]) AS sent_idx FROM d)
+            SELECT url, sent_idx,
+                   CASE sent_idx
+                     WHEN 0 THEN 'Dr. Smith met A. Turing in case '
+                                 || (doc_id % 9) || '.'
+                     WHEN 1 THEN 'Then case ' || ((doc_id + 2) % 9)
+                                 || ' closed!'
+                     WHEN 2 THEN 'Was it over?'
+                     ELSE 'The end.' END AS sentence
+            FROM i ORDER BY url, sent_idx""",
     }

@@ -105,6 +105,7 @@ HEADLINE = [
     "kg_ppr", "train_kg_walks", "kg_table_column_types",
     "kg_schema_matching", "kg_fd_discovery",
     "kg_unit_normalize", "kg_geo_coords",
+    "dedup_er_eval", "text_sentences",
 ]
 
 

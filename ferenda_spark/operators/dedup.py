@@ -464,3 +464,44 @@ def cluster_representatives(clusters: DataFrame, documents: DataFrame,
                  F.max(F.when(F.col("rk") == 1, F.col("quality")))
                  .alias("kept_quality"),
                  F.count(F.lit(1)).cast("long").alias("n_members")))
+
+
+def er_pairwise_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """Pairwise entity-resolution evaluation (the standard ER metric,
+    e.g. Menestrina et al. 2010): treat every co-clustered item pair
+    as a decision and score predicted vs gold clusterings with
+    pairwise precision / recall / F1 — how the MinHash/SNM dedup
+    output gets graded against labeled duplicates.
+
+    Both inputs are (item, cluster).  Pairs are materialized by a
+    cluster-keyed self-join with item_a < item_b, so cost is
+    sum-over-clusters of size² — quadratic in the LARGEST cluster
+    only (the usual caveat; a runaway mega-cluster should be capped
+    upstream, cf. dup_clusters).  tp = one (a,b)-keyed join between
+    the two pair sets; fp/fn fall out of the counts.  Returns one row
+    (tp, fp, fn, precision, recall, f1) — division expressions are
+    written once and mirrored verbatim in the oracle so the doubles
+    are bit-identical."""
+    def _pairs(df):
+        a = df.select(F.col("cluster"), F.col("item").alias("a"))
+        b = df.select(F.col("cluster"), F.col("item").alias("b"))
+        return (a.join(b, "cluster")
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b"))
+    pp = _pairs(pred).withColumn("in_p", F.lit(1))
+    gp = _pairs(gold).withColumn("in_g", F.lit(1))
+    j = pp.join(gp, ["a", "b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("in_p").isNotNull()
+                     & F.col("in_g").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.coalesce("in_p", F.lit(0))).cast("long").alias("n_pred"),
+        F.sum(F.coalesce("in_g", F.lit(0))).cast("long").alias("n_gold"))
+    tp, np_, ng = F.col("tp"), F.col("n_pred"), F.col("n_gold")
+    prec = F.when(np_ > 0, tp / np_).otherwise(F.lit(0.0))
+    rec = F.when(ng > 0, tp / ng).otherwise(F.lit(0.0))
+    return agg.select(
+        "tp", (np_ - tp).alias("fp"), (ng - tp).alias("fn"),
+        prec.alias("precision"), rec.alias("recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0)).alias("f1"))

@@ -416,3 +416,28 @@ def pmi_bigrams(documents: DataFrame, min_count: int = 3,
                     "pmi_scaled")
             .orderBy(F.col("pmi_scaled").desc(), "w1", "w2")
             .limit(top_n))
+
+
+SENTENCE_SPLIT = (r"(?<!\bDr\.)(?<!\bMr\.)(?<!\bMs\.)(?<![A-Z]\.)"
+                  r"(?<=[.!?]) (?=[A-Z])")
+
+
+def split_sentences(documents: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Sentence segmentation — the unit every mention-context,
+    Hearst, and quote extractor really wants to run over.  Boundary =
+    sentence punctuation + space + capital, with fixed-width negative
+    lookbehinds guarding common abbreviations (Dr./Mr./Ms.) and
+    single-initial names ("A. Turing") — the classic high-precision
+    rule set; a learned segmenter would slot in behind the same
+    explode.
+
+    Pure JVM: one regex split + posexplode, no Python, no shuffle;
+    text is dropped at the explode.  Returns (url, sent_idx,
+    sentence)."""
+    return (documents
+            .select(F.col("url"),
+                    F.posexplode(F.split(
+                        F.col(text_col).cast("string"),
+                        SENTENCE_SPLIT))
+                    .alias("sent_idx", "sentence")))

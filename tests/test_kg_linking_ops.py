@@ -184,3 +184,43 @@ def test_table_column_types_majority_and_tie(spark):
     assert got[0] == ("date", 3)       # 2 dates beat 1 text
     assert got[1] == ("int", 3)        # 2 ints beat 1 url
     assert got[2] == ("int", 2)        # 1-1 tie -> lexicographic min
+
+
+def test_er_pairwise_eval_metrics(spark):
+    from ferenda_spark.operators.dedup import er_pairwise_eval
+    # gold: {1,2,3} {4,5}; pred: {1,2} {3,4,5}
+    gold = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g2"), (5, "g2")],
+        "item long, cluster string")
+    pred = spark.createDataFrame(
+        [(1, "p1"), (2, "p1"), (3, "p2"), (4, "p2"), (5, "p2")],
+        "item long, cluster string")
+    r = er_pairwise_eval(pred, gold).collect()[0]
+    # gold pairs: (1,2)(1,3)(2,3)(4,5)=4; pred: (1,2)(3,4)(3,5)(4,5)=4
+    # tp: (1,2),(4,5) = 2
+    assert (r.tp, r.fp, r.fn) == (2, 2, 2)
+    assert r.precision == 0.5 and r.recall == 0.5 and r.f1 == 0.5
+
+
+def test_er_pairwise_eval_empty_pred(spark):
+    from ferenda_spark.operators.dedup import er_pairwise_eval
+    gold = spark.createDataFrame([(1, "g"), (2, "g")],
+                                 "item long, cluster string")
+    pred = spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "item long, cluster string")
+    r = er_pairwise_eval(pred, gold).collect()[0]
+    # gold has the single pair (1,2); pred (all singletons) has none
+    assert (r.tp, r.fp, r.fn) == (0, 0, 1)
+    assert r.precision == 0.0 and r.f1 == 0.0
+
+
+def test_split_sentences_guards(spark):
+    from ferenda_spark.operators.textstats import split_sentences
+    docs = spark.createDataFrame(
+        [("u", "Dr. Smith met A. Turing. Then it closed! Over? "
+               "The end.")],
+        "url string, text string")
+    got = [r.sentence for r in
+           split_sentences(docs).orderBy("sent_idx").collect()]
+    assert got == ["Dr. Smith met A. Turing.", "Then it closed!",
+                   "Over?", "The end."]
