@@ -2878,6 +2878,151 @@ def _q_cluster_keep(spark, sf_dir):
             .orderBy("cluster_id"))
 
 
+def _q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function over a planted per-block
+    4-cycle (b->b+1->b+2->b+3->b): every register value is the
+    portable md5 rank, every ball is exact at radius<=2, so the
+    integer register table compares hash-exact against the oracle's
+    2-round unrolled propagation."""
+    from ferenda_spark.operators.graphs import hyperball
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(2, 3))
+             .unionByName(_e(3, 0)))
+    return (hyperball(edges, rounds=2, m=16)
+            .orderBy("radius", "node", "register"))
+
+
+def _q_rdf_lists(spark, sf_dir):
+    """RDF collection flattening over planted author lists (one list
+    of length 1 + doc_id%3 per doc_id%10==0 document, cons cells
+    list:{doc}:{i}): the operator walks the real rdf:rest chains;
+    the oracle emits the expected positional rows closed-form."""
+    from ferenda_spark.operators.graphs import (RDF_FIRST, RDF_NIL,
+                                                RDF_REST,
+                                                rdf_list_flatten)
+    d = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 10 == 0).select("doc_id"))
+    did = F.col("doc_id")
+    cell = F.format_string("https://example.org/list/%d/%d", did,
+                           F.col("i"))
+    nxt = F.format_string("https://example.org/list/%d/%d", did,
+                          F.col("i") + 1)
+    member = F.format_string("https://example.org/res/person/%d",
+                             (did * 7 + F.col("i")) % 50)
+    cells = d.select(
+        "doc_id", (did % 3).alias("last"),
+        F.explode(F.sequence(F.lit(0), did % 3)).alias("i"))
+    firsts = cells.select(cell.alias("subj"),
+                          F.lit(RDF_FIRST).alias("pred"),
+                          member.alias("obj"))
+    rests = cells.select(
+        cell.alias("subj"), F.lit(RDF_REST).alias("pred"),
+        F.when(F.col("i") < F.col("last"), nxt)
+        .otherwise(F.lit(RDF_NIL)).alias("obj"))
+    anchors = d.select(
+        F.format_string("https://example.org/res/doc/%d", did)
+        .alias("subj"),
+        F.lit("https://example.org/vocab/authorList").alias("pred"),
+        F.format_string("https://example.org/list/%d/0", did)
+        .alias("obj"))
+    triples = firsts.unionByName(rests).unionByName(anchors)
+    return (rdf_list_flatten(triples, max_len=4)
+            .orderBy("subj", "idx"))
+
+
+def _q_owl_entailed(spark, sf_dir):
+    """OWL-RL property rules (inverseOf / symmetric / transitive)
+    over planted per-block facts: partOf(b, b+2) mints
+    hasPart(b+2, b); connected(b, b+1) mints its mirror;
+    the ancestor chain b->b+1->b+2 closes with ancestor(b, b+2).
+    inferred_only=True: the oracle emits the closed-form delta."""
+    from ferenda_spark.operators.graphs import (OWL, OWL_INVERSEOF,
+                                                owl_entailment)
+    from ferenda_spark import vocab
+    V = "https://example.org/vocab/"
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _fact(pred, i, j):
+        return b.select(
+            F.format_string("https://example.org/res/doc/%d",
+                            F.col("b") + i).alias("subj"),
+            F.lit(V + pred).alias("pred"),
+            F.format_string("https://example.org/res/doc/%d",
+                            F.col("b") + j).alias("obj"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit("https://example.org/ctx").alias("context"))
+    facts = (_fact("partOf", 0, 2)
+             .unionByName(_fact("connected", 0, 1))
+             .unionByName(_fact("ancestor", 0, 1))
+             .unionByName(_fact("ancestor", 1, 2)))
+    onto = spark.createDataFrame(
+        [(V + "partOf", OWL_INVERSEOF, V + "hasPart"),
+         (V + "connected", vocab.RDF_TYPE, OWL + "SymmetricProperty"),
+         (V + "ancestor", vocab.RDF_TYPE, OWL + "TransitiveProperty")],
+        "subj string, pred string, obj string")
+    return (owl_entailment(facts, onto, inferred_only=True)
+            .select("subj", "pred", "obj", "context")
+            .orderBy("pred", "subj"))
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Cross-doc paragraph dedup keep-first over planted 3-paragraph
+    pages (shared per-source boilerplate header, unique body, shared
+    footer per doc_id%7): only the lexicographically-first url keeps
+    each shared paragraph; the oracle replays the same (url, pos)
+    election in SQL."""
+    from ferenda_spark.operators.dedup import paragraph_dedup
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat_ws(
+        "\n\n",
+        F.format_string("boilerplate %s", F.col("source")),
+        F.format_string("body %d", did),
+        F.format_string("footer %d", did % 7))
+    pages = d.select(
+        F.format_string("https://example.org/para/%d", did)
+        .alias("url"), text.alias("text"))
+    return paragraph_dedup(pages).orderBy("url")
+
+
+def _q_bitext_pairs(spark, sf_dir):
+    """CCAligned-style URL-matching bitext candidates over planted
+    language-segmented urls (https://mirror.example/{lang}/page/{b}
+    with b = doc_id div 5): docs sharing a path block in different
+    languages pair up, filtered by the Gale-Church length-ratio
+    test on the REAL text lengths."""
+    from ferenda_spark.operators.linking import bitext_candidates
+    d = _read(spark, sf_dir, "documents")
+    pages = d.select(
+        F.format_string("https://mirror.example/%s/page/%d",
+                        F.col("lang"),
+                        F.expr("doc_id div 5")).alias("url"),
+        "lang", "text")
+    return (bitext_candidates(pages, ratio=2.0)
+            .orderBy("path_key", "lang_a", "lang_b", "url_a", "url_b"))
+
+
+def _q_entity_salience(spark, sf_dir):
+    """Entity salience from REAL scanner mention offsets: the legal
+    corpus text is doubled so every citation has n_mentions=2 with a
+    known dispersion; features, the salience ratio, and the per-doc
+    rank are all closed-form from the planted fixed-width offsets."""
+    from ferenda_spark.operators.extract import legal_mentions
+    from ferenda_spark.operators.linking import entity_salience
+    docs = (_legal_docs(spark, sf_dir)
+            .select("url", F.concat_ws(" ", "text", "text")
+                    .alias("text")))
+    return (entity_salience(legal_mentions(docs))
+            .orderBy("url", "rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3072,6 +3217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_geo_coords": _q_geo_coords,
         "dedup_er_eval": _q_er_eval,
         "text_sentences": _q_sentences,
+        "kg_hyperball": _q_hyperball,
+        "kg_rdf_lists": _q_rdf_lists,
+        "kg_owl_entailed": _q_owl_entailed,
+        "dedup_paragraph": _q_paragraph_dedup,
+        "text_bitext_pairs": _q_bitext_pairs,
+        "kg_entity_salience": _q_entity_salience,
     }
 
 
@@ -6628,4 +6779,151 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 2 THEN 'Was it over?'
                      ELSE 'The end.' END AS sentence
             FROM i ORDER BY url, sent_idx""",
+        # HyperBall registers: 2 unrolled propagation rounds over the
+        # planted 4-cycle, portable md5 rank recipe (salt "hb")
+        "kg_hyperball": r"""
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e AS (SELECT b AS u, b + 1 AS v FROM blk
+                  UNION ALL SELECT b + 1, b + 2 FROM blk
+                  UNION ALL SELECT b + 2, b + 3 FROM blk
+                  UNION ALL SELECT b + 3, b FROM blk),
+            nodes AS (SELECT u AS node FROM e
+                      UNION SELECT v FROM e),
+            h AS (SELECT node,
+                    CAST(('0x' || substr(md5('hb:' ||
+                      CAST(node AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                  FROM nodes),
+            r0 AS (SELECT node, hv % 16 AS register,
+                     CAST(CASE WHEN (hv - hv % 16) // 16 = 0 THEN 25
+                          ELSE bit_count(xor((hv - hv % 16) // 16,
+                                 (hv - hv % 16) // 16 - 1)) END
+                       AS INT) AS max_rank
+                   FROM h),
+            r1 AS (SELECT node, register,
+                          CAST(MAX(max_rank) AS INT) AS max_rank
+                   FROM (SELECT node, register, max_rank FROM r0
+                         UNION ALL
+                         SELECT e.u, r0.register, r0.max_rank
+                         FROM e JOIN r0 ON r0.node = e.v)
+                   GROUP BY node, register),
+            r2 AS (SELECT node, register,
+                          CAST(MAX(max_rank) AS INT) AS max_rank
+                   FROM (SELECT node, register, max_rank FROM r1
+                         UNION ALL
+                         SELECT e.u, r1.register, r1.max_rank
+                         FROM e JOIN r1 ON r1.node = e.v)
+                   GROUP BY node, register)
+            SELECT node, CAST(0 AS INT) AS radius, register, max_rank
+              FROM r0
+            UNION ALL
+            SELECT node, 1, register, max_rank FROM r1
+            UNION ALL
+            SELECT node, 2, register, max_rank FROM r2
+            ORDER BY radius, node, register""",
+        # expected flattening emitted closed-form from the plant
+        "kg_rdf_lists": """
+            WITH d AS (SELECT doc_id FROM documents
+                       WHERE doc_id % 10 = 0),
+            el AS (SELECT doc_id,
+                          unnest(generate_series(0, doc_id % 3)) AS i
+                   FROM d)
+            SELECT 'https://example.org/res/doc/' || doc_id AS subj,
+                   'https://example.org/vocab/authorList' AS pred,
+                   CAST(i AS BIGINT) AS idx,
+                   'https://example.org/res/person/'
+                     || ((doc_id * 7 + i) % 50) AS member
+            FROM el ORDER BY subj, idx""",
+        # the closed-form OWL-RL delta: inverse, symmetric mirror,
+        # one transitive hop per planted chain
+        "kg_owl_entailed": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            inf AS (
+              SELECT 'https://example.org/res/doc/' || (b + 2) AS subj,
+                     'https://example.org/vocab/hasPart' AS pred,
+                     'https://example.org/res/doc/' || b AS obj
+              FROM blk
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || (b + 1),
+                     'https://example.org/vocab/connected',
+                     'https://example.org/res/doc/' || b FROM blk
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || b,
+                     'https://example.org/vocab/ancestor',
+                     'https://example.org/res/doc/' || (b + 2) FROM blk)
+            SELECT subj, pred, obj,
+                   'https://example.org/ctx' AS context
+            FROM inf ORDER BY pred, subj""",
+        # same (url, pos) election replayed relationally
+        "dedup_paragraph": """
+            WITH p AS (
+              SELECT 'https://example.org/para/' || doc_id AS url,
+                     0 AS pos, 'boilerplate ' || source AS para
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/para/' || doc_id, 1,
+                     'body ' || doc_id FROM documents
+              UNION ALL
+              SELECT 'https://example.org/para/' || doc_id, 2,
+                     'footer ' || (doc_id % 7) FROM documents),
+            own AS (SELECT para,
+                      MIN(url || chr(0) ||
+                          lpad(CAST(pos AS VARCHAR), 9, '0')) AS winner
+                    FROM p GROUP BY para),
+            kept AS (SELECT p.url, p.pos, p.para
+                     FROM p JOIN own ON p.para = own.para
+                     WHERE p.url || chr(0) ||
+                           lpad(CAST(p.pos AS VARCHAR), 9, '0')
+                           = own.winner),
+            stats AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_paras
+                      FROM p GROUP BY url),
+            ka AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                          string_agg(para, chr(10) || chr(10)
+                                     ORDER BY pos) AS kept_text
+                   FROM kept GROUP BY url)
+            SELECT s.url, s.n_paras,
+                   CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+                   ka.kept_text
+            FROM stats s LEFT JOIN ka ON s.url = ka.url
+            ORDER BY s.url""",
+        # URL-matching self-join + Gale-Church length-ratio filter
+        "text_bitext_pairs": """
+            WITH p AS (
+              SELECT 'https://mirror.example/' || lang || '/page/'
+                       || (doc_id // 5) AS url,
+                     lang, CAST(length(text) AS BIGINT) AS len,
+                     doc_id // 5 AS blk
+              FROM documents)
+            SELECT 'mirror.example' AS host,
+                   'page/' || a.blk AS path_key,
+                   a.lang AS lang_a, a.url AS url_a, a.len AS len_a,
+                   b.lang AS lang_b, b.url AS url_b, b.len AS len_b
+            FROM p a JOIN p b
+              ON a.blk = b.blk AND a.lang < b.lang
+            WHERE greatest(a.len, b.len) <= 2.0 * least(a.len, b.len)
+            ORDER BY path_key, lang_a, lang_b, url_a, url_b""",
+        # features closed-form from the doubled fixed-offset plant
+        "kg_entity_salience": """
+            WITH lm AS (
+              SELECT 'https://example.org/legal/' || doc_id AS url,
+                     10 + doc_id % 12 AS p, 1990 + doc_id % 10 AS y,
+                     10 + doc_id % 90 AS n, 100 + doc_id % 100 AS pn
+              FROM documents),
+            m AS (
+              SELECT url,
+                     'https://lagen.nu/1970:428#P' || p AS target_uri,
+                     3 AS first_start, 121 AS spread, 1 AS rnk FROM lm
+              UNION ALL
+              SELECT url, 'https://lagen.nu/dom/nja/' || y || 's' || n,
+                     40, 103, 2 FROM lm
+              UNION ALL
+              SELECT url, 'https://lagen.nu/prop/1997/98:' || pn,
+                     60, 106, 3 FROM lm)
+            SELECT url, target_uri, CAST(2 AS BIGINT) AS n_mentions,
+                   CAST(first_start AS BIGINT) AS first_start,
+                   CAST(spread AS BIGINT) AS spread,
+                   2.0 / (1 + first_start) AS salience,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM m ORDER BY url, "rank" """,
     }

@@ -505,3 +505,57 @@ def er_pairwise_eval(pred: DataFrame, gold: DataFrame) -> DataFrame:
         prec.alias("precision"), rec.alias("recall"),
         F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
         .otherwise(F.lit(0.0)).alias("f1"))
+
+
+def paragraph_dedup(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "url") -> DataFrame:
+    """Cross-document paragraph-level exact dedup, keep-first — the
+    corpus-cleaning step CCNet / RefinedWeb run before document-level
+    LSH (boilerplate paragraphs repeat across a site far more often
+    than whole pages do).  A paragraph survives only in the
+    lexicographically-first document that contains it (first
+    occurrence within that document when repeated); every other copy
+    is dropped and the document is reassembled from its surviving
+    paragraphs in original order.
+
+    Shape: posexplode on the blank-line split (one UDTF-shaped
+    map-side explode), one md5 groupBy-min to elect each paragraph
+    hash's owner ((id, pos) packed so min() is the single aggregate
+    — no window over the full corpus), one hash-keyed semi-join back,
+    and one per-document sort-agg to reassemble.  Everything keys on
+    the 32-hex md5, so at 10^12 documents the election is a plain
+    hash aggregate with map-side partial min; no global ordering is
+    ever materialized.  Returns (id, n_paras, n_kept, kept_text) with
+    kept_text NULL when nothing survives."""
+    paras = (documents.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\n{2,}"))
+        .alias("pos", "para"))
+        .where(F.trim(F.col("para")) != "")
+        .select("id", "pos", F.md5(F.col("para")).alias("ph"),
+                "para"))
+    # owner of a paragraph hash = min (id, pos) pair, packed as a
+    # single sortable string so one MIN aggregate elects it
+    owner = (paras.groupBy("ph")
+             .agg(F.min(F.concat_ws(
+                 "\x00", F.col("id"),
+                 F.lpad(F.col("pos").cast("string"), 9, "0")))
+                 .alias("winner")))
+    kept = (paras.join(owner, "ph")
+            .where(F.concat_ws(
+                "\x00", F.col("id"),
+                F.lpad(F.col("pos").cast("string"), 9, "0"))
+                == F.col("winner")))
+    stats = (paras.groupBy("id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_paras")))
+    kept_agg = (kept.groupBy("id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.concat_ws(
+                         "\n\n",
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "para"))).getField("para"))
+                     .alias("kept_text")))
+    return (stats.join(kept_agg, "id", "left")
+            .select(F.col("id").alias(id_col), "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"), "kept_text"))

@@ -1019,3 +1019,229 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                      .alias("score"))
              .localCheckpoint(eager=True))
     return r
+
+
+def hyperball(edges: DataFrame, rounds: int = 2, m: int = 16,
+              src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", 2013): the neighborhood function
+    N(v, r) = |{u : dist(v, u) <= r}| for every node at every radius,
+    approximated with per-node HyperLogLog counters — THE algorithm
+    behind the "four degrees of separation" web-graph measurements,
+    and the only way to get effective-diameter / closeness on a
+    10^12-edge link graph (exact per-node BFS is |V| traversals).
+
+    Restated as DataFrame rounds over a register table
+    (node, register, max_rank): radius 0 is each node's own hashed
+    id; each round unions a node's registers with its out-neighbors'
+    registers from the previous radius and takes groupBy-max — HLL
+    union IS max, which is what makes the counters mergeable along
+    edges.  Per round: one dst-keyed equi-join + one (node, register)
+    groupBy with map-side partial max; the register table is at most
+    m rows per node regardless of ball size, so per-round traffic is
+    O(m * |E|) — bounded, unlike materializing actual balls.  The
+    accumulating table is localCheckpointed per round (it feeds both
+    the union and the join; same loop discipline as pagerank above).
+
+    Registers use the portable md5 recipe from
+    ``sketches.hll_registers`` (salt "hb"), so the emitted table is
+    integer-exact across engines; cardinality estimates (harmonic
+    mean -> N(v,r), then effective diameter = smallest r with
+    N(r) >= 0.9 * N(max)) stay consumer-side floats, tested in
+    pytest.  Returns (node, radius, register, max_rank) for radii
+    0..rounds."""
+    from .sketches import _h
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct())
+    h = _h(F.col("node"), "hb")
+    rest = ((h - h % m) / F.lit(m)).cast("long")
+    rank = (F.when(rest == 0, F.lit(25))
+            .otherwise(F.bit_count(rest.bitwiseXOR(rest - 1))))
+    cur = (nodes.select("node", (h % m).alias("register"),
+                        rank.cast("int").alias("max_rank"))
+           .localCheckpoint(eager=True))
+    out = cur.select("node", F.lit(0).alias("radius"),
+                     "register", "max_rank")
+    for r in range(1, rounds + 1):
+        pulled = (e.join(cur, cur["node"] == e["v"])
+                  .select(F.col("u").alias("node"),
+                          "register", "max_rank"))
+        cur = (cur.unionByName(pulled)
+               .groupBy("node", "register")
+               .agg(F.max("max_rank").cast("int").alias("max_rank"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(
+            cur.select("node", F.lit(r).alias("radius"),
+                       "register", "max_rank"))
+    return out
+
+
+def hll_estimate(registers, m: int = 16):
+    """Consumer-side HLL cardinality estimate from a register list
+    (small-range corrected, Flajolet et al. 2007) — driver-side
+    helper for hyperball()'s pytest assertions; never crosses the
+    engine boundary."""
+    import math
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    regs = [0] * m
+    for reg, rk in registers:
+        regs[reg] = max(regs[reg], rk)
+    est = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / float(zeros))
+    return est
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+OWL = "http://www.w3.org/2002/07/owl#"
+OWL_INVERSEOF = OWL + "inverseOf"
+OWL_SYMMETRIC = OWL + "SymmetricProperty"
+OWL_TRANSITIVE = OWL + "TransitiveProperty"
+
+
+def rdf_list_flatten(triples: DataFrame,
+                     max_len: int = 32) -> DataFrame:
+    """Flatten RDF collections (rdf:first / rdf:rest cons-cell
+    chains, RDF 1.1 §5.2 — how ordered values like author lists are
+    modelled in RDF) into positional rows (subj, pred, idx, member):
+    one row per list element of every list anchored by a non-list
+    triple (s, p, head-cell).
+
+    The linked list is walked layer-synchronously: round k holds the
+    k-th cell of every list simultaneously, so the number of joins is
+    the MAXIMUM list length, not the list count — a million 3-element
+    lists cost 3 rounds, each one cell-keyed equi-join against the
+    rest-edge table plus one against first.  The frontier is
+    localCheckpointed per round (it feeds both the member-emit join
+    and the advance join).  ``max_len`` bounds adversarial/cyclic
+    chains (cells revisited past it are dropped); rounds also stop
+    as soon as a frontier is empty."""
+    t = triples.select("subj", "pred", "obj")
+    first = (t.where(F.col("pred") == RDF_FIRST)
+             .select(F.col("subj").alias("cell"),
+                     F.col("obj").alias("member")))
+    rest = (t.where((F.col("pred") == RDF_REST)
+                    & (F.col("obj") != RDF_NIL))
+            .select(F.col("subj").alias("cell"),
+                    F.col("obj").alias("nxt")))
+    heads = first.select("cell").distinct()
+    cur = (t.where(~F.col("pred").isin(RDF_FIRST, RDF_REST))
+           .join(heads, t["obj"] == heads["cell"])
+           .select("subj", "pred", "cell")
+           .localCheckpoint(eager=True))
+    out = None
+    for idx in range(max_len):
+        emitted = (cur.join(first, "cell")
+                   .select("subj", "pred",
+                           F.lit(idx).cast("long").alias("idx"),
+                           "member"))
+        out = emitted if out is None else out.unionByName(emitted)
+        cur = (cur.join(rest, "cell")
+               .select("subj", "pred", F.col("nxt").alias("cell"))
+               .localCheckpoint(eager=True))
+        if cur.isEmpty():
+            break
+    return out
+
+
+def owl_entailment(triples: DataFrame, ontology: DataFrame,
+                   inferred_only: bool = False,
+                   max_iter: int = 8) -> DataFrame:
+    """OWL-RL property-axiom forward chaining, the step beyond
+    ``rdfs_entailment`` (rules prp-inv1/2, prp-symp, prp-trp of the
+    OWL 2 RL profile — the fragment materializable at scale):
+
+    * ``owl:inverseOf(p, q)``:  (s p o) -> (o q s)  and  (s q o) ->
+      (o p s) — both directions, per the axiom's symmetry.
+    * ``p rdf:type owl:SymmetricProperty``:  (s p o) -> (o p s).
+    * ``p rdf:type owl:TransitiveProperty``:  (s p o), (o p x) ->
+      (s p x) — a bounded semi-naive closure per transitive
+      property (union + distinct + count-convergence, the
+      ispartof_closure shape; ``max_iter`` caps depth so chain
+      length 2^max_iter is reachable).
+
+    The ontology is dimension-sized and collected driver-side (same
+    sanctioned shape as rdfs_entailment); inverse/symmetric rules are
+    broadcast joins against the fact table, which is
+    localCheckpointed once.  Emitted triples carry NULL datatype/lang
+    (they are IRI-object rules) and keep the source row's context."""
+    rows = (ontology.select("subj", "pred", "obj")
+            .where((F.col("pred") == OWL_INVERSEOF)
+                   | ((F.col("pred") == vocab.RDF_TYPE)
+                      & F.col("obj").isin(OWL_SYMMETRIC,
+                                          OWL_TRANSITIVE)))
+            .collect())
+    inv = []
+    for r in rows:
+        if r.pred == OWL_INVERSEOF:
+            inv.append((r.subj, r.obj))
+            inv.append((r.obj, r.subj))
+    sym = sorted({r.subj for r in rows
+                  if r.pred == vocab.RDF_TYPE
+                  and r.obj == OWL_SYMMETRIC})
+    trans = sorted({r.subj for r in rows
+                    if r.pred == vocab.RDF_TYPE
+                    and r.obj == OWL_TRANSITIVE})
+    base = triples.select("subj", "pred", "obj", "obj_datatype",
+                          "obj_lang", "context").localCheckpoint()
+    spark = triples.sparkSession
+    null_s = F.lit(None).cast("string")
+    parts = []
+    if inv:
+        inv_df = F.broadcast(spark.createDataFrame(
+            sorted(set(inv)), "p string, q string"))
+        parts.append(
+            base.join(inv_df, base["pred"] == inv_df["p"])
+            .select(F.col("obj").alias("subj"),
+                    F.col("q").alias("pred"),
+                    F.col("subj").alias("obj"),
+                    null_s.alias("obj_datatype"),
+                    null_s.alias("obj_lang"), "context"))
+    if sym:
+        parts.append(
+            base.where(F.col("pred").isin(*sym))
+            .select(F.col("obj").alias("subj"), "pred",
+                    F.col("subj").alias("obj"),
+                    null_s.alias("obj_datatype"),
+                    null_s.alias("obj_lang"), "context"))
+    for p in trans:
+        # closure per property: paths double per round
+        cur = (base.where(F.col("pred") == p)
+               .select("subj", "obj", "context").distinct()
+               .localCheckpoint(eager=True))
+        n = cur.count()
+        for _ in range(max_iter):
+            step = (cur.alias("a")
+                    .join(cur.alias("b"),
+                          F.col("a.obj") == F.col("b.subj"))
+                    .select(F.col("a.subj").alias("subj"),
+                            F.col("b.obj").alias("obj"),
+                            F.col("a.context").alias("context")))
+            cur = (cur.unionByName(step).distinct()
+                   .localCheckpoint(eager=True))
+            n2 = cur.count()
+            if n2 == n:
+                break
+            n = n2
+        parts.append(cur.select(
+            "subj", F.lit(p).alias("pred"), "obj",
+            null_s.alias("obj_datatype"), null_s.alias("obj_lang"),
+            "context"))
+    if not parts:
+        inferred = base.limit(0)
+    else:
+        inferred = parts[0]
+        for p_ in parts[1:]:
+            inferred = inferred.unionByName(p_)
+    out = base.unionByName(inferred).distinct()
+    if inferred_only:
+        out = out.join(base, ["subj", "pred", "obj"], "left_anti")
+    return out

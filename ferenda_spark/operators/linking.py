@@ -434,3 +434,84 @@ def alias_priors(anchors: DataFrame, surface_col: str = "surface",
             .select("surface", "entity", "n",
                     (F.col("n") / F.col("total")).alias("prior"),
                     F.row_number().over(w).cast("long").alias("rank")))
+
+
+def bitext_candidates(pages: DataFrame, ratio: float = 2.0,
+                      url_col: str = "url", lang_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """Parallel-page candidate mining by URL structure — the
+    CCAligned / WikiMatrix first stage (El-Kishky et al. 2020): two
+    pages of the same site whose paths differ ONLY in a language
+    segment (``https://host/{lang}/rest``) are translation
+    candidates, pre-filtered by the standard length-ratio test
+    (Gale & Church): max(len_a, len_b) <= ratio * min(len_a, len_b).
+
+    Shape: one map-side regexp parse of the URL into
+    (host, path_key), then a self-equi-join on that key with
+    ``lang_a < lang_b`` ordering (each unordered pair once) — the
+    URL-matching trick is exactly what makes this scale: candidates
+    come from a hash join on a fine-grained key instead of an
+    O(n^2) cross-lingual comparison.  Hot path_keys (a site with
+    many language versions) fan out quadratically per key but are
+    bounded by the language count, not the corpus.  Returns
+    (host, path_key, lang_a, url_a, len_a, lang_b, url_b, len_b)."""
+    parsed = pages.select(
+        F.regexp_extract(F.col(url_col),
+                         r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(F.col(url_col),
+                         r"^https?://[^/]+/[a-z]{2}(?:-[A-Za-z]{2})?/(.*)$",
+                         1).alias("path_key"),
+        F.col(lang_col).alias("lang"),
+        F.col(url_col).alias("url"),
+        F.length(F.col(text_col)).cast("long").alias("len"))
+    parsed = parsed.where(F.col("path_key") != "")
+    a = parsed.select(F.col("host"), F.col("path_key"),
+                      F.col("lang").alias("lang_a"),
+                      F.col("url").alias("url_a"),
+                      F.col("len").alias("len_a"))
+    b = parsed.select(F.col("host"), F.col("path_key"),
+                      F.col("lang").alias("lang_b"),
+                      F.col("url").alias("url_b"),
+                      F.col("len").alias("len_b"))
+    return (a.join(b, ["host", "path_key"])
+            .where(F.col("lang_a") < F.col("lang_b"))
+            .where(F.greatest("len_a", "len_b")
+                   <= ratio * F.least("len_a", "len_b")))
+
+
+def entity_salience(mentions: DataFrame, id_col: str = "url",
+                    ent_col: str = "target_uri") -> DataFrame:
+    """Per-(document, entity) salience scoring from mention evidence
+    — the feature stage entity-salience systems (Dunietz & Gillick
+    2014; SEL) run between linking and KG ingestion: how central is
+    this entity to this page, beyond merely appearing on it?
+
+    Features are closed-form integers from the mention offsets —
+    n_mentions, first_start (earlier = more salient, the
+    first-position feature), spread (last_end - first_start, mention
+    dispersion) — plus ``salience = n_mentions / (1 + first_start)``
+    (a single IEEE division, engine-exact) and the per-document rank
+    by (n_mentions DESC, first_start ASC, entity ASC).
+
+    Shape: one (id, entity) groupBy with map-side partial
+    aggregation, then a window partitioned BY DOCUMENT (cardinality
+    = entities-per-page, bounded ~10^2, never corpus-wide) for the
+    rank — the same per-key window discipline as the TOC/feed
+    rankers.  Returns (id, entity, n_mentions, first_start, spread,
+    salience, rank)."""
+    from pyspark.sql import Window
+    per = (mentions.groupBy(F.col(id_col).alias("id"),
+                            F.col(ent_col).alias("entity"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"),
+                F.min("start").cast("long").alias("first_start"),
+                (F.max("end") - F.min("start")).cast("long")
+                .alias("spread")))
+    w = Window.partitionBy("id").orderBy(
+        F.col("n_mentions").desc(), F.col("first_start").asc(),
+        F.col("entity").asc())
+    return per.select(
+        F.col("id").alias(id_col), F.col("entity").alias(ent_col),
+        "n_mentions", "first_start", "spread",
+        (F.col("n_mentions").cast("double")
+         / (F.lit(1) + F.col("first_start"))).alias("salience"),
+        F.row_number().over(w).cast("long").alias("rank"))

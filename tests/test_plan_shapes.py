@@ -192,3 +192,29 @@ def test_coref_window_is_per_document(spark, queries):
     # document, never an empty (global) partition spec
     assert "windowspecdefinition(url#" in plan
     assert "windowspecdefinition(pos#" not in plan
+
+
+def test_bitext_join_is_keyed_no_cartesian(spark, queries):
+    # the URL-matching trick's whole point: candidates come from an
+    # equi-join on (host, path_key), never a cross-lingual cartesian
+    plan = _plan(queries["text_bitext_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup_elects_by_aggregate_not_window(spark, queries):
+    # the owner election must be a hash aggregate (map-side partial
+    # min), not a corpus-wide window sort
+    plan = _plan(queries["dedup_paragraph"](spark, SF))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_salience_window_is_per_document(spark, queries):
+    # exactly one rank window, partitioned by the document id — never
+    # a global (empty-partition-spec) window
+    plan = _plan(queries["kg_entity_salience"](spark, SF))
+    assert plan.count("Window (") == 1
+    # windowspecdefinition(id#..., ...) — keyed on the document
+    assert "windowspecdefinition(id#" in plan
