@@ -3023,6 +3023,77 @@ def _q_entity_salience(spark, sf_dir):
             .orderBy("url", "rank"))
 
 
+def _q_microdata(spark, sf_dir):
+    """HTML5 microdata through the REAL DOM parser: one
+    schema.org/Article item per planted page with a nested Person
+    author — skolem ids in document order, the 7 triples per page
+    emitted closed-form by the oracle."""
+    from ferenda_spark.operators.extract import microdata_triples
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    issued = F.date_format(
+        F.expr("date_add(DATE'2020-01-01', "
+               "CAST((doc_id * 37) % 1461 AS INT))"), "yyyy-MM-dd")
+    html = F.concat(
+        F.lit('<html><body><div itemscope '
+              'itemtype="https://schema.org/Article">'
+              '<h1 itemprop="headline">Document '),
+        did,
+        F.lit('</h1><time itemprop="datePublished" datetime="'),
+        issued,
+        F.lit('">then</time>'
+              '<a itemprop="url" href="https://example.org/res/doc/'),
+        did,
+        F.lit('">self</a><div itemprop="author" itemscope '
+              'itemtype="https://schema.org/Person">'
+              '<span itemprop="name">Author '),
+        did % 13,
+        F.lit("</span></div></div></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/micro/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return (microdata_triples(pages)
+            .orderBy("url", "item_id", "pred", "obj"))
+
+
+def _q_hreflang(spark, sf_dir):
+    """<link rel=alternate hreflang> extraction through the real DOM
+    parser — the page-declared translation graph that seeds bitext
+    mining; two planted alternates per page (the doc's own language
+    + x-default)."""
+    from ferenda_spark.operators.extract import hreflang_alternates
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head><link rel="alternate" hreflang="'),
+        F.col("lang"),
+        F.lit('" href="https://example.org/'),
+        F.col("lang"),
+        F.lit("/docs/"), did,
+        F.lit('"/><link rel="alternate" hreflang="x-default" '
+              'href="https://example.org/docs/'),
+        did,
+        F.lit('"/><link rel="stylesheet" href="/s.css"/>'
+              "</head><body>x</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/alt/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return (hreflang_alternates(pages)
+            .orderBy("url", "hreflang"))
+
+
+def _q_contrastive_pairs(spark, sf_dir):
+    """LSH-derived contrastive pairs: banded candidates labeled
+    positive / hard-negative by the signature-agreement estimate —
+    the embedding-training byproduct of the dedup index."""
+    from ferenda_spark.operators.training import contrastive_pairs
+    return (contrastive_pairs(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_a", "doc_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3223,6 +3294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph": _q_paragraph_dedup,
         "text_bitext_pairs": _q_bitext_pairs,
         "kg_entity_salience": _q_entity_salience,
+        "kg_microdata_triples": _q_microdata,
+        "kg_hreflang_links": _q_hreflang,
+        "train_contrastive_pairs": _q_contrastive_pairs,
     }
 
 
@@ -6926,4 +7000,81 @@ def oracle_sql() -> dict[str, str]:
                    2.0 / (1 + first_start) AS salience,
                    CAST(rnk AS BIGINT) AS "rank"
             FROM m ORDER BY url, "rank" """,
+        # the 7 planted microdata triples per page, closed-form;
+        # item ids are document-order skolems url#item0 / url#item1
+        "kg_microdata_triples": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/micro/' || doc_id AS url,
+                     strftime(DATE '2020-01-01'
+                              + INTERVAL ((doc_id * 37) % 1461) DAY,
+                              '%Y-%m-%d') AS issued
+              FROM documents),
+            t AS (
+              SELECT url, url || '#item0' AS item_id,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS pred,
+                     'https://schema.org/Article' AS obj FROM d
+              UNION ALL
+              SELECT url, url || '#item0',
+                     'https://schema.org/headline',
+                     'Document ' || doc_id FROM d
+              UNION ALL
+              SELECT url, url || '#item0',
+                     'https://schema.org/datePublished', issued FROM d
+              UNION ALL
+              SELECT url, url || '#item0', 'https://schema.org/url',
+                     'https://example.org/res/doc/' || doc_id FROM d
+              UNION ALL
+              SELECT url, url || '#item0',
+                     'https://schema.org/author',
+                     url || '#item1' FROM d
+              UNION ALL
+              SELECT url, url || '#item1',
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'https://schema.org/Person' FROM d
+              UNION ALL
+              SELECT url, url || '#item1', 'https://schema.org/name',
+                     'Author ' || (doc_id % 13) FROM d)
+            SELECT url, item_id, pred, obj FROM t
+            ORDER BY url, item_id, pred, obj""",
+        # the two planted alternates; the stylesheet link must NOT
+        # appear
+        "kg_hreflang_links": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     'https://example.org/alt/' || doc_id AS url
+              FROM documents),
+            a AS (
+              SELECT url, lang AS hreflang,
+                     'https://example.org/' || lang || '/docs/'
+                       || doc_id AS href
+              FROM d
+              UNION ALL
+              SELECT url, 'x-default',
+                     'https://example.org/docs/' || doc_id FROM d)
+            SELECT url, hreflang, href FROM a
+            ORDER BY url, hreflang""",
+        # minhash-estimate pipeline + the contrastive CASE label
+        "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            agg AS (
+              SELECT p.doc_a, p.doc_b,
+                     SUM(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) AS n_agree
+              FROM prs p
+              JOIN sig sa ON sa.doc_id = p.doc_a
+              JOIN sig sb ON sb.doc_id = p.doc_b
+                         AND sb.seed = sa.seed
+              GROUP BY p.doc_a, p.doc_b)
+            SELECT doc_a, doc_b, n_agree,
+                   round(n_agree / 8.0, 6) AS est_jaccard,
+                   CASE WHEN round(n_agree / 8.0, 6) >= 0.75
+                        THEN 'positive'
+                        ELSE 'hard_negative' END AS label
+            FROM agg ORDER BY doc_a, doc_b""",
     }

@@ -398,3 +398,172 @@ def fd_discovery(rows: DataFrame, cols: list) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+MICRODATA_SCHEMA = ("url string, item_id string, pred string, "
+                    "obj string")
+
+
+def _microdata_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..htmlelements import decode_html, parse_html
+    from ..textutil import normalize_space
+
+    def _text(node):
+        parts = []
+
+        def walk(n):
+            if isinstance(n, str):
+                parts.append(n)
+                return
+            for c in n.children:
+                walk(c)
+
+        walk(node)
+        return normalize_space("".join(parts))
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+            counter = [0]
+
+            def prop_value(el):
+                # HTML5 microdata value rules (§5.2.4), the subset
+                # WDC-style extractors implement
+                if el.tag == "meta":
+                    return el.attrs.get("content", "")
+                if el.tag in ("a", "link", "area"):
+                    return el.attrs.get("href", "")
+                if el.tag in ("img", "audio", "video", "embed",
+                              "iframe", "source"):
+                    return el.attrs.get("src", "")
+                if el.tag == "time":
+                    return el.attrs.get("datetime") or _text(el)
+                if el.tag == "data":
+                    return el.attrs.get("value") or _text(el)
+                return _text(el)
+
+            def vocab_iri(itemtype, name):
+                # relative names resolve against the itemtype's
+                # vocabulary (itemtype minus its last path segment) —
+                # schema.org/Article + "headline" -> schema.org/headline,
+                # matching what WDC emits
+                if "://" in name or name.startswith("urn:"):
+                    return name
+                if itemtype and "/" in itemtype:
+                    return itemtype.rsplit("/", 1)[0] + "/" + name
+                return "urn:prop:" + name
+
+            def walk_item(el, itemtype):
+                """el carries itemscope: mint an id, emit its type
+                and properties; returns the item id."""
+                item_id = "%s#item%d" % (url, counter[0])
+                counter[0] += 1
+                if itemtype:
+                    rows.append((url, item_id, RDF_TYPE, itemtype))
+
+                def scan(n):
+                    if isinstance(n, str):
+                        return
+                    prop = n.attrs.get("itemprop")
+                    nested = "itemscope" in n.attrs
+                    if prop is not None:
+                        if nested:
+                            child_id = walk_item(
+                                n, n.attrs.get("itemtype"))
+                            obj = child_id
+                        else:
+                            obj = prop_value(n)
+                        for name in prop.split():
+                            rows.append((url, item_id,
+                                         vocab_iri(itemtype, name),
+                                         obj))
+                        if nested:
+                            return      # nested item scanned already
+                    elif nested:
+                        # an itemscope without itemprop starts a NEW
+                        # top-level item, handled by the outer scan
+                        return
+                    for c in n.children:
+                        scan(c)
+
+                for c in el.children:
+                    scan(c)
+                return item_id
+
+            def find_top(n):
+                if isinstance(n, str):
+                    return
+                if "itemscope" in n.attrs and "itemprop" not in n.attrs:
+                    walk_item(n, n.attrs.get("itemtype"))
+                    return
+                for c in n.children:
+                    find_top(c)
+
+            find_top(tree)
+        yield pd.DataFrame(rows, columns=["url", "item_id", "pred",
+                                          "obj"])
+
+
+def microdata_triples(pages: DataFrame) -> DataFrame:
+    """HTML5 microdata extraction (itemscope / itemtype / itemprop ->
+    triples) — the Web Data Commons pipeline's main structured-data
+    source on Common Crawl (Meusel et al. 2014): most schema.org
+    markup in the wild ships as microdata attributes, not JSON-LD.
+
+    Items are skolemized as ``url#itemN`` in document order (stable
+    across shards/re-runs: the counter restarts per page, so ids
+    depend only on page content); nested itemscope values become
+    item-valued properties pointing at the nested item's id;
+    property names resolve against the itemtype IRI per the
+    schema.org convention.  Value extraction follows the HTML5
+    §5.2.4 element rules (meta@content, a@href, img@src,
+    time@datetime, else text).
+
+    Scale shape: Arrow-batched mapInPandas over (url, html) — same
+    contract as the table/extract stages: one pass per page, page
+    bytes dropped at the stage boundary, no shuffle."""
+    return (pages.select("url", "html")
+            .mapInPandas(_microdata_batches, schema=MICRODATA_SCHEMA))
+
+
+ALTERNATES_SCHEMA = "url string, hreflang string, href string"
+
+
+def _alternate_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..htmlelements import decode_html, parse_html
+
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+
+            def scan(n):
+                if isinstance(n, str):
+                    return
+                if (n.tag == "link"
+                        and "alternate" in
+                        (n.attrs.get("rel") or "").split()
+                        and n.attrs.get("hreflang")
+                        and n.attrs.get("href")):
+                    rows.append((url, n.attrs["hreflang"],
+                                 n.attrs["href"]))
+                for c in n.children:
+                    scan(c)
+
+            scan(tree)
+        yield pd.DataFrame(rows, columns=["url", "hreflang", "href"])
+
+
+def hreflang_alternates(pages: DataFrame) -> DataFrame:
+    """``<link rel="alternate" hreflang=... href=...>`` extraction —
+    the AUTHORITATIVE bitext signal on the web (pages declare their
+    own translations; CCAligned seeds from exactly these before
+    falling back to URL-pattern matching, see
+    ``linking.bitext_candidates``).  Real DOM parse, Arrow-batched,
+    no shuffle; returns (url, hreflang, href), one row per declared
+    alternate."""
+    return (pages.select("url", "html")
+            .mapInPandas(_alternate_batches, schema=ALTERNATES_SCHEMA))

@@ -627,3 +627,28 @@ def deterministic_walks(edges: DataFrame, walk_len: int = 3,
             break
         out = out.unionByName(frontier)
     return out
+
+
+def contrastive_pairs(documents: DataFrame, n: int = 3,
+                      num_hashes: int = 8, band_size: int = 2,
+                      threshold: float = 0.75) -> DataFrame:
+    """Contrastive training-pair mining for embedding models from the
+    LSH index itself: every banded candidate pair is scored with the
+    signature-only Jaccard estimate; pairs at/above ``threshold``
+    become POSITIVES, pairs below become HARD NEGATIVES — LSH false
+    positives are exactly the near-miss pairs contrastive losses
+    need (textually entangled yet not duplicates; random negatives
+    are trivially separable and teach nothing, cf. SimCSE/DPR hard-
+    negative mining).
+
+    Scale shape: inherits :func:`dedup.minhash_estimated_jaccard`'s
+    plan — banded self-join + two signature-keyed joins, text never
+    shuffles; labeling is one map-side CASE.  Returns (doc_a, doc_b,
+    n_agree, est_jaccard, label)."""
+    from .dedup import minhash_estimated_jaccard
+    est = minhash_estimated_jaccard(documents, n, num_hashes,
+                                    band_size)
+    return est.select(
+        "doc_a", "doc_b", "n_agree", "est_jaccard",
+        F.when(F.col("est_jaccard") >= threshold, F.lit("positive"))
+        .otherwise(F.lit("hard_negative")).alias("label"))
