@@ -3094,6 +3094,37 @@ def _q_contrastive_pairs(spark, sf_dir):
         .orderBy("doc_a", "doc_b"))
 
 
+def _q_profile(spark, sf_dir):
+    """Warehouse-style column profile of the documents table: one
+    pass, one groupBy; exact NDV at test scale (the operator
+    documents the approx_count_distinct swap for 10^12 rows)."""
+    from ferenda_spark.operators.quality import profile_table
+    return (profile_table(_read(spark, sf_dir, "documents"))
+            .orderBy("column"))
+
+
+def _q_entity_cooccurrence(spark, sf_dir):
+    """Entity co-mention lift over planted multi-entity docs (2-3
+    entities per doc, closed-form ids): PMI-without-log so every
+    score is one exact IEEE division; the oracle replays the same
+    aggregation relationally."""
+    from ferenda_spark.operators.triples import entity_cooccurrence
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    def _ent(expr):
+        return d.select(
+            F.format_string("https://example.org/docs/%d", did)
+            .alias("url"),
+            F.format_string("https://example.org/res/entity/%d", expr)
+            .alias("entity"))
+    ents = (_ent(did % 50)
+            .unionByName(_ent((did * 3 + 1) % 50))
+            .unionByName(_ent((did * 7 + 2) % 50)
+                         .where(did % 2 == 0)))
+    return (entity_cooccurrence(ents)
+            .orderBy("entity_a", "entity_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3297,6 +3328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_microdata_triples": _q_microdata,
         "kg_hreflang_links": _q_hreflang,
         "train_contrastive_pairs": _q_contrastive_pairs,
+        "stats_profile_documents": _q_profile,
+        "kg_entity_cooccurrence": _q_entity_cooccurrence,
     }
 
 
@@ -7077,4 +7110,57 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'positive'
                         ELSE 'hard_negative' END AS label
             FROM agg ORDER BY doc_a, doc_b""",
+        # per-column profile, values rendered as strings on both sides
+        "stats_profile_documents": """
+            WITH prof AS (
+              SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v
+              FROM documents
+              UNION ALL SELECT 'text', text FROM documents
+              UNION ALL SELECT 'lang', lang FROM documents
+              UNION ALL SELECT 'source', source FROM documents
+              UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+                FROM documents)
+            SELECT col AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+                   MIN(v) AS min_val, MAX(v) AS max_val
+            FROM prof GROUP BY col ORDER BY col""",
+        # same co-mention aggregation replayed relationally; lift is
+        # one exact integer-ratio division
+        "kg_entity_cooccurrence": """
+            WITH de AS (
+              SELECT DISTINCT url, entity FROM (
+                SELECT 'https://example.org/docs/' || doc_id AS url,
+                       'https://example.org/res/entity/'
+                         || (doc_id % 50) AS entity FROM documents
+                UNION ALL
+                SELECT 'https://example.org/docs/' || doc_id,
+                       'https://example.org/res/entity/'
+                         || ((doc_id * 3 + 1) % 50) FROM documents
+                UNION ALL
+                SELECT 'https://example.org/docs/' || doc_id,
+                       'https://example.org/res/entity/'
+                         || ((doc_id * 7 + 2) % 50)
+                FROM documents WHERE doc_id % 2 = 0)),
+            nd AS (SELECT CAST(COUNT(DISTINCT url) AS BIGINT) AS n
+                   FROM de),
+            pairs AS (
+              SELECT a.entity AS entity_a, b.entity AS entity_b,
+                     CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM de a JOIN de b
+                ON a.url = b.url AND a.entity < b.entity
+              GROUP BY 1, 2),
+            marg AS (SELECT entity, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM de GROUP BY entity)
+            SELECT p.entity_a, p.entity_b, p.c_ab,
+                   ma.c AS c_a, mb.c AS c_b, nd.n AS n_docs,
+                   CAST(nd.n * p.c_ab AS DOUBLE)
+                     / CAST(ma.c * mb.c AS DOUBLE) AS lift
+            FROM pairs p
+            JOIN marg ma ON ma.entity = p.entity_a
+            JOIN marg mb ON mb.entity = p.entity_b
+            CROSS JOIN nd
+            ORDER BY p.entity_a, p.entity_b""",
     }

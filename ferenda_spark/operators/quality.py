@@ -45,3 +45,34 @@ def repo_status(parsed: DataFrame) -> DataFrame:
                  .alias("n_errors"),
                  F.sum(F.size("sections")).alias("n_parts"),
                  F.sum(F.size("links")).alias("n_links")))
+
+
+def profile_table(df: DataFrame, columns: list = None) -> DataFrame:
+    """One-pass data profiling — per-column row count, null count,
+    exact distinct count, lexicographic min/max (values rendered as
+    strings so one schema fits every column type): the statistics
+    table warehouse catalogs (Iceberg `ANALYZE`, Delta column stats)
+    maintain for CBO join ordering, partition pruning, and data-
+    quality monitoring, restated as a DataFrame program.
+
+    Shape: one explode of the row into (column, value) pairs — a
+    map-side UDTF-shaped stack — then a single groupBy(column) with
+    map-side partial aggregation; the shuffle carries one row per
+    (column, partition), never the data.  Exact NDV is kept because
+    the driver oracle demands determinism; at 10^12 rows swap the
+    ``countDistinct`` for ``approx_count_distinct`` (HLL, same plan
+    shape) or feed :func:`ferenda_spark.operators.sketches.
+    hll_registers` per column."""
+    cols = columns or df.columns
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in cols])).alias("kv")).select("kv.column", "kv.value")
+    return (pairs.groupBy("column")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum(F.col("value").isNull().cast("long"))
+                 .cast("long").alias("n_nulls"),
+                 F.countDistinct("value").cast("long")
+                 .alias("n_distinct"),
+                 F.min("value").alias("min_val"),
+                 F.max("value").alias("max_val")))

@@ -226,3 +226,43 @@ def pred_cooccurrence(triples: DataFrame) -> DataFrame:
             .where(F.col("pred_a") < F.col("pred_b"))
             .groupBy("pred_a", "pred_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_subjects")))
+
+
+def entity_cooccurrence(doc_entities: DataFrame,
+                        id_col: str = "url",
+                        ent_col: str = "entity") -> DataFrame:
+    """Entity-relatedness mining from co-mention: for every pair of
+    entities mentioned in the same document, the co-mention count and
+    its LIFT against independence, ``lift = n_docs * c_ab / (c_a *
+    c_b)`` — PMI without the log, kept as a single exact IEEE
+    division so the statistic is engine-portable (log PMI's libm
+    rounding is not).  This is the relatedness graph wikification
+    coherence scoring (Milne-Witten style) is built on.
+
+    Shape: distinct (doc, entity), one per-document self-join
+    (fan-out bounded by entities-per-doc, tens not corpus-scale —
+    the pred_cooccurrence argument), two dimension-sized marginal
+    aggregates broadcast back onto the pair table.  Returns
+    (entity_a, entity_b, c_ab, c_a, c_b, n_docs, lift)."""
+    de = (doc_entities.select(F.col(id_col).alias("d"),
+                              F.col(ent_col).alias("e")).distinct()
+          .localCheckpoint(eager=True))
+    n_docs = de.select("d").distinct().count()
+    a = de.select("d", F.col("e").alias("entity_a"))
+    b = de.select("d", F.col("e").alias("entity_b"))
+    pairs = (a.join(b, "d")
+             .where(F.col("entity_a") < F.col("entity_b"))
+             .groupBy("entity_a", "entity_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("c_ab")))
+    marg = de.groupBy(F.col("e")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    ma = F.broadcast(marg.select(F.col("e").alias("entity_a"),
+                                 F.col("c").alias("c_a")))
+    mb = F.broadcast(marg.select(F.col("e").alias("entity_b"),
+                                 F.col("c").alias("c_b")))
+    return (pairs.join(ma, "entity_a").join(mb, "entity_b")
+            .select("entity_a", "entity_b", "c_ab", "c_a", "c_b",
+                    F.lit(n_docs).cast("long").alias("n_docs"),
+                    ((F.lit(n_docs) * F.col("c_ab")).cast("double")
+                     / (F.col("c_a") * F.col("c_b")).cast("double"))
+                    .alias("lift")))

@@ -254,3 +254,58 @@ def test_entity_salience_rank_and_features(spark):
     assert out["e1"].first_start == 50
     assert out["e1"].spread == 45
     assert out["e2"].salience == 1.0 / 11
+
+
+# -------------------------------------------------------------- profile_table
+
+def test_profile_table_nulls_and_ndv(spark):
+    from ferenda_spark.operators.quality import profile_table
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string")
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 2
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_val == "a" and out["s"].max_val == "b"
+    # string rendering: numeric min/max are lexicographic by design
+    assert out["k"].min_val == "1" and out["k"].max_val == "2"
+
+
+def test_profile_table_column_subset(spark):
+    from ferenda_spark.operators.quality import profile_table
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert [r.column for r in
+            profile_table(df, columns=["s"]).collect()] == ["s"]
+
+
+# -------------------------------------------------------- entity_cooccurrence
+
+def test_entity_cooccurrence_lift(spark):
+    """3 docs: {A,B}, {A,B}, {A,C} -> lift(A,B) = 3*2/(3*2) = 1.0,
+    lift(A,C) = 3*1/(3*1) = 1.0, no (B,C) row; duplicate mentions in
+    one doc count once."""
+    from ferenda_spark.operators.triples import entity_cooccurrence
+    de = spark.createDataFrame(
+        [("d1", "A"), ("d1", "B"), ("d1", "B"),
+         ("d2", "A"), ("d2", "B"),
+         ("d3", "A"), ("d3", "C")], "url string, entity string")
+    out = {(r.entity_a, r.entity_b): r
+           for r in entity_cooccurrence(de).collect()}
+    assert set(out) == {("A", "B"), ("A", "C")}
+    ab = out[("A", "B")]
+    assert (ab.c_ab, ab.c_a, ab.c_b, ab.n_docs) == (2, 3, 2, 3)
+    assert ab.lift == 1.0
+    assert out[("A", "C")].lift == 1.0
+
+
+def test_entity_cooccurrence_positive_association(spark):
+    """Entities that ALWAYS co-occur get lift > 1 when rarer than
+    the corpus."""
+    from ferenda_spark.operators.triples import entity_cooccurrence
+    de = spark.createDataFrame(
+        [("d1", "X"), ("d1", "Y"),
+         ("d2", "X"), ("d2", "Y"),
+         ("d3", "Z"), ("d4", "Z")], "url string, entity string")
+    out = {(r.entity_a, r.entity_b): r.lift
+           for r in entity_cooccurrence(de).collect()}
+    assert out[("X", "Y")] == 4 * 2 / (2 * 2)  # 2.0
