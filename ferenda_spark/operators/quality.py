@@ -56,13 +56,15 @@ def profile_table(df: DataFrame, columns: list = None) -> DataFrame:
     quality monitoring, restated as a DataFrame program.
 
     Shape: one explode of the row into (column, value) pairs — a
-    map-side UDTF-shaped stack — then a single groupBy(column) with
-    map-side partial aggregation; the shuffle carries one row per
-    (column, partition), never the data.  Exact NDV is kept because
-    the driver oracle demands determinism; at 10^12 rows swap the
-    ``countDistinct`` for ``approx_count_distinct`` (HLL, same plan
-    shape) or feed :func:`ferenda_spark.operators.sketches.
-    hll_registers` per column."""
+    map-side UDTF-shaped stack — then a single groupBy(column).
+    min/max/counts partial-aggregate map-side, but EXACT NDV makes
+    the shuffle carry the per-partition-distinct (column, value)
+    pairs — corpus-sized in the worst case, which is precisely why
+    production profiling at 10^12 rows swaps ``countDistinct`` for
+    ``approx_count_distinct`` (HLL: constant-size partials, same
+    plan otherwise) or feeds :func:`ferenda_spark.operators.
+    sketches.hll_registers` per column.  Exact NDV is kept here
+    because the driver oracle demands determinism."""
     cols = columns or df.columns
     pairs = df.select(F.explode(F.array(*[
         F.struct(F.lit(c).alias("column"),
