@@ -106,6 +106,14 @@ HEADLINE = [
     "kg_schema_matching", "kg_fd_discovery",
     "kg_unit_normalize", "kg_geo_coords",
     "dedup_er_eval", "text_sentences",
+    # r4 continuation session 7: web-graph sketching, OWL-RL rules,
+    # RDF lists, paragraph dedup, bitext mining, structured data,
+    # salience/co-mention features, profiling, contrastive pairs
+    "kg_hyperball", "kg_owl_entailed", "kg_rdf_lists",
+    "dedup_paragraph", "text_bitext_pairs", "kg_entity_salience",
+    "kg_microdata_triples", "kg_hreflang_links",
+    "train_contrastive_pairs", "stats_profile_documents",
+    "kg_entity_cooccurrence",
 ]
 
 
