@@ -3125,6 +3125,30 @@ def _q_entity_cooccurrence(spark, sf_dir):
             .orderBy("entity_a", "entity_b"))
 
 
+def _q_sameas_incremental(spark, sf_dir):
+    """Incremental canonicalization: batch 1 (sameAs edges with
+    doc_id%4 in {1,2}) is canonicalized from scratch, then batch 2
+    (doc_id%4 == 3) merges into the STORED star-forest mapping —
+    the refreshed mapping must equal the from-scratch answer over
+    the full edge set (the kg_sameas_canonical closed form)."""
+    from ferenda_spark.operators.canonicalize import (
+        connected_components_uris, incremental_components)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    def _edges(pred):
+        return (d.where(pred)
+                .select(F.format_string(
+                    "https://example.org/res/doc/%d", did).alias("src"),
+                    F.format_string(
+                    "https://example.org/res/doc/%d", did - 1)
+                    .alias("dst")))
+    batch1 = _edges((did % 4 == 1) | (did % 4 == 2))
+    batch2 = _edges(did % 4 == 3)
+    mapping1 = connected_components_uris(batch1)
+    return (incremental_components(mapping1, batch2)
+            .orderBy("uri"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3330,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
+        "kg_sameas_incremental": _q_sameas_incremental,
     }
 
 
@@ -7163,4 +7188,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN marg mb ON mb.entity = p.entity_b
             CROSS JOIN nd
             ORDER BY p.entity_a, p.entity_b""",
+        # incremental merge must equal the from-scratch closed form
+        "kg_sameas_incremental": "WITH " + _F_CTE + """,
+            verts AS (
+              SELECT DISTINCT v FROM (
+                SELECT doc_id AS v FROM f WHERE doc_id % 4 <> 0
+                UNION ALL
+                SELECT doc_id - 1 FROM f WHERE doc_id % 4 <> 0))
+            SELECT 'https://example.org/res/doc/' || v AS uri,
+                   'https://example.org/res/doc/' || (v - (v % 4))
+                     AS canonical_uri
+            FROM verts ORDER BY uri""",
     }

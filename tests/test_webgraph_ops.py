@@ -309,3 +309,52 @@ def test_entity_cooccurrence_positive_association(spark):
     out = {(r.entity_a, r.entity_b): r.lift
            for r in entity_cooccurrence(de).collect()}
     assert out[("X", "Y")] == 4 * 2 / (2 * 2)  # 2.0
+
+
+# ------------------------------------------------------ incremental CC merge
+
+def _uri_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_incremental_components_bridges_old_clusters(spark):
+    """A single new edge joining two PREVIOUSLY SEPARATE clusters
+    re-elects one canonical for the union — identical to a
+    from-scratch recompute over all edges."""
+    from ferenda_spark.operators.canonicalize import (
+        connected_components_uris, incremental_components)
+    old = _uri_edges(spark, [("b", "a"), ("d", "c")])
+    new = _uri_edges(spark, [("c", "b")])
+    mapping = connected_components_uris(old)
+    inc = {(r.uri, r.canonical_uri)
+           for r in incremental_components(mapping, new).collect()}
+    full = {(r.uri, r.canonical_uri)
+            for r in connected_components_uris(
+                old.unionByName(new)).collect()}
+    assert inc == full
+    assert inc == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a")}
+
+
+def test_incremental_components_new_cluster_and_untouched(spark):
+    """A batch that only adds a brand-new cluster leaves existing
+    mappings unchanged."""
+    from ferenda_spark.operators.canonicalize import (
+        connected_components_uris, incremental_components)
+    old = _uri_edges(spark, [("y", "x")])
+    new = _uri_edges(spark, [("q", "p")])
+    inc = {(r.uri, r.canonical_uri) for r in incremental_components(
+        connected_components_uris(old), new).collect()}
+    assert inc == {("x", "x"), ("y", "x"), ("p", "p"), ("q", "p")}
+
+
+def test_incremental_components_chain_merge_three_clusters(spark):
+    """One batch chaining THREE old clusters together converges to a
+    single canonical (star-forest diameter argument)."""
+    from ferenda_spark.operators.canonicalize import (
+        connected_components_uris, incremental_components)
+    old = _uri_edges(spark, [("a2", "a1"), ("b2", "b1"), ("c2", "c1")])
+    new = _uri_edges(spark, [("b1", "a2"), ("c1", "b2")])
+    inc = {(r.uri, r.canonical_uri) for r in incremental_components(
+        connected_components_uris(old), new).collect()}
+    assert inc == {(u, "a1")
+                   for u in ("a1", "a2", "b1", "b2", "c1", "c2")}
