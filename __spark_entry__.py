@@ -3149,6 +3149,26 @@ def _q_sameas_incremental(spark, sf_dir):
             .orderBy("uri"))
 
 
+def _q_publication_dates(spark, sf_dir):
+    """Document dating over planted in-content ISO dates (two valid
+    dates per doc, none when doc_id%7==0, plus an invalid 2020-13-40
+    decoy the regex must reject); the REAL regex scan runs Spark-side,
+    the oracle emits min/max closed-form."""
+    from ferenda_spark.operators.extract import publication_dates
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    dated = F.format_string(
+        "posted 2020-%02d-%02d not-a-date 2020-13-40 rev %d-06-01 end",
+        F.lit(1) + did % 12, F.lit(1) + did % 28,
+        F.lit(2019) + did % 5)
+    docs = d.select(
+        F.format_string("https://example.org/dated/%d", did)
+        .alias("url"),
+        F.when(did % 7 == 0, F.lit("no dates at all"))
+        .otherwise(dated).alias("text"))
+    return publication_dates(docs).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3355,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
         "kg_sameas_incremental": _q_sameas_incremental,
+        "kg_publication_dates": _q_publication_dates,
     }
 
 
@@ -7199,4 +7220,25 @@ def oracle_sql() -> dict[str, str]:
                    'https://example.org/res/doc/' || (v - (v % 4))
                      AS canonical_uri
             FROM verts ORDER BY uri""",
+        # min/max of the two planted dates, closed-form; the decoy
+        # 2020-13-40 must never match
+        "kg_publication_dates": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/dated/' || doc_id AS url,
+                     '2020-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR),
+                                     2, '0')
+                             || '-'
+                             || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                     2, '0') AS d1,
+                     (2019 + doc_id % 5) || '-06-01' AS d2
+              FROM documents)
+            SELECT url,
+                   CASE WHEN doc_id % 7 = 0 THEN 0
+                        ELSE 2 END AS n_dates,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE least(d1, d2) END AS pub_date,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE greatest(d1, d2) END AS last_date
+            FROM d ORDER BY url""",
     }

@@ -113,7 +113,8 @@ HEADLINE = [
     "dedup_paragraph", "text_bitext_pairs", "kg_entity_salience",
     "kg_microdata_triples", "kg_hreflang_links",
     "train_contrastive_pairs", "stats_profile_documents",
-    "kg_entity_cooccurrence",
+    "kg_entity_cooccurrence", "kg_sameas_incremental",
+    "kg_publication_dates",
 ]
 
 

@@ -567,3 +567,32 @@ def hreflang_alternates(pages: DataFrame) -> DataFrame:
     alternate."""
     return (pages.select("url", "html")
             .mapInPandas(_alternate_batches, schema=ALTERNATES_SCHEMA))
+
+
+ISO_DATE_RE = (r"\b((?:19|20)\d{2}-(?:0[1-9]|1[0-2])"
+               r"-(?:0[1-9]|[12][0-9]|3[01]))\b")
+
+
+def publication_dates(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "url") -> DataFrame:
+    """Document dating from in-content ISO dates — the metadata-
+    recovery step corpus pipelines run when the crawl lacks reliable
+    Last-Modified headers (trafilatura/htmldate's content heuristic,
+    restricted to the unambiguous ISO-8601 form): every
+    ``YYYY-MM-DD`` token in the text, with the EARLIEST read as the
+    publication date (first-publish beats update stamps) and the
+    latest kept as the update bound.
+
+    Pure whole-stage-codegen column expressions
+    (``regexp_extract_all`` + array min/max/size) — no UDF, no
+    shuffle; dates stay strings end-to-end (ISO order = lexicographic
+    order, and no engine-specific date widening).  Returns
+    (id, n_dates, pub_date, last_date) with NULLs when no date
+    appears."""
+    arr = F.expr(
+        "regexp_extract_all(%s, r'%s', 1)" % (text_col, ISO_DATE_RE))
+    return docs.select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_dates"),
+        F.array_min(arr).alias("pub_date"),
+        F.array_max(arr).alias("last_date"))

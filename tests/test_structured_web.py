@@ -100,3 +100,30 @@ def test_contrastive_pairs_labels_split(spark):
         if (a, b) != (1, 2):
             assert lab == "hard_negative"
     assert all(r.label in ("positive", "hard_negative") for r in rows)
+
+
+def test_publication_dates_rejects_invalid_and_handles_empty(spark):
+    from ferenda_spark.operators.extract import publication_dates
+    docs = spark.createDataFrame([
+        ("u", "posted 2020-03-15, rev 2021-01-02, bogus 2020-13-40 "
+              "and 2020-02-30-ish is fine (day 30 matches the "
+              "charset), but 2020-00-10 is not"),
+        ("v", ""),
+        ("w", None)], "url string, text string")
+    out = {r.url: r for r in publication_dates(docs).collect()}
+    assert out["u"].pub_date == "2020-02-30"  # charset-valid by design
+    assert out["u"].last_date == "2021-01-02"
+    assert out["u"].n_dates == 3
+    assert out["v"].n_dates == 0 and out["v"].pub_date is None
+    assert out["w"].pub_date is None
+
+
+def test_publication_dates_embedded_in_longer_tokens(spark):
+    """Word-boundary anchors: digits glued on either side must not
+    produce a match."""
+    from ferenda_spark.operators.extract import publication_dates
+    docs = spark.createDataFrame(
+        [("u", "id 12020-01-01 and 2020-01-019 but ok 1999-12-31.")],
+        "url string, text string")
+    r = publication_dates(docs).collect()[0]
+    assert r.n_dates == 1 and r.pub_date == "1999-12-31"
