@@ -3169,6 +3169,222 @@ def _q_publication_dates(spark, sf_dir):
     return publication_dates(docs).orderBy("url")
 
 
+def _shacl_input(spark, sf_dir):
+    """Closed-form triple table + SHACL-lite shapes shared by the
+    validation queries: every doc typed Document; title missing when
+    doc_id%11==0 (minCount), a second issued when doc_id%13==0
+    (maxCount), a non-numeric words value when doc_id%17==0
+    (pattern)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    uri = F.format_string("https://example.org/res/doc/%d", did)
+    from ferenda_spark.operators.shapes import RDF_TYPE
+    cls = F.lit("https://example.org/vocab#Document")
+    typ = d.select(uri.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+                   cls.alias("obj"))
+    title = (d.where(did % 11 != 0)
+             .select(uri.alias("subj"),
+                     F.lit("http://purl.org/dc/terms/title").alias("pred"),
+                     F.format_string("Doc %d", did).alias("obj")))
+    issued1 = d.select(uri.alias("subj"),
+                       F.lit("http://purl.org/dc/terms/issued")
+                       .alias("pred"), F.lit("2020-01-01").alias("obj"))
+    issued2 = (d.where(did % 13 == 0)
+               .select(uri.alias("subj"),
+                       F.lit("http://purl.org/dc/terms/issued")
+                       .alias("pred"), F.lit("2021-01-01").alias("obj")))
+    words = d.select(
+        uri.alias("subj"),
+        F.lit("https://example.org/vocab#words").alias("pred"),
+        F.when(did % 17 == 0, F.lit("NaN"))
+        .otherwise((did % 1000).cast("string")).alias("obj"))
+    triples = (typ.unionByName(title).unionByName(issued1)
+               .unionByName(issued2).unionByName(words))
+    shapes = spark.createDataFrame(
+        [("s_title", "https://example.org/vocab#Document",
+          "http://purl.org/dc/terms/title", 1, 1, None),
+         ("s_issued", "https://example.org/vocab#Document",
+          "http://purl.org/dc/terms/issued", 1, 1, None),
+         ("s_words", "https://example.org/vocab#Document",
+          "https://example.org/vocab#words", 0, None, "^[0-9]+$")],
+        "shape_id string, target_class string, path string, "
+        "min_count int, max_count int, pattern string")
+    return triples, shapes
+
+
+def _q_shacl_violations(spark, sf_dir):
+    """SHACL-lite node validation (minCount / maxCount / pattern)
+    over a closed-form triple table: the REAL broadcast-join +
+    per-focus aggregation runs Spark-side, the oracle emits the
+    planted violations."""
+    from ferenda_spark.operators.shapes import shacl_validate
+    triples, shapes = _shacl_input(spark, sf_dir)
+    return (shacl_validate(triples, shapes)
+            .orderBy("focus", "shape_id", "constraint"))
+
+
+def _q_disjoint_violations(spark, sf_dir):
+    """owl:disjointWith consistency: docs typed Person (doc_id%2==0)
+    and Organization (doc_id%3==0) violate the axiom exactly when
+    doc_id%6==0."""
+    from ferenda_spark.operators.shapes import (RDF_TYPE,
+                                                disjoint_violations)
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    uri = F.format_string("https://example.org/res/doc/%d", did)
+    person = (d.where(did % 2 == 0)
+              .select(uri.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+                      F.lit("https://example.org/vocab#Person")
+                      .alias("obj")))
+    org = (d.where(did % 3 == 0)
+           .select(uri.alias("subj"), F.lit(RDF_TYPE).alias("pred"),
+                   F.lit("https://example.org/vocab#Organization")
+                   .alias("obj")))
+    axioms = spark.createDataFrame(
+        [("https://example.org/vocab#Person",
+          "https://example.org/vocab#Organization")],
+        "class_a string, class_b string")
+    return (disjoint_violations(person.unionByName(org), axioms)
+            .orderBy("subj"))
+
+
+def _q_nquads_triples(spark, sf_dir):
+    """Splittable N-Quads ingest: five closed-form line shapes per
+    doc_id%5 (iri object / plain literal / escaped+lang literal /
+    bnode+datatype+graph / malformed quarantine row); the REAL regex
+    parser runs Spark-side, the oracle emits the expected parse."""
+    from ferenda_spark.operators.rdfio import parse_nquads
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    s = F.format_string("<https://example.org/s/%d>", did)
+    p = F.format_string("<https://example.org/p/%d>", did % 7)
+    line = (F.when(did % 5 == 0, F.concat_ws(
+                " ", s, p,
+                F.format_string("<https://example.org/o/%d>", did),
+                F.lit(".")))
+            .when(did % 5 == 1, F.concat_ws(
+                " ", s, p,
+                F.format_string('"title %d"', did), F.lit(".")))
+            .when(did % 5 == 2, F.concat_ws(
+                " ", s, p,
+                F.format_string('"v\\"%d"@en', did), F.lit(".")))
+            .when(did % 5 == 3, F.concat_ws(
+                " ", F.format_string("_:b%d", did), p,
+                F.format_string(
+                    '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>',
+                    did),
+                F.format_string("<https://example.org/g/%d>", did % 3),
+                F.lit(".")))
+            .otherwise(F.format_string("malformed %d", did)))
+    return (parse_nquads(d.select(line.alias("value")))
+            .orderBy("raw"))
+
+
+def _q_entity_cards(spark, sf_dir):
+    """Serving-layer entity-card export: the real corpus doc-triples
+    collapsed to one canonical record per subject (sorted pred=obj
+    list) — string_agg-replayable in the oracle."""
+    from ferenda_spark.operators.triples import doc_triples, entity_cards
+    return (entity_cards(doc_triples(_docs(spark, sf_dir)))
+            .orderBy("subj"))
+
+
+def _q_train_weighted_sample(spark, sf_dir):
+    """Integer-exact weight-proportional Bernoulli downsample
+    (weight = 1 + doc_id%10 of max 10): kept iff
+    u32(md5) * 10 < weight * 2^32 — no float on either engine."""
+    from ferenda_spark.operators.training import weighted_sample
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    df = d.withColumn("weight", (F.lit(1) + F.col("doc_id") % 10)
+                      .cast("long"))
+    return weighted_sample(df, "weight", 10).orderBy("doc_id")
+
+
+def _q_spam_features(spark, sf_dir):
+    """Link-farm signals over a closed-form 20-host graph: forward
+    edge per doc, reverse (reciprocal) edge when doc_id%4==0, self
+    edge when doc_id%10==0; the oracle replays the distinct/
+    reciprocity relational program."""
+    from ferenda_spark.operators.cleaning import link_spam_features
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    h = F.format_string("h%d", did % 20)
+    h2 = F.format_string("h%d", (did * 3 + 1) % 20)
+    fwd = d.select(h.alias("src_host"), h2.alias("dst_host"))
+    rev = (d.where(did % 4 == 0)
+           .select(h2.alias("src_host"), h.alias("dst_host")))
+    slf = (d.where(did % 10 == 0)
+           .select(h.alias("src_host"), h.alias("dst_host")))
+    edges = fwd.unionByName(rev).unionByName(slf)
+    return link_spam_features(edges).orderBy("host")
+
+
+def _q_text_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints over a closed-form 12-token
+    stream per doc (token_i = w((doc_id + i*i) % 7), k=3, w=4); the
+    oracle replays gram-hashing, window replication and the
+    rightmost-min composite-key selection in SQL."""
+    from ferenda_spark.operators.dedup import winnow_fingerprints
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda i: F.format_string("w%d",
+                                  (F.col("doc_id") + i * i) % 7))
+    docs = d.select("doc_id", F.array_join(toks, " ").alias("text"))
+    return (winnow_fingerprints(docs, k=3, w=4)
+            .orderBy("doc_id", "pos"))
+
+
+def _scc_edges(spark, sf_dir):
+    """Closed-form directed graph in complete groups of 5 doc_ids:
+    a 3-cycle (b, b+1, b+2) with a 2-chain tail (b+2 -> b+3 -> b+4)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    lim = (d.count() // 5) * 5
+    d = d.where(F.col("doc_id") < lim)
+    did = F.col("doc_id")
+    r = did % 5
+    src = d.select(did.alias("src"),
+                   F.when(r == 2, did - 2).otherwise(did + 1)
+                   .alias("dst"))
+    tail = (d.where(r == 2)
+            .select(did.alias("src"), (did + 1).alias("dst")))
+    return src.where(r <= 2).unionByName(tail).unionByName(
+        d.where(r == 3).select(did.alias("src"), (did + 1).alias("dst")))
+
+
+def _q_scc_labels(spark, sf_dir):
+    """Distributed coloring SCC over the planted cycle+tail groups:
+    cycle members label to the max cycle id (base+2), tail nodes are
+    singleton SCCs."""
+    from ferenda_spark.operators.graphs import scc_labels
+    return (scc_labels(_scc_edges(spark, sf_dir))
+            .orderBy("node"))
+
+
+def _q_bowtie_classes(spark, sf_dir):
+    """Broder bow-tie over the same graph: all SCCs tie at size 3 so
+    the smallest scc id (node 2, group 0) is CORE; its tail (3, 4)
+    is OUT; every other group is OTHER (nothing reaches into a
+    cycle)."""
+    from ferenda_spark.operators.graphs import bowtie_classes, scc_labels
+    e = _scc_edges(spark, sf_dir)
+    return bowtie_classes(e, scc_labels(e)).orderBy("node")
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering keys over two 8-bit closed-form
+    dimensions (doc_id%256, (doc_id*7+3)%256) with 16 buckets — the
+    two-dimensional file-pruning layout; bit math mirrored verbatim
+    in the oracle."""
+    from ferenda_spark.operators.store import zorder_keys
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    df = d.select("doc_id", (did % 256).alias("x"),
+                  ((did * 7 + 3) % 256).alias("y"))
+    return (zorder_keys(df, "x", "y", bits=8, bucket_bits=4)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3376,6 +3592,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
         "kg_sameas_incremental": _q_sameas_incremental,
         "kg_publication_dates": _q_publication_dates,
+        "kg_shacl_violations": _q_shacl_violations,
+        "kg_disjoint_violations": _q_disjoint_violations,
+        "kg_nquads_triples": _q_nquads_triples,
+        "kg_entity_cards": _q_entity_cards,
+        "train_weighted_sample": _q_train_weighted_sample,
+        "kg_spam_features": _q_spam_features,
+        "text_winnowing": _q_text_winnowing,
+        "kg_scc_labels": _q_scc_labels,
+        "kg_bowtie_classes": _q_bowtie_classes,
+        "store_zorder_layout": _q_zorder_layout,
     }
 
 
@@ -3820,6 +4046,11 @@ _FUZZY_LSH_SQL = """
       FROM scored WHERE jaccard >= 0.5)
     SELECT mention_id, label, entity_uri, jaccard, 'lsh' AS method
     FROM ranked WHERE rk = 1"""
+
+
+# Morton interleave as plain SQL bit math (generated once so the
+# oracle mirrors zorder_keys bit for bit)
+_Z_TERMS = "((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7241,4 +7472,186 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 7 = 0 THEN NULL
                         ELSE greatest(d1, d2) END AS last_date
             FROM d ORDER BY url""",
+        # planted violations, closed-form (the real broadcast-join +
+        # per-focus aggregation runs Spark-side)
+        "kg_shacl_violations": """
+            WITH d AS (SELECT doc_id,
+                   'https://example.org/res/doc/' || doc_id AS focus
+                   FROM documents)
+            SELECT focus, 's_title' AS shape_id,
+                   'minCount' AS "constraint",
+                   CAST(1 AS BIGINT) AS expected,
+                   CAST(0 AS BIGINT) AS actual
+            FROM d WHERE doc_id % 11 = 0
+            UNION ALL
+            SELECT focus, 's_issued', 'maxCount', 1, 2
+            FROM d WHERE doc_id % 13 = 0
+            UNION ALL
+            SELECT focus, 's_words', 'pattern', 0, 1
+            FROM d WHERE doc_id % 17 = 0
+            ORDER BY focus, shape_id, "constraint" """,
+        "kg_disjoint_violations": """
+            SELECT 'https://example.org/res/doc/' || doc_id AS subj,
+                   'https://example.org/vocab#Organization' AS class_a,
+                   'https://example.org/vocab#Person' AS class_b
+            FROM documents WHERE doc_id % 6 = 0 ORDER BY subj""",
+        # expected parse of the five closed-form N-Quads line shapes
+        "kg_nquads_triples": """
+            WITH d AS (SELECT doc_id,
+                   '<https://example.org/s/' || doc_id || '>' AS s,
+                   '<https://example.org/p/' || (doc_id % 7) || '>' AS p
+                   FROM documents)
+            SELECT
+              CASE WHEN doc_id % 5 = 4 THEN NULL
+                   WHEN doc_id % 5 = 3 THEN '_:b' || doc_id
+                   ELSE 'https://example.org/s/' || doc_id END AS subj,
+              CASE WHEN doc_id % 5 = 4 THEN NULL
+                   ELSE 'https://example.org/p/' || (doc_id % 7)
+                   END AS pred,
+              CASE doc_id % 5
+                WHEN 0 THEN 'https://example.org/o/' || doc_id
+                WHEN 1 THEN 'title ' || doc_id
+                WHEN 2 THEN 'v"' || doc_id
+                WHEN 3 THEN CAST(doc_id AS VARCHAR)
+                ELSE NULL END AS obj,
+              CASE WHEN doc_id % 5 = 4 THEN NULL
+                   ELSE (doc_id % 5 IN (1, 2, 3)) END AS is_literal,
+              CASE WHEN doc_id % 5 = 2 THEN 'en' END AS obj_lang,
+              CASE WHEN doc_id % 5 = 3
+                   THEN 'http://www.w3.org/2001/XMLSchema#integer'
+                   END AS obj_datatype,
+              CASE WHEN doc_id % 5 = 3
+                   THEN 'https://example.org/g/' || (doc_id % 3)
+                   END AS graph,
+              (doc_id % 5 <> 4) AS parse_ok,
+              CASE doc_id % 5
+                WHEN 0 THEN s || ' ' || p || ' <https://example.org/o/'
+                            || doc_id || '> .'
+                WHEN 1 THEN s || ' ' || p || ' "title ' || doc_id
+                            || '" .'
+                WHEN 2 THEN s || ' ' || p || ' "v\\"' || doc_id
+                            || '"@en .'
+                WHEN 3 THEN '_:b' || doc_id || ' ' || p || ' "'
+                            || doc_id
+                            || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+                            || ' <https://example.org/g/' || (doc_id % 3)
+                            || '> .'
+                ELSE 'malformed ' || doc_id END AS raw
+            FROM d ORDER BY raw""",
+        # string_agg replay of the canonical per-subject card
+        "kg_entity_cards":
+            "WITH " + _F_CTE + ", " + _DOC_TRIPLES + """,
+            t AS (SELECT DISTINCT subj, pred, obj FROM doc_triples
+                  WHERE obj IS NOT NULL)
+            SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_preds,
+                   string_agg(pred || '=' || obj, '; '
+                              ORDER BY pred, obj) AS card
+            FROM t GROUP BY subj ORDER BY subj""",
+        # integer-exact Bernoulli: u32(md5) * max_w < w * 2^32
+        "train_weighted_sample": """
+            SELECT doc_id, CAST(1 + doc_id % 10 AS BIGINT) AS weight
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) * 10
+                  < (1 + doc_id % 10) * 4294967296
+            ORDER BY doc_id""",
+        # relational replay of the reciprocity program
+        "kg_spam_features": """
+            WITH d AS (SELECT doc_id FROM documents),
+            raw AS (
+              SELECT 'h' || (doc_id % 20) AS src_host,
+                     'h' || ((doc_id * 3 + 1) % 20) AS dst_host FROM d
+              UNION ALL
+              SELECT 'h' || ((doc_id * 3 + 1) % 20),
+                     'h' || (doc_id % 20) FROM d WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT 'h' || (doc_id % 20), 'h' || (doc_id % 20)
+              FROM d WHERE doc_id % 10 = 0),
+            e AS (SELECT DISTINCT src_host, dst_host FROM raw),
+            fwd AS (SELECT * FROM e WHERE src_host <> dst_host),
+            selfs AS (SELECT src_host AS host,
+                             CAST(1 AS BIGINT) AS self_links
+                      FROM e WHERE src_host = dst_host),
+            outd AS (SELECT src_host AS host,
+                            CAST(COUNT(*) AS BIGINT) AS out_hosts
+                     FROM fwd GROUP BY 1),
+            ind AS (SELECT dst_host AS host,
+                           CAST(COUNT(*) AS BIGINT) AS in_hosts
+                    FROM fwd GROUP BY 1),
+            recip AS (SELECT a.src_host AS host,
+                             CAST(COUNT(*) AS BIGINT) AS recip_hosts
+                      FROM fwd a JOIN fwd b
+                        ON a.src_host = b.dst_host
+                       AND a.dst_host = b.src_host GROUP BY 1),
+            hosts AS (SELECT host FROM outd UNION SELECT host FROM ind)
+            SELECT h.host,
+                   COALESCE(o.out_hosts, 0) AS out_hosts,
+                   COALESCE(i.in_hosts, 0) AS in_hosts,
+                   COALESCE(r.recip_hosts, 0) AS recip_hosts,
+                   COALESCE(s.self_links, 0) AS self_links,
+                   CASE WHEN COALESCE(o.out_hosts, 0) > 0
+                        THEN COALESCE(r.recip_hosts, 0) * 1000000
+                             // o.out_hosts
+                        ELSE 0 END AS reciprocity_ppm
+            FROM hosts h
+            LEFT JOIN outd o USING (host) LEFT JOIN ind i USING (host)
+            LEFT JOIN recip r USING (host) LEFT JOIN selfs s USING (host)
+            ORDER BY h.host""",
+        # full relational replay of winnowing (k=3, w=4, 12 tokens):
+        # gram hashes, window replication, rightmost-min composite key
+        "text_winnowing": """
+            WITH pos AS (SELECT CAST(UNNEST(generate_series(1, 10))
+                                     AS BIGINT) AS pos),
+            grams AS (
+              SELECT d.doc_id, p.pos,
+                     md5('w' || ((d.doc_id + p.pos * p.pos) % 7)
+                         || ' ' ||
+                         'w' || ((d.doc_id + (p.pos + 1) * (p.pos + 1))
+                                 % 7)
+                         || ' ' ||
+                         'w' || ((d.doc_id + (p.pos + 2) * (p.pos + 2))
+                                 % 7)) AS h
+              FROM documents d, pos p),
+            wins AS (SELECT CAST(UNNEST(generate_series(1, 7))
+                                 AS BIGINT) AS win),
+            reps AS (
+              SELECT g.doc_id, g.pos, g.h, w.win
+              FROM grams g JOIN wins w
+                ON g.pos BETWEEN w.win AND w.win + 3),
+            sel AS (
+              SELECT doc_id, win,
+                     MIN(h || lpad(CAST(999999999 - pos AS VARCHAR),
+                                   9, '0')) AS k
+              FROM reps GROUP BY doc_id, win)
+            SELECT DISTINCT doc_id,
+                   999999999 - CAST(substr(k, 33, 9) AS INTEGER) AS pos,
+                   substr(k, 1, 8) AS fingerprint
+            FROM sel ORDER BY doc_id, pos""",
+        # closed-form: 3-cycle -> max member (base+2), tails singleton
+        "kg_scc_labels": """
+            WITH lim AS (SELECT (COUNT(*) // 5) * 5 AS v FROM documents)
+            SELECT doc_id AS node,
+                   CASE WHEN doc_id % 5 <= 2
+                        THEN doc_id - (doc_id % 5) + 2
+                        ELSE doc_id END AS scc
+            FROM documents, lim WHERE doc_id < lim.v ORDER BY node""",
+        # tie on SCC size 3 -> smallest scc id (group 0) is CORE; its
+        # tail is OUT; no node reaches into a cycle, so the rest is
+        # OTHER
+        "kg_bowtie_classes": """
+            WITH lim AS (SELECT (COUNT(*) // 5) * 5 AS v FROM documents)
+            SELECT doc_id AS node,
+                   CASE WHEN doc_id <= 2 THEN 'CORE'
+                        WHEN doc_id IN (3, 4) THEN 'OUT'
+                        ELSE 'OTHER' END AS cls
+            FROM documents, lim WHERE doc_id < lim.v ORDER BY node""",
+        # verbatim bit-math mirror of the Morton interleave
+        "store_zorder_layout": """
+            WITH d AS (SELECT doc_id, doc_id % 256 AS x,
+                              (doc_id * 7 + 3) % 256 AS y
+                       FROM documents)
+            SELECT doc_id, x, y, (""" + _Z_TERMS + """) AS zvalue,
+                   (""" + _Z_TERMS + """) >> 12 AS zbucket
+            FROM d ORDER BY doc_id""",
     }

@@ -115,6 +115,13 @@ HEADLINE = [
     "train_contrastive_pairs", "stats_profile_documents",
     "kg_entity_cooccurrence", "kg_sameas_incremental",
     "kg_publication_dates",
+    # r4 continuation session 8: shape validation, N-Quads ingest,
+    # entity cards, weighted sampling, spam signals, winnowing,
+    # SCC/bow-tie, Z-order layout
+    "kg_shacl_violations", "kg_disjoint_violations",
+    "kg_nquads_triples", "kg_entity_cards", "train_weighted_sample",
+    "kg_spam_features", "text_winnowing", "kg_scc_labels",
+    "kg_bowtie_classes", "store_zorder_layout",
 ]
 
 

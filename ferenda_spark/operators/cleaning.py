@@ -361,3 +361,48 @@ def parse_geo_coords(df: DataFrame, value_col: str = "raw") -> DataFrame:
                 ok, F.when(ns == "S", -lat).otherwise(lat)))
             .withColumn("lon", F.when(
                 ok, F.when(ew == "W", -lon).otherwise(lon))))
+
+
+def link_spam_features(host_edges: DataFrame) -> DataFrame:
+    """Link-farm signals over the host graph (:func:`host_graph`
+    output or any (src_host, dst_host[, n_links]) edge list).
+
+    Per host: out_hosts / in_hosts (distinct neighbor counts),
+    self_links (host linking to itself), recip_hosts (out-neighbors
+    that link back — the mutual-admiration signature of link
+    exchanges, TrustRank/anti-spam literature's first-order feature),
+    and reciprocity_ppm = recip_hosts * 1e6 div out_hosts — integer
+    arithmetic end to end so the SQL oracle matches bit-for-bit.
+
+    Scale shape: edges deduped once; reciprocity is a self-join on
+    the REVERSED host pair (keyed on the pair, never on a single hot
+    host); degree counts are two groupBys with map-side partials; the
+    final assembly joins dimension-sized per-host aggregates.  No
+    step is keyed coarser than a host, so hot domains salt/AQE the
+    same way the page-level joins do.
+    """
+    e = (host_edges.select("src_host", "dst_host").distinct()
+         .localCheckpoint(eager=True))
+    fwd = e.where(F.col("src_host") != F.col("dst_host"))
+    selfs = (e.where(F.col("src_host") == F.col("dst_host"))
+             .select(F.col("src_host").alias("host"),
+                     F.lit(1).cast("long").alias("self_links")))
+    outd = fwd.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_hosts"))
+    ind = fwd.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_hosts"))
+    rev = fwd.select(F.col("dst_host").alias("src_host"),
+                     F.col("src_host").alias("dst_host"))
+    recip = (fwd.join(rev, ["src_host", "dst_host"])
+             .groupBy(F.col("src_host").alias("host"))
+             .agg(F.count(F.lit(1)).cast("long").alias("recip_hosts")))
+    out = (outd.join(ind, "host", "full")
+           .join(recip, "host", "left")
+           .join(selfs, "host", "left")
+           .na.fill(0, ["out_hosts", "in_hosts", "recip_hosts",
+                        "self_links"]))
+    return out.withColumn(
+        "reciprocity_ppm",
+        F.when(F.col("out_hosts") > 0,
+               F.expr("recip_hosts * 1000000 div out_hosts"))
+        .otherwise(F.lit(0).cast("long")))

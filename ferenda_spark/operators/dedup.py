@@ -559,3 +559,66 @@ def paragraph_dedup(documents: DataFrame, text_col: str = "text",
             .select(F.col("id").alias(id_col), "n_paras",
                     F.coalesce("n_kept", F.lit(0)).cast("long")
                     .alias("n_kept"), "kept_text"))
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 3,
+                        w: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token gram,
+    slide a window of ``w`` consecutive gram hashes, and select the
+    *rightmost minimal* hash of each window.  The guarantee: any
+    shared run of ``w + k - 1`` tokens between two documents yields
+    at least one shared fingerprint, with expected density 2/(w+1) —
+    position-robust partial-overlap detection, complementing the
+    exact-span (:func:`repeated_spans`) and set-similarity
+    (:func:`minhash_signatures`) families.
+
+    Returns (doc_id, pos, fingerprint): 1-based gram position and the
+    first 8 md5 hex digits of the selected gram.
+
+    Scale shape: grams and window replication (×w) are map-side
+    expressions; selection is ONE groupBy keyed on (doc, window) —
+    never coarser than a document — followed by a per-doc distinct.
+    The rightmost-min rule needs min-by-(hash, -pos); that composite
+    is encoded as a plain string key (md5 hex ∥ zero-padded reversed
+    position) so the aggregation is a vanilla ``min`` that the DuckDB
+    oracle replays verbatim — no engine-specific arg_min semantics.
+    """
+    toks = tokens(F.col(text_col))
+    m = F.size(toks) - k + 1        # number of k-grams
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
+                .alias("h")))
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    rows = (documents
+            .select("doc_id", m.alias("m"),
+                    F.explode(grams).alias("g"))
+            .select("doc_id", "m", F.col("g.pos").alias("pos"),
+                    F.col("g.h").alias("h")))
+    # window starts this gram participates in: [pos-w+1, pos] ∩ [1, m-w+1]
+    starts = F.sequence(F.greatest(F.lit(1), F.col("pos") - w + 1),
+                        F.least(F.col("pos"), F.col("m") - w + 1))
+    rows = (rows.where(F.col("m") >= w)
+            .select("doc_id", "pos", "h",
+                    F.explode(starts).alias("win")))
+    # min over (h asc, pos desc): reversed-position suffix makes the
+    # lexicographic min of the composite key pick the rightmost
+    # minimal hash (md5 hex is fixed-width, so lex = numeric)
+    key = F.concat(F.col("h"),
+                   F.lpad((F.lit(999999999) - F.col("pos"))
+                          .cast("string"), 9, "0"))
+    sel = (rows
+           .groupBy("doc_id", "win")
+           .agg(F.min(key).alias("k")))
+    return (sel
+            .select("doc_id",
+                    (F.lit(999999999)
+                     - F.substring("k", 33, 9).cast("int")).alias("pos"),
+                    F.substring("k", 1, 8).alias("fingerprint"))
+            .distinct())

@@ -1245,3 +1245,160 @@ def owl_entailment(triples: DataFrame, ontology: DataFrame,
     if inferred_only:
         out = out.join(base, ["subj", "pred", "obj"], "left_anti")
     return out
+
+
+def scc_labels(edges: DataFrame, src: str = "src", dst: str = "dst",
+               max_outer: int = 8, max_inner: int = 32) -> DataFrame:
+    """Strongly connected components by distributed coloring (Orzan
+    2004; the algorithm behind Pegasus/GraphX SCC) — the directed
+    counterpart of the sameAs connected-components canonicalizer in
+    ``operators/canonicalize.py``, and the first step of the classic
+    web bow-tie decomposition (Broder et al., WWW 2000).
+
+    Each outer round:
+
+    1. *forward coloring to fixpoint*: every active vertex starts as
+       its own color; colors propagate along edge direction taking
+       the max — at fixpoint ``color(v)`` = max active vertex that
+       reaches v (v included);
+    2. vertices with ``color(v) == v`` are roots; the SCC of root c
+       is recovered by *backward marking within color c* to fixpoint
+       (u joins when it has an edge into a marked same-color vertex
+       — u already reaches c forward by its color, and now c reaches
+       u back, so u ∈ SCC(c));
+    3. marked vertices are emitted with ``scc = color`` (the max
+       member id, matching the canonicalizer's max-representative
+       convention) and removed; the remainder re-colors next round.
+
+    Every step is an edge⋈label equi-join + a per-vertex max groupBy
+    — shuffles keyed on vertex ids only, no collect; label frames
+    are localCheckpointed per iteration (each feeds both the next
+    join and the convergence count — the pagerank/HITS loop
+    discipline).  Convergence checks are ``count()`` actions per
+    round, the standard semi-naive fixpoint guard.  Worst case outer
+    rounds = number of "peel layers" (deep DAG chains degrade — the
+    documented quadratic risk shared with every coloring SCC); web
+    graphs peel in a handful.
+
+    Returns (node, scc).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    verts = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    out = None
+    active = verts
+    for _ in range(max_outer):
+        if active.limit(1).count() == 0:
+            break
+        ae = (e.join(active.withColumnRenamed("node", "u"), "u",
+                     "left_semi")
+              .join(active.withColumnRenamed("node", "v"), "v",
+                    "left_semi")
+              .localCheckpoint(eager=True))
+        colors = active.withColumn("color", F.col("node")) \
+                       .localCheckpoint(eager=True)
+        for _ in range(max_inner):
+            upd = (ae.join(colors.select(F.col("node").alias("u"),
+                                         "color"), "u")
+                   .groupBy(F.col("v").alias("node"))
+                   .agg(F.max("color").alias("up")))
+            nxt = (colors.join(upd, "node", "left")
+                   .select("node",
+                           F.greatest("color", "up").alias("color"))
+                   .localCheckpoint(eager=True))
+            changed = (nxt.join(colors.withColumnRenamed(
+                "color", "old"), "node")
+                .where(F.col("color") != F.col("old")).limit(1).count())
+            colors = nxt
+            if changed == 0:
+                break
+        marked = (colors.where(F.col("color") == F.col("node"))
+                  .localCheckpoint(eager=True))
+        ce = (ae.join(colors.select(F.col("node").alias("u"),
+                                    F.col("color").alias("cu")), "u")
+              .join(colors.select(F.col("node").alias("v"),
+                                  F.col("color").alias("cv")), "v")
+              .where(F.col("cu") == F.col("cv"))
+              .select("u", "v", F.col("cu").alias("color"))
+              .localCheckpoint(eager=True))
+        for _ in range(max_inner):
+            grow = (ce.join(marked.select(F.col("node").alias("v"),
+                                          F.col("color").alias("mc")),
+                            "v")
+                    .where(F.col("color") == F.col("mc"))
+                    .select(F.col("u").alias("node"),
+                            F.col("color")))
+            nxt = marked.unionByName(grow).distinct() \
+                        .localCheckpoint(eager=True)
+            if nxt.count() == marked.count():
+                marked = nxt
+                break
+            marked = nxt
+        found = marked.select("node", F.col("color").alias("scc"))
+        out = found if out is None else out.unionByName(found)
+        out = out.localCheckpoint(eager=True)
+        active = (active.join(marked.select("node"), "node",
+                              "left_anti")
+                  .localCheckpoint(eager=True))
+    return out if out is not None else verts.select(
+        "node", F.col("node").alias("scc")).limit(0)
+
+
+def bowtie_classes(edges: DataFrame, scc: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   max_rounds: int = 16) -> DataFrame:
+    """Bow-tie decomposition of a directed graph around its largest
+    SCC (Broder et al., WWW 2000): CORE (the largest SCC), IN (can
+    reach the core), OUT (reachable from the core), OTHER (tendrils
+    and disconnected).  Consumes :func:`scc_labels` output.
+
+    Largest SCC = max size, ties to the smaller scc id (pure function
+    of the input).  IN/OUT are two BFS fixpoints (forward from core
+    on reversed edges, forward from core on edges) — the same
+    broadcast-frontier loop as ``bfs_distances``, reached-set
+    semi-joined per round.  Returns (node, cls).
+    """
+    sizes = (scc.groupBy("scc")
+             .agg(F.count(F.lit(1)).alias("n")))
+    top = (sizes.orderBy(F.col("n").desc(), F.col("scc").asc())
+           .limit(1).collect())
+    if not top:
+        return scc.select("node", F.lit("OTHER").alias("cls")).limit(0)
+    core_id = top[0]["scc"]
+    core = (scc.where(F.col("scc") == F.lit(core_id)).select("node")
+            .localCheckpoint(eager=True))
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+
+    def _reach(ed):
+        seen = core
+        for _ in range(max_rounds):
+            step = (ed.join(seen.withColumnRenamed("node", "u"), "u")
+                    .select(F.col("v").alias("node")))
+            nxt = seen.unionByName(step).distinct() \
+                      .localCheckpoint(eager=True)
+            if nxt.count() == seen.count():
+                return nxt
+            seen = nxt
+        return seen
+
+    out_set = _reach(e)
+    in_set = _reach(e.select(F.col("v").alias("u"),
+                             F.col("u").alias("v")))
+    nodes = scc.select("node")
+    return (nodes
+            .join(core.withColumn("c", F.lit(1)), "node", "left")
+            .join(in_set.withColumn("i", F.lit(1)), "node", "left")
+            .join(out_set.withColumn("o", F.lit(1)), "node", "left")
+            .select("node",
+                    F.when(F.col("c") == 1, "CORE")
+                    .when(F.col("i") == 1, "IN")
+                    .when(F.col("o") == 1, "OUT")
+                    .otherwise("OTHER").alias("cls")))

@@ -1,0 +1,108 @@
+"""Distributed N-Quads / N-Triples ingest.
+
+The reference round-trips its triple stores through N-Triples dumps
+(``ferenda/triplestore.py`` get_serialized/add_serialized with
+format="nt", and ``ferenda/devel.py``'s dumpstore); this module is
+the *read* side restated for Spark: N-Quads is the one RDF syntax
+that is line-delimited by construction (W3C N-Quads §2), so a 100 TB
+dump splits into independent file splits and parses with nothing but
+JVM regex expressions — the natural bulk-ingest format for a KG at
+10^12 triples (this is how Wikidata/Freebase dumps ship).
+
+``parse_nquads`` is expression-only (regexp passes, no Python, no
+shuffle): each line parses independently, malformed lines are
+*quarantined* with ``parse_ok = false`` and the raw line preserved
+(the per-doc error-quarantine discipline of ``operators/extract.py``
+applied to ingest), never dropped silently.
+
+Output term conventions match ``catalog.nt_lines``'s input so
+``parse_nquads`` ∘ ``nt_lines`` round-trips: IRIs bare (no angle
+brackets); literals carry ``is_literal = true`` plus ``obj_lang`` /
+``obj_datatype`` and their lexical form is unescaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# One term: IRI | blank node | literal (+ optional @lang / ^^<dt>).
+_IRI = r"<[^<>\"{}|^`\\\x00-\x20]*>"
+_BNODE = r"_:[A-Za-z][A-Za-z0-9._-]*"
+_LIT = r'"(?:[^"\\]|\\.)*"'
+_OBJ = r"(?:%s|%s|%s(?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*|\^\^%s)?)" % (
+    _IRI, _BNODE, _LIT, _IRI)
+
+_LINE = (r"^(%s|%s)[ \t]+(%s)[ \t]+(%s)(?:[ \t]+(%s|%s))?"
+         r"[ \t]*\.$"
+         % (_IRI, _BNODE, _IRI, _OBJ, _IRI, _BNODE))
+
+
+def _bare(col):
+    """IRI without its angle brackets; blank nodes pass through."""
+    return F.when(col.startswith("<"),
+                  col.substr(F.lit(2), F.length(col) - 2)).otherwise(col)
+
+
+def _unescape(col):
+    """Undo the N-Triples string escapes the dump side emits
+    (catalog._nt_escape: \\\\ \\" \\n \\r \\t)."""
+    # \\ must be decoded first and via a placeholder so that \\n
+    # (an escaped backslash followed by n) does not turn into a
+    # newline.  \x00 cannot appear in N-Quads input (excluded from
+    # the IRI/literal character classes), so it is a safe sentinel.
+    c = F.regexp_replace(col, r"\\\\", "\x00")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r'\\"', '"')
+    return F.regexp_replace(c, "\x00", "\\\\")
+
+
+def parse_nquads(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Parse a DataFrame of N-Quads lines (e.g. ``spark.read.text``).
+
+    Returns (subj, pred, obj, is_literal, obj_lang, obj_datatype,
+    graph, parse_ok, raw):
+
+    * ``subj`` / ``pred`` / ``graph`` — IRIs without angle brackets;
+      blank nodes keep their ``_:`` form; ``graph`` NULL for the
+      default graph;
+    * ``obj`` — IRI/bnode, or the *unescaped* literal lexical form;
+    * ``is_literal`` + ``obj_lang`` / ``obj_datatype`` — literal
+      metadata (NULL when absent);
+    * ``parse_ok`` — false for lines that are neither valid quads,
+      blank, nor comments (those rows carry NULL terms and the
+      offending ``raw`` text for quarantine);
+    * blank lines and ``#`` comment lines are dropped (syntax, not
+      data).
+
+    Scale shape: map-only — no shuffle, no Python; a 100 TB dump
+    parses at scan speed and the quarantine is a post-hoc filter.
+    """
+    df = (lines
+          .select(F.col(col).alias("raw"))
+          .where((F.length(F.trim(F.col("raw"))) > 0)
+                 & ~F.trim(F.col("raw")).startswith("#")))
+    line = F.trim(F.col("raw"))
+    df = (df
+          .withColumn("s", F.regexp_extract(line, _LINE, 1))
+          .withColumn("p", F.regexp_extract(line, _LINE, 2))
+          .withColumn("o", F.regexp_extract(line, _LINE, 3))
+          .withColumn("g", F.regexp_extract(line, _LINE, 4)))
+    s, p, o, g = F.col("s"), F.col("p"), F.col("o"), F.col("g")
+    ok = s != ""
+    is_lit = o.startswith('"')
+    lit_body = F.regexp_extract(o, r'^"((?:[^"\\]|\\.)*)"', 1)
+    lang = F.regexp_extract(o, r'"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)$', 1)
+    dtype = F.regexp_extract(o, r'"\^\^<([^>]*)>$', 1)
+    obj = F.when(is_lit, _unescape(lit_body)).otherwise(_bare(o))
+    return (df.select(
+        F.when(ok, _bare(s)).alias("subj"),
+        F.when(ok, _bare(p)).alias("pred"),
+        F.when(ok, obj).alias("obj"),
+        F.when(ok, is_lit).alias("is_literal"),
+        F.when(ok & (lang != ""), lang).alias("obj_lang"),
+        F.when(ok & (dtype != ""), dtype).alias("obj_datatype"),
+        F.when(ok & (g != ""), _bare(g)).alias("graph"),
+        ok.alias("parse_ok"),
+        F.col("raw")))

@@ -172,3 +172,43 @@ def make_patches(original: DataFrame, edited: DataFrame,
                                   F.col(text_col).alias("_e")), "_k"))
     return joined.mapInPandas(
         batches, "%s string, find string, replace string" % key_col)
+
+
+def zorder_keys(df: DataFrame, col_a: str, col_b: str,
+                bits: int = 8, bucket_bits: int = 4) -> DataFrame:
+    """Z-order (Morton) clustering keys over two integer dimensions —
+    the multi-dimensional file-clustering layout big-table engines
+    use (Delta OPTIMIZE ZORDER BY, Iceberg sort-order z-curves) so
+    that range predicates on EITHER dimension prune files.  The
+    reference's store is pruned only by its one-dimensional directory
+    scheme (documentstore.py path layout); at 10^12 rows a second
+    pruning dimension (e.g. crawl date × domain bucket) is what keeps
+    a needle query from scanning the corpus.
+
+    Inputs must already be normalized to [0, 2^bits) (callers bucket
+    hashes or ranks; integer inputs are masked to ``bits``).  Adds:
+
+    * ``zvalue`` — bit-interleaved Morton code (col_a takes the even
+      bit positions starting at 0, col_b the odd),
+    * ``zbucket`` — the top ``bucket_bits`` of the code = the file /
+      partition assignment.
+
+    Pure bit expressions (shiftleft/or), map-side, no shuffle — the
+    write path's ``repartitionByRange(zbucket)`` is the only
+    exchange, exactly one, and the SQL oracle mirrors the bit math
+    verbatim.
+    """
+    mask = (1 << bits) - 1
+    a = F.col(col_a).cast("long").bitwiseAND(F.lit(mask))
+    b = F.col(col_b).cast("long").bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)) \
+             .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+    return (df
+            .withColumn("zvalue", z)
+            .withColumn("zbucket",
+                        F.shiftright(F.col("zvalue"),
+                                     2 * bits - bucket_bits)))

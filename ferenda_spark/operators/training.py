@@ -652,3 +652,30 @@ def contrastive_pairs(documents: DataFrame, n: int = 3,
         "doc_a", "doc_b", "n_agree", "est_jaccard",
         F.when(F.col("est_jaccard") >= threshold, F.lit("positive"))
         .otherwise(F.lit("hard_negative")).alias("label"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, max_weight: int,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Weight-proportional Bernoulli sample, integer-exact.
+
+    Row kept iff ``u32 * max_weight < weight * 2^32`` where ``u32`` is
+    the 32-bit md5 prefix of the key — i.e. keep-probability
+    ``weight / max_weight``, with the comparison in 64-bit integer
+    arithmetic so Spark and the SQL oracle agree bit-for-bit (no
+    float ever appears; u32 < 2^32 and corpus weights are small, so
+    the product fits a long with room to spare).
+
+    This is the quality-weighted corpus downsampling step of modern
+    pretraining mixes (keep high-quality pages with probability
+    proportional to a score — the soft variant of hard C4/Gopher
+    cuts).  Like :func:`stratified_sample` it is a pure map-side
+    filter: no shuffle, no RNG state, nested across reweightings
+    (raising one row's weight can only add it, never evict others).
+
+    ``weight_col`` must be integral and in [0, max_weight]; rows at
+    max_weight are always kept, weight 0 never.
+    """
+    u32 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")),
+                             1, 8), 16, 10).cast("long")
+    return df.where(u32 * F.lit(int(max_weight))
+                    < F.col(weight_col).cast("long") * F.lit(1 << 32))

@@ -266,3 +266,36 @@ def entity_cooccurrence(doc_entities: DataFrame,
                     ((F.lit(n_docs) * F.col("c_ab")).cast("double")
                      / (F.col("c_a") * F.col("c_b")).cast("double"))
                     .alias("lift")))
+
+
+def entity_cards(triples: DataFrame) -> DataFrame:
+    """Collapse a triple table into one *entity card* per subject —
+    the serving-layer export shape (one denormalized record per
+    entity with all its facts, what the reference renders as a
+    per-document RDF resource page via its generated-XHTML+ToC
+    pipeline, documentrepository.py render half).
+
+    Returns (subj, n_triples, n_preds, card) where ``card`` is the
+    deterministic "pred=obj" list joined by "; " in (pred, obj)
+    order — a canonical textual form, so two builds of the same KG
+    diff with plain string equality (the same idea as the sorted
+    N-Triples dump in :mod:`ferenda_spark.catalog`, at entity grain).
+
+    Scale shape: one groupBy on subj (the only shuffle); the sort is
+    per-group over that entity's own facts (array_sort on the
+    collected structs, bounded by facts-per-entity, not corpus
+    size).  No Python, no window over a global order.
+    """
+    pairs = F.array_sort(F.collect_list(
+        F.struct(F.col("pred"), F.col("obj"))))
+    return (triples
+            .select("subj", "pred", "obj")
+            .distinct()
+            .groupBy("subj")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triples"),
+                 F.countDistinct("pred").cast("long").alias("n_preds"),
+                 F.array_join(
+                     F.transform(pairs,
+                                 lambda x: F.concat_ws(
+                                     "=", x["pred"], x["obj"])),
+                     "; ").alias("card")))
