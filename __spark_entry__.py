@@ -3385,6 +3385,129 @@ def _q_zorder_layout(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_recrawl_schedule(spark, sf_dir):
+    """Cho–Garcia-Molina recrawl scheduling over a closed-form fetch
+    log: 4 visits at interval (1+doc_id%5)*3600 s (single visit when
+    doc_id%4==3); the content hash increments at visit j in 1..3 iff
+    (doc_id div j)%2==0, so n_changes = c1+c2+c3 and every estimator
+    branch (X=0 -> max wait, X=3 -> min clamp) is exercised; the
+    oracle replays the exact IEEE ln/divisions."""
+    from ferenda_spark.operators.crawl import recrawl_schedule
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    nv = F.when(did % 4 == 3, 0).otherwise(3)
+    obs = d.select(did.alias("doc_id"),
+                   F.explode(F.sequence(F.lit(0), nv)).alias("k"))
+    k = F.col("k")
+
+    def chg(j):
+        return F.when((F.expr("(doc_id div %d) %% 2" % j) == 0)
+                      & (k >= j), 1).otherwise(0)
+
+    iv = (F.lit(1) + F.col("doc_id") % 5) * 3600
+    obs = obs.select(
+        F.format_string("https://example.org/r/%d", F.col("doc_id"))
+        .alias("url"),
+        (F.lit(1000000) + k * iv).cast("long").alias("fetch_ts"),
+        F.format_string("c%d", chg(1) + chg(2) + chg(3))
+        .alias("content_hash"))
+    return recrawl_schedule(obs).orderBy("url")
+
+
+def _q_url_templates(spark, sf_dir):
+    """URL template mining + trap signals over three closed-form page
+    families per host s(doc_id%4): /item/{n}/view (distinct content),
+    /cal/{n}/{n} (a calendar trap: one shared content hash), and
+    /doc/{h} (8-hex-char ids, content = c(doc_id%10)); the oracle
+    groups the same closed-form templates."""
+    from ferenda_spark.operators.crawl import url_templates
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = F.format_string("s%d.example.org", did % 4)
+    r = did % 3
+    path = (F.when(r == 0, F.format_string("/item/%d/view",
+                                           did % 100000))
+            .when(r == 1, F.format_string("/cal/%d/%d",
+                                          did % 12 + 1, did % 28 + 1))
+            .otherwise(F.format_string("/doc/%08x", did % 1000000)))
+    h = (F.when(r == 0, F.format_string("c%d", did))
+         .when(r == 1, F.lit("cal"))
+         .otherwise(F.format_string("c%d", did % 10)))
+    urls = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        h.alias("content_hash"))
+    return (url_templates(urls, hash_col="content_hash")
+            .orderBy("template"))
+
+
+def _q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins for a classifier whose scores are
+    exact binary fractions ((doc_id*37+11)%256 / 256 — so every sum
+    and the bin floor are engine-exact) and labels (doc_id*7+3)%10<5;
+    the oracle replays the one-groupBy program."""
+    from ferenda_spark.operators.quality import calibration_bins
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    scored = d.select(
+        (((did * 37 + 11) % 256) / F.lit(256.0)).alias("score"),
+        ((did * 7 + 3) % 10 < 5).cast("int").alias("label"))
+    return calibration_bins(scored, n_bins=10).orderBy("bin")
+
+
+def _q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility over the REAL documents table
+    (pinned whitespace tokenizer, char and byte lengths); the oracle
+    replays the same token/char/byte sums and the two IEEE ratios."""
+    from ferenda_spark.operators.textstats import tokenizer_fertility
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    return tokenizer_fertility(docs).orderBy("lang")
+
+
+def _rules_triples(spark, sf_dir):
+    """Closed-form KG for rule mining: every doc (e_i, likes, v_i);
+    buys on the same pair unless doc_id%17==0; a decoy buys fact on a
+    different object (w_i) when doc_id%17==0 and doc_id%2==0 (so the
+    PCA denominator differs from CWA); views when doc_id%5<2."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    s = F.format_string("e%d", did)
+    o = F.format_string("v%d", did)
+    likes = d.select(s.alias("subj"), F.lit("likes").alias("pred"),
+                     o.alias("obj"))
+    buys = (d.where(did % 17 != 0)
+            .select(s.alias("subj"), F.lit("buys").alias("pred"),
+                    o.alias("obj")))
+    decoy = (d.where((did % 17 == 0) & (did % 2 == 0))
+             .select(s.alias("subj"), F.lit("buys").alias("pred"),
+                     F.format_string("w%d", did).alias("obj")))
+    views = (d.where(did % 5 < 2)
+             .select(s.alias("subj"), F.lit("views").alias("pred"),
+                     o.alias("obj")))
+    return (likes.unionByName(buys).unionByName(decoy)
+            .unionByName(views))
+
+
+def _q_mined_rules(spark, sf_dir):
+    """AMIE-lite single-atom rule mining (support, head coverage, CWA
+    and PCA confidence) over the planted likes/buys/views KG; the
+    oracle replays the whole relational program (distinct, pair
+    self-join, marginals, PCA subject join, exact IEEE ratios)."""
+    from ferenda_spark.operators.rules import mine_rules
+    return (mine_rules(_rules_triples(spark, sf_dir))
+            .orderBy("body_pred", "head_pred"))
+
+
+def _q_rule_violations(spark, sf_dir):
+    """KG-repair work-list: body pairs of every rule with CWA
+    confidence >= 0.9 whose head fact is absent (likes=>buys misses
+    the doc_id%17==0 pairs, buys=>likes misses the decoy w_i pairs,
+    views=>buys misses the %5<2 & %17==0 overlap)."""
+    from ferenda_spark.operators.rules import mine_rules, rule_violations
+    t = _rules_triples(spark, sf_dir)
+    return (rule_violations(t, mine_rules(t), min_confidence=0.9)
+            .orderBy("subj", "body_pred", "head_pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3602,6 +3725,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_scc_labels": _q_scc_labels,
         "kg_bowtie_classes": _q_bowtie_classes,
         "store_zorder_layout": _q_zorder_layout,
+        "crawl_recrawl_schedule": _q_recrawl_schedule,
+        "crawl_url_templates": _q_url_templates,
+        "stats_calibration_bins": _q_calibration_bins,
+        "text_tokenizer_fertility": _q_tokenizer_fertility,
+        "kg_mined_rules": _q_mined_rules,
+        "kg_rule_violations": _q_rule_violations,
     }
 
 
@@ -4051,6 +4180,35 @@ _FUZZY_LSH_SQL = """
 # Morton interleave as plain SQL bit math (generated once so the
 # oracle mirrors zorder_keys bit for bit)
 _Z_TERMS = "((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768"
+
+# The planted rule-mining KG (mirrors _rules_triples) plus the shared
+# stages of the AMIE-lite replay: distinct triples, pair self-join
+# support, per-predicate marginals, PCA subject join.
+_RULES_KG_CTE = """
+            d AS (SELECT doc_id, 'e' || doc_id AS s,
+                         'v' || doc_id AS o FROM documents),
+            raw AS (
+              SELECT s AS subj, 'likes' AS pred, o AS obj FROM d
+              UNION ALL
+              SELECT s, 'buys', o FROM d WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT s, 'buys', 'w' || doc_id FROM d
+              WHERE doc_id % 17 = 0 AND doc_id % 2 = 0
+              UNION ALL
+              SELECT s, 'views', o FROM d WHERE doc_id % 5 < 2),
+            t AS (SELECT DISTINCT subj, pred, obj FROM raw),
+            sup AS (SELECT b.pred AS body_pred, h.pred AS head_pred,
+                           CAST(COUNT(*) AS BIGINT) AS support
+                    FROM t b JOIN t h
+                      ON b.subj = h.subj AND b.obj = h.obj
+                    WHERE b.pred <> h.pred GROUP BY 1, 2),
+            marg AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                     FROM t GROUP BY 1),
+            hs AS (SELECT DISTINCT subj, pred AS head_pred FROM t),
+            pca AS (SELECT b.pred AS body_pred, h.head_pred,
+                           CAST(COUNT(*) AS BIGINT) AS n_pca_body
+                    FROM t b JOIN hs h ON b.subj = h.subj
+                    WHERE b.pred <> h.head_pred GROUP BY 1, 2)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7654,4 +7812,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, x, y, (""" + _Z_TERMS + """) AS zvalue,
                    (""" + _Z_TERMS + """) >> 12 AS zbucket
             FROM d ORDER BY doc_id""",
+        # exact replay of the bias-corrected Poisson estimator:
+        # n = 3 intervals, X = c1+c2+c3 planted changes, mean
+        # interval = iv exactly, same IEEE ln/div/floor sequence
+        "crawl_recrawl_schedule": """
+            WITH d AS (SELECT doc_id,
+                   'https://example.org/r/' || doc_id AS url,
+                   (1 + doc_id % 5) * 3600 AS iv,
+                   (CASE WHEN (doc_id // 1) % 2 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 0 END)
+                   AS x,
+                   doc_id % 4 = 3 AS single
+                   FROM documents),
+            est AS (SELECT url,
+                   CASE WHEN single THEN CAST(1 AS BIGINT)
+                        ELSE 4 END AS n_visits,
+                   CASE WHEN single THEN CAST(0 AS BIGINT)
+                        ELSE CAST(x AS BIGINT) END AS n_changes,
+                   CASE WHEN single THEN NULL
+                        ELSE -ln((3 - x + 0.5) / 3.5)
+                             / CAST(iv AS DOUBLE) END AS lambda_hat,
+                   CASE WHEN single THEN 1000000
+                        ELSE 1000000 + 3 * iv END AS last_ts
+                   FROM d)
+            SELECT url, n_visits, n_changes, lambda_hat,
+                   CAST(last_ts + CASE
+                        WHEN lambda_hat IS NULL OR lambda_hat <= 0.0
+                        THEN 2592000
+                        ELSE least(2592000, greatest(3600,
+                             CAST(floor(1.0 / lambda_hat) AS BIGINT)))
+                        END AS BIGINT) AS next_fetch
+            FROM est ORDER BY url""",
+        # the three closed-form path families collapse to one
+        # template each per host
+        "crawl_url_templates": """
+            WITH d AS (SELECT doc_id, doc_id % 3 AS r,
+                   's' || (doc_id % 4) || '.example.org' AS host
+                   FROM documents),
+            base AS (SELECT
+                   CASE r WHEN 0 THEN host || '/item/{n}/view'
+                          WHEN 1 THEN host || '/cal/{n}/{n}'
+                          ELSE host || '/doc/{h}' END AS template,
+                   CASE r WHEN 2 THEN 2 ELSE 3 END AS depth,
+                   CASE r WHEN 0 THEN 'c' || doc_id
+                          WHEN 1 THEN 'cal'
+                          ELSE 'c' || (doc_id % 10) END AS h
+                   FROM d)
+            SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                   CAST(MAX(depth) AS BIGINT) AS max_depth,
+                   CAST(COUNT(DISTINCT h) AS BIGINT)
+                     AS n_distinct_content,
+                   CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT h)
+                     AS urls_per_content
+            FROM base GROUP BY template ORDER BY template""",
+        # scores are k/256 so every partial sum is exact and
+        # order-independent; ratios are single IEEE divisions
+        "stats_calibration_bins": """
+            WITH s AS (SELECT
+                   ((doc_id * 37 + 11) % 256) / 256.0 AS score,
+                   CASE WHEN (doc_id * 7 + 3) % 10 < 5
+                        THEN 1 ELSE 0 END AS label
+                   FROM documents),
+            b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9)
+                         AS bin, score, label FROM s)
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS n_pos,
+                   SUM(score) / COUNT(*) AS mean_score,
+                   CAST(SUM(label) AS DOUBLE) / COUNT(*) AS frac_pos,
+                   abs(CAST(SUM(label) AS DOUBLE) / COUNT(*)
+                       - SUM(score) / COUNT(*)) AS gap
+            FROM b GROUP BY bin ORDER BY bin""",
+        # pinned whitespace tokenizer, char vs byte lengths, two
+        # IEEE ratios in the same operation order as the operator
+        "text_tokenizer_fertility": """
+            WITH toks AS (SELECT lang,
+                   len(string_split_regex(lower(trim(text)),
+                       '[ \\t\\n\\r\\f\\x0B]+')) AS nt,
+                   length(text) AS nc, strlen(text) AS nb
+                   FROM documents)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                   CAST(SUM(nc) AS BIGINT) AS total_chars,
+                   CAST(SUM(nb) AS BIGINT) AS total_bytes,
+                   CAST(SUM(nt) AS DOUBLE) * 1000.0 / SUM(nc)
+                     AS tokens_per_1k_chars,
+                   CAST(SUM(nb) AS DOUBLE) / SUM(nt) AS bytes_per_token
+            FROM toks GROUP BY lang ORDER BY lang""",
+        # full relational replay of the AMIE-lite program over the
+        # planted likes/buys/views KG
+        "kg_mined_rules": "WITH " + _RULES_KG_CTE + """
+            SELECT s.body_pred, s.head_pred, s.support,
+                   mb.n_pairs AS n_body, mh.n_pairs AS n_head,
+                   CAST(s.support AS DOUBLE) / mh.n_pairs
+                     AS head_coverage,
+                   CAST(s.support AS DOUBLE) / mb.n_pairs
+                     AS confidence,
+                   CAST(s.support AS DOUBLE) / p.n_pca_body
+                     AS pca_confidence
+            FROM sup s
+            JOIN marg mb ON mb.pred = s.body_pred
+            JOIN marg mh ON mh.pred = s.head_pred
+            JOIN pca p ON p.body_pred = s.body_pred
+                      AND p.head_pred = s.head_pred
+            ORDER BY s.body_pred, s.head_pred""",
+        # predicted-but-absent head facts for every rule at CWA
+        # confidence >= 0.9
+        "kg_rule_violations": "WITH " + _RULES_KG_CTE + """,
+            rules AS (SELECT s.body_pred, s.head_pred,
+                             CAST(s.support AS DOUBLE) / mb.n_pairs
+                               AS confidence
+                      FROM sup s
+                      JOIN marg mb ON mb.pred = s.body_pred
+                      WHERE CAST(s.support AS DOUBLE) / mb.n_pairs
+                            >= 0.9)
+            SELECT b.subj, b.obj, r.head_pred, r.body_pred,
+                   r.confidence
+            FROM t b JOIN rules r ON b.pred = r.body_pred
+            WHERE NOT EXISTS (SELECT 1 FROM t h
+                              WHERE h.subj = b.subj AND h.obj = b.obj
+                                AND h.pred = r.head_pred)
+            ORDER BY b.subj, r.body_pred, r.head_pred""",
     }

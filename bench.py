@@ -122,6 +122,12 @@ HEADLINE = [
     "kg_nquads_triples", "kg_entity_cards", "train_weighted_sample",
     "kg_spam_features", "text_winnowing", "kg_scc_labels",
     "kg_bowtie_classes", "store_zorder_layout",
+    # r4 continuation session 9: recrawl scheduling, URL template
+    # mining, classifier calibration, tokenizer fertility, AMIE-lite
+    # rule mining + KG repair
+    "crawl_recrawl_schedule", "crawl_url_templates",
+    "stats_calibration_bins", "text_tokenizer_fertility",
+    "kg_mined_rules", "kg_rule_violations",
 ]
 
 

@@ -305,3 +305,118 @@ def sitemap_diff(old: DataFrame, new: DataFrame,
                 .otherwise("unchanged").alias("status"),
                 F.col("old_cmp").alias("old_" + cmp_col),
                 F.col("new_cmp").alias("new_" + cmp_col)))
+
+
+# ------------------------------------------------- recrawl scheduling
+
+def recrawl_schedule(observations: DataFrame,
+                     min_interval: int = 3600,
+                     max_interval: int = 30 * 86400) -> DataFrame:
+    """Per-URL change-rate estimation and next-fetch scheduling —
+    the incremental-crawl freshness model of Cho & Garcia-Molina
+    (TOIT 2003), which is what replaces the reference's
+    conditional-GET loop (``documentrepository.py`` download_if_needed
+    / If-Modified-Since) when the frontier is 10^10 URLs and refetch
+    budget, not politeness, is the binding constraint.
+
+    ``observations``: (url, fetch_ts, content_hash) — one row per
+    past fetch, ``fetch_ts`` integral epoch seconds.  For each URL
+    with ≥ 2 fetches we compute over its n = visits−1 refetch
+    intervals with X observed changes (hash differs from the
+    previous fetch):
+
+    * ``lambda_hat = -ln((n − X + 0.5) / (n + 0.5)) / mean_interval``
+      — the bias-corrected Poisson-rate estimator (ibid. §4; the
+      +0.5 terms keep X = n finite), in changes/second;
+    * ``next_fetch = last_ts + clamp(1/lambda_hat, min_interval,
+      max_interval)`` (integer seconds, floor division).
+
+    Single-visit URLs get ``lambda_hat`` NULL and the max interval
+    (nothing is known; recrawl lazily).
+
+    Scale shape: one window over (url) ordered by fetch_ts to flag
+    changes (per-URL history is dozens of rows — the partition key
+    is the finest possible), then one groupBy(url).  All arithmetic
+    on longs until the two final IEEE divisions + one ln, which a
+    SQL oracle replays exactly.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy("fetch_ts")
+    obs = observations.select(
+        "url", F.col("fetch_ts").cast("long").alias("fetch_ts"),
+        "content_hash")
+    flagged = obs.withColumn(
+        "prev_hash", F.lag("content_hash").over(w))
+    per_url = (flagged.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        F.sum(F.when(F.col("prev_hash").isNotNull()
+                     & (F.col("content_hash") != F.col("prev_hash")),
+                     1).otherwise(0)).cast("long").alias("n_changes"),
+        F.min("fetch_ts").alias("first_ts"),
+        F.max("fetch_ts").alias("last_ts")))
+    n = (F.col("n_visits") - 1).cast("double")
+    x = F.col("n_changes").cast("double")
+    mean_iv = ((F.col("last_ts") - F.col("first_ts")).cast("double")
+               / n)
+    lam = F.when(
+        (F.col("n_visits") > 1) & (F.col("last_ts") > F.col("first_ts")),
+        -F.log((n - x + 0.5) / (n + 0.5)) / mean_iv)
+    wait = F.when(lam.isNull() | (lam <= 0.0), F.lit(int(max_interval)))\
+        .otherwise(F.least(
+            F.lit(int(max_interval)).cast("long"),
+            F.greatest(F.lit(int(min_interval)).cast("long"),
+                       F.floor(F.lit(1.0) / lam).cast("long"))))
+    return per_url.select(
+        "url", "n_visits", "n_changes",
+        lam.alias("lambda_hat"),
+        (F.col("last_ts") + wait).cast("long").alias("next_fetch"))
+
+
+# ------------------------------------------------- URL template mining
+
+def url_templates(urls: DataFrame, url_col: str = "url",
+                  hash_col: str = None) -> DataFrame:
+    """Site-structure template mining + crawler-trap signals.
+
+    Generalizes each URL's path by replacing variable segments —
+    runs of digits become ``{n}``, hex tokens of ≥ 8 chars become
+    ``{h}`` — so ``/item/123/rev/4`` and ``/item/99/rev/7`` share
+    the template ``host/item/{n}/rev/{n}``.  Aggregating per
+    template exposes the two things a frontier at 10^10 URLs needs:
+
+    * the site's *real* page-type inventory (templates, not URLs,
+      are the unit a crawl budget is allocated over), and
+    * **trap candidates** — templates with huge URL counts but few
+      distinct contents (calendar pages, session ids, infinite
+      paginations), flagged by ``urls_per_content``.
+
+    Pure expressions (parse + two regexp_replace passes) feeding one
+    groupBy(template): (template, n_urls, max_depth[,
+    n_distinct_content, urls_per_content]).  ``hash_col`` (optional)
+    enables the content-diversity columns.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    raw = F.parse_url(F.col(url_col), F.lit("PATH"))
+    # java's parse_url yields "" (not NULL) for a bare root URL
+    path = F.when(raw.isNull() | (raw == ""), F.lit("/")).otherwise(raw)
+    norm = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}"),
+        r"[0-9]+", "{n}")
+    depth = F.when(raw.isNull() | (raw == ""), F.lit(0).cast("long"))\
+        .otherwise((F.size(F.split(raw, "/")) - 1).cast("long"))
+    base = urls.select(
+        F.concat_ws("", host, norm).alias("template"),
+        depth.alias("depth"),
+        *([F.col(hash_col).alias("h")] if hash_col else []))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.max("depth").alias("max_depth")]
+    if hash_col:
+        aggs.append(F.countDistinct("h").cast("long")
+                    .alias("n_distinct_content"))
+    out = base.groupBy("template").agg(*aggs)
+    if hash_col:
+        out = out.withColumn(
+            "urls_per_content",
+            F.col("n_urls").cast("double")
+            / F.col("n_distinct_content"))
+    return out

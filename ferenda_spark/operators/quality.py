@@ -78,3 +78,43 @@ def profile_table(df: DataFrame, columns: list = None) -> DataFrame:
                  .alias("n_distinct"),
                  F.min("value").alias("min_val"),
                  F.max("value").alias("max_val")))
+
+
+def calibration_bins(scored: DataFrame, n_bins: int = 10,
+                     score_col: str = "score",
+                     label_col: str = "label") -> DataFrame:
+    """Reliability diagram + expected-calibration-error terms for a
+    [0,1]-scored binary classifier — the acceptance gate for the
+    quality/spam/language classifiers that decide what a web corpus
+    keeps (a filter whose 0.9 means 60% precision silently skews the
+    corpus; ECE is the standard audit, Guo et al., ICML 2017).
+
+    ``scored``: one row per example with ``score`` ∈ [0,1] and
+    integral ``label`` ∈ {0,1}.  Returns one row per non-empty
+    equal-width bin:
+
+    (bin, n, n_pos, mean_score, frac_pos, gap) where ``gap`` =
+    |frac_pos − mean_score| is the bin's calibration error; ECE =
+    Σ n/N · gap is one further trivial aggregate for the caller.
+
+    Scale shape: ONE groupBy on the bin id (≤ n_bins groups, map-side
+    partials do all the work).  Exactness: mean_score divides a SUM
+    of doubles — associativity-safe only if callers feed scores that
+    are exact binary fractions (k/2^m, e.g. model logits quantized
+    to 1/256); frac_pos and gap are exact IEEE divisions of longs.
+    """
+    b = F.least(F.floor(F.col(score_col) * n_bins).cast("long"),
+                F.lit(int(n_bins) - 1))
+    per = (scored
+           .groupBy(b.alias("bin"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col(label_col).cast("long")).cast("long")
+                .alias("n_pos"),
+                F.sum(F.col(score_col)).alias("sum_score")))
+    mean_score = F.col("sum_score") / F.col("n")
+    frac_pos = F.col("n_pos").cast("double") / F.col("n")
+    return per.select(
+        "bin", "n", "n_pos",
+        mean_score.alias("mean_score"),
+        frac_pos.alias("frac_pos"),
+        F.abs(frac_pos - mean_score).alias("gap"))

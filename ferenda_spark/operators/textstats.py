@@ -441,3 +441,44 @@ def split_sentences(documents: DataFrame,
                         F.col(text_col).cast("string"),
                         SENTENCE_SPLIT))
                     .alias("sent_idx", "sentence")))
+
+
+def tokenizer_fertility(documents: DataFrame,
+                        lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer fertility audit: how many tokens, chars
+    and bytes a language contributes per unit of text — the numbers
+    that size a tokenizer's vocabulary allocation and a sampling
+    mix's per-language token budget (fertility = tokens a tokenizer
+    spends per character; languages the tokenizer fragments cost
+    disproportionate sequence length — the standard multilingual-BPE
+    audit).
+
+    Uses the pinned whitespace tokenizer (``dedup.TOKEN_SPLIT`` — the
+    engine-portable class) so the oracle replays it exactly.  Returns
+    one row per language:
+
+    (lang, n_docs, total_tokens, total_chars, total_bytes,
+    tokens_per_1k_chars, bytes_per_token) — the two ratios are single
+    exact IEEE divisions of long sums.
+
+    Scale shape: map-side token/char/byte counts (expressions only)
+    into ONE groupBy(lang) with |langs| groups — partials do all the
+    work; text never shuffles.
+    """
+    from .dedup import tokens
+    t = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens(F.col("text"))).cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"))
+    agg = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.sum("bytes").cast("long").alias("total_bytes"))
+    return agg.select(
+        "lang", "n_docs", "total_tokens", "total_chars", "total_bytes",
+        (F.col("total_tokens").cast("double") * 1000.0
+         / F.col("total_chars")).alias("tokens_per_1k_chars"),
+        (F.col("total_bytes").cast("double")
+         / F.col("total_tokens")).alias("bytes_per_token"))

@@ -1,0 +1,215 @@
+"""Recrawl scheduling, URL template mining, calibration bins,
+tokenizer fertility, AMIE-lite rule mining — the edge cases
+(estimator clamps, all-change / no-change logs, trap ratios, bin
+edges, multibyte text, PCA-vs-CWA denominators) the closed-form
+driver oracles don't exercise."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests-mining-crawl", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+# ------------------------------------------------------------- recrawl
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, fetch_ts long, content_hash string")
+
+
+def test_recrawl_estimator_matches_closed_form(spark):
+    """4 visits, 1 change in 3 intervals of 100 s: lambda is the
+    bias-corrected -ln(2.5/3.5)/100 and the wait is floor(1/lambda)
+    when it sits inside the clamp window."""
+    from ferenda_spark.operators.crawl import recrawl_schedule
+    rows = [("u", 0, "a"), ("u", 100, "a"),
+            ("u", 200, "b"), ("u", 300, "b")]
+    out = recrawl_schedule(_obs(spark, rows), min_interval=10,
+                           max_interval=100000).collect()
+    assert len(out) == 1
+    r = out[0]
+    lam = -math.log((3 - 1 + 0.5) / 3.5) / 100.0
+    assert r.n_visits == 4 and r.n_changes == 1
+    assert r.lambda_hat == pytest.approx(lam, rel=1e-12)
+    assert r.next_fetch == 300 + math.floor(1.0 / lam)
+
+
+def test_recrawl_no_changes_gets_max_interval(spark):
+    """X = 0 makes the estimate -ln(1) = 0: never-changing pages are
+    recrawled at the lazy maximum, not immediately."""
+    from ferenda_spark.operators.crawl import recrawl_schedule
+    rows = [("u", 0, "a"), ("u", 50, "a"), ("u", 100, "a")]
+    r = recrawl_schedule(_obs(spark, rows), min_interval=10,
+                         max_interval=999).collect()[0]
+    assert r.n_changes == 0
+    assert r.next_fetch == 100 + 999
+
+
+def test_recrawl_every_visit_changed_hits_min_clamp(spark):
+    """X = n stays finite through the +0.5 correction and a very hot
+    page clamps to the politeness minimum."""
+    from ferenda_spark.operators.crawl import recrawl_schedule
+    rows = [("u", 0, "a"), ("u", 10, "b"), ("u", 20, "c")]
+    r = recrawl_schedule(_obs(spark, rows), min_interval=3600,
+                         max_interval=86400).collect()[0]
+    lam = -math.log(0.5 / 2.5) / 10.0
+    assert r.n_changes == 2
+    assert r.lambda_hat == pytest.approx(lam, rel=1e-12)
+    assert r.next_fetch == 20 + 3600
+
+
+def test_recrawl_single_visit_is_unknown(spark):
+    from ferenda_spark.operators.crawl import recrawl_schedule
+    r = recrawl_schedule(_obs(spark, [("u", 5, "a")]),
+                         max_interval=777).collect()[0]
+    assert r.n_visits == 1 and r.lambda_hat is None
+    assert r.next_fetch == 5 + 777
+
+
+def test_recrawl_same_timestamp_visits_no_division_blowup(spark):
+    """last_ts == first_ts (clock-duplicate fetches) must not divide
+    by zero; the URL falls back to the max interval."""
+    from ferenda_spark.operators.crawl import recrawl_schedule
+    rows = [("u", 100, "a"), ("u", 100, "b")]
+    r = recrawl_schedule(_obs(spark, rows), max_interval=555).collect()[0]
+    assert r.lambda_hat is None
+    assert r.next_fetch == 100 + 555
+
+
+# ------------------------------------------------------- url templates
+
+def test_url_templates_generalizes_and_flags_traps(spark):
+    from ferenda_spark.operators.crawl import url_templates
+    rows = ([("https://a.com/item/%d/view" % i, "c%d" % i)
+             for i in range(6)]
+            + [("https://a.com/cal/2020/%d" % i, "same")
+               for i in range(8)])
+    df = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r.template: r for r in
+           url_templates(df, hash_col="content_hash").collect()}
+    item = out["a.com/item/{n}/view"]
+    assert item.n_urls == 6 and item.n_distinct_content == 6
+    assert item.urls_per_content == pytest.approx(1.0)
+    cal = out["a.com/cal/{n}/{n}"]
+    assert cal.n_urls == 8 and cal.n_distinct_content == 1
+    assert cal.urls_per_content == pytest.approx(8.0)
+    assert cal.max_depth == 3
+
+
+def test_url_templates_hex_and_short_hex(spark):
+    """>= 8 hex chars collapse to {h} (even all-digit runs); shorter
+    hex ids keep their letters and only the digit runs generalize."""
+    from ferenda_spark.operators.crawl import url_templates
+    df = spark.createDataFrame(
+        [("https://h.io/doc/deadbeef42",), ("https://h.io/doc/00001234",),
+         ("https://h.io/doc/abc1234",)], "url string")
+    ts = {r.template for r in url_templates(df).collect()}
+    assert ts == {"h.io/doc/{h}", "h.io/doc/abc{n}"}
+
+
+def test_url_templates_root_and_no_hash(spark):
+    from ferenda_spark.operators.crawl import url_templates
+    df = spark.createDataFrame([("https://h.io",)], "url string")
+    r = url_templates(df).collect()[0]
+    assert r.template == "h.io/" and r.n_urls == 1
+    assert r.max_depth == 0
+    assert "n_distinct_content" not in r.asDict()
+
+
+# --------------------------------------------------- calibration bins
+
+def test_calibration_bins_edges_and_gap(spark):
+    """score = 1.0 clamps into the top bin; empty bins are omitted;
+    gap is |frac_pos - mean_score| per bin."""
+    from ferenda_spark.operators.quality import calibration_bins
+    rows = [(0.0, 0), (0.05, 0), (1.0, 1), (0.95, 1), (0.95, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = {r.bin: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    lo, hi = out[0], out[9]
+    assert lo.n == 2 and lo.n_pos == 0 and lo.frac_pos == 0.0
+    assert lo.mean_score == pytest.approx(0.025)
+    assert lo.gap == pytest.approx(0.025)
+    assert hi.n == 3 and hi.n_pos == 2
+    assert hi.mean_score == pytest.approx((1.0 + 0.95 + 0.95) / 3)
+    assert hi.frac_pos == pytest.approx(2 / 3)
+    ece = sum(r.n * r.gap for r in out.values()) / 5
+    assert ece == pytest.approx((2 * 0.025 + 3 * abs(2 / 3 - 2.9 / 3)) / 5)
+
+
+# ------------------------------------------------- tokenizer fertility
+
+def test_tokenizer_fertility_multibyte(spark):
+    from ferenda_spark.operators.textstats import tokenizer_fertility
+    df = spark.createDataFrame(
+        [("sv", "héj på dig"), ("sv", "ö"), ("en", "a b")],
+        "lang string, text string")
+    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    sv = out["sv"]
+    assert sv.n_docs == 2 and sv.total_tokens == 4
+    assert sv.total_chars == 11  # 10 + 1
+    assert sv.total_bytes == 14  # é, å, ö are 2 bytes each
+    assert sv.bytes_per_token == pytest.approx(14 / 4)
+    assert sv.tokens_per_1k_chars == pytest.approx(4000 / 11)
+    assert out["en"].total_tokens == 2 and out["en"].total_bytes == 3
+
+
+# ------------------------------------------------------- rule mining
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_mine_rules_pca_differs_from_cwa(spark):
+    """4 likes pairs, 2 with buys on the same pair; one of the two
+    non-buying subjects has a buys fact on ANOTHER object, the other
+    has none: CWA confidence 2/4 but PCA 2/3."""
+    from ferenda_spark.operators.rules import mine_rules
+    rows = [("s1", "likes", "o1"), ("s2", "likes", "o2"),
+            ("s3", "likes", "o3"), ("s4", "likes", "o4"),
+            ("s1", "buys", "o1"), ("s2", "buys", "o2"),
+            ("s3", "buys", "other")]
+    out = {(r.body_pred, r.head_pred): r
+           for r in mine_rules(_triples(spark, rows)).collect()}
+    r = out[("likes", "buys")]
+    assert r.support == 2 and r.n_body == 4 and r.n_head == 3
+    assert r.confidence == pytest.approx(0.5)
+    assert r.head_coverage == pytest.approx(2 / 3)
+    assert r.pca_confidence == pytest.approx(2 / 3)
+    rev = out[("buys", "likes")]
+    assert rev.support == 2 and rev.confidence == pytest.approx(2 / 3)
+
+
+def test_mine_rules_dedups_and_filters_support(spark):
+    from ferenda_spark.operators.rules import mine_rules
+    rows = [("s", "a", "o"), ("s", "a", "o"), ("s", "b", "o"),
+            ("x", "a", "y")]
+    out = mine_rules(_triples(spark, rows), min_support=2).collect()
+    assert out == []  # duplicate (s,a,o) collapses; support stays 1
+    out1 = {(r.body_pred, r.head_pred): r.support
+            for r in mine_rules(_triples(spark, rows)).collect()}
+    assert out1 == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_rule_violations_lists_missing_heads_only(spark):
+    from ferenda_spark.operators.rules import mine_rules, rule_violations
+    rows = ([("s%d" % i, "likes", "o%d" % i) for i in range(10)]
+            + [("s%d" % i, "buys", "o%d" % i) for i in range(9)])
+    t = _triples(spark, rows)
+    v = rule_violations(t, mine_rules(t), min_confidence=0.85).collect()
+    likes = [r for r in v if r.body_pred == "likes"]
+    assert len(likes) == 1
+    assert likes[0].subj == "s9" and likes[0].head_pred == "buys"
+    assert likes[0].confidence == pytest.approx(0.9)
+    # buys => likes has confidence 1.0 and no violations
+    assert all(r.body_pred == "likes" for r in v)
