@@ -3508,6 +3508,102 @@ def _q_rule_violations(spark, sf_dir):
             .orderBy("subj", "body_pred", "head_pred"))
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection over four closed-form (host, hash) page
+    families: 3 'a' hosts sharing all 7 x-hashes (full mirrors), a
+    'boiler' hash served by 23 hosts (> max_hosts_per_hash, so the
+    template guard must drop it — without the guard every a-pair
+    gains a shared hash and 20 b-hosts appear), and 2 'p' hosts with
+    a partial 4-of-6 overlap; the oracle replays the distinct /
+    guard / self-join / size-join program."""
+    from ferenda_spark.operators.crawl import mirror_hosts
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ah = F.format_string("a%d.example.org", did % 3)
+    a = d.select(ah.alias("host"),
+                 F.format_string("x%d", F.expr("(doc_id div 3) % 7"))
+                 .alias("content_hash"))
+    ab = d.select(ah.alias("host"), F.lit("boiler").alias("content_hash"))
+    bb = d.select(F.format_string("b%d.example.org", did % 20)
+                  .alias("host"), F.lit("boiler").alias("content_hash"))
+    p = d.select(F.format_string("p%d.example.org", did % 2).alias("host"),
+                 F.format_string(
+                     "y%d", (did % 2) * 2 + F.expr("(doc_id div 2) % 6"))
+                 .alias("content_hash"))
+    pages = a.unionByName(ab).unionByName(bb).unionByName(p)
+    return mirror_hosts(pages).orderBy("host_a", "host_b")
+
+
+def _q_politeness_slots(spark, sf_dir):
+    """Per-host politeness fetch slots over a 6-host frontier with
+    colliding priorities ((doc_id*13)%50, so the url ASC tie-break is
+    exercised); hosts h0-h2 carry robots crawl delays 5/10/15 s,
+    h3-h5 fall back to the 10 s default; the oracle replays the
+    window + offset arithmetic."""
+    from ferenda_spark.operators.crawl import politeness_schedule
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    frontier = d.select(
+        F.format_string("https://h%d.example.org/u/%d", did % 6, did)
+        .alias("url"),
+        F.format_string("h%d.example.org", did % 6).alias("host"),
+        ((did * 13) % 50).alias("priority"))
+    delays = spark.createDataFrame(
+        [("h%d.example.org" % i, 5 * (i + 1)) for i in range(3)],
+        "host string, crawl_delay long")
+    return (politeness_schedule(frontier, delays, default_delay=10)
+            .orderBy("host", "rank"))
+
+
+def _q_reverb_triples(spark, sf_dir):
+    """ReVerb-lite open IE over planted prose: every doc carries one
+    instance of four of the five relation phrases with multi-word
+    capitalized entity spans (plus a lowercase decoy sentence); both
+    engines walk the same leftmost-first regex, so the oracle is a
+    regexp_extract_all replay, not a closed form."""
+    from ferenda_spark.operators.extract import reverb_triples
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    text = F.format_string(
+        "Acme%d Corp was founded by Ann%d Lee. Bob%d works at "
+        "Acme%d Corp. Rome%d is located in Italy%d. nothing here. "
+        "Zed%d is a Widget%d.",
+        did % 50, did % 7, did, did % 50, did % 9, did % 9,
+        did % 5, did % 3)
+    docs = d.select(
+        F.format_string("https://example.org/docs/%d", did).alias("url"),
+        text.alias("text"))
+    return reverb_triples(docs).orderBy("url", "pos")
+
+
+def _q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between annotator a = l((doc_id*3+1)%4) and b =
+    a when doc_id%5<3 else l((doc_id*7)%4) (incidental agreements in
+    the disagreeing 2/5 keep po above the planted 0.6); the oracle
+    replays the cell-count / long-marginal-product / single-division
+    program."""
+    from ferenda_spark.operators.quality import cohens_kappa
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    a = F.format_string("l%d", (did * 3 + 1) % 4)
+    b = F.when(did % 5 < 3, a).otherwise(
+        F.format_string("l%d", (did * 7) % 4))
+    return cohens_kappa(d.select(a.alias("label_a"), b.alias("label_b")))
+
+
+def _q_gini_domains(spark, sf_dir):
+    """Gini concentration of documents per domain with a planted hot
+    domain owning half the corpus (doc_id%10<5) next to 25 small
+    d-domains; the oracle replays the rank formula with long sums and
+    the same two IEEE divisions."""
+    from ferenda_spark.operators.quality import gini_concentration
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    key = F.when(did % 10 < 5, F.lit("big.example.org")).otherwise(
+        F.format_string("d%d.example.org", did % 50))
+    return gini_concentration(d.select(key.alias("domain")), "domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3731,6 +3827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokenizer_fertility": _q_tokenizer_fertility,
         "kg_mined_rules": _q_mined_rules,
         "kg_rule_violations": _q_rule_violations,
+        "crawl_mirror_hosts": _q_mirror_hosts,
+        "crawl_politeness_slots": _q_politeness_slots,
+        "kg_reverb_triples": _q_reverb_triples,
+        "stats_cohens_kappa": _q_cohens_kappa,
+        "stats_gini_domains": _q_gini_domains,
     }
 
 
@@ -4209,6 +4310,15 @@ _RULES_KG_CTE = """
                            CAST(COUNT(*) AS BIGINT) AS n_pca_body
                     FROM t b JOIN hs h ON b.subj = h.subj
                     WHERE b.pred <> h.head_pred GROUP BY 1, 2)"""
+
+
+def _reverb_pattern() -> str:
+    """The exact regex the operator runs (built from the same module
+    constants, so the oracle can never drift from the code)."""
+    from ferenda_spark.operators.extract import (REVERB_RELATIONS,
+                                                 _REVERB_ENT)
+    return "(%s) (%s) (%s)" % (_REVERB_ENT,
+                               "|".join(REVERB_RELATIONS), _REVERB_ENT)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7933,4 +8043,136 @@ def oracle_sql() -> dict[str, str]:
                               WHERE h.subj = b.subj AND h.obj = b.obj
                                 AND h.pred = r.head_pred)
             ORDER BY b.subj, r.body_pred, r.head_pred""",
+        # full relational replay of the mirror program: distinct
+        # (host, hash), >16-host template guard, self-join, size join
+        "crawl_mirror_hosts": """
+            WITH rows AS (
+              SELECT 'a' || (doc_id % 3) || '.example.org' AS host,
+                     'x' || ((doc_id // 3) % 7) AS h FROM documents
+              UNION ALL
+              SELECT 'a' || (doc_id % 3) || '.example.org', 'boiler'
+              FROM documents
+              UNION ALL
+              SELECT 'b' || (doc_id % 20) || '.example.org', 'boiler'
+              FROM documents
+              UNION ALL
+              SELECT 'p' || (doc_id % 2) || '.example.org',
+                     'y' || ((doc_id % 2) * 2 + (doc_id // 2) % 6)
+              FROM documents),
+            hh AS (SELECT DISTINCT host, h FROM rows),
+            keep AS (SELECT h FROM hh GROUP BY h
+                     HAVING COUNT(*) <= 16),
+            hk AS (SELECT hh.host, hh.h FROM hh JOIN keep USING (h)),
+            sizes AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM hk GROUP BY host),
+            shared AS (SELECT a.host AS host_a, b.host AS host_b,
+                              CAST(COUNT(*) AS BIGINT) AS n_shared
+                       FROM hk a JOIN hk b
+                         ON a.h = b.h AND a.host < b.host
+                       GROUP BY a.host, b.host
+                       HAVING COUNT(*) >= 2)
+            SELECT s.host_a, s.host_b, s.n_shared,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(s.n_shared AS DOUBLE) / least(sa.n, sb.n)
+                     AS overlap
+            FROM shared s
+            JOIN sizes sa ON sa.host = s.host_a
+            JOIN sizes sb ON sb.host = s.host_b
+            ORDER BY s.host_a, s.host_b""",
+        # same window (priority DESC, url ASC) + offset arithmetic;
+        # h0-h2 have robots delays 5/10/15, the rest default to 10
+        "crawl_politeness_slots": """
+            WITH f AS (SELECT
+                   'https://h' || (doc_id % 6) || '.example.org/u/'
+                     || doc_id AS url,
+                   'h' || (doc_id % 6) || '.example.org' AS host,
+                   (doc_id * 13) % 50 AS priority,
+                   CASE WHEN doc_id % 6 < 3
+                        THEN 5 * (doc_id % 6 + 1)
+                        ELSE 10 END AS crawl_delay
+                   FROM documents),
+            r AS (SELECT url, host, crawl_delay,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url) AS BIGINT)
+                     AS "rank"
+                  FROM f)
+            SELECT url, host, "rank",
+                   CAST(("rank" - 1) * crawl_delay AS BIGINT)
+                     AS fetch_offset_s
+            FROM r ORDER BY host, "rank" """,
+        # regexp_extract_all replay (RE2 and Java regex agree on
+        # leftmost-first alternation + greedy captures here)
+        "kg_reverb_triples": """
+            WITH d AS (SELECT
+                   'https://example.org/docs/' || doc_id AS url,
+                   'Acme' || (doc_id % 50)
+                     || ' Corp was founded by Ann' || (doc_id % 7)
+                     || ' Lee. Bob' || doc_id || ' works at Acme'
+                     || (doc_id % 50) || ' Corp. Rome'
+                     || (doc_id % 9) || ' is located in Italy'
+                     || (doc_id % 9) || '. nothing here. Zed'
+                     || (doc_id % 5) || ' is a Widget'
+                     || (doc_id % 3) || '.' AS text
+                   FROM documents),
+            m AS (SELECT url,
+                   regexp_extract_all(text, '{RVB}', 1) AS s,
+                   regexp_extract_all(text, '{RVB}', 2) AS r,
+                   regexp_extract_all(text, '{RVB}', 3) AS o
+                  FROM d)
+            SELECT url, CAST(i - 1 AS BIGINT) AS pos,
+                   s[CAST(i AS BIGINT)] AS subj_text,
+                   r[CAST(i AS BIGINT)] AS rel,
+                   o[CAST(i AS BIGINT)] AS obj_text
+            FROM m, unnest(generate_series(CAST(1 AS BIGINT),
+                           CAST(len(s) AS BIGINT))) AS t(i)
+            ORDER BY url, pos""".replace("{RVB}", _reverb_pattern()),
+        # cell counts -> long marginal products -> ONE division each
+        # for po and pe, kappa NULL at the pe = 1 degenerate point
+        "stats_cohens_kappa": """
+            WITH p AS (SELECT
+                   'l' || ((doc_id * 3 + 1) % 4) AS a,
+                   CASE WHEN doc_id % 5 < 3
+                        THEN 'l' || ((doc_id * 3 + 1) % 4)
+                        ELSE 'l' || ((doc_id * 7) % 4) END AS b
+                   FROM documents),
+            cell AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM p GROUP BY a, b),
+            na AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na
+                   FROM cell GROUP BY a),
+            nb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS nb
+                   FROM cell GROUP BY b),
+            pes AS (SELECT CAST(SUM(na * nb) AS BIGINT) AS s_pe
+                    FROM na JOIN nb ON na.a = nb.b),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END)
+                        AS BIGINT) AS n_agree
+                   FROM cell)
+            SELECT n, n_agree,
+                   CAST(n_agree AS DOUBLE) / n AS po,
+                   CAST(s_pe AS DOUBLE) / (n * n) AS pe,
+                   CASE WHEN CAST(s_pe AS DOUBLE) / (n * n) < 1.0
+                        THEN (CAST(n_agree AS DOUBLE) / n
+                              - CAST(s_pe AS DOUBLE) / (n * n))
+                             / (1.0 - CAST(s_pe AS DOUBLE) / (n * n))
+                   END AS kappa
+            FROM tot, pes""",
+        # rank formula with LONG sums, two IEEE divisions, one
+        # subtract — same operation order as the operator
+        "stats_gini_domains": """
+            WITH k AS (SELECT
+                   CASE WHEN doc_id % 10 < 5 THEN 'big.example.org'
+                        ELSE 'd' || (doc_id % 50) || '.example.org'
+                   END AS k
+                   FROM documents),
+            cnt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS x
+                    FROM k GROUP BY k),
+            rk AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, k)
+                          AS BIGINT) AS i FROM cnt),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                           CAST(SUM(x) AS BIGINT) AS total,
+                           CAST(SUM(i * x) AS BIGINT) AS s1 FROM rk)
+            SELECT n_keys, total,
+                   (2.0 * s1) / (n_keys * total)
+                   - (n_keys + 1) / CAST(n_keys AS DOUBLE) AS gini
+            FROM agg""",
     }

@@ -420,3 +420,101 @@ def url_templates(urls: DataFrame, url_col: str = "url",
             F.col("n_urls").cast("double")
             / F.col("n_distinct_content"))
     return out
+
+
+# ------------------------------------------------- mirror detection
+
+def mirror_hosts(pages: DataFrame, host_col: str = "host",
+                 hash_col: str = "content_hash",
+                 min_shared: int = 2,
+                 max_hosts_per_hash: int = 16) -> DataFrame:
+    """Mirror/alias host detection: host pairs whose *content* —
+    distinct page hashes — overlaps, the host-level complement of
+    document dedup (a 100 TB crawl refetches every mirror of a big
+    site unless the frontier knows they serve the same bytes).
+
+    1. distinct (host, hash) pairs;
+    2. drop hashes served by more than ``max_hosts_per_hash`` hosts —
+       those are boilerplate/soft-404 templates, and the guard is
+       what bounds the self-join fan-out per hash at web scale
+       (mirror sets are small; template hashes are everywhere);
+    3. self-join on hash (host_a < host_b), ONE groupBy per pair;
+    4. per-host distinct-content sizes (over the same filtered set)
+       join back — a host-dimension table the optimizer broadcasts;
+    5. ``overlap`` = n_shared / min(n_a, n_b) — the containment
+       coefficient, exact IEEE division of longs.
+
+    Returns (host_a, host_b, n_shared, n_a, n_b, overlap) for pairs
+    with ``n_shared >= min_shared``.
+    """
+    hh = (pages.select(F.col(host_col).alias("host"),
+                       F.col(hash_col).alias("h"))
+          .distinct())
+    keep = (hh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nh"))
+            .where(F.col("nh") <= int(max_hosts_per_hash))
+            .select("h"))
+    hh = hh.join(keep, "h").localCheckpoint(eager=True)
+    sizes = hh.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    a = hh.select("h", F.col("host").alias("host_a"))
+    b = hh.select("h", F.col("host").alias("host_b"))
+    shared = (a.join(b, "h")
+              .where(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+              .where(F.col("n_shared") >= int(min_shared)))
+    out = (shared
+           .join(sizes.select(F.col("host").alias("host_a"),
+                              F.col("n").alias("n_a")), "host_a")
+           .join(sizes.select(F.col("host").alias("host_b"),
+                              F.col("n").alias("n_b")), "host_b"))
+    return out.select(
+        "host_a", "host_b", "n_shared", "n_a", "n_b",
+        (F.col("n_shared").cast("double")
+         / F.least("n_a", "n_b")).alias("overlap"))
+
+
+# ------------------------------------------------- politeness slots
+
+def politeness_schedule(frontier: DataFrame, delays: DataFrame = None,
+                        default_delay: int = 10) -> DataFrame:
+    """Per-host fetch-slot assignment under crawl-delay politeness:
+    the k-th URL fetched from a host cannot start before
+    ``(k-1) * crawl_delay`` seconds into the crawl window.
+
+    ``frontier``: (url, host, priority) — higher priority first;
+    ``delays``: optional (host, crawl_delay) from robots.txt (hosts
+    absent get ``default_delay``).  Returns (url, host, rank,
+    fetch_offset_s) with rank = position in the host's queue
+    (priority DESC, url ASC — total order, restart-stable) and
+    ``fetch_offset_s = (rank - 1) * crawl_delay`` (long seconds).
+
+    Scale shape: delays are a robots-derived host dimension and
+    broadcast; the ONE window partitions by host — per-host queue
+    order is the semantics (fetches from one host are serial by
+    definition), and hosts are independent, so the plan is
+    embarrassingly parallel across the 10^7-host dimension.  A
+    mega-host's queue landing on one task is inherent to the
+    problem, not the plan; cap frontier-per-host upstream (see
+    ``per-domain quota``) if a single host's queue outgrows a task.
+    """
+    from pyspark.sql import Window
+    f = frontier.select("url", "host",
+                        F.col("priority").cast("long").alias("priority"))
+    if delays is not None:
+        d = delays.select("host", F.col("crawl_delay").cast("long")
+                          .alias("crawl_delay"))
+        f = (f.join(F.broadcast(d), "host", "left")
+             .withColumn("crawl_delay",
+                         F.coalesce("crawl_delay",
+                                    F.lit(int(default_delay)))))
+    else:
+        f = f.withColumn("crawl_delay", F.lit(int(default_delay)))
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(),
+                                           F.col("url"))
+    return (f.select("url", "host", "crawl_delay",
+                     F.row_number().over(w).cast("long").alias("rank"))
+            .select("url", "host", "rank",
+                    ((F.col("rank") - 1) * F.col("crawl_delay"))
+                    .cast("long").alias("fetch_offset_s")))

@@ -596,3 +596,48 @@ def publication_dates(docs: DataFrame, text_col: str = "text",
         F.size(arr).cast("long").alias("n_dates"),
         F.array_min(arr).alias("pub_date"),
         F.array_max(arr).alias("last_date"))
+
+
+# ReVerb-lite surface relation inventory: finite verb-phrase
+# alternation (longest alternative first — Java regex alternation is
+# leftmost-first, not longest-match).
+REVERB_RELATIONS = ("was founded by", "was acquired by",
+                    "is located in", "works at", "is a")
+
+_REVERB_ENT = r"[A-Z][A-Za-z0-9]*(?: [A-Z][A-Za-z0-9]*)*"
+
+
+def reverb_triples(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "url") -> DataFrame:
+    """Open information extraction, ReVerb-lite (Fader et al.,
+    EMNLP 2011 reduced to a closed verb-phrase inventory): surface
+    triples ``(subj_text, rel, obj_text)`` wherever a capitalized
+    entity span, one of :data:`REVERB_RELATIONS`, and a second
+    entity span meet in the running text.  This is the *recall*
+    layer of KG construction — candidate facts mined from prose —
+    that feeds the same fuzzy-linking + canonicalization +
+    fact-fusion stages the structured extractors feed
+    (cf. the reference's citation/legalref recognizers, which mine
+    typed mentions; here the relation itself is mined too).
+
+    Pure whole-stage codegen: THREE ``regexp_extract_all`` passes
+    over the same pattern (one per capture group — Spark extracts
+    one group per call; the match walk is identical so index i of
+    each array is the same match), ``arrays_zip`` + one explode.
+    No UDF, no shuffle; a 100 TB corpus maps straight through.
+
+    Returns (id, pos, subj_text, rel, obj_text), ``pos`` = 0-based
+    match index within the document.
+    """
+    pat = ("(%s) (%s) (%s)"
+           % (_REVERB_ENT, "|".join(REVERB_RELATIONS), _REVERB_ENT))
+    grp = lambda i: F.expr(
+        "regexp_extract_all(%s, r'%s', %d)" % (text_col, pat, i))
+    z = F.arrays_zip(grp(1).alias("s"), grp(2).alias("r"),
+                     grp(3).alias("o"))
+    return (docs.select(F.col(id_col),
+                        F.posexplode(z).alias("pos", "m"))
+            .select(id_col, F.col("pos").cast("long").alias("pos"),
+                    F.col("m.s").alias("subj_text"),
+                    F.col("m.r").alias("rel"),
+                    F.col("m.o").alias("obj_text")))

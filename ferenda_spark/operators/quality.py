@@ -118,3 +118,83 @@ def calibration_bins(scored: DataFrame, n_bins: int = 10,
         mean_score.alias("mean_score"),
         frac_pos.alias("frac_pos"),
         F.abs(frac_pos - mean_score).alias("gap"))
+
+
+def cohens_kappa(pairs: DataFrame, a_col: str = "label_a",
+                 b_col: str = "label_b") -> DataFrame:
+    """Cohen's kappa between two annotators over the same examples —
+    the inter-annotator-agreement gate for the human (or LLM-judge)
+    label sets that train the quality/spam classifiers; raw percent
+    agreement overstates reliability whenever the label marginals are
+    skewed, which web-corpus labels always are.
+
+    Returns ONE row: (n, n_agree, po, pe, kappa) with
+
+    * ``po``  = n_agree / n (observed agreement),
+    * ``pe``  = sum_k na_k * nb_k / n**2 (chance agreement) — the
+      numerator is an exact LONG sum of per-label marginal products,
+      so only ONE IEEE division happens and a SQL replay is
+      bit-exact (never sum per-label doubles: that reintroduces
+      order dependence),
+    * ``kappa`` = (po - pe) / (1 - pe), NULL at the pe = 1
+      degenerate point (both annotators constant).
+
+    Scale shape: one groupBy on the label pair (|labels|**2 groups),
+    then dimension-sized arithmetic — map-side partials do all the
+    work, example rows never shuffle more than their two labels.
+    """
+    cell = (pairs.groupBy(F.col(a_col).alias("a"),
+                          F.col(b_col).alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    cell = cell.localCheckpoint(eager=True)
+    na = cell.groupBy("a").agg(F.sum("c").cast("long").alias("na"))
+    nb = cell.groupBy("b").agg(F.sum("c").cast("long").alias("nb"))
+    prod = (na.join(nb, na["a"] == nb["b"])
+            .agg(F.sum(F.col("na") * F.col("nb")).cast("long")
+                 .alias("s_pe")))
+    tot = cell.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+              .otherwise(0)).cast("long").alias("n_agree"))
+    j = tot.crossJoin(prod)  # two 1-row frames
+    po = F.col("n_agree").cast("double") / F.col("n")
+    pe = F.col("s_pe").cast("double") / (F.col("n") * F.col("n"))
+    return j.select(
+        "n", "n_agree", po.alias("po"), pe.alias("pe"),
+        F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+        .alias("kappa"))
+
+
+def gini_concentration(rows: DataFrame, key_col: str) -> DataFrame:
+    """Gini coefficient of the per-key row counts — the corpus-
+    concentration audit (how much of the crawl one domain owns; a
+    mix at gini 0 is uniform across keys, near 1 is one-domain
+    dominated).  Uses the rank formula over ascending counts
+
+        G = 2 * sum_i i * x_i / (n * sum_i x_i)  -  (n + 1) / n
+
+    with every sum a LONG (rank * count products stay < 2**63 for
+    any real corpus), so exactly two IEEE divisions and one subtract
+    happen — a SQL replay matches bit-for-bit.
+
+    Scale shape: one groupBy(key) (map-side partials over the raw
+    rows), then ONE window over the key *dimension* (|keys| rows —
+    domains, not documents) ordered by (count, key); the final
+    aggregate is a single row.
+    """
+    from pyspark.sql import Window
+    cnt = (rows.groupBy(F.col(key_col).alias("k"))
+           .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    w = Window.orderBy("x", "k")
+    ranked = cnt.select("x", F.row_number().over(w)
+                        .cast("long").alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("s1"))
+    n = F.col("n_keys").cast("double")
+    return agg.select(
+        "n_keys", "total",
+        ((F.lit(2.0) * F.col("s1"))
+         / (F.col("n_keys") * F.col("total"))
+         - (F.col("n_keys") + 1) / n).alias("gini"))

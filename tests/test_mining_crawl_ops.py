@@ -213,3 +213,146 @@ def test_rule_violations_lists_missing_heads_only(spark):
     assert likes[0].confidence == pytest.approx(0.9)
     # buys => likes has confidence 1.0 and no violations
     assert all(r.body_pred == "likes" for r in v)
+
+
+# ------------------------------------------------------------- mirrors
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "host string, content_hash string")
+
+
+def test_mirror_hosts_template_guard_and_overlap(spark):
+    """m1/m2 share 3 real hashes; the 'T' template hash is served by
+    5 hosts and must be dropped at max_hosts_per_hash=4 — otherwise
+    every pair gains a shared hash and the t-hosts leak in."""
+    from ferenda_spark.operators.crawl import mirror_hosts
+    rows = ([("m1", h) for h in ("h1", "h2", "h3", "h4")]
+            + [("m2", h) for h in ("h1", "h2", "h3")]
+            + [("m1", "T"), ("m2", "T"),
+               ("t0", "T"), ("t1", "T"), ("t2", "T")])
+    out = mirror_hosts(_pages(spark, rows), min_shared=2,
+                       max_hosts_per_hash=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.host_a, r.host_b) == ("m1", "m2")
+    assert (r.n_shared, r.n_a, r.n_b) == (3, 4, 3)
+    assert r.overlap == pytest.approx(1.0)
+
+
+def test_mirror_hosts_min_shared_filters_singletons(spark):
+    from ferenda_spark.operators.crawl import mirror_hosts
+    rows = [("u", "h1"), ("v", "h1"), ("u", "h2"), ("v", "h3")]
+    assert mirror_hosts(_pages(spark, rows), min_shared=2).count() == 0
+    one = mirror_hosts(_pages(spark, rows), min_shared=1).collect()
+    assert len(one) == 1 and one[0].overlap == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------- politeness
+
+def test_politeness_ranks_offsets_and_tiebreak(spark):
+    """Host queue: priority DESC, then url ASC on the tie; offsets
+    step by the host's crawl delay from zero."""
+    from ferenda_spark.operators.crawl import politeness_schedule
+    frontier = spark.createDataFrame(
+        [("a/u1", "a", 5), ("a/u2", "a", 9), ("a/u3", "a", 5),
+         ("b/u1", "b", 1)],
+        "url string, host string, priority long")
+    delays = spark.createDataFrame([("a", 3)],
+                                   "host string, crawl_delay long")
+    out = {r.url: (r.rank, r.fetch_offset_s)
+           for r in politeness_schedule(frontier, delays,
+                                        default_delay=7).collect()}
+    assert out == {"a/u2": (1, 0), "a/u1": (2, 3), "a/u3": (3, 6),
+                   "b/u1": (1, 0)}
+
+
+def test_politeness_no_robots_table_uses_default(spark):
+    from ferenda_spark.operators.crawl import politeness_schedule
+    frontier = spark.createDataFrame(
+        [("a/u1", "a", 2), ("a/u2", "a", 1)],
+        "url string, host string, priority long")
+    out = {r.url: r.fetch_offset_s
+           for r in politeness_schedule(frontier,
+                                        default_delay=4).collect()}
+    assert out == {"a/u1": 0, "a/u2": 4}
+
+
+# -------------------------------------------------------------- reverb
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_reverb_multiword_entities_and_positions(spark):
+    from ferenda_spark.operators.extract import reverb_triples
+    t = ("Mary Jane Watson works at Daily Bugle Press. "
+         "Rome is located in Italy.")
+    out = reverb_triples(_docs(spark, [("d", t)])).orderBy("pos").collect()
+    assert [(r.pos, r.subj_text, r.rel, r.obj_text) for r in out] == [
+        (0, "Mary Jane Watson", "works at", "Daily Bugle Press"),
+        (1, "Rome", "is located in", "Italy")]
+
+
+def test_reverb_requires_capitalized_spans(spark):
+    from ferenda_spark.operators.extract import reverb_triples
+    rows = [("d1", "he works at Acme."),       # lowercase subject
+            ("d2", "Acme works at nothing."),  # lowercase object
+            ("d3", "no relations at all here")]
+    assert reverb_triples(_docs(spark, rows)).count() == 0
+
+
+def test_reverb_greedy_object_span(spark):
+    from ferenda_spark.operators.extract import reverb_triples
+    out = reverb_triples(
+        _docs(spark, [("d", "Zed is a Big Blue Widget Co.")])).collect()
+    assert len(out) == 1
+    assert out[0].obj_text == "Big Blue Widget Co"
+
+
+# --------------------------------------------------------------- kappa
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "label_a string, label_b string")
+
+
+def test_kappa_known_2x2(spark):
+    """20 yy / 5 yn / 10 ny / 15 nn: po=0.7, pe=0.5, kappa=0.4."""
+    from ferenda_spark.operators.quality import cohens_kappa
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    r = cohens_kappa(_labels(spark, rows)).collect()[0]
+    assert (r.n, r.n_agree) == (50, 35)
+    assert r.po == pytest.approx(0.7)
+    assert r.pe == pytest.approx(0.5)
+    assert r.kappa == pytest.approx(0.4)
+
+
+def test_kappa_perfect_and_degenerate(spark):
+    from ferenda_spark.operators.quality import cohens_kappa
+    perfect = [("a", "a")] * 3 + [("b", "b")] * 7
+    r = cohens_kappa(_labels(spark, perfect)).collect()[0]
+    assert r.po == pytest.approx(1.0) and r.kappa == pytest.approx(1.0)
+    # both annotators constant: pe = 1, kappa undefined -> NULL
+    r = cohens_kappa(_labels(spark, [("x", "x")] * 5)).collect()[0]
+    assert r.pe == pytest.approx(1.0) and r.kappa is None
+
+
+# ---------------------------------------------------------------- gini
+
+def test_gini_uniform_is_zero(spark):
+    from ferenda_spark.operators.quality import gini_concentration
+    rows = spark.createDataFrame(
+        [("k%d" % (i % 4),) for i in range(12)], "k string")
+    r = gini_concentration(rows, "k").collect()[0]
+    assert (r.n_keys, r.total) == (4, 12)
+    assert r.gini == pytest.approx(0.0, abs=1e-12)
+
+
+def test_gini_concentrated_matches_hand_value(spark):
+    """Counts [1, 9]: G = 2*(1*1+2*9)/(2*10) - 3/2 = 0.4."""
+    from ferenda_spark.operators.quality import gini_concentration
+    rows = spark.createDataFrame(
+        [("big",)] * 9 + [("small",)], "k string")
+    r = gini_concentration(rows, "k").collect()[0]
+    assert (r.n_keys, r.total) == (2, 10)
+    assert r.gini == pytest.approx(0.4)
