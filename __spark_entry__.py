@@ -3604,6 +3604,99 @@ def _q_gini_domains(spark, sf_dir):
     return gini_concentration(d.select(key.alias("domain")), "domain")
 
 
+def _q_mojibake(spark, sf_dir):
+    """Mojibake triage over planted corruption: doc_id%4 double-UTF-8
+    pairs, %3 replacement chars, %2 C1 controls appended to a clean
+    x-run (empty text at %9==0 exercises the NULL ratio); the oracle
+    rebuilds the identical text with repeat() and replays the three
+    RE2 scans."""
+    from ferenda_spark.operators.cleaning import mojibake_stats
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def rep(s, m):
+        return F.repeat(F.lit(s), (did % m).cast("int"))
+
+    t = F.when(did % 9 == 0, F.lit("")).otherwise(F.concat(
+        F.repeat(F.lit("x"), (10 + did % 5).cast("int")),
+        rep(chr(0xC3) + chr(0xA9), 4),
+        rep(chr(0xFFFD), 3),
+        rep(chr(0x85), 2)))
+    docs = d.select(
+        F.format_string("https://example.org/docs/%d", did).alias("url"),
+        t.alias("text"))
+    return mojibake_stats(docs).orderBy("url")
+
+
+def _q_stitched_pages(spark, sf_dir):
+    """Pagination stitching: 3-page articles (article = doc_id div 3,
+    page = doc_id%3+1; page 1 is the bare URL, 2-3 carry ?page=N) with
+    page 2 dropped for every 5th article so has_gaps fires; the oracle
+    replays the group + ORDER BY (page_no, text) concatenation."""
+    from ferenda_spark.operators.crawl import stitch_paginated
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    art = F.expr("doc_id div 3")
+    page = did % 3 + 1
+    base = F.format_string("https://s%d.example.org/art/%d",
+                           art % 4, art)
+    url = F.when(page == 1, base).otherwise(
+        F.concat(base, F.lit("?page="), page.cast("string")))
+    pages = (d.where(~((art % 5 == 0) & (did % 3 == 1)))
+             .select(url.alias("url"),
+                     F.format_string("P%d", did).alias("text")))
+    return stitch_paginated(pages).orderBy("base_url")
+
+
+def _q_soft404(spark, sf_dir):
+    """Soft-404 detection over 5 hosts with known error-template
+    hashes: doc_id%11==0 serves its host's error hash, %13==0 carries
+    a not-found title (%143==0 triggers both); the oracle replays the
+    broadcast probe join + title regex."""
+    from ferenda_spark.operators.crawl import soft404
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    pages = d.select(
+        F.format_string("https://s%d.example.org/p/%d", did % 5, did)
+        .alias("url"),
+        F.format_string("s%d.example.org", did % 5).alias("host"),
+        F.when(did % 11 == 0, F.format_string("err%d", did % 5))
+        .otherwise(F.format_string("c%d", did)).alias("content_hash"),
+        F.when(did % 13 == 0, F.lit("Page Not Found"))
+        .otherwise(F.format_string("Doc %d", did)).alias("title"))
+    probes = spark.createDataFrame(
+        [("s%d.example.org" % i, "err%d" % i) for i in range(5)],
+        "host string, probe_hash string")
+    return soft404(pages, probes).orderBy("url")
+
+
+def _q_property_coverage(spark, sf_dir):
+    """Schema-completeness profile of the REAL extracted KG: per
+    (class, predicate) the fraction of the class's entities carrying
+    the predicate (sameAs sits at 3/4 by construction, core doc
+    predicates at 1.0); the oracle replays the distinct/join/groupBy
+    program over the closed-form triple CTEs."""
+    from ferenda_spark.operators.quality import property_coverage
+    return (property_coverage(_triples(spark, sf_dir))
+            .orderBy("cls", "pred"))
+
+
+def _q_domain_quality_eb(spark, sf_dir):
+    """Empirical-Bayes shrunk per-domain quality: scores are exact
+    binary fractions ((doc_id*53+7)%256/256, so every sum is exact and
+    order-free), a hot domain owns 30% of docs; the oracle replays the
+    global-mean division and the (sum + alpha*m)/(n + alpha) shrink."""
+    from ferenda_spark.operators.quality import eb_domain_quality
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    domain = F.when(did % 10 < 3, F.lit("hot.example.org")).otherwise(
+        F.format_string("d%d.example.org", did % 17))
+    scored = d.select(
+        domain.alias("domain"),
+        (((did * 53 + 7) % 256) / F.lit(256.0)).alias("score"))
+    return eb_domain_quality(scored, alpha=20.0).orderBy("domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3832,6 +3925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reverb_triples": _q_reverb_triples,
         "stats_cohens_kappa": _q_cohens_kappa,
         "stats_gini_domains": _q_gini_domains,
+        "clean_mojibake": _q_mojibake,
+        "crawl_stitched_pages": _q_stitched_pages,
+        "crawl_soft404": _q_soft404,
+        "kg_property_coverage": _q_property_coverage,
+        "stats_domain_quality_eb": _q_domain_quality_eb,
     }
 
 
@@ -4319,6 +4417,46 @@ def _reverb_pattern() -> str:
                                                  _REVERB_ENT)
     return "(%s) (%s) (%s)" % (_REVERB_ENT,
                                "|".join(REVERB_RELATIONS), _REVERB_ENT)
+
+
+def _mojibake_oracle() -> str:
+    """Rebuild the planted corruption text and replay the three RE2
+    scans; patterns come from the cleaning module so oracle and
+    operator can never drift."""
+    from ferenda_spark.operators.cleaning import (MOJIBAKE_C1_PAT,
+                                                  MOJIBAKE_DOUBLE_PAT,
+                                                  MOJIBAKE_REPLACEMENT)
+    sql = """
+            WITH d AS (SELECT
+                   'https://example.org/docs/' || doc_id AS url,
+                   CASE WHEN doc_id % 9 = 0 THEN ''
+                        ELSE repeat('x', 10 + doc_id % 5)
+                             || repeat('{DBL}', doc_id % 4)
+                             || repeat('{RPL}', doc_id % 3)
+                             || repeat('{C1C}', doc_id % 2)
+                   END AS text
+                   FROM documents),
+            c AS (SELECT url,
+                   CAST(len(regexp_extract_all(text, '{PD}'))
+                        AS BIGINT) AS n_double_utf8,
+                   CAST(len(regexp_extract_all(text, '{PC}'))
+                        AS BIGINT) AS n_c1,
+                   CAST(len(regexp_extract_all(text, '{PR}'))
+                        AS BIGINT) AS n_replacement,
+                   CAST(length(text) AS BIGINT) AS n_chars
+                  FROM d)
+            SELECT url, n_double_utf8, n_c1, n_replacement, n_chars,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_double_utf8 + n_c1 + n_replacement
+                                  AS DOUBLE) * 1000.0 / n_chars
+                   END AS mojibake_per_1k
+            FROM c ORDER BY url"""
+    return (sql.replace("{DBL}", chr(0xC3) + chr(0xA9))
+            .replace("{RPL}", chr(0xFFFD))
+            .replace("{C1C}", chr(0x85))
+            .replace("{PD}", MOJIBAKE_DOUBLE_PAT)
+            .replace("{PC}", MOJIBAKE_C1_PAT)
+            .replace("{PR}", MOJIBAKE_REPLACEMENT))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8175,4 +8313,78 @@ def oracle_sql() -> dict[str, str]:
                    (2.0 * s1) / (n_keys * total)
                    - (n_keys + 1) / CAST(n_keys AS DOUBLE) AS gini
             FROM agg""",
+        "clean_mojibake": _mojibake_oracle(),
+        # group on the stripped base URL, ORDER BY (page_no, text)
+        # concatenation, contiguity flag
+        "crawl_stitched_pages": """
+            WITH p AS (SELECT doc_id, doc_id // 3 AS art,
+                   doc_id % 3 + 1 AS page_no, 'P' || doc_id AS text
+                   FROM documents
+                   WHERE NOT ((doc_id // 3) % 5 = 0
+                              AND doc_id % 3 = 1)),
+            b AS (SELECT 'https://s' || (art % 4)
+                         || '.example.org/art/' || art AS base_url,
+                         page_no, text FROM p)
+            SELECT base_url, CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(MIN(page_no) AS BIGINT) AS min_page,
+                   CAST(MAX(page_no) AS BIGINT) AS max_page,
+                   string_agg(text, chr(10)
+                              ORDER BY page_no, text) AS full_text,
+                   (MIN(page_no) <> 1
+                    OR MAX(page_no) - MIN(page_no) + 1 <> COUNT(*))
+                     AS has_gaps
+            FROM b GROUP BY base_url ORDER BY base_url""",
+        # closed form: %11 hits the host's planted error hash, %13
+        # the not-found title
+        "crawl_soft404": """
+            WITH p AS (SELECT
+                   'https://s' || (doc_id % 5) || '.example.org/p/'
+                     || doc_id AS url,
+                   's' || (doc_id % 5) || '.example.org' AS host,
+                   doc_id % 11 = 0 AS hm,
+                   doc_id % 13 = 0 AS tm
+                   FROM documents)
+            SELECT url, host,
+                   CASE WHEN hm AND tm THEN 'both'
+                        WHEN hm THEN 'error_template'
+                        ELSE 'title' END AS reason
+            FROM p WHERE hm OR tm ORDER BY url""",
+        # distinct (entity, class) x distinct (entity, pred) joined on
+        # the entity, one division per (class, pred) cell
+        "kg_property_coverage": _ALL_TRIPLES_WITH + """,
+            types AS (SELECT DISTINCT subj AS e, obj AS cls
+                      FROM all_triples
+                      WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+            nent AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_entities
+                     FROM types GROUP BY cls),
+            sp AS (SELECT DISTINCT subj AS e, pred FROM all_triples
+                   WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+            cov AS (SELECT t.cls, sp.pred,
+                           CAST(COUNT(*) AS BIGINT) AS n_with
+                    FROM sp JOIN types t USING (e)
+                    GROUP BY t.cls, sp.pred)
+            SELECT c.cls, c.pred, c.n_with, n.n_entities,
+                   CAST(c.n_with AS DOUBLE) / n.n_entities AS coverage
+            FROM cov c JOIN nent n USING (cls)
+            ORDER BY cls, pred""",
+        # raw per-domain sums, ONE global-mean division, one shrink
+        # division — same operation order as the operator
+        "stats_domain_quality_eb": """
+            WITH s AS (SELECT
+                   CASE WHEN doc_id % 10 < 3 THEN 'hot.example.org'
+                        ELSE 'd' || (doc_id % 17) || '.example.org'
+                   END AS domain,
+                   CAST((doc_id * 53 + 7) % 256 AS DOUBLE) / 256.0
+                     AS score
+                   FROM documents),
+            per AS (SELECT domain, SUM(score) AS s_d,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM s GROUP BY domain),
+            g AS (SELECT SUM(score) AS g_s,
+                         CAST(COUNT(*) AS BIGINT) AS g_n FROM s)
+            SELECT domain, n_docs,
+                   s_d / n_docs AS mean_score,
+                   (s_d + 20.0 * (g_s / g_n)) / (n_docs + 20.0)
+                     AS shrunk_score
+            FROM per, g ORDER BY domain""",
     }

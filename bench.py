@@ -128,6 +128,12 @@ HEADLINE = [
     "crawl_recrawl_schedule", "crawl_url_templates",
     "stats_calibration_bins", "text_tokenizer_fertility",
     "kg_mined_rules", "kg_rule_violations",
+    # r4 continuation session 10: mirror hosts, politeness slots,
+    # ReVerb-lite open IE, annotator agreement, corpus concentration
+    "crawl_mirror_hosts", "crawl_politeness_slots",
+    "kg_reverb_triples", "stats_cohens_kappa", "stats_gini_domains",
+    "clean_mojibake", "crawl_stitched_pages", "crawl_soft404",
+    "kg_property_coverage", "stats_domain_quality_eb",
 ]
 
 

@@ -406,3 +406,55 @@ def link_spam_features(host_edges: DataFrame) -> DataFrame:
         F.when(F.col("out_hosts") > 0,
                F.expr("recip_hosts * 1000000 div out_hosts"))
         .otherwise(F.lit(0).cast("long")))
+
+
+# --------------------------------------------------------- mojibake
+
+# the classic double-encoded-UTF-8 signature: a UTF-8 lead byte
+# 0xC2/0xC3 decoded as latin-1 then re-encoded, followed by a
+# decoded continuation byte in U+0080-U+00BF (built with chr() so the
+# source file stays ASCII-clean)
+MOJIBAKE_DOUBLE_PAT = "[%s%s][%s-%s]" % (chr(0xC2), chr(0xC3),
+                                         chr(0x80), chr(0xBF))
+# C1 control block: what cp1252 bytes 0x80-0x9f become when a page is
+# mislabeled / misdecoded as latin-1
+MOJIBAKE_C1_PAT = "[%s-%s]" % (chr(0x80), chr(0x9F))
+# U+FFFD: the decoder already gave up
+MOJIBAKE_REPLACEMENT = chr(0xFFFD)
+
+
+def mojibake_stats(documents: DataFrame, text_col: str = "text",
+                   id_col: str = "url") -> DataFrame:
+    """Encoding-corruption (mojibake) signals per document -- the
+    ftfy-style triage a web corpus runs before training: pages whose
+    bytes were decoded with the wrong charset poison tokenizers and
+    dedup alike, and all three corruption modes are pure character
+    patterns:
+
+    * ``n_double_utf8`` -- count of :data:`MOJIBAKE_DOUBLE_PAT`
+      matches (UTF-8 read as latin-1 then re-encoded: 'e-acute'
+      becomes the two-character 'A-tilde + copyright-sign' sequence);
+    * ``n_c1`` -- C1 control characters U+0080-U+009F (cp1252 bytes
+      surviving a latin-1 decode);
+    * ``n_replacement`` -- U+FFFD replacement characters;
+    * ``mojibake_per_1k`` -- (sum of the three) * 1000 / n_chars, one
+      IEEE division, NULL for empty documents.
+
+    Pure whole-stage codegen (three ``regexp_count`` scans), no
+    shuffle -- a 100 TB corpus maps straight through, and the column
+    feeds the same quality-filter stage as the Gopher/C4 rules.
+    """
+    t = F.col(text_col)
+    nd = F.regexp_count(t, F.lit(MOJIBAKE_DOUBLE_PAT)).cast("long")
+    nc = F.regexp_count(t, F.lit(MOJIBAKE_C1_PAT)).cast("long")
+    nr = F.regexp_count(t, F.lit(MOJIBAKE_REPLACEMENT)).cast("long")
+    n_chars = F.length(t).cast("long")
+    return documents.select(
+        F.col(id_col),
+        nd.alias("n_double_utf8"),
+        nc.alias("n_c1"),
+        nr.alias("n_replacement"),
+        n_chars.alias("n_chars"),
+        F.when(n_chars > 0,
+               (nd + nc + nr).cast("double") * 1000.0 / n_chars)
+        .alias("mojibake_per_1k"))

@@ -518,3 +518,87 @@ def politeness_schedule(frontier: DataFrame, delays: DataFrame = None,
             .select("url", "host", "rank",
                     ((F.col("rank") - 1) * F.col("crawl_delay"))
                     .cast("long").alias("fetch_offset_s")))
+
+
+# --------------------------------------------- pagination stitching
+
+def stitch_paginated(pages: DataFrame, url_col: str = "url",
+                     text_col: str = "text",
+                     sep: str = "\n") -> DataFrame:
+    """Reassemble multi-page articles split across ``?page=N`` URLs --
+    the inverse of the CMS pagination that fragments long documents
+    into crawl-sized pieces (training on fragments loses cross-page
+    context; deduping them separately misses the whole-article dup).
+
+    ``base_url`` strips a trailing ``[?&]page=N`` parameter;
+    ``page_no`` defaults to 1 when absent (the bare first page).  One
+    groupBy per base URL: pages are sorted by (page_no, text) -- a
+    total order, so the concatenation is deterministic even under
+    duplicate page numbers -- and joined with ``sep``.  ``has_gaps``
+    flags articles whose page numbers are not exactly 1..n_pages
+    (a missed fetch; the recrawl scheduler re-queues those).
+
+    Scale shape: ONE shuffle on base_url (articles are small -- tens
+    of pages -- so the per-group sort is a few comparisons, never a
+    spill), everything else map-side expressions.
+    """
+    u = F.col(url_col)
+    pat = r"[?&]page=(\d+)$"
+    base = F.regexp_replace(u, r"[?&]page=\d+$", "")
+    page = (F.when(u.rlike(pat),
+                   F.regexp_extract(u, pat, 1).cast("long"))
+            .otherwise(F.lit(1).cast("long")))
+    rows = pages.select(base.alias("base_url"), page.alias("page_no"),
+                        F.col(text_col).alias("_t"))
+    agg = rows.groupBy("base_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.min("page_no").alias("min_page"),
+        F.max("page_no").alias("max_page"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("page_no", "_t"))),
+                lambda s: s["_t"]),
+            sep).alias("full_text"))
+    return agg.select(
+        "base_url", "n_pages", "min_page", "max_page", "full_text",
+        ((F.col("min_page") != 1)
+         | (F.col("max_page") - F.col("min_page") + 1
+            != F.col("n_pages"))).alias("has_gaps"))
+
+
+# ------------------------------------------------- soft-404 probing
+
+SOFT404_TITLE_PAT = r"(?i)(page not found|error 404|no longer available)"
+
+
+def soft404(pages: DataFrame, probes: DataFrame,
+            url_col: str = "url", host_col: str = "host",
+            hash_col: str = "content_hash", title_col: str = "title",
+            title_pat: str = SOFT404_TITLE_PAT) -> DataFrame:
+    """Soft-404 detection: HTTP-200 pages that are really error pages.
+    Two independent signals, both standard crawl hygiene:
+
+    * **error-template match** -- ``probes`` carries one
+      ``(host, probe_hash)`` row per host: the content hash returned
+      for a deliberately nonexistent URL on that host.  Any normal
+      page serving the same hash is the error template.  Probes are
+      a host dimension -> broadcast left join, no shuffle of pages.
+    * **title match** -- :data:`SOFT404_TITLE_PAT` against the page
+      title (pure rlike scan).
+
+    Returns flagged pages only: (url, host, reason) with reason in
+    {'error_template', 'title', 'both'}.  At 100 TB the output is a
+    tiny fraction of the input and feeds the URL-quality dimension
+    the frontier consults before re-enqueueing.
+    """
+    pr = probes.select(F.col(host_col), F.col("probe_hash"))
+    j = pages.join(F.broadcast(pr), host_col, "left")
+    hm = F.coalesce(F.col(hash_col) == F.col("probe_hash"),
+                    F.lit(False))
+    tm = F.col(title_col).rlike(title_pat)
+    reason = (F.when(hm & tm, "both")
+              .when(hm, "error_template")
+              .otherwise("title"))
+    return (j.where(hm | tm)
+            .select(F.col(url_col), F.col(host_col),
+                    reason.alias("reason")))

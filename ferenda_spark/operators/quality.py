@@ -198,3 +198,75 @@ def gini_concentration(rows: DataFrame, key_col: str) -> DataFrame:
         ((F.lit(2.0) * F.col("s1"))
          / (F.col("n_keys") * F.col("total"))
          - (F.col("n_keys") + 1) / n).alias("gini"))
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def property_coverage(triples: DataFrame, subj_col: str = "subj",
+                      pred_col: str = "pred", obj_col: str = "obj",
+                      type_pred: str = _RDF_TYPE) -> DataFrame:
+    """Schema-completeness audit of a KG: for every (class, predicate)
+    pair, the fraction of the class's entities that carry at least one
+    value of the predicate -- the LOD-stats-style profile that tells a
+    KG consumer which properties are dependable (coverage ~1) and
+    which are sparse decoration, and tells fact fusion where missing
+    values are *expected* vs anomalous.
+
+    Program: distinct (entity, class) from the rdf:type triples;
+    distinct (entity, predicate) from the rest; join on entity, ONE
+    groupBy on (class, predicate); class sizes join back (a class
+    dimension, broadcast).  ``coverage = n_with / n_entities``, one
+    IEEE division.  Entities with several classes count toward each --
+    the standard multi-typing semantics.
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    types = (triples.where(p == type_pred)
+             .select(s.alias("e"), o.alias("cls")).distinct())
+    nent = types.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"))
+    sp = (triples.where(p != type_pred)
+          .select(s.alias("e"), p.alias("pred")).distinct())
+    cov = (sp.join(types, "e")
+           .groupBy("cls", "pred")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_with")))
+    return (cov.join(F.broadcast(nent), "cls")
+            .select("cls", "pred", "n_with", "n_entities",
+                    (F.col("n_with").cast("double")
+                     / F.col("n_entities")).alias("coverage")))
+
+
+def eb_domain_quality(scored: DataFrame, domain_col: str = "domain",
+                      score_col: str = "score",
+                      alpha: float = 20.0) -> DataFrame:
+    """Per-domain quality with empirical-Bayes shrinkage: the raw
+    per-domain mean is unusable for crawl prioritization because a
+    2-document domain with two lucky scores outranks a consistent
+    10^6-document one; shrinking toward the corpus mean with prior
+    strength ``alpha`` (pseudo-observations at the global mean) is
+    the standard fix:
+
+        shrunk = (sum_d + alpha * global_mean) / (n_d + alpha)
+
+    Exactness discipline: sums stay raw (never average-of-averages),
+    ``global_mean`` is ONE division of two corpus aggregates, and the
+    shrunk score is one more division -- a SQL replay with the same
+    operation order is bit-exact when scores are binary fractions.
+
+    Scale shape: one groupBy(domain) with map-side partials, plus a
+    1-row global aggregate cross-joined in (broadcast); output is the
+    domain dimension.
+    """
+    d, sc = F.col(domain_col), F.col(score_col)
+    per = (scored.groupBy(d.alias("domain"))
+           .agg(F.sum(sc).alias("s_d"),
+                F.count(F.lit(1)).cast("long").alias("n_docs")))
+    g = scored.agg(F.sum(sc).alias("g_s"),
+                   F.count(F.lit(1)).cast("long").alias("g_n"))
+    a = F.lit(float(alpha))
+    gm = F.col("g_s") / F.col("g_n")
+    return (per.crossJoin(F.broadcast(g))  # 1-row global aggregate
+            .select("domain", "n_docs",
+                    (F.col("s_d") / F.col("n_docs")).alias("mean_score"),
+                    ((F.col("s_d") + a * gm)
+                     / (F.col("n_docs") + a)).alias("shrunk_score")))

@@ -356,3 +356,112 @@ def test_gini_concentrated_matches_hand_value(spark):
     r = gini_concentration(rows, "k").collect()[0]
     assert (r.n_keys, r.total) == (2, 10)
     assert r.gini == pytest.approx(0.4)
+
+
+# ------------------------------------------------------------ mojibake
+
+def test_mojibake_clean_text_scores_zero(spark):
+    from ferenda_spark.operators.cleaning import mojibake_stats
+    r = mojibake_stats(_docs(spark, [("d", "plain ascii text")])).collect()[0]
+    assert (r.n_double_utf8, r.n_c1, r.n_replacement) == (0, 0, 0)
+    assert r.mojibake_per_1k == pytest.approx(0.0)
+
+
+def test_mojibake_empty_text_null_ratio(spark):
+    from ferenda_spark.operators.cleaning import mojibake_stats
+    r = mojibake_stats(_docs(spark, [("d", "")])).collect()[0]
+    assert r.n_chars == 0 and r.mojibake_per_1k is None
+
+
+def test_mojibake_lead_without_continuation_not_counted(spark):
+    """A lone 'A-tilde' before an ASCII char is legitimate text
+    (e.g. Portuguese 'Ã' as a word), not a double-encoding pair."""
+    from ferenda_spark.operators.cleaning import mojibake_stats
+    t = chr(0xC3) + " ok " + chr(0xC3) + chr(0xA9)
+    r = mojibake_stats(_docs(spark, [("d", t)])).collect()[0]
+    assert r.n_double_utf8 == 1
+
+
+# ------------------------------------------------------------ stitching
+
+def test_stitch_orders_pages_and_flags_gaps(spark):
+    from ferenda_spark.operators.crawl import stitch_paginated
+    rows = [("http://a/x?page=3", "three"), ("http://a/x", "one"),
+            ("http://b/y?page=2", "b2"), ("http://b/y", "b1"),
+            ("http://b/y?page=3", "b3")]
+    out = {r.base_url: r for r in stitch_paginated(
+        _docs(spark, rows)).collect()}
+    a = out["http://a/x"]
+    assert a.full_text == "one\nthree"          # page 2 missing
+    assert a.has_gaps and (a.min_page, a.max_page) == (1, 3)
+    b = out["http://b/y"]
+    assert b.full_text == "b1\nb2\nb3" and not b.has_gaps
+
+
+def test_stitch_mid_url_page_param_not_stripped(spark):
+    """Only a TRAILING page param is pagination; a path named 'page'
+    or a non-final param stays part of the identity."""
+    from ferenda_spark.operators.crawl import stitch_paginated
+    rows = [("http://a/page=2/x", "t")]
+    out = stitch_paginated(_docs(spark, rows)).collect()
+    assert out[0].base_url == "http://a/page=2/x"
+    assert out[0].n_pages == 1 and out[0].min_page == 1
+
+
+# -------------------------------------------------------------- soft404
+
+def test_soft404_reasons_and_unprobed_host(spark):
+    from ferenda_spark.operators.crawl import soft404
+    pages = spark.createDataFrame(
+        [("u1", "a", "ERR", "Fine title"),       # template only
+         ("u2", "a", "c2", "Page Not Found"),    # title only
+         ("u3", "a", "ERR", "Error 404 here"),   # both
+         ("u4", "a", "c4", "Fine"),              # clean
+         ("u5", "z", "ERR", "fine")],            # host without probe
+        "url string, host string, content_hash string, title string")
+    probes = spark.createDataFrame([("a", "ERR")],
+                                   "host string, probe_hash string")
+    out = {r.url: r.reason for r in soft404(pages, probes).collect()}
+    assert out == {"u1": "error_template", "u2": "title", "u3": "both"}
+
+
+# ----------------------------------------------------- property coverage
+
+def test_property_coverage_multitype_and_untyped(spark):
+    from ferenda_spark.operators.quality import property_coverage
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [("e1", T, "A"), ("e2", T, "A"), ("e2", T, "B"),
+            ("e1", "name", "x"), ("e2", "name", "y"),
+            ("e2", "age", "3"), ("e2", "age", "4"),   # dup (e,p) once
+            ("e9", "name", "untyped ignored")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {(r.cls, r.pred): (r.n_with, r.n_entities, r.coverage)
+           for r in property_coverage(t).collect()}
+    assert out[("A", "name")] == (2, 2, pytest.approx(1.0))
+    assert out[("A", "age")] == (1, 2, pytest.approx(0.5))
+    assert out[("B", "age")] == (1, 1, pytest.approx(1.0))
+    assert ("A", T) not in out  # type triples are not coverage rows
+
+
+# ------------------------------------------------------------ EB shrink
+
+def test_eb_shrinks_small_domains_toward_global(spark):
+    from ferenda_spark.operators.quality import eb_domain_quality
+    rows = ([("big", 0.5)] * 80            # global mean anchored at .5
+            + [("lucky", 1.0)] * 2)        # tiny domain, perfect scores
+    df = spark.createDataFrame(rows, "domain string, score double")
+    out = {r.domain: r for r in eb_domain_quality(df, alpha=20.0).collect()}
+    gm = (80 * 0.5 + 2 * 1.0) / 82.0
+    assert out["lucky"].mean_score == pytest.approx(1.0)
+    expected = (2 * 1.0 + 20.0 * gm) / (2 + 20.0)
+    assert out["lucky"].shrunk_score == pytest.approx(expected)
+    # the shrunk score sits far from the raw mean, near the prior
+    assert out["lucky"].shrunk_score < 0.6
+
+
+def test_eb_alpha_zero_is_raw_mean(spark):
+    from ferenda_spark.operators.quality import eb_domain_quality
+    df = spark.createDataFrame([("d", 0.25), ("d", 0.75)],
+                               "domain string, score double")
+    r = eb_domain_quality(df, alpha=0.0).collect()[0]
+    assert r.shrunk_score == pytest.approx(r.mean_score) == pytest.approx(0.5)
