@@ -3697,6 +3697,74 @@ def _q_domain_quality_eb(spark, sf_dir):
     return eb_domain_quality(scored, alpha=20.0).orderBy("domain")
 
 
+def _q_rake_keyphrases(spark, sf_dir):
+    """RAKE-lite keyphrases over planted stopword-delimited prose
+    ('alphaA beta of gammaG and alphaA beta epsilonE' -> three phrases
+    with distinct fixed-point scores 5M/1M/8M); the oracle replays the
+    whole token/run/degree/ratio/rank program in SQL."""
+    from ferenda_spark.operators.textstats import rake_keyphrases
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    text = F.format_string(
+        "alpha%d beta of gamma%d and alpha%d beta epsilon%d",
+        did % 5, did % 7, did % 5, did % 3)
+    docs = d.select(
+        F.format_string("https://example.org/docs/%d", did).alias("url"),
+        text.alias("text"))
+    return rake_keyphrases(docs, top_k=3).orderBy("url", "rank")
+
+
+def _q_transition_matrix(spark, sf_dir):
+    """First-order event-type transition matrix over the REAL events
+    table ((ts, event_id) total order per user); the oracle replays
+    the LEAD window + row-normalization."""
+    from ferenda_spark.operators.events import transition_matrix
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    return transition_matrix(ev).orderBy("from_type", "to_type")
+
+
+def _q_budget_allocation(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a 1000-fetch budget
+    across 23 hosts weighted by document count; the oracle replays the
+    single-division quotas, floors, and fractional-remainder ranks."""
+    from ferenda_spark.operators.crawl import allocate_crawl_budget
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    hosts = (d.select(F.format_string("h%d.example.org", did % 23)
+                      .alias("host"))
+             .groupBy("host")
+             .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+    return allocate_crawl_budget(hosts, budget=1000).orderBy("host")
+
+
+def _q_psi_drift(spark, sf_dir):
+    """PSI drift between a full-range reference score distribution
+    ((doc_id*37+11)%256/256) and a top-half-only current one
+    (0.5 + (doc_id*91+5)%128/256 -- bins 0-4 empty on the actual side,
+    exercising the NULL-contrib path); the oracle replays the bin
+    shares and (q-p)*ln(q/p)."""
+    from ferenda_spark.operators.quality import psi_drift
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    expected = d.select(
+        (((did * 37 + 11) % 256) / F.lit(256.0)).alias("score"))
+    actual = d.select(
+        (F.lit(0.5) + ((did * 91 + 5) % 128) / F.lit(256.0))
+        .alias("score"))
+    return psi_drift(expected, actual, n_bins=10).orderBy("bin")
+
+
+def _q_pred_functionality(spark, sf_dir):
+    """PARIS predicate functionality over the REAL extracted KG
+    (dcterms predicates are functional at 1.0; mention/link predicates
+    are set-valued); the oracle replays distinct-pair counts and the
+    two divisions."""
+    from ferenda_spark.operators.quality import predicate_functionality
+    return (predicate_functionality(_triples(spark, sf_dir))
+            .orderBy("pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -3930,6 +3998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_soft404": _q_soft404,
         "kg_property_coverage": _q_property_coverage,
         "stats_domain_quality_eb": _q_domain_quality_eb,
+        "text_rake_keyphrases": _q_rake_keyphrases,
+        "events_transition_matrix": _q_transition_matrix,
+        "crawl_budget_allocation": _q_budget_allocation,
+        "stats_psi_drift": _q_psi_drift,
+        "kg_pred_functionality": _q_pred_functionality,
     }
 
 
@@ -4457,6 +4530,63 @@ def _mojibake_oracle() -> str:
             .replace("{PD}", MOJIBAKE_DOUBLE_PAT)
             .replace("{PC}", MOJIBAKE_C1_PAT)
             .replace("{PR}", MOJIBAKE_REPLACEMENT))
+
+
+def _rake_oracle() -> str:
+    """Full SQL replay of the RAKE-lite program (tokens, stopword
+    runs, degree/frequency fixed-point scores, per-doc ranks); the
+    stopword list comes from the operator module so oracle and code
+    cannot drift."""
+    from ferenda_spark.operators.textstats import RAKE_STOPWORDS
+    stoplist = ", ".join("'%s'" % w for w in RAKE_STOPWORDS)
+    return """
+            WITH d AS (SELECT
+                   'https://example.org/docs/' || doc_id AS url,
+                   'alpha' || (doc_id % 5) || ' beta of gamma'
+                     || (doc_id % 7) || ' and alpha' || (doc_id % 5)
+                     || ' beta epsilon' || (doc_id % 3) AS text
+                   FROM documents),
+            tk AS (SELECT url,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+                   FROM d),
+            tok AS (SELECT url, CAST(i AS BIGINT) - 1 AS pos,
+                           ts[CAST(i AS BIGINT)] AS w
+                    FROM tk, unnest(generate_series(CAST(1 AS BIGINT),
+                                    CAST(len(ts) AS BIGINT))) AS t(i)),
+            runs AS (SELECT url, pos, w, w IN ({STOPS}) AS stop,
+                     SUM(CASE WHEN w IN ({STOPS}) THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY url ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS grp
+                     FROM tok),
+            words AS (SELECT url, pos, w, grp FROM runs WHERE NOT stop),
+            phr AS (SELECT url, grp,
+                    string_agg(w, ' ' ORDER BY pos) AS phrase,
+                    CAST(COUNT(*) AS BIGINT) AS n_words
+                    FROM words GROUP BY url, grp),
+            ws AS (SELECT w2.url, w2.w,
+                   CAST(SUM(p.n_words) AS BIGINT) AS deg,
+                   CAST(COUNT(*) AS BIGINT) AS freq
+                   FROM words w2 JOIN phr p USING (url, grp)
+                   GROUP BY w2.url, w2.w),
+            wsc AS (SELECT url, w, deg * 1000000 // freq AS wscore
+                    FROM ws),
+            psc AS (SELECT w2.url, w2.grp,
+                    CAST(SUM(s.wscore) AS BIGINT) AS score_micro
+                    FROM words w2 JOIN wsc s USING (url, w)
+                    GROUP BY w2.url, w2.grp),
+            cand AS (SELECT p.url, p.phrase,
+                     CAST(MAX(p.n_words) AS BIGINT) AS n_words,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                     CAST(MAX(ps.score_micro) AS BIGINT) AS score_micro
+                     FROM psc ps JOIN phr p USING (url, grp)
+                     GROUP BY p.url, p.phrase),
+            rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY url
+                          ORDER BY score_micro DESC, phrase)
+                        AS BIGINT) AS "rank" FROM cand)
+            SELECT url, phrase, n_words, n_occurrences, score_micro,
+                   "rank"
+            FROM rk WHERE "rank" <= 3
+            ORDER BY url, "rank" """.replace("{STOPS}", stoplist)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8387,4 +8517,93 @@ def oracle_sql() -> dict[str, str]:
                    (s_d + 20.0 * (g_s / g_n)) / (n_docs + 20.0)
                      AS shrunk_score
             FROM per, g ORDER BY domain""",
+        "text_rake_keyphrases": _rake_oracle(),
+        # LEAD over the (ts, event_id) total order per user, then
+        # row-normalized pair counts
+        "events_transition_matrix": """
+            WITH pr AS (SELECT event_type AS from_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type
+                   FROM events),
+            c AS (SELECT from_type, to_type,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                  FROM pr WHERE to_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+            t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                  FROM c GROUP BY from_type)
+            SELECT c.from_type, c.to_type, c.n, t.n_from,
+                   CAST(c.n AS DOUBLE) / t.n_from AS p
+            FROM c JOIN t USING (from_type)
+            ORDER BY c.from_type, c.to_type""",
+        # Hamilton largest-remainder: one-division quotas, floors,
+        # fractional ranks (host ASC tie-break)
+        "crawl_budget_allocation": """
+            WITH h AS (SELECT 'h' || (doc_id % 23) || '.example.org'
+                              AS host,
+                       CAST(COUNT(*) AS BIGINT) AS weight
+                       FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w_total
+                    FROM h),
+            q AS (SELECT host, weight,
+                  CAST(1000 * weight AS DOUBLE) / w_total AS quota
+                  FROM h, tot),
+            qb AS (SELECT host, weight, quota,
+                   CAST(floor(quota) AS BIGINT) AS base FROM q),
+            used AS (SELECT CAST(SUM(base) AS BIGINT) AS b_used
+                     FROM qb),
+            rk AS (SELECT qb.*, used.b_used,
+                   CAST(ROW_NUMBER() OVER (ORDER BY quota - base DESC,
+                        host) AS BIGINT) AS r
+                   FROM qb, used)
+            SELECT host, weight, quota, base,
+                   CASE WHEN r <= 1000 - b_used
+                        THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS extra,
+                   base + CASE WHEN r <= 1000 - b_used THEN 1
+                               ELSE 0 END AS allocation
+            FROM rk ORDER BY host""",
+        # bin shares from two one-division ratios; contrib NULL where
+        # either side has no support
+        "stats_psi_drift": """
+            WITH e AS (SELECT least(CAST(floor(
+                   (CAST((doc_id * 37 + 11) % 256 AS DOUBLE) / 256.0)
+                   * 10) AS BIGINT), 9) AS bin FROM documents),
+            a AS (SELECT least(CAST(floor(
+                   (0.5 + CAST((doc_id * 91 + 5) % 128 AS DOUBLE)
+                    / 256.0) * 10) AS BIGINT), 9) AS bin
+                  FROM documents),
+            eb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_expected
+                   FROM e GROUP BY bin),
+            ab AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_actual
+                   FROM a GROUP BY bin),
+            te AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_e FROM e),
+            ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_a FROM a),
+            j AS (SELECT COALESCE(eb.bin, ab.bin) AS bin,
+                  COALESCE(n_expected, 0) AS n_expected,
+                  COALESCE(n_actual, 0) AS n_actual
+                  FROM eb FULL OUTER JOIN ab ON eb.bin = ab.bin),
+            s AS (SELECT bin, n_expected, n_actual,
+                  CAST(n_expected AS DOUBLE) / t_e AS p_expected,
+                  CAST(n_actual AS DOUBLE) / t_a AS p_actual
+                  FROM j, te, ta)
+            SELECT bin, n_expected, n_actual, p_expected, p_actual,
+                   CASE WHEN n_expected > 0 AND n_actual > 0
+                        THEN (p_actual - p_expected)
+                             * ln(p_actual / p_expected)
+                   END AS contrib
+            FROM s ORDER BY bin""",
+        # distinct (s, o) pairs per predicate, two divisions
+        "kg_pred_functionality": _ALL_TRIPLES_WITH + """,
+            pairs AS (SELECT DISTINCT pred, subj, obj
+                      FROM all_triples),
+            agg AS (SELECT pred,
+                    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                    CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                    CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+                    FROM pairs GROUP BY pred)
+            SELECT pred, n_pairs, n_subj, n_obj,
+                   CAST(n_subj AS DOUBLE) / n_pairs AS functionality,
+                   CAST(n_obj AS DOUBLE) / n_pairs
+                     AS inverse_functionality
+            FROM agg ORDER BY pred""",
     }

@@ -134,6 +134,9 @@ HEADLINE = [
     "kg_reverb_triples", "stats_cohens_kappa", "stats_gini_domains",
     "clean_mojibake", "crawl_stitched_pages", "crawl_soft404",
     "kg_property_coverage", "stats_domain_quality_eb",
+    "text_rake_keyphrases", "events_transition_matrix",
+    "crawl_budget_allocation", "stats_psi_drift",
+    "kg_pred_functionality",
 ]
 
 

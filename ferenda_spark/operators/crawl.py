@@ -602,3 +602,49 @@ def soft404(pages: DataFrame, probes: DataFrame,
     return (j.where(hm | tm)
             .select(F.col(url_col), F.col(host_col),
                     reason.alias("reason")))
+
+
+# --------------------------------------------- crawl budget (Hamilton)
+
+def allocate_crawl_budget(hosts: DataFrame, budget: int,
+                          host_col: str = "host",
+                          weight_col: str = "weight") -> DataFrame:
+    """Apportion an integer fetch budget across hosts proportionally
+    to a weight (URL count, quality-adjusted demand) with the
+    Hamilton / largest-remainder method: every host gets
+    ``floor(budget * w / W)``, and the leftover slots go to the
+    largest fractional remainders (ties broken by host ASC -- total
+    order, restart-stable).  Hamilton is exact (allocations sum to
+    the budget) and monotone enough for crawl planning, and unlike
+    iterative divisor methods it is ONE pass of distributed
+    arithmetic.
+
+    Exactness: ``quota = CAST(budget * w AS DOUBLE) / W`` is one IEEE
+    division of longs (identical in any engine), so the fractional
+    ranking is reproducible bit-for-bit.
+
+    Scale shape: one 1-row total (broadcast), one window over the
+    HOST DIMENSION (10^7 rows, not pages) for the remainder ranks.
+    Returns (host, weight, quota, base, extra, allocation).
+    """
+    from pyspark.sql import Window
+    b = F.lit(int(budget)).cast("long")
+    h = hosts.select(F.col(host_col).alias("host"),
+                     F.col(weight_col).cast("long").alias("weight"))
+    tot = h.agg(F.sum("weight").cast("long").alias("w_total"))
+    q = (h.crossJoin(F.broadcast(tot))  # 1-row total
+         .select("host", "weight",
+                 ((b * F.col("weight")).cast("double")
+                  / F.col("w_total")).alias("quota")))
+    q = q.select("host", "weight", "quota",
+                 F.floor("quota").cast("long").alias("base"))
+    used = q.agg(F.sum("base").cast("long").alias("b_used"))
+    w_frac = Window.orderBy((F.col("quota") - F.col("base")).desc(),
+                            "host")
+    ranked = (q.crossJoin(F.broadcast(used))
+              .withColumn("r", F.row_number().over(w_frac).cast("long")))
+    return (ranked.select(
+        "host", "weight", "quota", "base",
+        F.when(F.col("r") <= b - F.col("b_used"), F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("extra"))
+        .withColumn("allocation", F.col("base") + F.col("extra")))

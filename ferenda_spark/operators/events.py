@@ -109,3 +109,36 @@ def daily_anomalies(events: DataFrame, ts_col: str = "ts",
             .select(F.col("day").cast("string").alias("day"),
                     "n_events", z.alias("z"),
                     (F.abs(z) > z_threshold).alias("is_anomaly")))
+
+
+def transition_matrix(events: DataFrame, user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      order_cols: tuple = ("ts", "event_id")) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    ordered pair of event types, how often type B immediately follows
+    type A within one user's stream, and the row-normalized transition
+    probability -- the session-model behind next-action prediction and
+    journey anomaly detection.
+
+    Per-user ordering is (ts, event_id) -- a total order, so lead() is
+    deterministic under timestamp ties.  ``p = n / n_from`` is one IEEE
+    division of two longs.
+
+    Scale shape: ONE window per user partition (users are independent;
+    a mega-user is inherent data skew, not plan skew), then a groupBy
+    on the (type, type) dimension -- map-side partials do the heavy
+    lifting.  Returns (from_type, to_type, n, n_from, p).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (events.select(F.col(type_col).alias("from_type"),
+                           F.lead(type_col).over(w).alias("to_type"))
+             .where(F.col("to_type").isNotNull()))
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from"))
+    return (cnt.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n", "n_from",
+                    (F.col("n").cast("double") / F.col("n_from"))
+                    .alias("p")))

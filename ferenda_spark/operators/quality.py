@@ -270,3 +270,78 @@ def eb_domain_quality(scored: DataFrame, domain_col: str = "domain",
                     (F.col("s_d") / F.col("n_docs")).alias("mean_score"),
                     ((F.col("s_d") + a * gm)
                      / (F.col("n_docs") + a)).alias("shrunk_score")))
+
+
+def psi_drift(expected: DataFrame, actual: DataFrame,
+              score_col: str = "score", n_bins: int = 10) -> DataFrame:
+    """Population-stability-index drift monitor between a reference
+    score distribution and the current crawl's: per decile bin,
+    ``contrib = (q - p) * ln(q / p)`` where p/q are the expected /
+    actual bin shares -- the standard model-monitoring statistic
+    (PSI < 0.1 stable, > 0.25 drifted).
+
+    Scores are assumed in [0, 1); bins are ``least(floor(score *
+    n_bins), n_bins - 1)``.  Bins empty on EITHER side are returned
+    with a NULL contrib instead of an epsilon fudge -- the caller
+    sees exactly which bins lack support.  Shares are ONE division
+    each; the per-bin output avoids an order-dependent float total
+    (sum the contribs in the consumer if a scalar is wanted).
+
+    Scale shape: two map-side-partial groupBys on a 10-row bin
+    dimension, one tiny outer join.  Returns
+    (bin, n_expected, n_actual, p_expected, p_actual, contrib).
+    """
+    def bins(df, name):
+        sc = F.col(score_col)
+        b = F.least(F.floor(sc * n_bins).cast("long"),
+                    F.lit(int(n_bins) - 1))
+        return (df.select(b.alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+    e = bins(expected, "n_expected")
+    a = bins(actual, "n_actual")
+    te = expected.agg(F.count(F.lit(1)).cast("long").alias("t_e"))
+    ta = actual.agg(F.count(F.lit(1)).cast("long").alias("t_a"))
+    j = (e.join(a, "bin", "full_outer")
+         .select("bin",
+                 F.coalesce("n_expected", F.lit(0)).cast("long")
+                 .alias("n_expected"),
+                 F.coalesce("n_actual", F.lit(0)).cast("long")
+                 .alias("n_actual"))
+         .crossJoin(F.broadcast(te)).crossJoin(F.broadcast(ta)))
+    p = F.col("n_expected").cast("double") / F.col("t_e")
+    q = F.col("n_actual").cast("double") / F.col("t_a")
+    return j.select(
+        "bin", "n_expected", "n_actual",
+        p.alias("p_expected"), q.alias("p_actual"),
+        F.when((F.col("n_expected") > 0) & (F.col("n_actual") > 0),
+               (q - p) * F.log(q / p)).alias("contrib"))
+
+
+def predicate_functionality(triples: DataFrame, subj_col: str = "subj",
+                            pred_col: str = "pred",
+                            obj_col: str = "obj") -> DataFrame:
+    """PARIS-style predicate (inverse) functionality: per predicate,
+    ``functionality = #distinct subjects / #distinct (s, o) pairs``
+    (1.0 = each subject has one value -- a key-like property;
+    near 0 = set-valued) and the mirror for objects.  These two
+    numbers drive probabilistic ontology alignment and tell fact
+    fusion which predicates admit single truths.
+
+    One groupBy on predicate with three COUNT(DISTINCT) aggregates
+    (Spark expands-and-reshuffles internally; the grouping dimension
+    is the predicate vocabulary, so every stage is map-side-heavy).
+    Two IEEE divisions.  Returns
+    (pred, n_pairs, n_subj, n_obj, functionality, inverse_functionality).
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    agg = (triples.groupBy(p.alias("pred"))
+           .agg(F.countDistinct(s, o).cast("long").alias("n_pairs"),
+                F.countDistinct(s).cast("long").alias("n_subj"),
+                F.countDistinct(o).cast("long").alias("n_obj")))
+    return agg.select(
+        "pred", "n_pairs", "n_subj", "n_obj",
+        (F.col("n_subj").cast("double") / F.col("n_pairs"))
+        .alias("functionality"),
+        (F.col("n_obj").cast("double") / F.col("n_pairs"))
+        .alias("inverse_functionality"))

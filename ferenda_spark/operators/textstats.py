@@ -482,3 +482,71 @@ def tokenizer_fertility(documents: DataFrame,
          / F.col("total_chars")).alias("tokens_per_1k_chars"),
         (F.col("total_bytes").cast("double")
          / F.col("total_tokens")).alias("bytes_per_token"))
+
+
+# ------------------------------------------------------------- RAKE
+
+RAKE_STOPWORDS = ("a", "an", "and", "are", "as", "at", "be", "but",
+                  "by", "for", "if", "in", "is", "it", "of", "on",
+                  "or", "the", "to", "was", "with")
+
+
+def rake_keyphrases(documents: DataFrame, text_col: str = "text",
+                    id_col: str = "url", top_k: int = 3,
+                    stopwords: tuple = RAKE_STOPWORDS) -> DataFrame:
+    """RAKE-lite keyphrase extraction (Rose et al. 2010 reduced to a
+    pinned deterministic spec): candidate phrases are maximal runs of
+    non-stopword tokens (tokens = ``[a-z0-9]+`` over the lowercased
+    text; stopwords are the ONLY delimiters -- punctuation boundaries
+    are deliberately out of the pinned spec), scored by the classic
+    degree/frequency ratio summed over the phrase's word occurrences.
+
+    Determinism discipline: the word score is FIXED-POINT --
+    ``deg(w) * 1_000_000 div freq(w)`` on longs -- so phrase scores
+    are exact integer sums, order-free, and an SQL replay matches
+    bit-for-bit (a float deg/freq would make the phrase sum depend on
+    addition order).  Top ``top_k`` phrases per document by
+    (score DESC, phrase ASC); duplicate phrase texts in one document
+    collapse to a single row with ``n_occurrences``.
+
+    Scale shape: every stage is keyed by document (token windows,
+    phrase grouping) or by (document, word) -- no corpus-wide
+    hotspot; the per-doc window partitions are document-sized.
+
+    Returns (id, phrase, n_words, n_occurrences, score_micro, rank).
+    """
+    did = F.col(id_col)
+    toks = documents.select(
+        did, F.posexplode(F.expr(
+            "regexp_extract_all(lower(%s), r'[a-z0-9]+', 0)"
+            % text_col)).alias("pos", "w"))
+    stop = F.col("w").isin(*stopwords)
+    w_run = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    words = (toks.withColumn("grp", F.sum(stop.cast("long")).over(w_run))
+             .where(~stop))
+    phrases = words.groupBy(id_col, "grp").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"]), " ").alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"))
+    wstats = (words.join(phrases.select(id_col, "grp", "n_words"),
+                         [id_col, "grp"])
+              .groupBy(id_col, "w")
+              .agg(F.sum("n_words").cast("long").alias("deg"),
+                   F.count(F.lit(1)).cast("long").alias("freq")))
+    wscore = wstats.select(
+        did, "w", F.expr("deg * 1000000 div freq").alias("wscore"))
+    pscore = (words.join(wscore, [id_col, "w"])
+              .groupBy(id_col, "grp")
+              .agg(F.sum("wscore").cast("long").alias("score_micro")))
+    cand = (pscore.join(phrases, [id_col, "grp"])
+            .groupBy(id_col, "phrase")
+            .agg(F.max("n_words").alias("n_words"),
+                 F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+                 F.max("score_micro").alias("score_micro")))
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), "phrase")
+    return (cand.withColumn("rank",
+                            F.row_number().over(w_rank).cast("long"))
+            .where(F.col("rank") <= int(top_k)))

@@ -465,3 +465,136 @@ def test_eb_alpha_zero_is_raw_mean(spark):
                                "domain string, score double")
     r = eb_domain_quality(df, alpha=0.0).collect()[0]
     assert r.shrunk_score == pytest.approx(r.mean_score) == pytest.approx(0.5)
+
+
+# ----------------------------------------------------------------- RAKE
+
+def test_rake_hand_computed_scores(spark):
+    """'red apple of green pear and red apple pie': red/apple have
+    deg 5 freq 2 (2.5M each), pie deg 3 freq 1 (3M), green/pear 2M --
+    three phrases with distinct fixed-point scores."""
+    from ferenda_spark.operators.textstats import rake_keyphrases
+    t = "red apple of green pear and red apple pie"
+    out = rake_keyphrases(_docs(spark, [("d", t)]), top_k=5).collect()
+    rows = {r.phrase: r for r in out}
+    # red: deg 2+3=5 freq 2 -> 2_500_000; apple same; pie: 3/1 -> 3M
+    # green/pear: 2/1 -> 2M each
+    assert rows["red apple pie"].score_micro == 8_000_000
+    assert rows["red apple"].score_micro == 5_000_000
+    assert rows["green pear"].score_micro == 4_000_000
+    assert rows["red apple pie"].rank == 1
+    assert rows["red apple"].n_occurrences == 1
+
+
+def test_rake_duplicate_phrase_collapses(spark):
+    from ferenda_spark.operators.textstats import rake_keyphrases
+    out = rake_keyphrases(
+        _docs(spark, [("d", "hot soup and hot soup")]), top_k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    # hot: deg 4 freq 2 -> 2M; soup same; phrase = 4M, twice
+    assert (r.phrase, r.n_occurrences, r.score_micro) == ("hot soup", 2, 4_000_000)
+
+
+def test_rake_stopword_only_text_empty(spark):
+    from ferenda_spark.operators.textstats import rake_keyphrases
+    assert rake_keyphrases(
+        _docs(spark, [("d", "the of and to")]), top_k=3).count() == 0
+
+
+def test_rake_top_k_cuts(spark):
+    from ferenda_spark.operators.textstats import rake_keyphrases
+    t = "alpha of beta of gamma of delta"
+    out = rake_keyphrases(_docs(spark, [("d", t)]), top_k=2).collect()
+    assert len(out) == 2
+    # all score 1M; alphabetical tie-break keeps alpha, beta
+    assert sorted(r.phrase for r in out) == ["alpha", "beta"]
+
+
+# ---------------------------------------------------------- transitions
+
+def test_transition_matrix_orders_and_normalizes(spark):
+    from ferenda_spark.operators.events import transition_matrix
+    rows = [(1, "a", 10, 1), (1, "b", 20, 2), (1, "a", 30, 3),
+            (1, "c", 40, 4),
+            (2, "a", 10, 5), (2, "b", 20, 6),
+            (3, "x", 10, 7)]                    # single event: no pair
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    out = {(r.from_type, r.to_type): (r.n, r.n_from, r.p)
+           for r in transition_matrix(ev).collect()}
+    assert out[("a", "b")] == (2, 3, pytest.approx(2 / 3))
+    assert out[("a", "c")] == (1, 3, pytest.approx(1 / 3))
+    assert out[("b", "a")] == (1, 1, pytest.approx(1.0))
+    assert ("x", None) not in out and len(out) == 3
+
+
+def test_transition_matrix_tie_broken_by_event_id(spark):
+    from ferenda_spark.operators.events import transition_matrix
+    rows = [(1, "a", 10, 2), (1, "b", 10, 1)]   # same ts: b then a
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, event_id long")
+    out = [(r.from_type, r.to_type) for r in transition_matrix(ev).collect()]
+    assert out == [("b", "a")]
+
+
+# ----------------------------------------------------- budget allocation
+
+def test_hamilton_allocation_sums_to_budget(spark):
+    from ferenda_spark.operators.crawl import allocate_crawl_budget
+    h = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], "host string, weight long")
+    out = {r.host: r for r in allocate_crawl_budget(h, budget=7).collect()}
+    # quotas: 3.5 / 2.1 / 1.4 -> bases 3/2/1, leftover 1 to 'a' (.5)
+    assert out["a"].allocation == 4
+    assert out["b"].allocation == 2
+    assert out["c"].allocation == 1
+    assert sum(r.allocation for r in out.values()) == 7
+
+
+def test_hamilton_remainder_tie_host_asc(spark):
+    from ferenda_spark.operators.crawl import allocate_crawl_budget
+    h = spark.createDataFrame(
+        [("x", 1), ("y", 1)], "host string, weight long")
+    out = {r.host: r.allocation
+           for r in allocate_crawl_budget(h, budget=3).collect()}
+    # quotas 1.5 each -> bases 1, one leftover -> x (host ASC)
+    assert out == {"x": 2, "y": 1}
+
+
+# ----------------------------------------------------------------- PSI
+
+def test_psi_identical_distributions_zero(spark):
+    from ferenda_spark.operators.quality import psi_drift
+    df = spark.createDataFrame([(i / 10.0,) for i in range(10)],
+                               "score double")
+    out = psi_drift(df, df, n_bins=10).collect()
+    assert all(r.contrib == pytest.approx(0.0) for r in out)
+
+
+def test_psi_empty_bin_null_and_hand_value(spark):
+    import math
+    from ferenda_spark.operators.quality import psi_drift
+    e = spark.createDataFrame([(0.05,), (0.05,), (0.95,), (0.95,)],
+                              "score double")
+    a = spark.createDataFrame([(0.95,), (0.95,), (0.95,), (0.95,)],
+                              "score double")
+    out = {r.bin: r for r in psi_drift(e, a, n_bins=10).collect()}
+    assert out[0].contrib is None and out[0].n_actual == 0
+    assert out[9].contrib == pytest.approx((1.0 - 0.5) * math.log(1.0 / 0.5))
+
+
+# -------------------------------------------------------- functionality
+
+def test_predicate_functionality_values(spark):
+    from ferenda_spark.operators.quality import predicate_functionality
+    rows = [("s1", "name", "x"), ("s2", "name", "y"),       # functional
+            ("s1", "tag", "t1"), ("s1", "tag", "t2"),
+            ("s2", "tag", "t1"),
+            ("s1", "tag", "t1")]                            # dup triple
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r.pred: r for r in predicate_functionality(t).collect()}
+    assert out["name"].functionality == pytest.approx(1.0)
+    assert out["tag"].n_pairs == 3
+    assert out["tag"].functionality == pytest.approx(2 / 3)
+    assert out["tag"].inverse_functionality == pytest.approx(2 / 3)
