@@ -3765,6 +3765,91 @@ def _q_pred_functionality(spark, sf_dir):
             .orderBy("pred"))
 
 
+def _q_schema_graph(spark, sf_dir):
+    """ABSTAT-style schema graph of the REAL extracted KG: distinct
+    (subject class, predicate, object class) signatures with triple
+    counts, literals folded to <literal>; the oracle replays the
+    distinct/two-join/groupBy program over the triple CTEs."""
+    from ferenda_spark.operators.graphs import schema_graph
+    return (schema_graph(_triples(spark, sf_dir))
+            .orderBy("subj_cls", "pred", "obj_cls"))
+
+
+def _q_transe_eval(spark, sf_dir):
+    """TransE link-prediction ranking over closed-form INTEGER
+    embeddings (entity i -> [i%7, i%11, i%13, i%17]; relation j ->
+    [j, j+1, 2j, 3-j]) and planted test triples (e(i), r(i%3),
+    e((2i+1)%50)); the oracle expands the 4 components and replays
+    the L1 scores, tie-broken ranks, hit@10, and reciprocal ranks."""
+    from ferenda_spark.operators.graphs import transe_rank
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    ids = d.select((did % 50).alias("i")).distinct()
+    i = F.col("i")
+    ent = ids.select(
+        F.format_string("e%d", i).alias("entity"),
+        F.array((i % 7).cast("long"), (i % 11).cast("long"),
+                (i % 13).cast("long"), (i % 17).cast("long"))
+        .alias("vec"))
+    rel = spark.createDataFrame(
+        [("r%d" % j, [j, j + 1, 2 * j, 3 - j]) for j in range(3)],
+        "relation string, vec array<long>")
+    test = d.select(
+        F.format_string("e%d", did % 50).alias("subj"),
+        F.format_string("r%d", did % 3).alias("pred"),
+        F.format_string("e%d", (did * 2 + 1) % 50).alias("obj")
+    ).distinct()
+    return (transe_rank(test, ent, rel, k=10)
+            .orderBy("subj", "pred", "obj"))
+
+
+def _q_length_buckets(spark, sf_dir):
+    """Token-length bucketing audit over the REAL documents table
+    (64-token linear buckets capped at 15, integer arithmetic, one
+    padding-fraction division per bucket); the oracle replays the
+    pinned-whitespace token counts and bucket sums."""
+    from ferenda_spark.operators.training import length_buckets
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return length_buckets(docs).orderBy("bucket")
+
+
+def _q_compression_ratio(spark, sf_dir):
+    """DEFLATE compressibility per document over the REAL documents
+    table (Arrow-batched zlib kernel -- no SQL equivalent, so the
+    gate records a rows-only check; pytest pins exact parity against
+    local zlib)."""
+    from ferenda_spark.operators.cleaning import compression_ratio
+    docs = _read(spark, sf_dir, "documents")
+    docs = docs.select(
+        F.format_string("https://example.org/docs/%d",
+                        F.col("doc_id")).alias("url"), "text")
+    return compression_ratio(docs).orderBy("url")
+
+
+def _q_inverse_rules(spark, sf_dir):
+    """Inverse-predicate mining over a planted parent_of/child_of KG
+    (child_of missing for doc_id%13==0, a likes overlay on %4==0, a
+    symmetric knows on %6==0 that must NOT appear); the oracle
+    replays the distinct/flipped-join/marginal program."""
+    from ferenda_spark.operators.rules import mine_inverse_rules
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    a = F.format_string("a%d", did)
+    b = F.format_string("b%d", did)
+
+    def tri(df, s, pred, o):
+        return df.select(s.alias("subj"), F.lit(pred).alias("pred"),
+                         o.alias("obj"))
+
+    t = (tri(d, a, "parent_of", b)
+         .unionByName(tri(d.where(did % 13 != 0), b, "child_of", a))
+         .unionByName(tri(d.where(did % 4 == 0), a, "likes", b))
+         .unionByName(tri(d.where(did % 6 == 0), a, "knows", b))
+         .unionByName(tri(d.where(did % 6 == 0), b, "knows", a)))
+    return (mine_inverse_rules(t)
+            .orderBy("body_pred", "head_pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4003,6 +4088,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_allocation": _q_budget_allocation,
         "stats_psi_drift": _q_psi_drift,
         "kg_pred_functionality": _q_pred_functionality,
+        "kg_schema_graph": _q_schema_graph,
+        "kg_transe_eval": _q_transe_eval,
+        "train_length_buckets": _q_length_buckets,
+        "clean_compression_ratio": _q_compression_ratio,
+        "kg_inverse_rules": _q_inverse_rules,
     }
 
 
@@ -8606,4 +8696,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_obj AS DOUBLE) / n_pairs
                      AS inverse_functionality
             FROM agg ORDER BY pred""",
+        # distinct class assertions, inner subject join + left object
+        # join (literals fold), vocabulary-sized group
+        "kg_schema_graph": _ALL_TRIPLES_WITH + """,
+            types AS (SELECT DISTINCT subj AS e, obj AS cls
+                      FROM all_triples
+                      WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+            rel AS (SELECT DISTINCT subj AS s, pred, obj AS o
+                    FROM all_triples
+                    WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+            SELECT st.cls AS subj_cls, rel.pred,
+                   COALESCE(ot.cls, '<literal>') AS obj_cls,
+                   CAST(COUNT(*) AS BIGINT) AS n_triples
+            FROM rel
+            JOIN types st ON st.e = rel.s
+            LEFT JOIN types ot ON ot.e = rel.o
+            GROUP BY st.cls, rel.pred, COALESCE(ot.cls, '<literal>')
+            ORDER BY subj_cls, pred, obj_cls""",
+        # component-expanded L1 scores over the closed-form integer
+        # embeddings; rank = 1 + #better (entity-string tie-break)
+        "kg_transe_eval": """
+            WITH ids AS (SELECT DISTINCT doc_id % 50 AS i
+                         FROM documents),
+            test AS (SELECT DISTINCT doc_id % 50 AS hi,
+                            doc_id % 3 AS rj,
+                            (doc_id * 2 + 1) % 50 AS ti
+                     FROM documents),
+            t2 AS (SELECT hi, rj, ti,
+                   hi % 7 + rj AS g1, hi % 11 + rj + 1 AS g2,
+                   hi % 13 + 2 * rj AS g3, hi % 17 + 3 - rj AS g4
+                   FROM test),
+            sc AS (SELECT t2.*, c.i AS ci,
+                   abs(c.i % 7 - g1) + abs(c.i % 11 - g2)
+                     + abs(c.i % 13 - g3) + abs(c.i % 17 - g4)
+                     AS cand_score,
+                   abs(ti % 7 - g1) + abs(ti % 11 - g2)
+                     + abs(ti % 13 - g3) + abs(ti % 17 - g4)
+                     AS true_score
+                   FROM t2, ids c),
+            r AS (SELECT 'e' || hi AS subj, 'r' || rj AS pred,
+                  'e' || ti AS obj,
+                  CAST(MAX(true_score) AS BIGINT) AS true_score,
+                  CAST(1 + SUM(CASE WHEN cand_score < true_score
+                           OR (cand_score = true_score
+                               AND 'e' || ci < 'e' || ti)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS "rank"
+                  FROM sc GROUP BY hi, rj, ti)
+            SELECT subj, pred, obj, true_score, "rank",
+                   "rank" <= 10 AS hit_at_k,
+                   1.0 / "rank" AS reciprocal_rank
+            FROM r ORDER BY subj, pred, obj""",
+        # pinned-whitespace token counts, integer buckets, one
+        # padding division per bucket
+        "train_length_buckets": """
+            WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(lower(trim(text)),
+                            '[ \\t\\n\\r\\f\\x0B]+')) END AS n
+                   FROM documents),
+            b AS (SELECT least(n // 64, 15) AS bucket, n FROM n),
+            agg AS (SELECT bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                    CAST(MAX(n) AS BIGINT) AS max_tokens
+                    FROM b GROUP BY bucket)
+            SELECT bucket, n_docs, sum_tokens, max_tokens,
+                   CASE WHEN n_docs * max_tokens > 0
+                        THEN 1.0 - CAST(sum_tokens AS DOUBLE)
+                                   / (n_docs * max_tokens)
+                   END AS padding_frac
+            FROM agg ORDER BY bucket""",
+        # planted parent_of/child_of/likes/knows KG; replay of the
+        # distinct / flipped-join / marginal program
+        "kg_inverse_rules": """
+            WITH t AS (
+              SELECT 'a' || doc_id AS subj, 'parent_of' AS pred,
+                     'b' || doc_id AS obj FROM documents
+              UNION ALL
+              SELECT 'b' || doc_id, 'child_of', 'a' || doc_id
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 'a' || doc_id, 'likes', 'b' || doc_id
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT 'a' || doc_id, 'knows', 'b' || doc_id
+              FROM documents WHERE doc_id % 6 = 0
+              UNION ALL
+              SELECT 'b' || doc_id, 'knows', 'a' || doc_id
+              FROM documents WHERE doc_id % 6 = 0),
+            dt AS (SELECT DISTINCT subj AS s, pred AS p, obj AS o
+                   FROM t),
+            sup AS (SELECT f.p AS body_pred, r.p AS head_pred,
+                    CAST(COUNT(*) AS BIGINT) AS support
+                    FROM dt f JOIN dt r ON f.s = r.o AND f.o = r.s
+                    WHERE f.p <> r.p
+                    GROUP BY f.p, r.p),
+            marg AS (SELECT p AS body_pred,
+                     CAST(COUNT(*) AS BIGINT) AS n_body
+                     FROM dt GROUP BY p)
+            SELECT s.body_pred, s.head_pred, s.support, m.n_body,
+                   CAST(s.support AS DOUBLE) / m.n_body AS confidence
+            FROM sup s JOIN marg m USING (body_pred)
+            ORDER BY body_pred, head_pred""",
     }

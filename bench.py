@@ -137,6 +137,8 @@ HEADLINE = [
     "text_rake_keyphrases", "events_transition_matrix",
     "crawl_budget_allocation", "stats_psi_drift",
     "kg_pred_functionality",
+    "kg_schema_graph", "kg_transe_eval", "train_length_buckets",
+    "clean_compression_ratio", "kg_inverse_rules",
 ]
 
 

@@ -458,3 +458,51 @@ def mojibake_stats(documents: DataFrame, text_col: str = "text",
         F.when(n_chars > 0,
                (nd + nc + nr).cast("double") * 1000.0 / n_chars)
         .alias("mojibake_per_1k"))
+
+
+def compression_ratio(documents: DataFrame, text_col: str = "text",
+                      id_col: str = "url", level: int = 6) -> DataFrame:
+    """Compressibility quality signal (the Gopher-era heuristic:
+    near-random text and degenerate repetition both stand out):
+    per-document DEFLATE size at a fixed level over the UTF-8 bytes,
+    and ``ratio = n_compressed / n_bytes`` (one IEEE division, NULL
+    for empty documents).
+
+    This is the repo's honest Python-kernel path: zlib is not
+    expressible as a Catalyst expression, so it runs as an
+    Arrow-batched ``mapInPandas`` stage (no per-row Python overhead;
+    the batch loop is C-backed zlib).  Deterministic for a fixed
+    zlib build -- the correctness gate records a rows-only check
+    (DuckDB has no DEFLATE), and the pytest suite pins exact parity
+    against local zlib.
+
+    Returns (id, n_bytes, n_compressed, ratio).
+    """
+    import pyspark.sql.types as T
+    out_schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_compressed", T.LongType()),
+    ])
+    lvl = int(level)
+
+    def batches(it):
+        import pandas as pd
+        import zlib
+        for pdf in it:
+            texts = pdf[text_col].astype(str)
+            raw = [t.encode("utf-8") for t in texts]
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype(str),
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": [len(zlib.compress(b, lvl))
+                                 for b in raw],
+            })
+
+    sized = (documents.select(F.col(id_col), F.col(text_col))
+             .mapInPandas(batches, out_schema))
+    return sized.select(
+        F.col("id").alias(id_col), "n_bytes", "n_compressed",
+        F.when(F.col("n_bytes") > 0,
+               F.col("n_compressed").cast("double") / F.col("n_bytes"))
+        .alias("ratio"))

@@ -1402,3 +1402,110 @@ def bowtie_classes(edges: DataFrame, scc: DataFrame,
                     .when(F.col("i") == 1, "IN")
                     .when(F.col("o") == 1, "OUT")
                     .otherwise("OTHER").alias("cls")))
+
+
+# ------------------------------------------------------ schema graph
+
+_RDF_TYPE_URI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def schema_graph(triples: DataFrame, subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj",
+                 type_pred: str = _RDF_TYPE_URI,
+                 literal_cls: str = "<literal>") -> DataFrame:
+    """Schema-graph summarization of an instance KG: collapse every
+    triple to its (subject class, predicate, object class) signature
+    with edge counts -- the LOD-stats / ABSTAT-style structural
+    profile a KG consumer reads before writing queries, and the shape
+    inventory schema matching aligns against.  Objects that are not
+    typed entities (literals, dates, free strings) map to
+    ``literal_cls``.
+
+    Program: distinct (entity, class) assertions; distinct non-type
+    triples; one join per endpoint (subject join is inner -- untyped
+    subjects carry no signature; object join is left), then ONE
+    groupBy on the (class, pred, class) dimension.  Multi-typed
+    endpoints contribute one signature per class pair -- standard
+    summarization semantics.
+
+    Scale shape: the joins are keyed on entity URIs (no hotspot
+    beyond the KG's own skew); the output is vocabulary-sized.
+    Returns (subj_cls, pred, obj_cls, n_triples).
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    types = (triples.where(p == type_pred)
+             .select(s.alias("e"), o.alias("cls")).distinct())
+    rel = (triples.where(p != type_pred)
+           .select(s.alias("s"), p.alias("pred"), o.alias("o"))
+           .distinct())
+    st = types.select(F.col("e").alias("s"),
+                      F.col("cls").alias("subj_cls"))
+    ot = types.select(F.col("e").alias("o"),
+                      F.col("cls").alias("obj_cls"))
+    return (rel.join(st, "s")
+            .join(ot, "o", "left")
+            .select("subj_cls", "pred",
+                    F.coalesce("obj_cls", F.lit(literal_cls))
+                    .alias("obj_cls"))
+            .groupBy("subj_cls", "pred", "obj_cls")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triples")))
+
+
+# -------------------------------------------------------- TransE eval
+
+def transe_rank(test: DataFrame, ent_emb: DataFrame,
+                rel_emb: DataFrame, k: int = 10) -> DataFrame:
+    """Link-prediction ranking evaluation for translation embeddings
+    (TransE, Bordes et al. 2013): for each test triple (h, r, t),
+    score every candidate tail t' by the L1 distance
+    ``|| e(h) + e(r) - e(t') ||_1`` and report the rank of the true
+    tail (ascending score; ties broken by entity id ASC so the rank
+    is a total order and engine-independent), plus hit@k and the
+    reciprocal rank.
+
+    Embeddings are INTEGER vectors (``array<long>``) here: distances
+    are exact long sums (``zip_with`` + ``aggregate``, JVM-side), so
+    ranks are deterministic -- quantized embeddings (SQ8-style) are
+    the production shape at eval time anyway.
+
+    Scale shape: ranking against all entities is inherently
+    |test| x |E|; the ENTITY side (the smaller dimension, with its
+    vectors) is broadcast and the test side streams -- one map-side
+    score per pair, one groupBy per test triple to fold the rank.
+    Returns (subj, pred, obj, true_score, rank, hit_at_k,
+    reciprocal_rank).
+    """
+    h = ent_emb.select(F.col("entity").alias("subj"),
+                       F.col("vec").alias("hv"))
+    r = rel_emb.select(F.col("relation").alias("pred"),
+                       F.col("vec").alias("rv"))
+    t = ent_emb.select(F.col("entity").alias("obj"),
+                       F.col("vec").alias("tv"))
+    base = (test.join(h, "subj").join(F.broadcast(r), "pred")
+            .join(t, "obj"))
+    target = F.zip_with("hv", "rv", lambda a, b: a + b)
+    base = base.select("subj", "pred", "obj",
+                       target.alias("target"), "tv")
+
+    def l1(vec_col, tgt_col):
+        return F.aggregate(
+            F.zip_with(vec_col, tgt_col, lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    true_score = l1("tv", "target")
+    cand = F.broadcast(ent_emb.select(F.col("entity").alias("cand"),
+                                      F.col("vec").alias("cv")))
+    scored = (base.select("subj", "pred", "obj", "target",
+                          true_score.alias("true_score"))
+              .crossJoin(cand)
+              .select("subj", "pred", "obj", "true_score", "cand",
+                      l1("cv", "target").alias("cand_score")))
+    better = ((F.col("cand_score") < F.col("true_score"))
+              | ((F.col("cand_score") == F.col("true_score"))
+                 & (F.col("cand") < F.col("obj")))).cast("long")
+    ranked = (scored.groupBy("subj", "pred", "obj", "true_score")
+              .agg((F.sum(better) + 1).cast("long").alias("rank")))
+    return ranked.select(
+        "subj", "pred", "obj", "true_score", "rank",
+        (F.col("rank") <= int(k)).alias("hit_at_k"),
+        (F.lit(1.0) / F.col("rank")).alias("reciprocal_rank"))

@@ -117,3 +117,39 @@ def rule_violations(triples: DataFrame, rules: DataFrame,
         & (F.col("head_pred") == F.col("p2")),
         "left_anti")
         .select("subj", "obj", "head_pred", "body_pred", "confidence"))
+
+
+def mine_inverse_rules(triples: DataFrame,
+                       min_support: int = 1) -> DataFrame:
+    """Inverse-predicate mining: rules of the form
+    ``p(s, o) => q(o, s)`` (parent_of/child_of, cites/cited_by,
+    owns/owned_by) -- the alignment signal :func:`mine_rules` cannot
+    see because it only joins pairs in the SAME direction.  Support
+    counts distinct (s, o) in p whose REVERSED pair is in q;
+    confidence divides by p's distinct-pair count (CWA).
+
+    Same relational shape as the forward miner: distinct pairs once,
+    one self-join with the key flipped, vocabulary-sized output.
+    Returns (body_pred, head_pred, support, n_body, confidence) with
+    body <> head pairs only (a symmetric predicate is its own inverse
+    and shows up as body = head support; excluded here as it belongs
+    to symmetry detection, not inversion).
+    """
+    t = (triples.select(F.col("subj").alias("s"),
+                        F.col("pred").alias("p"),
+                        F.col("obj").alias("o")).distinct())
+    t = t.localCheckpoint(eager=True)
+    fwd = t.select("s", "o", F.col("p").alias("body_pred"))
+    rev = t.select(F.col("o").alias("s"), F.col("s").alias("o"),
+                   F.col("p").alias("head_pred"))
+    sup = (fwd.join(rev, ["s", "o"])
+           .where(F.col("body_pred") != F.col("head_pred"))
+           .groupBy("body_pred", "head_pred")
+           .agg(F.count(F.lit(1)).cast("long").alias("support"))
+           .where(F.col("support") >= int(min_support)))
+    marg = t.groupBy(F.col("p").alias("body_pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_body"))
+    return (sup.join(F.broadcast(marg), "body_pred")
+            .select("body_pred", "head_pred", "support", "n_body",
+                    (F.col("support").cast("double") / F.col("n_body"))
+                    .alias("confidence")))

@@ -679,3 +679,41 @@ def weighted_sample(df: DataFrame, weight_col: str, max_weight: int,
                              1, 8), 16, 10).cast("long")
     return df.where(u32 * F.lit(int(max_weight))
                     < F.col(weight_col).cast("long") * F.lit(1 << 32))
+
+
+def length_buckets(documents: DataFrame, text_col: str = "text",
+                   bucket_tokens: int = 64,
+                   max_bucket: int = 15) -> DataFrame:
+    """Length-bucketing audit for batch-efficient training: documents
+    are binned by token count (linear buckets of ``bucket_tokens``,
+    capped at ``max_bucket``) and each bucket reports the padding
+    waste of batching its members to the bucket maximum --
+    ``padding_frac = 1 - sum_tokens / (n_docs * max_tokens)``.
+    High-waste buckets tell the packer where variable-length batching
+    (or finer buckets) pays.
+
+    All-integer bucket arithmetic (``n div bucket_tokens``, capped),
+    LONG sums, and ONE division per bucket -- engine-exact.  One
+    map-side-partial groupBy on a 16-row dimension.
+
+    Returns (bucket, n_docs, sum_tokens, max_tokens, padding_frac);
+    empty documents (0 tokens) land in bucket 0 with NULL
+    padding_frac when the bucket max is 0.
+    """
+    from .dedup import tokens
+    n = (F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+         .otherwise(F.size(tokens(F.col(text_col))))).cast("long")
+    b = F.least(F.expr("n div %d" % int(bucket_tokens)),
+                F.lit(int(max_bucket)).cast("long"))
+    agg = (documents.select(n.alias("n"))
+           .select(b.alias("bucket"), "n")
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n").cast("long").alias("sum_tokens"),
+                F.max("n").cast("long").alias("max_tokens")))
+    denom = F.col("n_docs") * F.col("max_tokens")
+    return agg.select(
+        "bucket", "n_docs", "sum_tokens", "max_tokens",
+        F.when(denom > 0,
+               F.lit(1.0) - F.col("sum_tokens").cast("double") / denom)
+        .alias("padding_frac"))

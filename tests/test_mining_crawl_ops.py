@@ -598,3 +598,101 @@ def test_predicate_functionality_values(spark):
     assert out["tag"].n_pairs == 3
     assert out["tag"].functionality == pytest.approx(2 / 3)
     assert out["tag"].inverse_functionality == pytest.approx(2 / 3)
+
+
+# ---------------------------------------------------------- schema graph
+
+def test_schema_graph_folds_literals_and_multityping(spark):
+    from ferenda_spark.operators.graphs import schema_graph
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = [("e1", T, "Person"), ("e2", T, "Person"), ("e2", T, "Agent"),
+            ("c1", T, "City"),
+            ("e1", "lives_in", "c1"), ("e2", "lives_in", "c1"),
+            ("e1", "name", "Ann"),
+            ("ghost", "name", "untyped subject dropped")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {(r.subj_cls, r.pred, r.obj_cls): r.n_triples
+           for r in schema_graph(t).collect()}
+    assert out[("Person", "lives_in", "City")] == 2
+    assert out[("Person", "name", "<literal>")] == 1
+    assert out[("Agent", "lives_in", "City")] == 1  # multi-typed e2
+    assert not any(k[0] is None for k in out)
+
+
+# ------------------------------------------------------------- TransE
+
+def test_transe_rank_hand_example(spark):
+    from ferenda_spark.operators.graphs import transe_rank
+    ent = spark.createDataFrame(
+        [("e0", [0, 0]), ("e1", [2, 2]), ("e2", [5, 5])],
+        "entity string, vec array<long>")
+    rel = spark.createDataFrame([("r", [2, 2])],
+                                "relation string, vec array<long>")
+    test = spark.createDataFrame([("e0", "r", "e1")],
+                                 "subj string, pred string, obj string")
+    r = transe_rank(test, ent, rel, k=1).collect()[0]
+    # target = [2,2]; scores: e0->4, e1->0, e2->6 ; true e1 ranks 1st
+    assert (r.true_score, r.rank, r.hit_at_k) == (0, 1, True)
+    assert r.reciprocal_rank == pytest.approx(1.0)
+
+
+def test_transe_rank_tie_breaks_on_entity(spark):
+    from ferenda_spark.operators.graphs import transe_rank
+    ent = spark.createDataFrame(
+        [("e0", [0]), ("e1", [4]), ("e2", [4])],
+        "entity string, vec array<long>")
+    rel = spark.createDataFrame([("r", [2])],
+                                "relation string, vec array<long>")
+    test = spark.createDataFrame([("e0", "r", "e2")],
+                                 "subj string, pred string, obj string")
+    r = transe_rank(test, ent, rel, k=10).collect()[0]
+    # scores vs target [2]: e0->2, e1->2, e2->2; all tie -> smaller
+    # entity strings e0, e1 rank ahead of true e2
+    assert r.rank == 3
+
+
+# -------------------------------------------------------- length buckets
+
+def test_length_buckets_edges_and_cap(spark):
+    from ferenda_spark.operators.training import length_buckets
+    rows = [("",), ("one two three",), (" ".join(["w"] * 64),),
+            (" ".join(["w"] * 2000),)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {r.bucket: r for r in length_buckets(df).collect()}
+    assert out[0].n_docs == 2           # empty (0 tokens) + 3 tokens
+    assert out[0].max_tokens == 3
+    assert out[0].padding_frac == pytest.approx(1.0 - 3 / 6)
+    assert out[1].n_docs == 1           # 64 tokens -> bucket 1
+    assert out[15].n_docs == 1          # 2000 tokens capped at 15
+
+
+# --------------------------------------------------------- compression
+
+def test_compression_ratio_matches_local_zlib(spark):
+    import zlib
+    from ferenda_spark.operators.cleaning import compression_ratio
+    texts = [("u1", "abab" * 100), ("u2", "entropyless"), ("u3", "")]
+    df = spark.createDataFrame(texts, "url string, text string")
+    out = {r.url: r for r in compression_ratio(df).collect()}
+    for u, t in texts:
+        raw = t.encode("utf-8")
+        assert out[u].n_bytes == len(raw)
+        assert out[u].n_compressed == len(zlib.compress(raw, 6))
+    assert out["u1"].ratio < 0.1        # highly repetitive
+    assert out["u3"].ratio is None      # empty
+
+
+# -------------------------------------------------------- inverse rules
+
+def test_inverse_rules_finds_inverses_not_symmetry(spark):
+    from ferenda_spark.operators.rules import mine_inverse_rules
+    rows = ([("a%d" % i, "parent_of", "b%d" % i) for i in range(10)]
+            + [("b%d" % i, "child_of", "a%d" % i) for i in range(8)]
+            + [("x", "knows", "y"), ("y", "knows", "x")])
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {(r.body_pred, r.head_pred): r
+           for r in mine_inverse_rules(t).collect()}
+    assert out[("parent_of", "child_of")].support == 8
+    assert out[("parent_of", "child_of")].confidence == pytest.approx(0.8)
+    assert out[("child_of", "parent_of")].confidence == pytest.approx(1.0)
+    assert not any(b == h for b, h in out)          # knows excluded
