@@ -3850,6 +3850,108 @@ def _q_inverse_rules(spark, sf_dir):
             .orderBy("body_pred", "head_pred"))
 
 
+def _q_rocchio(spark, sf_dir):
+    """Rocchio pseudo-relevance-feedback expansion for the same three
+    BM25 information needs (top-5 feedback docs, top-3 expansion
+    terms by the all-integer tf/df/term key); the oracle replays the
+    BM25 feedback window, the stopword/query-term filters, and the
+    corpus-df pass."""
+    from ferenda_spark.operators.search import rocchio_expansion
+    needs = spark.createDataFrame(
+        [("q_spark", "spark"), ("q_spark", "window"),
+         ("q_cust", "customer"), ("q_cust", "join"),
+         ("q_vec", "vector"), ("q_vec", "merge"), ("q_vec", "batch")],
+        "query string, term string")
+    return (rocchio_expansion(_read(spark, sf_dir, "documents")
+                              .select("doc_id", "text"), needs,
+                              top_docs=5, top_terms=3)
+            .orderBy("query", "rank"))
+
+
+def _kg_typed_triples(spark, sf_dir):
+    """Closed-form KG for type inference: people p_i (typed Person
+    unless doc_id%3==0) with works_at always + born_in on evens +
+    name always; orgs o_i (typed Org unless doc_id%5==0) with
+    located_in + name."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    p = F.format_string("p%d", did)
+    o = F.format_string("o%d", did)
+
+    def tri(df, s, pred, obj):
+        return df.select(s.alias("subj"), F.lit(pred).alias("pred"),
+                         obj.alias("obj"))
+
+    return (tri(d.where(did % 3 != 0), p, T, F.lit("Person"))
+            .unionByName(tri(d.where(did % 5 != 0), o, T, F.lit("Org")))
+            .unionByName(tri(d, p, "works_at", o))
+            .unionByName(tri(d.where(did % 2 == 0), p, "born_in",
+                             F.format_string("x%d", did % 9)))
+            .unionByName(tri(d, p, "name",
+                             F.format_string("N%d", did)))
+            .unionByName(tri(d, o, "located_in",
+                             F.format_string("c%d", did % 11)))
+            .unionByName(tri(d, o, "name",
+                             F.format_string("M%d", did))))
+
+
+def _q_type_inference(spark, sf_dir):
+    """SDType-style type inference over the planted Person/Org KG:
+    untyped p_i (doc_id%3==0) and o_i (%5==0) score classes by
+    fixed-point predicate-vote weights; the oracle replays the
+    statistics and the argmax window."""
+    from ferenda_spark.operators.quality import infer_types
+    return (infer_types(_kg_typed_triples(spark, sf_dir))
+            .orderBy("entity"))
+
+
+def _q_bot_signals(spark, sf_dir):
+    """Inter-event timing regularity over the REAL events table
+    (microsecond gaps, decimal(38,0) sums for the gap-squared
+    moment); the oracle replays the lag window and the cv2
+    arithmetic."""
+    from ferenda_spark.operators.events import bot_signals
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    return bot_signals(ev, min_events=5).orderBy("user_id")
+
+
+def _q_rel_canonical(spark, sf_dir):
+    """rel=canonical election over planted variant groups of 4 (the
+    leader declares itself -- excluded; every 7th group's leader is
+    missing from the corpus so target_in_corpus is false); the oracle
+    replays the regexp extraction and the fetched-set join."""
+    from ferenda_spark.operators.crawl import rel_canonical
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    grp = F.expr("(doc_id div 4) * 4")
+    target = (F.when(F.expr("doc_id div 4") % 7 == 0,
+                     F.format_string("https://ex.org/missing/%d",
+                                     F.expr("doc_id div 4")))
+              .otherwise(F.format_string("https://ex.org/p/%d", grp)))
+    pages = d.select(
+        F.format_string("https://ex.org/p/%d", did).alias("url"),
+        F.concat(F.lit('<html><head><link rel="canonical" href="'),
+                 target, F.lit('"></head><body>x</body></html>'))
+        .alias("html"))
+    return rel_canonical(pages).orderBy("canonical_url")
+
+
+def _q_lang_outliers(spark, sf_dir):
+    """Host-language consistency over the REAL documents table (hosts
+    from the corpus's hot/cold URL rule, languages as planted);
+    the oracle replays the (host, lang) counts, the majority window,
+    and the purity division."""
+    from ferenda_spark.operators.cleaning import lang_outliers
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    host = F.when(F.col("doc_id") % 10 < 3,
+                  F.lit("hot.example.org")).otherwise(
+        F.lit("example.org"))
+    return (lang_outliers(d.select(host.alias("host"), "lang"))
+            .orderBy("host", "lang"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4093,6 +4195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_length_buckets": _q_length_buckets,
         "clean_compression_ratio": _q_compression_ratio,
         "kg_inverse_rules": _q_inverse_rules,
+        "search_rocchio": _q_rocchio,
+        "kg_type_inference": _q_type_inference,
+        "events_bot_signals": _q_bot_signals,
+        "crawl_rel_canonical": _q_rel_canonical,
+        "clean_lang_outliers": _q_lang_outliers,
     }
 
 
@@ -4677,6 +4784,109 @@ def _rake_oracle() -> str:
                    "rank"
             FROM rk WHERE "rank" <= 3
             ORDER BY url, "rank" """.replace("{STOPS}", stoplist)
+
+
+def _rocchio_oracle() -> str:
+    """BM25 feedback window + stopword/query-term filters + corpus-df
+    replay; the stopword list comes from the operator module."""
+    from ferenda_spark.operators.textstats import RAKE_STOPWORDS
+    stoplist = ", ".join("'%s'" % w for w in RAKE_STOPWORDS)
+    return r"""
+            WITH needs(query, term) AS (VALUES
+              ('q_spark', 'spark'), ('q_spark', 'window'),
+              ('q_cust', 'customer'), ('q_cust', 'join'),
+              ('q_vec', 'vector'), ('q_vec', 'merge'),
+              ('q_vec', 'batch')),
+            dk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            d AS (SELECT doc_id, tk, len(tk) AS dl FROM dk),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+            tdist AS (SELECT DISTINCT term FROM needs),
+            tf AS (
+              SELECT doc_id, dl, term,
+                     len(list_filter(tk, x -> x = term)) AS tf
+              FROM d CROSS JOIN tdist
+              WHERE len(list_filter(tk, x -> x = term)) > 0),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            sc AS (
+              SELECT doc_id, term,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+              FROM tf JOIN dft USING (term) CROSS JOIN st),
+            pq AS (
+              SELECT n.query, CAST(sc.doc_id AS VARCHAR) AS item,
+                     round(SUM(sc.s), 6) AS score
+              FROM sc JOIN needs n USING (term)
+              GROUP BY n.query, item),
+            fb AS (
+              SELECT query, item FROM (
+                SELECT query, item,
+                       ROW_NUMBER() OVER (PARTITION BY query
+                         ORDER BY score DESC, item) AS r
+                FROM pq) WHERE r <= 5),
+            docs AS (SELECT CAST(doc_id AS VARCHAR) AS item, tk FROM d),
+            pool AS (
+              SELECT fb.query, u.term
+              FROM fb JOIN docs USING (item),
+                   unnest(docs.tk) AS u(term)
+              WHERE u.term <> '' AND u.term NOT IN ({STOPS})),
+            cand AS (
+              SELECT query, term FROM pool
+              WHERE NOT EXISTS (SELECT 1 FROM needs n
+                                WHERE n.query = pool.query
+                                  AND lower(n.term) = pool.term)),
+            tfq AS (SELECT query, term,
+                    CAST(COUNT(*) AS BIGINT) AS total_tf
+                    FROM cand GROUP BY query, term),
+            vocab AS (SELECT DISTINCT term FROM tfq),
+            dfv AS (SELECT v.term, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM d CROSS JOIN vocab v
+                    WHERE list_contains(d.tk, v.term)
+                    GROUP BY v.term),
+            rk2 AS (SELECT tfq.query, tfq.term, total_tf, df,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY tfq.query
+                      ORDER BY total_tf DESC, df, tfq.term)
+                      AS BIGINT) AS rank
+                    FROM tfq JOIN dfv USING (term))
+            SELECT query, term, total_tf, df, rank FROM rk2
+            WHERE rank <= 3 ORDER BY query, rank""".replace(
+        "{STOPS}", stoplist)
+
+
+def _rel_canonical_oracle() -> str:
+    """Regexp replay of the rel=canonical extraction with the
+    operator's own pattern."""
+    from ferenda_spark.operators.crawl import CANONICAL_LINK_PAT
+    return """
+            WITH p AS (SELECT doc_id,
+                   'https://ex.org/p/' || doc_id AS url,
+                   CASE WHEN (doc_id // 4) % 7 = 0
+                        THEN 'https://ex.org/missing/' || (doc_id // 4)
+                        ELSE 'https://ex.org/p/' || ((doc_id // 4) * 4)
+                   END AS target
+                   FROM documents),
+            h AS (SELECT url,
+                  '<html><head><link rel="canonical" href="' || target
+                  || '"></head><body>x</body></html>' AS html FROM p),
+            x AS (SELECT url,
+                  regexp_extract(html, '{PAT}', 1) AS canonical_url
+                  FROM h),
+            decl AS (SELECT * FROM x
+                     WHERE canonical_url <> ''
+                       AND canonical_url <> url),
+            agg AS (SELECT canonical_url,
+                    CAST(COUNT(*) AS BIGINT) AS n_variants
+                    FROM decl GROUP BY canonical_url),
+            f AS (SELECT DISTINCT url AS canonical_url FROM h)
+            SELECT a.canonical_url, a.n_variants,
+                   f.canonical_url IS NOT NULL AS target_in_corpus
+            FROM agg a LEFT JOIN f USING (canonical_url)
+            ORDER BY canonical_url""".replace("{PAT}",
+                                              CANONICAL_LINK_PAT)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8797,4 +9007,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s.support AS DOUBLE) / m.n_body AS confidence
             FROM sup s JOIN marg m USING (body_pred)
             ORDER BY body_pred, head_pred""",
+        "search_rocchio": _rocchio_oracle(),
+        # predicate-vote statistics over typed entities, fixed-point
+        # weights, argmax window over untyped entities
+        "kg_type_inference": """
+            WITH t AS (
+              SELECT 'p' || doc_id AS subj,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS pred, 'Person' AS obj
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT 'o' || doc_id,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'Org'
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT 'p' || doc_id, 'works_at', 'o' || doc_id
+              FROM documents
+              UNION ALL
+              SELECT 'p' || doc_id, 'born_in', 'x' || (doc_id % 9)
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'p' || doc_id, 'name', 'N' || doc_id
+              FROM documents
+              UNION ALL
+              SELECT 'o' || doc_id, 'located_in', 'c' || (doc_id % 11)
+              FROM documents
+              UNION ALL
+              SELECT 'o' || doc_id, 'name', 'M' || doc_id
+              FROM documents),
+            types AS (SELECT DISTINCT subj AS e, obj AS cls FROM t
+                      WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+            sp AS (SELECT DISTINCT subj AS e, pred FROM t
+                   WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+            pc AS (SELECT sp.pred, ty.cls,
+                   CAST(COUNT(*) AS BIGINT) AS n_pc
+                   FROM sp JOIN types ty USING (e)
+                   GROUP BY sp.pred, ty.cls),
+            pt AS (SELECT pred, CAST(SUM(n_pc) AS BIGINT) AS n_p
+                   FROM pc GROUP BY pred),
+            wts AS (SELECT pc.pred, pc.cls, n_pc * 1000000 // n_p AS w
+                    FROM pc JOIN pt USING (pred)),
+            unt AS (SELECT e, pred FROM sp
+                    WHERE e NOT IN (SELECT e FROM types)),
+            sc AS (SELECT unt.e, wts.cls,
+                   CAST(SUM(w) AS BIGINT) AS score_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_preds
+                   FROM unt JOIN wts USING (pred)
+                   GROUP BY unt.e, wts.cls),
+            rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY e
+                     ORDER BY score_micro DESC, cls) AS r FROM sc)
+            SELECT e AS entity, cls AS inferred_cls, score_micro,
+                   n_preds
+            FROM rk WHERE r = 1 ORDER BY entity""",
+        # microsecond lag gaps, DECIMAL(38,0) moments, cv2 replay
+        "events_bot_signals": """
+            WITH g AS (SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                     PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id) AS g
+                   FROM events),
+            b AS (SELECT user_id, g FROM g WHERE g IS NOT NULL),
+            a AS (SELECT user_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                  SUM(CAST(g AS DECIMAL(38,0))) AS s1,
+                  SUM(CAST(g AS DECIMAL(38,0))
+                      * CAST(g AS DECIMAL(38,0))) AS s2,
+                  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_gaps
+                  FROM b GROUP BY user_id)
+            SELECT user_id, n_gaps,
+                   CAST(s1 AS DOUBLE) / n_gaps AS mean_gap_us,
+                   CASE WHEN s1 > 0
+                        THEN CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)
+                             / CAST(s1 * s1 AS DOUBLE)
+                   END AS cv2,
+                   n_distinct_gaps
+            FROM a WHERE n_gaps >= 4 ORDER BY user_id""",
+        "crawl_rel_canonical": _rel_canonical_oracle(),
+        # (host, lang) counts, majority window, purity division
+        "clean_lang_outliers": """
+            WITH p AS (SELECT
+                   CASE WHEN doc_id % 10 < 3 THEN 'hot.example.org'
+                        ELSE 'example.org' END AS host, lang
+                   FROM documents),
+            cnt AS (SELECT host, lang, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM p GROUP BY host, lang),
+            tot AS (SELECT host, CAST(SUM(n) AS BIGINT) AS n_host
+                    FROM cnt GROUP BY host),
+            mj AS (SELECT host, lang AS majority_lang, n AS n_major
+                   FROM (SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY host ORDER BY n DESC, lang)
+                           AS r FROM cnt)
+                   WHERE r = 1)
+            SELECT c.host, c.lang, c.n, m.majority_lang,
+                   CAST(m.n_major AS DOUBLE) / t.n_host AS purity,
+                   c.lang <> m.majority_lang AS is_outlier
+            FROM cnt c JOIN mj m USING (host) JOIN tot t USING (host)
+            ORDER BY c.host, c.lang""",
     }

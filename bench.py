@@ -139,6 +139,8 @@ HEADLINE = [
     "kg_pred_functionality",
     "kg_schema_graph", "kg_transe_eval", "train_length_buckets",
     "clean_compression_ratio", "kg_inverse_rules",
+    "search_rocchio", "kg_type_inference", "events_bot_signals",
+    "crawl_rel_canonical", "clean_lang_outliers",
 ]
 
 

@@ -506,3 +506,39 @@ def compression_ratio(documents: DataFrame, text_col: str = "text",
         F.when(F.col("n_bytes") > 0,
                F.col("n_compressed").cast("double") / F.col("n_bytes"))
         .alias("ratio"))
+
+
+def lang_outliers(pages: DataFrame, host_col: str = "host",
+                  lang_col: str = "lang") -> DataFrame:
+    """Host-level language-consistency audit: a host serving 95%
+    Swedish and 5% English is usually leaking navigation chrome,
+    scraped spam, or a mislabeled lang-ID -- the outlier slice is
+    what a multilingual corpus reviews before training.  Per
+    (host, language): the count, the host's majority language
+    (count DESC, language ASC tie-break -- total order), the host's
+    majority purity (one division), and ``is_outlier``.
+
+    Scale shape: ONE groupBy on (host, lang), then a window over the
+    host dimension (rows = host x language vocabulary, not pages).
+    Returns (host, lang, n, majority_lang, purity, is_outlier).
+    """
+    from pyspark.sql import Window
+    cnt = (pages.groupBy(F.col(host_col).alias("host"),
+                         F.col(lang_col).alias("lang"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.partitionBy("host")
+    w_rank = w.orderBy(F.col("n").desc(), "lang")
+    ranked = (cnt
+              .withColumn("r", F.row_number().over(w_rank))
+              .withColumn("n_host", F.sum("n").over(w).cast("long"))
+              .withColumn("n_major",
+                          F.max(F.when(F.col("r") == 1, F.col("n")))
+                          .over(w).cast("long"))
+              .withColumn("majority_lang",
+                          F.max(F.when(F.col("r") == 1, F.col("lang")))
+                          .over(w)))
+    return ranked.select(
+        "host", "lang", "n", "majority_lang",
+        (F.col("n_major").cast("double") / F.col("n_host"))
+        .alias("purity"),
+        (F.col("lang") != F.col("majority_lang")).alias("is_outlier"))

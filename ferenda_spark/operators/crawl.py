@@ -648,3 +648,43 @@ def allocate_crawl_budget(hosts: DataFrame, budget: int,
         F.when(F.col("r") <= b - F.col("b_used"), F.lit(1).cast("long"))
         .otherwise(F.lit(0).cast("long")).alias("extra"))
         .withColumn("allocation", F.col("base") + F.col("extra")))
+
+
+# --------------------------------------------- rel=canonical election
+
+CANONICAL_LINK_PAT = (r'<link[^>]*rel="canonical"[^>]*'
+                      r'href="([^"]+)"')
+
+
+def rel_canonical(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """rel=canonical cluster election: CMSes publish the same content
+    under tracking/session/pagination variants and declare the master
+    copy in a ``<link rel="canonical">`` tag; honoring it collapses
+    the variants WITHOUT content comparison (the cheapest dedup
+    signal the crawl has).
+
+    One ``regexp_extract`` scan pulls the declared target; variants
+    pointing at themselves or declaring nothing are not variants.
+    Per declared target: ``n_variants`` and ``target_in_corpus``
+    (whether the master itself was fetched -- if not, the frontier
+    should enqueue it).
+
+    Scale shape: map-side extraction, ONE groupBy on the target URL,
+    one left-semi-style join against the fetched-URL set (pages keyed
+    by url on both sides).  Returns
+    (canonical_url, n_variants, target_in_corpus).
+    """
+    u = F.col(url_col)
+    c = F.regexp_extract(F.col(html_col), CANONICAL_LINK_PAT, 1)
+    declared = (pages.select(u.alias("url"), c.alias("canonical_url"))
+                .where((F.col("canonical_url") != "")
+                       & (F.col("canonical_url") != F.col("url"))))
+    agg = declared.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"))
+    fetched = pages.select(u.alias("canonical_url")).distinct() \
+        .withColumn("_hit", F.lit(True))
+    return (agg.join(fetched, "canonical_url", "left")
+            .select("canonical_url", "n_variants",
+                    F.coalesce("_hit", F.lit(False))
+                    .alias("target_in_corpus")))

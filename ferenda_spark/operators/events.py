@@ -142,3 +142,47 @@ def transition_matrix(events: DataFrame, user_col: str = "user_id",
             .select("from_type", "to_type", "n", "n_from",
                     (F.col("n").cast("double") / F.col("n_from"))
                     .alias("p")))
+
+
+def bot_signals(events: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts", min_events: int = 5) -> DataFrame:
+    """Bot / automation timing signals per user: humans produce
+    irregular inter-event gaps, schedulers produce metronomes.  Per
+    user with at least ``min_events`` events:
+
+    * ``n_gaps``, ``mean_gap_us`` (one division),
+    * ``cv2`` -- the squared coefficient of variation of the gaps,
+      computed as ``(n * sum(g^2) - sum(g)^2) / sum(g)^2`` where both
+      sums are DECIMAL(38,0) over microsecond longs (gap-squared
+      overflows int64; decimal keeps the replay exact) -- cv2 near 0
+      means clockwork timing,
+    * ``n_distinct_gaps`` -- a metronome has one.
+
+    Scale shape: one lag window per user partition, one groupBy per
+    user -- users are independent, the window never crosses them.
+    """
+    from pyspark.sql import Window
+    # parquet event times are TIMESTAMP_NTZ; the session runs UTC, so
+    # the cast is the identity on wall time and epoch microseconds
+    # line up with a naive-timestamp replay
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(us, "event_id")
+    g = us - F.lag(us).over(w)
+    base = (events.select(F.col(user_col).alias("user_id"),
+                          g.alias("g"))
+            .where(F.col("g").isNotNull()))
+    dec = F.col("g").cast("decimal(38,0)")
+    agg = (base.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                F.sum(dec).alias("s1"),
+                F.sum(dec * dec).alias("s2"),
+                F.countDistinct("g").cast("long").alias("n_distinct_gaps")))
+    agg = agg.where(F.col("n_gaps") >= int(min_events) - 1)
+    s1, s2, n = F.col("s1"), F.col("s2"), F.col("n_gaps")
+    return agg.select(
+        "user_id", "n_gaps",
+        (s1.cast("double") / n).alias("mean_gap_us"),
+        F.when(s1 > 0,
+               (n * s2 - s1 * s1).cast("double")
+               / (s1 * s1).cast("double")).alias("cv2"),
+        "n_distinct_gaps")

@@ -345,3 +345,48 @@ def predicate_functionality(triples: DataFrame, subj_col: str = "subj",
         .alias("functionality"),
         (F.col("n_obj").cast("double") / F.col("n_pairs"))
         .alias("inverse_functionality"))
+
+
+def infer_types(triples: DataFrame, subj_col: str = "subj",
+                pred_col: str = "pred", obj_col: str = "obj",
+                type_pred: str = _RDF_TYPE) -> DataFrame:
+    """Type inference for untyped KG entities from predicate-usage
+    statistics (the SDType idea reduced to a pinned integer spec):
+    typed entities vote -- for each predicate the class distribution
+    of its typed subjects gives a weight ``w(pred, cls) =
+    n(pred, cls) * 1_000_000 div n(pred)`` (fixed-point long, so the
+    vote sums below are exact and order-free) -- and every untyped
+    entity scores each class by the sum of its predicates' weights.
+    The argmax class wins (score DESC, class ASC tie-break).
+
+    Scale shape: statistics are vocabulary-sized; the scoring join
+    keys untyped entities by predicate (broadcast weight table), one
+    groupBy per (entity, class), one window over entity partitions.
+    Returns (entity, inferred_cls, score_micro, n_preds).
+    """
+    from pyspark.sql import Window
+    s, p = F.col(subj_col), F.col(pred_col)
+    types = (triples.where(p == type_pred)
+             .select(s.alias("e"), F.col(obj_col).alias("cls"))
+             .distinct())
+    sp = (triples.where(p != type_pred)
+          .select(s.alias("e"), p.alias("pred")).distinct())
+    pc = (sp.join(types, "e")
+          .groupBy("pred", "cls")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_pc")))
+    pt = pc.groupBy("pred").agg(F.sum("n_pc").cast("long").alias("n_p"))
+    wts = (pc.join(pt, "pred")
+           .select("pred", "cls",
+                   F.expr("n_pc * 1000000 div n_p").alias("w")))
+    untyped = sp.join(types.select("e").distinct(), "e", "left_anti")
+    scores = (untyped.join(F.broadcast(wts), "pred")
+              .groupBy("e", "cls")
+              .agg(F.sum("w").cast("long").alias("score_micro"),
+                   F.count(F.lit(1)).cast("long").alias("n_preds")))
+    w_rank = Window.partitionBy("e").orderBy(
+        F.col("score_micro").desc(), "cls")
+    return (scores.withColumn("r", F.row_number().over(w_rank))
+            .where(F.col("r") == 1)
+            .select(F.col("e").alias("entity"),
+                    F.col("cls").alias("inferred_cls"),
+                    "score_micro", "n_preds"))

@@ -196,3 +196,53 @@ def bm25_rank(documents: DataFrame, needs: DataFrame,
     return (per_q.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= limit)
             .select("query", "item", "rank", "score"))
+
+
+def rocchio_expansion(documents: DataFrame, needs: DataFrame,
+                      top_docs: int = 5, top_terms: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio reduced to
+    a pinned deterministic spec): take each need's BM25 top
+    ``top_docs`` documents as the feedback set, pool their tokens,
+    drop the original query terms and stopwords, and propose the
+    ``top_terms`` candidates ranked by **(feedback frequency DESC,
+    corpus document frequency ASC, term ASC)** -- frequent where the
+    query matched, rare elsewhere.  The all-integer ranking key (no
+    tf-idf float product) makes the expansion reproducible
+    bit-for-bit on any engine; the BM25 feedback set is itself
+    deterministic (scores rounded to 6, item tie-break).
+
+    Scale shape: the feedback pool is |queries| x top_docs documents
+    (tiny); the corpus-df pass joins the candidate vocabulary
+    (broadcast) against the token arrays map-side -- the same shape
+    as the BM25 tf pass.  Returns (query, term, total_tf, df, rank).
+    """
+    from pyspark.sql import Window
+
+    from .textstats import RAKE_STOPWORDS
+    fb = (bm25_rank(documents, needs, text_col=text_col,
+                    id_col=id_col, limit=int(top_docs))
+          .select("query", "item"))
+    docs = documents.select(
+        F.col(id_col).cast("string").alias("item"),
+        tokens(F.col(text_col)).alias("tk"))
+    cand = (fb.join(docs, "item")
+            .select("query", F.explode("tk").alias("term"))
+            .where((F.col("term") != "")
+                   & ~F.col("term").isin(*RAKE_STOPWORDS)))
+    qterms = needs.select("query", F.lower(F.col("term")).alias("term"))
+    cand = cand.join(qterms, ["query", "term"], "left_anti")
+    tfq = cand.groupBy("query", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("total_tf"))
+    vocab = tfq.select("term").distinct()
+    dft = (docs.crossJoin(F.broadcast(vocab))
+           .where(F.array_contains("tk", F.col("term")))
+           .groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    w = Window.partitionBy("query").orderBy(
+        F.col("total_tf").desc(), F.col("df"), F.col("term"))
+    return (tfq.join(dft, "term")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= int(top_terms))
+            .select("query", "term", "total_tf", "df", "rank"))

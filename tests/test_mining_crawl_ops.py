@@ -696,3 +696,134 @@ def test_inverse_rules_finds_inverses_not_symmetry(spark):
     assert out[("parent_of", "child_of")].confidence == pytest.approx(0.8)
     assert out[("child_of", "parent_of")].confidence == pytest.approx(1.0)
     assert not any(b == h for b, h in out)          # knows excluded
+
+
+# -------------------------------------------------------------- rocchio
+
+def test_rocchio_expands_with_cooccurring_terms(spark):
+    from ferenda_spark.operators.search import rocchio_expansion
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle partition tuning"),
+         (2, "spark shuffle skew salting"),
+         (3, "gardening tips tomato")],
+        "doc_id long, text string")
+    needs = spark.createDataFrame([("q", "spark")],
+                                  "query string, term string")
+    out = rocchio_expansion(docs, needs, top_docs=2,
+                            top_terms=2).collect()
+    terms = {r.term for r in out}
+    assert "shuffle" in terms                 # tf 2 in feedback
+    assert "spark" not in terms               # original query term
+    assert "tomato" not in terms              # not in feedback set
+    top = [r.term for r in sorted(out, key=lambda r: r.rank)]
+    assert top[0] == "shuffle"
+
+
+def test_rocchio_df_breaks_tf_ties(spark):
+    """Equal feedback tf: the corpus-rarer term ranks first."""
+    from ferenda_spark.operators.search import rocchio_expansion
+    docs = spark.createDataFrame(
+        [(1, "anchor rare common"),
+         (2, "common filler"), (3, "common again")],
+        "doc_id long, text string")
+    needs = spark.createDataFrame([("q", "anchor")],
+                                  "query string, term string")
+    out = sorted(rocchio_expansion(docs, needs, top_docs=1,
+                                   top_terms=2).collect(),
+                 key=lambda r: r.rank)
+    assert [r.term for r in out] == ["rare", "common"]
+    assert out[0].df == 1 and out[1].df == 3
+
+
+# ------------------------------------------------------- type inference
+
+def test_infer_types_votes_and_tiebreak(spark):
+    from ferenda_spark.operators.quality import infer_types
+    T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = ([("p%d" % i, T, "Person") for i in range(4)]
+            + [("p%d" % i, "works_at", "o") for i in range(4)]
+            + [("o", T, "Org"), ("o", "located_in", "c")]
+            + [("u1", "works_at", "o2"), ("u2", "located_in", "c2")])
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {r.entity: r for r in infer_types(t).collect()}
+    assert out["u1"].inferred_cls == "Person"
+    assert out["u1"].score_micro == 1_000_000  # works_at is all-Person
+    assert out["u2"].inferred_cls == "Org"
+    assert "p0" not in out                     # typed entities excluded
+
+
+# ----------------------------------------------------------- bot timing
+
+def test_bot_signals_metronome_vs_human(spark):
+    from ferenda_spark.operators.events import bot_signals
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # bot: exactly every 60 s
+    for k in range(6):
+        rows.append((1, base + dt.timedelta(seconds=60 * k), k))
+    # human: irregular gaps 10/300/20/500/90 s
+    offs = [0, 10, 310, 330, 830, 920]
+    for k, o in enumerate(offs):
+        rows.append((2, base + dt.timedelta(seconds=o), 100 + k))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long")
+    out = {r.user_id: r for r in bot_signals(ev, min_events=5).collect()}
+    bot, human = out[1], out[2]
+    assert bot.n_distinct_gaps == 1
+    assert bot.cv2 == pytest.approx(0.0)
+    assert bot.mean_gap_us == pytest.approx(60_000_000.0)
+    assert human.cv2 > 0.5 and human.n_distinct_gaps == 5
+
+
+def test_bot_signals_min_events_filter(spark):
+    from ferenda_spark.operators.events import bot_signals
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=k), k) for k in range(3)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long")
+    assert bot_signals(ev, min_events=5).count() == 0
+
+
+# -------------------------------------------------------- rel canonical
+
+def test_rel_canonical_excludes_self_and_flags_missing(spark):
+    from ferenda_spark.operators.crawl import rel_canonical
+    tag = '<link rel="canonical" href="%s">'
+    pages = spark.createDataFrame(
+        [("http://a/1", "<head>%s</head>" % (tag % "http://a/m")),
+         ("http://a/2", "<head>%s</head>" % (tag % "http://a/m")),
+         ("http://a/m", "<head>%s</head>" % (tag % "http://a/m")),  # self
+         ("http://a/3", "<head>%s</head>" % (tag % "http://a/gone")),
+         ("http://a/4", "<head>no tag</head>")],
+        "url string, html string")
+    out = {r.canonical_url: r for r in rel_canonical(pages).collect()}
+    assert out["http://a/m"].n_variants == 2
+    assert out["http://a/m"].target_in_corpus
+    assert out["http://a/gone"].n_variants == 1
+    assert not out["http://a/gone"].target_in_corpus
+    assert len(out) == 2
+
+
+# --------------------------------------------------------- lang outliers
+
+def test_lang_outliers_majority_and_purity(spark):
+    from ferenda_spark.operators.cleaning import lang_outliers
+    rows = ([("h1", "sv")] * 8 + [("h1", "en")] * 2
+            + [("h2", "en")] * 3)
+    df = spark.createDataFrame(rows, "host string, lang string")
+    out = {(r.host, r.lang): r for r in lang_outliers(df).collect()}
+    assert out[("h1", "sv")].is_outlier is False
+    assert out[("h1", "en")].is_outlier is True
+    assert out[("h1", "en")].purity == pytest.approx(0.8)
+    assert out[("h2", "en")].purity == pytest.approx(1.0)
+
+
+def test_lang_outliers_count_tie_breaks_on_lang(spark):
+    from ferenda_spark.operators.cleaning import lang_outliers
+    df = spark.createDataFrame([("h", "sv"), ("h", "en")],
+                               "host string, lang string")
+    out = {r.lang: r for r in lang_outliers(df).collect()}
+    assert out["en"].majority_lang == "en"    # tie -> lang ASC
+    assert out["sv"].is_outlier is True
