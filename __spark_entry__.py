@@ -3952,6 +3952,78 @@ def _q_lang_outliers(spark, sf_dir):
             .orderBy("host", "lang"))
 
 
+def _q_sim_pq_topk(spark, sf_dir):
+    """PQ-ADC top-5 over the REAL embeddings (m=16 subspaces x 8
+    codewords, sampled-point codebooks from vec_ids j*37+5); the
+    oracle replays the encoding argmin and the per-query distance
+    table from the same codeword rows."""
+    from ferenda_spark.operators.similarity import pq_topk
+    emb = _read(spark, sf_dir, "embeddings")
+    return (pq_topk(emb, [0, 7, 42, 123], k_nn=5, m=16, k=8, dim=64)
+            .orderBy("query_id", "rank"))
+
+
+def _q_kg_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage over planted person records
+    (left = closed-form name/year/city; right = the same records with
+    year perturbed on doc_id%5==0 and city on doc_id%7==0), blocked on
+    name; u-probabilities are frequency-estimated from the right side,
+    m-probabilities are fixed model parameters; the oracle replays the
+    collision sums and the log2 weight arithmetic."""
+    from ferenda_spark.operators.linking import fs_linkage
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    name = F.format_string("p%d", (did * 7) % 101)
+    left = d.select(
+        did.alias("left_id"), name.alias("block_key"),
+        name.alias("name"),
+        (F.lit(1950) + (did * 13) % 70).cast("long").alias("year"),
+        F.format_string("c%d", did % 13).alias("city"))
+    right = d.select(
+        (did + 1000000).alias("right_id"), name.alias("block_key"),
+        name.alias("name"),
+        (F.lit(1950) + (did * 13) % 70
+         + F.when(did % 5 == 0, 1).otherwise(0)).cast("long")
+        .alias("year"),
+        F.format_string(
+            "c%d", F.when(did % 7 == 0, (did + 1) % 13)
+            .otherwise(did % 13)).alias("city"))
+    return (fs_linkage(left, right, ["name", "year", "city"],
+                       {"name": 0.95, "year": 0.9, "city": 0.85},
+                       upper=4.0, lower=0.0)
+            .orderBy("left_id", "right_id"))
+
+
+def _q_stats_cusum(spark, sf_dir):
+    """Page's CUSUM over the REAL events table's per-type daily
+    counts (prefix-sum/prefix-extremum closed form, mu/sigma from
+    exact integer sums); the oracle replays the two cumulative
+    windows and the h threshold."""
+    from ferenda_spark.operators.events import cusum_alarms
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    return cusum_alarms(ev).orderBy("event_type", "day")
+
+
+def _q_text_zipf_fit(spark, sf_dir):
+    """Per-language Zipf fit over the REAL documents (top-100 token
+    ranks, ln-ln OLS); the oracle replays the token counts, the
+    rank window, and the moment-sum regression."""
+    from ferenda_spark.operators.textstats import zipf_fit
+    d = _read(spark, sf_dir, "documents").select("lang", "text")
+    return zipf_fit(d).orderBy("lang")
+
+
+def _q_text_heaps_law(spark, sf_dir):
+    """Per-source Heaps'-law fit over the REAL documents (vocabulary
+    growth from first-occurrence doc aggregation, no per-token global
+    order); the oracle replays the first-doc groupBy, the two
+    cumulative windows, and the regression."""
+    from ferenda_spark.operators.textstats import heaps_fit
+    d = _read(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text")
+    return heaps_fit(d).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4200,6 +4272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bot_signals": _q_bot_signals,
         "crawl_rel_canonical": _q_rel_canonical,
         "clean_lang_outliers": _q_lang_outliers,
+        "sim_pq_topk": _q_sim_pq_topk,
+        "kg_fs_linkage": _q_kg_fs_linkage,
+        "stats_cusum": _q_stats_cusum,
+        "text_zipf_fit": _q_text_zipf_fit,
+        "text_heaps_law": _q_text_heaps_law,
     }
 
 
@@ -9104,4 +9181,268 @@ def oracle_sql() -> dict[str, str]:
                    c.lang <> m.majority_lang AS is_outlier
             FROM cnt c JOIN mj m USING (host) JOIN tot t USING (host)
             ORDER BY c.host, c.lang""",
+        # PQ-ADC: replay the sampled-point codebooks, the per-
+        # (vector, subspace) encoding argmin, and the query distance
+        # table; every squared-distance fold is left-assoc t=1..4 and
+        # rounded to 6 exactly like the Spark encoder
+        "sim_pq_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS v
+              FROM embeddings),
+            ss AS (SELECT CAST(unnest(generate_series(0, 15)) AS INT)
+                     AS s),
+            cb AS (SELECT CAST((vec_id - 5) // 37 AS INT) AS j, v
+                   FROM e
+                   WHERE vec_id IN (5, 42, 79, 116, 153, 190, 227, 264)),
+            dists AS MATERIALIZED (
+              SELECT e.vec_id, ss.s, cb.j,
+                     round(0.0
+                       + (e.v[ss.s*4+1] - cb.v[ss.s*4+1])
+                         * (e.v[ss.s*4+1] - cb.v[ss.s*4+1])
+                       + (e.v[ss.s*4+2] - cb.v[ss.s*4+2])
+                         * (e.v[ss.s*4+2] - cb.v[ss.s*4+2])
+                       + (e.v[ss.s*4+3] - cb.v[ss.s*4+3])
+                         * (e.v[ss.s*4+3] - cb.v[ss.s*4+3])
+                       + (e.v[ss.s*4+4] - cb.v[ss.s*4+4])
+                         * (e.v[ss.s*4+4] - cb.v[ss.s*4+4]), 6) AS d
+              FROM e CROSS JOIN ss CROSS JOIN cb),
+            codes AS (
+              SELECT vec_id, s, j FROM (
+                SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id, s ORDER BY d, j) AS rn
+                FROM dists)
+              WHERE rn = 1),
+            dt AS (SELECT vec_id AS query_id, s, j, d
+                   FROM dists WHERE vec_id IN (0, 7, 42, 123)),
+            adc AS (
+              SELECT dt.query_id, c.vec_id,
+                     round(SUM(dt.d), 6) AS adc_dist
+              FROM codes c
+              JOIN dt ON dt.s = c.s AND dt.j = c.j
+              WHERE c.vec_id <> dt.query_id
+              GROUP BY dt.query_id, c.vec_id)
+            SELECT query_id, vec_id, rank, adc_dist FROM (
+              SELECT query_id, vec_id, adc_dist,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adc_dist, vec_id) AS INT) AS rank
+              FROM adc)
+            WHERE rank <= 5
+            ORDER BY query_id, rank""",
+        # Fellegi-Sunter: frequency-based u from the right side's
+        # collision sums, fixed m, log2 likelihood-ratio weights
+        "kg_fs_linkage": """
+            WITH l AS (
+              SELECT doc_id AS left_id,
+                     'p' || ((doc_id * 7) % 101) AS block_key,
+                     'p' || ((doc_id * 7) % 101) AS name,
+                     1950 + (doc_id * 13) % 70 AS year,
+                     'c' || (doc_id % 13) AS city
+              FROM documents),
+            r AS (
+              SELECT doc_id + 1000000 AS right_id,
+                     'p' || ((doc_id * 7) % 101) AS block_key,
+                     'p' || ((doc_id * 7) % 101) AS name,
+                     1950 + (doc_id * 13) % 70
+                       + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                       AS year,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'c' || ((doc_id + 1) % 13)
+                          ELSE 'c' || (doc_id % 13) END AS city
+              FROM documents),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM r),
+            u AS (
+              SELECT
+                greatest(least((SELECT SUM(CAST(c AS DOUBLE) * c)
+                                FROM (SELECT COUNT(*) AS c FROM r
+                                      GROUP BY name)) / (nn.n * nn.n),
+                               1.0 - 1e-9), 1e-9) AS u_name,
+                greatest(least((SELECT SUM(CAST(c AS DOUBLE) * c)
+                                FROM (SELECT COUNT(*) AS c FROM r
+                                      GROUP BY year)) / (nn.n * nn.n),
+                               1.0 - 1e-9), 1e-9) AS u_year,
+                greatest(least((SELECT SUM(CAST(c AS DOUBLE) * c)
+                                FROM (SELECT COUNT(*) AS c FROM r
+                                      GROUP BY city)) / (nn.n * nn.n),
+                               1.0 - 1e-9), 1e-9) AS u_city
+              FROM nn),
+            w AS (
+              SELECT round(log2(0.95 / u_name), 6) AS wa_name,
+                     round(log2(0.05 / (1.0 - u_name)), 6) AS wd_name,
+                     round(log2(0.9 / u_year), 6) AS wa_year,
+                     round(log2(0.1 / (1.0 - u_year)), 6) AS wd_year,
+                     round(log2(0.85 / u_city), 6) AS wa_city,
+                     round(log2(0.15 / (1.0 - u_city)), 6) AS wd_city
+              FROM u),
+            pairs AS (
+              SELECT l.left_id, r.right_id,
+                     l.name = r.name AS agree_name,
+                     l.year = r.year AS agree_year,
+                     l.city = r.city AS agree_city
+              FROM l JOIN r USING (block_key)),
+            sc AS (
+              SELECT p.*,
+                     round(0.0
+                       + CASE WHEN agree_name THEN wa_name
+                              ELSE wd_name END
+                       + CASE WHEN agree_year THEN wa_year
+                              ELSE wd_year END
+                       + CASE WHEN agree_city THEN wa_city
+                              ELSE wd_city END, 6) AS weight
+              FROM pairs p CROSS JOIN w)
+            SELECT left_id, right_id, agree_name, agree_year,
+                   agree_city, weight,
+                   CASE WHEN weight >= 4.0 THEN 'link'
+                        WHEN weight > 0.0 THEN 'possible'
+                        ELSE 'non_link' END AS decision
+            FROM sc ORDER BY left_id, right_id""",
+        # CUSUM: prefix-sum / prefix-extremum closed form of Page's
+        # recursion, mu/sigma from exact integer sums
+        "stats_cusum": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            st AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c,
+                     SUM(n) AS s1, SUM(n * n) AS s2
+              FROM daily GROUP BY 1),
+            st2 AS (
+              SELECT event_type,
+                     CAST(s1 AS DOUBLE) / c AS mu,
+                     sqrt(greatest(0.0,
+                       CAST(c * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(c * c AS DOUBLE))) AS sigma
+              FROM st),
+            d AS (
+              SELECT daily.event_type, day, n, mu, sigma,
+                     sigma * 4.0 AS h,
+                     n - mu - sigma * 0.5 AS dev_p,
+                     n - mu + sigma * 0.5 AS dev_n
+              FROM daily JOIN st2 USING (event_type)),
+            staged AS (
+              SELECT event_type, day, n, h,
+                     SUM(dev_p) OVER (PARTITION BY event_type
+                       ORDER BY day ROWS UNBOUNDED PRECEDING) AS p_pos,
+                     SUM(dev_n) OVER (PARTITION BY event_type
+                       ORDER BY day ROWS UNBOUNDED PRECEDING) AS p_neg
+              FROM d),
+            fin AS (
+              SELECT event_type, day, n, h,
+                     p_pos - least(0.0, MIN(p_pos) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)) AS s_pos,
+                     greatest(0.0, MAX(p_neg) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)) - p_neg AS s_neg
+              FROM staged)
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+                   round(s_pos, 6) AS cusum_pos,
+                   round(s_neg, 6) AS cusum_neg,
+                   s_pos > h AS alarm_up,
+                   s_neg > h AS alarm_down
+            FROM fin ORDER BY event_type, day""",
+        # Zipf: token counts -> rank window -> ln-ln moment-sum OLS
+        "text_zipf_fit": r"""
+            WITH toks AS (
+              SELECT lang, unnest(string_split_regex(lower(trim(text)),
+                       '[ \t\n\r\f\x0B]+')) AS tok
+              FROM documents),
+            cnt AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+            rk AS (
+              SELECT lang, tok, cnt, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+              FROM cnt),
+            sel AS (SELECT * FROM rk WHERE rank <= 100 AND cnt >= 2),
+            pts AS (
+              SELECT lang, ln(CAST(rank AS DOUBLE)) AS x,
+                     ln(CAST(cnt AS DOUBLE)) AS y
+              FROM sel),
+            agg AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fit,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM pts GROUP BY lang),
+            fit AS (
+              SELECT lang, n_fit,
+                round((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_fit AS DOUBLE) * sxx - sx * sx), 6)
+                  AS slope,
+                round((sy - ((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n_fit AS DOUBLE) * sxx - sx * sx))
+                            * sx) / CAST(n_fit AS DOUBLE), 6)
+                  AS intercept,
+                round(((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n_fit AS DOUBLE) * sxy - sx * sy))
+                      / ((CAST(n_fit AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n_fit AS DOUBLE) * syy - sy * sy)), 6)
+                  AS r2
+              FROM agg)
+            SELECT f.lang, f.n_fit, f.slope, f.intercept, f.r2,
+                   t.tok AS top_token
+            FROM fit f JOIN rk t ON t.lang = f.lang AND t.rank = 1
+            ORDER BY f.lang""",
+        # Heaps: first-occurrence doc aggregation -> cumulative
+        # series -> ln-ln moment-sum OLS
+        "text_heaps_law": r"""
+            WITH toks AS (
+              SELECT source, doc_id,
+                     unnest(string_split_regex(lower(trim(text)),
+                       '[ \t\n\r\f\x0B]+')) AS tok
+              FROM documents),
+            tk AS (SELECT * FROM toks WHERE length(tok) > 0),
+            per_doc AS (
+              SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+              FROM tk GROUP BY 1, 2),
+            fst AS (
+              SELECT source, tok, MIN(doc_id) AS first_doc
+              FROM tk GROUP BY 1, 2),
+            newt AS (
+              SELECT source, first_doc AS doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM fst GROUP BY 1, 2),
+            ser AS (
+              SELECT p.source, p.doc_id,
+                SUM(p.n_toks) OVER (PARTITION BY p.source
+                  ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+                  AS cum_toks,
+                SUM(COALESCE(n.n_new, 0)) OVER (PARTITION BY p.source
+                  ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+                  AS cum_types
+              FROM per_doc p
+              LEFT JOIN newt n USING (source, doc_id)),
+            pts AS (
+              SELECT source, ln(CAST(cum_toks AS DOUBLE)) AS x,
+                     ln(CAST(cum_types AS DOUBLE)) AS y
+              FROM ser WHERE cum_toks > 0),
+            agg AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fit,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM pts GROUP BY source),
+            fit AS (
+              SELECT source, n_fit,
+                round((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_fit AS DOUBLE) * sxx - sx * sx), 6)
+                  AS slope,
+                round((sy - ((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n_fit AS DOUBLE) * sxx - sx * sx))
+                            * sx) / CAST(n_fit AS DOUBLE), 6)
+                  AS intercept,
+                round(((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                       * (CAST(n_fit AS DOUBLE) * sxy - sx * sy))
+                      / ((CAST(n_fit AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n_fit AS DOUBLE) * syy - sy * sy)), 6)
+                  AS r2
+              FROM agg),
+            nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM per_doc GROUP BY source)
+            SELECT f.source, f.n_fit, f.slope, f.intercept, f.r2,
+                   nd.n_docs
+            FROM fit f JOIN nd USING (source)
+            ORDER BY f.source""",
     }

@@ -15,7 +15,7 @@ Both are pure DataFrame programs whose shuffles key on user_id /
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel(events: DataFrame, steps: list,
@@ -186,3 +186,71 @@ def bot_signals(events: DataFrame, user_col: str = "user_id",
                (n * s2 - s1 * s1).cast("double")
                / (s1 * s1).cast("double")).alias("cv2"),
         "n_distinct_gaps")
+
+
+def cusum_alarms(events: DataFrame, ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 slack_mult: float = 0.5, h_mult: float = 4.0,
+                 round_to: int = 6) -> DataFrame:
+    """Per-event-type one-sided CUSUM change-point detection (Page
+    1954) over the daily count series: S+_t = max(0, S+_{t-1} +
+    (x_t - mu - k)) flags upward level shifts, S-_t symmetrically
+    downward, alarm when the statistic exceeds h = h_mult * sigma;
+    slack k = slack_mult * sigma, mu/sigma = per-type mean and
+    population stddev of the daily counts.
+
+    The recursion is NOT evaluated row-at-a-time: max(0, S+prev+d) has
+    the closed prefix form S+_t = P_t - min(0, min_{j<=t} P_j) with
+    P_t = cumsum(d_t), so both sides are two cumulative windows
+    (running sum + running extremum) partitioned by event_type —
+    fully parallel across types, one shuffle, no iteration.  Day
+    counts per type are bounded (years of days), so the per-type
+    window never concentrates unbounded rows.
+
+    Returns (event_type, day, n, cusum_pos, cusum_neg, alarm_up,
+    alarm_down)."""
+    daily = (events.groupBy(F.col(type_col).alias("event_type"),
+                            F.to_date(ts_col).alias("day"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    # mu/sigma from EXACT integer sums (not stddev_pop, whose Welford
+    # accumulation order differs per engine): var = (c*s2 - s1^2)/c^2
+    # is one double expression over exact longs -> bit-reproducible
+    stats = (daily.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("c"),
+                  F.sum("n").alias("s1"),
+                  F.sum(F.col("n") * F.col("n")).alias("s2"))
+             .select("event_type",
+                     (F.col("s1").cast("double") / F.col("c"))
+                     .alias("mu"),
+                     F.sqrt(F.greatest(F.lit(0.0),
+                            (F.col("c") * F.col("s2")
+                             - F.col("s1") * F.col("s1")).cast("double")
+                            / (F.col("c") * F.col("c")).cast("double")))
+                     .alias("sigma")))
+    d = (daily.join(F.broadcast(stats), "event_type")
+         .withColumn("h", F.col("sigma") * F.lit(float(h_mult))))
+    k = F.col("sigma") * F.lit(float(slack_mult))
+    dev_p = F.col("n") - F.col("mu") - k   # drives S+
+    dev_n = F.col("n") - F.col("mu") + k   # drives S-
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # stage 1: prefix sums; stage 2: running extrema of those sums
+    # (window-over-window must be two projections)
+    staged = d.select(
+        "event_type", "day", "n", "h",
+        F.sum(dev_p).over(w).alias("p_pos"),
+        F.sum(dev_n).over(w).alias("p_neg"))
+    s_pos = (F.col("p_pos")
+             - F.least(F.lit(0.0), F.min("p_pos").over(w)))
+    # subtraction form (running max includes the current row, so the
+    # result is >= 0 exactly) -- avoids IEEE -0.0 from unary negation
+    s_neg = (F.greatest(F.lit(0.0), F.max("p_neg").over(w))
+             - F.col("p_neg"))
+    h = F.col("h")
+    return staged.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(s_pos, round_to).alias("cusum_pos"),
+        F.round(s_neg, round_to).alias("cusum_neg"),
+        (s_pos > h).alias("alarm_up"),
+        (s_neg > h).alias("alarm_down"))

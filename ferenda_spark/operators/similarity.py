@@ -529,3 +529,112 @@ def centroid_distances(embeddings: DataFrame,
             .select("vec_id", "label",
                     F.round(norm, 6).alias("l2_norm"),
                     F.round(dist, 6).alias("centroid_dist")))
+
+
+def pq_sample_codebooks(embeddings: DataFrame, m: int, k: int,
+                        dim: int) -> list:
+    """Product-quantizer codebooks with sampled-point initialization:
+    codeword j of subspace s = dims [s*d0 .. (s+1)*d0) of the training
+    vector ``vec_id = j*37 + 5`` — k-means with zero Lloyd rounds, the
+    standard PQ bootstrap (Jégou et al. 2011 §III trains by k-means
+    from a sample; the sampled-point init IS the k=0 member of that
+    family, and :func:`ivf_centroids`'s Lloyd loop applies per
+    subspace unchanged when refinement is wanted — pytest covers the
+    refined path, the fixed init keeps the codebook a driver-held
+    literal both engines replay exactly).
+
+    Returns ``codebooks[s][j] = [d0 floats]`` — an m*k*d0 model
+    parameter (for m=16,k=8,d0=4: 512 doubles), collected once."""
+    ids = [j * 37 + 5 for j in range(k)]
+    d0 = dim // m
+    rows = (embeddings.where(F.col("vec_id").isin(ids))
+            .select("vec_id", F.col("embedding").cast("array<double>")
+                    .alias("v")).collect())
+    by_id = {r.vec_id: list(r.v) for r in rows}
+    if len(by_id) < k:
+        raise ValueError("codebook training ids missing from corpus")
+    return [[by_id[ids[j]][s * d0:(s + 1) * d0] for j in range(k)]
+            for s in range(m)]
+
+
+def pq_codes(embeddings: DataFrame, codebooks: list) -> DataFrame:
+    """Map-side PQ encoding: (vec_id, codes array<int>) where
+    codes[s] = argmin_j ||x_s - codebooks[s][j]||^2 (squared L2
+    rounded to 6 for cross-engine argmin stability, ties to the lowest
+    codeword index).  At 100 TB this is a pure projection — the code
+    table is m*ceil(log2 k) bits per vector (16 subspaces x 8
+    codewords = 6 bytes vs 256 bytes of float32, a 42x scan-size cut
+    for the ADC pass)."""
+    m, k = len(codebooks), len(codebooks[0])
+    d0 = len(codebooks[0][0])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(v, s * d0 + 1, d0)
+        structs = []
+        for j in range(k):
+            cw = codebooks[s][j]
+            d = F.lit(0.0)
+            for t in range(d0):
+                diff = F.element_at(sub, t + 1) - F.lit(float(cw[t]))
+                d = d + diff * diff
+            structs.append(F.struct(F.round(d, 6).alias("dist"),
+                                    F.lit(j).alias("j")))
+        code_cols.append(F.array_min(F.array(*structs))["j"])
+    return embeddings.select(
+        "vec_id", F.array(*code_cols).cast("array<int>").alias("codes"))
+
+
+def pq_topk(embeddings: DataFrame, query_ids: list[int], k_nn: int = 5,
+            m: int = 16, k: int = 8, dim: int = 64,
+            round_to: int = 6, codebooks: list | None = None) -> DataFrame:
+    """PQ-ADC approximate nearest neighbours: encode the corpus to
+    m-subspace codes, then for each query compute the asymmetric
+    distance sum_s ||q_s - codebook[s][code_s]||^2 via a per-query
+    distance TABLE (m*k literals) — the corpus scan reads only the
+    code table, never the vectors.
+
+    Scale shape: encoding and the ADC lookup are both pure
+    projections against driver-held literals (the distance table is a
+    model parameter exactly like the IVF centroids); queries are
+    broadcast; the only shuffle is the final per-query top-k window.
+    On 100 TB the ADC pass scans the 42x-smaller code table, which is
+    the entire point of PQ (Jégou, Douze, Schmid, TPAMI 2011).
+
+    Returns (query_id, vec_id, rank, adc_dist) with adc_dist rounded;
+    ties broken by vec_id.  Self-matches excluded."""
+    if codebooks is None:
+        codebooks = pq_sample_codebooks(embeddings, m, k, dim)
+    m, k = len(codebooks), len(codebooks[0])
+    d0 = len(codebooks[0][0])
+    coded = pq_codes(embeddings, codebooks)
+    q = (embeddings.where(F.col("vec_id").isin(query_ids))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").cast("array<double>")
+                 .alias("query_vec")))
+    # distance table: dt[s][j] = ||q_s - cw(s,j)||^2, per-term rounded
+    # like the encoder so both engines fold identical doubles
+    dt_entries = []
+    for s in range(m):
+        for j in range(k):
+            d = F.lit(0.0)
+            for t in range(d0):
+                diff = (F.element_at(F.col("query_vec"), s * d0 + t + 1)
+                        - F.lit(float(codebooks[s][j][t])))
+                d = d + diff * diff
+            dt_entries.append(F.round(d, 6))
+    qt = q.select("query_id",
+                  F.array(*dt_entries).alias("dt"))  # flat m*k, row-major
+    pairs = coded.crossJoin(F.broadcast(qt)).where(
+        F.col("vec_id") != F.col("query_id"))
+    adc = F.aggregate(
+        F.zip_with(F.sequence(F.lit(0), F.lit(m - 1)), F.col("codes"),
+                   lambda s, c: F.element_at(
+                       F.col("dt"), (s * k + c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = pairs.select("query_id", "vec_id",
+                          F.round(adc, round_to).alias("adc_dist"))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_nn)
+            .select("query_id", "vec_id", "rank", "adc_dist"))

@@ -550,3 +550,108 @@ def rake_keyphrases(documents: DataFrame, text_col: str = "text",
     return (cand.withColumn("rank",
                             F.row_number().over(w_rank).cast("long"))
             .where(F.col("rank") <= int(top_k)))
+
+
+def _ols_fit(pts: DataFrame, group_cols: list, round_to: int = 6):
+    """Grouped closed-form least squares of y on x over (x, y) rows:
+    slope/intercept/r2 from the five moment sums — one aggregate, no
+    iteration."""
+    agg = (pts.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_fit"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n = F.col("n_fit").cast("double")
+    vxy = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = vxy / vxx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (vxy * vxy) / (vxx * vyy)
+    return agg.select(
+        *group_cols, "n_fit",
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"))
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 100,
+             min_count: int = 2, round_to: int = 6) -> DataFrame:
+    """Per-language Zipf's-law fit: token frequencies ranked within
+    each language (ties to the lexicographically first token), then
+    OLS of ln(freq) on ln(rank) over the top ``top_n`` ranks with
+    count >= min_count.  A well-mixed natural corpus fits slope
+    ~ -1; a flat slope is a template/boilerplate signal and a cliff
+    is a tiny-vocabulary signal — a standard corpus-health gauge in
+    web-text pipelines.
+
+    Scale shape: ONE token-count groupBy (map-side combined); the
+    rank window runs on the (lang, token, count) aggregate, which is
+    vocabulary-sized, not corpus-sized, and is cut to top_n before
+    the logs; the fit is a closed-form moment aggregate
+    (:func:`_ols_fit`), no iteration.
+
+    Returns (lang, n_fit, slope, intercept, r2, top_token)."""
+    toks = (documents
+            .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+            .where(F.length("tok") > 0))
+    counts = (toks.groupBy("lang", "tok")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .where((F.col("rank") <= int(top_n))
+                     & (F.col("cnt") >= int(min_count))))
+    pts = ranked.select(
+        "lang", "tok", "rank",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    fit = _ols_fit(pts, ["lang"], round_to)
+    top = (ranked.where(F.col("rank") == 1)
+           .select("lang", F.col("tok").alias("top_token")))
+    return fit.join(top, "lang")
+
+
+def heaps_fit(documents: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-source Heaps'-law fit V(n) = K * n^beta: for each source,
+    walk the corpus in doc_id order, record (cumulative tokens seen,
+    cumulative distinct vocabulary) after every document, and OLS-fit
+    ln V on ln n.  beta ~ 0.5 for natural text; beta near 1 means the
+    vocabulary never saturates (OCR noise / random ids), beta near 0
+    means template text — the complement of the Zipf gauge.
+
+    The vocabulary prefix count needs no per-token ordering: a
+    token's first appearance is min(doc_id) over its occurrences, so
+    new_types(d) = count of tokens whose first doc is d, and both
+    cumulative series are windows over the PER-DOCUMENT aggregate
+    (corpus-sized work is the one token groupBy; the windows run on
+    #docs rows partitioned by source).
+
+    Returns (source, n_docs, n_fit, slope, intercept, r2) where slope
+    is the Heaps exponent beta and exp(intercept) is K."""
+    toks = (documents
+            .select("source", "doc_id",
+                    F.explode(tokens(F.col("text"))).alias("tok"))
+            .where(F.length("tok") > 0))
+    per_doc = (toks.groupBy("source", "doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_toks")))
+    first = (toks.groupBy("source", "tok")
+             .agg(F.min("doc_id").alias("first_doc")))
+    new_types = (first.groupBy("source", F.col("first_doc")
+                               .alias("doc_id"))
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    series = (per_doc.join(new_types, ["source", "doc_id"], "left")
+              .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+              .select("source", "doc_id",
+                      F.sum("n_toks").over(w).alias("cum_toks"),
+                      F.sum("n_new").over(w).alias("cum_types"))
+              .where(F.col("cum_toks") > 0))
+    pts = series.select(
+        "source",
+        F.log(F.col("cum_toks").cast("double")).alias("x"),
+        F.log(F.col("cum_types").cast("double")).alias("y"))
+    n_docs = (per_doc.groupBy("source")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    return _ols_fit(pts, ["source"], round_to).join(n_docs, "source")

@@ -1,0 +1,254 @@
+"""CUSUM change points, Fellegi-Sunter linkage, PQ-ADC top-k,
+Zipf/Heaps law fits — closed-form / reference-replay checks for the
+edge cases the driver oracles don't exercise (recursion equivalence,
+hand-computed weights, exact power laws)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ferenda_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tests-round4-stats", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+# --------------------------------------------------------------- CUSUM
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The prefix-sum/prefix-extremum closed form must equal Page's
+    row-at-a-time recursion, and a planted level shift must alarm."""
+    from ferenda_spark.operators.events import cusum_alarms
+    # 20 quiet days at ~10 events, then 10 days at 30 (upward shift)
+    counts = [10, 11, 9, 10, 12, 10, 9, 11, 10, 10,
+              11, 9, 10, 10, 12, 9, 10, 11, 10, 10,
+              30, 31, 29, 30, 30, 31, 30, 29, 30, 30]
+    rows = []
+    for d, n in enumerate(counts):
+        day = "2024-01-%02d" % (d + 1) if d < 31 else None
+        for i in range(n):
+            rows.append(("click", "2024-01-%02d 0%d:00:00"
+                         % (d + 1, i % 10)))
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
+        .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.day: r for r in cusum_alarms(ev).collect()}
+    assert len(out) == 30
+
+    # reference recursion (Page 1954), same mu/sigma/k/h
+    c = len(counts)
+    s1, s2 = sum(counts), sum(n * n for n in counts)
+    mu = s1 / c
+    sigma = math.sqrt(max(0.0, (c * s2 - s1 * s1) / (c * c)))
+    k, h = 0.5 * sigma, 4.0 * sigma
+    sp = sn = 0.0
+    for d, n in enumerate(counts):
+        sp = max(0.0, sp + (n - mu - k))
+        sn = max(0.0, sn - (n - mu + k))
+        day = "2024-01-%02d" % (d + 1)
+        r = out[day]
+        assert r.cusum_pos == pytest.approx(sp, abs=1e-5)
+        assert r.cusum_neg == pytest.approx(sn, abs=1e-5)
+        assert r.alarm_up == (round(sp, 10) > round(h, 10) and sp > h) \
+            or r.alarm_up == (sp > h)
+    # the shift must be detected within a few days
+    assert any(out["2024-01-%02d" % d].alarm_up for d in range(21, 31))
+    # no false alarm in the quiet half
+    assert not any(out["2024-01-%02d" % d].alarm_up for d in range(1, 21))
+    # non-negative statistics everywhere (no -0.0 leakage)
+    assert all(r.cusum_pos >= 0 and r.cusum_neg >= 0
+               for r in out.values())
+
+
+def test_cusum_detects_downward_shift(spark):
+    from ferenda_spark.operators.events import cusum_alarms
+    counts = [30] * 20 + [5] * 10
+    rows = [("view", "2024-03-%02d 03:00:00" % (d + 1))
+            for d, n in enumerate(counts) for _ in range(n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
+        .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = sorted(cusum_alarms(ev).collect(), key=lambda r: r.day)
+    assert any(r.alarm_down for r in out[20:])
+    assert not any(r.alarm_down for r in out[:20])
+
+
+# ------------------------------------------------------ Fellegi-Sunter
+
+def test_fs_linkage_weights_match_hand_computation(spark):
+    from ferenda_spark.operators.linking import fs_linkage
+    left = spark.createDataFrame(
+        [("L1", "b", "alice", "1980"), ("L2", "b", "bob", "1990")],
+        "left_id string, block_key string, name string, yob string")
+    right = spark.createDataFrame(
+        [("R1", "b", "alice", "1980"),   # full agree with L1
+         ("R2", "b", "alice", "1975"),   # name agree only
+         ("R3", "b", "carol", "1990")],  # yob agree with L2 only
+        "right_id string, block_key string, name string, yob string")
+    m = {"name": 0.9, "yob": 0.8}
+    out = {(r.left_id, r.right_id): r
+           for r in fs_linkage(left, right, ["name", "yob"], m,
+                               upper=1.5, lower=0.0).collect()}
+    assert len(out) == 6  # full block join 2x3
+    # u_name: right has alice(2), carol(1) over N=3 -> (4+1)/9
+    u_name = 5.0 / 9.0
+    # u_yob: 1980,1975,1990 each once -> 3/9
+    u_yob = 3.0 / 9.0
+    w_name_a = round(math.log2(0.9 / u_name), 6)
+    w_name_d = round(math.log2(0.1 / (1 - u_name)), 6)
+    w_yob_a = round(math.log2(0.8 / u_yob), 6)
+    w_yob_d = round(math.log2(0.2 / (1 - u_yob)), 6)
+    r11 = out[("L1", "R1")]
+    assert r11.agree_name and r11.agree_yob
+    assert r11.weight == pytest.approx(
+        round(w_name_a + w_yob_a, 6), abs=1e-6)
+    assert r11.decision == "link"
+    r12 = out[("L1", "R2")]
+    assert r12.agree_name and not r12.agree_yob
+    assert r12.weight == pytest.approx(
+        round(w_name_a + w_yob_d, 6), abs=1e-6)
+    r23 = out[("L2", "R3")]
+    assert not r23.agree_name and r23.agree_yob
+    assert r23.weight == pytest.approx(
+        round(w_name_d + w_yob_a, 6), abs=1e-6)
+    r13 = out[("L1", "R3")]
+    assert r13.decision == "non_link"
+
+
+def test_fs_linkage_blocking_prunes_pairs(spark):
+    from ferenda_spark.operators.linking import fs_linkage
+    left = spark.createDataFrame(
+        [("L1", "a", "x"), ("L2", "b", "y")],
+        "left_id string, block_key string, name string")
+    right = spark.createDataFrame(
+        [("R1", "a", "x"), ("R2", "c", "x")],
+        "right_id string, block_key string, name string")
+    out = fs_linkage(left, right, ["name"], {"name": 0.9}).collect()
+    assert [(r.left_id, r.right_id) for r in out] == [("L1", "R1")]
+
+
+# -------------------------------------------------------------- PQ-ADC
+
+def test_pq_topk_matches_numpy_replay(spark):
+    """ADC ranking must equal a NumPy replay of the same codebooks,
+    encoding, and per-term-rounded distance tables."""
+    import numpy as np
+    from ferenda_spark.operators.similarity import (
+        pq_sample_codebooks, pq_codes, pq_topk)
+    rng = np.random.RandomState(7)
+    n, dim, m, k = 100, 8, 2, 3
+    vecs = rng.randn(n, dim).round(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    cbs = pq_sample_codebooks(emb, m=m, k=k, dim=dim)
+    d0 = dim // m
+    # codeword j of subspace s is vector id j*37+5 sliced
+    for s in range(m):
+        for j in range(k):
+            assert cbs[s][j] == pytest.approx(
+                list(vecs[j * 37 + 5][s * d0:(s + 1) * d0]))
+    # replay encoding
+    codes = {r.vec_id: list(r.codes) for r in pq_codes(emb, cbs).collect()}
+
+    def enc(v):
+        out = []
+        for s in range(m):
+            sub = v[s * d0:(s + 1) * d0]
+            ds = [round(float(((sub - np.array(cbs[s][j])) ** 2).sum()), 6)
+                  for j in range(k)]
+            out.append(int(np.lexsort((range(k), ds))[0]))
+        return out
+
+    for i in range(n):
+        assert codes[i] == enc(vecs[i]), i
+
+    qids = [3, 50]
+    got = pq_topk(emb, qids, k_nn=4, m=m, k=k, dim=dim,
+                  codebooks=cbs).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid in qids:
+        qv = vecs[qid]
+        dt = [[round(float(((qv[s * d0:(s + 1) * d0]
+                             - np.array(cbs[s][j])) ** 2).sum()), 6)
+               for j in range(k)] for s in range(m)]
+        scored = sorted(
+            (round(sum(dt[s][codes[i][s]] for s in range(m)), 6), i)
+            for i in range(n) if i != qid)
+        want = scored[:4]
+        rows = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [(r.adc_dist, r.vec_id) for r in rows] == \
+            [(pytest.approx(d, abs=1e-6), i) for d, i in want]
+
+
+# ----------------------------------------------------- Zipf and Heaps
+
+def test_zipf_fit_exact_power_law_gives_slope_minus_one(spark):
+    """Counts c(r) = 720/r for r=1..6 lie exactly on ln c = ln 720
+    - 1*ln r, so the OLS must return slope -1, r2 1."""
+    from ferenda_spark.operators.textstats import zipf_fit
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    text = " ".join(w for r, w in enumerate(words, 1)
+                    for _ in range(720 // r))
+    docs = spark.createDataFrame([(1, "en", text)],
+                                 "doc_id long, lang string, text string")
+    out = zipf_fit(docs, top_n=10, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_fit == 6
+    assert r.slope == pytest.approx(-1.0, abs=1e-6)
+    assert r.intercept == pytest.approx(math.log(720.0), abs=1e-6)
+    assert r.r2 == pytest.approx(1.0, abs=1e-6)
+    assert r.top_token == "aa"
+
+
+def test_zipf_rank_ties_break_lexicographically(spark):
+    from ferenda_spark.operators.textstats import zipf_fit
+    docs = spark.createDataFrame(
+        [(1, "en", "zz zz aa aa mm mm mm")],
+        "doc_id long, lang string, text string")
+    r = zipf_fit(docs, top_n=10, min_count=2).collect()[0]
+    assert r.top_token == "mm"  # count 3 beats the tied 2s
+
+
+def test_heaps_fit_matches_python_replay(spark):
+    from ferenda_spark.operators.textstats import heaps_fit
+    docs = [
+        ("s", 1, "a b c a"),
+        ("s", 2, "a d e"),
+        ("s", 3, "f f g a b"),
+        ("s", 4, "h"),
+    ]
+    df = spark.createDataFrame(
+        docs, "source string, doc_id long, text string")
+    out = heaps_fit(df).collect()
+    assert len(out) == 1
+    # replay: cumulative tokens / cumulative vocabulary per doc
+    seen, cum_t, pts = set(), 0, []
+    for _, _, text in docs:
+        ts = text.split()
+        cum_t += len(ts)
+        seen |= set(ts)
+        pts.append((math.log(cum_t), math.log(len(seen))))
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) ** 2
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    r = out[0]
+    assert r.n_docs == 4
+    assert r.n_fit == 4
+    assert r.slope == pytest.approx(slope, abs=1e-6)
+    assert r.intercept == pytest.approx(intercept, abs=1e-6)
+    assert r.r2 == pytest.approx(r2, abs=1e-6)
