@@ -4024,6 +4024,45 @@ def _q_text_heaps_law(spark, sf_dir):
     return heaps_fit(d).orderBy("source")
 
 
+def _q_stats_ks_lengths(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov over the REAL documents: does
+    src0's length distribution differ from src1's?  The oracle
+    replays the merged-ECDF windows (D kept in integer cross-products
+    until the final division) and the 20-term Kolmogorov p series."""
+    from ferenda_spark.operators.quality import ks_two_sample
+    d = _read(spark, sf_dir, "documents").select("source", "n_chars")
+    return ks_two_sample(d, "source", "n_chars", "src0", "src1")
+
+
+def _q_stats_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (midrank ties, tie-corrected z) between the
+    value distributions of click vs view events; the oracle replays
+    the distinct-value midrank blocks — 2*R_a stays an exact long in
+    both engines."""
+    from ferenda_spark.operators.quality import mann_whitney
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    return mann_whitney(ev, "event_type", "value", "click", "view")
+
+
+def _q_stats_acf_daily(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the per-type daily event counts
+    (calendar-day pairing, exact integer moment sums); the oracle
+    replays the day+k self-joins and the closed-form correlation."""
+    from ferenda_spark.operators.events import acf_daily
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    return acf_daily(ev, max_lag=7).orderBy("event_type", "lag")
+
+
+def _q_stats_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend of the per-type daily counts (median
+    pairwise slope, Conover intercept, exact rank-picked medians);
+    the oracle replays the pair join and the two-middle-order-
+    statistic median."""
+    from ferenda_spark.operators.events import theil_sen_trend
+    ev = _read(spark, sf_dir, "events").select("event_type", "ts")
+    return theil_sen_trend(ev).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4277,6 +4316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_cusum": _q_stats_cusum,
         "text_zipf_fit": _q_text_zipf_fit,
         "text_heaps_law": _q_text_heaps_law,
+        "stats_ks_lengths": _q_stats_ks_lengths,
+        "stats_mann_whitney": _q_stats_mann_whitney,
+        "stats_acf_daily": _q_stats_acf_daily,
+        "stats_theil_sen": _q_stats_theil_sen,
     }
 
 
@@ -9445,4 +9488,187 @@ def oracle_sql() -> dict[str, str]:
                    nd.n_docs
             FROM fit f JOIN nd USING (source)
             ORDER BY f.source""",
+        # KS: merged ECDF over distinct-value counts; D kept as an
+        # integer cross-product until one final division; 20-term
+        # Kolmogorov series for the p-value
+        "stats_ks_lengths": """
+            WITH tagged AS (
+              SELECT n_chars AS v,
+                     CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                              END) AS BIGINT) AS c_a,
+                     CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                              END) AS BIGINT) AS c_b
+              FROM documents WHERE source IN ('src0', 'src1')
+              GROUP BY 1),
+            cdf AS (
+              SELECT SUM(c_a) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     SUM(c_b) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM tagged),
+            tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                           CAST(SUM(c_b) AS BIGINT) AS n_b
+                    FROM tagged),
+            dmax AS (
+              SELECT MAX(ABS(cum_a * n_b - cum_b * n_a)) AS d_num,
+                     MAX(n_a) AS n_a, MAX(n_b) AS n_b
+              FROM cdf CROSS JOIN tot),
+            lamt AS (
+              SELECT n_a, n_b,
+                     CAST(d_num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * n_b) AS d,
+                     (sqrt(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b))
+                      + 0.12
+                      + 0.11 / sqrt(CAST(n_a AS DOUBLE) * n_b
+                                    / (n_a + n_b)))
+                     * (CAST(d_num AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) * n_b)) AS lam
+              FROM dmax),
+            ps AS (
+              SELECT n_a, n_b, d, lam,
+                     SUM((CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                         * exp(-2.0 * k * k * lam * lam)) AS s
+              FROM lamt CROSS JOIN (SELECT CAST(range AS BIGINT) AS k
+                                    FROM range(1, 21))
+              GROUP BY 1, 2, 3, 4)
+            SELECT n_a, n_b, round(d, 6) AS ks_stat,
+                   round(lam, 6) AS ks_lambda,
+                   CASE WHEN lam < 0.2 THEN 1.0
+                        ELSE round(greatest(0.0,
+                                            least(1.0, 2.0 * s)), 6)
+                   END AS p_value
+            FROM ps""",
+        # MWU: midrank blocks over distinct-value counts; 2*R_a stays
+        # an exact BIGINT (c_a * (2*cum_before + t + 1))
+        "stats_mann_whitney": """
+            WITH tagged AS (
+              SELECT value AS v,
+                     CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                              ELSE 0 END) AS BIGINT) AS c_a,
+                     CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                              ELSE 0 END) AS BIGINT) AS c_b
+              FROM events WHERE event_type IN ('click', 'view')
+              GROUP BY 1),
+            blocks AS (
+              SELECT c_a, c_b, c_a + c_b AS t,
+                     COALESCE(SUM(c_a + c_b) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+              FROM tagged),
+            agg AS (
+              SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                     CAST(SUM(c_b) AS BIGINT) AS n_b,
+                     SUM(c_a * (2 * cum_before + t + 1)) AS r2_a,
+                     SUM(t * t * t - t) AS tie_sum
+              FROM blocks)
+            SELECT n_a, n_b,
+                   round(CAST(r2_a AS DOUBLE) / 2.0
+                         - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0, 6)
+                     AS u_a,
+                   round(CAST(r2_a AS DOUBLE) / 2.0, 6) AS r_a,
+                   CASE WHEN CAST(n_a AS DOUBLE) * n_b / 12.0
+                             * ((n_a + n_b + 1.0)
+                                - CAST(tie_sum AS DOUBLE)
+                                  / ((n_a + n_b)
+                                     * (n_a + n_b - 1.0))) > 0
+                   THEN round((CAST(r2_a AS DOUBLE) / 2.0
+                          - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0
+                          - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                         / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                                * ((n_a + n_b + 1.0)
+                                   - CAST(tie_sum AS DOUBLE)
+                                     / ((n_a + n_b)
+                                        * (n_a + n_b - 1.0)))), 6)
+                   END AS z
+            FROM agg""",
+        # ACF: calendar-day self-joins of the per-type daily series;
+        # Pearson over exact integer moment sums
+        "stats_acf_daily": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            ks AS (SELECT CAST(range AS INTEGER) AS lag
+                   FROM range(1, 8)),
+            pairs AS (
+              SELECT a.event_type, ks.lag, a.n AS x, b.n AS y
+              FROM daily a CROSS JOIN ks
+              JOIN daily b ON b.event_type = a.event_type
+                          AND b.day = a.day + ks.lag),
+            agg AS (
+              SELECT event_type, lag,
+                     CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM pairs GROUP BY 1, 2)
+            SELECT event_type, lag, n_pairs,
+                   CASE WHEN sqrt(CAST(n_pairs * sxx - sx * sx
+                                       AS DOUBLE)
+                                  * CAST(n_pairs * syy - sy * sy
+                                         AS DOUBLE)) > 0
+                        THEN round(CAST(n_pairs * sxy - sx * sy
+                                        AS DOUBLE)
+                          / sqrt(CAST(n_pairs * sxx - sx * sx
+                                      AS DOUBLE)
+                                 * CAST(n_pairs * syy - sy * sy
+                                        AS DOUBLE)), 6)
+                   END AS r
+            FROM agg ORDER BY event_type, lag""",
+        # Theil-Sen: O(days^2) pair join on the daily aggregate,
+        # slopes rounded BEFORE the rank-picked exact median
+        "stats_theil_sen": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                          AS BIGINT) AS d,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY event_type, CAST(ts AS DATE)),
+            pairs AS (
+              SELECT a.event_type,
+                     round(CAST(b.n - a.n AS DOUBLE) / (b.d - a.d), 6)
+                       AS slope
+              FROM daily a JOIN daily b
+                ON b.event_type = a.event_type AND b.d > a.d),
+            ms AS (
+              SELECT event_type, AVG(slope) AS sen_slope,
+                     CAST(MAX(_c) AS BIGINT) AS n_pairs
+              FROM (SELECT event_type, slope,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY slope) AS _r,
+                           COUNT(*) OVER (PARTITION BY event_type)
+                             AS _c
+                    FROM pairs) t
+              WHERE _r = CAST(floor((_c + 1) / 2.0) AS BIGINT)
+                 OR _r = CAST(ceil((_c + 1) / 2.0) AS BIGINT)
+              GROUP BY 1),
+            md AS (
+              SELECT event_type, AVG(dv) AS med_d,
+                     CAST(MAX(_c) AS BIGINT) AS n_days
+              FROM (SELECT event_type, CAST(d AS DOUBLE) AS dv,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY CAST(d AS DOUBLE)) AS _r,
+                           COUNT(*) OVER (PARTITION BY event_type)
+                             AS _c
+                    FROM daily) t
+              WHERE _r = CAST(floor((_c + 1) / 2.0) AS BIGINT)
+                 OR _r = CAST(ceil((_c + 1) / 2.0) AS BIGINT)
+              GROUP BY 1),
+            mn AS (
+              SELECT event_type, AVG(nv) AS med_n
+              FROM (SELECT event_type, CAST(n AS DOUBLE) AS nv,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY CAST(n AS DOUBLE)) AS _r,
+                           COUNT(*) OVER (PARTITION BY event_type)
+                             AS _c
+                    FROM daily) t
+              WHERE _r = CAST(floor((_c + 1) / 2.0) AS BIGINT)
+                 OR _r = CAST(ceil((_c + 1) / 2.0) AS BIGINT)
+              GROUP BY 1)
+            SELECT ms.event_type, md.n_days, ms.n_pairs,
+                   round(ms.sen_slope, 6) AS sen_slope,
+                   round(mn.med_n - ms.sen_slope * md.med_d, 6)
+                     AS intercept
+            FROM ms JOIN md USING (event_type)
+                    JOIN mn USING (event_type)
+            ORDER BY ms.event_type""",
     }

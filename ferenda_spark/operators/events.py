@@ -254,3 +254,128 @@ def cusum_alarms(events: DataFrame, ts_col: str = "ts",
         F.round(s_neg, round_to).alias("cusum_neg"),
         (s_pos > h).alias("alarm_up"),
         (s_neg > h).alias("alarm_down"))
+
+
+def _daily_counts(events: DataFrame, ts_col: str,
+                  type_col: str) -> DataFrame:
+    return (events.groupBy(F.col(type_col).alias("event_type"),
+                           F.to_date(ts_col).alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def acf_daily(events: DataFrame, ts_col: str = "ts",
+              type_col: str = "event_type", max_lag: int = 7,
+              round_to: int = 6) -> DataFrame:
+    """Lag-k autocorrelation of the per-type daily count series for
+    k = 1..max_lag, as the Pearson correlation over the (x_t, x_{t+k})
+    overlap pairs (the 'lagged Pearson' ACF variant — declared, since
+    the global-mean variant mixes overlap and margin terms).  Rhythm
+    detector: r_7 >> r_1 flags weekly seasonality, negative r_1 flags
+    alternation — the input signal for recrawl scheduling.
+
+    Scale shape: daily counts = one groupBy (map-side combined); each
+    lag is a CALENDAR-day equi-join of the per-type day series with
+    itself (day + k = day', so missing days pair with nothing — the
+    row-offset lag() variant silently skips gaps), each join on a
+    dimension-sized frame (years of days per type, never
+    corpus-sized); the correlation is a closed-form aggregate over
+    EXACT integer moment sums — one double expression at the end,
+    bit-stable across engines.
+
+    Returns (event_type, lag, n_pairs, r)."""
+    daily = _daily_counts(events, ts_col, type_col)
+    outs = []
+    for k in range(1, max_lag + 1):
+        head = daily.select("event_type",
+                            F.date_add("day", k).alias("jday"),
+                            F.col("n").alias("x"))
+        tail = daily.select("event_type", F.col("day").alias("jday"),
+                            F.col("n").alias("y"))
+        pairs = head.join(tail, ["event_type", "jday"])
+        x, y = F.col("x"), F.col("y")
+        agg = (pairs.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                    F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                    F.sum(x * y).alias("sxy"),
+                    F.sum(x * x).alias("sxx"),
+                    F.sum(y * y).alias("syy")))
+        c = F.col("n_pairs")
+        num = (c * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        den = F.sqrt((c * F.col("sxx") - F.col("sx") * F.col("sx"))
+                     .cast("double")
+                     * (c * F.col("syy") - F.col("sy") * F.col("sy"))
+                     .cast("double"))
+        outs.append(agg.select(
+            "event_type", F.lit(k).cast("int").alias("lag"), "n_pairs",
+            F.when(den > 0, F.round(num / den, round_to))
+            .alias("r")))  # NULL r for zero-variance (constant) series
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def theil_sen_trend(events: DataFrame, ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    round_to: int = 6) -> DataFrame:
+    """Theil-Sen robust trend of the per-type daily count series:
+    slope = median over all day pairs i<j of (n_j - n_i)/(d_j - d_i),
+    intercept = median(n) - slope * median(d) (Conover's form), with
+    exact medians (mean of the two middle order statistics when the
+    count is even).  Breakdown point 29% — one corrupted crawl day
+    cannot fake a traffic trend the way it drags an OLS line.
+
+    Scale shape: the O(d^2) pair join runs on the per-type DAILY
+    aggregate (d = #days, so years of data is ~10^5 pairs per type,
+    bounded and partition-local after one shuffle on event_type);
+    medians are rank-picked with row_number windows over the same
+    dimension-sized frames.  Slopes are rounded to ``round_to``
+    BEFORE the median pick so both engines rank identical doubles.
+
+    Returns (event_type, n_days, n_pairs, sen_slope, intercept)."""
+    daily = (_daily_counts(events, ts_col, type_col)
+             .select("event_type",
+                     F.datediff("day", F.lit("1970-01-01"))
+                     .cast("long").alias("d"), "n"))
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("n").alias("n1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("n").alias("n2"))
+    pairs = (a.join(b, "event_type")
+             .where(F.col("d2") > F.col("d1"))
+             .select("event_type",
+                     F.round((F.col("n2") - F.col("n1")).cast("double")
+                             / (F.col("d2") - F.col("d1")).cast("double"),
+                             round_to).alias("slope")))
+
+    def _median(df, part, val):
+        w = Window.partitionBy(part).orderBy(val)
+        cnt = Window.partitionBy(part)
+        r = F.row_number().over(w)
+        c = F.count(F.lit(1)).over(cnt)
+        # the two middle order statistics: floor/ceil of (c+1)/2
+        return (df.withColumn("_r", r).withColumn("_c", c)
+                .where((F.col("_r") == F.floor((F.col("_c") + 1) / 2))
+                       | (F.col("_r") == F.ceil((F.col("_c") + 1) / 2)))
+                .groupBy(part)
+                .agg(F.avg(val).alias("med"),
+                     F.max("_c").cast("long").alias("cnt")))
+
+    med_slope = (_median(pairs, "event_type", "slope")
+                 .select("event_type", F.col("med").alias("sen_slope"),
+                         F.col("cnt").alias("n_pairs")))
+    med_d = (_median(daily.select("event_type",
+                                  F.col("d").cast("double").alias("dv")),
+                     "event_type", "dv")
+             .select("event_type", F.col("med").alias("med_d"),
+                     F.col("cnt").alias("n_days")))
+    med_n = (_median(daily.select("event_type",
+                                  F.col("n").cast("double").alias("nv")),
+                     "event_type", "nv")
+             .select("event_type", F.col("med").alias("med_n")))
+    return (med_slope.join(med_d, "event_type").join(med_n, "event_type")
+            .select("event_type", "n_days", "n_pairs",
+                    F.round("sen_slope", round_to).alias("sen_slope"),
+                    F.round(F.col("med_n")
+                            - F.col("sen_slope") * F.col("med_d"),
+                            round_to).alias("intercept")))

@@ -390,3 +390,123 @@ def infer_types(triples: DataFrame, subj_col: str = "subj",
             .select(F.col("e").alias("entity"),
                     F.col("cls").alias("inferred_cls"),
                     "score_micro", "n_preds"))
+
+
+def ks_two_sample(values: DataFrame, group_col: str, value_col: str,
+                  group_a: str, group_b: str,
+                  round_to: int = 6) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the ``value_col``
+    distributions of two groups: D = sup_x |F_a(x) - F_b(x)| over the
+    merged empirical CDFs, with the asymptotic two-sided p-value from
+    the Kolmogorov distribution, P = 2 * sum_k (-1)^{k-1}
+    exp(-2 k^2 lambda^2) truncated at 20 terms (Stephens' small-sample
+    lambda correction, as in scipy's asymp mode).  The standard
+    distribution-drift gate next to :func:`psi_drift` — PSI needs
+    binning, KS does not.
+
+    Scale shape: ONE groupBy collapses the corpus to per-distinct-
+    value counts (the merged ECDF only changes at observed values);
+    the running CDFs are a single unpartitioned window over that
+    DISTINCT-VALUE aggregate — dimension-sized (bounded by the value
+    domain, e.g. document lengths), never corpus-sized.  The p-value
+    is a closed-form column expression; nothing iterates.
+
+    Returns ONE row (n_a, n_b, ks_stat, ks_lambda, p_value)."""
+    from pyspark.sql import Window
+    g = F.col(group_col)
+    tagged = (values.where(g.isin([group_a, group_b]))
+              .select(F.when(g == group_a, 1).otherwise(0).alias("in_a"),
+                      F.col(value_col).alias("v"))
+              .groupBy("v")
+              .agg(F.sum("in_a").cast("long").alias("c_a"),
+                   F.sum(F.lit(1) - F.col("in_a")).cast("long")
+                   .alias("c_b")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = tagged.select(
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"))
+    # two-pass: totals first (exact longs), then D from integer
+    # cross-products so no double division happens inside the max
+    totals = tagged.agg(F.sum("c_a").alias("n_a"),
+                        F.sum("c_b").alias("n_b"))
+    d_int = (cdf.crossJoin(F.broadcast(totals))
+             .agg(F.max(F.abs(F.col("cum_a") * F.col("n_b")
+                              - F.col("cum_b") * F.col("n_a")))
+                  .alias("d_num"),
+                  F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b")))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    d = F.col("d_num").cast("double") / (na * nb)
+    ne = na * nb / (na + nb)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    p = F.lit(0.0)
+    for k in range(1, 21):
+        term = F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        p = p + (term if k % 2 == 1 else -term)
+    # the alternating series needs ~1/lam terms; below lam = 0.2 the
+    # true survival is 1 to >10 digits (and the 20-term cut is exact
+    # above it: term 20 = exp(-32) at lam = 0.2), so pin p = 1 there
+    p = F.when(lam < F.lit(0.2), F.lit(1.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(2.0) * p)))
+    return d_int.select(
+        "n_a", "n_b",
+        F.round(d, round_to).alias("ks_stat"),
+        F.round(lam, round_to).alias("ks_lambda"),
+        F.round(p, round_to).alias("p_value"))
+
+
+def mann_whitney(values: DataFrame, group_col: str, value_col: str,
+                 group_a: str, group_b: str,
+                 round_to: int = 6) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) with midrank tie
+    handling and the tie-corrected normal approximation:
+    U_a = R_a - n_a(n_a+1)/2 where R_a is the sum of midranks of
+    group a in the pooled ranking; z = (U_a - n_a n_b / 2) / sigma
+    with sigma^2 = (n_a n_b / 12) * (N + 1 - sum(t^3 - t)/(N(N-1))).
+    The non-parametric complement of the KS gate: KS sees shape
+    drift, MWU sees location shift.
+
+    Scale shape: identical to :func:`ks_two_sample` — one groupBy to
+    per-distinct-value counts, midranks from a running count over the
+    distinct-value aggregate (midrank of a tie block = cum_before +
+    (t+1)/2), then one global aggregate.  R_a stays in EXACT integer
+    arithmetic (2*R_a = sum over blocks of c_a * (2*cum_before + t +
+    1)) so both engines fold identical longs; only z is a double.
+
+    Returns ONE row (n_a, n_b, u_a, r_a, z)."""
+    from pyspark.sql import Window
+    g = F.col(group_col)
+    tagged = (values.where(g.isin([group_a, group_b]))
+              .select(F.when(g == group_a, 1).otherwise(0).alias("in_a"),
+                      F.col(value_col).alias("v"))
+              .groupBy("v")
+              .agg(F.sum("in_a").cast("long").alias("c_a"),
+                   F.sum(F.lit(1) - F.col("in_a")).cast("long")
+                   .alias("c_b")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = F.col("c_a") + F.col("c_b")
+    blocks = tagged.select(
+        "c_a", "c_b", t.alias("t"),
+        F.coalesce(F.sum(F.col("c_a") + F.col("c_b")).over(w),
+                   F.lit(0)).alias("cum_before"))
+    agg = blocks.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"),
+        F.sum(F.col("c_a")
+              * (F.lit(2) * F.col("cum_before") + F.col("t") + F.lit(1)))
+        .alias("r2_a"),                       # = 2 * R_a, exact long
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tie_sum"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    r_a = F.col("r2_a").cast("double") / F.lit(2.0)
+    u_a = r_a - na * (na + F.lit(1.0)) / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)
+           * ((n + F.lit(1.0))
+              - F.col("tie_sum").cast("double") / (n * (n - F.lit(1.0)))))
+    # NULL z when every pooled value ties (var = 0)
+    z = F.when(var > 0, (u_a - na * nb / F.lit(2.0)) / F.sqrt(var))
+    return agg.select(
+        "n_a", "n_b",
+        F.round(u_a, round_to).alias("u_a"),
+        F.round(r_a, round_to).alias("r_a"),
+        F.round(z, round_to).alias("z"))

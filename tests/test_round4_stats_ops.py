@@ -252,3 +252,122 @@ def test_heaps_fit_matches_python_replay(spark):
     assert r.slope == pytest.approx(slope, abs=1e-6)
     assert r.intercept == pytest.approx(intercept, abs=1e-6)
     assert r.r2 == pytest.approx(r2, abs=1e-6)
+
+
+# ------------------------------------------------- KS / MWU / ACF / Sen
+
+def test_ks_two_sample_matches_python_ecdf(spark):
+    from ferenda_spark.operators.quality import ks_two_sample
+    a = [1, 2, 2, 3, 5, 8, 9]
+    b = [2, 3, 3, 4, 4, 6, 10, 11]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    xs = sorted(set(a) | set(b))
+    d = max(abs(sum(1 for v in a if v <= x) / len(a)
+                - sum(1 for v in b if v <= x) / len(b)) for x in xs)
+    assert r.n_a == len(a) and r.n_b == len(b)
+    assert r.ks_stat == pytest.approx(d, abs=1e-6)
+    ne = len(a) * len(b) / (len(a) + len(b))
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+                for k in range(1, 21))
+    assert r.p_value == pytest.approx(max(0.0, min(1.0, p)), abs=1e-6)
+
+
+def test_ks_identical_samples_is_zero(spark):
+    from ferenda_spark.operators.quality import ks_two_sample
+    rows = [("a", v) for v in [1, 2, 3]] + [("b", v) for v in [1, 2, 3]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert r.ks_stat == 0.0
+    assert r.p_value == 1.0
+
+
+def test_mann_whitney_midranks_and_z(spark):
+    from ferenda_spark.operators.quality import mann_whitney
+    a = [1.0, 2.0, 2.0, 4.0]
+    b = [2.0, 3.0, 5.0, 6.0, 7.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+    # pooled midranks: 1->1, 2,2,2->3, 3->5, 4->6, 5->7, 6->8, 7->9
+    r_a = 1 + 3 + 3 + 6
+    assert r.r_a == pytest.approx(r_a)
+    u_a = r_a - 4 * 5 / 2
+    assert r.u_a == pytest.approx(u_a)
+    n = 9.0
+    tie = 3 ** 3 - 3
+    var = 4 * 5 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u_a - 4 * 5 / 2.0) / math.sqrt(var)
+    assert r.z == pytest.approx(z, abs=1e-6)
+
+
+def test_acf_daily_matches_numpy(spark):
+    import numpy as np
+    from ferenda_spark.operators.events import acf_daily
+    counts = [5, 8, 5, 9, 4, 8, 6, 9, 5, 7, 5, 10, 4, 9]
+    rows = [("t", "2024-01-%02d 02:00:00" % (d + 1))
+            for d, n in enumerate(counts) for _ in range(n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
+        .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.lag: r for r in acf_daily(ev, max_lag=3).collect()}
+    x = np.array(counts, dtype=float)
+    for k in range(1, 4):
+        r_np = np.corrcoef(x[:-k], x[k:])[0, 1]
+        assert out[k].n_pairs == len(counts) - k
+        assert out[k].r == pytest.approx(r_np, abs=1e-6)
+    # alternating series: strong negative lag-1, positive lag-2
+    assert out[1].r < -0.5 and out[2].r > 0.5
+
+
+def test_acf_calendar_gaps_drop_pairs(spark):
+    from ferenda_spark.operators.events import acf_daily
+    # days 1,2,4,5 — lag-1 pairs only (1,2) and (4,5)
+    rows = [("t", "2024-01-%02d 02:00:00" % d) for d in (1, 2, 4, 5)
+            for _ in range(3)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
+        .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {r.lag: r for r in acf_daily(ev, max_lag=2).collect()}
+    assert out[1].n_pairs == 2  # (1,2) and (4,5)
+    assert out[2].n_pairs == 1  # only (2,4); days 3,6,7 absent
+    # constant series -> zero variance -> NULL r, not a crash
+    assert out[1].r is None and out[2].r is None
+
+
+def test_theil_sen_exact_linear_trend(spark):
+    from ferenda_spark.operators.events import theil_sen_trend
+    # counts 3,5,7,...: slope exactly 2/day, immune to one outlier day
+    counts = [3 + 2 * d for d in range(10)]
+    counts[4] = 50  # outlier
+    rows = [("t", "2024-01-%02d 02:00:00" % (d + 1))
+            for d, n in enumerate(counts) for _ in range(n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
+        .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = theil_sen_trend(ev).collect()[0]
+    assert r.n_days == 10
+    assert r.n_pairs == 45
+    assert r.sen_slope == pytest.approx(2.0, abs=1e-6)
+
+
+def test_theil_sen_matches_python_replay(spark):
+    from ferenda_spark.operators.events import theil_sen_trend
+    counts = [7, 3, 9, 4, 12, 5, 6]
+    rows = [("t", "2024-02-%02d 02:00:00" % (d + 1))
+            for d, n in enumerate(counts) for _ in range(n)]
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
+        .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    r = theil_sen_trend(ev).collect()[0]
+    slopes = sorted(round((counts[j] - counts[i]) / (j - i), 6)
+                    for i in range(7) for j in range(i + 1, 7))
+
+    def med(vals):
+        c = len(vals)
+        mid = sorted(vals)[(c - 1) // 2:(c + 2) // 2]
+        return sum(mid) / len(mid)
+
+    assert r.sen_slope == pytest.approx(med(slopes), abs=1e-6)
+    days = [19754 + d for d in range(7)]  # 2024-02-01 epoch day
+    want_icpt = med([float(c) for c in counts]) \
+        - med(slopes) * med([float(d) for d in days])
+    assert r.intercept == pytest.approx(want_icpt, abs=1e-4)
