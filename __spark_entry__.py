@@ -4063,6 +4063,40 @@ def _q_stats_theil_sen(spark, sf_dir):
     return theil_sen_trend(ev).orderBy("event_type")
 
 
+def _q_kg_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round label-propagation partition
+    over the planted two-community graph (same structure as
+    kg_label_prop); the oracle unrolls the same 4 rounds and replays
+    the exact-integer e_c / D_c / m counters."""
+    from ferenda_spark.operators.graphs import (label_propagation,
+                                                modularity)
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(0, 2))
+             .unionByName(_e(2, 5)).unionByName(_e(5, 6))
+             .unionByName(_e(6, 7)).unionByName(_e(5, 7)))
+    comms = label_propagation(edges, rounds=4)
+    return modularity(edges, comms).orderBy("community")
+
+
+def _q_text_textrank(spark, sf_dir):
+    """TextRank keywords over the REAL documents (window-2 weighted
+    co-occurrence graph per language, 3 synchronous weighted-PageRank
+    rounds, per-round 9-decimal re-rounding); the oracle replays the
+    position joins and unrolls the same 3 rounds."""
+    from ferenda_spark.operators.textstats import textrank_keywords
+    d = _read(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "text")
+    return (textrank_keywords(d, window=2, iters=3, top_k=10)
+            .orderBy("lang", "rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4320,6 +4354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_mann_whitney": _q_stats_mann_whitney,
         "stats_acf_daily": _q_stats_acf_daily,
         "stats_theil_sen": _q_stats_theil_sen,
+        "kg_modularity": _q_kg_modularity,
+        "text_textrank": _q_text_textrank,
     }
 
 
@@ -9671,4 +9707,151 @@ def oracle_sql() -> dict[str, str]:
             FROM ms JOIN md USING (event_type)
                     JOIN mn USING (event_type)
             ORDER BY ms.event_type""",
+        # modularity of the 4-round label-prop partition: unrolled
+        # rounds, then exact-integer e_c / D_c / m counters
+        "kg_modularity": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e0 AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b + 1, b + 2 FROM blk
+              UNION ALL SELECT b, b + 2 FROM blk
+              UNION ALL SELECT b + 2, b + 5 FROM blk
+              UNION ALL SELECT b + 5, b + 6 FROM blk
+              UNION ALL SELECT b + 6, b + 7 FROM blk
+              UNION ALL SELECT b + 5, b + 7 FROM blk),
+            und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+            l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+            c1 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l0 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l1 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c1) t WHERE c = mx GROUP BY node),
+            c2 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l1 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l2 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c2) t WHERE c = mx GROUP BY node),
+            c3 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l2 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l3 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c3) t WHERE c = mx GROUP BY node),
+            c4 AS (SELECT und.u AS node, l.lbl, COUNT(*) AS c
+                   FROM und JOIN l3 l ON und.v = l.node
+                   GROUP BY und.u, l.lbl),
+            l4 AS (SELECT node, MIN(lbl) AS lbl FROM
+                    (SELECT node, lbl, c,
+                            MAX(c) OVER (PARTITION BY node) AS mx
+                     FROM c4) t WHERE c = mx GROUP BY node),
+            und2 AS (SELECT DISTINCT least(u, v) AS u,
+                            greatest(u, v) AS v
+                     FROM e0 WHERE u <> v),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und2),
+            deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+                    (SELECT u AS n FROM und2
+                     UNION ALL SELECT v FROM und2) GROUP BY 1),
+            dc AS (SELECT l4.lbl AS community,
+                          CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                          CAST(SUM(deg.d) AS BIGINT) AS deg_sum
+                   FROM deg JOIN l4 ON l4.node = deg.n GROUP BY 1),
+            ec AS (SELECT a.lbl AS community,
+                          CAST(COUNT(*) AS BIGINT) AS e_intra
+                   FROM und2 JOIN l4 a ON a.node = und2.u
+                             JOIN l4 b ON b.node = und2.v
+                   WHERE a.lbl = b.lbl GROUP BY 1)
+            SELECT dc.community, dc.n_nodes, dc.deg_sum,
+                   CAST(COALESCE(ec.e_intra, 0) AS BIGINT) AS e_intra,
+                   round(CAST(COALESCE(ec.e_intra, 0) AS DOUBLE)
+                           / mm.m
+                         - (CAST(dc.deg_sum AS DOUBLE)
+                            / (2.0 * mm.m))
+                           * (CAST(dc.deg_sum AS DOUBLE)
+                              / (2.0 * mm.m)), 6) AS q_contrib
+            FROM dc LEFT JOIN ec USING (community) CROSS JOIN mm
+            ORDER BY dc.community""",
+        # TextRank: window-2 weighted co-occurrence graph, 3 unrolled
+        # weighted-PageRank rounds with per-round 9-decimal rounding
+        "text_textrank": r"""
+            WITH toks AS (
+              SELECT lang, doc_id, pos, tok FROM (
+                SELECT lang, doc_id,
+                       generate_subscripts(arr, 1) AS pos,
+                       unnest(arr) AS tok
+                FROM (SELECT lang, doc_id,
+                             string_split_regex(lower(trim(text)),
+                               '[ \t\n\r\f\x0B]+') AS arr
+                      FROM documents))
+              WHERE length(tok) > 0),
+            prs AS (
+              SELECT a.lang, a.tok AS t1, b.tok AS t2
+              FROM toks a JOIN toks b
+                ON b.lang = a.lang AND b.doc_id = a.doc_id
+               AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)
+              WHERE a.tok <> b.tok),
+            und AS MATERIALIZED (
+              SELECT lang, least(t1, t2) AS u, greatest(t1, t2) AS v,
+                     CAST(COUNT(*) AS BIGINT) AS w
+              FROM prs GROUP BY 1, 2, 3),
+            sym AS MATERIALIZED (
+              SELECT lang, u AS src, v AS dst, w FROM und
+              UNION ALL SELECT lang, v, u, w FROM und),
+            outw AS MATERIALIZED (
+              SELECT lang, src, CAST(SUM(w) AS BIGINT) AS ow
+              FROM sym GROUP BY 1, 2),
+            ce AS MATERIALIZED (
+              SELECT sym.lang, sym.src, sym.dst,
+                     CAST(sym.w AS DOUBLE) / outw.ow AS p
+              FROM sym JOIN outw ON outw.lang = sym.lang
+                               AND outw.src = sym.src),
+            s0 AS MATERIALIZED (
+              SELECT DISTINCT lang, src AS tok, 1.0 AS s FROM sym),
+            i1 AS MATERIALIZED (
+              SELECT ce.lang, ce.dst AS tok,
+                     round(SUM(ce.p * s0.s), 9) AS inc
+              FROM ce JOIN s0 ON s0.lang = ce.lang
+                             AND s0.tok = ce.src
+              GROUP BY 1, 2),
+            s1 AS MATERIALIZED (
+              SELECT s0.lang, s0.tok,
+                     round(0.15000000000000002
+                           + 0.85 * COALESCE(i1.inc, 0.0), 9) AS s
+              FROM s0 LEFT JOIN i1 ON i1.lang = s0.lang
+                                  AND i1.tok = s0.tok),
+            i2 AS MATERIALIZED (
+              SELECT ce.lang, ce.dst AS tok,
+                     round(SUM(ce.p * s1.s), 9) AS inc
+              FROM ce JOIN s1 ON s1.lang = ce.lang
+                             AND s1.tok = ce.src
+              GROUP BY 1, 2),
+            s2 AS MATERIALIZED (
+              SELECT s1.lang, s1.tok,
+                     round(0.15000000000000002
+                           + 0.85 * COALESCE(i2.inc, 0.0), 9) AS s
+              FROM s1 LEFT JOIN i2 ON i2.lang = s1.lang
+                                  AND i2.tok = s1.tok),
+            i3 AS MATERIALIZED (
+              SELECT ce.lang, ce.dst AS tok,
+                     round(SUM(ce.p * s2.s), 9) AS inc
+              FROM ce JOIN s2 ON s2.lang = ce.lang
+                             AND s2.tok = ce.src
+              GROUP BY 1, 2),
+            s3 AS MATERIALIZED (
+              SELECT s2.lang, s2.tok,
+                     round(0.15000000000000002
+                           + 0.85 * COALESCE(i3.inc, 0.0), 9) AS s
+              FROM s2 LEFT JOIN i3 ON i3.lang = s2.lang
+                                  AND i3.tok = s2.tok)
+            SELECT lang, tok AS token, rank, round(s, 6) AS score
+            FROM (SELECT lang, tok, s,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY s DESC, tok) AS rank
+                  FROM s3) t
+            WHERE rank <= 10 ORDER BY lang, rank""",
     }

@@ -655,3 +655,92 @@ def heaps_fit(documents: DataFrame, round_to: int = 6) -> DataFrame:
     n_docs = (per_doc.groupBy("source")
               .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
     return _ols_fit(pts, ["source"], round_to).join(n_docs, "source")
+
+
+def textrank_keywords(documents: DataFrame, window: int = 2,
+                      iters: int = 3, damping: float = 0.85,
+                      top_k: int = 10, round_to: int = 6) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) per
+    language: build the word co-occurrence graph (tokens within
+    ``window`` positions of each other, edge weight = co-occurrence
+    count across the corpus), then run ``iters`` synchronous rounds
+    of the WEIGHTED PageRank recurrence WS(i) = (1-d) + d *
+    sum_j (w_ji / outW_j) * WS(j) from WS = 1, and keep each
+    language's top_k tokens by (score desc, token) — the graph-based
+    complement to the frequency-based RAKE/TF-IDF extractors (scores
+    flow through co-occurrence structure, so a mid-frequency token
+    wired to hubs outranks a frequent but isolated one).
+
+    Scale shape: the co-occurrence build is `window` self-equi-joins
+    of the (doc, pos, token) stream on (doc, pos+k) — position-local,
+    no cross-document pairs — collapsed immediately by ONE groupBy
+    into the vocabulary-sized weighted edge list; every iteration is
+    one join + one groupBy on that dimension-sized list (never
+    corpus-sized).  Scores are re-rounded to 9 decimals each round so
+    the replay folds identical doubles regardless of engine
+    aggregation order.
+
+    Returns (lang, token, rank, score)."""
+    toks = (documents
+            .select("lang",
+                    F.col("doc_id"),
+                    F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "tok"))
+            .where(F.length("tok") > 0))
+    sides = []
+    for k in range(1, window + 1):
+        a = toks.select("lang", "doc_id",
+                        (F.col("pos") + k).alias("jpos"),
+                        F.col("tok").alias("t1"))
+        b = toks.select("lang", "doc_id", F.col("pos").alias("jpos"),
+                        F.col("tok").alias("t2"))
+        sides.append(a.join(b, ["lang", "doc_id", "jpos"])
+                     .where(F.col("t1") != F.col("t2"))
+                     .select("lang", "t1", "t2"))
+    pairs = sides[0]
+    for s in sides[1:]:
+        pairs = pairs.unionByName(s)
+    und = (pairs.select("lang",
+                        F.least("t1", "t2").alias("u"),
+                        F.greatest("t1", "t2").alias("v"))
+           .groupBy("lang", "u", "v")
+           .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    # symmetric directed view + out-weights, materialized once: the
+    # iteration re-reads both every round
+    sym = (und.select("lang", F.col("u").alias("src"),
+                      F.col("v").alias("dst"), "w")
+           .unionByName(und.select("lang", F.col("v").alias("src"),
+                                   F.col("u").alias("dst"), "w"))
+           .localCheckpoint())
+    outw = (sym.groupBy("lang", "src")
+            .agg(F.sum("w").cast("long").alias("ow")))
+    contrib_edges = (sym.join(outw, ["lang", "src"])
+                     .select("lang", "src", "dst",
+                             (F.col("w").cast("double")
+                              / F.col("ow").cast("double"))
+                             .alias("p"))
+                     .localCheckpoint())
+    scores = (sym.select("lang", F.col("src").alias("tok")).distinct()
+              .withColumn("s", F.lit(1.0)))
+    for _ in range(iters):
+        inc = (contrib_edges
+               .join(scores.select("lang",
+                                   F.col("tok").alias("src"),
+                                   "s"), ["lang", "src"])
+               .groupBy("lang", F.col("dst").alias("tok"))
+               .agg(F.round(F.sum(F.col("p") * F.col("s")), 9)
+                    .alias("inc")))
+        scores = (scores.drop("s").join(inc, ["lang", "tok"], "left")
+                  .select("lang", "tok",
+                          F.round(F.lit(1.0 - damping)
+                                  + F.lit(damping)
+                                  * F.coalesce("inc", F.lit(0.0)), 9)
+                          .alias("s"))
+                  .localCheckpoint())
+    w_rank = Window.partitionBy("lang").orderBy(F.col("s").desc(),
+                                                "tok")
+    return (scores.withColumn("rank",
+                              F.row_number().over(w_rank).cast("long"))
+            .where(F.col("rank") <= int(top_k))
+            .select("lang", F.col("tok").alias("token"), "rank",
+                    F.round("s", round_to).alias("score")))

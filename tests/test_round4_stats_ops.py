@@ -371,3 +371,87 @@ def test_theil_sen_matches_python_replay(spark):
     want_icpt = med([float(c) for c in counts]) \
         - med(slopes) * med([float(d) for d in days])
     assert r.intercept == pytest.approx(want_icpt, abs=1e-4)
+
+
+# ----------------------------------------------- modularity / TextRank
+
+def test_modularity_two_cliques_bridge(spark):
+    """Two triangles joined by a bridge, communities = the triangles:
+    m=7, each community has e_c=3, D_c=7 -> Q = 2*(3/7 - (7/14)^2)
+    = 2*(3/7 - 1/4) = 5/14."""
+    from ferenda_spark.operators.graphs import modularity
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+        "doc_a long, doc_b long")
+    comms = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "b")],
+        "node long, label string")
+    out = {r.community: r for r in modularity(edges, comms).collect()}
+    for c in ("a", "b"):
+        assert out[c].n_nodes == 3
+        assert out[c].e_intra == 3
+        assert out[c].deg_sum == 7
+        assert out[c].q_contrib == pytest.approx(3 / 7 - 0.25, abs=1e-6)
+    assert sum(r.q_contrib for r in out.values()) == pytest.approx(
+        5 / 14, abs=1e-5)
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All nodes in one community: Q = m/m - (2m/2m)^2 = 0."""
+    from ferenda_spark.operators.graphs import modularity
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long")
+    comms = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "node long, label string")
+    r = modularity(edges, comms).collect()[0]
+    assert r.q_contrib == pytest.approx(0.0, abs=1e-9)
+
+
+def test_textrank_matches_python_replay(spark):
+    from ferenda_spark.operators.textstats import textrank_keywords
+    docs = [(1, "en", "spark graph rank graph spark rank word"),
+            (2, "en", "rank word spark word")]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {r.token: r for r in
+           textrank_keywords(df, window=2, iters=3, top_k=10).collect()}
+
+    # python replay: window-2 co-occurrence counts
+    from collections import Counter, defaultdict
+    w = Counter()
+    for _, _, text in docs:
+        ts = text.split()
+        for i in range(len(ts)):
+            for k in (1, 2):
+                if i + k < len(ts) and ts[i] != ts[i + k]:
+                    e = tuple(sorted((ts[i], ts[i + k])))
+                    w[e] += 1
+    nbrs = defaultdict(dict)
+    for (u, v), c in w.items():
+        nbrs[u][v] = c
+        nbrs[v][u] = c
+    ow = {n: sum(d.values()) for n, d in nbrs.items()}
+    s = {n: 1.0 for n in nbrs}
+    for _ in range(3):
+        inc = {n: round(sum(nbrs[j][n] / ow[j] * s[j]
+                            for j in nbrs[n]), 9) for n in nbrs}
+        s = {n: round(0.15000000000000002 + 0.85 * inc[n], 9)
+             for n in nbrs}
+    for n, v in s.items():
+        assert got[n].score == pytest.approx(round(v, 6), abs=1e-6), n
+    # ranks follow (score desc, token)
+    order = sorted(s, key=lambda n: (-s[n], n))
+    for i, n in enumerate(order, 1):
+        assert got[n].rank == i
+
+
+def test_textrank_hub_outranks_isolated_frequent_token(spark):
+    """A token wired into the graph core must outrank one that only
+    ever repeats next to a single partner."""
+    from ferenda_spark.operators.textstats import textrank_keywords
+    text = ("hub alpha hub beta hub gamma hub delta "
+            + "loner pair " * 6)
+    df = spark.createDataFrame([(1, "en", text)],
+                               "doc_id long, lang string, text string")
+    got = {r.token: r.score for r in
+           textrank_keywords(df, top_k=20).collect()}
+    assert got["hub"] > got["loner"]
