@@ -4097,6 +4097,36 @@ def _q_text_textrank(spark, sf_dir):
             .orderBy("lang", "rank"))
 
 
+def _q_kg_wl_colors(spark, sf_dir):
+    """1-WL color refinement over the planted triangle+chain+edge
+    blocks (structural node fingerprints: triangle corners, chain
+    links, pendant and isolated-edge endpoints all separate); the
+    oracle unrolls the same 3 md5-of-sorted-neighbor-colors rounds."""
+    from ferenda_spark.operators.graphs import wl_colors
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(0, 2))
+             .unionByName(_e(2, 3)).unionByName(_e(3, 4))
+             .unionByName(_e(4, 5)).unionByName(_e(6, 7)))
+    return wl_colors(edges, rounds=3).orderBy("node")
+
+
+def _q_stats_chi2_lang_source(spark, sf_dir):
+    """Chi-square independence of lang x source over the REAL
+    documents (closed form from observed cells only, integer
+    marginals) with Cramér's V; the oracle replays the contingency
+    cells and the N*(sum O^2/(R*C) - 1) identity."""
+    from ferenda_spark.operators.quality import chi2_independence
+    d = _read(spark, sf_dir, "documents").select("lang", "source")
+    return chi2_independence(d, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4356,6 +4386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_theil_sen": _q_stats_theil_sen,
         "kg_modularity": _q_kg_modularity,
         "text_textrank": _q_text_textrank,
+        "kg_wl_colors": _q_kg_wl_colors,
+        "stats_chi2_lang_source": _q_stats_chi2_lang_source,
     }
 
 
@@ -9854,4 +9886,74 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY s DESC, tok) AS rank
                   FROM s3) t
             WHERE rank <= 10 ORDER BY lang, rank""",
+        # 1-WL: degree init, 3 unrolled md5(own|sorted-neighbors)
+        # rounds over the planted triangle+chain+edge blocks
+        "kg_wl_colors": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            e0 AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b + 1, b + 2 FROM blk
+              UNION ALL SELECT b, b + 2 FROM blk
+              UNION ALL SELECT b + 2, b + 3 FROM blk
+              UNION ALL SELECT b + 3, b + 4 FROM blk
+              UNION ALL SELECT b + 4, b + 5 FROM blk
+              UNION ALL SELECT b + 6, b + 7 FROM blk),
+            und AS (SELECT DISTINCT least(u, v) AS u,
+                           greatest(u, v) AS v
+                    FROM e0 WHERE u <> v),
+            sym AS (SELECT u AS a, v AS b FROM und
+                    UNION ALL SELECT v, u FROM und),
+            c0 AS (SELECT a AS node, CAST(COUNT(*) AS VARCHAR) AS c
+                   FROM sym GROUP BY 1),
+            n1 AS (SELECT sym.a AS node,
+                          array_to_string(list_sort(list(c0.c)), ',')
+                            AS ns
+                   FROM sym JOIN c0 ON c0.node = sym.b GROUP BY 1),
+            c1 AS (SELECT c0.node, md5(c0.c || '|' || n1.ns) AS c
+                   FROM c0 JOIN n1 USING (node)),
+            n2 AS (SELECT sym.a AS node,
+                          array_to_string(list_sort(list(c1.c)), ',')
+                            AS ns
+                   FROM sym JOIN c1 ON c1.node = sym.b GROUP BY 1),
+            c2 AS (SELECT c1.node, md5(c1.c || '|' || n2.ns) AS c
+                   FROM c1 JOIN n2 USING (node)),
+            n3 AS (SELECT sym.a AS node,
+                          array_to_string(list_sort(list(c2.c)), ',')
+                            AS ns
+                   FROM sym JOIN c2 ON c2.node = sym.b GROUP BY 1),
+            c3 AS (SELECT c2.node, md5(c2.c || '|' || n3.ns) AS c
+                   FROM c2 JOIN n3 USING (node))
+            SELECT node, c AS wl_color FROM c3 ORDER BY node""",
+        # chi2 from observed cells only: N * (sum O^2/(R*C) - 1),
+        # integer marginals, t rounded at 12 before the -1
+        "stats_chi2_lang_source": """
+            WITH cells AS (
+              SELECT lang AS a, source AS b,
+                     CAST(COUNT(*) AS BIGINT) AS o
+              FROM documents GROUP BY 1, 2),
+            ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra
+                   FROM cells GROUP BY 1),
+            cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb
+                   FROM cells GROUP BY 1),
+            j AS (SELECT o, CAST(o AS DOUBLE) * o
+                            / (CAST(ra AS DOUBLE) * cb) AS term
+                  FROM cells JOIN ra USING (a) JOIN cb USING (b)),
+            agg AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS n_cells,
+                           SUM(term) AS t
+                    FROM j),
+            dims AS (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+                            CAST(COUNT(DISTINCT b) AS BIGINT) AS nc
+                     FROM cells)
+            SELECT n, nr AS n_rows, nc AS n_cols,
+                   (nr - 1) * (nc - 1) AS dof,
+                   round(CAST(n AS DOUBLE)
+                         * (round(t, 12) - 1.0), 6) AS chi2,
+                   round(sqrt(greatest(0.0,
+                         CAST(n AS DOUBLE) * (round(t, 12) - 1.0)
+                         / (CAST(n AS DOUBLE)
+                            * least(nr - 1, nc - 1)))), 6)
+                     AS cramers_v
+            FROM agg CROSS JOIN dims""",
     }

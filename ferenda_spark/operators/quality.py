@@ -510,3 +510,48 @@ def mann_whitney(values: DataFrame, group_col: str, value_col: str,
         F.round(u_a, round_to).alias("u_a"),
         F.round(r_a, round_to).alias("r_a"),
         F.round(z, round_to).alias("z"))
+
+
+def chi2_independence(rows: DataFrame, col_a: str, col_b: str,
+                      round_to: int = 6) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns, with Cramér's V effect size.  Uses the
+    closed form chi2 = N * (sum_cells O_ij^2 / (R_i * C_j) - 1),
+    which needs only the OBSERVED cells (absent cells contribute
+    exactly their expected count, which the -1 term absorbs) and
+    keeps everything integer until one final double expression.
+    The corpus-balance gate: is language independent of source, or
+    does one crawl feed one language?
+
+    Scale shape: one groupBy for the contingency cells, two
+    dimension-sized marginal aggregates joined back to the cells
+    (broadcast — marginals are #categories rows), one scalar
+    aggregate.  No pivot, no driver-side matrix.
+
+    Returns ONE row (n, n_rows, n_cols, dof, chi2, cramers_v)."""
+    cells = (rows.groupBy(F.col(col_a).alias("a"),
+                          F.col(col_b).alias("b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("o")))
+    ra = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").alias("cb"))
+    j = (cells.join(F.broadcast(ra), "a").join(F.broadcast(cb), "b")
+         .select("o", "ra", "cb",
+                 (F.col("o").cast("double") * F.col("o")
+                  / (F.col("ra").cast("double") * F.col("cb")))
+                 .alias("term")))
+    agg = j.agg(F.sum("o").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.sum("term").alias("t"))
+    nr = cells.select("a").distinct().count()
+    nc = cells.select("b").distinct().count()
+    dof = (nr - 1) * (nc - 1)
+    nd = F.col("n").cast("double")
+    chi2 = nd * (F.round(F.col("t"), 12) - F.lit(1.0))
+    mind = float(min(nr - 1, nc - 1)) or 1.0
+    v = F.sqrt(F.greatest(F.lit(0.0), chi2 / (nd * F.lit(mind))))
+    return agg.select(
+        "n", F.lit(nr).cast("long").alias("n_rows"),
+        F.lit(nc).cast("long").alias("n_cols"),
+        F.lit(int(dof)).cast("long").alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"))

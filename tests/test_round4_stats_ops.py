@@ -455,3 +455,61 @@ def test_textrank_hub_outranks_isolated_frequent_token(spark):
     got = {r.token: r.score for r in
            textrank_keywords(df, top_k=20).collect()}
     assert got["hub"] > got["loner"]
+
+
+# ------------------------------------------------------ WL / chi-square
+
+def test_wl_colors_separate_structural_roles(spark):
+    """Triangle (0,1,2) + pendant chain 2-3-4-5 + isolated edge 6-7:
+    after 3 rounds, symmetric nodes share colors and distinct roles
+    differ."""
+    from ferenda_spark.operators.graphs import wl_colors
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (6, 7)],
+        "doc_a long, doc_b long")
+    c = {r.node: r.wl_color for r in wl_colors(edges, rounds=3).collect()}
+    assert len(c) == 8
+    # 0 and 1 are interchangeable triangle corners; 6 and 7 likewise
+    assert c[0] == c[1]
+    assert c[6] == c[7]
+    # 2 (triangle corner wired to the chain) differs from 0/1
+    assert c[2] != c[0]
+    # chain positions all distinct from each other and the triangle
+    assert len({c[2], c[3], c[4], c[5]}) == 4
+    # isolated-edge endpoints differ from the pendant leaf (5) even
+    # though both have degree 1 (WL refines past raw degree)
+    assert c[6] != c[5]
+
+
+def test_wl_colors_isomorphic_components_match(spark):
+    from ferenda_spark.operators.graphs import wl_colors
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long")
+    c = {r.node: r.wl_color for r in wl_colors(edges, rounds=3).collect()}
+    assert len(set(c.values())) == 1  # two triangles: all same role
+
+
+def test_chi2_independence_matches_textbook(spark):
+    """2x2 table [[10, 20], [20, 10]]: chi2 = N*(ad-bc)^2 /
+    (R1*R2*C1*C2) = 60*(100-400)^2/(30*30*30*30) = 20/3."""
+    from ferenda_spark.operators.quality import chi2_independence
+    rows = ([("x", "p")] * 10 + [("x", "q")] * 20
+            + [("y", "p")] * 20 + [("y", "q")] * 10)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.n == 60 and r.n_rows == 2 and r.n_cols == 2 and r.dof == 1
+    assert r.chi2 == pytest.approx(60 * 300 ** 2 / 30 ** 4, abs=1e-6)
+    assert r.cramers_v == pytest.approx(
+        math.sqrt(60 * 300 ** 2 / 30 ** 4 / 60), abs=1e-6)
+
+
+def test_chi2_independent_columns_near_zero(spark):
+    """Perfectly proportional table -> chi2 exactly 0."""
+    from ferenda_spark.operators.quality import chi2_independence
+    rows = ([("x", "p")] * 6 + [("x", "q")] * 12
+            + [("y", "p")] * 3 + [("y", "q")] * 6)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+    assert r.cramers_v == pytest.approx(0.0, abs=1e-6)
