@@ -4127,6 +4127,29 @@ def _q_stats_chi2_lang_source(spark, sf_dir):
     return chi2_independence(d, "lang", "source")
 
 
+def _q_kg_betweenness(spark, sf_dir):
+    """Exact Brandes betweenness over the planted triangle+chain+edge
+    blocks (all nodes as sources; components are 8 nodes, so exact is
+    sane).  The oracle is the CLOSED-FORM truth of the block
+    structure — per offset: bridge corners 2 and 3 carry 6 pair
+    dependencies each, chain link 4 carries 4, everything else 0
+    (networkx betweenness_centrality(normalized=False) parity,
+    asserted in tests)."""
+    from ferenda_spark.operators.graphs import betweenness
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(0, 2))
+             .unionByName(_e(2, 3)).unionByName(_e(3, 4))
+             .unionByName(_e(4, 5)).unionByName(_e(6, 7)))
+    return betweenness(edges).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4388,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": _q_text_textrank,
         "kg_wl_colors": _q_kg_wl_colors,
         "stats_chi2_lang_source": _q_stats_chi2_lang_source,
+        "kg_betweenness": _q_kg_betweenness,
     }
 
 
@@ -9956,4 +9980,16 @@ def oracle_sql() -> dict[str, str]:
                             * least(nr - 1, nc - 1)))), 6)
                      AS cramers_v
             FROM agg CROSS JOIN dims""",
+        # Brandes betweenness: closed-form truth of the planted block
+        # (triangle 0-1-2, chain 2-3-4-5, isolated edge 6-7) — the
+        # bridge corners carry 6 pair dependencies, the chain link 4
+        "kg_betweenness": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            truth(o, val) AS (VALUES
+              (0, 0.0), (1, 0.0), (2, 6.0), (3, 6.0),
+              (4, 4.0), (5, 0.0), (6, 0.0), (7, 0.0))
+            SELECT blk.b + truth.o AS node, truth.val AS betweenness
+            FROM blk CROSS JOIN truth
+            ORDER BY node""",
     }

@@ -513,3 +513,51 @@ def test_chi2_independent_columns_near_zero(spark):
     r = chi2_independence(df, "a", "b").collect()[0]
     assert r.chi2 == pytest.approx(0.0, abs=1e-6)
     assert r.cramers_v == pytest.approx(0.0, abs=1e-6)
+
+
+# ---------------------------------------------------------- betweenness
+
+def test_betweenness_matches_networkx(spark):
+    import networkx as nx
+    from ferenda_spark.operators.graphs import betweenness
+    es = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (6, 7)]
+    edges = spark.createDataFrame(es, "doc_a long, doc_b long")
+    got = {r.node: r.betweenness for r in betweenness(edges).collect()}
+    want = nx.betweenness_centrality(nx.Graph(es), normalized=False)
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-6), n
+
+
+def test_betweenness_star_and_multipath(spark):
+    import networkx as nx
+    from ferenda_spark.operators.graphs import betweenness
+    # star (hub 0) + a 4-cycle (two equal shortest paths split sigma)
+    es = [(0, 1), (0, 2), (0, 3), (10, 11), (11, 12), (12, 13), (13, 10)]
+    edges = spark.createDataFrame(es, "doc_a long, doc_b long")
+    got = {r.node: r.betweenness for r in betweenness(edges).collect()}
+    want = nx.betweenness_centrality(nx.Graph(es), normalized=False)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-6), n
+    assert got[0] == pytest.approx(3.0)   # hub of K1,3: C(3,2) pairs
+    assert got[10] == pytest.approx(0.5)  # cycle: half a pair each
+
+
+def test_betweenness_sampled_sources_subset_sum(spark):
+    from ferenda_spark.operators.graphs import betweenness
+    # path 0-1-2-3: with only source 0, delta_0(1)=2, delta_0(2)=1
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    got = {r.node: r.betweenness
+           for r in betweenness(edges, sources=[0]).collect()}
+    assert got[1] == pytest.approx(1.0)  # 2/2
+    assert got[2] == pytest.approx(0.5)  # 1/2
+    assert got[0] == 0.0 and got[3] == 0.0
+
+
+def test_betweenness_round_budget_guard(spark):
+    from ferenda_spark.operators.graphs import betweenness
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="BFS rounds"):
+        betweenness(edges, max_rounds=3).collect()
