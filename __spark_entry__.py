@@ -4150,6 +4150,18 @@ def _q_kg_betweenness(spark, sf_dir):
     return betweenness(edges).orderBy("node")
 
 
+def _q_sim_maxsim_topk(spark, sf_dir):
+    """ColBERT-style MaxSim retrieval over the REAL documents with
+    md5-derived deterministic token vectors (query: spark/join/
+    filter); the oracle replays the vocabulary-sized cosine table and
+    the max-then-sum late interaction."""
+    from ferenda_spark.operators.similarity import maxsim_topk
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (maxsim_topk(d, ["spark", "join", "filter"],
+                        dim=8, top_k=20)
+            .orderBy("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4412,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_colors": _q_kg_wl_colors,
         "stats_chi2_lang_source": _q_stats_chi2_lang_source,
         "kg_betweenness": _q_kg_betweenness,
+        "sim_maxsim_topk": _q_sim_maxsim_topk,
     }
 
 
@@ -9992,4 +10005,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT blk.b + truth.o AS node, truth.val AS betweenness
             FROM blk CROSS JOIN truth
             ORDER BY node""",
+        # MaxSim: md5-derived token vectors as (tok, k, c) rows;
+        # cosines on the vocabulary, max per (doc, query token), sum
+        "sim_maxsim_topk": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                         '[ \t\n\r\f\x0B]+')) AS tok
+                FROM documents) WHERE length(tok) > 0),
+            vocab AS (SELECT DISTINCT tok FROM toks),
+            ks AS (SELECT CAST(range AS INTEGER) AS k
+                   FROM range(0, 8)),
+            vcomp AS (
+              SELECT tok, k,
+                     CAST(CAST(('0x' || substr(md5(tok || ':' || k),
+                                               1, 8)) AS BIGINT)
+                          % 2001 - 1000 AS DOUBLE) / 1000.0 AS c
+              FROM vocab CROSS JOIN ks),
+            vnorm AS (SELECT tok, sqrt(SUM(c * c)) AS nt
+                      FROM vcomp GROUP BY tok),
+            q(qt) AS (VALUES ('spark'), ('join'), ('filter')),
+            qcomp AS (
+              SELECT qt, k,
+                     CAST(CAST(('0x' || substr(md5(qt || ':' || k),
+                                               1, 8)) AS BIGINT)
+                          % 2001 - 1000 AS DOUBLE) / 1000.0 AS cq
+              FROM q CROSS JOIN ks),
+            qnorm AS (SELECT qt, sqrt(SUM(cq * cq)) AS nq
+                      FROM qcomp GROUP BY qt),
+            cos AS (
+              SELECT d.tok, d.qt,
+                     round(d.dot / (vnorm.nt * qnorm.nq), 9) AS cos
+              FROM (SELECT vcomp.tok, qcomp.qt,
+                           SUM(vcomp.c * qcomp.cq) AS dot
+                    FROM vcomp JOIN qcomp USING (k)
+                    GROUP BY 1, 2) d
+              JOIN vnorm USING (tok) JOIN qnorm USING (qt)),
+            best AS (
+              SELECT toks.doc_id, cos.qt, MAX(cos.cos) AS best
+              FROM toks JOIN cos USING (tok)
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT doc_id, round(SUM(best), 6) AS maxsim
+              FROM best GROUP BY 1)
+            SELECT doc_id, rank, maxsim FROM (
+              SELECT doc_id, maxsim,
+                     ROW_NUMBER() OVER (ORDER BY maxsim DESC, doc_id)
+                       AS rank
+              FROM scored) t
+            WHERE rank <= 20 ORDER BY rank""",
     }

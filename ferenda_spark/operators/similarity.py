@@ -638,3 +638,81 @@ def pq_topk(embeddings: DataFrame, query_ids: list[int], k_nn: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k_nn)
             .select("query_id", "vec_id", "rank", "adc_dist"))
+
+
+def _hash_component(tok_col, k_col):
+    """Deterministic fake embedding component in [-1, 1]: the first 8
+    md5 hex digits of "tok:k" as an int, mapped to (h % 2001 - 1000)
+    / 1000 — md5 is identical in Spark, DuckDB and Python, so every
+    engine (and the driver oracle) reproduces the same vectors.  A
+    real deployment swaps this for a stored token-embedding table;
+    every downstream join/aggregate is unchanged."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", tok_col, k_col.cast("string"))),
+        1, 8), 16, 10).cast("long")
+    return ((h % 2001 - 1000).cast("double") / F.lit(1000.0))
+
+
+def maxsim_topk(documents: DataFrame, query_tokens: list,
+                dim: int = 8, top_k: int = 20,
+                round_to: int = 6) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): score(q, d) = sum over query tokens of the MAX
+    cosine between that token's vector and any of d's token vectors —
+    the multi-vector relevance model that beats single-vector dual
+    encoders because each query term independently finds its best
+    match in the document.
+
+    Scale shape — the key trick is that token-level similarity only
+    depends on the VOCABULARY, not the corpus: cosines are computed
+    once per (distinct token, query token) on a vocabulary-sized
+    frame (|V| x |Q|, never |docs| x tokens^2), then distributed to
+    documents by one equi-join on the token and collapsed with two
+    groupBys (max per (doc, query token), sum per doc).  Components
+    live as (token, k, c) rows so dot products and norms are plain
+    grouped sums — no UDFs, no arrays, whole-stage codegen
+    throughout.  At 100 TB the doc-token join is the only
+    corpus-sized stage, and it carries two longs + a double.
+
+    Returns (doc_id, rank, maxsim) — top_k docs by (score desc,
+    doc_id)."""
+    from .dedup import tokens as _tokens
+    spark = documents.sparkSession
+    toks = (documents
+            .select("doc_id",
+                    F.explode(_tokens(F.col("text"))).alias("tok"))
+            .where(F.length("tok") > 0)
+            .distinct())
+    vocab = toks.select("tok").distinct()
+    ks = spark.range(dim).select(F.col("id").cast("int").alias("k"))
+    vcomp = (vocab.crossJoin(F.broadcast(ks))
+             .select("tok", "k",
+                     _hash_component(F.col("tok"), F.col("k"))
+                     .alias("c")))
+    vnorm = (vcomp.groupBy("tok")
+             .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nt")))
+    q = spark.createDataFrame([(t,) for t in query_tokens],
+                              "qt string")
+    qcomp = (q.crossJoin(F.broadcast(ks))
+             .select("qt", "k",
+                     _hash_component(F.col("qt"), F.col("k"))
+                     .alias("cq")))
+    qnorm = (qcomp.groupBy("qt")
+             .agg(F.sqrt(F.sum(F.col("cq") * F.col("cq"))).alias("nq")))
+    cos = (vcomp.join(F.broadcast(qcomp), "k")
+           .groupBy("tok", "qt")
+           .agg(F.sum(F.col("c") * F.col("cq")).alias("dot"))
+           .join(vnorm, "tok").join(F.broadcast(qnorm), "qt")
+           .select("tok", "qt",
+                   F.round(F.col("dot") / (F.col("nt") * F.col("nq")),
+                           9).alias("cos")))
+    best = (toks.join(cos, "tok")
+            .groupBy("doc_id", "qt")
+            .agg(F.max("cos").alias("best")))
+    scored = (best.groupBy("doc_id")
+              .agg(F.round(F.sum("best"), round_to).alias("maxsim")))
+    w = Window.orderBy(F.col("maxsim").desc(), "doc_id")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= int(top_k))
+            .select("doc_id", "rank", "maxsim"))

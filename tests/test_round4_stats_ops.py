@@ -561,3 +561,46 @@ def test_betweenness_round_budget_guard(spark):
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="BFS rounds"):
         betweenness(edges, max_rounds=3).collect()
+
+
+# --------------------------------------------------------------- MaxSim
+
+def test_maxsim_matches_python_replay(spark):
+    import hashlib
+    from ferenda_spark.operators.similarity import maxsim_topk
+    docs = [(1, "alpha beta gamma"), (2, "alpha delta"),
+            (3, "epsilon zeta eta theta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    qts = ["alpha", "zeta"]
+    got = {r.doc_id: r for r in
+           maxsim_topk(df, qts, dim=8, top_k=10).collect()}
+
+    def vec(tok):
+        return [((int(hashlib.md5(("%s:%d" % (tok, k)).encode())
+                      .hexdigest()[:8], 16) % 2001) - 1000) / 1000.0
+                for k in range(8)]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 9)
+
+    for doc_id, text in docs:
+        want = round(sum(max(cos(vec(t), vec(q)) for t in text.split())
+                         for q in qts), 6)
+        assert got[doc_id].maxsim == pytest.approx(want, abs=1e-6)
+
+
+def test_maxsim_rank_order_and_topk(spark):
+    from ferenda_spark.operators.similarity import maxsim_topk
+    df = spark.createDataFrame(
+        [(i, "tok%d filler" % i) for i in range(30)],
+        "doc_id long, text string")
+    out = maxsim_topk(df, ["tok5"], dim=8, top_k=5).collect()
+    assert len(out) == 5
+    assert out[0].rank == 1
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert ranked[0].doc_id == 5  # contains the query token verbatim
+    assert all(ranked[i].maxsim >= ranked[i + 1].maxsim
+               for i in range(4))
