@@ -4162,6 +4162,36 @@ def _q_sim_maxsim_topk(spark, sf_dir):
             .orderBy("rank"))
 
 
+def _q_kg_ktruss(spark, sf_dir):
+    """3-truss of the planted triangle+chain+edge blocks: only the
+    triangle's three edges survive the support-peeling fixpoint (each
+    supported by exactly one triangle); chains and the isolated edge
+    vanish.  The oracle is the closed-form truth (networkx
+    k_truss(G, 3) parity, asserted in tests)."""
+    from ferenda_spark.operators.graphs import ktruss
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(0, 2))
+             .unionByName(_e(2, 3)).unionByName(_e(3, 4))
+             .unionByName(_e(4, 5)).unionByName(_e(6, 7)))
+    return ktruss(edges, k=3).orderBy("node_a", "node_b")
+
+
+def _q_text_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between src0's and src1's token
+    unigram distributions over the REAL documents; the oracle replays
+    the tagged token counts and the termwise p/2*lg(p/m) sum."""
+    from ferenda_spark.operators.textstats import js_divergence
+    d = _read(spark, sf_dir, "documents").select("source", "text")
+    return js_divergence(d, "source", "src0", "src1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4425,6 +4455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_chi2_lang_source": _q_stats_chi2_lang_source,
         "kg_betweenness": _q_kg_betweenness,
         "sim_maxsim_topk": _q_sim_maxsim_topk,
+        "kg_ktruss": _q_kg_ktruss,
+        "text_js_divergence": _q_text_js_divergence,
     }
 
 
@@ -10055,4 +10087,54 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored) t
             WHERE rank <= 20 ORDER BY rank""",
+        # 3-truss closed form: only the planted triangle's edges
+        # survive support peeling, each with support 1
+        "kg_ktruss": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            truth(i, j, s) AS (VALUES (0, 1, 1), (0, 2, 1), (1, 2, 1))
+            SELECT blk.b + truth.i AS node_a,
+                   blk.b + truth.j AS node_b,
+                   CAST(truth.s AS BIGINT) AS support
+            FROM blk CROSS JOIN truth
+            ORDER BY node_a, node_b""",
+        # JSD: tagged token counts, termwise p/2*lg(p/m) + q/2*lg(q/m)
+        "text_js_divergence": r"""
+            WITH tagged AS (
+              SELECT tok,
+                     CAST(SUM(CASE WHEN src = 'src0' THEN 1 ELSE 0
+                              END) AS BIGINT) AS c_a,
+                     CAST(SUM(CASE WHEN src = 'src1' THEN 1 ELSE 0
+                              END) AS BIGINT) AS c_b
+              FROM (SELECT source AS src,
+                           unnest(string_split_regex(lower(trim(text)),
+                             '[ \t\n\r\f\x0B]+')) AS tok
+                    FROM documents WHERE source IN ('src0', 'src1'))
+              WHERE length(tok) > 0 GROUP BY 1),
+            tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b
+                    FROM tagged),
+            terms AS (
+              SELECT c_a, c_b,
+                     CAST(c_a AS DOUBLE) / n_a AS p,
+                     CAST(c_b AS DOUBLE) / n_b AS q,
+                     n_a, n_b
+              FROM tagged CROSS JOIN tot)
+            SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN c_a > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab_a,
+                   CAST(SUM(CASE WHEN c_b > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS vocab_b,
+                   CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1
+                            ELSE 0 END) AS BIGINT) AS vocab_shared,
+                   round(SUM(
+                     (CASE WHEN c_a > 0
+                           THEN p / 2 * ln(p / ((p + q) / 2.0))
+                                / ln(2.0)
+                           ELSE 0.0 END)
+                     + (CASE WHEN c_b > 0
+                             THEN q / 2 * ln(q / ((p + q) / 2.0))
+                                  / ln(2.0)
+                             ELSE 0.0 END)), 6) AS jsd
+            FROM terms""",
     }

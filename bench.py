@@ -141,6 +141,13 @@ HEADLINE = [
     "clean_compression_ratio", "kg_inverse_rules",
     "search_rocchio", "kg_type_inference", "events_bot_signals",
     "crawl_rel_canonical", "clean_lang_outliers",
+    # r4 session 8: PQ/MaxSim retrieval, FS linkage, stats gates,
+    # power-law fits, graph structure (WL/modularity/betweenness)
+    "sim_pq_topk", "sim_maxsim_topk", "kg_fs_linkage",
+    "stats_cusum", "stats_ks_lengths", "stats_mann_whitney",
+    "stats_acf_daily", "stats_theil_sen", "stats_chi2_lang_source",
+    "text_zipf_fit", "text_heaps_law", "text_textrank",
+    "kg_modularity", "kg_wl_colors", "kg_betweenness",
 ]
 
 

@@ -1701,3 +1701,79 @@ def betweenness(edges: DataFrame, sources: list | None = None,
     return (nodes.join(bc, "node", "left")
             .select("node", F.coalesce("betweenness", F.lit(0.0))
                     .alias("betweenness")))
+
+
+def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 32,
+           src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """k-truss decomposition (Cohen 2008): iteratively delete every
+    edge supported by fewer than k-2 triangles until none remain —
+    the EDGE analogue of k-core, and a much stronger cohesion filter
+    (a 3-truss keeps only edges that close at least one triangle, so
+    chains and stars vanish entirely).  KG use: keep only
+    mutually-corroborated sameAs/dup edges before transitive closure,
+    where one spurious bridge edge would glue two entities.
+
+    Scale shape: each round recomputes edge support with the same
+    degree-oriented wedge join as :func:`triangle_counts` (fan-out
+    bounded O(sqrt(|E|)) per node) and filters — one join + one
+    groupBy + one anti-ish filter per round, edge set shrinks
+    monotonically, ``max_rounds`` guards pathological cascades
+    (peeling cascades longer than ~log scale are rare in web graphs;
+    the guard mirrors the property-path budget).
+
+    Returns the surviving edges (node_a, node_b, support) with
+    node_a < node_b."""
+    cur = _normalize_undirected(edges, src, dst)
+    need = int(k) - 2
+    for _ in range(max_rounds):
+        deg = _degrees(cur)
+        e = (cur.join(deg.select(F.col("n").alias("u"),
+                                 F.col("d").alias("du")), "u")
+             .join(deg.select(F.col("n").alias("v"),
+                              F.col("d").alias("dv")), "v"))
+        ru = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+        rv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+        o = e.select(
+            F.when(ru < rv, F.col("u")).otherwise(F.col("v"))
+            .alias("lo"),
+            F.when(ru < rv, F.col("v")).otherwise(F.col("u"))
+            .alias("hi"),
+            F.when(ru < rv, rv).otherwise(ru).alias("rhi"))
+        x, y = o.alias("x"), o.alias("y")
+        wedges = (x.join(y, (F.col("x.lo") == F.col("y.lo"))
+                         & (F.col("x.rhi") < F.col("y.rhi")))
+                  .select(F.col("x.lo").alias("apex"),
+                          F.col("x.hi").alias("p"),
+                          F.col("y.hi").alias("q")))
+        closing = o.select(F.col("lo").alias("p"),
+                           F.col("hi").alias("q"))
+        tri = wedges.join(closing, ["p", "q"])
+        # each triangle supports its three edges once
+        sup_edges = tri.select(
+            F.explode(F.array(
+                F.struct(F.least("apex", "p").alias("u"),
+                         F.greatest("apex", "p").alias("v")),
+                F.struct(F.least("apex", "q").alias("u"),
+                         F.greatest("apex", "q").alias("v")),
+                F.struct(F.least("p", "q").alias("u"),
+                         F.greatest("p", "q").alias("v"))))
+            .alias("e")).select("e.u", "e.v")
+        support = sup_edges.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("support"))
+        nxt = (cur.join(support, ["u", "v"], "left")
+               .select("u", "v", F.coalesce("support", F.lit(0))
+                       .cast("long").alias("support"))
+               .where(F.col("support") >= need)
+               .localCheckpoint())
+        n_cur = cur.count()
+        n_nxt = nxt.count()
+        cur = nxt.select("u", "v")
+        if n_nxt == n_cur:
+            return nxt.select(F.col("u").alias("node_a"),
+                              F.col("v").alias("node_b"), "support")
+        if n_nxt == 0:
+            return nxt.select(F.col("u").alias("node_a"),
+                              F.col("v").alias("node_b"), "support")
+    raise RuntimeError(
+        "ktruss exceeded %d peel rounds (cascade over budget)"
+        % max_rounds)

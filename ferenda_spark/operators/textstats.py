@@ -744,3 +744,58 @@ def textrank_keywords(documents: DataFrame, window: int = 2,
             .where(F.col("rank") <= int(top_k))
             .select("lang", F.col("tok").alias("token"), "rank",
                     F.round("s", round_to).alias("score")))
+
+
+def js_divergence(documents: DataFrame, group_col: str,
+                  group_a: str, group_b: str,
+                  text_col: str = "text",
+                  round_to: int = 6) -> DataFrame:
+    """Jensen-Shannon divergence (base 2) between the token unigram
+    distributions of two corpus slices: JSD(P||Q) = H(M) - (H(P) +
+    H(Q))/2 with M = (P+Q)/2, computed termwise as sum_t [p/2 *
+    lg(p/m) + q/2 * lg(q/m)] — bounded in [0, 1], symmetric, and
+    DEFINED when a token appears on only one side (the zero side's
+    term is 0), which is exactly why corpus-drift monitoring uses JSD
+    where KL would blow up.  Complements the PSI gate (binned scores)
+    and the KS gate (numeric columns) with a vocabulary-distribution
+    gate.
+
+    Scale shape: two token-count groupBys collapsed to ONE by
+    tagging, a full-outer-shaped per-token frame via groupBy on the
+    token (vocabulary-sized), exact integer counts until the one
+    log-expression per token, one final scalar aggregate rounded.
+
+    Returns ONE row (n_a, n_b, vocab_a, vocab_b, vocab_shared,
+    jsd)."""
+    from .dedup import tokens as _tokens
+    g = F.col(group_col)
+    tagged = (documents.where(g.isin([group_a, group_b]))
+              .select(F.when(g == group_a, 1).otherwise(0)
+                      .alias("in_a"),
+                      F.explode(_tokens(F.col(text_col))).alias("tok"))
+              .where(F.length("tok") > 0)
+              .groupBy("tok")
+              .agg(F.sum("in_a").cast("long").alias("c_a"),
+                   F.sum(F.lit(1) - F.col("in_a")).cast("long")
+                   .alias("c_b")))
+    tot = tagged.agg(F.sum("c_a").alias("n_a"),
+                     F.sum("c_b").alias("n_b"))
+    j = tagged.crossJoin(F.broadcast(tot))
+    p = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    q = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    m = (p + q) / F.lit(2.0)
+    lg2 = F.log(F.lit(2.0))
+    term = (F.when(F.col("c_a") > 0,
+                   p / 2 * F.log(p / m) / lg2).otherwise(F.lit(0.0))
+            + F.when(F.col("c_b") > 0,
+                     q / 2 * F.log(q / m) / lg2).otherwise(F.lit(0.0)))
+    return (j.agg(F.max("n_a").alias("n_a"),
+                  F.max("n_b").alias("n_b"),
+                  F.sum((F.col("c_a") > 0).cast("long"))
+                  .cast("long").alias("vocab_a"),
+                  F.sum((F.col("c_b") > 0).cast("long"))
+                  .cast("long").alias("vocab_b"),
+                  F.sum(((F.col("c_a") > 0) & (F.col("c_b") > 0))
+                        .cast("long")).cast("long")
+                  .alias("vocab_shared"),
+                  F.round(F.sum(term), round_to).alias("jsd")))

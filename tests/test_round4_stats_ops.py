@@ -604,3 +604,71 @@ def test_maxsim_rank_order_and_topk(spark):
     assert ranked[0].doc_id == 5  # contains the query token verbatim
     assert all(ranked[i].maxsim >= ranked[i + 1].maxsim
                for i in range(4))
+
+
+# ------------------------------------------------------- k-truss / JSD
+
+def test_ktruss_matches_networkx(spark):
+    import networkx as nx
+    from ferenda_spark.operators.graphs import ktruss
+    es = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (6, 7),
+          # a K4 whose edges each close two triangles
+          (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    edges = spark.createDataFrame(es, "doc_a long, doc_b long")
+    for k in (3, 4):
+        got = {(r.node_a, r.node_b)
+               for r in ktruss(edges, k=k).collect()}
+        want = {tuple(sorted(e))
+                for e in nx.k_truss(nx.Graph(es), k).edges()}
+        assert got == want, k
+    # supports in the K4 are 2 (every edge closes two triangles)
+    sup = {(r.node_a, r.node_b): r.support
+           for r in ktruss(edges, k=4).collect()}
+    assert all(v == 2 for v in sup.values()) and len(sup) == 6
+
+
+def test_ktruss_cascade_peels_fully(spark):
+    """Removing the weakest edge of a triangle chain cascades: two
+    triangles sharing one vertex, plus a tail — 4-truss is empty."""
+    from ferenda_spark.operators.graphs import ktruss
+    es = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    edges = spark.createDataFrame(es, "doc_a long, doc_b long")
+    assert ktruss(edges, k=4).count() == 0
+    got = {(r.node_a, r.node_b) for r in ktruss(edges, k=3).collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)}
+
+
+def test_js_divergence_bounds_and_replay(spark):
+    from ferenda_spark.operators.textstats import js_divergence
+    docs = [("a", "x x y z"), ("b", "x y y w w")]
+    df = spark.createDataFrame(docs, "source string, text string")
+    r = js_divergence(df, "source", "a", "b").collect()[0]
+    # python replay
+    from collections import Counter
+    ca = Counter("x x y z".split())
+    cb = Counter("x y y w w".split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for t in set(ca) | set(cb):
+        p, q = ca[t] / na, cb[t] / nb
+        m = (p + q) / 2
+        if p > 0:
+            jsd += p / 2 * math.log2(p / m)
+        if q > 0:
+            jsd += q / 2 * math.log2(q / m)
+    assert r.n_a == 4 and r.n_b == 5
+    assert r.vocab_a == 3 and r.vocab_b == 3 and r.vocab_shared == 2
+    assert r.jsd == pytest.approx(jsd, abs=1e-6)
+    assert 0.0 <= r.jsd <= 1.0
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from ferenda_spark.operators.textstats import js_divergence
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "source string, text string")
+    assert js_divergence(same, "source", "a", "b") \
+        .collect()[0].jsd == pytest.approx(0.0, abs=1e-9)
+    disj = spark.createDataFrame(
+        [("a", "x y"), ("b", "w v")], "source string, text string")
+    assert js_divergence(disj, "source", "a", "b") \
+        .collect()[0].jsd == pytest.approx(1.0, abs=1e-9)
