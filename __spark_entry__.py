@@ -4192,6 +4192,27 @@ def _q_text_js_divergence(spark, sf_dir):
     return js_divergence(d, "source", "src0", "src1")
 
 
+def _q_text_yules_k(spark, sf_dir):
+    """Yule's characteristic K per language over the REAL documents
+    (repeat-rate vocabulary richness from exact S1/S2 long sums, with
+    type and hapax counts); the oracle replays the token counts and
+    the 10^4*(S2-S1)/S1^2 identity."""
+    from ferenda_spark.operators.textstats import yules_k
+    d = _read(spark, sf_dir, "documents").select("lang", "text")
+    return yules_k(d).orderBy("lang")
+
+
+def _q_stats_benford(spark, sf_dir):
+    """First-significant-digit distribution of positive event values
+    vs Benford's law (arithmetic digit extraction, nine-group
+    aggregate, absent digits kept at n=0); the oracle replays the
+    floor(v/10^floor(log10 v)) projection and the log10(1+1/d)
+    expectation."""
+    from ferenda_spark.operators.quality import benford_digits
+    ev = _read(spark, sf_dir, "events").select("value")
+    return benford_digits(ev, "value").orderBy("digit")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4457,6 +4478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_maxsim_topk": _q_sim_maxsim_topk,
         "kg_ktruss": _q_kg_ktruss,
         "text_js_divergence": _q_text_js_divergence,
+        "text_yules_k": _q_text_yules_k,
+        "stats_benford": _q_stats_benford,
     }
 
 
@@ -10137,4 +10160,47 @@ def oracle_sql() -> dict[str, str]:
                                   / ln(2.0)
                              ELSE 0.0 END)), 6) AS jsd
             FROM terms""",
+        # Yule's K: exact S1/S2 long sums per language
+        "text_yules_k": r"""
+            WITH counts AS (
+              SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT lang,
+                           unnest(string_split_regex(lower(trim(text)),
+                             '[ \t\n\r\f\x0B]+')) AS tok
+                    FROM documents)
+              WHERE length(tok) > 0 GROUP BY 1, 2),
+            agg AS (
+              SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_types,
+                     CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS hapax,
+                     SUM(c * c) AS s2
+              FROM counts GROUP BY 1)
+            SELECT lang, n_tokens, n_types, hapax,
+                   round(10000.0
+                         * (CAST(s2 AS DOUBLE) - n_tokens)
+                         / (CAST(n_tokens AS DOUBLE) * n_tokens), 6)
+                     AS yules_k
+            FROM agg ORDER BY lang""",
+        # Benford: arithmetic first-digit extraction, 9-group agg,
+        # absent digits kept via the digit dimension
+        "stats_benford": """
+            WITH got AS (
+              SELECT CAST(floor(value / pow(10.0, floor(log10(value))))
+                          AS INTEGER) AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events WHERE value > 0 GROUP BY 1),
+            digits AS (SELECT CAST(range AS INTEGER) AS digit
+                       FROM range(1, 10)),
+            tot AS (SELECT SUM(n) AS tot FROM got),
+            fil AS (SELECT digits.digit,
+                           CAST(COALESCE(got.n, 0) AS BIGINT) AS n
+                    FROM digits LEFT JOIN got USING (digit))
+            SELECT digit, n,
+                   round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                     AS frac,
+                   round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+                   round(abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                             - log10(1.0 + 1.0 / digit)), 6) AS diff
+            FROM fil CROSS JOIN tot ORDER BY digit""",
     }

@@ -148,6 +148,8 @@ HEADLINE = [
     "stats_acf_daily", "stats_theil_sen", "stats_chi2_lang_source",
     "text_zipf_fit", "text_heaps_law", "text_textrank",
     "kg_modularity", "kg_wl_colors", "kg_betweenness",
+    "kg_ktruss", "text_js_divergence", "text_yules_k",
+    "stats_benford",
 ]
 
 

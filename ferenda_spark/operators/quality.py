@@ -555,3 +555,42 @@ def chi2_independence(rows: DataFrame, col_a: str, col_b: str,
         F.lit(int(dof)).cast("long").alias("dof"),
         F.round(chi2, round_to).alias("chi2"),
         F.round(v, round_to).alias("cramers_v"))
+
+
+def benford_digits(rows: DataFrame, value_col: str,
+                   round_to: int = 6) -> DataFrame:
+    """First-significant-digit distribution against Benford's law
+    (P(d) = log10(1 + 1/d)) over the positive values of
+    ``value_col`` — the classic forged-data screen: organically
+    grown magnitudes (view counts, purchase values, inlink counts)
+    follow Benford; fabricated or bot-generated ones usually don't.
+
+    The digit is extracted arithmetically — floor(v / 10^floor(
+    log10 v)) — no string formatting, so the whole extraction stays
+    in whole-stage codegen.
+
+    Scale shape: one map-side digit projection into one groupBy with
+    AT MOST NINE groups; the final frame joins the 1-row total by
+    broadcast.  Returns (digit, n, frac, benford_p, diff) for the
+    nine digits (absent digits still appear with n = 0 via the
+    digit dimension)."""
+    spark = rows.sparkSession
+    v = F.col(value_col).cast("double")
+    d = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+    got = (rows.where(v > 0)
+           .select(d.cast("int").alias("digit"))
+           .groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    digits = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "digit int")
+    tot = got.agg(F.sum("n").alias("tot"))
+    frac = F.col("n").cast("double") / F.col("tot").cast("double")
+    bp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (digits.join(got, "digit", "left")
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+            .crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    F.round(frac, round_to).alias("frac"),
+                    F.round(bp, round_to).alias("benford_p"),
+                    F.round(F.abs(frac - bp), round_to).alias("diff")))

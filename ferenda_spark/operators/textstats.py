@@ -799,3 +799,39 @@ def js_divergence(documents: DataFrame, group_col: str,
                         .cast("long")).cast("long")
                   .alias("vocab_shared"),
                   F.round(F.sum(term), round_to).alias("jsd")))
+
+
+def yules_k(documents: DataFrame, round_to: int = 6) -> DataFrame:
+    """Yule's characteristic K per language — the repeat-rate
+    vocabulary-richness constant K = 10^4 * (S2 - S1) / S1^2 with
+    S1 = total tokens and S2 = sum of squared token frequencies
+    (Yule 1944); unlike raw type/token ratios K is length-invariant,
+    which is what makes it comparable across crawl slices.  Low K =
+    rich vocabulary (natural prose); high K = repetitive/template
+    text.  Completes the power-law gauge set (Zipf slope, Heaps
+    exponent, entropy).
+
+    Scale shape: one token-count groupBy (map-side combined), one
+    per-language aggregate over the vocabulary-sized counts — S1/S2
+    exact longs, one double expression at the end.
+
+    Returns (lang, n_tokens, n_types, hapax, yules_k) — ``hapax``
+    (count of once-occurring tokens) rides along free."""
+    from .dedup import tokens as _tokens
+    counts = (documents
+              .select("lang",
+                      F.explode(_tokens(F.col("text"))).alias("tok"))
+              .where(F.length("tok") > 0)
+              .groupBy("lang", "tok")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    agg = (counts.groupBy("lang")
+           .agg(F.sum("c").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_types"),
+                F.sum((F.col("c") == 1).cast("long")).cast("long")
+                .alias("hapax"),
+                F.sum(F.col("c") * F.col("c")).alias("s2")))
+    s1 = F.col("n_tokens").cast("double")
+    k = (F.lit(10000.0) * (F.col("s2").cast("double") - s1)
+         / (s1 * s1))
+    return agg.select("lang", "n_tokens", "n_types", "hapax",
+                      F.round(k, round_to).alias("yules_k"))

@@ -672,3 +672,40 @@ def test_js_divergence_identical_and_disjoint(spark):
         [("a", "x y"), ("b", "w v")], "source string, text string")
     assert js_divergence(disj, "source", "a", "b") \
         .collect()[0].jsd == pytest.approx(1.0, abs=1e-9)
+
+
+# ------------------------------------------------- Yule's K / Benford
+
+def test_yules_k_matches_hand_computation(spark):
+    from ferenda_spark.operators.textstats import yules_k
+    # counts: a:3, b:2, c:1 -> S1=6, S2=9+4+1=14, K=1e4*(14-6)/36
+    df = spark.createDataFrame([(1, "en", "a a a b b c")],
+                               "doc_id long, lang string, text string")
+    r = yules_k(df).collect()[0]
+    assert r.n_tokens == 6 and r.n_types == 3 and r.hapax == 1
+    assert r.yules_k == pytest.approx(1e4 * 8 / 36, abs=1e-6)
+
+
+def test_yules_k_all_hapax_is_zero(spark):
+    from ferenda_spark.operators.textstats import yules_k
+    df = spark.createDataFrame([(1, "en", "a b c d")],
+                               "doc_id long, lang string, text string")
+    r = yules_k(df).collect()[0]
+    assert r.yules_k == pytest.approx(0.0)  # S2 == S1 for all-hapax
+    assert r.hapax == 4
+
+
+def test_benford_digit_extraction_and_gaps(spark):
+    from ferenda_spark.operators.quality import benford_digits
+    vals = [1.0, 12.0, 150.0, 0.02, 0.9, 3.5, 99.0, 9000.0, -5.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {r.digit: r for r in benford_digits(df, "value").collect()}
+    assert len(out) == 9
+    # positives only: digits 1,1,1,2,9,3,9,9 -> 1:3, 2:1, 3:1, 9:3
+    assert out[1].n == 3 and out[2].n == 1 and out[3].n == 1
+    assert out[9].n == 3
+    assert out[4].n == 0 and out[4].frac == 0.0  # absent digit kept
+    assert out[1].benford_p == pytest.approx(math.log10(2), abs=1e-6)
+    assert out[1].frac == pytest.approx(3 / 8, abs=1e-6)
+    assert out[1].diff == pytest.approx(abs(3 / 8 - math.log10(2)),
+                                        abs=1e-6)
