@@ -4213,6 +4213,18 @@ def _q_stats_benford(spark, sf_dir):
     return benford_digits(ev, "value").orderBy("digit")
 
 
+def _q_stats_bootstrap_mean(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the mean purchase value (100
+    deterministic md5-seeded Poisson(1) replicates, exact
+    integer-cents sums, rank-picked percentile CI); the oracle
+    replays the inverse-CDF weights and the order statistics."""
+    from ferenda_spark.operators.quality import bootstrap_mean
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase")
+          .select("event_id", "value"))
+    return bootstrap_mean(ev, "event_id", "value", n_boot=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4480,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_js_divergence": _q_text_js_divergence,
         "text_yules_k": _q_text_yules_k,
         "stats_benford": _q_stats_benford,
+        "stats_bootstrap_mean": _q_stats_bootstrap_mean,
     }
 
 
@@ -10203,4 +10216,50 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
                              - log10(1.0 + 1.0 / digit)), 6) AS diff
             FROM fil CROSS JOIN tot ORDER BY digit""",
+        # Poisson bootstrap: md5-seeded inverse-CDF Poisson(1)
+        # weights, exact cents sums, rank-picked 2.5/97.5 percentiles
+        "stats_bootstrap_mean": """
+            WITH base AS (
+              SELECT CAST(event_id AS VARCHAR) AS rid,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           SUM(cents) AS s FROM base),
+            reps AS (SELECT CAST(range AS INTEGER) AS b
+                     FROM range(1, 101)),
+            weighted AS (
+              SELECT b,
+                     CASE
+                       WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+                       WHEN h < 919698 THEN 2 WHEN h < 981011 THEN 3
+                       WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+                       WHEN h < 999917 THEN 6 ELSE 7 END AS w,
+                     cents
+              FROM (SELECT b, cents,
+                           CAST(('0x' || substr(md5(rid || ':' || b),
+                                                1, 8)) AS BIGINT)
+                           % 1000000 AS h
+                    FROM base CROSS JOIN reps)),
+            boot AS (
+              SELECT b, CAST(SUM(w) AS BIGINT) AS nw,
+                     SUM(w * cents) AS sw
+              FROM weighted GROUP BY b),
+            means AS (
+              SELECT b, CAST(sw AS DOUBLE)
+                        / (CAST(nw AS DOUBLE) * 100) AS m
+              FROM boot),
+            ranked AS (
+              SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r
+              FROM means),
+            ci AS (
+              SELECT MIN(CASE WHEN r = 3 THEN m END) AS ci_lo,
+                     MIN(CASE WHEN r = 98 THEN m END) AS ci_hi
+              FROM ranked WHERE r IN (3, 98))
+            SELECT n,
+                   round(CAST(s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 100), 6) AS mean,
+                   round(ci_lo, 6) AS ci_lo,
+                   round(ci_hi, 6) AS ci_hi,
+                   CAST(100 AS BIGINT) AS n_boot
+            FROM obs CROSS JOIN ci""",
     }

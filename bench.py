@@ -149,7 +149,7 @@ HEADLINE = [
     "text_zipf_fit", "text_heaps_law", "text_textrank",
     "kg_modularity", "kg_wl_colors", "kg_betweenness",
     "kg_ktruss", "text_js_divergence", "text_yules_k",
-    "stats_benford",
+    "stats_benford", "stats_bootstrap_mean",
 ]
 
 

@@ -594,3 +594,85 @@ def benford_digits(rows: DataFrame, value_col: str,
                     F.round(frac, round_to).alias("frac"),
                     F.round(bp, round_to).alias("benford_p"),
                     F.round(F.abs(frac - bp), round_to).alias("diff")))
+
+
+# cumulative Poisson(1) CDF thresholds scaled to 10^6 (floor of
+# 10^6 * P(W <= k)): inverse-CDF sampling from a uniform hash bucket.
+# P(0)=.367879  P(<=1)=.735759  P(<=2)=.919699  P(<=3)=.981012
+# P(<=4)=.996340  P(<=5)=.999406  P(<=6)=.999917; tail capped at 7.
+_POISSON1_CUM = [367879, 735758, 919698, 981011, 996340, 999406,
+                 999917]
+
+
+def bootstrap_mean(rows: DataFrame, id_col: str, value_col: str,
+                   n_boot: int = 100, alpha: float = 0.025,
+                   scale: int = 100, round_to: int = 6) -> DataFrame:
+    """Percentile bootstrap confidence interval for the mean via the
+    POISSON BOOTSTRAP (each replicate weights every row
+    independently with W ~ Poisson(1) instead of drawing n-out-of-n,
+    which needs global coordination — the standard reformulation for
+    distributed data, e.g. Chamandy et al., "Estimating uncertainty
+    for massive data streams", Google 2012).  Weights are
+    deterministic: the md5 of "id:replicate" selects a uniform
+    10^-6 bucket fed through the Poisson(1) inverse CDF, so both
+    engines and every rerun draw the same resamples.
+
+    ``scale`` declares the value column's exact decimal resolution
+    (100 = cents): values become exact longs, every replicate sum is
+    exact integer arithmetic, and each bootstrap mean is ONE IEEE
+    division — no order-dependent double sums anywhere.
+
+    Scale shape: rows x n_boot is the only big frame (a crossJoin
+    with a broadcast replicate dimension — map-side, no shuffle),
+    collapsed immediately by one groupBy(replicate) into n_boot
+    rows; the CI is a rank-picked order statistic over those n_boot
+    rows.  At 10^12 rows one runs the replicates over a sample or
+    shards the id space; the plan shape is unchanged.
+
+    Returns ONE row (n, mean, ci_lo, ci_hi, n_boot) with lo/hi the
+    ceil(alpha*B)-th / ceil((1-alpha)*B)-th smallest replicate
+    means."""
+    import math as _m
+    from pyspark.sql import Window
+    spark = rows.sparkSession
+    base = rows.select(
+        F.col(id_col).cast("string").alias("rid"),
+        F.round(F.col(value_col).cast("double") * scale)
+        .cast("long").alias("cents"))
+    obs = base.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum("cents").alias("s"))
+    reps = spark.range(1, n_boot + 1).select(
+        F.col("id").cast("int").alias("b"))
+    h = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.col("rid"),
+                          F.col("b").cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000)
+    w = F.lit(7)
+    for k in range(len(_POISSON1_CUM) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    boot = (base.crossJoin(F.broadcast(reps))
+            .select("b", w.alias("w"), "cents")
+            .groupBy("b")
+            .agg(F.sum("w").cast("long").alias("nw"),
+                 F.sum(F.col("w") * F.col("cents")).alias("sw")))
+    means = boot.select(
+        "b", (F.col("sw").cast("double")
+              / (F.col("nw").cast("double") * scale)).alias("m"))
+    lo_rank = int(_m.ceil(alpha * n_boot))
+    hi_rank = int(_m.ceil((1.0 - alpha) * n_boot))
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy("m", "b")))
+    ci = (ranked.where(F.col("r").isin([lo_rank, hi_rank]))
+          .agg(F.min(F.when(F.col("r") == lo_rank, F.col("m")))
+               .alias("ci_lo"),
+               F.min(F.when(F.col("r") == hi_rank, F.col("m")))
+               .alias("ci_hi"),
+               F.count(F.lit(1)).alias("_k")))
+    return (obs.crossJoin(ci)
+            .select("n",
+                    F.round(F.col("s").cast("double")
+                            / (F.col("n").cast("double") * scale),
+                            round_to).alias("mean"),
+                    F.round("ci_lo", round_to).alias("ci_lo"),
+                    F.round("ci_hi", round_to).alias("ci_hi"),
+                    F.lit(int(n_boot)).cast("long").alias("n_boot")))

@@ -709,3 +709,55 @@ def test_benford_digit_extraction_and_gaps(spark):
     assert out[1].frac == pytest.approx(3 / 8, abs=1e-6)
     assert out[1].diff == pytest.approx(abs(3 / 8 - math.log10(2)),
                                         abs=1e-6)
+
+
+# ----------------------------------------------------- Poisson bootstrap
+
+def test_bootstrap_mean_matches_python_replay(spark):
+    import hashlib
+    from ferenda_spark.operators.quality import (bootstrap_mean,
+                                                 _POISSON1_CUM)
+    vals = [(i, round(10.0 + (i * 7 % 13) + 0.25, 2))
+            for i in range(1, 61)]
+    df = spark.createDataFrame(vals, "event_id long, value double")
+    r = bootstrap_mean(df, "event_id", "value", n_boot=50).collect()[0]
+
+    def pois(rid, b):
+        h = int(hashlib.md5(("%s:%d" % (rid, b)).encode())
+                .hexdigest()[:8], 16) % 1000000
+        for k, t in enumerate(_POISSON1_CUM):
+            if h < t:
+                return k
+        return 7
+
+    cents = {str(i): int(round(v * 100)) for i, v in vals}
+    means = []
+    for b in range(1, 51):
+        nw = sum(pois(rid, b) for rid in cents)
+        sw = sum(pois(rid, b) * c for rid, c in cents.items())
+        means.append(sw / (nw * 100))
+    means.sort()
+    assert r.n == 60
+    assert r.mean == pytest.approx(
+        sum(cents.values()) / (60 * 100), abs=1e-6)
+    # lo rank ceil(0.025*50)=2, hi rank ceil(0.975*50)=49
+    assert r.ci_lo == pytest.approx(round(means[1], 6), abs=1e-6)
+    assert r.ci_hi == pytest.approx(round(means[48], 6), abs=1e-6)
+    assert r.ci_lo <= r.mean <= r.ci_hi
+
+
+def test_bootstrap_poisson_weights_have_unit_mean(spark):
+    """Sanity on the inverse-CDF table: empirical mean weight over
+    many draws is ~1 (the Poisson bootstrap's defining property)."""
+    import hashlib
+    from ferenda_spark.operators.quality import _POISSON1_CUM
+
+    def pois(h):
+        for k, t in enumerate(_POISSON1_CUM):
+            if h < t:
+                return k
+        return 7
+
+    draws = [pois(int(hashlib.md5(str(i).encode()).hexdigest()[:8],
+                      16) % 1000000) for i in range(20000)]
+    assert abs(sum(draws) / len(draws) - 1.0) < 0.02
