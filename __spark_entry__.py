@@ -4225,6 +4225,40 @@ def _q_stats_bootstrap_mean(spark, sf_dir):
     return bootstrap_mean(ev, "event_id", "value", n_boot=100)
 
 
+def _q_train_leakage_check(spark, sf_dir):
+    """Train/eval near-dup leakage: eval docs whose MinHash-LSH
+    duplicate cluster contains a train doc (the dedup-before-split
+    contamination check); composes the LSH pair graph, hash-min
+    clusters, and the portable-md5 split.  Oracle: recursive-CTE
+    reachability over the same pair graph joined to the split CTE."""
+    from ferenda_spark.operators.training import split_leakage
+    return (split_leakage(_read(spark, sf_dir, "documents"))
+            .orderBy("doc_id"))
+
+
+def _q_stats_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of time-to-first-purchase (hours from a
+    user's first event, right-censored at the 72 h fixed-follow-up
+    cutoff): product-limit estimator via exp-sum-log over suffix-
+    cumulative at-risk counts; the oracle replays the truncated-epoch
+    durations and the same product identity."""
+    from ferenda_spark.operators.events import (kaplan_meier,
+                                                time_to_event)
+    subj = time_to_event(_read(spark, sf_dir, "events"),
+                         target_type="purchase", followup_hours=72)
+    return kaplan_meier(subj).orderBy("t")
+
+
+def _q_events_sequence_mining(spark, sf_dir):
+    """Frequent contiguous 3-step event-type sequences (contiguous
+    PrefixSpan): per-user lead() trigrams, one corpus-wide count with
+    distinct-user support; the oracle replays the lead window and the
+    two aggregates."""
+    from ferenda_spark.operators.events import event_sequences
+    return (event_sequences(_read(spark, sf_dir, "events"))
+            .orderBy("step_1", "step_2", "step_3"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4493,6 +4527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_yules_k": _q_text_yules_k,
         "stats_benford": _q_stats_benford,
         "stats_bootstrap_mean": _q_stats_bootstrap_mean,
+        "train_leakage_check": _q_train_leakage_check,
+        "stats_kaplan_meier": _q_stats_kaplan_meier,
+        "events_sequence_mining": _q_events_sequence_mining,
     }
 
 
@@ -10262,4 +10299,106 @@ def oracle_sql() -> dict[str, str]:
                    round(ci_hi, 6) AS ci_hi,
                    CAST(100 AS BIGINT) AS n_boot
             FROM obs CROSS JOIN ci""",
+        # near-dup leakage across the md5 split: recursive reach over
+        # the LSH pair graph + the split CTE, train count per cluster
+        "train_leakage_check": "WITH RECURSIVE " + _MINHASH_CTE + """,
+            prs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+            e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+            reach AS (
+              SELECT a AS v, a AS u FROM e
+              UNION
+              SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a),
+            members AS (
+              SELECT v AS doc_id, MIN(u) AS canonical_doc_id
+              FROM reach GROUP BY v),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN h < 8000 THEN 'train'
+                          WHEN h < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           CAST(('0x' || substr(md5(CAST(doc_id
+                                AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 AS h
+                    FROM documents)),
+            m AS (SELECT members.doc_id, split, canonical_doc_id
+                  FROM members JOIN sp USING (doc_id)),
+            per AS (SELECT canonical_doc_id,
+                           CAST(SUM(CASE WHEN split = 'train'
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_train_dups
+                    FROM m GROUP BY canonical_doc_id)
+            SELECT m.doc_id, m.split, m.canonical_doc_id,
+                   per.n_train_dups
+            FROM m JOIN per USING (canonical_doc_id)
+            WHERE m.split <> 'train' AND per.n_train_dups > 0
+            ORDER BY m.doc_id""",
+        # Kaplan-Meier over time-to-first-purchase: truncated-epoch
+        # hours (floor(epoch) mirrors Spark unix_timestamp), 72 h
+        # administrative censoring, suffix-window at-risk, exp-sum-log
+        # product limit with the d=n neutral-factor guard
+        "stats_kaplan_meier": """
+            WITH f AS (
+              SELECT user_id,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) AS f0
+              FROM events GROUP BY user_id),
+            p AS (
+              SELECT user_id,
+                     CAST(floor(epoch(min(ts))) AS BIGINT) AS p0
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id),
+            subj AS (
+              SELECT CASE WHEN th IS NULL OR th > 72
+                          THEN CAST(72 AS BIGINT) ELSE th END AS t,
+                     (th IS NULL OR th > 72) AS censored
+              FROM (SELECT CAST(floor((p0 - f0) / 3600.0) AS BIGINT)
+                             AS th
+                    FROM f LEFT JOIN p USING (user_id))),
+            per_t AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS n_ending,
+                     CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_deaths
+              FROM subj GROUP BY t),
+            ar AS (
+              SELECT t, n_ending, n_deaths,
+                     CAST(SUM(n_ending) OVER (ORDER BY t
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+              FROM per_t),
+            d AS (SELECT * FROM ar WHERE n_deaths > 0),
+            s AS (
+              SELECT t, n_risk, n_deaths,
+                     MAX(CASE WHEN n_deaths = n_risk THEN 1 ELSE 0 END)
+                       OVER w AS zero,
+                     SUM(ln(CASE WHEN n_deaths = n_risk THEN 1.0
+                            ELSE 1.0 - CAST(n_deaths AS DOUBLE) / n_risk
+                            END)) OVER w AS ls
+              FROM d
+              WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW))
+            SELECT t, n_risk, n_deaths,
+                   round(CASE WHEN zero = 1 THEN 0.0 ELSE exp(ls) END, 6)
+                     AS survival
+            FROM s ORDER BY t""",
+        # contiguous trigram mining: the same lead window + aggregates
+        "events_sequence_mining": """
+            WITH g AS (
+              SELECT user_id,
+                     event_type AS step_1,
+                     lead(event_type, 1) OVER w AS step_2,
+                     lead(event_type, 2) OVER w AS step_3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT step_1, step_2, step_3,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM g WHERE step_3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 2
+            ORDER BY step_1, step_2, step_3""",
     }

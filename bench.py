@@ -150,6 +150,10 @@ HEADLINE = [
     "kg_modularity", "kg_wl_colors", "kg_betweenness",
     "kg_ktruss", "text_js_divergence", "text_yules_k",
     "stats_benford", "stats_bootstrap_mean",
+    # r4 session 11: survival analysis, split-contamination audit,
+    # contiguous sequence mining
+    "train_leakage_check", "stats_kaplan_meier",
+    "events_sequence_mining",
 ]
 
 

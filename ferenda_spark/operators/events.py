@@ -379,3 +379,110 @@ def theil_sen_trend(events: DataFrame, ts_col: str = "ts",
                     F.round(F.col("med_n")
                             - F.col("sen_slope") * F.col("med_d"),
                             round_to).alias("intercept")))
+
+
+def time_to_event(events: DataFrame, target_type: str = "purchase",
+                  followup_hours: int = 72, user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Per-user time-to-event subjects for survival analysis: hours
+    from a user's FIRST event to their first ``target_type`` event,
+    right-censored at a fixed ``followup_hours`` administrative
+    cutoff (the standard fixed-follow-up design: a conversion later
+    than the window -- or never -- is only known to exceed it).
+
+    Scale shape: two user-keyed aggregates (one over the full stream,
+    one over the type-filtered slice -- the filter pushes into the
+    scan) and a user-dimension-sized join.  Timestamps are truncated
+    to whole epoch seconds on BOTH engines before differencing.
+
+    Returns (user_id, t, censored): t = whole hours to conversion,
+    clamped to ``followup_hours`` for censored subjects."""
+    first = (events.groupBy(F.col(user_col).alias("u"))
+             .agg(F.min(ts_col).alias("f0")))
+    conv = (events.where(F.col(type_col) == target_type)
+            .groupBy(F.col(user_col).alias("u"))
+            .agg(F.min(ts_col).alias("p0")))
+    th = F.floor((F.unix_timestamp("p0") - F.unix_timestamp("f0"))
+                 / 3600).cast("long")
+    return (first.join(conv, "u", "left")
+            .select(F.col("u").alias(user_col),
+                    F.when(th.isNull() | (th > followup_hours),
+                           F.lit(followup_hours).cast("long"))
+                    .otherwise(th).alias("t"),
+                    (th.isNull() | (th > followup_hours))
+                    .alias("censored")))
+
+
+def kaplan_meier(subjects: DataFrame, t_col: str = "t",
+                 censored_col: str = "censored") -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) over (duration, censored) subject rows: censored subjects
+    enter the at-risk sets but never count as deaths.
+
+    Scale shape: one groupBy(t) over the subjects (the only
+    subject-sized shuffle), then everything is distinct-duration-
+    sized: at-risk counts are a suffix-cumulative window over per-t
+    subject counts, and the product limit is the exp-sum-log
+    cumulative window.  No per-subject resort, no driver state.
+
+    Returns one row per death time: (t, n_risk, n_deaths, survival)
+    with survival = prod_{t' <= t} (1 - d/n), exactly 0 when the
+    at-risk set empties (flag-propagated, not ln(0))."""
+    per_t = (subjects.groupBy(F.col(t_col).alias("t"))
+             .agg(F.count("*").cast("long").alias("n_ending"),
+                  F.sum(F.when(~F.col(censored_col), 1).otherwise(0))
+                  .cast("long").alias("n_deaths")))
+    w = Window.orderBy("t")
+    at_risk = per_t.withColumn(
+        "n_risk",
+        (F.sum("n_ending").over(
+            w.rowsBetween(Window.currentRow,
+                          Window.unboundedFollowing))).cast("long"))
+    deaths = at_risk.where(F.col("n_deaths") > 0)
+    # the full-death step (d == n) would feed ln(0) -- contribute a
+    # neutral 1.0 there and let the propagated zero flag zero the
+    # output instead (identical guard in the DuckDB oracle)
+    factor = F.when(F.col("n_deaths") == F.col("n_risk"), F.lit(1.0)) \
+        .otherwise(F.lit(1.0) - F.col("n_deaths") / F.col("n_risk"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (deaths
+           .withColumn("zero",
+                       F.max(F.when(F.col("n_deaths") == F.col("n_risk"),
+                                    1).otherwise(0)).over(cum))
+           .withColumn(
+               "survival",
+               F.round(
+                   F.when(F.col("zero") == 1, F.lit(0.0))
+                   .otherwise(F.exp(F.sum(
+                       F.log(factor)).over(cum))), 6)))
+    return out.select("t", "n_risk", "n_deaths", "survival")
+
+
+def event_sequences(events: DataFrame, user_col: str = "user_id",
+                    type_col: str = "event_type", ts_col: str = "ts",
+                    id_col: str = "event_id", k: int = 3,
+                    min_count: int = 2) -> DataFrame:
+    """Frequent contiguous k-step event-type sequences (PrefixSpan's
+    contiguous special case): per-user lead() windows slide a k-gram
+    over the time-ordered stream, then one corpus-wide count.
+
+    Scale shape: the per-user window is one shuffle keyed on user
+    (bounded partitions — a user's stream, not the corpus), and the
+    sequence space is |event_types|^k, so the final groupBy is
+    dimension-sized.  No driver-side state, no self-joins.
+
+    Returns (step_1 .. step_k, n_users, n_occurrences) for sequences
+    seen at least ``min_count`` times.
+    """
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col), F.col(id_col)))
+    cols = [F.col(type_col).alias("step_1")]
+    for i in range(1, k):
+        cols.append(F.lead(type_col, i).over(w).alias("step_%d" % (i + 1)))
+    grams = (events.select(F.col(user_col).alias("u"), *cols)
+             .where(F.col("step_%d" % k).isNotNull()))
+    return (grams.groupBy(*["step_%d" % (i + 1) for i in range(k)])
+            .agg(F.countDistinct("u").cast("long").alias("n_users"),
+                 F.count("*").cast("long").alias("n_occurrences"))
+            .where(F.col("n_occurrences") >= min_count))

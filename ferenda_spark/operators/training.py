@@ -717,3 +717,54 @@ def length_buckets(documents: DataFrame, text_col: str = "text",
         F.when(denom > 0,
                F.lit(1.0) - F.col("sum_tokens").cast("double") / denom)
         .alias("padding_frac"))
+
+
+def split_leakage(documents: DataFrame, n: int = 3,
+                  num_hashes: int = 8, band_size: int = 2,
+                  train_max: int = 8000,
+                  val_max: int = 9000) -> DataFrame:
+    """Train/eval contamination check: an eval (val/test) document
+    whose near-duplicate cluster also contains a train document is
+    LEAKED — its eval loss measures memorization, not generalization
+    (the held-out-split analogue of benchmark contamination; cf. the
+    dedup-before-split practice in GPT-3/Gopher data work).
+
+    Composes the MinHash-LSH candidate pairs, the hash-min
+    connected-component clusters, and the portable-md5 split
+    assignment (all three already driver-verified individually), so
+    the check is a pure function of the corpus: stable under re-runs
+    and corpus growth.  Default split here is 80/10/10 (not the
+    96/2/2 of train_split_assignment): a contamination audit wants
+    eval mass large enough that cluster-straddling is detectable.
+
+    Scale shape: cluster membership is cluster-edge-sized (docs that
+    appear in at least one candidate pair — a tiny fraction of the
+    corpus); the split label is a map-side md5 of doc_id (no join
+    against a split table); the per-cluster train count is one
+    groupBy over membership rows.  Nothing touches the full corpus
+    beyond the already-bucketed LSH stage.
+
+    Returns (doc_id, split, canonical_doc_id, n_train_dups) for every
+    leaked eval document: ``n_train_dups`` = number of TRAIN docs in
+    its duplicate cluster.
+    """
+    from .dedup import dup_clusters, minhash_band_pairs
+    pairs = minhash_band_pairs(documents, n=n, num_hashes=num_hashes,
+                               band_size=band_size)
+    members = dup_clusters(pairs)
+    b = portable_bucket(F.col("doc_id"))
+    split = documents.select(
+        "doc_id",
+        F.when(b < train_max, "train")
+        .when(b < val_max, "val")
+        .otherwise("test").alias("split"))
+    m = members.join(split, "doc_id")
+    per_cluster = (m.groupBy("canonical_doc_id")
+                   .agg(F.sum(F.when(F.col("split") == "train", 1)
+                              .otherwise(0)).cast("long")
+                        .alias("n_train_dups")))
+    return (m.where(F.col("split") != "train")
+            .join(per_cluster, "canonical_doc_id")
+            .where(F.col("n_train_dups") > 0)
+            .select("doc_id", "split", "canonical_doc_id",
+                    "n_train_dups"))
