@@ -4259,6 +4259,49 @@ def _q_events_sequence_mining(spark, sf_dir):
             .orderBy("step_1", "step_2", "step_3"))
 
 
+def _q_store_compaction_plan(spark, sf_dir):
+    """Small-file compaction plan over a per-source file manifest
+    (file = doc, size = n_chars; threshold 400 B so both branches are
+    exercised, target 1000 B): first-fit-on-cumulative-sum binning
+    per partition; the oracle replays the preceding-small-bytes
+    window and the floor division."""
+    from ferenda_spark.operators.store import compaction_plan
+    files = (_read(spark, sf_dir, "documents")
+             .select("source", F.col("doc_id").alias("file_id"),
+                     F.col("n_chars").alias("size_bytes")))
+    return (compaction_plan(files, key_cols=["source"],
+                            target_bytes=1000, small_threshold=400)
+            .orderBy("source", "file_id"))
+
+
+def _q_text_llr_collocations(spark, sf_dir):
+    """Dunning log-likelihood-ratio collocations over the REAL
+    documents (adjacent bigrams, exact long contingency cells,
+    per-row xlx expression rounded to 6 before the top-100 ranked
+    cut); the oracle replays the margins and the 9-term identity."""
+    from ferenda_spark.operators.textstats import llr_collocations
+    d = _read(spark, sf_dir, "documents").select("text")
+    return (llr_collocations(d, min_count=3, top_n=100)
+            .orderBy("rank"))
+
+
+def _q_kg_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality over the citation graph (edges
+    d -> d+1 / d -> d+2, seeds every 100th doc, 3 hops): labeled
+    all-seeds-simultaneous BFS, then sum(1/d) per node.  Oracle:
+    d(s, n) = ceil((n-s)/2) closed-form for 1 <= n-s <= 6."""
+    from ferenda_spark.operators.graphs import harmonic_centrality
+    d = _read(spark, sf_dir, "documents")
+    e1 = d.select(F.col("doc_id").alias("doc_a"),
+                  (F.col("doc_id") + 1).alias("doc_b"))
+    e2 = d.select(F.col("doc_id").alias("doc_a"),
+                  (F.col("doc_id") + 2).alias("doc_b"))
+    seeds = (d.where(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("node")))
+    return (harmonic_centrality(e1.unionByName(e2), seeds, max_hops=3)
+            .orderBy("node"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -4530,6 +4573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_leakage_check": _q_train_leakage_check,
         "stats_kaplan_meier": _q_stats_kaplan_meier,
         "events_sequence_mining": _q_events_sequence_mining,
+        "store_compaction_plan": _q_store_compaction_plan,
+        "text_llr_collocations": _q_text_llr_collocations,
+        "kg_harmonic_centrality": _q_kg_harmonic_centrality,
     }
 
 
@@ -10401,4 +10447,98 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             HAVING COUNT(*) >= 2
             ORDER BY step_1, step_2, step_3""",
+        # compaction: preceding-small-bytes window + floor division
+        "store_compaction_plan": """
+            WITH files AS (
+              SELECT source, doc_id AS file_id,
+                     n_chars AS size_bytes,
+                     n_chars < 400 AS small
+              FROM documents),
+            c AS (
+              SELECT source, file_id, size_bytes, small,
+                     COALESCE(SUM(CASE WHEN small THEN size_bytes
+                                  ELSE 0 END) OVER (
+                       PARTITION BY source ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS prev_small
+              FROM files)
+            SELECT source, file_id,
+                   CAST(size_bytes AS BIGINT) AS size_bytes,
+                   CASE WHEN small THEN 'rewrite' ELSE 'keep' END
+                     AS action,
+                   CAST(CASE WHEN small THEN prev_small // 1000
+                        ELSE -1 END AS BIGINT) AS bin
+            FROM c ORDER BY source, file_id""",
+        # Dunning LLR: exact long contingency cells, per-row xlx
+        # expression rounded to 6 BEFORE the ranked top-100 cut
+        "text_llr_collocations": "WITH " + _TOKS_CTE + r""",
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2),
+            bi AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx
+              WHERE length(t[i]) > 0 AND length(t[i + 1]) > 0),
+            counts AS (
+              SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+              FROM bi GROUP BY 1, 2),
+            lm AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_left
+                   FROM counts GROUP BY w1),
+            rm AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_right
+                   FROM counts GROUP BY w2),
+            tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot
+                    FROM counts),
+            scored AS (
+              SELECT w1, w2, n_xy, n_left, n_right,
+                     round(2.0 * (
+                       (CASE WHEN n_xy <= 0 THEN 0.0 ELSE
+                        n_xy * ln(CAST(n_xy AS DOUBLE)) END)
+                     + (CASE WHEN n_left - n_xy <= 0 THEN 0.0 ELSE
+                        (n_left - n_xy)
+                        * ln(CAST(n_left - n_xy AS DOUBLE)) END)
+                     + (CASE WHEN n_right - n_xy <= 0 THEN 0.0 ELSE
+                        (n_right - n_xy)
+                        * ln(CAST(n_right - n_xy AS DOUBLE)) END)
+                     + (CASE WHEN n_tot - n_left - n_right + n_xy <= 0
+                        THEN 0.0 ELSE
+                        (n_tot - n_left - n_right + n_xy)
+                        * ln(CAST(n_tot - n_left - n_right + n_xy
+                                  AS DOUBLE)) END)
+                     - (CASE WHEN n_left <= 0 THEN 0.0 ELSE
+                        n_left * ln(CAST(n_left AS DOUBLE)) END)
+                     - (CASE WHEN n_tot - n_left <= 0 THEN 0.0 ELSE
+                        (n_tot - n_left)
+                        * ln(CAST(n_tot - n_left AS DOUBLE)) END)
+                     - (CASE WHEN n_right <= 0 THEN 0.0 ELSE
+                        n_right * ln(CAST(n_right AS DOUBLE)) END)
+                     - (CASE WHEN n_tot - n_right <= 0 THEN 0.0 ELSE
+                        (n_tot - n_right)
+                        * ln(CAST(n_tot - n_right AS DOUBLE)) END)
+                     + n_tot * ln(CAST(n_tot AS DOUBLE))), 6) AS llr
+              FROM counts JOIN lm USING (w1) JOIN rm USING (w2)
+              CROSS JOIN tot
+              WHERE n_xy >= 3),
+            ranked AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                       ORDER BY llr DESC, w1, w2) AS BIGINT) AS rank
+              FROM scored)
+            SELECT w1, w2, n_xy, n_left, n_right, llr, rank
+            FROM ranked WHERE rank <= 100 ORDER BY rank""",
+        # harmonic centrality on the closed-form citation graph:
+        # d(s, n) = ceil((n-s)/2) = (n-s+1) // 2 for 1 <= n-s <= 6
+        "kg_harmonic_centrality": """
+            WITH seeds AS (
+              SELECT doc_id AS s FROM documents WHERE doc_id % 100 = 0),
+            nodes AS (
+              SELECT DISTINCT n FROM (
+                SELECT doc_id AS n FROM documents
+                UNION SELECT doc_id + 1 FROM documents
+                UNION SELECT doc_id + 2 FROM documents)),
+            r AS (
+              SELECT n, (n - s + 1) // 2 AS d
+              FROM nodes JOIN seeds ON n - s BETWEEN 1 AND 6)
+            SELECT CAST(n AS BIGINT) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching,
+                   round(SUM(1.0 / d), 6) AS harmonic
+            FROM r GROUP BY n ORDER BY node""",
     }

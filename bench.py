@@ -153,7 +153,8 @@ HEADLINE = [
     # r4 session 11: survival analysis, split-contamination audit,
     # contiguous sequence mining
     "train_leakage_check", "stats_kaplan_meier",
-    "events_sequence_mining",
+    "events_sequence_mining", "store_compaction_plan",
+    "text_llr_collocations", "kg_harmonic_centrality",
 ]
 
 

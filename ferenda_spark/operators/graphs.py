@@ -1777,3 +1777,50 @@ def ktruss(edges: DataFrame, k: int = 3, max_rounds: int = 32,
     raise RuntimeError(
         "ktruss exceeded %d peel rounds (cascade over budget)"
         % max_rounds)
+
+
+def harmonic_centrality(edges: DataFrame, seeds: DataFrame,
+                        max_hops: int = 4, src: str = "doc_a",
+                        dst: str = "doc_b") -> DataFrame:
+    """Sampled harmonic (in-)centrality: for every node, the sum of
+    1/d(s, node) over a SEED SAMPLE s — the Eppstein-Wang/HyperBall
+    estimator family's exact-per-seed variant (harmonic centrality is
+    the closeness definition that stays finite on disconnected web
+    graphs, Boldi & Vigna 2014).  Scale the seed count, not the
+    algorithm: the full-corpus all-pairs version is the same program
+    with seeds = nodes.
+
+    Labeled layer-synchronous BFS: the frontier is keyed on
+    (seed, node) so one job round advances every seed's BFS at once
+    (the all-sources-simultaneous discipline of kg_betweenness);
+    per-seed shortest distance is implicit in BFS layering + the
+    (seed, node) anti-join.  Frontier frames are bounded by
+    |seeds| × reachable-per-seed, localCheckpointed per round.
+
+    Returns (node, n_seeds_reaching, harmonic) for nodes reached by
+    at least one seed in 1..max_hops hops (seeds do not count
+    themselves; 1/d is rounded to 6 after the sum)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    visited = (seeds.select(F.col("node").cast("long").alias("seed"),
+                            F.col("node").cast("long").alias("node"),
+                            F.lit(0).alias("dist"))
+               .distinct().localCheckpoint(eager=True))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["u"])
+               .select("seed", F.col("v").alias("node"),
+                       F.lit(hop).alias("dist"))
+               .distinct()
+               .join(visited.select("seed", "node"),
+                     ["seed", "node"], "anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return (visited.where(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_seeds_reaching"),
+                 F.round(F.sum(F.lit(1.0) / F.col("dist")), 6)
+                 .alias("harmonic")))

@@ -212,3 +212,42 @@ def zorder_keys(df: DataFrame, col_a: str, col_b: str,
             .withColumn("zbucket",
                         F.shiftright(F.col("zvalue"),
                                      2 * bits - bucket_bits)))
+
+
+def compaction_plan(files: DataFrame, key_cols: list = None,
+                    file_col: str = "file_id",
+                    size_col: str = "size_bytes",
+                    target_bytes: int = 128 * 1024 * 1024,
+                    small_threshold: int = None) -> DataFrame:
+    """Small-file compaction plan (the Iceberg/Delta table-maintenance
+    step: a 100 TB table accumulates thousands of sub-target data
+    files per partition from incremental commits, and scan cost is
+    per-file).  Files below ``small_threshold`` (default: the target
+    size) are packed into rewrite bins of ~``target_bytes`` by a
+    first-fit-on-cumulative-sum rule: within a partition, ordered by
+    file id, ``bin = floor(preceding_small_bytes / target)`` — a
+    deterministic one-pass plan (no driver-side bin packing, no
+    global sort).  Files at or above the threshold are kept as-is.
+
+    Scale shape: the file manifest is metadata (millions of rows, not
+    the data itself); one window per partition key orders each
+    partition's manifest slice, which is exactly how the real
+    RewriteDataFiles action plans per partition.
+
+    Returns (key..., file_id, size_bytes, action, bin): action
+    'rewrite' with a 0-based bin, or 'keep' with bin -1."""
+    key_cols = key_cols or ["source"]
+    if small_threshold is None:
+        small_threshold = target_bytes
+    small = F.col(size_col) < small_threshold
+    w = (Window.partitionBy(*key_cols).orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_small = F.coalesce(
+        F.sum(F.when(small, F.col(size_col)).otherwise(0)).over(w),
+        F.lit(0))
+    return files.select(
+        *key_cols, file_col, size_col,
+        F.when(small, F.lit("rewrite")).otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(small, F.floor(prev_small / target_bytes))
+        .otherwise(F.lit(-1)).cast("long").alias("bin"))

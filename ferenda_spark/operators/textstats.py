@@ -835,3 +835,73 @@ def yules_k(documents: DataFrame, round_to: int = 6) -> DataFrame:
          / (s1 * s1))
     return agg.select("lang", "n_tokens", "n_types", "hapax",
                       F.round(k, round_to).alias("yules_k"))
+
+
+def llr_collocations(documents: DataFrame, min_count: int = 3,
+                     top_n: int = 100) -> DataFrame:
+    """Collocation mining by Dunning's log-likelihood ratio (Dunning
+    1993) — the significance-test counterpart to :func:`pmi_bigrams`
+    (PMI over-ranks rare pairs; LLR weights evidence mass, which is
+    why phrase induction pipelines gate on it).
+
+    Over the adjacent-bigram event space (same extraction as
+    pmi_bigrams: pinned tokenizer, posexplode, one bigram groupBy):
+    with k11 = n(w1 w2), margins n_left = n(w1 ·), n_right = n(· w2)
+    and N total bigrams,
+
+        llr = 2·( xlx(k11)+xlx(k12)+xlx(k21)+xlx(k22)
+                 −xlx(n_left)−xlx(N−n_left)
+                 −xlx(n_right)−xlx(N−n_right)+xlx(N) )
+
+    where xlx(x) = x·ln(x) with xlx(0) = 0.  Every k is an exact
+    long; llr is a per-row expression over those longs (no float
+    aggregation), rounded to 6 so both engines rank identical
+    doubles; the top-n cut breaks ties on (w1, w2).
+
+    Shape: identical to pmi_bigrams — map-side token split, one
+    bigram groupBy, two vocabulary-sized margin groupBys joined back
+    (strategy left to AQE), a 1-row broadcast total, one final
+    ordered-window cut on the scored (vocabulary²-bounded, in
+    practice bigram-type-sized) frame."""
+    from .dedup import tokens
+    toks = documents.select(tokens(F.col("text")).alias("t"))
+    bi = (toks
+          .where(F.size("t") >= 2)
+          .select(F.posexplode(F.slice("t", 1, F.size("t") - 1))
+                  .alias("i", "w1"),
+                  F.col("t"))
+          .select("w1", F.expr("t[i + 1]").alias("w2"))
+          .where((F.length("w1") > 0) & (F.length("w2") > 0)))
+    counts = (bi.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_xy")))
+    left = counts.groupBy("w1").agg(
+        F.sum("n_xy").cast("long").alias("n_left"))
+    right = counts.groupBy("w2").agg(
+        F.sum("n_xy").cast("long").alias("n_right"))
+    total = counts.agg(F.sum("n_xy").cast("long").alias("n_tot"))
+
+    def xlx(c):
+        return F.when(c <= 0, F.lit(0.0)) \
+            .otherwise(c.cast("double") * F.log(c.cast("double")))
+
+    k11 = F.col("n_xy")
+    k12 = F.col("n_left") - k11
+    k21 = F.col("n_right") - k11
+    k22 = F.col("n_tot") - F.col("n_left") - F.col("n_right") + k11
+    llr = F.round(
+        2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+               - xlx(F.col("n_left"))
+               - xlx(F.col("n_tot") - F.col("n_left"))
+               - xlx(F.col("n_right"))
+               - xlx(F.col("n_tot") - F.col("n_right"))
+               + xlx(F.col("n_tot"))), 6)
+    scored = (counts.where(F.col("n_xy") >= min_count)
+              .join(left, "w1").join(right, "w2")
+              .crossJoin(F.broadcast(total))
+              .select("w1", "w2", "n_xy", "n_left", "n_right",
+                      llr.alias("llr")))
+    w = Window.orderBy(F.col("llr").desc(), "w1", "w2")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_n)
+            .select("w1", "w2", "n_xy", "n_left", "n_right", "llr",
+                    F.col("rank").cast("long").alias("rank")))
