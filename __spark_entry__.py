@@ -1897,6 +1897,43 @@ def _q_link_prediction(spark, sf_dir):
             .limit(200))
 
 
+def _citation_edges(spark, sf_dir):
+    """Directed citation edges (citing doc url -> cited target) from
+    the extracted reference triples — shared input of the citation-
+    similarity pair (co-citation / bibliographic coupling)."""
+    from ferenda_spark.operators.triples import mention_triples
+    return mention_triples(_docs(spark, sf_dir)).select(
+        F.col("context").alias("src"), F.col("obj").alias("dst"))
+
+
+def _q_cocitation(spark, sf_dir):
+    """Co-citation strength (Small 1973) over the citation graph:
+    targets cited TOGETHER by the same documents, Salton-cosine
+    normalized by true in-degree — merge/related candidates in KG
+    construction, the descriptive dual of kg_link_prediction's
+    Adamic-Adar.  Hub cut at out-degree 64 (mirrored in the oracle)
+    bounds the wedge self-join; top 200 by (salton, pair) is a
+    TakeOrdered, never a full sort."""
+    from ferenda_spark.operators.graphs import cocitation
+    return (cocitation(_citation_edges(spark, sf_dir),
+                       max_fanout=64, min_common=1)
+            .orderBy(F.col("salton").desc(), "node_a", "node_b")
+            .limit(200))
+
+
+def _q_biblio_coupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963): documents sharing
+    references, Salton-normalized by true out-degree — the forward
+    dual of kg_cocitation (fixed at publication time).  Hub cut drops
+    references cited by > 64 docs (the idf rationale: a spec everyone
+    cites discriminates nothing)."""
+    from ferenda_spark.operators.graphs import biblio_coupling
+    return (biblio_coupling(_citation_edges(spark, sf_dir),
+                            max_fanout=64, min_common=1)
+            .orderBy(F.col("salton").desc(), "node_a", "node_b")
+            .limit(200))
+
+
 def _q_dup_clustering(spark, sf_dir):
     """Local clustering coefficient over the MinHash dup-pair graph
     (2*tri/(d*(d-1))): cluster tightness per document — 1.0 = clique
@@ -4447,6 +4484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_host_graph": _q_kg_host_graph,
         "kg_assortativity": _q_kg_assortativity,
         "kg_link_prediction": _q_link_prediction,
+        "kg_cocitation": _q_cocitation,
+        "kg_biblio_coupling": _q_biblio_coupling,
         "kg_dup_clustering": _q_dup_clustering,
         "dedup_embedding_clusters": _q_dedup_embedding_clusters,
         "kg_degree_distribution": _q_degree_distribution,
@@ -7153,6 +7192,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM und p
                               WHERE p.u = ps.x AND p.v = ps.y)
             ORDER BY aa_score DESC, node_a, node_b LIMIT 200""",
+        # Co-citation: wedge on the citing doc (out-degree hub cut
+        # 2..64), Salton cosine over TRUE in-degrees, min_common 1
+        "kg_cocitation": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """,
+            e AS (SELECT DISTINCT context AS s, obj AS t
+                  FROM mention_triples WHERE context <> obj),
+            odeg AS (SELECT s, COUNT(*) AS d FROM e GROUP BY s),
+            ok AS (SELECT s FROM odeg WHERE d BETWEEN 2 AND 64),
+            w AS (SELECT e.s, e.t FROM e JOIN ok USING (s)),
+            ps AS (SELECT a.t AS a, b.t AS b, COUNT(*) AS n_common
+                   FROM w a JOIN w b ON a.s = b.s AND a.t < b.t
+                   GROUP BY 1, 2),
+            indeg AS (SELECT t, COUNT(*) AS cited FROM e GROUP BY t)
+            SELECT a AS node_a, b AS node_b, n_common,
+                   round(n_common / sqrt(ia.cited * 1.0 * ib.cited), 6)
+                     AS salton
+            FROM ps JOIN indeg ia ON ps.a = ia.t
+                    JOIN indeg ib ON ps.b = ib.t
+            ORDER BY salton DESC, node_a, node_b LIMIT 200""",
+        # Bibliographic coupling: wedge on the cited target
+        # (in-degree hub cut), Salton over TRUE out-degrees
+        "kg_biblio_coupling": "WITH " + _F_CTE + ", "
+            + _MENTION_TRIPLES + """,
+            e AS (SELECT DISTINCT context AS s, obj AS t
+                  FROM mention_triples WHERE context <> obj),
+            ideg AS (SELECT t, COUNT(*) AS d FROM e GROUP BY t),
+            ok AS (SELECT t FROM ideg WHERE d BETWEEN 2 AND 64),
+            w AS (SELECT e.s, e.t FROM e JOIN ok USING (t)),
+            ps AS (SELECT a.s AS a, b.s AS b, COUNT(*) AS n_common
+                   FROM w a JOIN w b ON a.t = b.t AND a.s < b.s
+                   GROUP BY 1, 2),
+            odeg AS (SELECT s, COUNT(*) AS refs FROM e GROUP BY s)
+            SELECT a AS node_a, b AS node_b, n_common,
+                   round(n_common / sqrt(oa.refs * 1.0 * ob.refs), 6)
+                     AS salton
+            FROM ps JOIN odeg oa ON ps.a = oa.s
+                    JOIN odeg ob ON ps.b = ob.s
+            ORDER BY salton DESC, node_a, node_b LIMIT 200""",
         # Jaccard over bounded common neighbours, true-degree union
         "kg_jaccard_links": "WITH " + _F_CTE + ", "
             + _MENTION_TRIPLES + """,

@@ -155,6 +155,8 @@ HEADLINE = [
     "train_leakage_check", "stats_kaplan_meier",
     "events_sequence_mining", "store_compaction_plan",
     "text_llr_collocations", "kg_harmonic_centrality",
+    # r4 session 12: citation-similarity pair
+    "kg_cocitation", "kg_biblio_coupling",
 ]
 
 
