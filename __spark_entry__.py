@@ -432,6 +432,21 @@ def _q_dedup_jaccard_pairs(spark, sf_dir):
                                n=3, threshold=0.1, max_shingle_freq=100)
 
 
+def _q_dedup_meta_blocking(spark, sf_dir):
+    """Meta-blocking (Papadakis TKDE 2014): word-2-gram token
+    blocking, block purging at size 20 (the hot-key guard), CBS edge
+    weights via the bounded in-block self-join, weighted node pruning
+    (keep a pair iff its shared-block count reaches the mean incident
+    weight of either endpoint) — the comparison-graph pruner that
+    runs BEFORE any expensive ER matcher.  Top 500 by (cbs, pair) is
+    a TakeOrdered."""
+    from ferenda_spark.operators.dedup import meta_blocking_pairs
+    return (meta_blocking_pairs(_read(spark, sf_dir, "documents"),
+                                n=2, max_block=20)
+            .orderBy(F.col("cbs").desc(), "doc_a", "doc_b")
+            .limit(500))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from ferenda_spark.operators.dedup import simhash
     return simhash(_read(spark, sf_dir, "documents"))
@@ -4377,6 +4392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
+        "dedup_meta_blocking": _q_dedup_meta_blocking,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -5795,6 +5811,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
             SELECT v AS doc_id, MIN(u) AS canonical_doc_id
             FROM reach GROUP BY v""",
+        # Meta-blocking: 2-gram blocks, purge at 2..20, CBS weights,
+        # weighted node pruning on mean incident weight (exact avg:
+        # sum-of-longs / count, one IEEE division per node)
+        "dedup_meta_blocking": "WITH " + _TOKS_CTE + r""",
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t)-1, 1)))
+                       AS i
+              FROM toks),
+            b AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+1], ' ') AS bkey
+              FROM idx
+              WHERE length(array_to_string(t[i:i+1], ' ')) > 0),
+            ok AS (SELECT bkey FROM b GROUP BY bkey
+                   HAVING COUNT(*) BETWEEN 2 AND 20),
+            kb AS (SELECT b.doc_id, b.bkey FROM b JOIN ok USING (bkey)),
+            ps AS (
+              SELECT x.doc_id AS a, y.doc_id AS b2, COUNT(*) AS cbs
+              FROM kb x JOIN kb y
+                ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+            inc AS (SELECT a AS node, cbs FROM ps
+                    UNION ALL SELECT b2, cbs FROM ps),
+            means AS (SELECT node, AVG(cbs) AS thr FROM inc
+                      GROUP BY node)
+            SELECT ps.a AS doc_a, ps.b2 AS doc_b, ps.cbs
+            FROM ps JOIN means ma ON ps.a = ma.node
+                    JOIN means mb ON ps.b2 = mb.node
+            WHERE ps.cbs >= ma.thr OR ps.cbs >= mb.thr
+            ORDER BY ps.cbs DESC, doc_a, doc_b LIMIT 500""",
         "dedup_jaccard_pairs": "WITH " + _SH_CTE + """,
             -- hot-shingle skew guard (max_shingle_freq=100), mirroring
             -- ngram_jaccard_pairs' guard-on invocation

@@ -156,7 +156,7 @@ HEADLINE = [
     "events_sequence_mining", "store_compaction_plan",
     "text_llr_collocations", "kg_harmonic_centrality",
     # r4 session 12: citation-similarity pair
-    "kg_cocitation", "kg_biblio_coupling",
+    "kg_cocitation", "kg_biblio_coupling", "dedup_meta_blocking",
 ]
 
 
