@@ -2487,6 +2487,20 @@ def _q_hll_registers(spark, sf_dir):
             .orderBy("source", "register"))
 
 
+def _q_hist_quantiles(spark, sf_dir):
+    """Length quantiles (p50/p90/p99 of n_chars) from a log-linear
+    HdrHistogram-style sketch: integer-only buckets (top-4-bits
+    log-linear), mergeable by groupBy-sum, the quantile step runs on
+    the FIXED-SIZE bucket table — what replaces an exact global sort
+    for percentiles over 10^12 rows.  No float log2 anywhere, so both
+    engines bucket identically."""
+    from ferenda_spark.operators.sketches import (histogram_quantiles,
+                                                  log_histogram)
+    hist = log_histogram(_read(spark, sf_dir, "documents"),
+                         "n_chars", sub_bits=4)
+    return histogram_quantiles(hist, [0.5, 0.9, 0.99]).orderBy("q")
+
+
 def _q_bloom_probe(spark, sf_dir):
     """Have-I-crawled-this membership: Bloom bits built from the
     even-doc URLs (k=3, m=4096), odd-doc URLs probed — never a false
@@ -4530,6 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_disambiguation": _q_entity_disambiguation,
         "stats_cms_tokens": _q_cms_tokens,
         "stats_hll_registers": _q_hll_registers,
+        "stats_hist_quantiles": _q_hist_quantiles,
         "dedup_bloom_probe": _q_bloom_probe,
         "crawl_sitemap_diff": _q_sitemap_diff,
         "kg_neighbor_agg": _q_neighbor_agg,
@@ -7995,6 +8010,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY sketch_row, col""",
         # HLL registers: h%64 register, rank = 1 + tz(h div 64) via
         # bit_count(xor(x, x-1)); all-zero rest pinned to 25
+        # Log-linear histogram quantiles: bit-length via bin(),
+        # top-4-bit buckets, rank = ceil(q * N) with q pinned DOUBLE
+        # (a DECIMAL literal would make 0.99*500 exact where IEEE
+        # gives 495.000...06 -> different ceil)
+        "stats_hist_quantiles": r"""
+            WITH vals AS (
+              SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+              WHERE n_chars >= 0),
+            bb AS (SELECT v, CASE WHEN v <= 0 THEN 0
+                                  ELSE length(bin(v)) END AS bl
+                   FROM vals),
+            sb AS (SELECT bl, greatest(bl - 4, 0) AS s, v FROM bb),
+            h AS (SELECT bl, (v >> s) << s AS lo,
+                         ((v >> s) << s) + (1 << s) - 1 AS hi,
+                         COUNT(*) AS n
+                  FROM sb GROUP BY 1, 2, 3),
+            cum AS (SELECT lo, SUM(n) OVER (ORDER BY lo) AS c FROM h),
+            tot AS (SELECT SUM(n) AS N FROM h),
+            qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE)
+                     AS q),
+            tgt AS (SELECT q, CAST(ceil(q * N) AS BIGINT)
+                      AS target_rank FROM qs, tot)
+            SELECT q, target_rank, MIN(lo) AS est
+            FROM tgt JOIN cum ON cum.c >= tgt.target_rank
+            GROUP BY 1, 2 ORDER BY q""",
         "stats_hll_registers": r"""
             WITH toks AS (
               SELECT source, string_split_regex(lower(trim(text)),

@@ -157,6 +157,7 @@ HEADLINE = [
     "text_llr_collocations", "kg_harmonic_centrality",
     # r4 session 12: citation-similarity pair
     "kg_cocitation", "kg_biblio_coupling", "dedup_meta_blocking",
+    "stats_hist_quantiles",
 ]
 
 

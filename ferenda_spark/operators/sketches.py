@@ -130,3 +130,63 @@ def hll_registers(items: DataFrame, group_col: str, key_col: str,
             .agg(F.max("rank").cast("int").alias("max_rank"))
             .select(F.col("grp").alias(group_col), "register",
                     "max_rank"))
+
+
+def log_histogram(items: DataFrame, value_col: str,
+                  sub_bits: int = 5) -> DataFrame:
+    """Log-linear histogram of a non-negative integer column — the
+    HdrHistogram bucket scheme (Tene's High Dynamic Range histogram;
+    same family as t-digest/KLL but DETERMINISTIC and integer-only,
+    so shards sketch independently, merge by groupBy-sum, and two
+    engines agree bit-for-bit).  Buckets: values with bit-length
+    <= ``sub_bits`` are exact; above that, a bucket keeps the top
+    ``sub_bits`` bits (relative width 2^-(sub_bits-1)), so the bucket
+    count for a 64-bit range is ~64 * 2^sub_bits — a fixed-size
+    summary regardless of corpus size, the property that makes
+    quantiles over 10^12 rows a map-side-combine + tiny reduce.
+
+    Bit-length portably: length of the base-2 string (Spark ``conv``,
+    DuckDB ``bin``) — no float log2 whose last-ulp could flip a
+    bucket boundary between engines; v = 0 is pinned to (0, 0).
+
+    Returns (bl, lo, hi, n): bit-length, inclusive value bounds, and
+    row count per non-empty bucket."""
+    v = F.col(value_col).cast("long")
+    bl = F.when(v <= 0, F.lit(0)).otherwise(
+        F.length(F.conv(v, 10, 2))).cast("int")
+    return (items.where(v >= 0)
+            .select(v.alias("_v"), bl.alias("bl"),
+                    F.greatest(bl - sub_bits, F.lit(0)).alias("_s"))
+            # column-valued shift counts need the SQL form (the
+            # pyspark wrappers take a literal int only)
+            .withColumn("lo",
+                        F.expr("shiftleft(shiftright(_v, _s), _s)"))
+            .withColumn("hi",
+                        F.col("lo") + F.expr("shiftleft(1L, _s)") - 1)
+            .groupBy("bl", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates from a :func:`log_histogram` table: for
+    each q, the lower bound of the first bucket whose cumulative
+    count reaches ``ceil(q * N)`` (rank semantics; est is always an
+    actually-bucketed value, error bounded by the bucket's relative
+    width).  The cumulative window runs over the BUCKET table (fixed
+    size), never the data — the quantile step costs nothing at scale.
+
+    Returns (q, target_rank, est) per requested quantile."""
+    from pyspark.sql import Window
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "_cum", F.sum("n").over(
+            Window.orderBy("lo")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    total = hist.agg(F.sum("n").alias("_N"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    tgt = (qdf.crossJoin(total)
+           .select("q", F.ceil(F.col("q") * F.col("_N"))
+                   .cast("long").alias("target_rank")))
+    return (tgt.join(cum, cum["_cum"] >= tgt["target_rank"])
+            .groupBy("q", "target_rank")
+            .agg(F.min("lo").alias("est")))
