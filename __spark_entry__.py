@@ -900,6 +900,34 @@ def _q_mm_image_meta_real(spark, sf_dir):
                       real=True)
 
 
+def _q_mm_image_dhash(spark, sf_dir):
+    """Perceptual difference-hash (dHash) over JVM-synthesized raw
+    grayscale rasters: real byte-level kernel in the Arrow pass
+    (magic + dims + row-major pixel parse, 56-bit pack); pixels are
+    closed-form in doc_id so the oracle recomputes the hash without
+    touching bytes."""
+    from ferenda_spark.operators.multimodal import (image_dhash,
+                                                    synth_gray_blobs)
+    return (image_dhash(synth_gray_blobs(_read(spark, sf_dir,
+                                               "documents")))
+            .orderBy("doc_id"))
+
+
+def _q_mm_image_dhash_pairs(spark, sf_dir):
+    """Near-duplicate images by banded Hamming LSH over dHash
+    (4 x 14-bit bands, verify bit_count(xor) <= 6): each (2k, 2k+1)
+    doc pair is a planted near-dup at distance <= 2, below the
+    bands-count pigeonhole bound, so recall is provably 1.0 — the
+    image-side MinHash-banding analogue."""
+    from ferenda_spark.operators.multimodal import (dhash_hamming_pairs,
+                                                    image_dhash,
+                                                    synth_gray_blobs)
+    h = image_dhash(synth_gray_blobs(_read(spark, sf_dir, "documents")))
+    return (dhash_hamming_pairs(h, bands=4, band_bits=14,
+                                max_distance=6)
+            .orderBy("doc_a", "doc_b"))
+
+
 def _q_mm_audio_meta(spark, sf_dir):
     """Real WAV/RIFF audio metadata: JVM-synthesized 44-byte canonical
     headers -> chunk-walking fmt/data parse in the Arrow batch pass
@@ -4449,6 +4477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_corpus_pipeline": _q_train_corpus_pipeline,
         "mm_image_meta": _q_mm_image_meta,
         "mm_image_meta_real": _q_mm_image_meta_real,
+        "mm_image_dhash": _q_mm_image_dhash,
+        "mm_image_dhash_pairs": _q_mm_image_dhash_pairs,
         "mm_audio_meta": _q_mm_audio_meta,
         "mm_frame_sample": _q_mm_frame_sample,
         "kg_keyword_terms": _q_keyword_terms,
@@ -6568,6 +6598,83 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # mirrors multimodal.synth_image_blobs: doc_id % 4 selects the
         # format (0 PNG / 1 JPEG / 2 GIF / 3 BMP), dims closed-form
+        # mirrors multimodal.synth_gray_blobs + gray_dhash_bytes:
+        # pixels closed-form in doc_id, bit (r,c) = p(r,c) > p(r,c+1)
+        # packed at r*8+c (56 bits, positive BIGINT in both engines)
+        "mm_image_dhash": """
+            WITH grid AS (
+              SELECT doc_id, doc_id // 2 AS base, r.r, c.c
+              FROM documents,
+                   (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT)
+                      AS r) r,
+                   (SELECT CAST(unnest(generate_series(0, 8)) AS BIGINT)
+                      AS c) c),
+            px AS (
+              SELECT doc_id, r, c,
+                     ((((base * 2654435761) % 1048573)
+                       * ((r*9+c+1) * (r*9+c+2) * (r*9+c+5))
+                       + base + r * 9 + c) % 509 % 256
+                      + (doc_id % 2)
+                        * (CASE WHEN base % 63 = r * 9 + c
+                                THEN 128 ELSE 0 END)) % 256 AS p
+              FROM grid),
+            bits AS (
+              SELECT a.doc_id, a.r, a.c,
+                     CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+              WHERE a.c < 8),
+            dh AS (
+              SELECT doc_id,
+                     CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c)))
+                          AS BIGINT) AS dhash
+              FROM bits GROUP BY doc_id)
+            SELECT doc_id, dhash FROM dh ORDER BY doc_id""",
+        # banded Hamming LSH over the same dhash CTE: 4 x 14-bit
+        # bands, candidate on band equality, verify bit_count(xor)
+        "mm_image_dhash_pairs": """
+            WITH grid AS (
+              SELECT doc_id, doc_id // 2 AS base, r.r, c.c
+              FROM documents,
+                   (SELECT CAST(unnest(generate_series(0, 6)) AS BIGINT)
+                      AS r) r,
+                   (SELECT CAST(unnest(generate_series(0, 8)) AS BIGINT)
+                      AS c) c),
+            px AS (
+              SELECT doc_id, r, c,
+                     ((((base * 2654435761) % 1048573)
+                       * ((r*9+c+1) * (r*9+c+2) * (r*9+c+5))
+                       + base + r * 9 + c) % 509 % 256
+                      + (doc_id % 2)
+                        * (CASE WHEN base % 63 = r * 9 + c
+                                THEN 128 ELSE 0 END)) % 256 AS p
+              FROM grid),
+            bits AS (
+              SELECT a.doc_id, a.r, a.c,
+                     CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+              WHERE a.c < 8),
+            dh AS (
+              SELECT doc_id,
+                     CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c)))
+                          AS BIGINT) AS dhash
+              FROM bits GROUP BY doc_id),
+            sliced AS (
+              SELECT doc_id, dhash, b.band,
+                     (dhash >> (b.band * 14)) % 16384 AS val
+              FROM dh,
+                   (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT)
+                      AS band) b),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                     bit_count(xor(x.dhash, y.dhash)) AS distance
+              FROM sliced x JOIN sliced y
+                ON x.band = y.band AND x.val = y.val
+               AND x.doc_id < y.doc_id)
+            SELECT doc_a, doc_b, CAST(distance AS INT) AS distance
+            FROM cand WHERE distance <= 6
+            ORDER BY doc_a, doc_b""",
         "mm_image_meta_real": """
             WITH dims AS (
               SELECT doc_id,

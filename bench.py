@@ -157,7 +157,7 @@ HEADLINE = [
     "text_llr_collocations", "kg_harmonic_centrality",
     # r4 session 12: citation-similarity pair
     "kg_cocitation", "kg_biblio_coupling", "dedup_meta_blocking",
-    "stats_hist_quantiles",
+    "stats_hist_quantiles", "mm_image_dhash", "mm_image_dhash_pairs",
 ]
 
 

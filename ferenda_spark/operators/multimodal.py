@@ -309,3 +309,122 @@ def sample_frames(media: DataFrame, fps: float = 2.0) -> DataFrame:
                                               "frame_ts", "frame_md5"])
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------- dHash
+
+DHASH_W, DHASH_H = 9, 7          # 8 comparisons x 7 rows = 56 bits
+GRAY_MAGIC = b"GRAY"
+
+
+def synth_gray_blobs(documents: DataFrame) -> DataFrame:
+    """Deterministic raw grayscale rasters as binary blobs (the
+    resize-to-9x7 step of a real pHash pipeline is where the image
+    decoder would sit; here the corpus is BORN at hash resolution so
+    the perceptual-hash kernel itself is real).  Container format:
+    ``GRAY`` magic, width byte, height byte, then row-major pixels.
+
+    Pixels are a closed-form function of doc_id that the oracle
+    recomputes: base = doc_id // 2 picks the pattern via a Knuth-
+    multiplicative mix b2 = base * 2654435761 mod 1048573, cell value
+    (b2 * (i+1)(i+2)(i+5) + base + i) mod 509 mod 256 — the cubic
+    per-cell multiplier decorrelates cells within a base and b2
+    decorrelates bases (unrelated images land near the expected
+    Hamming distance 28); every intermediate stays ~2^38, far inside
+    BIGINT for both engines.  Odd doc_ids
+    additionally spike ONE cell (index base % 63) by +128 — so each
+    (2k, 2k+1) pair is a planted near-duplicate at Hamming distance
+    <= 2."""
+    d = F.col("doc_id").cast("long")
+    base = F.floor(d / 2).cast("long")
+    b2 = (base * 2654435761) % 1048573
+    px = []
+    for r in range(DHASH_H):
+        for c in range(DHASH_W):
+            i = r * DHASH_W + c
+            ci = (i + 1) * (i + 2) * (i + 5)
+            p = ((b2 * F.lit(ci) + base + F.lit(i)) % 509 % 256
+                 + (d % 2) * F.when(base % 63 == i, 128).otherwise(0))
+            px.append(_byte(p))
+    blob = F.concat(F.lit(GRAY_MAGIC), _byte(F.lit(DHASH_W)),
+                    _byte(F.lit(DHASH_H)), *px)
+    return documents.select("doc_id", blob.alias("content"))
+
+
+def gray_dhash_bytes(b: bytes) -> int | None:
+    """Difference hash (dHash) of a GRAY raster: bit (r, c) is set
+    iff pixel (r, c) > pixel (r, c+1); packed at position r*8 + c.
+    56 bits — stays in the positive BIGINT range both engines share.
+    Returns None for non-GRAY or truncated input."""
+    if len(b) < 6 or b[:4] != GRAY_MAGIC:
+        return None
+    w, h = b[4], b[5]
+    if len(b) < 6 + w * h or w < 2:
+        return None
+    px = b[6:6 + w * h]
+    bits = 0
+    for r in range(h):
+        row = px[r * w:(r + 1) * w]
+        for c in range(w - 1):
+            if row[c] > row[c + 1]:
+                bits |= 1 << (r * (w - 1) + c)
+    return bits
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(doc_id, dhash) via mapInPandas over Arrow batches — the same
+    plumbing shape as :func:`image_meta`, real byte-level kernel.
+    Undecodable blobs are dropped (the quarantine discipline)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                hv = gray_dhash_bytes(bytes(blob))
+                if hv is not None:
+                    rows.append((int(doc_id), hv))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    return media.mapInPandas(batches, schema="doc_id long, dhash long")
+
+
+def dhash_hamming_pairs(hashes: DataFrame, bands: int = 4,
+                        band_bits: int = 14,
+                        max_distance: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming LSH over dHash:
+    slice the 56-bit hash into ``bands`` contiguous ``band_bits``-bit
+    bands, join candidates on (band index, band value) equality, then
+    verify bit_count(xor) <= ``max_distance``.  Pigeonhole guarantee:
+    any pair within distance < ``bands`` MUST agree on at least one
+    band — recall 1.0 for the planted distance-2 pairs; beyond that
+    it degrades exactly like MinHash banding (dedup.py's shape).
+
+    Scale: the self-join is keyed on band buckets (never all-pairs);
+    a band whose value is shared by k images fans out k^2 — the same
+    hot-bucket profile as minhash_band_pairs, and the same remedy
+    would apply (bucket-size cap).  Verification is one JVM-side
+    bit_count per candidate.
+
+    Returns (doc_a, doc_b, distance), doc_a < doc_b, distinct."""
+    sliced = hashes.select(
+        "doc_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     (F.shiftright("dhash", i * band_bits)
+                      % (1 << band_bits)).alias("val"))
+            for i in range(bands)])).alias("b"))
+    lhs = sliced.select(F.col("b.band").alias("band"),
+                        F.col("b.val").alias("val"),
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("dhash").alias("ha"))
+    rhs = sliced.select(F.col("b.band").alias("band"),
+                        F.col("b.val").alias("val"),
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("dhash").alias("hb"))
+    cand = (lhs.join(rhs, ["band", "val"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("distance"))
+            .distinct())
+    return cand.where(F.col("distance") <= max_distance)
