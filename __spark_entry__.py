@@ -2796,6 +2796,28 @@ def _q_ppr(spark, sf_dir):
             .orderBy("node"))
 
 
+def _q_spam_mass(spark, sf_dir):
+    """Relative spam mass (Gyongyi VLDB 2006) over the planted
+    per-block cycle+chord graph: global PageRank (damping 0.5, 5
+    rounds) minus |seeds|-normalized TrustRank (PPR from the b%40==0
+    block roots, 3 rounds, alpha 0.5), over PageRank.  Planted
+    out-degrees are 1-2 and every constant is dyadic, so both loops
+    are exact IEEE and the unrolled oracle compares hash-exact.
+    Untrusted blocks surface at mass 1.0 — the link-farm signature."""
+    from ferenda_spark.operators.graphs import spam_mass
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(2, 0))
+             .unionByName(_e(0, 2)))
+    trusted = (b.where(F.col("b") % 40 == 0)
+               .select(F.col("b").alias("node")))
+    return spam_mass(edges, trusted).orderBy("node")
+
+
 def _q_kg_walks(spark, sf_dir):
     """DeepWalk corpus over a planted per-block branching graph
     (b->b+1, b->b+2, b+1->b+3, b+2->b+3, b+3->b+1): 2 deterministic
@@ -4588,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_quote_attribution": _q_quote_attribution,
         "kg_alias_priors": _q_alias_priors,
         "kg_ppr": _q_ppr,
+        "kg_spam_mass": _q_spam_mass,
         "train_kg_walks": _q_kg_walks,
         "kg_table_column_types": _q_table_column_types,
         "kg_schema_matching": _q_schema_matching,
@@ -5007,6 +5030,73 @@ r%d AS MATERIALIZED (
             k, 1.0 - damping, damping, prev, prev)
     sql += ("\nSELECT vertex, round(rank, 6) AS pagerank_r FROM r%d"
             % iterations)
+    return sql
+
+
+def _spam_mass_sql(pr_iters: int = 5, ppr_iters: int = 3) -> str:
+    """Closed-form spam-mass oracle: the PageRank power iteration
+    (damping 0.5) unrolled over the planted block graph exactly as
+    _pagerank_sql does, the kg_ppr-style TrustRank recursion from the
+    b%40==0 seeds, then M = (PR - T/|seeds|)/PR.  Everything dyadic /
+    2-term-sum on this graph, so both engines are bit-exact before
+    the final rounding."""
+    sql = """WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+e0 AS MATERIALIZED (
+  SELECT b AS u, b + 1 AS v FROM blk
+  UNION ALL SELECT b + 1, b + 2 FROM blk
+  UNION ALL SELECT b + 2, b FROM blk
+  UNION ALL SELECT b, b + 2 FROM blk),
+verts AS MATERIALIZED (SELECT u AS vertex FROM e0
+                       UNION SELECT v FROM e0),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),
+deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS d
+                     FROM e0 GROUP BY u),
+pdeg AS MATERIALIZED (SELECT u, COUNT(*) AS d FROM e0 GROUP BY u),
+r0 AS MATERIALIZED (SELECT vertex, 1.0 / nn.c AS rank FROM verts, nn)"""
+    for k in range(1, pr_iters + 1):
+        prev = "r%d" % (k - 1)
+        sql += """,
+r%d AS MATERIALIZED (
+  SELECT v.vertex,
+         0.5 / nn.c + 0.5 * (COALESCE(s.s, 0) + dm.m / nn.c) AS rank
+  FROM verts v
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS m
+              FROM %s r LEFT JOIN deg d2 ON r.vertex = d2.u
+              WHERE d2.u IS NULL) dm
+  LEFT JOIN (SELECT e.v AS vertex, SUM(r.rank / d3.d) AS s
+             FROM e0 e JOIN %s r ON e.u = r.vertex
+             JOIN deg d3 ON d3.u = e.u
+             GROUP BY e.v) s ON s.vertex = v.vertex)""" % (k, prev,
+                                                           prev)
+    sql += """,
+seed AS MATERIALIZED (SELECT b AS node, 0.5 AS sm FROM blk
+                      WHERE b % 40 = 0),
+ew AS MATERIALIZED (SELECT e0.u, e0.v, pdeg.d FROM e0
+                    JOIN pdeg ON e0.u = pdeg.u),
+t0 AS MATERIALIZED (SELECT node, sm AS score FROM seed)"""
+    for k in range(1, ppr_iters + 1):
+        prev = "t%d" % (k - 1)
+        sql += """,
+s%d AS MATERIALIZED (
+  SELECT ew.v AS node, SUM(p.score * 0.5 / ew.d) AS sc
+  FROM %s p JOIN ew ON p.node = ew.u GROUP BY ew.v),
+t%d AS MATERIALIZED (
+  SELECT COALESCE(s%d.node, seed.node) AS node,
+         COALESCE(s%d.sc, 0) + COALESCE(seed.sm, 0) AS score
+  FROM s%d FULL OUTER JOIN seed ON s%d.node = seed.node)""" % (
+            k, prev, k, k, k, k, k)
+    sql += """,
+ns AS (SELECT COUNT(DISTINCT node) AS n FROM seed)
+SELECT p.vertex AS node,
+       round(round(p.rank, 9), 6) AS pagerank_r,
+       round(COALESCE(t.score / ns.n, 0), 6) AS trust_r,
+       round((round(p.rank, 9) - COALESCE(t.score / ns.n, 0))
+             / round(p.rank, 9), 6) AS rel_spam_mass
+FROM r%d p CROSS JOIN ns
+LEFT JOIN t%d t ON p.vertex = t.node
+ORDER BY node""" % (pr_iters, ppr_iters)
     return sql
 
 
@@ -8410,6 +8500,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN tot USING (surface)
             ORDER BY surface, rank""",
         # PPR recursion unrolled 3 rounds; all scores dyadic-exact
+        "kg_spam_mass": _spam_mass_sql(pr_iters=5, ppr_iters=3),
         "kg_ppr": """
             WITH blk AS (SELECT doc_id AS b FROM documents
                          WHERE doc_id % 20 = 0),

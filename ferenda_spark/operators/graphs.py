@@ -1915,3 +1915,53 @@ def biblio_coupling(edges: DataFrame, src: str = "src",
                     F.round(F.col("n_common") /
                             F.sqrt(F.col("_ra").cast("double") *
                                    F.col("_rb")), 6).alias("salton")))
+
+
+def spam_mass(edges: DataFrame, trusted: DataFrame,
+              pr_iterations: int = 5, ppr_iterations: int = 3,
+              damping: float = 0.5, alpha: float = 0.5,
+              src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina, Pedersen,
+    "Link spam detection based on mass estimation", VLDB 2006): the
+    fraction of a node's PageRank that does NOT flow from a trusted
+    seed set — M(p) = (PR(p) - T(p)) / PR(p), where T is the
+    TrustRank vector (seed-restarted walk).  The standard web-scale
+    link-farm detector: nodes whose rank is mostly self-made sit near
+    1.0; nodes reachable from trust sit near 0 (or below, when trust
+    exceeds their global rank).
+
+    Composition of the two existing loops: global :func:`pagerank`
+    (damping here defaults to a dyadic 0.5 so planted-graph scores
+    are exact IEEE doubles) and :func:`personalized_pagerank` from
+    ``trusted`` (node column).  The trust vector is normalized by
+    |seeds| — PPR is linear in seed mass, so dividing the OUTPUT by
+    the seed count equals running with per-seed mass alpha/|seeds|
+    (one exact integer division instead of a float re-normalizing
+    sum whose term order engines could disagree on).
+
+    Scale shape: both inner loops are the established per-round
+    join+groupBy shapes; the combine step is one full-outer join of
+    two node-keyed vectors plus a 1-row broadcast seed count.
+
+    Returns (node, pagerank_r, trust_r, rel_spam_mass), mass rounded
+    to 6, for every ranked node."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    pr = pagerank(e, iterations=pr_iterations, damping=damping,
+                  round_to=9)
+    tr = personalized_pagerank(edges, trusted,
+                               iterations=ppr_iterations, alpha=alpha,
+                               src=src, dst=dst)
+    nseeds = trusted.select(F.col("node").cast("long")).distinct().agg(
+        F.count(F.lit(1)).alias("_ns"))
+    tr = (tr.crossJoin(F.broadcast(nseeds))
+          .select(F.col("node").cast("long").alias("vertex"),
+                  (F.col("score") / F.col("_ns")).alias("_t")))
+    prv = pr.select(F.col("vertex").cast("long").alias("vertex"),
+                    F.col("pagerank_r").alias("_pr"))
+    t = F.coalesce(F.col("_t"), F.lit(0.0))
+    return (prv.join(tr, "vertex", "left")
+            .select(F.col("vertex").alias("node"),
+                    F.round("_pr", 6).alias("pagerank_r"),
+                    F.round(t, 6).alias("trust_r"),
+                    F.round((F.col("_pr") - t) / F.col("_pr"), 6)
+                    .alias("rel_spam_mass")))
