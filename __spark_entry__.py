@@ -3556,6 +3556,38 @@ def _q_url_templates(spark, sf_dir):
             .orderBy("template"))
 
 
+def _q_param_significance(spark, sf_dir):
+    """DUST-rule mining over planted query parameters: every doc
+    yields 4 URLs crossing page in {1,2} x sessionid suffix in
+    {a,b}; content hash depends on (doc_id, page) only.  Expected
+    verdicts: `page` significance 1.0 (selects content), `sessionid`
+    0.0 (droppable) — per host, so the frontier's canonicalization
+    rule is host-scoped like the reference crawler's."""
+    from ferenda_spark.operators.crawl import param_significance
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.when(did % 10 < 3, F.lit("https://hot.example.org/"))
+        .otherwise(F.lit("https://example.org/")),
+        F.lit("docs/"), F.col("source"), F.lit("/"),
+        did.cast("string"))
+    combo = F.explode(F.array(*[
+        F.struct(F.lit(p).alias("p"), F.lit(v).alias("v"))
+        for p in (1, 2) for v in ("a", "b")])).alias("c")
+    urls = (d.select(did.alias("doc_id"), base.alias("_b"), combo)
+            .select(
+                F.concat(F.col("_b"), F.lit("?page="),
+                         F.col("c.p").cast("string"),
+                         F.lit("&sessionid=s"),
+                         F.col("doc_id").cast("string"),
+                         F.col("c.v")).alias("url"),
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("-"),
+                               F.col("c.p").cast("string")))
+                .alias("content_hash")))
+    return (param_significance(urls).orderBy("host", "param"))
+
+
 def _q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins for a classifier whose scores are
     exact binary fractions ((doc_id*37+11)%256 / 256 — so every sum
@@ -4644,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zorder_layout": _q_zorder_layout,
         "crawl_recrawl_schedule": _q_recrawl_schedule,
         "crawl_url_templates": _q_url_templates,
+        "crawl_param_significance": _q_param_significance,
         "stats_calibration_bins": _q_calibration_bins,
         "text_tokenizer_fertility": _q_tokenizer_fertility,
         "kg_mined_rules": _q_mined_rules,
@@ -9262,6 +9295,58 @@ def oracle_sql() -> dict[str, str]:
             FROM est ORDER BY url""",
         # the three closed-form path families collapse to one
         # template each per host
+        # DUST param mining: same URL synthesis as the Spark side,
+        # parsed back with SQL string ops (host = 3rd slash field,
+        # residual = sorted other params)
+        "crawl_param_significance": "WITH " + _F_CTE + r""",
+            combos AS (
+              SELECT f.doc_id, f.url AS base, p.p, v.v
+              FROM f, (VALUES (1), (2)) p(p),
+                   (VALUES ('a'), ('b')) v(v)),
+            u AS (
+              SELECT base || '?page=' || p || '&sessionid=s'
+                       || doc_id || v AS url,
+                     md5(doc_id || '-' || p) AS h
+              FROM combos),
+            parsed AS (
+              SELECT url, h,
+                     string_split(url, '/')[3] AS host,
+                     '/' || array_to_string(
+                       string_split(string_split(url, '?')[1],
+                                    '/')[4:], '/') AS path,
+                     string_split(url, '?')[2] AS q
+              FROM u),
+            ex AS (
+              SELECT host, path, h, q,
+                     unnest(string_split(q, '&')) AS kv
+              FROM parsed),
+            pr AS (
+              SELECT host, path, h,
+                     string_split(kv, '=')[1] AS param,
+                     string_split(kv, '=')[2] AS val,
+                     array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       x -> string_split(x, '=')[1]
+                            <> string_split(kv, '=')[1])), '&')
+                       AS residual
+              FROM ex),
+            g AS (
+              SELECT host, path, param, residual,
+                     COUNT(DISTINCT val) AS nv,
+                     COUNT(DISTINCT h) AS nh
+              FROM pr GROUP BY 1, 2, 3, 4
+              HAVING COUNT(DISTINCT val) >= 2)
+            SELECT host, param,
+                   COUNT(*) AS n_groups,
+                   SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)
+                     AS n_varying,
+                   round(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)
+                         / CAST(COUNT(*) AS DOUBLE), 6)
+                     AS significance,
+                   SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) = 0
+                     AS droppable
+            FROM g GROUP BY host, param
+            ORDER BY host, param""",
         "crawl_url_templates": """
             WITH d AS (SELECT doc_id, doc_id % 3 AS r,
                    's' || (doc_id % 4) || '.example.org' AS host

@@ -688,3 +688,59 @@ def rel_canonical(pages: DataFrame, url_col: str = "url",
             .select("canonical_url", "n_variants",
                     F.coalesce("_hit", F.lit(False))
                     .alias("target_in_corpus")))
+
+
+def param_significance(urls: DataFrame, url_col: str = "url",
+                       hash_col: str = "content_hash") -> DataFrame:
+    """URL query-parameter significance mining — the DUST rule
+    learner ("Do Not Crawl in the DUST: different URLs with similar
+    text", Bar-Yossef et al., WWW 2007; IRLbot's session-id
+    stripping): decide, per (host, parameter), whether the parameter
+    ever CHANGES content, so the frontier can canonicalize
+    insignificant ones away before fetching.
+
+    Method: explode each URL's query into (name, value) rows; the
+    evidence group for parameter p is (host, path, residual) where
+    residual = the OTHER parameters, sorted — URLs in one group
+    differ only in p's value.  A group with >= 2 distinct values of p
+    is an experiment; it "varies" if those URLs carry > 1 distinct
+    content hash.  significance = varying / experiments per (host,
+    name); 0.0 => the parameter is droppable (a session id), 1.0 =>
+    it selects content (a page number).
+
+    All higher-order column expressions (split / filter / sort /
+    join) + two groupBys keyed on bounded composites — no UDF, no
+    self-join; scales as one pass over the URL table.
+
+    Returns (host, param, n_groups, n_varying, significance,
+    droppable) for parameters observed in >= 1 experiment."""
+    q = F.parse_url(F.col(url_col), F.lit("QUERY"))
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    params = F.split(q, "&")
+    rows = (urls.where(q.isNotNull() & (q != ""))
+            .select(host.alias("host"), path.alias("path"),
+                    params.alias("_ps"), F.col(hash_col).alias("_h"))
+            .select("host", "path", "_h", "_ps",
+                    F.explode("_ps").alias("_kv"))
+            .select("host", "path", "_h",
+                    F.split("_kv", "=").getItem(0).alias("param"),
+                    F.split("_kv", "=").getItem(1).alias("_val"),
+                    F.array_join(F.array_sort(F.filter(
+                        "_ps",
+                        lambda x: F.split(x, "=").getItem(0)
+                        != F.split(F.col("_kv"), "=").getItem(0))),
+                        "&").alias("_residual")))
+    groups = (rows.groupBy("host", "path", "param", "_residual")
+              .agg(F.countDistinct("_val").alias("_nv"),
+                   F.countDistinct("_h").alias("_nh"))
+              .where(F.col("_nv") >= 2))
+    return (groups.groupBy("host", "param")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum(F.when(F.col("_nh") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_varying"))
+            .select("host", "param", "n_groups", "n_varying",
+                    F.round(F.col("n_varying")
+                            / F.col("n_groups").cast("double"), 6)
+                    .alias("significance"),
+                    (F.col("n_varying") == 0).alias("droppable")))
