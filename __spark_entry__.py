@@ -2818,6 +2818,30 @@ def _q_spam_mass(spark, sf_dir):
     return spam_mass(edges, trusted).orderBy("node")
 
 
+def _q_simrank(spark, sf_dir):
+    """SimRank (2 iterations, C=0.5) over a planted per-block graph
+    whose in-degrees are all powers of two: every score is an exact
+    sum of dyadic rationals, so the unrolled oracle compares
+    hash-exact with no float-order hazard.  Block shape (b->b+2,
+    b+1->b+2, b->b+3, b+1->b+3, b+2->b+4, b+3->b+4, b+3->b+1,
+    b+4->b+1) plants both first-iteration co-citation pairs and
+    second-iteration similarity that only SimRank's recursion
+    reaches."""
+    from ferenda_spark.operators.graphs import simrank
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("doc_a"),
+                        (F.col("b") + j).alias("doc_b"))
+    edges = (_e(0, 2).unionByName(_e(1, 2)).unionByName(_e(0, 3))
+             .unionByName(_e(1, 3)).unionByName(_e(2, 4))
+             .unionByName(_e(3, 4)).unionByName(_e(3, 1))
+             .unionByName(_e(4, 1)))
+    return (simrank(edges, iterations=2, c=0.5)
+            .orderBy("node_a", "node_b"))
+
+
 def _q_kg_walks(spark, sf_dir):
     """DeepWalk corpus over a planted per-block branching graph
     (b->b+1, b->b+2, b+1->b+3, b+2->b+3, b+3->b+1): 2 deterministic
@@ -4643,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_alias_priors": _q_alias_priors,
         "kg_ppr": _q_ppr,
         "kg_spam_mass": _q_spam_mass,
+        "kg_simrank": _q_simrank,
         "train_kg_walks": _q_kg_walks,
         "kg_table_column_types": _q_table_column_types,
         "kg_schema_matching": _q_schema_matching,
@@ -5130,6 +5155,42 @@ SELECT p.vertex AS node,
 FROM r%d p CROSS JOIN ns
 LEFT JOIN t%d t ON p.vertex = t.node
 ORDER BY node""" % (pr_iters, ppr_iters)
+    return sql
+
+
+def _simrank_sql(iterations: int = 2) -> str:
+    """Closed-form SimRank oracle over the planted power-of-two
+    in-degree block graph: the recursion unrolled one CTE pair per
+    round, diagonal re-seeded at 1.0 each round, hub cut mirrored."""
+    sql = """WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+e AS MATERIALIZED (
+  SELECT b AS u, b + 2 AS v FROM blk
+  UNION ALL SELECT b + 1, b + 2 FROM blk
+  UNION ALL SELECT b, b + 3 FROM blk
+  UNION ALL SELECT b + 1, b + 3 FROM blk
+  UNION ALL SELECT b + 2, b + 4 FROM blk
+  UNION ALL SELECT b + 3, b + 4 FROM blk
+  UNION ALL SELECT b + 3, b + 1 FROM blk
+  UNION ALL SELECT b + 4, b + 1 FROM blk),
+ind AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM e GROUP BY v),
+e2 AS MATERIALIZED (SELECT e.u, e.v FROM e
+                    JOIN ind ON e.v = ind.v WHERE ind.d <= 64),
+nodes AS MATERIALIZED (SELECT u AS n FROM e UNION SELECT v FROM e),
+s0 AS MATERIALIZED (SELECT n AS x, n AS y, 1.0 AS s FROM nodes)"""
+    for k in range(1, iterations + 1):
+        sql += """,
+t%d AS MATERIALIZED (
+  SELECT ea.v AS a, eb.v AS b, SUM(p.s) AS t
+  FROM s%d p JOIN e2 ea ON p.x = ea.u JOIN e2 eb ON p.y = eb.u
+  WHERE ea.v <> eb.v GROUP BY 1, 2),
+s%d AS MATERIALIZED (
+  SELECT a AS x, b AS y, 0.5 / (ia.d * ib.d) * t AS s
+  FROM t%d JOIN ind ia ON t%d.a = ia.v JOIN ind ib ON t%d.b = ib.v
+  UNION ALL SELECT n, n, 1.0 FROM nodes)""" % (k, k - 1, k, k, k, k)
+    sql += """
+SELECT x AS node_a, y AS node_b, round(s, 6) AS sim
+FROM s%d WHERE x < y AND s > 0 ORDER BY node_a, node_b""" % iterations
     return sql
 
 
@@ -8534,6 +8595,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY surface, rank""",
         # PPR recursion unrolled 3 rounds; all scores dyadic-exact
         "kg_spam_mass": _spam_mass_sql(pr_iters=5, ppr_iters=3),
+        "kg_simrank": _simrank_sql(iterations=2),
         "kg_ppr": """
             WITH blk AS (SELECT doc_id AS b FROM documents
                          WHERE doc_id % 20 = 0),

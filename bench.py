@@ -158,7 +158,7 @@ HEADLINE = [
     # r4 session 12: citation-similarity pair
     "kg_cocitation", "kg_biblio_coupling", "dedup_meta_blocking",
     "stats_hist_quantiles", "mm_image_dhash", "mm_image_dhash_pairs",
-    "kg_spam_mass", "crawl_param_significance",
+    "kg_spam_mass", "crawl_param_significance", "kg_simrank",
 ]
 
 

@@ -1965,3 +1965,65 @@ def spam_mass(edges: DataFrame, trusted: DataFrame,
                     F.round(t, 6).alias("trust_r"),
                     F.round((F.col("_pr") - t) / F.col("_pr"), 6)
                     .alias("rel_spam_mass")))
+
+
+def simrank(edges: DataFrame, iterations: int = 2, c: float = 0.5,
+            src: str = "doc_a", dst: str = "doc_b",
+            max_indegree: int = 64, min_sim: float = 0.0) -> DataFrame:
+    """SimRank (Jeh & Widom, KDD 2002): two nodes are similar if
+    their IN-neighbors are similar — s(a,b) = C/(|I(a)||I(b)|) *
+    sum over (u in I(a), v in I(b)) of s(u,v), s(a,a) = 1.  The
+    structural-equivalence dual of co-citation (co-citation IS
+    SimRank's first iteration up to the normalizer); in KG
+    construction it scores sameAs candidates that share *similar*,
+    not merely identical, citers.
+
+    Distributed shape: the similarity table is kept SPARSE and
+    SYMMETRIC (diagonal + every discovered pair in both orders); one
+    round = two edge joins (u->a, v->b) against it, one (a, b)
+    groupBy-sum, and a broadcast-size in-degree normalizer join.
+    SimRank is inherently O(pairs x d^2) — the standard production
+    controls are all here: nodes with in-degree > ``max_indegree``
+    never generate pairs (hub cut, mirrored in any oracle),
+    ``min_sim`` prunes below-threshold pairs each round (sparsity
+    threshold), and the pair table is localCheckpointed per round.
+
+    Engine portability: with C dyadic and planted in-degrees that are
+    powers of two, every score is a sum of exactly-representable
+    dyadic rationals — addition is exact, so summation ORDER cannot
+    make engines disagree.
+
+    Returns (node_a, node_b, sim) for non-diagonal pairs with
+    sim > ``min_sim``, node_a < node_b, rounded to 6."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    ind = e.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    e2 = (e.join(ind.where(F.col("d") <= max_indegree), "v")
+          .select("u", "v").localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("n"))
+             .unionByName(e.select(F.col("v").alias("n")))
+             .distinct().localCheckpoint(eager=True))
+    diag = nodes.select(F.col("n").alias("x"), F.col("n").alias("y"),
+                        F.lit(1.0).alias("s"))
+    sim = diag
+    ea = e2.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    eb = e2.select(F.col("u").alias("y"), F.col("v").alias("b"))
+    for _ in range(iterations):
+        t = (sim.join(ea, "x").join(eb, "y")
+             .where(F.col("a") != F.col("b"))
+             .groupBy("a", "b").agg(F.sum("s").alias("t")))
+        off = (t.join(ind.select(F.col("v").alias("a"),
+                                 F.col("d").alias("_da")), "a")
+               .join(ind.select(F.col("v").alias("b"),
+                                F.col("d").alias("_db")), "b")
+               .select(F.col("a").alias("x"), F.col("b").alias("y"),
+                       (F.lit(c) / (F.col("_da") * F.col("_db"))
+                        * F.col("t")).alias("s")))
+        if min_sim > 0:
+            off = off.where(F.col("s") > min_sim)
+        sim = diag.unionByName(off).localCheckpoint(eager=True)
+    return (sim.where(F.col("x") < F.col("y"))
+            .where(F.col("s") > min_sim)
+            .select(F.col("x").alias("node_a"),
+                    F.col("y").alias("node_b"),
+                    F.round("s", 6).alias("sim")))
