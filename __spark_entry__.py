@@ -432,6 +432,23 @@ def _q_dedup_jaccard_pairs(spark, sf_dir):
                                n=3, threshold=0.1, max_shingle_freq=100)
 
 
+def _q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment over the corpus plus planted
+    10-token excerpts of every 5th doc: the excerpt's 3-gram set is a
+    subset of its source's, so c(excerpt -> source) = 1.0 while the
+    reverse (and plain Jaccard) stays tiny — the quote/subset dedup
+    rule.  Threshold 0.8; hot-shingle guard (>100 docs) mirrored in
+    the oracle."""
+    from ferenda_spark.operators.dedup import containment_pairs, tokens
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    exc = (d.where(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.array_join(F.slice(tokens(F.col("text")), 1, 10),
+                                " ").alias("text")))
+    return (containment_pairs(d.unionByName(exc), n=3, threshold=0.8)
+            .orderBy("doc_a", "doc_b"))
+
+
 def _q_dedup_meta_blocking(spark, sf_dir):
     """Meta-blocking (Papadakis TKDE 2014): word-2-gram token
     blocking, block purging at size 20 (the hot-key guard), CBS edge
@@ -3612,6 +3629,26 @@ def _q_param_significance(spark, sf_dir):
     return (param_significance(urls).orderBy("host", "param"))
 
 
+def _q_blocklist_filter(spark, sf_dir):
+    """Registrable-suffix blocklist over four planted host families
+    (a.b.spam.test / c.spam.test / ok.example.org / good.net) with
+    rules [spam.test, bad.org]: subdomains at any depth of a blocked
+    suffix are caught, unrelated hosts pass, and the most specific
+    matching rule is reported."""
+    from ferenda_spark.operators.crawl import blocklist_filter
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    host = (F.when(did % 4 == 0, F.lit("a.b.spam.test"))
+            .when(did % 4 == 1, F.lit("c.spam.test"))
+            .when(did % 4 == 2, F.lit("ok.example.org"))
+            .otherwise(F.lit("good.net")))
+    urls = d.select(F.concat(F.lit("https://"), host, F.lit("/p/"),
+                             did.cast("string")).alias("url"))
+    bl = spark.createDataFrame([("spam.test",), ("bad.org",)],
+                               "domain string")
+    return blocklist_filter(urls, bl).orderBy("url")
+
+
 def _q_calibration_bins(spark, sf_dir):
     """Reliability-diagram bins for a classifier whose scores are
     exact binary fractions ((doc_id*37+11)%256 / 256 — so every sum
@@ -4513,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": _q_dedup_minhash_clusters,
         "dedup_jaccard_pairs": _q_dedup_jaccard_pairs,
         "dedup_meta_blocking": _q_dedup_meta_blocking,
+        "dedup_containment": _q_dedup_containment,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -4702,6 +4740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_recrawl_schedule": _q_recrawl_schedule,
         "crawl_url_templates": _q_url_templates,
         "crawl_param_significance": _q_param_significance,
+        "crawl_blocklist_filter": _q_blocklist_filter,
         "stats_calibration_bins": _q_calibration_bins,
         "text_tokenizer_fertility": _q_tokenizer_fertility,
         "kg_mined_rules": _q_mined_rules,
@@ -6040,6 +6079,57 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
             SELECT v AS doc_id, MIN(u) AS canonical_doc_id
             FROM reach GROUP BY v""",
+        # Containment: excerpt corpus, 3-gram shingles, hot guard,
+        # per-direction denominator = the GUARDED source size
+        "dedup_containment": r"""
+            WITH exc AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       string_split_regex(lower(trim(text)),
+                         '[ 	
+
+]+')[1:10], ' ') AS text
+              FROM documents WHERE doc_id % 5 = 0),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id, text FROM exc),
+            toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)),
+                     '[ 	
+
+]+') AS t
+              FROM corpus),
+            idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t)-2, 1)))
+                       AS i
+              FROM toks),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE length(array_to_string(t[i:i+2], ' ')) > 0),
+            shg AS (
+              SELECT * FROM sh WHERE shingle NOT IN (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING COUNT(*) > 100)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shg
+                      GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     COUNT(*) AS n_common
+              FROM shg a JOIN shg b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            directed AS (
+              SELECT da AS doc_a, db AS doc_b, n_common FROM common
+              UNION ALL SELECT db, da, n_common FROM common)
+            SELECT d.doc_a, d.doc_b, d.n_common,
+                   round(d.n_common / CAST(s.sz AS DOUBLE), 6)
+                     AS containment
+            FROM directed d JOIN sizes s ON d.doc_a = s.doc_id
+            WHERE round(d.n_common / CAST(s.sz AS DOUBLE), 6) >= 0.8
+            ORDER BY doc_a, doc_b""",
         # Meta-blocking: 2-gram blocks, purge at 2..20, CBS weights,
         # weighted node pruning on mean incident weight (exact avg:
         # sum-of-longs / count, one IEEE division per node)
@@ -9357,6 +9447,41 @@ def oracle_sql() -> dict[str, str]:
             FROM est ORDER BY url""",
         # the three closed-form path families collapse to one
         # template each per host
+        # suffix-chain blocklist: hosts closed-form in doc_id; the
+        # matched suffix is the longest (most specific) rule
+        "crawl_blocklist_filter": """
+            WITH u AS (
+              SELECT 'https://' ||
+                     (CASE doc_id % 4
+                        WHEN 0 THEN 'a.b.spam.test'
+                        WHEN 1 THEN 'c.spam.test'
+                        WHEN 2 THEN 'ok.example.org'
+                        ELSE 'good.net' END) || '/p/' || doc_id
+                       AS url,
+                     CASE doc_id % 4
+                        WHEN 0 THEN 'a.b.spam.test'
+                        WHEN 1 THEN 'c.spam.test'
+                        WHEN 2 THEN 'ok.example.org'
+                        ELSE 'good.net' END AS host
+              FROM documents),
+            bl AS (SELECT unnest(['spam.test', 'bad.org'])
+                     AS suffix),
+            ex AS (
+              SELECT url, host,
+                     array_to_string(
+                       string_split(host, '.')[i:], '.') AS suffix
+              FROM u, LATERAL (
+                SELECT unnest(generate_series(1,
+                  len(string_split(host, '.')))) AS i) s),
+            hits AS (
+              SELECT ex.url,
+                     max_by(ex.suffix, length(ex.suffix)) AS ms
+              FROM ex JOIN bl ON ex.suffix = bl.suffix
+              GROUP BY ex.url)
+            SELECT u.url, u.host, hits.url IS NOT NULL AS blocked,
+                   hits.ms AS matched_suffix
+            FROM u LEFT JOIN hits ON u.url = hits.url
+            ORDER BY u.url""",
         # DUST param mining: same URL synthesis as the Spark side,
         # parsed back with SQL string ops (host = 3rd slash field,
         # residual = sorted other params)

@@ -159,6 +159,7 @@ HEADLINE = [
     "kg_cocitation", "kg_biblio_coupling", "dedup_meta_blocking",
     "stats_hist_quantiles", "mm_image_dhash", "mm_image_dhash_pairs",
     "kg_spam_mass", "crawl_param_significance", "kg_simrank",
+    "dedup_containment", "crawl_blocklist_filter",
 ]
 
 

@@ -744,3 +744,41 @@ def param_significance(urls: DataFrame, url_col: str = "url",
                             / F.col("n_groups").cast("double"), 6)
                     .alias("significance"),
                     (F.col("n_varying") == 0).alias("droppable")))
+
+
+def blocklist_filter(urls: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Domain-suffix blocklist matching — the frontier's URL filter
+    (reference: per-repo allowed-domain checks; at web scale the
+    blocklist is registrable-suffix-based, so ``spam.test`` must
+    block ``a.b.spam.test``).  Each host explodes into its suffix
+    chain (a.b.spam.test -> [a.b.spam.test, b.spam.test, spam.test,
+    test]) with pure array expressions, then joins the BROADCAST
+    blocklist (dimension-sized: even industrial lists are << 10^7
+    rows) — no UDF, no regex scan per rule.
+
+    Returns the input annotated: (url, host, blocked,
+    matched_suffix) — matched_suffix is the longest matching rule
+    (most specific), NULL when clean."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    # two-step projection: deriving the suffix chain from an alias of
+    # the same name in one select trips Spark's lateral-column-alias
+    # resolution (INTERNAL_ERROR), so host is materialized first
+    base = urls.select(F.col(url_col).alias("url"), host.alias("host"))
+    parts = F.split(F.col("host"), r"\.")
+    n = F.size(parts)
+    sufs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."))
+    ex = base.select("url", "host", F.explode(sufs).alias("_suffix"))
+    bl = blocklist.select(F.col("domain").alias("_suffix")).distinct()
+    hits = (ex.join(F.broadcast(bl), "_suffix")
+            .groupBy("url")
+            .agg(F.max(F.struct(F.length("_suffix").alias("_l"),
+                                F.col("_suffix").alias("s")))
+                 .alias("_m")))
+    return (base
+            .join(hits, "url", "left")
+            .select("url", "host",
+                    F.col("_m").isNotNull().alias("blocked"),
+                    F.col("_m.s").alias("matched_suffix")))

@@ -672,3 +672,49 @@ def meta_blocking_pairs(documents: DataFrame, n: int = 2,
                    (F.col("cbs") >= F.col("_tb")))
             .select(F.col("a").alias("doc_a"),
                     F.col("b").alias("doc_b"), "cbs"))
+
+
+def containment_pairs(documents: DataFrame, n: int = 3,
+                      threshold: float = 0.5,
+                      max_shingle_freq: int = 100) -> DataFrame:
+    """Asymmetric shingle containment (Broder 1997's second resemblance
+    measure): c(A -> B) = |S(A) ∩ S(B)| / |S(A)| — the quote/subset
+    detector symmetric Jaccard misses: a 50-token excerpt inside a
+    5000-token page has Jaccard ~0.01 but containment ~1.0.  In a
+    training-data pipeline this is the "document is a near-subset of
+    another" dedup rule (keep the superset, drop the excerpt).
+
+    Same bounded machinery as ngram_jaccard_pairs: distinct shingles,
+    hot-shingle guard (> ``max_shingle_freq`` docs), one shingle-keyed
+    self-join counted per unordered pair, then BOTH directed rows are
+    emitted with each side's own size as denominator.  |S(A)| is the
+    guarded size (consistent numerator/denominator, mirrored in the
+    oracle).
+
+    Returns (doc_a, doc_b, n_common, containment) for ORDERED pairs
+    with containment >= threshold, doc_a != doc_b."""
+    sh = shingles(documents, n)
+    hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+           .where(F.col("_f") > max_shingle_freq).select("shingle"))
+    shg = sh.join(hot, "shingle", "left_anti")
+    sizes = shg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = shg.select("shingle", F.col("doc_id").alias("da"))
+    b = shg.select("shingle", F.col("doc_id").alias("db"))
+    common = (a.join(b, "shingle")
+              .where(F.col("da") < F.col("db"))
+              .groupBy("da", "db")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    directed = (common.select(F.col("da").alias("doc_a"),
+                              F.col("db").alias("doc_b"), "n_common")
+                .unionByName(
+                    common.select(F.col("db").alias("doc_a"),
+                                  F.col("da").alias("doc_b"),
+                                  "n_common")))
+    return (directed
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("_sz")), "doc_a")
+            .select("doc_a", "doc_b", "n_common",
+                    F.round(F.col("n_common")
+                            / F.col("_sz").cast("double"), 6)
+                    .alias("containment"))
+            .where(F.col("containment") >= threshold))
