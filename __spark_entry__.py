@@ -3437,6 +3437,37 @@ def _q_nquads_triples(spark, sf_dir):
             .orderBy("raw"))
 
 
+def _q_turtle_triples(spark, sf_dir):
+    """Distributed Turtle ingest (the reference's other RDF file
+    syntax: vocab/*.ttl + dumprdf/dumpstore default to turtle,
+    documentrepository.py:410-447, devel.py:293,314): one synthesized
+    .ttl payload per doc exercising @prefix expansion, `a`, predicate
+    (`;`) and object (`,`) lists, an escaped+lang'd string literal,
+    abbreviated integer and decimal literals, and a malformed doc
+    (doc_id%11==10) that must come back as ONE quarantine row.  The
+    REAL tokenizer/parser runs Spark-side per document (Turtle is not
+    line-splittable, so the distribution unit is the doc); the oracle
+    emits the expected parse closed-form."""
+    from ferenda_spark.operators.rdfio import parse_turtle_docs
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("en")).alias("lang"),
+        "source", F.length("text").alias("len"))
+    did = F.col("doc_id")
+    ttl = F.when(did % 11 == 10, F.lit("???")).otherwise(F.concat_ws(
+        "\n",
+        F.lit("@prefix ex: <https://example.org/> ."),
+        F.lit("@prefix dct: <http://purl.org/dc/terms/> ."),
+        F.format_string("ex:doc%d a ex:Document ;", did),
+        F.concat(F.lit('  dct:title "Doc \\"'), did.cast("string"),
+                 F.lit('\\""@'), F.col("lang"), F.lit(" ;")),
+        F.format_string("  dct:extent %d ;", F.col("len")),
+        F.format_string("  ex:score %d.25 ;", did % 10),
+        F.concat(F.lit("  ex:source ex:src_"), F.col("source"),
+                 F.lit(" , ex:mirror_"), F.col("source"), F.lit(" ."))))
+    return (parse_turtle_docs(d.select("doc_id", ttl.alias("ttl")))
+            .orderBy("doc_id", "pred", "obj"))
+
+
 def _q_entity_cards(spark, sf_dir):
     """Serving-layer entity-card export: the real corpus doc-triples
     collapsed to one canonical record per subject (sorted pred=obj
@@ -4730,6 +4761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_violations": _q_shacl_violations,
         "kg_disjoint_violations": _q_disjoint_violations,
         "kg_nquads_triples": _q_nquads_triples,
+        "kg_turtle_triples": _q_turtle_triples,
         "kg_entity_cards": _q_entity_cards,
         "train_weighted_sample": _q_train_weighted_sample,
         "kg_spam_features": _q_spam_features,
@@ -9297,6 +9329,51 @@ def oracle_sql() -> dict[str, str]:
                             || '> .'
                 ELSE 'malformed ' || doc_id END AS raw
             FROM d ORDER BY raw""",
+        # expected parse of the synthesized per-doc Turtle payloads:
+        # 6 triples per good doc, 1 quarantine row per malformed doc
+        "kg_turtle_triples": """
+            WITH d AS (SELECT doc_id, coalesce(lang, 'en') AS lang,
+                   source, CAST(length(text) AS VARCHAR) AS len,
+                   'https://example.org/doc' || doc_id AS s
+                   FROM documents),
+            good AS (SELECT * FROM d WHERE doc_id % 11 <> 10),
+            trip AS (
+              SELECT doc_id, s AS subj,
+                'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                  AS pred,
+                'https://example.org/Document' AS obj,
+                FALSE AS is_literal, CAST(NULL AS VARCHAR) AS obj_lang,
+                CAST(NULL AS VARCHAR) AS obj_datatype
+              FROM good
+              UNION ALL
+              SELECT doc_id, s, 'http://purl.org/dc/terms/title',
+                'Doc "' || doc_id || '"', TRUE, lang, NULL FROM good
+              UNION ALL
+              SELECT doc_id, s, 'http://purl.org/dc/terms/extent',
+                len, TRUE, NULL,
+                'http://www.w3.org/2001/XMLSchema#integer' FROM good
+              UNION ALL
+              SELECT doc_id, s, 'https://example.org/score',
+                (doc_id % 10) || '.25', TRUE, NULL,
+                'http://www.w3.org/2001/XMLSchema#decimal' FROM good
+              UNION ALL
+              SELECT doc_id, s, 'https://example.org/source',
+                'https://example.org/src_' || source, FALSE, NULL,
+                NULL FROM good
+              UNION ALL
+              SELECT doc_id, s, 'https://example.org/source',
+                'https://example.org/mirror_' || source, FALSE, NULL,
+                NULL FROM good)
+            SELECT doc_id, subj, pred, obj, is_literal, obj_lang,
+                   obj_datatype, TRUE AS parse_ok,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM trip
+            UNION ALL
+            SELECT doc_id, NULL, NULL, NULL, CAST(NULL AS BOOLEAN),
+                   NULL, NULL, FALSE,
+                   'ValueError: turtle parse error at ''???'''
+            FROM d WHERE doc_id % 11 = 10
+            ORDER BY doc_id, pred, obj""",
         # string_agg replay of the canonical per-subject card
         "kg_entity_cards":
             "WITH " + _F_CTE + ", " + _DOC_TRIPLES + """,

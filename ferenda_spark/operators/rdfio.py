@@ -106,3 +106,72 @@ def parse_nquads(lines: DataFrame, col: str = "value") -> DataFrame:
         F.when(ok & (g != ""), _bare(g)).alias("graph"),
         ok.alias("parse_ok"),
         F.col("raw")))
+
+
+TURTLE_SCHEMA = (
+    "doc_id long, subj string, pred string, obj string, "
+    "is_literal boolean, obj_lang string, obj_datatype string, "
+    "parse_ok boolean, error string")
+
+
+def parse_turtle_docs(docs: DataFrame, id_col: str = "doc_id",
+                      col: str = "ttl") -> DataFrame:
+    """Distributed Turtle ingest: one Turtle *document* per row ->
+    exploded triples, per-doc quarantine.
+
+    The reference consumes Turtle everywhere RDF enters as a file:
+    vocabularies (``documentrepository.py:410-447`` parses
+    ``vocab/*.ttl`` / ``extra/*.ttl`` with rdflib) and its own dumps
+    (``devel.py:293,314`` dumprdf/dumpstore default format="turtle").
+    Unlike N-Quads (``parse_nquads``) Turtle is NOT line-splittable —
+    statements span lines and @prefix is stateful — so the correct
+    distribution unit is the *document*: each .ttl payload parses
+    independently inside an Arrow batch (the ``extract_pages`` stage
+    shape), embarrassingly parallel, no shuffle, page bytes dropped
+    from the output schema.
+
+    Reuses the stdlib-only reader :func:`ferenda_spark.turtle
+    .parse_turtle` (the golden-graph comparator), so the distributed
+    and driver-side paths cannot drift.  A doc that fails to parse
+    yields ONE quarantine row (NULL terms, ``parse_ok`` false, the
+    error message) — never a dropped doc, never a failed task
+    (the I4 per-doc error-isolation discipline).
+
+    Returns (doc_id, subj, pred, obj, is_literal, obj_lang,
+    obj_datatype, parse_ok, error); triples within a doc are emitted
+    in sorted order (deterministic output for a given input, though
+    downstream consumers treat it as a multiset)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..turtle import parse_turtle
+        cols = ("doc_id", "subj", "pred", "obj", "is_literal",
+                "obj_lang", "obj_datatype", "parse_ok", "error")
+        for pdf in it:
+            out = {c: [] for c in cols}
+
+            def push(did, s=None, p=None, o=None, lit=None, lang=None,
+                     dt=None, ok=True, err=None):
+                for c, v in zip(cols, (did, s, p, o, lit, lang, dt,
+                                       ok, err)):
+                    out[c].append(v)
+
+            for did, text in zip(pdf[id_col].tolist(),
+                                 pdf[col].tolist()):
+                try:
+                    triples = sorted(parse_turtle(text or ""))
+                except Exception as e:
+                    push(did, ok=False,
+                         err="%s: %s" % (type(e).__name__, e))
+                    continue
+                for s, p, o in triples:
+                    if o[0] == "uri":
+                        push(did, s, p, o[1], False)
+                    else:
+                        push(did, s, p, o[1], True, o[2], o[3])
+            yield pd.DataFrame(out)
+
+    return (docs.select(id_col, col)
+            .mapInPandas(batches, schema=TURTLE_SCHEMA))

@@ -3,8 +3,12 @@ distilled golden graphs (test/files/repo/*/distilled/*.ttl) for
 triple-set comparison without an rdflib dependency.
 
 Supports: @prefix, IRIs, prefixed names, `a`, object lists (`,`),
-predicate lists (`;`), string literals with \\-escapes, @lang tags and
-^^datatype.  Emits triples as (subj, pred, obj) where obj is
+predicate lists (`;`), string literals with \\-escapes, @lang tags,
+^^datatype, and the abbreviated numeric/boolean literal forms
+(Turtle §2.5.2: bare ``42`` / ``4.2`` / ``4e2`` / ``true`` lex to
+xsd:integer / xsd:decimal / xsd:double / xsd:boolean literals, the
+lexical form preserved verbatim).  Emits triples as (subj, pred, obj)
+where obj is
 ("uri", value) or ("lit", value, lang, datatype) — the same shape
 :mod:`ferenda_spark.rfcdistill` produces, so comparison is plain set
 algebra (the semantics of the reference's assertEqualGraphs,
@@ -20,7 +24,9 @@ _TOKEN = re.compile(r"""
   | (?P<literal>"(?:[^"\\]|\\.)*")
   | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<dtype>\^\^)
+  | (?P<num>[+-]?(?:\d*\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
   | (?P<punct>[;,.])
+  | (?P<bool>\b(?:true|false)\b)
   | (?P<pname>[A-Za-z_][\w.-]*:[\w.%-]*|a\b)
   | (?P<ws>\s+|\#[^\n]*)
 """, re.VERBOSE)
@@ -30,6 +36,17 @@ _UNESCAPE = {
 }
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _num_datatype(lexical):
+    """Turtle grammar: exponent -> double, dot -> decimal, else
+    integer (the lexical form is preserved verbatim)."""
+    if "e" in lexical or "E" in lexical:
+        return _XSD + "double"
+    if "." in lexical:
+        return _XSD + "decimal"
+    return _XSD + "integer"
 
 
 def _tokens(text):
@@ -101,6 +118,12 @@ def parse_turtle(text: str):
                     else:
                         i += 1
                     obj = ("lit", lit, lang, dtype)
+                elif okind == "num":
+                    obj = ("lit", oval, None, _num_datatype(oval))
+                    i += 1
+                elif okind == "bool":
+                    obj = ("lit", oval, None, _XSD + "boolean")
+                    i += 1
                 else:
                     obj = ("uri", resolve(okind, oval))
                     i += 1

@@ -139,6 +139,43 @@ def test_nquads_graph_term(spark):
     assert rows["_:b0"].is_literal is False
 
 
+def test_turtle_numeric_and_bool_literals():
+    """Turtle §2.5.2 abbreviated forms: bare 42 / 4.2 / 4e2 / true
+    lex to xsd:integer/decimal/double/boolean, lexical preserved."""
+    from ferenda_spark.turtle import parse_turtle
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    got = dict(
+        ((p.rsplit("/", 1)[-1], o) for _, p, o in parse_turtle(
+            "@prefix ex: <http://ex/> .\n"
+            "ex:s ex:i 42 ; ex:d -4.25 ; ex:e 4e2 ; ex:b true .")))
+    assert got["i"] == ("lit", "42", None, xsd + "integer")
+    assert got["d"] == ("lit", "-4.25", None, xsd + "decimal")
+    assert got["e"] == ("lit", "4e2", None, xsd + "double")
+    assert got["b"] == ("lit", "true", None, xsd + "boolean")
+
+
+def test_turtle_docs_explode_and_quarantine(spark):
+    """parse_turtle_docs: one good doc -> its triples (prefix
+    expansion, `a`, `;`/`,` lists); one bad doc -> exactly ONE
+    quarantine row, never a failed task or a dropped doc."""
+    from ferenda_spark.operators.rdfio import parse_turtle_docs
+    good = ("@prefix ex: <http://ex/> .\n"
+            'ex:s a ex:T ; ex:p "v"@en , ex:o .')
+    docs = spark.createDataFrame(
+        [(1, good), (2, "not turtle @@@")], "doc_id long, ttl string")
+    rows = parse_turtle_docs(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3
+    assert all(r.parse_ok for r in by_doc[1])
+    assert {(r.obj, r.is_literal, r.obj_lang) for r in by_doc[1]} == {
+        ("http://ex/T", False, None), ("v", True, "en"),
+        ("http://ex/o", False, None)}
+    (bad,) = by_doc[2]
+    assert bad.parse_ok is False and bad.subj is None and bad.error
+
+
 # ------------------------------------------------------ entity cards
 
 def test_entity_cards_dedup_and_order(spark):
