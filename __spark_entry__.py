@@ -2532,6 +2532,21 @@ def _q_hll_registers(spark, sf_dir):
             .orderBy("source", "register"))
 
 
+def _q_kmv_jaccard(spark, sf_dir):
+    """KMV (bottom-k) distinct-set comparison of src0 vs src1 token
+    vocabularies — the sketch-side set algebra (union/intersection/
+    Jaccard from k integers per side) that HLL cannot do; all-integer
+    output, estimate pinned to integer div."""
+    from ferenda_spark.operators.dedup import tokens
+    from ferenda_spark.operators.sketches import kmv_compare
+    items = (_read(spark, sf_dir, "documents")
+             .where(F.col("source").isin("src0", "src1"))
+             .select("source",
+                     F.explode(tokens(F.col("text"))).alias("token"))
+             .where(F.length("token") > 0))
+    return kmv_compare(items, "source", "token", "src0", "src1", k=32)
+
+
 def _q_hist_quantiles(spark, sf_dir):
     """Length quantiles (p50/p90/p99 of n_chars) from a log-linear
     HdrHistogram-style sketch: integer-only buckets (top-4-bits
@@ -4721,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_disambiguation": _q_entity_disambiguation,
         "stats_cms_tokens": _q_cms_tokens,
         "stats_hll_registers": _q_hll_registers,
+        "stats_kmv_jaccard": _q_kmv_jaccard,
         "stats_hist_quantiles": _q_hist_quantiles,
         "dedup_bloom_probe": _q_bloom_probe,
         "crawl_sitemap_diff": _q_sitemap_diff,
@@ -8469,6 +8485,40 @@ def oracle_sql() -> dict[str, str]:
                      AS INT) AS max_rank
             FROM rr GROUP BY source, register
             ORDER BY source, register""",
+        # KMV: distinct md5-prefix hashes, per-source bottom-32, then
+        # bottom-32 of the union with per-side membership flags
+        "stats_kmv_jaccard": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split_regex(lower(trim(text)),
+                       '[ \t\n\r\f\x0B]+')) AS token
+              FROM documents WHERE source IN ('src0', 'src1')),
+            h AS (
+              SELECT DISTINCT source,
+                     CAST(('0x' || substr(md5('kmv:' || token), 1, 8))
+                          AS BIGINT) AS hv
+              FROM toks WHERE length(token) > 0),
+            sk AS (
+              SELECT source, hv,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY hv) AS rnk
+              FROM h QUALIFY rnk <= 32),
+            m AS (
+              SELECT hv,
+                     MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0
+                         END) AS in_a,
+                     MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0
+                         END) AS in_b
+              FROM sk GROUP BY hv
+              QUALIFY row_number() OVER (ORDER BY hv) <= 32)
+            SELECT CAST(COUNT(*) AS INT) AS k_used,
+                   MAX(hv) AS kth_min,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+                   CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+                   CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS n_only_b,
+                   1000 * CAST(SUM(in_a * in_b) AS BIGINT)
+                     // COUNT(*) AS est_jaccard_permille
+            FROM m""",
         # Bloom probe: bits from even docs, probes = odd docs;
         # UNION ALL keeps per-hash multiplicity (mirrors the operator)
         "dedup_bloom_probe": "WITH " + _F_CTE + """,

@@ -190,3 +190,83 @@ def histogram_quantiles(hist: DataFrame, qs: list[float]) -> DataFrame:
     return (tgt.join(cum, cum["_cum"] >= tgt["target_rank"])
             .groupBy("q", "target_rank")
             .agg(F.min("lo").alias("est")))
+
+
+def kmv_sketch(items: DataFrame, group_col: str, key_col: str,
+               k: int = 32) -> DataFrame:
+    """K-Minimum-Values distinct sketch per group (Bar-Yossef et al.
+    2002; Beyer et al. 2007 "On synopses for distinct-value
+    estimation"): keep the k smallest distinct 32-bit key hashes; the
+    unbiased estimate (k-1) * 2^32 / kth_min stays consumer-side so
+    the emitted table is all-integer (the module's portability
+    contract).  KMV is the sketch that, unlike HLL, also supports SET
+    OPERATIONS: the union sketch is the bottom-k of the merged rows,
+    and intersection/Jaccard ride the same k rows
+    (:func:`kmv_compare`) — which is why Theta-sketch engines
+    (DataSketches) build on it.
+
+    Scale shape: hashing is map-side; dedup of (group, hv) is one
+    shuffle with map-side partial aggregation; the bottom-k runs as
+    TWO bounded windows — first within (group, hv % 16) salt lanes
+    (caps any single sort partition; bottom-k(global) is a subset of
+    the union of per-lane bottom-ks), then over the <= 16k survivors
+    per group.  No unbounded collect_set, no full-group sort.
+
+    Returns (group, rank, hv), rank 1..k ascending — mergeable by
+    re-ranking the union (groupBy-free: two sketches concat + window).
+    """
+    from pyspark.sql import Window
+    hv = _h(F.col(key_col), "kmv")
+    d = (items.select(F.col(group_col).alias("grp"), hv.alias("hv"))
+         .groupBy("grp", "hv").agg(F.lit(1).alias("_one")))
+    lane = Window.partitionBy("grp", F.col("hv") % 16).orderBy("hv")
+    cand = (d.withColumn("_r", F.row_number().over(lane))
+            .where(F.col("_r") <= k))
+    final = Window.partitionBy("grp").orderBy("hv")
+    return (cand.withColumn("rank", F.row_number().over(final))
+            .where(F.col("rank") <= k)
+            .select(F.col("grp").alias(group_col),
+                    F.col("rank").cast("int").alias("rank"), "hv"))
+
+
+def kmv_compare(items: DataFrame, group_col: str, key_col: str,
+                grp_a: str, grp_b: str, k: int = 32) -> DataFrame:
+    """Distinct-set comparison of two groups from their KMV sketches
+    (the Theta-sketch a-priori pattern): take the bottom-k of the
+    UNION of the two sketches, flag which of those k hashes each side
+    contains, and emit the integer tallies the consumer turns into
+    estimates (Jaccard ~= n_both/k', distinct-union ~= (k'-1)*2^32 /
+    kth_min).  ``est_jaccard_permille`` is pinned to integer ``div``
+    so no float crosses the engine boundary.
+
+    Everything after the two sketches is sketch-sized (<= 2k rows):
+    the unions, joins and the final 1-row aggregate are
+    driver-trivial at any corpus scale — this is exactly why a
+    crawl pipeline compares 10^12-URL sets by sketch, not by join.
+
+    Returns ONE row (k_used, kth_min, n_both, n_only_a, n_only_b,
+    est_jaccard_permille)."""
+    from pyspark.sql import Window
+    sk = kmv_sketch(items, group_col, key_col, k=k)
+    a = sk.where(F.col(group_col) == grp_a).select("hv")
+    b = sk.where(F.col(group_col) == grp_b).select("hv")
+    merged = (a.withColumn("_in_a", F.lit(1))
+              .unionByName(b.withColumn("_in_a", F.lit(0)))
+              .groupBy("hv")
+              .agg(F.max("_in_a").alias("in_a"),
+                   F.min("_in_a").alias("_min"))
+              .withColumn("in_b", (F.col("_min") == 0).cast("int"))
+              .withColumn("_r", F.row_number().over(
+                  Window.orderBy("hv")))
+              .where(F.col("_r") <= k))
+    return (merged.agg(
+        F.count("*").cast("int").alias("k_used"),
+        F.max("hv").alias("kth_min"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+         .alias("n_both"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long")
+         .alias("n_only_a"),
+        F.sum((1 - F.col("in_a")) * F.col("in_b")).cast("long")
+         .alias("n_only_b"))
+        .withColumn("est_jaccard_permille",
+                    F.expr("1000 * n_both div k_used")))

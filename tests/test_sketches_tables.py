@@ -160,3 +160,59 @@ def test_neighbor_agg_path_counts(spark):
     # 2-hop from 1: via 2 -> 3 (one path) only; 3 has no out-edges
     assert (got[1].h2_n, got[1].h2_sum) == (1, 30)
     assert (got[2].h1_n, got[2].h2_n) == (1, 0)   # zero-filled hop 2
+
+
+def test_kmv_estimate_and_jaccard(spark):
+    """KMV: (k-1)*2^32/kth_min within tolerance of the true distinct
+    count; kmv_compare's Jaccard estimate within ~2/sqrt(k) of truth
+    on two half-overlapping key sets."""
+    from ferenda_spark.operators.sketches import kmv_compare, kmv_sketch
+    k = 64
+    a = {"key%04d" % i for i in range(0, 2000)}
+    b = {"key%04d" % i for i in range(1000, 3000)}   # true J = 1/3
+    items = spark.createDataFrame(
+        [("a", x) for x in a] + [("b", x) for x in b],
+        "source string, token string")
+    sk = kmv_sketch(items, "source", "token", k=k)
+    rows = sk.collect()
+    assert {r.source for r in rows} == {"a", "b"}
+    for g, n_true in (("a", 2000), ("b", 2000)):
+        hs = sorted(r.hv for r in rows if r.source == g)
+        assert len(hs) == k and hs == sorted(set(hs))
+        est = (k - 1) * 2.0 ** 32 / hs[-1]
+        assert abs(est - n_true) / n_true < 0.5    # ~1/sqrt(64)=12.5%
+    cmp_ = kmv_compare(items, "source", "token", "a", "b",
+                       k=k).collect()[0]
+    assert cmp_.k_used == k
+    assert cmp_.n_both + cmp_.n_only_a + cmp_.n_only_b == k
+    assert abs(cmp_.n_both / k - 1 / 3) < 2 / (k ** 0.5)
+
+
+def test_kmv_mergeable_and_small_group_exact(spark):
+    """Union of two shard sketches re-ranked = sketch of the union;
+    a group with < k distinct keys keeps ALL of them (exact mode)."""
+    from pyspark.sql import Window
+    from ferenda_spark.operators.sketches import kmv_sketch
+    items = spark.createDataFrame(
+        [("g", "t%03d" % i) for i in range(500)] +
+        [("tiny", "x%d" % i) for i in range(5)],
+        "source string, token string")
+    k = 32
+    full = kmv_sketch(items, "source", "token", k=k)
+    tiny = sorted((r.rank, r.hv) for r in full.collect()
+                  if r.source == "tiny")
+    assert len(tiny) == 5 and [r for r, _ in tiny] == [1, 2, 3, 4, 5]
+    s1 = kmv_sketch(items.where(F.col("token") < "t250"),
+                    "source", "token", k=k)
+    s2 = kmv_sketch(items.where(F.col("token") >= "t250"),
+                    "source", "token", k=k)
+    merged = (s1.select("source", "hv")
+              .unionByName(s2.select("source", "hv")).distinct()
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy("source").orderBy("hv")))
+              .where(F.col("rank") <= k))
+    want = {(r.source, r.rank, r.hv) for r in full.collect()
+            if r.source == "g"}
+    got = {(r.source, r.rank, r.hv) for r in merged.collect()
+           if r.source == "g"}
+    assert got == want
