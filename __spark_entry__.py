@@ -3256,6 +3256,63 @@ def _q_hreflang(spark, sf_dir):
             .orderBy("url", "hreflang"))
 
 
+def _social_pages(spark, sf_dir):
+    """Planted social-meta corpus: every page carries a duplicated
+    og:title (the second must LOSE under first-tag-wins), a twitter
+    title/card, og:type, a twitter:image, an og:image on every 3rd
+    doc (og must then beat twitter for the image field), a
+    twitter:description on every 2nd doc (fields may be absent),
+    and viewport/description noise metas that must NOT extract."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><head>'
+              '<meta name="viewport" content="width=device-width"/>'
+              '<meta property="og:title" content="OG Document '),
+        did,
+        F.lit('"/><meta property="og:title" content="Extra '),
+        did % 7,
+        F.lit('"/><meta name="twitter:title" content="TW Document '),
+        did,
+        F.lit('"/><meta name="twitter:card" content="summary"/>'
+              '<meta property="og:type" content="article"/>'),
+        F.when(did % 3 == 0, F.concat(
+            F.lit('<meta property="og:image" '
+                  'content="https://img.example.org/og/'),
+            did, F.lit('.png"/>'))).otherwise(F.lit("")),
+        F.lit('<meta name="twitter:image" '
+              'content="https://img.example.org/tw/'),
+        did,
+        F.lit('.png"/>'),
+        F.when(did % 2 == 0, F.concat(
+            F.lit('<meta name="twitter:description" content="Doc '),
+            did, F.lit(' summary"/>'))).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="plain"/>'
+              "</head><body>x</body></html>"))
+    return d.select(
+        F.concat(F.lit("https://example.org/social/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_social_meta(spark, sf_dir):
+    """OpenGraph/Twitter-card meta tags through the REAL DOM parser,
+    document order with 0-based positions; noise metas dropped."""
+    from ferenda_spark.operators.extract import social_meta_tags
+    return (social_meta_tags(_social_pages(spark, sf_dir))
+            .orderBy("url", "pos"))
+
+
+def _q_page_cards(spark, sf_dir):
+    """Effective social card per page: og beats twitter, first tag
+    wins within a namespace, absent fields stay absent."""
+    from ferenda_spark.operators.extract import (social_meta_tags,
+                                                 resolve_page_cards)
+    return (resolve_page_cards(
+        social_meta_tags(_social_pages(spark, sf_dir)))
+        .orderBy("url", "field"))
+
+
 def _q_contrastive_pairs(spark, sf_dir):
     """LSH-derived contrastive pairs: banded candidates labeled
     positive / hard-negative by the signature-agreement estimate —
@@ -4769,6 +4826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_salience": _q_entity_salience,
         "kg_microdata_triples": _q_microdata,
         "kg_hreflang_links": _q_hreflang,
+        "kg_social_meta_tags": _q_social_meta,
+        "kg_page_cards": _q_page_cards,
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
@@ -9206,6 +9265,82 @@ def oracle_sql() -> dict[str, str]:
                      'https://example.org/docs/' || doc_id FROM d)
             SELECT url, hreflang, href FROM a
             ORDER BY url, hreflang""",
+        # the planted og/twitter metas in document order; viewport +
+        # plain description noise must not appear
+        "kg_social_meta_tags": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/social/' || doc_id AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0
+                     END AS has_og_img,
+                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0
+                     END AS has_desc
+              FROM documents),
+            t AS (
+              SELECT url, 'og' AS ns, 'og:title' AS prop,
+                     'OG Document ' || doc_id AS content, 0 AS pos
+              FROM d
+              UNION ALL
+              SELECT url, 'og', 'og:title',
+                     'Extra ' || (doc_id % 7), 1 FROM d
+              UNION ALL
+              SELECT url, 'twitter', 'twitter:title',
+                     'TW Document ' || doc_id, 2 FROM d
+              UNION ALL
+              SELECT url, 'twitter', 'twitter:card', 'summary', 3
+              FROM d
+              UNION ALL
+              SELECT url, 'og', 'og:type', 'article', 4 FROM d
+              UNION ALL
+              SELECT url, 'og', 'og:image',
+                     'https://img.example.org/og/' || doc_id
+                       || '.png', 5
+              FROM d WHERE has_og_img = 1
+              UNION ALL
+              SELECT url, 'twitter', 'twitter:image',
+                     'https://img.example.org/tw/' || doc_id
+                       || '.png', 5 + has_og_img FROM d
+              UNION ALL
+              SELECT url, 'twitter', 'twitter:description',
+                     'Doc ' || doc_id || ' summary', 6 + has_og_img
+              FROM d WHERE has_desc = 1)
+            SELECT url, ns, prop, content, CAST(pos AS INT) AS pos
+            FROM t ORDER BY url, pos""",
+        # resolved precedence: og beats twitter, first og:title wins,
+        # image falls back to twitter when og:image absent,
+        # description row absent on odd docs
+        "kg_page_cards": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/social/' || doc_id AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0
+                     END AS has_og_img,
+                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0
+                     END AS has_desc
+              FROM documents),
+            c AS (
+              SELECT url, 'title' AS field,
+                     'OG Document ' || doc_id AS content,
+                     'og' AS src_ns FROM d
+              UNION ALL
+              SELECT url, 'card', 'summary', 'twitter' FROM d
+              UNION ALL
+              SELECT url, 'type', 'article', 'og' FROM d
+              UNION ALL
+              SELECT url, 'image',
+                     CASE WHEN has_og_img = 1
+                          THEN 'https://img.example.org/og/'
+                               || doc_id || '.png'
+                          ELSE 'https://img.example.org/tw/'
+                               || doc_id || '.png' END,
+                     CASE WHEN has_og_img = 1 THEN 'og'
+                          ELSE 'twitter' END FROM d
+              UNION ALL
+              SELECT url, 'description',
+                     'Doc ' || doc_id || ' summary', 'twitter'
+              FROM d WHERE has_desc = 1)
+            SELECT url, field, content, src_ns FROM c
+            ORDER BY url, field""",
         # minhash-estimate pipeline + the contrastive CASE label
         "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
             prs AS (

@@ -641,3 +641,119 @@ def reverb_triples(docs: DataFrame, text_col: str = "text",
                     F.col("m.s").alias("subj_text"),
                     F.col("m.r").alias("rel"),
                     F.col("m.o").alias("obj_text")))
+
+
+SOCIAL_META_SCHEMA = ("url string, ns string, prop string, "
+                      "content string, pos int")
+
+_SOCIAL_PREFIXES = {"og:": "og", "twitter:": "twitter",
+                    "article:": "og", "fb:": "og"}
+
+
+def _social_meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..htmlelements import decode_html, parse_html
+
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+            pos = [0]
+
+            def scan(n):
+                if isinstance(n, str):
+                    return
+                if n.tag == "meta":
+                    # OG spec says property=, Twitter says name=, and
+                    # the wild web uses both interchangeably -- accept
+                    # whichever attribute carries a known prefix
+                    # (property= wins when both are present).
+                    key = None
+                    for attr in ("property", "name"):
+                        v = n.attrs.get(attr)
+                        if v:
+                            for pfx in _SOCIAL_PREFIXES:
+                                if v.startswith(pfx):
+                                    key = v
+                                    break
+                        if key:
+                            break
+                    content = n.attrs.get("content")
+                    if key and content is not None:
+                        ns = next(v for k, v in _SOCIAL_PREFIXES
+                                  .items() if key.startswith(k))
+                        rows.append((url, ns, key, content, pos[0]))
+                        pos[0] += 1
+                for c in n.children:
+                    scan(c)
+
+            scan(tree)
+        yield pd.DataFrame(rows, columns=["url", "ns", "prop",
+                                          "content", "pos"])
+
+
+def social_meta_tags(pages: DataFrame) -> DataFrame:
+    """OpenGraph / Twitter-card ``<meta>`` extraction through the
+    real DOM parser -- the page-declared title/description/image
+    metadata that web-scale corpus pipelines prefer over content
+    heuristics (it is the page author's own summary, and the Common
+    Crawl WAT records carry exactly these fields).
+
+    Emits one row per ``og:*`` / ``article:`` / ``fb:`` /
+    ``twitter:*`` meta tag in document order: (url, ns, prop,
+    content, pos), ``ns`` in {og, twitter}, ``pos`` = 0-based index
+    among emitted tags so downstream precedence can implement the OG
+    first-tag-wins rule.  Tags are matched on either ``property=``
+    (the OG spec) or ``name=`` (the Twitter spec and much of the
+    wild web); non-social metas (viewport, description, robots) are
+    ignored here -- they have their own extractors.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over (url, html),
+    one pass per page, page bytes dropped at the stage boundary,
+    no shuffle."""
+    return (pages.select("url", "html")
+            .mapInPandas(_social_meta_batches,
+                         schema=SOCIAL_META_SCHEMA))
+
+
+#: prop -> card field; og and twitter both feed the same field and
+#: og wins (Facebook's crawler is the de-facto authority; Twitter
+#: itself falls back to og:* when twitter:* is absent).
+CARD_FIELDS = {
+    "og:title": "title", "twitter:title": "title",
+    "og:description": "description",
+    "twitter:description": "description",
+    "og:image": "image", "twitter:image": "image",
+    "og:type": "type", "twitter:card": "card",
+    "og:url": "canonical", "og:site_name": "site_name",
+}
+
+
+def resolve_page_cards(tags: DataFrame) -> DataFrame:
+    """Effective per-page social card from raw :func:`social_meta_tags`
+    rows: for each card field (title/description/image/...) pick the
+    winning tag under the published precedence -- ``og:`` namespace
+    beats ``twitter:``, and within a namespace the FIRST occurrence
+    wins (the OG spec's repeated-property rule: later tags are
+    array-extras, not overrides).
+
+    Pure DataFrame: a broadcast-sized literal map assigns fields, a
+    single groupBy(url, field) with ``min(struct(prio, pos,
+    content))`` picks the winner -- one shuffle on (url, field),
+    map-side partial min, no window over the full tag set.  Returns
+    (url, field, content, src_ns)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in CARD_FIELDS.items() for x in kv])
+    prio = F.when(F.col("ns") == "og", 0).otherwise(1)
+    fielded = (tags
+               .withColumn("field", mapping[F.col("prop")])
+               .where(F.col("field").isNotNull()))
+    pick = (fielded
+            .groupBy("url", "field")
+            .agg(F.min(F.struct(prio.alias("prio"),
+                                F.col("pos").alias("pos"),
+                                F.col("content").alias("content"),
+                                F.col("ns").alias("ns")))
+                 .alias("w")))
+    return pick.select("url", "field",
+                       F.col("w.content").alias("content"),
+                       F.col("w.ns").alias("src_ns"))
