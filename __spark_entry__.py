@@ -3313,6 +3313,55 @@ def _q_page_cards(spark, sf_dir):
         .orderBy("url", "field"))
 
 
+def _block_pages(spark, sf_dir):
+    """Planted block-structured pages for the jusText-style content
+    extractor: a link-dense nav (bad), a 2-word heading (short ->
+    bad: neighbors nav/good are not both good), a 26-word paragraph
+    (good), a 7-word note (near -> good: prev is good), a 2-word
+    stub (short -> bad), a 30-word paragraph (good), a link footer
+    (bad)."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body>'
+              '<div class="nav"><a href="/">Home</a> '
+              '<a href="/a">About '),
+        did % 5,
+        F.lit('</a></div><h1>Document '),
+        did,
+        F.lit("</h1><p>body "),
+        did,
+        F.lit(" " + "alpha beta gamma delta " * 6 + "</p><p>note "),
+        did % 7,
+        F.lit(" spans just seven words here</p><p>tiny "),
+        did % 3,
+        F.lit("</p><p>" + "omega " * 30 + "</p>"
+              '<div><a href="/t">Terms</a> <a href="/p">Privacy</a>'
+              "</div></body></html>"))
+    return d.select(
+        F.concat(F.lit("https://example.org/blocks/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_content_blocks(spark, sf_dir):
+    """DOM leaf-block segmentation + context-free jusText labels
+    (word count, integer-permille link density)."""
+    from ferenda_spark.operators.cleaning import (classify_blocks,
+                                                  content_blocks)
+    return (classify_blocks(content_blocks(
+        _block_pages(spark, sf_dir)))
+        .orderBy("url", "block_id"))
+
+
+def _q_main_content(spark, sf_dir):
+    """Composed main-content extraction: neighbor smoothing, then the
+    newline-joined good-block text per page."""
+    from ferenda_spark.operators.cleaning import main_content
+    return (main_content(_block_pages(spark, sf_dir))
+            .orderBy("url"))
+
+
 def _q_contrastive_pairs(spark, sf_dir):
     """LSH-derived contrastive pairs: banded candidates labeled
     positive / hard-negative by the signature-agreement estimate —
@@ -4828,6 +4877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hreflang_links": _q_hreflang,
         "kg_social_meta_tags": _q_social_meta,
         "kg_page_cards": _q_page_cards,
+        "clean_content_blocks": _q_content_blocks,
+        "clean_main_content": _q_main_content,
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
@@ -9341,6 +9392,61 @@ def oracle_sql() -> dict[str, str]:
               FROM d WHERE has_desc = 1)
             SELECT url, field, content, src_ns FROM c
             ORDER BY url, field""",
+        # the 7 planted leaf blocks per page, closed-form features +
+        # context-free labels; nav 11/12 link chars = 916 permille,
+        # footer 12/13 = 923
+        "clean_content_blocks": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/blocks/' || doc_id AS url
+              FROM documents),
+            b AS (
+              SELECT url, 0 AS block_id, 'div' AS tag,
+                     'Home About ' || (doc_id % 5) AS text,
+                     3 AS n_words, 916 AS link_permille,
+                     'bad' AS label_cf FROM d
+              UNION ALL
+              SELECT url, 1, 'h1', 'Document ' || doc_id, 2, 0,
+                     'short' FROM d
+              UNION ALL
+              SELECT url, 2, 'p',
+                     'body ' || doc_id || ' '
+                       || trim(repeat('alpha beta gamma delta ', 6)),
+                     26, 0, 'good' FROM d
+              UNION ALL
+              SELECT url, 3, 'p',
+                     'note ' || (doc_id % 7)
+                       || ' spans just seven words here',
+                     7, 0, 'near' FROM d
+              UNION ALL
+              SELECT url, 4, 'p', 'tiny ' || (doc_id % 3), 2, 0,
+                     'short' FROM d
+              UNION ALL
+              SELECT url, 5, 'p', trim(repeat('omega ', 30)), 30, 0,
+                     'good' FROM d
+              UNION ALL
+              SELECT url, 6, 'div', 'Terms Privacy', 2, 923, 'bad'
+              FROM d)
+            SELECT url, CAST(block_id AS INT) AS block_id, tag, text,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(link_permille AS INT) AS link_permille,
+                   label_cf
+            FROM b ORDER BY url, block_id""",
+        # after smoothing: good blocks are 2 (26w), 3 (near beside
+        # good) and 5 (30w); heading and stub fall to bad
+        "clean_main_content": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/blocks/' || doc_id AS url
+              FROM documents)
+            SELECT url, 7 AS n_blocks, 3 AS n_good,
+                   'body ' || doc_id || ' '
+                     || trim(repeat('alpha beta gamma delta ', 6))
+                     || chr(10) || 'note ' || (doc_id % 7)
+                     || ' spans just seven words here'
+                     || chr(10) || trim(repeat('omega ', 30))
+                     AS main_text
+            FROM d ORDER BY url""",
         # minhash-estimate pipeline + the contrastive CASE label
         "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
             prs AS (

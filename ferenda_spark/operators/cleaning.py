@@ -542,3 +542,166 @@ def lang_outliers(pages: DataFrame, host_col: str = "host",
         (F.col("n_major").cast("double") / F.col("n_host"))
         .alias("purity"),
         (F.col("lang") != F.col("majority_lang")).alias("is_outlier"))
+
+
+# --- jusText/Boilerpipe-style per-page main-content extraction ------
+#
+# strip_hot_lines removes CORPUS-frequency boilerplate; this family
+# removes STRUCTURAL boilerplate a single page declares about itself
+# (nav bars, link footers, button rows) the way jusText (Pomikalek
+# 2011) and Boilerpipe (Kohlschuetter 2010) do: segment the DOM into
+# leaf blocks, score each by link density and length, then smooth
+# short/near blocks by their neighbors' context-free labels.
+
+BLOCK_TAGS = frozenset((
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "div", "li", "td",
+    "blockquote", "pre", "section", "article", "header", "footer",
+    "nav", "aside", "figcaption", "caption", "dd", "dt"))
+
+CONTENT_BLOCK_SCHEMA = ("url string, block_id int, tag string, "
+                        "text string, n_words int, link_permille int")
+
+
+def _content_block_batches(it):
+    import pandas as pd
+
+    from ..htmlelements import decode_html, parse_html
+    from ..textutil import normalize_space
+
+    def text_of(n, parts):
+        if isinstance(n, str):
+            parts.append(n)
+            return
+        for c in n.children:
+            text_of(c, parts)
+
+    def has_block_child(n):
+        for c in n.children:
+            if not isinstance(c, str):
+                if c.tag in BLOCK_TAGS or has_block_child(c):
+                    return True
+        return False
+
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+            bid = [0]
+
+            def emit(n):
+                parts, link_parts = [], []
+
+                def walk(c, in_link):
+                    if isinstance(c, str):
+                        parts.append(c)
+                        if in_link:
+                            link_parts.append(c)
+                        return
+                    for g in c.children:
+                        walk(g, in_link or c.tag == "a")
+
+                walk(n, False)
+                txt = normalize_space("".join(parts))
+                if not txt:
+                    return          # whitespace-only block: no row
+                link_chars = len(normalize_space("".join(link_parts)))
+                permille = 1000 * link_chars // len(txt)
+                rows.append((url, bid[0], n.tag, txt,
+                             len(txt.split()), permille))
+                bid[0] += 1
+
+            def scan(n):
+                if isinstance(n, str):
+                    return
+                if n.tag in BLOCK_TAGS and not has_block_child(n):
+                    emit(n)
+                    return
+                for c in n.children:
+                    scan(c)
+
+            scan(tree)
+        yield pd.DataFrame(rows, columns=["url", "block_id", "tag",
+                                          "text", "n_words",
+                                          "link_permille"])
+
+
+def content_blocks(pages: DataFrame) -> DataFrame:
+    """Segment each page's DOM into LEAF blocks (a block-level element
+    with no block-level descendant) in document order, with the two
+    jusText scoring features per block: word count and link density
+    (chars inside ``<a>`` descendants, as an integer permille so no
+    float crosses an engine boundary).  Whitespace-only blocks emit
+    no row; text sitting directly in a NON-leaf container (mixed
+    content) is attributed to no block, matching jusText's
+    segmentation.
+
+    Scale shape: Arrow-batched ``mapInPandas`` over (url, html) --
+    one DOM pass per page, page bytes dropped at the stage boundary,
+    no shuffle."""
+    return (pages.select("url", "html")
+            .mapInPandas(_content_block_batches,
+                         schema=CONTENT_BLOCK_SCHEMA))
+
+
+def classify_blocks(blocks: DataFrame, good_words: int = 20,
+                    near_words: int = 5,
+                    max_link_permille: int = 333) -> DataFrame:
+    """Context-free jusText labels as pure column expressions:
+    ``bad`` when link density exceeds 1/3, else ``good`` / ``near`` /
+    ``short`` by word count.  No shuffle."""
+    lbl = (F.when(F.col("link_permille") > max_link_permille, "bad")
+           .when(F.col("n_words") >= good_words, "good")
+           .when(F.col("n_words") >= near_words, "near")
+           .otherwise("short"))
+    return blocks.withColumn("label_cf", lbl)
+
+
+def smooth_blocks(labeled: DataFrame) -> DataFrame:
+    """jusText's context pass over the block SEQUENCE: a ``near``
+    block becomes good next to (either side) a context-free good
+    block, a ``short`` block only BETWEEN two good blocks; both
+    otherwise fall to bad.  Neighbors are the context-free labels,
+    so one window pass suffices (no fixpoint).
+
+    One shuffle: a window partitioned by url ordered by block_id --
+    blocks-per-page is bounded, so partitions stay small at any
+    corpus size."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("url").orderBy("block_id")
+    prev_good = F.coalesce(
+        F.lag("label_cf").over(w) == "good", F.lit(False))
+    next_good = F.coalesce(
+        F.lead("label_cf").over(w) == "good", F.lit(False))
+    lbl = (F.when(F.col("label_cf") == "near",
+                  F.when(prev_good | next_good, "good")
+                  .otherwise("bad"))
+           .when(F.col("label_cf") == "short",
+                 F.when(prev_good & next_good, "good")
+                 .otherwise("bad"))
+           .otherwise(F.col("label_cf")))
+    return labeled.withColumn("label", lbl)
+
+
+def main_content(pages: DataFrame, good_words: int = 20,
+                 near_words: int = 5,
+                 max_link_permille: int = 333) -> DataFrame:
+    """The composed extractor: per page, the newline-joined text of
+    the final-good blocks plus block counters -- what an LLM corpus
+    pipeline stores as the document text.  Returns (url, n_blocks,
+    n_good, main_text); pages whose blocks are all boilerplate keep
+    a row with n_good = 0 and empty main_text (the filter decision
+    belongs to the caller)."""
+    sm = smooth_blocks(classify_blocks(
+        content_blocks(pages), good_words=good_words,
+        near_words=near_words, max_link_permille=max_link_permille))
+    good = F.when(F.col("label") == "good",
+                  F.struct(F.col("block_id"), F.col("text")))
+    return (sm.groupBy("url")
+            .agg(F.count("*").cast("int").alias("n_blocks"),
+                 F.sum((F.col("label") == "good").cast("int"))
+                 .cast("int").alias("n_good"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(good)),
+                         lambda s: s.text),
+                     "\n").alias("main_text")))
