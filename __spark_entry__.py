@@ -3362,6 +3362,24 @@ def _q_main_content(spark, sf_dir):
             .orderBy("url"))
 
 
+def _q_margin_bitext(spark, sf_dir):
+    """Artetxe-Schwenk ratio-margin bitext mining: even-label
+    embeddings as the source side, odd-label as the target side;
+    best target per source with integer micro-cosine / permille
+    margin, threshold 1000 (= above the neighborhood average)."""
+    from ferenda_spark.operators.linking import margin_bitext_pairs
+    e = _read(spark, sf_dir, "embeddings")
+    src = (e.where(F.col("label") % 2 == 0)
+           .select(F.col("vec_id").alias("src_id"),
+                   F.col("embedding").alias("src_vec")))
+    tgt = (e.where(F.col("label") % 2 == 1)
+           .select(F.col("vec_id").alias("tgt_id"),
+                   F.col("embedding").alias("tgt_vec")))
+    return (margin_bitext_pairs(src, tgt, k=4,
+                                min_margin_permille=1000)
+            .orderBy("src_id"))
+
+
 def _q_contrastive_pairs(spark, sf_dir):
     """LSH-derived contrastive pairs: banded candidates labeled
     positive / hard-negative by the signature-agreement estimate —
@@ -4879,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_page_cards": _q_page_cards,
         "clean_content_blocks": _q_content_blocks,
         "clean_main_content": _q_main_content,
+        "sim_margin_bitext": _q_margin_bitext,
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
@@ -9447,6 +9466,50 @@ def oracle_sql() -> dict[str, str]:
                      || chr(10) || trim(repeat('omega ', 30))
                      AS main_text
             FROM d ORDER BY url""",
+        # ratio-margin bitext: integer micro-cosines, per-side top-4
+        # sums/counts, permille margin by integer division, best
+        # target per source at threshold 1000
+        "sim_margin_bitext": """
+            WITH el AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id AS src_id, v AS sv FROM el
+                  WHERE label % 2 = 0),
+            t AS (SELECT vec_id AS tgt_id, v AS tv FROM el
+                  WHERE label % 2 = 1),
+            p AS (
+              SELECT src_id, tgt_id,
+                     CAST(floor(list_cosine_similarity(sv, tv)
+                          * 1000000) AS BIGINT) AS cos_micro
+              FROM s, t),
+            pp AS (SELECT * FROM p WHERE cos_micro > 0),
+            r AS (
+              SELECT src_id, tgt_id, cos_micro,
+                     row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_micro DESC, tgt_id) AS rf,
+                     row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY cos_micro DESC, src_id) AS rb
+              FROM pp),
+            fs AS (SELECT src_id, SUM(cos_micro) AS fwd,
+                          COUNT(*) AS n_f
+                   FROM r WHERE rf <= 4 GROUP BY src_id),
+            bs AS (SELECT tgt_id, SUM(cos_micro) AS bwd,
+                          COUNT(*) AS n_b
+                   FROM r WHERE rb <= 4 GROUP BY tgt_id),
+            m AS (
+              SELECT pp.src_id, pp.tgt_id, pp.cos_micro,
+                     (2000 * pp.cos_micro * n_f * n_b)
+                       // (fwd * n_b + bwd * n_f) AS margin_permille
+              FROM pp JOIN fs USING (src_id)
+                      JOIN bs USING (tgt_id)),
+            rr AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                     ORDER BY margin_permille DESC, tgt_id) AS rn
+                   FROM m)
+            SELECT src_id, tgt_id, cos_micro, margin_permille
+            FROM rr WHERE rn = 1 AND margin_permille >= 1000
+            ORDER BY src_id""",
         # minhash-estimate pipeline + the contrastive CASE label
         "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
             prs AS (

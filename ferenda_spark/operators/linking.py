@@ -576,3 +576,75 @@ def fs_linkage(left: DataFrame, right: DataFrame, fields: list,
                 .otherwise("non_link"))
     return pairs.select(*out_cols, weight.alias("weight"),
                         decision.alias("decision"))
+
+
+def margin_bitext_pairs(src: DataFrame, tgt: DataFrame, k: int = 4,
+                        min_margin_permille: int = 1000,
+                        pairs: DataFrame = None) -> DataFrame:
+    """Margin-based bitext mining over sentence/document embeddings —
+    the Artetxe & Schwenk (2019) ratio-margin criterion that CCMatrix
+    / LASER pipelines use to pick translation pairs out of a crawl:
+    a pair scores by its cosine RELATIVE to each side's average
+    top-k cosine, so hub vectors (close to everything) don't win.
+
+        margin(x, y) = 2 cos(x,y) / (avg_k fwd(x) + avg_k bwd(y))
+
+    All scoring is integer after the cosine: micro-cosines
+    (``floor(cos * 1e6)`` as long), integer sums/counts, and a final
+    permille margin via integer division — no float ever crosses an
+    engine or shuffle boundary, so results are bit-stable across
+    engines and partitionings.  Non-positive-cosine pairs are dropped
+    up front (they cannot be translations, and they would make the
+    integer division sign-ambiguous); sides with fewer than k
+    positive neighbours use their true neighbour count, i.e. the
+    margin stays the exact ratio of true averages.
+
+    ``src`` = (src_id, src_vec), ``tgt`` = (tgt_id, tgt_vec).  By
+    default candidates are src x broadcast(tgt) — right when one
+    side fits an executor (the usual low-resource-language shape);
+    at two-large-sides scale pass ``pairs`` (src_id, tgt_id,
+    src_vec, tgt_vec) from an LSH/IVF candidate stage instead
+    (similarity.sign_bucket_bands / ivf assign).  Two window
+    shuffles (by src_id, by tgt_id) + one aggregate join; returns
+    the best target per source, (src_id, tgt_id, cos_micro,
+    margin_permille), filtered to ``min_margin_permille``."""
+    if pairs is None:
+        pairs = src.crossJoin(F.broadcast(tgt))
+    a = F.transform(F.col("src_vec"), lambda x: x.cast("double"))
+    b = F.transform(F.col("tgt_vec"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda v: F.sqrt(F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (pairs
+              .withColumn("cos_micro",
+                          F.floor(dot / (norm(a) * norm(b))
+                                  * F.lit(1000000.0)).cast("long"))
+              .where(F.col("cos_micro") > 0)
+              .select("src_id", "tgt_id", "cos_micro"))
+    wf = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_micro"), "tgt_id")
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_micro"), "src_id")
+    ranked = (scored
+              .withColumn("rf", F.row_number().over(wf))
+              .withColumn("rb", F.row_number().over(wb)))
+    fs = (ranked.where(F.col("rf") <= k).groupBy("src_id")
+          .agg(F.sum("cos_micro").alias("fwd"),
+               F.count("*").alias("n_f")))
+    bs = (ranked.where(F.col("rb") <= k).groupBy("tgt_id")
+          .agg(F.sum("cos_micro").alias("bwd"),
+               F.count("*").alias("n_b")))
+    m = (scored.join(fs, "src_id").join(bs, "tgt_id")
+         .withColumn(
+             "margin_permille",
+             F.expr("(2000 * cos_micro * n_f * n_b) div "
+                    "(fwd * n_b + bwd * n_f)")))
+    wr = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_permille"), "tgt_id")
+    return (m.withColumn("rn", F.row_number().over(wr))
+            .where((F.col("rn") == 1)
+                   & (F.col("margin_permille")
+                      >= min_margin_permille))
+            .select("src_id", "tgt_id", "cos_micro",
+                    "margin_permille"))
