@@ -3380,6 +3380,30 @@ def _q_margin_bitext(spark, sf_dir):
             .orderBy("src_id"))
 
 
+def _q_galechurch(spark, sf_dir):
+    """Gale-Church alignment on planted doc pairs whose sides have
+    IDENTICAL per-index sentence lengths (20 + (doc_id+7i) mod 13,
+    4..6 sentences) — the all-1-1 diagonal is provably optimal
+    (each 1-1 bead costs -log 0.89 at delta 0; any merge pays the
+    2-1 prior plus a length-mismatch tail), so the oracle is the
+    closed-form diagonal."""
+    from ferenda_spark.operators.linking import galechurch_align
+    d = _read(spark, sf_dir, "documents")
+    n = 4 + (F.col("doc_id") % 3)
+    sents = d.select(
+        F.col("doc_id").alias("pair_id"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("sent_id"))
+    lens = (20 + ((F.col("pair_id") + 7 * F.col("sent_id")) % 13)) \
+        .cast("int")
+    one = sents.select("pair_id", "sent_id", lens.alias("n_chars"))
+    ab = (one.select("pair_id", F.lit("a").alias("side"),
+                     "sent_id", "n_chars")
+          .unionByName(
+              one.select("pair_id", F.lit("b").alias("side"),
+                         "sent_id", "n_chars")))
+    return galechurch_align(ab).orderBy("pair_id", "bead_id")
+
+
 def _q_contrastive_pairs(spark, sf_dir):
     """LSH-derived contrastive pairs: banded candidates labeled
     positive / hard-negative by the signature-agreement estimate —
@@ -4898,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_content_blocks": _q_content_blocks,
         "clean_main_content": _q_main_content,
         "sim_margin_bitext": _q_margin_bitext,
+        "bitext_galechurch": _q_galechurch,
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
@@ -9510,6 +9535,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_id, tgt_id, cos_micro, margin_permille
             FROM rr WHERE rn = 1 AND margin_permille >= 1000
             ORDER BY src_id""",
+        # identical per-index lengths -> the optimal alignment is the
+        # 1-1 diagonal, emitted closed-form
+        "bitext_galechurch": """
+            SELECT doc_id AS pair_id, CAST(i AS INT) AS bead_id,
+                   CAST(i AS INT) AS a_start, 1 AS n_a,
+                   CAST(i AS INT) AS b_start, 1 AS n_b,
+                   '1-1' AS bead
+            FROM (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i
+                  FROM documents)
+            ORDER BY pair_id, bead_id""",
         # minhash-estimate pipeline + the contrastive CASE label
         "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
             prs AS (

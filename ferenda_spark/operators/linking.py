@@ -648,3 +648,102 @@ def margin_bitext_pairs(src: DataFrame, tgt: DataFrame, k: int = 4,
                       >= min_margin_permille))
             .select("src_id", "tgt_id", "cos_micro",
                     "margin_permille"))
+
+
+#: Gale & Church (1993) bead priors -- the published values.
+_GC_PRIORS = {(1, 1): 0.89, (1, 0): 0.0099, (0, 1): 0.0099,
+              (2, 1): 0.089, (1, 2): 0.089, (2, 2): 0.011}
+_GC_C = 1.0          # expected char-length ratio b/a
+_GC_S2 = 6.8         # variance per mean char
+
+
+def _gc_cost(la: int, lb: int, prior: float) -> float:
+    import math
+    if la == 0 and lb == 0:
+        return 0.0
+    m = (la + lb / _GC_C) / 2.0
+    delta = abs(lb - la * _GC_C) / math.sqrt(m * _GC_S2)
+    # two-sided tail of the standard normal, floored away from 0
+    tail = max(2.0 * (1.0 - 0.5 * (1.0 + math.erf(
+        delta / math.sqrt(2.0)))), 1e-12)
+    return -math.log(prior) - math.log(tail)
+
+
+def _gc_align(a_lens: list, b_lens: list) -> list:
+    """Dynamic program over sentence-length beads; returns
+    (a_start, n_a, b_start, n_b) tuples in order.  Deterministic:
+    ties broken by the fixed move order below."""
+    MOVES = ((1, 1), (1, 0), (0, 1), (2, 1), (1, 2), (2, 2))
+    na, nb = len(a_lens), len(b_lens)
+    INF = float("inf")
+    cost = [[INF] * (nb + 1) for _ in range(na + 1)]
+    back = [[None] * (nb + 1) for _ in range(na + 1)]
+    cost[0][0] = 0.0
+    for i in range(na + 1):
+        for j in range(nb + 1):
+            base = cost[i][j]
+            if base == INF:
+                continue
+            for da, db in MOVES:
+                ni, nj = i + da, j + db
+                if ni > na or nj > nb:
+                    continue
+                c = base + _gc_cost(sum(a_lens[i:ni]),
+                                    sum(b_lens[j:nj]),
+                                    _GC_PRIORS[(da, db)])
+                if c < cost[ni][nj] - 1e-12:
+                    cost[ni][nj] = c
+                    back[ni][nj] = (da, db)
+    beads, i, j = [], na, nb
+    while i > 0 or j > 0:
+        da, db = back[i][j]
+        beads.append((i - da, da, j - db, db))
+        i, j = i - da, j - db
+    beads.reverse()
+    return beads
+
+
+GC_SCHEMA = ("pair_id long, bead_id int, a_start int, n_a int, "
+             "b_start int, n_b int, bead string")
+
+
+def galechurch_align(sentences: DataFrame) -> DataFrame:
+    """Gale-Church (1993) length-based sentence alignment per
+    document pair -- the classical bitext step between document
+    matching (:func:`margin_bitext_pairs` / :func:`bitext_candidates`)
+    and translation-pair emission: align side ``a``'s sentences to
+    side ``b``'s by a DP over character lengths with the published
+    bead priors (1-1, 1-0/0-1, 2-1/1-2, 2-2).
+
+    Input: (pair_id, side in {'a','b'}, sent_id, n_chars) -- lengths
+    only, so the (possibly huge) sentence text never enters the
+    shuffle; join the emitted (start, count) spans back to text by
+    (pair_id, side, sent_id) afterwards.
+
+    Scale shape: ``applyInPandas`` grouped by pair_id -- one shuffle
+    on pair_id; each group is one document pair (bounded), the DP is
+    O(na*nb) per pair with a constant move set.  The DP's float math
+    never leaves Python: the OUTPUT is pure integers (spans), so
+    results are engine- and partitioning-stable.
+
+    Returns (pair_id, bead_id, a_start, n_a, b_start, n_b, bead)
+    with bead the "1-1"/"2-1"/... label and n_a = 0 for insertions.
+    """
+    import pandas as pd
+
+    def align(pdf: pd.DataFrame) -> pd.DataFrame:
+        pair_id = int(pdf["pair_id"].iloc[0])
+        a = (pdf[pdf["side"] == "a"].sort_values("sent_id")
+             ["n_chars"].tolist())
+        b = (pdf[pdf["side"] == "b"].sort_values("sent_id")
+             ["n_chars"].tolist())
+        rows = [(pair_id, k, ast, na, bst, nb,
+                 "%d-%d" % (na, nb))
+                for k, (ast, na, bst, nb)
+                in enumerate(_gc_align(a, b))]
+        return pd.DataFrame(rows, columns=[
+            "pair_id", "bead_id", "a_start", "n_a", "b_start",
+            "n_b", "bead"])
+
+    return (sentences.groupBy("pair_id")
+            .applyInPandas(align, schema=GC_SCHEMA))
