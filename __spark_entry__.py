@@ -3404,6 +3404,92 @@ def _q_galechurch(spark, sf_dir):
     return galechurch_align(ab).orderBy("pair_id", "bead_id")
 
 
+def _q_robots_meta(spark, sf_dir):
+    """Robots-meta verdicts: doc_id%4 plants 'noindex, nofollow' /
+    'NoIndex' (case test) / 'nofollow' / no meta at all."""
+    from ferenda_spark.operators.crawl import robots_meta
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    meta = (F.when(m == 0, '<meta name="robots" '
+                           'content="noindex, nofollow"/>')
+            .when(m == 1, '<meta name="ROBOTS" content="NoIndex"/>')
+            .when(m == 2, '<meta name="robots" content="nofollow"/>')
+            .otherwise(""))
+    html = F.concat(F.lit("<html><head>"), meta,
+                    F.lit("</head><body>x</body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/robots/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return robots_meta(pages).orderBy("url")
+
+
+def _q_follow_edges(spark, sf_dir):
+    """Follow/nofollow edge extraction: rel=nofollow (incl. as one
+    token of 'ugc nofollow'), page-level meta nofollow on every 5th
+    doc, other rel tokens harmless."""
+    from ferenda_spark.operators.crawl import follow_edges
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    meta = F.when(did % 5 == 0,
+                  '<meta name="robots" content="nofollow"/>') \
+        .otherwise("")
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.lit('<a href="https://example.org/plain/'), did,
+        F.lit('">p</a><a rel="nofollow" '
+              'href="https://example.org/nf/'), did,
+        F.lit('">n</a><a rel="ugc nofollow" '
+              'href="https://example.org/ugc/'), did,
+        F.lit('">u</a><a rel="me" href="https://example.org/me/'),
+        did, F.lit('">m</a></body></html>'))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/page/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+    return follow_edges(pages).orderBy("src_url", "position")
+
+
+def _q_feed_entries(spark, sf_dir):
+    """RSS 2.0 (even doc_id) and Atom (odd) feeds, two entries each:
+    entry A carries all fields (Atom: published AND updated —
+    published must win), entry B omits the date (RSS -> NULL;
+    Atom falls back to updated)."""
+    from ferenda_spark.operators.crawl import feed_entries
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>Feed '), s,
+        F.lit("</title><item><title>Post "), s,
+        F.lit(" A</title><link>https://example.org/p/"), s,
+        F.lit("/a</link><guid>tag:"), s,
+        F.lit(":a</guid><pubDate>Mon, 01 Jan 2024</pubDate></item>"
+              "<item><title>Post "), s,
+        F.lit(" B</title><link>https://example.org/p/"), s,
+        F.lit("/b</link><guid>tag:"), s,
+        F.lit(":b</guid></item></channel></rss>"))
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>Feed "), s,
+        F.lit("</title><entry><title>Post "), s,
+        F.lit(' A</title><link href="https://example.org/p/'), s,
+        F.lit('/a"/><id>tag:'), s,
+        F.lit(":a</id><published>2024-01-01T00:00:00Z</published>"
+              "<updated>2024-02-01T00:00:00Z</updated></entry>"
+              "<entry><title>Post "), s,
+        F.lit(' B</title><link href="https://example.org/p/'), s,
+        F.lit('/b"/><id>tag:'), s,
+        F.lit(":b</id><updated>2024-02-01T00:00:00Z</updated>"
+              "</entry></feed>"))
+    xml = F.when(did % 2 == 0, rss).otherwise(atom)
+    feeds = d.select(
+        F.concat(F.lit("https://example.org/feed/"), s)
+        .alias("feed_url"),
+        F.encode(xml, "UTF-8").alias("xml"))
+    return feed_entries(feeds).orderBy("feed_url", "idx")
+
+
 def _q_contrastive_pairs(spark, sf_dir):
     """LSH-derived contrastive pairs: banded candidates labeled
     positive / hard-negative by the signature-agreement estimate —
@@ -4923,6 +5009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_main_content": _q_main_content,
         "sim_margin_bitext": _q_margin_bitext,
         "bitext_galechurch": _q_galechurch,
+        "crawl_robots_meta": _q_robots_meta,
+        "crawl_follow_edges": _q_follow_edges,
+        "crawl_feed_entries": _q_feed_entries,
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
@@ -9545,6 +9634,67 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(range(4 + doc_id % 3)) AS i
                   FROM documents)
             ORDER BY pair_id, bead_id""",
+        # doc_id%4: 0 -> both, 1 -> noindex (mixed case), 2 ->
+        # nofollow, 3 -> neither
+        "crawl_robots_meta": """
+            SELECT 'https://example.org/robots/' || doc_id AS url,
+                   (doc_id % 4) IN (0, 1) AS noindex,
+                   (doc_id % 4) IN (0, 2) AS nofollow
+            FROM documents ORDER BY url""",
+        # 4 links per page in document order; rel=nofollow and
+        # 'ugc nofollow' never follow; meta nofollow (every 5th doc)
+        # kills the rest too
+        "crawl_follow_edges": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/page/' || doc_id AS src,
+                     doc_id % 5 <> 0 AS page_follow
+              FROM documents),
+            e AS (
+              SELECT src AS src_url, 0 AS position,
+                     'https://example.org/plain/' || doc_id AS href,
+                     page_follow AS follow FROM d
+              UNION ALL
+              SELECT src, 1, 'https://example.org/nf/' || doc_id,
+                     FALSE FROM d
+              UNION ALL
+              SELECT src, 2, 'https://example.org/ugc/' || doc_id,
+                     FALSE FROM d
+              UNION ALL
+              SELECT src, 3, 'https://example.org/me/' || doc_id,
+                     page_follow FROM d)
+            SELECT src_url, CAST(position AS INT) AS position, href,
+                   follow
+            FROM e ORDER BY src_url, position""",
+        # two entries per feed; RSS entry B has no pubDate (NULL),
+        # Atom entry A's published beats updated, B falls back to
+        # updated
+        "crawl_feed_entries": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/feed/' || doc_id AS furl,
+                     doc_id % 2 = 0 AS is_rss
+              FROM documents),
+            e AS (
+              SELECT furl AS feed_url, 0 AS idx,
+                     'Post ' || doc_id || ' A' AS title,
+                     'https://example.org/p/' || doc_id || '/a'
+                       AS link,
+                     'tag:' || doc_id || ':a' AS entry_id,
+                     CASE WHEN is_rss THEN 'Mon, 01 Jan 2024'
+                          ELSE '2024-01-01T00:00:00Z'
+                     END AS published
+              FROM d
+              UNION ALL
+              SELECT furl, 1, 'Post ' || doc_id || ' B',
+                     'https://example.org/p/' || doc_id || '/b',
+                     'tag:' || doc_id || ':b',
+                     CASE WHEN is_rss THEN NULL
+                          ELSE '2024-02-01T00:00:00Z' END
+              FROM d)
+            SELECT feed_url, CAST(idx AS INT) AS idx, title, link,
+                   entry_id, published
+            FROM e ORDER BY feed_url, idx""",
         # minhash-estimate pipeline + the contrastive CASE label
         "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
             prs AS (

@@ -782,3 +782,195 @@ def blocklist_filter(urls: DataFrame, blocklist: DataFrame,
             .select("url", "host",
                     F.col("_m").isNotNull().alias("blocked"),
                     F.col("_m.s").alias("matched_suffix")))
+
+
+# ------------------------------------------------- robots meta / rel
+
+ROBOTS_META_SCHEMA = "url string, noindex boolean, nofollow boolean"
+
+
+def _robots_meta_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..htmlelements import decode_html, parse_html
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+            noindex = nofollow = False
+
+            def scan(n):
+                nonlocal noindex, nofollow
+                if isinstance(n, str):
+                    return
+                if (n.tag == "meta"
+                        and (n.attrs.get("name") or "").lower()
+                        == "robots"):
+                    ds = {d.strip().lower() for d in
+                          (n.attrs.get("content") or "").split(",")}
+                    if "noindex" in ds or "none" in ds:
+                        noindex = True
+                    if "nofollow" in ds or "none" in ds:
+                        nofollow = True
+                for c in n.children:
+                    scan(c)
+
+            scan(tree)
+            rows.append((url, noindex, nofollow))
+        yield pd.DataFrame(rows, columns=["url", "noindex",
+                                          "nofollow"])
+
+
+def robots_meta(pages: DataFrame) -> DataFrame:
+    """Page-level robots directives from ``<meta name="robots">`` —
+    the in-page half of crawl permissioning (robots.txt is
+    :func:`robots_allowed`): one row per page with the noindex /
+    nofollow verdict, ``none`` meaning both and multiple robots
+    metas unioned (most restrictive wins, per Google's documented
+    conflict rule).  Pages without the meta get (false, false) so
+    the output is a total function of the input — the filter
+    decision stays with the caller.
+
+    Arrow-batched ``mapInPandas``, one DOM pass, no shuffle."""
+    return (pages.select("url", "html")
+            .mapInPandas(_robots_meta_batches,
+                         schema=ROBOTS_META_SCHEMA))
+
+
+FOLLOW_EDGE_SCHEMA = ("src_url string, position int, href string, "
+                      "follow boolean")
+
+
+def _follow_edge_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..htmlelements import decode_html, parse_html
+    for pdf in it:
+        rows = []
+        for url, raw in zip(pdf["url"], pdf["html"]):
+            tree = parse_html(decode_html(bytes(raw)))
+            meta_nofollow = False
+
+            def meta_scan(n):
+                nonlocal meta_nofollow
+                if isinstance(n, str):
+                    return
+                if (n.tag == "meta"
+                        and (n.attrs.get("name") or "").lower()
+                        == "robots"):
+                    ds = {d.strip().lower() for d in
+                          (n.attrs.get("content") or "").split(",")}
+                    if "nofollow" in ds or "none" in ds:
+                        meta_nofollow = True
+                for c in n.children:
+                    meta_scan(c)
+
+            meta_scan(tree)
+            seen: set = set()
+            pos = 0
+
+            def scan(n):
+                nonlocal pos
+                if isinstance(n, str):
+                    return
+                if n.tag == "a" and "href" in n.attrs:
+                    href = n.attrs["href"]
+                    if href not in seen:
+                        seen.add(href)
+                        rel = {t.lower() for t in
+                               (n.attrs.get("rel") or "").split()}
+                        rows.append((url, pos, href,
+                                     not (meta_nofollow
+                                          or "nofollow" in rel)))
+                        pos += 1
+                for c in n.children:
+                    scan(c)
+
+            scan(tree)
+        yield pd.DataFrame(rows, columns=["src_url", "position",
+                                          "href", "follow"])
+
+
+def follow_edges(pages: DataFrame) -> DataFrame:
+    """Crawl-grade link edges with the follow verdict: every unique
+    href in document order (first occurrence wins, matching
+    :func:`anchor_links`), marked unfollowable when the tag carries
+    ``rel=nofollow`` (any token position — ``ugc nofollow`` counts)
+    OR the page declares meta-robots nofollow.  This is the edge
+    list a polite frontier expands and the one link-spam scoring
+    should exclude — nofollow edges exist but must not carry
+    endorsement.
+
+    Unlike :func:`anchor_links` the walk is NOT pruned: a crawler
+    discovers URLs wherever they sit (nav/footer included); use
+    anchor_links when anchor TEXT quality matters instead.
+
+    Arrow-batched ``mapInPandas``, one DOM pass, no shuffle."""
+    return (pages.select("url", "html")
+            .mapInPandas(_follow_edge_batches,
+                         schema=FOLLOW_EDGE_SCHEMA))
+
+
+# ------------------------------------------------------- feeds
+
+FEED_SCHEMA = ("feed_url string, idx int, title string, link string, "
+               "entry_id string, published string")
+
+
+def _feed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    for pdf in it:
+        rows = []
+        for furl, raw in zip(pdf["feed_url"], pdf["xml"]):
+            root = ET.fromstring(bytes(raw).decode("utf-8"))
+            idx = 0
+            kind = local(root.tag)
+            if kind == "rss":
+                chan = next((c for c in root
+                             if local(c.tag) == "channel"), None)
+                entries = [] if chan is None else \
+                    [i for i in chan if local(i.tag) == "item"]
+            elif kind == "feed":
+                entries = [e for e in root
+                           if local(e.tag) == "entry"]
+            else:
+                entries = []
+            for e in entries:
+                title = link = gid = pub = upd = None
+                for c in e:
+                    t = local(c.tag)
+                    txt = (c.text or "").strip()
+                    if t == "title":
+                        title = txt
+                    elif t == "link":
+                        # RSS: element text; Atom: @href
+                        link = c.attrib.get("href") or txt or None
+                    elif t in ("guid", "id"):
+                        gid = txt
+                    elif t in ("pubDate", "published"):
+                        pub = txt
+                    elif t == "updated":
+                        upd = txt
+                rows.append((furl, idx, title, link, gid,
+                             pub if pub is not None else upd))
+                idx += 1
+        yield pd.DataFrame(rows, columns=["feed_url", "idx", "title",
+                                          "link", "entry_id",
+                                          "published"])
+
+
+def feed_entries(feeds: DataFrame) -> DataFrame:
+    """RSS 2.0 / Atom feed parsing — the push half of crawl
+    discovery (sitemaps are the pull half, :func:`sitemap_entries`):
+    (feed_url, xml) -> one row per item/entry in feed order with
+    title, link (RSS element text or Atom ``@href``), guid/id and
+    the published date (Atom falls back to ``updated`` when
+    ``published`` is absent).  Namespaced and bare element names
+    both accepted; unknown root elements yield no rows rather than
+    failing the partition.
+
+    Arrow-batched ``mapInPandas`` over the XML bytes, no shuffle;
+    feeds parse independently so a 100 TB feed corpus maps straight
+    through."""
+    return (feeds.select("feed_url", "xml")
+            .mapInPandas(_feed_batches, schema=FEED_SCHEMA))
