@@ -3490,6 +3490,95 @@ def _q_feed_entries(spark, sf_dir):
     return feed_entries(feeds).orderBy("feed_url", "idx")
 
 
+def _robots_texts(spark, sf_dir):
+    """Planted robots.txt per host: every doc's file has a ``*``
+    group (Disallow /private, Allow /private/ok{id%3}, Crawl-delay
+    2) and a top-level Sitemap line; EVEN docs also carry a
+    ferendabot group (Disallow /bot{id%5}) that must shadow ``*``."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    base = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "Allow: /private/ok"),
+        (did % 3),
+        F.lit("\nCrawl-delay: 2\n\nSitemap: https://h"), s,
+        F.lit(".example.org/sitemap.xml\n"))
+    bot = F.concat(
+        F.lit("User-agent: ferendabot\n# scoped group\n"
+              "Disallow: /bot"), (did % 5), F.lit("\n"))
+    txt = F.when(did % 2 == 0, F.concat(base, bot)).otherwise(base)
+    return d.select(
+        F.concat(F.lit("h"), s, F.lit(".example.org")).alias("host"),
+        txt.alias("robots_txt"))
+
+
+def _q_parse_robots(spark, sf_dir):
+    """robots.txt parsing for agent=ferendabot: exact group shadows
+    ``*`` on even docs, odd docs fall back to the ``*`` rules."""
+    from ferenda_spark.operators.crawl import parse_robots
+    return (parse_robots(_robots_texts(spark, sf_dir),
+                         agent="ferendabot")
+            .orderBy("host", "rule_no"))
+
+
+def _q_robots_host_meta(spark, sf_dir):
+    """Crawl-delay + sitemap side channels: the matched ferendabot
+    group has no delay (NULL on even docs); ``*`` fallback carries
+    2000 ms; the sitemap line is group-independent."""
+    from ferenda_spark.operators.crawl import robots_host_meta
+    return (robots_host_meta(_robots_texts(spark, sf_dir),
+                             agent="ferendabot")
+            .orderBy("host", "sitemap_no"))
+
+
+def _q_cdx_index(spark, sf_dir):
+    """CDX capture index: three captures per doc whose raw URLs
+    differ in www/:443/utm noise but canonicalize+SURT to one key;
+    digests give 2 distinct versions."""
+    from ferenda_spark.operators.crawl import cdx_index
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    h = (did % 50).cast("string")
+    tail = F.concat(F.lit(".example.org/page/"), s)
+    cap = lambda url, ts, dg: d.select(
+        url.alias("url"), F.lit(ts).alias("warc_ts"),
+        dg.alias("digest"))
+    c1 = cap(F.concat(F.lit("https://WWW.h"), h, tail,
+                      F.lit("?utm_source=x&q=1")),
+             "2024-01-01", F.concat(F.lit("d"), (did % 2)))
+    c2 = cap(F.concat(F.lit("https://h"), h, F.lit(".example.org:443"
+                      ), F.lit("/page/"), s, F.lit("?q=1")),
+             "2024-01-02", F.concat(F.lit("d"), (did % 2)))
+    c3 = cap(F.concat(F.lit("https://h"), h, tail, F.lit("?q=1")),
+             "2024-01-03", F.lit("dX"))
+    return (cdx_index(c1.unionByName(c2).unionByName(c3))
+            .orderBy("surt"))
+
+
+def _q_mime_sniff(spark, sf_dir):
+    """Magic-byte triage over synthesized blobs: doc_id%8 plants
+    jpeg/png/gif/wav/pdf/gzip/html/junk."""
+    from ferenda_spark.operators.multimodal import sniff_mime
+    d = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    blob = (F.when(m == 0, F.unhex(F.lit("FFD8FFE000104A464946")))
+            .when(m == 1, F.unhex(F.lit("89504E470D0A1A0A0000")))
+            .when(m == 2, F.encode(F.lit("GIF89a;"), "UTF-8"))
+            .when(m == 3, F.concat(
+                F.encode(F.lit("RIFF"), "UTF-8"),
+                F.unhex(F.lit("24000000")),
+                F.encode(F.lit("WAVE"), "UTF-8")))
+            .when(m == 4, F.encode(F.lit("%PDF-1.4"), "UTF-8"))
+            .when(m == 5, F.unhex(F.lit("1F8B0800")))
+            .when(m == 6, F.encode(F.lit("<!DOCTYPE html><html>"),
+                                   "UTF-8"))
+            .otherwise(F.encode(F.lit("plain text bytes"), "UTF-8")))
+    return (d.select("doc_id", sniff_mime(blob).alias("mime"))
+            .orderBy("doc_id"))
+
+
 def _q_contrastive_pairs(spark, sf_dir):
     """LSH-derived contrastive pairs: banded candidates labeled
     positive / hard-negative by the signature-agreement estimate —
@@ -5012,6 +5101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_meta": _q_robots_meta,
         "crawl_follow_edges": _q_follow_edges,
         "crawl_feed_entries": _q_feed_entries,
+        "crawl_parse_robots": _q_parse_robots,
+        "crawl_robots_host_meta": _q_robots_host_meta,
+        "crawl_cdx_index": _q_cdx_index,
+        "mm_mime_sniff": _q_mime_sniff,
         "train_contrastive_pairs": _q_contrastive_pairs,
         "stats_profile_documents": _q_profile,
         "kg_entity_cooccurrence": _q_entity_cooccurrence,
@@ -9695,6 +9788,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT feed_url, CAST(idx AS INT) AS idx, title, link,
                    entry_id, published
             FROM e ORDER BY feed_url, idx""",
+        # even docs: the exact ferendabot group's single rule; odd:
+        # the * group's two rules in file order
+        "crawl_parse_robots": """
+            WITH d AS (
+              SELECT doc_id,
+                     'h' || doc_id || '.example.org' AS host
+              FROM documents),
+            r AS (
+              SELECT host, '/bot' || (doc_id % 5) AS path_prefix,
+                     FALSE AS allow, 0 AS rule_no
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT host, '/private', FALSE, 0
+              FROM d WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT host, '/private/ok' || (doc_id % 3), TRUE, 1
+              FROM d WHERE doc_id % 2 = 1)
+            SELECT host, path_prefix, allow,
+                   CAST(rule_no AS INT) AS rule_no
+            FROM r ORDER BY host, rule_no""",
+        # delay comes only from the MATCHED group (ferendabot has
+        # none -> NULL on even docs); sitemaps are group-independent
+        "crawl_robots_host_meta": """
+            SELECT 'h' || doc_id || '.example.org' AS host,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN NULL
+                        ELSE 2000 END AS BIGINT) AS crawl_delay_ms,
+                   'https://h' || doc_id
+                     || '.example.org/sitemap.xml' AS sitemap,
+                   0 AS sitemap_no
+            FROM documents ORDER BY host, sitemap_no""",
+        # one SURT key per doc (www/:443/utm noise collapses), 3
+        # captures, 2 distinct digests
+        "crawl_cdx_index": """
+            SELECT 'org,example,h' || (doc_id % 50) || ')/page/'
+                     || doc_id || '?q=1' AS surt,
+                   CAST(3 AS BIGINT) AS n_captures,
+                   CAST(2 AS BIGINT) AS n_versions,
+                   '2024-01-01' AS first_ts,
+                   '2024-01-03' AS last_ts
+            FROM documents ORDER BY surt""",
+        # closed-form: the planted blob kind per doc_id%8
+        "mm_mime_sniff": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'image/jpeg'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'image/gif'
+                     WHEN 3 THEN 'audio/wav'
+                     WHEN 4 THEN 'application/pdf'
+                     WHEN 5 THEN 'application/gzip'
+                     WHEN 6 THEN 'text/html'
+                     ELSE 'application/octet-stream'
+                   END AS mime
+            FROM documents ORDER BY doc_id""",
         # minhash-estimate pipeline + the contrastive CASE label
         "train_contrastive_pairs": "WITH " + _MINHASH_CTE + """,
             prs AS (

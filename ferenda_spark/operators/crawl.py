@@ -974,3 +974,151 @@ def feed_entries(feeds: DataFrame) -> DataFrame:
     through."""
     return (feeds.select("feed_url", "xml")
             .mapInPandas(_feed_batches, schema=FEED_SCHEMA))
+
+
+# ---------------------------------------------------- robots.txt
+
+def _parse_robots_text(text: str, agent: str):
+    """Pure RFC 9309-subset parser: returns (rules, delays, sitemaps)
+    where rules = [(path_prefix, allow)] for the given agent, delays
+    = crawl-delay seconds or None, sitemaps = [url].  Group
+    selection: all groups naming the agent token exactly
+    (case-insensitive) if any exist, else all ``*`` groups — RFC
+    9309 §2.2.1 (rules for the matched agent combine; ``*`` applies
+    only when nothing more specific matched).  Wildcard metachars in
+    paths are kept verbatim — :func:`robots_allowed` treats prefixes
+    literally (documented conservative subset)."""
+    agent = agent.lower()
+    groups = []          # [(set(agents), [(prefix, allow)], delay)]
+    cur_agents, cur_rules, cur_delay = set(), [], None
+    in_group_header = False
+    sitemaps = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
+        if field == "user-agent":
+            if not in_group_header:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = set(), [], None
+                in_group_header = True
+            cur_agents.add(value.lower())
+            continue
+        in_group_header = False
+        if field in ("allow", "disallow"):
+            if value:
+                cur_rules.append((value, field == "allow"))
+            continue
+        if field == "crawl-delay":
+            try:
+                cur_delay = int(float(value) * 1000)
+            except ValueError:
+                pass
+    if cur_agents:
+        groups.append((cur_agents, cur_rules, cur_delay))
+    exact = [g for g in groups if agent in g[0]]
+    chosen = exact or [g for g in groups if "*" in g[0]]
+    rules, delay = [], None
+    for _, rs, d in chosen:
+        rules.extend(rs)
+        if d is not None:
+            delay = d if delay is None else min(delay, d)
+    return rules, delay, sitemaps
+
+
+ROBOTS_RULES_SCHEMA = ("host string, path_prefix string, "
+                       "allow boolean, rule_no int")
+ROBOTS_META2_SCHEMA = ("host string, crawl_delay_ms long, "
+                       "sitemap string, sitemap_no int")
+
+
+def parse_robots(texts: DataFrame, agent: str = "*") -> DataFrame:
+    """robots.txt -> the (host, path_prefix, allow) rules dimension
+    :func:`robots_allowed` consumes, for one crawler identity:
+    exact-token groups beat ``*`` groups, multiple matching groups
+    combine (RFC 9309).  ``rule_no`` preserves file order.  Input:
+    (host, robots_txt).  Arrow-batched, no shuffle — robots files
+    parse independently per host."""
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                rules, _, _ = _parse_robots_text(txt or "", agent)
+                for i, (prefix, allow) in enumerate(rules):
+                    rows.append((host, prefix, allow, i))
+            yield pd.DataFrame(rows, columns=[
+                "host", "path_prefix", "allow", "rule_no"])
+
+    return (texts.select("host", "robots_txt")
+            .mapInPandas(batches, schema=ROBOTS_RULES_SCHEMA))
+
+
+def robots_host_meta(texts: DataFrame, agent: str = "*") -> DataFrame:
+    """Per-host crawl-delay (ms, smallest across matched groups) and
+    declared sitemaps (file order) from robots.txt — the politeness
+    and discovery side channels.  Hosts with neither emit one row of
+    NULLs so the host stays visible to the scheduler join."""
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                _, delay, maps = _parse_robots_text(txt or "", agent)
+                if maps:
+                    for i, m in enumerate(maps):
+                        rows.append((host, delay, m, i))
+                else:
+                    rows.append((host, delay, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "host", "crawl_delay_ms", "sitemap", "sitemap_no"])
+
+    return (texts.select("host", "robots_txt")
+            .mapInPandas(batches, schema=ROBOTS_META2_SCHEMA))
+
+
+# ---------------------------------------------------- SURT / CDX
+
+def surt_key(col):
+    """SURT (Sort-friendly URI Reordering Transform) of an
+    already-canonical URL (:func:`..cleaning.canonical_url`):
+    ``org,example)/path?query`` — the key format web-archive CDX
+    indexes sort and range-scan by, putting every subdomain of a
+    registrable domain into one contiguous key range.  Ports are
+    dropped (canonical_url already removed default ports).  Pure
+    column expressions, no UDF."""
+    auth = F.lower(F.regexp_extract(col, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(F.regexp_replace(auth, r":\d+$", ""),
+                            r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.regexp_extract(col, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
+    return F.when(auth == "", col).otherwise(
+        F.concat(rev, F.lit(")"), tail))
+
+
+def cdx_index(captures: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts",
+              digest_col: str = "digest") -> DataFrame:
+    """CDX-style capture index: canonicalize + SURT-key each capture,
+    then one hash aggregate per key — capture count, distinct
+    content versions (digest), first/last capture time.  This is the
+    web-archive dedup/replay index (OpenWayback CDX, Common Crawl's
+    cluster.idx) as a DataFrame op: one shuffle on the SURT key,
+    map-side partial aggregation, and the key's domain-contiguous
+    sort order is exactly what a range-partitioned writer wants."""
+    from .cleaning import canonical_url
+    keyed = captures.select(
+        surt_key(canonical_url(F.col(url_col))).alias("surt"),
+        F.col(ts_col).alias("ts"), F.col(digest_col).alias("digest"))
+    return (keyed.groupBy("surt")
+            .agg(F.count(F.lit(1)).alias("n_captures"),
+                 F.countDistinct("digest").alias("n_versions"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts")))

@@ -428,3 +428,42 @@ def dhash_hamming_pairs(hashes: DataFrame, bands: int = 4,
                     .alias("distance"))
             .distinct())
     return cand.where(F.col("distance") <= max_distance)
+
+
+def sniff_mime(col):
+    """Magic-byte MIME detection as a pure column-expression chain —
+    the content-type triage step a crawl pipeline runs on fetched
+    bytes BEFORE trusting the server's Content-Type header (servers
+    lie; bytes don't).  Detects the formats the rest of this module
+    and the doc readers consume: JPEG/PNG/GIF/WebP images, RIFF/WAV
+    audio, PDF, gzip, zip, OLE2 compound files (legacy ``.doc`` —
+    :mod:`..docbinary`), XML, and HTML (the common literal preambles
+    ``<!DOCTYPE``/``<!doctype``/``<html``/``<HTML`` — binary compare
+    only, so no decode can throw on malformed bytes).  Everything
+    else is ``application/octet-stream``.
+
+    JVM-side, no UDF, one scan: at 100 TB this is a projection."""
+    def pre(n):
+        return F.substring(col, 1, n)
+
+    riff_kind = F.substring(col, 9, 4)
+    return (
+        F.when(pre(3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
+        .when(pre(8) == F.lit(b"\x89PNG\r\n\x1a\n"), "image/png")
+        .when((pre(6) == F.lit(b"GIF87a"))
+              | (pre(6) == F.lit(b"GIF89a")), "image/gif")
+        .when((pre(4) == F.lit(b"RIFF"))
+              & (riff_kind == F.lit(b"WAVE")), "audio/wav")
+        .when((pre(4) == F.lit(b"RIFF"))
+              & (riff_kind == F.lit(b"WEBP")), "image/webp")
+        .when(pre(4) == F.lit(b"%PDF"), "application/pdf")
+        .when(pre(2) == F.lit(b"\x1f\x8b"), "application/gzip")
+        .when(pre(4) == F.lit(b"PK\x03\x04"), "application/zip")
+        .when(pre(8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"),
+              "application/x-ole-storage")
+        .when(pre(5) == F.lit(b"<?xml"), "application/xml")
+        .when((pre(9) == F.lit(b"<!DOCTYPE"))
+              | (pre(9) == F.lit(b"<!doctype"))
+              | (pre(5) == F.lit(b"<html"))
+              | (pre(5) == F.lit(b"<HTML")), "text/html")
+        .otherwise("application/octet-stream"))
