@@ -4880,6 +4880,77 @@ def _q_kg_harmonic_centrality(spark, sf_dir):
             .orderBy("node"))
 
 
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the planted entity/topic/
+    publisher tripartite graph: every doc closes an (entity, topic,
+    publisher) triangle, so community structure is dense and the
+    closed-form oracle replays degree/triangle counts exactly.
+    All-integer coeff (permille, integer div) -> hash-exact."""
+    from ferenda_spark.operators.graphs import clustering_coefficient
+    d = _read(spark, sf_dir, "documents")
+    e = F.concat(F.lit("e"), (F.col("doc_id") % 50).cast("string"))
+    t = F.concat(F.lit("t"), (F.col("doc_id") % 11).cast("string"))
+    p = F.concat(F.lit("p"), (F.col("doc_id") % 7).cast("string"))
+    edges = (d.select(e.alias("node_a"), t.alias("node_b"))
+             .unionByName(d.select(t.alias("node_a"), p.alias("node_b")))
+             .unionByName(d.select(e.alias("node_a"), p.alias("node_b"))))
+    return clustering_coefficient(edges).orderBy("node")
+
+
+def _q_trap_detection(spark, sf_dir):
+    """Crawler-trap scoring over four planted URL families (benign
+    shallow path / self-similar repeating path / calendar archive /
+    parameter explosion); the oracle replays the same closed-form
+    shapes.  Day segment is planted >= 13 and the leaf id prefixed
+    so no accidental segment collisions perturb dup counts."""
+    from ferenda_spark.operators.crawl import trap_detection
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    shape = did % 4
+    url = (F.when(shape == 0,
+                  F.concat(F.lit("https://example.org/docs/"),
+                           F.col("source"), F.lit("/"), sid))
+           .when(shape == 1,
+                 F.concat(F.lit("https://example.org/a/b/a/b/a/b/c/item"),
+                          sid))
+           .when(shape == 2,
+                 F.concat(F.lit("https://example.org/archive/2020/"),
+                          (1 + did % 12).cast("string"), F.lit("/"),
+                          (13 + did % 16).cast("string"),
+                          F.lit("/item"), sid))
+           .otherwise(
+                 F.concat(F.lit("https://example.org/docs/"),
+                          F.col("source"), F.lit("/"), sid,
+                          F.lit("?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7"
+                                "&p8="), sid)))
+    return (trap_detection(d.select(url.alias("url")))
+            .orderBy("url"))
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Token-trigram novelty per document vs everything earlier in
+    ingest order (min-doc_id first occurrence): the marginal-
+    information curation signal; oracle replays the explode /
+    first-occurrence / integer-permille pipeline."""
+    from ferenda_spark.operators.textstats import ngram_novelty
+    return (ngram_novelty(_read(spark, sf_dir, "documents")
+                          .select("doc_id", "text"), n=3)
+            .orderBy("doc_id"))
+
+
+def _q_sliding_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per observed day (the
+    DAU/WAU series) via dedup-then-bounded-explode; oracle is the
+    declarative range join over the same deduped (user, day) set."""
+    from ferenda_spark.operators.events import sliding_distinct
+    return (sliding_distinct(_read(spark, sf_dir, "events"),
+                             window_days=7)
+            .orderBy("day"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5180,6 +5251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compaction_plan": _q_store_compaction_plan,
         "text_llr_collocations": _q_text_llr_collocations,
         "kg_harmonic_centrality": _q_kg_harmonic_centrality,
+        "kg_clustering_coeff": _q_clustering_coeff,
+        "crawl_trap_detection": _q_trap_detection,
+        "text_ngram_novelty": _q_ngram_novelty,
+        "events_sliding_distinct": _q_sliding_distinct,
     }
 
 
@@ -11938,4 +12013,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_seeds_reaching,
                    round(SUM(1.0 / d), 6) AS harmonic
             FROM r GROUP BY n ORDER BY node""",
+        "kg_clustering_coeff": """
+            WITH raw AS (
+              SELECT 'e' || (doc_id % 50) AS x, 't' || (doc_id % 11) AS y
+              FROM documents
+              UNION ALL
+              SELECT 't' || (doc_id % 11), 'p' || (doc_id % 7)
+              FROM documents
+              UNION ALL
+              SELECT 'e' || (doc_id % 50), 'p' || (doc_id % 7)
+              FROM documents),
+            e AS (
+              SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+              FROM raw WHERE x <> y),
+            adj AS (SELECT a AS u, b AS v FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+                    FROM adj GROUP BY u),
+            tri AS (
+              SELECT a1.u AS node
+              FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+              JOIN e ON e.a = a1.v AND e.b = a2.v),
+            tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+                   FROM tri GROUP BY node)
+            SELECT deg.node, deg.degree,
+                   COALESCE(tc.t, 0) AS triangles,
+                   CAST(CASE WHEN deg.degree > 1
+                        THEN 2000 * COALESCE(tc.t, 0)
+                             // (deg.degree * (deg.degree - 1))
+                        ELSE 0 END AS BIGINT) AS coeff_permille
+            FROM deg LEFT JOIN tc USING (node)
+            ORDER BY node""",
+        # closed-form planted trap shapes: depth/dups/calendar/params
+        # are functions of doc_id % 4 alone
+        "crawl_trap_detection": """
+            WITH shapes AS (
+              SELECT doc_id, doc_id % 4 AS s,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'https://example.org/docs/' || source
+                                   || '/' || doc_id
+                       WHEN 1 THEN 'https://example.org/a/b/a/b/a/b/c/item'
+                                   || doc_id
+                       WHEN 2 THEN 'https://example.org/archive/2020/'
+                                   || (1 + doc_id % 12) || '/'
+                                   || (13 + doc_id % 16) || '/item'
+                                   || doc_id
+                       ELSE 'https://example.org/docs/' || source || '/'
+                            || doc_id
+                            || '?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8='
+                            || doc_id
+                     END AS url
+              FROM documents),
+            sig AS (
+              SELECT url,
+                     CAST(CASE s WHEN 0 THEN 3 WHEN 1 THEN 8
+                          WHEN 2 THEN 5 ELSE 3 END AS BIGINT)
+                       AS path_depth,
+                     CAST(CASE s WHEN 1 THEN 4 ELSE 0 END AS BIGINT)
+                       AS dup_segments,
+                     CAST(CASE s WHEN 2 THEN 1 ELSE 0 END AS BIGINT)
+                       AS has_calendar,
+                     CAST(CASE s WHEN 3 THEN 8 ELSE 0 END AS BIGINT)
+                       AS n_params
+              FROM shapes),
+            scored AS (
+              SELECT *,
+                     2 * GREATEST(path_depth - 6, 0) + 3 * dup_segments
+                     + 2 * has_calendar + GREATEST(n_params - 3, 0)
+                       AS trap_score
+              FROM sig)
+            SELECT url, path_depth, dup_segments, has_calendar,
+                   n_params, CAST(trap_score AS BIGINT) AS trap_score,
+                   CAST(CASE WHEN trap_score >= 4 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_trap
+            FROM scored ORDER BY url""",
+        "text_ngram_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                       '[ 	
+]+'), t -> length(t) > 0) AS l
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS ngram
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1,
+                            len(l) - 2)) AS i)),
+            first AS (
+              SELECT ngram, MIN(doc_id) AS f FROM grams GROUP BY ngram)
+            SELECT g.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                   CAST(SUM(CASE WHEN f = g.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(1000 * SUM(CASE WHEN f = g.doc_id THEN 1
+                                   ELSE 0 END) // COUNT(*) AS BIGINT)
+                     AS novelty_permille
+            FROM grams g JOIN first USING (ngram)
+            GROUP BY g.doc_id ORDER BY g.doc_id""",
+        "events_sliding_distinct": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+              FROM events),
+            days AS (SELECT DISTINCT d FROM ud)
+            SELECT strftime(days.d, '%Y-%m-%d') AS day,
+                   CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d
+                              THEN ud.u END) AS BIGINT) AS n_active_1d,
+                   CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS n_active_7d
+            FROM days JOIN ud
+              ON ud.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d ORDER BY day""",
     }

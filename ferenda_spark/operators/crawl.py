@@ -1122,3 +1122,60 @@ def cdx_index(captures: DataFrame, url_col: str = "url",
                  F.countDistinct("digest").alias("n_versions"),
                  F.min("ts").alias("first_ts"),
                  F.max("ts").alias("last_ts")))
+
+
+def trap_detection(pages: DataFrame, url_col: str = "url",
+                   depth_limit: int = 6,
+                   param_limit: int = 3) -> DataFrame:
+    """Crawler-trap scoring from URL structure alone (no fetch):
+    the pre-crawl filter every frontier needs at 10^12 URLs, where
+    calendar pages, session-forked paths, and self-similar directory
+    loops can consume an unbounded share of the politeness budget
+    (Heritrix's PathologicalPathDecideRule / TooManyPathSegments
+    family, re-expressed as column algebra).
+
+    Signals, all exact integers from pure expressions (no UDF, no
+    shuffle — this is a map-only stage a scan pushes through):
+
+    * ``path_depth``   — number of path segments;
+    * ``dup_segments`` — repeated path segments (size - distinct
+      size: /a/b/a/b scores 2), the self-similarity loop signal;
+    * ``has_calendar`` — a /YYYY/M(/D)? run in the path (infinite
+      calendar traps);
+    * ``n_params``     — query parameters (session forks, faceted
+      explosion).
+
+    ``trap_score = 2*max(0, depth - depth_limit) + 3*dup_segments +
+    2*has_calendar + max(0, n_params - param_limit)``; ``is_trap``
+    flags score >= 4.  Weights mirror Heritrix's defaults in spirit:
+    duplication is the strongest signal, raw depth the weakest.
+
+    Returns (url, path_depth, dup_segments, has_calendar, n_params,
+    trap_score, is_trap) — one row per input URL.
+    """
+    u = F.col(url_col)
+    after_scheme = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://", "")
+    path_q = F.regexp_replace(after_scheme, r"^[^/]*", "")
+    path = F.regexp_replace(path_q, r"[?#].*$", "")
+    # fragment is stripped BEFORE the query scan: in '/a#b?c', the
+    # '?' lives inside the fragment and there is no query (RFC 3986)
+    nofrag = F.regexp_replace(path_q, r"#.*$", "")
+    query = F.when(nofrag.contains("?"),
+                   F.regexp_replace(nofrag, r"^[^?]*\?", "")
+                   ).otherwise(F.lit(""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    dups = (depth - F.size(F.array_distinct(segs))).cast("long")
+    cal = F.when(path.rlike(r"/(19|20)\d{2}/\d{1,2}(/\d{1,2})?(/|$)"),
+                 F.lit(1)).otherwise(F.lit(0)).cast("long")
+    npar = F.when(F.length(query) == 0, F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))).cast("long")
+    score = (2 * F.greatest(depth.cast("long") - depth_limit,
+                            F.lit(0).cast("long"))
+             + 3 * dups + 2 * cal
+             + F.greatest(npar - param_limit, F.lit(0).cast("long")))
+    return pages.select(
+        u.alias("url"), depth.cast("long").alias("path_depth"),
+        dups.alias("dup_segments"), cal.alias("has_calendar"),
+        npar.alias("n_params"), score.alias("trap_score"),
+        (score >= 4).cast("int").cast("long").alias("is_trap"))

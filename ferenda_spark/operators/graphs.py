@@ -2027,3 +2027,78 @@ def simrank(edges: DataFrame, iterations: int = 2, c: float = 0.5,
             .select(F.col("x").alias("node_a"),
                     F.col("y").alias("node_b"),
                     F.round("s", 6).alias("sim")))
+
+
+def clustering_coefficient(edges: DataFrame,
+                           src: str = "node_a",
+                           dst: str = "node_b") -> DataFrame:
+    """Per-node local clustering coefficient via degree-ordered
+    triangle counting (Latapy 2008 "compact-forward"; the shape
+    behind Cohen's MapReduce triangle enumeration, 2009).  C(v) =
+    2*T(v) / (deg(v)*(deg(v)-1)) measures how clique-like a node's
+    neighborhood is — in web/KG terms it separates organic community
+    hubs (high C) from spam link farms and navigational mega-hubs
+    (near-zero C), complementing kg_spam_mass / kg_ktruss.
+
+    Distributed shape, and why it survives 10^12 edges: the graph is
+    first ORIENTED from the (degree, id)-smaller endpoint to the
+    larger, so every triangle is enumerated exactly once from its
+    lowest-degree corner and per-center wedge fan-out is bounded by
+    out-degree, which orientation caps at O(sqrt(m)) — the hub that
+    would generate deg^2 wedges undirected generates none, because
+    hubs only RECEIVE oriented edges.  One distinct + one degree
+    groupBy, a self-join on the wedge center, and a closing join on
+    the (v, w) edge key — every shuffle keys on node/edge ids, never
+    payloads.
+
+    All-integer output (coeff as exact permille via integer div), so
+    any engine replaying the same graph agrees hash-exactly.
+
+    Returns (node, degree, triangles, coeff_permille), deg >= 1
+    nodes only; deg-1 nodes get coeff 0.
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct()
+         .localCheckpoint(eager=True))
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    # orient by (degree, id): strictly increasing, so antisymmetric
+    # and acyclic even under degree ties
+    da = deg.select(F.col("node").alias("a"),
+                    F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("b"),
+                    F.col("degree").alias("_db"))
+    keyed = (e.join(da, "a").join(db, "b"))
+    fwd = F.struct("_da", "a") < F.struct("_db", "b")
+    o = (keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("_dt"))
+        .localCheckpoint(eager=True))
+    # wedges at center s: ordered out-neighbor pairs, then close
+    # against the oriented edge (v, w) — (deg,id) order on the pair
+    # matches the orientation, so the closing edge is always forward
+    x = o.select(F.col("s"), F.col("t").alias("v"),
+                 F.col("_dt").alias("_dv"))
+    y = o.select(F.col("s"), F.col("t").alias("w"),
+                 F.col("_dt").alias("_dw"))
+    wedges = (x.join(y, "s")
+              .where(F.struct("_dv", "v") < F.struct("_dw", "w"))
+              .select("s", "v", "w"))
+    closing = o.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("s", "v", "w")
+    per_node = (tri.select(F.col("s").alias("node"))
+                .unionByName(tri.select(F.col("v").alias("node")))
+                .unionByName(tri.select(F.col("w").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("triangles")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).cast("long")
+                    .alias("triangles"),
+                    F.when(F.col("degree") > 1,
+                           F.expr("2000 * coalesce(triangles, 0) div "
+                                  "(degree * (degree - 1))"))
+                    .otherwise(F.lit(0)).cast("long")
+                    .alias("coeff_permille")))

@@ -905,3 +905,55 @@ def llr_collocations(documents: DataFrame, min_count: int = 3,
             .where(F.col("rank") <= top_n)
             .select("w1", "w2", "n_xy", "n_left", "n_right", "llr",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty against everything that came
+    before it in corpus order: the share of a document's distinct
+    token n-grams whose FIRST corpus occurrence is this document.
+    This is the marginal-information curation signal for training
+    data at scale — mirror-heavy crawls score near 0 even when no
+    single document is a near-duplicate of any other (boilerplate
+    recombination), which is exactly the case MinHash pair-finding
+    misses; Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") motivates the same n-gram-level view.
+
+    Corpus order = ascending ``id_col`` (ingest order).  Distributed
+    shape: explode to distinct (doc, ngram), ONE groupBy on the
+    ngram key for the global first-occurrence (min doc id — an
+    associative aggregate, map-side combined), one join back on the
+    same ngram key (co-partitioned with the groupBy, so AQE fuses
+    the exchange), then a per-doc aggregate.  Nothing is ever
+    ordered globally; at 10^12 documents this is the same two-pass
+    shape as the MinHash pipeline.
+
+    All-integer output (permille via integer div) — engine-portable
+    hash-exact.  Documents with fewer than ``n`` tokens yield zero
+    ngrams and are dropped (no 0/0 row).
+
+    Returns (doc_id, n_ngrams, n_novel, novelty_permille).
+    """
+    from .dedup import tokens
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, (i + k + 1).cast("int"))
+                       for k in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    dg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(grams).alias("ngram"))
+          .where(F.length("ngram") > 0).distinct())
+    first = dg.groupBy("ngram").agg(F.min("doc_id").alias("_first"))
+    return (dg.join(first, "ngram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.when(F.col("_first") == F.col("doc_id"), 1)
+                       .otherwise(0)).cast("long").alias("n_novel"))
+            .select("doc_id", "n_ngrams", "n_novel",
+                    F.expr("1000 * n_novel div n_ngrams")
+                    .cast("long").alias("novelty_permille")))
