@@ -4951,6 +4951,75 @@ def _q_sliding_distinct(spark, sf_dir):
             .orderBy("day"))
 
 
+def _q_search_phrase(spark, sf_dir):
+    """Positional phrase query ("batch batch") over the corpus: the
+    word-salad corpus repeats tokens, so overlapping runs occur
+    naturally and the positional count (not a substring replace
+    count) is what the oracle replays."""
+    from ferenda_spark.operators.search import phrase_search
+    return (phrase_search(_read(spark, sf_dir, "documents"),
+                          "batch batch")
+            .orderBy("doc_id"))
+
+
+def _q_search_fuzzy(spark, sf_dir):
+    """SymSpell edit-distance-1 lookup: vocab = corpus tokens with
+    frequency; queries = deterministic typos (append 'x' / drop last
+    char) of every token of length >= 3.  The oracle verifies via a
+    plain levenshtein cross join — tiny at test scale, which is the
+    point: the delete-key join must agree exactly with the naive
+    quadratic definition."""
+    from ferenda_spark.operators.dedup import tokens
+    from ferenda_spark.operators.search import fuzzy_lookup
+    d = _read(spark, sf_dir, "documents")
+    tok = (d.select(F.explode(F.filter(tokens(F.col("text")),
+                                       lambda s: s != ""))
+                    .alias("term")))
+    vocab = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"))
+    base = vocab.where(F.length("term") >= 3)
+    qs = (base.select(F.concat(F.col("term"), F.lit("x"))
+                      .alias("query"))
+          .unionByName(base.select(
+              F.expr("substr(term, 1, length(term) - 1)")
+              .alias("query")))
+          .distinct())
+    return (fuzzy_lookup(vocab, qs).orderBy("query"))
+
+
+def _q_kg_h_index(spark, sf_dir):
+    """Per-series h-index over received-citation counts: cited RFC
+    targets bucketed into 10 series by number, score = total
+    mentions.  One window rank per series + one aggregate; the
+    oracle replays rank/least/max on the same integer counts."""
+    from ferenda_spark.operators.graphs import citation_counts, h_index
+    cc = citation_counts(_triples(spark, sf_dir))
+    items = cc.select(
+        F.concat(F.lit("series"),
+                 (F.regexp_extract("target_uri", r"rfc/(\d+)", 1)
+                  .cast("long") % 10).cast("string")).alias("series"),
+        F.col("n_mentions").alias("score"))
+    return (h_index(items, group_col="series", score_col="score")
+            .withColumnRenamed("group", "series")
+            .orderBy("series"))
+
+
+def _q_kg_reciprocity(spark, sf_dir):
+    """Directed-entity-graph reciprocity: each doc plants out-edges
+    e(d%50) -> e((3d+1)%50) and e(d%50) -> e((7d+3)%50); mutual
+    pairs arise closed-form from the modular algebra and the oracle
+    replays the same construction declaratively."""
+    from ferenda_spark.operators.graphs import reciprocity
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    a = F.concat(F.lit("e"), (did % 50).cast("string"))
+    b1 = F.concat(F.lit("e"), ((did * 3 + 1) % 50).cast("string"))
+    b2 = F.concat(F.lit("e"), ((did * 7 + 3) % 50).cast("string"))
+    edges = (d.select(a.alias("src"), b1.alias("dst"))
+             .unionByName(d.select(a.alias("src"), b2.alias("dst"))))
+    return reciprocity(edges).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5255,6 +5324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_detection": _q_trap_detection,
         "text_ngram_novelty": _q_ngram_novelty,
         "events_sliding_distinct": _q_sliding_distinct,
+        "search_phrase": _q_search_phrase,
+        "search_fuzzy": _q_search_fuzzy,
+        "kg_h_index": _q_kg_h_index,
+        "kg_reciprocity": _q_kg_reciprocity,
     }
 
 
@@ -12123,4 +12196,87 @@ def oracle_sql() -> dict[str, str]:
             FROM days JOIN ud
               ON ud.d BETWEEN days.d - 6 AND days.d
             GROUP BY days.d ORDER BY day""",
+        "search_phrase": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                       '[ \t\n\r\f\x0B]+'), t -> length(t) > 0) AS l
+              FROM documents),
+            hits AS (
+              SELECT doc_id, i
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(1,
+                            len(l) - 1)) AS i)
+              WHERE l[i] = 'batch' AND l[i + 1] = 'batch')
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(MIN(i) AS BIGINT) AS first_pos
+            FROM hits GROUP BY doc_id ORDER BY doc_id""",
+        "search_fuzzy": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower(trim(text)), '[ \t\n\r\f\x0B]+'),
+                       t -> length(t) > 0)) AS term
+              FROM documents),
+            vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+                      FROM tok GROUP BY term),
+            qs AS (
+              SELECT DISTINCT q FROM (
+                SELECT term || 'x' AS q FROM vocab
+                WHERE length(term) >= 3
+                UNION
+                SELECT substr(term, 1, length(term) - 1) FROM vocab
+                WHERE length(term) >= 3)),
+            cand AS (
+              SELECT qs.q AS query, v.term,
+                     CAST(levenshtein(qs.q, v.term) AS BIGINT)
+                       AS distance,
+                     v.freq
+              FROM qs JOIN vocab v
+                ON levenshtein(qs.q, v.term) <= 1),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query
+                ORDER BY distance, freq DESC, term) AS rn
+              FROM cand)
+            SELECT query, term, distance, freq
+            FROM ranked WHERE rn = 1 ORDER BY query""",
+        "kg_h_index": "WITH " + _F_CTE + ", " + _MENTION_TRIPLES + r""",
+            cc AS (SELECT obj, CAST(COUNT(*) AS BIGINT) AS score
+                   FROM mention_triples GROUP BY obj),
+            g AS (SELECT 'series' ||
+                         (CAST(regexp_extract(obj, 'rfc/(\d+)', 1)
+                               AS BIGINT) % 10) AS series, score
+                  FROM cc),
+            ranked AS (
+              SELECT series, score,
+                     row_number() OVER (PARTITION BY series
+                                        ORDER BY score DESC) AS rank
+              FROM g)
+            SELECT series,
+                   CAST(MAX(LEAST(rank, score)) AS BIGINT) AS h_index,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(MAX(score) AS BIGINT) AS max_score
+            FROM ranked GROUP BY series ORDER BY series""",
+        "kg_reciprocity": """
+            WITH raw AS (
+              SELECT 'e' || (doc_id % 50) AS src,
+                     'e' || ((doc_id * 3 + 1) % 50) AS dst
+              FROM documents
+              UNION ALL
+              SELECT 'e' || (doc_id % 50),
+                     'e' || ((doc_id * 7 + 3) % 50)
+              FROM documents),
+            e AS (SELECT DISTINCT src AS a, dst AS b FROM raw
+                  WHERE src <> dst),
+            j AS (
+              SELECT e.a, e.b,
+                     CASE WHEN r.a IS NULL THEN 0 ELSE 1 END AS rec
+              FROM e LEFT JOIN e r ON r.a = e.b AND r.b = e.a)
+            SELECT a AS node,
+                   CAST(COUNT(*) AS BIGINT) AS n_out,
+                   CAST(SUM(rec) AS BIGINT) AS n_reciprocated,
+                   CAST(1000 * SUM(rec) // COUNT(*) AS BIGINT)
+                     AS reciprocity_permille
+            FROM j GROUP BY a ORDER BY node""",
     }

@@ -160,6 +160,21 @@ HEADLINE = [
     "stats_hist_quantiles", "mm_image_dhash", "mm_image_dhash_pairs",
     "kg_spam_mass", "crawl_param_significance", "kg_simrank",
     "dedup_containment", "crawl_blocklist_filter",
+    # r4 sessions 13-15: Turtle ingest, KMV sketch, social meta,
+    # main-content extraction, bitext mining/alignment, robots/feeds/
+    # CDX crawl surface, MIME sniffing, clustering coefficient,
+    # trap scoring, n-gram novelty, sliding distinct actives
+    "kg_turtle_triples", "stats_kmv_jaccard", "kg_social_meta_tags",
+    "clean_main_content", "clean_content_blocks",
+    "sim_margin_bitext", "bitext_galechurch",
+    "crawl_robots_meta", "crawl_follow_edges", "crawl_feed_entries",
+    "crawl_parse_robots", "crawl_robots_host_meta", "crawl_cdx_index",
+    "mm_mime_sniff",
+    "kg_clustering_coeff", "crawl_trap_detection",
+    "text_ngram_novelty", "events_sliding_distinct",
+    # r4 session 16: positional phrase search, SymSpell fuzzy
+    # lookup, per-series h-index, directed-edge reciprocity
+    "search_phrase", "search_fuzzy", "kg_h_index", "kg_reciprocity",
 ]
 
 

@@ -2102,3 +2102,62 @@ def clustering_coefficient(edges: DataFrame,
                                   "(degree * (degree - 1))"))
                     .otherwise(F.lit(0)).cast("long")
                     .alias("coeff_permille")))
+
+
+def h_index(items: DataFrame, group_col: str = "group",
+            score_col: str = "score") -> DataFrame:
+    """Hirsch h-index per group: the largest h such that the group
+    has >= h items with score >= h (citation analysis over the KG's
+    dcterms:references graph; the reference's graphanalyze module
+    computes the adjacent in-degree/AP family, this is the
+    productivity-robust summary librarians actually quote).
+
+    Shape: h = max over items of min(rank_by_score_desc, score) — a
+    single window rank inside each group plus one aggregate, so one
+    shuffle on the group key and no iteration.  All-integer (ranks
+    and scores are longs), hence engine-portable hash-exact.
+
+    Returns (group, h_index, n_items, max_score).
+    """
+    from pyspark.sql import Window
+    g, s = F.col(group_col), F.col(score_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.monotonically_increasing_id())
+    ranked = items.select(
+        g.alias("group"), s.alias("score"),
+        F.row_number().over(w).cast("long").alias("rank"))
+    return (ranked.groupBy("group")
+            .agg(F.max(F.least("rank", "score")).cast("long")
+                 .alias("h_index"),
+                 F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.max("score").cast("long").alias("max_score")))
+
+
+def reciprocity(edges: DataFrame, src: str = "src",
+                dst: str = "dst") -> DataFrame:
+    """Per-node edge reciprocity over a directed graph: of a node's
+    distinct out-edges (self-loops excluded), how many are
+    reciprocated by a reverse edge — the classic directed-web-graph
+    statistic separating mutual-link communities from one-way
+    broadcast hubs (link farms reciprocate internally, navigational
+    hubs don't), complementing kg_spam_mass and kg_clustering_coeff.
+
+    Shape: dedupe to distinct directed pairs, one self-join keyed on
+    the reversed pair (both sides partition on the same 2-tuple key,
+    so AQE plans a co-partitioned sort-merge join), one aggregate.
+    Integer permille output — hash-exact across engines.
+
+    Returns (node, n_out, n_reciprocated, reciprocity_permille).
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                   F.lit(1).alias("_r"))
+    return (e.join(rev, ["a", "b"], "left")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_out"),
+                 F.sum(F.coalesce("_r", F.lit(0))).cast("long")
+                 .alias("n_reciprocated"))
+            .select("node", "n_out", "n_reciprocated",
+                    F.expr("1000 * n_reciprocated div n_out")
+                    .cast("long").alias("reciprocity_permille")))

@@ -246,3 +246,111 @@ def rocchio_expansion(documents: DataFrame, needs: DataFrame,
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= int(top_terms))
             .select("query", "term", "total_tf", "df", "rank"))
+
+
+def phrase_search(documents: DataFrame, phrase: str,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase query over a positional token index — the search
+    feature the reference's ES backend gets from match_phrase
+    (fulltextindex.py's quoted-query path) re-expressed as column
+    algebra over the pinned tokenizer.
+
+    A document matches when the phrase's token sequence occurs as a
+    CONSECUTIVE run.  Occurrences are counted positionally (window
+    slide of 1), so overlapping runs each count: "batch batch batch"
+    contains "batch batch" twice — a substring replace() count would
+    say once, which is why the oracle mirrors the positional scan,
+    not a string hack.
+
+    Distributed shape: tokenization and the O(n_positions * k)
+    window-equality scan are pure per-row JVM expressions inside one
+    whole-stage-codegen map — no shuffle, no UDF, no index build.
+    At 10^12 docs this is a scan that AQE parallelizes trivially;
+    a serving deployment would materialize the same (token,
+    position) pairs as an inverted index, but the batch analytics
+    contract here is matching, and for that the scan IS the right
+    plan (one pass, no join).
+
+    Returns (doc_id, n_occurrences, first_pos) for matching docs
+    only; first_pos is 1-based.
+    """
+    ptoks = [t for t in phrase.lower().split() if t]
+    k = len(ptoks)
+    if k == 0:
+        raise ValueError("empty phrase")
+    parr = F.array(*[F.lit(t) for t in ptoks])
+    t = F.filter(tokens(F.col(text_col)), lambda s: s != "")
+    # sequence(1, 0) DESCENDS in Spark, so short docs need the guard
+    starts = F.when(F.size(t) >= k,
+                    F.sequence(F.lit(1), F.size(t) - k + 1)
+                    ).otherwise(F.array().cast("array<int>"))
+    hits = F.filter(starts, lambda i: F.slice(t, i, k) == parr)
+    return (documents
+            .select(F.col(id_col).alias("doc_id"),
+                    F.size(hits).cast("long").alias("n_occurrences"),
+                    F.element_at(hits, 1).cast("long")
+                    .alias("first_pos"))
+            .where(F.col("n_occurrences") > 0))
+
+
+def fuzzy_lookup(vocab: DataFrame, queries: DataFrame,
+                 term_col: str = "term", freq_col: str = "freq",
+                 query_col: str = "query") -> DataFrame:
+    """Edit-distance-1 dictionary lookup via the SymSpell
+    delete-neighborhood join (Garbe's symmetric delete algorithm):
+    the spell-correction / query-suggestion primitive behind
+    "did you mean" at web scale.
+
+    Why not a similarity cross join: vocab x queries with a
+    levenshtein predicate is |V|*|Q| distance computations — dead at
+    10^8 terms.  The symmetric-delete identity says two strings are
+    within edit distance 1 iff they share a key in {s} U
+    {s minus one char} (covers insert, delete, substitute — equal
+    deletes at the same index), so BOTH sides explode to at most
+    len+1 keys and the candidate set comes from an equi-join on the
+    key — the same bucket-join shape as MinHash-LSH, shuffling
+    O(total chars), not O(|V|*|Q|).  Candidates are then verified
+    with the exact levenshtein (built-in, JVM-side), which kills the
+    false positives the key join admits (two different deletes of
+    the same key).
+
+    Ranking per query: distance ASC, vocab frequency DESC, term ASC
+    — the standard SymSpell suggestion order.  Only the best row per
+    query survives (rank 1).
+
+    Returns (query, term, distance, freq) — at most one row per
+    query; queries with no candidate within distance 1 are dropped.
+    """
+    def deletes(col):
+        # the string itself (distance-0 key) plus every 1-char
+        # deletion, deduped (repeated chars give equal deletes)
+        return F.array_distinct(F.concat(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, 1, (i - 1).cast("int")),
+                    F.col("__c").substr(i + 1, F.length(col))))))
+
+    v = (vocab.select(F.col(term_col).alias("term"),
+                      F.col(freq_col).alias("freq"),
+                      F.col(term_col).alias("__c"))
+         .select("term", "freq",
+                 F.explode(deletes(F.col("__c"))).alias("key")))
+    q = (queries.select(F.col(query_col).alias("query"),
+                        F.col(query_col).alias("__c"))
+         .select("query",
+                 F.explode(deletes(F.col("__c"))).alias("key")))
+    cand = (v.join(q, "key")
+            .select("query", "term", "freq").distinct()
+            .withColumn("distance",
+                        F.levenshtein("query", "term").cast("long"))
+            .where(F.col("distance") <= 1))
+    from pyspark.sql import Window
+    w = Window.partitionBy("query").orderBy(
+        F.col("distance"), F.col("freq").desc(), F.col("term"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("query", "term", "distance",
+                    F.col("freq").cast("long").alias("freq")))
