@@ -5020,6 +5020,49 @@ def _q_kg_reciprocity(spark, sf_dir):
     return reciprocity(edges).orderBy("node")
 
 
+def _q_kg_bnode_canonical(spark, sf_dir):
+    """RDFC-style canonical blank-node labels over per-doc graphs:
+    each doc plants a 3-bnode author/org/member structure with
+    doc-varying ARBITRARY bnode names; canonical labels depend only
+    on structure (names never enter a hash).  The oracle replays the
+    3 hashing rounds in SQL with the same contribution format and
+    md5, so labels and hashes match bit-for-bit."""
+    from ferenda_spark.operators.rdfio import bnode_canonicalize
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    g = F.concat(F.lit("https://example.org/res/doc/"),
+                 did.cast("string"))
+    bx = F.concat(F.lit("_:x"), ((did * 7) % 991).cast("string"))
+    by = F.concat(F.lit("_:y"), ((did * 13) % 997).cast("string"))
+    bz = F.concat(F.lit("_:z"), ((did * 3) % 983).cast("string"))
+    lit_author = F.concat(F.lit('"Author '), (did % 13).cast("string"),
+                          F.lit('"'))
+    lit_org = F.concat(F.lit('"Org '), (did % 7).cast("string"),
+                       F.lit('"'))
+    lit_member = F.concat(F.lit('"Member '), (did % 5).cast("string"),
+                          F.lit('"'))
+    quads = (
+        d.select(g.alias("context"), g.alias("subj"),
+                 F.lit("ex:author").alias("pred"), bx.alias("obj"))
+        .unionByName(d.select(g.alias("context"), bx.alias("subj"),
+                              F.lit("ex:name").alias("pred"),
+                              lit_author.alias("obj")))
+        .unionByName(d.select(g.alias("context"), bx.alias("subj"),
+                              F.lit("ex:affiliation").alias("pred"),
+                              by.alias("obj")))
+        .unionByName(d.select(g.alias("context"), by.alias("subj"),
+                              F.lit("ex:name").alias("pred"),
+                              lit_org.alias("obj")))
+        .unionByName(d.select(g.alias("context"), bz.alias("subj"),
+                              F.lit("ex:memberOf").alias("pred"),
+                              by.alias("obj")))
+        .unionByName(d.select(g.alias("context"), bz.alias("subj"),
+                              F.lit("ex:name").alias("pred"),
+                              lit_member.alias("obj"))))
+    return (bnode_canonicalize(quads, rounds=3)
+            .orderBy("context", "canon_label"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5328,6 +5371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_fuzzy": _q_search_fuzzy,
         "kg_h_index": _q_kg_h_index,
         "kg_reciprocity": _q_kg_reciprocity,
+        "kg_bnode_canonical": _q_kg_bnode_canonical,
     }
 
 
@@ -12279,4 +12323,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(rec) // COUNT(*) AS BIGINT)
                      AS reciprocity_permille
             FROM j GROUP BY a ORDER BY node""",
+        # replays the 3 first-degree-hash rounds: contribution
+        # format 's|pred|label' / 'o|pred|label', labels blinded to
+        # '_:' at round 0, md5 over the newline-joined sorted
+        # multiset each round — identical to bnode_canonicalize
+        "kg_bnode_canonical": """
+            WITH base AS (
+              SELECT doc_id,
+                     'https://example.org/res/doc/' || doc_id AS g,
+                     '_:x' || ((doc_id * 7) % 991) AS b_x,
+                     '_:y' || ((doc_id * 13) % 997) AS b_y,
+                     '_:z' || ((doc_id * 3) % 983) AS b_z
+              FROM documents),
+            quads AS (
+              SELECT g, g AS s, 'ex:author' AS p, b_x AS o FROM base
+              UNION ALL SELECT g, b_x, 'ex:name',
+                     '"Author ' || (doc_id % 13) || '"' FROM base
+              UNION ALL SELECT g, b_x, 'ex:affiliation', b_y FROM base
+              UNION ALL SELECT g, b_y, 'ex:name',
+                     '"Org ' || (doc_id % 7) || '"' FROM base
+              UNION ALL SELECT g, b_z, 'ex:memberOf', b_y FROM base
+              UNION ALL SELECT g, b_z, 'ex:name',
+                     '"Member ' || (doc_id % 5) || '"' FROM base),
+            bn AS (
+              SELECT DISTINCT g, s AS b FROM quads
+              WHERE starts_with(s, '_:')
+              UNION
+              SELECT DISTINCT g, o FROM quads
+              WHERE starts_with(o, '_:')),
+            l0 AS (SELECT g, b, '_:' AS lbl FROM bn),
+            c1 AS (
+              SELECT q.g, q.s AS b,
+                     's|' || q.p || '|' || COALESCE(lo.lbl, q.o) AS c
+              FROM quads q LEFT JOIN l0 lo
+                ON lo.g = q.g AND lo.b = q.o
+              WHERE starts_with(q.s, '_:')
+              UNION ALL
+              SELECT q.g, q.o,
+                     'o|' || q.p || '|' || COALESCE(ls.lbl, q.s)
+              FROM quads q LEFT JOIN l0 ls
+                ON ls.g = q.g AND ls.b = q.s
+              WHERE starts_with(q.o, '_:')),
+            l1 AS (SELECT g, b,
+                          md5(string_agg(c, chr(10) ORDER BY c)) AS lbl
+                   FROM c1 GROUP BY g, b),
+            c2 AS (
+              SELECT q.g, q.s AS b,
+                     's|' || q.p || '|' || COALESCE(lo.lbl, q.o) AS c
+              FROM quads q LEFT JOIN l1 lo
+                ON lo.g = q.g AND lo.b = q.o
+              WHERE starts_with(q.s, '_:')
+              UNION ALL
+              SELECT q.g, q.o,
+                     'o|' || q.p || '|' || COALESCE(ls.lbl, q.s)
+              FROM quads q LEFT JOIN l1 ls
+                ON ls.g = q.g AND ls.b = q.s
+              WHERE starts_with(q.o, '_:')),
+            l2 AS (SELECT g, b,
+                          md5(string_agg(c, chr(10) ORDER BY c)) AS lbl
+                   FROM c2 GROUP BY g, b),
+            c3 AS (
+              SELECT q.g, q.s AS b,
+                     's|' || q.p || '|' || COALESCE(lo.lbl, q.o) AS c
+              FROM quads q LEFT JOIN l2 lo
+                ON lo.g = q.g AND lo.b = q.o
+              WHERE starts_with(q.s, '_:')
+              UNION ALL
+              SELECT q.g, q.o,
+                     'o|' || q.p || '|' || COALESCE(ls.lbl, q.s)
+              FROM quads q LEFT JOIN l2 ls
+                ON ls.g = q.g AND ls.b = q.s
+              WHERE starts_with(q.o, '_:')),
+            l3 AS (SELECT g, b,
+                          md5(string_agg(c, chr(10) ORDER BY c)) AS lbl
+                   FROM c3 GROUP BY g, b)
+            SELECT g AS context, b AS bnode,
+                   'c14n' || (row_number() OVER (
+                       PARTITION BY g ORDER BY lbl, b) - 1)
+                     AS canon_label,
+                   lbl AS hash,
+                   CAST(COUNT(*) OVER (PARTITION BY g, lbl) - 1
+                        AS BIGINT) AS n_hash_ties
+            FROM l3 ORDER BY context, canon_label""",
     }

@@ -175,6 +175,7 @@ HEADLINE = [
     # r4 session 16: positional phrase search, SymSpell fuzzy
     # lookup, per-series h-index, directed-edge reciprocity
     "search_phrase", "search_fuzzy", "kg_h_index", "kg_reciprocity",
+    "kg_bnode_canonical",
 ]
 
 

@@ -126,3 +126,65 @@ class TestReciprocity:
                            r["reciprocity_permille"])
                for r in reciprocity(e).collect()}
         assert got == {"a": (2, 1, 500), "b": (1, 1, 1000)}
+
+
+class TestBnodeCanonicalize:
+    ROWS = [
+        ("g1", "doc1", "author", "_:x1"),
+        ("g1", "_:x1", "name", '"Alice"'),
+        ("g1", "_:x1", "aff", "_:y1"),
+        ("g1", "_:y1", "name", '"Org"'),
+        ("g1", "_:z1", "member", "_:y1"),
+        ("g1", "_:z1", "name", '"Bob"'),
+    ]
+
+    def _canon(self, spark, rows, **kw):
+        from ferenda_spark.operators.rdfio import bnode_canonicalize
+        q = spark.createDataFrame(
+            rows, "context string, subj string, pred string, obj string")
+        return bnode_canonicalize(q, **kw).collect()
+
+    def test_rename_invariance(self, spark):  # noqa: F811
+        """Same structure under a bnode renaming -> identical
+        (canon_label, hash) assignment."""
+        ren = {"_:x1": "_:qq", "_:y1": "_:w", "_:z1": "_:a0"}
+        g2 = [("g2", ren.get(s, s), p, ren.get(o, o))
+              for _, s, p, o in self.ROWS]
+        out = self._canon(spark, self.ROWS + g2)
+        by_graph = {}
+        for r in out:
+            by_graph.setdefault(r["context"], {})[
+                r["canon_label"]] = r["hash"]
+        assert by_graph["g1"] == by_graph["g2"]
+        assert all(r["n_hash_ties"] == 0 for r in out)
+
+    def test_automorphic_twins_flagged(self, spark):  # noqa: F811
+        """Two structurally identical sibling bnodes can't be split
+        by any number of WL rounds -> equal hashes, ties flagged."""
+        rows = [("g", "doc", "tag", "_:p"), ("g", "doc", "tag", "_:q")]
+        out = self._canon(spark, rows)
+        assert {r["n_hash_ties"] for r in out} == {1}
+        assert len({r["hash"] for r in out}) == 1
+        # labels still total and deterministic (original-name order)
+        assert {r["canon_label"] for r in out} == {"c14n0", "c14n1"}
+
+    def test_graphs_are_isolated(self, spark):  # noqa: F811
+        """A bnode name reused across graphs is two distinct nodes."""
+        rows = [("ga", "doc", "p", "_:b"), ("ga", "_:b", "name", '"A"'),
+                ("gb", "doc", "p", "_:b"), ("gb", "_:b", "name", '"B"')]
+        out = self._canon(spark, rows)
+        hashes = {r["context"]: r["hash"] for r in out}
+        assert hashes["ga"] != hashes["gb"]
+
+    def test_chain_depth_needs_rounds(self, spark):  # noqa: F811
+        """A 4-bnode chain anchored only at the far end: the two
+        middle nodes have isomorphic 1-neighborhoods (one in-edge,
+        one out-edge, all-blinded), so 1 round ties them; round 2
+        propagates the anchor and splits them."""
+        rows = [("g", "_:a", "next", "_:b"), ("g", "_:b", "next", "_:c"),
+                ("g", "_:c", "next", "_:d"),
+                ("g", "_:d", "name", '"end"')]
+        shallow = self._canon(spark, rows, rounds=1)
+        deep = self._canon(spark, rows, rounds=3)
+        assert any(r["n_hash_ties"] > 0 for r in shallow)
+        assert all(r["n_hash_ties"] == 0 for r in deep)
