@@ -5063,6 +5063,57 @@ def _q_kg_bnode_canonical(spark, sf_dir):
             .orderBy("context", "canon_label"))
 
 
+def _q_store_zonemap_prune(spark, sf_dir):
+    """Zone-map pruning measured across two physical layouts of the
+    SAME rows: ingest-order files (value spread everywhere, nothing
+    prunes) vs date-clustered files (predicate skips most files).
+    The manifest aggregate + disjointness test are replayed
+    closed-form by the oracle."""
+    from ferenda_spark.operators.store import zonemap_prune, zonemap_stats
+    d = _read(spark, sf_dir, "documents")
+    day = ((F.col("doc_id") * 37) % 1461).cast("long")
+    ingest = d.select(
+        F.concat(F.lit("ingest-"),
+                 F.expr("doc_id div 50").cast("string"))
+        .alias("file_id"), day.alias("v"))
+    clustered = d.select(
+        F.concat(F.lit("date-"),
+                 F.expr("((doc_id * 37) % 1461) div 150")
+                 .cast("string")).alias("file_id"), day.alias("v"))
+    out = []
+    for label, df in [("ingest", ingest), ("clustered", clustered)]:
+        st = zonemap_stats(df, "file_id", "v")
+        out.append(zonemap_prune(st, 300, 450)
+                   .select(F.lit(label).alias("layout"), "*"))
+    return out[0].unionByName(out[1]).orderBy("layout", "file_id")
+
+
+def _q_events_decayed_counts(spark, sf_dir):
+    """Per-user half-life-decayed activity (integer halving kernel,
+    7-day half-life, reference = stream max date) — recency priors
+    without floating pow."""
+    from ferenda_spark.operators.events import decayed_counts
+    return (decayed_counts(_read(spark, sf_dir, "events"),
+                           half_life_days=7)
+            .orderBy("user_id"))
+
+
+def _q_stats_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up over 50 planted per-entity
+    hypotheses in two regimes (a small-p cluster that all reject, a
+    linear tail that all survive) — exact integer cross-multiplied
+    comparisons, the oracle replays rank/threshold/running-max."""
+    from ferenda_spark.operators.quality import bh_fdr
+    d = _read(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 50).cast("long")
+    tests = (d.select(
+        F.concat(F.lit("e"), n.cast("string")).alias("test_id"),
+        F.when(n % 5 == 0, n * 97 + 1)
+        .otherwise(n * 19801 + 10000).cast("long").alias("p_micro"))
+        .distinct())
+    return bh_fdr(tests, alpha_micro=50000).orderBy("rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5372,6 +5423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_h_index": _q_kg_h_index,
         "kg_reciprocity": _q_kg_reciprocity,
         "kg_bnode_canonical": _q_kg_bnode_canonical,
+        "store_zonemap_prune": _q_store_zonemap_prune,
+        "events_decayed_counts": _q_events_decayed_counts,
+        "stats_bh_fdr": _q_stats_bh_fdr,
     }
 
 
@@ -12405,4 +12459,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY g, lbl) - 1
                         AS BIGINT) AS n_hash_ties
             FROM l3 ORDER BY context, canon_label""",
+        "store_zonemap_prune": """
+            WITH rows_ AS (
+              SELECT doc_id, (doc_id * 37) % 1461 AS v FROM documents),
+            both_ AS (
+              SELECT 'ingest' AS layout,
+                     'ingest-' || (doc_id // 50) AS file_id, v
+              FROM rows_
+              UNION ALL
+              SELECT 'clustered', 'date-' || (v // 150), v FROM rows_),
+            st AS (
+              SELECT layout, file_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(MIN(v) AS BIGINT) AS min_value,
+                     CAST(MAX(v) AS BIGINT) AS max_value
+              FROM both_ GROUP BY layout, file_id)
+            SELECT layout, file_id, n_rows, min_value, max_value,
+                   CAST(CASE WHEN max_value >= 300 AND min_value <= 450
+                        THEN 1 ELSE 0 END AS BIGINT) AS overlaps,
+                   CAST(CASE WHEN max_value >= 300 AND min_value <= 450
+                        THEN 0 ELSE 1 END AS BIGINT) AS pruned
+            FROM st ORDER BY layout, file_id""",
+        "events_decayed_counts": """
+            WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d
+                       FROM events),
+            r AS (SELECT MAX(d) AS ref FROM d),
+            w AS (SELECT user_id, d,
+                         1000000 // (1::BIGINT << LEAST(
+                           date_diff('day', d, ref) // 7, 62)) AS w
+                  FROM d, r)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(w) AS BIGINT) AS decayed_micro,
+                   strftime(MAX(d), '%Y-%m-%d') AS last_day
+            FROM w GROUP BY user_id ORDER BY user_id""",
+        "stats_bh_fdr": """
+            WITH n_ AS (SELECT DISTINCT doc_id % 50 AS n
+                        FROM documents),
+            t AS (SELECT 'e' || n AS test_id,
+                         CAST(CASE WHEN n % 5 = 0 THEN n * 97 + 1
+                              ELSE n * 19801 + 10000 END AS BIGINT)
+                           AS p_micro
+                  FROM n_),
+            ranked AS (
+              SELECT test_id, p_micro,
+                     CAST(row_number() OVER (
+                       ORDER BY p_micro, test_id) AS BIGINT) AS rank,
+                     CAST(COUNT(*) OVER () AS BIGINT) AS m
+              FROM t),
+            dec AS (
+              SELECT *,
+                     CASE WHEN p_micro * m <= rank * 50000
+                          THEN 1 ELSE 0 END AS pass_
+              FROM ranked)
+            SELECT test_id, p_micro, rank,
+                   CAST(rank * 50000 // m AS BIGINT)
+                     AS bh_threshold_micro,
+                   CAST(MAX(pass_) OVER (
+                     ORDER BY rank ROWS BETWEEN CURRENT ROW AND
+                     UNBOUNDED FOLLOWING) AS BIGINT) AS rejected
+            FROM dec ORDER BY rank""",
     }

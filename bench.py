@@ -175,7 +175,8 @@ HEADLINE = [
     # r4 session 16: positional phrase search, SymSpell fuzzy
     # lookup, per-series h-index, directed-edge reciprocity
     "search_phrase", "search_fuzzy", "kg_h_index", "kg_reciprocity",
-    "kg_bnode_canonical",
+    "kg_bnode_canonical", "store_zonemap_prune",
+    "events_decayed_counts", "stats_bh_fdr",
 ]
 
 

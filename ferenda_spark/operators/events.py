@@ -529,3 +529,42 @@ def sliding_distinct(events: DataFrame, window_days: int = 7,
             .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
                     F.col("n_active_1d").cast("long"),
                     F.col("n_active_7d").cast("long")))
+
+
+def decayed_counts(events: DataFrame, half_life_days: int = 7,
+                   user_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Per-user exponentially decayed activity score with an
+    ALL-INTEGER decay kernel: recency-weighted engagement (the
+    freshness prior in ranking / recrawl / user-model features)
+    where an event ``a`` days old weighs
+    ``1_000_000 >> (a div half_life)`` micro-units — exact halving
+    per elapsed half-life, no floating pow, so any engine replaying
+    the rule agrees bit-for-bit (libm pow is not correctly rounded
+    and Java/C disagree on it; a shift is a shift everywhere).
+
+    The reference day is the stream's max event date (deterministic
+    for a fixed input, no wall clock).  Computing it is a 1-row
+    aggregate broadcast back into the scan via a cross join — the
+    standard scalar-subquery shape, metadata-sized.  The scoring
+    itself is one map + one groupBy on the user key.
+
+    Returns (user_id, n_events, decayed_micro, last_day) with
+    last_day the user's most recent event date (yyyy-MM-dd).
+    """
+    d = events.select(F.col(user_col).alias("user_id"),
+                      F.to_date(ts_col).alias("d"))
+    ref = d.agg(F.max("d").alias("_ref"))
+    hl = int(half_life_days)
+    return (d.crossJoin(F.broadcast(ref))
+            .withColumn("_sh", F.least(
+                F.expr("datediff(_ref, d) div %d" % hl),
+                F.lit(62).cast("long")).cast("int"))
+            .select("user_id", "d",
+                    F.expr("1000000L div shiftleft(1L, _sh)")
+                    .cast("long").alias("w"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum("w").cast("long").alias("decayed_micro"),
+                 F.date_format(F.max("d"), "yyyy-MM-dd")
+                 .alias("last_day")))

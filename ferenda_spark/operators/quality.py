@@ -676,3 +676,48 @@ def bootstrap_mean(rows: DataFrame, id_col: str, value_col: str,
                     F.round("ci_lo", round_to).alias("ci_lo"),
                     F.round("ci_hi", round_to).alias("ci_hi"),
                     F.lit(int(n_boot)).cast("long").alias("n_boot")))
+
+
+def bh_fdr(tests: DataFrame, alpha_micro: int = 50000,
+           id_col: str = "test_id",
+           p_col: str = "p_micro") -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a family
+    of hypothesis tests (p-values in integer micro-units, 0..1e6):
+    the multiple-comparisons gate for the per-domain / per-source
+    screening the stats_* family produces — run one test per domain
+    at 10^5 domains and alpha=0.05 and you get 5000 false alarms;
+    BH caps the EXPECTED false-discovery fraction at alpha instead.
+
+    Procedure (Benjamini & Hochberg 1995): sort p ascending, find
+    the largest k with p_(k) <= k/m * alpha, reject hypotheses
+    1..k.  The comparison is kept in exact integer cross-multiplied
+    form (``p_micro * m <= rank * alpha_micro``) so no division ever
+    rounds, and the step-up "reject everything at or below the
+    largest passing rank" is a running max over the ordered window —
+    one global window pass.  m = the number of HYPOTHESES (domains,
+    sources — dimension-sized, not data-sized), so the single-
+    partition window is metadata-cheap even when the underlying
+    corpus is 100 TB; the heavy part (computing each test's
+    statistic) already happened upstream in parallel.
+
+    Returns (test_id, p_micro, rank, bh_threshold_micro, rejected)
+    with bh_threshold_micro = rank * alpha_micro div m and rejected
+    the step-up decision (0/1 long).
+    """
+    from pyspark.sql import Window
+    m = tests.count()
+    w = Window.orderBy(F.col(p_col), F.col(id_col))
+    passing = (F.col(p_col) * m <= F.col("rank") * alpha_micro)
+    wall = (Window.orderBy(F.col(p_col), F.col(id_col))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return (tests
+            .select(F.col(id_col).alias("test_id"),
+                    F.col(p_col).cast("long").alias("p_micro"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .withColumn("bh_threshold_micro",
+                        F.expr("rank * %d div %d"
+                               % (int(alpha_micro), max(m, 1)))
+                        .cast("long"))
+            .withColumn(
+                "rejected",
+                F.max(passing.cast("long")).over(wall).cast("long")))

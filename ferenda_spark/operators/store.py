@@ -251,3 +251,43 @@ def compaction_plan(files: DataFrame, key_cols: list = None,
         .alias("action"),
         F.when(small, F.floor(prev_small / target_bytes))
         .otherwise(F.lit(-1)).cast("long").alias("bin"))
+
+
+def zonemap_stats(df: DataFrame, file_col: str,
+                  value_col: str) -> DataFrame:
+    """Per-file zone maps (min/max/rowcount for one column) — the
+    metadata every columnar format keeps per data file (Parquet
+    row-group statistics, Iceberg manifests, ORC stripe stats) and
+    the thing that makes predicate pushdown skip I/O: a range
+    predicate that cannot overlap [min, max] never opens the file.
+
+    One hash aggregate keyed on the file id; the manifest output is
+    metadata-sized (files, not rows), which is what makes pruning
+    evaluation driver-cheap at 100 TB.
+
+    Returns (file_id, n_rows, min_value, max_value).
+    """
+    return (df.groupBy(F.col(file_col).alias("file_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value")))
+
+
+def zonemap_prune(stats: DataFrame, lo, hi) -> DataFrame:
+    """Evaluate a closed range predicate ``value BETWEEN lo AND hi``
+    against zone maps: a file is PRUNED when its [min, max] interval
+    is disjoint from [lo, hi].  This is the skip decision itself —
+    the reason data layout (kg: store_zorder_layout, compaction) is
+    a performance feature: the same predicate over the same rows
+    prunes nothing under ingest-order layout and nearly everything
+    under value-clustered layout, and this operator is how you
+    MEASURE that, per layout, from the manifest alone.
+
+    Returns stats + (overlaps, pruned) as 0/1 longs.
+    """
+    ov = (F.col("max_value") >= F.lit(lo)) & \
+         (F.col("min_value") <= F.lit(hi))
+    return stats.select(
+        "file_id", "n_rows", "min_value", "max_value",
+        ov.cast("long").alias("overlaps"),
+        (~ov).cast("long").alias("pruned"))

@@ -188,3 +188,81 @@ class TestBnodeCanonicalize:
         deep = self._canon(spark, rows, rounds=3)
         assert any(r["n_hash_ties"] > 0 for r in shallow)
         assert all(r["n_hash_ties"] == 0 for r in deep)
+
+
+class TestZonemapPrune:
+    def test_disjoint_files_pruned(self, spark):  # noqa: F811
+        from ferenda_spark.operators.store import (zonemap_prune,
+                                                   zonemap_stats)
+        df = spark.createDataFrame(
+            [("f1", 10), ("f1", 90), ("f2", 200), ("f2", 250),
+             ("f3", 100), ("f3", 150)],
+            "file_id string, v long")
+        out = {r["file_id"]: (r["pruned"], r["min_value"],
+                              r["max_value"])
+               for r in zonemap_prune(
+                   zonemap_stats(df, "file_id", "v"), 120, 220)
+               .collect()}
+        # f1 [10,90] disjoint -> pruned; f2 [200,250] and f3
+        # [100,150] both overlap [120,220]
+        assert out == {"f1": (1, 10, 90), "f2": (0, 200, 250),
+                       "f3": (0, 100, 150)}
+
+    def test_boundary_touch_is_overlap(self, spark):  # noqa: F811
+        from ferenda_spark.operators.store import (zonemap_prune,
+                                                   zonemap_stats)
+        df = spark.createDataFrame([("f", 100), ("f", 120)],
+                                   "file_id string, v long")
+        [r] = zonemap_prune(zonemap_stats(df, "file_id", "v"),
+                            120, 220).collect()
+        assert r["overlaps"] == 1  # closed interval: max == lo
+
+
+class TestDecayedCounts:
+    def test_integer_halving(self, spark):  # noqa: F811
+        from ferenda_spark.operators.events import decayed_counts
+        rows = [(1, "2020-01-29 10:00:00"),   # ref day: weight 1.0
+                (1, "2020-01-22 09:00:00"),   # 7 days: 1/2
+                (1, "2020-01-08 08:00:00"),   # 21 days: 1/8
+                (2, "2020-01-28 00:00:00")]   # 1 day: still 1.0
+        e = spark.createDataFrame(rows, "user_id long, ts string") \
+            .selectExpr("user_id", "cast(ts as timestamp) ts")
+        got = {r["user_id"]: (r["n_events"], r["decayed_micro"],
+                              r["last_day"])
+               for r in decayed_counts(e, half_life_days=7).collect()}
+        assert got[1] == (3, 1000000 + 500000 + 125000, "2020-01-29")
+        assert got[2] == (1, 1000000, "2020-01-28")
+
+    def test_shift_is_capped(self, spark):  # noqa: F811
+        from ferenda_spark.operators.events import decayed_counts
+        e = spark.createDataFrame(
+            [(1, "2020-01-01 00:00:00"), (1, "3020-01-01 00:00:00")],
+            "user_id long, ts string") \
+            .selectExpr("user_id", "cast(ts as timestamp) ts")
+        [r] = decayed_counts(e, half_life_days=7).collect()
+        assert r["decayed_micro"] == 1000000  # ancient event -> 0
+
+
+class TestBhFdr:
+    def test_step_up_rejects_below_largest_passing_rank(self, spark):  # noqa: F811
+        """Classic BH shape: a p that individually FAILS its
+        threshold is still rejected when a later rank passes."""
+        from ferenda_spark.operators.quality import bh_fdr
+        # m=4, alpha=0.25 (250000 micro): thresholds 62500, 125000,
+        # 187500, 250000.  p2=130000 fails rank-2 individually but
+        # p3=150000 passes rank 3 -> ranks 1..3 all rejected.
+        t = spark.createDataFrame(
+            [("a", 10000), ("b", 130000), ("c", 150000),
+             ("d", 900000)], "test_id string, p_micro long")
+        got = {r["test_id"]: (r["rank"], r["rejected"])
+               for r in bh_fdr(t, alpha_micro=250000).collect()}
+        assert got == {"a": (1, 1), "b": (2, 1), "c": (3, 1),
+                       "d": (4, 0)}
+
+    def test_no_rejections(self, spark):  # noqa: F811
+        from ferenda_spark.operators.quality import bh_fdr
+        t = spark.createDataFrame(
+            [("a", 900000), ("b", 990000)],
+            "test_id string, p_micro long")
+        assert all(r["rejected"] == 0
+                   for r in bh_fdr(t, alpha_micro=50000).collect())
