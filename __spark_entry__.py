@@ -5114,6 +5114,108 @@ def _q_stats_bh_fdr(spark, sf_dir):
     return bh_fdr(tests, alpha_micro=50000).orderBy("rank")
 
 
+def _q_clean_template_clusters(spark, sf_dir):
+    """DOM-template clustering: 5 planted server-side templates
+    (source_num % 5) with per-doc copy, plus an <aside> outlier
+    variant every 17th doc — clusters are closed-form (template,
+    outlier) cells and the oracle md5s the same tag sequences."""
+    from ferenda_spark.operators.cleaning import template_clusters
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tnum = (F.regexp_extract("source", r"src(\d+)", 1)
+            .cast("long") % 5)
+    title = F.concat(F.lit("Document "), did.cast("string"))
+    body = F.substring("text", 1, 40)
+    t0 = F.concat(F.lit("<html><body><div><h1>"), title,
+                  F.lit("</h1><p>"), body, F.lit("</p></div>"))
+    t1 = F.concat(F.lit("<html><body><article><h1>"), title,
+                  F.lit("</h1><p>"), body, F.lit("</p><p>more</p>"
+                  "</article>"))
+    t2 = F.concat(F.lit("<html><body><main><section><h2>"), title,
+                  F.lit("</h2><p>"), body, F.lit("</p></section>"
+                  "</main>"))
+    t3 = F.concat(F.lit("<html><body><table><tr><td>"), body,
+                  F.lit("</td></tr></table>"))
+    t4 = F.concat(F.lit("<html><body><div><ul><li>"), title,
+                  F.lit("</li><li>"), body, F.lit("</li></ul></div>"))
+    html = (F.when(tnum == 0, t0).when(tnum == 1, t1)
+            .when(tnum == 2, t2).when(tnum == 3, t3).otherwise(t4))
+    html = F.concat(html,
+                    F.when(did % 17 == 0,
+                           F.lit("<aside>ad</aside></body></html>"))
+                    .otherwise(F.lit("</body></html>")))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/docs/"), F.col("source"),
+                 F.lit("/"), did.cast("string")).alias("url"),
+        html.alias("html"))
+    return template_clusters(pages).orderBy("signature")
+
+
+def _q_text_date_normalize(spark, sf_dir):
+    """Textual date normalization over planted prose dates: one
+    month-name-first mention ("January 7, 2020", full name) and one
+    day-first mention ("12 feb 2021", 3-letter) per doc, both
+    emitted closed-form by the oracle."""
+    from ferenda_spark.operators.extract import _MONTHS, date_normalize
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    months_full = F.array(*[F.lit(m.capitalize()) for m in _MONTHS])
+    months_abbr = F.array(*[F.lit(m[:3]) for m in _MONTHS])
+    m1 = F.element_at(months_full, (did % 12 + 1).cast("int"))
+    d1 = (did % 28 + 1).cast("string")
+    y1 = (2019 + did % 5).cast("string")
+    m2 = F.element_at(months_abbr, ((did * 5) % 12 + 1).cast("int"))
+    d2 = ((did * 3) % 28 + 1).cast("string")
+    y2 = (2018 + (did * 7) % 6).cast("string")
+    text = F.concat(F.lit("Published "), m1, F.lit(" "), d1,
+                    F.lit(", "), y1, F.lit(". Received "), d2,
+                    F.lit(" "), m2, F.lit(" "), y2, F.lit("."))
+    docs = d.select(
+        F.concat(F.lit("https://example.org/res/doc/"),
+                 did.cast("string")).alias("url"),
+        text.alias("text"))
+    return (date_normalize(docs)
+            .orderBy("url", "form", "pos"))
+
+
+def _q_kg_path_rules(spark, sf_dir):
+    """2-hop chain rule mining over a planted author/affiliation/
+    works_at KG: author(x,y) ∧ affiliation(y,z) ⇒ works_at(x,z)
+    holds for 2/3 of docs by construction (works_at planted only
+    when doc_id % 3 != 0), so support / n_body_pairs / confidence
+    are closed-form."""
+    from ferenda_spark.operators.rules import mine_path_rules
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    doc = F.concat(F.lit("https://example.org/res/doc/"),
+                   did.cast("string"))
+    person = F.concat(F.lit("p"), (did % 40).cast("string"))
+    org = F.concat(F.lit("o"), (did % 8).cast("string"))
+    team = F.concat(F.lit("t"), (did % 4).cast("string"))
+    grp = F.concat(F.lit("g"), F.expr("(doc_id % 8) div 4"))
+    t = (d.select(doc.alias("subj"), F.lit("ex:author").alias("pred"),
+                  person.alias("obj"))
+         .unionByName(d.select(person.alias("subj"),
+                               F.lit("ex:affiliation").alias("pred"),
+                               org.alias("obj")))
+         .unionByName(d.select(person.alias("subj"),
+                               F.lit("ex:member").alias("pred"),
+                               team.alias("obj")))
+         .unionByName(d.where(did % 3 != 0)
+                      .select(doc.alias("subj"),
+                              F.lit("ex:works_at").alias("pred"),
+                              org.alias("obj")))
+         .unionByName(d.select(org.alias("subj"),
+                               F.lit("ex:parent_org").alias("pred"),
+                               grp.alias("obj")))
+         .unionByName(d.where(did % 2 == 0)
+                      .select(doc.alias("subj"),
+                              F.lit("ex:division").alias("pred"),
+                              grp.alias("obj"))))
+    return (mine_path_rules(t, min_support=1, max_fanout=1000000)
+            .orderBy("body_p1", "body_p2", "head_pred"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5426,6 +5528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_zonemap_prune": _q_store_zonemap_prune,
         "events_decayed_counts": _q_events_decayed_counts,
         "stats_bh_fdr": _q_stats_bh_fdr,
+        "clean_template_clusters": _q_clean_template_clusters,
+        "text_date_normalize": _q_text_date_normalize,
+        "kg_path_rules": _q_kg_path_rules,
     }
 
 
@@ -12519,4 +12624,104 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY rank ROWS BETWEEN CURRENT ROW AND
                      UNBOUNDED FOLLOWING) AS BIGINT) AS rejected
             FROM dec ORDER BY rank""",
+        "clean_template_clusters": r"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     CAST(regexp_extract(source, 'src(\d+)', 1)
+                          AS BIGINT) % 5 AS t,
+                     CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END
+                       AS outl,
+                     'https://example.org/docs/' || source || '/'
+                       || doc_id AS url
+              FROM documents),
+            s AS (
+              SELECT url,
+                     (CASE t WHEN 0 THEN 'html,body,div,h1,p'
+                             WHEN 1 THEN 'html,body,article,h1,p,p'
+                             WHEN 2 THEN 'html,body,main,section,h2,p'
+                             WHEN 3 THEN 'html,body,table,tr,td'
+                             ELSE 'html,body,div,ul,li,li' END)
+                     || CASE WHEN outl = 1 THEN ',aside' ELSE '' END
+                       AS tagseq
+              FROM b)
+            SELECT md5(tagseq) AS signature,
+                   CAST(COUNT(*) AS BIGINT) AS n_pages,
+                   CAST(len(string_split(tagseq, ',')) AS BIGINT)
+                     AS n_tags,
+                   MIN(url) AS example_id
+            FROM s GROUP BY tagseq ORDER BY signature""",
+        "text_date_normalize": """
+            WITH m AS (
+              SELECT ['january','february','march','april','may',
+                      'june','july','august','september','october',
+                      'november','december'] AS mn),
+            b AS (
+              SELECT doc_id,
+                     'https://example.org/res/doc/' || doc_id AS url,
+                     doc_id % 12 + 1 AS m1,
+                     doc_id % 28 + 1 AS d1,
+                     2019 + doc_id % 5 AS y1,
+                     (doc_id * 5) % 12 + 1 AS m2,
+                     (doc_id * 3) % 28 + 1 AS d2,
+                     2018 + (doc_id * 7) % 6 AS y2
+              FROM documents),
+            rows_ AS (
+              SELECT url, CAST(0 AS BIGINT) AS pos,
+                     mn[m1] || ' ' || d1 || ', ' || y1 AS mention,
+                     y1 || '-' || lpad(CAST(m1 AS VARCHAR), 2, '0')
+                        || '-' || lpad(CAST(d1 AS VARCHAR), 2, '0')
+                       AS iso_date,
+                     'mdy' AS form
+              FROM b, m
+              UNION ALL
+              SELECT url, CAST(0 AS BIGINT),
+                     d2 || ' ' || substr(mn[m2], 1, 3) || ' ' || y2,
+                     y2 || '-' || lpad(CAST(m2 AS VARCHAR), 2, '0')
+                        || '-' || lpad(CAST(d2 AS VARCHAR), 2, '0'),
+                     'dmy'
+              FROM b, m)
+            SELECT url, pos, mention, iso_date, form
+            FROM rows_ ORDER BY url, form, pos""",
+        "kg_path_rules": """
+            WITH t AS (
+              SELECT 'https://example.org/res/doc/' || doc_id AS s,
+                     'ex:author' AS p, 'p' || (doc_id % 40) AS o
+              FROM documents
+              UNION ALL
+              SELECT 'p' || (doc_id % 40), 'ex:affiliation',
+                     'o' || (doc_id % 8) FROM documents
+              UNION ALL
+              SELECT 'p' || (doc_id % 40), 'ex:member',
+                     't' || (doc_id % 4) FROM documents
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'ex:works_at', 'o' || (doc_id % 8)
+              FROM documents WHERE doc_id % 3 <> 0
+              UNION ALL
+              SELECT 'o' || (doc_id % 8), 'ex:parent_org',
+                     'g' || ((doc_id % 8) // 4) FROM documents
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'ex:division', 'g' || ((doc_id % 8) // 4)
+              FROM documents WHERE doc_id % 2 = 0),
+            body AS (
+              SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x,
+                              b.o AS z
+              FROM t a JOIN t b ON a.o = b.s),
+            nb AS (SELECT p1, p2,
+                          CAST(COUNT(*) AS BIGINT) AS n_body_pairs
+                   FROM body GROUP BY p1, p2),
+            supp AS (
+              SELECT body.p1, body.p2, h.p AS head_pred,
+                     CAST(COUNT(*) AS BIGINT) AS support
+              FROM body JOIN t h
+                ON h.s = body.x AND h.o = body.z
+              GROUP BY 1, 2, 3)
+            SELECT p1 AS body_p1, p2 AS body_p2, head_pred, support,
+                   n_body_pairs,
+                   CAST(1000 * support // n_body_pairs AS BIGINT)
+                     AS confidence_permille
+            FROM supp JOIN nb USING (p1, p2)
+            WHERE support >= 1
+            ORDER BY body_p1, body_p2, head_pred""",
     }

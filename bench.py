@@ -177,6 +177,7 @@ HEADLINE = [
     "search_phrase", "search_fuzzy", "kg_h_index", "kg_reciprocity",
     "kg_bnode_canonical", "store_zonemap_prune",
     "events_decayed_counts", "stats_bh_fdr",
+    "clean_template_clusters", "text_date_normalize", "kg_path_rules",
 ]
 
 

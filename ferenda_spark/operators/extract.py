@@ -757,3 +757,66 @@ def resolve_page_cards(tags: DataFrame) -> DataFrame:
     return pick.select("url", "field",
                        F.col("w.content").alias("content"),
                        F.col("w.ns").alias("src_ns"))
+
+
+_MONTHS = ("january", "february", "march", "april", "may", "june",
+           "july", "august", "september", "october", "november",
+           "december")
+_MONTH_RE = "|".join(m[:3] + "(?:" + m[3:] + ")?" if len(m) > 3 else m
+                     for m in _MONTHS)
+
+
+def date_normalize(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "url") -> DataFrame:
+    """Normalize textual date mentions to ISO — the htmldate/
+    trafilatura content-dating step widened beyond
+    :func:`publication_dates`'s ISO-only scan to the two dominant
+    English prose forms: month-name-first ("January 5, 2020" /
+    "Jan 5, 2020") and day-first ("5 January 2020" / "5 Jan 2020"),
+    full or 3-letter month names, case-insensitive.
+
+    Engineering shape: one ``regexp_extract_all`` pass per capture
+    group per form (Spark extracts a single group per call; the
+    match walk is identical, so index i across the arrays is the
+    same match — the reverb_triples trick), ``arrays_zip`` +
+    explode, then month-name -> number via a chained ``element_at``
+    over a literal map and zero-padding with ``lpad``.  All
+    whole-stage-codegen expressions, no UDF, no shuffle; invalid
+    day-of-month values (32nd) simply never match the day pattern
+    (1-31 enforced by the regex).
+
+    Returns (id, pos, mention, iso_date, form) — ``pos`` is the
+    0-based mention index within its form's match sequence, ``form``
+    is 'mdy' or 'dmy'.
+    """
+    day = r"(0?[1-9]|[12][0-9]|3[01])"
+    year = r"((?:19|20)[0-9]{2})"
+    mon = "(" + _MONTH_RE + ")"
+    mdy = r"\b%s %s, %s\b" % (mon, day, year)
+    dmy = r"\b%s %s %s\b" % (day, mon, year)
+    m_map = F.create_map(*[
+        x for i, m in enumerate(_MONTHS)
+        for x in (F.lit(m[:3]), F.lit("%02d" % (i + 1)))])
+
+    def _mentions(pat, form, g_mon, g_day, g_year):
+        g = lambda i: F.expr(  # noqa: E731
+            "regexp_extract_all(lower(%s), r'%s', %d)"
+            % (text_col, pat, i))
+        z = F.arrays_zip(g(0).alias("m0"), g(g_mon).alias("mon"),
+                         g(g_day).alias("day"), g(g_year).alias("yr"))
+        return (docs.select(F.col(id_col),
+                            F.posexplode(z).alias("pos", "x"))
+                .select(
+                    id_col, F.col("pos").cast("long").alias("pos"),
+                    F.col("x.m0").alias("mention"),
+                    F.concat(
+                        F.col("x.yr"), F.lit("-"),
+                        F.element_at(
+                            m_map, F.substring(F.col("x.mon"), 1, 3)),
+                        F.lit("-"),
+                        F.lpad(F.col("x.day"), 2, "0"))
+                    .alias("iso_date"),
+                    F.lit(form).alias("form")))
+
+    return (_mentions(mdy, "mdy", 1, 2, 3)
+            .unionByName(_mentions(dmy, "dmy", 2, 1, 3)))

@@ -266,3 +266,69 @@ class TestBhFdr:
             "test_id string, p_micro long")
         assert all(r["rejected"] == 0
                    for r in bh_fdr(t, alpha_micro=50000).collect())
+
+
+class TestTemplateClusters:
+    def test_copy_invariance_and_structure_sensitivity(self, spark):  # noqa: F811
+        from ferenda_spark.operators.cleaning import template_clusters
+        p = spark.createDataFrame(
+            [("a", "<html><body><div><h1>One</h1><p>x</p></div></body></html>"),
+             ("b", "<HTML><body><div><h1>Two!</h1><p>longer copy</p></div></body></html>"),
+             ("c", "<html><body><span>z</span></body></html>")],
+            "url string, html string")
+        out = sorted(template_clusters(p).collect(),
+                     key=lambda r: r["example_id"])
+        assert [(r["n_pages"], r["example_id"]) for r in out] == \
+            [(2, "a"), (1, "c")]  # a+b same template (case-folded)
+
+    def test_closing_tags_ignored(self, spark):  # noqa: F811
+        from ferenda_spark.operators.cleaning import template_signature
+        p = spark.createDataFrame(
+            [("a", "<div><p>x</p></div>"), ("b", "<div><p>unclosed")],
+            "url string, html string")
+        sigs = {r["url"]: r["signature"]
+                for r in template_signature(p).collect()}
+        assert sigs["a"] == sigs["b"]
+
+
+class TestDateNormalize:
+    def _run(self, spark, text):
+        from ferenda_spark.operators.extract import date_normalize
+        d = spark.createDataFrame([("u", text)], "url string, text string")
+        return sorted((r["form"], r["mention"], r["iso_date"])
+                      for r in date_normalize(d).collect())
+
+    def test_both_forms_and_abbreviations(self, spark):  # noqa: F811
+        got = self._run(
+            spark, "Published January 5, 2020; updated 7 Mar 2021.")
+        assert got == [("dmy", "7 mar 2021", "2021-03-07"),
+                       ("mdy", "january 5, 2020", "2020-01-05")]
+
+    def test_no_false_positives(self, spark):  # noqa: F811
+        # bare numbers / out-of-range days / years out of window
+        got = self._run(spark, "32 Jan 2020 and May 5, 1850 and 12 34")
+        assert got == []
+
+    def test_zero_padding(self, spark):  # noqa: F811
+        got = self._run(spark, "Sep 9, 2020")
+        assert got == [("mdy", "sep 9, 2020", "2020-09-09")]
+
+
+class TestMinePathRules:
+    def test_confidence_and_fanout_guard(self, spark):  # noqa: F811
+        from ferenda_spark.operators.rules import mine_path_rules
+        t = spark.createDataFrame(
+            [("a", "author", "y1"), ("y1", "aff", "o1"),
+             ("a", "works_at", "o1"),
+             ("b", "author", "y2"), ("y2", "aff", "o2"),
+             ("b", "works_at", "o2"),
+             ("c", "author", "y3"), ("y3", "aff", "o3")],
+            "subj string, pred string, obj string")
+        [r] = mine_path_rules(t).collect()
+        assert (r["body_p1"], r["body_p2"], r["head_pred"]) == \
+            ("author", "aff", "works_at")
+        assert (r["support"], r["n_body_pairs"],
+                r["confidence_permille"]) == (2, 3, 666)
+        # hub guard: chain nodes above the fanout cap contribute no
+        # paths -> rule disappears at max_fanout=0
+        assert mine_path_rules(t, max_fanout=0).collect() == []
