@@ -5216,6 +5216,77 @@ def _q_kg_path_rules(spark, sf_dir):
             .orderBy("body_p1", "body_p2", "head_pred"))
 
 
+def _q_crawl_warc_revisit(spark, sf_dir):
+    """WARC revisit planning over three planted captures per URL:
+    first two share a digest (second becomes a revisit pointing at
+    the first), third repeats it only when doc_id % 3 == 0 — the
+    oracle replays the same per-(url, digest) window."""
+    from ferenda_spark.operators.crawl import warc_revisit
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/page/"),
+                   did.cast("string"))
+    dg1 = F.concat(F.lit("dg"), (did % 2).cast("string"))
+    dg3 = F.when(did % 3 == 0, dg1).otherwise(F.lit("dgX"))
+    cap = lambda ts, dg: d.select(  # noqa: E731
+        url.alias("url"), F.lit(ts).alias("warc_ts"),
+        dg.alias("digest"))
+    caps = (cap("2024-01-01", dg1)
+            .unionByName(cap("2024-01-02", dg1))
+            .unionByName(cap("2024-01-03", dg3)))
+    return warc_revisit(caps).orderBy("url", "warc_ts")
+
+
+def _q_kg_heading_outline(spark, sf_dir):
+    """h1-h6 outline extraction over planted heading markup (two
+    page shapes); parents are closed-form so the oracle emits
+    expected rows directly."""
+    from ferenda_spark.operators.extract import heading_outline
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/res/doc/"),
+                   did.cast("string"))
+    base = F.concat(
+        F.lit("<html><body><h1>Document "), did.cast("string"),
+        F.lit("</h1><p>x</p><h2>Intro</h2><h3 class=a>Detail "),
+        (did % 7).cast("string"),
+        F.lit("</h3><h2>Body</h2>"))
+    html = F.concat(base,
+                    F.when(did % 2 == 1,
+                           F.lit("<h3>Extra</h3></body></html>"))
+                    .otherwise(F.lit("</body></html>")))
+    return (heading_outline(d.select(url.alias("url"),
+                                     html.alias("html")))
+            .orderBy("url", "pos"))
+
+
+def _q_search_more_like_this(spark, sf_dir):
+    """More-like-this over planted vocab docs (a rare token shared
+    by ~4 docs, a cluster token shared by ~20, a near-universal
+    token dropped by the max_df cap); seeds are every 100th doc."""
+    from ferenda_spark.operators.search import more_like_this
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("alpha"), (did % 137).cast("string"),
+        F.lit(" beta"), (did % 25).cast("string"),
+        F.lit(" commonword"))
+    docs = d.select("doc_id", text.alias("text"))
+    seeds = d.where(did % 100 == 0).select("doc_id")
+    return (more_like_this(docs, seeds, max_df=60, top_k=5)
+            .orderBy("seed_id", "rank"))
+
+
+def _q_train_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal allocation of a 100-doc sample budget across
+    sources by n_chars dispersion — exact integer variance, floored
+    correctly-rounded sqrt, largest-weight remainder assignment."""
+    from ferenda_spark.operators.training import neyman_allocation
+    return (neyman_allocation(_read(spark, sf_dir, "documents"),
+                              sample_n=100)
+            .orderBy("stratum"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5531,6 +5602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_template_clusters": _q_clean_template_clusters,
         "text_date_normalize": _q_text_date_normalize,
         "kg_path_rules": _q_kg_path_rules,
+        "crawl_warc_revisit": _q_crawl_warc_revisit,
+        "kg_heading_outline": _q_kg_heading_outline,
+        "search_more_like_this": _q_search_more_like_this,
+        "train_neyman_allocation": _q_train_neyman_allocation,
     }
 
 
@@ -12724,4 +12799,114 @@ def oracle_sql() -> dict[str, str]:
             FROM supp JOIN nb USING (p1, p2)
             WHERE support >= 1
             ORDER BY body_p1, body_p2, head_pred""",
+        "crawl_warc_revisit": """
+            WITH caps AS (
+              SELECT 'https://example.org/page/' || doc_id AS url,
+                     '2024-01-01' AS warc_ts,
+                     'dg' || (doc_id % 2) AS digest
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/page/' || doc_id,
+                     '2024-01-02', 'dg' || (doc_id % 2)
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/page/' || doc_id,
+                     '2024-01-03',
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'dg' || (doc_id % 2) ELSE 'dgX' END
+              FROM documents),
+            x AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY url, digest
+                                        ORDER BY warc_ts) AS rn,
+                     MIN(warc_ts) OVER (PARTITION BY url, digest)
+                       AS f
+              FROM caps)
+            SELECT url, warc_ts, digest,
+                   CASE WHEN rn = 1 THEN 'response'
+                        ELSE 'revisit' END AS record_type,
+                   CASE WHEN rn > 1 THEN f END AS refers_to_ts
+            FROM x ORDER BY url, warc_ts""",
+        # parents are closed-form for the two planted page shapes
+        "kg_heading_outline": """
+            WITH b AS (
+              SELECT doc_id,
+                     'https://example.org/res/doc/' || doc_id AS url
+              FROM documents),
+            r AS (
+              SELECT url, 0 AS pos, 1 AS level,
+                     'Document ' || doc_id AS title,
+                     CAST(NULL AS BIGINT) AS parent
+              FROM b
+              UNION ALL SELECT url, 1, 2, 'Intro', 0 FROM b
+              UNION ALL SELECT url, 2, 3, 'Detail ' || (doc_id % 7),
+                     1 FROM b
+              UNION ALL SELECT url, 3, 2, 'Body', 0 FROM b
+              UNION ALL SELECT url, 4, 3, 'Extra', 3 FROM b
+              WHERE doc_id % 2 = 1)
+            SELECT url, CAST(pos AS BIGINT) AS pos,
+                   CAST(level AS BIGINT) AS level, title,
+                   CAST(parent AS BIGINT) AS parent_pos
+            FROM r ORDER BY url, pos""",
+        "search_more_like_this": """
+            WITH posting AS (
+              SELECT doc_id, unnest(['alpha' || (doc_id % 137),
+                                     'beta' || (doc_id % 25),
+                                     'commonword']) AS term
+              FROM documents),
+            dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM posting GROUP BY term
+                    HAVING COUNT(*) <= 60),
+            p2 AS (SELECT posting.doc_id, posting.term, dfq.df
+                   FROM posting JOIN dfq USING (term)),
+            seeds AS (SELECT doc_id AS seed_id, term FROM p2
+                      WHERE doc_id % 100 = 0),
+            pairs AS (
+              SELECT s.seed_id, p.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+                     CAST(SUM(1000000 // p.df) AS BIGINT)
+                       AS score_micro
+              FROM seeds s JOIN p2 p USING (term)
+              WHERE p.doc_id <> s.seed_id
+              GROUP BY s.seed_id, p.doc_id),
+            r AS (
+              SELECT *,
+                     CAST(row_number() OVER (
+                       PARTITION BY seed_id
+                       ORDER BY score_micro DESC, doc_id) AS BIGINT)
+                       AS rank
+              FROM pairs)
+            SELECT seed_id, doc_id, n_shared_terms, score_micro,
+                   rank
+            FROM r WHERE rank <= 5 ORDER BY seed_id, rank""",
+        "train_neyman_allocation": """
+            WITH g AS (
+              SELECT source AS stratum,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(n_chars) AS BIGINT) AS s,
+                     CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+              FROM documents GROUP BY source),
+            v AS (SELECT stratum, n_rows,
+                         (n_rows * ss - s * s) * 1000000
+                           // (n_rows * n_rows) AS var_micro
+                  FROM g),
+            sg AS (SELECT stratum, n_rows,
+                          CAST(FLOOR(SQRT(CAST(var_micro AS DOUBLE)))
+                               AS BIGINT) AS sigma_floor
+                   FROM v),
+            w AS (SELECT *, n_rows * sigma_floor AS weight FROM sg),
+            t AS (SELECT *,
+                         SUM(weight) OVER () AS tw,
+                         100 * weight // (SUM(weight) OVER ())
+                           AS base,
+                         row_number() OVER (
+                           ORDER BY weight DESC, stratum) AS rn
+                  FROM w),
+            f AS (SELECT *, 100 - SUM(base) OVER () AS rem FROM t)
+            SELECT stratum, n_rows, sigma_floor, weight,
+                   CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc_n,
+                   CAST(1000 * weight // tw AS BIGINT)
+                     AS alloc_permille
+            FROM f ORDER BY stratum""",
     }

@@ -178,6 +178,8 @@ HEADLINE = [
     "kg_bnode_canonical", "store_zonemap_prune",
     "events_decayed_counts", "stats_bh_fdr",
     "clean_template_clusters", "text_date_normalize", "kg_path_rules",
+    "crawl_warc_revisit", "kg_heading_outline",
+    "search_more_like_this", "train_neyman_allocation",
 ]
 
 

@@ -1179,3 +1179,43 @@ def trap_detection(pages: DataFrame, url_col: str = "url",
         dups.alias("dup_segments"), cal.alias("has_calendar"),
         npar.alias("n_params"), score.alias("trap_score"),
         (score >= 4).cast("int").cast("long").alias("is_trap"))
+
+
+def warc_revisit(captures: DataFrame, url_col: str = "url",
+                 ts_col: str = "warc_ts",
+                 digest_col: str = "digest") -> DataFrame:
+    """WARC revisit-record planning: for every capture of a URL
+    whose payload digest was ALREADY stored by an earlier capture of
+    the same URL, emit a ``revisit`` record pointing at the original
+    instead of storing the payload again (WARC/1.1 §6.7.2
+    "identical-payload-digest" profile — how Common Crawl and
+    Heritrix keep archives from storing an unchanged page once per
+    crawl).  At 10^12 captures the payload savings IS the archive
+    budget: only ``record_type = 'response'`` rows carry bytes.
+
+    Shape: one window per (url, digest) ordered by capture time —
+    the first capture of each (url, digest) pair is the stored
+    response, every later one a revisit with ``refers_to_ts`` = the
+    original's timestamp.  A single shuffle on the (url, digest)
+    key; payload bytes never move (this runs on the capture
+    manifest).
+
+    Returns (url, warc_ts, digest, record_type, refers_to_ts) with
+    refers_to_ts NULL on response rows.
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(url_col, digest_col)
+         .orderBy(ts_col))
+    first_ts = F.first(ts_col).over(
+        Window.partitionBy(url_col, digest_col).orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (captures.select(
+        F.col(url_col).alias("url"), F.col(ts_col).alias("warc_ts"),
+        F.col(digest_col).alias("digest"),
+        F.row_number().over(w).alias("_rn"),
+        first_ts.alias("_first"))
+        .select("url", "warc_ts", "digest",
+                F.when(F.col("_rn") == 1, F.lit("response"))
+                .otherwise(F.lit("revisit")).alias("record_type"),
+                F.when(F.col("_rn") > 1, F.col("_first"))
+                .alias("refers_to_ts")))

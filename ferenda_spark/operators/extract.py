@@ -820,3 +820,51 @@ def date_normalize(docs: DataFrame, text_col: str = "text",
 
     return (_mentions(mdy, "mdy", 1, 2, 3)
             .unionByName(_mentions(dmy, "dmy", 2, 1, 3)))
+
+
+def heading_outline(pages: DataFrame, html_col: str = "html",
+                    id_col: str = "url") -> DataFrame:
+    """Document outline from h1-h6 headings: each heading's parent
+    is the NEAREST PRECEDING heading of strictly smaller level (the
+    HTML5 outline algorithm's core rule) — turning flat web markup
+    into the section hierarchy KG construction needs for
+    part-of/section triples when no explicit sectioning elements
+    exist (the reference builds the same tree from FSM-parsed text;
+    this is the markup-native path).
+
+    Shape: heading extraction is the multi-group
+    ``regexp_extract_all`` + ``arrays_zip`` + posexplode pattern
+    (map-only); parent resolution is a per-document self-join
+    (j.pos < i.pos AND j.level < i.level -> max j) — O(k^2) in the
+    number of HEADINGS per page (k is tens, never the corpus), all
+    keyed on the page id so it shuffles once and never crosses
+    documents.
+
+    Returns (id, pos, level, title, parent_pos); parent_pos is NULL
+    for top-level headings, pos is the 0-based heading index in
+    document order.
+    """
+    # (?i) rather than lower(html): titles keep their original case
+    pat = r"(?i)<h([1-6])[^>]*>([^<]*)</h[1-6]>"
+    g = lambda i: F.expr(  # noqa: E731
+        "regexp_extract_all(%s, r'%s', %d)" % (html_col, pat, i))
+    z = F.arrays_zip(g(1).alias("lv"), g(2).alias("ti"))
+    h = (pages.select(F.col(id_col), F.posexplode(z).alias("pos", "x"))
+         .select(id_col, F.col("pos").cast("long").alias("pos"),
+                 F.col("x.lv").cast("long").alias("level"),
+                 F.trim(F.col("x.ti")).alias("title")))
+    child = h.select(F.col(id_col), F.col("pos"), F.col("level"),
+                     F.col("title"))
+    cand = h.select(F.col(id_col), F.col("pos").alias("_jpos"),
+                    F.col("level").alias("_jlevel"))
+    parent = (child.join(cand, id_col, "left")
+              .where(F.col("_jpos").isNull()
+                     | ((F.col("_jpos") < F.col("pos"))
+                        & (F.col("_jlevel") < F.col("level"))))
+              .groupBy(id_col, "pos", "level", "title")
+              .agg(F.max("_jpos").alias("parent_pos")))
+    # the filtering join drops headings with no qualifying parent
+    # row entirely -- restore them with a left join on the spine
+    return (child.join(parent.select(id_col, "pos", "parent_pos"),
+                       [id_col, "pos"], "left")
+            .select(id_col, "pos", "level", "title", "parent_pos"))

@@ -354,3 +354,55 @@ def fuzzy_lookup(vocab: DataFrame, queries: DataFrame,
             .where(F.col("rn") == 1)
             .select("query", "term", "distance",
                     F.col("freq").cast("long").alias("freq")))
+
+
+def more_like_this(documents: DataFrame, seed_ids: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   max_df: int = 100, top_k: int = 5) -> DataFrame:
+    """More-like-this retrieval (the ES/Lucene MLT feature): given
+    seed documents, rank other documents by the rarity-weighted
+    overlap of their vocabularies.  Each shared term contributes
+    ``1_000_000 div df`` micro-units (exact integer rarity weight;
+    declared deviation from Lucene's float idf = ln(N/df) — ln is
+    not correctly rounded and Java/C disagree on it, 1/df preserves
+    the rarity ORDER exactly and keeps every engine hash-identical).
+
+    The df cap is load-bearing, not cosmetic: terms with
+    ``df > max_df`` are dropped BEFORE the posting join (Lucene MLT's
+    max_doc_freq), which is what bounds the join fan-out — a
+    stopword appearing in every doc would otherwise join seeds
+    against the whole corpus.  With the cap, the candidate join is
+    |seed terms| x bounded posting lists, keyed on the term — the
+    same bucketed-join discipline as MinHash-LSH.
+
+    Returns (seed_id, doc_id, n_shared_terms, score_micro, rank) —
+    top_k per seed by (score desc, doc_id asc); the seed itself is
+    excluded.
+    """
+    from pyspark.sql import Window
+    from .dedup import tokens
+    posting = (documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(
+            F.filter(tokens(F.col(text_col)), lambda s: s != "")))
+        .alias("term")))
+    dfreq = (posting.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .where(F.col("df") <= int(max_df)))
+    posting = posting.join(dfreq, "term")
+    seeds = (posting.join(
+        seed_ids.select(F.col(seed_ids.columns[0]).alias("doc_id")),
+        "doc_id")
+        .select(F.col("doc_id").alias("seed_id"), "term"))
+    pairs = (seeds.join(posting, "term")
+             .where(F.col("seed_id") != F.col("doc_id"))
+             .groupBy("seed_id", "doc_id")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_shared_terms"),
+                  F.sum(F.expr("1000000 div df")).cast("long")
+                  .alias("score_micro")))
+    w = Window.partitionBy("seed_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id"))
+    return (pairs.withColumn("rank",
+                             F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= int(top_k)))

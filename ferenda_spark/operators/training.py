@@ -768,3 +768,63 @@ def split_leakage(documents: DataFrame, n: int = 3,
             .where(F.col("n_train_dups") > 0)
             .select("doc_id", "split", "canonical_doc_id",
                     "n_train_dups"))
+
+
+def neyman_allocation(rows: DataFrame, sample_n: int,
+                      stratum_col: str = "source",
+                      value_col: str = "n_chars") -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a total
+    sample budget, allocate to each stratum proportionally to
+    ``N_h * sigma_h`` (population size x within-stratum standard
+    deviation) — the allocation that minimizes the variance of the
+    stratified estimator (Neyman 1934).  Equal-proportion sampling
+    (train_stratified_sample) oversamples homogeneous strata; this
+    is what a measurement-grade eval split actually wants.
+
+    Exactness discipline: per-stratum sum and sum-of-squares are
+    EXACT integer aggregates; variance arrives as the single integer
+    ``var_micro = (n*sumsq - sum^2) * 1_000_000 div n^2`` and sigma
+    as ``floor(sqrt(var_micro))`` — sqrt IS correctly rounded
+    (IEEE 754, unlike ln/pow), so every engine computes the same
+    long.  Weights, their total, and the final allocation
+    (``sample_n * w_h div total_w``) stay in integer arithmetic
+    end-to-end; the +remainder correction goes to the highest-weight
+    strata (weight desc, stratum asc — deterministic) so the
+    allocation sums exactly to ``sample_n``.
+
+    One groupBy on the stratum key; the stratum table is
+    dimension-sized, so the final window is metadata-cheap.
+
+    Returns (stratum, n_rows, sigma_floor, weight, alloc_n,
+    alloc_permille).
+    """
+    from pyspark.sql import Window
+    g = (rows.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+              F.sum(F.col(value_col).cast("long")).alias("_s"),
+              F.sum(F.col(value_col).cast("long")
+                    * F.col(value_col).cast("long")).alias("_ss")))
+    g = g.withColumn(
+        "_var_micro",
+        F.expr("(n_rows * _ss - _s * _s) * 1000000 div "
+               "(n_rows * n_rows)"))
+    g = g.withColumn(
+        "sigma_floor",
+        F.floor(F.sqrt(F.col("_var_micro").cast("double")))
+        .cast("long"))
+    g = g.withColumn("weight", F.col("n_rows") * F.col("sigma_floor"))
+    tot = Window.partitionBy()
+    wrank = Window.orderBy(F.col("weight").desc(), F.col("stratum"))
+    base = F.expr("%d * weight div _tw" % int(sample_n))
+    return (g.withColumn("_tw", F.sum("weight").over(tot))
+            .withColumn("_base", base.cast("long"))
+            .withColumn("_rem",
+                        (F.lit(int(sample_n))
+                         - F.sum("_base").over(tot)).cast("long"))
+            .withColumn("_rn", F.row_number().over(wrank).cast("long"))
+            .select("stratum", "n_rows", "sigma_floor", "weight",
+                    (F.col("_base")
+                     + F.when(F.col("_rn") <= F.col("_rem"), 1)
+                     .otherwise(0)).cast("long").alias("alloc_n"),
+                    F.expr("1000 * weight div _tw").cast("long")
+                    .alias("alloc_permille")))

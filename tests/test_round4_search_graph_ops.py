@@ -332,3 +332,95 @@ class TestMinePathRules:
         # hub guard: chain nodes above the fanout cap contribute no
         # paths -> rule disappears at max_fanout=0
         assert mine_path_rules(t, max_fanout=0).collect() == []
+
+
+class TestWarcRevisit:
+    def test_revisit_points_at_original(self, spark):  # noqa: F811
+        from ferenda_spark.operators.crawl import warc_revisit
+        c = spark.createDataFrame(
+            [("u", "2024-01-01", "dA"), ("u", "2024-01-02", "dA"),
+             ("u", "2024-01-03", "dB"), ("u", "2024-01-04", "dA"),
+             ("v", "2024-01-01", "dA")],  # same digest, other URL
+            "url string, warc_ts string, digest string")
+        out = {(r["url"], r["warc_ts"]):
+               (r["record_type"], r["refers_to_ts"])
+               for r in warc_revisit(c).collect()}
+        assert out[("u", "2024-01-01")] == ("response", None)
+        assert out[("u", "2024-01-02")] == ("revisit", "2024-01-01")
+        assert out[("u", "2024-01-03")] == ("response", None)
+        assert out[("u", "2024-01-04")] == ("revisit", "2024-01-01")
+        # revisit scope is per-URL: v's dA is its own response
+        assert out[("v", "2024-01-01")] == ("response", None)
+
+
+class TestHeadingOutline:
+    def test_nearest_smaller_level_parent(self, spark):  # noqa: F811
+        from ferenda_spark.operators.extract import heading_outline
+        p = spark.createDataFrame(
+            [("u", "<h1>A</h1><h2>B</h2><h3>C</h3><h2>D</h2>"
+                   "<h1>E</h1><h3>F</h3>"),
+             ("v", "<h3>Orphan</h3>")],
+            "url string, html string")
+        out = {(r["url"], r["pos"]): (r["level"], r["title"],
+                                      r["parent_pos"])
+               for r in heading_outline(p).collect()}
+        assert out[("u", 0)] == (1, "A", None)
+        assert out[("u", 2)] == (3, "C", 1)
+        assert out[("u", 3)] == (2, "D", 0)   # skips sibling h3
+        assert out[("u", 5)] == (3, "F", 4)   # new h1 resets scope
+        assert out[("v", 0)] == (3, "Orphan", None)
+
+    def test_case_preserved_and_attrs_ignored(self, spark):  # noqa: F811
+        from ferenda_spark.operators.extract import heading_outline
+        p = spark.createDataFrame(
+            [("u", '<H2 class="x">MiXeD Case</H2>')],
+            "url string, html string")
+        [r] = heading_outline(p).collect()
+        assert (r["level"], r["title"]) == (2, "MiXeD Case")
+
+
+class TestMoreLikeThis:
+    def test_rarity_weighting_and_df_cap(self, spark):  # noqa: F811
+        from ferenda_spark.operators.search import more_like_this
+        d = spark.createDataFrame(
+            [(1, "rare shared common"), (2, "rare other common"),
+             (3, "shared x common"), (4, "common y z")],
+            "doc_id long, text string")
+        seeds = spark.createDataFrame([(1,)], "doc_id long")
+        out = {r["doc_id"]: (r["n_shared_terms"], r["score_micro"])
+               for r in more_like_this(d, seeds, max_df=3,
+                                       top_k=5).collect()}
+        # 'common' df=4 > cap -> dropped; rare/shared df=2 each
+        assert out == {2: (1, 500000), 3: (1, 500000)}
+
+    def test_seed_excluded(self, spark):  # noqa: F811
+        from ferenda_spark.operators.search import more_like_this
+        d = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id long, text string")
+        seeds = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        out = more_like_this(d, seeds, max_df=10, top_k=5).collect()
+        assert all(r["seed_id"] != r["doc_id"] for r in out)
+        assert len(out) == 2
+
+
+class TestNeymanAllocation:
+    def test_zero_variance_starves_allocation(self, spark):  # noqa: F811
+        from ferenda_spark.operators.training import neyman_allocation
+        r = spark.createDataFrame(
+            [("a", 10), ("a", 10), ("a", 10),
+             ("b", 0), ("b", 100), ("b", 200), ("b", 300),
+             ("c", 50), ("c", 60)],
+            "source string, n_chars long")
+        got = {x["stratum"]: (x["sigma_floor"], x["alloc_n"])
+               for x in neyman_allocation(r, 10).collect()}
+        assert got["a"] == (0, 0)          # homogeneous -> nothing
+        assert got["b"][1] == 10           # all budget to high-spread
+        assert sum(v[1] for v in got.values()) == 10
+
+    def test_allocation_sums_to_budget(self, spark):  # noqa: F811
+        from ferenda_spark.operators.training import neyman_allocation
+        r = spark.createDataFrame(
+            [("s%d" % (i % 7), (i * 13) % 97) for i in range(200)],
+            "source string, n_chars long")
+        out = neyman_allocation(r, 37).collect()
+        assert sum(x["alloc_n"] for x in out) == 37
