@@ -5287,6 +5287,58 @@ def _q_train_neyman_allocation(spark, sf_dir):
             .orderBy("stratum"))
 
 
+def _q_kg_breadcrumbs(spark, sf_dir):
+    """Breadcrumb-trail extraction from planted nav markup (Home >
+    source > leaf); trail rows and parent edges are closed-form."""
+    from ferenda_spark.operators.extract import breadcrumb_trails
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><nav class="crumbs breadcrumb">'
+              '<a href="/">Home</a> &gt; <a href="/'),
+        F.col("source"), F.lit('">'), F.col("source"),
+        F.lit('</a> &gt; <a href="/'), F.col("source"), F.lit("/"),
+        did.cast("string"), F.lit('">Document '), did.cast("string"),
+        F.lit("</a></nav><p>body</p></body></html>"))
+    pages = d.select(
+        F.concat(F.lit("https://example.org/res/doc/"),
+                 did.cast("string")).alias("url"),
+        html.alias("html"))
+    return breadcrumb_trails(pages).orderBy("url", "pos")
+
+
+def _q_kg_katz(spark, sf_dir):
+    """Katz centrality (integer halving attenuation, 3 rounds) over
+    the planted directed entity multigraph; the oracle replays the
+    three join/aggregate rounds exactly."""
+    from ferenda_spark.operators.graphs import katz_centrality
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    a = F.concat(F.lit("e"), (did % 50).cast("string"))
+    b1 = F.concat(F.lit("e"), ((did * 3 + 1) % 50).cast("string"))
+    b2 = F.concat(F.lit("e"), ((did * 7 + 3) % 50).cast("string"))
+    edges = (d.select(a.alias("src"), b1.alias("dst"))
+             .unionByName(d.select(a.alias("src"), b2.alias("dst"))))
+    return katz_centrality(edges, rounds=3).orderBy("node")
+
+
+def _q_text_code_detection(spark, sf_dir):
+    """Code-vs-prose gating: every 5th doc gets a planted C-ish
+    snippet (braces/semicolons/indents closed-form), the rest keep
+    their prose text (verified free of code punctuation)."""
+    from ferenda_spark.operators.textstats import code_detection
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    code = F.concat(
+        F.lit("int main() {\n    return "), did.cast("string"),
+        F.lit(";\n}\nx = 1;\n    y = 2;"))
+    docs = d.select(
+        "doc_id",
+        F.when(did % 5 == 0, code).otherwise(F.col("text"))
+        .alias("text"))
+    return code_detection(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5606,6 +5658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_heading_outline": _q_kg_heading_outline,
         "search_more_like_this": _q_search_more_like_this,
         "train_neyman_allocation": _q_train_neyman_allocation,
+        "kg_breadcrumbs": _q_kg_breadcrumbs,
+        "kg_katz": _q_kg_katz,
+        "text_code_detection": _q_text_code_detection,
     }
 
 
@@ -12909,4 +12964,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * weight // tw AS BIGINT)
                      AS alloc_permille
             FROM f ORDER BY stratum""",
+        "kg_breadcrumbs": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     'https://example.org/res/doc/' || doc_id AS url
+              FROM documents),
+            r AS (
+              SELECT url, 0 AS pos, '/' AS href, 'Home' AS label,
+                     CAST(NULL AS VARCHAR) AS parent_href
+              FROM b
+              UNION ALL
+              SELECT url, 1, '/' || source, source, '/' FROM b
+              UNION ALL
+              SELECT url, 2, '/' || source || '/' || doc_id,
+                     'Document ' || doc_id, '/' || source
+              FROM b)
+            SELECT url, CAST(pos AS BIGINT) AS pos, href, label,
+                   parent_href
+            FROM r ORDER BY url, pos""",
+        "kg_katz": """
+            WITH e AS (
+              SELECT 'e' || (doc_id % 50) AS u,
+                     'e' || ((doc_id * 3 + 1) % 50) AS v
+              FROM documents
+              UNION ALL
+              SELECT 'e' || (doc_id % 50),
+                     'e' || ((doc_id * 7 + 3) % 50)
+              FROM documents),
+            n AS (SELECT DISTINCT u AS node FROM e
+                  UNION SELECT DISTINCT v FROM e),
+            m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS m FROM n),
+            m1 AS (SELECT v AS node, CAST(SUM(m // 2) AS BIGINT) AS m
+                   FROM e JOIN m0 ON m0.node = e.u GROUP BY v),
+            m2 AS (SELECT v AS node, CAST(SUM(m // 2) AS BIGINT) AS m
+                   FROM e JOIN m1 ON m1.node = e.u GROUP BY v),
+            m3 AS (SELECT v AS node, CAST(SUM(m // 2) AS BIGINT) AS m
+                   FROM e JOIN m2 ON m2.node = e.u GROUP BY v)
+            SELECT n.node,
+                   CAST(1000000 + COALESCE(m1.m, 0)
+                        + COALESCE(m2.m, 0) + COALESCE(m3.m, 0)
+                        AS BIGINT) AS katz_micro,
+                   CAST(3 AS BIGINT) AS n_rounds
+            FROM n LEFT JOIN m1 USING (node)
+                   LEFT JOIN m2 USING (node)
+                   LEFT JOIN m3 USING (node)
+            ORDER BY node""",
+        # planted snippet: 2 braces, 3 semicolons, 2 indented lines,
+        # 2 assignments, 5 lines -> score 1400; prose rows are
+        # punctuation-free single lines
+        "text_code_detection": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_braces,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END
+                        AS BIGINT) AS n_semicolons,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_indented,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END
+                        AS BIGINT) AS n_assign,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 1 END
+                        AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1400 ELSE 0 END
+                        AS BIGINT) AS code_score_permille,
+                   CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_code
+            FROM documents ORDER BY doc_id""",
     }

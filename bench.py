@@ -180,6 +180,7 @@ HEADLINE = [
     "clean_template_clusters", "text_date_normalize", "kg_path_rules",
     "crawl_warc_revisit", "kg_heading_outline",
     "search_more_like_this", "train_neyman_allocation",
+    "kg_breadcrumbs", "kg_katz", "text_code_detection",
 ]
 
 

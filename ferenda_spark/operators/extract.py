@@ -868,3 +868,40 @@ def heading_outline(pages: DataFrame, html_col: str = "html",
     return (child.join(parent.select(id_col, "pos", "parent_pos"),
                        [id_col, "pos"], "left")
             .select(id_col, "pos", "level", "title", "parent_pos"))
+
+
+def breadcrumb_trails(pages: DataFrame, html_col: str = "html",
+                      id_col: str = "url") -> DataFrame:
+    """Breadcrumb-trail extraction from nav markup: the
+    site-hierarchy signal search engines mine for sitelinks and KG
+    construction mines for broader-than/part-of edges (schema.org
+    BreadcrumbList is the structured twin; this reads the dominant
+    unstructured form — an anchor sequence inside a breadcrumb nav).
+
+    Two regex passes: isolate the first
+    ``<nav class="...breadcrumb...">...</nav>`` block per page, then
+    the multi-group ``regexp_extract_all`` + ``arrays_zip`` +
+    posexplode walk over its anchors (href, label) — map-only, no
+    UDF.  ``pos`` is the 0-based trail position; ``parent_href`` is
+    the preceding anchor's href (NULL at the root), giving the edge
+    list a hierarchy rollup groupBys directly.
+
+    Returns (id, pos, href, label, parent_href).
+    """
+    nav = F.regexp_extract(
+        F.col(html_col),
+        r'(?is)<nav[^>]*class="[^"]*breadcrumb[^"]*"[^>]*>(.*?)</nav>',
+        1)
+    apat = r'(?i)<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    g = lambda i: F.expr(  # noqa: E731
+        "regexp_extract_all(_nav, r'%s', %d)" % (apat, i))
+    z = F.arrays_zip(g(1).alias("h"), g(2).alias("t"))
+    ex = (pages.select(F.col(id_col), nav.alias("_nav"))
+          .where(F.length("_nav") > 0)
+          .select(F.col(id_col), F.posexplode(z).alias("pos", "x"))
+          .select(id_col, F.col("pos").cast("long").alias("pos"),
+                  F.col("x.h").alias("href"),
+                  F.trim(F.col("x.t")).alias("label")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col).orderBy("pos"))
+    return ex.withColumn("parent_href", F.lag("href").over(w))

@@ -957,3 +957,53 @@ def ngram_novelty(docs: DataFrame, n: int = 3,
             .select("doc_id", "n_ngrams", "n_novel",
                     F.expr("1000 * n_novel div n_ngrams")
                     .cast("long").alias("novelty_permille")))
+
+
+def code_detection(documents: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Code-vs-prose detection from lexical surface signals — the
+    corpus-partitioning step LLM pipelines run before routing
+    documents to code-specific cleaning/dedup (The Stack /
+    StarCoder corpora are built behind exactly this gate; prose
+    pipelines mis-handle code and vice versa).
+
+    Signals, all exact integers from pure expressions (no UDF):
+
+    * ``n_braces``     — '{' + '}' occurrences;
+    * ``n_semicolons`` — ';' occurrences;
+    * ``n_indented``   — lines starting with 4+ spaces or a tab;
+    * ``n_assign``     — ' = ' occurrences (assignment-ish);
+    * ``n_lines``      — physical lines.
+
+    ``code_score_permille = 1000 * (n_braces + n_semicolons +
+    n_indented) div greatest(n_lines, 1)`` and ``is_code`` flags
+    score >= 500 — thresholds in the spirit of the classifier-free
+    heuristics in corpus pipelines' code filters, declared rather
+    than learned so the gate is reproducible.
+
+    Occurrence counts use the split-length identity
+    (``size(split(s, pat)) - 1``) — identical semantics in every
+    engine, no regex-count builtin needed.
+
+    Returns (doc_id, n_braces, n_semicolons, n_indented, n_assign,
+    n_lines, code_score_permille, is_code).
+    """
+    t = F.col(text_col)
+    cnt = lambda pat: (F.size(F.split(t, pat)) - 1).cast("long")  # noqa: E731
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        (cnt(r"\{") + cnt(r"\}")).cast("long").alias("n_braces"),
+        cnt(";").alias("n_semicolons"),
+        F.size(F.filter(
+            F.split(t, "\n"),
+            lambda ln: ln.rlike(r"^(    |\t)"))).cast("long")
+        .alias("n_indented"),
+        cnt(" = ").alias("n_assign"),
+        F.size(F.split(t, "\n")).cast("long").alias("n_lines"))
+    score = F.expr("1000 * (n_braces + n_semicolons + n_indented) "
+                   "div greatest(n_lines, 1)").cast("long")
+    return base.select(
+        "doc_id", "n_braces", "n_semicolons", "n_indented",
+        "n_assign", "n_lines",
+        score.alias("code_score_permille"),
+        (score >= 500).cast("long").alias("is_code"))

@@ -424,3 +424,62 @@ class TestNeymanAllocation:
             "source string, n_chars long")
         out = neyman_allocation(r, 37).collect()
         assert sum(x["alloc_n"] for x in out) == 37
+
+
+class TestKatz:
+    def test_attenuated_walk_counting(self, spark):  # noqa: F811
+        from ferenda_spark.operators.graphs import katz_centrality
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")],
+            "src string, dst string")
+        got = {r["node"]: r["katz_micro"]
+               for r in katz_centrality(e, rounds=3).collect()}
+        # c: two length-1 walks (1M) + one length-2 walk a->b->c
+        # (250k); b: one length-1 walk (500k); a: no in-walks
+        assert got == {"a": 1000000, "b": 1500000, "c": 2250000}
+
+    def test_multigraph_edges_count_multiply(self, spark):  # noqa: F811
+        from ferenda_spark.operators.graphs import katz_centrality
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "b")], "src string, dst string")
+        got = {r["node"]: r["katz_micro"]
+               for r in katz_centrality(e, rounds=1).collect()}
+        assert got["b"] == 2000000  # 1M base + 2 * 500k
+
+
+class TestBreadcrumbs:
+    def test_trail_and_parents(self, spark):  # noqa: F811
+        from ferenda_spark.operators.extract import breadcrumb_trails
+        p = spark.createDataFrame(
+            [("u", '<nav class="x breadcrumb y"><a href="/">Home</a>'
+                   ' &gt; <a href="/a">A</a></nav>'),
+             ("v", "<nav><a href='/z'>not-crumbs</a></nav>"),
+             ("w", "no nav at all")],
+            "url string, html string")
+        out = [(r["url"], r["pos"], r["href"], r["label"],
+                r["parent_href"])
+               for r in breadcrumb_trails(p)
+               .orderBy("url", "pos").collect()]
+        assert out == [("u", 0, "/", "Home", None),
+                       ("u", 1, "/a", "A", "/")]
+
+
+class TestCodeDetection:
+    def test_code_vs_prose(self, spark):  # noqa: F811
+        from ferenda_spark.operators.textstats import code_detection
+        d = spark.createDataFrame(
+            [(0, "int main() {\n    return 0;\n}"),
+             (1, "four lines\nof plain\nprose text\nhere")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_braces"], r["n_semicolons"],
+                             r["n_indented"], r["is_code"])
+               for r in code_detection(d).collect()}
+        assert got[0] == (2, 1, 1, 1)
+        assert got[1] == (0, 0, 0, 0)
+
+    def test_tab_indent_counts(self, spark):  # noqa: F811
+        from ferenda_spark.operators.textstats import code_detection
+        d = spark.createDataFrame(
+            [(0, "\tx\n\ty")], "doc_id long, text string")
+        [r] = code_detection(d).collect()
+        assert r["n_indented"] == 2
