@@ -5339,6 +5339,102 @@ def _q_text_code_detection(spark, sf_dir):
     return code_detection(docs).orderBy("doc_id")
 
 
+def _kg_diff_side(d, new: bool):
+    did = F.col("doc_id")
+    doc = F.concat(F.lit("https://example.org/res/doc/"),
+                   did.cast("string"))
+    title = F.concat(F.lit("Document "), did.cast("string"),
+                     F.when(F.lit(new) & (did % 7 == 0),
+                            F.lit(" v2")).otherwise(F.lit("")))
+    t = (d.select(doc.alias("subj"), F.lit("dct:title").alias("pred"),
+                  title.alias("obj"))
+         .unionByName(d.select(
+             doc.alias("subj"), F.lit("dct:publisher").alias("pred"),
+             F.concat(F.lit("pub"), (did % 7).cast("string"))
+             .alias("obj"))))
+    subj_rows = d.where(~(F.lit(new) & (did % 13 == 0))).select(
+        doc.alias("subj"), F.lit("dct:subject").alias("pred"),
+        F.concat(F.lit("topic"), (did % 11).cast("string"))
+        .alias("obj"))
+    t = t.unionByName(subj_rows)
+    if new:
+        t = t.unionByName(d.where(did % 11 == 0).select(
+            doc.alias("subj"), F.lit("dct:note").alias("pred"),
+            F.lit("updated").alias("obj")))
+    return t
+
+
+def _q_kg_graph_diff(spark, sf_dir):
+    """Subject-rollup diff of two planted KG versions: every 7th doc
+    gets a retitle (modified), every 11th an extra note triple,
+    every 13th loses its subject triple; overlapping cases compose —
+    the oracle replays the same full-outer join, not an enumeration."""
+    from ferenda_spark.operators.rdfio import graph_diff
+    d = _read(spark, sf_dir, "documents")
+    return (graph_diff(_kg_diff_side(d, False), _kg_diff_side(d, True))
+            .orderBy("subj"))
+
+
+def _q_kg_void_stats(spark, sf_dir):
+    """VoID dataset-description triples over the full extracted KG:
+    scalar stats + one propertyPartition node per predicate, counts
+    as integer literals."""
+    from ferenda_spark.catalog import void_stats
+    return (void_stats(_triples(spark, sf_dir))
+            .orderBy("subj", "pred", "obj"))
+
+
+def _q_kg_prov_triples(spark, sf_dir):
+    """PROV-O lineage triples for planted stage runs (3 stages x
+    source): generated-by / derived-from / used / timestamps /
+    row counts, all closed-form."""
+    from ferenda_spark.operators.incremental import prov_triples
+    d = _read(spark, sf_dir, "documents")
+    src = (d.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    runs = None
+    for i, stage in enumerate(("fetch", "parse", "distill")):
+        r = src.select(
+            F.lit(stage).alias("stage"), F.col("source"),
+            F.lit("2024-01-0%d00:00:00" % (i + 1)).alias("started"),
+            F.lit("2024-01-0%d01:00:00" % (i + 1)).alias("ended"),
+            F.col("n_docs").alias("n_out"))
+        runs = r if runs is None else runs.unionByName(r)
+    return prov_triples(runs).orderBy("subj", "pred", "obj")
+
+
+def _q_search_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two heterogeneous rankers (keyterm
+    tf ranking + query-independent freshness ranking) — integer
+    1e6/(60+rank) contributions, oracle replays both rankers and
+    the fusion."""
+    from pyspark.sql import Window
+
+    from ferenda_spark.operators.search import (ranked_set_baseline,
+                                                rrf_fusion)
+    needs = spark.createDataFrame(
+        [("need0", "spark"), ("need0", "merge"),
+         ("need1", "window"), ("need1", "sort")],
+        "query string, term string")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (ranked_set_baseline(docs, needs, limit=20)
+          .select("query", "item", "rank"))
+    wq = Window.orderBy(F.col("doc_id").desc())
+    fresh_items = (docs.select("doc_id")
+                   .withColumn("rank",
+                               F.row_number().over(wq).cast("long"))
+                   .where(F.col("rank") <= 20)
+                   .select(F.col("doc_id").cast("string")
+                           .alias("item"), "rank"))
+    fresh = (needs.select("query").distinct()
+             .crossJoin(F.broadcast(fresh_items)))
+    rankings = (tf.withColumn("ranking", F.lit("tf"))
+                .unionByName(fresh.withColumn("ranking",
+                                              F.lit("fresh"))))
+    return (rrf_fusion(rankings, k=60, top_k=10)
+            .orderBy("query", "rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5661,6 +5757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_breadcrumbs": _q_kg_breadcrumbs,
         "kg_katz": _q_kg_katz,
         "text_code_detection": _q_text_code_detection,
+        "kg_graph_diff": _q_kg_graph_diff,
+        "kg_void_stats": _q_kg_void_stats,
+        "kg_prov_triples": _q_kg_prov_triples,
+        "search_rrf_fusion": _q_search_rrf_fusion,
     }
 
 
@@ -13029,4 +13129,182 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
                         AS BIGINT) AS is_code
             FROM documents ORDER BY doc_id""",
+        "kg_graph_diff": """
+            WITH old_t AS (
+              SELECT 'https://example.org/res/doc/' || doc_id AS s,
+                     'dct:title' AS p, 'Document ' || doc_id AS o
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'dct:publisher', 'pub' || (doc_id % 7)
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'dct:subject', 'topic' || (doc_id % 11)
+              FROM documents),
+            new_t AS (
+              SELECT 'https://example.org/res/doc/' || doc_id AS s,
+                     'dct:title' AS p,
+                     'Document ' || doc_id ||
+                     CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END
+                       AS o
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'dct:publisher', 'pub' || (doc_id % 7)
+              FROM documents
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'dct:subject', 'topic' || (doc_id % 11)
+              FROM documents WHERE doc_id % 13 <> 0
+              UNION ALL
+              SELECT 'https://example.org/res/doc/' || doc_id,
+                     'dct:note', 'updated'
+              FROM documents WHERE doc_id % 11 = 0),
+            j AS (
+              SELECT COALESCE(o.s, n.s) AS subj,
+                     CASE WHEN o.s IS NULL THEN 1 ELSE 0 END AS a,
+                     CASE WHEN n.s IS NULL THEN 1 ELSE 0 END AS r,
+                     CASE WHEN o.s IS NOT NULL AND n.s IS NOT NULL
+                          THEN 1 ELSE 0 END AS u
+              FROM old_t o FULL OUTER JOIN new_t n
+                ON o.s = n.s AND o.p = n.p AND o.o = n.o),
+            agg AS (
+              SELECT subj, CAST(SUM(a) AS BIGINT) AS n_added,
+                     CAST(SUM(r) AS BIGINT) AS n_removed,
+                     CAST(SUM(u) AS BIGINT) AS n_unchanged
+              FROM j GROUP BY subj)
+            SELECT subj, n_added, n_removed, n_unchanged,
+                   CASE WHEN n_added = 0 AND n_removed = 0
+                        THEN 'unchanged'
+                        WHEN n_unchanged + n_removed = 0 THEN 'added'
+                        WHEN n_unchanged + n_added = 0 THEN 'removed'
+                        ELSE 'modified' END AS change_type
+            FROM agg ORDER BY subj""",
+        "kg_void_stats": _ALL_TRIPLES_WITH + """,
+            sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                          CAST(COUNT(DISTINCT subj) AS BIGINT) AS ns,
+                          CAST(COUNT(DISTINCT obj) AS BIGINT) AS no,
+                          CAST(COUNT(DISTINCT pred) AS BIGINT) AS np
+                   FROM all_triples),
+            part AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM all_triples GROUP BY pred),
+            rows_ AS (
+              SELECT 'https://example.org/dataset' AS subj,
+                     'http://rdfs.org/ns/void#triples' AS pred,
+                     CAST(nt AS VARCHAR) AS obj FROM sc
+              UNION ALL
+              SELECT 'https://example.org/dataset',
+                     'http://rdfs.org/ns/void#distinctSubjects',
+                     CAST(ns AS VARCHAR) FROM sc
+              UNION ALL
+              SELECT 'https://example.org/dataset',
+                     'http://rdfs.org/ns/void#distinctObjects',
+                     CAST(no AS VARCHAR) FROM sc
+              UNION ALL
+              SELECT 'https://example.org/dataset',
+                     'http://rdfs.org/ns/void#properties',
+                     CAST(np AS VARCHAR) FROM sc
+              UNION ALL
+              SELECT 'https://example.org/dataset',
+                     'http://rdfs.org/ns/void#propertyPartition',
+                     'https://example.org/dataset#prop-' || md5(pred)
+              FROM part
+              UNION ALL
+              SELECT 'https://example.org/dataset#prop-' || md5(pred),
+                     'http://rdfs.org/ns/void#property', pred
+              FROM part
+              UNION ALL
+              SELECT 'https://example.org/dataset#prop-' || md5(pred),
+                     'http://rdfs.org/ns/void#triples',
+                     CAST(n AS VARCHAR)
+              FROM part)
+            SELECT subj, pred, obj FROM rows_
+            ORDER BY subj, pred, obj""",
+        "kg_prov_triples": """
+            WITH src AS (SELECT source,
+                                CAST(COUNT(*) AS BIGINT) AS n
+                         FROM documents GROUP BY source),
+            runs AS (
+              SELECT st.stage, src.source,
+                     '2024-01-0' || st.i || '00:00:00' AS started,
+                     '2024-01-0' || st.i || '01:00:00' AS ended,
+                     src.n AS n_out
+              FROM src, (VALUES ('fetch', 1), ('parse', 2),
+                                ('distill', 3)) AS st(stage, i)),
+            t AS (
+              SELECT 'urn:artifact:' || stage || ':' || source
+                       AS subj,
+                     'http://www.w3.org/ns/prov#wasGeneratedBy'
+                       AS pred,
+                     'urn:activity:' || stage || ':' || source AS obj
+              FROM runs
+              UNION ALL
+              SELECT 'urn:artifact:' || stage || ':' || source,
+                     'http://www.w3.org/ns/prov#wasDerivedFrom',
+                     'urn:artifact:input:' || source FROM runs
+              UNION ALL
+              SELECT 'urn:activity:' || stage || ':' || source,
+                     'http://www.w3.org/ns/prov#used',
+                     'urn:artifact:input:' || source FROM runs
+              UNION ALL
+              SELECT 'urn:activity:' || stage || ':' || source,
+                     'http://www.w3.org/ns/prov#startedAtTime',
+                     started FROM runs
+              UNION ALL
+              SELECT 'urn:activity:' || stage || ':' || source,
+                     'http://www.w3.org/ns/prov#endedAtTime',
+                     ended FROM runs
+              UNION ALL
+              SELECT 'urn:artifact:' || stage || ':' || source,
+                     'https://example.org/ns#rowCount',
+                     CAST(n_out AS VARCHAR) FROM runs)
+            SELECT subj, pred, obj FROM t
+            ORDER BY subj, pred, obj""",
+        "search_rrf_fusion": """
+            WITH needs(query, term) AS (VALUES
+              ('need0', 'spark'), ('need0', 'merge'),
+              ('need1', 'window'), ('need1', 'sort')),
+            tf0 AS (
+              SELECT n.query, CAST(d.doc_id AS VARCHAR) AS item,
+                     CAST(len(string_split(lower(d.text), n.term))
+                          - 1 AS BIGINT) AS tf
+              FROM documents d, needs n),
+            s AS (SELECT query, item, SUM(tf) AS score
+                  FROM tf0 GROUP BY query, item
+                  HAVING SUM(tf) > 0),
+            tfr AS (
+              SELECT query, item,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query
+                       ORDER BY score DESC, item) AS BIGINT) AS rank
+              FROM s),
+            tfq AS (SELECT * FROM tfr WHERE rank <= 20),
+            fr AS (
+              SELECT item, rank FROM (
+                SELECT CAST(doc_id AS VARCHAR) AS item,
+                       CAST(ROW_NUMBER() OVER (ORDER BY doc_id DESC)
+                            AS BIGINT) AS rank
+                FROM documents) WHERE rank <= 20),
+            freshq AS (
+              SELECT q.query, fr.item, fr.rank
+              FROM (SELECT DISTINCT query FROM needs) q, fr),
+            all_r AS (
+              SELECT query, item, rank FROM tfq
+              UNION ALL SELECT query, item, rank FROM freshq),
+            sc2 AS (
+              SELECT query, item,
+                     CAST(COUNT(*) AS BIGINT) AS n_rankings,
+                     CAST(SUM(1000000 // (60 + rank)) AS BIGINT)
+                       AS rrf_micro
+              FROM all_r GROUP BY query, item),
+            fin AS (
+              SELECT *,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query
+                       ORDER BY rrf_micro DESC, item) AS BIGINT)
+                       AS rank
+              FROM sc2)
+            SELECT query, item, n_rankings, rrf_micro, rank
+            FROM fin WHERE rank <= 10 ORDER BY query, rank""",
     }

@@ -181,6 +181,8 @@ HEADLINE = [
     "crawl_warc_revisit", "kg_heading_outline",
     "search_more_like_this", "train_neyman_allocation",
     "kg_breadcrumbs", "kg_katz", "text_code_detection",
+    "kg_graph_diff", "kg_void_stats", "kg_prov_triples",
+    "search_rrf_fusion",
 ]
 
 

@@ -165,3 +165,56 @@ def dump_nt(triples: DataFrame, path: str, single_file: bool = False,
                     "max_line": r.max_line} for r in per_file], fh,
                   indent=1)
     return sum(r.n_lines for r in per_file)
+
+
+def void_stats(triples: DataFrame,
+               dataset_uri: str = "https://example.org/dataset"
+               ) -> DataFrame:
+    """VoID dataset description (W3C VoID vocabulary): the
+    self-describing statistics block every published RDF dataset
+    ships (void:triples, void:distinctSubjects/Objects,
+    void:properties, plus one void:propertyPartition node per
+    predicate) — emitted AS TRIPLES, so the description loads into
+    the same store it describes.  The reference publishes dataset
+    metadata next to its dumps; this is that habit restated in the
+    vocabulary the LOD cloud actually uses.
+
+    Shape: the scalar stats are one aggregate (count + three
+    approx-free distinct counts, each a hash aggregate); the
+    property partition is one predicate-keyed groupBy
+    (dimension-sized output).  Counts are emitted as canonical
+    xsd:integer literal strings — all-integer, engine-exact.
+
+    Returns (subj, pred, obj) description triples.
+    """
+    ds = F.lit(dataset_uri)
+    V = "http://rdfs.org/ns/void#"
+    scalars = (triples.agg(
+        F.count(F.lit(1)).cast("long").alias("nt"),
+        F.countDistinct("subj").cast("long").alias("ns"),
+        F.countDistinct("obj").cast("long").alias("no"),
+        F.countDistinct("pred").cast("long").alias("np")))
+    rows = []
+    for col, prop in (("nt", "triples"), ("ns", "distinctSubjects"),
+                      ("no", "distinctObjects"), ("np", "properties")):
+        rows.append(scalars.select(
+            ds.alias("subj"), F.lit(V + prop).alias("pred"),
+            F.col(col).cast("string").alias("obj")))
+    part = (triples.groupBy("pred")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    pnode = F.concat(ds, F.lit("#prop-"), F.md5("pred"))
+    parts = (part.select(ds.alias("subj"),
+                         F.lit(V + "propertyPartition").alias("pred"),
+                         pnode.alias("obj"))
+             .unionByName(part.select(
+                 pnode.alias("subj"),
+                 F.lit(V + "property").alias("pred"),
+                 F.col("pred").alias("obj")))
+             .unionByName(part.select(
+                 pnode.alias("subj"),
+                 F.lit(V + "triples").alias("pred"),
+                 F.col("n").cast("string").alias("obj"))))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.unionByName(parts)

@@ -205,3 +205,35 @@ def run_stage_atomic(pages: DataFrame, store_dir: str, stage: str,
     raise CommitConflict(
         "gave up after 20 conditional-commit retries under %s"
         % tab.path)
+
+
+def prov_triples(stage_runs: DataFrame) -> DataFrame:
+    """PROV-O provenance triples for pipeline stage runs — the
+    lineage block that makes a 100 TB derived corpus auditable:
+    every output artifact says which activity generated it, what
+    that activity used, and when it ran (W3C PROV-O: Entity /
+    Activity / used / wasGeneratedBy / wasDerivedFrom).  The
+    reference tracks the same facts in per-doc entry files
+    (documententry.py's parse/generate timestamps); at pipeline
+    scale they become queryable triples next to the data.
+
+    ``stage_runs``: (stage, source, started, ended, n_out) — one row
+    per stage execution, the shape run_stage_atomic's bookkeeping
+    already produces.  Map-only: a fixed number of triples per run
+    row, no shuffle.  Returns (subj, pred, obj).
+    """
+    P = "http://www.w3.org/ns/prov#"
+    act = F.concat(F.lit("urn:activity:"), F.col("stage"),
+                   F.lit(":"), F.col("source"))
+    ent = F.concat(F.lit("urn:artifact:"), F.col("stage"),
+                   F.lit(":"), F.col("source"))
+    inp = F.concat(F.lit("urn:artifact:input:"), F.col("source"))
+    t = lambda s, p, o: stage_runs.select(  # noqa: E731
+        s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"))
+    return (t(ent, P + "wasGeneratedBy", act)
+            .unionByName(t(ent, P + "wasDerivedFrom", inp))
+            .unionByName(t(act, P + "used", inp))
+            .unionByName(t(act, P + "startedAtTime", F.col("started")))
+            .unionByName(t(act, P + "endedAtTime", F.col("ended")))
+            .unionByName(t(ent, "https://example.org/ns#rowCount",
+                           F.col("n_out").cast("string"))))

@@ -277,3 +277,46 @@ def bnode_canonicalize(quads: DataFrame, rounds: int = 3,
                     .alias("canon_label"),
                     F.col("lbl").alias("hash"),
                     "n_hash_ties"))
+
+
+def graph_diff(old: DataFrame, new: DataFrame,
+               subj_col: str = "subj", pred_col: str = "pred",
+               obj_col: str = "obj") -> DataFrame:
+    """Triple-level diff of two graph versions rolled up per
+    subject — the KG change feed: what an incremental ingest
+    actually publishes downstream (ResourceSync-style changelists /
+    Wikidata recent-changes, expressed over the triple sets
+    themselves rather than page fetches).  Feed both sides through
+    :func:`bnode_canonicalize` first and the diff becomes
+    rename-insensitive — the reason canonical labels exist.
+
+    Shape: one full-outer join on the (s, p, o) triple key (both
+    sides shuffle-partitioned identically — a co-partitioned merge),
+    then one subject-keyed aggregate.  ``change_type`` is the
+    subject-granularity verdict: 'added' (no old triples),
+    'removed' (no new), 'modified' (both, with differences),
+    'unchanged'.
+
+    Returns (subj, n_added, n_removed, n_unchanged, change_type).
+    """
+    key = [subj_col, pred_col, obj_col]
+    o = old.select(*key).distinct().withColumn("_o", F.lit(1))
+    n = new.select(*key).distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, key, "full_outer")
+    added = F.when(F.col("_o").isNull(), 1).otherwise(0)
+    removed = F.when(F.col("_n").isNull(), 1).otherwise(0)
+    unchanged = F.when(F.col("_o").isNotNull()
+                       & F.col("_n").isNotNull(), 1).otherwise(0)
+    agg = (j.groupBy(F.col(subj_col).alias("subj"))
+           .agg(F.sum(added).cast("long").alias("n_added"),
+                F.sum(removed).cast("long").alias("n_removed"),
+                F.sum(unchanged).cast("long").alias("n_unchanged")))
+    ct = (F.when((F.col("n_added") == 0) & (F.col("n_removed") == 0),
+                 "unchanged")
+          .when(F.col("n_unchanged") + F.col("n_removed") == 0,
+                "added")
+          .when(F.col("n_unchanged") + F.col("n_added") == 0,
+                "removed")
+          .otherwise("modified"))
+    return agg.select("subj", "n_added", "n_removed", "n_unchanged",
+                      ct.alias("change_type"))

@@ -406,3 +406,36 @@ def more_like_this(documents: DataFrame, seed_ids: DataFrame,
     return (pairs.withColumn("rank",
                              F.row_number().over(w).cast("long"))
             .where(F.col("rank") <= int(top_k)))
+
+
+def rrf_fusion(rankings: DataFrame, k: int = 60,
+               top_k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): merge
+    several rankings of the same query into one, scoring each item
+    ``sum over rankings of 1 / (k + rank)`` — the standard
+    score-free fusion for hybrid retrieval (BM25 + dense, or any
+    ranker ensemble), robust because it never compares raw scores
+    across rankers.  Kept integer: each contribution is
+    ``1_000_000 div (k + rank)`` micro-units, so fusion output is
+    engine-exact (the float sum's addition order never matters).
+
+    ``rankings``: (query, item, rank, ranking) rows — ``ranking``
+    names the source ranker.  One (query, item) aggregate + one
+    per-query top-k window (compiles to WindowGroupLimit).  Shuffle
+    is O(ranked rows), all keyed on the query.
+
+    Returns (query, item, n_rankings, rrf_micro, rank).
+    """
+    from pyspark.sql import Window
+    scored = (rankings.select(
+        "query", "item",
+        F.expr("1000000 div (%d + rank)" % int(k)).cast("long")
+        .alias("c"))
+        .groupBy("query", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rankings"),
+             F.sum("c").cast("long").alias("rrf_micro")))
+    w = Window.partitionBy("query").orderBy(
+        F.col("rrf_micro").desc(), F.col("item"))
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .where(F.col("rank") <= int(top_k)))

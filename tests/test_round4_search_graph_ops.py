@@ -483,3 +483,90 @@ class TestCodeDetection:
             [(0, "\tx\n\ty")], "doc_id long, text string")
         [r] = code_detection(d).collect()
         assert r["n_indented"] == 2
+
+
+class TestGraphDiff:
+    def test_change_types(self, spark):  # noqa: F811
+        from ferenda_spark.operators.rdfio import graph_diff
+        old = spark.createDataFrame(
+            [("s1", "p", "a"), ("s1", "p", "b"),   # modified
+             ("s2", "p", "a"),                     # unchanged
+             ("s3", "p", "a")],                    # removed
+            "subj string, pred string, obj string")
+        new = spark.createDataFrame(
+            [("s1", "p", "a"), ("s1", "p", "c"),
+             ("s2", "p", "a"),
+             ("s4", "p", "x")],                    # added
+            "subj string, pred string, obj string")
+        got = {r["subj"]: (r["n_added"], r["n_removed"],
+                           r["n_unchanged"], r["change_type"])
+               for r in graph_diff(old, new).collect()}
+        assert got == {"s1": (1, 1, 1, "modified"),
+                       "s2": (0, 0, 1, "unchanged"),
+                       "s3": (0, 1, 0, "removed"),
+                       "s4": (1, 0, 0, "added")}
+
+    def test_canonicalized_diff_ignores_bnode_renames(self, spark):  # noqa: F811
+        """graph_diff ∘ bnode_canonicalize: the same structure under
+        different bnode names diffs as unchanged."""
+        import pyspark.sql.functions as F
+
+        from ferenda_spark.operators.rdfio import (bnode_canonicalize,
+                                                   graph_diff)
+
+        def canon(rows):
+            q = spark.createDataFrame(
+                rows, "context string, subj string, pred string, "
+                      "obj string")
+            m = bnode_canonicalize(q).select(
+                "context", F.col("bnode"), F.col("canon_label"))
+            for side in ("subj", "obj"):
+                q = (q.join(m.withColumnRenamed("bnode", side)
+                            .withColumnRenamed("canon_label",
+                                               "_c_" + side),
+                            ["context", side], "left")
+                     .withColumn(side, F.coalesce("_c_" + side, side))
+                     .drop("_c_" + side))
+            return q.select("subj", "pred", "obj")
+        a = [("g", "doc", "author", "_:x"), ("g", "_:x", "name", '"A"')]
+        b = [("g", "doc", "author", "_:zz"), ("g", "_:zz", "name", '"A"')]
+        out = graph_diff(canon(a), canon(b)).collect()
+        assert all(r["change_type"] == "unchanged" for r in out)
+
+
+class TestVoidStats:
+    def test_counts_and_partitions(self, spark):  # noqa: F811
+        from ferenda_spark.catalog import void_stats
+        t = spark.createDataFrame(
+            [("s1", "p1", "o1"), ("s1", "p1", "o2"),
+             ("s2", "p2", "o1")],
+            "subj string, pred string, obj string")
+        rows = {(r["subj"], r["pred"]): r["obj"]
+                for r in void_stats(t, "d").collect()}
+        V = "http://rdfs.org/ns/void#"
+        assert rows[("d", V + "triples")] == "3"
+        assert rows[("d", V + "distinctSubjects")] == "2"
+        assert rows[("d", V + "distinctObjects")] == "2"
+        assert rows[("d", V + "properties")] == "2"
+        # one partition node per predicate, carrying its count
+        import hashlib
+        p1 = "d#prop-" + hashlib.md5(b"p1").hexdigest()
+        assert rows[(p1, V + "property")] == "p1"
+        assert rows[(p1, V + "triples")] == "2"
+
+
+class TestRrfFusion:
+    def test_fusion_prefers_items_in_both(self, spark):  # noqa: F811
+        from ferenda_spark.operators.search import rrf_fusion
+        r = spark.createDataFrame(
+            [("q", "a", 1, "r1"), ("q", "b", 2, "r1"),
+             ("q", "b", 1, "r2"), ("q", "c", 2, "r2")],
+            "query string, item string, rank long, ranking string")
+        out = {x["item"]: (x["n_rankings"], x["rrf_micro"], x["rank"])
+               for x in rrf_fusion(r, k=60, top_k=10).collect()}
+        # b appears in both rankings -> wins despite never being #1
+        # everywhere: 1/62 + 1/61 > 1/61
+        assert out["b"][0] == 2
+        assert out["b"][2] == 1
+        assert out["a"] == (1, 1000000 // 61, 2)
+        assert out["c"] == (1, 1000000 // 62, 3)
