@@ -5435,6 +5435,34 @@ def _q_search_rrf_fusion(spark, sf_dir):
             .orderBy("query", "rank"))
 
 
+def _q_kg_geo_join(spark, sf_dir):
+    """Grid-bucketed radius self-join over planted micro-degree
+    coordinates; the oracle is the INDEPENDENT naive quadratic
+    join — if the 3x3 neighborhood replication missed a pair, the
+    hash would catch it."""
+    from ferenda_spark.operators.cleaning import geo_join
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    c = did % 20  # 20 venue clusters, 5000 micro-deg apart
+    pts = d.select(
+        did.alias("point_id"),
+        (c * 5000 + (did * 37) % 400).alias("lat_micro"),
+        (((c * 3) % 20) * 5000 + (did * 53) % 400)
+        .alias("lon_micro"))
+    return (geo_join(pts, radius_micro=1000)
+            .orderBy("id_a", "id_b"))
+
+
+def _q_stats_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outliers of n_chars per source (exact
+    lower-median order statistics, cross-multiplied comparison)."""
+    from ferenda_spark.operators.quality import mad_outliers
+    d = _read(spark, sf_dir, "documents")
+    return (mad_outliers(d.select(F.col("source").alias("group"),
+                                  F.col("n_chars").alias("value")))
+            .orderBy("group", "value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5761,6 +5789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": _q_kg_void_stats,
         "kg_prov_triples": _q_kg_prov_triples,
         "search_rrf_fusion": _q_search_rrf_fusion,
+        "kg_geo_join": _q_kg_geo_join,
+        "stats_mad_outliers": _q_stats_mad_outliers,
     }
 
 
@@ -13307,4 +13337,51 @@ def oracle_sql() -> dict[str, str]:
               FROM sc2)
             SELECT query, item, n_rankings, rrf_micro, rank
             FROM fin WHERE rank <= 10 ORDER BY query, rank""",
+        # independent naive quadratic join (no bucketing) -- a
+        # missed-pair bug in the grid replication would hash-mismatch
+        "kg_geo_join": """
+            WITH p AS (
+              SELECT doc_id AS pid,
+                     (doc_id % 20) * 5000 + (doc_id * 37) % 400
+                       AS la,
+                     (((doc_id % 20) * 3) % 20) * 5000
+                       + (doc_id * 53) % 400 AS lo
+              FROM documents)
+            SELECT a.pid AS id_a, b.pid AS id_b,
+                   CAST((a.la - b.la) * (a.la - b.la)
+                        + (a.lo - b.lo) * (a.lo - b.lo) AS BIGINT)
+                     AS dist_sq_micro
+            FROM p a JOIN p b ON a.pid < b.pid
+            WHERE (a.la - b.la) * (a.la - b.la)
+                  + (a.lo - b.lo) * (a.lo - b.lo) <= 1000 * 1000
+            ORDER BY id_a, id_b""",
+        "stats_mad_outliers": """
+            WITH v AS (SELECT source AS grp,
+                              CAST(n_chars AS BIGINT) AS value
+                       FROM documents),
+            m AS (
+              SELECT grp, value AS median FROM (
+                SELECT grp, value,
+                       row_number() OVER (PARTITION BY grp
+                                          ORDER BY value) AS rn,
+                       COUNT(*) OVER (PARTITION BY grp) AS n
+                FROM v) WHERE rn = (n + 1) // 2),
+            dev AS (
+              SELECT v.grp, v.value, m.median,
+                     CAST(abs(v.value - m.median) AS BIGINT)
+                       AS abs_dev
+              FROM v JOIN m USING (grp)),
+            md AS (
+              SELECT grp, abs_dev AS mad FROM (
+                SELECT grp, abs_dev,
+                       row_number() OVER (PARTITION BY grp
+                                          ORDER BY abs_dev) AS rn,
+                       COUNT(*) OVER (PARTITION BY grp) AS n
+                FROM dev) WHERE rn = (n + 1) // 2)
+            SELECT dev.grp AS "group", dev.value, dev.median,
+                   CAST(md.mad AS BIGINT) AS mad, dev.abs_dev,
+                   CAST(CASE WHEN dev.abs_dev * 1000 > md.mad * 3000
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM dev JOIN md USING (grp)
+            ORDER BY "group", value""",
     }

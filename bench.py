@@ -182,7 +182,7 @@ HEADLINE = [
     "search_more_like_this", "train_neyman_allocation",
     "kg_breadcrumbs", "kg_katz", "text_code_detection",
     "kg_graph_diff", "kg_void_stats", "kg_prov_triples",
-    "search_rrf_fusion",
+    "search_rrf_fusion", "kg_geo_join", "stats_mad_outliers",
 ]
 
 

@@ -721,3 +721,53 @@ def bh_fdr(tests: DataFrame, alpha_micro: int = 50000,
             .withColumn(
                 "rejected",
                 F.max(passing.cast("long")).over(wall).cast("long")))
+
+
+def mad_outliers(rows: DataFrame, group_col: str = "group",
+                 value_col: str = "value",
+                 k_permille: int = 3000) -> DataFrame:
+    """Robust outlier detection via median / MAD (median absolute
+    deviation) — the screen that survives the contamination that
+    breaks mean/stddev z-scores (one spam burst inflates sigma and
+    hides itself; the breakdown point of MAD is 50%).  Flags rows
+    with ``|x - median| * 1000 > k_permille * MAD``.
+
+    Exactness discipline: medians are the LOWER MEDIAN (element at
+    ceil(n/2) in sort order) — an order statistic, hence an exact
+    integer from the data domain, not an interpolated float; both
+    median passes are window ranks inside the group (no
+    percentile_approx, which is sketch-based and engine-specific).
+    The comparison cross-multiplies so no division rounds.
+
+    Two window passes + two joins, all keyed on the group — one
+    shuffle family.  Degenerate groups (MAD = 0) flag every value
+    different from the median, the standard convention.
+
+    Returns (group, value, median, mad, abs_dev, is_outlier).
+    """
+    from pyspark.sql import Window
+
+    def lower_median(df, col, out):
+        w = Window.partitionBy("group").orderBy(col)
+        n = Window.partitionBy("group")
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .withColumn("_n", F.count(F.lit(1)).over(n))
+                .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+                .select("group", F.col(col).alias(out)))
+    v = rows.select(F.col(group_col).alias("group"),
+                    F.col(value_col).cast("long").alias("value"))
+    med = lower_median(v, "value", "median")
+    dev = (v.join(med, "group")
+           .withColumn("abs_dev",
+                       F.abs(F.col("value") - F.col("median"))
+                       .cast("long")))
+    mad = lower_median(dev.select("group",
+                                  F.col("abs_dev").alias("value")),
+                       "value", "mad")
+    return (dev.join(mad, "group")
+            .select("group", "value", "median",
+                    F.col("mad").cast("long").alias("mad"),
+                    "abs_dev",
+                    (F.col("abs_dev") * 1000
+                     > F.col("mad") * int(k_permille))
+                    .cast("long").alias("is_outlier")))

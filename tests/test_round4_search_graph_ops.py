@@ -570,3 +570,53 @@ class TestRrfFusion:
         assert out["b"][2] == 1
         assert out["a"] == (1, 1000000 // 61, 2)
         assert out["c"] == (1, 1000000 // 62, 3)
+
+
+class TestGeoJoin:
+    def test_matches_naive_join_across_cells(self, spark):  # noqa: F811
+        """Grid-bucketed join must equal the brute-force pair set,
+        including pairs straddling cell boundaries and negative
+        coordinates."""
+        import pyspark.sql.functions as F
+
+        from ferenda_spark.operators.cleaning import geo_join
+        pts = [(i, (i * 61) % 700 - 300, (i * 97) % 700 - 350)
+               for i in range(60)]
+        p = spark.createDataFrame(
+            pts, "point_id long, lat_micro long, lon_micro long")
+        got = {(r["id_a"], r["id_b"], r["dist_sq_micro"])
+               for r in geo_join(p, radius_micro=100).collect()}
+        b = p.toDF("pid", "la", "lo")
+        brute = (b.alias("a").join(b.alias("b"),
+                                   F.col("a.pid") < F.col("b.pid"))
+                 .select(F.col("a.pid").alias("x"),
+                         F.col("b.pid").alias("y"),
+                         ((F.col("a.la") - F.col("b.la"))
+                          * (F.col("a.la") - F.col("b.la"))
+                          + (F.col("a.lo") - F.col("b.lo"))
+                          * (F.col("a.lo") - F.col("b.lo")))
+                         .alias("d2"))
+                 .where(F.col("d2") <= 100 * 100))
+        want = {(r["x"], r["y"], r["d2"]) for r in brute.collect()}
+        assert got == want and len(want) > 0
+
+
+class TestMadOutliers:
+    def test_robust_to_contamination(self, spark):  # noqa: F811
+        from ferenda_spark.operators.quality import mad_outliers
+        r = spark.createDataFrame(
+            [("g", 10), ("g", 11), ("g", 12), ("g", 11), ("g", 1000)],
+            "group string, value long")
+        got = {x["value"]: x["is_outlier"]
+               for x in mad_outliers(r).collect()}
+        assert got[1000] == 1
+        assert got[10] == 0 and got[12] == 0
+
+    def test_zero_mad_flags_any_deviation(self, spark):  # noqa: F811
+        from ferenda_spark.operators.quality import mad_outliers
+        r = spark.createDataFrame(
+            [("g", 5), ("g", 5), ("g", 5), ("g", 6)],
+            "group string, value long")
+        got = {x["value"]: x["is_outlier"]
+               for x in mad_outliers(r).collect()}
+        assert got == {5: 0, 6: 1}
