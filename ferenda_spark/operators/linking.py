@@ -745,5 +745,16 @@ def galechurch_align(sentences: DataFrame) -> DataFrame:
             "pair_id", "bead_id", "a_start", "n_a", "b_start",
             "n_b", "bead"])
 
-    return (sentences.groupBy("pair_id")
+    # Pre-hash-partition on the group key: applyInPandas' required
+    # clustering is then already satisfied, so Spark keeps this
+    # explicit width instead of letting AQE coalesce the tiny
+    # length-only shuffle to ONE post-shuffle partition — which
+    # would serialize all pairs through a single Python worker and
+    # pay the per-group Arrow/pandas overhead (~4 ms/group) x
+    # n_pairs on one core (measured 19 s for 5k pairs at sf0.1;
+    # ~1 s spread over 32).
+    spark = sentences.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    return (sentences.repartition(width, "pair_id")
+            .groupBy("pair_id")
             .applyInPandas(align, schema=GC_SCHEMA))
