@@ -5463,6 +5463,69 @@ def _q_stats_mad_outliers(spark, sf_dir):
             .orderBy("group", "value"))
 
 
+def _q_kg_inclusion_deps(spark, sf_dir):
+    """SINDY inclusion-dependency audit over a planted 4-column
+    mined table: values(b)=0..9 ⊆ values(a)=0..19 ⊆ values(d)=0..29,
+    values(c)=10..19 ⊆ a and d but disjoint from b's 0..9 only above
+    9 — the full 12-pair FK-candidate matrix, the dual of
+    kg_fd_discovery's audit."""
+    from ferenda_spark.operators.extract import inclusion_deps
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    rows = d.select((did % 20).alias("a"), (did % 10).alias("b"),
+                    (did % 10 + 10).alias("c"), (did % 30).alias("d"))
+    return inclusion_deps(rows, ["a", "b", "c", "d"]) \
+        .orderBy("lhs", "rhs")
+
+
+def _q_kg_interval_conflicts(spark, sf_dir):
+    """Temporal functional-predicate conflicts over planted employer
+    facts (20 facts per entity, 60-240 day validity windows): pairs
+    with the same (subject, predicate), different object, overlapping
+    [from, to) validity — the pre-fusion constraint check."""
+    from ferenda_spark.operators.temporal import interval_conflicts
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    facts = d.select(
+        F.concat(F.lit("https://example.org/res/entity/"),
+                 (did % 50).cast("string")).alias("subject"),
+        F.lit("org:employer").alias("predicate"),
+        F.concat(F.lit("https://example.org/res/org/pub"),
+                 (did % 7).cast("string")).alias("object"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   ((did * 37) % 1461).cast("int")).alias("valid_from"),
+        F.date_add(F.lit("2020-01-01").cast("date"),
+                   (((did * 37) % 1461) + 60 + (did % 5) * 45)
+                   .cast("int")).alias("valid_to"))
+    return (interval_conflicts(facts)
+            .select("subject", "predicate", "obj_a", "obj_b",
+                    F.date_format("overlap_from", "yyyy-MM-dd")
+                    .alias("overlap_from"),
+                    F.date_format("overlap_to", "yyyy-MM-dd")
+                    .alias("overlap_to"))
+            .orderBy("subject", "obj_a", "obj_b", "overlap_from",
+                     "overlap_to"))
+
+
+def _q_kg_conductance(spark, sf_dir):
+    """Conductance per community over a planted block graph (blocks
+    of 10 chained nodes, one bridge per adjacent block pair):
+    interior blocks report cut=2, vol=20, phi=100 permille; the two
+    end blocks differ — the NCP-style cluster-quality dual of
+    kg_modularity."""
+    from ferenda_spark.operators.graphs import conductance
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    chain = (d.where(did % 10 != 9)
+             .select(did.alias("doc_a"), (did + 1).alias("doc_b")))
+    bridge = (d.where((did % 10 == 5) & (did >= 10))
+              .select(did.alias("doc_a"), (did - 10).alias("doc_b")))
+    comms = d.select(did.alias("node"),
+                     F.expr("doc_id div 10").alias("label"))
+    return (conductance(chain.unionByName(bridge), comms)
+            .orderBy("community"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5791,6 +5854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rrf_fusion": _q_search_rrf_fusion,
         "kg_geo_join": _q_kg_geo_join,
         "stats_mad_outliers": _q_stats_mad_outliers,
+        "kg_inclusion_deps": _q_kg_inclusion_deps,
+        "kg_interval_conflicts": _q_kg_interval_conflicts,
+        "kg_conductance": _q_kg_conductance,
     }
 
 
@@ -13384,4 +13450,90 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
             FROM dev JOIN md USING (grp)
             ORDER BY "group", value""",
+        # the 12-pair IND audit matrix, independent subquery form
+        # (no inverted list -- a SINDY bug would hash-mismatch)
+        "kg_inclusion_deps": (
+            "WITH t AS (SELECT CAST(doc_id % 20 AS VARCHAR) AS a, "
+            "CAST(doc_id % 10 AS VARCHAR) AS b, "
+            "CAST(doc_id % 10 + 10 AS VARCHAR) AS c, "
+            "CAST(doc_id % 30 AS VARCHAR) AS d FROM documents) "
+            + " UNION ALL ".join(
+                "SELECT '{x}' AS lhs, '{y}' AS rhs, "
+                "(SELECT CAST(COUNT(DISTINCT {x}) AS BIGINT) FROM t)"
+                " AS n_lhs_values, "
+                "(SELECT CAST(COUNT(DISTINCT {x}) AS BIGINT) FROM t"
+                " WHERE {x} IN (SELECT {y} FROM t))"
+                " AS n_shared_values, "
+                "(SELECT COUNT(DISTINCT {x}) FROM t"
+                " WHERE {x} IN (SELECT {y} FROM t))"
+                " = (SELECT COUNT(DISTINCT {x}) FROM t) AS holds"
+                .format(x=x, y=y)
+                for x in ("a", "b", "c", "d")
+                for y in ("a", "b", "c", "d") if x != y)
+            + " ORDER BY lhs, rhs"),
+        "kg_interval_conflicts": """
+            WITH facts AS (
+              SELECT 'https://example.org/res/entity/' || (doc_id % 50)
+                       AS subject,
+                     'org:employer' AS predicate,
+                     'https://example.org/res/org/pub' || (doc_id % 7)
+                       AS object,
+                     DATE '2020-01-01'
+                       + INTERVAL ((doc_id * 37) % 1461) DAY
+                       AS valid_from,
+                     DATE '2020-01-01'
+                       + INTERVAL (((doc_id * 37) % 1461)
+                                   + 60 + (doc_id % 5) * 45) DAY
+                       AS valid_to
+              FROM documents)
+            SELECT a.subject, a.predicate,
+                   a.object AS obj_a, b.object AS obj_b,
+                   strftime(greatest(a.valid_from, b.valid_from),
+                            '%Y-%m-%d') AS overlap_from,
+                   strftime(least(a.valid_to, b.valid_to),
+                            '%Y-%m-%d') AS overlap_to
+            FROM facts a JOIN facts b
+              ON a.subject = b.subject AND a.predicate = b.predicate
+            WHERE a.object < b.object
+              AND a.valid_from < b.valid_to
+              AND b.valid_from < a.valid_to
+            ORDER BY a.subject, obj_a, obj_b, overlap_from,
+                     overlap_to""",
+        "kg_conductance": """
+            WITH e0 AS (
+              SELECT doc_id AS x, doc_id + 1 AS y FROM documents
+              WHERE doc_id % 10 <> 9
+              UNION ALL
+              SELECT doc_id, doc_id - 10 FROM documents
+              WHERE doc_id % 10 = 5 AND doc_id >= 10),
+            und AS (SELECT DISTINCT least(x, y) AS u,
+                           greatest(x, y) AS v
+                    FROM e0 WHERE x <> y),
+            deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                      SELECT u AS n FROM und
+                      UNION ALL SELECT v FROM und) GROUP BY n),
+            asg AS (SELECT doc_id AS n, doc_id // 10 AS community
+                    FROM documents),
+            m2 AS (SELECT 2 * COUNT(*) AS m2 FROM und),
+            vol AS (SELECT community,
+                           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                           CAST(SUM(d) AS BIGINT) AS volume
+                    FROM deg JOIN asg USING (n) GROUP BY community),
+            xe AS (SELECT au.community AS ca, av.community AS cb
+                   FROM und JOIN asg au ON und.u = au.n
+                            JOIN asg av ON und.v = av.n
+                   WHERE au.community <> av.community),
+            cut AS (SELECT community,
+                           CAST(COUNT(*) AS BIGINT) AS cut_edges
+                    FROM (SELECT ca AS community FROM xe
+                          UNION ALL SELECT cb FROM xe)
+                    GROUP BY community)
+            SELECT vol.community, n_nodes, volume,
+                   CAST(COALESCE(cut_edges, 0) AS BIGINT) AS cut_edges,
+                   CASE WHEN least(volume, m2.m2 - volume) > 0
+                        THEN CAST(COALESCE(cut_edges, 0) * 1000
+                             // least(volume, m2.m2 - volume)
+                             AS BIGINT) END AS conductance_permille
+            FROM vol LEFT JOIN cut USING (community), m2
+            ORDER BY vol.community""",
     }

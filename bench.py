@@ -183,6 +183,7 @@ HEADLINE = [
     "kg_breadcrumbs", "kg_katz", "text_code_detection",
     "kg_graph_diff", "kg_void_stats", "kg_prov_triples",
     "search_rrf_fusion", "kg_geo_join", "stats_mad_outliers",
+    "kg_inclusion_deps", "kg_interval_conflicts", "kg_conductance",
 ]
 
 

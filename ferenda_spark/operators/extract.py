@@ -400,6 +400,58 @@ def fd_discovery(rows: DataFrame, cols: list) -> DataFrame:
     return out
 
 
+def inclusion_deps(rows: DataFrame, cols: list) -> DataFrame:
+    """Unary inclusion-dependency discovery (the other half of the
+    table->KG profiling step next to :func:`fd_discovery`): for every
+    ordered column pair, does values(lhs) ⊆ values(rhs) hold — the
+    foreign-key candidate test that decides which mined column can
+    join which.
+
+    This is the SINDY shape (Kruse et al., BTW 2015), the algorithm
+    *designed* for this on map/reduce engines: stack all columns into
+    (attr, value) pairs, dedup, group ONCE on the value to get each
+    value's attribute set (fan-out bounded by |cols|, never by row
+    count), explode the per-value set into ordered attr pairs, and
+    count per pair the values both attributes share.  lhs ⊆ rhs iff
+    n_shared(lhs, rhs) == n_distinct(lhs).  No pairwise column join
+    ever runs, and the value-keyed groupBy is the only data-sized
+    shuffle — at 10^12 rows this is one exchange on the value hash,
+    which is what makes SINDY the published answer at this scale.
+    NULLs are ignored (standard IND semantics).  ``cols`` is
+    schema-sized; the full audit matrix (including pairs sharing
+    zero values) is emitted via a plan-time candidate list.
+
+    Returns (lhs, rhs, n_lhs_values, n_shared_values, holds)."""
+    spark = rows.sparkSession
+    stacked = None
+    for c in cols:
+        part = (rows.select(F.lit(c).alias("attr"),
+                            F.col(c).cast("string").alias("value"))
+                .where(F.col(c).isNotNull()))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    av = stacked.distinct()
+    inv = av.groupBy("value").agg(F.collect_set("attr").alias("attrs"))
+    shared = (inv.select(F.explode("attrs").alias("lhs"), "attrs")
+              .select("lhs", F.explode("attrs").alias("rhs"))
+              .where(F.col("lhs") != F.col("rhs"))
+              .groupBy("lhs", "rhs")
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_shared_values")))
+    n_attr = (av.groupBy(F.col("attr").alias("lhs"))
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_lhs_values")))
+    cand = spark.createDataFrame(
+        [(x, y) for x in cols for y in cols if x != y],
+        "lhs string, rhs string")
+    return (cand.join(F.broadcast(n_attr), "lhs")
+            .join(F.broadcast(shared), ["lhs", "rhs"], "left")
+            .select("lhs", "rhs", "n_lhs_values",
+                    F.coalesce("n_shared_values", F.lit(0))
+                    .cast("long").alias("n_shared_values"),
+                    (F.coalesce("n_shared_values", F.lit(0))
+                     == F.col("n_lhs_values")).alias("holds")))
+
+
 MICRODATA_SCHEMA = ("url string, item_id string, pred string, "
                     "obj string")
 

@@ -1561,6 +1561,60 @@ def modularity(edges: DataFrame, communities: DataFrame,
                       F.round(q, round_to).alias("q_contrib"))
 
 
+def conductance(edges: DataFrame, communities: DataFrame,
+                src: str = "doc_a", dst: str = "doc_b",
+                node_col: str = "node",
+                label_col: str = "label") -> DataFrame:
+    """Conductance of each community in a node partition:
+    phi(S) = cut(S) / min(vol(S), 2m - vol(S)) over the undirected
+    simple graph, where cut(S) = boundary edges with exactly one
+    endpoint in S and vol(S) = sum of member degrees — the standard
+    cluster-quality dual of :func:`modularity` (Kannan/Vempala/Vetta
+    2004; the NCP-plot statistic of Leskovec et al. 2009) and the
+    score TrustRank-style host-partition audits report per domain.
+
+    Scale shape (same as modularity): the edge set normalizes once;
+    volume is a degree groupBy joined to the assignment (node-keyed);
+    the boundary count is the edge list joined to the assignment on
+    BOTH endpoints (two node-keyed hash joins), each cross edge then
+    attributed to BOTH sides via a 2-row explode — no community
+    matrix, no per-pair work.  2m is a 1-row broadcast.  Counters are
+    exact longs; the ratio is integer permille (1000*cut div min),
+    engine-exact.
+
+    Returns (community, n_nodes, volume, cut_edges,
+    conductance_permille); a community with min(vol, 2m-vol) = 0
+    (isolated nodes, or the whole graph) reports NULL conductance."""
+    und = _normalize_undirected(edges, src, dst)
+    asg = communities.select(F.col(node_col).alias("n"),
+                             F.col(label_col).alias("community"))
+    deg = _degrees(und)
+    m2 = und.agg((F.count(F.lit(1)) * 2).cast("long").alias("m2"))
+    vol_c = (deg.join(asg, "n")
+             .groupBy("community")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                  F.sum("d").cast("long").alias("volume")))
+    lab = (und.join(asg.select(F.col("n").alias("u"),
+                               F.col("community").alias("cu")), "u")
+           .join(asg.select(F.col("n").alias("v"),
+                            F.col("community").alias("cv")), "v"))
+    cut_c = (lab.where(F.col("cu") != F.col("cv"))
+             .select(F.explode(F.array("cu", "cv")).alias("community"))
+             .groupBy("community")
+             .agg(F.count(F.lit(1)).cast("long").alias("cut_edges")))
+    out = (vol_c.join(cut_c, "community", "left")
+           .crossJoin(F.broadcast(m2))
+           .select("community", "n_nodes", "volume",
+                   F.coalesce("cut_edges", F.lit(0)).cast("long")
+                   .alias("cut_edges"), "m2"))
+    denom = F.least(F.col("volume"), F.col("m2") - F.col("volume"))
+    return out.select(
+        "community", "n_nodes", "volume", "cut_edges",
+        F.when(denom > 0, F.expr("cut_edges * 1000 div least(volume,"
+                                 " m2 - volume)").cast("long"))
+        .alias("conductance_permille"))
+
+
 def wl_colors(edges: DataFrame, rounds: int = 3,
               src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
     """Weisfeiler-Leman color refinement (1-WL): start every node at

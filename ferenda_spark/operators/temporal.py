@@ -139,3 +139,43 @@ def coalesce_intervals(intervals: DataFrame, key: str = "entity",
                  F.max(end_col).alias(end_col),
                  F.count(F.lit(1)).cast("long").alias("n_merged"))
             .drop("__island"))
+
+
+def interval_conflicts(facts: DataFrame,
+                       key_cols: tuple = ("subject", "predicate"),
+                       obj_col: str = "object",
+                       start_col: str = "valid_from",
+                       end_col: str = "valid_to") -> DataFrame:
+    """Temporal functional-constraint violations: two facts asserting
+    DIFFERENT objects for the same (subject, predicate) over
+    OVERLAPPING validity intervals — the conflict detector a temporal
+    KG runs over functional predicates (one employer / capital /
+    spouse at a time) before fusion picks a survivor.  Reference
+    analogue: the validation step of ferenda's distilled metadata
+    (one dcterms:issued per document), generalized to intervals.
+
+    One self-join keyed on the (subject, predicate) pair — both sides
+    shuffle-partition on the same key, so the join is co-located and
+    per-key work is quadratic only in facts-per-entity-predicate
+    (tens, not corpus-sized; the same bounded-group argument as
+    coalesce_intervals).  Overlap is half-open [start, end):
+    a.start < b.end AND b.start < a.end; pairs order once by object
+    so each conflict emits exactly one row.  All comparisons are date
+    comparisons — engine-exact.
+
+    Returns one row per conflicting pair: key cols, obj_a, obj_b,
+    overlap_from (max of starts), overlap_to (min of ends)."""
+    keys = list(key_cols)
+    a = facts.select(
+        *keys, F.col(obj_col).alias("obj_a"),
+        F.col(start_col).alias("__sa"), F.col(end_col).alias("__ea"))
+    b = facts.select(
+        *keys, F.col(obj_col).alias("obj_b"),
+        F.col(start_col).alias("__sb"), F.col(end_col).alias("__eb"))
+    return (a.join(b, keys)
+            .where((F.col("obj_a") < F.col("obj_b"))
+                   & (F.col("__sa") < F.col("__eb"))
+                   & (F.col("__sb") < F.col("__ea")))
+            .select(*keys, "obj_a", "obj_b",
+                    F.greatest("__sa", "__sb").alias("overlap_from"),
+                    F.least("__ea", "__eb").alias("overlap_to")))
