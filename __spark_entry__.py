@@ -5526,6 +5526,48 @@ def _q_kg_conductance(spark, sf_dir):
             .orderBy("community"))
 
 
+def _q_stats_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch over the real document tokens (16
+    estimators, 4 groups of 4), each group row reporting its own
+    error against the exact F2 computed from the same count table."""
+    from ferenda_spark.operators.dedup import TOKEN_SPLIT
+    from ferenda_spark.operators.sketches import ams_f2
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(F.explode(
+        F.split(F.lower(F.trim("text")), TOKEN_SPLIT)).alias("token"))
+    return ams_f2(toks).orderBy("group_id")
+
+
+def _ranked_metrics(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(F.col("source"),
+                    F.col("n_chars").cast("long").alias("x"),
+                    (F.col("n_chars") * 3 + did % 97).cast("long")
+                    .alias("y"),
+                    did.alias("id"))
+
+
+def _q_stats_spearman(spark, sf_dir):
+    """Per-source Spearman rho between n_chars and a planted noisy
+    monotone transform of it (id-tiebroken ranks, exact tie-free
+    closed form, micro-scaled integer)."""
+    from ferenda_spark.operators.quality import spearman_rho
+    return (spearman_rho(_ranked_metrics(spark, sf_dir), "source",
+                         "x", "y", "id")
+            .orderBy("group"))
+
+
+def _q_stats_kendall(spark, sf_dir):
+    """Per-source Kendall tau-a on the same id-tiebroken rankings
+    (group-keyed pair self-join, exact concordant/discordant
+    counters, micro-scaled integer)."""
+    from ferenda_spark.operators.quality import kendall_tau
+    return (kendall_tau(_ranked_metrics(spark, sf_dir), "source",
+                        "x", "y", "id")
+            .orderBy("group"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5857,6 +5899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_inclusion_deps": _q_kg_inclusion_deps,
         "kg_interval_conflicts": _q_kg_interval_conflicts,
         "kg_conductance": _q_kg_conductance,
+        "stats_ams_f2": _q_stats_ams_f2,
+        "stats_spearman": _q_stats_spearman,
+        "stats_kendall": _q_stats_kendall,
     }
 
 
@@ -13536,4 +13581,86 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) END AS conductance_permille
             FROM vol LEFT JOIN cut USING (community), m2
             ORDER BY vol.community""",
+        # AMS F2: identical md5 sign chain, exact long accumulators
+        "stats_ams_f2": r"""
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)),
+                     '[ \t\n\r\f\x0B]+') AS t
+              FROM documents),
+            items AS (SELECT unnest(t) AS token FROM toks),
+            counts AS (SELECT token AS k,
+                              CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM items GROUP BY token),
+            x AS (SELECT est,
+                         CAST(SUM((1 - 2 * (CAST(('0x' || substr(
+                              md5('ams' || est || ':' || k), 1, 8))
+                              AS BIGINT) % 2)) * cnt) AS BIGINT) AS x
+                  FROM counts,
+                       (SELECT unnest(generate_series(0, 15)) AS est)
+                  GROUP BY est),
+            g AS (SELECT CAST(est // 4 AS BIGINT) AS group_id,
+                         CAST(SUM(x * x) AS BIGINT) AS sum_sq
+                  FROM x GROUP BY 1),
+            e AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2
+                  FROM counts)
+            SELECT group_id, sum_sq,
+                   CAST(sum_sq // 4 AS BIGINT) AS estimate_f2,
+                   exact_f2,
+                   CAST(abs(sum_sq // 4 - exact_f2) * 1000
+                        // exact_f2 AS BIGINT) AS err_permille
+            FROM g, e ORDER BY group_id""",
+        "stats_spearman": """
+            WITH v AS (
+              SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+                     CAST(n_chars * 3 + (doc_id % 97) AS BIGINT) AS y,
+                     doc_id AS id
+              FROM documents),
+            r AS (SELECT grp,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY x, id) AS rx,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY y, id) AS ry
+                  FROM v),
+            a AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT)
+                           AS sum_d_sq
+                  FROM r GROUP BY grp)
+            SELECT grp AS "group", n, sum_d_sq,
+                   CASE WHEN n >= 2 THEN
+                     CAST(1000000 - (6000000 * sum_d_sq)
+                          // (n * (n * n - 1)) AS BIGINT) END
+                     AS rho_micro
+            FROM a ORDER BY "group" """,
+        "stats_kendall": """
+            WITH v AS (
+              SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+                     CAST(n_chars * 3 + (doc_id % 97) AS BIGINT) AS y,
+                     doc_id AS id
+              FROM documents),
+            r AS (SELECT grp, id,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY x, id) AS rx,
+                         row_number() OVER (PARTITION BY grp
+                                            ORDER BY y, id) AS ry
+                  FROM v),
+            p AS (SELECT a.grp,
+                         CASE WHEN (a.rx < b.rx AND a.ry < b.ry)
+                                OR (a.rx > b.rx AND a.ry > b.ry)
+                              THEN 1 ELSE 0 END AS conc
+                  FROM r a JOIN r b
+                    ON a.grp = b.grp AND a.id < b.id),
+            agg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM(conc) AS BIGINT) AS n_concordant
+                    FROM p GROUP BY grp),
+            nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM r GROUP BY grp)
+            SELECT agg.grp AS "group", nn.n, n_concordant,
+                   CAST(n_pairs - n_concordant AS BIGINT)
+                     AS n_discordant,
+                   CASE WHEN n_pairs > 0 THEN
+                     CAST(sign(2 * n_concordant - n_pairs)
+                          * (abs(2 * n_concordant - n_pairs)
+                             * 1000000 // n_pairs) AS BIGINT) END
+                     AS tau_micro
+            FROM agg JOIN nn USING (grp) ORDER BY "group" """,
     }

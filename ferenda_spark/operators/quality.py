@@ -771,3 +771,103 @@ def mad_outliers(rows: DataFrame, group_col: str = "group",
                     (F.col("abs_dev") * 1000
                      > F.col("mad") * int(k_permille))
                     .cast("long").alias("is_outlier")))
+
+
+def spearman_rho(values: DataFrame, group_col: str, x_col: str,
+                 y_col: str, id_col: str) -> DataFrame:
+    """Per-group Spearman rank correlation between two per-item
+    metrics — the monotone-drift check between, e.g., a quality
+    score and document length, run per source/domain.  Ranks are
+    row_number over (metric, id): the id tiebreak makes every rank
+    distinct and deterministic, so the tie-free closed form
+    rho = 1 - 6*sum(d^2) / (n(n^2-1)) is EXACT rational arithmetic
+    (declared deviation from midrank tie handling — ties break by id
+    on both metrics, the same convention both engines replay).
+
+    Scale shape: two per-group sort windows (the unavoidable cost of
+    ranking, same as any per-group ordering) + one group aggregate;
+    everything is keyed on the group, nothing global.  rho is
+    emitted micro-scaled: 1_000_000 - (6_000_000 * sum_d2) div
+    (n(n^2-1)) — the divided term is non-negative, so integer div
+    agrees between Spark (truncate) and DuckDB (floor).  Groups with
+    n < 2 report NULL.
+
+    Returns (group, n, sum_d_sq, rho_micro)."""
+    from pyspark.sql import Window
+    g, i = F.col(group_col), F.col(id_col)
+    rx = F.row_number().over(
+        Window.partitionBy(g).orderBy(F.col(x_col).asc(), i.asc()))
+    ry = F.row_number().over(
+        Window.partitionBy(g).orderBy(F.col(y_col).asc(), i.asc()))
+    ranked = values.select(
+        g.alias("group"),
+        (rx.cast("long") - ry.cast("long")).alias("d"))
+    agg = (ranked.groupBy("group")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col("d") * F.col("d")).cast("long")
+                .alias("sum_d_sq")))
+    rho = F.when(
+        F.col("n") >= 2,
+        F.lit(1000000)
+        - F.expr("6000000 * sum_d_sq div (n * (n * n - 1))"))
+    return agg.select("group", "n", "sum_d_sq",
+                      rho.cast("long").alias("rho_micro"))
+
+
+def kendall_tau(values: DataFrame, group_col: str, x_col: str,
+                y_col: str, id_col: str) -> DataFrame:
+    """Per-group Kendall tau-a between two per-item metrics, on the
+    same id-tiebroken rankings as :func:`spearman_rho` (ties break
+    by id, so no pair is ever tied and tau-a == tau-b — declared).
+    tau = (C - D) / (n(n-1)/2) over concordant/discordant pairs.
+
+    Scale shape: one self-join keyed on the GROUP (co-partitioned;
+    per-group work is the quadratic pair count — exact Kendall is
+    O(n^2) pairwise by definition, so groups are expected
+    source/domain-sized; a corpus-sized group would switch to the
+    O(n log n) inversion-count formulation or sample).  Counters are
+    exact longs; tau is emitted micro-scaled as
+    sign(C-D) * (|C-D| * 1_000_000 div n_pairs) so the integer
+    division always sees a non-negative dividend (Spark div
+    truncates, DuckDB // floors — they only agree above zero).
+
+    Returns (group, n, n_concordant, n_discordant, tau_micro)."""
+    from pyspark.sql import Window
+    g, i = F.col(group_col), F.col(id_col)
+    rx = F.row_number().over(
+        Window.partitionBy(g).orderBy(F.col(x_col).asc(), i.asc()))
+    ry = F.row_number().over(
+        Window.partitionBy(g).orderBy(F.col(y_col).asc(), i.asc()))
+    ranked = values.select(g.alias("group"), i.alias("id"),
+                           rx.alias("rx"), ry.alias("ry"))
+    a = ranked.select("group", F.col("id").alias("ia"),
+                      F.col("rx").alias("xa"), F.col("ry").alias("ya"))
+    b = ranked.select("group", F.col("id").alias("ib"),
+                      F.col("rx").alias("xb"), F.col("ry").alias("yb"))
+    pairs = (a.join(b, "group")
+             .where(F.col("ia") < F.col("ib"))
+             .select("group",
+                     (((F.col("xa") < F.col("xb"))
+                       & (F.col("ya") < F.col("yb")))
+                      | ((F.col("xa") > F.col("xb"))
+                         & (F.col("ya") > F.col("yb"))))
+                     .cast("long").alias("conc")))
+    agg = (pairs.groupBy("group")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.sum("conc").cast("long").alias("n_concordant")))
+    nd = (F.col("n_pairs") - F.col("n_concordant")).cast("long") \
+        .alias("n_discordant")
+    # n from pair count: n_pairs = n(n-1)/2 -> recover via the join
+    # would need a second aggregate; carry it from the ranked table
+    ncount = (ranked.groupBy("group")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    out = agg.join(ncount, "group")
+    diff = F.col("n_concordant") - (F.col("n_pairs")
+                                    - F.col("n_concordant"))
+    tau = F.when(
+        F.col("n_pairs") > 0,
+        F.signum(diff).cast("long")
+        * F.expr("abs(n_concordant - (n_pairs - n_concordant))"
+                 " * 1000000 div n_pairs"))
+    return out.select("group", "n", "n_concordant", nd,
+                      tau.cast("long").alias("tau_micro"))

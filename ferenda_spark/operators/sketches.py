@@ -270,3 +270,53 @@ def kmv_compare(items: DataFrame, group_col: str, key_col: str,
          .alias("n_only_b"))
         .withColumn("est_jaccard_permille",
                     F.expr("1000 * n_both div k_used")))
+
+
+def ams_f2(items: DataFrame, key_col: str = "token",
+           n_estimators: int = 16, group_size: int = 4) -> DataFrame:
+    """AMS tug-of-war sketch for the second frequency moment F2 =
+    sum_k count(k)^2 (Alon, Matias & Szegedy 1996): each estimator
+    keeps X_i = sum_k sign_i(k) * count(k) with a +-1 hash sign;
+    X_i^2 is an unbiased F2 estimate, variance drops by averaging
+    ``group_size`` estimators and the median over groups gives the
+    standard (eps, delta) guarantee.  F2 is the self-join size /
+    skew statistic a shuffle planner wants before joining on a key.
+
+    Scale shape: ONE token-keyed groupBy builds the count table
+    (map-side combined — the only data-sized exchange), then a
+    ``n_estimators``-way explode over the vocab-sized count table and
+    a 16-row aggregate.  Signs are the portable md5-prefix hash, all
+    accumulators exact longs, the group mean is integer ``div`` —
+    engine-exact.  The exact F2 (one more 1-row aggregate over the
+    same count table, joined broadcast) rides along so the row
+    reports its own relative error.
+
+    Returns one row per estimator group: (group_id, sum_sq,
+    estimate_f2, exact_f2, err_permille)."""
+    counts = (items.groupBy(F.col(key_col).alias("k"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    est = counts.select(
+        "k", "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_estimators - 1)))
+        .alias("est"))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("ams"), F.col("est").cast("string"),
+                       F.lit(":"), F.col("k").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    sign = F.lit(1) - F.lit(2) * (h % 2)
+    x = (est.select("est", (sign * F.col("cnt")).alias("sx"))
+         .groupBy("est")
+         .agg(F.sum("sx").cast("long").alias("x")))
+    groups = (x.groupBy(F.expr("est div %d" % group_size)
+                        .cast("long").alias("group_id"))
+              .agg(F.sum(F.col("x") * F.col("x")).cast("long")
+                   .alias("sum_sq")))
+    exact = counts.agg(F.sum(F.col("cnt") * F.col("cnt"))
+                       .cast("long").alias("exact_f2"))
+    out = (groups.crossJoin(F.broadcast(exact))
+           .withColumn("estimate_f2",
+                       F.expr("sum_sq div %d" % group_size)
+                       .cast("long")))
+    err = F.expr("abs(estimate_f2 - exact_f2) * 1000 div exact_f2")
+    return out.select("group_id", "sum_sq", "estimate_f2", "exact_f2",
+                      err.cast("long").alias("err_permille"))
