@@ -5568,6 +5568,61 @@ def _q_stats_kendall(spark, sf_dir):
             .orderBy("group"))
 
 
+def _q_mm_exif_meta(spark, sf_dir):
+    """Real EXIF decode: JVM-synthesized JPEG+APP1 blobs (116-byte
+    little-endian TIFF, 5-entry IFD0 with inline AND offset values)
+    -> dependency-free segment/IFD walk in the Arrow pass; every
+    field closed-form in doc_id so the oracle recomputes it without
+    touching bytes."""
+    from ferenda_spark.operators.multimodal import (exif_meta,
+                                                    synth_exif_blobs)
+    return (exif_meta(synth_exif_blobs(_read(spark, sf_dir,
+                                             "documents")))
+            .orderBy("doc_id"))
+
+
+def _gallery_pages(spark, sf_dir):
+    """Planted gallery pages: 1-3 <img> tags per doc whose src/alt
+    are closed-form in (doc_id, k) — missing alt, boilerplate
+    'stock photo', and two good caption shapes."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def img(k):
+        case = (did + k) % 4
+        alt = (F.when(case == 1, F.lit(' alt="stock photo"'))
+               .when(case == 2,
+                     F.concat(F.lit(' alt="photo of entity '),
+                              (did % 50).cast("string"), F.lit('"')))
+               .when(case == 3,
+                     F.concat(F.lit(' alt="chart for topic '),
+                              (did % 11).cast("string"), F.lit('"')))
+               .otherwise(F.lit("")))
+        tag = F.concat(
+            F.lit('<img src="https://img.example.org/'),
+            did.cast("string"), F.lit("/%d.jpg\"" % k), alt,
+            F.lit(">"))
+        return F.when(did % 3 >= k, tag).otherwise(F.lit(""))
+
+    html = F.concat(F.lit("<html><body><p>Gallery "),
+                    did.cast("string"), F.lit("</p>"),
+                    img(0), img(1), img(2), F.lit("</body></html>"))
+    return d.select(
+        F.concat(F.lit("https://example.org/gallery/"),
+                 did.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+
+def _q_mm_alt_text_pairs(spark, sf_dir):
+    """LAION-style image-text pair mining over planted gallery
+    pages: real DOM walk emits every <img> in document order; the
+    quality gate (>= 2 alt words, not an exact boilerplate string)
+    flags rather than drops."""
+    from ferenda_spark.operators.multimodal import image_text_pairs
+    return (image_text_pairs(_gallery_pages(spark, sf_dir))
+            .orderBy("url", "img_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5902,6 +5957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_ams_f2": _q_stats_ams_f2,
         "stats_spearman": _q_stats_spearman,
         "stats_kendall": _q_stats_kendall,
+        "mm_exif_meta": _q_mm_exif_meta,
+        "mm_alt_text_pairs": _q_mm_alt_text_pairs,
     }
 
 
@@ -13663,4 +13720,44 @@ def oracle_sql() -> dict[str, str]:
                              * 1000000 // n_pairs) AS BIGINT) END
                      AS tau_micro
             FROM agg JOIN nn USING (grp) ORDER BY "group" """,
+        # mirrors multimodal.synth_exif_blobs: every decoded field
+        # closed-form in doc_id, blob always 116 bytes
+        "mm_exif_meta": """
+            SELECT doc_id,
+                   CAST(32 + doc_id % 480 AS INT) AS width,
+                   CAST(24 + (doc_id * 3) % 360 AS INT) AS height,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   CAST(72 + doc_id % 228 AS INT) AS x_resolution,
+                   '2020:01:01 '
+                     || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                     || ':'
+                     || lpad(CAST((doc_id * 7) % 60 AS VARCHAR),
+                             2, '0')
+                     || ':'
+                     || lpad(CAST((doc_id * 13) % 60 AS VARCHAR),
+                             2, '0') AS datetime_original,
+                   CAST(116 AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id""",
+        # mirrors _gallery_pages: alt/src closed-form in (doc_id, k)
+        "mm_alt_text_pairs": """
+            WITH imgs AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, doc_id % 3)) AS k
+              FROM documents),
+            c AS (SELECT doc_id, k, (doc_id + k) % 4 AS cs FROM imgs)
+            SELECT 'https://example.org/gallery/' || doc_id AS url,
+                   CAST(k AS INT) AS img_idx,
+                   'https://img.example.org/' || doc_id || '/' || k
+                     || '.jpg' AS img_src,
+                   CASE cs WHEN 1 THEN 'stock photo'
+                           WHEN 2 THEN 'photo of entity '
+                                       || (doc_id % 50)
+                           WHEN 3 THEN 'chart for topic '
+                                       || (doc_id % 11) END
+                     AS alt_text,
+                   CAST(CASE cs WHEN 1 THEN 2 WHEN 2 THEN 4
+                                WHEN 3 THEN 4 ELSE 0 END AS INT)
+                     AS n_alt_words,
+                   cs IN (2, 3) AS kept
+            FROM c ORDER BY url, img_idx""",
     }

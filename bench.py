@@ -184,6 +184,8 @@ HEADLINE = [
     "kg_graph_diff", "kg_void_stats", "kg_prov_triples",
     "search_rrf_fusion", "kg_geo_join", "stats_mad_outliers",
     "kg_inclusion_deps", "kg_interval_conflicts", "kg_conductance",
+    "stats_ams_f2", "stats_spearman", "stats_kendall",
+    "mm_exif_meta", "mm_alt_text_pairs",
 ]
 
 

@@ -467,3 +467,199 @@ def sniff_mime(col):
               | (pre(5) == F.lit(b"<html"))
               | (pre(5) == F.lit(b"<HTML")), "text/html")
         .otherwise("application/octet-stream"))
+
+
+# ------------------------------------------------------------- EXIF
+
+EXIF_META_SCHEMA = ("doc_id long, width int, height int, "
+                    "orientation int, x_resolution int, "
+                    "datetime_original string, n_bytes long")
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def exif_meta_bytes(b: bytes) -> dict | None:
+    """Real EXIF metadata parse, dependency-free: walk the JPEG
+    segment chain to APP1/Exif, read the TIFF header (both II and MM
+    endiannesses), walk IFD0 resolving inline-vs-offset values per
+    the TIFF 6.0 entry rules, and surface the five tags an image
+    ingest pipeline keys on: ImageWidth (0x0100), ImageLength
+    (0x0101), Orientation (0x0112 — the rotate-before-decode bit),
+    XResolution (0x011A rational), DateTime (0x0132 ASCII).
+    Returns None for non-JPEG / no-EXIF blobs (quarantine row)."""
+    import struct
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i, tiff = 2, None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            break
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        i += 2 + seglen
+    if tiff is None or len(tiff) < 8:
+        return None
+    e = {b"II": "<", b"MM": ">"}.get(tiff[:2])
+    if e is None or struct.unpack(e + "H", tiff[2:4])[0] != 42:
+        return None
+    off = struct.unpack(e + "I", tiff[4:8])[0]
+    if off + 2 > len(tiff):
+        return None
+    n = struct.unpack(e + "H", tiff[off:off + 2])[0]
+    vals = {}
+    for k in range(n):
+        ent = tiff[off + 2 + 12 * k:off + 14 + 12 * k]
+        if len(ent) < 12:
+            break
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size <= 4:
+            raw = ent[8:8 + size]
+        else:
+            voff = struct.unpack(e + "I", ent[8:12])[0]
+            raw = tiff[voff:voff + size]
+            if len(raw) < size:
+                continue
+        if typ == 3:
+            vals[tag] = struct.unpack(e + "H", raw[:2])[0]
+        elif typ == 4:
+            vals[tag] = struct.unpack(e + "I", raw[:4])[0]
+        elif typ == 5:
+            vals[tag] = struct.unpack(e + "II", raw[:8])
+        elif typ == 2:
+            vals[tag] = raw.split(b"\x00")[0].decode("ascii",
+                                                     "replace")
+    if not vals:
+        return None
+    xr = vals.get(0x011A)
+    return {"width": vals.get(0x0100), "height": vals.get(0x0101),
+            "orientation": vals.get(0x0112),
+            "x_resolution": (xr[0] // xr[1])
+            if isinstance(xr, tuple) and xr[1] else None,
+            "datetime_original": vals.get(0x0132),
+            "n_bytes": len(b)}
+
+
+def synth_exif_blobs(documents: DataFrame) -> DataFrame:
+    """Valid JPEG+APP1/EXIF byte streams built entirely JVM-side:
+    SOI + APP1("Exif\\0\\0" + little-endian TIFF with a 5-entry IFD0:
+    ImageWidth/ImageLength LONG inline, Orientation SHORT inline with
+    pad, XResolution RATIONAL at offset 74, DateTime ASCII(20) at
+    offset 82) + EOI — 116 bytes, every field a pure function of
+    doc_id that the DuckDB oracle recomputes."""
+    d = F.col("doc_id")
+    w, h = 32 + d % 480, 24 + (d * 3) % 360
+    orient, xres = 1 + d % 8, 72 + d % 228
+    hh, mi, ss = d % 24, (d * 7) % 60, (d * 13) % 60
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    dt = F.concat(F.lit("2020:01:01 "), two(hh), F.lit(":"),
+                  two(mi), F.lit(":"), two(ss))
+
+    def entry(tag, typ, cnt, val):
+        return F.concat(_u16le(F.lit(tag)), _u16le(F.lit(typ)),
+                        _u32le(F.lit(cnt)), val)
+
+    ifd = F.concat(
+        _u16le(F.lit(5)),
+        entry(0x0100, 4, 1, _u32le(w)),
+        entry(0x0101, 4, 1, _u32le(h)),
+        entry(0x0112, 3, 1, F.concat(_u16le(orient),
+                                     _u16le(F.lit(0)))),
+        entry(0x011A, 5, 1, _u32le(F.lit(74))),
+        entry(0x0132, 2, 20, _u32le(F.lit(82))),
+        _u32le(F.lit(0)),
+        _u32le(xres), _u32le(F.lit(1)),
+        F.encode(dt, "UTF-8"), F.lit(b"\x00"))
+    tiff = F.concat(F.lit(b"II\x2a\x00"), _u32le(F.lit(8)), ifd)
+    app1 = F.concat(F.lit(b"\xff\xe1"), _be16(F.lit(110)),
+                    F.lit(b"Exif\x00\x00"), tiff)
+    blob = F.concat(F.lit(b"\xff\xd8"), app1, F.lit(b"\xff\xd9"))
+    return documents.select("doc_id", blob.alias("content"))
+
+
+def exif_meta(media: DataFrame) -> DataFrame:
+    """(doc_id, width, height, orientation, x_resolution,
+    datetime_original, n_bytes) via mapInPandas over Arrow batches —
+    same plumbing as :func:`image_meta`/:func:`audio_meta`, real
+    TIFF/IFD walk, no shuffle; undecodable blobs drop (quarantine)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "width", "height", "orientation",
+                "x_resolution", "datetime_original", "n_bytes"]
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["content"]):
+                m = exif_meta_bytes(bytes(blob))
+                if m is not None:
+                    rows.append((int(doc_id), m["width"], m["height"],
+                                 m["orientation"], m["x_resolution"],
+                                 m["datetime_original"], m["n_bytes"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=EXIF_META_SCHEMA)
+
+
+# ------------------------------------------- image-text pair mining
+
+IMG_ALT_SCHEMA = ("url string, img_idx int, img_src string, "
+                  "alt_text string, n_alt_words int, kept boolean")
+
+# LAION-style exact-match boilerplate alts (full-string match)
+ALT_STOPLIST = frozenset({
+    "logo", "icon", "image", "photo", "picture", "banner",
+    "thumbnail", "spacer", "stock photo", "no image available"})
+
+
+def image_text_pairs(pages: DataFrame, min_words: int = 2) -> DataFrame:
+    """CLIP/LAION-style image-text pair mining from page HTML: a real
+    DOM walk (the same parser as the extract stage) emits every
+    ``<img>`` in document order with its src and alt, plus the
+    LAION-5B-style quality gate: keep pairs whose alt has at least
+    ``min_words`` whitespace tokens and isn't an exact boilerplate
+    string (ALT_STOPLIST).  Dropped pairs stay in the table with
+    ``kept = false`` — no silent filtering; the downstream join
+    against the media store selects on the flag.
+
+    Arrow-batched map-only pass (no shuffle); at corpus scale the
+    output co-partitions with the page scan and the (img_src) join
+    to the blob store is the only exchange."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..htmlelements import decode_html, parse_html
+        cols = ["url", "img_idx", "img_src", "alt_text",
+                "n_alt_words", "kept"]
+        for pdf in it:
+            rows = []
+            for url, raw in zip(pdf["url"], pdf["html"]):
+                tree = parse_html(decode_html(bytes(raw)))
+                stack, imgs = [tree], []
+                while stack:
+                    node = stack.pop()
+                    if isinstance(node, str):
+                        continue
+                    if node.tag == "img":
+                        imgs.append(node)
+                    stack.extend(reversed(node.children))
+                for idx, img in enumerate(imgs):
+                    alt = img.attrs.get("alt")
+                    words = alt.split() if alt else []
+                    kept = (len(words) >= min_words
+                            and (alt or "").strip().lower()
+                            not in ALT_STOPLIST)
+                    rows.append((url, idx, img.attrs.get("src"),
+                                 alt, len(words), kept))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (pages.select("url", "html")
+            .mapInPandas(batches, schema=IMG_ALT_SCHEMA))
