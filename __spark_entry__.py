@@ -5623,6 +5623,35 @@ def _q_mm_alt_text_pairs(spark, sf_dir):
             .orderBy("url", "img_idx"))
 
 
+def _q_events_attribution(spark, sf_dir):
+    """Multi-touch attribution over the real event streams: every
+    click/view/signup touch assigned to the user's next purchase;
+    first/last/linear credit in exact integer permille (linear
+    remainder pinned to the closer)."""
+    from ferenda_spark.operators.events import attribution
+    return (attribution(_read(spark, sf_dir, "events"),
+                        channels=["click", "view", "signup"])
+            .orderBy("channel"))
+
+
+def _q_events_paths(spark, sf_dir):
+    """Sankey path-prefix rollup: the first 3 events per user,
+    aggregated as prefixes at depths 1-3."""
+    from ferenda_spark.operators.events import path_prefixes
+    return (path_prefixes(_read(spark, sf_dir, "events"), max_depth=3)
+            .orderBy("depth", "path"))
+
+
+def _q_text_kwic(spark, sf_dir):
+    """Keyword-in-context concordance for three probe terms over the
+    real corpus: map-only tokenize/posexplode/slice, 1-based
+    positions, +-3-token contexts."""
+    from ferenda_spark.operators.textstats import kwic
+    return (kwic(_read(spark, sf_dir, "documents"),
+                 ["spark", "table", "hash"])
+            .orderBy("doc_id", "pos"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5959,6 +5988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_kendall": _q_stats_kendall,
         "mm_exif_meta": _q_mm_exif_meta,
         "mm_alt_text_pairs": _q_mm_alt_text_pairs,
+        "events_attribution": _q_events_attribution,
+        "events_paths": _q_events_paths,
+        "text_kwic": _q_text_kwic,
     }
 
 
@@ -13760,4 +13792,77 @@ def oracle_sql() -> dict[str, str]:
                      AS n_alt_words,
                    cs IN (2, 3) AS kept
             FROM c ORDER BY url, img_idx""",
+        "events_attribution": """
+            WITH ca AS (
+              SELECT event_id, ts, user_id, event_type,
+                     SUM(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS conv
+              FROM events),
+            t AS (SELECT user_id AS usr, conv,
+                         event_type AS channel, ts, event_id
+                  FROM ca
+                  WHERE event_type IN ('click', 'view', 'signup')
+                    AND conv > 0),
+            m AS (SELECT channel, usr, conv,
+                         row_number() OVER (PARTITION BY usr, conv
+                           ORDER BY ts, event_id) = 1 AS is_first,
+                         row_number() OVER (PARTITION BY usr, conv
+                           ORDER BY ts DESC, event_id DESC) = 1
+                           AS is_last,
+                         COUNT(*) OVER (PARTITION BY usr, conv)
+                           AS n_j
+                  FROM t)
+            SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+                   CAST(COUNT(DISTINCT (usr, conv)) AS BIGINT)
+                     AS n_conversions_touched,
+                   CAST(SUM(CASE WHEN is_first THEN 1000 ELSE 0 END)
+                     AS BIGINT) AS first_permille,
+                   CAST(SUM(CASE WHEN is_last THEN 1000 ELSE 0 END)
+                     AS BIGINT) AS last_permille,
+                   CAST(SUM(1000 // n_j
+                        + CASE WHEN is_last
+                          THEN 1000 - (1000 // n_j) * n_j
+                          ELSE 0 END) AS BIGINT) AS linear_permille
+            FROM m GROUP BY channel ORDER BY channel""",
+        "events_paths": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events),
+            h AS (SELECT user_id, rn, event_type FROM r
+                  WHERE rn <= 3),
+            p AS (SELECT h.user_id, d.depth,
+                         string_agg(h.event_type, '>'
+                                    ORDER BY h.rn) AS path
+                  FROM h, (SELECT unnest(generate_series(1, 3))
+                           AS depth) d
+                  WHERE h.rn <= d.depth
+                  GROUP BY h.user_id, d.depth
+                  HAVING COUNT(*) = d.depth)
+            SELECT CAST(depth AS INT) AS depth, path,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY depth, path ORDER BY depth, path""",
+        "text_kwic": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                       '[ \t\n\r\f\x0B]+') AS t
+              FROM documents),
+            pos AS (SELECT doc_id, t, len(t) AS n, unnest(t) AS term,
+                           generate_subscripts(t, 1) AS p
+                    FROM toks)
+            SELECT doc_id, term, CAST(p AS INT) AS pos,
+                   COALESCE(array_to_string(
+                     t[greatest(1, p - 3):p - 1], ' '), '')
+                     AS left_ctx,
+                   COALESCE(array_to_string(
+                     t[p + 1:least(n, p + 3)], ' '), '')
+                     AS right_ctx
+            FROM pos WHERE term IN ('spark', 'table', 'hash')
+            ORDER BY doc_id, pos""",
     }

@@ -186,6 +186,7 @@ HEADLINE = [
     "kg_inclusion_deps", "kg_interval_conflicts", "kg_conductance",
     "stats_ams_f2", "stats_spearman", "stats_kendall",
     "mm_exif_meta", "mm_alt_text_pairs",
+    "events_attribution", "events_paths", "text_kwic",
 ]
 
 

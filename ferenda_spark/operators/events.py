@@ -568,3 +568,106 @@ def decayed_counts(events: DataFrame, half_life_days: int = 7,
                  F.sum("w").cast("long").alias("decayed_micro"),
                  F.date_format(F.max("d"), "yyyy-MM-dd")
                  .alias("last_day")))
+
+
+def attribution(events: DataFrame, channels: list,
+                conversion_type: str = "purchase",
+                user_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type",
+                id_col: str = "event_id") -> DataFrame:
+    """Multi-touch attribution (first-touch / last-touch / linear)
+    over per-user event streams: every channel touch is assigned to
+    the user's NEXT conversion (touches after the final conversion
+    stay unattributed and are excluded), then each model splits 1000
+    permille of conversion credit across the journey's touches —
+    first gives it all to the opener, last to the closer, linear
+    splits evenly with the integer remainder pinned to the closer
+    (declared convention, keeps every journey summing to exactly
+    1000 in both engines).
+
+    Scale shape: ONE user-keyed shuffle feeds all windows (next-
+    conversion id is a reverse running count, first/last flags are
+    min/max over (user, conversion) — Spark evaluates them in the
+    same sort), then one channel-keyed aggregate over journey-sized
+    groups.  All credit stays integer permille.
+
+    Returns (channel, n_touches, n_conversions_touched,
+    first_permille, last_permille, linear_permille)."""
+    from pyspark.sql import Window
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    ordered = Window.partitionBy(u).orderBy(t.asc(),
+                                            F.col(id_col).asc())
+    # conversions remaining at-or-after each row: the next-conversion
+    # id counted from the stream's end (0 = after the last conversion)
+    conv_after = F.sum(
+        F.when(ty == conversion_type, 1).otherwise(0)).over(
+        ordered.rowsBetween(0, Window.unboundedFollowing))
+    touches = (events
+               .withColumn("__conv", conv_after)
+               .where(ty.isin(channels) & (F.col("__conv") > 0))
+               .select(u.alias("user"), F.col("__conv").alias("conv"),
+                       ty.alias("channel"), t.alias("t"),
+                       F.col(id_col).alias("eid")))
+    jw = Window.partitionBy("user", "conv")
+    jord = jw.orderBy(F.col("t").asc(), F.col("eid").asc())
+    marked = touches.select(
+        "channel", "user", "conv",
+        (F.row_number().over(jord) == 1).alias("is_first"),
+        (F.row_number().over(
+            jw.orderBy(F.col("t").desc(), F.col("eid").desc())) == 1)
+        .alias("is_last"),
+        F.count(F.lit(1)).over(jw).alias("n_j"))
+    lin = (F.expr("1000 div n_j")
+           + F.when(F.col("is_last"),
+                    F.lit(1000) - F.expr("1000 div n_j")
+                    * F.col("n_j")).otherwise(0))
+    return (marked
+            .groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_touches"),
+                 F.countDistinct("user", "conv").cast("long")
+                 .alias("n_conversions_touched"),
+                 F.sum(F.when(F.col("is_first"), 1000).otherwise(0))
+                 .cast("long").alias("first_permille"),
+                 F.sum(F.when(F.col("is_last"), 1000).otherwise(0))
+                 .cast("long").alias("last_permille"),
+                 F.sum(lin).cast("long").alias("linear_permille")))
+
+
+def path_prefixes(events: DataFrame, max_depth: int = 3,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Sankey/flow aggregation: the first ``max_depth`` events of
+    every user's stream, rolled up as path PREFIXES at each depth —
+    the (depth, path, n_users) table a flow diagram renders directly
+    (each depth-d count is the parent of its depth-d+1 extensions).
+
+    One user-keyed window takes the head of each stream (row_number
+    <= max_depth), a per-user sort-array builds the full head path
+    map-side, a bounded ``max_depth``-way explode emits the
+    prefixes, and one path-keyed aggregate counts users.  Nothing is
+    globally ordered; the explode fan-out is the constant
+    ``max_depth``."""
+    from pyspark.sql import Window
+    u = F.col(user_col)
+    ordered = Window.partitionBy(u).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    head = (events
+            .withColumn("__rn", F.row_number().over(ordered))
+            .where(F.col("__rn") <= max_depth)
+            .groupBy(u.alias("user"))
+            .agg(F.array_sort(F.collect_list(
+                F.struct(F.col("__rn").alias("rn"),
+                         F.col(type_col).alias("t")))).alias("seq")))
+    pref = head.select(
+        "user", F.explode(F.sequence(
+            F.lit(1), F.least(F.lit(max_depth), F.size("seq"))))
+        .alias("depth"), "seq")
+    path = F.array_join(
+        F.transform(F.slice("seq", 1, F.col("depth")),
+                    lambda s: s["t"]), ">")
+    return (pref.select("depth", path.alias("path"))
+            .groupBy("depth", "path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(F.col("depth").cast("int").alias("depth"),
+                    "path", "n_users"))

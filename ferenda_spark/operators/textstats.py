@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import tokens
+from .dedup import TOKEN_SPLIT, tokens
 
 # marker stopwords per language for the n-gram/stopword heuristic
 LANG_MARKERS = {
@@ -1007,3 +1007,35 @@ def code_detection(documents: DataFrame, text_col: str = "text",
         "n_assign", "n_lines",
         score.alias("code_score_permille"),
         (score >= 500).cast("long").alias("is_code"))
+
+
+def kwic(documents: DataFrame, terms: list, window: int = 3,
+         doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of each probe
+    term with its +-``window``-token context — the corpus-linguistics
+    staple (and the human-audit surface for filter rules: "show me
+    how this term is actually used").
+
+    Map-only: tokenize once in the scan, posexplode to 1-based
+    positions, filter to the broadcast-literal term set, slice the
+    token array for both contexts row-locally.  No shuffle at all —
+    the output is written partition-parallel; at 10^12 docs this is
+    a pure scan job.  Token positions are 1-based (both engines
+    slice 1-based, so the oracle mirrors byte-for-byte)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
+    exploded = (documents
+                .select(F.col(doc_col).alias("doc_id"),
+                        toks.alias("toks"))
+                .select("doc_id", "toks", F.size("toks").alias("n"),
+                        F.posexplode("toks").alias("pos0", "term"))
+                .where(F.col("term").isin(terms)))
+    p = F.col("pos0") + 1
+    left = F.array_join(
+        F.slice("toks", F.greatest(F.lit(1), p - window),
+                p - F.greatest(F.lit(1), p - window)), " ")
+    right = F.array_join(
+        F.slice("toks", p + 1,
+                F.least(F.lit(window), F.col("n") - p)), " ")
+    return exploded.select(
+        "doc_id", "term", p.cast("int").alias("pos"),
+        left.alias("left_ctx"), right.alias("right_ctx"))
