@@ -5652,6 +5652,59 @@ def _q_text_kwic(spark, sf_dir):
             .orderBy("doc_id", "pos"))
 
 
+_PLURALS = ("studies", "queries", "tables", "hashes", "rows",
+            "focus", "class", "trees", "scan")
+
+
+def _q_text_s_stemmer(spark, sf_dir):
+    """Harman S-stemmer over the corpus vocabulary plus one planted
+    plural per doc covering every rule and exception (ies->y, es->e,
+    -s, -us/-ss/-ees guards)."""
+    from ferenda_spark.operators.textstats import s_stemmer
+    d = _read(spark, sf_dir, "documents")
+    word = F.element_at(F.array(*[F.lit(w) for w in _PLURALS]),
+                        (F.col("doc_id") % 9 + 1).cast("int"))
+    return (s_stemmer(d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" "), word)
+        .alias("text")))
+        .orderBy("token"))
+
+
+def _q_text_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness (variance-to-mean of per-doc
+    counts over all N docs) for the real corpus vocabulary, exact
+    integer milli-scale."""
+    from ferenda_spark.operators.textstats import burstiness
+    return (burstiness(_read(spark, sf_dir, "documents"))
+            .orderBy("term"))
+
+
+def _q_store_bloom_skipping(spark, sf_dir):
+    """Per-file Bloom skipping index (k=3, m=256 portable md5 bits)
+    over 50-doc files, probed with 5 present urls and 10 absent
+    ones: point-lookup file pruning for the unclustered key a
+    zonemap can't help with, false-positive scan cost reported per
+    probe."""
+    from ferenda_spark.operators.store import bloom_file_skipping
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 10 < 3, F.lit("https://hot.example.org/"))
+        .otherwise(F.lit("https://example.org/")),
+        F.lit("docs/"), F.col("source"), F.lit("/"),
+        did.cast("string"))
+    docs = d.select("doc_id", url.alias("url"))
+    rows = docs.select(F.expr("doc_id div 50").alias("file_id"),
+                       "url")
+    present = docs.where(did % 100 == 7).select(
+        F.col("url").alias("probe"))
+    absent = (d.where(did < 10)
+              .select(F.concat(F.lit("https://absent.example.org/"),
+                               did.cast("string")).alias("probe")))
+    return (bloom_file_skipping(rows, present.unionByName(absent))
+            .orderBy("probe"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -5991,6 +6044,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "events_paths": _q_events_paths,
         "text_kwic": _q_text_kwic,
+        "text_s_stemmer": _q_text_s_stemmer,
+        "text_burstiness": _q_text_burstiness,
+        "store_bloom_skipping": _q_store_bloom_skipping,
     }
 
 
@@ -13865,4 +13921,111 @@ def oracle_sql() -> dict[str, str]:
                      AS right_ctx
             FROM pos WHERE term IN ('spark', 'table', 'hash')
             ORDER BY doc_id, pos""",
+        # Harman S-stemmer rules as CASE algebra over the vocab
+        "text_s_stemmer": r"""
+            WITH d2 AS (
+              SELECT lower(trim(text)) || ' ' ||
+                     (['studies', 'queries', 'tables', 'hashes',
+                       'rows', 'focus', 'class', 'trees',
+                       'scan'])[CAST(doc_id % 9 + 1 AS INT)] AS text
+              FROM documents),
+            toks AS (SELECT string_split_regex(text,
+                       '[ \t\n\r\f\x0B]+') AS t FROM d2),
+            vocab AS (SELECT unnest(t) AS token FROM toks),
+            v AS (SELECT token,
+                         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+                  FROM vocab GROUP BY token)
+            SELECT token,
+                   CASE
+                     WHEN token LIKE '%ies' AND token NOT LIKE '%eies'
+                          AND token NOT LIKE '%aies'
+                       THEN substr(token, 1, length(token) - 3) || 'y'
+                     WHEN token LIKE '%es' AND token NOT LIKE '%aes'
+                          AND token NOT LIKE '%ees'
+                          AND token NOT LIKE '%oes'
+                       THEN substr(token, 1, length(token) - 1)
+                     WHEN token LIKE '%s' AND token NOT LIKE '%us'
+                          AND token NOT LIKE '%ss'
+                       THEN substr(token, 1, length(token) - 1)
+                     ELSE token END AS stem,
+                   CASE
+                     WHEN token LIKE '%ies' AND token NOT LIKE '%eies'
+                          AND token NOT LIKE '%aies' THEN 'ies'
+                     WHEN token LIKE '%es' AND token NOT LIKE '%aes'
+                          AND token NOT LIKE '%ees'
+                          AND token NOT LIKE '%oes' THEN 'es'
+                     WHEN token LIKE '%s' AND token NOT LIKE '%us'
+                          AND token NOT LIKE '%ss' THEN 's'
+                     ELSE 'none' END AS rule,
+                   n_occurrences
+            FROM v ORDER BY token""",
+        "text_burstiness": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)),
+                     '[ \t\n\r\f\x0B]+') AS t
+              FROM documents),
+            pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            pc AS (SELECT doc_id, term,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM pairs GROUP BY doc_id, term),
+            pt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(c) AS BIGINT) AS total,
+                          CAST(SUM(c * c) AS BIGINT) AS sum_sq
+                   FROM pc GROUP BY term HAVING SUM(c) >= 20),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents)
+            SELECT term, n_docs, total,
+                   CAST((n * sum_sq - total * total) * 1000
+                        // (n * total) AS BIGINT) AS vmr_milli
+            FROM pt, nn ORDER BY term""",
+        # identical md5 bit chain as operators/store.bloom_file_skipping
+        "store_bloom_skipping": "WITH " + _F_CTE + """,
+            fk AS (SELECT DISTINCT doc_id // 50 AS fl, url AS key
+                   FROM f),
+            probes AS (
+              SELECT url AS probe FROM f WHERE doc_id % 100 = 7
+              UNION
+              SELECT 'https://absent.example.org/' || doc_id
+              FROM documents WHERE doc_id < 10),
+            bits AS (SELECT DISTINCT fl,
+                            CAST(('0x' || substr(md5('bloom' || i
+                              || ':' || key), 1, 8)) AS BIGINT) % 256
+                              AS bit
+                     FROM fk, (SELECT unnest(generate_series(0, 2))
+                               AS i)),
+            pb AS (SELECT DISTINCT probe,
+                          CAST(('0x' || substr(md5('bloom' || i
+                            || ':' || probe), 1, 8)) AS BIGINT) % 256
+                            AS bit
+                   FROM probes, (SELECT unnest(generate_series(0, 2))
+                                 AS i)),
+            keff AS (SELECT probe, COUNT(DISTINCT bit) AS k_eff
+                     FROM pb GROUP BY probe),
+            hits AS (SELECT probe, fl,
+                            COUNT(DISTINCT pb.bit) AS n_set
+                     FROM bits JOIN pb USING (bit)
+                     GROUP BY probe, fl),
+            scanned AS (SELECT probe,
+                               CAST(COUNT(*) AS BIGINT) AS n_scanned
+                        FROM hits JOIN keff USING (probe)
+                        WHERE n_set = k_eff GROUP BY probe),
+            truth AS (SELECT key AS probe,
+                             CAST(COUNT(*) AS BIGINT) AS n_matching
+                      FROM fk WHERE key IN (SELECT probe FROM probes)
+                      GROUP BY key),
+            nf AS (SELECT CAST(COUNT(DISTINCT fl) AS BIGINT)
+                     AS n_files FROM fk)
+            SELECT p.probe, nf.n_files,
+                   CAST(COALESCE(s.n_scanned, 0) AS BIGINT)
+                     AS n_scanned,
+                   CAST(COALESCE(t.n_matching, 0) AS BIGINT)
+                     AS n_matching,
+                   CAST(COALESCE(s.n_scanned, 0)
+                        - COALESCE(t.n_matching, 0) AS BIGINT)
+                     AS n_false_positive
+            FROM probes p
+            CROSS JOIN nf
+            LEFT JOIN scanned s ON p.probe = s.probe
+            LEFT JOIN truth t ON p.probe = t.probe
+            ORDER BY p.probe""",
     }

@@ -187,6 +187,7 @@ HEADLINE = [
     "stats_ams_f2", "stats_spearman", "stats_kendall",
     "mm_exif_meta", "mm_alt_text_pairs",
     "events_attribution", "events_paths", "text_kwic",
+    "text_s_stemmer", "text_burstiness", "store_bloom_skipping",
 ]
 
 

@@ -291,3 +291,74 @@ def zonemap_prune(stats: DataFrame, lo, hi) -> DataFrame:
         "file_id", "n_rows", "min_value", "max_value",
         ov.cast("long").alias("overlaps"),
         (~ov).cast("long").alias("pruned"))
+
+
+def bloom_file_skipping(rows: DataFrame, probes: DataFrame,
+                        file_col: str = "file_id",
+                        key_col: str = "url",
+                        probe_col: str = "probe",
+                        k: int = 3, m: int = 256) -> DataFrame:
+    """Per-file Bloom-filter skipping index for POINT lookups — the
+    layout lever zone maps cannot provide: a zonemap prunes range
+    predicates on clustered columns, a per-file Bloom prunes
+    equality predicates on UNclustered high-cardinality keys (url /
+    entity id), which is exactly the Parquet `bloom_filter_enabled` /
+    Iceberg puffin-blob mechanism.  This operator builds the index
+    AND evaluates a probe workload against it, reporting per probe
+    how many files a point query scans vs. truly contains the key
+    (the surplus is the false-positive scan cost).
+
+    Shape: distinct (file, key) -> k-way hash explode -> distinct
+    (file, bit): the index is metadata-sized (n_files x <= m rows)
+    like a real footer index.  The probe side is dimension-sized and
+    broadcasts; truth comes from one semi-join against the distinct
+    (file, key) table.  All hashes are the portable md5 prefix.
+
+    Returns (probe, n_files, n_scanned, n_matching,
+    n_false_positive)."""
+    from .sketches import _h
+    fk = (rows.select(F.col(file_col).alias("f"),
+                      F.col(key_col).alias("key")).distinct()
+          .localCheckpoint())
+    bits = None
+    for i in range(k):
+        r = fk.select("f", (_h(F.col("key"), "bloom%d" % i) % m)
+                      .alias("bit"))
+        bits = r if bits is None else bits.unionByName(r)
+    bits = bits.distinct()
+    pb = None
+    for i in range(k):
+        r = probes.select(F.col(probe_col).alias("probe"),
+                          (_h(F.col(probe_col), "bloom%d" % i) % m)
+                          .alias("bit"))
+        pb = r if pb is None else pb.unionByName(r)
+    hits = (bits.join(F.broadcast(pb), "bit")
+            .groupBy("probe", "f")
+            .agg(F.countDistinct("bit").alias("n_set")))
+    # distinct probe bits can collide (< k distinct positions); a
+    # file scans when every DISTINCT probe bit is present
+    pbits = pb.groupBy("probe").agg(
+        F.countDistinct("bit").alias("k_eff"))
+    scanned = (hits.join(F.broadcast(pbits), "probe")
+               .where(F.col("n_set") == F.col("k_eff"))
+               .groupBy("probe")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_scanned")))
+    truth = (fk.join(F.broadcast(
+        probes.select(F.col(probe_col).alias("key")).distinct()),
+        "key")
+        .groupBy(F.col("key").alias("probe"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching")))
+    nf = fk.select("f").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"))
+    return (probes.select(F.col(probe_col).alias("probe")).distinct()
+            .crossJoin(F.broadcast(nf))
+            .join(scanned, "probe", "left")
+            .join(truth, "probe", "left")
+            .select("probe", "n_files",
+                    F.coalesce("n_scanned", F.lit(0)).cast("long")
+                    .alias("n_scanned"),
+                    F.coalesce("n_matching", F.lit(0)).cast("long")
+                    .alias("n_matching"),
+                    (F.coalesce("n_scanned", F.lit(0))
+                     - F.coalesce("n_matching", F.lit(0)))
+                    .cast("long").alias("n_false_positive")))

@@ -1039,3 +1039,78 @@ def kwic(documents: DataFrame, terms: list, window: int = 3,
     return exploded.select(
         "doc_id", "term", p.cast("int").alias("pos"),
         left.alias("left_ctx"), right.alias("right_ctx"))
+
+
+def s_stemmer(documents: DataFrame, doc_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Harman's S-stemmer (Harman 1991, "How effective is
+    suffixing?"): the three ordered plural-stripping rules —
+    ies->y (unless -eies/-aies), es->e (unless -aes/-ees/-oes),
+    drop final s (unless -us/-ss) — applied to the corpus
+    vocabulary.  The conservative stemmer IR evaluations keep
+    reaching for when Porter over-stems; entirely CASE/substring
+    algebra, so it runs inside whole-stage codegen and mirrors
+    engine-exactly.
+
+    Shape: tokenize in the scan map, ONE token groupBy builds the
+    vocabulary with counts (map-side combined), the rule CASE is a
+    row-local expression on the vocab-sized table.  Returns
+    (token, stem, rule, n_occurrences)."""
+    tok = F.col("token")
+    ln = F.length(tok)
+    cut = lambda n: F.substring(tok, 1, ln - n)  # noqa: E731
+    ies = (tok.endswith("ies") & ~tok.endswith("eies")
+           & ~tok.endswith("aies"))
+    es = (tok.endswith("es") & ~tok.endswith("aes")
+          & ~tok.endswith("ees") & ~tok.endswith("oes"))
+    s = (tok.endswith("s") & ~tok.endswith("us")
+         & ~tok.endswith("ss"))
+    stem = (F.when(ies, F.concat(cut(3), F.lit("y")))
+            .when(es, cut(1))
+            .when(s, cut(1))
+            .otherwise(tok))
+    rule = (F.when(ies, "ies").when(es, "es").when(s, "s")
+            .otherwise("none"))
+    vocab = (documents
+             .select(F.explode(tokens(F.col(text_col))).alias("token"))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_occurrences")))
+    return vocab.select("token", stem.alias("stem"),
+                        rule.alias("rule"), "n_occurrences")
+
+
+def burstiness(documents: DataFrame, min_total: int = 20,
+               doc_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Term burstiness (Church & Gale 1995): the variance-to-mean
+    ratio of per-document counts over ALL N docs — VMR = 1 for a
+    Poisson (content-free) term, >> 1 for bursty content terms; the
+    statistic topical-term detection and stopword induction key on.
+
+    Exact integer form: with t = total occurrences and
+    s = sum of squared per-doc counts, var/mean over N docs equals
+    (N*s - t^2) / (N*t), non-negative by Cauchy-Schwarz — emitted
+    milli-scaled with integer div, engine-exact.
+
+    Shape: one (doc, term) groupBy then one term groupBy (both
+    map-side combined, both keyed shuffles); N is a 1-row broadcast.
+    Returns (term, n_docs, total, vmr_milli) for terms with
+    total >= min_total."""
+    pairs = (documents
+             .select(F.col(doc_col).alias("doc"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+             .groupBy("doc", "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per_term = (pairs.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("c").cast("long").alias("total"),
+                     F.sum(F.col("c") * F.col("c")).cast("long")
+                     .alias("sum_sq"))
+                .where(F.col("total") >= min_total))
+    n_row = documents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (per_term.crossJoin(F.broadcast(n_row))
+            .select("term", "n_docs", "total",
+                    F.expr("(n * sum_sq - total * total) * 1000"
+                           " div (n * total)").cast("long")
+                    .alias("vmr_milli")))
