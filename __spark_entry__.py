@@ -5705,6 +5705,30 @@ def _q_store_bloom_skipping(spark, sf_dir):
             .orderBy("probe"))
 
 
+def _q_kg_truthfinder(spark, sf_dir):
+    """Sums/HITS truth finding over the planted conflicting claims
+    (2 rounds, exact integer micro-units with div-by-max
+    re-rounding): sources backing majority labels gain trust, and
+    the final per-(subject, predicate) winner is the belief argmax."""
+    from ferenda_spark.operators.fusion import truthfinder_sums
+    return (truthfinder_sums(_claims(spark, sf_dir), rounds=2)
+            .orderBy("subject", "object"))
+
+
+def _q_store_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve clustering keys over the same two 8-bit
+    dimensions as store_zorder_layout (16 buckets) — the
+    locality-optimal 2-D layout; the oracle replays the full 8-level
+    rotate/reflect chain."""
+    from ferenda_spark.operators.store import hilbert_keys
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    df = d.select("doc_id", (did % 256).alias("x"),
+                  ((did * 7 + 3) % 256).alias("y"))
+    return (hilbert_keys(df, "x", "y", bits=8, bucket_bits=4)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6047,6 +6071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_s_stemmer": _q_text_s_stemmer,
         "text_burstiness": _q_text_burstiness,
         "store_bloom_skipping": _q_store_bloom_skipping,
+        "kg_truthfinder": _q_kg_truthfinder,
+        "store_hilbert_layout": _q_store_hilbert_layout,
     }
 
 
@@ -6837,6 +6863,28 @@ def _rel_canonical_oracle() -> str:
             FROM agg a LEFT JOIN f USING (canonical_url)
             ORDER BY canonical_url""".replace("{PAT}",
                                               CANONICAL_LINK_PAT)
+
+
+def _hilbert_chain_sql(bits: int = 8) -> str:
+    """Unrolled xy2d rotate/reflect chain (mirrors
+    operators/store.hilbert_keys level by level)."""
+    ctes = []
+    prev = "base"
+    for i, level in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << level
+        rx = "((x >> %d) & 1)" % level
+        ry = "((y >> %d) & 1)" % level
+        ctes.append(
+            "h%d AS MATERIALIZED (SELECT doc_id, "
+            "CASE WHEN %s = 1 THEN x WHEN %s = 1 THEN %d - y "
+            "ELSE y END AS x, "
+            "CASE WHEN %s = 1 THEN y WHEN %s = 1 THEN %d - x "
+            "ELSE x END AS y, "
+            "d + %d * xor(%s * 3, %s) AS d FROM %s)"
+            % (i, ry, rx, s - 1, ry, rx, s - 1,
+               s * s, rx, ry, prev))
+        prev = "h%d" % i
+    return ", ".join(ctes), prev
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14028,4 +14076,65 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN scanned s ON p.probe = s.probe
             LEFT JOIN truth t ON p.probe = t.probe
             ORDER BY p.probe""",
+        # 2-round Sums fixpoint unrolled, integer micro + div-by-max
+        "kg_truthfinder": """
+            WITH claims AS (
+              SELECT 'https://example.org/res/entity/' || (doc_id % 50)
+                       AS subject,
+                     'rdfs:label' AS predicate,
+                     'Label ' || (CASE WHEN doc_id % 3 = 0
+                                  THEN (doc_id % 50 + 1) % 7
+                                  ELSE (doc_id % 50) % 7 END)
+                       AS object,
+                     source
+              FROM documents),
+            e AS (SELECT DISTINCT subject, predicate, object, source
+                  FROM claims),
+            b1r AS (SELECT subject, predicate, object,
+                           COUNT(DISTINCT source) AS ns,
+                           CAST(COUNT(DISTINCT source) * 1000000
+                                AS BIGINT) AS b
+                    FROM e GROUP BY 1, 2, 3),
+            b1 AS (SELECT subject, predicate, object, ns,
+                          CAST(b * 1000000
+                               // (SELECT MAX(b) FROM b1r)
+                               AS BIGINT) AS b
+                   FROM b1r),
+            t1r AS (SELECT source, CAST(SUM(b1.b) AS BIGINT) AS t
+                    FROM e JOIN b1
+                      USING (subject, predicate, object)
+                    GROUP BY source),
+            t1 AS (SELECT source,
+                          CAST(t * 1000000
+                               // (SELECT MAX(t) FROM t1r)
+                               AS BIGINT) AS t
+                   FROM t1r),
+            b2r AS (SELECT subject, predicate, object,
+                           COUNT(DISTINCT e.source) AS ns,
+                           CAST(SUM(t1.t) AS BIGINT) AS b
+                    FROM e JOIN t1 USING (source)
+                    GROUP BY 1, 2, 3),
+            b2 AS (SELECT subject, predicate, object,
+                          CAST(ns AS BIGINT) AS n_sources,
+                          CAST(b * 1000000
+                               // (SELECT MAX(b) FROM b2r)
+                               AS BIGINT) AS b
+                   FROM b2r)
+            SELECT subject, predicate, object, n_sources,
+                   b AS belief_micro,
+                   row_number() OVER (PARTITION BY subject, predicate
+                                      ORDER BY b DESC, object) = 1
+                     AS is_winner
+            FROM b2 ORDER BY subject, object""",
+        "store_hilbert_layout": (lambda chain: """
+            WITH base AS (
+              SELECT doc_id, CAST(doc_id % 256 AS BIGINT) AS x,
+                     CAST((doc_id * 7 + 3) % 256 AS BIGINT) AS y,
+                     CAST(0 AS BIGINT) AS d
+              FROM documents), """ + chain[0] + """
+            SELECT b.doc_id, b.x, b.y,
+                   CAST(f.d AS BIGINT) AS hvalue,
+                   CAST(f.d >> 12 AS BIGINT) AS hbucket
+            FROM base b JOIN """ + chain[1] + """ f USING (doc_id)
+            ORDER BY b.doc_id""")(_hilbert_chain_sql(8)),
     }

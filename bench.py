@@ -188,6 +188,7 @@ HEADLINE = [
     "mm_exif_meta", "mm_alt_text_pairs",
     "events_attribution", "events_paths", "text_kwic",
     "text_s_stemmer", "text_burstiness", "store_bloom_skipping",
+    "kg_truthfinder", "store_hilbert_layout",
 ]
 
 

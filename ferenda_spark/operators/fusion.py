@@ -85,3 +85,61 @@ def source_accuracy(claims: DataFrame, fused: DataFrame) -> DataFrame:
                  F.count(F.lit(1)).cast("long").alias("n_claims"))
             .withColumn("accuracy_ppm",
                         F.expr("n_matching * 1000000 div n_claims")))
+
+
+def truthfinder_sums(claims: DataFrame, rounds: int = 2) -> DataFrame:
+    """Iterative truth finding by the Sums / Hubs-and-Authorities
+    fixpoint (Pasternack & Roth, COLING 2010): belief(claim) = sum of
+    its asserting sources' trust, trust(source) = sum of its claims'
+    beliefs — HITS on the bipartite source-claim graph, the iterative
+    upgrade of :func:`fact_fusion`'s single-shot weighted vote (a
+    source backing winners gains trust, which feeds back into the
+    next round's beliefs).
+
+    Exact integer arithmetic: trust starts at 1e6 micro-units and
+    each half-step re-normalizes its vector by the max with integer
+    ``div`` (declared re-rounding — the same pinned-iteration
+    discipline as the pagerank/label-prop oracles, so both engines
+    replay bit-for-bit).
+
+    Scale shape: the edge table (distinct claim-source pairs)
+    materializes once; every round is two key-partitioned
+    join+groupBy passes moving only the two score vectors, plus two
+    1-row max broadcasts — pagerank's loop inventory on a bipartite
+    graph.  The winner pick is one window per (subject, predicate).
+
+    Returns (subject, predicate, object, n_sources, belief_micro,
+    is_winner)."""
+    from pyspark.sql import Window
+    ckey = ["subject", "predicate", "object"]
+    edges = (claims.select(*ckey, "source").distinct()
+             .localCheckpoint())
+    src_t = (edges.select("source").distinct()
+             .withColumn("t", F.lit(1000000).cast("long")))
+    b = None
+    for _ in range(rounds):
+        b = (edges.join(src_t, "source")
+             .groupBy(*ckey)
+             .agg(F.sum("t").cast("long").alias("b"),
+                  F.countDistinct("source").cast("long")
+                  .alias("n_sources")))
+        bmax = b.agg(F.max("b").alias("bm"))
+        b = (b.crossJoin(F.broadcast(bmax))
+             .select(*ckey, "n_sources",
+                     F.expr("b * 1000000 div bm").cast("long")
+                     .alias("b"))
+             .localCheckpoint())
+        t = (edges.join(b.select(*ckey, "b"), ckey)
+             .groupBy("source")
+             .agg(F.sum("b").cast("long").alias("t")))
+        tmax = t.agg(F.max("t").alias("tm"))
+        src_t = (t.crossJoin(F.broadcast(tmax))
+                 .select("source",
+                         F.expr("t * 1000000 div tm").cast("long")
+                         .alias("t"))
+                 .localCheckpoint())
+    w = Window.partitionBy("subject", "predicate").orderBy(
+        F.col("b").desc(), F.col("object").asc())
+    return b.select(*ckey, "n_sources",
+                    F.col("b").alias("belief_micro"),
+                    (F.row_number().over(w) == 1).alias("is_winner"))

@@ -362,3 +362,52 @@ def bloom_file_skipping(rows: DataFrame, probes: DataFrame,
                     (F.coalesce("n_scanned", F.lit(0))
                      - F.coalesce("n_matching", F.lit(0)))
                     .cast("long").alias("n_false_positive")))
+
+
+def hilbert_keys(df: DataFrame, col_a: str, col_b: str,
+                 bits: int = 8, bucket_bits: int = 4) -> DataFrame:
+    """Hilbert-curve clustering keys over two integer dimensions —
+    the layout that strictly beats Z-order on locality (every
+    consecutive pair of curve cells is grid-adjacent, so a 2-D range
+    query touches fewer file runs; this is why Databricks liquid
+    clustering and Iceberg's hilbert sort-order exist alongside
+    z-order).  Same contract as :func:`zorder_keys`: inputs already
+    in [0, 2^bits); adds ``hvalue`` (curve position, 2*bits bits)
+    and ``hbucket`` (top ``bucket_bits`` = file assignment).
+
+    The standard xy2d transform (one rotate/reflect per bit level)
+    unrolls driver-side into ``bits`` levels of pure bit algebra —
+    map-side, no shuffle, whole-stage codegen; the SQL oracle replays
+    the identical chain level by level.  Intermediate x/y may go
+    negative mid-chain (the canonical algorithm's two's-complement
+    trick); both engines' arithmetic shift/AND agree there, which the
+    adjacency pytest pins."""
+    mask = (1 << bits) - 1
+    cols = df.columns
+    out = df.select(
+        *cols,
+        F.col(col_a).cast("long").bitwiseAND(F.lit(mask))
+        .alias("__hx"),
+        F.col(col_b).cast("long").bitwiseAND(F.lit(mask))
+        .alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"))
+    for level in range(bits - 1, -1, -1):
+        # one projection per level: x/y feed the next level TWICE, so
+        # a single nested expression would blow up 2^bits — aliased
+        # levels keep the tree linear (CollapseProject leaves
+        # multiply-referenced non-cheap aliases alone)
+        s = 1 << level
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        rx = F.shiftright(x, level).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, level).bitwiseAND(F.lit(1))
+        nd = d + F.lit(s * s) * (rx * 3).bitwiseXOR(ry)
+        nx = F.when(ry == 1, x).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - y).otherwise(y))
+        ny = F.when(ry == 1, y).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - x).otherwise(x))
+        out = out.select(*cols, nx.alias("__hx"), ny.alias("__hy"),
+                         nd.alias("__hd"))
+    return out.select(
+        *cols, F.col("__hd").alias("hvalue"),
+        F.shiftright(F.col("__hd"), 2 * bits - bucket_bits)
+        .alias("hbucket"))
