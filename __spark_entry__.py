@@ -5729,6 +5729,54 @@ def _q_store_hilbert_layout(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_events_markov(spark, sf_dir):
+    """Markov removal-effect attribution: distributed journey/
+    transition counting, driver-side 12-step integer value iteration
+    over the dimension-sized matrix, one knockout per channel; the
+    oracle replays the identical integer recursion unrolled."""
+    from ferenda_spark.operators.events import markov_attribution
+    return (markov_attribution(_read(spark, sf_dir, "events"),
+                               ["click", "signup", "view"])
+            .orderBy("channel"))
+
+
+def _snapshot_manifests(spark, sf_dir):
+    """Planted snapshot/manifest metadata: per source-table, 10
+    snapshots (committed daily), snapshot s referencing the sliding
+    window of files max(0, s-4)..s."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tables = (d.where(did < 200)
+              .select(F.col("source").alias("tbl"),
+                      F.expr("(doc_id div 20) % 10").alias("snap_id"))
+              .distinct())
+    snaps = tables.select(
+        "tbl", "snap_id",
+        (F.lit(1700000000) + F.col("snap_id") * 86400).cast("long")
+        .alias("committed_at"))
+    manifests = (snaps.select(
+        "tbl", "snap_id",
+        F.explode(F.sequence(
+            F.greatest(F.lit(0), F.col("snap_id") - 4),
+            F.col("snap_id"))).alias("file_seq"))
+        .select("tbl", "snap_id",
+                F.concat(F.col("tbl"), F.lit("-f"),
+                         F.col("file_seq").cast("string"))
+                .alias("file_id")))
+    return snaps, manifests
+
+
+def _q_store_expire_snapshots(spark, sf_dir):
+    """Iceberg-style snapshot expiry: keep the newest 3 snapshots
+    per table, delete data files reachable ONLY from expired
+    snapshots (the reachability anti-join every table-maintenance
+    vacuum runs)."""
+    from ferenda_spark.operators.store import expire_snapshots
+    snaps, manifests = _snapshot_manifests(spark, sf_dir)
+    return (expire_snapshots(snaps, manifests, keep_last=3)
+            .orderBy("tbl", "file_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6073,6 +6121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bloom_skipping": _q_store_bloom_skipping,
         "kg_truthfinder": _q_kg_truthfinder,
         "store_hilbert_layout": _q_store_hilbert_layout,
+        "events_markov_attribution": _q_events_markov,
+        "store_expire_snapshots": _q_store_expire_snapshots,
     }
 
 
@@ -6885,6 +6935,99 @@ def _hilbert_chain_sql(bits: int = 8) -> str:
                s * s, rx, ry, prev))
         prev = "h%d" % i
     return ", ".join(ctes), prev
+
+
+def _markov_sql(channels=("click", "signup", "view"),
+                iterations: int = 12) -> str:
+    """Full SQL replay of events.markov_attribution: journey
+    transition counts, permille matrix as a pivoted single row, the
+    12-step integer value iteration unrolled per knockout variant,
+    remainder-to-last share split."""
+    chans = sorted(channels)
+    dsts = chans + ["CONV", "NULL"]
+    srcs = ["START"] + chans
+    pcols = ", ".join(
+        "COALESCE(MAX(CASE WHEN src = '%s' AND dst = '%s' "
+        "THEN n * 1000 // t END), 0) AS p_%s_%s"
+        % (s, d, s.lower(), d.lower())
+        for s in srcs for d in dsts)
+    head = """
+        ca AS (SELECT event_id, ts, user_id, event_type,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS conv
+               FROM events),
+        tch AS (SELECT user_id, conv, event_type AS channel, ts,
+                       event_id
+                FROM ca WHERE event_type IN (%s)),
+        sq AS (SELECT channel, conv,
+               row_number() OVER (PARTITION BY user_id, conv
+                 ORDER BY ts, event_id) AS rn,
+               lead(channel) OVER (PARTITION BY user_id, conv
+                 ORDER BY ts, event_id) AS nxt
+               FROM tch),
+        trans AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM (SELECT channel AS src,
+                               COALESCE(nxt, CASE WHEN conv > 0
+                                 THEN 'CONV' ELSE 'NULL' END) AS dst
+                        FROM sq
+                        UNION ALL
+                        SELECT 'START', channel FROM sq WHERE rn = 1)
+                  GROUP BY src, dst),
+        tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM trans
+                GROUP BY src),
+        pm AS MATERIALIZED (SELECT %s FROM trans JOIN tot
+                            USING (src))
+    """ % (", ".join("'%s'" % c for c in chans), pcols)
+    variants = [("b", None)] + [("k%s" % c, c) for c in chans]
+    ctes = [head]
+    for tag, knocked in variants:
+        ctes.append("%s0 AS (SELECT %s FROM pm)" % (
+            tag, ", ".join("CAST(0 AS BIGINT) AS v_%s" % s.lower()
+                           for s in srcs)))
+        for it in range(1, iterations + 1):
+            exprs = []
+            for s in srcs:
+                if s == knocked:
+                    exprs.append("CAST(0 AS BIGINT) AS v_%s"
+                                 % s.lower())
+                    continue
+                terms = ["pm.p_%s_%s * v_%s"
+                         % (s.lower(), c.lower(), c.lower())
+                         for c in chans if c != knocked]
+                terms.append("pm.p_%s_conv * 1000000" % s.lower())
+                exprs.append("CAST((%s) // 1000 AS BIGINT) AS v_%s"
+                             % (" + ".join(terms), s.lower()))
+            ctes.append("%s%d AS MATERIALIZED (SELECT %s"
+                        " FROM %s%d, pm)"
+                        % (tag, it, ", ".join(exprs), tag, it - 1))
+    eff = {c: "(b%d.v_start - k%s%d.v_start)"
+           % (iterations, c, iterations) for c in chans}
+    tot_eff = " + ".join(eff[c] for c in chans)
+    share, prior = {}, []
+    for i, c in enumerate(chans):
+        if i < len(chans) - 1:
+            share[c] = ("CASE WHEN (%s) <= 0 THEN 0 ELSE "
+                        "%s * 1000 // (%s) END"
+                        % (tot_eff, eff[c], tot_eff))
+            prior.append(share[c])
+        else:
+            share[c] = ("CASE WHEN (%s) <= 0 THEN 0 ELSE "
+                        "1000 - (%s) END"
+                        % (tot_eff, ") - (".join(prior)))
+    froms = ", ".join(["b%d" % iterations]
+                      + ["k%s%d" % (c, iterations) for c in chans])
+    selects = " UNION ALL ".join(
+        "SELECT '%s' AS channel, "
+        "CAST(b%d.v_start AS BIGINT) AS base_conv_micro, "
+        "CAST(k%s%d.v_start AS BIGINT) AS removed_conv_micro, "
+        "CAST(%s AS BIGINT) AS removal_effect_micro, "
+        "CAST(%s AS BIGINT) AS attribution_permille FROM %s"
+        % (c, iterations, c, iterations, eff[c], share[c], froms)
+        for c in chans)
+    return ("WITH " + ", ".join(ctes) + " SELECT * FROM (" + selects
+            + ") ORDER BY channel")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -14137,4 +14280,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f.d >> 12 AS BIGINT) AS hbucket
             FROM base b JOIN """ + chain[1] + """ f USING (doc_id)
             ORDER BY b.doc_id""")(_hilbert_chain_sql(8)),
+        "events_markov_attribution": _markov_sql(),
+        "store_expire_snapshots": """
+            WITH tbls AS (
+              SELECT DISTINCT source AS tbl,
+                     (doc_id // 20) % 10 AS snap_id
+              FROM documents WHERE doc_id < 200),
+            snaps AS (SELECT tbl, snap_id,
+                             1700000000 + snap_id * 86400
+                               AS committed_at
+                      FROM tbls),
+            mf AS (SELECT tbl, snap_id, tbl || '-f' || fs AS file_id
+                   FROM (SELECT tbl, snap_id,
+                                unnest(generate_series(
+                                  greatest(0, snap_id - 4), snap_id))
+                                  AS fs
+                         FROM snaps)),
+            marked AS (SELECT tbl, snap_id,
+                              row_number() OVER (PARTITION BY tbl
+                                ORDER BY committed_at DESC,
+                                         snap_id DESC) <= 3
+                                AS retained
+                       FROM snaps),
+            pf AS (SELECT tbl, file_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_refs,
+                          CAST(SUM(CASE WHEN retained THEN 0 ELSE 1
+                                    END) AS BIGINT)
+                            AS n_expired_refs,
+                          MAX(retained) AS live
+                   FROM mf JOIN marked USING (tbl, snap_id)
+                   GROUP BY tbl, file_id)
+            SELECT tbl, file_id,
+                   CASE WHEN live THEN 'keep' ELSE 'delete' END
+                     AS action,
+                   n_refs, n_expired_refs
+            FROM pf ORDER BY tbl, file_id""",
     }

@@ -189,6 +189,7 @@ HEADLINE = [
     "events_attribution", "events_paths", "text_kwic",
     "text_s_stemmer", "text_burstiness", "store_bloom_skipping",
     "kg_truthfinder", "store_hilbert_layout",
+    "events_markov_attribution", "store_expire_snapshots",
 ]
 
 

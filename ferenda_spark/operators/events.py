@@ -671,3 +671,109 @@ def path_prefixes(events: DataFrame, max_depth: int = 3,
             .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
             .select(F.col("depth").cast("int").alias("depth"),
                     "path", "n_users"))
+
+
+def markov_attribution(events: DataFrame, channels: list,
+                       conversion_type: str = "purchase",
+                       iterations: int = 12,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       id_col: str = "event_id") -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016 — the
+    data-driven model that replaced positional heuristics): build the
+    first-order channel transition matrix from observed journeys,
+    compute the chain's conversion probability from START by value
+    iteration over the absorbing CONV/NULL states, then re-compute it
+    with each channel knocked out (its state's value forced to 0);
+    the drop is the channel's removal effect, normalized to
+    attribution shares.
+
+    Split of labor at scale: the JOURNEY construction and transition
+    COUNTING are the data-sized work — one user-keyed shuffle and one
+    (from, to)-keyed aggregate, the same inventory as
+    :func:`attribution`.  The resulting matrix is
+    (channels+1) x (channels+2) — DIMENSION-sized — so the value
+    iteration runs driver-side in exact Python integers over the
+    collected matrix (the IVF-centroid precedent: driver math over a
+    distributed aggregate), and the oracle replays the identical
+    integer recursion.  Probabilities are permille (1000 * n div
+    out_total); each iteration computes
+    v(s) = (sum_to p_permille(s, to) * v(to)) div 1000 in micro
+    units — one div AFTER the exact integer dot product.
+
+    Returns one row per channel: (channel, base_conv_micro,
+    removed_conv_micro, removal_effect_micro, attribution_permille)
+    — shares split 1000 permille by integer div with the remainder
+    on the LAST channel in lexicographic order (declared)."""
+    from pyspark.sql import Window
+    u, ty = F.col(user_col), F.col(type_col)
+    ordered = Window.partitionBy(u).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    conv_after = F.sum(
+        F.when(ty == conversion_type, 1).otherwise(0)).over(
+        ordered.rowsBetween(0, Window.unboundedFollowing))
+    touches = (events
+               .withColumn("__conv", conv_after)
+               .where(ty.isin(channels))
+               .select(u.alias("user"), F.col("__conv").alias("conv"),
+                       ty.alias("channel"), F.col(ts_col).alias("t"),
+                       F.col(id_col).alias("eid")))
+    jord = Window.partitionBy("user", "conv").orderBy(
+        F.col("t").asc(), F.col("eid").asc())
+    seq = touches.select(
+        "channel", "conv",
+        F.row_number().over(jord).alias("rn"),
+        F.lead("channel").over(jord).alias("next"))
+    trans = (seq.select(
+        F.col("channel").alias("src"),
+        F.coalesce("next",
+                   F.when(F.col("conv") > 0, F.lit("CONV"))
+                   .otherwise(F.lit("NULL"))).alias("dst"))
+        .unionByName(seq.where(F.col("rn") == 1)
+                     .select(F.lit("START").alias("src"),
+                             F.col("channel").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    rows = trans.collect()                     # dimension-sized
+    out_tot: dict = {}
+    for r in rows:
+        out_tot[r.src] = out_tot.get(r.src, 0) + r.n
+    p = {(r.src, r.dst): r.n * 1000 // out_tot[r.src] for r in rows}
+    states = ["START"] + sorted(channels)
+
+    def conv_prob(knocked: str | None) -> int:
+        v = {"CONV": 1000000, "NULL": 0}
+        for s in states:
+            v[s] = 0
+        for _ in range(iterations):
+            nv = dict(v)
+            for s in states:
+                if s == knocked:
+                    nv[s] = 0
+                    continue
+                acc = 0
+                for d in states[1:] + ["CONV", "NULL"]:
+                    acc += p.get((s, d), 0) * v[d]
+                nv[s] = acc // 1000
+            v = nv
+        return v["START"]
+
+    base = conv_prob(None)
+    effects = {c: base - conv_prob(c) for c in sorted(channels)}
+    tot = sum(effects.values())
+    shares, acc = {}, 0
+    for i, c in enumerate(sorted(channels)):
+        if tot <= 0:
+            shares[c] = 0
+        elif i < len(channels) - 1:
+            shares[c] = effects[c] * 1000 // tot
+            acc += shares[c]
+        else:
+            shares[c] = 1000 - acc             # remainder to the last
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(c, base, base - effects[c], effects[c], shares[c])
+         for c in sorted(channels)],
+        "channel string, base_conv_micro long, "
+        "removed_conv_micro long, removal_effect_micro long, "
+        "attribution_permille long")

@@ -411,3 +411,43 @@ def hilbert_keys(df: DataFrame, col_a: str, col_b: str,
         *cols, F.col("__hd").alias("hvalue"),
         F.shiftright(F.col("__hd"), 2 * bits - bucket_bits)
         .alias("hbucket"))
+
+
+def expire_snapshots(snapshots: DataFrame, manifests: DataFrame,
+                     keep_last: int = 3,
+                     table_col: str = "tbl",
+                     snap_col: str = "snap_id",
+                     ts_col: str = "committed_at",
+                     file_col: str = "file_id") -> DataFrame:
+    """Snapshot expiry with file reachability — the Iceberg
+    ``expireSnapshots`` / Delta VACUUM planning step a continuously
+    committing 100 TB table needs: retain the newest ``keep_last``
+    snapshots per table, expire the rest, and delete a data file
+    only when NO retained snapshot still references it (time travel
+    to any retained snapshot must keep working).
+
+    Shape: retention is one per-table window over the snapshot
+    manifest (metadata-sized); live files = manifests semi-joined to
+    retained snapshots; the delete list is the distinct expired-file
+    set anti-joined against the live set — two (table, file)-keyed
+    hash joins over manifest METADATA, the data files themselves
+    never move.  Returns one row per referenced file:
+    (tbl, file_id, action 'keep'|'delete', n_refs,
+    n_expired_refs)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(table_col).orderBy(
+        F.col(ts_col).desc(), F.col(snap_col).desc())
+    marked = snapshots.select(
+        table_col, snap_col,
+        (F.row_number().over(w) <= keep_last).alias("retained"))
+    refs = manifests.join(marked, [table_col, snap_col])
+    per_file = (refs.groupBy(table_col, file_col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n_refs"),
+                     F.sum(F.when(F.col("retained"), 0).otherwise(1))
+                     .cast("long").alias("n_expired_refs"),
+                     F.max(F.col("retained")).alias("live")))
+    return per_file.select(
+        table_col, file_col,
+        F.when(F.col("live"), F.lit("keep")).otherwise(F.lit("delete"))
+        .alias("action"),
+        "n_refs", "n_expired_refs")
