@@ -5777,6 +5777,35 @@ def _q_store_expire_snapshots(spark, sf_dir):
             .orderBy("tbl", "file_id"))
 
 
+def _q_events_identity_stitch(spark, sf_dir):
+    """Cross-device identity stitching over planted behavioral ids
+    (device 'dev<u>', second device 'dtv<u>' on every 5th event,
+    cookies 'ck<3u+r>'): star edges + the shared hash-min CC kernel;
+    canonical = (length, value)-min of the component."""
+    from ferenda_spark.operators.linking import identity_stitch
+    ev = _read(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    dev = F.concat(F.lit("dev"), uid.cast("string"))
+    dtv = F.concat(F.lit("dtv"), uid.cast("string"))
+    ck = F.concat(F.lit("ck"), (uid * 3 + eid % 3).cast("string"))
+    obs = (ev.select(dev.alias("a"), ck.alias("b"))
+           .unionByName(ev.where(eid % 5 == 0)
+                        .select(dtv.alias("a"), ck.alias("b"))))
+    return identity_stitch(obs, ["a", "b"]).orderBy("identifier")
+
+
+def _q_mm_video_shots(spark, sf_dir):
+    """Shot-boundary detection over synthesized frame sequences
+    (planted hard cut at frame 2): real dHash kernel per frame in
+    the Arrow pass, consecutive Hamming distance via one video-keyed
+    lag window."""
+    from ferenda_spark.operators.multimodal import (shot_boundaries,
+                                                    synth_frame_blobs)
+    return (shot_boundaries(synth_frame_blobs(
+        _read(spark, sf_dir, "documents")))
+        .orderBy("doc_id", "frame_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6123,6 +6152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_hilbert_layout": _q_store_hilbert_layout,
         "events_markov_attribution": _q_events_markov,
         "store_expire_snapshots": _q_store_expire_snapshots,
+        "events_identity_stitch": _q_events_identity_stitch,
+        "mm_video_shots": _q_mm_video_shots,
     }
 
 
@@ -14315,4 +14346,80 @@ def oracle_sql() -> dict[str, str]:
                      AS action,
                    n_refs, n_expired_refs
             FROM pf ORDER BY tbl, file_id""",
+        # components are per-user by construction; canonical =
+        # (length, value)-min, CC's deterministic pick
+        "events_identity_stitch": """
+            WITH ids AS (
+              SELECT DISTINCT user_id, 'dev' || user_id AS id
+              FROM events
+              UNION
+              SELECT DISTINCT user_id, 'dtv' || user_id
+              FROM events WHERE event_id % 5 = 0
+              UNION
+              SELECT DISTINCT user_id,
+                     'ck' || (user_id * 3 + event_id % 3)
+              FROM events),
+            c AS (SELECT user_id, id,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY length(id), id) AS rn
+                  FROM ids)
+            SELECT i.id AS identifier, m.id AS canonical_id
+            FROM ids i JOIN c m
+              ON i.user_id = m.user_id AND m.rn = 1
+            ORDER BY identifier""",
+        # per-(doc, shot) dHash recomputed from the closed-form
+        # pixels (same mix as mm_image_dhash, base = 2*doc + shot)
+        "mm_video_shots": """
+            WITH fr AS (
+              SELECT doc_id,
+                     CAST(unnest(generate_series(0, 3 + doc_id % 3))
+                          AS INT) AS frame_idx
+              FROM documents),
+            sb AS (SELECT DISTINCT doc_id,
+                          doc_id * 2 + CASE WHEN frame_idx >= 2
+                                       THEN 1 ELSE 0 END AS base
+                   FROM fr),
+            grid AS (
+              SELECT doc_id, base, r.r, c.c
+              FROM sb,
+                   (SELECT CAST(unnest(generate_series(0, 6))
+                                AS BIGINT) AS r) r,
+                   (SELECT CAST(unnest(generate_series(0, 8))
+                                AS BIGINT) AS c) c),
+            px AS (
+              SELECT doc_id, base, r, c,
+                     (((base * 2654435761) % 1048573)
+                      * ((r*9+c+1) * (r*9+c+2) * (r*9+c+5))
+                      + base + r * 9 + c) % 509 % 256 AS p
+              FROM grid),
+            bits AS (
+              SELECT a.doc_id, a.base, a.r, a.c,
+                     CASE WHEN a.p > b.p THEN 1 ELSE 0 END AS bit
+              FROM px a JOIN px b
+                ON a.doc_id = b.doc_id AND a.base = b.base
+               AND a.r = b.r AND b.c = a.c + 1
+              WHERE a.c < 8),
+            dh AS (
+              SELECT doc_id, base,
+                     CAST(SUM(bit * (CAST(1 AS BIGINT) << (r * 8 + c)))
+                          AS BIGINT) AS dhash
+              FROM bits GROUP BY doc_id, base),
+            fz AS (
+              SELECT fr.doc_id, fr.frame_idx, dh.dhash
+              FROM fr JOIN dh
+                ON dh.doc_id = fr.doc_id
+               AND dh.base = fr.doc_id * 2
+                   + CASE WHEN fr.frame_idx >= 2 THEN 1 ELSE 0 END),
+            lagd AS (
+              SELECT doc_id, frame_idx, dhash,
+                     lag(dhash) OVER (PARTITION BY doc_id
+                                      ORDER BY frame_idx) AS prev
+              FROM fz)
+            SELECT doc_id, frame_idx, dhash,
+                   CASE WHEN prev IS NOT NULL THEN
+                     CAST(bit_count(xor(dhash, prev)) AS BIGINT) END
+                     AS distance,
+                   COALESCE(bit_count(xor(dhash, prev)) > 6, TRUE)
+                     AS is_boundary
+            FROM lagd ORDER BY doc_id, frame_idx""",
     }

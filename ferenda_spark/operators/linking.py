@@ -758,3 +758,36 @@ def galechurch_align(sentences: DataFrame) -> DataFrame:
     return (sentences.repartition(width, "pair_id")
             .groupBy("pair_id")
             .applyInPandas(align, schema=GC_SCHEMA))
+
+
+def identity_stitch(observations: DataFrame,
+                    id_cols: list) -> DataFrame:
+    """Cross-device identity resolution (the adtech/analytics
+    "identity graph"): identifiers co-observed on the same event —
+    cookie, device id, login — link into one identity, and the
+    stitched component gets a deterministic canonical id.  This is
+    entity resolution where the blocking key is the observation
+    row itself, and the transitive closure is what merges
+    cookie↔device↔second-device chains no pairwise rule sees.
+
+    Shape: star edges from the first id column to each other column
+    (pairwise closure is redundant under connected components), ONE
+    distinct collapses event volume to identifier-pair volume, and
+    the closure is the shared hash-min fixpoint — the SAME kernel as
+    owl:sameAs canonicalization (canonicalize.py), because identity
+    stitching IS sameAs over behavioral ids.  Canonical = the
+    (length, value)-minimal member, engine-replayable.
+
+    Returns (identifier, canonical_id) covering every observed
+    identifier, self-mapping included."""
+    from .canonicalize import connected_components_uris
+    base = F.col(id_cols[0])
+    edges = None
+    for c in id_cols[1:]:
+        e = (observations
+             .where(base.isNotNull() & F.col(c).isNotNull())
+             .select(base.alias("src"), F.col(c).alias("dst")))
+        edges = e if edges is None else edges.unionByName(e)
+    return (connected_components_uris(edges.distinct())
+            .select(F.col("uri").alias("identifier"),
+                    F.col("canonical_uri").alias("canonical_id")))

@@ -663,3 +663,74 @@ def image_text_pairs(pages: DataFrame, min_words: int = 2) -> DataFrame:
 
     return (pages.select("url", "html")
             .mapInPandas(batches, schema=IMG_ALT_SCHEMA))
+
+
+# ------------------------------------------------ video shot detect
+
+def synth_frame_blobs(documents: DataFrame) -> DataFrame:
+    """Deterministic frame sequences: 4 + doc_id % 3 GRAY frames per
+    doc, frames 0-1 render pattern A and frames >= 2 pattern B (a
+    planted hard cut), where pattern(base) is the same Knuth-mix
+    closed form as synth_gray_blobs minus the near-dup spike, with
+    base = doc_id * 2 + shot.  Frames within a shot are identical;
+    the cross-cut Hamming distance is whatever the two patterns'
+    real dHashes differ by — the oracle recomputes it bit for bit."""
+    d = F.col("doc_id").cast("long")
+    k = F.col("frame_idx")
+    base = d * 2 + F.when(k >= 2, 1).otherwise(0)
+    b2 = (base * 2654435761) % 1048573
+    px = []
+    for r in range(DHASH_H):
+        for c in range(DHASH_W):
+            i = r * DHASH_W + c
+            ci = (i + 1) * (i + 2) * (i + 5)
+            px.append(_byte((b2 * F.lit(ci) + base + F.lit(i))
+                            % 509 % 256))
+    blob = F.concat(F.lit(GRAY_MAGIC), _byte(F.lit(DHASH_W)),
+                    _byte(F.lit(DHASH_H)), *px)
+    return (documents
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.lit(0), (F.lit(3) + d % 3).cast("int")))
+                    .alias("frame_idx"))
+            .select("doc_id", "frame_idx", blob.alias("content")))
+
+
+def shot_boundaries(frames: DataFrame,
+                    threshold: int = 6) -> DataFrame:
+    """Shot-boundary detection over a frame sequence: perceptual
+    dHash per frame (real byte kernel, Arrow pass), then the
+    consecutive-frame Hamming distance per video — a hard cut is a
+    distance spike above ``threshold``, the classic
+    histogram/hash-difference detector video ingest pipelines run
+    before keyframe extraction.  Frame 0 always opens a shot
+    (NULL distance).
+
+    Shape: the hash pass is map-only (blobs pruned immediately, 8
+    bytes per frame survive); the lag is ONE video-keyed window —
+    per-video frame counts bound the sort.  Returns (doc_id,
+    frame_idx, dhash, distance, is_boundary)."""
+    from pyspark.sql import Window
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, idx, blob in zip(pdf["doc_id"],
+                                         pdf["frame_idx"],
+                                         pdf["content"]):
+                h = gray_dhash_bytes(bytes(blob))
+                if h is not None:
+                    rows.append((int(doc_id), int(idx), h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "dhash"])
+
+    hashed = frames.mapInPandas(
+        batches, schema="doc_id long, frame_idx int, dhash long")
+    w = Window.partitionBy("doc_id").orderBy(F.col("frame_idx").asc())
+    prev = F.lag("dhash").over(w)
+    dist = F.when(prev.isNotNull(),
+                  F.bit_count(F.col("dhash").bitwiseXOR(prev))
+                  .cast("long"))
+    return hashed.select(
+        "doc_id", "frame_idx", "dhash", dist.alias("distance"),
+        F.coalesce(dist > threshold, F.lit(True)).alias("is_boundary"))
