@@ -5806,6 +5806,34 @@ def _q_mm_video_shots(spark, sf_dir):
         .orderBy("doc_id", "frame_idx"))
 
 
+def _q_kg_snowball(spark, sf_dir):
+    """Snowball pattern bootstrap over planted HQ sentences: two
+    reliable patterns (6% planted noise) clear the 600-permille
+    gate, the 50%-noisy 'opened an office in' pattern is rejected,
+    and round 2 extracts the 4 non-seed orgs' cities through the
+    kept patterns."""
+    from ferenda_spark.operators.linking import snowball_bootstrap
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    org_id = did % 9
+    pat = did % 3
+    wrong = ((pat == 2) & (did % 2 == 0)) | ((pat < 2)
+                                             & (did % 17 == 0))
+    city_id = F.when(wrong, (org_id % 5 + 1) % 5) \
+        .otherwise(org_id % 5)
+    middle = (F.when(pat == 0, F.lit("is headquartered in"))
+              .when(pat == 1, F.lit("is based in"))
+              .otherwise(F.lit("opened an office in")))
+    sents = d.select(F.concat(
+        F.lit("Org"), org_id.cast("string"), F.lit(" "), middle,
+        F.lit(" City"), city_id.cast("string")).alias("sent"))
+    seeds = spark.createDataFrame(
+        [("Org%d" % k, "City%d" % (k % 5)) for k in range(5)],
+        "subject string, object string")
+    return (snowball_bootstrap(sents, seeds)
+            .orderBy("subject", "object"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6154,6 +6182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_expire_snapshots": _q_store_expire_snapshots,
         "events_identity_stitch": _q_events_identity_stitch,
         "mm_video_shots": _q_mm_video_shots,
+        "kg_snowball": _q_kg_snowball,
     }
 
 
@@ -14422,4 +14451,49 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(bit_count(xor(dhash, prev)) > 6, TRUE)
                      AS is_boundary
             FROM lagd ORDER BY doc_id, frame_idx""",
+        # mirrors _q_kg_snowball's planted sentences + the operator's
+        # mention-level pattern scoring and re-extraction
+        "kg_snowball": """
+            WITH s AS (
+              SELECT doc_id, doc_id % 9 AS org_id, doc_id % 3 AS pat,
+                     ((doc_id % 3 = 2) AND (doc_id % 2 = 0))
+                       OR ((doc_id % 3 < 2) AND (doc_id % 17 = 0))
+                       AS wrong
+              FROM documents),
+            t AS (
+              SELECT 'Org' || org_id AS subject,
+                     CASE pat WHEN 0 THEN 'is headquartered in'
+                              WHEN 1 THEN 'is based in'
+                              ELSE 'opened an office in' END
+                       AS middle,
+                     'City' || (CASE WHEN wrong
+                                THEN (org_id % 5 + 1) % 5
+                                ELSE org_id % 5 END) AS object,
+                     org_id
+              FROM s),
+            seeds AS (
+              SELECT 'Org' || k AS s_subj, 'City' || (k % 5) AS s_obj
+              FROM (SELECT unnest(generate_series(0, 4)) AS k)),
+            scored AS (
+              SELECT middle,
+                     CAST(SUM(CASE WHEN object = s_obj THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(COUNT(*) AS BIGINT) AS n_tot
+              FROM t JOIN seeds ON t.subject = seeds.s_subj
+              GROUP BY middle),
+            kept AS (
+              SELECT middle,
+                     CAST(n_pos * 1000 // n_tot AS BIGINT)
+                       AS pattern_conf
+              FROM scored WHERE n_pos * 1000 // n_tot >= 600),
+            hits AS (SELECT t.subject, t.object, kept.pattern_conf
+                     FROM t JOIN kept USING (middle))
+            SELECT subject, object,
+                   CAST(MAX(pattern_conf) AS BIGINT)
+                     AS confidence_permille,
+                   CAST(COUNT(*) AS BIGINT) AS n_mentions,
+                   subject IN (SELECT s_subj FROM seeds)
+                     AS is_seed_subject
+            FROM hits GROUP BY subject, object
+            ORDER BY subject, object""",
     }

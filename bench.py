@@ -190,7 +190,7 @@ HEADLINE = [
     "text_s_stemmer", "text_burstiness", "store_bloom_skipping",
     "kg_truthfinder", "store_hilbert_layout",
     "events_markov_attribution", "store_expire_snapshots",
-    "events_identity_stitch", "mm_video_shots",
+    "events_identity_stitch", "mm_video_shots", "kg_snowball",
 ]
 
 

@@ -791,3 +791,63 @@ def identity_stitch(observations: DataFrame,
     return (connected_components_uris(edges.distinct())
             .select(F.col("uri").alias("identifier"),
                     F.col("canonical_uri").alias("canonical_id")))
+
+
+def snowball_bootstrap(sentences: DataFrame, seeds: DataFrame,
+                       threshold_permille: int = 600,
+                       sent_col: str = "sent") -> DataFrame:
+    """Snowball-style bootstrapped relation extraction (Agichtein &
+    Gravano 2000), the pattern-induction loop between
+    :func:`distant_supervision` (fixed KB) and hand-written Hearst
+    patterns: (1) tag each sentence's entity pair and MIDDLE context,
+    (2) score every context against the seed pairs — confidence =
+    1000 * supporting_mentions div total_seed-entity_mentions
+    (mention-level scoring, declared variant of Snowball's
+    distinct-pair ratio), (3) keep contexts over the threshold,
+    (4) re-extract: every pair asserted through a kept context,
+    scored by its best pattern.
+
+    Sentences arrive pre-tagged as '<ENT1> <middle words> <ENT2>'
+    (the NER step is upstream); the pair/middle split is one
+    regexp_extract in the scan map.  Shape: pattern scoring is one
+    middle-keyed aggregate over seed-entity mentions (seeds
+    broadcast); re-extraction is one broadcast semi-join on the kept
+    patterns (pattern table is vocabulary-sized) plus one pair
+    aggregate.  All counters exact longs, confidence integer
+    permille.
+
+    Returns (subject, object, confidence_permille, n_mentions,
+    is_seed_subject)."""
+    tagged = sentences.select(
+        F.regexp_extract(F.col(sent_col), r"^(\S+) (.*) (\S+)$", 1)
+        .alias("subject"),
+        F.regexp_extract(F.col(sent_col), r"^(\S+) (.*) (\S+)$", 2)
+        .alias("middle"),
+        F.regexp_extract(F.col(sent_col), r"^(\S+) (.*) (\S+)$", 3)
+        .alias("object")).where(F.col("middle") != "")
+    sd = F.broadcast(seeds.select(F.col("subject").alias("s_subj"),
+                                  F.col("object").alias("s_obj"))
+                     .distinct())
+    scored = (tagged.join(sd, tagged["subject"] == sd["s_subj"])
+              .groupBy("middle")
+              .agg(F.sum(F.when(F.col("object") == F.col("s_obj"), 1)
+                         .otherwise(0)).cast("long").alias("n_pos"),
+                   F.count(F.lit(1)).cast("long").alias("n_tot")))
+    kept = (scored
+            .select("middle",
+                    F.expr("n_pos * 1000 div n_tot").cast("long")
+                    .alias("pattern_conf"))
+            .where(F.col("pattern_conf") >= threshold_permille))
+    hits = tagged.join(F.broadcast(kept), "middle")
+    seed_subjects = F.broadcast(
+        seeds.select(F.col("subject").alias("subject")).distinct()
+        .withColumn("__seed", F.lit(True)))
+    return (hits.groupBy("subject", "object")
+            .agg(F.max("pattern_conf").cast("long")
+                 .alias("confidence_permille"),
+                 F.count(F.lit(1)).cast("long").alias("n_mentions"))
+            .join(seed_subjects, "subject", "left")
+            .select("subject", "object", "confidence_permille",
+                    "n_mentions",
+                    F.coalesce("__seed", F.lit(False))
+                    .alias("is_seed_subject")))
