@@ -5834,6 +5834,39 @@ def _q_kg_snowball(spark, sf_dir):
             .orderBy("subject", "object"))
 
 
+def _q_search_collapse(spark, sf_dir):
+    """Field-collapsed SERP: BM25 top-50 per query, then one result
+    per site (source) with re-ranking and the site's original result
+    count — the one-per-domain rule."""
+    from ferenda_spark.operators.search import (bm25_rank,
+                                                collapse_results)
+    needs = spark.createDataFrame(
+        [("q_spark", "spark"), ("q_spark", "window"),
+         ("q_cust", "customer"), ("q_cust", "join"),
+         ("q_vec", "vector"), ("q_vec", "merge"), ("q_vec", "batch")],
+        "query string, term string")
+    d = _read(spark, sf_dir, "documents")
+    results = bm25_rank(d, needs, limit=50)
+    sites = d.select(F.col("doc_id").cast("string").alias("item"),
+                     F.col("source").alias("site"))
+    return (collapse_results(results, sites, k=1)
+            .orderBy("query", "rank"))
+
+
+def _q_stats_ab_ztest(spark, sf_dir):
+    """Two-proportion z-test on per-user purchase conversion between
+    the even/odd user cohorts — exact integer counts, one pinned
+    IEEE z expression."""
+    from ferenda_spark.operators.quality import two_proportion_ztest
+    ev = _read(spark, sf_dir, "events")
+    subj = (ev.groupBy("user_id")
+            .agg(F.max(F.col("event_type") == "purchase")
+                 .alias("converted"))
+            .select(F.when(F.col("user_id") % 2 == 0, "A")
+                    .otherwise("B").alias("cohort"), "converted"))
+    return two_proportion_ztest(subj)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6183,6 +6216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_identity_stitch": _q_events_identity_stitch,
         "mm_video_shots": _q_mm_video_shots,
         "kg_snowball": _q_kg_snowball,
+        "search_collapse": _q_search_collapse,
+        "stats_ab_ztest": _q_stats_ab_ztest,
     }
 
 
@@ -14496,4 +14531,94 @@ def oracle_sql() -> dict[str, str]:
                      AS is_seed_subject
             FROM hits GROUP BY subject, object
             ORDER BY subject, object""",
+        # the bm25 CTE chain (limit 50) + site join + collapse
+        "search_collapse": r"""
+            WITH needs(query, term) AS (VALUES
+              ('q_spark', 'spark'), ('q_spark', 'window'),
+              ('q_cust', 'customer'), ('q_cust', 'join'),
+              ('q_vec', 'vector'), ('q_vec', 'merge'),
+              ('q_vec', 'batch')),
+            dk AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            d AS (SELECT doc_id, tk, len(tk) AS dl FROM dk),
+            st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+                   FROM d),
+            tdist AS (SELECT DISTINCT term FROM needs),
+            tf AS (
+              SELECT doc_id, dl, term,
+                     len(list_filter(tk, x -> x = term)) AS tf
+              FROM d CROSS JOIN tdist
+              WHERE len(list_filter(tk, x -> x = term)) > 0),
+            dft AS (SELECT term, COUNT(*) AS df FROM tf
+                    GROUP BY term),
+            sc AS (
+              SELECT doc_id, term,
+                     ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+              FROM tf JOIN dft USING (term) CROSS JOIN st),
+            pq AS (
+              SELECT n.query, CAST(sc.doc_id AS VARCHAR) AS item,
+                     round(SUM(sc.s), 6) AS score
+              FROM sc JOIN needs n USING (term)
+              GROUP BY n.query, item),
+            rk AS (
+              SELECT query, item, score,
+                     ROW_NUMBER() OVER (PARTITION BY query
+                       ORDER BY score DESC, item) AS rank
+              FROM pq),
+            base AS (SELECT query, item, score FROM rk
+                     WHERE rank <= 50),
+            sites AS (SELECT CAST(doc_id AS VARCHAR) AS item,
+                             source AS site
+                      FROM documents),
+            j AS (SELECT b.query, b.item, s.site, b.score
+                  FROM base b JOIN sites s USING (item)),
+            m AS (SELECT query, item, site, score,
+                         row_number() OVER (PARTITION BY query, site
+                           ORDER BY score DESC, item) AS gr,
+                         CAST(COUNT(*) OVER (PARTITION BY query, site)
+                              AS BIGINT) AS n_site_results
+                  FROM j)
+            SELECT query, item, site,
+                   CAST(row_number() OVER (PARTITION BY query
+                     ORDER BY score DESC, item) AS INT) AS rank,
+                   score, n_site_results
+            FROM m WHERE gr <= 1 ORDER BY query, rank""",
+        "stats_ab_ztest": """
+            WITH subj AS (
+              SELECT user_id,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS cohort,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS conv
+              FROM events GROUP BY user_id),
+            g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(conv) AS BIGINT) AS x
+                  FROM subj GROUP BY cohort),
+            a AS (SELECT cohort AS cohort_a, n AS n_a, x AS x_a
+                  FROM g ORDER BY cohort LIMIT 1),
+            b AS (SELECT cohort AS cohort_b, n AS n_b, x AS x_b
+                  FROM g ORDER BY cohort DESC LIMIT 1),
+            r AS (SELECT cohort_a, cohort_b, n_a, n_b, x_a, x_b,
+                         (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+                         / (CAST(n_a AS DOUBLE)
+                            + CAST(n_b AS DOUBLE)) AS p
+                  FROM a CROSS JOIN b)
+            SELECT cohort_a, cohort_b, n_a, n_b, x_a, x_b,
+                   CASE WHEN (p * (1.0 - p))
+                             * (1.0 / CAST(n_a AS DOUBLE)
+                                + 1.0 / CAST(n_b AS DOUBLE)) > 0
+                   THEN round((CAST(x_a AS DOUBLE)
+                               / CAST(n_a AS DOUBLE)
+                               - CAST(x_b AS DOUBLE)
+                                 / CAST(n_b AS DOUBLE))
+                              / sqrt((p * (1.0 - p))
+                                     * (1.0 / CAST(n_a AS DOUBLE)
+                                        + 1.0 / CAST(n_b AS DOUBLE))),
+                              6) END AS z
+            FROM r""",
     }

@@ -871,3 +871,41 @@ def kendall_tau(values: DataFrame, group_col: str, x_col: str,
                  " * 1000000 div n_pairs"))
     return out.select("group", "n", "n_concordant", nd,
                       tau.cast("long").alias("tau_micro"))
+
+
+def two_proportion_ztest(subjects: DataFrame,
+                         cohort_col: str = "cohort",
+                         flag_col: str = "converted",
+                         round_to: int = 6) -> DataFrame:
+    """Pooled two-proportion z-test — the A/B-test significance
+    check next to :func:`mann_whitney` (that one compares
+    distributions, this one conversion RATES):
+    z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b)) with the pooled
+    p = (x_a + x_b)/(n_a + n_b).  Cohort A is the lexicographic
+    minimum (deterministic).  Counts stay exact longs; only z is a
+    double, computed in one pinned expression order and rounded
+    (the mann_whitney convention).
+
+    Shape: one cohort groupBy (map-side combined) then two 1-row
+    frames cross-joined — nothing data-sized after the aggregate.
+    Returns ONE row (cohort_a, cohort_b, n_a, n_b, x_a, x_b, z);
+    z is NULL when the pooled variance is 0."""
+    g = (subjects.groupBy(F.col(cohort_col).alias("c"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col(flag_col).cast("long")).cast("long")
+              .alias("x")))
+    a = (g.orderBy(F.col("c").asc()).limit(1)
+         .select(F.col("c").alias("cohort_a"),
+                 F.col("n").alias("n_a"), F.col("x").alias("x_a")))
+    b = (g.orderBy(F.col("c").desc()).limit(1)
+         .select(F.col("c").alias("cohort_b"),
+                 F.col("n").alias("n_b"), F.col("x").alias("x_b")))
+    row = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
+    p = (xa + xb) / (na + nb)
+    var = p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = F.when(var > 0,
+               F.round((xa / na - xb / nb) / F.sqrt(var), round_to))
+    return row.select("cohort_a", "cohort_b", "n_a", "n_b",
+                      "x_a", "x_b", z.alias("z"))

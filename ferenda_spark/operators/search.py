@@ -439,3 +439,34 @@ def rrf_fusion(rankings: DataFrame, k: int = 60,
     return (scored.withColumn("rank", F.row_number().over(w)
                               .cast("long"))
             .where(F.col("rank") <= int(top_k)))
+
+
+def collapse_results(results: DataFrame, sites: DataFrame,
+                     k: int = 1) -> DataFrame:
+    """Search-result field collapsing (Lucene/ES ``collapse``, the
+    one-result-per-domain rule every web SERP applies): within each
+    query keep the top ``k`` results per site (score desc, item
+    tiebreak), drop the rest, re-rank the survivors, and report how
+    many results each surviving site had (the "more from this site"
+    count).
+
+    Candidate-bounded: this runs on the top-N result page, not the
+    corpus — one site-keyed join against the (item, site) dim plus
+    two windows (per (query, site), then per query).  Returns
+    (query, item, site, rank, score, n_site_results)."""
+    from pyspark.sql import Window
+    joined = results.join(sites, "item")
+    w_g = Window.partitionBy("query", "site").orderBy(
+        F.col("score").desc(), F.col("item").asc())
+    w_cnt = Window.partitionBy("query", "site")
+    marked = joined.select(
+        "query", "item", "site", "score",
+        F.row_number().over(w_g).alias("__gr"),
+        F.count(F.lit(1)).over(w_cnt).cast("long")
+        .alias("n_site_results"))
+    w_q = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("item").asc())
+    return (marked.where(F.col("__gr") <= k)
+            .select("query", "item", "site",
+                    F.row_number().over(w_q).alias("rank"),
+                    "score", "n_site_results"))
