@@ -5867,6 +5867,28 @@ def _q_stats_ab_ztest(spark, sf_dir):
     return two_proportion_ztest(subj)
 
 
+_CDC_TAIL = (" shared passage number %s of the corpus boilerplate "
+             "that repeats across documents verbatim and keeps "
+             "repeating until a content cut lands inside it")
+
+
+def _q_dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking over every 5th doc with a planted
+    shared tail per doc_id%7 class: the self-synchronizing cuts
+    realign inside the shared text, so cross-document duplicate
+    chunks surface wherever a boundary lands in the tail."""
+    from ferenda_spark.operators.dedup import cdc_chunks
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") % 5
+                                                == 0)
+    pre, post = _CDC_TAIL.split("%s")
+    docs = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(pre),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(post)).alias("text"))
+    return cdc_chunks(docs).orderBy("chunk_md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6218,6 +6240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snowball": _q_kg_snowball,
         "search_collapse": _q_search_collapse,
         "stats_ab_ztest": _q_stats_ab_ztest,
+        "dedup_cdc_chunks": _q_dedup_cdc_chunks,
     }
 
 
@@ -14621,4 +14644,57 @@ def oracle_sql() -> dict[str, str]:
                                         + 1.0 / CAST(n_b AS DOUBLE))),
                               6) END AS z
             FROM r""",
+        # identical polynomial rolling hash, 8-way contribution
+        # explode, cumulative boundary count, ordered reassembly
+        "dedup_cdc_chunks": """
+            WITH base AS (
+              SELECT doc_id AS doc,
+                     text || ' shared passage number ' || (doc_id % 7)
+                       || ' of the corpus boilerplate that repeats'
+                       || ' across documents verbatim and keeps'
+                       || ' repeating until a content cut lands'
+                       || ' inside it' AS t
+              FROM documents WHERE doc_id % 5 = 0),
+            idx AS (SELECT doc, t, length(t) AS n,
+                           unnest(generate_series(1, length(t)))
+                             AS i
+                    FROM base),
+            chars AS MATERIALIZED (
+              SELECT doc, n, i, substr(t, CAST(i AS INT), 1) AS ch,
+                     ascii(substr(t, CAST(i AS INT), 1)) AS code
+              FROM idx),
+            contrib AS (
+              SELECT doc, i + k AS p, code * w AS term
+              FROM chars,
+                   (VALUES (0, 1), (1, 31), (2, 961), (3, 29791),
+                           (4, 923521), (5, 28629151),
+                           (6, 887503681), (7, 27512614111))
+                     AS kw(k, w)
+              WHERE i + k <= n),
+            h AS (SELECT doc, p, CAST(SUM(term) AS BIGINT) AS h
+                  FROM contrib GROUP BY doc, p),
+            m AS (SELECT c.doc, c.i, c.ch, (h.h % 64 = 0) AS is_b
+                  FROM chars c
+                  JOIN h ON c.doc = h.doc AND c.i = h.p),
+            wid AS (
+              SELECT doc, i, ch,
+                     COALESCE(SUM(CASE WHEN is_b THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS chunk_id
+              FROM m),
+            ch2 AS (SELECT doc, chunk_id,
+                           string_agg(ch, '' ORDER BY i) AS content
+                    FROM wid GROUP BY doc, chunk_id),
+            st AS (SELECT md5(content) AS chunk_md5,
+                          CAST(length(content) AS BIGINT)
+                            AS chunk_len,
+                          doc
+                   FROM ch2)
+            SELECT chunk_md5, chunk_len,
+                   CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM st GROUP BY chunk_md5, chunk_len
+            HAVING COUNT(DISTINCT doc) >= 2
+            ORDER BY chunk_md5""",
     }

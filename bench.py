@@ -191,7 +191,7 @@ HEADLINE = [
     "kg_truthfinder", "store_hilbert_layout",
     "events_markov_attribution", "store_expire_snapshots",
     "events_identity_stitch", "mm_video_shots", "kg_snowball",
-    "search_collapse", "stats_ab_ztest",
+    "search_collapse", "stats_ab_ztest", "dedup_cdc_chunks",
 ]
 
 

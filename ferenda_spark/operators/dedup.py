@@ -718,3 +718,81 @@ def containment_pairs(documents: DataFrame, n: int = 3,
                             / F.col("_sz").cast("double"), 6)
                     .alias("containment"))
             .where(F.col("containment") >= threshold))
+
+
+def cdc_chunks(documents: DataFrame, window: int = 8,
+               mask: int = 63, min_docs: int = 2,
+               doc_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/FastCDC family —
+    LBFS, Muthitacharoen et al. 2001): cut each document wherever the
+    rolling hash of the last ``window`` characters hits
+    ``h % (mask+1) == 0`` (expected chunk = mask+1 chars), hash each
+    chunk, and report chunks shared across documents.  Content-
+    defined cuts SELF-SYNCHRONIZE: an insertion early in a document
+    shifts every byte offset, but boundaries inside unchanged text
+    realign within one window — which is exactly what fixed-size
+    blocks can't do and why every dedup store (and the
+    shared-boilerplate hunt in a web corpus) cuts this way.
+
+    Distributed restatement of the inherently-sequential scan: the
+    polynomial hash h(p) = sum_k code(p-k)*31^k unrolls into a
+    bounded ``window``-way explode (each char contributes to the
+    ``window`` positions it is visible from) plus ONE (doc, pos)
+    groupBy — no sequential state.  No min/max chunk-size clamp (the
+    sequential part of real CDC) — declared gear-less variant.
+    Chunk ids are a per-doc cumulative boundary count (one doc-keyed
+    window), reassembly is a per-chunk sorted collect bounded by
+    chunk length, and the final stats are one md5-keyed aggregate.
+    Every number is an exact long (31^7 * 255 * 8 << 2^63).
+
+    Returns (chunk_md5, chunk_len, n_docs, n_occurrences) for chunks
+    seen in at least ``min_docs`` documents."""
+    from pyspark.sql import Window
+    base = documents.select(F.col(doc_col).alias("doc"),
+                            F.col(text_col).alias("t"))
+    chars = (base
+             .select("doc", "t", F.length("t").alias("n"),
+                     F.explode(F.sequence(F.lit(1), F.length("t")))
+                     .alias("i"))
+             .select("doc", "n", "i",
+                     F.expr("substring(t, i, 1)").alias("ch"))
+             .withColumn("code", F.ascii("ch")))
+    ks = F.array(*[F.struct(F.lit(k).alias("k"),
+                            F.lit(31 ** k).alias("w"))
+                   for k in range(window)])
+    contrib = (chars
+               .select("doc", "n", "i", "code",
+                       F.explode(ks).alias("kw"))
+               .select("doc", "n",
+                       (F.col("i") + F.col("kw.k")).alias("p"),
+                       (F.col("code") * F.col("kw.w")).alias("term"))
+               .where(F.col("p") <= F.col("n")))
+    h = (contrib.groupBy("doc", "p")
+         .agg(F.sum("term").cast("long").alias("h"))
+         .select(F.col("doc").alias("hdoc"), "p", "h"))
+    marked = (chars.join(h, (chars["doc"] == F.col("hdoc"))
+                         & (chars["i"] == F.col("p")))
+              .select("doc", "i", "ch",
+                      (F.col("h") % (mask + 1) == 0).alias("is_b")))
+    w = (Window.partitionBy("doc").orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    withid = marked.select(
+        "doc", "i", "ch",
+        F.coalesce(F.sum(F.col("is_b").cast("long")).over(w),
+                   F.lit(0)).alias("chunk_id"))
+    chunks = (withid.groupBy("doc", "chunk_id")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("i", "ch"))),
+                      lambda s: s["ch"]), "").alias("content")))
+    return (chunks
+            .select("doc", F.md5("content").alias("chunk_md5"),
+                    F.length("content").cast("long")
+                    .alias("chunk_len"))
+            .groupBy("chunk_md5", "chunk_len")
+            .agg(F.countDistinct("doc").cast("long").alias("n_docs"),
+                 F.count(F.lit(1)).cast("long")
+                 .alias("n_occurrences"))
+            .where(F.col("n_docs") >= min_docs))
