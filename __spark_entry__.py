@@ -5041,24 +5041,22 @@ def _q_kg_bnode_canonical(spark, sf_dir):
                        F.lit('"'))
     lit_member = F.concat(F.lit('"Member '), (did % 5).cast("string"),
                           F.lit('"'))
-    quads = (
-        d.select(g.alias("context"), g.alias("subj"),
-                 F.lit("ex:author").alias("pred"), bx.alias("obj"))
-        .unionByName(d.select(g.alias("context"), bx.alias("subj"),
-                              F.lit("ex:name").alias("pred"),
-                              lit_author.alias("obj")))
-        .unionByName(d.select(g.alias("context"), bx.alias("subj"),
-                              F.lit("ex:affiliation").alias("pred"),
-                              by.alias("obj")))
-        .unionByName(d.select(g.alias("context"), by.alias("subj"),
-                              F.lit("ex:name").alias("pred"),
-                              lit_org.alias("obj")))
-        .unionByName(d.select(g.alias("context"), bz.alias("subj"),
-                              F.lit("ex:memberOf").alias("pred"),
-                              by.alias("obj")))
-        .unionByName(d.select(g.alias("context"), bz.alias("subj"),
-                              F.lit("ex:name").alias("pred"),
-                              lit_member.alias("obj"))))
+    def t(s, p, o):
+        return F.struct(s.alias("subj"), F.lit(p).alias("pred"),
+                        o.alias("obj"))
+
+    # one explode, not a 6-way union: unions stack scan partitions
+    # (6 x 32 = 192 tiny tasks feeding every fixpoint round)
+    quads = (d.select(
+        g.alias("context"),
+        F.explode(F.array(
+            t(g, "ex:author", bx),
+            t(bx, "ex:name", lit_author),
+            t(bx, "ex:affiliation", by),
+            t(by, "ex:name", lit_org),
+            t(bz, "ex:memberOf", by),
+            t(bz, "ex:name", lit_member))).alias("q"))
+        .select("context", "q.subj", "q.pred", "q.obj"))
     return (bnode_canonicalize(quads, rounds=3)
             .orderBy("context", "canon_label"))
 

@@ -229,7 +229,14 @@ def bnode_canonicalize(quads: DataFrame, rounds: int = 3,
                      F.col(obj_col).alias("o"))
     is_bn = lambda c: c.startswith("_:")  # noqa: E731
     touch = q.where(is_bn(F.col("s")) | is_bn(F.col("o")))
-    touch = touch.localCheckpoint(eager=True)
+    # normalize the loop width: upstream unions can stack scan
+    # partitions (6-way planted unions -> 192 tiny tasks through
+    # every round); the fixpoint should run at session width, keyed
+    # on the graph so each round's joins see co-located graphs
+    nparts = max(1, min(touch.rdd.getNumPartitions(),
+                        touch.sparkSession.sparkContext
+                        .defaultParallelism))
+    touch = touch.repartition(nparts, "g").localCheckpoint(eager=True)
     bnodes = (touch.select("g", F.col("s").alias("b"))
               .where(is_bn(F.col("b")))
               .unionByName(touch.select("g", F.col("o").alias("b"))
