@@ -5887,6 +5887,61 @@ def _q_dedup_cdc_chunks(spark, sf_dir):
     return cdc_chunks(docs).orderBy("chunk_md5")
 
 
+def _q_kg_boruvka_msf(spark, sf_dir):
+    """Boruvka minimum spanning forest over planted 8-cycles (one
+    per doc block, globally distinct weights, the trailing partial
+    block is a path): the unique MSF is every cycle minus its
+    heaviest edge — which the oracle states closed-form while the
+    operator runs the general fixpoint."""
+    from ferenda_spark.operators.graphs import boruvka_msf
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    w = (((did * 37) % 997) * 10000 + did).alias("weight")
+    chain = d.where(did % 8 != 7).select(
+        did.alias("src"), (did + 1).alias("dst"), w)
+    close = d.where(did % 8 == 7).select(
+        did.alias("src"), (did - 7).alias("dst"), w)
+    return (boruvka_msf(chain.unionByName(close))
+            .orderBy("src", "dst"))
+
+
+def _q_train_curriculum(spark, sf_dir):
+    """Competence-based curriculum schedule over n_chars difficulty
+    (root competence, T=10): exact integer first-epoch assignment
+    via the two-pass global rank."""
+    from ferenda_spark.operators.training import curriculum_schedule
+    return (curriculum_schedule(_read(spark, sf_dir, "documents"),
+                                "n_chars", total_epochs=10)
+            .orderBy("doc_id"))
+
+
+def _q_store_bucket_prune(spark, sf_dir):
+    """Iceberg bucket(16, url) partition pruning: 3 files per
+    bucket, point probes (5 present urls + 5 absent) each scan one
+    bucket's files instead of the whole manifest."""
+    from ferenda_spark.operators.sketches import _h
+    from ferenda_spark.operators.store import bucket_prune
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 10 < 3, F.lit("https://hot.example.org/"))
+        .otherwise(F.lit("https://example.org/")),
+        F.lit("docs/"), F.col("source"), F.lit("/"),
+        did.cast("string"))
+    b = _h(url, "bucket") % 16
+    rows = d.select(url.alias("url"),
+                    F.concat(b.cast("string"), F.lit("-"),
+                             (did % 3).cast("string"))
+                    .alias("file_id"))
+    probes = (d.where(did % 97 == 5)
+              .select(url.alias("probe"))
+              .unionByName(
+                  d.where(did < 5)
+                  .select(F.concat(F.lit("https://absent.example.org/"),
+                                   did.cast("string")).alias("probe"))))
+    return bucket_prune(rows, probes).orderBy("probe")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6239,6 +6294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": _q_search_collapse,
         "stats_ab_ztest": _q_stats_ab_ztest,
         "dedup_cdc_chunks": _q_dedup_cdc_chunks,
+        "kg_boruvka_msf": _q_kg_boruvka_msf,
+        "train_curriculum": _q_train_curriculum,
+        "store_bucket_prune": _q_store_bucket_prune,
     }
 
 
@@ -14695,4 +14753,98 @@ def oracle_sql() -> dict[str, str]:
             FROM st GROUP BY chunk_md5, chunk_len
             HAVING COUNT(DISTINCT doc) >= 2
             ORDER BY chunk_md5""",
+        # unique MSF of the planted cycle family, stated closed-form:
+        # complete 8-cycles lose their max-weight edge, paths keep all
+        "kg_boruvka_msf": """
+            WITH e AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst,
+                     ((doc_id * 37) % 997) * 10000 + doc_id AS weight,
+                     doc_id // 8 AS blk
+              FROM documents WHERE doc_id % 8 <> 7
+              UNION ALL
+              SELECT doc_id, doc_id - 7,
+                     ((doc_id * 37) % 997) * 10000 + doc_id,
+                     doc_id // 8
+              FROM documents WHERE doc_id % 8 = 7),
+            m AS (SELECT *, COUNT(*) OVER (PARTITION BY blk) AS n_e,
+                         MAX(weight) OVER (PARTITION BY blk) AS w_max
+                  FROM e)
+            SELECT CAST(least(src, dst) AS BIGINT) AS src,
+                   CAST(greatest(src, dst) AS BIGINT) AS dst,
+                   CAST(weight AS BIGINT) AS weight
+            FROM m WHERE n_e < 8 OR weight <> w_max
+            ORDER BY src, dst""",
+        "train_curriculum": """
+            WITH d AS (SELECT doc_id,
+                              CAST(n_chars AS BIGINT) AS difficulty
+                       FROM documents),
+            pv AS (SELECT difficulty,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM d GROUP BY difficulty),
+            cum AS (SELECT difficulty,
+                           COALESCE(SUM(c) OVER (ORDER BY difficulty
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cb
+                    FROM pv),
+            r AS (SELECT d.doc_id, d.difficulty,
+                         cb + row_number() OVER (
+                           PARTITION BY d.difficulty
+                           ORDER BY d.doc_id) AS rank
+                  FROM d JOIN cum USING (difficulty)),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+            SELECT doc_id, difficulty, CAST(rank AS BIGINT) AS rank,
+                   CAST(greatest(1, (10 * rank * rank + n * n - 1)
+                                    // (n * n)) AS BIGINT)
+                     AS first_epoch
+            FROM r, n ORDER BY doc_id""",
+        # identical md5 bucket hash; manifest aggregated per
+        # (bucket, file); probes map to exactly one bucket
+        "store_bucket_prune": "WITH " + _F_CTE + """,
+            rows_ AS (
+              SELECT url,
+                     CAST(('0x' || substr(md5('bucket:' || url),
+                          1, 8)) AS BIGINT) % 16 AS bucket,
+                     (CAST(('0x' || substr(md5('bucket:' || url),
+                          1, 8)) AS BIGINT) % 16) || '-'
+                       || (doc_id % 3) AS f
+              FROM f),
+            manifest AS (SELECT bucket, f,
+                                CAST(COUNT(*) AS BIGINT) AS n_rows
+                         FROM rows_ GROUP BY bucket, f),
+            pbk AS (SELECT bucket,
+                           CAST(COUNT(*) AS BIGINT)
+                             AS n_files_scanned,
+                           CAST(SUM(n_rows) AS BIGINT)
+                             AS n_rows_scanned
+                    FROM manifest GROUP BY bucket),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files_total
+                    FROM manifest),
+            probes AS (
+              SELECT url AS probe FROM f WHERE doc_id % 97 = 5
+              UNION ALL
+              SELECT 'https://absent.example.org/' || doc_id
+              FROM documents WHERE doc_id < 5),
+            pb AS (SELECT probe,
+                          CAST(('0x' || substr(md5('bucket:'
+                            || probe), 1, 8)) AS BIGINT) % 16
+                            AS bucket
+                   FROM probes),
+            mt AS (SELECT url AS probe,
+                          CAST(COUNT(*) AS BIGINT)
+                            AS n_matching_rows
+                   FROM rows_
+                   WHERE url IN (SELECT probe FROM probes)
+                   GROUP BY url)
+            SELECT pb.probe, pb.bucket, tot.n_files_total,
+                   CAST(COALESCE(pbk.n_files_scanned, 0) AS BIGINT)
+                     AS n_files_scanned,
+                   CAST(COALESCE(pbk.n_rows_scanned, 0) AS BIGINT)
+                     AS n_rows_scanned,
+                   CAST(COALESCE(mt.n_matching_rows, 0) AS BIGINT)
+                     AS n_matching_rows
+            FROM pb
+            CROSS JOIN tot
+            LEFT JOIN pbk ON pb.bucket = pbk.bucket
+            LEFT JOIN mt ON pb.probe = mt.probe
+            ORDER BY pb.probe""",
     }

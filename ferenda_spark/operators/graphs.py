@@ -2264,3 +2264,81 @@ def katz_centrality(edges: DataFrame, rounds: int = 3,
     return total.select("node", "katz_micro",
                         F.lit(int(rounds)).cast("long")
                         .alias("n_rounds"))
+
+
+def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight_col: str = "weight",
+                max_rounds: int = 8) -> DataFrame:
+    """Borůvka minimum spanning forest — THE distributed MST
+    algorithm (every component picks its cheapest outgoing edge;
+    components at least halve per round, so log n rounds): the
+    backbone-extraction step for weighted similarity/link graphs
+    (single-linkage clustering IS the MSF, cf. dedup cluster trees).
+    Weights must be distinct for a unique forest — callers append a
+    tiebreak (weight*K + edge_id) as planted here.
+
+    Shape per round: each undirected edge is viewed from both sides
+    (one union), endpoint labels arrive by two vertex-keyed joins,
+    the per-component argmin is one groupBy(min(struct)), and the
+    selected edges fold into the forest; labels then recompute via
+    the shared hash-min CC kernel over the forest-so-far (kernel
+    reuse over the textbook star-contraction — declared: contraction
+    touches only selected-edge stars and is the constant-factor
+    optimization at 10^12 edges, the label algebra is identical).
+    Terminates early when no cross-component edge remains.
+
+    Returns the forest edges (src, dst, weight)."""
+    from .canonicalize import connected_components
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"),
+                      F.col(weight_col).cast("long").alias("w"))
+         .where(F.col("u") != F.col("v"))
+         .localCheckpoint(eager=True))
+    labels = (e.select(F.col("u").alias("vertex"))
+              .unionByName(e.select(F.col("v").alias("vertex")))
+              .distinct()
+              .withColumn("component", F.col("vertex"))
+              .localCheckpoint(eager=True))
+    forest = None
+    for _ in range(max_rounds):
+        both = (e.select("u", "v", "w")
+                .unionByName(e.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v"), "w")))
+        lu = labels.select(F.col("vertex").alias("u"),
+                           F.col("component").alias("cu"))
+        lv = labels.select(F.col("vertex").alias("v"),
+                           F.col("component").alias("cv"))
+        cross = (both.join(lu, "u").join(lv, "v")
+                 .where(F.col("cu") != F.col("cv")))
+        picked = (cross.groupBy("cu")
+                  .agg(F.min(F.struct("w", "u", "v")).alias("m"))
+                  .select(F.col("m.u").alias("u"),
+                          F.col("m.v").alias("v"),
+                          F.col("m.w").alias("w"))
+                  .select(F.least("u", "v").alias("u"),
+                          F.greatest("u", "v").alias("v"), "w")
+                  .distinct())
+        if picked.isEmpty():
+            break
+        forest = (picked if forest is None
+                  else forest.unionByName(picked).distinct())
+        forest = forest.localCheckpoint(eager=True)
+        labels = connected_components(
+            forest.select(F.col("u").alias("src"),
+                          F.col("v").alias("dst")))
+        # isolated vertices keep their own label
+        labels = (labels.unionByName(
+            e.select(F.col("u").alias("vertex"))
+            .unionByName(e.select(F.col("v").alias("vertex")))
+            .distinct()
+            .withColumn("component", F.col("vertex")))
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True))
+    if forest is None:
+        return e.select(F.col("u").alias("src"),
+                        F.col("v").alias("dst"),
+                        F.col("w").alias("weight")).limit(0)
+    return forest.select(F.col("u").alias("src"),
+                         F.col("v").alias("dst"),
+                         F.col("w").alias("weight"))

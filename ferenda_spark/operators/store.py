@@ -451,3 +451,53 @@ def expire_snapshots(snapshots: DataFrame, manifests: DataFrame,
         F.when(F.col("live"), F.lit("keep")).otherwise(F.lit("delete"))
         .alias("action"),
         "n_refs", "n_expired_refs")
+
+
+def bucket_prune(rows: DataFrame, probes: DataFrame,
+                 n_buckets: int = 16,
+                 key_col: str = "url", file_col: str = "file_id",
+                 probe_col: str = "probe") -> DataFrame:
+    """Iceberg bucket-transform partition pruning: when the table is
+    laid out by ``bucket(N, key)`` (files carry their key-hash bucket
+    in the partition path), a point predicate on the key scans
+    exactly the one bucket's files — the equality-pruning lever for
+    keys too high-cardinality to range-cluster, complementing
+    :func:`zonemap_prune` (ranges) and :func:`bloom_file_skipping`
+    (per-file membership).  Hash = the portable md5 prefix, so both
+    engines assign identical buckets.
+
+    Shape: the file manifest aggregates once per (bucket, file) —
+    metadata-sized; probes are dimension-sized and broadcast.
+    Returns per probe: (probe, bucket, n_files_total,
+    n_files_scanned, n_rows_scanned, n_matching_rows)."""
+    from .sketches import _h
+    bucketed = rows.select(
+        F.col(file_col).alias("f"), F.col(key_col).alias("key"),
+        (_h(F.col(key_col), "bucket") % n_buckets).alias("bucket"))
+    manifest = (bucketed.groupBy("bucket", "f")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    per_bucket = (manifest.groupBy("bucket")
+                  .agg(F.count(F.lit(1)).cast("long")
+                       .alias("n_files_scanned"),
+                       F.sum("n_rows").cast("long")
+                       .alias("n_rows_scanned")))
+    total = manifest.agg(F.count(F.lit(1)).cast("long")
+                         .alias("n_files_total"))
+    pb = probes.select(
+        F.col(probe_col).alias("probe"),
+        (_h(F.col(probe_col), "bucket") % n_buckets).alias("bucket"))
+    matches = (bucketed.join(
+        F.broadcast(pb.select(F.col("probe").alias("key"))
+                    .distinct()), "key")
+        .groupBy(F.col("key").alias("probe"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matching_rows")))
+    return (pb.crossJoin(F.broadcast(total))
+            .join(F.broadcast(per_bucket), "bucket", "left")
+            .join(F.broadcast(matches), "probe", "left")
+            .select("probe", "bucket", "n_files_total",
+                    F.coalesce("n_files_scanned", F.lit(0))
+                    .cast("long").alias("n_files_scanned"),
+                    F.coalesce("n_rows_scanned", F.lit(0))
+                    .cast("long").alias("n_rows_scanned"),
+                    F.coalesce("n_matching_rows", F.lit(0))
+                    .cast("long").alias("n_matching_rows")))

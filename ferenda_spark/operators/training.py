@@ -828,3 +828,49 @@ def neyman_allocation(rows: DataFrame, sample_n: int,
                      .otherwise(0)).cast("long").alias("alloc_n"),
                     F.expr("1000 * weight div _tw").cast("long")
                     .alias("alloc_permille")))
+
+
+def curriculum_schedule(docs: DataFrame, difficulty_col: str,
+                        total_epochs: int = 10,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Competence-based curriculum (Platanios et al., NAACL 2019):
+    rank documents by difficulty, and admit each one at the first
+    epoch whose competence covers its percentile — with the root
+    competence schedule c(t) = sqrt(t/T), doc enters when
+    c(t) >= rank/n, i.e. first_epoch = ceil(T * rank^2 / n^2),
+    computed as (T*rank^2 + n^2 - 1) div n^2 and clamped to >= 1 —
+    exact integer arithmetic end to end.
+
+    The global rank uses the mann_whitney two-pass trick, NOT a
+    single-partition window: one groupBy to per-difficulty-value
+    counts, a dimension-sized running sum over the ordered distinct
+    values, then row_number only WITHIN each value (groups bounded
+    by that value's frequency) with the id tiebreak.  rank^2 stays
+    in long for corpora below ~3e9 docs; beyond that the percentile
+    moves to fixed-point before squaring (noted, not needed here).
+
+    Returns (doc_id, difficulty, rank, first_epoch)."""
+    from pyspark.sql import Window
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.col(difficulty_col).cast("long")
+                    .alias("difficulty"))
+    per_v = (d.groupBy("difficulty")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    wv = (Window.orderBy("difficulty")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cum = per_v.select(
+        "difficulty",
+        F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("cum_before"))
+    wi = Window.partitionBy("difficulty").orderBy("doc_id")
+    ranked = (d.join(cum, "difficulty")
+              .select("doc_id", "difficulty",
+                      (F.col("cum_before")
+                       + F.row_number().over(wi)).alias("rank")))
+    n_row = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fe = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr("(%d * rank * rank + n * n - 1) div (n * n)"
+               % total_epochs).cast("long"))
+    return (ranked.crossJoin(F.broadcast(n_row))
+            .select("doc_id", "difficulty", "rank",
+                    fe.alias("first_epoch")))
