@@ -5942,6 +5942,37 @@ def _q_store_bucket_prune(spark, sf_dir):
     return bucket_prune(rows, probes).orderBy("probe")
 
 
+def _q_kg_graph_coloring(spark, sf_dir):
+    """Priority-round greedy coloring over planted 8-vertex paths:
+    rounds=8 guarantees completion (worst case one vertex per round
+    along a monotone chain); properness is structural (each round
+    selects an independent set)."""
+    from ferenda_spark.operators.graphs import greedy_coloring
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    edges = d.where(did % 8 != 7).select(did.alias("src"),
+                                         (did + 1).alias("dst"))
+    return greedy_coloring(edges, rounds=8).orderBy("node")
+
+
+def _q_text_texttiling(spark, sf_dir):
+    """TextTiling over planted two-topic documents (40 topic-A
+    tokens, 40 topic-B tokens, then the real text): the A|B gap is
+    a full-depth valley; the real-text tail contributes varied
+    similarities."""
+    from ferenda_spark.operators.textstats import texttiling
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t2 = F.concat(
+        F.repeat(F.concat(F.lit("topica"), (did % 5).cast("string"),
+                          F.lit(" ")), 40),
+        F.repeat(F.concat(F.lit("topicb"), (did % 7).cast("string"),
+                          F.lit(" ")), 40),
+        F.col("text"))
+    return (texttiling(d.select("doc_id", t2.alias("text")))
+            .orderBy("doc_id", "gap_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6297,6 +6328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_boruvka_msf": _q_kg_boruvka_msf,
         "train_curriculum": _q_train_curriculum,
         "store_bucket_prune": _q_store_bucket_prune,
+        "kg_graph_coloring": _q_kg_graph_coloring,
+        "text_texttiling": _q_text_texttiling,
     }
 
 
@@ -7109,6 +7142,40 @@ def _hilbert_chain_sql(bits: int = 8) -> str:
                s * s, rx, ry, prev))
         prev = "h%d" % i
     return ", ".join(ctes), prev
+
+
+def _coloring_sql(rounds: int = 8) -> str:
+    """Unrolled priority-round coloring replay (mirrors
+    graphs.greedy_coloring on the planted 8-vertex paths)."""
+    ctes = ["""
+        und AS (SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+                WHERE doc_id % 8 <> 7),
+        both_ AS (SELECT u AS a, v AS b FROM und
+                  UNION ALL SELECT v, u FROM und),
+        s0 AS MATERIALIZED (
+          SELECT node,
+                 CAST(('0x' || substr(md5('color:' || node), 1, 8))
+                      AS BIGINT) * 100000 + node % 100000
+                   AS priority,
+                 CAST(NULL AS BIGINT) AS color
+          FROM (SELECT DISTINCT a AS node FROM both_))"""]
+    for r in range(1, rounds + 1):
+        ctes.append("""
+        nb%d AS (SELECT e.a AS node, MAX(s.priority) AS nbmax
+                 FROM both_ e JOIN s%d s ON e.b = s.node
+                 WHERE s.color IS NULL GROUP BY e.a),
+        s%d AS MATERIALIZED (
+          SELECT s.node, s.priority,
+                 COALESCE(s.color,
+                          CASE WHEN s.color IS NULL
+                                AND (n.nbmax IS NULL
+                                     OR s.priority > n.nbmax)
+                               THEN %d END) AS color
+          FROM s%d s LEFT JOIN nb%d n ON s.node = n.node)"""
+                    % (r, r - 1, r, r, r - 1, r))
+    return ("WITH " + ",".join(ctes)
+            + " SELECT node, priority, CAST(color AS BIGINT) AS color"
+              " FROM s%d ORDER BY node" % rounds)
 
 
 def _markov_sql(channels=("click", "signup", "view"),
@@ -14847,4 +14914,62 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pbk ON pb.bucket = pbk.bucket
             LEFT JOIN mt ON pb.probe = mt.probe
             ORDER BY pb.probe""",
+        "kg_graph_coloring": _coloring_sql(8),
+        "text_texttiling": r"""
+            WITH d2 AS (
+              SELECT doc_id,
+                     repeat('topica' || (doc_id % 5) || ' ', 40)
+                       || repeat('topicb' || (doc_id % 7) || ' ', 40)
+                       || text AS t
+              FROM documents),
+            tk AS (SELECT doc_id,
+                          string_split_regex(lower(trim(t)),
+                            '[ \t\n\r\f\x0B]+') AS ts
+                   FROM d2),
+            pos AS (SELECT doc_id,
+                           (generate_subscripts(ts, 1) - 1) // 20
+                             AS w,
+                           unnest(ts) AS term
+                    FROM tk),
+            counts AS MATERIALIZED (
+              SELECT doc_id, w, term,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM pos GROUP BY doc_id, w, term),
+            dots AS (SELECT a.doc_id, a.w AS g,
+                            CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                     FROM counts a
+                     JOIN counts b ON a.doc_id = b.doc_id
+                      AND a.term = b.term AND b.w = a.w + 1
+                     GROUP BY a.doc_id, a.w),
+            norms AS (SELECT doc_id, w,
+                             CAST(SUM(c * c) AS BIGINT) AS nsq
+                      FROM counts GROUP BY doc_id, w),
+            gaps AS (
+              SELECT na.doc_id, na.w AS g,
+                     CAST(COALESCE(dots.dot, 0) * 1000
+                          // CAST(floor(sqrt(CAST(na.nsq AS DOUBLE)))
+                                  AS BIGINT)
+                          // CAST(floor(sqrt(CAST(nb.nsq AS DOUBLE)))
+                                  AS BIGINT) AS BIGINT) AS sim_milli
+              FROM norms na
+              JOIN norms nb ON nb.doc_id = na.doc_id
+               AND nb.w = na.w + 1
+              LEFT JOIN dots ON dots.doc_id = na.doc_id
+               AND dots.g = na.w),
+            lg AS (SELECT doc_id, g, sim_milli,
+                          lag(sim_milli) OVER (PARTITION BY doc_id
+                            ORDER BY g) AS pv,
+                          lead(sim_milli) OVER (PARTITION BY doc_id
+                            ORDER BY g) AS nx
+                   FROM gaps)
+            SELECT doc_id, CAST(g AS BIGINT) AS gap_idx, sim_milli,
+                   CAST(COALESCE(pv - sim_milli, 0)
+                        + COALESCE(nx - sim_milli, 0) AS BIGINT)
+                     AS depth,
+                   ((pv IS NULL OR sim_milli < pv)
+                    AND (nx IS NULL OR sim_milli < nx)
+                    AND (COALESCE(pv - sim_milli, 0)
+                         + COALESCE(nx - sim_milli, 0)) > 300)
+                     AS is_boundary
+            FROM lg ORDER BY doc_id, gap_idx""",
     }

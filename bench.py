@@ -193,6 +193,7 @@ HEADLINE = [
     "events_identity_stitch", "mm_video_shots", "kg_snowball",
     "search_collapse", "stats_ab_ztest", "dedup_cdc_chunks",
     "kg_boruvka_msf", "train_curriculum", "store_bucket_prune",
+    "kg_graph_coloring", "text_texttiling",
 ]
 
 

@@ -2342,3 +2342,68 @@ def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
     return forest.select(F.col("u").alias("src"),
                          F.col("v").alias("dst"),
                          F.col("w").alias("weight"))
+
+
+def greedy_coloring(edges: DataFrame, rounds: int = 8,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distributed greedy graph coloring by priority rounds (the
+    Jones-Plassmann / Luby independent-set schedule): in round r,
+    every still-uncolored vertex whose priority beats ALL its
+    uncolored neighbors takes color r — selected vertices form an
+    independent set, so the result is always a PROPER coloring.  The
+    scheduling use case: conflict-free batches for parallel updates
+    over a conflict graph (same-host crawl slots, entity-merge
+    batches that must not touch the same entity).  Declared variant:
+    color = selection round (Luby), not JP's minimal-available
+    color — palette is wider, properness identical, arithmetic
+    integer.
+
+    Priorities are the portable md5 prefix with the vertex id as
+    tiebreak (total order, engine-replayable).  Per round: one
+    neighbor-keyed join + one vertex groupBy-max over UNCOLORED
+    neighbors — only the |V|-sized state moves, the pagerank loop
+    inventory.  A vertex whose chain of decreasing priorities is
+    longer than ``rounds`` stays NULL — surfaced, not hidden (the
+    caller sizes ``rounds`` to the planted diameter or re-runs).
+
+    Vertex ids must be integral.  Returns (node, priority, color)."""
+    und = _normalize_undirected(edges, src, dst)
+    nparts = max(1, min(und.rdd.getNumPartitions(),
+                        und.sparkSession.sparkContext
+                        .defaultParallelism))
+    both = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionByName(und.select(F.col("v").alias("a"),
+                                    F.col("u").alias("b")))
+            .repartition(nparts, "b")
+            .localCheckpoint(eager=True))
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit("color:"),
+                       F.col("node").cast("string"))),
+        1, 8), 16, 10).cast("long")
+    state = (both.select(F.col("a").alias("node")).distinct()
+             .withColumn("priority",
+                         h * 100000 + F.col("node") % 100000)
+             .withColumn("color", F.lit(None).cast("long"))
+             .repartition(nparts, "node")
+             .localCheckpoint(eager=True))
+    for r in range(1, rounds + 1):
+        if state.where(F.col("color").isNull()).isEmpty():
+            break
+        nb = (both
+              .join(state.select(F.col("node").alias("b"),
+                                 F.col("priority").alias("pb"),
+                                 F.col("color").alias("cb")), "b")
+              .where(F.col("cb").isNull())
+              .groupBy(F.col("a").alias("node"))
+              .agg(F.max("pb").alias("nbmax")))
+        state = (state.join(nb, "node", "left")
+                 .select("node", "priority",
+                         F.coalesce(
+                             "color",
+                             F.when(F.col("nbmax").isNull()
+                                    | (F.col("priority")
+                                       > F.col("nbmax")),
+                                    F.lit(r).cast("long")))
+                         .alias("color"))
+                 .localCheckpoint(eager=True))
+    return state.select(F.col("node"), "priority", "color")

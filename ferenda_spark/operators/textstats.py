@@ -1114,3 +1114,74 @@ def burstiness(documents: DataFrame, min_total: int = 20,
                     F.expr("(n * sum_sq - total * total) * 1000"
                            " div (n * total)").cast("long")
                     .alias("vmr_milli")))
+
+
+def texttiling(documents: DataFrame, window: int = 20,
+               depth_threshold_milli: int = 300,
+               doc_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """TextTiling topic segmentation (Hearst, CL 1997): split each
+    document into fixed token windows, score every gap by the
+    lexical cosine between its adjacent windows, and cut where the
+    similarity valley is deep — the subtopic chunker long documents
+    need before chunk-level embedding/packing.
+
+    Integer restatement: per-gap similarity = 1000 * dot div
+    isqrt(|a|^2) div isqrt(|b|^2) with floor(sqrt(double)) norms
+    (the declared Neyman-allocation convention; order-preserving);
+    depth(g) = (sim(g-1) - sim(g)) + (sim(g+1) - sim(g)) over the
+    doc's gap sequence (missing neighbors contribute 0), boundary
+    when sim is a strict local minimum and depth exceeds the
+    threshold.
+
+    Shape: tokenize/posexplode map-side, one (doc, window, term)
+    count aggregate, adjacent-window dot = ONE self-join keyed on
+    (doc, term) between window w and w+1 (co-partitioned), norms
+    ride the same aggregate, the valley test is two lag/lead
+    windows per doc.  Returns (doc_id, gap_idx, sim_milli, depth,
+    is_boundary)."""
+    from pyspark.sql import Window
+    toks = (documents
+            .select(F.col(doc_col).alias("doc"),
+                    F.posexplode(tokens(F.col(text_col)))
+                    .alias("pos", "term"))
+            .select("doc", F.expr("pos div %d" % window).alias("w"),
+                    "term"))
+    counts = (toks.groupBy("doc", "w", "term")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    a = counts.select("doc", F.col("w").alias("g"),
+                      "term", F.col("c").alias("ca"))
+    b = counts.select("doc", (F.col("w") - 1).alias("g"),
+                      "term", F.col("c").alias("cb"))
+    dots = (a.join(b, ["doc", "g", "term"])
+            .groupBy("doc", "g")
+            .agg(F.sum(F.col("ca") * F.col("cb")).cast("long")
+                 .alias("dot")))
+    norms = (counts.groupBy("doc", "w")
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("nsq")))
+    # gaps come from the WINDOW-PAIR list, with the dot LEFT-joined:
+    # adjacent windows sharing no term are the deepest valleys (a
+    # complete topic shift) and must appear as sim 0, not vanish
+    gaps = (norms.select("doc", F.col("w").alias("g"),
+                         F.col("nsq").alias("na"))
+            .join(norms.select("doc", (F.col("w") - 1).alias("g"),
+                               F.col("nsq").alias("nb")),
+                  ["doc", "g"])
+            .join(dots, ["doc", "g"], "left")
+            .select("doc", "g",
+                    F.expr("coalesce(dot, 0) * 1000"
+                           " div floor(sqrt(cast(na as"
+                           " double))) div floor(sqrt(cast(nb as"
+                           " double)))").cast("long")
+                    .alias("sim_milli")))
+    wd = Window.partitionBy("doc").orderBy("g")
+    prev, nxt = F.lag("sim_milli").over(wd), F.lead("sim_milli").over(wd)
+    depth = (F.coalesce(prev - F.col("sim_milli"), F.lit(0))
+             + F.coalesce(nxt - F.col("sim_milli"), F.lit(0)))
+    is_min = ((prev.isNull() | (F.col("sim_milli") < prev))
+              & (nxt.isNull() | (F.col("sim_milli") < nxt)))
+    return gaps.select(
+        F.col("doc").alias("doc_id"), F.col("g").alias("gap_idx"),
+        "sim_milli", depth.cast("long").alias("depth"),
+        (is_min & (depth > depth_threshold_milli)).alias("is_boundary"))
