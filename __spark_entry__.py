@@ -5973,6 +5973,35 @@ def _q_text_texttiling(spark, sf_dir):
             .orderBy("doc_id", "gap_idx"))
 
 
+def _q_events_cohort_revenue(spark, sf_dir):
+    """Cohort LTV triangle over the event stream, month-spread per
+    (user, event) so small scales still produce a real triangle:
+    signup month by first event, purchase revenue in exact integer
+    cents, cumulative by cohort age."""
+    from ferenda_spark.operators.events import cohort_revenue
+    ev = _read(spark, sf_dir, "events")
+    spread = ev.withColumn(
+        "ts", F.expr("add_months(ts, CAST(user_id % 6"
+                     " + event_id % 4 AS INT))"))
+    return (cohort_revenue(spread)
+            .orderBy("cohort_month", "age_months"))
+
+
+def _q_store_partition_evolution(spark, sf_dir):
+    """Mixed-spec scan planning: rows before hour 1000 partition by
+    DAY (old spec), after by HOUR (evolved spec); the [990, 1010)
+    query scans wide day files at the left edge and narrow hour
+    files on the right — per-file pruning under each file's own
+    spec."""
+    from ferenda_spark.operators.store import partition_evolution_scan
+    d = _read(spark, sf_dir, "documents")
+    rows = d.select(((F.col("doc_id") * 7) % 2000).cast("long")
+                    .alias("ts_hour"))
+    return (partition_evolution_scan(rows, cutover_hour=1000,
+                                     query_lo=990, query_hi=1010)
+            .orderBy("spec", "partition_key"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6330,6 +6359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_bucket_prune": _q_store_bucket_prune,
         "kg_graph_coloring": _q_kg_graph_coloring,
         "text_texttiling": _q_text_texttiling,
+        "events_cohort_revenue": _q_events_cohort_revenue,
+        "store_partition_evolution": _q_store_partition_evolution,
     }
 
 
@@ -14972,4 +15003,65 @@ def oracle_sql() -> dict[str, str]:
                          + COALESCE(nx - sim_milli, 0)) > 300)
                      AS is_boundary
             FROM lg ORDER BY doc_id, gap_idx""",
+        "events_cohort_revenue": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type, value,
+                     ts + INTERVAL (user_id % 6 + event_id % 4)
+                       MONTH AS ts
+              FROM events),
+            first_e AS (
+              SELECT user_id,
+                     strftime(MIN(ts), '%Y-%m') AS cohort_month,
+                     date_trunc('month', MIN(ts)) AS m0
+              FROM ev GROUP BY user_id),
+            rev AS (SELECT user_id, ts,
+                           CAST(round(value * 100) AS BIGINT)
+                             AS cents
+                    FROM ev WHERE event_type = 'purchase'),
+            j AS (SELECT r.user_id, f.cohort_month, r.cents,
+                         CAST(datediff('month', f.m0,
+                              date_trunc('month', r.ts)) AS BIGINT)
+                           AS age_months
+                  FROM rev r JOIN first_e f USING (user_id)),
+            tri AS (SELECT cohort_month, age_months,
+                           CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                             AS n_active_users,
+                           CAST(SUM(cents) AS BIGINT)
+                             AS revenue_cents
+                    FROM j GROUP BY cohort_month, age_months)
+            SELECT cohort_month, age_months, n_active_users,
+                   revenue_cents,
+                   CAST(SUM(revenue_cents) OVER (
+                     PARTITION BY cohort_month ORDER BY age_months
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT)
+                     AS cum_revenue_cents
+            FROM tri ORDER BY cohort_month, age_months""",
+        "store_partition_evolution": """
+            WITH rows_ AS (
+              SELECT CAST((doc_id * 7) % 2000 AS BIGINT) AS th
+              FROM documents),
+            manifest AS (
+              SELECT CASE WHEN th >= 1000 THEN 'hour' ELSE 'day' END
+                       AS spec,
+                     CAST(CASE WHEN th >= 1000 THEN th
+                          ELSE th // 24 END AS BIGINT)
+                       AS partition_key,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM rows_ GROUP BY 1, 2)
+            SELECT spec, partition_key, n_rows,
+                   CAST(CASE WHEN spec = 'day'
+                        THEN partition_key * 24
+                        ELSE partition_key END AS BIGINT) AS lo_hour,
+                   CAST(CASE WHEN spec = 'day'
+                        THEN partition_key * 24 + 24
+                        ELSE partition_key + 1 END AS BIGINT)
+                     AS hi_hour,
+                   (CASE WHEN spec = 'day' THEN partition_key * 24
+                         ELSE partition_key END) < 1010
+                   AND (CASE WHEN spec = 'day'
+                        THEN partition_key * 24 + 24
+                        ELSE partition_key + 1 END) > 990
+                     AS scanned
+            FROM manifest ORDER BY spec, partition_key""",
     }

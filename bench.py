@@ -194,6 +194,7 @@ HEADLINE = [
     "search_collapse", "stats_ab_ztest", "dedup_cdc_chunks",
     "kg_boruvka_msf", "train_curriculum", "store_bucket_prune",
     "kg_graph_coloring", "text_texttiling",
+    "events_cohort_revenue", "store_partition_evolution",
 ]
 
 

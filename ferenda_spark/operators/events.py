@@ -777,3 +777,53 @@ def markov_attribution(events: DataFrame, channels: list,
         "channel string, base_conv_micro long, "
         "removed_conv_micro long, removal_effect_micro long, "
         "attribution_permille long")
+
+
+def cohort_revenue(events: DataFrame,
+                   revenue_type: str = "purchase",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   value_col: str = "value") -> DataFrame:
+    """Cohort LTV table: users grouped by their signup month (first
+    event), revenue accumulated by cohort age — the
+    (cohort, age) -> cumulative-revenue triangle every subscription/
+    commerce dashboard renders.  Revenue is integer CENTS
+    (round(value*100) — one IEEE multiply+round both engines share,
+    declared), so every aggregate and the running total are exact
+    longs.
+
+    Shape: first-event month is one user-keyed min; attribution of
+    each revenue event to (cohort, age) is a map-side month-diff
+    after ONE user-keyed join; the triangle is one (cohort, age)
+    aggregate plus a cohort-keyed running-sum window over the
+    dimension-sized triangle itself.
+
+    Returns (cohort_month, age_months, n_active_users,
+    revenue_cents, cum_revenue_cents)."""
+    from pyspark.sql import Window
+    u = F.col(user_col)
+    first = (events.groupBy(u.alias("user"))
+             .agg(F.date_format(F.min(ts_col), "yyyy-MM")
+                  .alias("cohort_month"),
+                  F.min(F.date_trunc("month", F.col(ts_col)))
+                  .alias("m0")))
+    rev = (events.where(F.col(type_col) == revenue_type)
+           .select(u.alias("user"), F.col(ts_col).alias("t"),
+                   F.round(F.col(value_col) * 100).cast("long")
+                   .alias("cents")))
+    joined = rev.join(first, "user").select(
+        "user", "cohort_month", "cents",
+        (F.months_between(F.date_trunc("month", F.col("t")),
+                          F.col("m0"))).cast("long")
+        .alias("age_months"))
+    tri = (joined.groupBy("cohort_month", "age_months")
+           .agg(F.countDistinct("user").cast("long")
+                .alias("n_active_users"),
+                F.sum("cents").cast("long").alias("revenue_cents")))
+    w = (Window.partitionBy("cohort_month").orderBy("age_months")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return tri.select(
+        "cohort_month", "age_months", "n_active_users",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("long")
+        .alias("cum_revenue_cents"))

@@ -501,3 +501,42 @@ def bucket_prune(rows: DataFrame, probes: DataFrame,
                     .cast("long").alias("n_rows_scanned"),
                     F.coalesce("n_matching_rows", F.lit(0))
                     .cast("long").alias("n_matching_rows")))
+
+
+def partition_evolution_scan(rows: DataFrame, cutover_hour: int,
+                             query_lo: int, query_hi: int,
+                             ts_col: str = "ts_hour") -> DataFrame:
+    """Partition-spec evolution planning (Iceberg's headline
+    metadata feature): data written before the cutover lives in
+    DAY-grained partitions, data after in HOUR-grained ones, and
+    both specs coexist in one table — the scan planner must prune
+    each file under ITS OWN spec's transform, never rewriting old
+    files.  A time-range query therefore reads wide day files at the
+    range edges written under the old spec and narrow hour files
+    under the new one — exactly the mixed-manifest behavior this
+    reports.
+
+    Shape: one (spec, partition) aggregate builds the manifest
+    (metadata-sized); the prune test is row-local interval overlap
+    on [query_lo, query_hi).  Returns (spec, partition_key, n_rows,
+    lo_hour, hi_hour, scanned)."""
+    ts = F.col(ts_col)
+    spec = F.when(ts >= cutover_hour, "hour").otherwise("day")
+    pkey = F.when(ts >= cutover_hour, ts) \
+        .otherwise(F.expr("%s div 24" % ts_col))
+    manifest = (rows
+                .select(spec.alias("spec"),
+                        pkey.cast("long").alias("partition_key"))
+                .groupBy("spec", "partition_key")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    lo = F.when(F.col("spec") == "day",
+                F.col("partition_key") * 24) \
+        .otherwise(F.col("partition_key"))
+    hi = F.when(F.col("spec") == "day",
+                F.col("partition_key") * 24 + 24) \
+        .otherwise(F.col("partition_key") + 1)
+    return manifest.select(
+        "spec", "partition_key", "n_rows",
+        lo.cast("long").alias("lo_hour"),
+        hi.cast("long").alias("hi_hour"),
+        ((lo < query_hi) & (hi > query_lo)).alias("scanned"))
