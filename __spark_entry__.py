@@ -5476,15 +5476,12 @@ def _q_kg_inclusion_deps(spark, sf_dir):
         .orderBy("lhs", "rhs")
 
 
-def _q_kg_interval_conflicts(spark, sf_dir):
-    """Temporal functional-predicate conflicts over planted employer
-    facts (20 facts per entity, 60-240 day validity windows): pairs
-    with the same (subject, predicate), different object, overlapping
-    [from, to) validity — the pre-fusion constraint check."""
-    from ferenda_spark.operators.temporal import interval_conflicts
+def _employer_facts(spark, sf_dir):
+    """Planted temporal employer facts (shared by
+    kg_interval_conflicts and kg_asof_diff)."""
     d = _read(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    facts = d.select(
+    return d.select(
         F.concat(F.lit("https://example.org/res/entity/"),
                  (did % 50).cast("string")).alias("subject"),
         F.lit("org:employer").alias("predicate"),
@@ -5495,6 +5492,15 @@ def _q_kg_interval_conflicts(spark, sf_dir):
         F.date_add(F.lit("2020-01-01").cast("date"),
                    (((did * 37) % 1461) + 60 + (did % 5) * 45)
                    .cast("int")).alias("valid_to"))
+
+
+def _q_kg_interval_conflicts(spark, sf_dir):
+    """Temporal functional-predicate conflicts over planted employer
+    facts (20 facts per entity, 60-240 day validity windows): pairs
+    with the same (subject, predicate), different object, overlapping
+    [from, to) validity — the pre-fusion constraint check."""
+    from ferenda_spark.operators.temporal import interval_conflicts
+    facts = _employer_facts(spark, sf_dir)
     return (interval_conflicts(facts)
             .select("subject", "predicate", "obj_a", "obj_b",
                     F.date_format("overlap_from", "yyyy-MM-dd")
@@ -6002,6 +6008,28 @@ def _q_store_partition_evolution(spark, sf_dir):
             .orderBy("spec", "partition_key"))
 
 
+def _q_text_stopword_induction(spark, sf_dir):
+    """Statistical stopword induction over the corpus: ubiquitous
+    (df >= 50%) AND non-bursty (VMR <= 2000 milli) terms flag as
+    stopwords."""
+    from ferenda_spark.operators.textstats import stopword_induction
+    return (stopword_induction(_read(spark, sf_dir, "documents"))
+            .orderBy("term"))
+
+
+def _q_kg_asof_diff(spark, sf_dir):
+    """Temporal-KG state diff between AS-OF 2021-06-01 and
+    2022-06-01 over the planted employer facts: added / removed /
+    kept via two point-in-interval filters + one fact-keyed full
+    outer join."""
+    from ferenda_spark.operators.temporal import asof_diff
+    facts = _employer_facts(spark, sf_dir)
+    return (asof_diff(facts,
+                      F.lit("2021-06-01").cast("date"),
+                      F.lit("2022-06-01").cast("date"))
+            .orderBy("subject", "object", "status"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6361,6 +6389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_texttiling": _q_text_texttiling,
         "events_cohort_revenue": _q_events_cohort_revenue,
         "store_partition_evolution": _q_store_partition_evolution,
+        "text_stopword_induction": _q_text_stopword_induction,
+        "kg_asof_diff": _q_kg_asof_diff,
     }
 
 
@@ -15064,4 +15094,59 @@ def oracle_sql() -> dict[str, str]:
                         ELSE partition_key + 1 END) > 990
                      AS scanned
             FROM manifest ORDER BY spec, partition_key""",
+        "text_stopword_induction": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)),
+                     '[ \t\n\r\f\x0B]+') AS t
+              FROM documents),
+            pairs AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            pc AS (SELECT doc_id, term,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM pairs GROUP BY doc_id, term),
+            pt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(c) AS BIGINT) AS total,
+                          CAST(SUM(c * c) AS BIGINT) AS sum_sq
+                   FROM pc GROUP BY term HAVING SUM(c) >= 20),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents)
+            SELECT term, n_docs,
+                   CAST(n_docs * 1000 // n AS BIGINT) AS df_permille,
+                   CAST((n * sum_sq - total * total) * 1000
+                        // (n * total) AS BIGINT) AS vmr_milli,
+                   (n_docs * 1000 // n >= 500)
+                   AND ((n * sum_sq - total * total) * 1000
+                        // (n * total) <= 2000) AS is_stopword
+            FROM pt, nn ORDER BY term""",
+        "kg_asof_diff": """
+            WITH facts AS (
+              SELECT 'https://example.org/res/entity/' || (doc_id % 50)
+                       AS subject,
+                     'org:employer' AS predicate,
+                     'https://example.org/res/org/pub' || (doc_id % 7)
+                       AS object,
+                     DATE '2020-01-01'
+                       + INTERVAL ((doc_id * 37) % 1461) DAY
+                       AS valid_from,
+                     DATE '2020-01-01'
+                       + INTERVAL (((doc_id * 37) % 1461)
+                                   + 60 + (doc_id % 5) * 45) DAY
+                       AS valid_to
+              FROM documents),
+            a1 AS (SELECT DISTINCT subject, predicate, object,
+                          1 AS fa
+                   FROM facts
+                   WHERE valid_from <= DATE '2021-06-01'
+                     AND valid_to > DATE '2021-06-01'),
+            a2 AS (SELECT DISTINCT subject, predicate, object,
+                          1 AS fb
+                   FROM facts
+                   WHERE valid_from <= DATE '2022-06-01'
+                     AND valid_to > DATE '2022-06-01')
+            SELECT subject, predicate, object,
+                   CASE WHEN fa IS NULL THEN 'added'
+                        WHEN fb IS NULL THEN 'removed'
+                        ELSE 'kept' END AS status
+            FROM a1 FULL OUTER JOIN a2
+              USING (subject, predicate, object)
+            ORDER BY subject, object, status""",
     }

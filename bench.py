@@ -195,6 +195,7 @@ HEADLINE = [
     "kg_boruvka_msf", "train_curriculum", "store_bucket_prune",
     "kg_graph_coloring", "text_texttiling",
     "events_cohort_revenue", "store_partition_evolution",
+    "text_stopword_induction", "kg_asof_diff",
 ]
 
 

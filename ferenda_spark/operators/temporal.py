@@ -179,3 +179,32 @@ def interval_conflicts(facts: DataFrame,
             .select(*keys, "obj_a", "obj_b",
                     F.greatest("__sa", "__sb").alias("overlap_from"),
                     F.least("__ea", "__eb").alias("overlap_to")))
+
+
+def asof_diff(facts: DataFrame, t1, t2,
+              key_cols: tuple = ("subject", "predicate", "object"),
+              start_col: str = "valid_from",
+              end_col: str = "valid_to") -> DataFrame:
+    """Temporal-KG state diff: the facts valid AS OF ``t1`` vs AS OF
+    ``t2`` (half-open [from, to) containment), classified added /
+    removed / kept — the "what changed between snapshots" query a
+    versioned KG answers for audit and downstream-sync (the
+    interval-table generalization of snaptable time travel).
+
+    Two map-side point-in-interval filters over the SAME scan + one
+    full-outer join keyed on the fact triple (co-partitioned).
+    Returns (key cols..., status)."""
+    keys = list(key_cols)
+    at1 = (facts.where((F.col(start_col) <= t1)
+                       & (F.col(end_col) > t1))
+           .select(*keys).distinct()
+           .withColumn("__a", F.lit(1)))
+    at2 = (facts.where((F.col(start_col) <= t2)
+                       & (F.col(end_col) > t2))
+           .select(*keys).distinct()
+           .withColumn("__b", F.lit(1)))
+    return (at1.join(at2, keys, "full_outer")
+            .select(*keys,
+                    F.when(F.col("__a").isNull(), "added")
+                    .when(F.col("__b").isNull(), "removed")
+                    .otherwise("kept").alias("status")))

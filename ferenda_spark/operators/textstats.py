@@ -1185,3 +1185,45 @@ def texttiling(documents: DataFrame, window: int = 20,
         F.col("doc").alias("doc_id"), F.col("g").alias("gap_idx"),
         "sim_milli", depth.cast("long").alias("depth"),
         (is_min & (depth > depth_threshold_milli)).alias("is_boundary"))
+
+
+def stopword_induction(documents: DataFrame, min_total: int = 20,
+                       df_threshold_permille: int = 500,
+                       vmr_threshold_milli: int = 2000,
+                       doc_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Corpus-driven stopword induction (Wilbur & Sirotkin 1992's
+    statistical take, as used when a web corpus spans languages no
+    curated list covers): a term is a stopword candidate when it is
+    UBIQUITOUS (document frequency above ``df_threshold_permille``)
+    and POISSON-LIKE (burstiness VMR below ``vmr_threshold_milli`` —
+    content terms are bursty, function words are not).  Combines the
+    :func:`burstiness` statistic with document frequency in one
+    pass.
+
+    Same shape as burstiness: two keyed groupBys + a 1-row N
+    broadcast; all integer.  Returns (term, n_docs, df_permille,
+    vmr_milli, is_stopword) for terms with total >= min_total."""
+    pairs = (documents
+             .select(F.col(doc_col).alias("doc"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+             .groupBy("doc", "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per_term = (pairs.groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                     F.sum("c").cast("long").alias("total"),
+                     F.sum(F.col("c") * F.col("c")).cast("long")
+                     .alias("sum_sq"))
+                .where(F.col("total") >= min_total))
+    n_row = documents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = (per_term.crossJoin(F.broadcast(n_row))
+            .select("term", "n_docs",
+                    F.expr("n_docs * 1000 div n").cast("long")
+                    .alias("df_permille"),
+                    F.expr("(n * sum_sq - total * total) * 1000"
+                           " div (n * total)").cast("long")
+                    .alias("vmr_milli")))
+    return base.withColumn(
+        "is_stopword",
+        (F.col("df_permille") >= df_threshold_permille)
+        & (F.col("vmr_milli") <= vmr_threshold_milli))
