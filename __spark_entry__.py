@@ -6030,6 +6030,32 @@ def _q_kg_asof_diff(spark, sf_dir):
             .orderBy("subject", "object", "status"))
 
 
+def _q_events_sprt(spark, sf_dir):
+    """Wald SPRT per event-type experiment: success = value > 10,
+    H1: p=0.6 vs H0: p=0.4, 5% error barriers; integer-micro LLR
+    walk, first-crossing decision."""
+    from ferenda_spark.operators.events import sprt
+    ev = _read(spark, sf_dir, "events")
+    obs = ev.select(F.col("event_type").alias("grp"), "ts",
+                    "event_id",
+                    (F.col("value") > 10.0).alias("success"))
+    return sprt(obs, p0=0.4, p1=0.6).orderBy("grp")
+
+
+def _q_train_pareto(spark, sf_dir):
+    """Per-source 2-D Pareto frontier over (length-cost, freshness):
+    the skyline of non-dominated docs; the oracle is the INDEPENDENT
+    quadratic NOT-EXISTS dominance test."""
+    from ferenda_spark.operators.training import pareto_selection
+    d = _read(spark, sf_dir, "documents")
+    items = d.select("source", "doc_id",
+                     F.col("n_chars").alias("cost"),
+                     ((F.col("doc_id") * 37) % 1461).alias("value"))
+    return (pareto_selection(items, "source", "cost", "value",
+                             "doc_id")
+            .orderBy("group", "id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6391,6 +6417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_partition_evolution": _q_store_partition_evolution,
         "text_stopword_induction": _q_text_stopword_induction,
         "kg_asof_diff": _q_kg_asof_diff,
+        "events_sprt": _q_events_sprt,
+        "train_pareto": _q_train_pareto,
     }
 
 
@@ -15149,4 +15177,65 @@ def oracle_sql() -> dict[str, str]:
             FROM a1 FULL OUTER JOIN a2
               USING (subject, predicate, object)
             ORDER BY subject, object, status""",
+        # constants computed with the same math.floor(math.log(...))
+        # the operator uses, inlined as literals
+        "events_sprt": (lambda c1, c0, up, lo: """
+            WITH obs AS (
+              SELECT event_type AS grp, ts, event_id,
+                     CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS s
+              FROM events),
+            walked AS (
+              SELECT grp,
+                     CAST(row_number() OVER (PARTITION BY grp
+                       ORDER BY ts, event_id) AS BIGINT) AS n,
+                     CAST(SUM(s) OVER (PARTITION BY grp
+                       ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS k
+              FROM obs),
+            sc AS (
+              SELECT grp, n, k,
+                     k * (%d) + (n - k) * (%d) AS llr_micro,
+                     CASE WHEN k * (%d) + (n - k) * (%d) >= %d
+                          THEN 'accept_h1'
+                          WHEN k * (%d) + (n - k) * (%d) <= %d
+                          THEN 'accept_h0' END AS decision
+              FROM walked),
+            fc AS (SELECT grp, n, k, llr_micro, decision
+                   FROM (SELECT *, row_number() OVER (
+                           PARTITION BY grp ORDER BY n) AS rn
+                         FROM sc WHERE decision IS NOT NULL)
+                   WHERE rn = 1),
+            un AS (SELECT grp, n, k, llr_micro,
+                          'continue' AS decision
+                   FROM (SELECT *, row_number() OVER (
+                           PARTITION BY grp ORDER BY n DESC) AS rn
+                         FROM sc) s2
+                   WHERE rn = 1
+                     AND grp NOT IN (SELECT grp FROM fc))
+            SELECT * FROM fc UNION ALL SELECT * FROM un
+            ORDER BY grp"""
+            % (c1, c0, c1, c0, up, c1, c0, lo))(
+            __import__("math").floor(
+                __import__("math").log(0.6 / 0.4) * 1e6),
+            __import__("math").floor(
+                __import__("math").log(0.4 / 0.6) * 1e6),
+            __import__("math").floor(
+                __import__("math").log(0.95 / 0.05) * 1e6),
+            __import__("math").floor(
+                __import__("math").log(0.05 / 0.95) * 1e6)),
+        # INDEPENDENT quadratic dominance test (the operator's
+        # windowed frontier must agree with brute force)
+        "train_pareto": """
+            WITH t AS (
+              SELECT source AS grp, doc_id AS id,
+                     CAST(n_chars AS BIGINT) AS cost,
+                     CAST((doc_id * 37) % 1461 AS BIGINT) AS value
+              FROM documents)
+            SELECT grp AS "group", id, cost, value FROM t p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM t q
+              WHERE q.grp = p.grp AND q.cost <= p.cost
+                AND q.value >= p.value
+                AND (q.cost < p.cost OR q.value > p.value))
+            ORDER BY "group", id""",
     }

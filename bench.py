@@ -196,6 +196,7 @@ HEADLINE = [
     "kg_graph_coloring", "text_texttiling",
     "events_cohort_revenue", "store_partition_evolution",
     "text_stopword_induction", "kg_asof_diff",
+    "events_sprt", "train_pareto",
 ]
 
 

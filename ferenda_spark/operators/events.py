@@ -827,3 +827,59 @@ def cohort_revenue(events: DataFrame,
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("long")
         .alias("cum_revenue_cents"))
+
+
+def sprt(observations: DataFrame, p0: float, p1: float,
+         alpha: float = 0.05, beta: float = 0.05,
+         group_col: str = "grp", success_col: str = "success",
+         order_cols: tuple = ("ts", "event_id")) -> DataFrame:
+    """Wald's sequential probability ratio test per experiment
+    group: walk the observation stream in time order accumulating
+    the Bernoulli log-likelihood ratio for H1: p = p1 vs
+    H0: p = p0, and stop at the FIRST crossing of the
+    ln((1-beta)/alpha) / ln(beta/(1-alpha)) barriers — the
+    early-stopping A/B machinery that ends experiments in a third
+    of the fixed-horizon samples.
+
+    Exact integer walk: the per-observation increments are the two
+    CONSTANTS floor(ln(p1/p0)*1e6) and floor(ln((1-p1)/(1-p0))*1e6)
+    (both engines share IEEE ln — the recrawl-schedule precedent —
+    and floor pins the scale), so LLR(n) = k*C1 + (n-k)*C0 is a
+    pure long expression over one group-keyed cumulative window.
+    The decision row is one groupBy(min(struct(n))) over crossing
+    rows; undecided groups report their final state as 'continue'.
+
+    Returns (grp, n, k, llr_micro, decision)."""
+    import math
+
+    from pyspark.sql import Window
+    c1 = math.floor(math.log(p1 / p0) * 1e6)
+    c0 = math.floor(math.log((1 - p1) / (1 - p0)) * 1e6)
+    upper = math.floor(math.log((1 - beta) / alpha) * 1e6)
+    lower = math.floor(math.log(beta / (1 - alpha)) * 1e6)
+    w = (Window.partitionBy(group_col)
+         .orderBy(*[F.col(c).asc() for c in order_cols]))
+    walked = observations.select(
+        F.col(group_col).alias("grp"),
+        F.row_number().over(w).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("k"))
+    llr = F.col("k") * c1 + (F.col("n") - F.col("k")) * c0
+    scored = walked.select(
+        "grp", "n", "k", llr.alias("llr_micro"),
+        F.when(llr >= upper, "accept_h1")
+        .when(llr <= lower, "accept_h0").alias("decision"))
+    first_cross = (scored.where(F.col("decision").isNotNull())
+                   .groupBy("grp")
+                   .agg(F.min(F.struct("n", "k", "llr_micro",
+                                       "decision")).alias("m"))
+                   .select("grp", "m.n", "m.k", "m.llr_micro",
+                           "m.decision"))
+    last = (scored.groupBy("grp")
+            .agg(F.max(F.struct("n", "k", "llr_micro")).alias("m"))
+            .select("grp", "m.n", "m.k", "m.llr_micro",
+                    F.lit("continue").alias("decision")))
+    undecided = last.join(first_cross.select("grp"), "grp",
+                          "left_anti")
+    return first_cross.unionByName(undecided)

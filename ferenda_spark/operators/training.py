@@ -874,3 +874,43 @@ def curriculum_schedule(docs: DataFrame, difficulty_col: str,
     return (ranked.crossJoin(F.broadcast(n_row))
             .select("doc_id", "difficulty", "rank",
                     fe.alias("first_epoch")))
+
+
+def pareto_selection(items: DataFrame, group_col: str = "source",
+                     cost_col: str = "cost",
+                     value_col: str = "value",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-group 2-D Pareto frontier (the skyline operator): keep
+    items no other item dominates (<= cost AND >= value, strict in
+    one) — multi-criteria training-data selection (e.g. minimize
+    length-cost, maximize freshness) without collapsing the two
+    axes into one arbitrary weighted score.
+
+    Scalable shape instead of the quadratic dominance join: (1) one
+    (group, cost) aggregate keeps each cost's best value, (2) the
+    frontier test is a running strict-max window over the per-cost
+    AGGREGATE (distinct costs — dimension-bounded, never the item
+    stream), (3) survivors map back by one (group, cost) join where
+    value == the cost's best (equal (cost, value) duplicates are
+    mutually non-dominating and all survive).  The oracle states
+    dominance INDEPENDENTLY as a NOT EXISTS quadratic join, so a
+    frontier bug cannot hide in a shared formulation.
+
+    Returns (group, id, cost, value) frontier rows."""
+    from pyspark.sql import Window
+    it = items.select(F.col(group_col).alias("group"),
+                      F.col(id_col).alias("id"),
+                      F.col(cost_col).cast("long").alias("cost"),
+                      F.col(value_col).cast("long").alias("value"))
+    per_cost = (it.groupBy("group", "cost")
+                .agg(F.max("value").alias("vmax")))
+    w = (Window.partitionBy("group").orderBy(F.col("cost").asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier_costs = (per_cost
+                      .withColumn("prev_best", F.max("vmax").over(w))
+                      .where(F.col("prev_best").isNull()
+                             | (F.col("vmax") > F.col("prev_best")))
+                      .select("group", "cost", "vmax"))
+    return (it.join(frontier_costs, ["group", "cost"])
+            .where(F.col("value") == F.col("vmax"))
+            .select("group", "id", "cost", "value"))
