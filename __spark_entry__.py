@@ -6056,6 +6056,48 @@ def _q_train_pareto(spark, sf_dir):
             .orderBy("group", "id"))
 
 
+def _q_kg_rdfstar(spark, sf_dir):
+    """RDF-star annotation parsing over planted Turtle-star lines
+    (one quoted-triple confidence annotation per doc, every 29th
+    line malformed -> quarantine flag)."""
+    from ferenda_spark.operators.rdfio import rdfstar_annotations
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    line = F.when(
+        did % 29 == 0,
+        F.concat(F.lit("malformed "), did.cast("string"))).otherwise(
+        F.concat(F.lit("<< ex:e"), (did % 50).cast("string"),
+                 F.lit(" ex:worksFor ex:org"),
+                 (did % 7).cast("string"),
+                 F.lit(' >> ex:confidence "'),
+                 (did % 1000).cast("string"), F.lit('" .')))
+    return (rdfstar_annotations(d.select(line.alias("line")))
+            .orderBy("stmt_id", "ann_obj", "parsed"))
+
+
+def _q_store_mor_planning(spark, sf_dir):
+    """Merge-on-read maintenance plan: 50-row files, two planted
+    positional-delete entries per file; files past 30% masked rows
+    get a copy-on-write rewrite."""
+    from ferenda_spark.operators.store import mor_planning
+    d = _read(spark, sf_dir, "documents")
+    fid = F.expr("doc_id div 50")
+    files = (d.groupBy(F.concat(F.lit("f"), fid.cast("string"))
+                       .alias("file_id"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    ks = (d.select(fid.alias("k")).distinct())
+    deletes = (ks.select(
+        F.concat(F.lit("f"), F.col("k").cast("string"))
+        .alias("file_id"),
+        ((F.col("k") * 7) % 40).alias("n_deleted"))
+        .unionByName(ks.select(
+            F.concat(F.lit("f"), F.col("k").cast("string"))
+            .alias("file_id"),
+            ((F.col("k") * 3) % 10).alias("n_deleted")))
+        .where(F.col("n_deleted") > 0))
+    return (mor_planning(files, deletes).orderBy("file_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6419,6 +6461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof_diff": _q_kg_asof_diff,
         "events_sprt": _q_events_sprt,
         "train_pareto": _q_train_pareto,
+        "kg_rdfstar": _q_kg_rdfstar,
+        "store_mor_planning": _q_store_mor_planning,
     }
 
 
@@ -15238,4 +15282,67 @@ def oracle_sql() -> dict[str, str]:
                 AND q.value >= p.value
                 AND (q.cost < p.cost OR q.value > p.value))
             ORDER BY "group", id""",
+        "kg_rdfstar": r"""
+            WITH lines AS (
+              SELECT CASE WHEN doc_id % 29 = 0
+                     THEN 'malformed ' || doc_id
+                     ELSE '<< ex:e' || (doc_id % 50)
+                          || ' ex:worksFor ex:org' || (doc_id % 7)
+                          || ' >> ex:confidence "'
+                          || (doc_id % 1000) || '" .' END AS line
+              FROM documents),
+            px AS (
+              SELECT line,
+                     regexp_extract(line,
+                       '^<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s+(\S+)\s+(\S+)\s*\.$',
+                       1) AS s,
+                     regexp_extract(line,
+                       '^<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s+(\S+)\s+(\S+)\s*\.$',
+                       2) AS p,
+                     regexp_extract(line,
+                       '^<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s+(\S+)\s+(\S+)\s*\.$',
+                       3) AS o,
+                     regexp_extract(line,
+                       '^<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s+(\S+)\s+(\S+)\s*\.$',
+                       4) AS ap,
+                     regexp_extract(line,
+                       '^<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>\s+(\S+)\s+(\S+)\s*\.$',
+                       5) AS av
+              FROM lines)
+            SELECT CASE WHEN s <> ''
+                   THEN md5(s || '|' || p || '|' || o) END AS stmt_id,
+                   CASE WHEN s <> '' THEN s END AS subj,
+                   CASE WHEN s <> '' THEN p END AS pred,
+                   CASE WHEN s <> '' THEN o END AS obj,
+                   CASE WHEN s <> '' THEN ap END AS ann_pred,
+                   CASE WHEN s <> '' THEN av END AS ann_obj,
+                   s <> '' AS parsed
+            FROM px ORDER BY stmt_id, ann_obj, parsed""",
+        "store_mor_planning": """
+            WITH files AS (
+              SELECT 'f' || (doc_id // 50) AS file_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM documents GROUP BY 1),
+            ks AS (SELECT DISTINCT doc_id // 50 AS k
+                   FROM documents),
+            dels AS (
+              SELECT 'f' || k AS file_id, (k * 7) % 40 AS n_deleted
+              FROM ks WHERE (k * 7) % 40 > 0
+              UNION ALL
+              SELECT 'f' || k, (k * 3) % 10 FROM ks
+              WHERE (k * 3) % 10 > 0),
+            dm AS (SELECT file_id,
+                          CAST(SUM(n_deleted) AS BIGINT) AS n_deleted
+                   FROM dels GROUP BY file_id),
+            base AS (SELECT f.file_id, f.n_rows,
+                            CAST(COALESCE(dm.n_deleted, 0) AS BIGINT)
+                              AS n_deleted
+                     FROM files f LEFT JOIN dm USING (file_id))
+            SELECT file_id, n_rows, n_deleted,
+                   CAST(n_rows - n_deleted AS BIGINT) AS live_rows,
+                   CAST(n_deleted * 1000 // n_rows AS BIGINT)
+                     AS deleted_permille,
+                   CASE WHEN n_deleted * 1000 // n_rows >= 300
+                        THEN 'rewrite' ELSE 'keep' END AS action
+            FROM base ORDER BY file_id""",
     }

@@ -197,6 +197,7 @@ HEADLINE = [
     "events_cohort_revenue", "store_partition_evolution",
     "text_stopword_induction", "kg_asof_diff",
     "events_sprt", "train_pareto",
+    "kg_rdfstar", "store_mor_planning",
 ]
 
 

@@ -327,3 +327,36 @@ def graph_diff(old: DataFrame, new: DataFrame,
           .otherwise("modified"))
     return agg.select("subj", "n_added", "n_removed", "n_unchanged",
                       ct.alias("change_type"))
+
+
+RDFSTAR_RE = (r"^<<\s*(\S+)\s+(\S+)\s+(\S+)\s*>>"
+              r"\s+(\S+)\s+(\S+)\s*\.$")
+
+
+def rdfstar_annotations(lines: DataFrame,
+                        line_col: str = "line") -> DataFrame:
+    """RDF-star quoted-triple annotation parsing (the RDF 1.2 /
+    Turtle-star ``<< s p o >> ap av .`` form — how Wikidata-style
+    statement qualifiers ship without full reification): each line
+    yields its base triple plus one annotation on the QUOTED triple,
+    with a deterministic statement id (md5 of the N-Triples-ish
+    subject|predicate|object key) so annotations from different
+    documents about the same statement converge — the five-row
+    reification expansion collapsed to one row.
+
+    Map-only: one regexp per line inside the scan, no shuffle; rows
+    that don't match the annotation form pass to a quarantine flag
+    rather than vanishing.  Returns (stmt_id, subj, pred, obj,
+    ann_pred, ann_obj, parsed)."""
+    g = lambda i: F.regexp_extract(F.col(line_col),  # noqa: E731
+                                   RDFSTAR_RE, i)
+    parsed = g(1) != ""
+    return lines.select(
+        F.when(parsed, F.md5(F.concat_ws("|", g(1), g(2), g(3))))
+        .alias("stmt_id"),
+        F.when(parsed, g(1)).alias("subj"),
+        F.when(parsed, g(2)).alias("pred"),
+        F.when(parsed, g(3)).alias("obj"),
+        F.when(parsed, g(4)).alias("ann_pred"),
+        F.when(parsed, g(5)).alias("ann_obj"),
+        parsed.alias("parsed"))

@@ -540,3 +540,38 @@ def partition_evolution_scan(rows: DataFrame, cutover_hour: int,
         lo.cast("long").alias("lo_hour"),
         hi.cast("long").alias("hi_hour"),
         ((lo < query_hi) & (hi > query_lo)).alias("scanned"))
+
+
+def mor_planning(files: DataFrame, deletes: DataFrame,
+                 rewrite_threshold_permille: int = 300,
+                 file_col: str = "file_id",
+                 rows_col: str = "n_rows",
+                 del_file_col: str = "file_id",
+                 del_count_col: str = "n_deleted") -> DataFrame:
+    """Merge-on-read maintenance planning (Iceberg v2 positional
+    deletes / Delta deletion vectors): each data file may carry
+    delete files whose rows mask it at read time; reads get slower
+    as the mask grows, so the table service rewrites (copy-on-write
+    compacts) any file whose deleted fraction crosses the
+    threshold.  This operator joins the delete manifest onto the
+    data manifest and emits the per-file plan.
+
+    Metadata-sized end to end: one delete-manifest aggregate + one
+    file-keyed join.  Returns (file_id, n_rows, n_deleted,
+    live_rows, deleted_permille, action 'rewrite'|'keep')."""
+    dm = (deletes.groupBy(F.col(del_file_col).alias("f"))
+          .agg(F.sum(del_count_col).cast("long").alias("n_deleted")))
+    base = (files.select(F.col(file_col).alias("f"),
+                         F.col(rows_col).cast("long").alias("n_rows"))
+            .join(dm, "f", "left")
+            .select("f", "n_rows",
+                    F.coalesce("n_deleted", F.lit(0)).cast("long")
+                    .alias("n_deleted")))
+    ratio = F.expr("n_deleted * 1000 div n_rows")
+    return base.select(
+        F.col("f").alias("file_id"), "n_rows", "n_deleted",
+        (F.col("n_rows") - F.col("n_deleted")).cast("long")
+        .alias("live_rows"),
+        ratio.cast("long").alias("deleted_permille"),
+        F.when(ratio >= rewrite_threshold_permille, "rewrite")
+        .otherwise("keep").alias("action"))
