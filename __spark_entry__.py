@@ -6098,6 +6098,32 @@ def _q_store_mor_planning(spark, sf_dir):
     return (mor_planning(files, deletes).orderBy("file_id"))
 
 
+def _ab_subjects(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.max(F.col("event_type") == "purchase")
+                 .alias("converted"))
+            .select(F.when(F.col("user_id") % 2 == 0, "A")
+                    .otherwise("B").alias("cohort"), "converted",
+                    "user_id"))
+
+
+def _q_stats_tost(spark, sf_dir):
+    """TOST equivalence of per-user conversion between the even/odd
+    cohorts at a 10% margin — the non-inferiority dual of
+    stats_ab_ztest."""
+    from ferenda_spark.operators.quality import tost_equivalence
+    return tost_equivalence(_ab_subjects(spark, sf_dir)
+                            .select("cohort", "converted"))
+
+
+def _q_stats_srm(spark, sf_dir):
+    """Sample-ratio mismatch guardrail on the even/odd user split
+    against the configured 50/50."""
+    from ferenda_spark.operators.quality import srm_check
+    return srm_check(_ab_subjects(spark, sf_dir).select("cohort"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6463,6 +6489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pareto": _q_train_pareto,
         "kg_rdfstar": _q_kg_rdfstar,
         "store_mor_planning": _q_store_mor_planning,
+        "stats_tost": _q_stats_tost,
+        "stats_srm": _q_stats_srm,
     }
 
 
@@ -15345,4 +15373,73 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_deleted * 1000 // n_rows >= 300
                         THEN 'rewrite' ELSE 'keep' END AS action
             FROM base ORDER BY file_id""",
+        "stats_tost": """
+            WITH subj AS (
+              SELECT user_id,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS cohort,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) AS conv
+              FROM events GROUP BY user_id),
+            g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(conv) AS BIGINT) AS x
+                  FROM subj GROUP BY cohort),
+            a AS (SELECT cohort AS cohort_a, n AS n_a, x AS x_a
+                  FROM g ORDER BY cohort LIMIT 1),
+            b AS (SELECT cohort AS cohort_b, n AS n_b, x AS x_b
+                  FROM g ORDER BY cohort DESC LIMIT 1),
+            r AS (SELECT cohort_a, cohort_b, n_a, n_b, x_a, x_b,
+                         CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           AS pa,
+                         CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                           AS pb
+                  FROM a CROSS JOIN b),
+            v AS (SELECT *,
+                         pa * (1.0 - pa) / CAST(n_a AS DOUBLE)
+                         + pb * (1.0 - pb) / CAST(n_b AS DOUBLE)
+                           AS var
+                  FROM r)
+            SELECT cohort_a, cohort_b, n_a, n_b, x_a, x_b,
+                   CASE WHEN var > 0 THEN
+                     round(((pa - pb) + 0.1) / sqrt(var), 6) END
+                     AS z_lower,
+                   CASE WHEN var > 0 THEN
+                     round(((pa - pb) - 0.1) / sqrt(var), 6) END
+                     AS z_upper,
+                   CASE WHEN var > 0 THEN
+                     round(((pa - pb) + 0.1) / sqrt(var), 6)
+                       > 1.644854
+                     AND round(((pa - pb) - 0.1) / sqrt(var), 6)
+                       < -1.644854 END AS equivalent
+            FROM v""",
+        "stats_srm": """
+            WITH subj AS (
+              SELECT user_id,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS cohort
+              FROM events GROUP BY user_id),
+            g AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM subj GROUP BY cohort),
+            a AS (SELECT cohort AS cohort_a, n AS n_a FROM g
+                  ORDER BY cohort LIMIT 1),
+            b AS (SELECT cohort AS cohort_b, n AS n_b FROM g
+                  ORDER BY cohort DESC LIMIT 1),
+            r AS (SELECT cohort_a, cohort_b, n_a, n_b,
+                         CAST(n_a + n_b AS DOUBLE) * 0.5 AS ea,
+                         CAST(n_a + n_b AS DOUBLE)
+                           - CAST(n_a + n_b AS DOUBLE) * 0.5 AS eb
+                  FROM a CROSS JOIN b)
+            SELECT cohort_a, cohort_b, n_a, n_b,
+                   CAST(500 AS BIGINT) AS expected_a_permille,
+                   round((CAST(n_a AS DOUBLE) - ea)
+                         * (CAST(n_a AS DOUBLE) - ea) / ea
+                         + (CAST(n_b AS DOUBLE) - eb)
+                         * (CAST(n_b AS DOUBLE) - eb) / eb, 6)
+                     AS chi2,
+                   round((CAST(n_a AS DOUBLE) - ea)
+                         * (CAST(n_a AS DOUBLE) - ea) / ea
+                         + (CAST(n_b AS DOUBLE) - eb)
+                         * (CAST(n_b AS DOUBLE) - eb) / eb, 6)
+                     > 10.828 AS srm
+            FROM r""",
     }

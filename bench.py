@@ -198,6 +198,7 @@ HEADLINE = [
     "text_stopword_induction", "kg_asof_diff",
     "events_sprt", "train_pareto",
     "kg_rdfstar", "store_mor_planning",
+    "stats_tost", "stats_srm",
 ]
 
 

@@ -909,3 +909,87 @@ def two_proportion_ztest(subjects: DataFrame,
                F.round((xa / na - xb / nb) / F.sqrt(var), round_to))
     return row.select("cohort_a", "cohort_b", "n_a", "n_b",
                       "x_a", "x_b", z.alias("z"))
+
+
+def tost_equivalence(subjects: DataFrame, margin: float = 0.1,
+                     cohort_col: str = "cohort",
+                     flag_col: str = "converted",
+                     round_to: int = 6) -> DataFrame:
+    """Two one-sided tests (TOST) for conversion-rate EQUIVALENCE —
+    the non-inferiority check a "this change should be neutral"
+    rollout needs, where :func:`two_proportion_ztest`'s null is
+    backwards: here H0 is |p_a - p_b| >= margin and BOTH one-sided
+    z's must clear 1.645 to declare equivalence (Schuirmann 1987).
+
+    z_lower tests p_a - p_b > -margin, z_upper tests
+    p_a - p_b < +margin, both against the unpooled SE
+    sqrt(pa(1-pa)/na + pb(1-pb)/nb) (the standard TOST form —
+    pooling is wrong under a nonzero null).  Counts exact longs, the
+    two z's pinned IEEE expressions rounded like the z-test.
+
+    Returns ONE row (cohort_a, cohort_b, n_a, n_b, x_a, x_b,
+    z_lower, z_upper, equivalent); NULL z's (zero variance) give
+    equivalent = NULL."""
+    g = (subjects.groupBy(F.col(cohort_col).alias("c"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col(flag_col).cast("long")).cast("long")
+              .alias("x")))
+    a = (g.orderBy(F.col("c").asc()).limit(1)
+         .select(F.col("c").alias("cohort_a"),
+                 F.col("n").alias("n_a"), F.col("x").alias("x_a")))
+    b = (g.orderBy(F.col("c").desc()).limit(1)
+         .select(F.col("c").alias("cohort_b"),
+                 F.col("n").alias("n_b"), F.col("x").alias("x_b")))
+    row = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("x_a").cast("double") / na
+    pb = F.col("x_b").cast("double") / nb
+    var = (pa * (F.lit(1.0) - pa) / na
+           + pb * (F.lit(1.0) - pb) / nb)
+    se = F.sqrt(var)
+    diff = pa - pb
+    zl = F.when(var > 0,
+                F.round((diff + F.lit(float(margin))) / se, round_to))
+    zu = F.when(var > 0,
+                F.round((diff - F.lit(float(margin))) / se, round_to))
+    return row.select(
+        "cohort_a", "cohort_b", "n_a", "n_b", "x_a", "x_b",
+        zl.alias("z_lower"), zu.alias("z_upper"),
+        ((zl > 1.644854) & (zu < -1.644854)).alias("equivalent"))
+
+
+def srm_check(assignments: DataFrame, expected_a_permille: int = 500,
+              cohort_col: str = "cohort",
+              round_to: int = 6) -> DataFrame:
+    """Sample-ratio mismatch guardrail — the first sanity check on
+    any A/B assignment (Fabijan et al. 2019: a biased split
+    invalidates every downstream metric): chi-square goodness of fit
+    of the observed cohort counts against the configured split,
+    flagged at the 0.001 level (chi2_1 > 10.828) as the industry
+    convention.
+
+    One cohort groupBy + 1-row arithmetic; counts exact longs, chi2
+    one pinned IEEE expression.  Returns ONE row (cohort_a,
+    cohort_b, n_a, n_b, expected_a_permille, chi2, srm)."""
+    g = (assignments.groupBy(F.col(cohort_col).alias("c"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    a = (g.orderBy(F.col("c").asc()).limit(1)
+         .select(F.col("c").alias("cohort_a"),
+                 F.col("n").alias("n_a")))
+    b = (g.orderBy(F.col("c").desc()).limit(1)
+         .select(F.col("c").alias("cohort_b"),
+                 F.col("n").alias("n_b")))
+    row = a.crossJoin(b)
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    ea = tot * F.lit(expected_a_permille / 1000.0)
+    eb = tot - ea
+    chi2 = ((F.col("n_a").cast("double") - ea) * (
+        F.col("n_a").cast("double") - ea) / ea
+        + (F.col("n_b").cast("double") - eb)
+        * (F.col("n_b").cast("double") - eb) / eb)
+    return row.select(
+        "cohort_a", "cohort_b", "n_a", "n_b",
+        F.lit(expected_a_permille).cast("long")
+        .alias("expected_a_permille"),
+        F.round(chi2, round_to).alias("chi2"),
+        (F.round(chi2, round_to) > 10.828).alias("srm"))
