@@ -1658,7 +1658,10 @@ def _q_snapshot_incremental(spark, sf_dir):
     from ferenda_spark.operators.triples import doc_triples
     from ferenda_spark.snaptable import SnapshotTable
 
-    t = doc_triples(_docs(spark, sf_dir))
+    # materialize the extraction DAG ONCE: both commits (create +
+    # append) consume the checkpointed frame instead of re-running
+    # doc_triples per commit — the r4 bench regression's other half
+    t = doc_triples(_docs(spark, sf_dir)).localCheckpoint()
     doc_id = F.regexp_extract("subj", r"/(\d+)$", 1).cast("long")
     d = tempfile.mkdtemp(prefix="ferenda_snap_query_")
     try:
@@ -3970,7 +3973,7 @@ def _q_param_significance(spark, sf_dir):
     """DUST-rule mining over planted query parameters: every doc
     yields 4 URLs crossing page in {1,2} x sessionid suffix in
     {a,b}; content hash depends on (doc_id, page) only.  Expected
-    verdicts: `page` significance 1.0 (selects content), `sessionid`
+    verdicts: `page` significance_ppm 1000000 (selects content), `sessionid`
     0.0 (droppable) — per host, so the frontier's canonicalization
     rule is host-scoped like the reference crawler's."""
     from ferenda_spark.operators.crawl import param_significance
@@ -7866,15 +7869,17 @@ def oracle_sql() -> dict[str, str]:
                AND a.doc_id < b.doc_id),
             agg AS (
               SELECT p.doc_a, p.doc_b,
-                     SUM(CASE WHEN sa.minhash = sb.minhash
-                              THEN 1 ELSE 0 END) AS n_agree
+                     CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
               FROM prs p
               JOIN sig sa ON sa.doc_id = p.doc_a
               JOIN sig sb ON sb.doc_id = p.doc_b
                          AND sb.seed = sa.seed
               GROUP BY p.doc_a, p.doc_b)
             SELECT doc_a, doc_b, n_agree,
-                   round(n_agree / 8.0, 6) AS est_jaccard
+                   CAST(n_agree * 1000000 // 8 AS BIGINT)
+                     AS est_jaccard_ppm
             FROM agg ORDER BY doc_a, doc_b""",
         # LSH candidates verified by exact normalized Levenshtein;
         # both-empty pairs define sim = 1.0
@@ -8083,7 +8088,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, w, COUNT(*) AS c
               FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
               GROUP BY doc_id, w)
-            SELECT doc_id, SUM(c) AS n_tokens,
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
                    COUNT(*) AS n_distinct,
                    round(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6)
                      AS entropy
@@ -8410,11 +8415,12 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) AS start_off
               FROM s)
-            SELECT doc_id, shard, n_tokens, start_off,
-                   start_off // 512 AS pack_id,
-                   start_off % 512 AS pack_off,
-                   (start_off + greatest(n_tokens, 1) - 1) // 512
-                     - start_off // 512 + 1 AS n_spans
+            SELECT doc_id, shard, n_tokens,
+                   CAST(start_off AS BIGINT) AS start_off,
+                   CAST(start_off // 512 AS BIGINT) AS pack_id,
+                   CAST(start_off % 512 AS BIGINT) AS pack_off,
+                   CAST((start_off + greatest(n_tokens, 1) - 1) // 512
+                     - start_off // 512 + 1 AS BIGINT) AS n_spans
             FROM c""",
         "train_doc_chunks": """
             WITH t AS (
@@ -9739,7 +9745,7 @@ def oracle_sql() -> dict[str, str]:
               FROM r WHERE rel = 1 GROUP BY query),
             sizes AS (
               SELECT query, COUNT(*) AS n_ranked,
-                     SUM(rel) AS n_gold
+                     CAST(SUM(rel) AS BIGINT) AS n_gold
               FROM r GROUP BY query HAVING SUM(rel) > 0),
             ideal AS (
               SELECT query, n_gold,
@@ -9781,7 +9787,7 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS tf
               FROM documents d, needs n),
             s AS (
-              SELECT query, item, SUM(tf) AS score
+              SELECT query, item, CAST(SUM(tf) AS BIGINT) AS score
               FROM tf GROUP BY query, item HAVING SUM(tf) > 0),
             r AS (
               SELECT query, item, score,
@@ -11167,8 +11173,9 @@ def oracle_sql() -> dict[str, str]:
                    FROM r WHERE rb <= 4 GROUP BY tgt_id),
             m AS (
               SELECT pp.src_id, pp.tgt_id, pp.cos_micro,
-                     (2000 * pp.cos_micro * n_f * n_b)
-                       // (fwd * n_b + bwd * n_f) AS margin_permille
+                     CAST((2000 * pp.cos_micro * n_f * n_b)
+                       // (fwd * n_b + bwd * n_f) AS BIGINT)
+                       AS margin_permille
               FROM pp JOIN fs USING (src_id)
                       JOIN bs USING (tgt_id)),
             rr AS (SELECT *, row_number() OVER (PARTITION BY src_id
@@ -11311,16 +11318,18 @@ def oracle_sql() -> dict[str, str]:
                AND a.doc_id < b.doc_id),
             agg AS (
               SELECT p.doc_a, p.doc_b,
-                     SUM(CASE WHEN sa.minhash = sb.minhash
-                              THEN 1 ELSE 0 END) AS n_agree
+                     CAST(SUM(CASE WHEN sa.minhash = sb.minhash
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
               FROM prs p
               JOIN sig sa ON sa.doc_id = p.doc_a
               JOIN sig sb ON sb.doc_id = p.doc_b
                          AND sb.seed = sa.seed
               GROUP BY p.doc_a, p.doc_b)
             SELECT doc_a, doc_b, n_agree,
-                   round(n_agree / 8.0, 6) AS est_jaccard,
-                   CASE WHEN round(n_agree / 8.0, 6) >= 0.75
+                   CAST(n_agree * 1000000 // 8 AS BIGINT)
+                     AS est_jaccard_ppm,
+                   CASE WHEN n_agree * 1000000 // 8 >= 750000
                         THEN 'positive'
                         ELSE 'hard_negative' END AS label
             FROM agg ORDER BY doc_a, doc_b""",
@@ -11748,11 +11757,11 @@ def oracle_sql() -> dict[str, str]:
               HAVING COUNT(DISTINCT val) >= 2)
             SELECT host, param,
                    COUNT(*) AS n_groups,
-                   SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)
-                     AS n_varying,
-                   round(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)
-                         / CAST(COUNT(*) AS DOUBLE), 6)
-                     AS significance,
+                   CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_varying,
+                   CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT)
+                     AS significance_ppm,
                    SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) = 0
                      AS droppable
             FROM g GROUP BY host, param
@@ -12738,8 +12747,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY event_type, CAST(ts AS DATE)),
             pairs AS (
               SELECT a.event_type,
-                     round(CAST(b.n - a.n AS DOUBLE) / (b.d - a.d), 6)
-                       AS slope
+                     CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope
               FROM daily a JOIN daily b
                 ON b.event_type = a.event_type AND b.d > a.d),
             ms AS (
@@ -12778,9 +12786,11 @@ def oracle_sql() -> dict[str, str]:
                  OR _r = CAST(ceil((_c + 1) / 2.0) AS BIGINT)
               GROUP BY 1)
             SELECT ms.event_type, md.n_days, ms.n_pairs,
-                   round(ms.sen_slope, 6) AS sen_slope,
-                   round(mn.med_n - ms.sen_slope * md.med_d, 6)
-                     AS intercept
+                   CAST(floor(ms.sen_slope * 1000000) AS BIGINT)
+                     AS sen_slope_micro,
+                   CAST(floor((mn.med_n - ms.sen_slope * md.med_d)
+                              * 1000000) AS BIGINT)
+                     AS intercept_micro
             FROM ms JOIN md USING (event_type)
                     JOIN mn USING (event_type)
             ORDER BY ms.event_type""",
@@ -13477,7 +13487,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(lower(trim(text)),
                        '[ 	
-]+'), t -> length(t) > 0) AS l
+
+]+'), t -> length(t) > 0) AS l
               FROM documents),
             grams AS (
               SELECT DISTINCT doc_id,
@@ -14300,8 +14311,10 @@ def oracle_sql() -> dict[str, str]:
             m2 AS (SELECT 2 * COUNT(*) AS m2 FROM und),
             vol AS (SELECT community,
                            CAST(COUNT(*) AS BIGINT) AS n_nodes,
-                           CAST(SUM(d) AS BIGINT) AS volume
-                    FROM deg JOIN asg USING (n) GROUP BY community),
+                           CAST(SUM(COALESCE(d, 0)) AS BIGINT)
+                             AS volume
+                    FROM asg LEFT JOIN deg USING (n)
+                    GROUP BY community),
             xe AS (SELECT au.community AS ca, av.community AS cb
                    FROM und JOIN asg au ON und.u = au.n
                             JOIN asg av ON und.v = av.n

@@ -435,13 +435,25 @@ def main() -> int:
     docs_df.count()
     parse_s = time.time() - t0
 
+    # Per-query median-of-QUERY_REPS (r4 verdict ask: single-run
+    # samples made regression triage ambiguous — a 6x "regression"
+    # can be one ambient co-tenant burst).  The reported per-query
+    # number is the median; spreads land in "query_spreads" so a
+    # reader can tell noise from a real plan change.
+    query_reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        df = qs[name](spark, args.sf)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(query_reps):
+            t0 = time.time()
+            df = qs[name](spark, args.sf)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
     timings["kg_parse_pages"] = round(parse_s, 3)
 
     # absolute throughput on the already-running session (cached parse
@@ -468,6 +480,8 @@ def main() -> int:
         "triples_per_sec": round(tput, 1),
         "triples_per_sec_reps": [round(r, 1) for r in reps],
         "cpus": cpus,
+        "query_reps": query_reps,
+        "query_spreads": spreads,
     }
     if not args.skip_scaling:
         result["scaling"] = run_scaling(args.sf)

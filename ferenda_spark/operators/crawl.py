@@ -704,15 +704,16 @@ def param_significance(urls: DataFrame, url_col: str = "url",
     residual = the OTHER parameters, sorted — URLs in one group
     differ only in p's value.  A group with >= 2 distinct values of p
     is an experiment; it "varies" if those URLs carry > 1 distinct
-    content hash.  significance = varying / experiments per (host,
-    name); 0.0 => the parameter is droppable (a session id), 1.0 =>
-    it selects content (a page number).
+    content hash.  significance_ppm = varying * 10^6 div experiments
+    per (host, name) — integer parts-per-million, the repo-wide
+    no-float-output convention; 0 => the parameter is droppable (a
+    session id), 1000000 => it selects content (a page number).
 
     All higher-order column expressions (split / filter / sort /
     join) + two groupBys keyed on bounded composites — no UDF, no
     self-join; scales as one pass over the URL table.
 
-    Returns (host, param, n_groups, n_varying, significance,
+    Returns (host, param, n_groups, n_varying, significance_ppm,
     droppable) for parameters observed in >= 1 experiment."""
     q = F.parse_url(F.col(url_col), F.lit("QUERY"))
     host = F.parse_url(F.col(url_col), F.lit("HOST"))
@@ -740,9 +741,8 @@ def param_significance(urls: DataFrame, url_col: str = "url",
                  F.sum(F.when(F.col("_nh") > 1, 1).otherwise(0))
                  .cast("long").alias("n_varying"))
             .select("host", "param", "n_groups", "n_varying",
-                    F.round(F.col("n_varying")
-                            / F.col("n_groups").cast("double"), 6)
-                    .alias("significance"),
+                    F.expr("n_varying * 1000000L div n_groups")
+                    .alias("significance_ppm"),
                     (F.col("n_varying") == 0).alias("droppable")))
 
 

@@ -420,8 +420,14 @@ def minhash_estimated_jaccard(documents: DataFrame, n: int = 3,
     doc id — two signature-sized keyed joins, text never shuffles,
     signature width is num_hashes rows per doc.
 
-    Returns (doc_a, doc_b, n_agree, est_jaccard) for every candidate
-    pair."""
+    ``est_jaccard_ppm`` is integer parts-per-million
+    (``n_agree * 1_000_000 div num_hashes`` as long) — no float ever
+    appears, so Spark and any SQL oracle agree bit-for-bit (the
+    repo-wide integer-ppm convention; a float here burned two
+    correctness rounds).
+
+    Returns (doc_a, doc_b, n_agree, est_jaccard_ppm) for every
+    candidate pair."""
     cand = minhash_band_pairs(documents, n, num_hashes, band_size)
     sig = minhash_signatures(documents, n, num_hashes)
     sa = sig.select(F.col("doc_id").alias("doc_a"), "seed",
@@ -433,8 +439,8 @@ def minhash_estimated_jaccard(documents: DataFrame, n: int = 3,
             .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("long"))
                  .alias("n_agree"))
             .select("doc_a", "doc_b", "n_agree",
-                    F.round(F.col("n_agree") / num_hashes, 6)
-                    .alias("est_jaccard")))
+                    F.expr(f"n_agree * 1000000L div {num_hashes}")
+                    .alias("est_jaccard_ppm")))
 
 
 def cluster_representatives(clusters: DataFrame, documents: DataFrame,

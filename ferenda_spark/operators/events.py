@@ -316,8 +316,7 @@ def acf_daily(events: DataFrame, ts_col: str = "ts",
 
 
 def theil_sen_trend(events: DataFrame, ts_col: str = "ts",
-                    type_col: str = "event_type",
-                    round_to: int = 6) -> DataFrame:
+                    type_col: str = "event_type") -> DataFrame:
     """Theil-Sen robust trend of the per-type daily count series:
     slope = median over all day pairs i<j of (n_j - n_i)/(d_j - d_i),
     intercept = median(n) - slope * median(d) (Conover's form), with
@@ -329,10 +328,14 @@ def theil_sen_trend(events: DataFrame, ts_col: str = "ts",
     aggregate (d = #days, so years of data is ~10^5 pairs per type,
     bounded and partition-local after one shuffle on event_type);
     medians are rank-picked with row_number windows over the same
-    dimension-sized frames.  Slopes are rounded to ``round_to``
-    BEFORE the median pick so both engines rank identical doubles.
+    dimension-sized frames.  Raw IEEE slopes rank identically in any
+    engine; outputs are floor-scaled micro integers (floor of a
+    bit-identical double is deterministic — round(x, 6) at an exact
+    .xxxxxx5 tie is NOT: Spark HALF_UPs where DuckDB's double round
+    goes even, a divergence this query actually hit at sf0.01).
 
-    Returns (event_type, n_days, n_pairs, sen_slope, intercept)."""
+    Returns (event_type, n_days, n_pairs, sen_slope_micro,
+    intercept_micro)."""
     daily = (_daily_counts(events, ts_col, type_col)
              .select("event_type",
                      F.datediff("day", F.lit("1970-01-01"))
@@ -344,9 +347,9 @@ def theil_sen_trend(events: DataFrame, ts_col: str = "ts",
     pairs = (a.join(b, "event_type")
              .where(F.col("d2") > F.col("d1"))
              .select("event_type",
-                     F.round((F.col("n2") - F.col("n1")).cast("double")
-                             / (F.col("d2") - F.col("d1")).cast("double"),
-                             round_to).alias("slope")))
+                     ((F.col("n2") - F.col("n1")).cast("double")
+                      / (F.col("d2") - F.col("d1")).cast("double"))
+                     .alias("slope")))
 
     def _median(df, part, val):
         w = Window.partitionBy(part).orderBy(val)
@@ -375,10 +378,12 @@ def theil_sen_trend(events: DataFrame, ts_col: str = "ts",
              .select("event_type", F.col("med").alias("med_n")))
     return (med_slope.join(med_d, "event_type").join(med_n, "event_type")
             .select("event_type", "n_days", "n_pairs",
-                    F.round("sen_slope", round_to).alias("sen_slope"),
-                    F.round(F.col("med_n")
-                            - F.col("sen_slope") * F.col("med_d"),
-                            round_to).alias("intercept")))
+                    F.floor(F.col("sen_slope") * 1000000)
+                    .cast("long").alias("sen_slope_micro"),
+                    F.floor((F.col("med_n")
+                             - F.col("sen_slope") * F.col("med_d"))
+                            * 1000000)
+                    .cast("long").alias("intercept_micro")))
 
 
 def time_to_event(events: DataFrame, target_type: str = "purchase",

@@ -1590,10 +1590,15 @@ def conductance(edges: DataFrame, communities: DataFrame,
                              F.col(label_col).alias("community"))
     deg = _degrees(und)
     m2 = und.agg((F.count(F.lit(1)) * 2).cast("long").alias("m2"))
-    vol_c = (deg.join(asg, "n")
+    # LEFT join from the assignment: zero-degree nodes never appear
+    # in the edge-derived degree table, and an inner join here would
+    # silently DROP edge-less communities from the output instead of
+    # reporting them with NULL conductance as the contract promises
+    vol_c = (asg.join(deg, "n", "left")
              .groupBy("community")
              .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
-                  F.sum("d").cast("long").alias("volume")))
+                  F.sum(F.coalesce(F.col("d"), F.lit(0)))
+                  .cast("long").alias("volume")))
     lab = (und.join(asg.select(F.col("n").alias("u"),
                                F.col("community").alias("cu")), "u")
            .join(asg.select(F.col("n").alias("v"),
@@ -2285,7 +2290,13 @@ def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
     reuse over the textbook star-contraction — declared: contraction
     touches only selected-edge stars and is the constant-factor
     optimization at 10^12 edges, the label algebra is identical).
-    Terminates early when no cross-component edge remains.
+    Terminates early when no cross-component edge remains.  If
+    ``max_rounds`` is exhausted FIRST (components at least double in
+    size per round, so r rounds only guarantee components up to ~2^r
+    vertices are fully merged), the function checks for surviving
+    cross-component edges and raises rather than silently returning
+    an incomplete forest (the repo's no-silent-caps convention) —
+    callers with larger components pass a bigger ``max_rounds``.
 
     Returns the forest edges (src, dst, weight)."""
     from .canonicalize import connected_components
@@ -2300,6 +2311,7 @@ def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
               .withColumn("component", F.col("vertex"))
               .localCheckpoint(eager=True))
     forest = None
+    converged = False
     for _ in range(max_rounds):
         both = (e.select("u", "v", "w")
                 .unionByName(e.select(F.col("v").alias("u"),
@@ -2319,6 +2331,7 @@ def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
                           F.greatest("u", "v").alias("v"), "w")
                   .distinct())
         if picked.isEmpty():
+            converged = True
             break
         forest = (picked if forest is None
                   else forest.unionByName(picked).distinct())
@@ -2339,6 +2352,23 @@ def boruvka_msf(edges: DataFrame, src: str = "src", dst: str = "dst",
         return e.select(F.col("u").alias("src"),
                         F.col("v").alias("dst"),
                         F.col("w").alias("weight")).limit(0)
+    if not converged:
+        # max_rounds exhausted with a merge still pending last round:
+        # verify nothing cross-component survives before returning —
+        # an incomplete forest returned silently would corrupt every
+        # downstream single-linkage cut (no-silent-caps convention)
+        lu = labels.select(F.col("vertex").alias("u"),
+                           F.col("component").alias("cu"))
+        lv = labels.select(F.col("vertex").alias("v"),
+                           F.col("component").alias("cv"))
+        leftover = (e.join(lu, "u").join(lv, "v")
+                    .where(F.col("cu") != F.col("cv")))
+        if not leftover.isEmpty():
+            raise RuntimeError(
+                "boruvka_msf: max_rounds=%d exhausted with cross-"
+                "component edges remaining — the forest is incomplete"
+                " (components only merge up to ~2^rounds vertices per"
+                " pass); rerun with a larger max_rounds" % max_rounds)
     return forest.select(F.col("u").alias("src"),
                          F.col("v").alias("dst"),
                          F.col("w").alias("weight"))

@@ -806,10 +806,18 @@ def spearman_rho(values: DataFrame, group_col: str, x_col: str,
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum(F.col("d") * F.col("d")).cast("long")
                 .alias("sum_d_sq")))
+    # DECIMAL(38) intermediates: 6e6 * sum_d_sq overflows int64 once
+    # a group passes ~16.6k rows (sum_d_sq reaches (n^3-n)/3), and
+    # Spark would wrap silently where DuckDB's HUGEINT keeps going —
+    # the engines would diverge exactly when groups get big.  Decimal
+    # `div` is exact integer division, verified equal to DuckDB's
+    # HUGEINT `//` (n=30k spot check), good to n ~ 10^9 rows/group.
     rho = F.when(
         F.col("n") >= 2,
         F.lit(1000000)
-        - F.expr("6000000 * sum_d_sq div (n * (n * n - 1))"))
+        - F.expr("(cast(6000000 as decimal(38,0)) * sum_d_sq) div "
+                 "(cast(n as decimal(38,0)) * "
+                 "(cast(n as decimal(38,0)) * n - 1))"))
     return agg.select("group", "n", "sum_d_sq",
                       rho.cast("long").alias("rho_micro"))
 
@@ -873,6 +881,23 @@ def kendall_tau(values: DataFrame, group_col: str, x_col: str,
                       tau.cast("long").alias("tau_micro"))
 
 
+def _exactly_two_cohorts(row, g):
+    """Runtime guard shared by the A/B statistics: the min/max-cohort
+    convention silently IGNORED middle cohorts when >2 were present,
+    and compared a lone cohort against itself when only 1 was — both
+    now raise inside the job via assert_true (kept lazy: the check is
+    a filter over the 1-row result, so no extra driver action)."""
+    nc = g.agg(F.count(F.lit(1)).cast("long").alias("_n_cohorts"))
+    return (row.crossJoin(F.broadcast(nc))
+            .where(F.coalesce(
+                F.assert_true(
+                    F.col("_n_cohorts") == 2,
+                    F.concat(F.lit("expected exactly 2 cohorts, got "),
+                             F.col("_n_cohorts").cast("string"))),
+                F.lit(True)))
+            .drop("_n_cohorts"))
+
+
 def two_proportion_ztest(subjects: DataFrame,
                          cohort_col: str = "cohort",
                          flag_col: str = "converted",
@@ -900,7 +925,7 @@ def two_proportion_ztest(subjects: DataFrame,
     b = (g.orderBy(F.col("c").desc()).limit(1)
          .select(F.col("c").alias("cohort_b"),
                  F.col("n").alias("n_b"), F.col("x").alias("x_b")))
-    row = a.crossJoin(b)
+    row = _exactly_two_cohorts(a.crossJoin(b), g)
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     xa, xb = F.col("x_a").cast("double"), F.col("x_b").cast("double")
     p = (xa + xb) / (na + nb)
@@ -940,7 +965,7 @@ def tost_equivalence(subjects: DataFrame, margin: float = 0.1,
     b = (g.orderBy(F.col("c").desc()).limit(1)
          .select(F.col("c").alias("cohort_b"),
                  F.col("n").alias("n_b"), F.col("x").alias("x_b")))
-    row = a.crossJoin(b)
+    row = _exactly_two_cohorts(a.crossJoin(b), g)
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     pa = F.col("x_a").cast("double") / na
     pb = F.col("x_b").cast("double") / nb
@@ -979,7 +1004,7 @@ def srm_check(assignments: DataFrame, expected_a_permille: int = 500,
     b = (g.orderBy(F.col("c").desc()).limit(1)
          .select(F.col("c").alias("cohort_b"),
                  F.col("n").alias("n_b")))
-    row = a.crossJoin(b)
+    row = _exactly_two_cohorts(a.crossJoin(b), g)
     tot = (F.col("n_a") + F.col("n_b")).cast("double")
     ea = tot * F.lit(expected_a_permille / 1000.0)
     eb = tot - ea

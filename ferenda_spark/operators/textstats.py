@@ -1109,11 +1109,17 @@ def burstiness(documents: DataFrame, min_total: int = 20,
                      .alias("sum_sq"))
                 .where(F.col("total") >= min_total))
     n_row = documents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # DECIMAL(38) headroom: (n*sum_sq - total^2) * 1000 overflows
+    # int64 near n*sum_sq ~ 9e15 (corpus-frequent terms at large N),
+    # silently in Spark — widen before the milli-scale so the div
+    # stays exact to ~10^35 (matches DuckDB's HUGEINT arithmetic)
     return (per_term.crossJoin(F.broadcast(n_row))
             .select("term", "n_docs", "total",
-                    F.expr("(n * sum_sq - total * total) * 1000"
-                           " div (n * total)").cast("long")
-                    .alias("vmr_milli")))
+                    F.expr("((cast(n as decimal(38,0)) * sum_sq"
+                           " - cast(total as decimal(38,0)) * total)"
+                           " * 1000) div"
+                           " (cast(n as decimal(38,0)) * total)")
+                    .cast("long").alias("vmr_milli")))
 
 
 def texttiling(documents: DataFrame, window: int = 20,
@@ -1220,9 +1226,14 @@ def stopword_induction(documents: DataFrame, min_total: int = 20,
             .select("term", "n_docs",
                     F.expr("n_docs * 1000 div n").cast("long")
                     .alias("df_permille"),
-                    F.expr("(n * sum_sq - total * total) * 1000"
-                           " div (n * total)").cast("long")
-                    .alias("vmr_milli")))
+                    # same DECIMAL(38) widening as burstiness(): the
+                    # *1000 milli-scale overflows int64 for corpus-
+                    # frequent terms at large N, silently in Spark
+                    F.expr("((cast(n as decimal(38,0)) * sum_sq"
+                           " - cast(total as decimal(38,0)) * total)"
+                           " * 1000) div"
+                           " (cast(n as decimal(38,0)) * total)")
+                    .cast("long").alias("vmr_milli")))
     return base.withColumn(
         "is_stopword",
         (F.col("df_permille") >= df_threshold_permille)

@@ -643,14 +643,18 @@ def contrastive_pairs(documents: DataFrame, n: int = 3,
 
     Scale shape: inherits :func:`dedup.minhash_estimated_jaccard`'s
     plan — banded self-join + two signature-keyed joins, text never
-    shuffles; labeling is one map-side CASE.  Returns (doc_a, doc_b,
-    n_agree, est_jaccard, label)."""
+    shuffles; labeling is one map-side CASE.  The threshold compares
+    against the integer-ppm estimate (repo convention — no float
+    columns).  Returns (doc_a, doc_b, n_agree, est_jaccard_ppm,
+    label)."""
     from .dedup import minhash_estimated_jaccard
     est = minhash_estimated_jaccard(documents, n, num_hashes,
                                     band_size)
+    threshold_ppm = int(round(threshold * 1000000))
     return est.select(
-        "doc_a", "doc_b", "n_agree", "est_jaccard",
-        F.when(F.col("est_jaccard") >= threshold, F.lit("positive"))
+        "doc_a", "doc_b", "n_agree", "est_jaccard_ppm",
+        F.when(F.col("est_jaccard_ppm") >= threshold_ppm,
+               F.lit("positive"))
         .otherwise(F.lit("hard_negative")).alias("label"))
 
 

@@ -228,21 +228,35 @@ class SnapshotTable:
                     stats_cols: tuple) -> dict:
         """Write one data unit and return its manifest entry: rows are
         on disk but invisible until a metadata version references the
-        unit.  Stats come from a read-back of the written files (a
-        column-pruned scan of exactly the stat columns), so the bounds
-        describe what is actually on disk."""
+        unit.  Stats are folded into the write job itself via
+        ``df.observe`` (computed while the rows stream to parquet —
+        no second scan of the input DAG), and the bounds-describe-disk
+        property is kept with a count-only read-back: parquet footer
+        row counts are compared against the observed count, so a
+        short write cannot publish bounds for rows that never landed.
+        (The previous shape re-read every stat column after the write,
+        which re-evaluated upstream once more per unit and doubled
+        commit latency on expensive DAGs — the r4 bench regression on
+        ``kg_snapshot_incremental``.)"""
+        from pyspark.sql import Observation
         unit = "u-" + uuid.uuid4().hex
         full = os.path.join(self.path, "data", unit)
-        w = df.write.mode("error")
-        if partition_by:
-            w = w.partitionBy(*list(partition_by))
-        w.parquet(full)
-        back = df.sparkSession.read.parquet(full)
         aggs = [F.count(F.lit(1)).alias("__n")]
         for c in stats_cols:
             aggs.append(F.min(F.col(c)).alias("__lo_" + c))
             aggs.append(F.max(F.col(c)).alias("__hi_" + c))
-        row = back.agg(*aggs).collect()[0]
+        obs = Observation("unit_" + unit)
+        w = df.observe(obs, *aggs).write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*list(partition_by))
+        w.parquet(full)
+        row = obs.get
+        n_disk = df.sparkSession.read.parquet(full).count()
+        if n_disk != row["__n"]:
+            raise IOError(
+                "unit %s: wrote %d rows but %d observed — refusing to "
+                "publish bounds that do not describe the disk"
+                % (unit, n_disk, row["__n"]))
         bounds = {c: [_jsonable(row["__lo_" + c]),
                       _jsonable(row["__hi_" + c])]
                   for c in stats_cols}

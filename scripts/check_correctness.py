@@ -21,8 +21,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def normalize(df):
-    """pandas DF -> sorted-by-name columns, canonical row multiset."""
+def normalize(df, strict=False):
+    """pandas DF -> sorted-by-name columns, canonical row multiset.
+
+    ``strict`` formats floats at full precision (repr) instead of
+    %.6g — this reproduces the driver's exact value-hash comparison,
+    which has twice caught ulp-level Spark-vs-DuckDB divergence that
+    the 6-significant-digit view hides."""
     import pandas as pd
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
@@ -32,7 +37,8 @@ def normalize(df):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 row.append("∅")
             elif isinstance(v, (float, decimal.Decimal)):
-                row.append("%.6g" % float(v))
+                row.append(repr(float(v)) if strict
+                           else "%.6g" % float(v))
             elif hasattr(v, "isoformat"):
                 row.append(v.isoformat()[:26])
             else:
@@ -47,6 +53,8 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--query", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--strict", action="store_true",
+                    help="full-precision float compare (driver mode)")
     args = ap.parse_args()
 
     import duckdb
@@ -85,8 +93,8 @@ def main():
             print("FAIL %-28s oracle error: %s" % (name, str(e)[:2000]))
             failed.append(name)
             continue
-        gcols, grows = normalize(got)
-        wcols, wrows = normalize(want)
+        gcols, grows = normalize(got, strict=args.strict)
+        wcols, wrows = normalize(want, strict=args.strict)
         status = []
         if gcols != wcols:
             status.append("cols %r vs %r" % (gcols, wcols))

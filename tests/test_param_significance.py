@@ -1,5 +1,5 @@
 """DUST-rule mining edge cases: single-value groups are not
-experiments, partial significance fractions, query-less URLs ignored,
+experiments, partial significance ppm, query-less URLs ignored,
 host scoping."""
 
 import pytest
@@ -25,9 +25,9 @@ def test_session_id_droppable_page_significant(spark):
             for p in (1, 2) for s in ("u", "v")]
     got = {r.param: r for r in
            param_significance(_urls(spark, rows)).collect()}
-    assert got["sid"].droppable and got["sid"].significance == 0.0
+    assert got["sid"].droppable and got["sid"].significance_ppm == 0
     assert not got["page"].droppable
-    assert got["page"].significance == 1.0
+    assert got["page"].significance_ppm == 1000000
     assert got["page"].n_groups == 2 and got["page"].n_varying == 2
 
 
@@ -47,7 +47,7 @@ def test_partial_significance_fraction(spark):
     got = {r.param: r for r in
            param_significance(_urls(spark, rows)).collect()}
     assert got["v"].n_groups == 2 and got["v"].n_varying == 1
-    assert got["v"].significance == pytest.approx(0.5)
+    assert got["v"].significance_ppm == 500000
     assert not got["v"].droppable
 
 

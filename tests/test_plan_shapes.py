@@ -90,6 +90,15 @@ def test_canonical_triples_reads_stage_not_fixpoint(spark, queries):
     assert "Scan ExistingRDD" not in plan.split("AdaptiveSparkPlan")[0]
 
 
+def test_sameas_canonical_is_stage_table_read(spark, queries):
+    # the returned frame must be a read of the committed sameAs
+    # mapping stage table (parquet snapshot scan) — the CC fixpoint
+    # runs once at stage-build, never inside the consumer plan
+    plan = _plan(queries["kg_sameas_canonical"](spark, SF))
+    assert "Scan parquet" in plan
+    assert "Scan ExistingRDD" not in plan.split("AdaptiveSparkPlan")[0]
+
+
 def test_semantic_dedup_assignment_is_projection(spark, queries):
     plan = _plan(queries["dedup_semantic"](spark, SF))
     # centroid assignment + within-cluster pairing must stay an
@@ -218,3 +227,117 @@ def test_salience_window_is_per_document(spark, queries):
     assert plan.count("Window (") == 1
     # windowspecdefinition(id#..., ...) — keyed on the document
     assert "windowspecdefinition(id#" in plan
+
+
+# ---------------------------------------------------------------- sweep
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# every entry is a broadcast of a 1-row (or dimension-scalar) frame —
+# a model parameter riding alongside the data, audited in PLANS.md.
+# Anything NOT on this list that grows a BNLJ fails the sweep.
+BNLJ_ALLOWED = frozenset({
+    "text_lm_score",          # 1-row vocab-size scalar
+    "text_ccnet_buckets",     # 1-row per-lang tertile bounds frame
+    "text_js_divergence",     # 1-row corpus-total frame
+    "text_stopword_induction",  # 1-row corpus-size scalar
+    "stats_ab_ztest",         # two 1-row cohort frames
+    "stats_tost",             # two 1-row cohort frames
+    "stats_srm",              # two 1-row cohort frames
+    "stats_chi2_lang_source",  # 1-row grand-total frame
+    "stats_gini_domains",     # 1-row corpus aggregate
+    "stats_benford",          # 1-row total-count frame
+    "stats_ks_lengths",       # 1-row two-sample sizes frame
+    "stats_mann_whitney",     # 1-row group-size frame
+    "stats_kendall",          # 1-row pair-total frame
+    "stats_spearman",         # 1-row n frame
+    "stats_ams_f2",           # 1-row exact-F2 scalar
+    "text_zipf_fit",          # 1-row regression-moment frame
+    "text_heaps_law",         # 1-row regression-moment frame
+    "text_yules_k",           # 1-row corpus-moment frame
+    "text_tokenizer_fertility",  # 1-row corpus totals
+    "kg_assortativity",       # 1-row edge-moment frame
+    "kg_modularity",          # 1-row edge-count scalar
+    "kg_spam_mass",           # 1-row pagerank normalizer
+    "kg_pagerank",            # 1-row dangling-mass normalizer
+    "kg_hits",                # 1-row hub/authority normalizers
+    "kg_ppr",                 # 1-row teleport normalizer
+    "kg_harmonic_centrality",  # 1-row n scalar
+    "kg_transe_eval",         # 1-row rank-total frame
+    "kg_ranking_ap",          # per-query gold counts (dim-sized)
+    "kg_ranking_ndcg",        # per-query ideal-DCG frame
+    "dedup_er_eval",          # 1-row confusion-matrix totals
+    "dedup_embedding",        # 1-row corpus-centroid frame
+    "stats_psi_drift",        # 1-row split totals
+    "stats_cohens_kappa",     # 1-row marginal totals
+    "stats_gini_domains",     # 1-row Lorenz totals
+    "train_source_temperature",  # 1-row mixture normalizer
+    "train_token_budget",     # 1-row budget scalar
+    "train_dsir_weights",     # 1-row importance normalizer
+    "train_neyman_allocation",  # 1-row allocation normalizer
+    "stats_bh_fdr",           # 1-row m (test count) scalar
+    "stats_mad_outliers",     # 1-row median/MAD frame
+    "stats_bootstrap_mean",   # 1-row sample-size scalar
+    "stats_domain_quality_eb",  # 1-row prior-moment frame
+    "stats_calibration_bins",  # 1-row total-count frame
+    "stats_hist_quantiles",   # 1-row count scalar
+    "stats_kaplan_meier",     # 1-row subject-count scalar
+    "text_llr_collocations",  # 1-row corpus-total frame
+    "text_ngram_novelty",     # 1-row session-total frame
+    "crawl_budget_allocation",  # 1-row global budget scalar
+    "crawl_politeness_slots",  # 1-row host-count scalar
+    "events_sprt",            # 1-row hypothesis-rate frame
+    "kg_void_stats",          # dataset-level 1-row totals
+    "kg_graph_diff",          # 1-row per-side totals
+    "stats_kmv_jaccard",      # 1-row sketch-union frame
+    "text_burstiness",        # 1-row corpus-moment frame
+    # audited r5 (plan inspection, all BuildRight broadcasts):
+    "crawl_frontier",         # 1-row n_hosts scalar (slot formula)
+    "events_anomalies",       # 1-row exact moment sums
+    "events_decayed_counts",  # 1-row reference-now scalar
+    "kg_conductance",         # 1-row 2m edge-count scalar
+    "kg_deps_edges",          # 4-row repo URI-prefix dimension,
+                              # StartsWith probe (non-equi by design)
+    "kg_hot_domain_links_salted",  # salted dim x salt-id range
+    "kg_ranking_baseline",    # VALUES needs dimension
+    "search_bm25",            # query-term dimension (tiny)
+    "search_collapse",        # query-term dimension
+    "search_rocchio",         # query-term dim, both retrieval passes
+    "search_rrf_fusion",      # two query-term dims
+    "sim_cosine_topk",        # broadcast QUERY vectors only
+    "sim_margin_bitext",      # broadcast query-side vectors
+    "sim_maxsim_topk",        # broadcast query token vectors
+    "sim_pq_topk",            # broadcast query vectors (codes scan)
+    "sim_sq8_topk",           # broadcast query vectors + 1-row bounds
+    "store_bloom_skipping",   # probe-value x unit-manifest dimension
+    "store_bucket_prune",     # probe-value x unit-manifest dimension
+    "text_tfidf_terms",       # 1-row n_docs scalar
+    "train_curriculum",       # 1-row difficulty-threshold frame
+})
+
+
+def _sweep_params():
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "entry_sweep", os.path.join(repo, "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return sorted(mod.queries())
+
+
+@pytest.mark.parametrize("qname", _sweep_params())
+def test_sweep_no_cartesian_no_unsanctioned_bnlj(spark, queries, qname):
+    """Global scale-killer sweep (r4 verdict ask): EVERY registered
+    query's physical plan must be free of CartesianProduct, and any
+    BroadcastNestedLoopJoin must be on the audited 1-row-broadcast
+    whitelist above.  One test per query so a future regression names
+    its victim directly."""
+    plan = _plan(queries[qname](spark, SF))
+    assert "CartesianProduct" not in plan, \
+        "%s grew a CartesianProduct — a 100TB scale-killer" % qname
+    if "BroadcastNestedLoopJoin" in plan and qname not in BNLJ_ALLOWED:
+        raise AssertionError(
+            "%s grew a BroadcastNestedLoopJoin not on the audited "
+            "1-row-broadcast whitelist (tests/test_plan_shapes.py "
+            "BNLJ_ALLOWED) — verify the build side is dimension-"
+            "sized and whitelist it, or fix the join" % qname)

@@ -115,6 +115,28 @@ def test_conductance_two_cliques_one_bridge(spark):
         assert out[c].conductance_permille == 1000 // 7
 
 
+def test_conductance_isolated_community_reported_null(spark):
+    """A community whose members have NO incident edges must still
+    appear in the output, with volume 0 and NULL conductance — not be
+    silently dropped (the r4 advice finding: degree comes from the
+    edge table, so an inner join lost edge-less communities)."""
+    from ferenda_spark.operators.graphs import conductance
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "doc_a string, doc_b string")
+    comms = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 1),
+         ("lonely1", 2), ("lonely2", 2)],
+        "node string, label long")
+    out = {r.community: r for r in
+           conductance(edges, comms).collect()}
+    assert 2 in out, "edge-less community dropped from output"
+    assert out[2].n_nodes == 2
+    assert out[2].volume == 0
+    assert out[2].cut_edges == 0
+    assert out[2].conductance_permille is None
+
+
 def test_conductance_whole_graph_null(spark):
     """A single community covering the whole graph has cut = 0 and
     min(vol, 2m - vol) = 0 -> NULL conductance, not a crash."""

@@ -347,7 +347,7 @@ def test_theil_sen_exact_linear_trend(spark):
     r = theil_sen_trend(ev).collect()[0]
     assert r.n_days == 10
     assert r.n_pairs == 45
-    assert r.sen_slope == pytest.approx(2.0, abs=1e-6)
+    assert r.sen_slope_micro == 2000000
 
 
 def test_theil_sen_matches_python_replay(spark):
@@ -358,7 +358,7 @@ def test_theil_sen_matches_python_replay(spark):
     ev = spark.createDataFrame(rows, "event_type string, ts_s string") \
         .select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
     r = theil_sen_trend(ev).collect()[0]
-    slopes = sorted(round((counts[j] - counts[i]) / (j - i), 6)
+    slopes = sorted((counts[j] - counts[i]) / (j - i)
                     for i in range(7) for j in range(i + 1, 7))
 
     def med(vals):
@@ -366,11 +366,12 @@ def test_theil_sen_matches_python_replay(spark):
         mid = sorted(vals)[(c - 1) // 2:(c + 2) // 2]
         return sum(mid) / len(mid)
 
-    assert r.sen_slope == pytest.approx(med(slopes), abs=1e-6)
+    import math
+    assert r.sen_slope_micro == math.floor(med(slopes) * 1000000)
     days = [19754 + d for d in range(7)]  # 2024-02-01 epoch day
     want_icpt = med([float(c) for c in counts]) \
         - med(slopes) * med([float(d) for d in days])
-    assert r.intercept == pytest.approx(want_icpt, abs=1e-4)
+    assert r.intercept_micro == math.floor(want_icpt * 1000000)
 
 
 # ----------------------------------------------- modularity / TextRank
