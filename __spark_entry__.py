@@ -6127,9 +6127,82 @@ def _q_stats_srm(spark, sf_dir):
     return srm_check(_ab_subjects(spark, sf_dir).select("cohort"))
 
 
+def _q_pep_docs(spark, sf_dir):
+    """PEP repo instance (sources/tech/pep.py:12-16 + the PEP 1
+    preamble grammar): planted RFC-2822-style PEP headers distilled
+    into triples by the JVM-regexp parser — rdf:type foaf:Document
+    (the DocumentRepository default pep.py inherits), identifier,
+    title, per-author creator triples, status/type literals, and the
+    dd-Mon-yyyy Created date normalized to ISO.  The oracle restates
+    every triple closed-form from doc_id."""
+    from ferenda_spark.operators.tech import pep_triples
+    did = F.col("doc_id")
+    mon_idx = (did % 12).cast("int")
+    months = "Jan Feb Mar Apr May Jun Jul Aug Sep Oct Nov Dec".split()
+    mon_name = F.array(*[F.lit(m) for m in months])[mon_idx]
+    # second author only on even PEPs: exercises both split arities
+    authors = F.concat(
+        F.lit("Author"), (did % 5).cast("string"),
+        F.when(did % 2 == 0,
+               F.concat(F.lit(", Author"), (did % 3 + 5).cast("string")))
+        .otherwise(F.lit("")))
+    status = F.array(F.lit("Draft"), F.lit("Accepted"),
+                     F.lit("Final"))[(did % 3).cast("int")]
+    ptype = F.when(did % 2 == 0, F.lit("Standards Track")) \
+        .otherwise(F.lit("Informational"))
+    text = F.concat(
+        F.lit("PEP: "), did.cast("string"),
+        F.lit("\nTitle: Proposal "), (did % 7).cast("string"),
+        F.lit("\nAuthor: "), authors,
+        F.lit("\nStatus: "), status,
+        F.lit("\nType: "), ptype,
+        F.lit("\nCreated: "), (1 + did % 28).cast("string"),
+        F.lit("-"), mon_name, F.lit("-"), (1991 + did % 30).cast("string"),
+        F.lit("\nPython-Version: 3."), (did % 13).cast("string"),
+        F.lit("\n\nAbstract body follows here."))
+    docs = (_read(spark, sf_dir, "documents")
+            .select(did.cast("string").alias("basefile"),
+                    text.alias("text")))
+    return (pep_triples(docs).orderBy("subj", "pred", "obj"))
+
+
+def _q_ecma_standards(spark, sf_dir):
+    """ECMA repo instance (sources/tech/ecma.py:11-18): basefile
+    discovery via the config's ECMA-(\d+) regex over planted listing
+    pages, document URLs minted from document_url_template, rdf:type
+    bibo:Standard.  Each page mentions two standards; mention counts
+    aggregate per basefile."""
+    from ferenda_spark.operators.tech import ecma_standards
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("Standards index: ECMA-"), (262 + did % 40).cast("string"),
+        F.lit(" (scripting) and ECMA-"), (100 + did % 60).cast("string"),
+        F.lit(" are listed. See also Ecma International."))
+    pages = (_read(spark, sf_dir, "documents")
+             .select(text.alias("text")))
+    return ecma_standards(pages).orderBy("basefile")
+
+
+def _q_mm_video_meta(spark, sf_dir):
+    """Real MP4/WebM container-header decode (multimodal.mp4_meta_
+    bytes / webm_meta_bytes): closed-form minimal ISO-BMFF and EBML
+    blobs synthesized JVM-side, header-only parse via Arrow batches;
+    the oracle restates duration/dims from doc_id.  Closes the r4
+    AV-decode stub: NotImplementedError now scopes to genuinely
+    undecodable stream codecs only (no ffmpeg in container)."""
+    from ferenda_spark.operators.multimodal import (synth_video_blobs,
+                                                    video_meta)
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return (video_meta(synth_video_blobs(docs))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
+        "pep_docs": _q_pep_docs,
+        "mm_video_meta": _q_mm_video_meta,
+        "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
         "kg_entity_mentions": _q_entity_mentions,
@@ -7437,6 +7510,83 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # MP4/WebM header decode: every field closed-form from doc_id
+        # (even = ISO-BMFF 232 B, odd = WebM 51 B)
+        "mm_video_meta": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'mp4'
+                        ELSE 'webm' END AS container,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1000
+                        ELSE 1000000 END AS BIGINT) AS timescale,
+                   CAST(5000 + (doc_id * 37) % 60000 AS BIGINT)
+                     AS duration_ms,
+                   CAST(160 + doc_id % 1760 AS INT) AS width,
+                   CAST(120 + (doc_id * 3) % 960 AS INT) AS height,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 232
+                        ELSE 51 END AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id""",
+        # PEP preamble distillation, every triple closed-form from
+        # doc_id (day/month/year arithmetic mirrors the planted text)
+        "pep_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     'https://example.org/res/pep/' || doc_id AS subj,
+                     1 + doc_id % 28 AS day,
+                     1 + doc_id % 12 AS mon,
+                     1991 + doc_id % 30 AS yr
+              FROM documents),
+            t AS (
+              SELECT subj,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                       AS pred,
+                     'http://xmlns.com/foaf/0.1/Document' AS obj
+              FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/dc/terms/identifier',
+                     'PEP ' || doc_id FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/dc/terms/title',
+                     'Proposal ' || (doc_id % 7) FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/ontology/bibo/status',
+                     CASE doc_id % 3 WHEN 0 THEN 'Draft'
+                          WHEN 1 THEN 'Accepted' ELSE 'Final' END
+              FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/dc/terms/type',
+                     CASE WHEN doc_id % 2 = 0 THEN 'Standards Track'
+                          ELSE 'Informational' END FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/dc/terms/issued',
+                     printf('%04d-%02d-%02d', yr, mon, day) FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/dc/terms/creator',
+                     'Author' || (doc_id % 5) FROM d
+              UNION ALL
+              SELECT subj, 'http://purl.org/dc/terms/creator',
+                     'Author' || (doc_id % 3 + 5) FROM d
+              WHERE doc_id % 2 = 0)
+            SELECT subj, pred, obj FROM t
+            ORDER BY subj, pred, obj""",
+        # ECMA catalog: two planted mentions per page, counted per
+        # distinct basefile; URLs from the document_url_template
+        "ecma_standards": """
+            WITH m AS (
+              SELECT CAST(262 + doc_id % 40 AS VARCHAR) AS basefile
+              FROM documents
+              UNION ALL
+              SELECT CAST(100 + doc_id % 60 AS VARCHAR)
+              FROM documents)
+            SELECT basefile,
+                   'http://www.ecma-international.org/publications/'
+                     || 'standards/Ecma-' || basefile || '.htm'
+                     AS doc_url,
+                   'https://example.org/res/ecma/' || basefile
+                     AS doc_uri,
+                   'http://purl.org/ontology/bibo/Standard'
+                     AS rdf_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_mentions
+            FROM m GROUP BY basefile ORDER BY basefile""",
         "kg_doc_triples":
             "WITH " + _F_CTE + ", " + _DOC_TRIPLES
             + " SELECT * FROM doc_triples",

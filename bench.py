@@ -199,6 +199,8 @@ HEADLINE = [
     "events_sprt", "train_pareto",
     "kg_rdfstar", "store_mor_planning",
     "stats_tost", "stats_srm",
+    # r5: pep/ecma tech-repo instances, MP4/WebM header decode
+    "pep_docs", "ecma_standards", "mm_video_meta",
 ]
 
 

@@ -185,6 +185,14 @@ def _parse_expression(rx, text, pos):
     while m:
         kind = _kind(m)
         if kind == "kap":
+            if (pending and last_item is None and not groups
+                    and cur_kap is None and not crossed_sep):
+                # bare numbers straight before a chapter token with
+                # only whitespace between ("…1 januari 1999\n\n7
+                # kap. …"): the numbers are prose (a date, a year),
+                # not sections of the following chapter — fail this
+                # start so the scan resumes AT the kap token
+                break
             flush_pending_as_sections()
             close_group()
             kap_text = m.group("kap")
@@ -404,14 +412,24 @@ def _next_tok(rx, text, pos):
 def scan_legal_refs(text: str, base: str = BASE,
                     lawlist: dict = KAND_LAWS,
                     default_law: str = DEFAULT_LAW,
-                    state: dict = None):
+                    state: dict = None, mode: str = "enkla"):
     """Scan text -> segments [("str", text)] / [("link", text, uri)]
     covering the whole input, reference segmentation semantics.
 
     ``state`` (optional, mutated) carries document context across
     calls — the learned law-name dictionary — so multi-part documents
     resolve names defined in earlier parts (the reference reuses one
-    parser instance per document)."""
+    parser instance per document).
+
+    ``mode`` selects between the reference's two SFS parser configs,
+    which disagree on the SAME construct (integrationLegalRef.py
+    runs EnklaLagrum over legalref/Simple and Lagrum over
+    legalref/SFS): "enkla" (default) merges "2 kap. <known lawname>"
+    into ONE link (...#K2 spanning both), "lagrum" splits it into a
+    chapter link (...#K2 over "2 kap.") plus a bare law-root link
+    over the name.  A lawNAMED reference (name + parenthesized SFS
+    number) merges in BOTH configs — the split applies only to bare
+    known-law names (lawkand)."""
     # two-pass name learning: a law named WITH its SFS number earlier
     # in the document ("sekretesslagen (1980:100)") makes later BARE
     # uses of that name resolvable (the reference's dynamic
@@ -603,6 +621,8 @@ def scan_legal_refs(text: str, base: str = BASE,
                 emit_link(cs, ce2, law_uri + "#" + f)
 
         merged_law = (law is not None and not anonymous
+                      and not (mode == "lagrum"
+                               and law.group("lawkand") is not None)
                       and len(groups) == 1 and n_items <= 1 and not trailing
                       and (not groups or not groups[0][1]
                            or (len(groups[0][1][0].phrases) <= 1
@@ -624,7 +644,12 @@ def scan_legal_refs(text: str, base: str = BASE,
         last_it = None
         for kap, items in groups:
             kap_id = kap[2] if kap else None
-            if kap and items and items[0].marker:
+            # kap merges into its first marked item ("2 kap. 18 § 2
+            # st." -> one #K2P18S2 link) UNLESS that item carries a
+            # phrase continuation ("6 kap. 2 § 3 st. och 4 st." ->
+            # "6 kap." links alone; sfs-regression-whitespace-3)
+            if kap and items and items[0].marker \
+                    and len(items[0].phrases) <= 1:
                 emit_item(kap_id, items[0], start=kap[0])
                 rest = items[1:]
             elif kap:

@@ -124,25 +124,19 @@ SFS_SKIPPED = {
     "sfs-tricky-uppdelat-lagnamn":
         "reference-broken (integrationLegalRef.py:146)",
     "sfs-tricky-vvfs": "reference-broken (integrationLegalRef.py:147)",
-    # Goldens that contradict the Simple suite's goldens for the SAME
-    # text under the parser config this scanner implements:
-    # Simple/kap-kand-lag.txt's golden merges '2 kap. <lawname>' into
-    # ONE link (uri ...#K2) — we match it 12/12 — while these SFS
-    # goldens split the identical construct into TWO links
-    # ('2 kap.' -> #K2 plus bare lawname -> law root).  The reference
-    # reconciles this by running different parser classes per
-    # directory (EnklaLagrum vs Lagrum, integrationLegalRef.py:148
-    # vs :140); one scanner cannot satisfy both goldens.
-    "sfs-namngiven-referens-4":
-        "golden conflicts with Simple/kap-kand-lag.txt (kap+lawname "
-        "split vs merge)",
-    "sfs-tricky-1984-387-8":
-        "same kap+lawname conflict, plus law-less bare 'första "
-        "stycket' link",
-    "sfs-regression-whitespace-3":
-        "extreme-whitespace variant of the same conflict (lawname + "
-        "paren-SFS merged across blank lines)",
 }
+
+# Fixtures whose goldens follow the reference's LAGRUM parser config
+# (integrationLegalRef.py:140) where it diverges from EnklaLagrum
+# (:148): '2 kap. <known lawname>' splits into a chapter link plus a
+# bare law-root link instead of merging.  scan_legal_refs grows a
+# mode="lagrum" flag for exactly this config difference; these run
+# under it while the Simple suite stays on the default.
+SFS_LAGRUM_MODE = [
+    "sfs-namngiven-referens-4",
+    "sfs-tricky-1984-387-8",
+    "sfs-regression-whitespace-3",
+]
 SFS_PASSING = [
     "sfs-basic-gammal-lag",
     "sfs-basic-intervall",
@@ -228,8 +222,20 @@ def test_sfs_fixture_inventory_complete():
         pytest.skip("SFS fixtures not present")
     have = {os.path.basename(f)[:-4]
             for f in glob.glob(SFSDIR + "/*.txt")}
-    assert set(SFS_PASSING) | set(SFS_SKIPPED) == have
+    covered = (set(SFS_PASSING) | set(SFS_SKIPPED)
+               | set(SFS_LAGRUM_MODE))
+    assert covered == have
     assert not set(SFS_PASSING) & set(SFS_SKIPPED)
+    assert not set(SFS_LAGRUM_MODE) & (set(SFS_PASSING)
+                                       | set(SFS_SKIPPED))
+
+
+@pytest.mark.parametrize("name", SFS_LAGRUM_MODE)
+def test_legalref_sfs_lagrum_mode_fixture_matches_golden(name):
+    if not os.path.isdir(SFSDIR):
+        pytest.skip("SFS fixtures not present")
+    for src, exp in load_fixture_parts(SFSDIR + "/%s.txt" % name):
+        assert scan_legal_refs(src, mode="lagrum") == exp
 
 
 @pytest.mark.parametrize("name", SFS_PASSING)

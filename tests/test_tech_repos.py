@@ -1,0 +1,126 @@
+"""PEP + ECMA tech-repo instances (reference sources/tech/pep.py
+config + PEP 1 preamble grammar; sources/tech/ecma.py config):
+header distillation edge cases and catalog extraction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferenda_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(app="tech-tests", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _triples(spark, basefile, text):
+    from ferenda_spark.operators.tech import pep_triples
+    df = spark.createDataFrame([(basefile, text)],
+                               "basefile string, text string")
+    return {(r.pred, r.obj) for r in pep_triples(df).collect()}
+
+
+def test_pep_full_preamble(spark):
+    t = _triples(spark, "8",
+                 "PEP: 8\nTitle: Style Guide for Python Code\n"
+                 "Author: Guido van Rossum, Barry Warsaw\n"
+                 "Status: Active\nType: Process\n"
+                 "Created: 5-Jul-2001\n\nIntroduction...")
+    assert ("http://purl.org/dc/terms/title",
+            "Style Guide for Python Code") in t
+    assert ("http://purl.org/dc/terms/creator", "Guido van Rossum") in t
+    assert ("http://purl.org/dc/terms/creator", "Barry Warsaw") in t
+    assert ("http://purl.org/dc/terms/issued", "2001-07-05") in t
+    assert ("http://purl.org/dc/terms/identifier", "PEP 8") in t
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            "http://xmlns.com/foaf/0.1/Document") in t
+
+
+def test_pep_headers_only_from_preamble_not_body(spark):
+    # a "Title:" line AFTER the first blank line is body text, not a
+    # header — the preamble slice must stop at the blank line
+    t = _triples(spark, "1",
+                 "PEP: 1\nTitle: Real Title\n\n"
+                 "Title: Fake title inside the body\n")
+    titles = {o for p, o in t if p.endswith("/title")}
+    assert titles == {"Real Title"}
+
+
+def test_pep_missing_optional_headers(spark):
+    # no Author/Created/Status: their triples are simply absent,
+    # the mandatory typing + identifier still emit
+    t = _triples(spark, "9999", "PEP: 9999\nTitle: Sparse\n\nBody")
+    preds = {p for p, _ in t}
+    assert "http://purl.org/dc/terms/creator" not in preds
+    assert "http://purl.org/dc/terms/issued" not in preds
+    assert ("http://purl.org/dc/terms/title", "Sparse") in t
+
+
+def test_pep_malformed_created_no_issued(spark):
+    t = _triples(spark, "2", "PEP: 2\nTitle: X\nCreated: someday\n\n.")
+    assert not any(p.endswith("/issued") for p, _ in t)
+
+
+def test_ecma_catalog_extraction(spark):
+    from ferenda_spark.operators.tech import ecma_standards
+    pages = spark.createDataFrame(
+        [("ECMA-262 is ECMAScript; ECMA-262 again, plus ECMA-404.",),
+         ("nothing here",), ("trailing ECMA-404 mention",)],
+        "text string")
+    rows = {r.basefile: r for r in ecma_standards(pages).collect()}
+    assert set(rows) == {"262", "404"}
+    assert rows["262"].n_mentions == 2
+    assert rows["404"].n_mentions == 2
+    assert rows["262"].doc_url == ("http://www.ecma-international.org/"
+                                   "publications/standards/Ecma-262.htm")
+    assert rows["404"].rdf_type == \
+        "http://purl.org/ontology/bibo/Standard"
+
+
+# ------------------------------------------------- video headers (r5)
+
+def test_mp4_mvhd_v1_and_largesize():
+    from ferenda_spark.operators.multimodal import mp4_meta_bytes
+    import struct
+    # mvhd version 1: 64-bit times/duration, timescale still u32
+    mvhd = struct.pack(">I4s", 120, b"mvhd") + b"\x01\x00\x00\x00" \
+        + b"\x00" * 16 + struct.pack(">I", 600) \
+        + struct.pack(">Q", 1200) + b"\x00" * 80
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    blob = struct.pack(">I4s8s", 16, b"ftyp", b"isom\x00\x00\x00\x00") + moov
+    m = mp4_meta_bytes(blob)
+    assert m["timescale"] == 600
+    assert m["duration_ms"] == 1200 * 1000 // 600
+
+
+def test_mp4_rejects_non_bmff():
+    from ferenda_spark.operators.multimodal import mp4_meta_bytes
+    assert mp4_meta_bytes(b"") is None
+    assert mp4_meta_bytes(b"RIFF....WAVE....") is None
+    assert mp4_meta_bytes(b"\x00" * 64) is None
+
+
+def test_webm_unknown_size_segment_and_f64_duration():
+    from ferenda_spark.operators.multimodal import webm_meta_bytes
+    import struct
+    # streamed files use the all-ones 'unknown size' vint for Segment
+    info = (bytes.fromhex("2ad7b1") + b"\x84"
+            + struct.pack(">I", 1000000)
+            + bytes.fromhex("4489") + b"\x88"
+            + struct.pack(">d", 2500.0))
+    info_el = bytes.fromhex("1549a966") + bytes([0x80 | len(info)]) + info
+    blob = (bytes.fromhex("1a45dfa3") + b"\x80"
+            + bytes.fromhex("18538067") + b"\xff" + info_el)
+    m = webm_meta_bytes(blob)
+    assert m["duration_ms"] == 2500
+    assert m["container"] == "webm"
+
+
+def test_webm_rejects_garbage_and_truncation():
+    from ferenda_spark.operators.multimodal import webm_meta_bytes
+    assert webm_meta_bytes(b"") is None
+    assert webm_meta_bytes(b"\x1a\x45\xdf") is None        # short magic
+    # magic alone with nothing parseable after -> no metadata
+    assert webm_meta_bytes(bytes.fromhex("1a45dfa3") + b"\x80") is None
