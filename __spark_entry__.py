@@ -6197,11 +6197,30 @@ def _q_mm_video_meta(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_text_hashed_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality filter (textstats.hashed_
+    classifier_score): deterministic closed-form weight table
+    (bucket, weight_milli in [-1000, 1000] via a Knuth-multiplier
+    residue) broadcast-joined against md5-hashed unigram features;
+    integer mean-pooling so the oracle replays the score exactly."""
+    from ferenda_spark.operators.textstats import hashed_classifier_score
+    weights = spark.range(0, 4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).cast("long")
+        .alias("weight_milli"))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (hashed_classifier_score(docs, weights, n_buckets=4096,
+                                    bias_milli=100,
+                                    threshold_milli=150)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
         "pep_docs": _q_pep_docs,
         "mm_video_meta": _q_mm_video_meta,
+        "text_hashed_classifier": _q_text_hashed_classifier,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7510,6 +7529,39 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # hashed linear classifier: same md5 bucket + Knuth-residue
+        # weights + integer mean-pooling, replayed closed-form
+        "text_hashed_classifier": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)),
+                            '[ \t\n\r\f\x0B]+')) AS tok
+              FROM documents),
+            feats AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                       % 4096 AS b
+              FROM toks WHERE tok <> ''),
+            w AS (
+              SELECT i AS bucket,
+                     (i * 2654435761) % 2001 - 1000 AS wm
+              FROM (SELECT unnest(range(4096)) AS i)),
+            per AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(w.wm) AS BIGINT) AS wsum
+              FROM feats JOIN w ON feats.b = w.bucket
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_tokens, 0) AS BIGINT)
+                     AS n_tokens,
+                   CAST(100 + COALESCE(per.wsum // per.n_tokens, 0)
+                     AS BIGINT) AS score_milli,
+                   (100 + COALESCE(per.wsum // per.n_tokens, 0))
+                     >= 150 AS keep
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id""",
         # MP4/WebM header decode: every field closed-form from doc_id
         # (even = ISO-BMFF 232 B, odd = WebM 51 B)
         "mm_video_meta": """

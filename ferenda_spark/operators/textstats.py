@@ -1238,3 +1238,59 @@ def stopword_induction(documents: DataFrame, min_total: int = 20,
         "is_stopword",
         (F.col("df_permille") >= df_threshold_permille)
         & (F.col("vmr_milli") <= vmr_threshold_milli))
+
+
+def hashed_classifier_score(documents: DataFrame, weights: DataFrame,
+                            n_buckets: int = 4096,
+                            bias_milli: int = 0,
+                            threshold_milli: int = 0,
+                            doc_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Hashed bag-of-words linear classifier scoring — the fastText-
+    style model-based quality filter modern pretraining pipelines run
+    after the rule gates (DCLM / RedPajama-2: a linear model over
+    hashed n-gram features decides keep/drop; the heavy lift at
+    inference is exactly this operator).  The model arrives as a
+    TABLE (bucket, weight_milli) — the production handoff shape: a
+    trainer writes weights, the Spark job joins them, no model binary
+    in the executor image.
+
+    score(doc) = bias + mean over tokens of weight[bucket(token)],
+    all integer milli arithmetic: the token-sum is an exact long and
+    ONE integer division (div n_tokens) makes mean-pooling replayable
+    bit-for-bit in any engine — floats never appear.
+
+    Scale shape: tokenize + hash map-side (JVM md5 via
+    :func:`ferenda_spark.operators.training.portable_bucket`), ONE
+    broadcast join against the weight table (dimension-sized: even a
+    2^21-bucket model is megabytes), one doc-keyed aggregate.  The
+    token stream never shuffles except keyed on doc_id for the mean.
+
+    Returns (doc_id, n_tokens, score_milli, keep) — keep is
+    score >= threshold; empty docs score the bare bias."""
+    from .training import portable_bucket
+    toks = (documents
+            .select(F.col(doc_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+            .where(F.col("tok") != ""))
+    feats = toks.select(
+        "doc_id", portable_bucket(F.col("tok"), n_buckets).alias("b"))
+    w = weights.select(F.col("bucket").alias("b"),
+                       F.col("weight_milli").cast("long")
+                       .alias("w"))
+    per_doc = (feats.join(F.broadcast(w), "b", "left")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.sum(F.coalesce(F.col("w"), F.lit(0)))
+                    .cast("long").alias("wsum")))
+    base = documents.select(F.col(doc_col).alias("doc_id")).distinct()
+    out = (base.join(per_doc, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("n_tokens", F.lit(0)).cast("long")
+                   .alias("n_tokens"),
+                   (F.lit(int(bias_milli))
+                    + F.coalesce(F.expr("wsum div n_tokens"),
+                                 F.lit(0))).cast("long")
+                   .alias("score_milli")))
+    return out.withColumn(
+        "keep", F.col("score_milli") >= F.lit(int(threshold_milli)))

@@ -124,3 +124,44 @@ def test_webm_rejects_garbage_and_truncation():
     assert webm_meta_bytes(b"\x1a\x45\xdf") is None        # short magic
     # magic alone with nothing parseable after -> no metadata
     assert webm_meta_bytes(bytes.fromhex("1a45dfa3") + b"\x80") is None
+
+
+# ------------------------------------- hashed linear classifier (r5)
+
+def test_hashed_classifier_scores_and_threshold(spark):
+    from ferenda_spark.operators.textstats import hashed_classifier_score
+    from ferenda_spark.operators.training import portable_bucket
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    # weight table: bucket(alpha) -> +500, bucket(beta) -> -100,
+    # everything else absent (scores 0 via the left join)
+    import hashlib
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+    weights = spark.createDataFrame(
+        [(bucket("alpha"), 500), (bucket("beta"), -100)],
+        "bucket long, weight_milli long")
+    rows = {r.doc_id: r for r in hashed_classifier_score(
+        docs, weights, bias_milli=10, threshold_milli=300).collect()}
+    # doc 1: mean of (500, -100, 500) = 900 div 3 = 300; +10 bias
+    assert rows[1].n_tokens == 3
+    assert rows[1].score_milli == 310 and rows[1].keep
+    # empty / whitespace-only docs: bare bias, not dropped
+    for d in (2, 3):
+        assert rows[d].n_tokens == 0
+        assert rows[d].score_milli == 10 and not rows[d].keep
+
+
+def test_hashed_classifier_negative_mean_truncates_like_sql(spark):
+    from ferenda_spark.operators.textstats import hashed_classifier_score
+    import hashlib
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+    docs = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    weights = spark.createDataFrame(
+        [(bucket("x"), -7), (bucket("y"), 0)],
+        "bucket long, weight_milli long")
+    r = hashed_classifier_score(docs, weights).collect()[0]
+    # -7 div 2 truncates toward zero (= -3) in BOTH Spark and DuckDB
+    assert r.score_milli == -3
