@@ -6215,12 +6215,33 @@ def _q_text_hashed_classifier(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_crawl_opic(spark, sf_dir):
+    """OPIC frontier prioritization (crawl.opic_priorities): 3
+    synchronous cash-distribution rounds over a planted per-block
+    digraph (3-cycle -> 2-cycle -> dangling sink), integer cash
+    units so the oracle unrolls the SAME 3 rounds in SQL and matches
+    bit-for-bit — algorithm-exact, not just converged-answer-exact
+    (the kg_label_prop pattern)."""
+    from ferenda_spark.operators.crawl import opic_priorities
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("src"),
+                        (F.col("b") + j).alias("dst"))
+    edges = (_e(0, 1).unionByName(_e(1, 2)).unionByName(_e(2, 0))
+             .unionByName(_e(2, 5)).unionByName(_e(5, 6))
+             .unionByName(_e(6, 5)).unionByName(_e(6, 7)))
+    return opic_priorities(edges, rounds=3).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
         "pep_docs": _q_pep_docs,
         "mm_video_meta": _q_mm_video_meta,
         "text_hashed_classifier": _q_text_hashed_classifier,
+        "crawl_opic": _q_crawl_opic,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7529,6 +7550,78 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # OPIC: 3 unrolled cash-distribution rounds, integer-exact
+        "crawl_opic": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            edges AS (
+              SELECT b AS u, b + 1 AS v FROM blk
+              UNION ALL SELECT b + 1, b + 2 FROM blk
+              UNION ALL SELECT b + 2, b FROM blk
+              UNION ALL SELECT b + 2, b + 5 FROM blk
+              UNION ALL SELECT b + 5, b + 6 FROM blk
+              UNION ALL SELECT b + 6, b + 5 FROM blk
+              UNION ALL SELECT b + 6, b + 7 FROM blk),
+            nodes AS (SELECT DISTINCT u AS node FROM edges
+                      UNION SELECT DISTINCT v FROM edges),
+            odt AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS od
+                    FROM edges GROUP BY u),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            s0 AS (
+              SELECT node, COALESCE(od, 0) AS od,
+                     1000000000000 // n AS cash,
+                     CAST(0 AS BIGINT) AS history
+              FROM nodes LEFT JOIN odt USING (node), nn),
+            s1 AS (
+              SELECT s.node, s.od,
+                     CASE WHEN s.od > 0 THEN s.cash % s.od
+                          ELSE s.cash END
+                       + COALESCE(r.recv, 0) AS cash,
+                     s.history
+                       + CASE WHEN s.od > 0
+                              THEN s.cash - s.cash % s.od
+                              ELSE 0 END AS history
+              FROM s0 s LEFT JOIN (
+                SELECT e.v AS node,
+                       SUM(p.cash // p.od) AS recv
+                FROM edges e JOIN s0 p
+                  ON e.u = p.node AND p.od > 0
+                GROUP BY e.v) r USING (node)),
+            s2 AS (
+              SELECT s.node, s.od,
+                     CASE WHEN s.od > 0 THEN s.cash % s.od
+                          ELSE s.cash END
+                       + COALESCE(r.recv, 0) AS cash,
+                     s.history
+                       + CASE WHEN s.od > 0
+                              THEN s.cash - s.cash % s.od
+                              ELSE 0 END AS history
+              FROM s1 s LEFT JOIN (
+                SELECT e.v AS node,
+                       SUM(p.cash // p.od) AS recv
+                FROM edges e JOIN s1 p
+                  ON e.u = p.node AND p.od > 0
+                GROUP BY e.v) r USING (node)),
+            s3 AS (
+              SELECT s.node, s.od,
+                     CASE WHEN s.od > 0 THEN s.cash % s.od
+                          ELSE s.cash END
+                       + COALESCE(r.recv, 0) AS cash,
+                     s.history
+                       + CASE WHEN s.od > 0
+                              THEN s.cash - s.cash % s.od
+                              ELSE 0 END AS history
+              FROM s2 s LEFT JOIN (
+                SELECT e.v AS node,
+                       SUM(p.cash // p.od) AS recv
+                FROM edges e JOIN s2 p
+                  ON e.u = p.node AND p.od > 0
+                GROUP BY e.v) r USING (node))
+            SELECT node, CAST(od AS BIGINT) AS out_degree,
+                   CAST(cash AS BIGINT) AS cash,
+                   CAST(history AS BIGINT) AS history,
+                   CAST(cash + history AS BIGINT) AS priority
+            FROM s3 ORDER BY node""",
         # hashed linear classifier: same md5 bucket + Knuth-residue
         # weights + integer mean-pooling, replayed closed-form
         "text_hashed_classifier": r"""

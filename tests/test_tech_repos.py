@@ -165,3 +165,34 @@ def test_hashed_classifier_negative_mean_truncates_like_sql(spark):
     r = hashed_classifier_score(docs, weights).collect()[0]
     # -7 div 2 truncates toward zero (= -3) in BOTH Spark and DuckDB
     assert r.score_milli == -3
+
+
+# --------------------------------------------- OPIC frontier (r5)
+
+def test_opic_cash_conserved_and_dangling_holds(spark):
+    from ferenda_spark.operators.crawl import opic_priorities
+    # a -> b -> c, c dangling: after enough rounds all cash pools at c
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = {r.node: r for r in
+            opic_priorities(edges, rounds=5,
+                            total_cash=300).collect()}
+    # init 100 each; cash conservation holds every round exactly
+    assert sum(r.cash for r in rows.values()) == 300
+    assert rows[3].out_degree == 0
+    assert rows[3].cash == 300          # dangling sink pools all cash
+    # history records everything the non-dangling pages distributed
+    assert rows[1].history == 100       # distributed its init once
+    assert rows[2].history == 200       # its init + everything from 1
+
+
+def test_opic_remainder_stays_with_page(spark):
+    from ferenda_spark.operators.crawl import opic_priorities
+    # one page, two outlinks, odd cash: share = 50 each, 1 stays
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    rows = {r.node: r for r in
+            opic_priorities(edges, rounds=1,
+                            total_cash=303).collect()}
+    # init 101 each; node 1 pays 2*50, keeps 1
+    assert rows[1].cash == 1 and rows[1].history == 100
+    assert rows[2].cash == 101 + 50 and rows[3].cash == 101 + 50
+    assert sum(r.cash for r in rows.values()) == 303
