@@ -6235,6 +6235,19 @@ def _q_crawl_opic(spark, sf_dir):
     return opic_priorities(edges, rounds=3).orderBy("node")
 
 
+def _q_text_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model table (textstats.
+    kneser_ney_bigram, d=3/4): the distinct-continuation smoothing
+    that beats add-k (Chen & Goodman 1999), restated in exact
+    quarter-integer arithmetic so the DuckDB replay matches
+    bit-for-bit.  Output = the model artifact a scorer would
+    broadcast-join."""
+    from ferenda_spark.operators.textstats import kneser_ney_bigram
+    return (kneser_ney_bigram(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("w1", "w2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6242,6 +6255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_meta": _q_mm_video_meta,
         "text_hashed_classifier": _q_text_hashed_classifier,
         "crawl_opic": _q_crawl_opic,
+        "text_kneser_ney": _q_text_kneser_ney,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7550,6 +7564,34 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Kneser-Ney bigram: quarter-integer discount, HUGEINT-exact
+        "text_kneser_ney": r"""
+            WITH toks AS (
+              SELECT string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            pr AS (
+              SELECT tk[i] AS w1, tk[i + 1] AS w2
+              FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                    FROM toks WHERE len(tk) >= 2)
+              WHERE tk[i] <> '' AND tk[i + 1] <> ''),
+            c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM pr GROUP BY w1, w2),
+            lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                           CAST(COUNT(*) AS BIGINT) AS d1_w1
+                    FROM c GROUP BY w1),
+            rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont_w2
+                    FROM c GROUP BY w2),
+            tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c)
+            SELECT w1, w2, c12, c1, d1_w1, ncont_w2,
+                   CAST(1000000 * (greatest(4 * c12 - 3, 0)
+                                   * CAST(t AS HUGEINT)
+                                   + 3 * d1_w1
+                                     * CAST(ncont_w2 AS HUGEINT))
+                        // (4 * CAST(c1 AS HUGEINT) * t)
+                     AS BIGINT) AS p_kn_ppm
+            FROM c JOIN lft USING (w1) JOIN rgt USING (w2), tt
+            ORDER BY w1, w2""",
         # OPIC: 3 unrolled cash-distribution rounds, integer-exact
         "crawl_opic": """
             WITH blk AS (SELECT doc_id AS b FROM documents

@@ -201,7 +201,7 @@ HEADLINE = [
     "stats_tost", "stats_srm",
     # r5: pep/ecma tech-repo instances, MP4/WebM header decode
     "pep_docs", "ecma_standards", "mm_video_meta",
-    "text_hashed_classifier", "crawl_opic",
+    "text_hashed_classifier", "crawl_opic", "text_kneser_ney",
 ]
 
 

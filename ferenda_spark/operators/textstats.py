@@ -1294,3 +1294,68 @@ def hashed_classifier_score(documents: DataFrame, weights: DataFrame,
                    .alias("score_milli")))
     return out.withColumn(
         "keep", F.col("score_milli") >= F.lit(int(threshold_milli)))
+
+
+def kneser_ney_bigram(documents: DataFrame,
+                      discount_quarters: int = 3,
+                      doc_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney, ICASSP
+    1995; Chen & Goodman 1999 found it the best-performing n-gram
+    smoother — the LM behind CCNet-style perplexity filtering):
+
+        P(w2|w1) = max(c12 - d, 0)/c1 + d*D1(w1)/c1 * Pcont(w2)
+        Pcont(w2) = N1+(.w2) / T      (distinct-left-context counts)
+
+    Exact-integer restatement with the discount as a quarter
+    fraction (default d = 3/4, the textbook value): multiplying
+    through by 4*c1*T gives
+
+        p_ppm = 10^6 * (max(4*c12 - q, 0)*T + q*D1(w1)*N1+(.w2))
+                div (4 * c1 * T)
+
+    with ``q = discount_quarters`` — every term a long, widened to
+    DECIMAL(38) for the product (c1, T up to 10^9 each stay inside
+    38 digits), so a SQL replay matches bit-for-bit.  The continuation
+    distribution is the PART that makes KN beat add-k: "Francisco"
+    is frequent but follows only "San", so its unseen-context
+    probability is tiny — captured here by N1+(.w2) being a DISTINCT
+    count, not a frequency.
+
+    Scale shape: bigrams are built map-side with zip_with over the
+    token array (no posexplode self-join); then three keyed
+    aggregates (pair counts, left-context rollup, right-context
+    distinct) and one 1-row T broadcast.  Output is the MODEL TABLE
+    (w1, w2, c12, c1, d1_w1, ncont_w2, p_kn_ppm), bigram-type-sized
+    — the artifact a scorer broadcast-joins afterwards."""
+    tk = F.col("tokens_")
+    nn = F.size(tk)
+    bigr = F.zip_with(F.slice(tk, F.lit(1), nn - 1),
+                      F.slice(tk, F.lit(2), nn - 1),
+                      lambda a, b: F.struct(a.alias("w1"),
+                                            b.alias("w2")))
+    pairs = (documents
+             .select(tokens(F.col(text_col)).alias("tokens_"))
+             .where(F.size("tokens_") >= 2)
+             .select(F.explode(bigr).alias("p"))
+             .select(F.col("p.w1").alias("w1"),
+                     F.col("p.w2").alias("w2"))
+             .where((F.col("w1") != "") & (F.col("w2") != "")))
+    c12 = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    left = (c12.groupBy("w1")
+            .agg(F.sum("c12").cast("long").alias("c1"),
+                 F.count(F.lit(1)).cast("long").alias("d1_w1")))
+    right = (c12.groupBy("w2")
+             .agg(F.count(F.lit(1)).cast("long").alias("ncont_w2")))
+    t_row = c12.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    q = int(discount_quarters)
+    p_ppm = F.expr(
+        "cast(1000000 as decimal(38,0)) * "
+        "(greatest(4 * c12 - %d, 0) * cast(t as decimal(38,0))"
+        " + %d * d1_w1 * cast(ncont_w2 as decimal(38,0)))"
+        " div (cast(4 as decimal(38,0)) * c1 * t)" % (q, q))
+    return (c12.join(left, "w1").join(right, "w2")
+            .crossJoin(F.broadcast(t_row))
+            .select("w1", "w2", "c12", "c1", "d1_w1", "ncont_w2",
+                    p_ppm.cast("long").alias("p_kn_ppm")))

@@ -312,6 +312,7 @@ BNLJ_ALLOWED = frozenset({
     "store_bucket_prune",     # probe-value x unit-manifest dimension
     "text_tfidf_terms",       # 1-row n_docs scalar
     "train_curriculum",       # 1-row difficulty-threshold frame
+    "text_kneser_ney",        # 1-row bigram-type-total T scalar
 })
 
 

@@ -196,3 +196,39 @@ def test_opic_remainder_stays_with_page(spark):
     assert rows[1].cash == 1 and rows[1].history == 100
     assert rows[2].cash == 101 + 50 and rows[3].cash == 101 + 50
     assert sum(r.cash for r in rows.values()) == 303
+
+
+# --------------------------------------- Kneser-Ney bigram LM (r5)
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    """The KN signature property: a word that is FREQUENT but occurs
+    after only one context ("francisco" after "san") gets a smaller
+    continuation share than a word with many distinct left contexts,
+    regardless of raw frequency."""
+    from ferenda_spark.operators.textstats import kneser_ney_bigram
+    docs = spark.createDataFrame(
+        [(1, "san francisco is nice"), (2, "san francisco is big"),
+         (3, "san francisco is far"), (4, "that is nice"),
+         (5, "what is big")],
+        "doc_id long, text string")
+    m = {(r.w1, r.w2): r for r in kneser_ney_bigram(docs).collect()}
+    # "francisco" appears 3x but only ever after "san" -> ncont 1;
+    # "is" appears after san-francisco/that/what -> ncont 3
+    assert m[("san", "francisco")].ncont_w2 == 1
+    assert m[("francisco", "is")].ncont_w2 == 3
+
+
+def test_kneser_ney_observed_mass_at_most_one(spark):
+    from ferenda_spark.operators.textstats import kneser_ney_bigram
+    docs = spark.createDataFrame(
+        [(i, "a b a c a b c d a %d" % (i % 3),) for i in range(20)],
+        "doc_id long, text string")
+    rows = kneser_ney_bigram(docs).collect()
+    bywl = {}
+    for r in rows:
+        bywl.setdefault(r.w1, 0)
+        bywl[r.w1] += r.p_kn_ppm
+    # observed-bigram mass per left context can never exceed 1
+    # (the rest is reserved for unseen continuations)
+    for w1, tot in bywl.items():
+        assert tot <= 1000000, (w1, tot)
