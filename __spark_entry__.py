@@ -6248,6 +6248,45 @@ def _q_text_kneser_ney(spark, sf_dir):
         .orderBy("w1", "w2"))
 
 
+def _q_text_kn_score(spark, sf_dir):
+    """Per-doc LM scoring under the corpus Kneser-Ney bigram model
+    (the CCNet-style filter application): integer mean of the doc's
+    bigram ppm probabilities, unseen bigrams contributing no
+    observed mass."""
+    from ferenda_spark.operators.textstats import kneser_ney_doc_score
+    return (kneser_ney_doc_score(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("doc_id"))
+
+
+def _q_text_good_turing(spark, sf_dir):
+    """Good-Turing count-of-counts over the unigram vocabulary with
+    the adjusted count r* = (r+1) n_{r+1}/n_r as integer milli
+    (NULL where n_{r+1}=0 — the undefined tail SGT power-law fits
+    exist for)."""
+    from ferenda_spark.operators.textstats import good_turing_counts
+    return (good_turing_counts(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("r"))
+
+
+def _q_kg_salsa(spark, sf_dir):
+    """SALSA degree-proportional link scores (graphs.salsa_scores):
+    per 20-doc block a dense 2x2 hub-authority biclique plus a
+    disjoint 1x1 pair — the oracle states components and the
+    Lempel-Moran closed form directly from the planted structure."""
+    from ferenda_spark.operators.graphs import salsa_scores
+    b = (_read(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 20 == 0)
+         .select(F.col("doc_id").alias("b")))
+    def _e(i, j):
+        return b.select((F.col("b") + i).alias("src"),
+                        (F.col("b") + j).alias("dst"))
+    edges = (_e(0, 10).unionByName(_e(0, 11)).unionByName(_e(1, 10))
+             .unionByName(_e(1, 11)).unionByName(_e(2, 12)))
+    return salsa_scores(edges).orderBy("side", "node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6256,6 +6295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hashed_classifier": _q_text_hashed_classifier,
         "crawl_opic": _q_crawl_opic,
         "text_kneser_ney": _q_text_kneser_ney,
+        "text_kn_score": _q_text_kn_score,
+        "text_good_turing": _q_text_good_turing,
+        "kg_salsa": _q_kg_salsa,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7564,6 +7606,101 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # SALSA closed form over the planted biclique + pair blocks
+        "kg_salsa": """
+            WITH blk AS (SELECT doc_id AS b FROM documents
+                         WHERE doc_id % 20 = 0),
+            nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nblocks
+                   FROM blk),
+            rows_ AS (
+              -- biclique hubs b, b+1: degree 2, comp 2b, n_comp 2,
+              -- deg_comp 4; biclique authorities b+10, b+11: same
+              -- with component 2b (min bipartite id)
+              SELECT 'hub' AS side, b + 0 AS node,
+                     CAST(2 AS BIGINT) AS degree,
+                     2 * b AS component, CAST(2 AS BIGINT) AS n_comp,
+                     CAST(4 AS BIGINT) AS deg_comp FROM blk
+              UNION ALL
+              SELECT 'hub', b + 1, 2, 2 * b, 2, 4 FROM blk
+              UNION ALL
+              SELECT 'authority', b + 10, 2, 2 * b, 2, 4 FROM blk
+              UNION ALL
+              SELECT 'authority', b + 11, 2, 2 * b, 2, 4 FROM blk
+              UNION ALL
+              SELECT 'hub', b + 2, 1, 2 * b + 4, 1, 1 FROM blk
+              UNION ALL
+              SELECT 'authority', b + 12, 1, 2 * b + 4, 1, 1
+              FROM blk)
+            SELECT side, node, degree,
+                   CAST(component AS BIGINT) AS component,
+                   n_comp, deg_comp,
+                   CAST(n_comp * degree * 1000000
+                        // (3 * CAST(nblocks AS HUGEINT) * deg_comp)
+                     AS BIGINT) AS score_ppm
+            FROM rows_, nb ORDER BY side, node""",
+        # KN doc scoring: model CTE shared with text_kneser_ney
+        "text_kn_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)),
+                                        '[ \t\n\r\f\x0B]+') AS tk
+              FROM documents),
+            pr AS (
+              SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+              FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                    FROM toks WHERE len(tk) >= 2)
+              WHERE tk[i] <> '' AND tk[i + 1] <> ''),
+            c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                  FROM pr GROUP BY w1, w2),
+            lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                           CAST(COUNT(*) AS BIGINT) AS d1_w1
+                    FROM c GROUP BY w1),
+            rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont_w2
+                    FROM c GROUP BY w2),
+            tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c),
+            model AS (
+              SELECT w1, w2,
+                     CAST(1000000 * (greatest(4 * c12 - 3, 0)
+                                     * CAST(t AS HUGEINT)
+                                     + 3 * d1_w1
+                                       * CAST(ncont_w2 AS HUGEINT))
+                          // (4 * CAST(c1 AS HUGEINT) * t)
+                       AS BIGINT) AS p_kn_ppm
+              FROM c JOIN lft USING (w1) JOIN rgt USING (w2), tt),
+            sc AS (
+              SELECT pr.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(p_kn_ppm) AS BIGINT) AS psum
+              FROM pr JOIN model USING (w1, w2)
+              GROUP BY pr.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT)
+                     AS n_bigrams,
+                   CAST(COALESCE(sc.psum // sc.n_bigrams, 0)
+                     AS BIGINT) AS score_ppm
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id""",
+        # Good-Turing frequency-of-frequencies + adjusted counts
+        "text_good_turing": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                            '[ \t\n\r\f\x0B]+')) AS term
+              FROM documents),
+            tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+                   FROM toks WHERE term <> '' GROUP BY term),
+            coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+                    FROM tc GROUP BY r),
+            lagged AS (
+              SELECT r, n_r,
+                     lead(r) OVER (ORDER BY r) AS next_r,
+                     lead(n_r) OVER (ORDER BY r) AS next_n
+              FROM coc)
+            SELECT r, n_r,
+                   CASE WHEN next_r = r + 1
+                        THEN CAST((r + 1) * next_n * 1000 // n_r
+                             AS BIGINT) END AS r_star_milli
+            FROM lagged ORDER BY r""",
         # Kneser-Ney bigram: quarter-integer discount, HUGEINT-exact
         "text_kneser_ney": r"""
             WITH toks AS (

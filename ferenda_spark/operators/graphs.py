@@ -2437,3 +2437,66 @@ def greedy_coloring(edges: DataFrame, rounds: int = 8,
                          .alias("color"))
                  .localCheckpoint(eager=True))
     return state.select(F.col("node"), "priority", "color")
+
+
+def salsa_scores(edges: DataFrame, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """SALSA link analysis (Lempel & Moran, "SALSA and the TKC
+    effect", WWW 2000 / TOIT 2001) — the stochastic sibling of HITS
+    whose stationary scores have a CLOSED FORM: within a connected
+    component of the hub-authority bipartite graph the authority
+    chain's stationary probability is degree-proportional,
+
+        a_i = (|C_i ∩ A| / |A|) * din_i / din(C_i)
+
+    (Lempel-Moran §3.2: component mass splits by component size,
+    in-component mass by in-degree; hubs symmetrically with
+    out-degree).  This is why SALSA resists the Tightly-Knit
+    Community effect that inflates HITS — and why it scales: NO
+    power iteration at all, just a connected-components pass over
+    the bipartite graph plus degree aggregates.
+
+    Exact-integer restatement: score_ppm =
+    ``n_comp_side * deg * 10^6 div (n_side * deg_comp_side)`` with
+    DECIMAL(38) products (each factor ≤ 10^9 keeps the product
+    inside 38 digits).
+
+    Scale shape: the hub/authority sides get disjoint vertex ids
+    (2u vs 2v+1) and one hash-min CC pass labels the bipartite
+    graph; then two keyed aggregates (per-side totals — a 2-row
+    broadcast — and per-(side, component) rollups) and one
+    node-keyed join.  Returns (side, node, degree, component,
+    n_comp, deg_comp, score_ppm)."""
+    from .canonicalize import connected_components
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .distinct())
+    bip = e.select((F.col("u") * 2).alias("src"),
+                   (F.col("v") * 2 + 1).alias("dst"))
+    comp = connected_components(bip)
+    hub = (e.groupBy(F.col("u").alias("node"))
+           .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+           .select(F.lit("hub").alias("side"), "node", "degree",
+                   (F.col("node") * 2).alias("bip_id")))
+    auth = (e.groupBy(F.col("v").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .select(F.lit("authority").alias("side"), "node",
+                    "degree", (F.col("node") * 2 + 1).alias("bip_id")))
+    both = (hub.unionByName(auth)
+            .join(comp.select(F.col("vertex").alias("bip_id"),
+                              "component"), "bip_id")
+            .drop("bip_id"))
+    side_tot = (both.groupBy("side")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_side")))
+    comp_tot = (both.groupBy("side", "component")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_comp"),
+                     F.sum("degree").cast("long").alias("deg_comp")))
+    return (both.join(comp_tot, ["side", "component"])
+            .join(F.broadcast(side_tot), "side")
+            .select("side", "node", "degree", "component",
+                    "n_comp", "deg_comp",
+                    F.expr("cast(n_comp as decimal(38,0)) * degree"
+                           " * 1000000 div"
+                           " (cast(n_side as decimal(38,0))"
+                           " * deg_comp)")
+                    .cast("long").alias("score_ppm")))

@@ -1359,3 +1359,91 @@ def kneser_ney_bigram(documents: DataFrame,
             .crossJoin(F.broadcast(t_row))
             .select("w1", "w2", "c12", "c1", "d1_w1", "ncont_w2",
                     p_ppm.cast("long").alias("p_kn_ppm")))
+
+
+def kneser_ney_doc_score(documents: DataFrame,
+                         discount_quarters: int = 3,
+                         doc_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-document LM score under the corpus-trained Kneser-Ney
+    bigram model — the FILTER application of :func:`kneser_ney_
+    bigram` (CCNet lineage: score each page under a reference LM,
+    bucket the corpus by the score): score = integer mean of the
+    doc's bigram probabilities (ppm), unseen bigrams contributing 0
+    observed mass (they fall into the reserved continuation mass by
+    construction).
+
+    Scale shape: the model table is bigram-type-sized; docs explode
+    to bigrams map-side and join the model on (w1, w2) — a keyed
+    hash join, broadcastable when the vocabulary is bounded — then
+    one doc-keyed mean.  Returns (doc_id, n_bigrams, score_ppm)."""
+    model = kneser_ney_bigram(documents, discount_quarters,
+                              doc_col, text_col)
+    tk = F.col("tokens_")
+    nn = F.size(tk)
+    bigr = F.zip_with(F.slice(tk, F.lit(1), nn - 1),
+                      F.slice(tk, F.lit(2), nn - 1),
+                      lambda a, b: F.struct(a.alias("w1"),
+                                            b.alias("w2")))
+    db = (documents
+          .select(F.col(doc_col).alias("doc_id"),
+                  tokens(F.col(text_col)).alias("tokens_"))
+          .where(F.size("tokens_") >= 2)
+          .select("doc_id", F.explode(bigr).alias("p"))
+          .select("doc_id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2"))
+          .where((F.col("w1") != "") & (F.col("w2") != "")))
+    scored = (db.join(model.select("w1", "w2", "p_kn_ppm"),
+                      ["w1", "w2"])
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                   F.sum("p_kn_ppm").cast("long").alias("psum")))
+    base = documents.select(F.col(doc_col).alias("doc_id")).distinct()
+    return (base.join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce(F.expr("psum div n_bigrams"),
+                               F.lit(0)).cast("long")
+                    .alias("score_ppm")))
+
+
+def good_turing_counts(documents: DataFrame,
+                       doc_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Good-Turing count-of-counts table over the unigram vocabulary
+    (Good 1953; the frequency-of-frequencies statistic behind
+    Simple Good-Turing smoothing and the classic vocabulary-growth
+    / unseen-mass estimate p0 = N1/N):
+
+    one row per observed raw count r: (r, n_r) plus the adjusted
+    count r* = (r+1) * n_{r+1} / n_r as integer ppm-scaled milli
+    (``r_star_milli = (r+1) * n_{r+1} * 1000 div n_r``; NULL where
+    n_{r+1} = 0 — the raw estimator is undefined there, which is
+    exactly why SGT fits a power law for large r).
+
+    Scale shape: two keyed aggregates (term counts, then counts of
+    counts — the second is at most #distinct-counts rows, tiny) and
+    ONE ordered self-alignment via a lag window over the
+    dimension-sized table.  Returns (r, n_r, r_star_milli)."""
+    from pyspark.sql import Window
+    term_counts = (documents
+                   .select(F.explode(tokens(F.col(text_col)))
+                           .alias("term"))
+                   .where(F.col("term") != "")
+                   .groupBy("term")
+                   .agg(F.count(F.lit(1)).cast("long").alias("r")))
+    coc = (term_counts.groupBy("r")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_r")))
+    # dimension-sized global window (#distinct counts rows) — the
+    # empty partition spec is safe here, never on a data-sized frame
+    w = Window.orderBy(F.col("r").asc())
+    staged = coc.select(
+        "r", "n_r",
+        F.lead("r").over(w).alias("next_r"),
+        F.lead("n_r").over(w).alias("next_n"))
+    return staged.select(
+        "r", "n_r",
+        F.when(F.col("next_r") == F.col("r") + 1,
+               F.expr("(r + 1) * next_n * 1000 div n_r"))
+        .cast("long").alias("r_star_milli"))

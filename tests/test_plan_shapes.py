@@ -313,6 +313,7 @@ BNLJ_ALLOWED = frozenset({
     "text_tfidf_terms",       # 1-row n_docs scalar
     "train_curriculum",       # 1-row difficulty-threshold frame
     "text_kneser_ney",        # 1-row bigram-type-total T scalar
+    "text_kn_score",          # inherits the model's 1-row T scalar
 })
 
 

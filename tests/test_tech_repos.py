@@ -232,3 +232,40 @@ def test_kneser_ney_observed_mass_at_most_one(spark):
     # (the rest is reserved for unseen continuations)
     for w1, tot in bywl.items():
         assert tot <= 1000000, (w1, tot)
+
+
+# ----------------------------------------------------- SALSA (r5)
+
+def test_salsa_degree_proportional_within_component(spark):
+    """Lempel-Moran closed form: two disjoint bipartite components,
+    authority mass splits by component size then by in-degree."""
+    from ferenda_spark.operators.graphs import salsa_scores
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (5, 20)],
+        "src long, dst long")
+    rows = {(r.side, r.node): r for r in salsa_scores(edges).collect()}
+    # N_a = 3: biclique authorities (2/3)*(2/4) = 1/3 each, the
+    # singleton (1/3)*1 = 1/3 -- all equal despite degree 2 vs 1
+    for key in (("authority", 10), ("authority", 11),
+                ("authority", 20)):
+        assert rows[key].score_ppm == 333333
+    # per-side mass sums to ~1 (ppm rounding dust only)
+    for side in ("hub", "authority"):
+        tot = sum(r.score_ppm for (s, _), r in rows.items()
+                  if s == side)
+        assert 999990 <= tot <= 1000000
+
+
+def test_salsa_tkc_resistance_vs_hits_shape(spark):
+    """The TKC scenario: a dense 3x3 community and a larger sparse
+    star. HITS gives the dense clique everything; SALSA keeps the
+    star's authority proportional to its in-degree."""
+    from ferenda_spark.operators.graphs import salsa_scores
+    dense = [(h, a) for h in (1, 2, 3) for a in (10, 11, 12)]
+    star = [(h, 20) for h in (4, 5, 6, 7)]
+    edges = spark.createDataFrame(dense + star, "src long, dst long")
+    rows = {(r.side, r.node): r for r in salsa_scores(edges).collect()}
+    # authority 20 has din 4 > any clique authority's 3; SALSA ranks
+    # it by component-weighted degree, NOT zero as HITS would
+    assert rows[("authority", 20)].score_ppm > 0
+    assert rows[("authority", 20)].degree == 4
