@@ -6287,6 +6287,17 @@ def _q_kg_salsa(spark, sf_dir):
     return salsa_scores(edges).orderBy("side", "node")
 
 
+def _q_text_sgt(spark, sf_dir):
+    """Simple Good-Turing smoothing (Gale-Sampson): Z-transformed
+    count-of-counts, log-log power-law fit, smoothed r* and the
+    unseen mass p0 — the oracle replays the identical pinned
+    expression order."""
+    from ferenda_spark.operators.textstats import simple_good_turing
+    return (simple_good_turing(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"))
+        .orderBy("r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6298,6 +6309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kn_score": _q_text_kn_score,
         "text_good_turing": _q_text_good_turing,
         "kg_salsa": _q_kg_salsa,
+        "text_sgt": _q_text_sgt,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7606,6 +7618,53 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Simple Good-Turing: Z transform + log-log OLS, expression
+        # order pinned to the Spark side
+        "text_sgt": r"""
+            WITH toks AS (
+              SELECT unnest(string_split_regex(lower(trim(text)),
+                            '[ \t\n\r\f\x0B]+')) AS term
+              FROM documents),
+            tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+                   FROM toks WHERE term <> '' GROUP BY term),
+            coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+                    FROM tc GROUP BY r),
+            zt AS (
+              SELECT r, n_r,
+                     2.0 * n_r / (COALESCE(lead(r) OVER (ORDER BY r),
+                                           2 * r - COALESCE(
+                                             lag(r) OVER (ORDER BY r),
+                                             0))
+                                  - COALESCE(lag(r) OVER (ORDER BY r),
+                                             0)) AS z
+              FROM coc),
+            pts AS (SELECT r, n_r, z, ln(CAST(r AS DOUBLE)) AS x,
+                           ln(z) AS y FROM zt),
+            ft AS (
+              SELECT (CAST(COUNT(*) AS DOUBLE) * SUM(x * y)
+                      - SUM(x) * SUM(y))
+                     / (CAST(COUNT(*) AS DOUBLE) * SUM(x * x)
+                        - SUM(x) * SUM(x)) AS slope_raw,
+                     CAST(COUNT(*) AS BIGINT) AS n_fit,
+                     SUM(x) AS sx, SUM(y) AS sy
+              FROM pts),
+            ft2 AS (SELECT slope_raw,
+                           (sy - slope_raw * sx)
+                             / CAST(n_fit AS DOUBLE) AS intercept_raw
+                    FROM ft),
+            tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_total,
+                           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0
+                                END) AS BIGINT) AS n1
+                    FROM tc)
+            SELECT r, n_r, round(z, 6) AS z,
+                   round(slope_raw, 6) AS slope,
+                   round(intercept_raw, 6) AS intercept,
+                   round(CAST(r + 1 AS DOUBLE)
+                         * power(CAST(r + 1 AS DOUBLE)
+                                 / CAST(r AS DOUBLE), slope_raw), 6)
+                     AS r_star_sgt,
+                   CAST(n1 * 1000000 // n_total AS BIGINT) AS p0_ppm
+            FROM pts, ft2, tot ORDER BY r""",
         # SALSA closed form over the planted biclique + pair blocks
         "kg_salsa": """
             WITH blk AS (SELECT doc_id AS b FROM documents

@@ -202,7 +202,7 @@ HEADLINE = [
     # r5: pep/ecma tech-repo instances, MP4/WebM header decode
     "pep_docs", "ecma_standards", "mm_video_meta",
     "text_hashed_classifier", "crawl_opic", "text_kneser_ney",
-    "text_kn_score", "text_good_turing", "kg_salsa",
+    "text_kn_score", "text_good_turing", "kg_salsa", "text_sgt",
 ]
 
 

@@ -1447,3 +1447,81 @@ def good_turing_counts(documents: DataFrame,
         F.when(F.col("next_r") == F.col("r") + 1,
                F.expr("(r + 1) * next_n * 1000 div n_r"))
         .cast("long").alias("r_star_milli"))
+
+
+def simple_good_turing(documents: DataFrame,
+                       doc_col: str = "doc_id",
+                       text_col: str = "text",
+                       round_to: int = 6) -> DataFrame:
+    """Simple Good-Turing smoothing (Gale & Sampson, J. Quant.
+    Linguistics 1995) — the production-grade completion of
+    :func:`good_turing_counts`: the raw r* estimator is undefined
+    wherever n_{r+1} = 0, so SGT (1) smooths the count-of-counts by
+    Gale's averaging transform Z_r = 2 n_r / (t - q) over the
+    NONZERO neighbors q < r < t (endpoints: q = 0, t = 2r - q), then
+    (2) fits log Z on log r by least squares, giving the power law
+    S(r) = e^a r^b, and (3) reads the smoothed adjusted count off
+    the fit: r*_SGT = (r+1) (S(r+1)/S(r)) = (r+1) ((r+1)/r)^b.
+    The unseen-probability mass is the classic p0 = n_1 / N.
+
+    Scale shape: everything after the term-count groupBy runs on the
+    count-of-counts table — at most #distinct-frequencies rows
+    (tens), so the global lag/lead window and the 1-row fit
+    broadcast are dimension-sized by construction.  Doubles appear
+    only in the pinned OLS/power expressions (the zipf_fit
+    convention: one expression order, replayed identically in SQL);
+    p0 is integer ppm.
+
+    Returns one row per observed count r:
+    (r, n_r, z, slope, intercept, r_star_sgt, p0_ppm)."""
+    from pyspark.sql import Window
+    term_counts = (documents
+                   .select(F.explode(tokens(F.col(text_col)))
+                           .alias("term"))
+                   .where(F.col("term") != "")
+                   .groupBy("term")
+                   .agg(F.count(F.lit(1)).cast("long").alias("r")))
+    coc = (term_counts.groupBy("r")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_r")))
+    w = Window.orderBy(F.col("r").asc())
+    q = F.coalesce(F.lag("r").over(w), F.lit(0))
+    t = F.coalesce(F.lead("r").over(w),
+                   F.lit(2) * F.col("r") - F.coalesce(
+                       F.lag("r").over(w), F.lit(0)))
+    z = (F.lit(2.0) * F.col("n_r").cast("double")
+         / (t - q).cast("double"))
+    pts = coc.select(
+        "r", "n_r", z.alias("z"),
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(z).alias("y"))
+    fit = (pts.agg(F.count(F.lit(1)).cast("long").alias("n_fit"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"))
+           .select(((F.col("n_fit").cast("double") * F.col("sxy")
+                     - F.col("sx") * F.col("sy"))
+                    / (F.col("n_fit").cast("double") * F.col("sxx")
+                       - F.col("sx") * F.col("sx"))).alias("slope_raw"),
+                   "n_fit", "sx", "sy")
+           .select("slope_raw",
+                   ((F.col("sy") - F.col("slope_raw") * F.col("sx"))
+                    / F.col("n_fit").cast("double"))
+                   .alias("intercept_raw")))
+    tot = term_counts.agg(
+        F.sum("r").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("long")
+        .alias("n1"))
+    r_star = ((F.col("r") + 1).cast("double")
+              * F.pow((F.col("r") + 1).cast("double")
+                      / F.col("r").cast("double"),
+                      F.col("slope_raw")))
+    return (pts.crossJoin(F.broadcast(fit))
+            .crossJoin(F.broadcast(tot))
+            .select("r", "n_r",
+                    F.round("z", round_to).alias("z"),
+                    F.round("slope_raw", round_to).alias("slope"),
+                    F.round("intercept_raw", round_to)
+                    .alias("intercept"),
+                    F.round(r_star, round_to).alias("r_star_sgt"),
+                    F.expr("n1 * 1000000 div n_total")
+                    .cast("long").alias("p0_ppm")))

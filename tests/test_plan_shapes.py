@@ -314,6 +314,7 @@ BNLJ_ALLOWED = frozenset({
     "train_curriculum",       # 1-row difficulty-threshold frame
     "text_kneser_ney",        # 1-row bigram-type-total T scalar
     "text_kn_score",          # inherits the model's 1-row T scalar
+    "text_sgt",               # 1-row fit + 1-row corpus-total frames
 })
 
 

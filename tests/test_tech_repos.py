@@ -269,3 +269,30 @@ def test_salsa_tkc_resistance_vs_hits_shape(spark):
     # it by component-weighted degree, NOT zero as HITS would
     assert rows[("authority", 20)].score_ppm > 0
     assert rows[("authority", 20)].degree == 4
+
+
+# ------------------------------------- Simple Good-Turing (r5)
+
+def test_sgt_smooths_where_raw_gt_is_undefined(spark):
+    """On a vocabulary with count gaps (n_{r+1}=0 somewhere) the raw
+    GT r* is NULL but SGT's power-law r* exists for every r and is
+    positive; p0 equals hapax-share exactly."""
+    from ferenda_spark.operators.textstats import (good_turing_counts,
+                                                   simple_good_turing)
+    # counts: many hapaxes, a few mid, one high with a gap below it
+    text1 = " ".join("h%d" % i for i in range(40))        # 40 hapax
+    text2 = "m1 m1 m2 m2 m3 m3 big big big big big big"
+    docs = spark.createDataFrame(
+        [(1, text1), (2, text2)], "doc_id long, text string")
+    raw = {r.r: r for r in good_turing_counts(docs).collect()}
+    sgt = {r.r: r for r in simple_good_turing(docs).collect()}
+    assert set(raw) == set(sgt)
+    hi = max(sgt)
+    assert raw[hi].r_star_milli is None          # undefined tail
+    assert sgt[hi].r_star_sgt is not None and sgt[hi].r_star_sgt > 0
+    # decreasing count-of-counts -> b < 0 and r* < r+1 for large r
+    assert sgt[hi].slope < 0
+    assert sgt[hi].r_star_sgt < hi + 1
+    # p0 = N1/N in ppm
+    n_total = 40 + 12
+    assert sgt[1].p0_ppm == 40 * 1000000 // n_total
