@@ -6298,6 +6298,28 @@ def _q_text_sgt(spark, sf_dir):
         .orderBy("r"))
 
 
+def _q_clean_card_pii(spark, sf_dir):
+    """Luhn-validated payment-card PII detection (cleaning.luhn_card_
+    candidates): every doc plants a spaced visa-shaped run whose
+    check digit is doc_id%10 (valid only when it lands on the true
+    Luhn digit, 1) and an amex-shaped run with check digit
+    (doc_id*3)%10 (true digit 5) — the oracle states validity
+    closed-form, so the checksum arithmetic is pinned end-to-end,
+    including the separator normalization."""
+    from ferenda_spark.operators.cleaning import luhn_card_candidates
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("invoice note pay 4111 1111 1111 111"),
+        (did % 10).cast("string"),
+        F.lit(" or card 37828224631000"),
+        ((did * 3) % 10).cast("string"),
+        F.lit(" thanks"))
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", text.alias("text")))
+    return (luhn_card_candidates(docs)
+            .orderBy("doc_id", "candidate"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6310,6 +6332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_good_turing": _q_text_good_turing,
         "kg_salsa": _q_kg_salsa,
         "text_sgt": _q_text_sgt,
+        "clean_card_pii": _q_clean_card_pii,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7618,6 +7641,32 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Luhn card detection: planted check digits, validity stated
+        # closed-form (visa true digit 1, amex true digit 5)
+        "clean_card_pii": """
+            WITH d AS (SELECT doc_id, doc_id % 10 AS v,
+                              (doc_id * 3) % 10 AS a
+                       FROM documents),
+            rows_ AS (
+              SELECT doc_id,
+                     '37828224631000' || a AS candidate,
+                     '37828224631000' || a AS digits,
+                     15 AS n_digits,
+                     a = 5 AS luhn_valid,
+                     CASE WHEN a = 5 THEN 'amex' END AS issuer
+              FROM d
+              UNION ALL
+              SELECT doc_id,
+                     '4111 1111 1111 111' || v,
+                     '411111111111111' || v,
+                     16,
+                     v = 1,
+                     CASE WHEN v = 1 THEN 'visa' END
+              FROM d)
+            SELECT doc_id, candidate, digits,
+                   CAST(n_digits AS INT) AS n_digits,
+                   luhn_valid, issuer
+            FROM rows_ ORDER BY doc_id, candidate""",
         # Simple Good-Turing: Z transform + log-log OLS, expression
         # order pinned to the Spark side
         "text_sgt": r"""

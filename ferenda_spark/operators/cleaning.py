@@ -808,3 +808,62 @@ def geo_join(points: DataFrame, radius_micro: int,
                     F.col("pid_b").alias("id_b"),
                     d2.cast("long").alias("dist_sq_micro"))
             .distinct())
+
+
+def luhn_card_candidates(documents: DataFrame,
+                         doc_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Checksum-validated payment-card PII detection: every 13-19
+    digit run (allowing space/dash separators, the PAN formats) is
+    extracted and validated with the Luhn mod-10 checksum (ISO/IEC
+    7812) — the validation step that separates real card numbers
+    from order ids and phone numbers, which is exactly what a
+    regex-only PII pass cannot do (9 of 10 random digit runs fail
+    Luhn, so the false-positive rate drops an order of magnitude).
+
+    Pure JVM column program: regexp_extract_all for candidate runs,
+    digit normalization, and the checksum as a higher-order
+    ``aggregate`` over the reversed digit array (double every second
+    digit from the right, subtract 9 over 9, sum mod 10) — no UDF,
+    no Python in the row path; candidates are rare so the explode is
+    sparse.
+
+    Returns (doc_id, candidate, digits, n_digits, luhn_valid,
+    issuer) — issuer is the standard IIN-prefix classification
+    (visa/mastercard/amex/discover/other) for valid numbers."""
+    cand = F.expr(
+        "regexp_extract_all(%s, '(?<![0-9])((?:[0-9][ -]?){12,18}[0-9])"
+        "(?![0-9])', 1)" % text_col)
+    base = (documents
+            .select(F.col(doc_col).alias("doc_id"),
+                    F.explode(cand).alias("candidate"))
+            .withColumn("digits",
+                        F.regexp_replace("candidate", "[ -]", ""))
+            .withColumn("n_digits", F.length("digits").cast("int"))
+            .where((F.col("n_digits") >= 13)
+                   & (F.col("n_digits") <= 19)))
+    # Luhn over the reversed digit array: positions 1,3,5,... (odd,
+    # 0-indexed from the right) double; >9 folds back by -9
+    rev = F.split(F.reverse(F.col("digits")), "(?!$)")
+    total = F.aggregate(
+        F.zip_with(rev,
+                   F.sequence(F.lit(0), F.size(rev) - 1),
+                   lambda d, i: F.when(
+                       i % 2 == 1,
+                       F.when(d.cast("int") * 2 > 9,
+                              d.cast("int") * 2 - 9)
+                       .otherwise(d.cast("int") * 2))
+                   .otherwise(d.cast("int"))),
+        F.lit(0),
+        lambda acc, x: acc + x)
+    issuer = (F.when(F.col("digits").rlike("^4"), "visa")
+              .when(F.col("digits").rlike("^5[1-5]"), "mastercard")
+              .when(F.col("digits").rlike("^3[47]"), "amex")
+              .when(F.col("digits").rlike("^6(011|5)"), "discover")
+              .otherwise("other"))
+    return (base
+            .withColumn("luhn_valid", (total % 10) == 0)
+            .withColumn("issuer",
+                        F.when(F.col("luhn_valid"), issuer))
+            .select("doc_id", "candidate", "digits", "n_digits",
+                    "luhn_valid", "issuer"))

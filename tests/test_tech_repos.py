@@ -296,3 +296,34 @@ def test_sgt_smooths_where_raw_gt_is_undefined(spark):
     # p0 = N1/N in ppm
     n_total = 40 + 12
     assert sgt[1].p0_ppm == 40 * 1000000 // n_total
+
+
+# --------------------------------------- Luhn card-PII (r5)
+
+def test_luhn_validation_separates_cards_from_ids(spark):
+    from ferenda_spark.operators.cleaning import luhn_card_candidates
+    docs = spark.createDataFrame([
+        (1, "pay with 4111 1111 1111 1111 now"),     # valid visa
+        (2, "order 4111111111111112 shipped"),       # fails Luhn
+        (3, "amex 378282246310005 works"),           # valid amex
+        (4, "call 5551234 phone"),                   # too short
+        (5, "id 1234-5678-9012-345 maybe"),          # fails Luhn
+        (6, "mc 5555 5555 5555 4444 here"),          # valid mastercard
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in luhn_card_candidates(docs).collect()}
+    assert 4 not in rows                     # length-gated out
+    assert rows[1].luhn_valid and rows[1].issuer == "visa"
+    assert rows[1].digits == "4111111111111111"
+    assert not rows[2].luhn_valid and rows[2].issuer is None
+    assert rows[3].luhn_valid and rows[3].issuer == "amex"
+    assert not rows[5].luhn_valid
+    assert rows[6].luhn_valid and rows[6].issuer == "mastercard"
+
+
+def test_luhn_no_false_hit_inside_longer_digit_run(spark):
+    from ferenda_spark.operators.cleaning import luhn_card_candidates
+    # a 25-digit run must NOT yield a 19-digit "card" from its prefix
+    docs = spark.createDataFrame(
+        [(1, "serial 4111111111111111123456789 end")],
+        "doc_id long, text string")
+    assert luhn_card_candidates(docs).count() == 0
