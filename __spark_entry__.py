@@ -6320,6 +6320,27 @@ def _q_clean_card_pii(spark, sf_dir):
             .orderBy("doc_id", "candidate"))
 
 
+def _q_crawl_strand_pairs(spark, sf_dir):
+    """STRAND parallel-page candidates (crawl.strand_url_pairs):
+    planted multilingual site — lang cycles en/fr/de/sv by doc_id%4,
+    host alternates by doc_id%2, template groups of 4 share a page
+    id — so each complete group yields the (de,en) pair on host 0
+    and the (fr,sv) pair on host 1; the oracle builds the same
+    tagged table closed-form and replays the join."""
+    from ferenda_spark.operators.crawl import strand_url_pairs
+    did = F.col("doc_id")
+    lang = F.array(F.lit("en"), F.lit("fr"), F.lit("de"),
+                   F.lit("sv"))[(did % 4).cast("int")]
+    url = F.concat(
+        F.lit("https://h"), (did % 2).cast("string"),
+        F.lit(".example.org/"), lang, F.lit("/page"),
+        (did / 4).cast("long").cast("string"))
+    pages = (_read(spark, sf_dir, "documents")
+             .select(url.alias("url")))
+    return (strand_url_pairs(pages)
+            .orderBy("host", "template", "lang_a", "lang_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6333,6 +6354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salsa": _q_kg_salsa,
         "text_sgt": _q_text_sgt,
         "clean_card_pii": _q_clean_card_pii,
+        "crawl_strand_pairs": _q_crawl_strand_pairs,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7641,6 +7663,26 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # STRAND pairing replayed on the closed-form tagged table
+        "crawl_strand_pairs": """
+            WITH tagged AS (
+              SELECT 'h' || (doc_id % 2) || '.example.org' AS host,
+                     '/{lang}/page' || (doc_id // 4) AS template,
+                     CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'fr'
+                          WHEN 2 THEN 'de' ELSE 'sv' END AS lang,
+                     'https://h' || (doc_id % 2) || '.example.org/'
+                       || CASE doc_id % 4 WHEN 0 THEN 'en'
+                               WHEN 1 THEN 'fr' WHEN 2 THEN 'de'
+                               ELSE 'sv' END
+                       || '/page' || (doc_id // 4) AS url
+              FROM documents)
+            SELECT a.host, a.template,
+                   a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM tagged a JOIN tagged b
+              ON a.host = b.host AND a.template = b.template
+             AND a.lang < b.lang
+            ORDER BY a.host, a.template, lang_a, lang_b""",
         # Luhn card detection: planted check digits, validity stated
         # closed-form (visa true digit 1, amex true digit 5)
         "clean_card_pii": """

@@ -1289,3 +1289,50 @@ def opic_priorities(edges: DataFrame, rounds: int = 3,
         "node", F.col("od").alias("out_degree"), "cash", "history",
         (F.col("cash") + F.col("history")).cast("long")
         .alias("priority"))
+
+
+LANG_MARKERS = ("en", "fr", "de", "es", "it", "sv", "pt", "nl",
+                "ja", "zh", "ru", "ar")
+
+
+def strand_url_pairs(pages: DataFrame, url_col: str = "url",
+                     markers: tuple = LANG_MARKERS) -> DataFrame:
+    """STRAND-style parallel-page candidate mining (Resnik & Smith,
+    "The Web as a Parallel Corpus", CL 2003): translated page pairs
+    advertise themselves STRUCTURALLY — the same URL with the
+    language marker swapped (`/en/about` vs `/fr/about`).  Detect a
+    path segment that is exactly a language code, normalize the URL
+    by replacing it with a placeholder, and join pages on (host,
+    normalized path) across DIFFERENT markers — the candidate
+    generator that feeds alignment verification
+    (:func:`ferenda_spark.operators.similarity` margin bitext /
+    Gale-Church downstream).
+
+    Pure column program: one regexp per URL (the marker alternation
+    is a compile-time constant), one self-join keyed on the
+    dimension-bounded (host, template) composite — pages without a
+    language segment never enter the join.  Pair order is pinned
+    lang_a < lang_b so each pair appears once.
+
+    Returns (host, template, lang_a, url_a, lang_b, url_b)."""
+    alt = "|".join(markers)
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    lang = F.regexp_extract(path, r"(?:^|/)(%s)(?=/|$)" % alt, 1)
+    tmpl = F.regexp_replace(path, r"(^|/)(%s)(?=/|$)" % alt,
+                            r"$1{lang}")
+    tagged = (pages
+              .select(F.col(url_col).alias("url"),
+                      host.alias("host"), lang.alias("lang"),
+                      tmpl.alias("template"))
+              .where(F.col("lang") != ""))
+    a = tagged.select("host", "template",
+                      F.col("lang").alias("lang_a"),
+                      F.col("url").alias("url_a"))
+    b = tagged.select("host", "template",
+                      F.col("lang").alias("lang_b"),
+                      F.col("url").alias("url_b"))
+    return (a.join(b, ["host", "template"])
+            .where(F.col("lang_a") < F.col("lang_b"))
+            .select("host", "template", "lang_a", "url_a",
+                    "lang_b", "url_b"))

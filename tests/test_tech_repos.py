@@ -327,3 +327,25 @@ def test_luhn_no_false_hit_inside_longer_digit_run(spark):
         [(1, "serial 4111111111111111123456789 end")],
         "doc_id long, text string")
     assert luhn_card_candidates(docs).count() == 0
+
+
+# ------------------------------------- STRAND URL pairing (r5)
+
+def test_strand_pairs_same_host_same_template_only(spark):
+    from ferenda_spark.operators.crawl import strand_url_pairs
+    pages = spark.createDataFrame([
+        ("https://ex.org/en/about",), ("https://ex.org/fr/about",),
+        ("https://ex.org/en/contact",),     # no partner
+        ("https://ex.org/entity/5",),       # 'en' inside a word
+        ("https://other.org/fr/about",),    # wrong host
+        ("https://ex.org/docs/en",),        # trailing lang segment
+        ("https://ex.org/docs/fr",),
+    ], "url string")
+    rows = strand_url_pairs(pages).collect()
+    got = {(r.host, r.template, r.lang_a, r.lang_b) for r in rows}
+    assert got == {
+        ("ex.org", "/{lang}/about", "en", "fr"),
+        ("ex.org", "/docs/{lang}", "en", "fr"),
+    }
+    for r in rows:
+        assert r.lang_a < r.lang_b          # each pair exactly once
