@@ -6341,6 +6341,19 @@ def _q_crawl_strand_pairs(spark, sf_dir):
             .orderBy("host", "template", "lang_a", "lang_b"))
 
 
+def _q_stats_wilson_domains(spark, sf_dir):
+    """Wilson lower-bound domain quality ranking (quality.wilson_
+    domain_ranking): pass = n_chars above the corpus-planted
+    threshold, grouped per source — the small-sample-penalizing
+    ranking that decides domain keep/drop after per-page gates."""
+    from ferenda_spark.operators.quality import wilson_domain_ranking
+    docs = (_read(spark, sf_dir, "documents")
+            .select("source",
+                    (F.col("n_chars") > 300).alias("passed")))
+    return (wilson_domain_ranking(docs)
+            .orderBy("group"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": _q_doc_triples,
@@ -6355,6 +6368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sgt": _q_text_sgt,
         "clean_card_pii": _q_clean_card_pii,
         "crawl_strand_pairs": _q_crawl_strand_pairs,
+        "stats_wilson_domains": _q_stats_wilson_domains,
         "ecma_standards": _q_ecma_standards,
         "kg_section_triples": _q_section_triples,
         "kg_mention_triples": _q_mention_triples,
@@ -7663,6 +7677,25 @@ def _markov_sql(channels=("click", "signup", "view"),
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Wilson lower bound, identical pinned expression order
+        "stats_wilson_domains": """
+            WITH g AS (
+              SELECT source AS "group",
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_pass
+              FROM documents GROUP BY source)
+            SELECT "group", n, n_pass,
+                   round((CAST(n_pass AS DOUBLE) / n
+                          + (1.96 * 1.96) / (2.0 * n)
+                          - 1.96 * sqrt(((CAST(n_pass AS DOUBLE) / n)
+                                         * (1.0 - CAST(n_pass
+                                            AS DOUBLE) / n)
+                                         + (1.96 * 1.96) / (4.0 * n))
+                                        / n))
+                         / (1.0 + (1.96 * 1.96) / n), 6)
+                     AS wilson_lb
+            FROM g ORDER BY "group" """,
         # STRAND pairing replayed on the closed-form tagged table
         "crawl_strand_pairs": """
             WITH tagged AS (

@@ -203,7 +203,7 @@ HEADLINE = [
     "pep_docs", "ecma_standards", "mm_video_meta",
     "text_hashed_classifier", "crawl_opic", "text_kneser_ney",
     "text_kn_score", "text_good_turing", "kg_salsa", "text_sgt",
-    "clean_card_pii", "crawl_strand_pairs",
+    "clean_card_pii", "crawl_strand_pairs", "stats_wilson_domains",
 ]
 
 

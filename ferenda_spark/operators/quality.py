@@ -1018,3 +1018,43 @@ def srm_check(assignments: DataFrame, expected_a_permille: int = 500,
         .alias("expected_a_permille"),
         F.round(chi2, round_to).alias("chi2"),
         (F.round(chi2, round_to) > 10.828).alias("srm"))
+
+
+def wilson_domain_ranking(documents: DataFrame,
+                          flag_col: str = "passed",
+                          group_col: str = "source",
+                          z_milli: int = 1960,
+                          round_to: int = 6) -> DataFrame:
+    """Per-group pass-rate ranking by the Wilson score lower bound
+    (Wilson 1927; the "how not to sort by average rating" fix): a
+    domain with 3/3 pages passing must NOT outrank one with 95/100 —
+    the lower confidence bound penalizes small samples exactly as
+    much as the binomial uncertainty warrants.  This is the
+    domain-level keep/drop ranking a quality pipeline runs after the
+    per-page gates, where per-domain sample sizes vary by orders of
+    magnitude.
+
+        lb = (p + z²/2n − z·sqrt((p(1−p) + z²/4n)/n)) / (1 + z²/n)
+
+    Counts stay exact longs; the bound is ONE pinned IEEE expression
+    (z = z_milli/1000, default 1.96 — the 95% bound) evaluated
+    identically by any engine, rounded once at the end (the
+    mann_whitney convention).
+
+    Scale shape: one group aggregate (map-side combined), then
+    dimension-sized arithmetic.  Returns (group, n, n_pass,
+    wilson_lb) ordered nowhere — callers sort by the bound."""
+    g = (documents.groupBy(F.col(group_col).alias("group"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(F.col(flag_col).cast("long")).cast("long")
+              .alias("n_pass")))
+    z = F.lit(z_milli / 1000.0)
+    n = F.col("n").cast("double")
+    p = F.col("n_pass").cast("double") / n
+    z2 = z * z
+    lb = ((p + z2 / (F.lit(2.0) * n)
+           - z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n))
+                        / n))
+          / (F.lit(1.0) + z2 / n))
+    return g.select("group", "n", "n_pass",
+                    F.round(lb, round_to).alias("wilson_lb"))

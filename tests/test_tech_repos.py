@@ -349,3 +349,31 @@ def test_strand_pairs_same_host_same_template_only(spark):
     }
     for r in rows:
         assert r.lang_a < r.lang_b          # each pair exactly once
+
+
+# ------------------------------- Wilson domain ranking (r5)
+
+def test_wilson_small_sample_cannot_outrank_large(spark):
+    from ferenda_spark.operators.quality import wilson_domain_ranking
+    rows = [("tiny", True)] * 3 + \
+           [("big", True)] * 95 + [("big", False)] * 5
+    docs = spark.createDataFrame(rows, "source string, passed boolean")
+    out = {r.group: r for r in wilson_domain_ranking(
+        docs, group_col="source").collect()}
+    # 3/3 = 100% raw, but its Wilson LB must sit BELOW 95/100's
+    assert out["tiny"].n_pass == 3 and out["big"].n_pass == 95
+    assert out["tiny"].wilson_lb < out["big"].wilson_lb
+    # bounds live strictly inside (0, p-hat)
+    for r in out.values():
+        assert 0 < r.wilson_lb < r.n_pass / r.n
+
+
+def test_wilson_zero_and_full_rates_bounded(spark):
+    from ferenda_spark.operators.quality import wilson_domain_ranking
+    docs = spark.createDataFrame(
+        [("none", False)] * 10 + [("all", True)] * 10,
+        "source string, passed boolean")
+    out = {r.group: r for r in wilson_domain_ranking(
+        docs, group_col="source").collect()}
+    assert out["none"].wilson_lb == 0.0
+    assert 0.65 < out["all"].wilson_lb < 1.0
